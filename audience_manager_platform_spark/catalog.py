@@ -1,0 +1,189 @@
+"""Rule store + segment catalog + lineage (SURVEY.md §1.1, M1/M5/M6).
+
+The reference keeps this metadata in SQLite tables ``rule_table`` and
+``segment_catalog`` (``backend/app/models/rule_engine.py:4-64``). Here it
+is a driver-side JSON document next to the segment parquet directory —
+metadata is tiny (one row per rule), so a distributed store would be pure
+overhead; the *data* (segment outputs) lives in parquet and scales with
+the cluster.
+
+Contract preserved from the reference:
+
+- every rule owns one physical output ``segment_output_<rule_id>``;
+- the catalog records the generated query text, lineage (``depends_on`` +
+  ``operation``), ``row_count`` and ``last_refreshed_at``, updated only
+  after a successful materialization
+  (``backend/app/processor/spark_processor.py:139-167``);
+- lineage is a DAG traversed driver-side (``backend/app/api/segments.py:
+  127-157``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import asdict, dataclass, field
+from datetime import datetime, timezone
+from typing import Any, Iterator
+
+
+@dataclass
+class Rule:
+    rule_id: int
+    name: str
+    conditions: list = field(default_factory=list)
+    schedule: str = "ONCE"  # ONCE | HOURLY | DAILY | WEEKLY (M4)
+    depends_on: list = field(default_factory=list)
+    operation: str | None = None
+    is_active: bool = True
+    created_at: str = ""
+    last_run_at: str | None = None
+
+
+@dataclass
+class SegmentMeta:
+    rule_id: int
+    segment_name: str
+    table_name: str
+    path: str
+    sql_query: str | None = None
+    depends_on: list = field(default_factory=list)
+    operation: str | None = None
+    row_count: int | None = None
+    last_refreshed_at: str | None = None
+    # which intersection semantics produced the table (quirk Q5 bookkeeping)
+    combine_keys: list | None = None
+
+
+def _now() -> str:
+    return datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+
+
+class Catalog:
+    """JSON-file-backed rule + segment metadata with atomic writes."""
+
+    def __init__(self, base_dir: str):
+        self.base_dir = base_dir
+        self.segments_dir = os.path.join(base_dir, "segments")
+        os.makedirs(self.segments_dir, exist_ok=True)
+        self._path = os.path.join(base_dir, "catalog.json")
+        self._doc: dict[str, Any] = {"rules": {}, "segments": {}, "next_rule_id": 1}
+        if os.path.exists(self._path):
+            with open(self._path) as f:
+                self._doc = json.load(f)
+
+    # ------------------------------------------------------------ persist
+    def _save(self) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.base_dir, suffix=".catalog.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(self._doc, f, indent=1, default=str)
+        os.replace(tmp, self._path)  # atomic on POSIX
+
+    # -------------------------------------------------------------- rules
+    def add_rule(
+        self,
+        name: str,
+        conditions: list | None = None,
+        schedule: str = "ONCE",
+        depends_on: list | None = None,
+        operation: str | None = None,
+    ) -> Rule:
+        if any(r["name"] == name for r in self._doc["rules"].values()):
+            raise ValueError(f"rule name {name!r} already exists")  # M1 dup check
+        rule_id = self._doc["next_rule_id"]
+        self._doc["next_rule_id"] = rule_id + 1
+        rule = Rule(
+            rule_id=rule_id,
+            name=name,
+            conditions=conditions or [],
+            schedule=schedule,
+            depends_on=depends_on or [],
+            operation=operation,
+            created_at=_now(),
+        )
+        self._doc["rules"][str(rule_id)] = asdict(rule)
+        self._save()
+        return rule
+
+    def get_rule(self, rule_id: int) -> Rule:
+        return Rule(**self._doc["rules"][str(rule_id)])
+
+    def active_rules(self) -> Iterator[Rule]:
+        for raw in self._doc["rules"].values():
+            rule = Rule(**raw)
+            if rule.is_active:
+                yield rule
+
+    def mark_run(self, rule_id: int) -> None:
+        self._doc["rules"][str(rule_id)]["last_run_at"] = _now()
+        self._save()
+
+    def deactivate_rule(self, rule_id: int) -> None:
+        self._doc["rules"][str(rule_id)]["is_active"] = False
+        self._save()
+
+    # ----------------------------------------------------------- segments
+    def segment_path(self, rule_id: int) -> str:
+        return os.path.join(self.segments_dir, f"segment_output_{rule_id}")
+
+    def upsert_segment(self, meta: SegmentMeta) -> None:
+        self._doc["segments"][str(meta.rule_id)] = asdict(meta)
+        self._save()
+
+    def get_segment(self, rule_id: int) -> SegmentMeta | None:
+        raw = self._doc["segments"].get(str(rule_id))
+        return SegmentMeta(**raw) if raw else None
+
+    def record_refresh(self, rule_id: int, row_count: int) -> None:
+        """Row-count + refresh-stamp upkeep (M6) — only called after the
+        parquet write succeeded, so failures leave the catalog unchanged."""
+        seg = self._doc["segments"][str(rule_id)]
+        seg["row_count"] = row_count
+        seg["last_refreshed_at"] = _now()
+        self._save()
+
+    # ------------------------------------------------------------ lineage
+    def lineage(self, rule_id: int) -> dict[str, Any]:
+        """DFS over ``depends_on`` edges (M5), cycle-safe."""
+
+        def visit(rid: int, seen: frozenset[int]) -> dict[str, Any]:
+            rule = self.get_rule(rid)
+            seg = self.get_segment(rid)
+            node: dict[str, Any] = {
+                "rule_id": rid,
+                "name": rule.name,
+                "operation": rule.operation,
+                "row_count": seg.row_count if seg else None,
+                "parents": [],
+            }
+            for pid in rule.depends_on:
+                if pid in seen:
+                    node["parents"].append({"rule_id": pid, "cycle": True})
+                else:
+                    node["parents"].append(visit(pid, seen | {rid}))
+            return node
+
+        return visit(rule_id, frozenset())
+
+    def topological_order(self) -> list[int]:
+        """Dependency-ordered execution for a batch refresh: parents before
+        children (the reference runs rules independently on schedules and
+        can read stale parents; explicit ordering removes that race)."""
+        order: list[int] = []
+        state: dict[int, int] = {}  # 0=visiting, 1=done
+
+        def visit(rid: int) -> None:
+            if state.get(rid) == 1:
+                return
+            if state.get(rid) == 0:
+                raise ValueError(f"dependency cycle at rule {rid}")
+            state[rid] = 0
+            for pid in self.get_rule(rid).depends_on:
+                visit(pid)
+            state[rid] = 1
+            order.append(rid)
+
+        for rule in self.active_rules():
+            visit(rule.rule_id)
+        return order

@@ -1,0 +1,157 @@
+"""Rule-execution orchestrator (SURVEY.md §3.1/§3.2 collapsed into one
+driver process).
+
+The reference's lifecycle crosses three process boundaries per rule
+(Flask thread -> spark-submit subprocess -> JVM -> SQLite via JDBC,
+``backend/app/core/scheduler.py:90-114``), costing ~10s of JVM cold start
+per rule. Here: one long-lived SparkSession; rule creation is driver-side
+metadata work; execution is a Spark job materializing parquet.
+
+Plan selection mirrors ``SparkSegmentProcessor._get_segment_data``
+(``backend/app/processor/spark_processor.py:63-119``) with two deliberate
+fixes:
+
+- the reference *ignores* residual conditions when a rule has
+  dependencies (compound path reads only parent outputs) — conditions the
+  planner left uncovered are silently dropped. We compute the residual
+  base segment and include it in the intersection.
+- intersection defaults to user_id-keyed semi-joins (the documented
+  intent) instead of full-row set ops (the observed behavior, quirk Q5);
+  ``combine_keys=None`` restores reference behavior. The catalog records
+  which semantics produced each table.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import Catalog, Rule, SegmentMeta
+from .operators.segments import combine_segments
+from .plans.dependency_finder import find_best_dependency
+from .plans.rule_compiler import RuleCompiler
+from .sources.transactions import TRANSACTION_COLUMNS  # noqa: F401 (re-export)
+
+
+class AudienceEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: Catalog,
+        transactions: Callable[[], DataFrame],
+        *,
+        compiler: RuleCompiler | None = None,
+        combine_keys: Sequence[str] | None = ("user_id",),
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self._transactions = transactions
+        self.compiler = compiler or RuleCompiler()
+        self.combine_keys = list(combine_keys) if combine_keys else None
+
+    # ------------------------------------------------------ rule creation
+    def create_rule(self, name: str, conditions: list, schedule: str = "ONCE") -> Rule:
+        """Entry point A (SURVEY.md §3.1): validate -> dependency rewrite ->
+        compile -> persist. No data touched."""
+        self.compiler.compile(conditions)  # validate early (strict by default)
+        existing = [(r.rule_id, r.conditions) for r in self.catalog.active_rules()]
+        rewrite = find_best_dependency(conditions, existing)
+        if rewrite:
+            rule = self.catalog.add_rule(
+                name,
+                conditions=list(rewrite.remaining_conditions),
+                schedule=schedule,
+                depends_on=list(rewrite.depends_on),
+                operation=rewrite.operation,
+            )
+        else:
+            rule = self.catalog.add_rule(name, conditions=conditions, schedule=schedule)
+        query = self.compiler.compile(rule.conditions)
+        self.catalog.upsert_segment(
+            SegmentMeta(
+                rule_id=rule.rule_id,
+                segment_name=f"Segment for rule: {name}",
+                table_name=f"segment_output_{rule.rule_id}",
+                path=self.catalog.segment_path(rule.rule_id),
+                sql_query=(
+                    query.to_sql("SELECT * FROM all_transactions", dialect="spark")
+                    if rule.conditions or not rule.depends_on
+                    else None
+                ),
+                depends_on=rule.depends_on,
+                operation=rule.operation,
+                combine_keys=self.combine_keys,
+            )
+        )
+        return rule
+
+    def create_compound_rule(
+        self, name: str, depends_on: list[int], operation: str, schedule: str = "ONCE"
+    ) -> Rule:
+        """Explicit compound rule (no conditions of its own), like the
+        reference's rule 4."""
+        for pid in depends_on:
+            self.catalog.get_rule(pid)  # existence check
+        rule = self.catalog.add_rule(
+            name, conditions=[], schedule=schedule, depends_on=depends_on, operation=operation
+        )
+        self.catalog.upsert_segment(
+            SegmentMeta(
+                rule_id=rule.rule_id,
+                segment_name=f"Segment for rule: {name}",
+                table_name=f"segment_output_{rule.rule_id}",
+                path=self.catalog.segment_path(rule.rule_id),
+                depends_on=depends_on,
+                operation=operation,
+                combine_keys=self.combine_keys,
+            )
+        )
+        return rule
+
+    # ----------------------------------------------------- plan selection
+    def segment_dataframe(self, rule_id: int) -> DataFrame:
+        """Entry point B plan selection: compound path folds parent
+        outputs (+ residual, see module docstring); base path compiles
+        conditions over the unified transaction stream."""
+        rule = self.catalog.get_rule(rule_id)
+        if rule.depends_on and rule.operation:
+            parents = [self.read_segment(pid) for pid in rule.depends_on]
+            if rule.conditions:
+                parents.append(self._base_segment(rule.conditions))
+            return combine_segments(parents, rule.operation, on=self.combine_keys)
+        return self._base_segment(rule.conditions)
+
+    def _base_segment(self, conditions: list) -> DataFrame:
+        return self.compiler.compile(conditions).dataframe(self._transactions())
+
+    # ------------------------------------------------------ materialize
+    def execute_rule(self, rule_id: int) -> int:
+        """Materialize ``segment_output_<rule_id>`` and update the catalog.
+
+        Parquet overwrite is atomic-enough (directory swap) vs the
+        reference's DROP TABLE + JDBC rewrite two-step (S6). An empty
+        result still writes a typed empty table (S8 contract). Catalog is
+        updated only after a successful write; returns the row count.
+        """
+        df = self.segment_dataframe(rule_id)
+        path = self.catalog.segment_path(rule_id)
+        df.write.mode("overwrite").parquet(path)
+        # count from the written files: one extra cheap job, avoids
+        # recomputing the whole plan just for the count (A9)
+        row_count = self.spark.read.parquet(path).count()
+        self.catalog.record_refresh(rule_id, row_count)
+        self.catalog.mark_run(rule_id)
+        return row_count
+
+    def execute_all(self) -> dict[int, int]:
+        """Dependency-ordered batch refresh (parents first)."""
+        return {rid: self.execute_rule(rid) for rid in self.catalog.topological_order()}
+
+    def read_segment(self, rule_id: int) -> DataFrame:
+        """S2: scan a materialized segment (schema travels with parquet)."""
+        return self.spark.read.parquet(self.catalog.segment_path(rule_id))
+
+    def sample_segment(self, rule_id: int, n: int = 10):
+        """S10: bounded preview for API display."""
+        return self.read_segment(rule_id).limit(n).collect()

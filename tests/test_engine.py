@@ -1,0 +1,132 @@
+"""End-to-end engine lifecycle: create -> dependency rewrite -> execute ->
+materialized parquet + catalog contract (SURVEY.md §3.2)."""
+
+import pytest
+
+from audience_manager_platform_spark.catalog import Catalog
+from audience_manager_platform_spark.engine import AudienceEngine
+from audience_manager_platform_spark.sources import (
+    load_table,
+    unified_transactions_from_events,
+)
+
+AMT = {"field": "transaction_amount", "operator": ">", "value": "120"}
+TIER = {"field": "city_tier", "operator": "=", "value": "1"}
+COUNT = {"field": "transaction_count", "operator": ">=", "value": 5}
+
+
+@pytest.fixture()
+def engine(spark, sf_dir, tmp_path):
+    catalog = Catalog(str(tmp_path / "cat"))
+    txns = unified_transactions_from_events(load_table(spark, sf_dir, "events"))
+    return AudienceEngine(spark, catalog, lambda: txns)
+
+
+def test_base_rule_lifecycle(engine):
+    rule = engine.create_rule("high_amount", [AMT])
+    assert rule.depends_on == []
+    n = engine.execute_rule(rule.rule_id)
+    seg = engine.read_segment(rule.rule_id)
+    assert seg.columns == [
+        "user_id",
+        "total_transactions",
+        "total_spent",
+        "transaction_types",
+    ]
+    assert n == seg.count() > 0
+    meta = engine.catalog.get_segment(rule.rule_id)
+    assert meta.row_count == n
+    assert meta.last_refreshed_at is not None
+    assert meta.table_name == f"segment_output_{rule.rule_id}"
+    assert "GROUP BY user_id" in meta.sql_query
+
+
+def test_empty_segment_keeps_schema(engine):
+    rule = engine.create_rule(
+        "impossible", [{"field": "total_spend", "operator": ">", "value": 10**12}]
+    )
+    n = engine.execute_rule(rule.rule_id)
+    assert n == 0
+    seg = engine.read_segment(rule.rule_id)
+    # S8 contract: typed empty table still materializes
+    assert seg.count() == 0
+    assert "total_spent" in seg.columns
+
+
+def test_dependency_rewrite_on_create(engine):
+    r1 = engine.create_rule("amt", [AMT])
+    r2 = engine.create_rule("tier", [TIER])
+    r3 = engine.create_rule("amt_and_tier", [AMT, TIER])
+    assert sorted(r3.depends_on) == sorted([r1.rule_id, r2.rule_id])
+    assert r3.operation == "intersection"
+    assert r3.conditions == []  # fully covered
+
+    results = engine.execute_all()
+    # parents executed before the compound rule
+    order = list(results)
+    assert order.index(r1.rule_id) < order.index(r3.rule_id)
+    assert order.index(r2.rule_id) < order.index(r3.rule_id)
+
+    # keyed intersection: child users = amt-users ∩ tier-users
+    child = {r.user_id for r in engine.read_segment(r3.rule_id).collect()}
+    a = {r.user_id for r in engine.read_segment(r1.rule_id).collect()}
+    b = {r.user_id for r in engine.read_segment(r2.rule_id).collect()}
+    assert child == a & b
+    # keyed semantics preserve the first parent's aggregate rows
+    spent_child = {
+        r.user_id: r.total_spent for r in engine.read_segment(r3.rule_id).collect()
+    }
+    spent_a = {r.user_id: r.total_spent for r in engine.read_segment(r1.rule_id).collect()}
+    assert all(spent_child[u] == spent_a[u] for u in spent_child)
+
+
+def test_residual_conditions_applied(engine):
+    """Divergence fix: the reference drops residual conditions on the
+    compound path; we intersect them in."""
+    r1 = engine.create_rule("amt", [AMT])
+    r2 = engine.create_rule("amt_plus_count", [AMT, COUNT])
+    assert r2.depends_on == [r1.rule_id]
+    assert r2.conditions == [COUNT]
+    engine.execute_all()
+    child = {r.user_id for r in engine.read_segment(r2.rule_id).collect()}
+    # child ⊆ parent, and equals parent ∩ users-with->=5-txns
+    parent = {r.user_id for r in engine.read_segment(r1.rule_id).collect()}
+    residual = {
+        r.user_id
+        for r in engine.compiler.compile([COUNT]).dataframe(engine._transactions()).collect()
+    }
+    assert child == parent & residual
+
+
+def test_explicit_compound_and_lineage(engine):
+    r1 = engine.create_rule("amt", [AMT])
+    r2 = engine.create_rule("tier", [TIER])
+    r4 = engine.create_compound_rule(
+        "both", [r1.rule_id, r2.rule_id], "intersection"
+    )
+    engine.execute_all()
+    tree = engine.catalog.lineage(r4.rule_id)
+    assert tree["rule_id"] == r4.rule_id
+    assert {p["rule_id"] for p in tree["parents"]} == {r1.rule_id, r2.rule_id}
+    assert all(p["row_count"] is not None for p in tree["parents"])
+
+
+def test_duplicate_name_rejected(engine):
+    engine.create_rule("dup", [AMT])
+    with pytest.raises(ValueError, match="already exists"):
+        engine.create_rule("dup", [TIER])
+
+
+def test_sample_segment(engine):
+    rule = engine.create_rule("amt", [AMT])
+    engine.execute_rule(rule.rule_id)
+    rows = engine.sample_segment(rule.rule_id, n=5)
+    assert 0 < len(rows) <= 5
+
+
+def test_catalog_survives_reload(engine, spark, tmp_path):
+    rule = engine.create_rule("amt", [AMT])
+    engine.execute_rule(rule.rule_id)
+    reloaded = Catalog(engine.catalog.base_dir)
+    assert reloaded.get_rule(rule.rule_id).name == "amt"
+    assert reloaded.get_segment(rule.rule_id).row_count is not None

@@ -1,0 +1,217 @@
+"""Analytics aggregation suite (SURVEY.md §2.4 A3-A8, §2.6 O1-O4, J1).
+
+The reference serves these from SQLAlchemy against SQLite, computing each
+source separately and merging/zero-filling/sorting in Python
+(``backend/app/utils/aggregates.py``). Every Python-side merge loop
+disappears here: the unified transaction view is one DataFrame, so each
+endpoint is a single declarative plan — one shuffle where the semantics
+demand a grouping, nothing driver-side in the data path.
+
+All functions take the unified-transactions DataFrame (``user_id, amount,
+transaction_date, category, city_tier, transaction_type``) and return
+DataFrames; nothing collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def filter_transactions(
+    txns: DataFrame,
+    *,
+    start: str | None = None,
+    end: str | None = None,
+    min_amount: float | None = None,
+    city_tier: int | None = None,
+    category: str | None = None,
+) -> DataFrame:
+    """Optional-parameter filter chain (P8/P9, reference
+    ``backend/app/utils/aggregates.py:12-21,177-187``). Filters are plain
+    comparisons -> pushed into the parquet scan by Catalyst."""
+    if start is not None:
+        txns = txns.filter(F.col("transaction_date") >= F.lit(start).cast("timestamp"))
+    if end is not None:
+        txns = txns.filter(F.col("transaction_date") <= F.lit(end).cast("timestamp"))
+    if min_amount is not None:
+        txns = txns.filter(F.col("amount") >= min_amount)
+    if city_tier is not None:
+        txns = txns.filter(F.col("city_tier") == city_tier)
+    if category is not None:
+        txns = txns.filter(F.col("category") == category)
+    return txns
+
+
+def category_totals(txns: DataFrame) -> DataFrame:
+    """A3: per-category transaction count + amount. The reference runs this
+    per source and merges dicts in Python (``aggregates.py:24-53``); the
+    union view makes it one hash aggregate."""
+    return (
+        txns.filter(F.col("category").isNotNull())
+        .groupBy("category")
+        .agg(
+            F.count("*").alias("transaction_count"),
+            F.round(F.sum("amount"), 2).alias("total_amount"),
+        )
+    )
+
+
+def daily_totals(txns: DataFrame) -> DataFrame:
+    """A4: per-calendar-day totals, zero-filled over the observed date
+    range. Zero-fill is ``sequence()`` + explode + left join (the
+    reference zero-fills in a Python loop, ``aggregates.py:91-104``).
+
+    The day spine is derived from the data's own min/max so the operator
+    is deterministic without wall-clock input. The spine aggregate is two
+    scalar values -> the per-day join side is a broadcast.
+    """
+    daily = (
+        txns.filter(F.col("transaction_date").isNotNull())
+        .groupBy(F.to_date("transaction_date").alias("day"))
+        .agg(
+            F.count("*").alias("transaction_count"),
+            F.round(F.sum("amount"), 2).alias("total_amount"),
+        )
+    )
+    spine = (
+        txns.select(
+            F.min(F.to_date("transaction_date")).alias("lo"),
+            F.max(F.to_date("transaction_date")).alias("hi"),
+        )
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("transaction_count", F.lit(0)).alias("transaction_count"),
+            F.coalesce("total_amount", F.lit(0.0)).alias("total_amount"),
+        )
+    )
+
+
+def summary(txns: DataFrame) -> DataFrame:
+    """A5: grand totals in one row (count, amount, avg)."""
+    return txns.agg(
+        F.count("*").alias("total_transactions"),
+        F.round(F.sum("amount"), 2).alias("total_amount"),
+        F.round(F.avg("amount"), 2).alias("avg_amount"),
+        F.countDistinct("user_id").alias("unique_users"),
+    )
+
+
+def top_categories(txns: DataFrame, n: int = 5) -> DataFrame:
+    """O2: top-N categories by amount. Total order includes the category
+    name as tiebreaker so the limit is deterministic at any scale."""
+    return (
+        category_totals(txns)
+        .orderBy(F.desc("total_amount"), F.asc("category"))
+        .limit(n)
+    )
+
+
+def user_search(
+    txns: DataFrame,
+    *,
+    min_amount: float | None = None,
+    city_tier: int | None = None,
+    category: str | None = None,
+    min_transactions: int = 1,
+    page: int = 1,
+    per_page: int = 20,
+) -> DataFrame:
+    """A6/A7/O4: filtered per-user aggregate with HAVING and deterministic
+    LIMIT/OFFSET pagination (ordered by user_id — pagination without a
+    total order is undefined under distributed execution)."""
+    filtered = filter_transactions(
+        txns, min_amount=min_amount, city_tier=city_tier, category=category
+    )
+    agg = (
+        filtered.groupBy("user_id")
+        .agg(
+            F.count("*").alias("transaction_count"),
+            F.round(F.sum("amount"), 2).alias("total_amount"),
+        )
+        .filter(F.col("transaction_count") >= min_transactions)
+    )
+    return agg.orderBy("user_id").offset((page - 1) * per_page).limit(per_page)
+
+
+def favorite_category(txns: DataFrame) -> DataFrame:
+    """J1/O1: per-user argmax category. The reference runs a correlated
+    scalar subquery per user (``backend/create_aggregates.py:43-47``) —
+    O(users) subqueries in SQLite. Decorrelated here to one aggregation
+    plus a window top-1; ties break by category name for determinism."""
+    counts = (
+        txns.filter(F.col("category").isNotNull())
+        .groupBy("user_id", "category")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("category"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("category").alias("favorite_category"))
+    )
+
+
+def trailing_rollups(txns: DataFrame, windows: tuple[int, ...] = (30, 60, 90)) -> DataFrame:
+    """A8: per-user rollups over trailing N-day windows ending at the
+    data's max transaction_date (the reference anchors at wall-clock now;
+    data-derived anchoring keeps the operator deterministic).
+
+    Physical shape: the window spec is a tiny literal DataFrame joined
+    with a non-equi condition (broadcast — |windows| rows), then two hash
+    aggregates; the reference instead runs 3 full-table SQL jobs with a
+    correlated argmax subquery each (``backend/create_aggregates.py:
+    33-100``). One scan, no correlated anything.
+    """
+    spark = txns.sparkSession
+    anchor = txns.select(F.max(F.to_date("transaction_date")).alias("period_end"))
+    wdf = spark.range(0, 1).select(
+        F.explode(F.array(*[F.lit(d) for d in windows])).alias("window_days")
+    )
+    spec = F.broadcast(
+        anchor.crossJoin(wdf).select(
+            "window_days",
+            F.date_sub(F.col("period_end"), F.col("window_days")).alias("period_start"),
+            "period_end",
+        )
+    )
+    tagged = txns.join(
+        spec,
+        (F.to_date("transaction_date") > F.col("period_start"))
+        & (F.to_date("transaction_date") <= F.col("period_end")),
+        "inner",
+    )
+    totals = tagged.groupBy("user_id", "window_days", "period_start", "period_end").agg(
+        F.count("*").alias("total_transactions"),
+        F.round(F.sum("amount"), 2).alias("total_amount"),
+        F.max("transaction_date").alias("last_transaction_date"),
+        F.max("city_tier").alias("city_tier"),
+    )
+    cat_counts = (
+        tagged.filter(F.col("category").isNotNull())
+        .groupBy("user_id", "window_days", "category")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("user_id", "window_days").orderBy(
+        F.desc("cnt"), F.asc("category")
+    )
+    favorites = (
+        cat_counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "window_days", F.col("category").alias("favorite_category"))
+    )
+    return totals.join(favorites, ["user_id", "window_days"], "left").select(
+        "user_id",
+        "window_days",
+        "total_transactions",
+        "total_amount",
+        "last_transaction_date",
+        "favorite_category",
+        "city_tier",
+        "period_start",
+        "period_end",
+    )

@@ -1,0 +1,206 @@
+"""Analytics query family (SURVEY.md A3-A8, O1-O4, J1) on the events
+fixture through the transactions adapter."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import analytics as A
+from ..sources import load_table, unified_transactions_from_events
+from ..sources.transactions import EVENTS_AS_TRANSACTIONS_SQL
+
+_T = f"WITH t AS ({EVENTS_AS_TRANSACTIONS_SQL})"
+
+
+def _txns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unified_transactions_from_events(load_table(spark, sf_dir, "events"))
+
+
+def _category_totals(spark, sf_dir):
+    return A.category_totals(_txns(spark, sf_dir))
+
+
+def _day_as_str(df):
+    # DATE-typed outputs land as python `date` objects from Spark but
+    # datetime64 from DuckDB -> hash-unstable across engines. The contract
+    # renders calendar days as ISO strings on both sides.
+    from pyspark.sql import functions as F
+
+    return df.withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+
+
+def _daily_totals(spark, sf_dir):
+    return _day_as_str(A.daily_totals(_txns(spark, sf_dir)))
+
+
+def _daily_totals_sparse(spark, sf_dir):
+    return _day_as_str(
+        A.daily_totals(A.filter_transactions(_txns(spark, sf_dir), min_amount=300.0))
+    )
+
+
+def _summary(spark, sf_dir):
+    return A.summary(_txns(spark, sf_dir))
+
+
+def _top_categories(spark, sf_dir):
+    return A.top_categories(_txns(spark, sf_dir), n=3)
+
+
+def _user_search(spark, sf_dir):
+    return A.user_search(
+        _txns(spark, sf_dir),
+        min_amount=50.0,
+        city_tier=2,
+        min_transactions=5,
+        page=2,
+        per_page=10,
+    )
+
+
+def _favorite_category(spark, sf_dir):
+    return A.favorite_category(_txns(spark, sf_dir))
+
+
+def _trailing_rollups(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    df = A.trailing_rollups(_txns(spark, sf_dir), windows=(7, 14, 30))
+    return df.withColumn(
+        "period_start", F.date_format("period_start", "yyyy-MM-dd")
+    ).withColumn("period_end", F.date_format("period_end", "yyyy-MM-dd"))
+
+
+QUERIES = {
+    "analytics_category_totals": _category_totals,
+    "analytics_daily_totals": _daily_totals,
+    "analytics_daily_totals_sparse": _daily_totals_sparse,
+    "analytics_summary": _summary,
+    "analytics_top_categories": _top_categories,
+    "analytics_user_search": _user_search,
+    "analytics_favorite_category": _favorite_category,
+    "analytics_trailing_rollups": _trailing_rollups,
+}
+
+_DAILY_TOTALS_TMPL = """
+{base},
+d AS (
+  SELECT CAST(transaction_date AS DATE) AS day,
+         COUNT(*) AS transaction_count,
+         ROUND(SUM(amount), 2) AS total_amount
+  FROM src WHERE transaction_date IS NOT NULL GROUP BY 1
+),
+bounds AS (
+  SELECT MIN(CAST(transaction_date AS DATE)) AS lo,
+         MAX(CAST(transaction_date AS DATE)) AS hi
+  FROM src
+),
+spine AS (
+  SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+)
+SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+       COALESCE(d.transaction_count, 0) AS transaction_count,
+       COALESCE(d.total_amount, 0.0) AS total_amount
+FROM spine LEFT JOIN d USING (day)
+"""
+
+ORACLES = {
+    "analytics_category_totals": f"""
+        {_T}
+        SELECT category,
+               COUNT(*) AS transaction_count,
+               ROUND(SUM(amount), 2) AS total_amount
+        FROM t WHERE category IS NOT NULL GROUP BY category
+    """,
+    "analytics_daily_totals": _DAILY_TOTALS_TMPL.format(
+        base=f"{_T}, src AS (SELECT * FROM t)"
+    ),
+    "analytics_daily_totals_sparse": _DAILY_TOTALS_TMPL.format(
+        base=f"{_T}, src AS (SELECT * FROM t WHERE amount >= 300.0)"
+    ),
+    "analytics_summary": f"""
+        {_T}
+        SELECT COUNT(*) AS total_transactions,
+               ROUND(SUM(amount), 2) AS total_amount,
+               ROUND(AVG(amount), 2) AS avg_amount,
+               COUNT(DISTINCT user_id) AS unique_users
+        FROM t
+    """,
+    "analytics_top_categories": f"""
+        {_T}
+        SELECT category,
+               COUNT(*) AS transaction_count,
+               ROUND(SUM(amount), 2) AS total_amount
+        FROM t WHERE category IS NOT NULL GROUP BY category
+        ORDER BY total_amount DESC, category ASC LIMIT 3
+    """,
+    "analytics_user_search": f"""
+        {_T}
+        SELECT user_id,
+               COUNT(*) AS transaction_count,
+               ROUND(SUM(amount), 2) AS total_amount
+        FROM t WHERE amount >= 50.0 AND city_tier = 2
+        GROUP BY user_id HAVING COUNT(*) >= 5
+        ORDER BY user_id LIMIT 10 OFFSET 10
+    """,
+    "analytics_favorite_category": f"""
+        {_T},
+        cc AS (
+          SELECT user_id, category, COUNT(*) AS cnt
+          FROM t WHERE category IS NOT NULL GROUP BY user_id, category
+        )
+        SELECT user_id, category AS favorite_category
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY cnt DESC, category ASC) AS rn
+          FROM cc
+        ) ranked WHERE rn = 1
+    """,
+    "analytics_trailing_rollups": f"""
+        {_T},
+        anchor AS (SELECT MAX(CAST(transaction_date AS DATE)) AS period_end FROM t),
+        w AS (SELECT UNNEST([7, 14, 30]) AS window_days),
+        spec AS (
+          SELECT window_days,
+                 period_end - window_days AS period_start,
+                 period_end
+          FROM anchor CROSS JOIN w
+        ),
+        tagged AS (
+          SELECT t.*, spec.window_days, spec.period_start, spec.period_end
+          FROM t JOIN spec
+            ON CAST(t.transaction_date AS DATE) > spec.period_start
+           AND CAST(t.transaction_date AS DATE) <= spec.period_end
+        ),
+        totals AS (
+          SELECT user_id, window_days, period_start, period_end,
+                 COUNT(*) AS total_transactions,
+                 ROUND(SUM(amount), 2) AS total_amount,
+                 MAX(transaction_date) AS last_transaction_date,
+                 MAX(city_tier) AS city_tier
+          FROM tagged
+          GROUP BY user_id, window_days, period_start, period_end
+        ),
+        cc AS (
+          SELECT user_id, window_days, category, COUNT(*) AS cnt
+          FROM tagged WHERE category IS NOT NULL
+          GROUP BY user_id, window_days, category
+        ),
+        fav AS (
+          SELECT user_id, window_days, category AS favorite_category
+          FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY user_id, window_days
+              ORDER BY cnt DESC, category ASC) AS rn
+            FROM cc
+          ) ranked WHERE rn = 1
+        )
+        SELECT totals.user_id, totals.window_days, totals.total_transactions,
+               totals.total_amount, totals.last_transaction_date,
+               fav.favorite_category, totals.city_tier,
+               strftime(totals.period_start, '%Y-%m-%d') AS period_start,
+               strftime(totals.period_end, '%Y-%m-%d') AS period_end
+        FROM totals LEFT JOIN fav USING (user_id, window_days)
+    """,
+}

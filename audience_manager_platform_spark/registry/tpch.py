@@ -1,0 +1,275 @@
+"""General join/aggregate surface on the TPC-H-shaped fixtures
+(SURVEY.md §2.3 J2/J3 generalized + §7.2 step 7).
+
+The reference composes tables only via UNION ALL + set ops; at scale its
+capabilities (segment ∩ segment, per-user enrichment) are join-shaped, so
+the engine ships the full join surface and proves it on classic TPC-H
+query shapes over customer/orders/lineitem/nation/region.
+
+Money aggregates: whole-table double sums differ between engines in the
+last ulp (summation order), and a rounded hash can flip. Sums here go
+through DECIMAL (exact, order-independent), are cast back to double, then
+rounded — bitwise identical on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+DEC = "decimal(18,4)"
+
+
+def _revenue_col() -> F.Column:
+    # exact decimal arithmetic: price * (1 - discount)
+    return F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide aggregate over filtered lineitem. One scan,
+    partial agg map-side, 4 output groups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    charge = _revenue_col() * (F.lit(1).cast(DEC) + F.col("l_tax").cast(DEC))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast(DEC)).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast(DEC)).cast("double"), 2).alias(
+                "sum_base_price"
+            ),
+            F.round(F.sum(_revenue_col()).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            F.round(F.avg(F.col("l_quantity").cast(DEC)).cast("double"), 4).alias("avg_qty"),
+            F.round(F.avg(F.col("l_extendedprice").cast(DEC)).cast("double"), 4).alias(
+                "avg_price"
+            ),
+            F.round(F.avg(F.col("l_discount").cast(DEC)).cast("double"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, per-order revenue, deterministic top-10.
+    customer is the small side -> broadcast; orders⋈lineitem shuffles on
+    o_orderkey = l_orderkey (the natural key both sides already carry)."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_revenue_col()).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join through region→nation→(customer,supplier)
+    →orders→lineitem with the customer-nation = supplier-nation
+    constraint; revenue per nation. All dimension joins broadcast."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nations),
+            (cust.c_nationkey == F.col("n_nationkey"))
+            & (supp.s_nationkey == F.col("n_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_revenue_col()).cast("double"), 2).alias("revenue"))
+    )
+
+
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join of facts to a dimension + rollup by a
+    dimension attribute (the per-user-enrichment shape, J5)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+    )
+
+
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 generalized: customers with at least one 'F'-status order —
+    left-semi join (EXISTS), no duplication of the left side."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 generalized: customers with no high-value (>400k) order —
+    left-anti join (NOT EXISTS). The filter keeps the result non-empty at
+    every fixture scale (every customer has *some* order)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-join surface: every customer with their order count, zero for
+    order-less customers (aggregate-then-join keeps the join side small)."""
+    cust = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce("cnt", F.lit(0)).alias("order_count"),
+    )
+
+
+def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: deterministic ORDER BY ... LIMIT/OFFSET pagination over orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(10)
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        )
+    )
+
+
+QUERIES = {
+    "tpch_q1_pricing_summary": q1_pricing_summary,
+    "tpch_q3_shipping_priority": q3_shipping_priority,
+    "tpch_q5_local_supplier": q5_local_supplier,
+    "join_broadcast_dim": broadcast_dim_join,
+    "join_semi": semi_join_customers,
+    "join_anti": anti_join_customers,
+    "join_left_zero_fill": left_join_order_counts,
+    "sort_limit_offset": sort_limit_offset,
+}
+
+_REV = "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))"
+_CHG = f"{_REV} * (1 + CAST(l_tax AS DECIMAL(18,4)))"
+
+ORACLES = {
+    "tpch_q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+               ROUND(CAST(SUM({_REV}) AS DOUBLE), 2) AS sum_disc_price,
+               ROUND(CAST(SUM({_CHG}) AS DOUBLE), 2) AS sum_charge,
+               ROUND(CAST(AVG(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS avg_qty,
+               ROUND(CAST(AVG(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS avg_price,
+               ROUND(CAST(AVG(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "tpch_q3_shipping_priority": f"""
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_orderpriority,
+               ROUND(CAST(SUM({_REV}) AS DOUBLE), 2) AS revenue
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "tpch_q5_local_supplier": f"""
+        SELECT n_name,
+               ROUND(CAST(SUM({_REV}) AS DOUBLE), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+    "join_broadcast_dim": """
+        SELECT c_mktsegment,
+               COUNT(*) AS order_count,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "join_semi": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+        )
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 400000.0
+        )
+    """,
+    "join_left_zero_fill": """
+        SELECT c_custkey, COALESCE(cnt, 0) AS order_count
+        FROM customer
+        LEFT JOIN (
+          SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+        ) oc ON c_custkey = oc.o_custkey
+    """,
+    "sort_limit_offset": """
+        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10 OFFSET 10
+    """,
+}

@@ -1,0 +1,120 @@
+"""Window-function query family (SURVEY.md §2.5 surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.windows import running_total, top_n_per_group
+from ..sources import load_table
+
+
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (unique orderkey tiebreak)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return top_n_per_group(
+        orders,
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        n=3,
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "rn",
+    )
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer cumulative spend in order-date order. The frame order
+    fixes the summation order, so the double is deterministic across
+    engines; rounded anyway per the registry convention."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = running_total(
+        orders,
+        ["o_custkey"],
+        [F.asc("o_orderdate"), F.asc("o_orderkey")],
+        "o_totalprice",
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("running_total", 2).alias("running_total"),
+    )
+
+
+def window_lag_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): days since the customer's previous order."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+        ).alias("gap_days"),
+    )
+
+
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank vs dense_rank over per-segment account balances (duplicate
+    balances exercise the rank/dense_rank divergence)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+    )
+
+
+QUERIES = {
+    "window_topn_per_group": window_topn_per_group,
+    "window_running_total": window_running_total,
+    "window_lag_gap_days": window_lag_gap_days,
+    "window_rank_dense": window_rank_dense,
+}
+
+ORACLES = {
+    "window_topn_per_group": """
+        SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, rn
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders
+        ) t WHERE rn <= 3
+    """,
+    "window_running_total": """
+        SELECT o_custkey, o_orderkey,
+               ROUND(SUM(o_totalprice) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                 AS running_total
+        FROM orders
+    """,
+    "window_lag_gap_days": """
+        SELECT o_custkey, o_orderkey,
+               CAST(DATEDIFF('day',
+                 CAST(LAG(o_orderdate) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC) AS DATE),
+                 CAST(o_orderdate AS DATE)) AS INTEGER) AS gap_days
+        FROM orders
+    """,
+    "window_rank_dense": """
+        SELECT c_mktsegment, c_custkey,
+               RANK() OVER (
+                 PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey ASC) AS bal_rank,
+               DENSE_RANK() OVER (
+                 PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey ASC) AS bal_dense_rank
+        FROM customer
+    """,
+}

@@ -1,0 +1,339 @@
+"""Deduplication operators for large-scale corpus curation
+(BASELINE.json north star: exact, MinHash+LSH, SimHash, n-gram Jaccard).
+
+Scale posture (100 TB):
+
+- everything is expressed as explode → shuffle-on-key → aggregate; no
+  driver-side state, no O(n²) all-pairs step. Candidate generation always
+  goes through a key join (shared fingerprint / n-gram / band / bucket),
+  so cost is proportional to colliding pairs, not all pairs.
+- hash functions are md5-derived 60-bit ints (portable across engines —
+  :func:`..functions.stable_long_hash`), so every operator here has an
+  exact DuckDB oracle: same constants, same arithmetic, same results.
+- hot n-grams (stop-gram skew) can be capped with ``max_gram_df`` — the
+  classic skew guard when a gram appears in half the corpus.
+
+Each Spark builder has a twin ``*_sql`` renderer generating the oracle
+from the same constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens_col, tokens_sql, word_ngrams_col, word_ngrams_sql
+
+# MinHash constants — shared verbatim by the Spark plan and the SQL oracle.
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+NUM_HASHES = 16
+BANDS = 4  # 4 bands x 4 rows
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+
+def _lcg(seed: int) -> int:
+    # deterministic parameter generator (no RNG dependency)
+    return (seed * 6_364_136_223_846_793_005 + 1_442_695_040_888_963_407) % (2**63)
+
+
+MINHASH_A = [(_lcg(i * 2 + 1) % (MINHASH_P - 1)) + 1 for i in range(NUM_HASHES)]
+MINHASH_B = [_lcg(i * 2 + 2) % MINHASH_P for i in range(NUM_HASHES)]
+
+NGRAM_N = 3
+
+_HASH60_SPARK = "cast(conv(substring(md5({g}), 1, 15), 16, 10) as bigint)"
+_HASH60_DUCK = "CAST(('0x' || substr(md5({g}), 1, 15)) AS BIGINT)"
+
+
+# ------------------------------------------------------------ exact dedup
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact (normalized) dedup: md5 fingerprint of token-normalized text,
+    canonical row = min doc_id per fingerprint. One shuffle on the
+    fingerprint — the hash-groupBy pattern. Emits every doc with its
+    canonical id so downstream can either filter survivors
+    (``is_duplicate = false``) or build a dup-group report."""
+    norm = F.array_join(tokens_col("text"), " ")
+    fp = docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return fp.select(
+        "doc_id",
+        "fingerprint",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_duplicate"),
+    )
+
+
+def exact_dedup_sql(src: str = "documents") -> str:
+    t = tokens_sql("text")
+    return f"""
+        SELECT doc_id, fingerprint,
+               MIN(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+               doc_id != MIN(doc_id) OVER (PARTITION BY fingerprint) AS is_duplicate
+        FROM (SELECT doc_id, md5(array_to_string({t}, ' ')) AS fingerprint
+              FROM {src}) s
+    """
+
+
+# ----------------------------------------------------- n-gram jaccard
+def _doc_grams(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
+    toks = tokens_col("text")
+    return docs.select(
+        "doc_id",
+        F.array_distinct(word_ngrams_col(f"filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')", n)).alias("grams"),
+    ).select("doc_id", "grams", F.size("grams").alias("n_grams"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    n: int = NGRAM_N,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard, candidate-generated through
+    a shared-gram equi-join (never an all-pairs cross join):
+
+    explode grams → (gram, doc) ⋈ (gram, doc) on gram with doc_a < doc_b
+    → count shared grams per pair → |A∩B| / (|A|+|B|-|A∩B|) >= threshold.
+
+    ``max_gram_df`` drops grams occurring in more than that many docs
+    (stop-gram skew guard; changes recall only for pairs whose entire
+    overlap is stop-grams)."""
+    grams = _doc_grams(docs, n)
+    exploded = grams.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
+    if max_gram_df is not None:
+        df_counts = exploded.groupBy("gram").agg(F.count("*").alias("gram_df"))
+        exploded = exploded.join(
+            df_counts.filter(F.col("gram_df") <= max_gram_df).select("gram"), "gram"
+        )
+    a = exploded.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"), "gram"
+    )
+    b = exploded.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"), "gram"
+    )
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        shared.withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    src: str = "documents", threshold: float = 0.6, n: int = NGRAM_N
+) -> str:
+    t = tokens_sql("text")
+    g = word_ngrams_sql("toks", n)
+    return f"""
+        WITH toks AS (SELECT doc_id, {t} AS toks FROM {src}),
+        grams AS (SELECT doc_id, list_distinct({g}) AS grams FROM toks),
+        sized AS (SELECT doc_id, grams, len(grams) AS n_grams FROM grams),
+        ex AS (SELECT doc_id, n_grams, UNNEST(grams) AS gram FROM sized),
+        shared AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.n_grams AS na, b.n_grams AS nb, COUNT(*) AS inter
+          FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_a, doc_b,
+               ROUND(inter / CAST(na + nb - inter AS DOUBLE), 6) AS jaccard
+        FROM shared
+        WHERE ROUND(inter / CAST(na + nb - inter AS DOUBLE), 6) >= {threshold}
+    """
+
+
+# ------------------------------------------------------------- minhash
+def minhash_signatures(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
+    """Per-doc MinHash signature: NUM_HASHES universal-hash minima over the
+    doc's n-gram set. Shape: explode → project k hash columns → one
+    hash-aggregate with k ``min``s (all codegen'd; no UDF)."""
+    grams = _doc_grams(docs, n)
+    h = F.expr(_HASH60_SPARK.format(g="gram")) % MINHASH_P
+    exploded = grams.select("doc_id", F.explode("grams").alias("gram")).select(
+        "doc_id", h.alias("h")
+    )
+    mins = [
+        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % MINHASH_P).alias(
+            f"s{i}"
+        )
+        for i in range(NUM_HASHES)
+    ]
+    return exploded.groupBy("doc_id").agg(*mins)
+
+
+def minhash_signatures_sql(src: str = "documents", n: int = NGRAM_N) -> str:
+    t = tokens_sql("text")
+    g = word_ngrams_sql("toks", n)
+    hh = _HASH60_DUCK.format(g="gram")
+    mins = ",\n               ".join(
+        f"MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}) AS s{i}"
+        for i in range(NUM_HASHES)
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, {t} AS toks FROM {src}),
+        grams AS (SELECT doc_id, list_distinct({g}) AS grams FROM toks),
+        ex AS (SELECT doc_id, UNNEST(grams) AS gram FROM grams),
+        hashed AS (SELECT doc_id, {hh} % {MINHASH_P} AS h FROM ex)
+        SELECT doc_id,
+               {mins}
+        FROM hashed GROUP BY doc_id
+    """
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, est_threshold: float = 0.5, n: int = NGRAM_N
+) -> DataFrame:
+    """MinHash + LSH banding: signatures → band keys (md5 of each band's
+    values) → candidate pairs = docs sharing any band key → estimated
+    Jaccard = fraction of matching signature positions >= threshold.
+
+    The band join is the scale path: only docs colliding in a band are
+    ever paired, so the shuffle is keyed on band values, not doc count².
+    """
+    sigs = minhash_signatures(docs, n)
+    band_cols = []
+    for b in range(BANDS):
+        parts = [f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        band_cols.append(
+            F.md5(F.concat_ws(",", *[F.col(p).cast("string") for p in parts])).alias(
+                f"band{b}"
+            )
+        )
+    banded = sigs.select("doc_id", *band_cols)
+    bands_long = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.col(f"band{b}") for b in range(BANDS)])
+        ).alias("band_key"),
+    )
+    cand = (
+        bands_long.alias("x")
+        .join(bands_long.alias("y"), "band_key")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(float(NUM_HASHES)), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= est_threshold)
+    )
+
+
+def minhash_lsh_pairs_sql(
+    src: str = "documents", est_threshold: float = 0.5, n: int = NGRAM_N
+) -> str:
+    sig_sql = minhash_signatures_sql(src, n)
+    band_exprs = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(
+            f"CAST(s{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        )
+        + f")) AS band{b}"
+        for b in range(BANDS)
+    )
+    band_list = ", ".join(f"band{b}" for b in range(BANDS))
+    match_expr = " + ".join(
+        f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES)
+    )
+    return f"""
+        WITH sigs AS ({sig_sql}),
+        banded AS (SELECT doc_id, {band_exprs} FROM sigs),
+        bands_long AS (
+          SELECT doc_id, UNNEST([{band_list}]) AS band_key FROM banded
+        ),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bands_long x JOIN bands_long y
+            ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+        )
+        SELECT cand.doc_a, cand.doc_b,
+               ROUND(({match_expr}) / {float(NUM_HASHES)}, 6) AS est_jaccard
+        FROM cand
+        JOIN sigs sa ON sa.doc_id = cand.doc_a
+        JOIN sigs sb ON sb.doc_id = cand.doc_b
+        WHERE ROUND(({match_expr}) / {float(NUM_HASHES)}, 6) >= {est_threshold}
+    """
+
+
+# ------------------------------------------------------------- simhash
+SIMHASH_BITS = 60  # md5-derived hashes are 60-bit -> all bits well-defined
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """60-bit SimHash over token multisets: each token votes ±1 on every
+    bit of its 60-bit hash; the fingerprint sets bit j iff the vote sum is
+    positive. Explode → 60 conditional sums in ONE aggregate (codegen'd)
+    → recombine. Near-dup docs differ in a few bits (hamming distance)."""
+    h = F.expr(_HASH60_SPARK.format(g="tok"))
+    exploded = docs.select(
+        "doc_id", F.explode(tokens_col("text")).alias("tok")
+    ).select("doc_id", h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(h, {j}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = exploded.groupBy("doc_id").agg(*votes)
+    fingerprint = sum(
+        F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        for j in range(SIMHASH_BITS)
+    )
+    return agg.select("doc_id", fingerprint.alias("simhash"))
+
+
+def simhash_sql(src: str = "documents") -> str:
+    t = tokens_sql("text")
+    hh = _HASH60_DUCK.format(g="tok")
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH ex AS (
+          SELECT doc_id, UNNEST({t}) AS tok FROM {src}
+        ),
+        hashed AS (SELECT doc_id, {hh} AS h FROM ex),
+        votes AS (
+          SELECT doc_id,
+               {votes}
+          FROM hashed GROUP BY doc_id
+        )
+        SELECT doc_id, {fp} AS simhash FROM votes
+    """

@@ -1,0 +1,215 @@
+"""Approximate-nearest-neighbor search over embedding columns
+(BASELINE.json north star; fixture table ``embeddings``: vec_id,
+embedding array<float>, label).
+
+Two strategies:
+
+- :func:`cosine_topk` — brute-force top-k for a bounded query set.
+  Distributed as broadcast(queries) ⋈ all vectors: each partition scores
+  its vectors against every query and only k rows per query survive the
+  window. Cost O(|queries| * N / partitions) per executor — the right
+  baseline, and exact.
+- :func:`lsh_near_pairs` — random-hyperplane LSH for all-pairs search:
+  L tables x m sign-bits per vector; only bucket collisions are paired
+  and verified. This is the 100 TB path: the shuffle key is the bucket,
+  never the vector id cross product.
+
+All vector math uses SQL higher-order functions (``zip_with`` +
+``aggregate``) — sequential fold, so doubles are bit-identical to the
+DuckDB oracle's ``list_dot_product``/``list_cosine_similarity``.
+Hyperplanes are deterministic literals shared with the oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import cosine_similarity
+
+# --------------------------------------------------- hyperplane constants
+LSH_TABLES = 8
+LSH_BITS = 6
+EMBED_DIM = 64
+
+
+def _planes() -> list[list[float]]:
+    """Deterministic pseudo-gaussian hyperplanes (Box-Muller over an LCG;
+    no numpy state, reproducible everywhere, embedded as literals in both
+    engines)."""
+    state = 88172645463325252
+    out: list[list[float]] = []
+
+    def nxt() -> float:
+        nonlocal state
+        state ^= (state << 13) % (2**64)
+        state ^= state >> 7
+        state ^= (state << 17) % (2**64)
+        return (state % 10**9) / 10**9  # uniform (0,1)
+
+    for _ in range(LSH_TABLES * LSH_BITS):
+        plane = []
+        for _ in range(0, EMBED_DIM, 2):
+            u1, u2 = max(nxt(), 1e-12), nxt()
+            r = math.sqrt(-2.0 * math.log(u1))
+            plane.append(round(r * math.cos(2 * math.pi * u2), 6))
+            plane.append(round(r * math.sin(2 * math.pi * u2), 6))
+        out.append(plane[:EMBED_DIM])
+    return out
+
+
+PLANES = _planes()
+
+
+def _vec_double(col: str = "embedding") -> Column:
+    return F.col(col).cast("array<double>")
+
+
+# ------------------------------------------------------------ brute force
+def cosine_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id (self excluded).
+    Ranking key is (rounded similarity desc, vec_id asc) — total order,
+    deterministic across engines."""
+    base = emb.select("vec_id", _vec_double().alias("v"))
+    queries = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    scored = (
+        base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("q"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_topk_sql(query_ids: list[int], k: int = 5, src: str = "embeddings") -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src}),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({ids})),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 ROUND(list_cosine_similarity(q.qv, e.v), 6) AS cosine
+          FROM e CROSS JOIN q WHERE e.vec_id != q.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        ) r WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------- LSH ANN
+def _bucket_cols() -> list[Column]:
+    """One bucket key per LSH table: m sign bits of plane dot products,
+    packed into a small int."""
+    cols = []
+    for t in range(LSH_TABLES):
+        bits = []
+        for b in range(LSH_BITS):
+            plane = PLANES[t * LSH_BITS + b]
+            arr = F.array(*[F.lit(x) for x in plane])
+            dot = F.aggregate(
+                F.zip_with(F.col("v"), arr, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+        cols.append(sum(bits).alias(f"t{t}"))
+    return cols
+
+
+def lsh_near_pairs(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """Approximate all-pairs search: vectors colliding in >=1 of the
+    LSH_TABLES bucket keys are candidate pairs; candidates are verified
+    with exact cosine >= threshold. Deterministic (fixed planes), and the
+    oracle replicates the identical pipeline — recall < 1 is the
+    *documented semantics* of the operator, not noise."""
+    base = emb.select("vec_id", _vec_double().alias("v"))
+    bucketed = base.select("vec_id", "v", *_bucket_cols())
+    long = bucketed.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws("_", F.lit(t), F.col(f"t{t}").cast("string"))
+                    for t in range(LSH_TABLES)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    cand = (
+        long.alias("x")
+        .join(long.alias("y"), "bucket")
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("id_a"),
+            F.col("y.vec_id").alias("id_b"),
+            F.col("x.v").alias("va"),
+            F.col("y.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def lsh_near_pairs_sql(threshold: float = 0.35, src: str = "embeddings") -> str:
+    bucket_exprs = []
+    for t in range(LSH_TABLES):
+        bits = []
+        for b in range(LSH_BITS):
+            plane = PLANES[t * LSH_BITS + b]
+            lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+            bits.append(
+                f"CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << b} ELSE 0 END"
+            )
+        bucket_exprs.append(f"CAST({' + '.join(bits)} AS VARCHAR) AS t{t}")
+    buckets = ",\n                 ".join(bucket_exprs)
+    bucket_list = ", ".join(f"'{t}_' || t{t}" for t in range(LSH_TABLES))
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src}),
+        bucketed AS (
+          SELECT vec_id, v,
+                 {buckets}
+          FROM e
+        ),
+        long AS (
+          SELECT vec_id, v, UNNEST([{bucket_list}]) AS bucket FROM bucketed
+        ),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+          FROM long x JOIN long y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        )
+        SELECT cand.id_a, cand.id_b,
+               ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+        FROM cand
+        JOIN e ea ON ea.vec_id = cand.id_a
+        JOIN e eb ON eb.vec_id = cand.id_b
+        WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}
+    """
+
+
+def embedding_near_dup(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Embedding-cosine near-duplicate detection = LSH pairs at a high
+    threshold (dedup semantics over dense representations)."""
+    return lsh_near_pairs(emb, threshold=threshold)

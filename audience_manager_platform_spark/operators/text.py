@@ -1,0 +1,228 @@
+"""Text-analysis operators over document tables (SURVEY.md §7.2 step 8 /
+BASELINE.json north star: language-ID, quality scoring, token counting,
+fingerprinting).
+
+Everything is built-in `pyspark.sql.functions` / SQL higher-order
+functions — JVM-side, whole-stage-codegen'd, no Python in the row path.
+Each builder has a twin SQL-fragment renderer used to generate the DuckDB
+oracle, so the two stay in lockstep by construction.
+
+Tokenization contract (shared by dedup/minhash/simhash): lowercase,
+split on runs of non-alphanumerics, drop empties. Deliberately simple and
+bit-portable across engines; swap in a real BPE via pandas_udf if needed
+(that variant can't be SQL-oracled).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Order defines the tie-break scan order.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein"),
+    "fr": ("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "ce"),
+}
+
+
+# --------------------------------------------------------------- tokens
+def tokens_col(col: str = "text") -> Column:
+    return F.expr(f"filter(split(lower({col}), '{TOKEN_SPLIT_RE}'), x -> x != '')")
+
+
+def tokens_sql(col: str = "text") -> str:
+    return (
+        f"list_filter(regexp_split_to_array(lower({col}), '{TOKEN_SPLIT_RE}'),"
+        " x -> x != '')"
+    )
+
+
+def word_ngrams_col(tokens: str, n: int) -> Column:
+    """Word n-grams as space-joined strings (portable: same construction
+    exists in the SQL oracle).
+
+    Guarded for short docs: Spark's ``sequence(1, 0)`` yields a DESCENDING
+    [1, 0] (unlike DuckDB's empty ``generate_series``), so docs with fewer
+    than n tokens must short-circuit to an empty array."""
+    return F.expr(
+        f"CASE WHEN size({tokens}) >= {n} THEN"
+        f" transform(sequence(1, size({tokens}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({tokens}, i, {n})))"
+        f" ELSE array() END"
+    )
+
+
+def word_ngrams_sql(tokens: str, n: int) -> str:
+    return (
+        f"[array_to_string({tokens}[i:i+{n - 1}], ' ')"
+        f" for i in generate_series(1, greatest(len({tokens}) - {n - 1}, 0))]"
+    )
+
+
+# ---------------------------------------------------------- token stats
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: totals, distinct count, type-token ratio, average
+    token length. One narrow projection — no shuffle."""
+    toks = tokens_col("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.nullif(F.size(toks), F.lit(0)), 6
+        ).alias("type_token_ratio"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+            / F.nullif(F.size(toks), F.lit(0)).cast("double"),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def token_stats_sql(src: str = "documents") -> str:
+    t = tokens_sql("text")
+    return f"""
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_distinct_tokens,
+               ROUND(len(list_distinct(toks)) / NULLIF(len(toks), 0), 6)
+                 AS type_token_ratio,
+               ROUND(list_sum(list_transform(toks, t -> len(t)))
+                     / CAST(NULLIF(len(toks), 0) AS DOUBLE), 6) AS avg_token_len
+        FROM (SELECT doc_id, {t} AS toks FROM {src}) s
+    """
+
+
+# -------------------------------------------------------- quality score
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic document-quality scoring: alphabetic-character ratio,
+    English-stopword ratio, length saturation. Weights are arbitrary but
+    fixed; the operator's value is the shape (pure column math, scales
+    embarrassingly)."""
+    toks = tokens_col("text")
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    stop_cnt = F.expr(
+        f"size(filter(filter(split(lower(text), '{TOKEN_SPLIT_RE}'), x -> x != ''),"
+        f" t -> array_contains(array({en}), t)))"
+    )
+    alpha_ratio = F.length(F.regexp_replace("text", "[^A-Za-z]", "")) / F.nullif(
+        F.length("text"), F.lit(0)
+    ).cast("double")
+    stop_ratio = stop_cnt / F.nullif(F.size(toks), F.lit(0)).cast("double")
+    len_sat = F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
+    return docs.select(
+        "doc_id",
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(
+            0.5 * F.round(alpha_ratio, 6)
+            + 0.3 * F.round(stop_ratio, 6)
+            + 0.2 * F.round(len_sat, 6),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+def quality_score_sql(src: str = "documents") -> str:
+    t = tokens_sql("text")
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+        SELECT doc_id,
+               ROUND(alpha_ratio, 6) AS alpha_ratio,
+               ROUND(stop_ratio, 6) AS stopword_ratio,
+               ROUND(0.5 * ROUND(alpha_ratio, 6) + 0.3 * ROUND(stop_ratio, 6)
+                     + 0.2 * ROUND(len_sat, 6), 6) AS quality_score
+        FROM (
+          SELECT doc_id,
+                 len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   / CAST(NULLIF(len(text), 0) AS DOUBLE) AS alpha_ratio,
+                 len(list_filter(toks, t -> list_contains([{en}], t)))
+                   / CAST(NULLIF(len(toks), 0) AS DOUBLE) AS stop_ratio,
+                 LEAST(len(toks) / 100.0, 1.0) AS len_sat
+          FROM (SELECT doc_id, text, {t} AS toks FROM {src}) s
+        ) q
+    """
+
+
+# ------------------------------------------------------------- lang id
+def language_id(docs: DataFrame) -> DataFrame:
+    """Stopword-hit language ID: count token hits against each language's
+    list, argmax with (hits desc, lang asc) tie-break; 'und' when nothing
+    hits. Explode-by-language (|langs| rows per doc) + window top-1 — the
+    same decorrelated-argmax shape as favorite_category (J1)."""
+    from pyspark.sql import Window
+
+    lang_struct = ", ".join(
+        f"struct('{lang}' as lang, array({', '.join(repr(w) for w in words)}) as stops)"
+        for lang, words in STOPWORDS.items()
+    )
+    exploded = docs.select(
+        "doc_id",
+        tokens_col("text").alias("toks"),
+        F.explode(F.expr(f"array({lang_struct})")).alias("l"),
+    ).select(
+        "doc_id",
+        F.col("l.lang").alias("lang"),
+        F.expr("size(filter(toks, t -> array_contains(l.stops, t)))").alias("hits"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang"))
+    return (
+        exploded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.when(F.col("hits") > 0, F.col("lang")).otherwise("und").alias(
+                "detected_lang"
+            ),
+            "hits",
+        )
+    )
+
+
+def language_id_sql(src: str = "documents") -> str:
+    t = tokens_sql("text")
+    values = ", ".join(
+        f"('{lang}', [{', '.join(repr(w) for w in words)}])"
+        for lang, words in STOPWORDS.items()
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, {t} AS toks FROM {src}),
+        langs(lang, stops) AS (VALUES {values}),
+        hits AS (
+          SELECT doc_id, lang,
+                 len(list_filter(toks, x -> list_contains(stops, x))) AS hits
+          FROM toks CROSS JOIN langs
+        )
+        SELECT doc_id,
+               CASE WHEN hits > 0 THEN lang ELSE 'und' END AS detected_lang,
+               hits
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+          FROM hits
+        ) h WHERE rn = 1
+    """
+
+
+# --------------------------------------------------------- fingerprint
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprinting: md5 over the token-normalized text (case/
+    whitespace/punctuation-insensitive), which is what exact dedup keys
+    on."""
+    norm = F.array_join(tokens_col("text"), " ")
+    return docs.select(
+        "doc_id", F.md5(norm).alias("fingerprint"), F.length(norm).alias("norm_len")
+    )
+
+
+def fingerprint_sql(src: str = "documents") -> str:
+    t = tokens_sql("text")
+    return f"""
+        SELECT doc_id, md5(norm) AS fingerprint, len(norm) AS norm_len
+        FROM (SELECT doc_id, array_to_string({t}, ' ') AS norm FROM {src}) s
+    """

@@ -1,0 +1,23 @@
+"""Embedding similarity-search query family on the embeddings fixture."""
+
+from __future__ import annotations
+
+from ..operators import similarity as S
+from ..sources import load_table
+
+_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+QUERIES = {
+    "ann_cosine_topk": lambda s, d: S.cosine_topk(_emb(s, d), _QUERY_IDS, k=5),
+    "ann_lsh_near_pairs": lambda s, d: S.lsh_near_pairs(_emb(s, d), threshold=0.35),
+}
+
+ORACLES = {
+    "ann_cosine_topk": S.cosine_topk_sql(_QUERY_IDS, k=5),
+    "ann_lsh_near_pairs": S.lsh_near_pairs_sql(threshold=0.35),
+}

@@ -1,0 +1,48 @@
+"""Text-analysis + dedup query family on the documents fixture."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import text as T
+from ..sources import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+QUERIES = {
+    "text_token_stats": lambda s, d: T.token_stats(_docs(s, d)),
+    "text_quality_score": lambda s, d: T.quality_score(_docs(s, d)),
+    "text_language_id": lambda s, d: T.language_id(_docs(s, d)),
+    "text_fingerprint": lambda s, d: T.fingerprint(_docs(s, d)),
+    "dedup_exact": lambda s, d: D.exact_dedup(_docs(s, d)),
+    "dedup_ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_docs(s, d), threshold=0.6),
+    "dedup_minhash_signatures": lambda s, d: D.minhash_signatures(_docs(s, d)),
+    "dedup_minhash_lsh_pairs": lambda s, d: D.minhash_lsh_pairs(_docs(s, d), est_threshold=0.5),
+    "dedup_simhash": lambda s, d: D.simhash(_docs(s, d)),
+    "multimodal_binary_meta": lambda s, d: M.documents_as_media(_docs(s, d)).select(
+        "doc_id", "media_type", "byte_len", "sha"
+    ),
+}
+
+ORACLES = {
+    "text_token_stats": T.token_stats_sql(),
+    "text_quality_score": T.quality_score_sql(),
+    "text_language_id": T.language_id_sql(),
+    "text_fingerprint": T.fingerprint_sql(),
+    "dedup_exact": D.exact_dedup_sql(),
+    "dedup_ngram_jaccard": D.ngram_jaccard_pairs_sql(threshold=0.6),
+    "dedup_minhash_signatures": D.minhash_signatures_sql(),
+    "dedup_minhash_lsh_pairs": D.minhash_lsh_pairs_sql(est_threshold=0.5),
+    "dedup_simhash": D.simhash_sql(),
+    "multimodal_binary_meta": """
+        SELECT doc_id, 'text/plain' AS media_type,
+               octet_length(encode(text)) AS byte_len,
+               sha256(text) AS sha
+        FROM documents
+    """,
+}

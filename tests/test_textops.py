@@ -1,0 +1,132 @@
+"""Text/dedup/similarity/multimodal operators on planted fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from audience_manager_platform_spark.operators import dedup as D
+from audience_manager_platform_spark.operators import multimodal as M
+from audience_manager_platform_spark.operators import similarity as S
+from audience_manager_platform_spark.operators import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick BROWN fox;; jumps over the lazy dog near the river bank"),  # = 1 normalized
+        (3, "The quick brown fox jumps over the lazy cat near the river bank"),  # near-dup of 1
+        (4, "el rio es grande y la casa es de madera que se ve en la montana"),
+        (5, "completely different content about spark engines and shuffles here today"),
+        (6, "zzz"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_stats(docs):
+    out = {r.doc_id: r for r in T.token_stats(docs).collect()}
+    assert out[1].n_tokens == 13
+    assert out[1].n_distinct_tokens == 11  # 'the' x3
+    assert out[6].n_tokens == 1
+
+
+def test_language_id(docs):
+    out = {r.doc_id: r.detected_lang for r in T.language_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[4] == "es"
+    assert out[6] == "und"  # no stopword hits anywhere
+
+
+def test_fingerprint_normalizes(docs):
+    out = {r.doc_id: r.fingerprint for r in T.fingerprint(docs).collect()}
+    assert out[1] == out[2]  # case/punctuation-insensitive
+    assert out[1] != out[3]
+
+
+def test_exact_dedup(docs):
+    out = {r.doc_id: r for r in D.exact_dedup(docs).collect()}
+    assert out[2].canonical_id == 1 and out[2].is_duplicate
+    assert not out[1].is_duplicate
+    assert not out[3].is_duplicate  # near-dup is NOT exact-dup
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in D.ngram_jaccard_pairs(docs, threshold=0.4).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical after normalize
+    assert (1, 3) in pairs and 0.4 <= pairs[(1, 3)] < 1.0
+    assert (1, 5) not in pairs
+
+
+def test_max_gram_df_guard(docs):
+    # with a df cap of 1, every shared gram is dropped -> no pairs
+    assert D.ngram_jaccard_pairs(docs, threshold=0.1, max_gram_df=1).count() == 0
+
+
+def test_minhash_lsh_near_dups(docs):
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard for r in D.minhash_lsh_pairs(docs, est_threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs  # high-jaccard near-dup collides in a band
+    assert (4, 5) not in pairs
+
+
+def test_simhash_hamming(docs):
+    out = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert out[1] == out[2]  # same token multiset -> same simhash
+    assert hamming(out[1], out[3]) < hamming(out[1], out[5])
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import random
+    rows = []
+    for i in range(20):
+        rng = random.Random(1000 + i)
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, [float(x) for x in base], i % 3))
+    # vec 20 = near-copy of vec 0
+    rows.append((20, [x + 0.001 for x in rows[0][1]], 0))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk(emb):
+    out = S.cosine_topk(emb, [0], k=3).collect()
+    assert len(out) == 3
+    assert out[0].neighbor_id == 20 and out[0].cosine > 0.999  # planted near-copy
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert all(r.query_id == 0 for r in out)
+
+
+def test_embedding_near_dup(spark, emb):
+    # only the planted near-copy pair survives a high threshold; note LSH
+    # recall is probabilistic but a ~perfect-cosine pair shares all buckets
+    from audience_manager_platform_spark.operators.similarity import EMBED_DIM
+    # fixture vectors are dim 8; pad to EMBED_DIM for the plane math
+    padded = emb.select(
+        "vec_id",
+        F.expr(f"concat(embedding, array_repeat(cast(0.0 as float), {EMBED_DIM - 8}))").alias(
+            "embedding"
+        ),
+        "label",
+    )
+    pairs = S.embedding_near_dup(padded, threshold=0.999).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 20)}
+
+
+def test_multimodal_meta_and_fake_decode(docs):
+    media = M.documents_as_media(docs)
+    row = {r.doc_id: r for r in media.collect()}[1]
+    assert row.byte_len == len("The quick brown fox jumps over the lazy dog near the river bank")
+    assert len(row.sha) == 64
+    feats = M.decode_media(media, fake=True, feature_dim=4)
+    out = feats.collect()
+    assert len(out) == 6
+    assert all(len(r.features) == 4 for r in out)
+    assert all(abs(sum(r.features) - 1.0) < 1e-3 for r in out)
+
+
+def test_multimodal_strict_decode_raises(docs):
+    import py4j
+    media = M.documents_as_media(docs)
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        M.decode_media(media, fake=False).collect()

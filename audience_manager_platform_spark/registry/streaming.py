@@ -1,0 +1,80 @@
+"""Streaming query family.
+
+``streaming_window_counts`` genuinely executes a Structured Streaming
+query (availableNow trigger + memory sink) and returns the settled result;
+its oracle is the equivalent batch tumbling-window SQL — event-time window
+semantics are engine-checkable even though the execution is streaming.
+``streaming_sessionization`` runs the session_window operator (same plan
+shape batch/streaming) with a gaps-and-islands SQL oracle.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources import load_table
+from ..streaming.jobs import (
+    run_available_now,
+    sessionize,
+    stream_events,
+    windowed_event_counts,
+)
+
+_counter = itertools.count()
+
+
+def _window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = stream_events(spark, sf_dir)
+    result = windowed_event_counts(events, window="1 day", watermark="1 hour")
+    name = f"stream_window_counts_{next(_counter)}"
+    run_available_now(result, name)
+    return spark.table(name)
+
+
+def _sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return sessionize(events, gap="30 minutes")
+
+
+QUERIES = {
+    "streaming_window_counts": _window_counts,
+    "streaming_sessionization": _sessionization,
+}
+
+ORACLES = {
+    "streaming_window_counts": """
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "streaming_sessionization": """
+        WITH ordered AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN ts - LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL 30 MINUTE
+                      OR LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+        ),
+        islands AS (
+          SELECT user_id, ts, value,
+                 SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM ordered
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM islands
+        GROUP BY user_id, sid
+    """,
+}

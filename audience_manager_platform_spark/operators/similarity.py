@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -112,23 +114,41 @@ def cosine_topk_sql(query_ids: list[int], k: int = 5, src: str = "embeddings") -
 
 
 # ---------------------------------------------------------------- LSH ANN
-def _bucket_cols() -> list[Column]:
-    """One bucket key per LSH table: m sign bits of plane dot products,
-    packed into a small int."""
-    cols = []
-    for t in range(LSH_TABLES):
-        bits = []
-        for b in range(LSH_BITS):
-            plane = PLANES[t * LSH_BITS + b]
-            arr = F.array(*[F.lit(x) for x in plane])
-            dot = F.aggregate(
-                F.zip_with(F.col("v"), arr, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+def _bucketed(base: DataFrame) -> DataFrame:
+    """Bucket keys for every vector: all LSH_TABLES x LSH_BITS plane dot
+    products in ONE vectorized Arrow batch (numpy matmul in a pandas_udf).
+
+    This is the sanctioned slow-path escape hatch: 3072 interpreted
+    higher-order-function dots per row measured ~45µs each; the batched
+    matmul does the identical math at memory bandwidth. Sign bits feed the
+    bucket keys; the exact-cosine verification stays JVM-side."""
+    planes_t = np.array(PLANES, dtype=np.float64).T  # dim x (tables*bits)
+
+    @F.pandas_udf("array<int>")
+    def bucket_ids(vs: pd.Series) -> pd.Series:
+        mat = np.vstack(vs.to_numpy())  # batch x dim
+        signs = (mat @ planes_t) > 0  # batch x (tables*bits)
+        out = []
+        for row in signs:
+            out.append(
+                [
+                    int(
+                        sum(
+                            (1 << b) if row[t * LSH_BITS + b] else 0
+                            for b in range(LSH_BITS)
+                        )
+                    )
+                    for t in range(LSH_TABLES)
+                ]
             )
-            bits.append(F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0)))
-        cols.append(sum(bits).alias(f"t{t}"))
-    return cols
+        return pd.Series(out)
+
+    b = base.withColumn("buckets", bucket_ids("v"))
+    return b.select(
+        "vec_id",
+        "v",
+        *[F.col("buckets")[t].alias(f"t{t}") for t in range(LSH_TABLES)],
+    )
 
 
 def lsh_near_pairs(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
@@ -137,11 +157,19 @@ def lsh_near_pairs(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
     with exact cosine >= threshold. Deterministic (fixed planes), and the
     oracle replicates the identical pipeline — recall < 1 is the
     *documented semantics* of the operator, not noise."""
-    base = emb.select("vec_id", _vec_double().alias("v"))
-    bucketed = base.select("vec_id", "v", *_bucket_cols())
+    spark = emb.sparkSession
+    base = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        "vec_id", _vec_double().alias("v")
+    )
+    # persisted: candidate generation and both vector-fetch joins read it
+    base = base.persist()
+    bucketed = _bucketed(base)
+    # the self-join carries ONLY (vec_id, bucket) — shuffling the vectors
+    # through the bucket join would move |v| bytes per candidate; instead
+    # candidates are deduped as id pairs and the (small, persisted) vector
+    # table is joined back twice
     long = bucketed.select(
         "vec_id",
-        "v",
         F.explode(
             F.array(
                 *[
@@ -158,13 +186,15 @@ def lsh_near_pairs(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
         .select(
             F.col("x.vec_id").alias("id_a"),
             F.col("y.vec_id").alias("id_b"),
-            F.col("x.v").alias("va"),
-            F.col("y.v").alias("vb"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .distinct()
     )
+    va = base.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        cand.select(
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
             "id_a",
             "id_b",
             F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine"),

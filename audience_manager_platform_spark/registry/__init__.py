@@ -41,7 +41,15 @@ def oracle_sql() -> dict[str, str]:
 
 def _modules():
     mods = [rules]
-    for name in ("analytics", "tpch", "textops", "similarity", "windows", "streaming"):
+    for name in (
+        "analytics",
+        "tpch",
+        "textops",
+        "similarity",
+        "windows",
+        "streaming",
+        "relational",
+    ):
         try:
             mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))
         except ImportError:

@@ -1,0 +1,230 @@
+"""Extended relational query family: pivot/unpivot, cube/rollup, as-of
+join, range join, regexp + JSON scalar functions, approximate aggregates."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.relational import asof_join, pivot_counts, range_join_bands
+from ..sources import load_table
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+# ------------------------------------------------------------------ pivot
+def _pivot_day_by_type(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    )
+    return pivot_counts(ev, "day", "event_type", EVENT_TYPES)
+
+
+def _unpivot_daily(spark, sf_dir):
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").cast("double").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    return daily.unpivot("day", ["n_events", "total_value"], "metric", "metric_value")
+
+
+# ------------------------------------------------------------ cube/rollup
+def _cube_lineitem(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "n",
+            "g_flag",
+            "g_status",
+        )
+    )
+
+
+def _rollup_orders(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.grouping("o_orderpriority").alias("g_prio"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "n",
+            "g_prio",
+        )
+    )
+
+
+# --------------------------------------------------------------- asof join
+def _asof_event_daily(spark, sf_dir):
+    """Trades-and-quotes shape: each event joined to the most recent
+    *prior day's* closing summary for the whole stream."""
+    ev = _events(spark, sf_dir).withColumn("stream", F.lit(1))
+    daily = (
+        ev.groupBy("stream", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("day_value"))
+        .select(
+            "stream",
+            (F.to_timestamp("day") + F.expr("INTERVAL 1 DAY")).alias("day_end"),
+            "day_value",
+        )
+    )
+    out = asof_join(
+        ev.select("stream", "event_id", "ts", "value"),
+        daily.select("stream", "day_end", "day_value"),
+        on="stream",
+        left_ts="ts",
+        right_ts="day_end",
+        right_vals=["day_value"],
+    )
+    return out.select(
+        "event_id",
+        F.round("value", 2).alias("value"),
+        F.coalesce("asof_day_value", F.lit(0.0)).alias("prev_day_value"),
+    )
+
+
+# -------------------------------------------------------------- range join
+def _amount_bands(spark, sf_dir):
+    return range_join_bands(
+        _events(spark, sf_dir),
+        "value",
+        [
+            ("low", 0.0, 50.0),
+            ("mid", 50.0, 120.0),
+            ("high", 120.0, 250.0),
+            ("extreme", 250.0, 1e9),
+        ],
+    )
+
+
+# ----------------------------------------------------------- scalar funcs
+def _regexp_extract_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", "[a-z]*ar[a-z]*", 0).alias("first_ar_word"),
+        F.regexp_count("text", F.lit("ta[bg]")).alias("tab_tag_count"),
+    )
+
+
+def _json_props_histogram(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select((F.get_json_object("props", "$.k").cast("int") % 10).alias("k_mod"))
+        .groupBy("k_mod")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ------------------------------------------------- approximate aggregates
+def _approx_distinct(spark, sf_dir):
+    """approx_count_distinct is sketch-based (HLL++) — not oracle-able
+    against another engine by design; the driver records the weaker
+    rows-only check. Exact countDistinct rides along so the numbers can
+    be eyeballed together."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+QUERIES = {
+    "pivot_day_by_type": _pivot_day_by_type,
+    "unpivot_daily_metrics": _unpivot_daily,
+    "cube_lineitem_status": _cube_lineitem,
+    "rollup_orders_priority": _rollup_orders,
+    "asof_join_event_daily": _asof_event_daily,
+    "range_join_amount_bands": _amount_bands,
+    "regexp_extract_docs": _regexp_extract_docs,
+    "json_props_histogram": _json_props_histogram,
+    "approx_distinct_users": _approx_distinct,
+}
+
+_PIVOT_CASES = ",\n               ".join(
+    f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in EVENT_TYPES
+)
+
+ORACLES = {
+    "pivot_day_by_type": f"""
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               {_PIVOT_CASES}
+        FROM events GROUP BY 1
+    """,
+    "unpivot_daily_metrics": """
+        WITH daily AS (
+          SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                 CAST(COUNT(*) AS DOUBLE) AS n_events,
+                 ROUND(SUM(value), 2) AS total_value
+          FROM events GROUP BY 1
+        )
+        SELECT day, 'n_events' AS metric, n_events AS metric_value FROM daily
+        UNION ALL
+        SELECT day, 'total_value' AS metric, total_value AS metric_value FROM daily
+    """,
+    "cube_lineitem_status": """
+        SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+               COALESCE(l_linestatus, '(all)') AS linestatus,
+               COUNT(*) AS n,
+               GROUPING(l_returnflag) AS g_flag,
+               GROUPING(l_linestatus) AS g_status
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "rollup_orders_priority": """
+        SELECT COALESCE(o_orderstatus, '(all)') AS status,
+               COALESCE(o_orderpriority, '(all)') AS priority,
+               COUNT(*) AS n,
+               GROUPING(o_orderpriority) AS g_prio
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "asof_join_event_daily": """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) + 1 AS day_end_d,
+                 ROUND(SUM(value), 2) AS day_value
+          FROM events GROUP BY 1
+        ),
+        d2 AS (SELECT CAST(day_end_d AS TIMESTAMP) AS day_end, day_value FROM daily)
+        SELECT e.event_id,
+               ROUND(e.value, 2) AS value,
+               COALESCE(d2.day_value, 0.0) AS prev_day_value
+        FROM events e ASOF LEFT JOIN d2 ON e.ts >= d2.day_end
+    """,
+    "range_join_amount_bands": """
+        WITH bands(band, lo, hi) AS (VALUES
+          ('low', 0.0, 50.0), ('mid', 50.0, 120.0),
+          ('high', 120.0, 250.0), ('extreme', 250.0, 1000000000.0))
+        SELECT band, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+        FROM events JOIN bands ON value >= lo AND value < hi
+        GROUP BY band
+    """,
+    "regexp_extract_docs": """
+        SELECT doc_id,
+               COALESCE(regexp_extract(text, '[a-z]*ar[a-z]*', 0), '') AS first_ar_word,
+               len(regexp_extract_all(text, 'ta[bg]')) AS tab_tag_count
+        FROM documents
+    """,
+    "json_props_histogram": """
+        SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+               COUNT(*) AS n
+        FROM events GROUP BY 1
+    """,
+    # approx_distinct_users: intentionally no oracle (sketch-based)
+}

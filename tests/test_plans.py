@@ -1,0 +1,95 @@
+"""Physical-plan audits: the scale properties the operators claim
+(pushdown, pruning, broadcast, no Python in the relational row path) are
+asserted on the actual Catalyst output, not taken on faith."""
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as e
+
+
+def _plan(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return e.queries()
+
+
+def test_rule_filter_pushed_to_parquet_scan(spark, sf_dir, queries):
+    """rule_amount_gt filters on amount (alias of events.value): the
+    predicate must reach the parquet scan as a pushed filter."""
+    plan = _plan(queries["rule_amount_gt"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "GreaterThan(value,120" in plan.replace(" ", "")
+
+
+def test_rule_scan_prunes_unused_columns(spark, sf_dir, queries):
+    """rule_amount_gt never touches props/ts/event_type — the scan's
+    ReadSchema must not include them (Catalyst column pruning, S3)."""
+    plan = _plan(queries["rule_amount_gt"](spark, sf_dir))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    line = read_schema[0]
+    assert "props" not in line and "event_type" not in line
+    assert "value" in line and "user_id" in line
+
+
+def test_q5_dimension_joins_broadcast(spark, sf_dir, queries):
+    plan = _plan(queries["tpch_q5_local_supplier"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q1_codegen_and_shipdate_pushdown(spark, sf_dir, queries):
+    plan = _plan(queries["tpch_q1_pricing_summary"](spark, sf_dir))
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # spark 4 formatted mode doesn't tag codegen stages, and under AQE the
+    # un-executed plan reports no compiled subtrees yet — audit the
+    # static plan with AQE off
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        codegen = _plan(queries["tpch_q1_pricing_summary"](spark, sf_dir), "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen subtrees" in codegen
+    assert "Found 0 WholeStageCodegen" not in codegen
+
+
+def test_no_python_in_relational_paths(spark, sf_dir, queries):
+    """No row-at-a-time Python (BatchEvalPython) anywhere; Arrow-batched
+    Python (ArrowEvalPython) only in the operators that declare it
+    (LSH bucket generation)."""
+    for name in (
+        "rule_mixed",
+        "analytics_trailing_rollups",
+        "tpch_q3_shipping_priority",
+        "dedup_minhash_lsh_pairs",
+        "window_topn_per_group",
+    ):
+        plan = _plan(queries[name](spark, sf_dir), "simple")
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    ann = _plan(queries["ann_lsh_near_pairs"](spark, sf_dir), "simple")
+    assert "BatchEvalPython" not in ann
+    assert "ArrowEvalPython" in ann  # the declared vectorized escape hatch
+
+
+def test_semi_join_physical(spark, sf_dir, queries):
+    plan = _plan(queries["join_semi"](spark, sf_dir), "simple")
+    assert "LeftSemi" in plan
+    plan = _plan(queries["join_anti"](spark, sf_dir), "simple")
+    assert "LeftAnti" in plan
+
+
+def test_one_shuffle_for_segment_aggregate(spark, sf_dir, queries):
+    """The core segment query needs exactly ONE shuffle (on user_id):
+    partial aggregation map-side, final after the exchange."""
+    plan = _plan(queries["rule_amount_gt"](spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "partial" in plan  # map-side combine present

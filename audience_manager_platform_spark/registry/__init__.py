@@ -49,6 +49,7 @@ def _modules():
         "windows",
         "streaming",
         "relational",
+        "tpch_extra",
     ):
         try:
             mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))

@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.relational import asof_join, pivot_counts, range_join_bands
+from ..operators.skew import salted_sum_count
 from ..sources import load_table
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -155,6 +156,9 @@ QUERIES = {
     "regexp_extract_docs": _regexp_extract_docs,
     "json_props_histogram": _json_props_histogram,
     "approx_distinct_users": _approx_distinct,
+    "skew_salted_user_totals": lambda s, d: salted_sum_count(
+        _events(s, d), "user_id", "value"
+    ),
 }
 
 _PIVOT_CASES = ",\n               ".join(
@@ -227,4 +231,8 @@ ORACLES = {
         FROM events GROUP BY 1
     """,
     # approx_distinct_users: intentionally no oracle (sketch-based)
+    "skew_salted_user_totals": """
+        SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+        FROM events GROUP BY user_id
+    """,
 }

@@ -14,6 +14,8 @@ import itertools
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from ..sources import load_table
 from ..streaming.jobs import (
     run_available_now,
@@ -21,6 +23,7 @@ from ..streaming.jobs import (
     stream_events,
     windowed_event_counts,
 )
+from ..streaming.stateful import running_spend_monitor
 
 _counter = itertools.count()
 
@@ -38,9 +41,36 @@ def _sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(events, gap="30 minutes")
 
 
+def _stateful_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = stream_events(spark, sf_dir).select("user_id", "value")
+    monitored = running_spend_monitor(events, threshold=1000.0)
+    name = f"stream_stateful_{next(_counter)}"
+    q = (
+        monitored.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    # update-mode sink appends one row per user per batch; the final state
+    # per user is the max-count row (robust to multi-batch splits)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("event_count").alias("event_count"),
+            F.max("total_value").alias("total_value"),
+            F.max("crossed_threshold").alias("crossed_threshold"),
+        )
+    )
+
+
 QUERIES = {
     "streaming_window_counts": _window_counts,
     "streaming_sessionization": _sessionization,
+    "streaming_stateful_spend": _stateful_spend,
 }
 
 ORACLES = {
@@ -76,5 +106,12 @@ ORACLES = {
                ROUND(SUM(value), 2) AS total_value
         FROM islands
         GROUP BY user_id, sid
+    """,
+    "streaming_stateful_spend": """
+        SELECT user_id,
+               COUNT(*) AS event_count,
+               ROUND(SUM(value), 2) AS total_value,
+               SUM(value) > 1000.0 AS crossed_threshold
+        FROM events GROUP BY user_id
     """,
 }

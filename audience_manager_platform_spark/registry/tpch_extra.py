@@ -1,0 +1,178 @@
+"""Second TPC-H wave: correlated EXISTS, disjunctive predicates, IN-over-
+aggregate subqueries, CASE aggregation, year rollups, exact percentiles —
+the query shapes the reference's DSL cannot express (no OR, no subqueries)
+but a general engine must."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .tpch import DEC, _revenue_col
+
+
+def q4_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: orders with at least one lineitem shipped >30 days after
+    the order date, counted per priority — EXISTS as a left-semi join with
+    a compound (equi + range) condition."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 30)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: conditional CASE aggregation over a fact-fact join."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: IN over a groupBy-HAVING subquery — aggregate first
+    (small result), then semi-join orders and broadcast-join customers."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_quantity").cast(DEC)).cast("double"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250.0)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: OR of compound brand x quantity-band predicates (the
+    disjunction the rule DSL reserves for segment-level UNION, quirk Q7,
+    expressed directly here). Part is a broadcast dim; Catalyst pushes the
+    quantity bounds into the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("l_quantity") >= 25))
+    )
+    return joined.filter(cond).agg(
+        F.round(F.sum(_revenue_col()).cast("double"), 2).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def q7_volume_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: revenue by order year (date-part extraction + rollup)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(F.round(F.sum(_revenue_col()).cast("double"), 2).alias("revenue"))
+    )
+
+
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    ANSI percentile_cont)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
+    )
+
+
+QUERIES = {
+    "tpch_q4_late_shipments": q4_late_shipments,
+    "tpch_q12_priority_by_flag": q12_priority_by_flag,
+    "tpch_q18_large_volume_orders": q18_large_volume_orders,
+    "tpch_q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "tpch_q7_volume_by_year": q7_volume_by_year,
+    "agg_exact_percentiles": exact_percentiles,
+}
+
+_REV = "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))"
+
+ORACLES = {
+    "tpch_q4_late_shipments": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        )
+        GROUP BY o_orderpriority
+    """,
+    "tpch_q12_priority_by_flag": """
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_returnflag
+    """,
+    "tpch_q18_large_volume_orders": """
+        WITH big AS (
+          SELECT l_orderkey,
+                 ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2)
+                   AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) > 250.0
+        )
+        SELECT c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               ROUND(o_totalprice, 2) AS o_totalprice,
+               big.sum_qty
+        FROM orders
+        JOIN big ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "tpch_q19_disjunctive_revenue": f"""
+        SELECT ROUND(CAST(SUM({_REV}) AS DOUBLE), 2) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND l_quantity >= 25)
+    """,
+    "tpch_q7_volume_by_year": f"""
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+               ROUND(CAST(SUM({_REV}) AS DOUBLE), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    """,
+    "agg_exact_percentiles": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        FROM lineitem GROUP BY l_returnflag
+    """,
+}

@@ -43,6 +43,10 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Catalyst prunes columns / pushes filters into the
     parquet reader from the enclosing plan (SURVEY.md S3)."""
+    # every registry query funnels through here: pin the session timezone
+    # so date/timestamp-derived strings are stable no matter what session
+    # the caller (e.g. the verify driver) built
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _load_events(spark, sf_dir)
     return spark.read.parquet(table_path(sf_dir, name))

@@ -43,6 +43,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream the events fixture. The file source needs a *directory*
     (its production shape: a landing dir receiving event files), so the
     single fixture file is exposed through a symlinked staging dir."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     staging = os.path.join(
         tempfile.gettempdir(), f"amps_stream_{abs(hash(sf_dir)) % 10**8}"

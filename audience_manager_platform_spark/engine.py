@@ -86,6 +86,42 @@ class AudienceEngine:
         )
         return rule
 
+    def update_rule(self, rule_id: int, conditions: list) -> Rule:
+        """Rule update (reference ``backend/app/api/rules.py:108-225``):
+        re-validate, re-run the dependency planner EXCLUDING the rule
+        itself (no self-dependency), rewrite catalog metadata. The segment
+        is stale until the next execute."""
+        self.compiler.compile(conditions)
+        existing = [
+            (r.rule_id, r.conditions)
+            for r in self.catalog.active_rules()
+            if r.rule_id != rule_id
+        ]
+        rewrite = find_best_dependency(conditions, existing, rule_id_to_exclude=rule_id)
+        raw = self.catalog._doc["rules"][str(rule_id)]
+        if rewrite:
+            raw["conditions"] = list(rewrite.remaining_conditions)
+            raw["depends_on"] = list(rewrite.depends_on)
+            raw["operation"] = rewrite.operation
+        else:
+            raw["conditions"] = conditions
+            raw["depends_on"] = []
+            raw["operation"] = None
+        self.catalog._save()
+        rule = self.catalog.get_rule(rule_id)
+        meta = self.catalog.get_segment(rule_id)
+        if meta:
+            query = self.compiler.compile(rule.conditions)
+            meta.sql_query = (
+                query.to_sql("SELECT * FROM all_transactions", dialect="spark")
+                if rule.conditions or not rule.depends_on
+                else None
+            )
+            meta.depends_on = rule.depends_on
+            meta.operation = rule.operation
+            self.catalog.upsert_segment(meta)
+        return rule
+
     def create_compound_rule(
         self, name: str, depends_on: list[int], operation: str, schedule: str = "ONCE"
     ) -> Rule:

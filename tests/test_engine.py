@@ -130,3 +130,18 @@ def test_catalog_survives_reload(engine, spark, tmp_path):
     reloaded = Catalog(engine.catalog.base_dir)
     assert reloaded.get_rule(rule.rule_id).name == "amt"
     assert reloaded.get_segment(rule.rule_id).row_count is not None
+
+
+def test_update_rule_rewrites_dependencies(engine):
+    r1 = engine.create_rule("amt", [AMT])
+    r2 = engine.create_rule("standalone", [COUNT])
+    assert r2.depends_on == []
+    # update r2 to include r1's condition -> planner claims r1 (self excluded)
+    updated = engine.update_rule(r2.rule_id, [AMT, COUNT])
+    assert updated.depends_on == [r1.rule_id]
+    assert updated.conditions == [COUNT]
+    # updating back to a standalone condition clears the rewrite
+    cleared = engine.update_rule(r2.rule_id, [COUNT])
+    assert cleared.depends_on == [] and cleared.operation is None
+    engine.execute_all()
+    assert engine.catalog.get_segment(r2.rule_id).row_count is not None

@@ -1,0 +1,156 @@
+"""Property-based checks (hypothesis): the condition DSL's Spark plan and
+its own generated DuckDB SQL agree on arbitrary rules, and the dependency
+planner maintains its set-cover invariants on arbitrary catalogs."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from audience_manager_platform_spark.plans import RuleCompiler
+from audience_manager_platform_spark.plans.dependency_finder import (
+    conditions_to_set,
+    find_best_dependency,
+)
+
+# ----------------------------------------------------------- strategies
+_amount = st.one_of(
+    st.integers(min_value=-10, max_value=260),
+    st.floats(min_value=0, max_value=260, allow_nan=False).map(lambda x: round(x, 2)),
+)
+_comparison = st.sampled_from([">", "<", "=", ">=", "<=", "!="])
+
+
+def _date_str(days):
+    return (datetime(2024, 1, 1) + timedelta(days=days)).strftime("%Y-%m-%d")
+
+
+_condition = st.one_of(
+    st.builds(
+        lambda op, v: {"field": "transaction_amount", "operator": op, "value": v},
+        _comparison,
+        _amount,
+    ),
+    st.builds(
+        lambda op, v: {"field": "city_tier", "operator": op, "value": v},
+        _comparison,
+        st.integers(min_value=0, max_value=5),
+    ),
+    st.builds(
+        lambda vs: {"field": "city_tier", "operator": "IN", "value": vs},
+        st.lists(st.integers(min_value=1, max_value=4), min_size=1, max_size=4),
+    ),
+    st.builds(
+        lambda vs: {"field": "category", "operator": "NOT IN", "value": vs},
+        st.lists(
+            st.sampled_from(["click", "view", "purchase", "signup", "error"]),
+            min_size=1,
+            max_size=3,
+        ),
+    ),
+    st.builds(
+        lambda a, b: {
+            "field": "transaction_date",
+            "operator": "BETWEEN",
+            "value": _date_str(min(a, b)),
+            "value2": _date_str(max(a, b)),
+        },
+        st.integers(min_value=0, max_value=35),
+        st.integers(min_value=0, max_value=35),
+    ),
+    st.builds(
+        lambda op, v: {"field": "total_spend", "operator": op, "value": v},
+        _comparison,
+        st.integers(min_value=0, max_value=8000),
+    ),
+    st.builds(
+        lambda op, v: {"field": "transaction_count", "operator": op, "value": v},
+        _comparison,
+        st.integers(min_value=0, max_value=100),
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def duck_small(spark, sf_dir):
+    """Small unified-transactions frame registered in both engines."""
+    import duckdb
+
+    from audience_manager_platform_spark.sources import (
+        load_table,
+        unified_transactions_from_events,
+    )
+
+    txns = unified_transactions_from_events(load_table(spark, sf_dir, "events"))
+    pdf = txns.toPandas()
+    con = duckdb.connect()
+    con.register("base_transactions", pdf)
+    txns.createOrReplaceTempView("_prop_txns")
+    yield spark, con
+    con.close()
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(payload=st.lists(_condition, min_size=0, max_size=4))
+def test_dsl_spark_matches_own_duckdb_rendering(duck_small, payload):
+    spark, con = duck_small
+    query = RuleCompiler().compile(payload)
+    spark_rows = {
+        (r.user_id, r.total_transactions, round(r.total_spent, 2), r.transaction_types)
+        for r in query.dataframe(spark.table("_prop_txns")).collect()
+    }
+    duck_rows = {
+        (u, n, round(t, 2), ty)
+        for u, n, t, ty in con.execute(
+            query.to_sql("SELECT * FROM base_transactions", dialect="duckdb")
+        ).fetchall()
+    }
+    assert spark_rows == duck_rows
+
+
+# ------------------------------------------- dependency planner invariants
+_cond_pool = [
+    {"field": "transaction_amount", "operator": ">", "value": v} for v in (100, 200, 300)
+] + [
+    {"field": "city_tier", "operator": "=", "value": v} for v in (1, 2)
+] + [
+    {"field": "total_spend", "operator": ">", "value": 5000},
+    {"field": "transaction_count", "operator": ">=", "value": 10},
+]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    new_idx=st.lists(st.integers(min_value=0, max_value=6), min_size=0, max_size=5),
+    catalog=st.lists(
+        st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=4),
+        min_size=0,
+        max_size=6,
+    ),
+)
+def test_dependency_finder_invariants(new_idx, catalog):
+    new = [_cond_pool[i] for i in set(new_idx)]
+    rules = [(rid + 1, [_cond_pool[i] for i in set(idxs)]) for rid, idxs in enumerate(catalog)]
+    rewrite = find_best_dependency(new, rules)
+    if rewrite is None:
+        return
+    all_set = conditions_to_set(new)
+    residual = conditions_to_set(list(rewrite.remaining_conditions)) or frozenset()
+    covered = set()
+    by_id = dict(rules)
+    for rid in rewrite.depends_on:
+        cand = conditions_to_set(by_id[rid])
+        # claimed parents never overlap each other or the residual
+        assert cand.isdisjoint(covered)
+        assert cand.isdisjoint(residual)
+        covered |= cand
+    # exact partition: parents + residual == the new rule's condition set
+    assert covered | residual == all_set
+    # profitability: at least one condition was actually covered
+    assert covered
+    assert rewrite.operation == "intersection"

@@ -107,7 +107,68 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: correlated min — for each part, the lowest-acctbal
+    supplier that ever shipped it. Decorrelated to distinct (part,supp)
+    pairs + window min (same pattern as the reference's argmax J1)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    joined = pairs.join(F.broadcast(supp), pairs.l_suppkey == supp.s_suppkey)
+    w = Window.partitionBy("l_partkey").orderBy(F.asc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_partkey",
+            F.col("s_suppkey").alias("min_bal_suppkey"),
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+        )
+    )
+
+
+def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: suppliers whose revenue equals the MAX of all per-
+    supplier revenues (aggregate over an aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(_revenue_col()).cast("double"), 2).alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == F.col("mx"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def nested_agg_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-of-aggregate: per-nation stats over per-customer order
+    totals (two grouping levels, no window)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("spend_dec"),
+    )
+    joined = per_cust.join(
+        F.broadcast(cust), per_cust.o_custkey == cust.c_custkey
+    ).join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    return joined.groupBy("n_name").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("n_orders"), 4).alias("avg_orders"),
+        F.round(F.max("spend_dec").cast("double"), 2).alias("max_customer_spend"),
+    )
+
+
 QUERIES = {
+    "tpch_q2_min_balance_supplier": q2_min_balance_supplier,
+    "tpch_q15_top_suppliers": q15_top_suppliers,
+    "nested_agg_nation_stats": nested_agg_nation_stats,
     "tpch_q4_late_shipments": q4_late_shipments,
     "tpch_q12_priority_by_flag": q12_priority_by_flag,
     "tpch_q18_large_volume_orders": q18_large_volume_orders,
@@ -119,6 +180,44 @@ QUERIES = {
 _REV = "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))"
 
 ORACLES = {
+    "tpch_q2_min_balance_supplier": """
+        WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        j AS (
+          SELECT l_partkey, s_suppkey, s_acctbal,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY s_acctbal ASC, s_suppkey ASC) AS rn
+          FROM pairs JOIN supplier ON l_suppkey = s_suppkey
+        )
+        SELECT l_partkey, s_suppkey AS min_bal_suppkey,
+               ROUND(s_acctbal, 2) AS s_acctbal
+        FROM j WHERE rn = 1
+    """,
+    "tpch_q15_top_suppliers": f"""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 ROUND(CAST(SUM({_REV}) AS DOUBLE), 2) AS total_revenue
+          FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    "nested_agg_nation_stats": """
+        WITH per_cust AS (
+          SELECT o_custkey, COUNT(*) AS n_orders,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS spend_dec
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT n_name,
+               COUNT(*) AS n_customers,
+               ROUND(AVG(n_orders), 4) AS avg_orders,
+               ROUND(CAST(MAX(spend_dec) AS DOUBLE), 2) AS max_customer_spend
+        FROM per_cust
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
     "tpch_q4_late_shipments": """
         SELECT o_orderpriority, COUNT(*) AS order_count
         FROM orders

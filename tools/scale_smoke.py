@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Scale smoke: drive the CORE engine capabilities on a synthetic
+transaction stream orders of magnitude larger than the fixtures
+(default 10M rows, set SCALE_ROWS to push further).
+
+This answers the "would this plan survive 100x?" question empirically on
+the local shape: data is generated inside Spark (spark.range — no disk,
+no driver materialization), so the measured time is pure plan execution.
+
+Usage: python tools/scale_smoke.py          # 10M rows
+       SCALE_ROWS=100000000 python tools/scale_smoke.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from audience_manager_platform_spark.operators import analytics as A  # noqa: E402
+from audience_manager_platform_spark.plans import RuleCompiler  # noqa: E402
+from audience_manager_platform_spark.session import get_spark  # noqa: E402
+
+ROWS = int(os.environ.get("SCALE_ROWS", 10_000_000))
+USERS = max(1000, ROWS // 1000)
+
+
+def synthetic_stream(spark, n: int):
+    """n transactions across USERS users, generated partition-parallel."""
+    u = lambda salt: (F.abs(F.xxhash64("id", F.lit(salt))) % 1_000_000) / 1_000_000.0  # noqa: E731
+    return spark.range(n).select(
+        (F.col("id") % USERS).alias("user_id"),
+        F.round(u(1) * 2000.0 + 10.0, 2).alias("amount"),
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit("2025-01-01 00:00:00"))
+            + (F.abs(F.xxhash64("id", F.lit(2))) % (364 * 86400))
+        ).alias("transaction_date"),
+        F.element_at(
+            F.array(*[F.lit(c) for c in ("A", "B", "C", "D", "E", "F", "G", "H")]),
+            (F.abs(F.xxhash64("id", F.lit(3))) % 8 + 1).cast("int"),
+        ).alias("category"),
+        (F.abs(F.xxhash64("id", F.lit(4))) % 4 + 1).cast("int").alias("city_tier"),
+        F.when(F.col("id") % 5 < 3, "UPI").otherwise("CREDIT_CARD").alias(
+            "transaction_type"
+        ),
+    )
+
+
+def timed(label: str, df) -> None:
+    t0 = time.perf_counter()
+    n = df.count()
+    dt = time.perf_counter() - t0
+    print(
+        f"{label:36s} {n:>12,} out-rows  {dt:7.2f}s  "
+        f"{ROWS / dt / 1e6:6.1f}M in-rows/s"
+    )
+
+
+def main() -> None:
+    spark = get_spark("scale_smoke")
+    txns = synthetic_stream(spark, ROWS)
+    print(f"rows={ROWS:,} users={USERS:,} cores={spark.sparkContext.defaultParallelism}")
+
+    rule = RuleCompiler().compile(
+        [
+            {"field": "transaction_amount", "operator": ">", "value": "500"},
+            {"field": "city_tier", "operator": "IN", "value": [1, 2]},
+            {"field": "transaction_count", "operator": ">=", "value": 100},
+        ]
+    )
+    timed("segment rule (filter+agg+having)", rule.dataframe(txns))
+    timed("trailing rollups 30/60/90d", A.trailing_rollups(txns))
+    timed("category totals", A.category_totals(txns))
+    timed("favorite category (argmax)", A.favorite_category(txns))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -73,6 +73,11 @@ class SegmentQuery:
     where: tuple[Condition, ...]
     having: tuple[Condition, ...]
     date_between_mode: str = "compat"  # 'compat' | 'calendar' (quirk Q2)
+    # Quirk Q3: the reference computes sums in FLOAT but declares segment
+    # outputs DECIMAL(20,2). 'double' (default) computes in double;
+    # 'decimal' computes and emits DECIMAL(20,2) end-to-end (exact,
+    # summation-order independent — the right choice on a real cluster).
+    money_type: str = "double"  # 'double' | 'decimal'
 
     # ------------------------------------------------------------- Spark
     def _predicate(self, cond: Condition, col: Column) -> Column:
@@ -119,9 +124,14 @@ class SegmentQuery:
         preds = [self._predicate(c, F.col(c.column)) for c in self.where]
         if preds:
             df = df.filter(reduce(lambda a, b: a & b, preds))  # P6: implicit AND
+        amount = (
+            F.col("amount").cast("decimal(20,2)")
+            if self.money_type == "decimal"
+            else F.col("amount")
+        )
         seg = df.groupBy("user_id").agg(
             F.count("user_id").alias("total_transactions"),  # A1
-            F.sum("amount").alias("total_spent"),
+            F.sum(amount).alias("total_spent"),
             group_concat_distinct("transaction_type").alias("transaction_types"),
         )
         having = [self._predicate(c, F.col(c.column)) for c in self.having]  # A2
@@ -187,11 +197,20 @@ class RuleCompiler:
     """Front half of the query lifecycle (SURVEY.md §3.1): JSON conditions
     -> validated AST -> WHERE/HAVING split -> :class:`SegmentQuery`."""
 
-    def __init__(self, *, lenient: bool = False, date_between_mode: str = "compat"):
+    def __init__(
+        self,
+        *,
+        lenient: bool = False,
+        date_between_mode: str = "compat",
+        money_type: str = "double",
+    ):
         if date_between_mode not in ("compat", "calendar"):
             raise ValueError(f"bad date_between_mode {date_between_mode!r}")
+        if money_type not in ("double", "decimal"):
+            raise ValueError(f"bad money_type {money_type!r}")
         self.lenient = lenient
         self.date_between_mode = date_between_mode
+        self.money_type = money_type
 
     def compile(self, conditions_payload: list[dict[str, Any]] | None) -> SegmentQuery:
         conds = parse_conditions(conditions_payload, lenient=self.lenient)
@@ -200,5 +219,8 @@ class RuleCompiler:
         where = tuple(c for c in conds if not c.is_aggregate)
         having = tuple(c for c in conds if c.is_aggregate)
         return SegmentQuery(
-            where=where, having=having, date_between_mode=self.date_between_mode
+            where=where,
+            having=having,
+            date_between_mode=self.date_between_mode,
+            money_type=self.money_type,
         )

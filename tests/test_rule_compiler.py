@@ -153,3 +153,19 @@ def test_spark_sql_rendering_runs(spark, sf_dir):
     )
     via_df = query.dataframe(txns)
     assert sorted(via_sql.collect()) == sorted(via_df.collect())
+
+
+def test_money_decimal_mode(spark, sf_dir):
+    """Q3: decimal mode emits DECIMAL(20,2) totals (the reference's
+    declared segment-output type) and agrees with rounded double mode."""
+    from decimal import Decimal
+
+    txns = unified_transactions_from_events(load_table(spark, sf_dir, "events"))
+    payload = [{"field": "transaction_amount", "operator": ">", "value": "120"}]
+    dec = RuleCompiler(money_type="decimal").compile(payload).dataframe(txns)
+    assert dict(dec.dtypes)["total_spent"].startswith("decimal(")
+    dbl = RuleCompiler().compile(payload).dataframe(txns)
+    dec_rows = {r.user_id: r.total_spent for r in dec.collect()}
+    dbl_rows = {r.user_id: round(r.total_spent, 2) for r in dbl.collect()}
+    for uid, v in dbl_rows.items():
+        assert abs(float(dec_rows[uid]) - v) < 0.011  # per-row cast rounding drift

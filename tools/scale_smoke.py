@@ -61,6 +61,7 @@ def timed(label: str, df) -> None:
 
 
 def main() -> None:
+    global ROWS
     spark = get_spark("scale_smoke")
     txns = synthetic_stream(spark, ROWS)
     print(f"rows={ROWS:,} users={USERS:,} cores={spark.sparkContext.defaultParallelism}")
@@ -76,6 +77,37 @@ def main() -> None:
     timed("trailing rollups 30/60/90d", A.trailing_rollups(txns))
     timed("category totals", A.category_totals(txns))
     timed("favorite category (argmax)", A.favorite_category(txns))
+
+    # ------------------------- document pipeline at DOCS scale
+    from audience_manager_platform_spark.operators import dedup as D
+    from audience_manager_platform_spark.operators import text as T
+
+    n_docs = int(os.environ.get("SCALE_DOCS", 100_000))
+    vocab = [f"w{i}" for i in range(500)]
+    varr = F.array(*[F.lit(w) for w in vocab])
+    # ~60-token synthetic docs; every 50th doc reuses the previous doc's
+    # words plus one extra token -> 2% planted near-dups
+    base_text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(60)),
+            lambda i: F.element_at(
+                varr, (F.abs(F.xxhash64(F.col("id") - (F.col("id") % 50 == 0).cast("long"), i)) % 500 + 1).cast("int")
+            ),
+        ),
+        " ",
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 50 == 0, F.concat(base_text, F.lit(" extra")))
+        .otherwise(base_text)
+        .alias("text"),
+    )
+    ROWS = n_docs
+    print(f"docs={n_docs:,} (2% planted near-dups)")
+    timed("token stats", T.token_stats(docs))
+    timed("exact dedup", D.exact_dedup(docs))
+    timed("simhash fingerprints", D.simhash(docs))
+    timed("minhash+LSH near-dup pairs", D.minhash_lsh_pairs(docs))
     spark.stop()
 
 

@@ -245,6 +245,121 @@ def lsh_near_pairs_sql(threshold: float = 0.35, src: str = "embeddings") -> str:
     """
 
 
+# ---------------------------------------------------------------- IVF ANN
+IVF_CENTROIDS = 16
+IVF_PROBES = 4
+
+
+def ivf_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 5
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: vectors are assigned to
+    their nearest centroid (the coarse quantizer); a query scores only the
+    vectors in its IVF_PROBES nearest cells instead of the whole corpus.
+
+    Centroid choice is deterministic — the first IVF_CENTROIDS vectors by
+    vec_id — so the full pipeline (assignment included) is reproducible by
+    the SQL oracle. On a real deployment the centroids come from k-means
+    (MLlib KMeans with a fixed seed) and live in a small table; the plan
+    shape is identical: broadcast centroids ⋈ vectors → cell assignment →
+    per-cell shuffle — candidate scoring cost drops by
+    ~IVF_PROBES/IVF_CENTROIDS versus brute force.
+
+    Like every ANN operator here, recall < 1 is the documented semantics:
+    a neighbor assigned to a non-probed cell is missed.
+    """
+    base = emb.select("vec_id", _vec_double().alias("v"))
+    cents = base.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    # cell assignment: argmax cosine over the (broadcast) centroid set
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("cent_id")
+    )
+    assigned = (
+        base.join(F.broadcast(cents), how="cross")
+        .select(
+            "vec_id",
+            "v",
+            "cent_id",
+            F.round(cosine_similarity(F.col("v"), F.col("cv")), 6).alias("csim"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cent_id")
+    )
+    # queries probe their IVF_PROBES nearest cells
+    queries = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cent_id"))
+    probes = (
+        queries.join(F.broadcast(cents), how="cross")
+        .select(
+            "query_id",
+            "q",
+            "cent_id",
+            F.round(cosine_similarity(F.col("q"), F.col("cv")), 6).alias("qsim"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= IVF_PROBES)
+        .select("query_id", "q", "cent_id")
+    )
+    scored = (
+        probes.join(assigned, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("q"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk_sql(query_ids: list[int], k: int = 5, src: str = "embeddings") -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src}),
+        cents AS (
+          SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {IVF_CENTROIDS}
+        ),
+        assigned AS (
+          SELECT vec_id, v, cent_id FROM (
+            SELECT e.vec_id, e.v, cents.cent_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(e.v, cents.cv), 6) DESC,
+                              cents.cent_id ASC) AS rn
+            FROM e CROSS JOIN cents
+          ) a WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({ids})),
+        probes AS (
+          SELECT query_id, qv, cent_id FROM (
+            SELECT q.query_id, q.qv, cents.cent_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY ROUND(list_cosine_similarity(q.qv, cents.cv), 6) DESC,
+                              cents.cent_id ASC) AS rn
+            FROM q CROSS JOIN cents
+          ) p WHERE rn <= {IVF_PROBES}
+        ),
+        scored AS (
+          SELECT probes.query_id, assigned.vec_id AS neighbor_id,
+                 ROUND(list_cosine_similarity(probes.qv, assigned.v), 6) AS cosine
+          FROM probes JOIN assigned USING (cent_id)
+          WHERE assigned.vec_id != probes.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        ) r WHERE rank <= {k}
+    """
+
+
 def embedding_near_dup(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
     """Embedding-cosine near-duplicate detection = LSH pairs at a high
     threshold (dedup semantics over dense representations)."""

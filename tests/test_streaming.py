@@ -92,3 +92,73 @@ def test_foreach_batch_segment_refresh(spark, sf_dir, tmp_path):
     meta = engine.catalog.get_segment(rule.rule_id)
     assert meta.row_count and meta.row_count > 0
     assert engine.read_segment(rule.rule_id).count() == meta.row_count
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): batch 1 advances the
+    watermark; a batch-2 event older than the watermark is dropped from
+    its (already-finalized) window — the explicit late-data semantics the
+    reference's scheduled-batch model never defines."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+    from pyspark.sql import functions as F
+
+    staging = tmp_path / "landing"
+    staging.mkdir()
+
+    def write_file(name, rows):
+        table = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+        pq.write_table(table, staging / name)
+
+    d = datetime
+    write_file(
+        "00.parquet",
+        [
+            (1, d(2024, 1, 1, 10, 5), 1.0),
+            (1, d(2024, 1, 1, 10, 20), 1.0),
+            (1, d(2024, 1, 1, 12, 0), 1.0),  # advances watermark to 11:30
+        ],
+    )
+    # watermark propagation lags one batch: the [10:00,11:00) window is
+    # finalized/emitted during THIS batch (using batch-0's watermark) ...
+    write_file("01.parquet", [(1, d(2024, 1, 1, 12, 10), 1.0)])
+    # ... so a later 10:15 arrival is late against a closed window
+    write_file(
+        "02.parquet",
+        [
+            (1, d(2024, 1, 1, 10, 15), 1.0),  # LATE: dropped
+            (1, d(2024, 1, 1, 12, 40), 1.0),
+        ],
+    )
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(staging))
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("win.start", "HH:mm").alias("w"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_watermark")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    out = {r.w: r.n for r in spark.table("t_watermark").collect()}
+    # the 10:00 window finalized with 2 events; the late 10:15 arrival was
+    # dropped, not retro-added
+    assert out.get("10:00") == 2

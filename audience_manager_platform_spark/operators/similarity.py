@@ -161,11 +161,17 @@ def lsh_near_pairs(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
     base = emb.repartition(spark.sparkContext.defaultParallelism).select(
         "vec_id", _vec_double().alias("v")
     )
+    # norms once per vector (N HOF folds), not once per candidate pair
+    # (|candidates| >> N); the fold is the same left fold cosine_similarity
+    # uses, so dot/(na*nb) is bit-identical to the fused form
+    base = base.withColumn(
+        "nrm", F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    )
     # persisted: candidate generation and both vector-fetch joins read it
     base = base.persist()
     # bucketed persisted too: both sides of the self-join explode from it,
     # so the pandas_udf matmul runs once per vector, not twice
-    bucketed = _bucketed(base).persist()
+    bucketed = _bucketed(base.select("vec_id", "v")).persist()
     # the self-join carries ONLY (vec_id, bucket) — shuffling the vectors
     # through the bucket join would move |v| bytes per candidate; instead
     # candidates are deduped as id pairs and the (small, persisted) vector
@@ -195,15 +201,24 @@ def lsh_near_pairs(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
         )
         .distinct()
     )
-    va = base.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    vb = base.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    va = base.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = base.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine"),
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -50,6 +50,7 @@ def _modules():
         "streaming",
         "relational",
         "tpch_extra",
+        "tpch_wave3",
     ):
         try:
             mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))

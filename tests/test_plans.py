@@ -93,3 +93,34 @@ def test_one_shuffle_for_segment_aggregate(spark, sf_dir, queries):
     plan = _plan(queries["rule_amount_gt"](spark, sf_dir), "simple")
     assert plan.count("Exchange hashpartitioning(user_id") == 1
     assert "partial" in plan  # map-side combine present
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir, queries):
+    """Q6 is the pushdown showcase: shipdate bounds and quantity bound
+    must all reach the parquet scan."""
+    plan = _plan(queries["tpch_q6_forecast_revenue"](spark, sf_dir))
+    flat = plan.replace(" ", "")
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in flat
+    assert "LessThan(l_quantity,24" in flat
+
+
+def test_q11_scalar_subquery_broadcast_not_nested_loop(spark, sf_dir, queries):
+    """The 1-row global aggregate joins via broadcast; there must be no
+    shuffled cartesian product."""
+    plan = _plan(queries["tpch_q11_important_parts"](spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_per_part_threshold_single_fact_scan_broadcasts(spark, sf_dir, queries):
+    """Q17's decorrelated per-part average joins back as a broadcast (the
+    aggregate side is |parts|, tiny vs lineitem)."""
+    plan = _plan(queries["tpch_q17_small_quantity_revenue"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q22_anti_join_physical(spark, sf_dir, queries):
+    plan = _plan(queries["tpch_q22_idle_customers"](spark, sf_dir), "simple")
+    assert "LeftAnti" in plan

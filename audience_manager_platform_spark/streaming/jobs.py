@@ -140,3 +140,21 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "total_value",
         )
     )
+
+
+def dedup_stream(
+    events: DataFrame, keys: tuple[str, ...] = ("event_id",), watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact deduplication: turns an at-least-once source (e.g.
+    a replaying file/Kafka feed) into exactly-once rows keyed on ``keys``.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    key's event time falls behind the watermark, so state is bounded by
+    (keys per watermark span), not by total stream history — the property
+    that keeps this runnable forever at 100 TB/day. A duplicate arriving
+    later than the watermark is emitted again; that tail risk is the
+    documented trade for bounded state (batch `exact_dedup` has no such
+    window because it sees all history at once)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

@@ -162,3 +162,61 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # the 10:00 window finalized with 2 events; the late 10:15 arrival was
     # dropped, not retro-added
     assert out.get("10:00") == 2
+
+
+def test_dedup_stream_removes_replayed_events(spark, tmp_path):
+    """An at-least-once landing dir (the same event_id delivered in two
+    files) streams through dedup_stream to exactly-once output; a
+    genuinely distinct event with a duplicate-looking payload survives."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from audience_manager_platform_spark.streaming.jobs import dedup_stream
+
+    staging = tmp_path / "landing"
+    staging.mkdir()
+
+    def write_file(name, rows):
+        table = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+        pq.write_table(table, staging / name)
+
+    d = datetime
+    write_file(
+        "00.parquet",
+        [(1, d(2024, 1, 1, 10, 0), 5.0), (2, d(2024, 1, 1, 10, 1), 6.0)],
+    )
+    # redelivery of event 1 (same id) + a new event 3 with identical value
+    write_file(
+        "01.parquet",
+        [(1, d(2024, 1, 1, 10, 0), 5.0), (3, d(2024, 1, 1, 10, 2), 5.0)],
+    )
+
+    schema = "event_id long, ts timestamp, value double"
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(staging))
+    )
+    deduped = dedup_stream(src, keys=("event_id",), watermark="1 hour")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    got = {
+        r["event_id"]: r["value"]
+        for r in spark.table("dedup_stream_t").collect()
+    }
+    assert got == {1: 5.0, 2: 6.0, 3: 5.0}

@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # module scope: pandas_udf hints resolve by name
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -46,6 +48,18 @@ def main() -> None:
 
     # warm the JVM/codegen paths once with a trivial job
     spark.range(1000).count()
+    # ... and the Arrow/pandas Python workers (one per core; each imports
+    # numpy+pandas on first use — session warm-up, not query cost)
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(100 * cpus, numPartitions=cpus).select(
+        _warm(F.col("id").cast("double"))
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

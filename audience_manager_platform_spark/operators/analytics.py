@@ -161,57 +161,93 @@ def trailing_rollups(txns: DataFrame, windows: tuple[int, ...] = (30, 60, 90)) -
     data's max transaction_date (the reference anchors at wall-clock now;
     data-derived anchoring keeps the operator deterministic).
 
-    Physical shape: the window spec is a tiny literal DataFrame joined
-    with a non-equi condition (broadcast — |windows| rows), then two hash
-    aggregates; the reference instead runs 3 full-table SQL jobs with a
+    Physical shape: SINGLE PASS over the un-multiplied fact table. The
+    |windows| cutoffs ride along as a broadcast 1-row spec; every
+    per-window measure is a conditional aggregate (``sum(when(in_w, …))``)
+    so the fact rows are never exploded |windows|×. One shuffle on
+    (user_id, category) with map-side partial aggregation carries ALL the
+    heavy lifting; the second shuffle sees only |users|·|categories| rows,
+    where the per-window favorite falls out of ``min_by`` over
+    (-count, category) — max count, ties to the alphabetically first
+    category. The reference instead runs 3 full-table SQL jobs with a
     correlated argmax subquery each (``backend/create_aggregates.py:
-    33-100``). One scan, no correlated anything.
+    33-100``).
+
+    Money sums go through decimal — exact and summation-order-independent,
+    so restructuring the aggregation tree can't move a rounded total.
     """
-    spark = txns.sparkSession
+    dec = "decimal(18,4)"
+    day = F.to_date("transaction_date")
     anchor = txns.select(F.max(F.to_date("transaction_date")).alias("period_end"))
-    wdf = spark.range(0, 1).select(
-        F.explode(F.array(*[F.lit(d) for d in windows])).alias("window_days")
-    )
     spec = F.broadcast(
-        anchor.crossJoin(wdf).select(
-            "window_days",
-            F.date_sub(F.col("period_end"), F.col("window_days")).alias("period_start"),
+        anchor.select(
             "period_end",
+            *[F.date_sub("period_end", d).alias(f"_c{d}") for d in windows],
         )
     )
-    tagged = txns.join(
-        spec,
-        (F.to_date("transaction_date") > F.col("period_start"))
-        & (F.to_date("transaction_date") <= F.col("period_end")),
-        "inner",
+
+    def in_w(d: int) -> Column:
+        return (day > F.col(f"_c{d}")) & (day <= F.col("period_end"))
+
+    per_cat = (
+        txns.crossJoin(spec)
+        .groupBy("user_id", "category")
+        .agg(
+            F.first("period_end").alias("period_end"),
+            *[F.first(f"_c{d}").alias(f"_c{d}") for d in windows],
+            *[
+                F.sum(F.when(in_w(d), 1).otherwise(0)).alias(f"_cnt{d}")
+                for d in windows
+            ],
+            *[
+                F.sum(F.when(in_w(d), F.col("amount").cast(dec))).alias(f"_amt{d}")
+                for d in windows
+            ],
+            *[
+                F.max(F.when(in_w(d), F.col("transaction_date"))).alias(f"_last{d}")
+                for d in windows
+            ],
+            *[
+                F.max(F.when(in_w(d), F.col("city_tier"))).alias(f"_tier{d}")
+                for d in windows
+            ],
+        )
     )
-    totals = tagged.groupBy("user_id", "window_days", "period_start", "period_end").agg(
-        F.count("*").alias("total_transactions"),
-        F.round(F.sum("amount"), 2).alias("total_amount"),
-        F.max("transaction_date").alias("last_transaction_date"),
-        F.max("city_tier").alias("city_tier"),
+    fav_ord = lambda d: F.when(  # noqa: E731
+        F.col("category").isNotNull() & (F.col(f"_cnt{d}") > 0),
+        F.struct((-F.col(f"_cnt{d}")).alias("nc"), F.col("category").alias("c")),
     )
-    cat_counts = (
-        tagged.filter(F.col("category").isNotNull())
-        .groupBy("user_id", "window_days", "category")
-        .agg(F.count("*").alias("cnt"))
+    per_user = per_cat.groupBy("user_id").agg(
+        F.first("period_end").alias("period_end"),
+        *[F.first(f"_c{d}").alias(f"_c{d}") for d in windows],
+        *[F.sum(f"_cnt{d}").alias(f"_tt{d}") for d in windows],
+        *[F.sum(f"_amt{d}").alias(f"_ta{d}") for d in windows],
+        *[F.max(f"_last{d}").alias(f"_lt{d}") for d in windows],
+        *[F.max(f"_tier{d}").alias(f"_ct{d}") for d in windows],
+        *[F.min_by("category", fav_ord(d)).alias(f"_fav{d}") for d in windows],
     )
-    w = Window.partitionBy("user_id", "window_days").orderBy(
-        F.desc("cnt"), F.asc("category")
-    )
-    favorites = (
-        cat_counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "window_days", F.col("category").alias("favorite_category"))
-    )
-    return totals.join(favorites, ["user_id", "window_days"], "left").select(
+    long = per_user.select(
         "user_id",
-        "window_days",
-        "total_transactions",
-        "total_amount",
-        "last_transaction_date",
-        "favorite_category",
-        "city_tier",
-        "period_start",
-        "period_end",
-    )
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("window_days"),
+                        F.col(f"_tt{d}").alias("total_transactions"),
+                        F.round(F.col(f"_ta{d}").cast("double"), 2).alias(
+                            "total_amount"
+                        ),
+                        F.col(f"_lt{d}").alias("last_transaction_date"),
+                        F.col(f"_fav{d}").alias("favorite_category"),
+                        F.col(f"_ct{d}").alias("city_tier"),
+                        F.col(f"_c{d}").alias("period_start"),
+                        F.col("period_end").alias("period_end"),
+                    )
+                    for d in windows
+                ]
+            )
+        ).alias("_r"),
+    ).select("user_id", "_r.*")
+    # a user with no transactions inside a window gets no row for it
+    # (matches the reference's inner-join-per-window shape)
+    return long.filter(F.col("total_transactions") > 0)

@@ -176,7 +176,8 @@ ORACLES = {
         totals AS (
           SELECT user_id, window_days, period_start, period_end,
                  COUNT(*) AS total_transactions,
-                 ROUND(SUM(amount), 2) AS total_amount,
+                 ROUND(CAST(SUM(CAST(amount AS DECIMAL(18,4))) AS DOUBLE), 2)
+                   AS total_amount,
                  MAX(transaction_date) AS last_transaction_date,
                  MAX(city_tier) AS city_tier
           FROM tagged

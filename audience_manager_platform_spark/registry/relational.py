@@ -133,6 +133,26 @@ def _json_props_histogram(spark, sf_dir):
     )
 
 
+def _array_functions(spark, sf_dir):
+    """Array-typed column surface (higher-order filter, element access,
+    min/max, self-dot via the sequential fold that DuckDB's
+    list_dot_product reproduces bit-for-bit)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    ssq = F.aggregate(
+        F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return emb.select(
+        "vec_id",
+        F.size(v).cast("long").alias("n_dims"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(F.array_max(v), 6).alias("max_val"),
+        F.round(F.array_min(v), 6).alias("min_val"),
+        F.round(F.element_at(v, 1), 6).alias("first_val"),
+        F.round(ssq, 6).alias("sum_sq"),
+    )
+
+
 # ------------------------------------------------- approximate aggregates
 def _approx_distinct(spark, sf_dir):
     """approx_count_distinct is sketch-based (HLL++) — not oracle-able
@@ -155,6 +175,7 @@ QUERIES = {
     "range_join_amount_bands": _amount_bands,
     "regexp_extract_docs": _regexp_extract_docs,
     "json_props_histogram": _json_props_histogram,
+    "array_functions_surface": _array_functions,
     "approx_distinct_users": _approx_distinct,
     "skew_salted_user_totals": lambda s, d: salted_sum_count(
         _events(s, d), "user_id", "value"
@@ -229,6 +250,17 @@ ORACLES = {
         SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
                COUNT(*) AS n
         FROM events GROUP BY 1
+    """,
+    "array_functions_surface": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT vec_id,
+               len(v) AS n_dims,
+               len(list_filter(v, x -> x > 0)) AS n_pos,
+               ROUND(list_max(v), 6) AS max_val,
+               ROUND(list_min(v), 6) AS min_val,
+               ROUND(v[1], 6) AS first_val,
+               ROUND(list_dot_product(v, v), 6) AS sum_sq
+        FROM e
     """,
     # approx_distinct_users: intentionally no oracle (sketch-based)
     "skew_salted_user_totals": """

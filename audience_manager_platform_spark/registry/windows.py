@@ -71,11 +71,51 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_moving_avg_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded ROWS frame: 3-order moving average of a customer's order
+    values. The frame sum runs in decimal, so whatever tree each engine's
+    sliding-window implementation uses (DuckDB segment-trees its frames),
+    the total is exact and identical."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+    )
+    dec_sum = F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w)
+    n = F.count("*").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round((dec_sum / n).cast("double"), 4).alias("moving_avg_3"),
+    )
+
+
+def window_range_trailing_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric day offset: how many orders the customer
+    placed in the trailing 90 days (value-based frame — same-day peers
+    join the frame on both engines by definition)."""
+    orders = load_table(spark, sf_dir, "orders")
+    day_num = F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day_num)
+        .rangeBetween(-90, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(w).alias("orders_90d"),
+    )
+
+
 QUERIES = {
     "window_topn_per_group": window_topn_per_group,
     "window_running_total": window_running_total,
     "window_lag_gap_days": window_lag_gap_days,
     "window_rank_dense": window_rank_dense,
+    "window_moving_avg_rows": window_moving_avg_rows,
+    "window_range_trailing_count": window_range_trailing_count,
 }
 
 ORACLES = {
@@ -116,5 +156,25 @@ ORACLES = {
                  PARTITION BY c_mktsegment
                  ORDER BY c_acctbal DESC, c_custkey ASC) AS bal_dense_rank
         FROM customer
+    """,
+    "window_moving_avg_rows": """
+        SELECT o_custkey, o_orderkey,
+               ROUND(CAST(
+                 SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w
+                 / COUNT(*) OVER w AS DOUBLE), 4) AS moving_avg_3
+        FROM orders
+        WINDOW w AS (
+          PARTITION BY o_custkey
+          ORDER BY o_orderdate ASC, o_orderkey ASC
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    "window_range_trailing_count": """
+        SELECT o_custkey, o_orderkey,
+               COUNT(*) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY DATEDIFF('day', DATE '1995-01-01',
+                                   CAST(o_orderdate AS DATE))
+                 RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS orders_90d
+        FROM orders
     """,
 }

@@ -54,6 +54,13 @@ def _modules():
     ):
         try:
             mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))
-        except ImportError:
-            pass
+        except ImportError as exc:  # degrade to the importable families,
+            # but never silently: a broken module would otherwise just
+            # vanish from the correctness gate
+            import sys
+
+            print(
+                f"registry: SKIPPING family '{name}' (import failed: {exc})",
+                file=sys.stderr,
+            )
     return mods

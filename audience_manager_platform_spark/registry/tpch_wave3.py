@@ -394,3 +394,72 @@ ORACLES = {
         GROUP BY c_nationkey
     """,
 }
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (lateness proxied by shipdate > orderdate + 60 days —
+    fixtures carry no commit/receipt dates): suppliers whose line was late
+    on a multi-supplier 'F' order where NO other supplier was late.
+
+    Decorrelation: the two correlated subqueries (EXISTS other-supplier,
+    NOT EXISTS other-late-supplier) become one per-order aggregate —
+    distinct supplier count and distinct LATE supplier count — broadcast
+    back onto the late lines. One pass over lineitem for the aggregate,
+    one for the probe."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).alias("late"),
+    )
+    per_order = lo.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    waiting = (
+        lo.filter(F.col("late"))
+        .join(F.broadcast(per_order), F.col("l_orderkey") == F.col("ok"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+QUERIES["tpch_q21_waiting_suppliers"] = q21_waiting_suppliers
+
+ORACLES["tpch_q21_waiting_suppliers"] = """
+    WITH lo AS (
+      SELECT l_orderkey, l_suppkey,
+             l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    ),
+    per_order AS (
+      SELECT l_orderkey AS ok,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+      FROM lo GROUP BY l_orderkey
+    ),
+    waiting AS (
+      SELECT DISTINCT lo.l_orderkey, lo.l_suppkey
+      FROM lo JOIN per_order ON lo.l_orderkey = per_order.ok
+      WHERE lo.late AND per_order.n_supp > 1 AND per_order.n_late_supp = 1
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM waiting JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+"""

@@ -1,0 +1,61 @@
+"""Table maintenance: small-file compaction.
+
+At warehouse scale every streaming/foreachBatch sink and every
+fine-grained partition write accretes small files; scans then pay one
+task + one open per file and the namenode/listing pays the metadata. The
+fix is periodic rewrite into ~target-sized files — the operational
+counterpart of the engine's atomic-overwrite sinks (S6).
+
+The reference has no analogue (single SQLite file), but its scheduled
+refresh loop (M4) is exactly where a deployment would hang this job.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024  # HDFS-block-sized files
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+) -> int:
+    """Rewrite a parquet table directory into ceil(size/target) files.
+    Returns the new file count.
+
+    The rewrite goes to a sibling temp directory first and swaps in with
+    two renames — the table is never half-written in place (a reader
+    holding the old file list keeps reading the old files until the swap,
+    matching the overwrite semantics of the engine's other sinks). On an
+    object store the swap would be a manifest/metastore pointer flip
+    instead of a rename."""
+    size = _dir_bytes(path)
+    n = max(1, math.ceil(size / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    old = path.rstrip("/") + ".compact.old"
+    # coalesce, not repartition: file-count reduction needs no shuffle
+    df.coalesce(n).write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return sum(
+        1
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )

@@ -226,3 +226,75 @@ def fingerprint_sql(src: str = "documents") -> str:
         SELECT doc_id, md5(norm) AS fingerprint, len(norm) AS norm_len
         FROM (SELECT doc_id, array_to_string({t}, ' ') AS norm FROM {src}) s
     """
+
+
+# ------------------------------------------------------------- tf-idf
+def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, sklearn's smoothing).
+
+    Shape at scale: explode -> count per (doc, term) [1 shuffle with
+    map-side combine] -> term document-frequencies aggregated FROM the
+    (doc, term) counts (already distinct per doc, no second pass over raw
+    text) and broadcast back [tiny: |vocab| rows] -> per-doc top-k window.
+    The corpus size N rides a broadcast 1-row aggregate, keeping the whole
+    plan collect-free.
+
+    Ranking uses the ROUNDED score so cross-engine last-ulp differences in
+    ln() cannot reorder ties."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    toked = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", F.explode(tokens_col("text")).alias("term")
+    )
+    tf = toked.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1) / (F.col("df") + F.lit(1.0)))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "score", "rank")
+    )
+
+
+def tfidf_top_terms_sql(src: str = "documents", k: int = 5) -> str:
+    t = tokens_sql("text")
+    return f"""
+        WITH toked AS (
+          SELECT doc_id, UNNEST({t}) AS term FROM {src}
+        ),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM toked GROUP BY doc_id, term
+        ),
+        df_t AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf,
+                 ROUND(tf.tf * (ln(((SELECT COUNT(*) FROM {src}) + 1)
+                                   / (df_t.df + 1.0)) + 1.0), 6) AS score
+          FROM tf JOIN df_t USING (term)
+        )
+        SELECT doc_id, term, tf, score, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+          FROM scored
+        ) r WHERE rank <= {k}
+    """

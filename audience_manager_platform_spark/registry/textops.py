@@ -19,6 +19,7 @@ QUERIES = {
     "text_quality_score": lambda s, d: T.quality_score(_docs(s, d)),
     "text_language_id": lambda s, d: T.language_id(_docs(s, d)),
     "text_fingerprint": lambda s, d: T.fingerprint(_docs(s, d)),
+    "text_tfidf_top_terms": lambda s, d: T.tfidf_top_terms(_docs(s, d), k=5),
     "dedup_exact": lambda s, d: D.exact_dedup(_docs(s, d)),
     "dedup_ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_docs(s, d), threshold=0.6),
     "dedup_minhash_signatures": lambda s, d: D.minhash_signatures(_docs(s, d)),
@@ -34,6 +35,7 @@ ORACLES = {
     "text_quality_score": T.quality_score_sql(),
     "text_language_id": T.language_id_sql(),
     "text_fingerprint": T.fingerprint_sql(),
+    "text_tfidf_top_terms": T.tfidf_top_terms_sql(k=5),
     "dedup_exact": D.exact_dedup_sql(),
     "dedup_ngram_jaccard": D.ngram_jaccard_pairs_sql(threshold=0.6),
     "dedup_minhash_signatures": D.minhash_signatures_sql(),

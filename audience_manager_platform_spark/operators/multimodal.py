@@ -76,3 +76,78 @@ def decode_media(
             )
 
     return media_df.mapInPandas(extract, schema=out_schema)
+
+
+def resize_media(
+    media_df: DataFrame, *, target_bytes: int = 64, fake: bool = False
+) -> DataFrame:
+    """Resize/transcode stage (images: downscale; audio: resample) over
+    ``mapInPandas``. Output schema mirrors the input media table so resize
+    stages compose with decode/feature-extract. The real transform is
+    stubbed like :func:`decode_media`; ``fake=True`` truncates/pads the
+    payload to ``target_bytes`` deterministically so batch shapes and
+    schema travel end-to-end."""
+    out_schema = MEDIA_SCHEMA
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media resize requires image/audio libraries not present "
+                    "in this environment; pass fake=True for the deterministic "
+                    "stub"
+                )
+            out = []
+            for blob in pdf["media"]:
+                b = bytes(blob)[:target_bytes]
+                b = b + b"\x00" * (target_bytes - len(b))
+                out.append(b)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": out,
+                    "media_type": pdf["media_type"],
+                    "byte_len": [len(b) for b in out],
+                    "sha": [hashlib.sha256(b).hexdigest() for b in out],
+                }
+            )
+
+    return media_df.mapInPandas(resize, schema=out_schema)
+
+
+def sample_frames(
+    media_df: DataFrame,
+    *,
+    frame_bytes: int = 32,
+    every_nth: int = 4,
+    fake: bool = False,
+) -> DataFrame:
+    """Frame-sampling stage (video → every nth frame) — the ONE-TO-MANY
+    ``mapInPandas`` shape: each input row yields a variable number of
+    output rows, which Arrow batches handle natively (no explode of a
+    pre-built array, no per-row UDF). ``fake=True`` treats the payload as
+    fixed-size pseudo-frames; a real build would hand the container to
+    ffmpeg per batch."""
+    out_schema = "doc_id long, frame_idx int, frame binary"
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "frame sampling requires ffmpeg/video libraries not "
+                    "present in this environment; pass fake=True for the "
+                    "deterministic stub"
+                )
+            ids, idxs, frames = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(blob)
+                n_frames = max(1, len(b) // frame_bytes)
+                for i in range(0, n_frames, every_nth):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media_df.mapInPandas(sample, schema=out_schema)

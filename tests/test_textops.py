@@ -130,3 +130,45 @@ def test_multimodal_strict_decode_raises(docs):
     media = M.documents_as_media(docs)
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
         M.decode_media(media, fake=False).collect()
+
+
+def test_multimodal_resize_preserves_schema_and_sizes(docs):
+    from audience_manager_platform_spark.operators import multimodal as M
+
+    media = M.documents_as_media(docs)
+    out = M.resize_media(media, target_bytes=16, fake=True)
+    # same columns and types (nullability differs: lit() columns are
+    # non-nullable on the input side)
+    assert [(f.name, f.dataType) for f in out.schema] == [
+        (f.name, f.dataType) for f in media.schema
+    ]
+    rows = out.collect()
+    assert rows and all(r.byte_len == 16 and len(r.media) == 16 for r in rows)
+
+
+def test_multimodal_frame_sampling_one_to_many(docs):
+    from audience_manager_platform_spark.operators import multimodal as M
+
+    media = M.documents_as_media(docs)
+    out = M.sample_frames(media, frame_bytes=8, every_nth=2, fake=True).collect()
+    n_docs = media.count()
+    assert len(out) > n_docs  # one-to-many expansion happened
+    assert all(r.frame_idx % 2 == 0 for r in out)
+    # frames re-concatenate into a prefix of the original payload
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.frame_idx)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    first = by_doc[min(by_doc)]
+    assert first[0].frame_idx == 0 and len(first[0].frame) == 8
+
+
+def test_multimodal_strict_stages_raise(docs):
+    import pytest as _pytest
+
+    from audience_manager_platform_spark.operators import multimodal as M
+
+    media = M.documents_as_media(docs)
+    with _pytest.raises(Exception, match="NotImplementedError|resize"):
+        M.resize_media(media, fake=False).collect()
+    with _pytest.raises(Exception, match="NotImplementedError|frame"):
+        M.sample_frames(media, fake=False).collect()

@@ -463,3 +463,61 @@ ORACLES["tpch_q21_waiting_suppliers"] = """
     FROM waiting JOIN supplier ON l_suppkey = s_suppkey
     GROUP BY s_name
 """
+
+
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (partsupp availability replaced by shipped quantity):
+    suppliers who shipped more than a SIXTH of some 'red' part's
+    total quantity (non-trivial at every fixture scale). Fraction-of-group
+    compare stays decimal-exact (6*supp_qty > part_qty); the supplier list
+    falls out of a semi-join.
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("supp_qty")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("part_qty")
+    )
+    dominant = (
+        per_ps.join(F.broadcast(per_part), F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("supp_qty") * 6 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return supp.join(
+        dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+QUERIES["tpch_q20_dominant_suppliers"] = q20_dominant_suppliers
+
+ORACLES["tpch_q20_dominant_suppliers"] = """
+    WITH red_li AS (
+      SELECT l_partkey, l_suppkey, l_quantity
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE '%red%'
+    ),
+    per_ps AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS supp_qty
+      FROM red_li GROUP BY l_partkey, l_suppkey
+    ),
+    per_part AS (
+      SELECT l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS part_qty
+      FROM red_li GROUP BY l_partkey
+    ),
+    dominant AS (
+      SELECT DISTINCT l_suppkey
+      FROM per_ps JOIN per_part ON l_partkey = pk
+      WHERE supp_qty * 6 > part_qty
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE EXISTS (SELECT 1 FROM dominant WHERE l_suppkey = s_suppkey)
+"""

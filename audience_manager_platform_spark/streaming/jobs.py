@@ -158,3 +158,35 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval bound (the
+    attribution shape: right-side events within ``max_delay`` after the
+    left event, same user).
+
+    Both sides carry watermarks and the join condition bounds r.ts
+    relative to l.ts, so Spark can expire buffered state on BOTH sides —
+    without the time bound a stream-stream join must hold every row
+    forever. State per key is O(events within watermark+delay), the
+    property that keeps the join runnable indefinitely."""
+    l = left.alias("l").withWatermark("ts", watermark)
+    r = right.alias("r").withWatermark("ts", watermark)
+    return l.join(
+        r,
+        F.expr(
+            f"l.user_id = r.user_id AND r.ts >= l.ts "
+            f"AND r.ts <= l.ts + interval {max_delay}"
+        ),
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("left_id"),
+        F.col("r.event_id").alias("right_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.ts").alias("right_ts"),
+    )

@@ -220,3 +220,72 @@ def test_dedup_stream_removes_replayed_events(spark, tmp_path):
         for r in spark.table("dedup_stream_t").collect()
     }
     assert got == {1: 5.0, 2: 6.0, 3: 5.0}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Two landing dirs (clicks, purchases) joined stream-stream with an
+    event-time bound; the availableNow result equals the batch join."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from audience_manager_platform_spark.streaming.jobs import (
+        stream_stream_interval_join,
+    )
+
+    def write(dirname, name, rows):
+        d = tmp_path / dirname
+        d.mkdir(exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                    "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                }
+            ),
+            d / name,
+        )
+
+    d = datetime
+    clicks = [
+        (1, 10, d(2024, 1, 1, 10, 0)),
+        (2, 10, d(2024, 1, 1, 12, 0)),
+        (3, 20, d(2024, 1, 1, 10, 0)),
+    ]
+    purchases = [
+        (101, 10, d(2024, 1, 1, 10, 20)),  # within 30m of click 1
+        (102, 10, d(2024, 1, 1, 11, 0)),   # matches nothing (40m after 1)
+        (103, 20, d(2024, 1, 1, 10, 29)),  # within 30m of click 3
+        (104, 30, d(2024, 1, 1, 10, 0)),   # user with no clicks
+    ]
+    write("clicks", "00.parquet", clicks)
+    write("purchases", "00.parquet", purchases)
+
+    schema = "event_id long, user_id long, ts timestamp"
+    lstream = spark.readStream.schema(schema).parquet(str(tmp_path / "clicks"))
+    rstream = spark.readStream.schema(schema).parquet(str(tmp_path / "purchases"))
+    joined = stream_stream_interval_join(lstream, rstream, max_delay="30 minutes")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    got = {
+        (r.left_id, r.right_id) for r in spark.table("ss_join_t").collect()
+    }
+    assert got == {(1, 101), (3, 103)}
+
+    # batch equivalence on the same frames
+    lb = spark.read.schema(schema).parquet(str(tmp_path / "clicks"))
+    rb = spark.read.schema(schema).parquet(str(tmp_path / "purchases"))
+    batch = {
+        (r.left_id, r.right_id)
+        for r in stream_stream_interval_join(lb, rb).collect()
+    }
+    assert batch == got

@@ -71,6 +71,57 @@ def _rollup_orders(spark, sf_dir):
     )
 
 
+def _grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (neither cube nor rollup): exactly the
+    (status), (priority), and grand-total groupings — exercised through
+    the SQL API, the DataFrame API has no grouping-sets builder."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, '(all)') AS status,
+               COALESCE(o_orderpriority, '(all)') AS priority,
+               COUNT(*) AS n
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def _gaps_islands_sessions(spark, sf_dir):
+    """Batch sessionization as gaps-and-islands: lag() flags a >30min gap,
+    a running sum of flags numbers the islands, one aggregate per session.
+    The window-composition twin of the streaming session_window operator
+    (same semantics, pure batch plan)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long")).over(w)
+            > 1800,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )
+
+
 # --------------------------------------------------------------- asof join
 def _asof_event_daily(spark, sf_dir):
     """Trades-and-quotes shape: each event joined to the most recent
@@ -176,6 +227,8 @@ QUERIES = {
     "regexp_extract_docs": _regexp_extract_docs,
     "json_props_histogram": _json_props_histogram,
     "array_functions_surface": _array_functions,
+    "grouping_sets_orders": _grouping_sets,
+    "window_gaps_islands_sessions": _gaps_islands_sessions,
     "approx_distinct_users": _approx_distinct,
     "skew_salted_user_totals": lambda s, d: salted_sum_count(
         _events(s, d), "user_id", "value"
@@ -250,6 +303,34 @@ ORACLES = {
         SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
                COUNT(*) AS n
         FROM events GROUP BY 1
+    """,
+    "grouping_sets_orders": """
+        SELECT COALESCE(o_orderstatus, '(all)') AS status,
+               COALESCE(o_orderpriority, '(all)') AS priority,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "window_gaps_islands_sessions": """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN date_diff('second', LAG(ts) OVER w, ts) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        sessions AS (
+          SELECT *, CAST(SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_no
+          FROM flagged
+        )
+        SELECT user_id, session_no,
+               COUNT(*) AS n_events,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        FROM sessions GROUP BY user_id, session_no
     """,
     "array_functions_surface": """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -124,3 +124,27 @@ def test_q17_per_part_threshold_single_fact_scan_broadcasts(spark, sf_dir, queri
 def test_q22_anti_join_physical(spark, sf_dir, queries):
     plan = _plan(queries["tpch_q22_idle_customers"](spark, sf_dir), "simple")
     assert "LeftAnti" in plan
+
+
+def test_trailing_rollups_single_fact_shuffle_no_explosion(spark, sf_dir, queries):
+    """The rewritten rollup must shuffle the fact table exactly once
+    (user_id, category) and never multiply rows per window: no Expand and
+    no Generate before the first aggregate (the explode happens after the
+    tiny per-user aggregate)."""
+    plan = _plan(queries["analytics_trailing_rollups"](spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning(user_id") == 2  # fact + tiny
+    assert "Expand" not in plan
+    # the only Generate (explode) runs above the per-user aggregate:
+    # everything below the first exchange is scan+project+partial-agg
+    first_exchange = plan.index("Exchange hashpartitioning(user_id")
+    assert "Generate" not in plan[first_exchange:]
+
+
+def test_tfidf_broadcasts_stats_no_python(spark, sf_dir, queries):
+    """TF-IDF joins document frequencies and corpus size as broadcasts
+    (tiny vs the (doc,term) table) and stays JVM-side end to end."""
+    plan = _plan(queries["text_tfidf_top_terms"](spark, sf_dir), "simple")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastHashJoin") >= 2
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -16,10 +16,14 @@ QUERIES = {
     "ann_cosine_topk": lambda s, d: S.cosine_topk(_emb(s, d), _QUERY_IDS, k=5),
     "ann_lsh_near_pairs": lambda s, d: S.lsh_near_pairs(_emb(s, d), threshold=0.35),
     "ann_ivf_topk": lambda s, d: S.ivf_topk(_emb(s, d), _QUERY_IDS, k=5),
+    "dedup_embedding_near_dup": lambda s, d: S.embedding_near_dup(
+        _emb(s, d), threshold=0.45
+    ),
 }
 
 ORACLES = {
     "ann_cosine_topk": S.cosine_topk_sql(_QUERY_IDS, k=5),
     "ann_lsh_near_pairs": S.lsh_near_pairs_sql(threshold=0.35),
     "ann_ivf_topk": S.ivf_topk_sql(_QUERY_IDS, k=5),
+    "dedup_embedding_near_dup": S.lsh_near_pairs_sql(threshold=0.45),
 }

@@ -212,7 +212,10 @@ def minhash_signatures_sql(src: str = "documents", n: int = NGRAM_N) -> str:
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, est_threshold: float = 0.5, n: int = NGRAM_N
+    docs: DataFrame,
+    est_threshold: float = 0.5,
+    n: int = NGRAM_N,
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding: signatures → band keys (md5 of each band's
     values) → candidate pairs = docs sharing any band key → estimated
@@ -220,6 +223,16 @@ def minhash_lsh_pairs(
 
     The band join is the scale path: only docs colliding in a band are
     ever paired, so the shuffle is keyed on band values, not doc count².
+
+    ``max_band_size`` is the hot-band skew guard: a cluster of k
+    identical documents (boilerplate pages, licence headers) puts all k
+    in ONE band bucket and the self-join emits k²/2 candidates from a
+    single task. Capping the bucket drops bands with more than
+    ``max_band_size`` members before the join — candidate cost becomes
+    O(Σ min(k, cap)²) with the documented recall trade: members of a
+    dropped band still pair wherever they collide in an uncapped band,
+    and a mega-cluster is better handled by exact dedup first (its
+    members are identical or near-identical by construction).
 
     The signature table feeds three plan branches (banding + both sides of
     the pair join); it is persisted so the gram/hash pipeline runs once —
@@ -242,6 +255,14 @@ def minhash_lsh_pairs(
             F.array(*[F.col(f"band{b}") for b in range(BANDS)])
         ).alias("band_key"),
     )
+    if max_band_size is not None:
+        small_bands = (
+            bands_long.groupBy("band_key")
+            .agg(F.count("*").alias("band_n"))
+            .filter(F.col("band_n") <= max_band_size)
+            .select("band_key")
+        )
+        bands_long = bands_long.join(small_bands, "band_key")
     cand = (
         bands_long.alias("x")
         .join(bands_long.alias("y"), "band_key")

@@ -172,3 +172,34 @@ def test_multimodal_strict_stages_raise(docs):
         M.resize_media(media, fake=False).collect()
     with _pytest.raises(Exception, match="NotImplementedError|frame"):
         M.sample_frames(media, fake=False).collect()
+
+
+def test_minhash_hot_band_cap_bounds_candidates(spark):
+    """A planted 60-doc identical cluster would emit ~1.8k candidate
+    pairs from one band bucket; with max_band_size the cluster's bands
+    are dropped while a genuine small near-dup pair (present in an
+    uncapped bucket) still surfaces."""
+    from audience_manager_platform_spark.operators import dedup as D
+
+    boiler = "the same boilerplate licence header text repeated everywhere"
+    rows = [(i, boiler) for i in range(60)]
+    near = (
+        "completely different long document about spark joins shuffles "
+        "partitions watermarks catalysts codegen broadcast exchanges and "
+        "adaptive execution planning at warehouse scale"
+    )
+    rows += [
+        (100, near),
+        (101, near + " extra"),  # one appended token -> very high jaccard
+        (200, "unrelated text concerning window functions and watermarks"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = D.minhash_lsh_pairs(docs, est_threshold=0.5).collect()
+    capped = D.minhash_lsh_pairs(docs, est_threshold=0.5, max_band_size=10).collect()
+
+    cluster_pairs = {(r.doc_a, r.doc_b) for r in uncapped if r.doc_a < 100}
+    assert len(cluster_pairs) == 60 * 59 // 2  # quadratic without the cap
+    capped_pairs = {(r.doc_a, r.doc_b) for r in capped}
+    assert not any(a < 100 for a, _ in capped_pairs)  # hot cluster dropped
+    assert (100, 101) in capped_pairs  # real near-dup pair survives

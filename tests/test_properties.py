@@ -154,3 +154,86 @@ def test_dependency_finder_invariants(new_idx, catalog):
     # profitability: at least one condition was actually covered
     assert covered
     assert rewrite.operation == "intersection"
+
+
+# -------------------------------------------- trailing rollups (A8) model
+_txn_row = st.tuples(
+    st.integers(min_value=1, max_value=4),          # user_id
+    st.integers(min_value=1, max_value=30000),      # amount cents
+    st.integers(min_value=0, max_value=40),         # days after 2024-01-01
+    st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),  # category
+    st.integers(min_value=1, max_value=4),          # city_tier
+)
+
+
+def _rollup_model(rows, windows):
+    """Pure-python reference for trailing_rollups: per window, users with
+    >=1 txn in (anchor-d, anchor]; favorite = max count, tie lowest
+    category, None if all categories null."""
+    from collections import Counter, defaultdict
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    anchor = max(base + timedelta(days=d) for _, _, d, _, _ in rows).date()
+    out = {}
+    for w in windows:
+        start = anchor - timedelta(days=w)
+        per_user = defaultdict(list)
+        for uid, cents, d, cat, tier in rows:
+            ts = base + timedelta(days=d, hours=uid % 12)
+            if start < ts.date() <= anchor:
+                per_user[uid].append((cents, ts, cat, tier))
+        for uid, txns in per_user.items():
+            cats = Counter(c for _, _, c, _ in txns if c is not None)
+            fav = (
+                min(sorted(cats), key=lambda c: (-cats[c], c)) if cats else None
+            )
+            out[(uid, w)] = (
+                len(txns),
+                round(sum(c for c, _, _, _ in txns) / 100.0, 2),
+                max(t for _, t, _, _ in txns),
+                fav,
+                max(tr for _, _, _, tr in txns),
+            )
+    return out
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(_txn_row, min_size=1, max_size=40))
+def test_trailing_rollups_matches_model(spark, rows):
+    from datetime import datetime, timedelta
+
+    from audience_manager_platform_spark.operators.analytics import trailing_rollups
+
+    base = datetime(2024, 1, 1)
+    data = [
+        (
+            uid,
+            cents / 100.0,
+            base + timedelta(days=d, hours=uid % 12),
+            cat,
+            tier,
+            "UPI",
+        )
+        for uid, cents, d, cat, tier in rows
+    ]
+    txns = spark.createDataFrame(
+        data,
+        "user_id long, amount double, transaction_date timestamp,"
+        " category string, city_tier int, transaction_type string",
+    )
+    got = {
+        (r.user_id, r.window_days): (
+            r.total_transactions,
+            float(r.total_amount),
+            r.last_transaction_date,
+            r.favorite_category,
+            r.city_tier,
+        )
+        for r in trailing_rollups(txns, windows=(7, 30)).collect()
+    }
+    assert got == _rollup_model(rows, (7, 30))

@@ -251,3 +251,42 @@ def trailing_rollups(txns: DataFrame, windows: tuple[int, ...] = (30, 60, 90)) -
     # a user with no transactions inside a window gets no row for it
     # (matches the reference's inner-join-per-window shape)
     return long.filter(F.col("total_transactions") > 0)
+
+
+def cohort_retention(txns: DataFrame) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week; for each
+    cohort x week-offset, how many of its users were active (weekly
+    granularity because the fixtures span one month; a month variant is
+    the same plan with a different integer encoding).
+
+    Shape at scale: weeks are integer-encoded (epoch days // 7) so offsets
+    are plain subtraction; the per-(user, week) distinct pass is the only
+    fact-sized shuffle, the cohort assignment is a per-user min aggregated
+    from it (no second scan), and the final rollup runs over
+    |users|.|weeks| rows."""
+    epoch = F.lit("1970-01-01").cast("date")
+    week_num = F.floor(
+        F.datediff(F.to_date("transaction_date"), epoch) / 7
+    ).alias("week_num")
+    active = (
+        txns.filter(F.col("transaction_date").isNotNull())
+        .select("user_id", week_num)
+        .distinct()
+    )
+    cohorts = active.groupBy("user_id").agg(F.min("week_num").alias("cohort_week"))
+    week_start = F.date_format(
+        F.date_add(epoch, (F.col("cohort_week") * 7).cast("int")), "yyyy-MM-dd"
+    )
+    return (
+        active.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week_num") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            week_start.alias("cohort_week_start"),
+            F.col("week_offset").cast("long").alias("week_offset"),
+            "n_users",
+        )
+    )

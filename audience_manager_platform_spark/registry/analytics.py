@@ -80,6 +80,7 @@ QUERIES = {
     "analytics_user_search": _user_search,
     "analytics_favorite_category": _favorite_category,
     "analytics_trailing_rollups": _trailing_rollups,
+    "analytics_cohort_retention": lambda s, d: A.cohort_retention(_txns(s, d)),
 }
 
 _DAILY_TOTALS_TMPL = """
@@ -106,6 +107,24 @@ FROM spine LEFT JOIN d USING (day)
 """
 
 ORACLES = {
+    "analytics_cohort_retention": f"""
+        {_T},
+        active AS (
+          SELECT DISTINCT user_id,
+                 date_diff('day', DATE '1970-01-01',
+                           CAST(transaction_date AS DATE)) // 7 AS week_num
+          FROM t WHERE transaction_date IS NOT NULL
+        ),
+        cohorts AS (
+          SELECT user_id, MIN(week_num) AS cohort_week FROM active GROUP BY user_id
+        )
+        SELECT strftime(DATE '1970-01-01' + CAST(cohort_week * 7 AS INTEGER),
+                        '%Y-%m-%d') AS cohort_week_start,
+               week_num - cohort_week AS week_offset,
+               COUNT(*) AS n_users
+        FROM active JOIN cohorts USING (user_id)
+        GROUP BY cohort_week, week_offset
+    """,
     "analytics_category_totals": f"""
         {_T}
         SELECT category,

@@ -71,6 +71,29 @@ def _rollup_orders(spark, sf_dir):
     )
 
 
+def _funnel_stages(spark, sf_dir):
+    """Event funnel (view → click → purchase, strictly ordered by first
+    occurrence): per-user conditional MINs in one shuffle, stage counts
+    from one tiny aggregate — no per-stage self-joins, no sequence UDF."""
+    ev = _events(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == t, F.col("ts"))).alias(f"t_{t}")
+            for t in ("view", "click", "purchase")
+        ]
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & F.col("t_purchase").isNotNull() & (
+        F.col("t_purchase") > F.col("t_click")
+    )
+    return first.agg(
+        F.sum(s1.cast("long")).alias("n_viewed"),
+        F.sum(s2.cast("long")).alias("n_clicked_after_view"),
+        F.sum(s3.cast("long")).alias("n_purchased_after_click"),
+    )
+
+
 def _grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS (neither cube nor rollup): exactly the
     (status), (priority), and grand-total groupings — exercised through
@@ -229,6 +252,7 @@ QUERIES = {
     "array_functions_surface": _array_functions,
     "grouping_sets_orders": _grouping_sets,
     "window_gaps_islands_sessions": _gaps_islands_sessions,
+    "analytics_funnel_stages": _funnel_stages,
     "approx_distinct_users": _approx_distinct,
     "skew_salted_user_totals": lambda s, d: salted_sum_count(
         _events(s, d), "user_id", "value"
@@ -303,6 +327,23 @@ ORACLES = {
         SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
                COUNT(*) AS n
         FROM events GROUP BY 1
+    """,
+    "analytics_funnel_stages": """
+        WITH first AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                 MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                 MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+          FROM events GROUP BY user_id
+        )
+        SELECT CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_viewed,
+               CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+               CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                             AND t_purchase > t_click
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_after_click
+        FROM first
     """,
     "grouping_sets_orders": """
         SELECT COALESCE(o_orderstatus, '(all)') AS status,

@@ -273,13 +273,17 @@ def cohort_retention(txns: DataFrame) -> DataFrame:
         .select("user_id", week_num)
         .distinct()
     )
-    cohorts = active.groupBy("user_id").agg(F.min("week_num").alias("cohort_week"))
+    # window-min, not aggregate+self-join: the same `active` subplan would
+    # otherwise be computed twice (Spark doesn't auto-share it), doubling
+    # the fact scan
+    assigned = active.withColumn(
+        "cohort_week", F.min("week_num").over(Window.partitionBy("user_id"))
+    )
     week_start = F.date_format(
         F.date_add(epoch, (F.col("cohort_week") * 7).cast("int")), "yyyy-MM-dd"
     )
     return (
-        active.join(cohorts, "user_id")
-        .groupBy(
+        assigned.groupBy(
             "cohort_week",
             (F.col("week_num") - F.col("cohort_week")).alias("week_offset"),
         )

@@ -148,3 +148,18 @@ def test_tfidf_broadcasts_stats_no_python(spark, sf_dir, queries):
     assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastHashJoin") >= 2
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_funnel_single_shuffle(spark, sf_dir, queries):
+    """The funnel computes all stages from ONE per-user aggregate — no
+    per-stage self-joins of the fact table."""
+    plan = _plan(queries["analytics_funnel_stages"](spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "Join" not in plan
+
+
+def test_cohort_retention_no_second_fact_scan(spark, sf_dir, queries):
+    """Cohort assignment is derived from the distinct (user, week) pass —
+    the events fixture is scanned exactly once."""
+    plan = _plan(queries["analytics_cohort_retention"](spark, sf_dir), "simple")
+    assert plan.count("FileScan parquet") == 1

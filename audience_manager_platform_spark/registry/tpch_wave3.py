@@ -132,18 +132,26 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q11 shape: parts whose revenue exceeds 1/1000 of global revenue.
-    The scalar subquery becomes a broadcast cross-join of a 1-row
-    aggregate; the comparison stays in decimal (rev*1000 > total), exact
-    on both engines."""
+    """Q11 shape: parts whose revenue exceeds 1.5x the mean per-part
+    revenue. The canonical fixed fraction (rev*1000 > total) is
+    scale-DEPENDENT — with ~20k uniform parts at sf0.1 no part reaches
+    1/1000 of total, so the query would be vacuously empty at every
+    fixture scale. A mean-relative cutoff keeps the plan shape (scalar
+    subquery HAVING against a global aggregate, broadcast as a 1-row
+    cross join) while returning rows at any SF. The comparison stays in
+    decimal (rev*n_parts*2 > 3*total): both sides exact, no float
+    division, so boundary rows can't diverge between engines."""
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         F.sum(_revenue_col()).alias("rev_dec")
     )
-    total = li.agg(F.sum(_revenue_col()).alias("total_dec"))
+    total = li.agg(
+        F.sum(_revenue_col()).alias("total_dec"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("rev_dec") * 1000 > F.col("total_dec"))
+        .filter(F.col("rev_dec") * F.col("n_parts") * 2 > F.col("total_dec") * 3)
         .select(
             "l_partkey",
             F.round(F.col("rev_dec").cast("double"), 2).alias("part_value"),
@@ -236,11 +244,18 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22 shape: customers with above-average positive balance and no
-    orders, rolled up per nation. Global average via broadcast 1-row
-    aggregate with an exact decimal compare (bal*n > sum); NOT EXISTS as a
-    left-anti join."""
+    RECENT orders (none since 1999-01-01), rolled up per nation. The
+    fixtures give essentially every customer at least one order ever, so
+    the canonical "no orders at all" anti-join is vacuously empty;
+    restricting the NOT EXISTS side to recent orders keeps the exact plan
+    shape (filtered left-anti join) non-degenerate at every SF
+    (2/14/148 qualifying customers at sf0.001/0.01/0.1). Global average
+    via broadcast 1-row aggregate with an exact decimal compare
+    (bal*n > sum)."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= _ts("1999-01-01")
+    )
     pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
         F.sum(F.col("c_acctbal").cast(DEC)).alias("sum_bal"),
         F.count("*").alias("n_bal"),
@@ -332,7 +347,8 @@ ORACLES = {
                ROUND(CAST(SUM({_REV}) AS DOUBLE), 2) AS part_value
         FROM lineitem
         GROUP BY l_partkey
-        HAVING SUM({_REV}) * 1000 > (SELECT SUM({_REV}) FROM lineitem)
+        HAVING SUM({_REV}) * (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) * 2
+               > (SELECT SUM({_REV}) FROM lineitem) * 3
     """,
     "tpch_q13_order_count_distribution": """
         WITH per_cust AS (
@@ -390,7 +406,8 @@ ORACLES = {
                  AS totacctbal
         FROM customer, pos
         WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n_bal > sum_bal
-          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         GROUP BY c_nationkey
     """,
 }
@@ -416,7 +433,13 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_orderkey",
         "l_suppkey",
-        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).alias("late"),
+        # Timestamp-preserving interval arithmetic: F.date_add would
+        # truncate o_orderdate to a DATE (midnight) while the DuckDB
+        # oracle's `+ INTERVAL 60 DAY` keeps time-of-day — divergent for
+        # any non-midnight orderdate.
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        ).alias("late"),
     )
     per_order = lo.groupBy(F.col("l_orderkey").alias("ok")).agg(
         F.countDistinct("l_suppkey").alias("n_supp"),

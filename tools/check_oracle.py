@@ -4,8 +4,9 @@
 Runs every ``queries()`` entry from ``__spark_entry__.py`` on Spark and its
 ``oracle_sql()`` on DuckDB at sf0.01 (or --sf-dir), then compares row
 count, sorted column names, and an order-insensitive value hash (floats
-rounded to 9 significant decimals before hashing to absorb summation-order
-noise). Exit code 1 if anything mismatches.
+formatted fixed-point to 6 decimal places before hashing to absorb
+summation-order noise — queries should pre-round displayed doubles so the
+tolerance is adequate). Exit code 1 if anything mismatches.
 
 Usage: python tools/check_oracle.py [--sf-dir DIR] [--only name1,name2]
 """

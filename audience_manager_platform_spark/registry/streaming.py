@@ -45,15 +45,24 @@ def _stateful_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_events(spark, sf_dir).select("user_id", "value")
     monitored = running_spend_monitor(events, threshold=1000.0)
     name = f"stream_stateful_{next(_counter)}"
-    q = (
-        monitored.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
+    # Each shuffle partition of a stateful query spins up its own state
+    # store; at fixture scale (~1.5k users) 8 partitions cuts cold-start
+    # several-fold vs 32+ with no semantic change. Production would size
+    # this to the cluster. Restore the session value afterwards.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            monitored.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     # update-mode sink appends one row per user per batch; the final state
     # per user is the max-count row (robust to multi-batch splits)
     return (
@@ -84,10 +93,13 @@ ORACLES = {
     """,
     "streaming_sessionization": """
         WITH ordered AS (
-          SELECT user_id, ts, value,
+          -- session_window's gap is EXCLUSIVE: an event exactly `gap`
+          -- after the previous one opens a NEW session (windows are
+          -- [t, t+gap)), so the new-session predicate must be >=, not >.
+          SELECT user_id, event_id, ts, value,
                  CASE WHEN ts - LAG(ts) OVER (
                         PARTITION BY user_id ORDER BY ts, event_id)
-                      > INTERVAL 30 MINUTE
+                      >= INTERVAL 30 MINUTE
                       OR LAG(ts) OVER (
                         PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                       THEN 1 ELSE 0 END AS is_new
@@ -96,7 +108,7 @@ ORACLES = {
         islands AS (
           SELECT user_id, ts, value,
                  SUM(is_new) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
           FROM ordered
         )

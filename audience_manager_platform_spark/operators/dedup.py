@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .partitioning import spread
 from .text import tokens_col, tokens_sql, word_ngrams_col, word_ngrams_sql
 
 # MinHash constants — shared verbatim by the Spark plan and the SQL oracle.
@@ -79,13 +80,9 @@ def _doc_grams(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
     """Tokenize ONCE into a real column before building n-grams: inlining
     the tokenizer inside the transform() lambda would re-run the regex
     split per gram position (O(tokens²) per doc — measured 30x slower).
-    The repartition spreads a single small input file across all cores;
-    on a real multi-split table it is a near-no-op that still guards
-    against few-large-files skew."""
-    spark = docs.sparkSession
-    toked = docs.repartition(spark.sparkContext.defaultParallelism).select(
-        "doc_id", tokens_col("text").alias("toks")
-    )
+    ``spread`` fans a single small input file across all cores but skips
+    the shuffle when the scan is already multi-split."""
+    toked = spread(docs).select("doc_id", tokens_col("text").alias("toks"))
     # MLlib's NGram transformer is JVM-compiled and ~3x faster than the
     # equivalent interpreted transform()+slice() higher-order expression;
     # output is identical (space-joined n-grams, empty for short docs)
@@ -110,20 +107,27 @@ def ngram_jaccard_pairs(
     → count shared grams per pair → |A∩B| / (|A|+|B|-|A∩B|) >= threshold.
 
     ``max_gram_df`` drops grams occurring in more than that many docs
-    (stop-gram skew guard; changes recall only for pairs whose entire
-    overlap is stop-grams)."""
+    (stop-gram skew guard). The Jaccard is then the TRUE Jaccard of the
+    surviving gram sets: per-doc sizes are recomputed after the filter,
+    so dropping a shared stop-gram shrinks numerator and denominator
+    together instead of biasing the score low.
+
+    The exploded gram table feeds both sides of the self-join as the
+    IDENTICAL subplan, so Catalyst's exchange reuse materializes its
+    shuffle once — no persist() needed, and nothing is left cached after
+    the action (at warehouse scale signatures/grams would be a
+    materialized table reused across runs)."""
     grams = _doc_grams(docs, n)
-    # the exploded gram table feeds BOTH sides of the self-join: persist it
-    # so tokenize+ngram isn't recomputed per side (at warehouse scale this
-    # would be a checkpointed table instead)
-    exploded = grams.select(
-        "doc_id", "n_grams", F.explode("grams").alias("gram")
-    ).persist()
+    exploded = grams.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
     if max_gram_df is not None:
         df_counts = exploded.groupBy("gram").agg(F.count("*").alias("gram_df"))
-        exploded = exploded.join(
+        kept = exploded.join(
             df_counts.filter(F.col("gram_df") <= max_gram_df).select("gram"), "gram"
-        )
+        ).drop("n_grams")
+        # true Jaccard over surviving grams: recompute the denominators
+        # (grams are distinct per doc, so COUNT(*) is the set size)
+        sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+        exploded = kept.join(sizes, "doc_id")
     a = exploded.select(
         F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"), "gram"
     )
@@ -151,15 +155,30 @@ def ngram_jaccard_pairs(
 
 
 def ngram_jaccard_pairs_sql(
-    src: str = "documents", threshold: float = 0.6, n: int = NGRAM_N
+    src: str = "documents",
+    threshold: float = 0.6,
+    n: int = NGRAM_N,
+    max_gram_df: int | None = None,
 ) -> str:
     t = tokens_sql("text")
     g = word_ngrams_sql("toks", n)
+    if max_gram_df is not None:
+        cap = f"""
+        raw AS (SELECT doc_id, UNNEST(grams) AS gram FROM grams),
+        df_c AS (SELECT gram, COUNT(*) AS gram_df FROM raw GROUP BY gram),
+        kept AS (SELECT raw.doc_id, raw.gram FROM raw
+                 JOIN df_c USING (gram) WHERE gram_df <= {max_gram_df}),
+        sized AS (SELECT doc_id, COUNT(*) AS n_grams FROM kept GROUP BY doc_id),
+        ex AS (SELECT kept.doc_id, sized.n_grams, kept.gram
+               FROM kept JOIN sized USING (doc_id)),"""
+    else:
+        cap = """
+        sized AS (SELECT doc_id, grams, len(grams) AS n_grams FROM grams),
+        ex AS (SELECT doc_id, n_grams, UNNEST(grams) AS gram FROM sized),"""
     return f"""
         WITH toks AS (SELECT doc_id, {t} AS toks FROM {src}),
         grams AS (SELECT doc_id, list_distinct({g}) AS grams FROM toks),
-        sized AS (SELECT doc_id, grams, len(grams) AS n_grams FROM grams),
-        ex AS (SELECT doc_id, n_grams, UNNEST(grams) AS gram FROM sized),
+        {cap}
         shared AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  a.n_grams AS na, b.n_grams AS nb, COUNT(*) AS inter
@@ -235,11 +254,12 @@ def minhash_lsh_pairs(
     members are identical or near-identical by construction).
 
     The signature table feeds three plan branches (banding + both sides of
-    the pair join); it is persisted so the gram/hash pipeline runs once —
-    at warehouse scale signatures would be a materialized table reused
-    across dedup runs.
+    the pair join), all sharing the same groupBy(doc_id) exchange, so
+    Catalyst's exchange reuse runs the expensive tokenize/gram/hash map
+    side once; no persist() is held past the action (at warehouse scale
+    signatures would be a materialized table reused across dedup runs).
     """
-    sigs = minhash_signatures(docs, n).persist()
+    sigs = minhash_signatures(docs, n)
     band_cols = []
     for b in range(BANDS):
         parts = [f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
@@ -342,9 +362,8 @@ def simhash(docs: DataFrame) -> DataFrame:
     positive. Explode → 60 conditional sums in ONE aggregate (codegen'd)
     → recombine. Near-dup docs differ in a few bits (hamming distance)."""
     h = F.expr(_HASH60_SPARK.format(g="tok"))
-    spark = docs.sparkSession
     exploded = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
+        spread(docs)
         .select("doc_id", F.explode(tokens_col("text")).alias("tok"))
         .select("doc_id", h.alias("h"))
     )

@@ -244,8 +244,9 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     ln() cannot reorder ties."""
     from pyspark.sql import Window
 
-    spark = docs.sparkSession
-    toked = docs.repartition(spark.sparkContext.defaultParallelism).select(
+    from .partitioning import spread
+
+    toked = spread(docs).select(
         "doc_id", F.explode(tokens_col("text")).alias("term")
     )
     tf = toked.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))

@@ -228,15 +228,30 @@ def _array_functions(spark, sf_dir):
 
 
 # ------------------------------------------------- approximate aggregates
+APPROX_RSD = 0.02
+
+
 def _approx_distinct(spark, sf_dir):
-    """approx_count_distinct is sketch-based (HLL++) — not oracle-able
-    against another engine by design; the driver records the weaker
-    rows-only check. Exact countDistinct rides along so the numbers can
-    be eyeballed together."""
+    """approx_count_distinct is sketch-based (HLL++) — the raw estimate
+    is not reproducible by another engine, but it IS boundable: the query
+    emits ``within_bound`` = |estimate - exact| <= 4*rsd*exact, and the
+    oracle asserts the exact counts plus ``within_bound = TRUE``. A
+    sketch drifting past 4 standard errors fails the hash gate — a real
+    value-level check, not rows-only (VERDICT r1 finding 4). The raw
+    estimate stays out of the gated output precisely because it is
+    engine-specific."""
     ev = _events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", APPROX_RSD).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 4 * APPROX_RSD * F.col("exact_users")
+        ).alias("within_bound"),
     )
 
 
@@ -384,7 +399,12 @@ ORACLES = {
                ROUND(list_dot_product(v, v), 6) AS sum_sq
         FROM e
     """,
-    # approx_distinct_users: intentionally no oracle (sketch-based)
+    "approx_distinct_users": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS within_bound
+        FROM events GROUP BY event_type
+    """,
     "skew_salted_user_totals": """
         SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
         FROM events GROUP BY user_id

@@ -1,4 +1,11 @@
-"""Embedding similarity-search query family on the embeddings fixture."""
+"""Embedding similarity-search query family on the embeddings fixture.
+
+``ann_similar_pairs`` finds *similar* pairs at a moderate threshold
+(0.45 — near the fixture's best candidate cosine of ≈0.47), while
+``dedup_embedding_near_dup`` runs at the honest near-duplicate threshold
+(0.9) over a derived corpus with planted twins (cosine 0.92-0.94 — the
+raw fixture contains no true near-dups; VERDICT r1 finding 3).
+"""
 
 from __future__ import annotations
 
@@ -16,8 +23,9 @@ QUERIES = {
     "ann_cosine_topk": lambda s, d: S.cosine_topk(_emb(s, d), _QUERY_IDS, k=5),
     "ann_lsh_near_pairs": lambda s, d: S.lsh_near_pairs(_emb(s, d), threshold=0.35),
     "ann_ivf_topk": lambda s, d: S.ivf_topk(_emb(s, d), _QUERY_IDS, k=5),
+    "ann_similar_pairs": lambda s, d: S.lsh_near_pairs(_emb(s, d), threshold=0.45),
     "dedup_embedding_near_dup": lambda s, d: S.embedding_near_dup(
-        _emb(s, d), threshold=0.45
+        S.plant_near_dups(_emb(s, d)), threshold=0.9
     ),
 }
 
@@ -25,5 +33,8 @@ ORACLES = {
     "ann_cosine_topk": S.cosine_topk_sql(_QUERY_IDS, k=5),
     "ann_lsh_near_pairs": S.lsh_near_pairs_sql(threshold=0.35),
     "ann_ivf_topk": S.ivf_topk_sql(_QUERY_IDS, k=5),
-    "dedup_embedding_near_dup": S.lsh_near_pairs_sql(threshold=0.45),
+    "ann_similar_pairs": S.lsh_near_pairs_sql(threshold=0.45),
+    "dedup_embedding_near_dup": S.lsh_near_pairs_sql(
+        threshold=0.9, src=S.near_dup_src_sql()
+    ),
 }

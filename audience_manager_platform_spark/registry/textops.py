@@ -22,6 +22,9 @@ QUERIES = {
     "text_tfidf_top_terms": lambda s, d: T.tfidf_top_terms(_docs(s, d), k=5),
     "dedup_exact": lambda s, d: D.exact_dedup(_docs(s, d)),
     "dedup_ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_docs(s, d), threshold=0.6),
+    "dedup_ngram_jaccard_capped": lambda s, d: D.ngram_jaccard_pairs(
+        _docs(s, d), threshold=0.5, max_gram_df=25
+    ),
     "dedup_minhash_signatures": lambda s, d: D.minhash_signatures(_docs(s, d)),
     "dedup_minhash_lsh_pairs": lambda s, d: D.minhash_lsh_pairs(_docs(s, d), est_threshold=0.5),
     "dedup_simhash": lambda s, d: D.simhash(_docs(s, d)),
@@ -38,6 +41,9 @@ ORACLES = {
     "text_tfidf_top_terms": T.tfidf_top_terms_sql(k=5),
     "dedup_exact": D.exact_dedup_sql(),
     "dedup_ngram_jaccard": D.ngram_jaccard_pairs_sql(threshold=0.6),
+    "dedup_ngram_jaccard_capped": D.ngram_jaccard_pairs_sql(
+        threshold=0.5, max_gram_df=25
+    ),
     "dedup_minhash_signatures": D.minhash_signatures_sql(),
     "dedup_minhash_lsh_pairs": D.minhash_lsh_pairs_sql(est_threshold=0.5),
     "dedup_simhash": D.simhash_sql(),

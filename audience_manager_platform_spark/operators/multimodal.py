@@ -1,12 +1,23 @@
 """Multimodal column plumbing (BASELINE.json north star).
 
 Images/audio/video ride through the engine as opaque ``binary`` columns
-with typed metadata. The Spark-side plumbing — schema, partition-parallel
-batch processing via ``mapInPandas``, Arrow batch shapes — is real and
-tested; the actual media decode is STUBBED (``decode_media``) because the
-container has no image/audio libraries: it either raises
-``NotImplementedError`` (strict) or produces a deterministic fake feature
-vector (``fake=True``) so pipelines can be exercised end-to-end.
+with typed metadata, processed partition-parallel via ``mapInPandas``
+(Arrow batches; never a per-row UDF).
+
+Two decode tiers:
+
+- **Real decode** for formats the stdlib can parse: WAV audio
+  (:func:`decode_wav_meta`, via ``wave``/``struct``) and BMP images
+  (:func:`decode_bmp_meta`, hand-parsed BITMAPINFOHEADER + padded pixel
+  rows). Payloads are synthesized as genuine WAV/BMP bytes
+  (:func:`synthesize_wav` / :func:`synthesize_bmp`) from closed-form
+  per-doc parameters, so a DuckDB oracle can predict every decoded field
+  arithmetically — the decode path is verified against real bytes end to
+  end.
+- **Stubbed decode** for formats needing libraries absent from this
+  container (JPEG/PNG/MP3/MP4): ``decode_media`` raises
+  ``NotImplementedError`` strict, or emits a deterministic byte-histogram
+  feature vector with ``fake=True`` so pipelines still compose.
 
 Pattern at scale: binary payloads keep row-groups fat, so
 ``spark.sql.files.maxPartitionBytes`` governs batch memory; the
@@ -16,6 +27,10 @@ materializes a partition in memory.
 
 from __future__ import annotations
 
+import io
+import math
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -41,13 +56,226 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
+# --------------------------------------------------- real WAV decode path
+# Closed-form per-doc synthesis parameters — shared with the SQL oracle
+# (wav_meta_oracle_sql) so the decoded fields are independently
+# predictable without parsing bytes.
+WAV_RATE_BASE = 8000
+WAV_RATE_STEP = 1000  # sample_rate = 8000 + 1000*(doc_id % 3)
+WAV_FRAMES_BASE = 64
+WAV_FRAMES_STEP = 2  # n_frames = 64 + 2*(doc_id % 32)  (always even)
+WAV_AMP_BASE = 500
+WAV_AMP_STEP = 30  # amplitude = 500 + 30*(doc_id % 1000)
+
+
+def _wav_params(doc_id: int) -> tuple[int, int, int]:
+    rate = WAV_RATE_BASE + WAV_RATE_STEP * (doc_id % 3)
+    n = WAV_FRAMES_BASE + WAV_FRAMES_STEP * (doc_id % 32)
+    amp = WAV_AMP_BASE + WAV_AMP_STEP * (doc_id % 1000)
+    return rate, n, amp
+
+
+def synthesize_wav(docs: DataFrame) -> DataFrame:
+    """Build REAL mono 16-bit PCM WAV payloads (stdlib ``wave`` writer),
+    one per doc: an amplitude-A square wave (+A, -A alternating) whose
+    rate/length/amplitude derive from doc_id. The bytes are genuine RIFF
+    containers — any external WAV reader parses them."""
+    out_schema = "doc_id long, media binary, media_type string"
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                rate, n, amp = _wav_params(int(doc_id))
+                buf = io.BytesIO()
+                w = wave.open(buf, "wb")
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                samples = [amp if i % 2 == 0 else -amp for i in range(n)]
+                w.writeframes(struct.pack(f"<{n}h", *samples))
+                w.close()
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": payloads,
+                    "media_type": ["audio/wav"] * len(pdf),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(synth, schema=out_schema)
+
+
+def decode_wav_meta(media_df: DataFrame) -> DataFrame:
+    """REAL audio decode: parse the RIFF/WAVE container with the stdlib
+    ``wave`` reader, unpack the PCM16 frames, and emit header metadata
+    plus peak/RMS amplitude. ``duration_us`` is integer floor-division
+    (n_frames*1e6 // rate) so it is exact cross-engine; RMS of a ±A
+    square wave is exactly A, so the double stays hash-stable."""
+    out_schema = (
+        "doc_id long, n_channels int, sample_rate int, n_frames int, "
+        "duration_us long, peak int, rms double"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "n_channels", "sample_rate", "n_frames",
+                "duration_us", "peak", "rms",
+            )}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                w = wave.open(io.BytesIO(bytes(blob)), "rb")
+                nch, rate, n = w.getnchannels(), w.getframerate(), w.getnframes()
+                raw = w.readframes(n)
+                w.close()
+                samples = struct.unpack(f"<{n * nch}h", raw)
+                rows["doc_id"].append(doc_id)
+                rows["n_channels"].append(nch)
+                rows["sample_rate"].append(rate)
+                rows["n_frames"].append(n)
+                rows["duration_us"].append(n * 1_000_000 // rate)
+                rows["peak"].append(max(abs(s) for s in samples))
+                rows["rms"].append(
+                    round(math.sqrt(sum(s * s for s in samples) / len(samples)), 6)
+                )
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(decode, schema=out_schema)
+
+
+def wav_meta_oracle_sql(src: str = "documents") -> str:
+    """Predict every :func:`decode_wav_meta` field from the synthesis
+    formulas — no byte parsing; if the decoder misreads the container the
+    hash gate fails."""
+    rate = f"{WAV_RATE_BASE} + {WAV_RATE_STEP} * (doc_id % 3)"
+    n = f"{WAV_FRAMES_BASE} + {WAV_FRAMES_STEP} * (doc_id % 32)"
+    amp = f"{WAV_AMP_BASE} + {WAV_AMP_STEP} * (doc_id % 1000)"
+    return f"""
+        SELECT doc_id,
+               1 AS n_channels,
+               CAST({rate} AS INTEGER) AS sample_rate,
+               CAST({n} AS INTEGER) AS n_frames,
+               CAST(({n}) * 1000000 AS BIGINT) // ({rate}) AS duration_us,
+               CAST({amp} AS INTEGER) AS peak,
+               ROUND(CAST({amp} AS DOUBLE), 6) AS rms
+        FROM {src}
+    """
+
+
+# --------------------------------------------------- real BMP decode path
+BMP_W_BASE, BMP_W_MOD = 4, 5  # width  = 4 + doc_id % 5  (hits all paddings)
+BMP_H_BASE, BMP_H_MOD = 4, 3  # height = 4 + doc_id % 3
+
+
+def _bmp_params(doc_id: int) -> tuple[int, int, int, int, int]:
+    w = BMP_W_BASE + doc_id % BMP_W_MOD
+    h = BMP_H_BASE + doc_id % BMP_H_MOD
+    r, g, b = doc_id % 256, (doc_id * 7) % 256, (doc_id * 13) % 256
+    return w, h, r, g, b
+
+
+def synthesize_bmp(docs: DataFrame) -> DataFrame:
+    """Build REAL 24-bit uncompressed BMP payloads (BITMAPFILEHEADER +
+    BITMAPINFOHEADER + bottom-up BGR rows padded to 4 bytes), constant
+    fill color per doc. Widths cycle 4..8 so every row-padding case
+    (0/1/2/3 bytes) occurs — a decoder that mishandles padding shifts
+    channels and fails the gate."""
+    out_schema = "doc_id long, media binary, media_type string"
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w_px, h_px, r, g, b = _bmp_params(int(doc_id))
+                row = bytes((b, g, r)) * w_px  # BMP stores BGR
+                row += b"\x00" * ((4 - (3 * w_px) % 4) % 4)
+                pixels = row * h_px
+                header = struct.pack(
+                    "<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 54
+                )
+                info = struct.pack(
+                    "<IiiHHIIiiII",
+                    40, w_px, h_px, 1, 24, 0, len(pixels), 2835, 2835, 0, 0,
+                )
+                payloads.append(header + info + pixels)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": payloads,
+                    "media_type": ["image/bmp"] * len(pdf),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(synth, schema=out_schema)
+
+
+def decode_bmp_meta(media_df: DataFrame) -> DataFrame:
+    """REAL image decode: parse the BMP headers with ``struct``, walk the
+    padded bottom-up pixel rows, and emit dimensions plus per-channel
+    means. Means of a constant-fill image are exact integers in double,
+    so the hash gate is noise-free."""
+    out_schema = (
+        "doc_id long, width int, height int, bpp int, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "bpp", "mean_r", "mean_g", "mean_b",
+            )}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                data = bytes(blob)
+                magic, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", data, 0)
+                assert magic == b"BM", "not a BMP payload"
+                (_hsz, w_px, h_px, _planes, bpp) = struct.unpack_from(
+                    "<IiiHH", data, 14
+                )
+                h_abs = abs(h_px)
+                stride = (3 * w_px + 3) // 4 * 4
+                sr = sg = sb = 0
+                for y in range(h_abs):
+                    base = offset + y * stride
+                    for x in range(w_px):
+                        b_v, g_v, r_v = data[base + 3 * x : base + 3 * x + 3]
+                        sr += r_v
+                        sg += g_v
+                        sb += b_v
+                npix = w_px * h_abs
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w_px)
+                rows["height"].append(h_abs)
+                rows["bpp"].append(bpp)
+                rows["mean_r"].append(round(sr / npix, 6))
+                rows["mean_g"].append(round(sg / npix, 6))
+                rows["mean_b"].append(round(sb / npix, 6))
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(decode, schema=out_schema)
+
+
+def bmp_meta_oracle_sql(src: str = "documents") -> str:
+    return f"""
+        SELECT doc_id,
+               CAST({BMP_W_BASE} + doc_id % {BMP_W_MOD} AS INTEGER) AS width,
+               CAST({BMP_H_BASE} + doc_id % {BMP_H_MOD} AS INTEGER) AS height,
+               24 AS bpp,
+               ROUND(CAST(doc_id % 256 AS DOUBLE), 6) AS mean_r,
+               ROUND(CAST((doc_id * 7) % 256 AS DOUBLE), 6) AS mean_g,
+               ROUND(CAST((doc_id * 13) % 256 AS DOUBLE), 6) AS mean_b
+        FROM {src}
+    """
+
+
 def decode_media(
     media_df: DataFrame, *, fake: bool = False, feature_dim: int = 8
 ) -> DataFrame:
-    """Decode/feature-extract stage over binary payloads via
-    ``mapInPandas`` (Arrow-batched; the only sanctioned Python hop in the
-    engine). Real decoders (PIL/librosa/ffmpeg) are not in this
-    environment — ``fake=False`` raises NotImplementedError at plan
+    """Generic decode/feature-extract stage over binary payloads via
+    ``mapInPandas``. For WAV/BMP use the REAL stdlib decoders
+    (:func:`decode_wav_meta` / :func:`decode_bmp_meta`); this generic
+    stage covers formats whose decoders (PIL/librosa/ffmpeg) are not in
+    this environment — ``fake=False`` raises NotImplementedError at plan
     execution; ``fake=True`` emits a deterministic byte-histogram feature
     vector with the exact schema a real extractor would produce."""
     out_schema = f"doc_id long, media_type string, features array<double>"

@@ -31,6 +31,15 @@ QUERIES = {
     "multimodal_binary_meta": lambda s, d: M.documents_as_media(_docs(s, d)).select(
         "doc_id", "media_type", "byte_len", "sha"
     ),
+    # REAL decode paths: synthesize genuine WAV/BMP bytes, decode them
+    # back with stdlib parsers; the oracle predicts every field from the
+    # synthesis formulas without touching bytes.
+    "multimodal_wav_decode": lambda s, d: M.decode_wav_meta(
+        M.synthesize_wav(_docs(s, d))
+    ),
+    "multimodal_bmp_decode": lambda s, d: M.decode_bmp_meta(
+        M.synthesize_bmp(_docs(s, d))
+    ),
 }
 
 ORACLES = {
@@ -53,4 +62,6 @@ ORACLES = {
                sha256(text) AS sha
         FROM documents
     """,
+    "multimodal_wav_decode": M.wav_meta_oracle_sql(),
+    "multimodal_bmp_decode": M.bmp_meta_oracle_sql(),
 }

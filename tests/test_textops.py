@@ -125,6 +125,33 @@ def test_multimodal_meta_and_fake_decode(docs):
     assert all(abs(sum(r.features) - 1.0) < 1e-3 for r in out)
 
 
+def test_multimodal_wav_roundtrip_real_bytes(docs):
+    """The WAV path writes genuine RIFF containers and the decoder parses
+    them back with the stdlib reader — verify one payload independently
+    here (header fields + exact square-wave RMS)."""
+    import io
+    import wave as wave_mod
+
+    media = {r.doc_id: r for r in M.synthesize_wav(docs).collect()}
+    w = wave_mod.open(io.BytesIO(bytes(media[3].media)), "rb")
+    rate, n, amp = M._wav_params(3)
+    assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (1, 2, rate)
+    assert w.getnframes() == n
+    decoded = {r.doc_id: r for r in M.decode_wav_meta(M.synthesize_wav(docs)).collect()}
+    assert decoded[3].peak == amp and decoded[3].rms == float(amp)
+    assert decoded[3].duration_us == n * 1_000_000 // rate
+
+
+def test_multimodal_bmp_roundtrip_real_bytes(docs):
+    """BMP payloads are real 24-bit bitmaps (padded bottom-up rows);
+    decode recovers dimensions and exact channel means."""
+    decoded = {r.doc_id: r for r in M.decode_bmp_meta(M.synthesize_bmp(docs)).collect()}
+    for doc_id, row in decoded.items():
+        w_px, h_px, r, g, b = M._bmp_params(doc_id)
+        assert (row.width, row.height, row.bpp) == (w_px, h_px, 24)
+        assert (row.mean_r, row.mean_g, row.mean_b) == (float(r), float(g), float(b))
+
+
 def test_multimodal_strict_decode_raises(docs):
     import py4j
     media = M.documents_as_media(docs)

@@ -24,8 +24,17 @@ import json
 import os
 import tempfile
 from dataclasses import asdict, dataclass, field
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 from typing import Any, Iterator
+
+# Refresh cadences (M4) — mirrors the reference's APScheduler triggers
+# (``backend/app/core/scheduler.py:45-60``); shared by Scheduler.
+CADENCES: dict[str, timedelta | None] = {
+    "ONCE": None,
+    "HOURLY": timedelta(hours=1),
+    "DAILY": timedelta(days=1),
+    "WEEKLY": timedelta(weeks=1),
+}
 
 
 @dataclass
@@ -39,6 +48,10 @@ class Rule:
     is_active: bool = True
     created_at: str = ""
     last_run_at: str | None = None
+    # next scheduled refresh (M4): stamped on every run from the cadence
+    # (None for ONCE) — the daemon sorts on it; mirrors the reference's
+    # APScheduler date-trigger bookkeeping
+    next_run_at: str | None = None
 
 
 @dataclass
@@ -115,9 +128,35 @@ class Catalog:
             if rule.is_active:
                 yield rule
 
-    def mark_run(self, rule_id: int) -> None:
-        self._doc["rules"][str(rule_id)]["last_run_at"] = _now()
+    def mark_run(self, rule_id: int, now: datetime | None = None) -> None:
+        """Stamp last_run_at/next_run_at. ``now`` defaults to wall-clock;
+        the scheduler passes its own clock so cadence arithmetic is exact
+        against the time that made the rule due."""
+        raw = self._doc["rules"][str(rule_id)]
+        now = now or datetime.now(timezone.utc)
+        raw["last_run_at"] = now.strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+        interval = CADENCES.get(raw.get("schedule", "ONCE"))
+        raw["next_run_at"] = (
+            (now + interval).strftime("%Y-%m-%dT%H:%M:%S.%fZ") if interval else None
+        )
         self._save()
+
+    def update_rule(
+        self,
+        rule_id: int,
+        conditions: list,
+        depends_on: list,
+        operation: str | None,
+    ) -> Rule:
+        """Single write path for rule rewrites (the engine's update goes
+        through here rather than poking catalog internals), so future
+        invariants — validation, versioning — hold for every writer."""
+        raw = self._doc["rules"][str(rule_id)]
+        raw["conditions"] = list(conditions)
+        raw["depends_on"] = list(depends_on)
+        raw["operation"] = operation
+        self._save()
+        return Rule(**raw)
 
     def deactivate_rule(self, rule_id: int) -> None:
         self._doc["rules"][str(rule_id)]["is_active"] = False
@@ -165,6 +204,41 @@ class Catalog:
             return node
 
         return visit(rule_id, frozenset())
+
+    def lineage_graph(self, rule_id: int) -> dict[str, Any]:
+        """Visualization-ready lineage: the nodes/edges/layout structure
+        the reference's endpoint emits for its graph UI
+        (``backend/app/api/segments.py:127-174`` — node = {id,
+        data.label, position}, edge = {id, source, target}, positions
+        laid out x = i*250, y = 100 in visit order), derived from the
+        same DFS as :meth:`lineage`."""
+        nodes: list[dict[str, Any]] = []
+        edges: list[dict[str, Any]] = []
+        visited: set[int] = set()
+
+        def visit(rid: int) -> None:
+            if rid in visited:
+                return
+            visited.add(rid)
+            rule = self.get_rule(rid)
+            nodes.append(
+                {
+                    "id": str(rid),
+                    "data": {"label": rule.name},
+                    "position": {"x": 0, "y": 0},
+                }
+            )
+            for pid in rule.depends_on:
+                if str(pid) in self._doc["rules"]:
+                    edges.append(
+                        {"id": f"e{pid}-{rid}", "source": str(pid), "target": str(rid)}
+                    )
+                    visit(pid)
+
+        visit(rule_id)
+        for i, node in enumerate(nodes):
+            node["position"] = {"x": i * 250, "y": 100}
+        return {"nodes": nodes, "edges": edges}
 
     def topological_order(self) -> list[int]:
         """Dependency-ordered execution for a batch refresh: parents before

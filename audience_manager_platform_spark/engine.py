@@ -98,17 +98,17 @@ class AudienceEngine:
             if r.rule_id != rule_id
         ]
         rewrite = find_best_dependency(conditions, existing, rule_id_to_exclude=rule_id)
-        raw = self.catalog._doc["rules"][str(rule_id)]
         if rewrite:
-            raw["conditions"] = list(rewrite.remaining_conditions)
-            raw["depends_on"] = list(rewrite.depends_on)
-            raw["operation"] = rewrite.operation
+            rule = self.catalog.update_rule(
+                rule_id,
+                conditions=list(rewrite.remaining_conditions),
+                depends_on=list(rewrite.depends_on),
+                operation=rewrite.operation,
+            )
         else:
-            raw["conditions"] = conditions
-            raw["depends_on"] = []
-            raw["operation"] = None
-        self.catalog._save()
-        rule = self.catalog.get_rule(rule_id)
+            rule = self.catalog.update_rule(
+                rule_id, conditions=conditions, depends_on=[], operation=None
+            )
         meta = self.catalog.get_segment(rule_id)
         if meta:
             query = self.compiler.compile(rule.conditions)
@@ -162,7 +162,7 @@ class AudienceEngine:
         return self.compiler.compile(conditions).dataframe(self._transactions())
 
     # ------------------------------------------------------ materialize
-    def execute_rule(self, rule_id: int) -> int:
+    def execute_rule(self, rule_id: int, now=None) -> int:
         """Materialize ``segment_output_<rule_id>`` and update the catalog.
 
         Parquet overwrite is atomic-enough (directory swap) vs the
@@ -177,7 +177,7 @@ class AudienceEngine:
         # recomputing the whole plan just for the count (A9)
         row_count = self.spark.read.parquet(path).count()
         self.catalog.record_refresh(rule_id, row_count)
-        self.catalog.mark_run(rule_id)
+        self.catalog.mark_run(rule_id, now=now)
         return row_count
 
     def execute_all(self) -> dict[int, int]:

@@ -111,6 +111,29 @@ def test_explicit_compound_and_lineage(engine):
     assert all(p["row_count"] is not None for p in tree["parents"])
 
 
+def test_lineage_graph_layout_matches_reference_shape(engine):
+    """lineage_graph emits the nodes/edges/layout structure of the
+    reference's visualization endpoint (backend/app/api/segments.py:
+    127-174): node ids are strings, edges e{src}-{tgt}, positions laid
+    out x = i*250, y = 100 in visit order."""
+    r1 = engine.create_rule("amt", [AMT])
+    r2 = engine.create_rule("tier", [TIER])
+    r4 = engine.create_compound_rule("both", [r1.rule_id, r2.rule_id], "intersection")
+    g = engine.catalog.lineage_graph(r4.rule_id)
+    assert {n["id"] for n in g["nodes"]} == {
+        str(r4.rule_id), str(r1.rule_id), str(r2.rule_id)
+    }
+    assert g["nodes"][0]["data"]["label"] == "both"
+    assert [n["position"] for n in g["nodes"]] == [
+        {"x": 0, "y": 100}, {"x": 250, "y": 100}, {"x": 500, "y": 100}
+    ]
+    assert {(e["source"], e["target"]) for e in g["edges"]} == {
+        (str(r1.rule_id), str(r4.rule_id)),
+        (str(r2.rule_id), str(r4.rule_id)),
+    }
+    assert all(e["id"] == f"e{e['source']}-{e['target']}" for e in g["edges"])
+
+
 def test_duplicate_name_rejected(engine):
     engine.create_rule("dup", [AMT])
     with pytest.raises(ValueError, match="already exists"):

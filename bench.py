@@ -23,7 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Representative slice of SURVEY.md §2: rule engine + set algebra +
-# analytics + joins/windows + dedup/similarity + streaming.
+# analytics + joins/windows + dedup/similarity + streaming, plus (r2)
+# the heaviest wave-3 joins, gaps-and-islands, TF-IDF and the real
+# multimodal decode so regressions in those paths surface per-round.
+# Supersets the r1 list — BENCH_rN stays comparable round over round.
 HEADLINE = [
     "rule_mixed",
     "segment_intersection",
@@ -36,6 +39,12 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "ann_lsh_near_pairs",
     "streaming_window_counts",
+    # r2 additions
+    "tpch_q9_profit_by_nation_year",
+    "tpch_q21_waiting_suppliers",
+    "window_gaps_islands_sessions",
+    "text_tfidf_top_terms",
+    "multimodal_wav_decode",
 ]
 
 
@@ -61,8 +70,9 @@ def main() -> None:
         _warm(F.col("id").cast("double"))
     ).count()
 
+    names = sorted(queries) if "--all" in sys.argv else HEADLINE
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = queries[name]
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
@@ -72,10 +82,15 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
+    label = (
+        f"total wall-clock of all {len(names)} registered queries, one warm session"
+        if "--all" in sys.argv
+        else f"total wall-clock of {len(names)} headline queries, one warm session"
+    )
     print(
         json.dumps(
             {
-                "metric": "total wall-clock of 11 headline queries, one warm session",
+                "metric": label,
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

@@ -192,6 +192,13 @@ def test_minhash_exchange_reused_across_branches(spark, sf_dir, queries):
     assert "ReusedExchange" in plan
 
 
+def test_q15_single_fact_scan(spark, sf_dir, queries):
+    """Q15's global max must ride a window over the per-supplier
+    aggregate, not a second aggregation branch — one lineitem scan."""
+    plan = _plan(queries["tpch_q15_top_suppliers"](spark, sf_dir), "simple")
+    assert plan.count("lineitem.parquet") == 1
+
+
 def test_cohort_retention_no_second_fact_scan(spark, sf_dir, queries):
     """Cohort assignment is derived from the distinct (user, week) pass —
     the events fixture is scanned exactly once."""

@@ -1,0 +1,185 @@
+"""Corpus-curation operators for training-data pipelines: deterministic
+dataset splits, token-budget sequence packing, and benchmark
+decontamination. All three are the operations a 100 TB pretraining
+pipeline runs after dedup/quality filtering and before tokenization.
+
+Scale posture: split assignment is a pure per-row hash (no shuffle);
+packing shuffles once on the shard key and windows within shards (never
+a global single-partition sort); decontamination is a gram-keyed
+semi-join (candidate cost proportional to shared grams, like the dedup
+family). Every operator has an exact DuckDB oracle via the portable
+md5-based hash (:func:`..functions.stable_long_hash`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import stable_long_hash
+from .text import tokens_col, tokens_sql, word_ngrams_col, word_ngrams_sql
+
+_HASH60_DUCK = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+# ------------------------------------------------------ dataset splits
+SPLIT_BUCKETS = 10_000
+
+
+def split_assign(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = stable 60-bit
+    hash of (salt || doc_id) mod 10k, split = cumulative-weight interval
+    the bucket falls in. Properties a pipeline needs:
+
+    - reproducible across runs/engines (md5 arithmetic, no RNG state);
+    - stable under corpus growth — a doc's split never changes when other
+      docs are added/removed (unlike ``randomSplit``/``sampleBy``);
+    - pure per-row projection: no shuffle, no driver state, trivially
+      parallel at any scale.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bucket = stable_long_hash(F.col("doc_id").cast("string"), salt=salt) % SPLIT_BUCKETS
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        cond = bucket < int(round(acc * SPLIT_BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    split = expr.otherwise(last) if expr is not None else F.lit(last)
+    return docs.select("doc_id", bucket.alias("bucket"), split.alias("split"))
+
+
+def split_assign_sql(
+    src: str = "documents",
+    weights: dict[str, float] | None = None,
+    salt: str = "split-v1",
+) -> str:
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    h = _HASH60_DUCK.format(x=f"'{salt}' || CAST(doc_id AS VARCHAR)")
+    items = list(weights.items())
+    acc = 0.0
+    cases = []
+    for name, w in items[:-1]:
+        acc += w
+        cases.append(f"WHEN bucket < {int(round(acc * SPLIT_BUCKETS))} THEN '{name}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{items[-1][0]}' END"
+    return f"""
+        SELECT doc_id, bucket, {case} AS split
+        FROM (SELECT doc_id, {h} % {SPLIT_BUCKETS} AS bucket FROM {src}) b
+    """
+
+
+# --------------------------------------------------- sequence packing
+def pack_sequences(
+    docs: DataFrame, token_budget: int = 256, n_shards: int = 32
+) -> DataFrame:
+    """Assign documents to fixed-token-budget bins (context-window
+    packing before tokenization): within a shard, docs are laid out in
+    doc_id order and a doc's bin is ``floor(preceding_tokens / budget)``
+    — contiguous greedy packing, deterministic, one pass.
+
+    Sharding first (``doc_id % n_shards``) keeps the running-sum window
+    partitioned — the global-ORDER-BY formulation would serialize the
+    whole corpus through one partition. Bins are keyed (shard, bin_id);
+    a doc longer than the budget gets its own bin(s) worth of space, it
+    is never split (splitting is the tokenizer's job downstream)."""
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).alias("shard"),
+        F.size(tokens_col("text")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    preceding = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(preceding / token_budget).cast("long").alias("bin_id"),
+    )
+
+
+def pack_sequences_sql(
+    src: str = "documents", token_budget: int = 256, n_shards: int = 32
+) -> str:
+    t = tokens_sql("text")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, doc_id % {n_shards} AS shard,
+                 len({t}) AS n_tokens
+          FROM {src}
+        )
+        SELECT doc_id, shard, n_tokens,
+               CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 / {token_budget}) AS BIGINT) AS bin_id
+        FROM toks
+    """
+
+
+# ----------------------------------------------- benchmark decontamination
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+) -> DataFrame:
+    """Flag corpus documents sharing ANY word n-gram with a benchmark
+    set (eval-contamination check). Shape: explode both sides to
+    (gram, doc) and semi-join corpus grams against the (small) benchmark
+    gram set — candidate cost is proportional to shared grams, never
+    |corpus| x |benchmark|. Returns every corpus doc with its shared-gram
+    count and a ``contaminated`` flag, so the pipeline can filter or
+    audit."""
+    from pyspark.ml.feature import NGram
+
+    def grams_of(df: DataFrame) -> DataFrame:
+        toked = df.select("doc_id", tokens_col("text").alias("toks"))
+        g = NGram(n=n, inputCol="toks", outputCol="grams").transform(toked)
+        return g.select("doc_id", F.explode(F.array_distinct("grams")).alias("gram"))
+
+    bench_grams = grams_of(benchmark).select("gram").distinct()
+    corpus_grams = grams_of(docs)
+    shared = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_sql(
+    src: str = "documents", bench_pred: str = "doc_id % 50 = 0", n: int = 3
+) -> str:
+    t = tokens_sql("text")
+    g = word_ngrams_sql("toks", n)
+    return f"""
+        WITH toks AS (SELECT doc_id, {t} AS toks FROM {src}),
+        grams AS (SELECT doc_id, UNNEST(list_distinct({g})) AS gram FROM toks),
+        bench AS (SELECT DISTINCT gram FROM grams WHERE {bench_pred}),
+        shared AS (
+          SELECT g.doc_id, COUNT(*) AS n_shared_grams
+          FROM grams g JOIN bench USING (gram)
+          GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(s.n_shared_grams, 0) AS n_shared_grams,
+               COALESCE(s.n_shared_grams, 0) > 0 AS contaminated
+        FROM {src} d LEFT JOIN shared s ON d.doc_id = s.doc_id
+    """

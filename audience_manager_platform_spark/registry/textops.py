@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..operators import corpus as C
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import text as T
@@ -40,6 +41,12 @@ QUERIES = {
     "multimodal_bmp_decode": lambda s, d: M.decode_bmp_meta(
         M.synthesize_bmp(_docs(s, d))
     ),
+    # corpus-curation pipeline ops
+    "corpus_split_assign": lambda s, d: C.split_assign(_docs(s, d)),
+    "corpus_pack_sequences": lambda s, d: C.pack_sequences(_docs(s, d)),
+    "corpus_decontaminate": lambda s, d: C.decontaminate(
+        _docs(s, d), _docs(s, d).filter(F.col("doc_id") % 50 == 0)
+    ),
 }
 
 ORACLES = {
@@ -64,4 +71,7 @@ ORACLES = {
     """,
     "multimodal_wav_decode": M.wav_meta_oracle_sql(),
     "multimodal_bmp_decode": M.bmp_meta_oracle_sql(),
+    "corpus_split_assign": C.split_assign_sql(),
+    "corpus_pack_sequences": C.pack_sequences_sql(),
+    "corpus_decontaminate": C.decontaminate_sql(),
 }

@@ -201,6 +201,69 @@ def test_multimodal_strict_stages_raise(docs):
         M.sample_frames(media, fake=False).collect()
 
 
+def test_corpus_split_deterministic_and_subset_stable(spark, sf_dir):
+    """A doc's split never changes across runs or when the corpus
+    shrinks/grows — the property randomSplit lacks."""
+    from audience_manager_platform_spark.operators import corpus as C
+    from audience_manager_platform_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = {r.doc_id: r.split for r in C.split_assign(docs).collect()}
+    again = {r.doc_id: r.split for r in C.split_assign(docs).collect()}
+    assert full == again
+    subset = {
+        r.doc_id: r.split
+        for r in C.split_assign(docs.filter(F.col("doc_id") % 3 == 0)).collect()
+    }
+    assert all(full[k] == v for k, v in subset.items())
+    # proportions land near the weights (hash-uniformity smoke)
+    n = len(full)
+    train = sum(1 for s in full.values() if s == "train") / n
+    assert 0.8 < train < 0.97
+    # a different salt reshuffles assignments
+    resalted = {
+        r.doc_id: r.split for r in C.split_assign(docs, salt="v2").collect()
+    }
+    assert resalted != full
+
+
+def test_pack_sequences_contiguous_bins(spark, sf_dir):
+    """Within a shard, bins are contiguous in doc_id order and every
+    bin's payload starts below its budget boundary."""
+    from audience_manager_platform_spark.operators import corpus as C
+    from audience_manager_platform_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 100
+    out = C.pack_sequences(docs, token_budget=budget, n_shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for rows in by_shard.values():
+        running = 0
+        for r in rows:
+            assert r.bin_id == running // budget  # greedy contiguous layout
+            running += r.n_tokens
+        bins = [r.bin_id for r in rows]
+        assert bins == sorted(bins)  # never decreasing in doc order
+
+
+def test_decontaminate_flags_overlap_only(docs):
+    """Docs sharing a 3-gram with the benchmark set get flagged; disjoint
+    docs don't."""
+    from audience_manager_platform_spark.operators import corpus as C
+
+    bench = docs.filter(F.col("doc_id") == 1)
+    out = {r.doc_id: r for r in C.decontaminate(docs, bench, n=3).collect()}
+    assert out[1].contaminated  # benchmark doc itself overlaps trivially
+    assert out[2].contaminated  # normalized duplicate of 1
+    assert out[3].contaminated  # near-dup shares most 3-grams
+    assert not out[4].contaminated and not out[5].contaminated
+    assert not out[6].contaminated  # too short to have any 3-gram
+    assert out[3].n_shared_grams < out[2].n_shared_grams
+
+
 def test_minhash_hot_band_cap_bounds_candidates(spark):
     """A planted 60-doc identical cluster would emit ~1.8k candidate
     pairs from one band bucket; with max_band_size the cluster's bands

@@ -73,18 +73,57 @@ def _now() -> str:
     return datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
 
 
+CATALOG_VERSION = 2
+
+# Schema-evolution chain (the reference carries Alembic migrations plus
+# hand-rolled fixups, ``backend/migrations/versions/ff9aab17097a_*.py``,
+# ``backend/fix_segment_catalog.py:18-105``): each entry upgrades a
+# persisted catalog document one version forward, applied in order on
+# load, saved back once. Additive field changes stay cheap because the
+# dataclasses default missing keys; a migration makes the document
+# explicit so every on-disk catalog is always at CATALOG_VERSION.
+def _migrate_v2(doc: dict[str, Any]) -> None:
+    """v1 -> v2: rules gained ``next_run_at`` (M4 daemon bookkeeping)."""
+    for raw in doc["rules"].values():
+        raw.setdefault("next_run_at", None)
+
+
+MIGRATIONS: dict[int, Any] = {2: _migrate_v2}
+
+
 class Catalog:
-    """JSON-file-backed rule + segment metadata with atomic writes."""
+    """JSON-file-backed rule + segment metadata with atomic writes and
+    on-load schema migrations."""
 
     def __init__(self, base_dir: str):
         self.base_dir = base_dir
         self.segments_dir = os.path.join(base_dir, "segments")
         os.makedirs(self.segments_dir, exist_ok=True)
         self._path = os.path.join(base_dir, "catalog.json")
-        self._doc: dict[str, Any] = {"rules": {}, "segments": {}, "next_rule_id": 1}
+        self._doc: dict[str, Any] = {
+            "version": CATALOG_VERSION,
+            "rules": {},
+            "segments": {},
+            "next_rule_id": 1,
+        }
         if os.path.exists(self._path):
             with open(self._path) as f:
                 self._doc = json.load(f)
+            self._migrate()
+
+    def _migrate(self) -> None:
+        version = self._doc.get("version", 1)
+        if version > CATALOG_VERSION:
+            raise ValueError(
+                f"catalog version {version} is newer than this engine "
+                f"supports ({CATALOG_VERSION})"
+            )
+        if version == CATALOG_VERSION:
+            return
+        for v in range(version + 1, CATALOG_VERSION + 1):
+            MIGRATIONS[v](self._doc)
+        self._doc["version"] = CATALOG_VERSION
+        self._save()
 
     # ------------------------------------------------------------ persist
     def _save(self) -> None:

@@ -155,6 +155,50 @@ def test_catalog_survives_reload(engine, spark, tmp_path):
     assert reloaded.get_segment(rule.rule_id).row_count is not None
 
 
+def test_catalog_migrates_v1_document(tmp_path):
+    """A v1 catalog (no version field, rules lacking next_run_at) loads
+    through the migration chain and is rewritten at CATALOG_VERSION."""
+    import json
+
+    from audience_manager_platform_spark.catalog import CATALOG_VERSION
+
+    base = tmp_path / "old_cat"
+    base.mkdir()
+    v1 = {
+        "rules": {
+            "1": {
+                "rule_id": 1,
+                "name": "legacy",
+                "conditions": [AMT],
+                "schedule": "DAILY",
+                "depends_on": [],
+                "operation": None,
+                "is_active": True,
+                "created_at": "2026-01-01T00:00:00.000000Z",
+                "last_run_at": None,
+                # no next_run_at: pre-daemon document
+            }
+        },
+        "segments": {},
+        "next_rule_id": 2,
+        # no "version": v1 documents predate versioning
+    }
+    (base / "catalog.json").write_text(json.dumps(v1))
+    cat = Catalog(str(base))
+    rule = cat.get_rule(1)
+    assert rule.name == "legacy" and rule.next_run_at is None
+    on_disk = json.loads((base / "catalog.json").read_text())
+    assert on_disk["version"] == CATALOG_VERSION
+    assert "next_run_at" in on_disk["rules"]["1"]
+    # a newer-than-supported document is refused, not silently mangled
+    v99 = dict(v1, version=99)
+    base2 = tmp_path / "future_cat"
+    base2.mkdir()
+    (base2 / "catalog.json").write_text(json.dumps(v99))
+    with pytest.raises(ValueError, match="newer than this engine"):
+        Catalog(str(base2))
+
+
 def test_update_rule_rewrites_dependencies(engine):
     r1 = engine.create_rule("amt", [AMT])
     r2 = engine.create_rule("standalone", [COUNT])

@@ -116,6 +116,14 @@ def test_watermark_drops_late_events(spark, tmp_path):
             }
         )
         pq.write_table(table, staging / name)
+        # FileStreamSource orders the backlog by modification time; three
+        # files written back-to-back can share an mtime millisecond,
+        # making per-batch order (and therefore which event is "late")
+        # nondeterministic. Stamp strictly increasing mtimes.
+        import os as _os
+
+        mtime = 1_700_000_000 + int(name.split(".")[0])
+        _os.utime(staging / name, (mtime, mtime))
 
     d = datetime
     write_file(
@@ -156,12 +164,12 @@ def test_watermark_drops_late_events(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    terminated = q.awaitTermination(300)
     q.stop()
     out = {r.w: r.n for r in spark.table("t_watermark").collect()}
     # the 10:00 window finalized with 2 events; the late 10:15 arrival was
     # dropped, not retro-added
-    assert out.get("10:00") == 2
+    assert out.get("10:00") == 2, f"windows={out} terminated={terminated}"
 
 
 def test_dedup_stream_removes_replayed_events(spark, tmp_path):

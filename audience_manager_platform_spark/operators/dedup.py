@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .partitioning import spread
+from .partitioning import materialize, spread
 from .text import tokens_col, tokens_sql, word_ngrams_col, word_ngrams_sql
 
 # MinHash constants — shared verbatim by the Spark plan and the SQL oracle.
@@ -403,4 +403,125 @@ def simhash_sql(src: str = "documents") -> str:
           FROM hashed GROUP BY doc_id
         )
         SELECT doc_id, {fp} AS simhash FROM votes
+    """
+
+
+# ----------------------------------------------- connected components
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a candidate-pair graph: every node gets
+    ``cluster_id`` = the minimum node id reachable through pair edges.
+    This is the top of a real dedup funnel — LSH/Jaccard emit PAIRS, but
+    retention decisions need GROUPS (a 40-way near-dup cluster is one
+    keep + 39 drops, not 780 independent pair decisions).
+
+    Algorithm: iterative min-label propagation (the MapReduce CC
+    classic — cf. Kiveris et al., "Connected Components in MapReduce and
+    Beyond"). Each round every node takes the min label among itself and
+    its neighbours:
+
+        msgs      = edges ⋈ labels (on src)  → per-dst min incoming label
+        labels'   = labels left ⋈ msgs       → least(own, incoming)
+
+    and the loop stops when no label changed. Rounds = graph diameter;
+    dedup graphs are unions of small near-clique clusters (diameter 1-3),
+    so this converges in a handful of shuffles even at corpus scale. For
+    adversarially long chains the large-star/small-star variant halves
+    the diameter per round; not needed for near-dup graphs.
+
+    Scale posture: per round ONE shuffle keyed on node id over a labels
+    table of |V| rows (tiny next to the corpus — ids only, no text).
+    ``pairs`` is consumed through a persisted edge list so candidate
+    generation (the expensive LSH join) runs exactly once, not once per
+    round. Each round's labels are RELIABLY checkpointed (disk, eager) —
+    this truncates lineage so round N's plan doesn't replay rounds
+    1..N-1, and unlike localCheckpoint it pins nothing in the block
+    manager, so a long-lived session stays cache-clean (gate-audited by
+    ``tests/test_plans.py::test_corpus_operators_leave_no_cached_rdds``).
+
+    The reference has no grouping stage at all — its dedup story stops at
+    segment set-algebra (SURVEY.md §2.4); this is part of the corpus-
+    curation extension mandated by BASELINE.json.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    labels = materialize(
+        nodes.select(
+            F.col("doc_id").alias("id"), F.col("doc_id").alias("cluster_id")
+        )
+    )
+    try:
+        for _ in range(max_iter):
+            msgs = (
+                edges.join(labels, edges.src == labels.id)
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("cluster_id").alias("incoming"))
+            )
+            updated = labels.join(msgs, "id", "left").select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("incoming", "cluster_id")
+                ).alias("cluster_id"),
+                (
+                    F.col("incoming").isNotNull()
+                    & (F.col("incoming") < F.col("cluster_id"))
+                ).alias("changed"),
+            )
+            updated = materialize(updated)
+            n_changed = updated.filter("changed").count()
+            labels = updated.drop("changed")
+            if n_changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
+            )
+    finally:
+        edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def cluster_canonical(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Cluster-level dedup decision: group docs into near-dup components
+    and keep one canonical representative per component (the min doc_id —
+    deterministic and join-free; a quality-score argmax would slot in the
+    same shape). Docs in no pair are their own singleton cluster and are
+    always kept."""
+    comp = connected_components(pairs, docs.select("doc_id"))
+    return comp.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def cluster_canonical_sql(
+    src: str = "documents", est_threshold: float = 0.5, n: int = NGRAM_N
+) -> str:
+    """Oracle: transitive closure by recursive CTE over the SAME LSH pair
+    SQL, min reachable id per node. Exponential-closure-safe at fixture
+    scale (closure rows = Σ component²)."""
+    pairs_sql = minhash_lsh_pairs_sql(src, est_threshold, n)
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(id, seen) AS (
+          SELECT doc_id, doc_id FROM {src}
+          UNION
+          SELECT r.id, e.dst FROM reach r JOIN edges e ON r.seen = e.src
+        ),
+        comp AS (SELECT id AS doc_id, MIN(seen) AS cluster_id FROM reach GROUP BY id)
+        SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical FROM comp
     """

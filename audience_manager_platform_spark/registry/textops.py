@@ -29,6 +29,9 @@ QUERIES = {
     "dedup_minhash_signatures": lambda s, d: D.minhash_signatures(_docs(s, d)),
     "dedup_minhash_lsh_pairs": lambda s, d: D.minhash_lsh_pairs(_docs(s, d), est_threshold=0.5),
     "dedup_simhash": lambda s, d: D.simhash(_docs(s, d)),
+    "dedup_cluster_canonical": lambda s, d: D.cluster_canonical(
+        _docs(s, d), D.minhash_lsh_pairs(_docs(s, d), est_threshold=0.5)
+    ),
     "multimodal_binary_meta": lambda s, d: M.documents_as_media(_docs(s, d)).select(
         "doc_id", "media_type", "byte_len", "sha"
     ),
@@ -63,6 +66,7 @@ ORACLES = {
     "dedup_minhash_signatures": D.minhash_signatures_sql(),
     "dedup_minhash_lsh_pairs": D.minhash_lsh_pairs_sql(est_threshold=0.5),
     "dedup_simhash": D.simhash_sql(),
+    "dedup_cluster_canonical": D.cluster_canonical_sql(est_threshold=0.5),
     "multimodal_binary_meta": """
         SELECT doc_id, 'text/plain' AS media_type,
                octet_length(encode(text)) AS byte_len,

@@ -293,3 +293,32 @@ def test_minhash_hot_band_cap_bounds_candidates(spark):
     capped_pairs = {(r.doc_a, r.doc_b) for r in capped}
     assert not any(a < 100 for a, _ in capped_pairs)  # hot cluster dropped
     assert (100, 101) in capped_pairs  # real near-dup pair survives
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A 4-doc chain (diameter 3 — multiple propagation rounds) collapses
+    to one cluster labeled by its min id; untouched docs stay singleton;
+    the canonical pick is exactly one doc per cluster."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    docs = spark.createDataFrame([(i,) for i in range(1, 13)], "doc_id long")
+    out = D.cluster_canonical(docs, pairs)
+    got = {r.doc_id: (r.cluster_id, r.is_canonical) for r in out.collect()}
+    assert len(got) == 12
+    for d in (1, 2, 3, 4):
+        assert got[d] == (1, d == 1)
+    for d in (10, 11):
+        assert got[d] == (10, d == 10)
+    for d in (5, 6, 7, 8, 9, 12):
+        assert got[d] == (d, True)
+
+
+def test_connected_components_cache_clean(spark):
+    """Iterative CC must leave nothing pinned in the block manager
+    (materialize() goes through temp parquet, not persist)."""
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    docs = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    D.cluster_canonical(docs, pairs).count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before

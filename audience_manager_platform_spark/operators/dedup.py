@@ -436,11 +436,12 @@ def connected_components(
     table of |V| rows (tiny next to the corpus — ids only, no text).
     ``pairs`` is consumed through a persisted edge list so candidate
     generation (the expensive LSH join) runs exactly once, not once per
-    round. Each round's labels are RELIABLY checkpointed (disk, eager) —
-    this truncates lineage so round N's plan doesn't replay rounds
-    1..N-1, and unlike localCheckpoint it pins nothing in the block
-    manager, so a long-lived session stays cache-clean (gate-audited by
-    ``tests/test_plans.py::test_corpus_operators_leave_no_cached_rdds``).
+    round; it is unpersisted before returning. Each round's labels go
+    through :func:`..operators.partitioning.materialize` (temp parquet)
+    — lineage is truncated so round N's plan doesn't replay rounds
+    1..N-1, and nothing is pinned in the block manager, so a long-lived
+    session stays cache-clean (audited by
+    ``tests/test_textops.py::test_connected_components_cache_clean``).
 
     The reference has no grouping stage at all — its dedup story stops at
     segment set-algebra (SURVEY.md §2.4); this is part of the corpus-

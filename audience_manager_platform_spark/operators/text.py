@@ -299,3 +299,250 @@ def tfidf_top_terms_sql(src: str = "documents", k: int = 5) -> str:
           FROM scored
         ) r WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------- Gopher-style quality gate
+# Rule constants shared by the Spark plan and the SQL oracle. The rule
+# SHAPE follows the published Gopher/C4 heuristics (word-count bounds,
+# mean-word-length bounds, stopword presence, repetition cap); the bounds
+# are tuned so the synthetic fixture splits non-degenerately.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 1_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_STOPWORD_HITS = 1
+GOPHER_MAX_DUP_WORD_FRAC = 0.6
+
+
+def gopher_quality(docs: DataFrame) -> DataFrame:
+    """Gopher/C4-style per-document quality gate: each rule is a column,
+    the keep decision is their conjunction. Pure column math over one
+    narrow projection — no shuffle, embarrassingly parallel at any scale
+    (the 100 TB posture: quality filtering is a map stage).
+
+    Rules (flags are emitted so downstream can audit WHY a doc dropped):
+    word-count bounds, mean-word-length bounds, >=1 English stopword
+    (gibberish guard), duplicate-word-fraction cap (repetition guard).
+    """
+    toks = tokens_col("text")
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    d = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        # total token chars / token count; array_join concatenation keeps
+        # it a single codegen'd expression (no explode)
+        F.round(
+            F.length(F.array_join(toks, "")) / F.nullif(F.size(toks), F.lit(0)),
+            6,
+        ).alias("mean_word_len"),
+        F.expr(
+            f"size(filter(filter(split(lower(text), '{TOKEN_SPLIT_RE}'),"
+            f" x -> x != ''), t -> array_contains(array({en}), t)))"
+        ).alias("stopword_hits"),
+        F.round(
+            1.0
+            - F.size(F.array_distinct(toks))
+            / F.nullif(F.size(toks), F.lit(0)).cast("double"),
+            6,
+        ).alias("dup_word_frac"),
+    )
+    return d.withColumn(
+        "keep",
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(
+            GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
+        )
+        & (F.col("stopword_hits") >= GOPHER_MIN_STOPWORD_HITS)
+        & (F.col("dup_word_frac") <= GOPHER_MAX_DUP_WORD_FRAC),
+    )
+
+
+def gopher_quality_sql(src: str = "documents") -> str:
+    t = tokens_sql("text")
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+        SELECT *,
+               (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+               AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+                    AND {GOPHER_MAX_MEAN_WORD_LEN})
+               AND (stopword_hits >= {GOPHER_MIN_STOPWORD_HITS})
+               AND (dup_word_frac <= {GOPHER_MAX_DUP_WORD_FRAC}) AS keep
+        FROM (
+          SELECT doc_id,
+                 len(toks) AS n_words,
+                 ROUND(length(array_to_string(toks, ''))
+                       / CAST(NULLIF(len(toks), 0) AS DOUBLE), 6) AS mean_word_len,
+                 len(list_filter(toks, t -> list_contains([{en}], t)))
+                   AS stopword_hits,
+                 ROUND(1.0 - len(list_distinct(toks))
+                       / CAST(NULLIF(len(toks), 0) AS DOUBLE), 6) AS dup_word_frac
+          FROM (SELECT doc_id, text, {t} AS toks FROM {src}) s
+        ) q
+    """
+
+
+# ------------------------------------------------------ repetition stats
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Within-document repetition signals (the Gopher repetition family):
+    fraction of the doc covered by its most frequent token and by its
+    most frequent word bigram. Explode → count per (doc, gram) → max per
+    doc: two shuffles keyed on doc_id, no per-doc quadratic work, which
+    is what lets it run over billions of docs."""
+    from .partitioning import spread
+
+    toked = spread(docs).select("doc_id", tokens_col("text").alias("toks"))
+
+    def top_frac(grams: Column, name: str):
+        ex = toked.select("doc_id", F.explode(grams).alias("g"))
+        return (
+            ex.groupBy("doc_id", "g")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("doc_id")
+            .agg(
+                F.round(
+                    F.max("cnt") / F.sum("cnt").cast("double"), 6
+                ).alias(name)
+            )
+        )
+
+    uni = top_frac(F.col("toks"), "top_token_frac")
+    bi = top_frac(word_ngrams_col("toks", 2), "top_bigram_frac")
+    return uni.join(bi, "doc_id")
+
+
+def repetition_stats_sql(src: str = "documents") -> str:
+    t = tokens_sql("text")
+    g2 = word_ngrams_sql("toks", 2)
+    return f"""
+        WITH toked AS (SELECT doc_id, {t} AS toks FROM {src}),
+        uni AS (
+          SELECT doc_id, ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 6)
+                   AS top_token_frac
+          FROM (SELECT doc_id, g, COUNT(*) AS cnt
+                FROM (SELECT doc_id, UNNEST(toks) AS g FROM toked) e
+                GROUP BY doc_id, g) c
+          GROUP BY doc_id
+        ),
+        bi AS (
+          SELECT doc_id, ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 6)
+                   AS top_bigram_frac
+          FROM (SELECT doc_id, g, COUNT(*) AS cnt
+                FROM (SELECT doc_id, UNNEST({g2}) AS g
+                      FROM toked) e
+                GROUP BY doc_id, g) c
+          GROUP BY doc_id
+        )
+        SELECT uni.doc_id, top_token_frac, top_bigram_frac
+        FROM uni JOIN bi ON uni.doc_id = bi.doc_id
+    """
+
+
+# ---------------------------------------------------------- PII scrubbing
+# RE2-safe AND java.util.regex-safe subset: char classes + bounded
+# quantifiers only, so Spark and DuckDB compile the identical automaton.
+PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def _planted_pii(text: Column, doc_id: Column) -> Column:
+    """Deterministically plant synthetic PII (the fixture corpus has
+    none): every 7th doc gains an email, every 11th a phone number. Same
+    construction is rendered into the oracle, so found-counts are exact,
+    not probabilistic."""
+    return F.concat(
+        text,
+        F.when(
+            doc_id % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                doc_id.cast("string"),
+                F.lit("@mail.example.com for info"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(doc_id % 11 == 0, F.lit(" call 555-123-4567 today")).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII scrubbing for training corpora: replace emails/phone numbers
+    with typed placeholder tokens and report per-doc redaction counts.
+    Map-only (regexp_count + regexp_replace are codegen'd JVM regex ops);
+    at 100 TB this is a pure scan stage with no shuffle."""
+    planted = _planted_pii(F.col("text"), F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        F.regexp_count(planted, F.lit(PII_EMAIL_RE)).alias("emails_found"),
+        F.regexp_count(planted, F.lit(PII_PHONE_RE)).alias("phones_found"),
+        F.regexp_replace(
+            F.regexp_replace(planted, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ).alias("scrubbed"),
+    )
+
+
+def pii_scrub_sql(src: str = "documents") -> str:
+    planted = (
+        "text || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@mail.example.com for info' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567 today' ELSE '' END"
+    )
+    return f"""
+        SELECT doc_id,
+               len(regexp_extract_all(planted, '{PII_EMAIL_RE}')) AS emails_found,
+               len(regexp_extract_all(planted, '{PII_PHONE_RE}')) AS phones_found,
+               regexp_replace(regexp_replace(planted, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+        FROM (SELECT doc_id, {planted} AS planted FROM {src}) s
+    """
+
+
+# ----------------------------------------------------- document chunking
+CHUNK_TOKENS = 16
+CHUNK_STRIDE = 12
+
+
+def chunk_tokens(
+    docs: DataFrame, chunk: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Sliding-window document chunking (the standard LLM pre-training
+    prep step): overlapping windows of ``chunk`` tokens every ``stride``
+    tokens. One explode over per-doc window starts — rows fan out
+    |tokens|/stride per doc with no shuffle; Spark parallelism carries
+    straight through from the scan."""
+    from .partitioning import spread
+
+    toked = spread(docs).select("doc_id", tokens_col("text").alias("toks"))
+    starts = toked.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.expr(f"CASE WHEN size(toks) > 0 THEN sequence(1, size(toks), {stride})"
+                   " ELSE array() END")
+        ).alias("start"),
+    )
+    piece = F.expr(f"slice(toks, start, {chunk})")
+    return starts.select(
+        "doc_id",
+        F.expr(f"(start - 1) div {stride}").alias("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("chunk_tokens"),
+    )
+
+
+def chunk_tokens_sql(
+    src: str = "documents", chunk: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> str:
+    t = tokens_sql("text")
+    return f"""
+        SELECT doc_id,
+               (start - 1) // {stride} AS chunk_idx,
+               array_to_string(toks[start:start + {chunk - 1}], ' ') AS chunk_text,
+               len(toks[start:start + {chunk - 1}]) AS chunk_tokens
+        FROM (
+          SELECT doc_id, toks, UNNEST(generate_series(1, len(toks), {stride})) AS start
+          FROM (SELECT doc_id, {t} AS toks FROM {src}) s
+        ) w
+    """

@@ -21,6 +21,10 @@ QUERIES = {
     "text_language_id": lambda s, d: T.language_id(_docs(s, d)),
     "text_fingerprint": lambda s, d: T.fingerprint(_docs(s, d)),
     "text_tfidf_top_terms": lambda s, d: T.tfidf_top_terms(_docs(s, d), k=5),
+    "text_gopher_quality": lambda s, d: T.gopher_quality(_docs(s, d)),
+    "text_repetition_stats": lambda s, d: T.repetition_stats(_docs(s, d)),
+    "text_pii_scrub": lambda s, d: T.pii_scrub(_docs(s, d)),
+    "corpus_chunk_tokens": lambda s, d: T.chunk_tokens(_docs(s, d)),
     "dedup_exact": lambda s, d: D.exact_dedup(_docs(s, d)),
     "dedup_ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_docs(s, d), threshold=0.6),
     "dedup_ngram_jaccard_capped": lambda s, d: D.ngram_jaccard_pairs(
@@ -58,6 +62,10 @@ ORACLES = {
     "text_language_id": T.language_id_sql(),
     "text_fingerprint": T.fingerprint_sql(),
     "text_tfidf_top_terms": T.tfidf_top_terms_sql(k=5),
+    "text_gopher_quality": T.gopher_quality_sql(),
+    "text_repetition_stats": T.repetition_stats_sql(),
+    "text_pii_scrub": T.pii_scrub_sql(),
+    "corpus_chunk_tokens": T.chunk_tokens_sql(),
     "dedup_exact": D.exact_dedup_sql(),
     "dedup_ngram_jaccard": D.ngram_jaccard_pairs_sql(threshold=0.6),
     "dedup_ngram_jaccard_capped": D.ngram_jaccard_pairs_sql(

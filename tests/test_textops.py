@@ -322,3 +322,60 @@ def test_connected_components_cache_clean(spark):
     docs = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
     D.cluster_canonical(docs, pairs).count()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
+def test_gopher_quality_rules(spark):
+    """Each rule fails for exactly the doc planted to violate it."""
+    the20 = "the " + " ".join(f"word{i:02d}" for i in range(19))  # 20 words, keeps
+    short = "the tiny doc"                          # < 20 words
+    nostop = " ".join(f"w{i}" for i in range(30))   # no stopword hit
+    reps = "the " + " ".join(["spam"] * 29)         # dup_word_frac ~ 0.93
+    docs = spark.createDataFrame(
+        [(1, the20), (2, short), (3, nostop), (4, reps)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in T.gopher_quality(docs).collect()}
+    assert got[1].keep and got[1].n_words == 20
+    assert not got[2].keep
+    assert not got[3].keep and got[3].stopword_hits == 0
+    assert not got[4].keep and got[4].dup_word_frac > 0.9
+
+
+def test_repetition_stats_planted(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a a b"), (2, "x y x y")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in T.repetition_stats(docs).collect()}
+    assert got[1].top_token_frac == 0.8           # 'a' 4/5
+    assert got[1].top_bigram_frac == 0.75         # 'a a' 3/4
+    assert got[2].top_token_frac == 0.5
+    assert round(got[2].top_bigram_frac, 6) == round(2 / 3, 6)  # 'x y' 2/3
+
+
+def test_pii_scrub_counts_and_replacement(spark):
+    docs = spark.createDataFrame(
+        [(7, "hello world"), (77, "reach me"), (5, "nothing here")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in T.pii_scrub(docs).collect()}
+    assert got[7].emails_found == 1 and got[7].phones_found == 0
+    assert "<EMAIL>" in got[7].scrubbed and "@" not in got[7].scrubbed
+    # 77 = 7 * 11: both planted
+    assert got[77].emails_found == 1 and got[77].phones_found == 1
+    assert "<PHONE>" in got[77].scrubbed and "555" not in got[77].scrubbed
+    assert got[5].emails_found == 0 and got[5].scrubbed == "nothing here"
+
+
+def test_chunk_tokens_overlap_and_tail(spark):
+    text = " ".join(f"t{i}" for i in range(20))  # 20 tokens
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        T.chunk_tokens(docs, chunk=16, stride=12).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [r.chunk_idx for r in rows] == [0, 1]
+    assert rows[0].chunk_tokens == 16
+    assert rows[0].chunk_text.startswith("t0 t1 ")
+    # overlap: second chunk starts at token 12 and runs to the end
+    assert rows[1].chunk_text.split() == [f"t{i}" for i in range(12, 20)]
+    assert rows[1].chunk_tokens == 8

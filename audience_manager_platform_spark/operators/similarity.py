@@ -315,6 +315,19 @@ def ivf_topk(
     cents = base.filter(F.col("vec_id") < IVF_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
+    return _ivf_probe(base, cents, query_ids, k)
+
+
+def _ivf_probe(
+    base: DataFrame,
+    cents: DataFrame,
+    query_ids: list[int],
+    k: int,
+    n_probes: int = IVF_PROBES,
+) -> DataFrame:
+    """Shared IVF probe pipeline: broadcast centroids -> per-vector cell
+    assignment (argmax cosine) -> queries probe their ``n_probes`` nearest
+    cells -> exact scoring inside probed cells only."""
     # cell assignment: argmax cosine over the (broadcast) centroid set
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("csim"), F.asc("cent_id")
@@ -345,7 +358,7 @@ def ivf_topk(
             F.round(cosine_similarity(F.col("q"), F.col("cv")), 6).alias("qsim"),
         )
         .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= IVF_PROBES)
+        .filter(F.col("rn") <= n_probes)
         .select("query_id", "q", "cent_id")
     )
     scored = (

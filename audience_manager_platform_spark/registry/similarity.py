@@ -27,6 +27,8 @@ QUERIES = {
     "dedup_embedding_near_dup": lambda s, d: S.embedding_near_dup(
         S.plant_near_dups(_emb(s, d)), threshold=0.9
     ),
+    "kmeans_embedding_clusters": lambda s, d: S.kmeans_clusters(_emb(s, d)),
+    "ann_ivf_kmeans_topk": lambda s, d: S.ivf_kmeans_topk(_emb(s, d), _QUERY_IDS, k=5),
 }
 
 ORACLES = {
@@ -37,4 +39,6 @@ ORACLES = {
     "dedup_embedding_near_dup": S.lsh_near_pairs_sql(
         threshold=0.9, src=S.near_dup_src_sql()
     ),
+    "kmeans_embedding_clusters": S.kmeans_clusters_sql(),
+    "ann_ivf_kmeans_topk": S.ivf_kmeans_topk_sql(_QUERY_IDS, k=5),
 }

@@ -113,6 +113,42 @@ def test_embedding_near_dup(spark, emb):
     assert {(r.id_a, r.id_b) for r in pairs} == {(0, 20)}
 
 
+def _padded_emb(emb):
+    from audience_manager_platform_spark.operators.similarity import EMBED_DIM
+
+    return emb.select(
+        "vec_id",
+        F.expr(
+            f"concat(embedding, array_repeat(cast(0.0 as float), {EMBED_DIM - 8}))"
+        ).alias("embedding"),
+        "label",
+    )
+
+
+def test_kmeans_clusters(emb):
+    padded = _padded_emb(emb)
+    out = S.kmeans_clusters(padded, k=4, iters=2).collect()
+    assert sum(r.size for r in out) == 21  # every vector assigned exactly once
+    assert {r.cluster_id for r in out} <= set(range(4))  # ids persist from seeds
+    assert all(0.0 < r.mean_sim <= 1.0 for r in out)
+    assert all(r.centroid_norm > 0 for r in out)
+
+
+def test_kmeans_twin_comembership(emb):
+    # the planted near-copy (0, 20) must land in the same learned cell
+    padded = _padded_emb(emb)
+    base = padded.select("vec_id", S._vec_double().alias("v"))
+    cents = S.kmeans_fit(padded, k=4, iters=2)
+    cells = {r.vec_id: r.cent_id for r in S._assign(base, cents).collect()}
+    assert cells[0] == cells[20]
+
+
+def test_ivf_kmeans_topk_finds_twin(emb):
+    out = S.ivf_kmeans_topk(_padded_emb(emb), [0], k=3, n_clusters=4, iters=1).collect()
+    assert out[0].neighbor_id == 20 and out[0].cosine > 0.999
+    assert [r.rank for r in out] == [1, 2, 3]
+
+
 def test_multimodal_meta_and_fake_decode(docs):
     media = M.documents_as_media(docs)
     row = {r.doc_id: r for r in media.collect()}[1]

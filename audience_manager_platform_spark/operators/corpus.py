@@ -183,3 +183,122 @@ def decontaminate_sql(
                COALESCE(s.n_shared_grams, 0) > 0 AS contaminated
         FROM {src} d LEFT JOIN shared s ON d.doc_id = s.doc_id
     """
+
+
+# ------------------------------------------------- stratified sampling
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: a row survives iff its stable
+    key hash bucket falls under its stratum's fraction. Unlike
+    ``DataFrame.sampleBy`` (partition-order-dependent RNG), this is
+
+    - exactly reproducible across runs, engines and repartitionings
+      (md5 arithmetic on the key — the same portable hash the split
+      assigner uses);
+    - a pure per-row filter: no shuffle, no driver state, pushes down
+      past column pruning like any other predicate;
+    - stable under corpus growth: adding rows never flips the sampling
+      decision of existing rows.
+
+    Strata absent from ``fractions`` are dropped (fraction 0), matching
+    ``sampleBy``."""
+    bucket = (
+        stable_long_hash(F.col(key_col).cast("string"), salt=salt) % SPLIT_BUCKETS
+    )
+    thresh = None
+    for name, frac in fractions.items():
+        lim = F.lit(int(round(frac * SPLIT_BUCKETS)))
+        thresh = (
+            F.when(F.col(strata_col) == name, lim)
+            if thresh is None
+            else thresh.when(F.col(strata_col) == name, lim)
+        )
+    thresh = thresh.otherwise(F.lit(0)) if thresh is not None else F.lit(0)
+    return df.filter(bucket < thresh)
+
+
+def stratified_sample_sql(
+    src: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    salt: str = "sample-v1",
+) -> str:
+    """DuckDB twin of :func:`stratified_sample`."""
+    hash_expr = _HASH60_DUCK.format(x=f"'{salt}' || CAST({key_col} AS VARCHAR)")
+    cases = " ".join(
+        f"WHEN '{name}' THEN {int(round(frac * SPLIT_BUCKETS))}"
+        for name, frac in fractions.items()
+    )
+    return (
+        f"SELECT * FROM {src} WHERE ({hash_expr}) % {SPLIT_BUCKETS} < "
+        f"(CASE {strata_col} {cases} ELSE 0 END)"
+    )
+
+
+# ---------------------------------------------- end-to-end curation run
+def curation_ledger(docs: DataFrame, bench: DataFrame) -> DataFrame:
+    """One-pass curation decision ledger: every upstream pipeline stage
+    (quality gate, exact dedup, decontamination, token budget, split
+    assignment) joined into a per-document row plus the final ``selected``
+    verdict a pretraining run would materialize.
+
+    This is the composition the individual operators exist FOR — each
+    stage is the already-oracled operator, reused verbatim; the ledger
+    just key-joins their outputs on doc_id. At warehouse scale the joins
+    after the first are co-partitioned on doc_id (one shuffle each on the
+    dedup/decon branches, which shuffle internally anyway; quality, token
+    stats and splits are pure projections that fold into the probe side).
+    """
+    from .dedup import exact_dedup
+    from .text import gopher_quality, token_stats
+
+    q = gopher_quality(docs).select(
+        "doc_id", F.col("keep").alias("keep_quality")
+    )
+    dd = exact_dedup(docs).select("doc_id", "is_duplicate")
+    c = decontaminate(docs, bench).select("doc_id", "contaminated")
+    t = token_stats(docs).select("doc_id", "n_tokens")
+    s = split_assign(docs).select("doc_id", "split")
+    return (
+        docs.select("doc_id")
+        .join(q, "doc_id")
+        .join(dd, "doc_id")
+        .join(c, "doc_id")
+        .join(t, "doc_id")
+        .join(s, "doc_id")
+        .withColumn(
+            "selected",
+            F.col("keep_quality")
+            & ~F.col("is_duplicate")
+            & ~F.col("contaminated"),
+        )
+    )
+
+
+def curation_ledger_sql(
+    src: str = "documents", bench_pred: str = "doc_id % 50 = 0"
+) -> str:
+    """DuckDB twin of :func:`curation_ledger` — composes the stage
+    oracles as subqueries, so Spark plan and oracle share per-stage
+    semantics by construction."""
+    from .dedup import exact_dedup_sql
+    from .text import gopher_quality_sql, token_stats_sql
+
+    return f"""
+        SELECT d.doc_id, q.keep AS keep_quality, dd.is_duplicate,
+               c.contaminated, t.n_tokens, s.split,
+               (q.keep AND NOT dd.is_duplicate AND NOT c.contaminated)
+                 AS selected
+        FROM {src} d
+        JOIN ({gopher_quality_sql(src)}) q ON d.doc_id = q.doc_id
+        JOIN ({exact_dedup_sql(src)}) dd ON d.doc_id = dd.doc_id
+        JOIN ({decontaminate_sql(src, bench_pred)}) c ON d.doc_id = c.doc_id
+        JOIN ({token_stats_sql(src)}) t ON d.doc_id = t.doc_id
+        JOIN ({split_assign_sql(src)}) s ON d.doc_id = s.doc_id
+    """

@@ -26,3 +26,127 @@ def upsert(old: DataFrame, new: DataFrame, keys: Sequence[str]) -> DataFrame:
     ``new``. Columns must match by name."""
     keep_old = old.join(new.select(*keys), on=list(keys), how="left_anti")
     return new.unionByName(keep_old)
+
+
+def scd2_history(
+    changes: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    attr: str = "event_type",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: collapse a change-event stream
+    into validity intervals per key.
+
+    Consecutive events with the same ``attr`` value merge into one run
+    (run-length semantics, the dual of gaps-and-islands' time-gap
+    sessions); each run becomes a row with ``[valid_from, valid_to)`` and
+    ``is_current`` for the open tail.
+
+    Both windows share the (key, order) spec, so Catalyst plans ONE
+    exchange + sort and evaluates lag and lead in the same window stage —
+    a single key-partitioned shuffle regardless of history depth. Order
+    carries ``tiebreak`` so simultaneous events resolve identically on
+    every engine."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    starts = (
+        changes.select(key, ts, tiebreak, attr)
+        .withColumn("prev", F.lag(attr).over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col(attr)))
+    )
+    return (
+        starts.select(
+            key,
+            F.col(attr).alias("state"),
+            F.col(ts).alias("valid_from"),
+            F.lead(ts).over(w).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+def scd2_history_sql(
+    src: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    attr: str = "event_type",
+    tiebreak: str = "event_id",
+) -> str:
+    """DuckDB twin of :func:`scd2_history`."""
+    return f"""
+        WITH ordered AS (
+          SELECT {key}, {ts}, {tiebreak}, {attr},
+                 LAG({attr}) OVER (
+                   PARTITION BY {key} ORDER BY {ts}, {tiebreak}) AS prev
+          FROM {src}
+        ),
+        starts AS (
+          SELECT * FROM ordered WHERE prev IS NULL OR prev != {attr}
+        )
+        SELECT {key}, {attr} AS state, {ts} AS valid_from,
+               LEAD({ts}) OVER (
+                 PARTITION BY {key} ORDER BY {ts}, {tiebreak}) AS valid_to,
+               LEAD({ts}) OVER (
+                 PARTITION BY {key} ORDER BY {ts}, {tiebreak}) IS NULL AS is_current
+        FROM starts
+    """
+
+
+def cdc_latest_state(
+    changes: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Change-data-capture compaction: latest-writer-wins state per key.
+
+    A hash aggregate over ``max(struct(ts, tiebreak, payload))`` — NOT a
+    row_number window: partial aggregation collapses each key's history
+    map-side, so the shuffle carries one row per key instead of the full
+    changelog, and nothing is sorted. This is the materialization step a
+    CDC sink runs to fold a day's changelog into a snapshot."""
+    from pyspark.sql import functions as F
+
+    return (
+        changes.groupBy(key)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(ts).alias("ts"),
+                    F.col(tiebreak).alias("tb"),
+                    F.col("event_type").alias("state"),
+                    F.col("value").alias("value"),
+                )
+            ).alias("last")
+        )
+        .select(
+            key,
+            F.col("last.ts").alias("last_ts"),
+            F.col("last.state").alias("last_state"),
+            F.round(F.col("last.value"), 2).alias("last_value"),
+            F.col("last.tb").alias("last_event_id"),
+        )
+    )
+
+
+def cdc_latest_state_sql(
+    src: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+) -> str:
+    """DuckDB twin of :func:`cdc_latest_state` (window formulation — the
+    semantics are identical; the Spark side just evaluates it as an
+    aggregate)."""
+    return f"""
+        SELECT {key}, {ts} AS last_ts, event_type AS last_state,
+               ROUND(value, 2) AS last_value, {tiebreak} AS last_event_id
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY {key} ORDER BY {ts} DESC, {tiebreak} DESC) AS rn
+          FROM {src}
+        ) x WHERE rn = 1
+    """

@@ -51,6 +51,7 @@ def _modules():
         "relational",
         "tpch_extra",
         "tpch_wave3",
+        "warehouse",
     ):
         try:
             mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))

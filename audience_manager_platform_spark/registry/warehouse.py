@@ -1,0 +1,56 @@
+"""Warehouse-maintenance query family: dimension history (SCD2),
+changelog compaction (CDC latest-wins), deterministic stratified
+sampling, and the end-to-end corpus-curation ledger.
+
+These are the table-maintenance operations the reference performs only
+in its crudest form (full DROP + rewrite per segment refresh,
+``backend/app/processor/spark_processor.py:177-203``); here each is a
+first-class, oracle-checked operator with the incremental shape a
+100 TB warehouse needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import corpus as C
+from ..operators import merge as MG
+from ..sources import load_table
+
+# per-stratum sampling rates over the events fixture: downsample the
+# high-volume low-signal types, keep every purchase (the classic
+# training-data rebalance); 'error' is absent => dropped entirely
+SAMPLE_FRACTIONS = {"view": 0.1, "click": 0.25, "signup": 0.5, "purchase": 1.0}
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+QUERIES = {
+    "scd2_user_state_history": lambda s, d: MG.scd2_history(_events(s, d)),
+    "cdc_latest_user_state": lambda s, d: MG.cdc_latest_state(_events(s, d)),
+    "sample_stratified_events": lambda s, d: C.stratified_sample(
+        _events(s, d), "event_type", SAMPLE_FRACTIONS, "event_id"
+    ).select("event_id", "user_id", "event_type", "ts", F.round("value", 2).alias("value")),
+    "corpus_curation_ledger": lambda s, d: C.curation_ledger(
+        _docs(s, d), _docs(s, d).filter(F.col("doc_id") % 50 == 0)
+    ),
+}
+
+ORACLES = {
+    "scd2_user_state_history": MG.scd2_history_sql(),
+    "cdc_latest_user_state": MG.cdc_latest_state_sql(),
+    "sample_stratified_events": (
+        "SELECT event_id, user_id, event_type, ts, ROUND(value, 2) AS value FROM ("
+        + C.stratified_sample_sql(
+            "events", "event_type", SAMPLE_FRACTIONS, "event_id"
+        )
+        + ") x"
+    ),
+    "corpus_curation_ledger": C.curation_ledger_sql(),
+}

@@ -1,0 +1,103 @@
+"""SCD2 / CDC / stratified-sampling / curation-ledger semantics on
+planted fixtures (the oracle gate pins the fixture-scale behavior; these
+pin edge semantics: run collapsing, tie-breaks, rate bounds)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from audience_manager_platform_spark.operators import corpus as C
+from audience_manager_platform_spark.operators import merge as MG
+
+
+@pytest.fixture(scope="module")
+def changes(spark):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: A, A (collapses), B, A  -> 3 intervals
+        (1, 1, t0, "A", 10.0),
+        (2, 1, t0 + dt.timedelta(minutes=1), "A", 11.0),
+        (3, 1, t0 + dt.timedelta(minutes=2), "B", 12.0),
+        (4, 1, t0 + dt.timedelta(minutes=3), "A", 13.0),
+        # user 2: single event -> one open interval
+        (5, 2, t0, "C", 20.0),
+        # user 3: simultaneous ts, event_id breaks the tie
+        (6, 3, t0, "X", 30.0),
+        (7, 3, t0, "Y", 31.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+
+
+def test_scd2_collapses_runs_and_orders_ties(changes):
+    hist = MG.scd2_history(changes).collect()
+    u1 = sorted([r for r in hist if r.user_id == 1], key=lambda r: r.valid_from)
+    assert [r.state for r in u1] == ["A", "B", "A"]
+    # intervals chain: valid_to of each run == valid_from of the next
+    assert u1[0].valid_to == u1[1].valid_from
+    assert u1[1].valid_to == u1[2].valid_from
+    assert u1[2].valid_to is None and u1[2].is_current
+    u2 = [r for r in hist if r.user_id == 2]
+    assert len(u2) == 1 and u2[0].is_current
+    # simultaneous events: event_id breaks the tie, so X (id 6) closes
+    # when Y (id 7) opens, and Y is the current state
+    u3 = {r.state: r for r in hist if r.user_id == 3}
+    assert set(u3) == {"X", "Y"}
+    assert u3["X"].valid_to == u3["Y"].valid_from and not u3["X"].is_current
+    assert u3["Y"].is_current
+
+
+def test_cdc_latest_wins_with_tiebreak(changes):
+    latest = {r.user_id: r for r in MG.cdc_latest_state(changes).collect()}
+    assert latest[1].last_state == "A" and latest[1].last_event_id == 4
+    assert latest[2].last_state == "C"
+    # same ts: higher event_id wins
+    assert latest[3].last_state == "Y" and latest[3].last_event_id == 7
+
+
+def test_stratified_sample_rates_and_determinism(changes):
+    big_rows = [(i, i % 7, "keep" if i % 2 == 0 else "drop") for i in range(2000)]
+    df = changes.sparkSession.createDataFrame(
+        big_rows, "event_id long, user_id long, event_type string"
+    )
+    frac = {"keep": 0.3}
+    s1 = C.stratified_sample(df, "event_type", frac, "event_id")
+    got = s1.collect()
+    # strata without a fraction are dropped entirely
+    assert all(r.event_type == "keep" for r in got)
+    # rate lands near 30% of the 1000 keep rows (hash is uniform-ish)
+    assert 230 <= len(got) <= 370
+    # exact determinism across invocations
+    assert sorted(r.event_id for r in got) == sorted(
+        r.event_id for r in C.stratified_sample(df, "event_type", frac, "event_id").collect()
+    )
+    # sampling decision is per-row: a subset input yields a subset sample
+    sub = C.stratified_sample(
+        df.filter(F.col("event_id") < 1000), "event_type", frac, "event_id"
+    ).collect()
+    assert {r.event_id for r in sub} == {r.event_id for r in got if r.event_id < 1000}
+
+
+def test_curation_ledger_verdict_composition(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the is and of to quick brown fox jumps over lazy dog again today " * 5),
+            (1, "the is and of to quick brown fox jumps over lazy dog again today " * 5),
+            (2, "zz qq xx"),  # fails quality (no stopwords, too short)
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") == 0)
+    led = {r.doc_id: r for r in C.curation_ledger(docs, bench).collect()}
+    assert len(led) == 3
+    # doc 1 duplicates doc 0 and both share benchmark grams
+    assert led[1].is_duplicate and not led[0].is_duplicate
+    assert led[0].contaminated and led[1].contaminated
+    assert not led[2].keep_quality
+    # nothing survives: 0 contaminated, 1 dup+contaminated, 2 low quality
+    assert not any(led[i].selected for i in led)
+    assert all(led[i].split in ("train", "val", "test") for i in led)

@@ -55,7 +55,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "o_orderkey",
@@ -73,7 +73,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity bounds into the scan."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 20))
         | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 30))
@@ -116,7 +116,7 @@ def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     pairs = li.select("l_partkey", "l_suppkey").distinct()
-    joined = pairs.join(F.broadcast(supp), pairs.l_suppkey == supp.s_suppkey)
+    joined = pairs.join(supp, pairs.l_suppkey == supp.s_suppkey)
     w = Window.partitionBy("l_partkey").orderBy(F.asc("s_acctbal"), F.asc("s_suppkey"))
     return (
         joined.withColumn("rn", F.row_number().over(w))
@@ -150,7 +150,7 @@ def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_revenue") == F.col("mx")
     )
     return (
-        top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey)
+        top.join(supp, top.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -166,7 +166,7 @@ def nested_agg_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast(DEC)).alias("spend_dec"),
     )
     joined = per_cust.join(
-        F.broadcast(cust), per_cust.o_custkey == cust.c_custkey
+        cust, per_cust.o_custkey == cust.c_custkey
     ).join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     return joined.groupBy("n_name").agg(
         F.count("*").alias("n_customers"),

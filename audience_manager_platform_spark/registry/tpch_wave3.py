@@ -68,11 +68,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = _revenue_col()
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cust_nations), cust.c_nationkey == F.col("cn_key"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(supp_nation), supp.s_nationkey == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -99,9 +99,9 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
@@ -122,7 +122,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(_revenue_col()).cast("double"), 2).alias("revenue"))
@@ -210,7 +210,7 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_size") <= 10) & (F.col("p_brand") != "Brand#1")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -223,14 +223,14 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     a float division."""
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     li = load_table(spark, sf_dir, "lineitem").join(
-        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        part, F.col("l_partkey") == F.col("p_partkey")
     )
     per_part = li.groupBy(F.col("l_partkey").alias("pp_key")).agg(
         F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
         F.count("*").alias("n_qty"),
     )
     small = li.join(
-        F.broadcast(per_part), F.col("l_partkey") == F.col("pp_key")
+        per_part, F.col("l_partkey") == F.col("pp_key")
     ).filter(
         F.col("l_quantity").cast(DEC) * 5 * F.col("n_qty") < F.col("sum_qty")
     )
@@ -448,15 +448,20 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     supp = load_table(spark, sf_dir, "supplier")
+    # per_order is derived FROM the fact table (one row per order) — at
+    # warehouse scale it is data-sized, so it must NOT be broadcast: both
+    # sides are keyed on the order key, and the late-filtered probe side
+    # is the smaller one, so this is a plain key-partitioned join
+    # (shuffle_hash: the groupBy output is already compact per key).
     waiting = (
         lo.filter(F.col("late"))
-        .join(F.broadcast(per_order), F.col("l_orderkey") == F.col("ok"))
+        .join(per_order.hint("shuffle_hash"), F.col("l_orderkey") == F.col("ok"))
         .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
     return (
-        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
@@ -497,7 +502,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
     li = load_table(spark, sf_dir, "lineitem").join(
-        F.broadcast(part.select("p_partkey")),
+        part.select("p_partkey"),
         F.col("l_partkey") == F.col("p_partkey"),
     )
     per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
@@ -507,7 +512,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast(DEC)).alias("part_qty")
     )
     dominant = (
-        per_ps.join(F.broadcast(per_part), F.col("l_partkey") == F.col("pk"))
+        per_ps.join(per_part, F.col("l_partkey") == F.col("pk"))
         .filter(F.col("supp_qty") * 6 > F.col("part_qty"))
         .select("l_suppkey")
         .distinct()

@@ -77,7 +77,20 @@ def test_no_python_in_relational_paths(spark, sf_dir, queries):
         assert "ArrowEvalPython" not in plan, name
     ann = _plan(queries["ann_lsh_near_pairs"](spark, sf_dir), "simple")
     assert "BatchEvalPython" not in ann
-    assert "ArrowEvalPython" in ann  # the declared vectorized escape hatch
+    # the final plan reads the bucket table back from the materialized
+    # parquet (the Arrow matmul ran once, inside the materialization job),
+    # so the declared vectorized escape hatch is asserted on the
+    # pre-materialization bucket plan instead
+    from audience_manager_platform_spark.operators import similarity as S
+    from audience_manager_platform_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", S._vec_double().alias("v")
+    )
+    bucket_plan = _plan(S._bucketed(base), "simple")
+    assert "ArrowEvalPython" in bucket_plan
+    assert "BatchEvalPython" not in bucket_plan
 
 
 def test_semi_join_physical(spark, sf_dir, queries):
@@ -113,12 +126,20 @@ def test_q11_scalar_subquery_broadcast_not_nested_loop(spark, sf_dir, queries):
     assert "CartesianProduct" not in plan
 
 
-def test_q17_per_part_threshold_single_fact_scan_broadcasts(spark, sf_dir, queries):
-    """Q17's decorrelated per-part average joins back as a broadcast (the
-    aggregate side is |parts|, tiny vs lineitem)."""
-    plan = _plan(queries["tpch_q17_small_quantity_revenue"](spark, sf_dir), "simple")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+def test_q17_per_part_threshold_aqe_owns_the_strategy(spark, sf_dir, queries):
+    """Q17's decorrelated per-part aggregate is keyed by partkey — a
+    data-sized side at warehouse scale, so it must NOT be statically
+    broadcast (a hint would OOM the driver at 100 TB). The static plan
+    keys both sides on the part key and leaves strategy to AQE, which
+    upgrades to broadcast at runtime when the aggregate side is actually
+    small (as it is at fixture scale)."""
+    df = queries["tpch_q17_small_quantity_revenue"](spark, sf_dir)
+    static = _plan(df, "simple")
+    assert "AdaptiveSparkPlan" in static
+    df.collect()  # let AQE finalize with real runtime sizes
+    final = _plan(df, "simple")
+    assert "isFinalPlan=true" in final
+    assert "BroadcastHashJoin" in final
 
 
 def test_q22_anti_join_physical(spark, sf_dir, queries):

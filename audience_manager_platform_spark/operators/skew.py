@@ -30,3 +30,81 @@ def salted_sum_count(
         F.sum("_cnt").alias("n"),
         F.round(F.sum("_sum"), 2).alias("total"),
     )
+
+
+# ------------------------------------------------- exact heavy hitters
+def heavy_hitters(
+    df: DataFrame, col: str, k: int = 20, counters: int | None = None
+) -> DataFrame:
+    """EXACT frequent-items above the n/k threshold, found with the
+    two-pass candidate/verify pattern that scales to arbitrary data:
+
+    1. **Candidate generation** — per-partition Misra-Gries summaries
+       (``counters`` slots, default ``k``) via ``mapInPandas``: each
+       partition emits at most ``counters`` candidate values, O(1) memory
+       per task, no shuffle. By the pigeonhole guarantee, any value with
+       GLOBAL frequency > n/k has local frequency > n_p/k in at least one
+       partition, so every true heavy hitter survives into the candidate
+       set (false positives are fine — they are filtered exactly).
+    2. **Exact verification** — one aggregate of the (bounded,
+       ≤ partitions x counters) candidate set joined back against the
+       data, plus a broadcast 1-row total count; keep values whose exact
+       count clears n/k.
+
+    The output is therefore EXACT and independent of partitioning — the
+    oracle is plain ``GROUP BY ... HAVING count > n/k`` — while the
+    distributed work stays bounded: no full groupBy over the (possibly
+    enormous) value domain ever happens; only candidates are counted.
+
+    The Arrow stage tails each partition with O(counters) state — the
+    sanctioned mapInPandas use (sketch state Spark SQL cannot express).
+    """
+    import pandas as pd
+
+    slots = counters or k
+
+    def mg_partition(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for v in pdf[col]:
+                if v in counts:
+                    counts[v] += 1
+                elif len(counts) < slots:
+                    counts[v] = 1
+                else:
+                    # decrement-all step; drop zeroed slots
+                    dead = []
+                    for key in counts:
+                        counts[key] -= 1
+                        if counts[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counts[key]
+        yield pd.DataFrame({col: list(counts.keys())})
+
+    schema_field = df.select(col).schema[0]
+    candidates = (
+        df.select(col)
+        .mapInPandas(mg_partition, schema=f"{col} {schema_field.dataType.simpleString()}")
+        .distinct()
+    )
+    total = df.agg(F.count("*").alias("_n"))
+    return (
+        df.join(F.broadcast(candidates), col)
+        .groupBy(col)
+        .agg(F.count("*").alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * k > F.col("_n"))
+        .select(col, "freq")
+    )
+
+
+def heavy_hitters_sql(src: str, col: str, k: int = 20) -> str:
+    """Exact oracle — valid because phase 1 provably never drops a true
+    heavy hitter and phase 2 recounts exactly."""
+    return f"""
+        SELECT {col}, COUNT(*) AS freq
+        FROM {src}
+        GROUP BY {col}
+        HAVING COUNT(*) * {k} > (SELECT COUNT(*) FROM {src})
+    """

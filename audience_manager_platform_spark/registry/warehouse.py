@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators import corpus as C
 from ..operators import merge as MG
+from ..operators.skew import heavy_hitters, heavy_hitters_sql
 from ..sources import load_table
 
 # per-stratum sampling rates over the events fixture: downsample the
@@ -40,6 +41,11 @@ QUERIES = {
     "corpus_curation_ledger": lambda s, d: C.curation_ledger(
         _docs(s, d), _docs(s, d).filter(F.col("doc_id") % 50 == 0)
     ),
+    # relative threshold (freq > n/125) keeps the result non-empty and
+    # scale-meaningful at every fixture SF
+    "heavy_hitters_users": lambda s, d: heavy_hitters(
+        _events(s, d), "user_id", k=125
+    ),
 }
 
 ORACLES = {
@@ -53,4 +59,5 @@ ORACLES = {
         + ") x"
     ),
     "corpus_curation_ledger": C.curation_ledger_sql(),
+    "heavy_hitters_users": heavy_hitters_sql("events", "user_id", k=125),
 }

@@ -101,3 +101,22 @@ def test_curation_ledger_verdict_composition(spark):
     # nothing survives: 0 contaminated, 1 dup+contaminated, 2 low quality
     assert not any(led[i].selected for i in led)
     assert all(led[i].split in ("train", "val", "test") for i in led)
+
+
+def test_heavy_hitters_exact_under_any_partitioning(spark):
+    from audience_manager_platform_spark.operators.skew import heavy_hitters
+
+    # 3 heavy values on a long tail; k=10 -> threshold n/10
+    rows = (
+        [("hot-a",)] * 300 + [("hot-b",)] * 200 + [("warm",)] * 90
+        + [(f"cold-{i}",) for i in range(410)]
+    )
+    df = spark.createDataFrame(rows, "v string")
+    n = len(rows)
+    expected = {("hot-a", 300), ("hot-b", 200)}  # warm: 90 < n/10 = 100
+    for parts in (1, 7):
+        got = {
+            (r.v, r.freq)
+            for r in heavy_hitters(df.repartition(parts), "v", k=10).collect()
+        }
+        assert got == expected, parts

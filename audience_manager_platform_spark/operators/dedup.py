@@ -433,7 +433,9 @@ def connected_components(
     the diameter per round; not needed for near-dup graphs.
 
     Scale posture: per round ONE shuffle keyed on node id over a labels
-    table of |V| rows (tiny next to the corpus — ids only, no text).
+    table of |V(edges)| rows — only nodes that appear in a candidate
+    pair; the (vastly larger) isolated remainder of the corpus never
+    enters the loop and is stitched back after convergence.
     ``pairs`` is consumed through a persisted edge list so candidate
     generation (the expensive LSH join) runs exactly once, not once per
     round; it is unpersisted before returning. Each round's labels go
@@ -454,10 +456,16 @@ def connected_components(
         )
         .persist()
     )
+    # propagate over EDGE-ENDPOINT nodes only: in a dedup graph the vast
+    # majority of the corpus is isolated (no candidate pair) and an
+    # isolated node's label never changes — iterating it is pure waste.
+    # The labels table is |V(edges)|, not |corpus|; isolated docs are
+    # stitched back with cluster_id = own id after convergence. (edges
+    # carries both directions, so src alone covers every endpoint.)
     labels = materialize(
-        nodes.select(
-            F.col("doc_id").alias("id"), F.col("doc_id").alias("cluster_id")
-        )
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("cluster_id"))
     )
     try:
         for _ in range(max_iter):
@@ -487,7 +495,11 @@ def connected_components(
             )
     finally:
         edges.unpersist()
-    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+    return nodes.select(F.col("doc_id")).join(
+        labels.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
 
 
 def cluster_canonical(docs: DataFrame, pairs: DataFrame) -> DataFrame:

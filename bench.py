@@ -45,6 +45,11 @@ HEADLINE = [
     "window_gaps_islands_sessions",
     "text_tfidf_top_terms",
     "multimodal_wav_decode",
+    # r2 wave 2: learned-quantizer ANN, warehouse maintenance, curation
+    "kmeans_embedding_clusters",
+    "scd2_user_state_history",
+    "heavy_hitters_users",
+    "corpus_curation_ledger",
 ]
 
 

@@ -225,3 +225,48 @@ def test_cohort_retention_no_second_fact_scan(spark, sf_dir, queries):
     the events fixture is scanned exactly once."""
     plan = _plan(queries["analytics_cohort_retention"](spark, sf_dir), "simple")
     assert plan.count("FileScan parquet") == 1
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The session enables AQE skew-join handling; verify the final
+    adaptive plan actually marks the skewed side on a planted 1000:1 hot
+    key (this is the runtime answer to hot-key joins the salted
+    aggregation covers for groupBys)."""
+    from pyspark.sql import functions as F
+
+    # hot key 0 on ONE side only (half of `big`); `other` carries each key
+    # once, so the join output stays linear while partition 0 is ~1000x
+    # the median
+    big = spark.range(200_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    other = spark.range(50_000).select(
+        F.col("id").alias("k"), F.col("id").alias("p2")
+    )
+    conf = spark.conf
+    saved = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256MB"
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10MB"
+        ),
+    }
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle join
+    try:
+        joined = big.join(other, "k")
+        # execute THIS DataFrame's plan (count() would build a separate
+        # aggregated plan and leave joined's adaptive plan unfinalized)
+        assert len(joined.collect()) > 0
+        final = _plan(joined, "simple")
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)

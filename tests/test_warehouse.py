@@ -120,3 +120,45 @@ def test_heavy_hitters_exact_under_any_partitioning(spark):
             for r in heavy_hitters(df.repartition(parts), "v", k=10).collect()
         }
         assert got == expected, parts
+
+
+def test_scd2_cdc_consistency_on_random_history(spark):
+    """Model check: on a randomized (seeded) changelog, the SCD2 open
+    interval per user must agree with the CDC latest-wins state, and the
+    closed intervals must tile the user's history without gaps or
+    overlaps."""
+    import random
+
+    rng = random.Random(42)
+    t0 = dt.datetime(2024, 6, 1)
+    rows = []
+    eid = 0
+    for uid in range(30):
+        for _ in range(rng.randint(1, 12)):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    uid,
+                    t0 + dt.timedelta(minutes=rng.randint(0, 500)),
+                    rng.choice("ABC"),
+                    float(rng.randint(1, 100)),
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    hist = MG.scd2_history(df).collect()
+    latest = {r.user_id: r.last_state for r in MG.cdc_latest_state(df).collect()}
+    by_user: dict = {}
+    for r in hist:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert set(by_user) == set(latest)
+    for uid, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        open_ivs = [r for r in ivs if r.valid_to is None]
+        assert len(open_ivs) == 1 and open_ivs[0] is ivs[-1]
+        assert ivs[-1].state == latest[uid]  # open interval == CDC state
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from  # tiling: no gap, no overlap
+            assert a.state != b.state  # runs are maximal

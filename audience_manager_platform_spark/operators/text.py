@@ -546,3 +546,45 @@ def chunk_tokens_sql(
           FROM (SELECT doc_id, {t} AS toks FROM {src}) s
         ) w
     """
+
+
+# ------------------------------------------------- BPE-ish token stats
+# GPT-2-style pre-tokenizer pattern (contraction suffixes, space-prefixed
+# letter runs / digit runs / punctuation runs, whitespace runs), restricted
+# to constructs with identical semantics in Java regex (Spark) and RE2
+# (DuckDB): no lookaround, no unicode property classes.
+BPE_SPLIT_RE = (
+    "'s|'t|'re|'ve|'m|'ll|'d"
+    "| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+"
+)
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting under a BPE-style pre-tokenizer (the granularity an
+    LLM data pipeline budgets with), next to the whitespace-class count,
+    plus their ratio (the 'fertility' proxy). Pure per-row projection —
+    regexp_extract_all is codegen'd JVM regex, no shuffle."""
+    pat = BPE_SPLIT_RE.replace("\\", "\\\\").replace("'", "\\'")
+    bpe = F.expr(f"regexp_extract_all(text, '{pat}', 0)")
+    words = tokens_col("text")
+    return docs.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(words).alias("n_word_tokens"),
+        F.round(
+            F.size(bpe) / F.nullif(F.size(words), F.lit(0)).cast("double"), 6
+        ).alias("fertility"),
+    )
+
+
+def bpe_token_stats_sql(src: str = "documents") -> str:
+    pat = BPE_SPLIT_RE.replace("'", "''")
+    t = tokens_sql("text")
+    return f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{pat}')) AS n_bpe_tokens,
+               len({t}) AS n_word_tokens,
+               ROUND(len(regexp_extract_all(text, '{pat}'))
+                     / CAST(NULLIF(len({t}), 0) AS DOUBLE), 6) AS fertility
+        FROM {src}
+    """

@@ -17,6 +17,7 @@ def _docs(spark, sf_dir):
 
 QUERIES = {
     "text_token_stats": lambda s, d: T.token_stats(_docs(s, d)),
+    "text_bpe_token_stats": lambda s, d: T.bpe_token_stats(_docs(s, d)),
     "text_quality_score": lambda s, d: T.quality_score(_docs(s, d)),
     "text_language_id": lambda s, d: T.language_id(_docs(s, d)),
     "text_fingerprint": lambda s, d: T.fingerprint(_docs(s, d)),
@@ -58,6 +59,7 @@ QUERIES = {
 
 ORACLES = {
     "text_token_stats": T.token_stats_sql(),
+    "text_bpe_token_stats": T.bpe_token_stats_sql(),
     "text_quality_score": T.quality_score_sql(),
     "text_language_id": T.language_id_sql(),
     "text_fingerprint": T.fingerprint_sql(),

@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Training-data curation walkthrough: the corpus operators composed the
+way a pretraining pipeline would run them — quality gate, exact + fuzzy
+dedup, decontamination, split assignment, token budgeting, packing —
+ending in the per-document curation ledger and packed sequences.
+
+Run: python examples/curation_demo.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from audience_manager_platform_spark.operators import corpus as C
+from audience_manager_platform_spark.operators import dedup as D
+from audience_manager_platform_spark.operators import similarity as S
+from audience_manager_platform_spark.operators import text as T
+from audience_manager_platform_spark.session import get_spark
+from audience_manager_platform_spark.sources import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main():
+    spark = get_spark("curation-demo")
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)  # stand-in eval set
+
+    print("== curation ledger (quality ∧ ¬dup ∧ ¬contaminated) ==")
+    ledger = C.curation_ledger(docs, bench)
+    ledger.groupBy("selected", "split").count().orderBy("selected", "split").show()
+
+    print("== fuzzy dedup: MinHash-LSH pairs -> near-dup clusters ==")
+    pairs = D.minhash_lsh_pairs(docs, est_threshold=0.5)
+    clusters = D.cluster_canonical(docs, pairs)
+    clusters.filter(~F.col("is_canonical")).show(5)
+
+    print("== embedding near-dups at the honest 0.9 threshold ==")
+    S.embedding_near_dup(S.plant_near_dups(emb), threshold=0.9).show(5)
+
+    print("== selected docs -> packed training sequences ==")
+    keep = ledger.filter(F.col("selected")).select("doc_id")
+    packed = C.pack_sequences(docs.join(keep, "doc_id"))
+    packed.groupBy("shard", "bin_id").agg(
+        F.count("*").alias("docs"), F.sum("n_tokens").alias("tokens")
+    ).orderBy("shard", "bin_id").show(5)
+
+    print("== BPE-budget view of the kept corpus ==")
+    T.bpe_token_stats(docs.join(keep, "doc_id")).agg(
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        F.round(F.avg("fertility"), 4).alias("mean_fertility"),
+    ).show()
+
+
+if __name__ == "__main__":
+    main()

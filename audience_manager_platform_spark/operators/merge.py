@@ -150,3 +150,88 @@ def cdc_latest_state_sql(
           FROM {src}
         ) x WHERE rn = 1
     """
+
+
+def scd2_merge_batch(
+    history: DataFrame | None,
+    batch: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    attr: str = "event_type",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Incremental SCD2: fold one (micro-)batch of change events into an
+    append-only CHANGE-POINT log — the storage layout that makes SCD2
+    maintainable at scale.
+
+    Intervals are never stored; only run starts (key, state, valid_from,
+    tiebreak) are. ``valid_to``/``is_current`` are derived at read time
+    by :func:`scd2_intervals_view` with a lead window, so an append never
+    rewrites history (contrast: storing intervals forces an UPDATE of the
+    previously-open row on every change — a rewrite of the whole
+    partition under plain parquet).
+
+    Per batch: compute the batch's run starts (same lag filter as
+    :func:`scd2_history`), then drop a batch-initial start whose state
+    equals the key's latest STORED state (the run continues across the
+    batch boundary, no new change point). Returns the rows to APPEND.
+    Batches must arrive in event-time order between batches (the
+    streaming wrapper's availableNow/maxFilesPerTrigger contract);
+    within a batch any order is fine.
+
+    Scale: the lag window shuffles only the batch; the boundary check
+    joins the batch's keys against the latest stored point per key — at
+    warehouse scale the log is partitioned by key range, so that lookup
+    prunes to the touched partitions.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    starts = (
+        batch.select(key, ts, tiebreak, attr)
+        .withColumn("prev", F.lag(attr).over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col(attr)))
+        .select(
+            key,
+            F.col(attr).alias("state"),
+            F.col(ts).alias("valid_from"),
+            F.col(tiebreak).alias("tb"),
+        )
+    )
+    if history is None:
+        return starts
+    latest = (
+        history.groupBy(key)
+        .agg(F.max(F.struct("valid_from", "tb", "state")).alias("last"))
+        .select(key, F.col("last.state").alias("prev_state"))
+    )
+    w_first = Window.partitionBy(key).orderBy("valid_from", "tb")
+    return (
+        starts.withColumn("rn", F.row_number().over(w_first))
+        .join(latest, key, "left")
+        .filter(
+            (F.col("rn") != 1)
+            | F.col("prev_state").isNull()
+            | (F.col("prev_state") != F.col("state"))
+        )
+        .select(key, "state", "valid_from", "tb")
+    )
+
+
+def scd2_intervals_view(history: DataFrame, key: str = "user_id") -> DataFrame:
+    """Read-side view over the change-point log: validity intervals via
+    one lead window — identical output schema to :func:`scd2_history`."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(key).orderBy("valid_from", "tb")
+    return (
+        history.select(
+            key,
+            "state",
+            "valid_from",
+            F.lead("valid_from").over(w).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

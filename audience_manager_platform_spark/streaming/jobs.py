@@ -190,3 +190,36 @@ def stream_stream_interval_join(
         F.col("l.ts").alias("left_ts"),
         F.col("r.ts").alias("right_ts"),
     )
+
+
+def scd2_maintenance_stream(
+    events: DataFrame, history_dir: str, checkpoint_dir: str
+) -> "StreamingQuery":  # noqa: F821
+    """Incremental SCD2 dimension maintenance as a stream: every
+    micro-batch folds its change events into the append-only change-point
+    log via :func:`..operators.merge.scd2_merge_batch` (exactly-once per
+    batch through the checkpoint; the log is append-only, so replaying a
+    failed batch after a crash cannot corrupt committed history beyond
+    duplicate points, which the merge's boundary check suppresses).
+    Read the current dimension with
+    :func:`..operators.merge.scd2_intervals_view` over ``history_dir``."""
+    from ..operators.merge import scd2_merge_batch
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            hist = spark.read.parquet(history_dir)
+            _ = hist.schema  # force resolution; raises if dir is empty
+        except Exception:
+            hist = None
+        delta = scd2_merge_batch(hist, batch_df)
+        delta.write.mode("append").parquet(history_dir)
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -162,3 +162,66 @@ def test_scd2_cdc_consistency_on_random_history(spark):
         for a, b in zip(ivs, ivs[1:]):
             assert a.valid_to == b.valid_from  # tiling: no gap, no overlap
             assert a.state != b.state  # runs are maximal
+
+
+def test_scd2_incremental_merge_equals_batch(spark):
+    """Folding the changelog in two micro-batches through the change-point
+    log must reproduce the one-shot SCD2 exactly (same intervals, same
+    open states), including runs that span the batch boundary."""
+    import random
+
+    rng = random.Random(7)
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    for eid in range(300):
+        rows.append(
+            (
+                eid,
+                eid % 20,
+                t0 + dt.timedelta(minutes=eid),
+                rng.choice("AB"),  # few states -> many boundary-spanning runs
+                1.0,
+            )
+        )
+    schema = "event_id long, user_id long, ts timestamp, event_type string, value double"
+    full = spark.createDataFrame(rows, schema)
+    cut = t0 + dt.timedelta(minutes=150)
+    b1 = full.filter(F.col("ts") < cut)
+    b2 = full.filter(F.col("ts") >= cut)
+
+    log1 = MG.scd2_merge_batch(None, b1)
+    log = log1.unionByName(MG.scd2_merge_batch(log1, b2))
+    got = {
+        (r.user_id, r.state, r.valid_from, r.valid_to, r.is_current)
+        for r in MG.scd2_intervals_view(log).collect()
+    }
+    want = {
+        (r.user_id, r.state, r.valid_from, r.valid_to, r.is_current)
+        for r in MG.scd2_history(full).collect()
+    }
+    assert got == want
+
+
+def test_scd2_maintenance_stream_end_to_end(spark, sf_dir, tmp_path):
+    from audience_manager_platform_spark.sources import load_table
+    from audience_manager_platform_spark.streaming.jobs import (
+        scd2_maintenance_stream,
+        stream_events,
+    )
+
+    events = stream_events(spark, sf_dir)
+    hist_dir = str(tmp_path / "scd2_log")
+    q = scd2_maintenance_stream(
+        events, hist_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(240)
+    q.stop()
+    got = {
+        (r.user_id, r.state, r.valid_from, r.valid_to)
+        for r in MG.scd2_intervals_view(spark.read.parquet(hist_dir)).collect()
+    }
+    want = {
+        (r.user_id, r.state, r.valid_from, r.valid_to)
+        for r in MG.scd2_history(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert got == want

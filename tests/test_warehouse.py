@@ -225,3 +225,36 @@ def test_scd2_maintenance_stream_end_to_end(spark, sf_dir, tmp_path):
         for r in MG.scd2_history(load_table(spark, sf_dir, "events")).collect()
     }
     assert got == want
+
+
+def test_new_operators_on_empty_input(spark):
+    """Empty-relation behavior: every warehouse/curation operator must
+    return an empty, correctly-typed frame (S8's contract extended to the
+    extension surface) rather than raising."""
+    from audience_manager_platform_spark.operators.skew import heavy_hitters
+    from audience_manager_platform_spark.operators import similarity as S
+
+    empty_ev = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    assert MG.scd2_history(empty_ev).count() == 0
+    assert MG.cdc_latest_state(empty_ev).count() == 0
+    assert heavy_hitters(empty_ev, "user_id", k=5).count() == 0
+    assert (
+        C.stratified_sample(empty_ev, "event_type", {"x": 0.5}, "event_id").count()
+        == 0
+    )
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    led = C.curation_ledger(empty_docs, empty_docs)
+    assert led.count() == 0
+    assert set(led.columns) == {
+        "doc_id", "keep_quality", "is_duplicate", "contaminated",
+        "n_tokens", "split", "selected",
+    }
+    # k-means on fewer vectors than centroids: every vector is its own seed
+    tiny = spark.createDataFrame(
+        [(i, [float(i + 1)] * 64) for i in range(3)],  # no zero vectors
+        "vec_id long, embedding array<float>",
+    )
+    out = S.kmeans_clusters(tiny, k=8, iters=1).collect()
+    assert sum(r.size for r in out) == 3

@@ -223,3 +223,78 @@ def scd2_maintenance_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream the documents fixture (landing-directory shape, like
+    :func:`stream_events`)."""
+    staging = os.path.join(
+        tempfile.gettempdir(), f"amps_docstream_{abs(hash(sf_dir)) % 10**8}"
+    )
+    os.makedirs(staging, exist_ok=True)
+    link = os.path.join(staging, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    return spark.readStream.schema(DOC_SCHEMA).parquet(staging)
+
+
+def corpus_dedup_fold(seen: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """One micro-batch of the ingestion-time exact dedup: normalize-and-
+    fingerprint the batch (same tokenization contract as the batch
+    ``exact_dedup``), canonicalize within the batch (min doc_id per
+    fingerprint), then anti-join fingerprints already committed to the
+    log. Returns the NEW (fingerprint, doc_id) rows to append.
+
+    The log stores one compact row per distinct content ever seen — the
+    state a 100 TB ingest actually needs (fingerprints, not text), and
+    because it is append-only with the dedup decision keyed on content,
+    a replayed batch re-derives the same survivors and the anti-join
+    drops them: idempotent under at-least-once delivery."""
+    from ..operators.text import tokens_col
+
+    fp = batch.select(
+        "doc_id", F.md5(F.array_join(tokens_col("text"), " ")).alias("fingerprint")
+    )
+    canon = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    if seen is None:
+        return canon
+    return canon.join(seen.select("fingerprint"), "fingerprint", "left_anti")
+
+
+def corpus_dedup_stream(
+    docs: DataFrame, log_dir: str, checkpoint_dir: str
+) -> "StreamingQuery":  # noqa: F821
+    """Exactly-once corpus ingestion: per micro-batch keep only docs whose
+    normalized-content fingerprint has never been admitted, appending the
+    survivors to the fingerprint log (the streaming front door of the
+    curation pipeline; in-stream event dedup with bounded state is
+    :func:`dedup_stream` — this one's state is the corpus itself)."""
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            seen = spark.read.parquet(log_dir)
+            _ = seen.schema
+        except Exception:
+            seen = None
+        corpus_dedup_fold(seen, batch_df).write.mode("append").parquet(log_dir)
+
+    return (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

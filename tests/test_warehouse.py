@@ -258,3 +258,40 @@ def test_new_operators_on_empty_input(spark):
     )
     out = S.kmeans_clusters(tiny, k=8, iters=1).collect()
     assert sum(r.size for r in out) == 3
+
+
+def test_corpus_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
+    from audience_manager_platform_spark.operators.dedup import exact_dedup
+    from audience_manager_platform_spark.sources import load_table
+    from audience_manager_platform_spark.streaming.jobs import (
+        corpus_dedup_fold,
+        corpus_dedup_stream,
+        stream_docs,
+    )
+
+    # cross-batch: batch 2 re-sends batch-1 content under new ids -> all dropped
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(10, "Alpha  BETA gamma!"), (11, "zeta eta")], "doc_id long, text string"
+    )
+    log1 = corpus_dedup_fold(None, b1)
+    log2 = corpus_dedup_fold(log1, b2)
+    assert {r.doc_id for r in log1.collect()} == {1, 2}
+    assert {r.doc_id for r in log2.collect()} == {11}  # 10 dups 1 after normalize
+
+    # end-to-end stream over the fixture == batch exact_dedup canonicals
+    log_dir = str(tmp_path / "fp_log")
+    q = corpus_dedup_stream(
+        stream_docs(spark, sf_dir), log_dir, str(tmp_path / "ckpt2")
+    )
+    q.awaitTermination(240)
+    q.stop()
+    got = {(r.fingerprint, r.doc_id) for r in spark.read.parquet(log_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    want = {
+        (r.fingerprint, r.canonical_id)
+        for r in exact_dedup(docs).select("fingerprint", "canonical_id").distinct().collect()
+    }
+    assert got == want

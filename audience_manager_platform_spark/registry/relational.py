@@ -255,6 +255,31 @@ def _approx_distinct(spark, sf_dir):
     )
 
 
+
+def _approx_percentiles(spark, sf_dir):
+    """percentile_approx (KLL-style sketch) bounded like the HLL check:
+    the sketch's rank-error guarantee (<= 1/accuracy of rank) means the
+    approx p-quantile must land between the EXACT (p - eps) and (p + eps)
+    quantiles. The query emits the exact quantiles (value-gated) plus a
+    ``within_bound`` flag per percentile; the raw sketch output stays out
+    of the hash for the same reason the HLL estimate does — it is
+    engine-specific, but its error contract is checkable."""
+    ev = _events(spark, sf_dir)
+    eps = 0.005  # 50x the accuracy=10000 rank-error bound
+    aggs = []
+    for p_ in (50, 90, 99):
+        p = p_ / 100.0
+        aggs += [
+            F.round(F.expr(f"percentile(value, {p})"), 4).alias(f"p{p_}"),
+            F.expr(
+                f"percentile_approx(value, {p}, 10000) BETWEEN "
+                f"percentile(value, {max(p - eps, 0.0)}) AND "
+                f"percentile(value, {min(p + eps, 1.0)})"
+            ).alias(f"ok_p{p_}"),
+        ]
+    return ev.groupBy("event_type").agg(*aggs)
+
+
 QUERIES = {
     "pivot_day_by_type": _pivot_day_by_type,
     "unpivot_daily_metrics": _unpivot_daily,
@@ -269,6 +294,7 @@ QUERIES = {
     "window_gaps_islands_sessions": _gaps_islands_sessions,
     "analytics_funnel_stages": _funnel_stages,
     "approx_distinct_users": _approx_distinct,
+    "approx_percentiles_value": _approx_percentiles,
     "skew_salted_user_totals": lambda s, d: salted_sum_count(
         _events(s, d), "user_id", "value"
     ),
@@ -398,6 +424,13 @@ ORACLES = {
                ROUND(v[1], 6) AS first_val,
                ROUND(list_dot_product(v, v), 6) AS sum_sq
         FROM e
+    """,
+    "approx_percentiles_value": """
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 4) AS p50, TRUE AS ok_p50,
+               ROUND(quantile_cont(value, 0.9), 4) AS p90, TRUE AS ok_p90,
+               ROUND(quantile_cont(value, 0.99), 4) AS p99, TRUE AS ok_p99
+        FROM events GROUP BY event_type
     """,
     "approx_distinct_users": """
         SELECT event_type,

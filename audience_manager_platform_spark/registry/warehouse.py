@@ -32,6 +32,26 @@ def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
 
+def _scd2_incremental(spark, sf_dir):
+    """Drive the streaming SCD2 maintenance job to completion over the
+    events fixture, then return the interval view over the change-point
+    log. Checked against the ONE-SHOT SCD2 oracle — the hard evidence
+    that the incremental fold reproduces batch semantics exactly."""
+    import tempfile
+
+    from ..streaming.jobs import scd2_maintenance_stream, stream_events
+
+    work = tempfile.mkdtemp(prefix="amps_scd2_gate_")
+    q = scd2_maintenance_stream(
+        stream_events(spark, sf_dir), f"{work}/log", f"{work}/ckpt"
+    )
+    q.awaitTermination(240)
+    q.stop()
+    return MG.scd2_intervals_view(spark.read.parquet(f"{work}/log")).select(
+        "user_id", "state", "valid_from", "valid_to", "is_current"
+    )
+
+
 QUERIES = {
     "scd2_user_state_history": lambda s, d: MG.scd2_history(_events(s, d)),
     "cdc_latest_user_state": lambda s, d: MG.cdc_latest_state(_events(s, d)),
@@ -46,6 +66,7 @@ QUERIES = {
     "heavy_hitters_users": lambda s, d: heavy_hitters(
         _events(s, d), "user_id", k=125
     ),
+    "scd2_incremental_stream": _scd2_incremental,
 }
 
 ORACLES = {
@@ -60,4 +81,5 @@ ORACLES = {
     ),
     "corpus_curation_ledger": C.curation_ledger_sql(),
     "heavy_hitters_users": heavy_hitters_sql("events", "user_id", k=125),
+    "scd2_incremental_stream": MG.scd2_history_sql(),
 }

@@ -682,3 +682,98 @@ def near_dup_src_sql(
         f"list_transform(CAST(embedding AS DOUBLE[]), x -> x + {shift}) "
         f"FROM {src} WHERE vec_id < {n}) planted"
     )
+
+
+# ------------------------------------------------------- semantic dedup
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    k: int = KMEANS_K,
+    iters: int = 1,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embeddings with the k-means coarse
+    quantizer, compare pairs ONLY within a cluster, and greedily keep
+    the lowest ``vec_id`` of every semantic-duplicate pair.
+
+    Output: ``(vec_id, cluster_id, is_kept)`` — ``is_kept`` is FALSE iff
+    some lower-id vector in the SAME cluster has cosine >= threshold.
+
+    Scale posture: the pairwise stage is an equi-join keyed on
+    ``cent_id`` — cost Σ|cell|², never corpus² — and ``k`` is the knob
+    that bounds |cell| (at 100 TB you raise k until cells are
+    executor-sized; the paper clusters 5B embeddings into 11k cells).
+    The keep rule is one join-shaped decision, not an iterative
+    connected-components pass: dropping every non-minimum member of a
+    duplicate pair is the paper's policy and costs a single shuffle.
+    Cross-cluster duplicates are deliberately never compared (the
+    documented SemDeDup recall trade-off); the choice is deterministic
+    — 6dp-rounded cosines, cent_id tie-break — so the DuckDB twin
+    (:func:`semantic_dedup_sql`) reproduces every keep/drop decision.
+
+    The assignment subplan feeds both sides of the pair join and the
+    final projection as the IDENTICAL plan, so Catalyst's exchange
+    reuse materializes its shuffle once; nothing is persisted.
+
+    The reference stops at set-algebra dedup of segment memberships
+    (SURVEY.md §2.4); embedding-level corpus dedup is part of the
+    LLM-pipeline extension mandated by BASELINE.json.
+    """
+    base = emb.select("vec_id", _vec_double().alias("v"))
+    cents = kmeans_fit(emb, k, iters)
+    assigned = _assign(base, cents).select("vec_id", "v", "cent_id")
+    a = assigned.select(
+        "cent_id", F.col("vec_id").alias("a_id"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        "cent_id", F.col("vec_id").alias("b_id"), F.col("v").alias("vb")
+    )
+    dropped = (
+        a.join(b, "cent_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+            >= threshold
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("dup", F.lit(True))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        F.col("cent_id").alias("cluster_id"),
+        F.col("dup").isNull().alias("is_kept"),
+    )
+
+
+def semantic_dedup_sql(
+    threshold: float = 0.9,
+    k: int = KMEANS_K,
+    iters: int = 1,
+    src: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup`: same k-means CTE chain,
+    same argmax-cosine assignment, same within-cluster pair predicate
+    and keep-min-id rule."""
+    return f"""
+        WITH {_kmeans_ctes(k, iters, src)},
+        assigned AS (
+          SELECT vec_id, v, cent_id FROM (
+            SELECT e.vec_id, e.v, c.cent_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                              c.cent_id ASC) AS rn
+            FROM e CROSS JOIN cents c
+          ) x WHERE rn = 1
+        ),
+        dropped AS (
+          SELECT DISTINCT y.vec_id
+          FROM assigned x JOIN assigned y
+            ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+          WHERE ROUND(list_cosine_similarity(x.v, y.v), 6) >= {threshold}
+        )
+        SELECT a.vec_id, a.cent_id AS cluster_id,
+               dropped.vec_id IS NULL AS is_kept
+        FROM assigned a LEFT JOIN dropped ON a.vec_id = dropped.vec_id
+    """

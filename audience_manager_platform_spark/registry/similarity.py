@@ -35,6 +35,11 @@ QUERIES = {
     "ann_ivf_kmeans_topk": lambda s, d: S.ivf_kmeans_topk(
         _emb(s, d), _QUERY_IDS, k=5, iters=1
     ),
+    # SemDeDup over the planted-twin corpus: the k-means cells bound the
+    # pairwise stage, the greedy keep-min-id rule drops each twin
+    "dedup_semantic": lambda s, d: S.semantic_dedup(
+        S.plant_near_dups(_emb(s, d)), threshold=0.9, iters=1
+    ),
 }
 
 ORACLES = {
@@ -47,4 +52,7 @@ ORACLES = {
     ),
     "kmeans_embedding_clusters": S.kmeans_clusters_sql(iters=1),
     "ann_ivf_kmeans_topk": S.ivf_kmeans_topk_sql(_QUERY_IDS, k=5, iters=1),
+    "dedup_semantic": S.semantic_dedup_sql(
+        threshold=0.9, iters=1, src=S.near_dup_src_sql()
+    ),
 }

@@ -415,3 +415,20 @@ def test_chunk_tokens_overlap_and_tail(spark):
     # overlap: second chunk starts at token 12 and runs to the end
     assert rows[1].chunk_text.split() == [f"t{i}" for i in range(12, 20)]
     assert rows[1].chunk_tokens == 8
+
+
+def test_semantic_dedup_drops_twin_keeps_original(emb):
+    padded = _padded_emb(emb)
+    out = {r.vec_id: r for r in S.semantic_dedup(padded, threshold=0.99, k=4, iters=2).collect()}
+    assert len(out) == 21
+    assert out[0].is_kept and not out[20].is_kept  # twin loses to min-id
+    assert out[0].cluster_id == out[20].cluster_id  # compared within one cell
+    # nothing else in the fixture is a semantic duplicate at 0.99
+    assert sum(not r.is_kept for r in out.values()) == 1
+
+
+def test_semantic_dedup_empty_input(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = S.semantic_dedup(empty, threshold=0.9, k=4, iters=1)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vec_id", "cluster_id", "is_kept"]

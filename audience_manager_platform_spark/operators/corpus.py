@@ -126,6 +126,54 @@ def pack_sequences_sql(
     """
 
 
+# ------------------------------------------------ deterministic shuffle
+def shuffle_shards(
+    docs: DataFrame, n_shards: int = 64, salt: str = "epoch-0"
+) -> DataFrame:
+    """Deterministic training-order shuffle: every doc gets a
+    ``(shard_id, pos_in_shard)`` coordinate from a salted
+    content-independent hash — the global read order (shard 0 pos 0,
+    1, …, shard 1 pos 0, …) is a reproducible pseudo-random permutation
+    of the corpus, re-seedable per epoch via ``salt``.
+
+    Scale posture: a global ``ORDER BY hash`` + ``row_number`` would
+    funnel the corpus through ONE partition for the ranking window;
+    instead the hash's low bits pick a shard (pure per-row projection)
+    and the position window is partitioned BY SHARD — the only shuffle
+    is the exchange keyed on shard_id, and every shard ranks in
+    parallel. Sharded order is what training loaders consume anyway
+    (one reader per shard); n_shards scales with the cluster, not the
+    data. Ties on the hash break by doc_id, so the permutation is total
+    and the DuckDB twin reproduces it exactly.
+    """
+    h = stable_long_hash(F.col("doc_id").cast("string"), salt=salt)
+    w = Window.partitionBy("shard_id").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .withColumn("shard_id", F.col("h") % n_shards)
+        .select(
+            "doc_id",
+            "shard_id",
+            (F.row_number().over(w) - 1).alias("pos_in_shard"),
+        )
+    )
+
+
+def shuffle_shards_sql(
+    src: str = "documents", n_shards: int = 64, salt: str = "epoch-0"
+) -> str:
+    h = _HASH60_DUCK.format(x=f"'{salt}' || CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH hashed AS (
+          SELECT doc_id, {h} AS h, ({h}) % {n_shards} AS shard_id FROM {src}
+        )
+        SELECT doc_id, shard_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY shard_id ORDER BY h, doc_id) - 1 AS pos_in_shard
+        FROM hashed
+    """
+
+
 # ----------------------------------------------- benchmark decontamination
 def decontaminate(
     docs: DataFrame,

@@ -55,6 +55,7 @@ QUERIES = {
     "corpus_decontaminate": lambda s, d: C.decontaminate(
         _docs(s, d), _docs(s, d).filter(F.col("doc_id") % 50 == 0)
     ),
+    "corpus_shuffle_shards": lambda s, d: C.shuffle_shards(_docs(s, d)),
 }
 
 ORACLES = {
@@ -88,4 +89,5 @@ ORACLES = {
     "corpus_split_assign": C.split_assign_sql(),
     "corpus_pack_sequences": C.pack_sequences_sql(),
     "corpus_decontaminate": C.decontaminate_sql(),
+    "corpus_shuffle_shards": C.shuffle_shards_sql(),
 }

@@ -432,3 +432,33 @@ def test_semantic_dedup_empty_input(spark):
     out = S.semantic_dedup(empty, threshold=0.9, k=4, iters=1)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["vec_id", "cluster_id", "is_kept"]
+
+
+def test_shuffle_shards_total_permutation(spark, sf_dir):
+    """Every doc gets exactly one (shard, pos) slot, positions are dense
+    from 0 within each shard, and the salt re-seeds the permutation."""
+    from audience_manager_platform_spark.operators import corpus as C
+    from audience_manager_platform_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = C.shuffle_shards(docs, n_shards=8).collect()
+    assert len({r.doc_id for r in out}) == len(out)
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard_id, []).append(r.pos_in_shard)
+    assert set(by_shard) <= set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+    # re-salting permutes: some doc changes coordinates
+    epoch1 = {r.doc_id: (r.shard_id, r.pos_in_shard) for r in out}
+    epoch2 = {
+        r.doc_id: (r.shard_id, r.pos_in_shard)
+        for r in C.shuffle_shards(docs, n_shards=8, salt="epoch-1").collect()
+    }
+    assert epoch1 != epoch2
+    # but the same salt is bit-stable across runs
+    again = {
+        r.doc_id: (r.shard_id, r.pos_in_shard)
+        for r in C.shuffle_shards(docs, n_shards=8).collect()
+    }
+    assert epoch1 == again

@@ -36,5 +36,37 @@ def materialize(df: DataFrame) -> DataFrame:
     import tempfile
 
     path = tempfile.mkdtemp(prefix="amp-mat-") + "/t"
+    _MATERIALIZED.append(path)
     df.write.parquet(path)
     return df.sparkSession.read.parquet(path)
+
+
+# Temp tables must outlive the returned (lazy) DataFrame, so they cannot
+# be deleted eagerly; sweep them when the process exits instead of
+# leaking one directory per call into /tmp for the machine's lifetime.
+_MATERIALIZED: list[str] = []
+
+
+def tracked_tempdir(prefix: str) -> str:
+    """``tempfile.mkdtemp`` whose directory is swept at process exit —
+    for per-run scratch (stream logs, checkpoints) that must survive
+    until the consuming lazy DataFrame is done but not beyond the
+    session."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    _MATERIALIZED.append(path + "/t")
+    return path
+
+
+def _sweep_materialized() -> None:
+    import os
+    import shutil
+
+    for path in _MATERIALIZED:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+import atexit
+
+atexit.register(_sweep_materialized)

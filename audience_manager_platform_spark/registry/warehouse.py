@@ -37,11 +37,10 @@ def _scd2_incremental(spark, sf_dir):
     events fixture, then return the interval view over the change-point
     log. Checked against the ONE-SHOT SCD2 oracle — the hard evidence
     that the incremental fold reproduces batch semantics exactly."""
-    import tempfile
-
+    from ..operators.partitioning import tracked_tempdir
     from ..streaming.jobs import scd2_maintenance_stream, stream_events
 
-    work = tempfile.mkdtemp(prefix="amps_scd2_gate_")
+    work = tracked_tempdir("amps_scd2_gate_")
     q = scd2_maintenance_stream(
         stream_events(spark, sf_dir), f"{work}/log", f"{work}/ckpt"
     )

@@ -179,10 +179,19 @@ def scd2_merge_batch(
     streaming wrapper's availableNow/maxFilesPerTrigger contract);
     within a batch any order is fine.
 
+    Replay safety: foreachBatch + append is at-least-once — a crash
+    between the parquet commit and the checkpoint commit replays the
+    batch. The boundary check alone does NOT make that safe (it only
+    suppresses the batch-initial start, and only when the state still
+    matches), so the delta is finally anti-joined against the stored
+    log on the full (key, valid_from, tiebreak) identity: a replayed
+    batch re-derives already-committed points and they all drop out —
+    the fold is idempotent.
+
     Scale: the lag window shuffles only the batch; the boundary check
-    joins the batch's keys against the latest stored point per key — at
-    warehouse scale the log is partitioned by key range, so that lookup
-    prunes to the touched partitions.
+    and the replay anti-join probe the log keyed on the batch's keys —
+    at warehouse scale the log is partitioned by key range, so those
+    lookups prune to the touched partitions.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -216,6 +225,11 @@ def scd2_merge_batch(
             | (F.col("prev_state") != F.col("state"))
         )
         .select(key, "state", "valid_from", "tb")
+        .join(
+            history.select(key, "valid_from", "tb"),
+            on=[key, "valid_from", "tb"],
+            how="left_anti",
+        )
     )
 
 

@@ -197,10 +197,11 @@ def scd2_maintenance_stream(
 ) -> "StreamingQuery":  # noqa: F821
     """Incremental SCD2 dimension maintenance as a stream: every
     micro-batch folds its change events into the append-only change-point
-    log via :func:`..operators.merge.scd2_merge_batch` (exactly-once per
-    batch through the checkpoint; the log is append-only, so replaying a
-    failed batch after a crash cannot corrupt committed history beyond
-    duplicate points, which the merge's boundary check suppresses).
+    log via :func:`..operators.merge.scd2_merge_batch` (exactly-once
+    effect: the checkpoint replays a crashed batch, and the merge's
+    anti-join against stored (key, valid_from, tiebreak) points drops
+    everything the replay re-derives — an append-only log plus an
+    idempotent fold).
     Read the current dimension with
     :func:`..operators.merge.scd2_intervals_view` over ``history_dir``."""
     from ..operators.merge import scd2_merge_batch

@@ -295,3 +295,27 @@ def test_corpus_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in exact_dedup(docs).select("fingerprint", "canonical_id").distinct().collect()
     }
     assert got == want
+
+
+def test_scd2_merge_batch_replay_is_idempotent(spark):
+    """A crash between the log append and the checkpoint commit replays
+    the batch (foreachBatch is at-least-once); re-folding an
+    already-committed batch must contribute ZERO new change points, for
+    multi-run batches too — the case the boundary check alone misses."""
+    rows = [
+        (0, 1, dt.datetime(2024, 3, 1, 10, 0), "A", 1.0),
+        (1, 1, dt.datetime(2024, 3, 1, 11, 0), "B", 1.0),  # 2nd run
+        (2, 1, dt.datetime(2024, 3, 1, 12, 0), "A", 1.0),  # 3rd run
+        (3, 2, dt.datetime(2024, 3, 1, 10, 30), "C", 1.0),
+    ]
+    schema = "event_id long, user_id long, ts timestamp, event_type string, value double"
+    batch = spark.createDataFrame(rows, schema)
+    log = MG.scd2_merge_batch(None, batch)
+    assert log.count() == 4  # 3 runs for user 1 + 1 for user 2
+    replayed = MG.scd2_merge_batch(log, batch)
+    assert replayed.count() == 0
+    # and a genuinely new change still lands after the replay
+    nxt = spark.createDataFrame(
+        [(4, 1, dt.datetime(2024, 3, 1, 13, 0), "B", 1.0)], schema
+    )
+    assert MG.scd2_merge_batch(log, nxt).count() == 1

@@ -181,12 +181,17 @@ def scd2_merge_batch(
 
     Replay safety: foreachBatch + append is at-least-once — a crash
     between the parquet commit and the checkpoint commit replays the
-    batch. The boundary check alone does NOT make that safe (it only
-    suppresses the batch-initial start, and only when the state still
-    matches), so the delta is finally anti-joined against the stored
-    log on the full (key, valid_from, tiebreak) identity: a replayed
-    batch re-derives already-committed points and they all drop out —
-    the fold is idempotent.
+    batch, with the batch's own points already in the log. Two rules
+    make the fold idempotent:
+
+    - the boundary check compares the batch-initial start against the
+      latest stored point STRICTLY BEFORE the batch's first event (per
+      key), not the overall latest — on replay the overall latest has
+      advanced to the batch's own last state, which would flip the
+      suppression decision and resurrect a suppressed start;
+    - the delta is anti-joined against the stored log on the full
+      (key, valid_from, tiebreak) identity, so every point the replay
+      re-derives drops out.
 
     Scale: the lag window shuffles only the batch; the boundary check
     and the replay anti-join probe the log keyed on the batch's keys —
@@ -210,8 +215,22 @@ def scd2_merge_batch(
     )
     if history is None:
         return starts
+    # latest stored point BEFORE the batch's first event, per key: the
+    # batch's first start always sits at the key's min (ts, tiebreak)
+    # (lag is NULL there), so points at/after it are the batch's own
+    # appends from a prior partially-committed run of this same fold.
+    first = (
+        starts.groupBy(key)
+        .agg(F.min(F.struct(F.col("valid_from"), F.col("tb"))).alias("first"))
+        .select(key, F.col("first.valid_from").alias("fvf"), F.col("first.tb").alias("ftb"))
+    )
     latest = (
-        history.groupBy(key)
+        history.join(first, key)
+        .filter(
+            F.struct(F.col("valid_from"), F.col("tb"))
+            < F.struct(F.col("fvf"), F.col("ftb"))
+        )
+        .groupBy(key)
         .agg(F.max(F.struct("valid_from", "tb", "state")).alias("last"))
         .select(key, F.col("last.state").alias("prev_state"))
     )

@@ -319,3 +319,30 @@ def test_scd2_merge_batch_replay_is_idempotent(spark):
         [(4, 1, dt.datetime(2024, 3, 1, 13, 0), "B", 1.0)], schema
     )
     assert MG.scd2_merge_batch(log, nxt).count() == 1
+
+
+def test_scd2_merge_batch_replay_after_suppressed_start(spark):
+    """The nasty replay case: a batch whose initial start CONTINUES the
+    stored state (so it is suppressed) and then changes state. After the
+    first fold the stored latest has advanced to the batch's final
+    state; a replay must still suppress the batch-initial start — the
+    boundary check has to compare against the latest point BEFORE the
+    batch, not the overall latest."""
+    schema = "event_id long, user_id long, ts timestamp, event_type string, value double"
+    b0 = spark.createDataFrame(
+        [(0, 1, dt.datetime(2024, 3, 1, 9, 0), "A", 1.0)], schema
+    )
+    log = MG.scd2_merge_batch(None, b0)  # stored: (A @ 9:00)
+    batch = spark.createDataFrame(
+        [
+            (1, 1, dt.datetime(2024, 3, 1, 10, 0), "A", 1.0),  # continues A
+            (2, 1, dt.datetime(2024, 3, 1, 11, 0), "B", 1.0),  # new run
+        ],
+        schema,
+    )
+    delta = MG.scd2_merge_batch(log, batch)
+    got = [(r.state, r.valid_from) for r in delta.collect()]
+    assert got == [("B", dt.datetime(2024, 3, 1, 11, 0))]  # A@10:00 suppressed
+    log2 = log.unionByName(delta)
+    # crash-replay of the same batch: zero new points, A@10:00 stays out
+    assert MG.scd2_merge_batch(log2, batch).count() == 0

@@ -58,10 +58,18 @@ def heavy_hitters(
 
     The Arrow stage tails each partition with O(counters) state — the
     sanctioned mapInPandas use (sketch state Spark SQL cannot express).
+
+    NULLs are excluded up front: the question is "which VALUES are
+    frequent", and null keys would otherwise corrupt both passes (a
+    nullable numeric column arrives in pandas as float64 whose NaNs are
+    pairwise-unequal dict keys, and the recount equi-join drops null
+    keys while a GROUP BY oracle would emit them). The threshold's
+    ``n`` counts non-null rows, matching :func:`heavy_hitters_sql`.
     """
     import pandas as pd
 
     slots = counters or k
+    df = df.filter(F.col(col).isNotNull())
 
     def mg_partition(batches):
         counts: dict = {}
@@ -105,6 +113,8 @@ def heavy_hitters_sql(src: str, col: str, k: int = 20) -> str:
     return f"""
         SELECT {col}, COUNT(*) AS freq
         FROM {src}
+        WHERE {col} IS NOT NULL
         GROUP BY {col}
-        HAVING COUNT(*) * {k} > (SELECT COUNT(*) FROM {src})
+        HAVING COUNT(*) * {k} >
+               (SELECT COUNT(*) FROM {src} WHERE {col} IS NOT NULL)
     """

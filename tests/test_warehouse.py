@@ -346,3 +346,15 @@ def test_scd2_merge_batch_replay_after_suppressed_start(spark):
     log2 = log.unionByName(delta)
     # crash-replay of the same batch: zero new points, A@10:00 stays out
     assert MG.scd2_merge_batch(log2, batch).count() == 0
+
+
+def test_heavy_hitters_ignores_nulls(spark):
+    """Null keys must neither crash the Arrow stage (NaN dict keys) nor
+    silently skew the threshold: hitters are exact over NON-NULL rows."""
+    from audience_manager_platform_spark.operators.skew import heavy_hitters
+
+    rows = [(None,)] * 50 + [(7,)] * 30 + [(8,)] * 5 + [(9,)] * 5
+    df = spark.createDataFrame(rows, "uid long").repartition(4)
+    got = {(r.uid, r.freq) for r in heavy_hitters(df, "uid", k=2).collect()}
+    # non-null n = 40; only 7 (30 > 40/2) clears the bar; NULL never appears
+    assert got == {(7, 30)}

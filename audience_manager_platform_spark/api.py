@@ -129,10 +129,20 @@ def create_app(engine: AudienceEngine):
 
     @app.get("/api/segments/<int:rule_id>/sample_data")
     def sample_data(rule_id: int):
+        from pyspark.errors import AnalysisException
+
+        # only a genuinely MISSING segment maps to the reference's
+        # empty-sample response (unknown rule → KeyError, unmaterialized
+        # rule → parquet path not found); real engine/Spark failures must
+        # surface as errors, not masquerade as a healthy empty segment
         try:
             rows = engine.sample_segment(rule_id, n=10)
-        except Exception as ex:  # missing segment → empty, like the reference
+        except (KeyError, FileNotFoundError) as ex:
             return ok({"data": {"sample_data": [], "note": str(ex)}})
+        except AnalysisException as ex:
+            if "PATH_NOT_FOUND" in str(ex):
+                return ok({"data": {"sample_data": [], "note": str(ex)}})
+            return err(str(ex), 500)
         return ok({"data": {"sample_data": [r.asDict() for r in rows]}})
 
     @app.post("/api/segments/<int:rule_id>/refresh")

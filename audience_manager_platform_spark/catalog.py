@@ -48,9 +48,11 @@ class Rule:
     is_active: bool = True
     created_at: str = ""
     last_run_at: str | None = None
-    # next scheduled refresh (M4): stamped on every run from the cadence
-    # (None for ONCE) — the daemon sorts on it; mirrors the reference's
-    # APScheduler date-trigger bookkeeping
+    # next scheduled refresh (M4): stamped on every run as last_run +
+    # cadence (None for ONCE) for API/display consumers — dueness itself
+    # is always re-derived by Scheduler.is_due from last_run_at, so this
+    # mirror of the reference's APScheduler date-trigger bookkeeping can
+    # never drive a stale decision (schedule is immutable after create)
     next_run_at: str | None = None
 
 

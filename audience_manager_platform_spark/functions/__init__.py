@@ -35,6 +35,14 @@ def stable_long_hash(col: Column, salt: str = "") -> Column:
     return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
 
 
+# The canonical SQL twins of :func:`stable_long_hash` — ONE definition
+# for every operator family's oracle, so a change to the hash (width,
+# salt handling) cannot silently split the Spark and DuckDB sides.
+# ``{x}`` is the already-salted string expression.
+HASH60_SPARK_SQL = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
+HASH60_DUCK_SQL = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity of two ``array<double>`` columns, computed with
     higher-order functions (``zip_with`` + ``aggregate``) — vectorized in

@@ -16,10 +16,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import HASH60_DUCK_SQL as _HASH60_DUCK
 from ..functions import stable_long_hash
 from .text import tokens_col, tokens_sql, word_ngrams_col, word_ngrams_sql
-
-_HASH60_DUCK = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
 
 # ------------------------------------------------------ dataset splits
 SPLIT_BUCKETS = 10_000

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import HASH60_DUCK_SQL as _HASH60_DUCK
+from ..functions import HASH60_SPARK_SQL as _HASH60_SPARK
 from .partitioning import materialize, spread
 from .text import tokens_col, tokens_sql, word_ngrams_col, word_ngrams_sql
 
@@ -41,9 +43,6 @@ MINHASH_A = [(_lcg(i * 2 + 1) % (MINHASH_P - 1)) + 1 for i in range(NUM_HASHES)]
 MINHASH_B = [_lcg(i * 2 + 2) % MINHASH_P for i in range(NUM_HASHES)]
 
 NGRAM_N = 3
-
-_HASH60_SPARK = "cast(conv(substring(md5({g}), 1, 15), 16, 10) as bigint)"
-_HASH60_DUCK = "CAST(('0x' || substr(md5({g}), 1, 15)) AS BIGINT)"
 
 
 # ------------------------------------------------------------ exact dedup
@@ -198,7 +197,7 @@ def minhash_signatures(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
     doc's n-gram set. Shape: explode → project k hash columns → one
     hash-aggregate with k ``min``s (all codegen'd; no UDF)."""
     grams = _doc_grams(docs, n)
-    h = F.expr(_HASH60_SPARK.format(g="gram")) % MINHASH_P
+    h = F.expr(_HASH60_SPARK.format(x="gram")) % MINHASH_P
     exploded = grams.select("doc_id", F.explode("grams").alias("gram")).select(
         "doc_id", h.alias("h")
     )
@@ -214,7 +213,7 @@ def minhash_signatures(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
 def minhash_signatures_sql(src: str = "documents", n: int = NGRAM_N) -> str:
     t = tokens_sql("text")
     g = word_ngrams_sql("toks", n)
-    hh = _HASH60_DUCK.format(g="gram")
+    hh = _HASH60_DUCK.format(x="gram")
     mins = ",\n               ".join(
         f"MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}) AS s{i}"
         for i in range(NUM_HASHES)
@@ -361,7 +360,7 @@ def simhash(docs: DataFrame) -> DataFrame:
     bit of its 60-bit hash; the fingerprint sets bit j iff the vote sum is
     positive. Explode → 60 conditional sums in ONE aggregate (codegen'd)
     → recombine. Near-dup docs differ in a few bits (hamming distance)."""
-    h = F.expr(_HASH60_SPARK.format(g="tok"))
+    h = F.expr(_HASH60_SPARK.format(x="tok"))
     exploded = (
         spread(docs)
         .select("doc_id", F.explode(tokens_col("text")).alias("tok"))
@@ -383,7 +382,7 @@ def simhash(docs: DataFrame) -> DataFrame:
 
 def simhash_sql(src: str = "documents") -> str:
     t = tokens_sql("text")
-    hh = _HASH60_DUCK.format(g="tok")
+    hh = _HASH60_DUCK.format(x="tok")
     votes = ",\n               ".join(
         f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
         for j in range(SIMHASH_BITS)

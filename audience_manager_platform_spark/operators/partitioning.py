@@ -32,10 +32,30 @@ def materialize(df: DataFrame) -> DataFrame:
     both measured). A parquet write is one computation + one columnar
     write, and re-reads get pushdown/pruning for free. This is exactly
     the "materialized intermediate table" a 100 TB deployment would
-    keep anyway (signatures, bucket assignments, CC labels)."""
+    keep anyway (signatures, bucket assignments, CC labels).
+
+    Contract notes:
+
+    - The write job runs EAGERLY, when the enclosing operator is
+      *constructed* — callers (CC rounds, LSH bucketing) consume the
+      result immediately, so nothing is wasted, but ``explain()`` on
+      such an operator does execute the materialized stage.
+    - The scratch root must be visible to driver AND executors. The
+      default (the driver's tempdir) is correct for local[*]; a
+      multi-node deployment sets ``spark.amp.scratchDir`` to shared
+      storage (HDFS/S3) and gets the identical plan.
+    """
     import tempfile
 
-    path = tempfile.mkdtemp(prefix="amp-mat-") + "/t"
+    root = df.sparkSession.conf.get("spark.amp.scratchDir", None)
+    if root:
+        import os
+        import uuid
+
+        os.makedirs(root, exist_ok=True)
+        path = os.path.join(root, f"amp-mat-{uuid.uuid4().hex}") + "/t"
+    else:
+        path = tempfile.mkdtemp(prefix="amp-mat-") + "/t"
     _MATERIALIZED.append(path)
     df.write.parquet(path)
     return df.sparkSession.read.parquet(path)

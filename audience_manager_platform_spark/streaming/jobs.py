@@ -39,20 +39,27 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-stream the events fixture. The file source needs a *directory*
-    (its production shape: a landing dir receiving event files), so the
-    single fixture file is exposed through a symlinked staging dir."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+def _staged_fixture_stream(
+    spark: SparkSession, sf_dir: str, table: str, schema: T.StructType
+) -> DataFrame:
+    """The file source needs a *directory* (its production shape: a
+    landing dir receiving files), so a single fixture file is exposed
+    through a symlinked staging dir — shared by every fixture stream."""
     staging = os.path.join(
-        tempfile.gettempdir(), f"amps_stream_{abs(hash(sf_dir)) % 10**8}"
+        tempfile.gettempdir(), f"amps_stream_{table}_{abs(hash(sf_dir)) % 10**8}"
     )
     os.makedirs(staging, exist_ok=True)
-    link = os.path.join(staging, "events.parquet")
+    link = os.path.join(staging, f"{table}.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    raw = spark.readStream.schema(EVENT_SCHEMA).parquet(staging)
+        os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
+    return spark.readStream.schema(schema).parquet(staging)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream the events fixture."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = _staged_fixture_stream(spark, sf_dir, "events", EVENT_SCHEMA)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
@@ -238,16 +245,8 @@ DOC_SCHEMA = T.StructType(
 
 
 def stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-stream the documents fixture (landing-directory shape, like
-    :func:`stream_events`)."""
-    staging = os.path.join(
-        tempfile.gettempdir(), f"amps_docstream_{abs(hash(sf_dir)) % 10**8}"
-    )
-    os.makedirs(staging, exist_ok=True)
-    link = os.path.join(staging, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
-    return spark.readStream.schema(DOC_SCHEMA).parquet(staging)
+    """File-stream the documents fixture."""
+    return _staged_fixture_stream(spark, sf_dir, "documents", DOC_SCHEMA)
 
 
 def corpus_dedup_fold(seen: DataFrame | None, batch: DataFrame) -> DataFrame:

@@ -494,8 +494,13 @@ def kmeans_fit(
     reference-free deterministic seed the oracle can replicate);
     per-iteration means are rounded to 6dp (quantized model state), so
     the DuckDB twin (:func:`_kmeans_ctes`) reproduces every assignment
-    decision exactly. Clusters that lose all members drop out on both
-    engines (GROUP BY semantics).
+    decision exactly. Caveat: ``avg`` over doubles accumulates in
+    partition order, so the quantized mean differs from the oracle's
+    sequential mean only if both straddle a 0.5e-6 rounding boundary —
+    an ~1e-16-relative perturbation against a 1e-6 grid (≪1e-9 per
+    component; the same tolerance every rounded aggregate in the gate
+    carries). Clusters that lose all members drop out on both engines
+    (GROUP BY semantics).
     """
     base = emb.select("vec_id", _vec_double().alias("v"))
     cents = base.filter(F.col("vec_id") < k).select(

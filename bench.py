@@ -50,6 +50,8 @@ HEADLINE = [
     "scd2_user_state_history",
     "heavy_hitters_users",
     "corpus_curation_ledger",
+    # r2 wave 3: SemDeDup semantic dedup over the planted-twin corpus
+    "dedup_semantic",
 ]
 
 

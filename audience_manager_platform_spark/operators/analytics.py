@@ -294,3 +294,83 @@ def cohort_retention(txns: DataFrame) -> DataFrame:
             "n_users",
         )
     )
+
+
+# ------------------------------------------------- anomaly detection
+def daily_anomalies(
+    events: DataFrame, window: int = 7, z_threshold: float = 2.0
+) -> DataFrame:
+    """Time-series anomaly flags over the daily value total: a day is
+    anomalous when it sits ``z_threshold`` sample standard deviations
+    from the trailing ``window``-day mean (the monitoring query a
+    pipeline runs over its own volume/quality metrics to catch a broken
+    upstream feed).
+
+    Shape: ONE fact-table aggregate to the daily series, then ordered
+    windows over that series. The windowed relation is |distinct days|
+    rows — already reduced by the aggregate, thousands of rows for
+    decades of data — so the unpartitioned ORDER BY window is a
+    deliberate choice, not a scale hazard (the fact-sized work happened
+    in the groupBy, which shuffles on day).
+
+    Cross-engine determinism: the daily totals are rounded to 2dp and
+    the trailing mean/std to 6dp BEFORE the z-score is derived, so both
+    engines window over identical quantized inputs; the trailing frame
+    excludes the current day (a spike never masks itself). Days with
+    fewer than 2 trailing observations (or zero variance) get NULL
+    z-scores and are never flagged.
+    """
+    # day travels as a formatted string (the gate convention: pandas
+    # renders Spark DATE and DuckDB DATE differently); ISO order == date
+    # order, so the window's ORDER BY is unaffected
+    daily = events.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("day_total"))
+    w = Window.orderBy("day").rowsBetween(-window, -1)
+    stats = daily.select(
+        "day",
+        "day_total",
+        F.round(F.avg("day_total").over(w), 6).alias("trailing_mean"),
+        F.round(F.stddev_samp("day_total").over(w), 6).alias("trailing_std"),
+    )
+    zscore = F.when(
+        F.col("trailing_std") > 0,
+        F.round(
+            (F.col("day_total") - F.col("trailing_mean")) / F.col("trailing_std"), 6
+        ),
+    )
+    return stats.withColumn("zscore", zscore).withColumn(
+        "is_anomaly",
+        F.coalesce(F.abs(F.col("zscore")) >= z_threshold, F.lit(False)),
+    )
+
+
+def daily_anomalies_sql(
+    src: str = "events", window: int = 7, z_threshold: float = 2.0
+) -> str:
+    """DuckDB twin of :func:`daily_anomalies`."""
+    return f"""
+        WITH daily AS (
+          SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                 ROUND(SUM(value), 2) AS day_total
+          FROM {src} GROUP BY 1
+        ),
+        stats AS (
+          SELECT day, day_total,
+                 ROUND(AVG(day_total) OVER w, 6) AS trailing_mean,
+                 ROUND(STDDEV_SAMP(day_total) OVER w, 6) AS trailing_std
+          FROM daily
+          WINDOW w AS (ORDER BY day ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING)
+        )
+        SELECT day, day_total, trailing_mean, trailing_std,
+               CASE WHEN trailing_std > 0
+                    THEN ROUND((day_total - trailing_mean) / trailing_std, 6)
+               END AS zscore,
+               COALESCE(
+                 ABS(CASE WHEN trailing_std > 0
+                          THEN ROUND((day_total - trailing_mean) / trailing_std, 6)
+                     END) >= {z_threshold},
+                 FALSE
+               ) AS is_anomaly
+        FROM stats
+    """

@@ -81,6 +81,9 @@ QUERIES = {
     "analytics_favorite_category": _favorite_category,
     "analytics_trailing_rollups": _trailing_rollups,
     "analytics_cohort_retention": lambda s, d: A.cohort_retention(_txns(s, d)),
+    "analytics_daily_anomalies": lambda s, d: A.daily_anomalies(
+        load_table(s, d, "events")
+    ),
 }
 
 _DAILY_TOTALS_TMPL = """
@@ -223,4 +226,5 @@ ORACLES = {
                strftime(totals.period_end, '%Y-%m-%d') AS period_end
         FROM totals LEFT JOIN fav USING (user_id, window_days)
     """,
+    "analytics_daily_anomalies": A.daily_anomalies_sql(),
 }

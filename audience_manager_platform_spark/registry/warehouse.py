@@ -16,12 +16,27 @@ from pyspark.sql import functions as F
 from ..operators import corpus as C
 from ..operators import merge as MG
 from ..operators.skew import heavy_hitters, heavy_hitters_sql
+from ..operators.validation import validate_table, validate_table_sql
 from ..sources import load_table
 
 # per-stratum sampling rates over the events fixture: downsample the
 # high-volume low-signal types, keep every purchase (the classic
 # training-data rebalance); 'error' is absent => dropped entirely
 SAMPLE_FRACTIONS = {"view": 0.1, "click": 0.25, "signup": 0.5, "purchase": 1.0}
+
+
+# publish-gate expectations over the events table; the value range is
+# deliberately tight (0-400) so one expectation FAILS with a non-zero
+# observed count at every fixture SF — the verdict rows carry signal,
+# not just a wall of TRUEs
+EXPECTATIONS = [
+    ("not_null", "user_id"),
+    ("not_null", "ts"),
+    ("unique", "event_id"),
+    ("range", "value", 0.0, 400.0),
+    ("accepted_values", "event_type", ["view", "click", "purchase", "signup", "error"]),
+    ("min_rows", 100),
+]
 
 
 def _events(spark, sf_dir):
@@ -66,6 +81,9 @@ QUERIES = {
         _events(s, d), "user_id", k=125
     ),
     "scd2_incremental_stream": _scd2_incremental,
+    "validate_events_expectations": lambda s, d: validate_table(
+        _events(s, d), EXPECTATIONS
+    ),
 }
 
 ORACLES = {
@@ -81,4 +99,5 @@ ORACLES = {
     "corpus_curation_ledger": C.curation_ledger_sql(),
     "heavy_hitters_users": heavy_hitters_sql("events", "user_id", k=125),
     "scd2_incremental_stream": MG.scd2_history_sql(),
+    "validate_events_expectations": validate_table_sql("events", EXPECTATIONS),
 }

@@ -358,3 +358,63 @@ def test_heavy_hitters_ignores_nulls(spark):
     got = {(r.uid, r.freq) for r in heavy_hitters(df, "uid", k=2).collect()}
     # non-null n = 40; only 7 (30 > 40/2) clears the bar; NULL never appears
     assert got == {(7, 30)}
+
+
+def test_validate_table_verdicts(spark):
+    from audience_manager_platform_spark.operators.validation import validate_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "view", 10.0),
+            (2, "click", -5.0),   # range violation
+            (2, "weird", 20.0),   # dup id + unacceptable type
+            (None, "view", 30.0),  # null id (also not unique-relevant)
+        ],
+        "id long, kind string, v double",
+    )
+    out = {
+        (r.constraint_kind, r.col_name): r
+        for r in validate_table(
+            df,
+            [
+                ("not_null", "id"),
+                ("unique", "id"),
+                ("range", "v", 0.0, 25.0),
+                ("accepted_values", "kind", ["view", "click"]),
+                ("min_rows", 3),
+            ],
+        ).collect()
+    }
+    assert out[("not_null", "id")].observed == 1 and not out[("not_null", "id")].passed
+    # 4 rows - 2 distinct non-null ids: the dup AND the null row count
+    # toward the uniqueness deficit (COUNT DISTINCT skips NULL)
+    assert out[("unique", "id")].observed == 2 and not out[("unique", "id")].passed
+    assert out[("range", "v")].observed == 2  # -5 and 30
+    assert out[("accepted_values", "kind")].observed == 1
+    assert out[("min_rows", "*")].observed == 4 and out[("min_rows", "*")].passed
+
+
+def test_daily_anomalies_flags_planted_spike(spark):
+    from audience_manager_platform_spark.operators.analytics import daily_anomalies
+
+    rows = []
+    eid = 0
+    for day in range(1, 15):
+        # mild day-to-day variation (so trailing std > 0), one 10x spike
+        total = 100.0 + day if day != 10 else 1000.0
+        for _ in range(4):
+            eid += 1
+            rows.append(
+                (eid, 1, dt.datetime(2024, 5, day, 12, 0), "view", total / 4)
+            )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r.day: r for r in daily_anomalies(df, window=7, z_threshold=2.0).collect()}
+    assert len(out) == 14
+    # first two days: <2 trailing observations -> no zscore, never flagged
+    assert out["2024-05-01"].zscore is None and not out["2024-05-01"].is_anomaly
+    assert out["2024-05-02"].zscore is None and not out["2024-05-02"].is_anomaly
+    # ordinary drifting days stay unflagged; the 10x spike fires
+    assert not out["2024-05-09"].is_anomaly
+    assert out["2024-05-10"].is_anomaly  # the planted spike

@@ -349,3 +349,115 @@ def curation_ledger_sql(
         JOIN ({token_stats_sql(src)}) t ON d.doc_id = t.doc_id
         JOIN ({split_assign_sql(src)}) s ON d.doc_id = s.doc_id
     """
+
+
+# ------------------------------------------------ mixture / re-weighting
+def mixture_weights(
+    docs: DataFrame, group_col: str = "lang", alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-scaled sampling weights per corpus slice — the
+    multilingual/source re-balancing computation (w_i ∝ p_i^alpha, the
+    exponent flattening the head so tail slices are not drowned; alpha=1
+    is proportional sampling, alpha=0 uniform).
+
+    Two tiny aggregates (slice counts, then the normalizer over the
+    |slices|-row result) with 1-row broadcast joins — nothing here is
+    data-sized after the first count, at any corpus scale.
+    """
+    counts = docs.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("_N"))
+    scaled = counts.join(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("_N"), 6).alias("raw_share"),
+        F.pow(F.col("n_docs") / F.col("_N"), F.lit(alpha)).alias("_s"),
+    )
+    z = scaled.agg(F.sum("_s").alias("_z"))
+    return scaled.join(F.broadcast(z)).select(
+        group_col,
+        "n_docs",
+        "raw_share",
+        F.round(F.col("_s") / F.col("_z"), 6).alias("mixture_weight"),
+    )
+
+
+def mixture_weights_sql(
+    src: str = "documents", group_col: str = "lang", alpha: float = 0.5
+) -> str:
+    return f"""
+        WITH counts AS (
+          SELECT {group_col}, COUNT(*) AS n_docs FROM {src} GROUP BY {group_col}
+        ),
+        tot AS (SELECT SUM(n_docs) AS _N FROM counts),
+        scaled AS (
+          SELECT {group_col}, n_docs,
+                 ROUND(n_docs / _N, 6) AS raw_share,
+                 POWER(n_docs / _N, {alpha}) AS _s
+          FROM counts, tot
+        ),
+        z AS (SELECT SUM(_s) AS _z FROM scaled)
+        SELECT {group_col}, n_docs, raw_share,
+               ROUND(_s / _z, 6) AS mixture_weight
+        FROM scaled, z
+    """
+
+
+# ------------------------------------------------- quality-decile bins
+N_QUALITY_BINS = 10
+
+
+def quality_bins(docs: DataFrame, bins: int = N_QUALITY_BINS) -> DataFrame:
+    """Assign every document a quality decile (bin ``bins`` = best) for
+    quality-mixed sampling — the curation move of training
+    preferentially on high-quality strata instead of hard-filtering.
+
+    Deliberately NOT a global ``ntile`` window: that sorts the whole
+    corpus through one partition. Instead ONE aggregate computes the
+    exact interpolated (bins-1)-quantile thresholds of the quality
+    score, a 1-row broadcast carries them, and each doc's bin is
+    ``1 + #thresholds strictly below its score`` — a per-row expression,
+    embarrassingly parallel. Thresholds and scores are 6dp-quantized, so
+    boundary membership is deterministic cross-engine (ties share the
+    lower bin, which is why bin populations need not be exactly equal —
+    the contract is thresholds, not equal counts).
+    """
+    from .text import quality_score
+
+    fracs = [i / bins for i in range(1, bins)]
+    qs = quality_score(docs).select("doc_id", "quality_score")
+    th = qs.agg(
+        F.expr(
+            "transform(percentile(quality_score, array({fr})), t -> round(t, 6))".format(
+                fr=", ".join(f"{f}D" for f in fracs)
+            )
+        ).alias("_th")
+    )
+    return qs.join(F.broadcast(th)).select(
+        "doc_id",
+        "quality_score",
+        (
+            F.lit(1)
+            + F.size(F.expr("filter(_th, t -> quality_score > t)"))
+        ).cast("long").alias("quality_bin"),
+    )
+
+
+def quality_bins_sql(src: str = "documents", bins: int = N_QUALITY_BINS) -> str:
+    from .text import quality_score_sql
+
+    fracs = ", ".join(str(i / bins) for i in range(1, bins))
+    return f"""
+        WITH qs AS (
+          SELECT doc_id, quality_score FROM ({quality_score_sql(src)}) q
+        ),
+        th AS (
+          SELECT list_transform(
+                   QUANTILE_CONT(quality_score, [{fracs}]), t -> ROUND(t, 6)
+                 ) AS _th
+          FROM qs
+        )
+        SELECT doc_id, quality_score,
+               CAST(1 + len(list_filter(_th, t -> quality_score > t)) AS BIGINT)
+                 AS quality_bin
+        FROM qs, th
+    """

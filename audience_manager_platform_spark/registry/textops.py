@@ -56,6 +56,8 @@ QUERIES = {
         _docs(s, d), _docs(s, d).filter(F.col("doc_id") % 50 == 0)
     ),
     "corpus_shuffle_shards": lambda s, d: C.shuffle_shards(_docs(s, d)),
+    "corpus_mixture_weights": lambda s, d: C.mixture_weights(_docs(s, d)),
+    "corpus_quality_bins": lambda s, d: C.quality_bins(_docs(s, d)),
 }
 
 ORACLES = {
@@ -90,4 +92,6 @@ ORACLES = {
     "corpus_pack_sequences": C.pack_sequences_sql(),
     "corpus_decontaminate": C.decontaminate_sql(),
     "corpus_shuffle_shards": C.shuffle_shards_sql(),
+    "corpus_mixture_weights": C.mixture_weights_sql(),
+    "corpus_quality_bins": C.quality_bins_sql(),
 }

@@ -462,3 +462,35 @@ def test_shuffle_shards_total_permutation(spark, sf_dir):
         for r in C.shuffle_shards(docs, n_shards=8).collect()
     }
     assert epoch1 == again
+
+
+def test_mixture_weights_flatten_head(spark):
+    from audience_manager_platform_spark.operators import corpus as C
+
+    rows = [(i, "a" if i < 80 else ("b" if i < 95 else "c")) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = {r.lang: r for r in C.mixture_weights(docs, alpha=0.5).collect()}
+    assert abs(sum(r.mixture_weight for r in out.values()) - 1.0) < 1e-5
+    # temperature alpha<1 moves mass from head to tail vs raw shares
+    assert out["a"].mixture_weight < out["a"].raw_share
+    assert out["c"].mixture_weight > out["c"].raw_share
+    # ordering is preserved (monotone transform)
+    assert out["a"].mixture_weight > out["b"].mixture_weight > out["c"].mixture_weight
+
+
+def test_quality_bins_monotone_and_complete(spark, sf_dir):
+    from audience_manager_platform_spark.operators import corpus as C
+    from audience_manager_platform_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = C.quality_bins(docs).collect()
+    assert len(out) == docs.count()  # every doc binned
+    assert all(1 <= r.quality_bin <= 10 for r in out)
+    # bins are monotone in score: max score of bin b <= min score of bin b+2
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r.quality_bin, []).append(r.quality_score)
+    bins = sorted(by_bin)
+    assert len(bins) >= 5  # real spread on the fixture
+    for lo, hi in zip(bins, bins[1:]):
+        assert max(by_bin[lo]) <= min(by_bin[hi]) + 1e-9

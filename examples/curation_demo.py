@@ -55,6 +55,23 @@ def main():
         F.round(F.avg("fertility"), 4).alias("mean_fertility"),
     ).show()
 
+    print("== language mixture: raw shares -> temperature-0.5 weights ==")
+    C.mixture_weights(docs.join(keep, "doc_id"), "lang", alpha=0.5).orderBy(
+        F.desc("n_docs")
+    ).show()
+
+    print("== quality deciles of the kept corpus (10 = best) ==")
+    C.quality_bins(docs.join(keep, "doc_id")).groupBy("quality_bin").agg(
+        F.count("*").alias("docs"),
+        F.round(F.min("quality_score"), 4).alias("min_q"),
+        F.round(F.max("quality_score"), 4).alias("max_q"),
+    ).orderBy("quality_bin").show()
+
+    print("== epoch-0 shuffle coordinates (deterministic, sharded) ==")
+    C.shuffle_shards(docs.join(keep, "doc_id"), n_shards=4, salt="epoch-0").orderBy(
+        "shard_id", "pos_in_shard"
+    ).show(8)
+
 
 if __name__ == "__main__":
     main()

@@ -47,7 +47,9 @@ def _agg_and_verdicts(constraints: Sequence[tuple]) -> tuple[list, list]:
         if kind == "not_null":
             _, col = c
             aggs.append(
-                F.sum(F.col(col).isNull().cast("long")).alias(slot)
+                F.coalesce(
+                    F.sum(F.col(col).isNull().cast("long")), F.lit(0)
+                ).alias(slot)
             )
             rows.append((kind, col, slot, f"{slot} = 0"))
         elif kind == "unique":
@@ -57,12 +59,15 @@ def _agg_and_verdicts(constraints: Sequence[tuple]) -> tuple[list, list]:
         elif kind == "range":
             _, col, lo, hi = c
             aggs.append(
-                F.sum(
-                    (
-                        F.col(col).isNull()
-                        | (F.col(col) < lo)
-                        | (F.col(col) > hi)
-                    ).cast("long")
+                F.coalesce(
+                    F.sum(
+                        (
+                            F.col(col).isNull()
+                            | (F.col(col) < lo)
+                            | (F.col(col) > hi)
+                        ).cast("long")
+                    ),
+                    F.lit(0),
                 ).alias(slot)
             )
             rows.append((kind, col, slot, f"{slot} = 0"))
@@ -71,10 +76,13 @@ def _agg_and_verdicts(constraints: Sequence[tuple]) -> tuple[list, list]:
             # NULL is never accepted: isin(NULL) yields NULL, which would
             # vanish from the sum — coalesce it to a violation
             aggs.append(
-                F.sum(
-                    F.coalesce(
-                        ~F.col(col).isin(list(values)), F.lit(True)
-                    ).cast("long")
+                F.coalesce(
+                    F.sum(
+                        F.coalesce(
+                            ~F.col(col).isin(list(values)), F.lit(True)
+                        ).cast("long")
+                    ),
+                    F.lit(0),
                 ).alias(slot)
             )
             rows.append((kind, col, slot, f"{slot} = 0"))
@@ -109,7 +117,9 @@ def validate_table_sql(src: str, constraints: Sequence[tuple]) -> str:
         slot = f"_m{i}"
         if kind == "not_null":
             _, col = c
-            aggs.append(f"SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS {slot}")
+            aggs.append(
+                f"COALESCE(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END), 0) AS {slot}"
+            )
             rows.append(
                 f"SELECT 'not_null' AS constraint_kind, '{col}' AS col_name, "
                 f"CAST({slot} AS BIGINT) AS observed, {slot} = 0 AS passed FROM s"
@@ -124,8 +134,8 @@ def validate_table_sql(src: str, constraints: Sequence[tuple]) -> str:
         elif kind == "range":
             _, col, lo, hi = c
             aggs.append(
-                f"SUM(CASE WHEN {col} IS NULL OR {col} < {lo} OR {col} > {hi} "
-                f"THEN 1 ELSE 0 END) AS {slot}"
+                f"COALESCE(SUM(CASE WHEN {col} IS NULL OR {col} < {lo} "
+                f"OR {col} > {hi} THEN 1 ELSE 0 END), 0) AS {slot}"
             )
             rows.append(
                 f"SELECT 'range', '{col}', CAST({slot} AS BIGINT), {slot} = 0 FROM s"
@@ -134,8 +144,8 @@ def validate_table_sql(src: str, constraints: Sequence[tuple]) -> str:
             _, col, values = c
             inlist = ", ".join(f"'{v}'" for v in values)
             aggs.append(
-                f"SUM(CASE WHEN {col} NOT IN ({inlist}) OR {col} IS NULL "
-                f"THEN 1 ELSE 0 END) AS {slot}"
+                f"COALESCE(SUM(CASE WHEN {col} NOT IN ({inlist}) OR {col} IS NULL "
+                f"THEN 1 ELSE 0 END), 0) AS {slot}"
             )
             rows.append(
                 f"SELECT 'accepted_values', '{col}', CAST({slot} AS BIGINT), "

@@ -418,3 +418,32 @@ def test_daily_anomalies_flags_planted_spike(spark):
     # ordinary drifting days stay unflagged; the 10x spike fires
     assert not out["2024-05-09"].is_anomaly
     assert out["2024-05-10"].is_anomaly  # the planted spike
+
+
+def test_round2_wave3_operators_on_empty_input(spark):
+    """Empty-relation contract for the validation / anomaly / mixture /
+    binning / shuffle additions."""
+    from audience_manager_platform_spark.operators.analytics import daily_anomalies
+    from audience_manager_platform_spark.operators.validation import validate_table
+
+    empty_ev = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    # expectations still emit one verdict row per constraint (counts are
+    # 0 over zero rows; min_rows fails honestly)
+    v = {
+        (r.constraint_kind, r.col_name): r
+        for r in validate_table(
+            empty_ev, [("not_null", "user_id"), ("min_rows", 1)]
+        ).collect()
+    }
+    assert v[("not_null", "user_id")].passed
+    assert not v[("min_rows", "*")].passed and v[("min_rows", "*")].observed == 0
+    assert daily_anomalies(empty_ev).count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert C.mixture_weights(empty_docs).count() == 0
+    qb = C.quality_bins(empty_docs)
+    assert qb.count() == 0
+    assert [f.name for f in qb.schema.fields] == ["doc_id", "quality_score", "quality_bin"]
+    assert C.shuffle_shards(empty_docs).count() == 0

@@ -237,3 +237,50 @@ def test_trailing_rollups_matches_model(spark, rows):
         for r in trailing_rollups(txns, windows=(7, 30)).collect()
     }
     assert got == _rollup_model(rows, (7, 30))
+
+
+# ------------------------------------------- validate_table model check
+_vt_row = st.tuples(
+    st.one_of(st.none(), st.integers(min_value=0, max_value=6)),   # id
+    st.one_of(st.none(), st.sampled_from(["a", "b", "c", "zzz"])),  # kind
+    st.one_of(st.none(), st.floats(min_value=-50, max_value=150,
+                                   allow_nan=False).map(lambda x: round(x, 2))),
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(_vt_row, min_size=0, max_size=30))
+def test_validate_table_matches_model(spark, rows):
+    """The one-scan compiled expectations agree with a brute-force Python
+    evaluation on arbitrary (null-riddled) frames."""
+    from audience_manager_platform_spark.operators.validation import validate_table
+
+    df = spark.createDataFrame(rows, "id long, kind string, v double")
+    out = {
+        (r.constraint_kind, r.col_name): (r.observed, r.passed)
+        for r in validate_table(
+            df,
+            [
+                ("not_null", "id"),
+                ("unique", "id"),
+                ("range", "v", 0.0, 100.0),
+                ("accepted_values", "kind", ["a", "b", "c"]),
+                ("min_rows", 5),
+            ],
+        ).collect()
+    }
+    ids = [r[0] for r in rows]
+    n = len(rows)
+    nn = sum(1 for i in ids if i is None)
+    assert out[("not_null", "id")] == (nn, nn == 0)
+    deficit = n - len({i for i in ids if i is not None})
+    assert out[("unique", "id")] == (deficit, deficit == 0)
+    vr = sum(1 for r in rows if r[2] is None or r[2] < 0.0 or r[2] > 100.0)
+    assert out[("range", "v")] == (vr, vr == 0)
+    av = sum(1 for r in rows if r[1] is None or r[1] not in ("a", "b", "c"))
+    assert out[("accepted_values", "kind")] == (av, av == 0)
+    assert out[("min_rows", "*")] == (n, n >= 5)

@@ -140,7 +140,10 @@ def create_app(engine: AudienceEngine):
         except (KeyError, FileNotFoundError) as ex:
             return ok({"data": {"sample_data": [], "note": str(ex)}})
         except AnalysisException as ex:
-            if "PATH_NOT_FOUND" in str(ex):
+            # pin the error CLASS (stable across Spark versions), with the
+            # message substring only as a fallback for classless errors
+            cls = ex.getErrorClass() or ""
+            if cls == "PATH_NOT_FOUND" or (not cls and "PATH_NOT_FOUND" in str(ex)):
                 return ok({"data": {"sample_data": [], "note": str(ex)}})
             return err(str(ex), 500)
         return ok({"data": {"sample_data": [r.asDict() for r in rows]}})

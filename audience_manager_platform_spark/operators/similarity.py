@@ -452,7 +452,7 @@ def _ivf_probe_sql(
                      ORDER BY ROUND(list_cosine_similarity(q.qv, cents.cv), 6) DESC,
                               cents.cent_id ASC) AS rn
             FROM q CROSS JOIN cents
-          ) p WHERE rn <= {IVF_PROBES}
+          ) p WHERE rn <= {n_probes}
         ),
         scored AS (
           SELECT probes.query_id, assigned.vec_id AS neighbor_id,

@@ -68,6 +68,10 @@ def heavy_hitters(
     """
     import pandas as pd
 
+    if counters is not None and counters < k:
+        # the pigeonhole argument needs >= k Misra-Gries slots per
+        # partition; fewer would silently drop a true heavy hitter
+        raise ValueError(f"counters ({counters}) must be >= k ({k})")
     slots = counters or k
     df = df.filter(F.col(col).isNotNull())
 

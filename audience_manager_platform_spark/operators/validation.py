@@ -142,7 +142,13 @@ def validate_table_sql(src: str, constraints: Sequence[tuple]) -> str:
             )
         elif kind == "accepted_values":
             _, col, values = c
-            inlist = ", ".join(f"'{v}'" for v in values)
+            # numerics render unquoted so the DuckDB comparison stays
+            # typed, matching the Spark side's typed ``isin``
+            inlist = ", ".join(
+                str(v) if isinstance(v, (int, float)) and not isinstance(v, bool)
+                else f"'{v}'"
+                for v in values
+            )
             aggs.append(
                 f"COALESCE(SUM(CASE WHEN {col} NOT IN ({inlist}) OR {col} IS NULL "
                 f"THEN 1 ELSE 0 END), 0) AS {slot}"

@@ -119,16 +119,15 @@ def _gaps_islands_sessions(spark, sf_dir):
 
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    # parquet TIMESTAMP may resolve as TIMESTAMP_NTZ, which Spark 4 won't
+    # cast straight to BIGINT — hop through TIMESTAMP first (a pure
+    # reinterpret; the lag difference is tz-invariant either way)
+    ts_sec = F.col("ts").cast("timestamp").cast("long")
     flagged = ev.select(
         "user_id",
         "ts",
         "event_id",
-        F.when(
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts").cast("long")).over(w)
-            > 1800,
-            1,
-        )
+        F.when(ts_sec - F.lag(ts_sec).over(w) > 1800, 1)
         .otherwise(0)
         .alias("new_session"),
     )

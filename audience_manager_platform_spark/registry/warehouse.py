@@ -75,10 +75,21 @@ QUERIES = {
     "corpus_curation_ledger": lambda s, d: C.curation_ledger(
         _docs(s, d), _docs(s, d).filter(F.col("doc_id") % 50 == 0)
     ),
-    # relative threshold (freq > n/125) keeps the result non-empty and
-    # scale-meaningful at every fixture SF
-    "heavy_hitters_users": lambda s, d: heavy_hitters(
-        _events(s, d), "user_id", k=125
+    # heavy hitters need a key whose skew survives scale-up: per-user
+    # frequency is flat (~67 events/user at EVERY fixture SF, so any fixed
+    # n/k threshold empties out as users grow — bench at sf0.1 proved it:
+    # 0 rows). Geometric value bands (floor(log2(value))) have
+    # scale-stable cardinality AND real skew (top band ~25%, tail <7%),
+    # so k=8 (freq > n/8) yields 3-4 exact hitters at every SF.
+    "heavy_hitters_value_bands": lambda s, d: heavy_hitters(
+        _events(s, d)
+        .filter(F.col("value").isNotNull())
+        .withColumn(
+            "value_band",
+            F.floor(F.log2(F.greatest(F.col("value"), F.lit(0.001)))).cast("long"),
+        ),
+        "value_band",
+        k=8,
     ),
     "scd2_incremental_stream": _scd2_incremental,
     "validate_events_expectations": lambda s, d: validate_table(
@@ -97,7 +108,12 @@ ORACLES = {
         + ") x"
     ),
     "corpus_curation_ledger": C.curation_ledger_sql(),
-    "heavy_hitters_users": heavy_hitters_sql("events", "user_id", k=125),
+    "heavy_hitters_value_bands": heavy_hitters_sql(
+        "(SELECT CAST(FLOOR(LOG2(GREATEST(value, 0.001))) AS BIGINT) AS value_band "
+        "FROM events WHERE value IS NOT NULL) hh",
+        "value_band",
+        k=8,
+    ),
     "scd2_incremental_stream": MG.scd2_history_sql(),
     "validate_events_expectations": validate_table_sql("events", EXPECTATIONS),
 }

@@ -27,16 +27,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _event_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _events_ts_is_nanos(sf_dir: str) -> bool:
+    """Sniff the fixture's parquet footer: TIMESTAMP(NANOS) needs the
+    read-as-long workaround (Spark's vectorized reader rejects nanos),
+    TIMESTAMP(MICROS) reads natively as TIMESTAMP_NTZ. One driver-side
+    footer read; no data scanned."""
+    import pyarrow.parquet as pq
+
+    t = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).schema_arrow
+    return str(t.field("ts").type) == "timestamp[ns]"
 
 
 def _staged_fixture_stream(
@@ -56,11 +68,22 @@ def _staged_fixture_stream(
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-stream the events fixture."""
+    """File-stream the events fixture, with ``ts`` matching the batch
+    reader's type exactly (same wall-clock values either unit) so
+    stream-vs-batch oracles compare clean."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = _staged_fixture_stream(spark, sf_dir, "events", EVENT_SCHEMA)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if _events_ts_is_nanos(sf_dir):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = _staged_fixture_stream(
+            spark, sf_dir, "events", _event_schema(T.LongType())
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    raw = _staged_fixture_stream(
+        spark, sf_dir, "events", _event_schema(T.TimestampNTZType())
+    )
+    # watermarks require TIMESTAMP (LTZ); under the pinned UTC session tz
+    # this cast is a pure reinterpret with identical wall-clock values
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_counts(
@@ -199,6 +222,30 @@ def stream_stream_interval_join(
     )
 
 
+def _read_state_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a foreachBatch state-log parquet dir, or None if no batch has
+    written it yet. Only the genuinely-missing cases (dir absent, or
+    present but with no footers to infer from) map to None — any other
+    read failure (permissions, corrupt footer) propagates so the
+    streaming query fails and retries instead of silently re-admitting
+    duplicates into an idempotent fold."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        state = spark.read.parquet(path)
+        _ = state.schema  # force resolution; raises if dir is empty
+        return state
+    except FileNotFoundError:
+        return None
+    except AnalysisException as ex:
+        cls = ex.getErrorClass() or ""
+        if cls in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA") or (
+            not cls and ("PATH_NOT_FOUND" in str(ex) or "UNABLE_TO_INFER" in str(ex))
+        ):
+            return None
+        raise
+
+
 def scd2_maintenance_stream(
     events: DataFrame, history_dir: str, checkpoint_dir: str
 ) -> "StreamingQuery":  # noqa: F821
@@ -216,12 +263,7 @@ def scd2_maintenance_stream(
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        spark = batch_df.sparkSession
-        try:
-            hist = spark.read.parquet(history_dir)
-            _ = hist.schema  # force resolution; raises if dir is empty
-        except Exception:
-            hist = None
+        hist = _read_state_or_none(batch_df.sparkSession, history_dir)
         delta = scd2_merge_batch(hist, batch_df)
         delta.write.mode("append").parquet(history_dir)
 
@@ -284,12 +326,7 @@ def corpus_dedup_stream(
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        spark = batch_df.sparkSession
-        try:
-            seen = spark.read.parquet(log_dir)
-            _ = seen.schema
-        except Exception:
-            seen = None
+        seen = _read_state_or_none(batch_df.sparkSession, log_dir)
         corpus_dedup_fold(seen, batch_df).write.mode("append").parquet(log_dir)
 
     return (

@@ -48,7 +48,7 @@ HEADLINE = [
     # r2 wave 2: learned-quantizer ANN, warehouse maintenance, curation
     "kmeans_embedding_clusters",
     "scd2_user_state_history",
-    "heavy_hitters_users",
+    "heavy_hitters_value_bands",
     "corpus_curation_ledger",
     # r2 wave 3: SemDeDup semantic dedup over the planted-twin corpus
     "dedup_semantic",

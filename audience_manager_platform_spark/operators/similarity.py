@@ -315,10 +315,75 @@ def ivf_topk(
     a neighbor assigned to a non-probed cell is missed.
     """
     base = emb.select("vec_id", _vec_double().alias("v"))
-    cents = base.filter(F.col("vec_id") < IVF_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    model = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]])
+        for r in base.filter(F.col("vec_id") < IVF_CENTROIDS).collect()
+    ]
+    return _ivf_probe(
+        base, _model_df(emb.sparkSession, model), query_ids, k, model=model
     )
-    return _ivf_probe(base, cents, query_ids, k)
+
+
+def _py_norm(vec: list[float]) -> float:
+    """Driver-side L2 norm with the SAME summation order as
+    :func:`_norm_expr` (left-assoc chain; the leading ``0.0 +`` is an
+    IEEE no-op for non-negative squares), so a Python-computed centroid
+    norm is bit-identical to the JVM's and can be inlined as a literal."""
+    s = 0.0
+    for x in vec:
+        s = s + x * x
+    return math.sqrt(s)
+
+
+def _assign_expr(model: list[tuple[int, list[float]]]) -> str:
+    """SQL expression computing the argmax-cosine centroid for a vector
+    column ``v`` (with its norm pre-computed in ``nv``) against a
+    DRIVER-SIDE centroid model, as ``greatest()`` over one struct per
+    centroid — struct lexicographic order encodes (csim DESC, cent_id
+    ASC) exactly like :func:`_assign`'s ``max(struct(...))``.
+
+    Why inline literals instead of a broadcast join: the model is O(K x
+    dim) driver state already (Lloyd's update collects it every
+    iteration), and folding it into the projection makes assignment a
+    NARROW map — no broadcast exchange, no K-row blow-up, and crucially
+    no ``groupBy(vec_id)`` shuffle of the full corpus per iteration.
+    ``repr(float)`` round-trips doubles exactly, and the centroid norm
+    is computed driver-side with matching IEEE order (:func:`_py_norm`),
+    so every csim is bit-identical to the join formulation and the SQL
+    oracle still reproduces each assignment decision."""
+    structs = []
+    for cid, cv in model:
+        dot = " + ".join(f"v[{i}] * {cv[i]!r}" for i in range(EMBED_DIM))
+        structs.append(
+            f"named_struct('csim', round(({dot}) / (nv * {_py_norm(cv)!r}), 6), "
+            f"'neg', {-cid}L, 'cent_id', {cid}L)"
+        )
+    return f"greatest({', '.join(structs)})" if len(structs) > 1 else structs[0]
+
+
+def _assign_inline(
+    base: DataFrame, model: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Shuffle-free twin of :func:`_assign` for driver-side models:
+    scan -> project. Same output columns, same values."""
+    if not model:
+        # no centroids => no assignments (the join twin's natural result)
+        return (
+            base.withColumn("cent_id", F.lit(None).cast("bigint"))
+            .withColumn("csim", F.lit(None).cast("double"))
+            .select("vec_id", "v", "cent_id", "csim")
+            .filter(F.lit(False))
+        )
+    return (
+        base.withColumn("nv", _norm_expr("v"))
+        .withColumn("best", F.expr(_assign_expr(model)))
+        .select(
+            "vec_id",
+            "v",
+            F.col("best.cent_id").alias("cent_id"),
+            F.col("best.csim").alias("csim"),
+        )
+    )
 
 
 def _assign(base: DataFrame, cents: DataFrame) -> DataFrame:
@@ -379,11 +444,16 @@ def _ivf_probe(
     query_ids: list[int],
     k: int,
     n_probes: int = IVF_PROBES,
+    model: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
-    """Shared IVF probe pipeline: broadcast centroids -> per-vector cell
-    assignment (argmax cosine) -> queries probe their ``n_probes`` nearest
-    cells -> exact scoring inside probed cells only."""
-    assigned = _assign(base, cents).select("vec_id", "v", "cent_id")
+    """Shared IVF probe pipeline: per-vector cell assignment (argmax
+    cosine — a narrow inline map when the centroids are already
+    driver-side, else broadcast-join) -> queries probe their ``n_probes``
+    nearest cells -> exact scoring inside probed cells only."""
+    if model is not None:
+        assigned = _assign_inline(base, model).select("vec_id", "v", "cent_id")
+    else:
+        assigned = _assign(base, cents).select("vec_id", "v", "cent_id")
     # queries probe their IVF_PROBES nearest cells
     queries = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("q")
@@ -480,15 +550,16 @@ def kmeans_fit(
     ops (spherical variant: assignment by cosine, like the IVF coarse
     quantizer it trains).
 
-    Per iteration: broadcast the K centroids, assign every vector to its
-    argmax-cosine cell (:func:`_assign` — one narrow shuffle keyed on
-    vec_id), then recompute each centroid as the element-wise mean via
-    EMBED_DIM codegen'd ``avg(v[i])`` aggregates — NO posexplode row
-    blow-up; the shuffle after map-side partial aggregation carries at
-    most K x EMBED_DIM doubles regardless of corpus size. The K-row
-    result (the model) is collected to the driver and re-broadcast for
-    the next iteration — the same driver-side model update MLlib's
-    KMeans performs; model state is O(K x dim), never data-sized.
+    Per iteration: fold the K driver-side centroids into the assignment
+    projection as literals (:func:`_assign_inline` — a NARROW map, no
+    broadcast exchange, no K-row blow-up, no corpus shuffle), then
+    recompute each centroid as the element-wise mean via EMBED_DIM
+    codegen'd ``avg(v[i])`` aggregates — the only exchange per iteration,
+    carrying at most K x EMBED_DIM doubles after map-side partial
+    aggregation regardless of corpus size. The K-row result (the model)
+    is collected to the driver for the next iteration — the same
+    driver-side model update MLlib's KMeans performs; model state is
+    O(K x dim), never data-sized.
 
     Determinism: init centroids are the vectors with ``vec_id < k`` (the
     reference-free deterministic seed the oracle can replicate);
@@ -502,30 +573,40 @@ def kmeans_fit(
     carries). Clusters that lose all members drop out on both engines
     (GROUP BY semantics).
     """
+    return _model_df(emb.sparkSession, kmeans_fit_model(emb, k, iters))
+
+
+def _model_df(
+    spark: SparkSession, model: list[tuple[int, list[float]]]
+) -> DataFrame:
+    return spark.createDataFrame(model, "cent_id bigint, cv array<double>")
+
+
+def kmeans_fit_model(
+    emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> list[tuple[int, list[float]]]:
+    """:func:`kmeans_fit` returning the model as driver-side rows —
+    internal callers feed it to :func:`_assign_inline` so the whole fit
+    runs with ZERO corpus-sized shuffles: per iteration one narrow
+    assignment map plus one map-side-combined mean aggregate whose
+    exchange carries at most K x EMBED_DIM doubles."""
     base = emb.select("vec_id", _vec_double().alias("v"))
-    cents = base.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
-    )
+    model = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]])
+        for r in base.filter(F.col("vec_id") < k).collect()
+    ]
+    # one expr string -> one py4j call (see _dot_expr on why that matters)
+    mean_vec = F.expr(
+        "array(" + ", ".join(f"round(avg(v[{i}]), 6)" for i in range(EMBED_DIM)) + ")"
+    ).alias("m")
     for _ in range(iters):
-        means = (
-            _assign(base, cents)
-            .groupBy("cent_id")
-            .agg(
-                *[
-                    F.expr(f"round(avg(v[{i}]), 6)").alias(f"m{i}")
-                    for i in range(EMBED_DIM)
-                ]
-            )
+        rows = (
+            _assign_inline(base, model).groupBy("cent_id").agg(mean_vec).collect()
+        )  # K rows: the model, not the data
+        model = sorted(
+            (int(r["cent_id"]), [float(x) for x in r["m"]]) for r in rows
         )
-        rows = means.collect()  # K rows: the model, not the data
-        cents = emb.sparkSession.createDataFrame(
-            [
-                (int(r["cent_id"]), [float(r[f"m{i}"]) for i in range(EMBED_DIM)])
-                for r in rows
-            ],
-            "cent_id bigint, cv array<double>",
-        )
-    return cents
+    return model
 
 
 def kmeans_clusters(
@@ -536,9 +617,10 @@ def kmeans_clusters(
     per-cluster facts both engines can hash, instead of raw 64-dim
     arrays whose string renderings differ."""
     base = emb.select("vec_id", _vec_double().alias("v"))
-    cents = kmeans_fit(emb, k, iters)
+    model = kmeans_fit_model(emb, k, iters)
+    cents = _model_df(emb.sparkSession, model)
     return (
-        _assign(base, cents)
+        _assign_inline(base, model)
         .groupBy("cent_id")
         .agg(
             F.count("*").alias("size"),
@@ -567,8 +649,8 @@ def ivf_kmeans_topk(
     deployment-shaped IVF (VERDICT r1 noted the fixed-centroid variant's
     quantizer was a placeholder)."""
     base = emb.select("vec_id", _vec_double().alias("v"))
-    cents = kmeans_fit(emb, n_clusters, iters)
-    return _ivf_probe(base, cents, query_ids, k)
+    model = kmeans_fit_model(emb, n_clusters, iters)
+    return _ivf_probe(base, _model_df(emb.sparkSession, model), query_ids, k, model=model)
 
 
 def _kmeans_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
@@ -725,8 +807,8 @@ def semantic_dedup(
     LLM-pipeline extension mandated by BASELINE.json.
     """
     base = emb.select("vec_id", _vec_double().alias("v"))
-    cents = kmeans_fit(emb, k, iters)
-    assigned = _assign(base, cents).select("vec_id", "v", "cent_id")
+    model = kmeans_fit_model(emb, k, iters)
+    assigned = _assign_inline(base, model).select("vec_id", "v", "cent_id")
     a = assigned.select(
         "cent_id", F.col("vec_id").alias("a_id"), F.col("v").alias("va")
     )

@@ -1,0 +1,248 @@
+"""Time-series resampling over the events stream (SURVEY.md §2 extension;
+the reference's closest shape is the zero-filled daily totals, A4 —
+``backend/app/api/analytics.py:33-60`` — which fills GAPS with a constant.
+These operators fill gaps with *carried* or *interpolated* state, the
+hypertable-rollup shape a metrics pipeline needs).
+
+Scale posture shared by all three:
+
+- the observation compaction (one row per user-day) is a single
+  map-side-combined aggregate keyed (user_id, day);
+- the dense grid is ``sequence(min_day, max_day)`` exploded against the
+  distinct-user relation — the global date span rides a broadcast 1-row
+  aggregate, so the grid is built without collecting anything and without
+  a second scan;
+- gap filling is one window pass per user ordered by day (LOCF = running
+  ``last(ignorenulls)``; interpolation = LOCF forward + its mirror
+  backward, then one arithmetic projection). Everything shuffles ONCE on
+  user_id; no self-joins, no per-gap loops.
+
+Determinism contract for the DuckDB twins: the per-day representative
+value is picked by (ts, event_id) row order — total, unique — and every
+emitted double is rounded (2dp carried values, 4dp interpolated) so both
+engines hash identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _daily_obs(events: DataFrame) -> DataFrame:
+    """One observation per (user_id, day): the value of the LAST event
+    that day ((ts, event_id)-max — unique because event_id is), rounded
+    to 2dp. One aggregate, one shuffle."""
+    return (
+        events.filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.round(
+                F.expr("max_by(value, struct(ts, event_id))"), 2
+            ).alias("obs")
+        )
+    )
+
+
+def _user_day_grid(obs: DataFrame) -> DataFrame:
+    """Dense (user_id, day) grid spanning the GLOBAL [min day, max day].
+    The 2-column span aggregate is one row — broadcast-joined (cross) onto
+    the distinct users, then exploded. No driver collect, no re-scan of
+    the raw events for the span (it reuses the compacted obs)."""
+    span = obs.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    users = obs.select("user_id").distinct()
+    return users.crossJoin(F.broadcast(span)).select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+
+
+def resample_locf(events: DataFrame) -> DataFrame:
+    """Daily resample with last-observation-carried-forward: every user
+    gets every day in the global span; days before a user's first
+    observation stay NULL. ``is_observed`` distinguishes carried rows."""
+    obs = _daily_obs(events)
+    grid = _user_day_grid(obs)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.last("obs", ignorenulls=True).over(w).alias("value_filled"),
+            F.col("obs").isNotNull().alias("is_observed"),
+        )
+    )
+
+
+def interpolate_linear(events: DataFrame) -> DataFrame:
+    """Daily resample with linear interpolation: a gap day's value is the
+    linear blend of the user's surrounding observations; days outside the
+    user's observed range are NULL (no extrapolation). The blend fraction
+    is an exact integer-ratio double (datediff / datediff), identical in
+    both engines; the result is rounded to 4dp."""
+    obs = _daily_obs(events)
+    grid = _user_day_grid(obs)
+    joined = grid.join(obs, ["user_id", "day"], "left")
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_day = F.last(
+        F.when(F.col("obs").isNotNull(), F.col("day")), ignorenulls=True
+    ).over(back)
+    next_day = F.first(
+        F.when(F.col("obs").isNotNull(), F.col("day")), ignorenulls=True
+    ).over(fwd)
+    prev_val = F.last("obs", ignorenulls=True).over(back)
+    next_val = F.first("obs", ignorenulls=True).over(fwd)
+    frac = F.datediff(F.col("day"), F.col("_pd")).cast("double") / F.datediff(
+        F.col("_nd"), F.col("_pd")
+    ).cast("double")
+    return (
+        joined.select(
+            "user_id",
+            "day",
+            F.col("obs"),
+            prev_day.alias("_pd"),
+            next_day.alias("_nd"),
+            prev_val.alias("_pv"),
+            next_val.alias("_nv"),
+        )
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(
+                F.when(F.col("obs").isNotNull(), F.col("obs")).otherwise(
+                    F.when(
+                        F.col("_pd").isNotNull() & F.col("_nd").isNotNull(),
+                        F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac,
+                    )
+                ),
+                4,
+            ).alias("value_interp"),
+            F.col("obs").isNotNull().alias("is_observed"),
+        )
+    )
+
+
+def ohlc_daily(events: DataFrame) -> DataFrame:
+    """Per-day OHLC candle over the whole event stream: open/close picked
+    by (ts, event_id) row order, high/low as plain min/max — the classic
+    bar compaction, one aggregate, one shuffle keyed on day."""
+    return (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.round(F.expr("min_by(value, struct(ts, event_id))"), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.expr("max_by(value, struct(ts, event_id))"), 2).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ------------------------------------------------------------- SQL twins
+_OBS_CTE = """
+        obs AS (
+          SELECT user_id, day, ROUND(obs, 2) AS obs FROM (
+            SELECT user_id, CAST(ts AS DATE) AS day, value AS obs,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY user_id, CAST(ts AS DATE)
+                     ORDER BY ts DESC, event_id DESC) AS rn
+            FROM {src}
+            WHERE user_id IS NOT NULL AND value IS NOT NULL
+          ) x WHERE rn = 1
+        ),
+        grid AS (
+          SELECT u.user_id, g.day
+          FROM (SELECT DISTINCT user_id FROM obs) u
+          CROSS JOIN (
+            SELECT CAST(UNNEST(generate_series(
+                     (SELECT MIN(day) FROM obs),
+                     (SELECT MAX(day) FROM obs),
+                     INTERVAL 1 DAY)) AS DATE) AS day
+          ) g
+        ),
+        joined AS (
+          SELECT grid.user_id, grid.day, obs.obs
+          FROM grid LEFT JOIN obs
+            ON grid.user_id = obs.user_id AND grid.day = obs.day
+        )"""
+
+
+def resample_locf_sql(src: str = "events") -> str:
+    return f"""
+        WITH {_OBS_CTE.format(src=src)}
+        SELECT user_id, STRFTIME(day, '%Y-%m-%d') AS day,
+               LAST_VALUE(obs IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value_filled,
+               obs IS NOT NULL AS is_observed
+        FROM joined
+    """
+
+
+def interpolate_linear_sql(src: str = "events") -> str:
+    return f"""
+        WITH {_OBS_CTE.format(src=src)},
+        bounded AS (
+          SELECT user_id, day, obs,
+                 LAST_VALUE(CASE WHEN obs IS NOT NULL THEN day END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+                 FIRST_VALUE(CASE WHEN obs IS NOT NULL THEN day END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+                 LAST_VALUE(obs IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                 FIRST_VALUE(obs IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+          FROM joined
+        )
+        SELECT user_id, STRFTIME(day, '%Y-%m-%d') AS day,
+               ROUND(CASE WHEN obs IS NOT NULL THEN obs
+                          WHEN pd IS NOT NULL AND nd IS NOT NULL THEN
+                            pv + (nv - pv) * (CAST(day - pd AS DOUBLE)
+                                              / CAST(nd - pd AS DOUBLE))
+                     END, 4) AS value_interp,
+               obs IS NOT NULL AS is_observed
+        FROM bounded
+    """
+
+
+def ohlc_daily_sql(src: str = "events") -> str:
+    return f"""
+        WITH ranked AS (
+          SELECT CAST(ts AS DATE) AS day, value,
+                 ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE)
+                                    ORDER BY ts ASC, event_id ASC) AS rn_a,
+                 ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE)
+                                    ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM {src} WHERE value IS NOT NULL
+        )
+        SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+               ROUND(MIN(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+               ROUND(MAX(value), 2) AS high,
+               ROUND(MIN(value), 2) AS low,
+               ROUND(MIN(CASE WHEN rn_d = 1 THEN value END), 2) AS close,
+               COUNT(*) AS n_events
+        FROM ranked
+        GROUP BY day
+    """

@@ -101,7 +101,10 @@ _DRIVER_CREDITED = frozenset(
 
 # 56 uncredited names compete for the 50-entry window; defer the heaviest
 # (iterative k-means, semantic dedup over its cells, cold-start stateful
-# streaming) to the next round's window so the sweep stays fast.
+# streaming) to the next round's window so the sweep stays fast.  Queries
+# BUILT this round join the deferred set too — the window was already full
+# of never-credited entries when the round started, and displacing those
+# would leave them unverified another round.
 _DEFER_TO_NEXT_ROUND = (
     "kmeans_embedding_clusters",
     "ann_ivf_kmeans_topk",
@@ -109,6 +112,15 @@ _DEFER_TO_NEXT_ROUND = (
     "streaming_stateful_spend",
     "scd2_incremental_stream",
     "streaming_sessionization",
+    # round-3 additions
+    "ts_resample_locf",
+    "ts_interpolate_linear",
+    "ts_ohlc_daily",
+    "sample_fixed_n_events",
+    "ann_pq_adc_topk",
+    "pq_code_histogram",
+    "pagerank_customer_supplier",
+    "rollup_incremental_refresh",
 )
 
 
@@ -157,6 +169,7 @@ def _modules():
         "tpch_extra",
         "tpch_wave3",
         "warehouse",
+        "timeseries",
     ):
         try:
             mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))

@@ -1,0 +1,62 @@
+"""Time-series resampling queries + deterministic fixed-size sampling.
+
+``sample_fixed_n_events`` is the distributed replacement for reservoir
+sampling: rank every row by a salted content hash (md5 — identical hex in
+both engines) and keep the global top-n. Spark executes it as
+TakeOrderedAndProject — per-partition top-n then a driver merge of n-row
+heads — so no partition ever materializes more than n rows: the classic
+"reservoir without coordination" at any scale, and (unlike rand()-based
+sampling) replayable byte-for-byte from the salt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import timeseries as TS
+from ..sources import load_table
+
+SAMPLE_N = 100
+SAMPLE_SALT = "r3"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    key = F.md5(F.concat(F.col("event_id").cast("string"), F.lit(SAMPLE_SALT)))
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            key.alias("sample_key"),
+        )
+        .orderBy("sample_key")
+        .limit(SAMPLE_N)
+    )
+
+
+QUERIES = {
+    "ts_resample_locf": lambda s, d: TS.resample_locf(_events(s, d)),
+    "ts_interpolate_linear": lambda s, d: TS.interpolate_linear(_events(s, d)),
+    "ts_ohlc_daily": lambda s, d: TS.ohlc_daily(_events(s, d)),
+    "sample_fixed_n_events": _sample_fixed,
+}
+
+ORACLES = {
+    "ts_resample_locf": TS.resample_locf_sql(),
+    "ts_interpolate_linear": TS.interpolate_linear_sql(),
+    "ts_ohlc_daily": TS.ohlc_daily_sql(),
+    "sample_fixed_n_events": f"""
+        SELECT event_id, user_id, event_type, ROUND(value, 2) AS value,
+               MD5(CAST(event_id AS VARCHAR) || '{SAMPLE_SALT}') AS sample_key
+        FROM events
+        ORDER BY sample_key
+        LIMIT {SAMPLE_N}
+    """,
+}

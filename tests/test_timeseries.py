@@ -1,0 +1,102 @@
+"""Semantics of the time-series resampling family on hand-built frames
+(the oracle gate covers fixture-scale equivalence; these pin the edge
+rules: carry, no-extrapolation, blend arithmetic, candle picks)."""
+
+from datetime import date, datetime
+
+from pyspark.sql import functions as F
+
+from audience_manager_platform_spark.operators import timeseries as TS
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+
+
+def test_locf_carries_and_leading_nulls(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, datetime(2024, 1, 1, 9), 1, 10.0),
+            (2, datetime(2024, 1, 4, 9), 1, 40.0),
+            # user 2 starts later: days before stay NULL
+            (3, datetime(2024, 1, 3, 9), 2, 7.0),
+        ],
+    )
+    got = {
+        (r.user_id, r.day): (r.value_filled, r.is_observed)
+        for r in TS.resample_locf(ev).collect()
+    }
+    # span is global: 2024-01-01 .. 2024-01-04 for both users
+    assert len(got) == 8
+    assert got[(1, "2024-01-02")] == (10.0, False)  # carried
+    assert got[(1, "2024-01-03")] == (10.0, False)
+    assert got[(1, "2024-01-04")] == (40.0, True)
+    assert got[(2, "2024-01-01")] == (None, False)  # before first obs
+    assert got[(2, "2024-01-04")] == (7.0, False)
+
+
+def test_locf_last_event_of_day_wins(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, datetime(2024, 1, 1, 9), 1, 10.0),
+            (2, datetime(2024, 1, 1, 18), 1, 99.0),  # later ts wins
+            (3, datetime(2024, 1, 1, 18), 1, 55.0),  # same ts: higher id wins
+        ],
+    )
+    got = {r.day: r.value_filled for r in TS.resample_locf(ev).collect()}
+    assert got == {"2024-01-01": 55.0}
+
+
+def test_interpolation_blend_and_no_extrapolation(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, datetime(2024, 1, 1, 9), 1, 10.0),
+            (2, datetime(2024, 1, 5, 9), 1, 50.0),
+            (3, datetime(2024, 1, 2, 9), 2, 1.0),  # widens span to 1/1..1/5
+        ],
+    )
+    got = {
+        (r.user_id, r.day): r.value_interp
+        for r in TS.interpolate_linear(ev).collect()
+    }
+    assert got[(1, "2024-01-02")] == 20.0
+    assert got[(1, "2024-01-03")] == 30.0
+    assert got[(1, "2024-01-04")] == 40.0
+    assert got[(1, "2024-01-05")] == 50.0
+    # user 2 has a single observation: nothing before/after is invented
+    assert got[(2, "2024-01-01")] is None
+    assert got[(2, "2024-01-02")] == 1.0
+    assert got[(2, "2024-01-05")] is None
+
+
+def test_ohlc_picks(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 9), 1, "view", 5.0),
+            (2, datetime(2024, 1, 1, 12), 1, "view", 100.0),
+            (3, datetime(2024, 1, 1, 23), 1, "view", 2.0),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    r = TS.ohlc_daily(ev).collect()[0]
+    assert (r.day, r.open, r.high, r.low, r.close, r.n_events) == (
+        "2024-01-01",
+        5.0,  # open = first event of the day
+        100.0,
+        2.0,
+        2.0,  # close = last event of the day (23h)
+        3,
+    )
+
+
+def test_sample_fixed_is_deterministic_and_partition_independent(spark, sf_dir):
+    from audience_manager_platform_spark.registry.timeseries import _sample_fixed
+
+    a = [r.event_id for r in _sample_fixed(spark, sf_dir).collect()]
+    b = [r.event_id for r in _sample_fixed(spark, sf_dir).collect()]
+    assert a == b and len(a) == 100

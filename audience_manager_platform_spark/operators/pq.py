@@ -1,0 +1,371 @@
+"""Product quantization (PQ) for embedding search — the 100 TB ANN
+workhorse (Jégou et al., "Product Quantization for Nearest Neighbor
+Search", IEEE TPAMI 2011; the IVF-PQ layout FAISS deploys).
+
+The corpus' 64-dim vectors are split into PQ_M=4 contiguous 16-dim
+subspaces; each subspace gets its own PQ_K=16-codeword codebook (Lloyd's
+with squared-L2 assignment, seeded from the vec_id<PQ_K subvectors like
+the spherical k-means in :mod:`.similarity`). A vector is then stored as
+4 single-byte codes — a 64x compression of the vector column — and query
+scoring is ADC (asymmetric distance computation): per query, a 4x16
+lookup table of exact subspace distances to every codeword, after which
+every candidate's approximate distance is 4 table lookups and 3 adds.
+Recall < 1 is the documented semantics (quantization error), exactly as
+in the deployed systems.
+
+Scale/architecture posture (mirrors the shuffle-free k-means,
+``similarity.py``):
+
+- codebooks are O(M x K x sub_dim) driver state — folded into projections
+  as literals, so TRAINING is per iteration one narrow assignment map
+  plus one map-side-combined mean aggregate over the (j, code)-stacked
+  subvectors (exchange carries at most M x K x sub_dim doubles);
+- ENCODING is a pure narrow map (argmin via ``least()`` over
+  per-codeword structs);
+- ADC scoring is a narrow map too: the per-query LUTs are constant
+  arrays indexed by the code columns (``lut[c_j]``), so the only wide
+  operation in the whole query is the final top-k window per query.
+
+Determinism contract with the DuckDB twin (:func:`pq_histogram_sql`,
+:func:`pq_adc_topk_sql`): subspace distances are rounded to 6dp before
+the argmin (ties break on code asc), codeword means are rounded to 6dp
+(same boundary-straddle caveat as the k-means oracle), and the ADC sum
+is written LEFT-ASSOCIATIVE on both engines (4 explicit adds, not an
+order-free SUM), so every rank decision is reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import _vec_double
+
+PQ_M = 4  # subspaces
+SUB_DIM = 16  # dims per subspace (PQ_M * SUB_DIM == EMBED_DIM)
+PQ_K = 16  # codewords per subspace
+PQ_ITERS = 1
+
+Model = list[list[tuple[int, list[float]]]]  # [subspace][ (code, centroid) ]
+
+
+def _d2_terms_spark(j: int, cw: list[float]) -> str:
+    return " + ".join(
+        f"(v[{j * SUB_DIM + i}] - {cw[i]!r}) * (v[{j * SUB_DIM + i}] - {cw[i]!r})"
+        for i in range(SUB_DIM)
+    )
+
+
+def _with_best(base: DataFrame, model: Model) -> DataFrame:
+    """vec_id, v, b0..b3 where b_j = argmin-d2 codeword struct for
+    subspace j ((d2 ASC, code ASC) via ``least()`` struct order).
+
+    Two projections: every (subspace, codeword) distance struct is its
+    own column in the first (separate columns -> separate codegen
+    methods), the four small ``least()`` argmins sit in the second; the
+    nondeterministic ``_mid`` column stops CollapseProject from inlining
+    stage 1 into stage 2, which would rebuild the one-method expression
+    that exceeds janino's 64 KB limit and drops the stage to interpreted
+    eval (see ``similarity._assign_inline`` — same pattern, measured)."""
+    cand_cols = [
+        F.expr(
+            f"named_struct('d2', round({_d2_terms_spark(j, cw)}, 6), "
+            f"'code', {code}L)"
+        ).alias(f"_b{j}_{code}")
+        for j in range(PQ_M)
+        for code, cw in model[j]
+    ]
+    scored = base.select(
+        "vec_id", "v", F.monotonically_increasing_id().alias("_mid"), *cand_cols
+    )
+    bests = [
+        (
+            F.least(*[F.col(f"_b{j}_{code}") for code, _ in model[j]])
+            if len(model[j]) > 1
+            else F.col(f"_b{j}_{model[j][0][0]}")
+        ).alias(f"b{j}")
+        for j in range(PQ_M)
+    ]
+    return scored.select("vec_id", "v", *bests)
+
+
+def pq_fit_model(emb: DataFrame, iters: int = PQ_ITERS) -> Model:
+    """Train the PQ codebooks. Seeds: the vec_id<PQ_K subvectors
+    (code = vec_id, deterministic, oracle-replicable); then ``iters``
+    Lloyd refinements — assignment inline (narrow), centroid update as
+    ONE stacked aggregate over (j, code) across all subspaces."""
+    base = emb.select("vec_id", _vec_double().alias("v"))
+    seed_rows = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["v"]])
+        for r in base.filter(F.col("vec_id") < PQ_K).collect()
+    )
+    model: Model = [
+        [(code, vec[j * SUB_DIM : (j + 1) * SUB_DIM]) for code, vec in seed_rows]
+        for j in range(PQ_M)
+    ]
+    mean_vec = F.expr(
+        "array(" + ", ".join(f"round(avg(x.s[{i}]), 6)" for i in range(SUB_DIM)) + ")"
+    ).alias("m")
+    for _ in range(iters):
+        stacked = _with_best(base, model).select(
+            F.explode(
+                F.array(
+                    *[
+                        F.expr(
+                            f"named_struct('j', {j}, 'code', b{j}.code, "
+                            f"'s', slice(v, {j * SUB_DIM + 1}, {SUB_DIM}))"
+                        )
+                        for j in range(PQ_M)
+                    ]
+                )
+            ).alias("x")
+        )
+        rows = (
+            stacked.groupBy(
+                F.col("x.j").alias("j"), F.col("x.code").alias("code")
+            )
+            .agg(mean_vec)
+            .collect()
+        )
+        model = [
+            sorted(
+                (int(r["code"]), [float(x) for x in r["m"]])
+                for r in rows
+                if int(r["j"]) == j
+            )
+            for j in range(PQ_M)
+        ]
+    return model
+
+
+def pq_encode(emb: DataFrame, model: Model) -> DataFrame:
+    """vec_id -> (c0..c3, d0..d3): the stored code columns plus each
+    subspace's quantization error (rounded 6dp). A narrow map."""
+    cols = []
+    for j in range(PQ_M):
+        cols.append(F.col(f"b{j}.code").alias(f"c{j}"))
+        cols.append(F.col(f"b{j}.d2").alias(f"d{j}"))
+    return _with_best(emb.select("vec_id", _vec_double().alias("v")), model).select(
+        "vec_id", *cols
+    )
+
+
+def pq_code_histogram(emb: DataFrame, iters: int = PQ_ITERS) -> DataFrame:
+    """Gate-facing encode summary: per (subspace, code) the population
+    and the min/max quantization error — order-free exact aggregates of
+    rounded values, so both engines hash identically."""
+    model = pq_fit_model(emb, iters)
+    stacked = _with_best(
+        emb.select("vec_id", _vec_double().alias("v")), model
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(
+                        f"named_struct('j', {j}, 'code', b{j}.code, 'd2', b{j}.d2)"
+                    )
+                    for j in range(PQ_M)
+                ]
+            )
+        ).alias("x")
+    )
+    return (
+        stacked.groupBy(
+            F.col("x.j").alias("subspace"), F.col("x.code").alias("code")
+        )
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.min("x.d2").alias("min_d2"),
+            F.max("x.d2").alias("max_d2"),
+        )
+    )
+
+
+def _py_d2(q: list[float], cw: list[float]) -> float:
+    """Driver-side subspace distance with the twins' exact IEEE order:
+    left-assoc sum of squared diffs (the leading 0.0+ is a no-op)."""
+    s = 0.0
+    for a, b in zip(q, cw):
+        d = a - b
+        s = s + d * d
+    return s
+
+
+def pq_adc_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 5, iters: int = PQ_ITERS
+) -> DataFrame:
+    """ADC top-k: per query build the 4x16 LUT of exact subspace
+    distances to every codeword (driver-side — it is O(M x K) per query
+    and the model is driver state already), then score every encoded
+    vector with 4 constant-array lookups and 3 adds. The LUT values are
+    inlined UNROUNDED (repr round-trips exactly) and rounded by the
+    engine, so Spark and DuckDB round the same doubles."""
+    model = pq_fit_model(emb, iters)
+    for j in range(PQ_M):
+        # the LUT is indexed positionally (array(vals)[c_j]); that only
+        # equals lookup-by-code-id while the code set stays dense. Seeded
+        # codebooks keep every cell non-empty after one refinement (each
+        # seed vector is its own cell's d2=0 member), but guard anyway.
+        if [code for code, _ in model[j]] != list(range(PQ_K)):
+            raise ValueError(
+                f"subspace {j} lost a codeword; positional ADC LUT invalid"
+            )
+    base = emb.select("vec_id", _vec_double().alias("v"))
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["v"]]
+        for r in base.filter(F.col("vec_id").isin(query_ids)).collect()
+    }
+    codes = pq_encode(emb, model).select(
+        "vec_id", *[f"c{j}" for j in range(PQ_M)]
+    )
+    per_query = []
+    for qid in sorted(qvecs):
+        qv = qvecs[qid]
+        luts = []
+        for j in range(PQ_M):
+            qsub = qv[j * SUB_DIM : (j + 1) * SUB_DIM]
+            vals = ", ".join(
+                f"round({_py_d2(qsub, cw)!r}, 6)" for _code, cw in model[j]
+            )
+            luts.append(f"array({vals})[c{j}]")
+        per_query.append(
+            f"named_struct('query_id', {qid}L, "
+            f"'approx_d2', round({' + '.join(luts)}, 6))"
+        )
+    scored = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.explode(F.array(*[F.expr(e) for e in per_query])).alias("x"),
+    ).select(
+        F.col("x.query_id").alias("query_id"),
+        "neighbor_id",
+        F.col("x.approx_d2").alias("approx_d2"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_d2"), F.asc("neighbor_id")
+    )
+    return (
+        scored.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ------------------------------------------------------------- SQL twins
+def _d2_terms_sql(j: int, v: str, m: str) -> str:
+    """Same summation order as :func:`_d2_terms_spark` / :func:`_py_d2`,
+    1-based for DuckDB; ``m`` is the codeword array column."""
+    return " + ".join(
+        f"({v}[{j * SUB_DIM + i + 1}] - {m}[{i + 1}]) "
+        f"* ({v}[{j * SUB_DIM + i + 1}] - {m}[{i + 1}])"
+        for i in range(SUB_DIM)
+    )
+
+
+def _pq_ctes(iters: int = PQ_ITERS, src: str = "embeddings") -> str:
+    """CTE chain replicating :func:`pq_fit_model` + :func:`pq_encode`:
+    seeds -> per-iteration (assign, means) per subspace -> final codes."""
+    parts = [f"e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src})"]
+    for j in range(PQ_M):
+        parts.append(
+            f"cb{j}_0 AS (SELECT vec_id AS code, "
+            f"v[{j * SUB_DIM + 1}:{(j + 1) * SUB_DIM}] AS m "
+            f"FROM e WHERE vec_id < {PQ_K})"
+        )
+    for it in range(iters):
+        for j in range(PQ_M):
+            terms = _d2_terms_sql(j, "e.v", "cb.m")
+            means = ", ".join(
+                f"ROUND(AVG(s[{i + 1}]), 6)" for i in range(SUB_DIM)
+            )
+            parts.append(
+                f"""asg{j}_{it} AS (
+              SELECT vec_id, s, code FROM (
+                SELECT e.vec_id,
+                       e.v[{j * SUB_DIM + 1}:{(j + 1) * SUB_DIM}] AS s,
+                       cb.code,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY ROUND({terms}, 6) ASC, cb.code ASC) AS rn
+                FROM e CROSS JOIN cb{j}_{it} cb
+              ) x WHERE rn = 1
+            )"""
+            )
+            parts.append(
+                f"cb{j}_{it + 1} AS (SELECT code, list_value({means}) AS m "
+                f"FROM asg{j}_{it} GROUP BY code)"
+            )
+    for j in range(PQ_M):
+        terms = _d2_terms_sql(j, "e.v", "cb.m")
+        parts.append(
+            f"""codes{j} AS (
+          SELECT vec_id, code AS c{j}, d2 AS d{j} FROM (
+            SELECT e.vec_id, cb.code, ROUND({terms}, 6) AS d2,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY ROUND({terms}, 6) ASC, cb.code ASC) AS rn
+            FROM e CROSS JOIN cb{j}_{iters} cb
+          ) x WHERE rn = 1
+        )"""
+        )
+    return ",\n        ".join(parts)
+
+
+def pq_histogram_sql(iters: int = PQ_ITERS, src: str = "embeddings") -> str:
+    stacked = " UNION ALL ".join(
+        f"SELECT {j} AS subspace, c{j} AS code, d{j} AS d2 FROM codes{j}"
+        for j in range(PQ_M)
+    )
+    return f"""
+        WITH {_pq_ctes(iters, src)},
+        stacked AS ({stacked})
+        SELECT subspace, code, COUNT(*) AS n_vectors,
+               MIN(d2) AS min_d2, MAX(d2) AS max_d2
+        FROM stacked GROUP BY subspace, code
+    """
+
+
+def pq_adc_topk_sql(
+    query_ids: list[int], k: int = 5, iters: int = PQ_ITERS,
+    src: str = "embeddings",
+) -> str:
+    ids = ", ".join(str(i) for i in sorted(query_ids))
+    luts = []
+    for j in range(PQ_M):
+        terms = _d2_terms_sql(j, "q.v", "cb.m")
+        luts.append(
+            f"lut{j} AS (SELECT q.vec_id AS query_id, cb.code, "
+            f"ROUND({terms}, 6) AS ld FROM qv q CROSS JOIN cb{j}_{iters} cb)"
+        )
+    lut_joins = "\n            ".join(
+        f"JOIN lut{j} l{j} ON l{j}.query_id = q.query_id "
+        f"AND l{j}.code = c.c{j}" for j in range(PQ_M)
+    )
+    adc = " + ".join(f"l{j}.ld" for j in range(PQ_M))
+    code_joins = " ".join(
+        f"JOIN codes{j} USING (vec_id)" for j in range(1, PQ_M)
+    )
+    code_cols = ", ".join(f"c{j}" for j in range(PQ_M))
+    luts_sql = ",\n        ".join(luts)
+    return f"""
+        WITH {_pq_ctes(iters, src)},
+        qv AS (SELECT vec_id, v FROM e WHERE vec_id IN ({ids})),
+        allcodes AS (
+          SELECT vec_id, {code_cols}
+          FROM codes0 {code_joins}
+        ),
+        {luts_sql},
+        queries AS (SELECT vec_id AS query_id FROM qv),
+        scored AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 ROUND({adc}, 6) AS approx_d2
+          FROM queries q CROSS JOIN allcodes c
+            {lut_joins}
+          WHERE c.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, approx_d2, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank
+          FROM scored
+        ) r WHERE rank <= {k}
+    """

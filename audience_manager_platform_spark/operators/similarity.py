@@ -335,12 +335,14 @@ def _py_norm(vec: list[float]) -> float:
     return math.sqrt(s)
 
 
-def _assign_expr(model: list[tuple[int, list[float]]]) -> str:
-    """SQL expression computing the argmax-cosine centroid for a vector
-    column ``v`` (with its norm pre-computed in ``nv``) against a
-    DRIVER-SIDE centroid model, as ``greatest()`` over one struct per
-    centroid — struct lexicographic order encodes (csim DESC, cent_id
-    ASC) exactly like :func:`_assign`'s ``max(struct(...))``.
+def _centroid_struct_exprs(
+    model: list[tuple[int, list[float]]]
+) -> list[tuple[int, str]]:
+    """One (cent_id, SQL-struct-expr) per centroid scoring a vector
+    column ``v`` (with its norm pre-computed in ``nv``) against the
+    DRIVER-SIDE centroid — struct lexicographic order encodes
+    (csim DESC, cent_id ASC) exactly like :func:`_assign`'s
+    ``max(struct(...))``.
 
     Why inline literals instead of a broadcast join: the model is O(K x
     dim) driver state already (Lloyd's update collects it every
@@ -351,21 +353,34 @@ def _assign_expr(model: list[tuple[int, list[float]]]) -> str:
     is computed driver-side with matching IEEE order (:func:`_py_norm`),
     so every csim is bit-identical to the join formulation and the SQL
     oracle still reproduces each assignment decision."""
-    structs = []
+    out = []
     for cid, cv in model:
         dot = " + ".join(f"v[{i}] * {cv[i]!r}" for i in range(EMBED_DIM))
-        structs.append(
-            f"named_struct('csim', round(({dot}) / (nv * {_py_norm(cv)!r}), 6), "
-            f"'neg', {-cid}L, 'cent_id', {cid}L)"
+        out.append(
+            (
+                cid,
+                f"named_struct('csim', round(({dot}) / (nv * {_py_norm(cv)!r}), 6), "
+                f"'neg', {-cid}L, 'cent_id', {cid}L)",
+            )
         )
-    return f"greatest({', '.join(structs)})" if len(structs) > 1 else structs[0]
+    return out
 
 
 def _assign_inline(
     base: DataFrame, model: list[tuple[int, list[float]]]
 ) -> DataFrame:
     """Shuffle-free twin of :func:`_assign` for driver-side models:
-    scan -> project. Same output columns, same values."""
+    scan -> project -> project. Same output columns, same values.
+
+    TWO projections, not one: each centroid's struct is its own column
+    in the first (whole-stage codegen splits separate columns into
+    separate methods), and the argmax is a small ``greatest()`` over
+    those columns in the second. Collapsed into a single
+    ``greatest(<K x dim terms>)`` expression the generated code is one
+    unsplittable method that blows janino's 64 KB limit and drops the
+    whole stage to interpreted eval (measured 2.5x slower) — the
+    nondeterministic ``_mid`` column exists solely to stop
+    CollapseProject from doing that inlining."""
     if not model:
         # no centroids => no assignments (the join twin's natural result)
         return (
@@ -374,15 +389,25 @@ def _assign_inline(
             .select("vec_id", "v", "cent_id", "csim")
             .filter(F.lit(False))
         )
-    return (
-        base.withColumn("nv", _norm_expr("v"))
-        .withColumn("best", F.expr(_assign_expr(model)))
-        .select(
-            "vec_id",
-            "v",
-            F.col("best.cent_id").alias("cent_id"),
-            F.col("best.csim").alias("csim"),
-        )
+    structs = [
+        F.expr(e).alias(f"_s{cid}") for cid, e in _centroid_struct_exprs(model)
+    ]
+    scored = base.withColumn("nv", _norm_expr("v")).select(
+        "vec_id",
+        "v",
+        F.monotonically_increasing_id().alias("_mid"),
+        *structs,
+    )
+    best = (
+        F.greatest(*[F.col(f"_s{cid}") for cid, _ in model])
+        if len(model) > 1
+        else F.col(f"_s{model[0][0]}")
+    )
+    return scored.select(
+        "vec_id",
+        "v",
+        best.getField("cent_id").alias("cent_id"),
+        best.getField("csim").alias("csim"),
     )
 
 

@@ -1,0 +1,67 @@
+"""Product-quantization semantics: codebook shape/density, encode
+determinism, ADC vs exact ranking sanity. Oracle-level equivalence is
+covered by the driver gate (pq_code_histogram / ann_pq_adc_topk)."""
+
+from audience_manager_platform_spark.operators import pq as PQ
+from audience_manager_platform_spark.operators import similarity as S
+from audience_manager_platform_spark.sources import load_table
+
+
+def test_codebooks_dense_and_sized(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = PQ.pq_fit_model(emb)
+    assert len(model) == PQ.PQ_M
+    for cb in model:
+        assert [c for c, _ in cb] == list(range(PQ.PQ_K))
+        assert all(len(cw) == PQ.SUB_DIM for _, cw in cb)
+
+
+def test_encode_covers_corpus_once(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = PQ.pq_fit_model(emb)
+    codes = PQ.pq_encode(emb, model)
+    n = emb.count()
+    assert codes.count() == n
+    rows = codes.collect()
+    assert len({r.vec_id for r in rows}) == n
+    for j in range(PQ.PQ_M):
+        assert all(0 <= r[f"c{j}"] < PQ.PQ_K for r in rows)
+        assert all(r[f"d{j}"] >= 0 for r in rows)
+
+
+def test_adc_selects_better_than_random(spark, sf_dir):
+    """PQ's contract on weak-structure (near-uniform synthetic) data is
+    not exact-top-k recall — with 4x16 codebooks the quantization error
+    is comparable to the inter-point spread — but ADC must still
+    CORRELATE with the exact metric: the true squared-L2 of the ADC
+    top-5 must beat the corpus mean by a clear margin, for every query
+    (a broken LUT, code join, or distance sign would erase this)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2]
+    adc = PQ.pq_adc_topk(emb, qids, k=5)
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()
+    }
+    picked = {}
+    for r in adc.collect():
+        picked.setdefault(r.query_id, []).append(r.neighbor_id)
+    for q in qids:
+        qv = vecs[q]
+        d2 = {
+            i: sum((a - b) ** 2 for a, b in zip(qv, v))
+            for i, v in vecs.items()
+            if i != q
+        }
+        corpus_mean = sum(d2.values()) / len(d2)
+        picked_mean = sum(d2[n] for n in picked[q]) / len(picked[q])
+        assert picked_mean < 0.9 * corpus_mean, (
+            f"query {q}: ADC top-5 exact-L2 mean {picked_mean:.3f} "
+            f"not better than corpus mean {corpus_mean:.3f}"
+        )
+
+
+def test_adc_deterministic(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = [(r.query_id, r.rank, r.neighbor_id) for r in PQ.pq_adc_topk(emb, [0, 1]).collect()]
+    b = [(r.query_id, r.rank, r.neighbor_id) for r in PQ.pq_adc_topk(emb, [0, 1]).collect()]
+    assert sorted(a) == sorted(b)

@@ -1,0 +1,176 @@
+"""Graph analytics over relationship edges derived from the warehouse
+(the reference's data model has implicit graphs — segment lineage DFS,
+``backend/app/api/segments.py:127-174`` — but no vertex-centric compute;
+this family adds it in the join-shaped form Spark executes well.
+Connected components (for dedup clusters) live in ``dedup.py``; this
+module adds PageRank, the canonical fixed-point node metric).
+
+Scale posture: one PageRank iteration is exactly one equi-join
+(ranks ⋈ edges on src) plus one aggregate (sum of contributions keyed
+dst) — the same data movement GraphX/Pregel performs, expressed as
+DataFrames so AQE handles skewed hub nodes with the standard skew-join
+split. Iteration count is a fixed small constant (the model: rank_t is a
+converging series; deployments checkpoint every few iterations).
+Degrees are computed ONCE and live on the rank rows, so the per-iteration
+join carries (node, rank, deg) — never the edge payload twice.
+
+Determinism contract with the DuckDB twin (:func:`pagerank_sql`): ranks
+are rounded to 8dp after every update (quantized model state, the same
+trick as the k-means means), damping contributions are written with the
+identical expression shape, and the final emit rounds to 6dp — the only
+cross-engine nondeterminism left is the summation order of incoming
+contributions under a 1e-8 grid (the boundary-straddle caveat every
+rounded aggregate in the gate carries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+PR_ITERS = 3
+
+
+def customer_supplier_edges(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Distinct undirected customer—supplier trade edges (both
+    directions materialized: PageRank walks an undirected relation as a
+    symmetric directed graph). Node ids are prefixed ('c123' / 's7') so
+    the two key spaces can't collide."""
+    pairs = (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("cust"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("supp"),
+        )
+        .distinct()
+    )
+    fwd = pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
+    rev = pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    return fwd.unionByName(rev)
+
+
+def pagerank(
+    edges: DataFrame, iters: int = PR_ITERS, damping: float = DAMPING
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (src, dst).
+    Returns (node, rank, out_deg). Nodes are the edge endpoints; with a
+    symmetric edge list there are no dangling nodes (every node has
+    out-degree >= 1), so no dangling-mass redistribution term is
+    needed."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_total = nodes.agg(F.count("*").alias("n"))
+    # (node, deg, n) — the invariant per-node state each iteration reuses
+    state = (
+        nodes.join(deg, nodes["node"] == deg["src"], "left")
+        .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
+        .crossJoin(F.broadcast(n_total))
+    )
+    ranks = state.select(
+        "node", "deg", "n", F.round(F.lit(1.0) / F.col("n"), 8).alias("rank")
+    )
+    for _ in range(iters):
+        contribs = (
+            edges.join(
+                ranks.select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("deg")).alias("share"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("incoming"))
+        )
+        ranks = (
+            ranks.select("node", "deg", "n")
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                "deg",
+                "n",
+                F.round(
+                    # base precomputed in Python and inlined in BOTH
+                    # engines: DuckDB would otherwise do (1.0 - 0.85) in
+                    # DECIMAL (exact 0.15) vs the JVM's IEEE subtraction
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.lit(damping) * F.coalesce("incoming", F.lit(0.0)),
+                    8,
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(
+        "node", F.round("rank", 6).alias("rank"), F.col("deg").alias("out_deg")
+    )
+
+
+def pagerank_customer_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources import load_table
+
+    edges = customer_supplier_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    return pagerank(edges)
+
+
+# ------------------------------------------------------------- SQL twin
+def pagerank_sql(
+    iters: int = PR_ITERS,
+    damping: float = DAMPING,
+    orders: str = "orders",
+    lineitem: str = "lineitem",
+) -> str:
+    parts = [
+        f"""pairs AS (
+          SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
+          FROM {lineitem} JOIN {orders} ON l_orderkey = o_orderkey
+        ),
+        edges AS (
+          SELECT cust AS src, supp AS dst FROM pairs
+          UNION ALL
+          SELECT supp AS src, cust AS dst FROM pairs
+        ),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+        ),
+        state AS (
+          SELECT node, COALESCE(deg, 0) AS deg,
+                 (SELECT COUNT(*) FROM nodes) AS n
+          FROM nodes LEFT JOIN deg ON node = src
+        ),
+        r0 AS (SELECT node, deg, n,
+               ROUND(CAST(1.0 AS DOUBLE) / n, 8) AS rank FROM state)"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""c{t + 1} AS (
+          SELECT e.dst AS node, SUM(r.rank / r.deg) AS incoming
+          FROM edges e JOIN r{t} r ON e.src = r.node
+          GROUP BY e.dst
+        ),
+        r{t + 1} AS (
+          SELECT s.node, s.deg, s.n,
+                 ROUND(CAST({(1.0 - damping)!r} AS DOUBLE) / s.n
+                       + CAST({damping!r} AS DOUBLE)
+                         * COALESCE(c.incoming, 0.0), 8) AS rank
+          FROM r{t} s LEFT JOIN c{t + 1} c ON s.node = c.node
+        )"""
+        )
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT node, ROUND(rank, 6) AS rank, deg AS out_deg FROM r{iters}
+    """

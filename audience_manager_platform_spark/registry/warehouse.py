@@ -15,6 +15,12 @@ from pyspark.sql import functions as F
 
 from ..operators import corpus as C
 from ..operators import merge as MG
+from ..operators.graph import pagerank_customer_supplier, pagerank_sql
+from ..operators.maintenance import (
+    daily_rollup,
+    daily_rollup_sql,
+    incremental_rollup_refresh,
+)
 from ..operators.skew import heavy_hitters, heavy_hitters_sql
 from ..operators.validation import validate_table, validate_table_sql
 from ..sources import load_table
@@ -66,6 +72,20 @@ def _scd2_incremental(spark, sf_dir):
     )
 
 
+def _incremental_rollup_gate(spark, sf_dir):
+    """Split the fixture at (max day - 5): 'prev' is the rollup a
+    warehouse would already hold, the newest days are the churn. The
+    refresh must reproduce the full-recompute rollup exactly."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    span = ev.agg(F.date_sub(F.max(F.to_date("ts")), 5).alias("cut"))
+    tagged = ev.crossJoin(F.broadcast(span))
+    old = tagged.filter(F.to_date("ts") <= F.col("cut")).drop("cut")
+    delta = tagged.filter(F.to_date("ts") > F.col("cut")).drop("cut")
+    return incremental_rollup_refresh(daily_rollup(old), ev, delta)
+
+
 QUERIES = {
     "scd2_user_state_history": lambda s, d: MG.scd2_history(_events(s, d)),
     "cdc_latest_user_state": lambda s, d: MG.cdc_latest_state(_events(s, d)),
@@ -95,6 +115,12 @@ QUERIES = {
     "validate_events_expectations": lambda s, d: validate_table(
         _events(s, d), EXPECTATIONS
     ),
+    # r3: vertex-centric compute over warehouse-derived edges
+    "pagerank_customer_supplier": pagerank_customer_supplier,
+    # r3: partition-level incremental view maintenance; the gate drives a
+    # last-5-days churn through the refresh path and checks the result
+    # equals the from-scratch rollup (the oracle)
+    "rollup_incremental_refresh": lambda s, d: _incremental_rollup_gate(s, d),
 }
 
 ORACLES = {
@@ -116,4 +142,6 @@ ORACLES = {
     ),
     "scd2_incremental_stream": MG.scd2_history_sql(),
     "validate_events_expectations": validate_table_sql("events", EXPECTATIONS),
+    "pagerank_customer_supplier": pagerank_sql(),
+    "rollup_incremental_refresh": daily_rollup_sql(),
 }

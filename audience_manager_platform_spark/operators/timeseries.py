@@ -14,8 +14,9 @@ Scale posture shared by all three:
   a second scan;
 - gap filling is one window pass per user ordered by day (LOCF = running
   ``last(ignorenulls)``; interpolation = LOCF forward + its mirror
-  backward, then one arithmetic projection). Everything shuffles ONCE on
-  user_id; no self-joins, no per-gap loops.
+  backward, then one arithmetic projection). Two data exchanges end to
+  end — the (user, day) compaction and the per-user window (the grid
+  join is broadcast) — no self-joins, no per-gap loops.
 
 Determinism contract for the DuckDB twins: the per-day representative
 value is picked by (ts, event_id) row order — total, unique — and every

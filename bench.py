@@ -52,6 +52,11 @@ HEADLINE = [
     "corpus_curation_ledger",
     # r2 wave 3: SemDeDup semantic dedup over the planted-twin corpus
     "dedup_semantic",
+    # r3: PQ/ADC ann, PageRank, time-series resample, incremental rollup
+    "ann_pq_adc_topk",
+    "pagerank_customer_supplier",
+    "ts_resample_locf",
+    "rollup_incremental_refresh",
 ]
 
 

@@ -270,3 +270,60 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_pq_adc_single_wide_op(spark, sf_dir, queries):
+    """ADC scoring is a narrow map over the encoded codes; the ONLY data
+    exchange in the final query is the per-query top-k window."""
+    import re
+
+    df = queries["ann_pq_adc_topk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    data_exchanges = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(data_exchanges) == 1, plan[:2000]
+
+
+def test_kmeans_assignment_is_shuffle_free(spark, sf_dir):
+    """The literal-folded assignment map must introduce NO exchange: scan
+    -> project(s) only. (The mean update's exchange lives in a separate
+    job inside kmeans_fit_model.)"""
+    from audience_manager_platform_spark.operators import similarity as S
+    from audience_manager_platform_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", S._vec_double().alias("v"))
+    model = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]])
+        for r in base.filter("vec_id < 16").collect()
+    ]
+    plan = (
+        S._assign_inline(base, model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    # the two-stage structure survived optimization (greatest over the
+    # per-centroid struct columns, not one inlined mega-expression)
+    assert "greatest(_s" in plan
+
+
+def test_ts_resample_two_data_exchanges_grid_broadcast(spark, sf_dir, queries):
+    """LOCF resample: (user, day) compaction + per-user window are the
+    only data exchanges; the user x day grid join must be broadcast."""
+    import re
+
+    df = queries["ts_resample_locf"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan[:2000]
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_incremental_refresh_broadcasts_changed_days(spark, sf_dir, queries):
+    """The churned-day set must ride broadcast joins (semi for the
+    recompute, anti for the carry-over) — never a shuffled join against
+    the base table."""
+    df = queries["rollup_incremental_refresh"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi, BuildRight" in plan
+    assert "LeftAnti, BuildRight" in plan

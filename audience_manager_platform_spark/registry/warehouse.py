@@ -75,14 +75,20 @@ def _scd2_incremental(spark, sf_dir):
 def _incremental_rollup_gate(spark, sf_dir):
     """Split the fixture at (max day - 5): 'prev' is the rollup a
     warehouse would already hold, the newest days are the churn. The
-    refresh must reproduce the full-recompute rollup exactly."""
+    refresh must reproduce the full-recompute rollup exactly.
+
+    The cutoff is one collected scalar (driver-side config, like a
+    trained model): inlined as a literal it pushes into the parquet
+    scans of both split branches instead of riding three broadcast
+    1-row subplans."""
     from pyspark.sql import functions as F
 
     ev = _events(spark, sf_dir)
-    span = ev.agg(F.date_sub(F.max(F.to_date("ts")), 5).alias("cut"))
-    tagged = ev.crossJoin(F.broadcast(span))
-    old = tagged.filter(F.to_date("ts") <= F.col("cut")).drop("cut")
-    delta = tagged.filter(F.to_date("ts") > F.col("cut")).drop("cut")
+    cut = ev.agg(F.date_sub(F.max(F.to_date("ts")), 5).alias("cut")).collect()[0][
+        "cut"
+    ]
+    old = ev.filter(F.to_date("ts") <= F.lit(cut))
+    delta = ev.filter(F.to_date("ts") > F.lit(cut))
     return incremental_rollup_refresh(daily_rollup(old), ev, delta)
 
 

@@ -53,11 +53,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events fixture stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects. Read nanos as long (legacy conf,
-    runtime-settable) and convert to a microsecond timestamp JVM-side —
-    lossless for this data (values are generated at microsecond precision)
-    and still a plain columnar scan."""
+    """The events fixture's ``ts`` unit varies by generator round:
+    TIMESTAMP(NANOS) — which Spark's vectorized reader rejects — or
+    TIMESTAMP(MICROS), which reads natively (as TIMESTAMP_NTZ). Enable
+    the nanos-as-long legacy conf and adapt on the observed dtype:
+    a bigint ``ts`` is nanos needing the JVM-side conversion (integer
+    DIV, lossless — values are generated at microsecond precision),
+    anything else is already a timestamp. Still a plain columnar scan.
+    The streaming twin (``streaming.jobs.stream_events``) sniffs the
+    parquet footer for the same decision."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -247,3 +247,58 @@ def ohlc_daily_sql(src: str = "events") -> str:
         FROM ranked
         GROUP BY day
     """
+
+
+# ------------------------------------------------------- EWMA smoothing
+EWMA_TAPS = 10  # truncation depth: weight 0.5^9 ~ 0.002 beyond the window
+
+
+def ewma_smooth(events: DataFrame) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 0.5) over each
+    user's observed daily series, TRUNCATED to the last EWMA_TAPS
+    observations — the bounded-state form a streaming/100 TB pipeline
+    actually runs (state = K lags, not the unbounded recursion), with
+    truncation error <= 2^-(EWMA_TAPS-1) of the weight mass.
+
+    Exactness: alpha = 0.5 makes every weight 0.5^i an exact IEEE
+    double, and the weighted sum is written as the SAME left-associative
+    lag composition in both engines — so unlike the rounded-aggregate
+    oracles this one is bit-identical, no summation-order caveat. One
+    window pass (user_id shuffle), EWMA_TAPS lag reads per row."""
+    obs = _daily_obs(events)
+    w = Window.partitionBy("user_id").orderBy("day")
+    lags = [F.lag("obs", i).over(w) for i in range(EWMA_TAPS)]
+    num = None
+    den = None
+    for i, lg in enumerate(lags):
+        weight = 0.5**i
+        term = F.when(lg.isNotNull(), lg * F.lit(weight)).otherwise(F.lit(0.0))
+        mass = F.when(lg.isNotNull(), F.lit(weight)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = mass if den is None else den + mass
+    return obs.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("obs").alias("value"),
+        F.round(num / den, 6).alias("ewma"),
+    )
+
+
+def ewma_smooth_sql(src: str = "events") -> str:
+    terms, masses = [], []
+    for i in range(EWMA_TAPS):
+        lg = f"LAG(obs, {i}) OVER (PARTITION BY user_id ORDER BY day)"
+        w = repr(0.5**i)
+        terms.append(
+            f"CASE WHEN {lg} IS NOT NULL THEN {lg} * {w} ELSE 0.0 END"
+        )
+        masses.append(f"CASE WHEN {lg} IS NOT NULL THEN {w} ELSE 0.0 END")
+    num = " + ".join(terms)
+    den = " + ".join(masses)
+    obs_cte = _OBS_CTE.format(src=src).split(",\n        grid AS")[0]
+    return f"""
+        WITH {obs_cte}
+        SELECT user_id, STRFTIME(day, '%Y-%m-%d') AS day, obs AS value,
+               ROUND(({num}) / ({den}), 6) AS ewma
+        FROM obs
+    """

@@ -121,6 +121,9 @@ _DEFER_TO_NEXT_ROUND = (
     "pq_code_histogram",
     "pagerank_customer_supplier",
     "rollup_incremental_refresh",
+    "ts_ewma_smooth",
+    "table_diff_rollup_snapshots",
+    "forget_users_audit",
 )
 
 

@@ -45,6 +45,7 @@ QUERIES = {
     "ts_resample_locf": lambda s, d: TS.resample_locf(_events(s, d)),
     "ts_interpolate_linear": lambda s, d: TS.interpolate_linear(_events(s, d)),
     "ts_ohlc_daily": lambda s, d: TS.ohlc_daily(_events(s, d)),
+    "ts_ewma_smooth": lambda s, d: TS.ewma_smooth(_events(s, d)),
     "sample_fixed_n_events": _sample_fixed,
 }
 
@@ -52,6 +53,7 @@ ORACLES = {
     "ts_resample_locf": TS.resample_locf_sql(),
     "ts_interpolate_linear": TS.interpolate_linear_sql(),
     "ts_ohlc_daily": TS.ohlc_daily_sql(),
+    "ts_ewma_smooth": TS.ewma_smooth_sql(),
     "sample_fixed_n_events": f"""
         SELECT event_id, user_id, event_type, ROUND(value, 2) AS value,
                MD5(CAST(event_id AS VARCHAR) || '{SAMPLE_SALT}') AS sample_key

@@ -21,6 +21,12 @@ from ..operators.maintenance import (
     daily_rollup_sql,
     incremental_rollup_refresh,
 )
+from ..operators.reconcile import (
+    forget_users,
+    forget_users_sql,
+    table_diff,
+    table_diff_sql,
+)
 from ..operators.skew import heavy_hitters, heavy_hitters_sql
 from ..operators.validation import validate_table, validate_table_sql
 from ..sources import load_table
@@ -70,6 +76,29 @@ def _scd2_incremental(spark, sf_dir):
     return MG.scd2_intervals_view(spark.read.parquet(f"{work}/log")).select(
         "user_id", "state", "valid_from", "valid_to", "is_current"
     )
+
+
+FORGET_IDS = [1, 7, 42]
+
+DIFF_KEYS = ["day", "event_type"]
+DIFF_COMPARE = ["n_events", "total_value"]
+
+
+def _table_diff_gate(spark, sf_dir):
+    """Diff yesterday's rollup (events up to max_ts - 5 days, a MID-DAY
+    cut) against today's full rebuild: the straddled day shows as
+    'changed', the newest days as 'added'. The cutoff is one collected
+    scalar inlined as a literal (pushdown-friendly); the oracle derives
+    the same instant with a scalar subquery."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    cut = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 5 DAYS")).alias("cut")
+    ).collect()[0]["cut"]
+    old = daily_rollup(ev.filter(F.col("ts") <= F.lit(cut)))
+    new = daily_rollup(ev)
+    return table_diff(old, new, DIFF_KEYS, DIFF_COMPARE)
 
 
 def _incremental_rollup_gate(spark, sf_dir):
@@ -123,6 +152,10 @@ QUERIES = {
     ),
     # r3: vertex-centric compute over warehouse-derived edges
     "pagerank_customer_supplier": pagerank_customer_supplier,
+    # r3: reconciliation — snapshot diff (cut mid-day so the straddled
+    # day classifies 'changed', the newest days 'added') + purge audit
+    "table_diff_rollup_snapshots": lambda s, d: _table_diff_gate(s, d),
+    "forget_users_audit": lambda s, d: forget_users(_events(s, d), FORGET_IDS),
     # r3: partition-level incremental view maintenance; the gate drives a
     # last-5-days churn through the refresh path and checks the result
     # equals the from-scratch rollup (the oracle)
@@ -150,4 +183,14 @@ ORACLES = {
     "validate_events_expectations": validate_table_sql("events", EXPECTATIONS),
     "pagerank_customer_supplier": pagerank_sql(),
     "rollup_incremental_refresh": daily_rollup_sql(),
+    "table_diff_rollup_snapshots": table_diff_sql(
+        daily_rollup_sql(
+            "(SELECT * FROM events WHERE ts <= "
+            "(SELECT MAX(ts) - INTERVAL 5 DAY FROM events)) eold"
+        ),
+        daily_rollup_sql("events"),
+        DIFF_KEYS,
+        DIFF_COMPARE,
+    ),
+    "forget_users_audit": forget_users_sql(FORGET_IDS),
 }

@@ -100,3 +100,51 @@ def test_sample_fixed_is_deterministic_and_partition_independent(spark, sf_dir):
     a = [r.event_id for r in _sample_fixed(spark, sf_dir).collect()]
     b = [r.event_id for r in _sample_fixed(spark, sf_dir).collect()]
     assert a == b and len(a) == 100
+
+
+def test_ewma_exact_blend(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, datetime(2024, 1, 1, 9), 1, 1.0),
+            (2, datetime(2024, 1, 2, 9), 1, 2.0),
+            (3, datetime(2024, 1, 3, 9), 1, 4.0),
+        ],
+    )
+    got = {r.day: (r.value, r.ewma) for r in TS.ewma_smooth(ev).collect()}
+    assert got["2024-01-01"] == (1.0, 1.0)
+    # (2 + 0.5*1) / 1.5
+    assert got["2024-01-02"] == (2.0, round(2.5 / 1.5, 6))
+    # (4 + 0.5*2 + 0.25*1) / 1.75
+    assert got["2024-01-03"] == (4.0, 3.0)
+
+
+def test_table_diff_classifies(spark):
+    from audience_manager_platform_spark.operators.reconcile import table_diff
+
+    old = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 2, 20.0), ("c", 3, 30.0)],
+        "k string, n long, v double",
+    )
+    new = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 2, 25.0), ("d", 4, 40.0)],
+        "k string, n long, v double",
+    )
+    got = {r.k: r.change for r in table_diff(old, new, ["k"], ["n", "v"]).collect()}
+    # 'a' unchanged -> absent from the delta
+    assert got == {"b": "changed", "c": "removed", "d": "added"}
+
+
+def test_forget_users_counts_and_nulls(spark):
+    from audience_manager_platform_spark.operators.reconcile import forget_users
+
+    ev = spark.createDataFrame(
+        [(1, 1, "view"), (2, 7, "view"), (3, 2, "click"), (4, None, "click")],
+        "event_id long, user_id long, event_type string",
+    )
+    got = {
+        r.event_type: (r.purged_rows, r.surviving_rows)
+        for r in forget_users(ev, [1, 7]).collect()
+    }
+    # null user_id is never purged (no identity to forget)
+    assert got == {"view": (2, 0), "click": (0, 2)}

@@ -261,10 +261,18 @@ def _d2_terms_sql(j: int, v: str, m: str) -> str:
     )
 
 
-def _pq_ctes(iters: int = PQ_ITERS, src: str = "embeddings") -> str:
+def _pq_ctes(
+    iters: int = PQ_ITERS, src: str = "embeddings", include_e: bool = True
+) -> str:
     """CTE chain replicating :func:`pq_fit_model` + :func:`pq_encode`:
-    seeds -> per-iteration (assign, means) per subspace -> final codes."""
-    parts = [f"e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src})"]
+    seeds -> per-iteration (assign, means) per subspace -> final codes.
+    ``include_e=False`` composes with another chain that already defines
+    the ``e`` base relation (identically)."""
+    parts = (
+        [f"e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src})"]
+        if include_e
+        else []
+    )
     for j in range(PQ_M):
         parts.append(
             f"cb{j}_0 AS (SELECT vec_id AS code, "
@@ -361,6 +369,190 @@ def pq_adc_topk_sql(
           FROM queries q CROSS JOIN allcodes c
             {lut_joins}
           WHERE c.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, approx_d2, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank
+          FROM scored
+        ) r WHERE rank <= {k}
+    """
+
+
+# --------------------------------------------------------------- IVF-PQ
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_probes: int | None = None,
+    n_cells: int | None = None,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """The FAISS-deployment layout, composed from the engine's own
+    pieces: a LEARNED coarse quantizer (spherical k-means cells,
+    ``similarity.kmeans_fit_model``) restricts each query to its
+    ``n_probes`` nearest cells, and ADC with the global PQ codebooks
+    scores only those candidates — candidate cost drops by
+    ~n_probes/n_cells versus the flat ADC scan while scoring stays 4
+    lookups + 3 adds per candidate.
+
+    Deviation from FAISS IVFPQ, documented: codes quantize the RAW
+    vectors (IVFFlat-ADC hybrid), not the per-cell residuals — residual
+    encoding needs per-cell codebooks and is the deployment-scale
+    refinement, not a semantics change. Recall < 1 comes from BOTH
+    stages here (unprobed cells + quantization error).
+
+    Plan shape: cell assignment and PQ encoding are narrow literal-maps;
+    the probe table is O(|queries| x n_probes) and broadcast into the
+    candidate join; the ADC sum is a per-row CASE over the per-query
+    constant LUTs; the only wide ops are the candidate equi-join keyed
+    on cent_id and the final top-k window."""
+    from .similarity import (
+        IVF_PROBES,
+        KMEANS_K,
+        _assign_inline,
+        _model_df,
+        kmeans_fit_model,
+    )
+    from ..functions import cosine_similarity
+
+    n_probes = IVF_PROBES if n_probes is None else n_probes
+    n_cells = KMEANS_K if n_cells is None else n_cells
+    base = emb.select("vec_id", _vec_double().alias("v"))
+    cell_model = kmeans_fit_model(emb, n_cells, iters)
+    assigned = _assign_inline(base, cell_model).select("vec_id", "cent_id")
+    pq_model = pq_fit_model(emb, iters)
+    for j in range(PQ_M):
+        if [code for code, _ in pq_model[j]] != list(range(PQ_K)):
+            raise ValueError(
+                f"subspace {j} lost a codeword; positional ADC LUT invalid"
+            )
+    codes = pq_encode(emb, pq_model).select(
+        "vec_id", *[f"c{j}" for j in range(PQ_M)]
+    )
+    cents = _model_df(emb.sparkSession, cell_model)
+    queries = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("qsim"), F.asc("cent_id")
+    )
+    probes = (
+        queries.join(F.broadcast(cents), how="cross")
+        .select(
+            "query_id",
+            "cent_id",
+            F.round(cosine_similarity(F.col("q"), F.col("cv")), 6).alias("qsim"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probes)
+        .select("query_id", "cent_id")
+    )
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["v"]]
+        for r in base.filter(F.col("vec_id").isin(query_ids)).collect()
+    }
+    branches = []
+    for qid in sorted(qvecs):
+        qv = qvecs[qid]
+        luts = []
+        for j in range(PQ_M):
+            qsub = qv[j * SUB_DIM : (j + 1) * SUB_DIM]
+            vals = ", ".join(
+                f"round({_py_d2(qsub, cw)!r}, 6)" for _code, cw in pq_model[j]
+            )
+            luts.append(f"array({vals})[c{j}]")
+        branches.append(
+            f"WHEN query_id = {qid}L THEN round({' + '.join(luts)}, 6)"
+        )
+    adc = F.expr(f"CASE {' '.join(branches)} END")
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    scored = cand.join(
+        codes.select(F.col("vec_id").alias("neighbor_id"), *[f"c{j}" for j in range(PQ_M)]),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", adc.alias("approx_d2"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_d2"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivfpq_topk_sql(
+    query_ids: list[int],
+    k: int = 5,
+    n_probes: int | None = None,
+    n_cells: int | None = None,
+    iters: int = PQ_ITERS,
+    src: str = "embeddings",
+) -> str:
+    from .similarity import IVF_PROBES, KMEANS_K, _kmeans_ctes
+
+    n_probes = IVF_PROBES if n_probes is None else n_probes
+    n_cells = KMEANS_K if n_cells is None else n_cells
+    ids = ", ".join(str(i) for i in sorted(query_ids))
+    luts = []
+    for j in range(PQ_M):
+        terms = _d2_terms_sql(j, "q.v", "cb.m")
+        luts.append(
+            f"lut{j} AS (SELECT q.vec_id AS query_id, cb.code, "
+            f"ROUND({terms}, 6) AS ld FROM qv q CROSS JOIN cb{j}_{iters} cb)"
+        )
+    luts_sql = ",\n        ".join(luts)
+    lut_joins = "\n            ".join(
+        f"JOIN lut{j} l{j} ON l{j}.query_id = cand.query_id "
+        f"AND l{j}.code = c.c{j}" for j in range(PQ_M)
+    )
+    adc = " + ".join(f"l{j}.ld" for j in range(PQ_M))
+    code_cols = ", ".join(f"c{j}" for j in range(PQ_M))
+    code_joins = " ".join(
+        f"JOIN codes{j} USING (vec_id)" for j in range(1, PQ_M)
+    )
+    return f"""
+        WITH {_kmeans_ctes(n_cells, iters, src)},
+        {_pq_ctes(iters, src, include_e=False)},
+        assigned AS (
+          SELECT vec_id, cent_id FROM (
+            SELECT e.vec_id, c.cent_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                              c.cent_id ASC) AS rn
+            FROM e CROSS JOIN cents c
+          ) x WHERE rn = 1
+        ),
+        qv AS (SELECT vec_id, v FROM e WHERE vec_id IN ({ids})),
+        probes AS (
+          SELECT query_id, cent_id FROM (
+            SELECT q.vec_id AS query_id, c.cent_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(q.v, c.cv), 6) DESC,
+                              c.cent_id ASC) AS rn
+            FROM qv q CROSS JOIN cents c
+          ) p WHERE rn <= {n_probes}
+        ),
+        allcodes AS (
+          SELECT vec_id, {code_cols}
+          FROM codes0 {code_joins}
+        ),
+        {luts_sql},
+        cand AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id
+          FROM probes p JOIN assigned a USING (cent_id)
+          WHERE a.vec_id <> p.query_id
+        ),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id, ROUND({adc}, 6) AS approx_d2
+          FROM cand JOIN allcodes c ON c.vec_id = cand.neighbor_id
+            {lut_joins}
         )
         SELECT query_id, neighbor_id, approx_d2, rank FROM (
           SELECT *, ROW_NUMBER() OVER (

@@ -124,6 +124,7 @@ _DEFER_TO_NEXT_ROUND = (
     "ts_ewma_smooth",
     "table_diff_rollup_snapshots",
     "forget_users_audit",
+    "ann_ivfpq_adc_topk",
 )
 
 

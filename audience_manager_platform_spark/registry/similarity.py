@@ -44,6 +44,8 @@ QUERIES = {
     # product quantization: 4x16-dim codebooks, ADC scoring (r3)
     "pq_code_histogram": lambda s, d: PQ.pq_code_histogram(_emb(s, d)),
     "ann_pq_adc_topk": lambda s, d: PQ.pq_adc_topk(_emb(s, d), _QUERY_IDS, k=5),
+    # the composed FAISS layout: learned cells gate the ADC scan
+    "ann_ivfpq_adc_topk": lambda s, d: PQ.ivfpq_topk(_emb(s, d), _QUERY_IDS, k=5),
 }
 
 ORACLES = {
@@ -61,4 +63,5 @@ ORACLES = {
     ),
     "pq_code_histogram": PQ.pq_histogram_sql(),
     "ann_pq_adc_topk": PQ.pq_adc_topk_sql(_QUERY_IDS, k=5),
+    "ann_ivfpq_adc_topk": PQ.ivfpq_topk_sql(_QUERY_IDS, k=5),
 }

@@ -65,3 +65,22 @@ def test_adc_deterministic(spark, sf_dir):
     a = [(r.query_id, r.rank, r.neighbor_id) for r in PQ.pq_adc_topk(emb, [0, 1]).collect()]
     b = [(r.query_id, r.rank, r.neighbor_id) for r in PQ.pq_adc_topk(emb, [0, 1]).collect()]
     assert sorted(a) == sorted(b)
+
+
+def test_ivfpq_subset_of_flat_adc_candidates(spark, sf_dir):
+    """IVF-PQ scores the same ADC metric as the flat scan but only
+    inside probed cells: every (query, neighbor) it returns must carry
+    the SAME approx_d2 the flat ADC assigns, and its top-k can only
+    contain candidates the flat ranking also scored (cell gating loses
+    neighbors, never invents or re-scores them)."""
+    from audience_manager_platform_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = {
+        (r.query_id, r.neighbor_id): r.approx_d2
+        for r in PQ.pq_adc_topk(emb, [0, 1, 2], k=1000000).collect()
+    }
+    ivf = PQ.ivfpq_topk(emb, [0, 1, 2], k=5).collect()
+    assert ivf, "ivfpq returned nothing"
+    for r in ivf:
+        assert flat[(r.query_id, r.neighbor_id)] == r.approx_d2

@@ -379,3 +379,134 @@ def sample_frames(
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media_df.mapInPandas(sample, schema=out_schema)
+
+
+# --------------------------------------------------- flipbook container
+FLIP_MIN_FRAMES, FLIP_FRAME_MOD = 2, 5  # n_frames = 2 + doc_id % 5
+FLIP_SEED_A, FLIP_SEED_B = 101, 17  # frame param seed = a*doc_id + b*idx
+
+
+def synthesize_flipbook(docs: DataFrame) -> DataFrame:
+    """Build a REAL multi-frame media container: each payload is a
+    back-to-back concatenation of 2-6 genuine 24-bit BMPs (each frame
+    self-describing via its BITMAPFILEHEADER size field — the property a
+    parser needs to walk the container without an index). Frame params
+    derive from (FLIP_SEED_A*doc_id + FLIP_SEED_B*frame_idx), so every
+    sampled frame's dimensions and fill color are arithmetic facts the
+    SQL oracle replicates."""
+    out_schema = "doc_id long, media binary, media_type string"
+
+    def frame_bytes(seed: int) -> bytes:
+        w_px, h_px, r, g, b = _bmp_params(seed)
+        row = bytes((b, g, r)) * w_px
+        row += b"\x00" * ((4 - (3 * w_px) % 4) % 4)
+        pixels = row * h_px
+        header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 54)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w_px, h_px, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+        )
+        return header + info + pixels
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = FLIP_MIN_FRAMES + d % FLIP_FRAME_MOD
+                payloads.append(
+                    b"".join(
+                        frame_bytes(FLIP_SEED_A * d + FLIP_SEED_B * i)
+                        for i in range(n)
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": payloads,
+                    "media_type": ["video/x-bmp-flipbook"] * len(pdf),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(synth, schema=out_schema)
+
+
+def sample_flipbook_frames(media_df: DataFrame, every_nth: int = 2) -> DataFrame:
+    """REAL frame sampling: walk the container by reading each BMP's
+    declared file size (no index, no fixed frame length), keep every
+    ``every_nth`` frame, and DECODE the kept frames (dims + exact
+    constant-fill channel means). One-to-many ``mapInPandas`` — each
+    media row yields a variable number of frame rows in the same Arrow
+    batch, the shape a video pipeline's ffmpeg stage has."""
+    out_schema = (
+        "doc_id long, frame_idx int, n_frames int, width int, height int, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "frame_idx", "n_frames", "width", "height",
+                "mean_r", "mean_g", "mean_b",
+            )}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                data = bytes(blob)
+                # first pass: split the container on declared sizes
+                frames, off = [], 0
+                while off < len(data):
+                    magic, size = struct.unpack_from("<2sI", data, off)
+                    assert magic == b"BM", "corrupt container"
+                    frames.append(data[off : off + size])
+                    off += size
+                for i in range(0, len(frames), every_nth):
+                    f = frames[i]
+                    offset = struct.unpack_from("<2sIHHI", f, 0)[4]
+                    _hsz, w_px, h_px, _planes, _bpp = struct.unpack_from(
+                        "<IiiHH", f, 14
+                    )
+                    stride = (3 * w_px + 3) // 4 * 4
+                    sr = sg = sb = 0
+                    for y in range(abs(h_px)):
+                        base = offset + y * stride
+                        for x in range(w_px):
+                            b_v, g_v, r_v = f[base + 3 * x : base + 3 * x + 3]
+                            sr += r_v
+                            sg += g_v
+                            sb += b_v
+                    npix = w_px * abs(h_px)
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["n_frames"].append(len(frames))
+                    rows["width"].append(w_px)
+                    rows["height"].append(abs(h_px))
+                    rows["mean_r"].append(round(sr / npix, 6))
+                    rows["mean_g"].append(round(sg / npix, 6))
+                    rows["mean_b"].append(round(sb / npix, 6))
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(sample, schema=out_schema)
+
+
+def flipbook_frames_oracle_sql(
+    every_nth: int = 2, src: str = "documents"
+) -> str:
+    """The sampled frames' facts are pure integer arithmetic on
+    (doc_id, frame_idx): replicate them directly."""
+    return f"""
+        SELECT d.doc_id,
+               CAST(i AS INT) AS frame_idx,
+               CAST({FLIP_MIN_FRAMES} + d.doc_id % {FLIP_FRAME_MOD} AS INT)
+                 AS n_frames,
+               CAST({BMP_W_BASE} + seed % {BMP_W_MOD} AS INT) AS width,
+               CAST({BMP_H_BASE} + seed % {BMP_H_MOD} AS INT) AS height,
+               CAST(seed % 256 AS DOUBLE) AS mean_r,
+               CAST((seed * 7) % 256 AS DOUBLE) AS mean_g,
+               CAST((seed * 13) % 256 AS DOUBLE) AS mean_b
+        FROM (SELECT doc_id FROM {src}) d,
+             LATERAL (
+               SELECT UNNEST(range(0, {FLIP_MIN_FRAMES} + d.doc_id % {FLIP_FRAME_MOD},
+                                   {every_nth})) AS i
+             ) g,
+             LATERAL (
+               SELECT {FLIP_SEED_A} * d.doc_id + {FLIP_SEED_B} * i AS seed
+             ) s
+    """

@@ -125,6 +125,7 @@ _DEFER_TO_NEXT_ROUND = (
     "table_diff_rollup_snapshots",
     "forget_users_audit",
     "ann_ivfpq_adc_topk",
+    "multimodal_frame_sample",
 )
 
 

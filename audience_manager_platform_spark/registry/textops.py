@@ -46,6 +46,9 @@ QUERIES = {
     "multimodal_wav_decode": lambda s, d: M.decode_wav_meta(
         M.synthesize_wav(_docs(s, d))
     ),
+    "multimodal_frame_sample": lambda s, d: M.sample_flipbook_frames(
+        M.synthesize_flipbook(_docs(s, d))
+    ),
     "multimodal_bmp_decode": lambda s, d: M.decode_bmp_meta(
         M.synthesize_bmp(_docs(s, d))
     ),
@@ -87,6 +90,7 @@ ORACLES = {
         FROM documents
     """,
     "multimodal_wav_decode": M.wav_meta_oracle_sql(),
+    "multimodal_frame_sample": M.flipbook_frames_oracle_sql(),
     "multimodal_bmp_decode": M.bmp_meta_oracle_sql(),
     "corpus_split_assign": C.split_assign_sql(),
     "corpus_pack_sequences": C.pack_sequences_sql(),

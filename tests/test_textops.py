@@ -494,3 +494,31 @@ def test_quality_bins_monotone_and_complete(spark, sf_dir):
     assert len(bins) >= 5  # real spread on the fixture
     for lo, hi in zip(bins, bins[1:]):
         assert max(by_bin[lo]) <= min(by_bin[hi]) + 1e-9
+
+
+def test_flipbook_sampler_walks_container(spark, sf_dir):
+    """The sampler must split on the BMPs' declared sizes (variable
+    frame lengths), honor every_nth, and decode the kept frames."""
+    from audience_manager_platform_spark.operators import multimodal as M
+    from audience_manager_platform_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(12)
+    media = M.synthesize_flipbook(docs)
+    all_frames = M.sample_flipbook_frames(media, every_nth=1).collect()
+    sampled = M.sample_flipbook_frames(media, every_nth=2).collect()
+    per_doc = {}
+    for r in all_frames:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    for doc_id, idxs in per_doc.items():
+        # container fully walked: dense 0..n-1 matching the declared count
+        n = M.FLIP_MIN_FRAMES + doc_id % M.FLIP_FRAME_MOD
+        assert sorted(idxs) == list(range(n))
+    kept = {(r.doc_id, r.frame_idx) for r in sampled}
+    assert kept == {(d, i) for d, idxs in per_doc.items() for i in idxs if i % 2 == 0}
+    # decoded facts are the synthesis arithmetic
+    r0 = next(r for r in all_frames if r.frame_idx == 1)
+    seed = M.FLIP_SEED_A * r0.doc_id + M.FLIP_SEED_B
+    assert (r0.width, r0.height) == (4 + seed % 5, 4 + seed % 3)
+    assert (r0.mean_r, r0.mean_g, r0.mean_b) == (
+        float(seed % 256), float(seed * 7 % 256), float(seed * 13 % 256)
+    )

@@ -126,6 +126,7 @@ _DEFER_TO_NEXT_ROUND = (
     "forget_users_audit",
     "ann_ivfpq_adc_topk",
     "multimodal_frame_sample",
+    "window_percent_cume_ntile",
 )
 
 

@@ -109,6 +109,26 @@ def window_range_trailing_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def window_percent_cume_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution-rank surface: percent_rank / cume_dist / ntile
+    over per-segment account balances. Order carries a unique suppkey
+    tiebreak so every rank function is total and both engines agree
+    bit-for-bit (percent_rank's (rank-1)/(n-1) is an exact small-integer
+    ratio; rounded 6dp per convention anyway)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy(F.col("s_nationkey") % 5).orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return supplier.select(
+        (F.col("s_nationkey") % 5).alias("grp"),
+        "s_suppkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 QUERIES = {
     "window_topn_per_group": window_topn_per_group,
     "window_running_total": window_running_total,
@@ -116,6 +136,7 @@ QUERIES = {
     "window_rank_dense": window_rank_dense,
     "window_moving_avg_rows": window_moving_avg_rows,
     "window_range_trailing_count": window_range_trailing_count,
+    "window_percent_cume_ntile": window_percent_cume_ntile,
 }
 
 ORACLES = {
@@ -167,6 +188,15 @@ ORACLES = {
           PARTITION BY o_custkey
           ORDER BY o_orderdate ASC, o_orderkey ASC
           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    "window_percent_cume_ntile": """
+        SELECT s_nationkey % 5 AS grp, s_suppkey,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cume,
+               CAST(NTILE(4) OVER w AS INT) AS quartile
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey % 5
+                     ORDER BY s_acctbal DESC, s_suppkey ASC)
     """,
     "window_range_trailing_count": """
         SELECT o_custkey, o_orderkey,

@@ -84,3 +84,21 @@ def test_ivfpq_subset_of_flat_adc_candidates(spark, sf_dir):
     assert ivf, "ivfpq returned nothing"
     for r in ivf:
         assert flat[(r.query_id, r.neighbor_id)] == r.approx_d2
+
+
+def test_arrow_encode_matches_inline(spark, sf_dir):
+    """The Arrow encode kernel is the production path; its contract is
+    EXACT equality with the literal-fold reference encode (same codes,
+    same rounded distances) — the dim-sequential numpy accumulation
+    reproduces the left-assoc IEEE sums bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = PQ.pq_fit_model(emb)
+    a = {
+        r.vec_id: (r.c0, r.c1, r.c2, r.c3, r.d0, r.d1, r.d2, r.d3)
+        for r in PQ.pq_encode(emb, model).collect()
+    }
+    b = {
+        r.vec_id: (r.c0, r.c1, r.c2, r.c3, r.d0, r.d1, r.d2, r.d3)
+        for r in PQ.pq_encode_arrow(emb, model).collect()
+    }
+    assert a == b

@@ -108,6 +108,54 @@ def main() -> None:
     timed("exact dedup", D.exact_dedup(docs))
     timed("simhash fingerprints", D.simhash(docs))
     timed("minhash+LSH near-dup pairs", D.minhash_lsh_pairs(docs))
+
+    # ------------------------- round-3 families at scale
+    from audience_manager_platform_spark.operators import pq as PQ
+    from audience_manager_platform_spark.operators import timeseries as TS
+    from audience_manager_platform_spark.operators.graph import pagerank
+
+    ROWS = int(os.environ.get("SCALE_ROWS", 10_000_000))
+    events = synthetic_stream(spark, ROWS).select(
+        F.monotonically_increasing_id().alias("event_id"),
+        F.col("transaction_date").alias("ts"),
+        "user_id",
+        F.col("amount").alias("value"),
+    )
+    timed("ts LOCF resample (user x day grid)", TS.resample_locf(events))
+    timed("ts EWMA smoothing", TS.ewma_smooth(events))
+
+    n_edges = int(os.environ.get("SCALE_EDGES", 1_000_000))
+    ROWS = n_edges * 2
+    pairs = spark.range(n_edges).select(
+        F.concat(F.lit("c"), F.col("id") % 50_000).alias("a"),
+        F.concat(
+            F.lit("s"), F.abs(F.xxhash64("id", F.lit(9))) % 5_000
+        ).alias("b"),
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    timed("pagerank 3 iters (55k nodes)", pagerank(edges))
+
+    n_vecs = int(os.environ.get("SCALE_VECS", 200_000))
+    ROWS = n_vecs
+    vecs = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                ((F.abs(F.xxhash64("id", F.lit(i))) % 1000) / 500.0 - 1.0)
+                for i in range(64)
+            ]
+        ).alias("embedding"),
+    )
+    model = PQ.pq_fit_model(vecs)
+    # Arrow kernel (the production path; bit-identical to the inline
+    # encode — test-pinned); aggregate over the code columns so column
+    # pruning can't skip the encode (a bare count() would)
+    timed(
+        "PQ encode (Arrow kernel)",
+        PQ.pq_encode_arrow(vecs, model).groupBy("c0", "c1", "c2", "c3").count(),
+    )
     spark.stop()
 
 

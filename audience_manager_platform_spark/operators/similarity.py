@@ -889,3 +889,61 @@ def semantic_dedup_sql(
                dropped.vec_id IS NULL AS is_kept
         FROM assigned a LEFT JOIN dropped ON a.vec_id = dropped.vec_id
     """
+
+
+def assign_cells_arrow(
+    base: DataFrame, model: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Production twin of :func:`_assign_inline` (same output columns
+    minus the carried vector): the argmax-cosine assignment as numpy
+    over Arrow batches — vectorized across rows, SEQUENTIAL across dims,
+    so every dot/norm is the identical left-associative IEEE sum and the
+    result is bit-equal to the inline path (test-pinned). Use when the
+    janino fallback of the K x dim literal projection matters (large
+    corpora); the inline path remains the oracle-gated reference.
+
+    HALF_UP 6dp is emulated sign-aware (round-half-away-from-zero) since
+    cosines can be negative."""
+    import numpy as np
+
+    cents = [(cid, np.array(cv, dtype=np.float64)) for cid, cv in model]
+
+    def half_up(x: "np.ndarray") -> "np.ndarray":
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    def assign(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["v"].to_numpy())
+            nv = np.zeros(len(X))
+            for i in range(X.shape[1]):
+                nv = nv + X[:, i] * X[:, i]
+            nv = np.sqrt(nv)
+            best_s = None
+            best_c = None
+            for cid, cv in cents:
+                ncv = 0.0
+                for x in cv:
+                    ncv = ncv + x * x
+                ncv = float(np.sqrt(ncv))
+                dot = np.zeros(len(X))
+                for i in range(X.shape[1]):
+                    dot = dot + X[:, i] * cv[i]
+                csim = half_up(dot / (nv * ncv))
+                if best_s is None:
+                    best_s = csim
+                    best_c = np.full(len(X), cid, dtype=np.int64)
+                else:
+                    m = csim > best_s  # strict: ties keep the lower cent_id
+                    best_s = np.where(m, csim, best_s)
+                    best_c = np.where(m, np.int64(cid), best_c)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cent_id": best_c, "csim": best_s}
+            )
+
+    import pandas as pd  # noqa: F811 — late import, closure resolves it
+
+    return base.select("vec_id", "v").mapInPandas(
+        assign, schema="vec_id long, cent_id long, csim double"
+    )

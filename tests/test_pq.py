@@ -102,3 +102,20 @@ def test_arrow_encode_matches_inline(spark, sf_dir):
         for r in PQ.pq_encode_arrow(emb, model).collect()
     }
     assert a == b
+
+
+def test_arrow_cell_assignment_matches_inline(spark, sf_dir):
+    from audience_manager_platform_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", S._vec_double().alias("v"))
+    model = S.kmeans_fit_model(emb, 16, 1)
+    a = {
+        r.vec_id: (r.cent_id, r.csim)
+        for r in S._assign_inline(base, model).collect()
+    }
+    b = {
+        r.vec_id: (r.cent_id, r.csim)
+        for r in S.assign_cells_arrow(base, model).collect()
+    }
+    assert a == b

@@ -99,12 +99,13 @@ _DRIVER_CREDITED = frozenset(
     }
 )
 
-# 56 uncredited names compete for the 50-entry window; defer the heaviest
-# (iterative k-means, semantic dedup over its cells, cold-start stateful
-# streaming) to the next round's window so the sweep stays fast.  Queries
-# BUILT this round join the deferred set too — the window was already full
-# of never-credited entries when the round started, and displacing those
-# would leave them unverified another round.
+# More uncredited names than window slots: defer the heaviest (iterative
+# k-means, semantic dedup over its cells, cold-start stateful streaming)
+# plus everything BUILT this round — the window was already full of
+# never-credited entries when the round started, and displacing those
+# would leave them unverified another round. Next round: fold the new
+# CORRECTNESS_r{N} greens into _DRIVER_CREDITED and pull this list
+# forward (see memory note driver-correctness-window).
 _DEFER_TO_NEXT_ROUND = (
     "kmeans_embedding_clusters",
     "ann_ivf_kmeans_topk",

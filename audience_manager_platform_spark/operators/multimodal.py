@@ -81,12 +81,21 @@ def synthesize_wav(docs: DataFrame) -> DataFrame:
     rate/length/amplitude derive from doc_id. The bytes are genuine RIFF
     containers — any external WAV reader parses them."""
     out_schema = "doc_id long, media binary, media_type string"
+    # params inlined as captured locals, not a _wav_params call: worker
+    # closures must hold no module references (see synthesize_flipbook)
+    rb, rs, fb, fs, ab, as_ = (
+        WAV_RATE_BASE, WAV_RATE_STEP, WAV_FRAMES_BASE,
+        WAV_FRAMES_STEP, WAV_AMP_BASE, WAV_AMP_STEP,
+    )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
-                rate, n, amp = _wav_params(int(doc_id))
+                d = int(doc_id)
+                rate = rb + rs * (d % 3)
+                n = fb + fs * (d % 32)
+                amp = ab + as_ * (d % 1000)
                 buf = io.BytesIO()
                 w = wave.open(buf, "wb")
                 w.setnchannels(1)
@@ -183,11 +192,16 @@ def synthesize_bmp(docs: DataFrame) -> DataFrame:
     channels and fails the gate."""
     out_schema = "doc_id long, media binary, media_type string"
 
+    w_base, w_mod, h_base, h_mod = BMP_W_BASE, BMP_W_MOD, BMP_H_BASE, BMP_H_MOD
+
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
-                w_px, h_px, r, g, b = _bmp_params(int(doc_id))
+                d = int(doc_id)
+                w_px = w_base + d % w_mod
+                h_px = h_base + d % h_mod
+                r, g, b = d % 256, (d * 7) % 256, (d * 13) % 256
                 row = bytes((b, g, r)) * w_px  # BMP stores BGR
                 row += b"\x00" * ((4 - (3 * w_px) % 4) % 4)
                 pixels = row * h_px
@@ -396,8 +410,16 @@ def synthesize_flipbook(docs: DataFrame) -> DataFrame:
     SQL oracle replicates."""
     out_schema = "doc_id long, media binary, media_type string"
 
+    # params inlined (not a call to _bmp_params): the closure must hold
+    # NO module references — cloudpickle would otherwise pickle it by
+    # module name and a worker whose cwd/path lacks the repo can't
+    # unpickle (the verify driver may run from any directory)
+    w_base, w_mod, h_base, h_mod = BMP_W_BASE, BMP_W_MOD, BMP_H_BASE, BMP_H_MOD
+
     def frame_bytes(seed: int) -> bytes:
-        w_px, h_px, r, g, b = _bmp_params(seed)
+        w_px = w_base + seed % w_mod
+        h_px = h_base + seed % h_mod
+        r, g, b = seed % 256, (seed * 7) % 256, (seed * 13) % 256
         row = bytes((b, g, r)) * w_px
         row += b"\x00" * ((4 - (3 * w_px) % 4) % 4)
         pixels = row * h_px

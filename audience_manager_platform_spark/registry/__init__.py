@@ -128,6 +128,7 @@ _DEFER_TO_NEXT_ROUND = (
     "ann_ivfpq_adc_topk",
     "multimodal_frame_sample",
     "window_percent_cume_ntile",
+    "streaming_static_join_counts",
 )
 
 

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..sources import load_table
 from ..streaming.jobs import (
+    enriched_segment_counts,
     run_available_now,
     sessionize,
     stream_events,
@@ -32,6 +33,15 @@ def _window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_events(spark, sf_dir)
     result = windowed_event_counts(events, window="1 day", watermark="1 hour")
     name = f"stream_window_counts_{next(_counter)}"
+    run_available_now(result, name)
+    return spark.table(name)
+
+
+def _static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = stream_events(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer")
+    result = enriched_segment_counts(events, dim)
+    name = f"stream_static_join_{next(_counter)}"
     run_available_now(result, name)
     return spark.table(name)
 
@@ -78,6 +88,7 @@ def _stateful_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "streaming_window_counts": _window_counts,
+    "streaming_static_join_counts": _static_join_counts,
     "streaming_sessionization": _sessionization,
     "streaming_stateful_spend": _stateful_spend,
 }
@@ -89,6 +100,14 @@ ORACLES = {
                COUNT(*) AS n_events,
                ROUND(SUM(value), 2) AS total_value
         FROM events
+        GROUP BY 1, 2
+    """,
+    "streaming_static_join_counts": """
+        SELECT strftime(date_trunc('day', e.ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               c.c_mktsegment AS segment,
+               COUNT(*) AS n_events,
+               ROUND(SUM(e.value), 2) AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY 1, 2
     """,
     "streaming_sessionization": """

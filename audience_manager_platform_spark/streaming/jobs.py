@@ -335,3 +335,33 @@ def corpus_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enriched_segment_counts(
+    events: DataFrame, customer_dim: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-static join + windowed aggregate: the streaming events join
+    the STATIC customer dimension (re-read per micro-batch, broadcast by
+    the planner — the lookup-enrichment every production stream runs),
+    then count per (day, market segment) under the watermark. State is
+    bounded by the watermark exactly as in the un-enriched window
+    aggregate; the static side adds no state at all."""
+    dim = customer_dim.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    win = F.window("ts", "1 day")
+    return (
+        events.withWatermark("ts", watermark)
+        .join(dim, "user_id")
+        .groupBy(win.alias("win"), "segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "segment",
+            "n_events",
+            "total_value",
+        )
+    )

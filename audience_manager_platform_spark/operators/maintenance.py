@@ -120,3 +120,50 @@ def daily_rollup_sql(src: str = "events") -> str:
         FROM {src}
         GROUP BY 1, 2
     """
+
+
+# ------------------------------------------------------ z-order layout
+ZORDER_BITS = 16
+
+
+def zorder_key(a: str, b: str, bits: int = ZORDER_BITS):
+    """Bit-interleaved Morton (Z-order) key over two non-negative int
+    expressions — the multi-dimensional clustering key behind
+    OPTIMIZE ZORDER-style layout: sorting by it keeps rows close in BOTH
+    dimensions close in the file order, so parquet row-group min/max
+    stats prune scans filtered on EITHER column. Pure integer bit
+    arithmetic, generated identically for the SQL twin."""
+    from pyspark.sql import functions as F
+
+    terms = [
+        f"shiftleft(shiftright({c}, {i}) & 1, {2 * i + off})"
+        for i in range(bits)
+        for off, c in ((0, a), (1, b))
+    ]
+    return F.expr(" | ".join(terms))
+
+
+def zorder_key_sql(a: str, b: str, bits: int = ZORDER_BITS) -> str:
+    terms = [
+        f"((({c} >> {i}) & 1) << {2 * i + off})"
+        for i in range(bits)
+        for off, c in ((0, a), (1, b))
+    ]
+    return " | ".join(terms)
+
+
+def zorder_layout(df, a: str, b: str, path: str, n_files: int = 8) -> None:
+    """Rewrite ``df`` range-clustered by the z-key: repartitionByRange
+    gives each output file a disjoint z-range (global range partitioning
+    via sampled bounds — one extra pass, standard for layout jobs), and
+    the within-file sort makes row-group stats tight. Readers then prune
+    on either dimension's min/max."""
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumn("_z", zorder_key(a, b))
+    (
+        keyed.repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

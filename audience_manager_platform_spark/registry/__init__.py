@@ -129,6 +129,7 @@ _DEFER_TO_NEXT_ROUND = (
     "multimodal_frame_sample",
     "window_percent_cume_ntile",
     "streaming_static_join_counts",
+    "layout_zorder_keys",
 )
 
 

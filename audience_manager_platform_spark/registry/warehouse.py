@@ -20,6 +20,8 @@ from ..operators.maintenance import (
     daily_rollup,
     daily_rollup_sql,
     incremental_rollup_refresh,
+    zorder_key,
+    zorder_key_sql,
 )
 from ..operators.reconcile import (
     forget_users,
@@ -79,6 +81,24 @@ def _scd2_incremental(spark, sf_dir):
 
 
 FORGET_IDS = [1, 7, 42]
+
+
+def _zorder_keys(spark, sf_dir):
+    """Morton keys over (user bucket, day-of-year) per event — the exact
+    integer arithmetic both engines replicate; the write-side layout
+    (range clustering + within-file sort) is pinned by
+    tests/test_maintenance.py::test_zorder_layout_disjoint_ranges."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    prepped = ev.select(
+        "event_id",
+        (F.col("user_id") % 65536).alias("ub"),
+        F.dayofyear("ts").alias("doy"),
+    )
+    return prepped.select(
+        "event_id", "ub", "doy", zorder_key("ub", "doy").alias("zval")
+    )
 
 DIFF_KEYS = ["day", "event_type"]
 DIFF_COMPARE = ["n_events", "total_value"]
@@ -156,6 +176,8 @@ QUERIES = {
     # day classifies 'changed', the newest days 'added') + purge audit
     "table_diff_rollup_snapshots": lambda s, d: _table_diff_gate(s, d),
     "forget_users_audit": lambda s, d: forget_users(_events(s, d), FORGET_IDS),
+    # r3: the clustering key behind OPTIMIZE ZORDER-style layout jobs
+    "layout_zorder_keys": lambda s, d: _zorder_keys(s, d),
     # r3: partition-level incremental view maintenance; the gate drives a
     # last-5-days churn through the refresh path and checks the result
     # equals the from-scratch rollup (the oracle)
@@ -193,4 +215,13 @@ ORACLES = {
         DIFF_COMPARE,
     ),
     "forget_users_audit": forget_users_sql(FORGET_IDS),
+    "layout_zorder_keys": f"""
+        SELECT event_id, ub, doy, {zorder_key_sql("ub", "doy")} AS zval
+        FROM (
+          SELECT event_id,
+                 user_id % 65536 AS ub,
+                 CAST(STRFTIME(CAST(ts AS DATE), '%j') AS BIGINT) AS doy
+          FROM events WHERE user_id IS NOT NULL
+        ) p
+    """,
 }

@@ -41,3 +41,48 @@ def test_compaction_respects_target_size(spark, sf_dir, tmp_path):
     # target of ~1/3 the table -> 3-4 files
     n_files = compact_table(spark, path, target_file_bytes=total // 3 + 1)
     assert 2 <= n_files <= 4
+
+
+def test_zorder_layout_disjoint_ranges(spark, sf_dir, tmp_path):
+    """Range clustering by the Morton key must give each output file a
+    DISJOINT z-range (that is what lets row-group min/max stats prune a
+    scan filtered on either dimension), and the key must interleave:
+    nearby (ub, doy) pairs land near each other while far-apart ub with
+    equal doy still separate."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from audience_manager_platform_spark.operators.maintenance import (
+        zorder_key,
+        zorder_layout,
+    )
+    from audience_manager_platform_spark.sources import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "event_id",
+            (F.col("user_id") % 65536).alias("ub"),
+            F.dayofyear("ts").alias("doy"),
+        )
+    )
+    out = str(tmp_path / "zordered")
+    zorder_layout(ev, "ub", "doy", out, n_files=6)
+    ranges = []
+    for f in glob.glob(out + "/part-*.parquet"):
+        df = spark.read.parquet(f)
+        r = df.agg(F.min("_z"), F.max("_z")).collect()[0]
+        if r[0] is not None:
+            ranges.append((r[0], r[1]))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {hi1} > {lo2}"
+    # interleaving sanity: z(0,0) < z(1,1) and bits land in the right slots
+    row = spark.range(1).select(
+        zorder_key("CAST(3 AS BIGINT)", "CAST(1 AS BIGINT)").alias("z")
+    ).collect()[0]
+    # a=3 -> bits 0,2 set; b=1 -> bit 1 set => z = 0b111 = 7
+    assert row.z == 7

@@ -62,14 +62,26 @@ def pagerank(
     """Fixed-iteration PageRank over a directed edge list (src, dst).
     Returns (node, rank, out_deg). Nodes are the edge endpoints; with a
     symmetric edge list there are no dangling nodes (every node has
-    out-degree >= 1), so no dangling-mass redistribution term is
-    needed."""
+    out-degree >= 1), so no dangling-mass redistribution term is needed —
+    and that precondition is ENFORCED: a genuinely directed graph with
+    sink nodes would silently leak rank mass every iteration, so it is
+    rejected up front (add reverse edges, or extend with the standard
+    dangling-mass term, before lifting this)."""
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
+    n_dangling = nodes.join(
+        deg, nodes["node"] == deg["src"], "left_anti"
+    ).count()
+    if n_dangling:
+        raise ValueError(
+            f"{n_dangling} dangling node(s) (no out-edges): this fixed-"
+            "iteration formulation has no dangling-mass redistribution "
+            "and would leak rank mass; supply a symmetric edge list"
+        )
     n_total = nodes.agg(F.count("*").alias("n"))
     # (node, deg, n) — the invariant per-node state each iteration reuses
     state = (

@@ -100,16 +100,21 @@ def incremental_rollup_refresh(prev, base_events, delta_events):
         )
         .distinct()
     )
+    # NULL-safe joins: a delta row with ts = NULL churns the NULL-day
+    # rollup group like any other day — plain equality would neither
+    # recompute nor retire it, silently carrying a stale row
     recomputed = daily_rollup(
         base_events.join(
             F.broadcast(changed),
-            F.date_format(F.to_date("ts"), "yyyy-MM-dd") == changed["day"],
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").eqNullSafe(changed["day"]),
             "left_semi",
         )
     )
     if prev is None:
         return recomputed
-    carried = prev.join(F.broadcast(changed), "day", "left_anti")
+    carried = prev.join(
+        F.broadcast(changed), prev["day"].eqNullSafe(changed["day"]), "left_anti"
+    )
     return carried.unionByName(recomputed)
 
 

@@ -181,6 +181,31 @@ def pq_code_histogram(emb: DataFrame, iters: int = PQ_ITERS) -> DataFrame:
     )
 
 
+def _check_dense(model: Model) -> None:
+    """Positional ADC LUTs (array[c_j]) are only valid while every
+    subspace's code set is exactly 0..PQ_K-1; seeded codebooks keep every
+    cell non-empty after one refinement, but guard every entry point."""
+    for j in range(PQ_M):
+        if [code for code, _ in model[j]] != list(range(PQ_K)):
+            raise ValueError(
+                f"subspace {j} lost a codeword; positional ADC LUT invalid"
+            )
+
+
+def _adc_lut_exprs(model: Model, qv: list[float]) -> list[str]:
+    """Per-subspace constant-array lookup expressions for one query
+    vector: round({exact driver-side d2}, 6) entries indexed by the code
+    column — shared by the flat and IVF ADC paths."""
+    luts = []
+    for j in range(PQ_M):
+        qsub = qv[j * SUB_DIM : (j + 1) * SUB_DIM]
+        vals = ", ".join(
+            f"round({_py_d2(qsub, cw)!r}, 6)" for _code, cw in model[j]
+        )
+        luts.append(f"array({vals})[c{j}]")
+    return luts
+
+
 def _py_d2(q: list[float], cw: list[float]) -> float:
     """Driver-side subspace distance with the twins' exact IEEE order:
     left-assoc sum of squared diffs (the leading 0.0+ is a no-op)."""
@@ -201,15 +226,7 @@ def pq_adc_topk(
     inlined UNROUNDED (repr round-trips exactly) and rounded by the
     engine, so Spark and DuckDB round the same doubles."""
     model = pq_fit_model(emb, iters)
-    for j in range(PQ_M):
-        # the LUT is indexed positionally (array(vals)[c_j]); that only
-        # equals lookup-by-code-id while the code set stays dense. Seeded
-        # codebooks keep every cell non-empty after one refinement (each
-        # seed vector is its own cell's d2=0 member), but guard anyway.
-        if [code for code, _ in model[j]] != list(range(PQ_K)):
-            raise ValueError(
-                f"subspace {j} lost a codeword; positional ADC LUT invalid"
-            )
+    _check_dense(model)
     base = emb.select("vec_id", _vec_double().alias("v"))
     qvecs = {
         int(r["vec_id"]): [float(x) for x in r["v"]]
@@ -220,14 +237,7 @@ def pq_adc_topk(
     )
     per_query = []
     for qid in sorted(qvecs):
-        qv = qvecs[qid]
-        luts = []
-        for j in range(PQ_M):
-            qsub = qv[j * SUB_DIM : (j + 1) * SUB_DIM]
-            vals = ", ".join(
-                f"round({_py_d2(qsub, cw)!r}, 6)" for _code, cw in model[j]
-            )
-            luts.append(f"array({vals})[c{j}]")
+        luts = _adc_lut_exprs(model, qvecs[qid])
         per_query.append(
             f"named_struct('query_id', {qid}L, "
             f"'approx_d2', round({' + '.join(luts)}, 6))"
@@ -422,11 +432,7 @@ def ivfpq_topk(
     cell_model = kmeans_fit_model(emb, n_cells, iters)
     assigned = _assign_inline(base, cell_model).select("vec_id", "cent_id")
     pq_model = pq_fit_model(emb, iters)
-    for j in range(PQ_M):
-        if [code for code, _ in pq_model[j]] != list(range(PQ_K)):
-            raise ValueError(
-                f"subspace {j} lost a codeword; positional ADC LUT invalid"
-            )
+    _check_dense(pq_model)
     codes = pq_encode(emb, pq_model).select(
         "vec_id", *[f"c{j}" for j in range(PQ_M)]
     )
@@ -454,14 +460,7 @@ def ivfpq_topk(
     }
     branches = []
     for qid in sorted(qvecs):
-        qv = qvecs[qid]
-        luts = []
-        for j in range(PQ_M):
-            qsub = qv[j * SUB_DIM : (j + 1) * SUB_DIM]
-            vals = ", ".join(
-                f"round({_py_d2(qsub, cw)!r}, 6)" for _code, cw in pq_model[j]
-            )
-            luts.append(f"array({vals})[c{j}]")
+        luts = _adc_lut_exprs(pq_model, qvecs[qid])
         branches.append(
             f"WHEN query_id = {qid}L THEN round({' + '.join(luts)}, 6)"
         )
@@ -585,6 +584,7 @@ def pq_encode_arrow(emb: DataFrame, model: Model) -> DataFrame:
     representable .5 boundary — not observed on any fixture value."""
     import numpy as np
 
+    _check_dense(model)  # positional codes below require dense 0..K-1
     codebooks = [
         np.array([w for _, w in model[j]], dtype=np.float64) for j in range(PQ_M)
     ]

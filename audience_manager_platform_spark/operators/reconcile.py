@@ -35,21 +35,26 @@ def table_diff(
     snapshots: 'added' (new only), 'removed' (old only), 'changed' (both
     present, any compare column differing — null-safe). Identical rows
     are filtered out; the output is the reconciliation delta."""
+    # presence markers, not key null-checks: a legitimately-NULL key
+    # would otherwise read as "absent" and flip added/removed; the key
+    # equality itself is null-safe so NULL keys pair up across snapshots
     o = old.select(
+        F.lit(1).alias("_op"),
         *[F.col(k).alias(f"_ok_{k}") for k in keys],
         *[F.col(c).alias(f"_oc_{c}") for c in compare],
     )
     n = new.select(
+        F.lit(1).alias("_np"),
         *[F.col(k).alias(f"_nk_{k}") for k in keys],
         *[F.col(c).alias(f"_nc_{c}") for c in compare],
     )
     cond = None
     for k in keys:
-        eq = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
+        eq = F.col(f"_ok_{k}").eqNullSafe(F.col(f"_nk_{k}"))
         cond = eq if cond is None else cond & eq
     joined = o.join(n, cond, "full_outer")
-    in_old = F.col(f"_ok_{keys[0]}").isNotNull()
-    in_new = F.col(f"_nk_{keys[0]}").isNotNull()
+    in_old = F.col("_op").isNotNull()
+    in_new = F.col("_np").isNotNull()
     same = None
     for c in compare:
         eq = F.col(f"_oc_{c}").eqNullSafe(F.col(f"_nc_{c}"))
@@ -73,17 +78,20 @@ def table_diff(
 
 def table_diff_sql(old_sql: str, new_sql: str, keys: list[str],
                    compare: list[str]) -> str:
-    on = " AND ".join(f"o.{k} = n.{k}" for k in keys)
+    # same NULL discipline as the Spark side: presence markers + null-safe
+    # key equality, so NULL keys pair up instead of flipping added/removed
+    on = " AND ".join(f"o.{k} IS NOT DISTINCT FROM n.{k}" for k in keys)
     same = " AND ".join(f"o.{c} IS NOT DISTINCT FROM n.{c}" for c in compare)
     key_cols = ", ".join(f"COALESCE(n.{k}, o.{k}) AS {k}" for k in keys)
     return f"""
         SELECT * FROM (
           SELECT {key_cols},
-                 CASE WHEN o.{keys[0]} IS NULL THEN 'added'
-                      WHEN n.{keys[0]} IS NULL THEN 'removed'
+                 CASE WHEN o._op IS NULL THEN 'added'
+                      WHEN n._np IS NULL THEN 'removed'
                       WHEN NOT ({same}) THEN 'changed'
                  END AS change
-          FROM ({old_sql}) o FULL OUTER JOIN ({new_sql}) n ON {on}
+          FROM (SELECT 1 AS _op, * FROM ({old_sql}) oi) o
+          FULL OUTER JOIN (SELECT 1 AS _np, * FROM ({new_sql}) ni) n ON {on}
         ) d WHERE change IS NOT NULL
     """
 

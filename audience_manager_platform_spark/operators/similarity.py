@@ -906,7 +906,10 @@ def assign_cells_arrow(
     cosines can be negative."""
     import numpy as np
 
-    cents = [(cid, np.array(cv, dtype=np.float64)) for cid, cv in model]
+    # sort by cent_id so the strict-> tie-break resolves to the LOWEST
+    # cent_id exactly like _assign_inline's struct order, regardless of
+    # the caller's list order
+    cents = [(cid, np.array(cv, dtype=np.float64)) for cid, cv in sorted(model)]
 
     def half_up(x: "np.ndarray") -> "np.ndarray":
         return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6

@@ -157,7 +157,9 @@ def ohlc_daily(events: DataFrame) -> DataFrame:
 
 
 # ------------------------------------------------------------- SQL twins
-_OBS_CTE = """
+# the obs CTE alone (EWMA composes it without the grid); _OBS_CTE adds
+# the dense grid + left join for the resample twins
+_OBS_ONLY = """
         obs AS (
           SELECT user_id, day, ROUND(obs, 2) AS obs FROM (
             SELECT user_id, CAST(ts AS DATE) AS day, value AS obs,
@@ -167,7 +169,9 @@ _OBS_CTE = """
             FROM {src}
             WHERE user_id IS NOT NULL AND value IS NOT NULL
           ) x WHERE rn = 1
-        ),
+        )"""
+
+_OBS_CTE = _OBS_ONLY + """,
         grid AS (
           SELECT u.user_id, g.day
           FROM (SELECT DISTINCT user_id FROM obs) u
@@ -295,9 +299,8 @@ def ewma_smooth_sql(src: str = "events") -> str:
         masses.append(f"CASE WHEN {lg} IS NOT NULL THEN {w} ELSE 0.0 END")
     num = " + ".join(terms)
     den = " + ".join(masses)
-    obs_cte = _OBS_CTE.format(src=src).split(",\n        grid AS")[0]
     return f"""
-        WITH {obs_cte}
+        WITH {_OBS_ONLY.format(src=src)}
         SELECT user_id, STRFTIME(day, '%Y-%m-%d') AS day, obs AS value,
                ROUND(({num}) / ({den}), 6) AS ewma
         FROM obs

@@ -95,3 +95,34 @@ def test_incremental_refresh_cold_start_and_overlap(spark):
         for r in incremental_rollup_refresh(prev, ev, delta).collect()
     }
     assert got == full
+
+
+def test_incremental_refresh_null_day_churn(spark):
+    """A delta row with ts = NULL churns the NULL-day group: the refresh
+    must recompute it from base (null-safe joins), not carry a stale
+    row. Review finding r3."""
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 9), 1, "view", 2.0),
+         (2, None, 1, "view", 5.0),
+         (3, None, 2, "click", 7.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    full = {
+        (r.day, r.event_type): (r.n_events, r.total_value)
+        for r in daily_rollup(ev).collect()
+    }
+    prev = daily_rollup(ev.filter(F.col("event_id") == 1).union(
+        ev.filter(F.col("event_id") == 2)))
+    delta = ev.filter(F.col("event_id") == 3)  # NULL-day churn
+    got = {
+        (r.day, r.event_type): (r.n_events, r.total_value)
+        for r in incremental_rollup_refresh(prev, ev, delta).collect()
+    }
+    assert got == full
+
+
+def test_pagerank_rejects_dangling_nodes(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank(_edges(spark, [("a", "b")]))

@@ -148,3 +148,27 @@ def test_forget_users_counts_and_nulls(spark):
     }
     # null user_id is never purged (no identity to forget)
     assert got == {"view": (2, 0), "click": (0, 2)}
+
+
+def test_table_diff_null_keys_pair_up(spark):
+    """NULL keys are real values in a diff: a NULL-key row present in
+    both snapshots with equal payload is NOT a change; present only in
+    old it is 'removed' (not 'added'). Review finding r3."""
+    from audience_manager_platform_spark.operators.reconcile import table_diff
+
+    old = spark.createDataFrame([(None, 1), ("b", 2)], "k string, n long")
+    new = spark.createDataFrame([(None, 1), ("c", 3)], "k string, n long")
+    got = sorted(
+        (r.k, r.change) for r in table_diff(old, new, ["k"], ["n"]).collect()
+    )
+    assert got == [("b", "removed"), ("c", "added")]
+    # old-only NULL key classifies as removed
+    got2 = {
+        (r.k, r.change)
+        for r in table_diff(
+            spark.createDataFrame([(None, 1)], "k string, n long"),
+            spark.createDataFrame([], "k string, n long"),
+            ["k"], ["n"],
+        ).collect()
+    }
+    assert got2 == {(None, "removed")}

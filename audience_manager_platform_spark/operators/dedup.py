@@ -316,8 +316,15 @@ def minhash_lsh_pairs(
 
 
 def minhash_lsh_pairs_sql(
-    src: str = "documents", est_threshold: float = 0.5, n: int = NGRAM_N
+    src: str = "documents",
+    est_threshold: float = 0.5,
+    n: int = NGRAM_N,
+    max_band_size: int | None = None,
 ) -> str:
+    """SQL twin of :func:`minhash_lsh_pairs`, including the
+    ``max_band_size`` hot-band guard so the oracle certifies the SAME
+    (capped) plan the Spark path runs — an uncapped oracle would leave
+    the skew guard uncertified on the driver-visible query."""
     sig_sql = minhash_signatures_sql(src, n)
     band_exprs = ", ".join(
         "md5(concat_ws(',', "
@@ -331,15 +338,29 @@ def minhash_lsh_pairs_sql(
     match_expr = " + ".join(
         f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES)
     )
+    if max_band_size is not None:
+        band_filter = f"""
+        kept AS (
+          SELECT band_key FROM bands_long
+          GROUP BY band_key HAVING COUNT(*) <= {int(max_band_size)}
+        ),
+        bands_kept AS (
+          SELECT bl.doc_id, bl.band_key
+          FROM bands_long bl JOIN kept k ON bl.band_key = k.band_key
+        ),"""
+        cand_src = "bands_kept"
+    else:
+        band_filter = ""
+        cand_src = "bands_long"
     return f"""
         WITH sigs AS ({sig_sql}),
         banded AS (SELECT doc_id, {band_exprs} FROM sigs),
         bands_long AS (
           SELECT doc_id, UNNEST([{band_list}]) AS band_key FROM banded
-        ),
+        ),{band_filter}
         cand AS (
           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-          FROM bands_long x JOIN bands_long y
+          FROM {cand_src} x JOIN {cand_src} y
             ON x.band_key = y.band_key AND x.doc_id < y.doc_id
         )
         SELECT cand.doc_a, cand.doc_b,
@@ -516,12 +537,15 @@ def cluster_canonical(docs: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 def cluster_canonical_sql(
-    src: str = "documents", est_threshold: float = 0.5, n: int = NGRAM_N
+    src: str = "documents",
+    est_threshold: float = 0.5,
+    n: int = NGRAM_N,
+    max_band_size: int | None = None,
 ) -> str:
     """Oracle: transitive closure by recursive CTE over the SAME LSH pair
     SQL, min reachable id per node. Exponential-closure-safe at fixture
     scale (closure rows = Σ component²)."""
-    pairs_sql = minhash_lsh_pairs_sql(src, est_threshold, n)
+    pairs_sql = minhash_lsh_pairs_sql(src, est_threshold, n, max_band_size)
     return f"""
         WITH RECURSIVE pairs AS ({pairs_sql}),
         edges AS (

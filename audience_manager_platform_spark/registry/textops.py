@@ -15,6 +15,14 @@ def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
 
+# Hot-band skew guard on every driver-visible LSH path (VERDICT r3 #1):
+# a boilerplate cluster of k identical docs lands k members in one band
+# bucket and the self-join emits k²/2 candidates from a single task.
+# The cap bounds that to cap²; members of a dropped mega-band still pair
+# in uncapped bands, and identical docs are exact-dedup's job anyway.
+LSH_MAX_BAND = 100
+
+
 QUERIES = {
     "text_token_stats": lambda s, d: T.token_stats(_docs(s, d)),
     "text_bpe_token_stats": lambda s, d: T.bpe_token_stats(_docs(s, d)),
@@ -32,10 +40,15 @@ QUERIES = {
         _docs(s, d), threshold=0.5, max_gram_df=25
     ),
     "dedup_minhash_signatures": lambda s, d: D.minhash_signatures(_docs(s, d)),
-    "dedup_minhash_lsh_pairs": lambda s, d: D.minhash_lsh_pairs(_docs(s, d), est_threshold=0.5),
+    "dedup_minhash_lsh_pairs": lambda s, d: D.minhash_lsh_pairs(
+        _docs(s, d), est_threshold=0.5, max_band_size=LSH_MAX_BAND
+    ),
     "dedup_simhash": lambda s, d: D.simhash(_docs(s, d)),
     "dedup_cluster_canonical": lambda s, d: D.cluster_canonical(
-        _docs(s, d), D.minhash_lsh_pairs(_docs(s, d), est_threshold=0.5)
+        _docs(s, d),
+        D.minhash_lsh_pairs(
+            _docs(s, d), est_threshold=0.5, max_band_size=LSH_MAX_BAND
+        ),
     ),
     "multimodal_binary_meta": lambda s, d: M.documents_as_media(_docs(s, d)).select(
         "doc_id", "media_type", "byte_len", "sha"
@@ -80,9 +93,13 @@ ORACLES = {
         threshold=0.5, max_gram_df=25
     ),
     "dedup_minhash_signatures": D.minhash_signatures_sql(),
-    "dedup_minhash_lsh_pairs": D.minhash_lsh_pairs_sql(est_threshold=0.5),
+    "dedup_minhash_lsh_pairs": D.minhash_lsh_pairs_sql(
+        est_threshold=0.5, max_band_size=LSH_MAX_BAND
+    ),
     "dedup_simhash": D.simhash_sql(),
-    "dedup_cluster_canonical": D.cluster_canonical_sql(est_threshold=0.5),
+    "dedup_cluster_canonical": D.cluster_canonical_sql(
+        est_threshold=0.5, max_band_size=LSH_MAX_BAND
+    ),
     "multimodal_binary_meta": """
         SELECT doc_id, 'text/plain' AS media_type,
                octet_length(encode(text)) AS byte_len,

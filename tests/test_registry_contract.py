@@ -49,3 +49,39 @@ def test_rotation_front_is_uncredited_then_deferred_then_credited():
             seen_deferred = True
         else:
             assert not seen_deferred, f"window entry {n} after a deferred one"
+
+
+def test_driver_credited_derives_from_committed_correctness_files():
+    """_DRIVER_CREDITED must equal the union of green rows across the
+    committed CORRECTNESS_r*.json artifacts — the derivation replaced a
+    hand-maintained frozenset, and this pins the semantics so a change to
+    the loader can't silently shrink or inflate the credited set."""
+    import json
+    from pathlib import Path
+
+    root = Path(registry.__file__).resolve().parents[2]
+    expect: set[str] = set()
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        for name, row in json.loads(path.read_text()).items():
+            if (
+                isinstance(row, dict)
+                and not row.get("err")
+                and row.get("rows_match")
+                and row.get("schema_match", True)
+                and row.get("hash_match") in (True, None)
+            ):
+                expect.add(name)
+    assert registry._DRIVER_CREDITED == frozenset(expect)
+
+
+def test_uncredited_queries_fit_in_driver_window():
+    """Every never-credited query must sit inside the driver's 50-entry
+    correctness window, else it ships another round without hard driver
+    evidence."""
+    names = list(e.queries())
+    uncredited = [n for n in names if n not in registry._DRIVER_CREDITED]
+    overflow = [n for n in uncredited if names.index(n) >= 50]
+    assert not overflow, (
+        f"{len(uncredited)} uncredited queries but these fall outside the "
+        f"50-entry window: {overflow}"
+    )

@@ -68,9 +68,11 @@ def main() -> int:
     qs, oracles = e.queries(), e.oracle_sql()
     only = set(args.only.split(",")) if args.only else None
     failed, no_oracle = [], []
+    n_run = 0
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, args.sf_dir).toPandas()
@@ -102,7 +104,7 @@ def main() -> int:
             print(f"ok    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
 
     print(
-        f"\n{len(qs) - len(failed)}/{len(qs)} ok; {len(no_oracle)} rows-only; "
+        f"\n{n_run - len(failed)}/{n_run} ok; {len(no_oracle)} rows-only; "
         f"{len(failed)} failed: {failed or '-'}"
     )
     return 1 if failed else 0

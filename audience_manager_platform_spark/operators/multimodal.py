@@ -242,7 +242,9 @@ def decode_bmp_meta(media_df: DataFrame) -> DataFrame:
             for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
                 data = bytes(blob)
                 magic, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", data, 0)
-                assert magic == b"BM", "not a BMP payload"
+                if magic != b"BM":  # real validation, not assert: must
+                    # survive python -O, else garbage size fields mis-parse
+                    raise ValueError(f"not a BMP payload (doc_id={doc_id})")
                 (_hsz, w_px, h_px, _planes, bpp) = struct.unpack_from(
                     "<IiiHH", data, 14
                 )
@@ -476,7 +478,11 @@ def sample_flipbook_frames(media_df: DataFrame, every_nth: int = 2) -> DataFrame
                 frames, off = [], 0
                 while off < len(data):
                     magic, size = struct.unpack_from("<2sI", data, off)
-                    assert magic == b"BM", "corrupt container"
+                    if magic != b"BM":  # real validation, not assert: must
+                        # survive python -O, else garbage size fields mis-parse
+                        raise ValueError(
+                            f"corrupt flipbook container (doc_id={doc_id})"
+                        )
                     frames.append(data[off : off + size])
                     off += size
                 for i in range(0, len(frames), every_nth):

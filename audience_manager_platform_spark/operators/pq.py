@@ -104,26 +104,17 @@ def pq_fit_model(emb: DataFrame, iters: int = PQ_ITERS) -> Model:
         for j in range(PQ_M)
     ]
     mean_vec = F.expr(
-        "array(" + ", ".join(f"round(avg(x.s[{i}]), 6)" for i in range(SUB_DIM)) + ")"
+        "array(" + ", ".join(f"round(avg(s[{i}]), 6)" for i in range(SUB_DIM)) + ")"
     ).alias("m")
     for _ in range(iters):
-        stacked = _with_best(base, model).select(
-            F.explode(
-                F.array(
-                    *[
-                        F.expr(
-                            f"named_struct('j', {j}, 'code', b{j}.code, "
-                            f"'s', slice(v, {j * SUB_DIM + 1}, {SUB_DIM}))"
-                        )
-                        for j in range(PQ_M)
-                    ]
-                )
-            ).alias("x")
-        )
+        # assignment rides the Arrow kernel (the literal-fold projection
+        # trips janino's method limit and drops to interpreted eval; the
+        # kernel computes the identical rounded distances at memory
+        # bandwidth — pinned bit-equal by tests/test_pq.py), emitting the
+        # (j, code, subvector) stacked form the mean aggregate consumes
         rows = (
-            stacked.groupBy(
-                F.col("x.j").alias("j"), F.col("x.code").alias("code")
-            )
+            _stacked_arrow(emb, model, with_vec=True)
+            .groupBy("j", "code")
             .agg(mean_vec)
             .collect()
         )
@@ -153,30 +144,19 @@ def pq_encode(emb: DataFrame, model: Model) -> DataFrame:
 def pq_code_histogram(emb: DataFrame, iters: int = PQ_ITERS) -> DataFrame:
     """Gate-facing encode summary: per (subspace, code) the population
     and the min/max quantization error — order-free exact aggregates of
-    rounded values, so both engines hash identically."""
+    rounded values, so both engines hash identically. The encode pass
+    runs the Arrow kernel (registry path; the inline fold is the
+    oracle-shape reference, pinned equal by ``tests/test_pq.py``)."""
     model = pq_fit_model(emb, iters)
-    stacked = _with_best(
-        emb.select("vec_id", _vec_double().alias("v")), model
-    ).select(
-        F.explode(
-            F.array(
-                *[
-                    F.expr(
-                        f"named_struct('j', {j}, 'code', b{j}.code, 'd2', b{j}.d2)"
-                    )
-                    for j in range(PQ_M)
-                ]
-            )
-        ).alias("x")
-    )
+    stacked = _stacked_arrow(emb, model, with_vec=False)
     return (
         stacked.groupBy(
-            F.col("x.j").alias("subspace"), F.col("x.code").alias("code")
+            F.col("j").alias("subspace"), F.col("code").alias("code")
         )
         .agg(
             F.count("*").alias("n_vectors"),
-            F.min("x.d2").alias("min_d2"),
-            F.max("x.d2").alias("max_d2"),
+            F.min("d2").alias("min_d2"),
+            F.max("d2").alias("max_d2"),
         )
     )
 
@@ -232,7 +212,7 @@ def pq_adc_topk(
         int(r["vec_id"]): [float(x) for x in r["v"]]
         for r in base.filter(F.col("vec_id").isin(query_ids)).collect()
     }
-    codes = pq_encode(emb, model).select(
+    codes = pq_encode_arrow(emb, model).select(
         "vec_id", *[f"c{j}" for j in range(PQ_M)]
     )
     per_query = []
@@ -346,6 +326,14 @@ def pq_adc_topk_sql(
     query_ids: list[int], k: int = 5, iters: int = PQ_ITERS,
     src: str = "embeddings",
 ) -> str:
+    """Density precondition (shared with :func:`ivfpq_topk_sql`): the
+    LUT joins on ``code`` are INNER joins, valid only while every
+    subspace keeps all 0..PQ_K-1 codewords populated — the same
+    precondition the Spark path ENFORCES via ``_check_dense`` (which
+    raises where this twin would silently drop the emptied codeword's
+    candidates). The twin is only ever evaluated on inputs the Spark
+    path has already gated, so the asymmetry is an error-reporting
+    difference, not a correctness one."""
     ids = ", ".join(str(i) for i in sorted(query_ids))
     luts = []
     for j in range(PQ_M):
@@ -433,7 +421,7 @@ def ivfpq_topk(
     assigned = _assign_inline(base, cell_model).select("vec_id", "cent_id")
     pq_model = pq_fit_model(emb, iters)
     _check_dense(pq_model)
-    codes = pq_encode(emb, pq_model).select(
+    codes = pq_encode_arrow(emb, pq_model).select(
         "vec_id", *[f"c{j}" for j in range(PQ_M)]
     )
     cents = _model_df(emb.sparkSession, cell_model)
@@ -562,68 +550,142 @@ def ivfpq_topk_sql(
     """
 
 
-# ------------------------------------------------- Arrow encode kernel
-def pq_encode_arrow(emb: DataFrame, model: Model) -> DataFrame:
-    """Production encode kernel: same output as :func:`pq_encode`, but
-    the argmin runs as numpy over Arrow batches — vectorized ACROSS ROWS,
-    sequential ACROSS DIMS, so every distance is the identical
-    left-associative IEEE sum the literal-fold path (and the DuckDB twin)
-    computes, at memory bandwidth instead of interpreted-eval speed.
+# ------------------------------------------------- Arrow encode kernels
+def _codebook_arrays(model: Model):
+    import numpy as np
 
-    Why it exists: the literal-folded projection is oracle-perfect but
-    its widest stage trips janino's 64 KB method limit and falls back to
-    interpreted eval — measured ~100x slower at 200k vectors (22.5s vs
-    0.23s for this kernel). At 100 TB this is the encode path; the
-    inline path remains the oracle-gated reference, and
-    ``tests/test_pq.py::test_arrow_encode_matches_inline`` pins exact
-    equality on the fixtures.
+    return [
+        np.array([w for _, w in model[j]], dtype=np.float64) for j in range(PQ_M)
+    ]
+
+
+def _make_argmin(sub_dim: int):
+    """Factory for the per-subspace batch argmin: (best_code, best_d2)
+    over one subspace batch. Vectorized ACROSS ROWS, sequential ACROSS
+    DIMS, so every distance is the identical left-associative IEEE sum
+    the literal-fold path (and the DuckDB twin) computes; ties keep the
+    lower code, matching ``least()`` struct order.
+
+    Returned as a NESTED function so executor closures capture it by
+    value — a module-level reference would make the pickled worker
+    closure import this package on the worker, which a vanilla driver
+    session (sys.path set driver-side only) cannot satisfy.
 
     Rounding caveat: 6dp HALF_UP is emulated as floor(x*1e6 + 0.5)/1e6
     (valid for the non-negative distances here); it can disagree with
     the engines' BigDecimal rounding only when x*1e6 lands exactly on a
-    representable .5 boundary — not observed on any fixture value."""
-    import numpy as np
+    representable .5 boundary — so 'bit-identical to the inline path'
+    means bit-identical on all fixture values (test-pinned), not
+    unconditionally."""
 
+    def argmin(Xj, codebook):
+        import numpy as np
+
+        best_d = None
+        best_c = None
+        for code in range(len(codebook)):
+            w = codebook[code]
+            acc = np.zeros(len(Xj))
+            for i in range(sub_dim):
+                d = Xj[:, i] - w[i]
+                acc = acc + d * d
+            accr = np.floor(acc * 1e6 + 0.5) / 1e6
+            if best_d is None:
+                best_d = accr
+                best_c = np.zeros(len(Xj), dtype=np.int64)
+            else:
+                m = accr < best_d  # strict: ties keep the lower code
+                best_d = np.where(m, accr, best_d)
+                best_c = np.where(m, np.int64(code), best_c)
+        return best_c, best_d
+
+    return argmin
+
+
+def pq_encode_arrow(emb: DataFrame, model: Model) -> DataFrame:
+    """Production encode kernel: same output as :func:`pq_encode`, but
+    the argmin runs as numpy over Arrow batches at memory bandwidth.
+
+    Why it exists: the literal-folded projection is oracle-perfect but
+    its widest stage trips janino's 64 KB method limit and falls back to
+    interpreted eval — measured ~100x slower at 200k vectors (22.5s vs
+    0.23s for this kernel). This IS the registry/production encode path;
+    the inline :func:`pq_encode` remains the oracle-shape reference, and
+    ``tests/test_pq.py::test_arrow_encode_matches_inline`` pins exact
+    equality on the fixtures (see :func:`_argmin_batch` for the one
+    theoretical .5-boundary divergence)."""
     _check_dense(model)  # positional codes below require dense 0..K-1
-    codebooks = [
-        np.array([w for _, w in model[j]], dtype=np.float64) for j in range(PQ_M)
-    ]
+    codebooks = _codebook_arrays(model)
+    argmin = _make_argmin(SUB_DIM)
+    n_sub, sub_dim = PQ_M, SUB_DIM
     fields = []
     for j in range(PQ_M):
         fields.append(f"c{j} long")
         fields.append(f"d{j} double")
     out_schema = "vec_id long, " + ", ".join(fields)
 
-    def enc(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.vstack(pdf["v"].to_numpy())
             out = {"vec_id": pdf["vec_id"]}
-            for j in range(PQ_M):
-                Xj = X[:, j * SUB_DIM : (j + 1) * SUB_DIM]
-                best_d = None
-                best_c = None
-                for code in range(len(codebooks[j])):
-                    w = codebooks[j][code]
-                    acc = np.zeros(len(Xj))
-                    for i in range(SUB_DIM):
-                        d = Xj[:, i] - w[i]
-                        acc = acc + d * d
-                    accr = np.floor(acc * 1e6 + 0.5) / 1e6
-                    if best_d is None:
-                        best_d = accr
-                        best_c = np.zeros(len(Xj), dtype=np.int64)
-                    else:
-                        m = accr < best_d  # strict: ties keep the lower code
-                        best_d = np.where(m, accr, best_d)
-                        best_c = np.where(m, np.int64(code), best_c)
+            for j in range(n_sub):
+                Xj = X[:, j * sub_dim : (j + 1) * sub_dim]
+                best_c, best_d = argmin(Xj, codebooks[j])
                 out[f"c{j}"] = best_c
                 out[f"d{j}"] = best_d
             yield pd.DataFrame(out)
 
-    import pandas as pd  # noqa: F811 — resolve at call time for executors
-
     return emb.select("vec_id", _vec_double().alias("v")).mapInPandas(
         enc, schema=out_schema
+    )
+
+
+def _stacked_arrow(emb: DataFrame, model: Model, with_vec: bool) -> DataFrame:
+    """(vec_id, j, code, d2[, s]): the stacked per-subspace assignment
+    form — one row per (vector, subspace) — that codebook fitting (mean
+    over ``s``) and the code histogram (aggregates over ``d2``) consume.
+    Same Arrow argmin as :func:`pq_encode_arrow`; emitting the stacked
+    shape directly keeps both consumers a narrow map + one aggregate."""
+    _check_dense(model)
+    codebooks = _codebook_arrays(model)
+    argmin = _make_argmin(SUB_DIM)
+    n_sub, sub_dim = PQ_M, SUB_DIM
+    schema = "vec_id long, j integer, code long, d2 double"
+    if with_vec:
+        schema += ", s array<double>"
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["v"].to_numpy())
+            n = len(pdf)
+            vec_ids = pdf["vec_id"].to_numpy()
+            frames = []
+            for j in range(n_sub):
+                Xj = X[:, j * sub_dim : (j + 1) * sub_dim]
+                best_c, best_d = argmin(Xj, codebooks[j])
+                f = pd.DataFrame(
+                    {
+                        "vec_id": vec_ids,
+                        "j": np.full(n, j, dtype=np.int32),
+                        "code": best_c,
+                        "d2": best_d,
+                    }
+                )
+                if with_vec:
+                    f["s"] = list(Xj)
+                frames.append(f)
+            yield pd.concat(frames, ignore_index=True)
+
+    return emb.select("vec_id", _vec_double().alias("v")).mapInPandas(
+        gen, schema=schema
     )

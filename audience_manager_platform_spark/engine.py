@@ -165,19 +165,47 @@ class AudienceEngine:
     def execute_rule(self, rule_id: int, now=None) -> int:
         """Materialize ``segment_output_<rule_id>`` and update the catalog.
 
-        Parquet overwrite is atomic-enough (directory swap) vs the
-        reference's DROP TABLE + JDBC rewrite two-step (S6). An empty
-        result still writes a typed empty table (S8 contract). Catalog is
-        updated only after a successful write; returns the row count.
+        Concurrency: the result is written to a unique temp directory
+        and swapped in under an exclusive flock — two concurrent
+        ``execute_rule`` calls on the same rule id serialize at the swap
+        instead of racing ``mode("overwrite")``'s delete-then-write (the
+        reference has the same race on its DROP TABLE + JDBC rewrite
+        two-step, S6; a warehouse engine should not). The lock also
+        orders the catalog bookkeeping with the swap, so the recorded
+        row count always describes the directory a reader sees next. On
+        an object store the swap becomes a manifest/metastore pointer
+        flip, the lock a metastore transaction.
+
+        An empty result still writes a typed empty table (S8 contract).
+        Catalog is updated only after a successful write; returns the
+        row count.
         """
+        import fcntl
+        import os
+        import shutil
+        import uuid
+
         df = self.segment_dataframe(rule_id)
         path = self.catalog.segment_path(rule_id)
-        df.write.mode("overwrite").parquet(path)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(tmp)
         # count from the written files: one extra cheap job, avoids
         # recomputing the whole plan just for the count (A9)
-        row_count = self.spark.read.parquet(path).count()
-        self.catalog.record_refresh(rule_id, row_count)
-        self.catalog.mark_run(rule_id, now=now)
+        row_count = self.spark.read.parquet(tmp).count()
+        with open(path + ".lock", "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                old = f"{path}.old-{uuid.uuid4().hex}"
+                if os.path.exists(path):
+                    os.rename(path, old)
+                    os.rename(tmp, path)
+                    shutil.rmtree(old, ignore_errors=True)
+                else:
+                    os.rename(tmp, path)
+                self.catalog.record_refresh(rule_id, row_count)
+                self.catalog.mark_run(rule_id, now=now)
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
         return row_count
 
     def execute_all(self) -> dict[int, int]:

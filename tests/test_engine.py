@@ -212,3 +212,29 @@ def test_update_rule_rewrites_dependencies(engine):
     assert cleared.depends_on == [] and cleared.operation is None
     engine.execute_all()
     assert engine.catalog.get_segment(r2.rule_id).row_count is not None
+
+
+def test_concurrent_refreshes_serialize_at_the_swap(engine):
+    """Two execute_rule calls on the same rule id must not race the
+    overwrite: each writes its own temp directory and swaps in under an
+    exclusive lock, so the final table is complete and readable, the
+    catalog count matches it, and no temp/old directories leak."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    rule = engine.create_rule("racy", [AMT])
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        counts = list(
+            ex.map(lambda _: engine.execute_rule(rule.rule_id), range(4))
+        )
+    assert len(set(counts)) == 1  # same plan, same data -> same count
+    seg_path = engine.catalog.segment_path(rule.rule_id)
+    assert engine.read_segment(rule.rule_id).count() == counts[0]
+    assert engine.catalog.get_segment(rule.rule_id).row_count == counts[0]
+    parent = os.path.dirname(seg_path)
+    base = os.path.basename(seg_path)
+    leftovers = [
+        d for d in os.listdir(parent)
+        if d.startswith(base + ".tmp-") or d.startswith(base + ".old-")
+    ]
+    assert leftovers == []

@@ -374,3 +374,78 @@ def daily_anomalies_sql(
                ) AS is_anomaly
         FROM stats
     """
+
+
+# ------------------------------------------------ last-touch attribution
+def last_touch_attribution(events: DataFrame, max_gap_days: int = 7) -> DataFrame:
+    """Marketing-style last-touch attribution: each purchase is credited
+    to the user's most recent PRECEDING click, provided it happened
+    within ``max_gap_days``; purchases with no qualifying click stay
+    unattributed (NULL click + NULL gap).
+
+    Shape: a single LOCF window per user — ``last(click-struct,
+    ignorenulls)`` over rows-preceding — so the whole operator is ONE
+    shuffle keyed on user_id, no purchases⋈clicks self-join (the naive
+    join explodes on power users: every purchase pairs with every prior
+    click before the argmax). Order (ts, event_id) is total, so both
+    engines pick the same click on timestamp ties."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(
+            F.col("event_type") == "click", F.struct("ts", "event_id")
+        ),
+        ignorenulls=True,
+    ).over(w)
+    # whole-second gap, timezone-free: NTZ timestamps cannot (and should
+    # not) cast to epoch; timestampdiff over second-truncated values
+    # equals DuckDB's boundary-crossing date_diff('second', ...) exactly,
+    # including on the fixtures' sub-second timestamps
+    gap = F.expr(
+        "timestampdiff(SECOND, date_trunc('SECOND', lc.ts), "
+        "date_trunc('SECOND', ts))"
+    )
+    qualified = F.col("lc").isNotNull() & (gap <= max_gap_days * 86400)
+    return (
+        events.withColumn("lc", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(qualified, F.col("lc.event_id")).alias("click_event_id"),
+            F.when(qualified, gap).alias("gap_seconds"),
+        )
+    )
+
+
+def last_touch_attribution_sql(
+    src: str = "events", max_gap_days: int = 7
+) -> str:
+    return f"""
+        WITH lc AS (
+          SELECT event_id, user_id, ts, event_type,
+                 LAST_VALUE(
+                   CASE WHEN event_type = 'click' THEN (ts, event_id) END
+                   IGNORE NULLS
+                 ) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS click
+          FROM {src}
+        ),
+        purchases AS (
+          SELECT event_id, user_id, ts, click,
+                 date_diff('second', click[1], ts) AS gap
+          FROM lc WHERE event_type = 'purchase'
+        )
+        SELECT event_id, user_id, ts,
+               CASE WHEN click IS NOT NULL AND gap <= {max_gap_days * 86400}
+                    THEN click[2] END AS click_event_id,
+               CASE WHEN click IS NOT NULL AND gap <= {max_gap_days * 86400}
+                    THEN gap END AS gap_seconds
+        FROM purchases
+    """

@@ -288,6 +288,60 @@ def stratified_sample_sql(
     )
 
 
+def weighted_priority_sample(
+    df: DataFrame,
+    weight_col,
+    key_col: str,
+    n: int,
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Deterministic weight-biased top-n sample: each row gets a stable
+    pseudo-uniform u from its key hash, and the n rows with the smallest
+    priority = u / weight win — heavier rows draw systematically smaller
+    priorities, so selection probability grows with weight while staying
+    exactly reproducible across runs, engines and repartitionings (the
+    quality-weighted document sampling a pretraining mixture does, made
+    replayable).
+
+    This is the LINEAR surrogate of exponential-clock A-ES sampling
+    (Efraimidis-Spirakis keys would be -ln(u)/w): the monotone division
+    keeps cross-engine float parity EXACT (one IEEE division, no
+    transcendental whose last ulp could differ between libm builds),
+    which the hash-match oracle gate requires. Selection is still
+    strictly monotone in weight for fixed u.
+
+    Spark executes the global ascending top-n as TakeOrderedAndProject
+    (per-partition n-row heads merged on the driver) — no global sort,
+    no full shuffle; ``n`` rows of driver state."""
+    u = (
+        stable_long_hash(F.col(key_col).cast("string"), salt=salt)
+        % SPLIT_BUCKETS
+    ).cast("double") / F.lit(float(SPLIT_BUCKETS))
+    pri = u / weight_col
+    return (
+        df.withColumn("priority", F.round(pri, 6))
+        .orderBy(F.asc("priority"), F.asc(key_col))
+        .limit(n)
+    )
+
+
+def weighted_priority_sample_sql(
+    src: str,
+    weight_expr: str,
+    key_col: str,
+    n: int,
+    salt: str = "wsample-v1",
+) -> str:
+    h = _HASH60_DUCK.format(x=f"'{salt}' || CAST({key_col} AS VARCHAR)")
+    u = f"(CAST(({h}) % {SPLIT_BUCKETS} AS DOUBLE) / {float(SPLIT_BUCKETS)!r})"
+    return f"""
+        SELECT *, ROUND({u} / ({weight_expr}), 6) AS priority
+        FROM {src}
+        ORDER BY priority ASC, {key_col} ASC
+        LIMIT {n}
+    """
+
+
 # ---------------------------------------------- end-to-end curation run
 def curation_ledger(docs: DataFrame, bench: DataFrame) -> DataFrame:
     """One-pass curation decision ledger: every upstream pipeline stage

@@ -191,6 +191,94 @@ def ngram_jaccard_pairs_sql(
     """
 
 
+# ------------------------------------------------- n-gram containment
+def ngram_containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = NGRAM_N,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup detection by n-gram CONTAINMENT
+    |A∩B| / |A| ≥ threshold: catches a small doc swallowed by a larger
+    one (quote pages, article + boilerplate wrapper), which symmetric
+    Jaccard misses because the union denominator dilutes the overlap.
+    The standard companion to Jaccard in corpus curation (cf. Broder's
+    resemblance/containment pair).
+
+    Same scale shape as :func:`ngram_jaccard_pairs` — candidates come
+    from the shared-gram equi-join, never all-pairs — but pairs are
+    emitted DIRECTED (doc_a ≠ doc_b, containment measured of doc_a in
+    doc_b), so one shared-gram aggregate feeds both directions.
+    ``max_gram_df`` is the same stop-gram skew cap, with sizes
+    recomputed so the score is the true containment of surviving sets.
+    """
+    grams = _doc_grams(docs, n)
+    exploded = grams.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
+    if max_gram_df is not None:
+        df_counts = exploded.groupBy("gram").agg(F.count("*").alias("gram_df"))
+        kept = exploded.join(
+            df_counts.filter(F.col("gram_df") <= max_gram_df).select("gram"), "gram"
+        ).drop("n_grams")
+        sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+        exploded = kept.join(sizes, "doc_id")
+    a = exploded.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"), "gram"
+    )
+    b = exploded.select(F.col("doc_id").alias("doc_b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        shared.withColumn(
+            "containment",
+            F.round(F.col("inter") / F.col("na").cast("double"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
+def ngram_containment_pairs_sql(
+    src: str = "documents",
+    threshold: float = 0.8,
+    n: int = NGRAM_N,
+    max_gram_df: int | None = None,
+) -> str:
+    t = tokens_sql("text")
+    g = word_ngrams_sql("toks", n)
+    if max_gram_df is not None:
+        cap = f"""
+        raw AS (SELECT doc_id, UNNEST(grams) AS gram FROM grams),
+        df_c AS (SELECT gram, COUNT(*) AS gram_df FROM raw GROUP BY gram),
+        kept AS (SELECT raw.doc_id, raw.gram FROM raw
+                 JOIN df_c USING (gram) WHERE gram_df <= {max_gram_df}),
+        sized AS (SELECT doc_id, COUNT(*) AS n_grams FROM kept GROUP BY doc_id),
+        ex AS (SELECT kept.doc_id, sized.n_grams, kept.gram
+               FROM kept JOIN sized USING (doc_id)),"""
+    else:
+        cap = """
+        sized AS (SELECT doc_id, grams, len(grams) AS n_grams FROM grams),
+        ex AS (SELECT doc_id, n_grams, UNNEST(grams) AS gram FROM sized),"""
+    return f"""
+        WITH toks AS (SELECT doc_id, {t} AS toks FROM {src}),
+        grams AS (SELECT doc_id, list_distinct({g}) AS grams FROM toks),
+        {cap}
+        shared AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.n_grams AS na, COUNT(*) AS inter
+          FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id != b.doc_id
+          GROUP BY 1, 2, 3
+        )
+        SELECT doc_a, doc_b,
+               ROUND(inter / CAST(na AS DOUBLE), 6) AS containment
+        FROM shared
+        WHERE ROUND(inter / CAST(na AS DOUBLE), 6) >= {threshold}
+    """
+
+
 # ------------------------------------------------------------- minhash
 def minhash_signatures(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
     """Per-doc MinHash signature: NUM_HASHES universal-hash minima over the
@@ -423,6 +511,99 @@ def simhash_sql(src: str = "documents") -> str:
           FROM hashed GROUP BY doc_id
         )
         SELECT doc_id, {fp} AS simhash FROM votes
+    """
+
+
+# ---------------------------------------------- simhash hamming pairs
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup PAIRS from SimHash fingerprints: docs whose 60-bit
+    fingerprints differ in at most ``max_hamming`` bits. Candidate
+    generation is banded exactly like MinHash-LSH — the fingerprint is
+    split into 4 disjoint 15-bit bands and only docs agreeing on AT
+    LEAST ONE whole band are ever compared, so the join is keyed on
+    (band_idx, band_value), never all-pairs. Pigeonhole gives perfect
+    recall for max_hamming ≤ 3: 3 flipped bits cannot touch all 4
+    bands. The survivor check is exact: bit_count(a XOR b) ≤ k.
+
+    This is the Google web-crawl dedup layout (Manku et al., "Detecting
+    Near-Duplicates for Web Crawling", WWW'07): fingerprint table sorted
+    by rotated prefixes ≈ our band-keyed shuffle."""
+    fps = simhash(docs)
+    bands = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.expr(
+                            f"shiftright(simhash, {b * SIMHASH_BAND_BITS}) "
+                            f"& {(1 << SIMHASH_BAND_BITS) - 1}"
+                        ).alias("band_val"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band_idx", "bk.band_val")
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band_idx", "band_val"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.expr("bit_count(ha ^ hb)").cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_hamming_pairs_sql(
+    src: str = "documents", max_hamming: int = 3
+) -> str:
+    fp_sql = simhash_sql(src)
+    band_structs = ", ".join(
+        f"(({b}, (simhash >> {b * SIMHASH_BAND_BITS}) "
+        f"& {(1 << SIMHASH_BAND_BITS) - 1}))"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+        WITH fps AS ({fp_sql}),
+        bands AS (
+          SELECT doc_id, simhash,
+                 UNNEST([{band_structs}]) AS bk
+          FROM fps
+        ),
+        keyed AS (
+          SELECT doc_id, simhash,
+                 bk[1] AS band_idx, bk[2] AS band_val
+          FROM bands
+        ),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                 x.simhash AS ha, y.simhash AS hb
+          FROM keyed x JOIN keyed y
+            ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+           AND x.doc_id < y.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+        FROM cand
+        WHERE bit_count(xor(ha, hb)) <= {max_hamming}
     """
 
 

@@ -149,6 +149,51 @@ def pagerank_customer_supplier(
     return pagerank(edges)
 
 
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Degree distribution of a directed edge list: per out-degree value,
+    how many nodes have it — the first diagnostic run on any new graph
+    (hub detection, skew estimation for the PageRank join, power-law
+    sanity check). Two narrow aggregates: degree per node, then count
+    per degree; both map-side combinable, no join at all."""
+    return (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_nodes"))
+    )
+
+
+def degree_histogram_customer_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources import load_table
+
+    return degree_histogram(
+        customer_supplier_edges(
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "lineitem"),
+        )
+    )
+
+
+def degree_histogram_sql(
+    orders: str = "orders", lineitem: str = "lineitem"
+) -> str:
+    return f"""
+        WITH pairs AS (
+          SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
+          FROM {lineitem} JOIN {orders} ON l_orderkey = o_orderkey
+        ),
+        edges AS (
+          SELECT cust AS src, supp AS dst FROM pairs
+          UNION ALL
+          SELECT supp AS src, cust AS dst FROM pairs
+        ),
+        deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src)
+        SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
+    """
+
+
 # ------------------------------------------------------------- SQL twin
 def pagerank_sql(
     iters: int = PR_ITERS,

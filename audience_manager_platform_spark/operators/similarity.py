@@ -950,3 +950,80 @@ def assign_cells_arrow(
     return base.select("vec_id", "v").mapInPandas(
         assign, schema="vec_id long, cent_id long, csim double"
     )
+
+
+# ----------------------------------------------------- range search
+def cosine_range_search(
+    emb: DataFrame, query_ids: list[int], threshold: float = 0.3
+) -> DataFrame:
+    """Range search: ALL neighbors within cosine >= threshold of each
+    query (self excluded) — the dual of top-k (radius fixed, count
+    open), used for recall-critical retrieval where a k cutoff would
+    truncate dense neighborhoods. Same broadcast-queries scan shape as
+    :func:`cosine_topk`; no window at all, so the whole query is one
+    narrow scan over the corpus."""
+    base = emb.select("vec_id", _vec_double().alias("v"))
+    queries = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    from ..functions import cosine_similarity
+
+    return (
+        base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("q"), F.col("v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_range_search_sql(
+    query_ids: list[int], threshold: float = 0.3, src: str = "embeddings"
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src}),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({ids}))
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(q.qv, e.v), 6) AS cosine
+        FROM e CROSS JOIN q
+        WHERE e.vec_id != q.query_id
+          AND ROUND(list_cosine_similarity(q.qv, e.v), 6) >= {threshold}
+    """
+
+
+# ------------------------------------------------------- norm profile
+def norm_stats_by_label(emb: DataFrame) -> DataFrame:
+    """Per-label L2-norm profile of the embedding column: count and
+    min/max/mean of the (6dp-rounded) vector norms — the drift check an
+    embedding pipeline runs after every encoder change (a label whose
+    norm band shifts was embedded differently). One narrow map (norms
+    are per-row, left-assoc IEEE identical to the SQL twin) + one
+    map-side-combinable aggregate; min/max are order-free over rounded
+    values, the mean is rounded to 4dp on both engines."""
+    norm = F.round(_norm_expr("v"), 6)
+    return (
+        emb.select("label", _vec_double().alias("v"))
+        .select("label", norm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        )
+    )
+
+
+def norm_stats_by_label_sql(src: str = "embeddings") -> str:
+    sq = " + ".join(f"v[{i + 1}] * v[{i + 1}]" for i in range(EMBED_DIM))
+    return f"""
+        WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM {src}),
+        n AS (SELECT label, ROUND(SQRT({sq}), 6) AS nrm FROM e)
+        SELECT label, COUNT(*) AS n_vectors,
+               MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+               ROUND(AVG(nrm), 4) AS avg_norm
+        FROM n GROUP BY label
+    """

@@ -588,3 +588,87 @@ def bpe_token_stats_sql(src: str = "documents") -> str:
                      / CAST(NULLIF(len({t}), 0) AS DOUBLE), 6) AS fertility
         FROM {src}
     """
+
+
+# ----------------------------------------------- corpus bigram top-k
+def bigram_topk(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Corpus-wide top-k token bigrams with counts — the collocation /
+    boilerplate-phrase profile a curation run reads before writing
+    filters (a bigram in half the corpus is template text). ALL bigram
+    occurrences count (multiset, unlike the dedup operators' distinct
+    gram sets). Shape: explode → one map-side-combinable count aggregate
+    → global top-k with a total order (count DESC, bigram ASC), which
+    Spark executes as TakeOrderedAndProject — per-partition k-row heads,
+    no global sort."""
+    from .partitioning import spread
+
+    toked = spread(docs).select(tokens_col("text").alias("toks"))
+    from pyspark.ml.feature import NGram
+
+    grams = NGram(n=2, inputCol="toks", outputCol="grams").transform(toked)
+    return (
+        grams.select(F.explode("grams").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(k)
+    )
+
+
+def bigram_topk_sql(src: str = "documents", k: int = 50) -> str:
+    t = tokens_sql("text")
+    g = word_ngrams_sql("toks", 2)
+    return f"""
+        WITH toks AS (SELECT doc_id, {t} AS toks FROM {src}),
+        grams AS (SELECT {g} AS grams FROM toks),
+        ex AS (SELECT UNNEST(grams) AS bigram FROM grams)
+        SELECT bigram, COUNT(*) AS n FROM ex
+        GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT {k}
+    """
+
+
+# ----------------------------------------------- length-band histogram
+LENGTH_BANDS = (256, 1024, 4096, 16384)  # upper-exclusive boundaries
+
+
+def _band_label(i: int) -> str:
+    lo = 0 if i == 0 else LENGTH_BANDS[i - 1]
+    if i == len(LENGTH_BANDS):
+        return f"{LENGTH_BANDS[-1]}+"
+    return f"{lo}-{LENGTH_BANDS[i] - 1}"
+
+
+def length_bands(docs: DataFrame) -> DataFrame:
+    """Doc-length histogram over fixed char bands (CASE ladder, not
+    log2: integer comparisons are bit-portable across engines where
+    floor(log2(x)) can straddle a ulp at exact powers). Emits per band
+    the doc count and total chars — the size profile that drives
+    sequence-packing and truncation budgets."""
+    band = None
+    for i, hi in enumerate(LENGTH_BANDS):
+        cond = F.col("n_chars") < hi
+        band = F.when(cond, _band_label(i)) if band is None else band.when(
+            cond, _band_label(i)
+        )
+    band = band.otherwise(_band_label(len(LENGTH_BANDS)))
+    return (
+        docs.select(band.alias("band"), "n_chars")
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def length_bands_sql(src: str = "documents") -> str:
+    whens = " ".join(
+        f"WHEN n_chars < {hi} THEN '{_band_label(i)}'"
+        for i, hi in enumerate(LENGTH_BANDS)
+    )
+    return f"""
+        SELECT CASE {whens} ELSE '{_band_label(len(LENGTH_BANDS))}' END AS band,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM {src} GROUP BY 1
+    """

@@ -84,6 +84,11 @@ QUERIES = {
     "analytics_daily_anomalies": lambda s, d: A.daily_anomalies(
         load_table(s, d, "events")
     ),
+    # r4: last-touch attribution — one LOCF window per user, no
+    # purchases⋈clicks self-join
+    "analytics_last_touch_attribution": lambda s, d: A.last_touch_attribution(
+        load_table(s, d, "events")
+    ),
 }
 
 _DAILY_TOTALS_TMPL = """
@@ -227,4 +232,5 @@ ORACLES = {
         FROM totals LEFT JOIN fav USING (user_id, window_days)
     """,
     "analytics_daily_anomalies": A.daily_anomalies_sql(),
+    "analytics_last_touch_attribution": A.last_touch_attribution_sql(),
 }

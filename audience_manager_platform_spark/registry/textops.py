@@ -34,6 +34,8 @@ QUERIES = {
     "text_repetition_stats": lambda s, d: T.repetition_stats(_docs(s, d)),
     "text_pii_scrub": lambda s, d: T.pii_scrub(_docs(s, d)),
     "corpus_chunk_tokens": lambda s, d: T.chunk_tokens(_docs(s, d)),
+    "corpus_bigram_topk": lambda s, d: T.bigram_topk(_docs(s, d), k=50),
+    "text_length_bands": lambda s, d: T.length_bands(_docs(s, d)),
     "dedup_exact": lambda s, d: D.exact_dedup(_docs(s, d)),
     "dedup_ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_docs(s, d), threshold=0.6),
     "dedup_ngram_jaccard_capped": lambda s, d: D.ngram_jaccard_pairs(
@@ -44,6 +46,12 @@ QUERIES = {
         _docs(s, d), est_threshold=0.5, max_band_size=LSH_MAX_BAND
     ),
     "dedup_simhash": lambda s, d: D.simhash(_docs(s, d)),
+    "dedup_simhash_hamming_pairs": lambda s, d: D.simhash_hamming_pairs(
+        _docs(s, d), max_hamming=3
+    ),
+    "dedup_ngram_containment": lambda s, d: D.ngram_containment_pairs(
+        _docs(s, d), threshold=0.8
+    ),
     "dedup_cluster_canonical": lambda s, d: D.cluster_canonical(
         _docs(s, d),
         D.minhash_lsh_pairs(
@@ -87,6 +95,8 @@ ORACLES = {
     "text_repetition_stats": T.repetition_stats_sql(),
     "text_pii_scrub": T.pii_scrub_sql(),
     "corpus_chunk_tokens": T.chunk_tokens_sql(),
+    "corpus_bigram_topk": T.bigram_topk_sql(k=50),
+    "text_length_bands": T.length_bands_sql(),
     "dedup_exact": D.exact_dedup_sql(),
     "dedup_ngram_jaccard": D.ngram_jaccard_pairs_sql(threshold=0.6),
     "dedup_ngram_jaccard_capped": D.ngram_jaccard_pairs_sql(
@@ -97,6 +107,8 @@ ORACLES = {
         est_threshold=0.5, max_band_size=LSH_MAX_BAND
     ),
     "dedup_simhash": D.simhash_sql(),
+    "dedup_simhash_hamming_pairs": D.simhash_hamming_pairs_sql(max_hamming=3),
+    "dedup_ngram_containment": D.ngram_containment_pairs_sql(threshold=0.8),
     "dedup_cluster_canonical": D.cluster_canonical_sql(
         est_threshold=0.5, max_band_size=LSH_MAX_BAND
     ),

@@ -15,7 +15,12 @@ from pyspark.sql import functions as F
 
 from ..operators import corpus as C
 from ..operators import merge as MG
-from ..operators.graph import pagerank_customer_supplier, pagerank_sql
+from ..operators.graph import (
+    degree_histogram_customer_supplier,
+    degree_histogram_sql,
+    pagerank_customer_supplier,
+    pagerank_sql,
+)
 from ..operators.maintenance import (
     daily_rollup,
     daily_rollup_sql,
@@ -172,6 +177,18 @@ QUERIES = {
     ),
     # r3: vertex-centric compute over warehouse-derived edges
     "pagerank_customer_supplier": pagerank_customer_supplier,
+    # r4: degree distribution — the hub/skew diagnostic on the same graph
+    "graph_degree_histogram": degree_histogram_customer_supplier,
+    # r4: deterministic weight-biased top-n (quality-weighted corpus
+    # sampling made replayable; value+1 keeps weights positive)
+    "sample_weighted_events": lambda s, d: C.weighted_priority_sample(
+        _events(s, d)
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "user_id", "event_type", F.round("value", 2).alias("value")),
+        F.col("value") + F.lit(1.0),
+        "event_id",
+        n=500,
+    ),
     # r3: reconciliation — snapshot diff (cut mid-day so the straddled
     # day classifies 'changed', the newest days 'added') + purge audit
     "table_diff_rollup_snapshots": lambda s, d: _table_diff_gate(s, d),
@@ -204,6 +221,14 @@ ORACLES = {
     "scd2_incremental_stream": MG.scd2_history_sql(),
     "validate_events_expectations": validate_table_sql("events", EXPECTATIONS),
     "pagerank_customer_supplier": pagerank_sql(),
+    "graph_degree_histogram": degree_histogram_sql(),
+    "sample_weighted_events": C.weighted_priority_sample_sql(
+        "(SELECT event_id, user_id, event_type, ROUND(value, 2) AS value "
+        "FROM events WHERE value IS NOT NULL) w",
+        "value + CAST(1.0 AS DOUBLE)",
+        "event_id",
+        n=500,
+    ),
     "rollup_incremental_refresh": daily_rollup_sql(),
     "table_diff_rollup_snapshots": table_diff_sql(
         daily_rollup_sql(

@@ -1,0 +1,143 @@
+"""Round-4 operator semantics on hand-built inputs: SimHash hamming
+pairs, n-gram containment, weighted priority sampling, degree
+histogram, length bands, bigram top-k, cosine range search, norm
+profile, last-touch attribution."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from audience_manager_platform_spark.operators import dedup as D
+from audience_manager_platform_spark.operators import similarity as S
+from audience_manager_platform_spark.operators import text as T
+from audience_manager_platform_spark.operators.analytics import (
+    last_touch_attribution,
+)
+from audience_manager_platform_spark.operators.corpus import (
+    weighted_priority_sample,
+)
+from audience_manager_platform_spark.operators.graph import degree_histogram
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_simhash_hamming_finds_near_identical(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    docs = _docs(spark, [base, base + " extra", "completely different words " * 8])
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in
+             D.simhash_hamming_pairs(docs, max_hamming=3).collect()}
+    assert (0, 1) in pairs
+    assert all(h <= 3 for h in pairs.values())
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_hamming_identical_is_zero(spark):
+    docs = _docs(spark, ["same text here for both documents"] * 2)
+    rows = D.simhash_hamming_pairs(docs).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in rows] == [(0, 1, 0)]
+
+
+def test_containment_is_directed(spark):
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " eta theta iota kappa " * 10
+    docs = _docs(spark, [small, big])
+    got = {(r.doc_a, r.doc_b): r.containment for r in
+           D.ngram_containment_pairs(docs, threshold=0.8).collect()}
+    # every 3-gram of the small doc appears in the big one -> containment
+    # 1.0 in the small->big direction ONLY
+    assert got[(0, 1)] == 1.0
+    assert (1, 0) not in got
+
+
+def test_weighted_sample_deterministic_and_sized(spark):
+    df = spark.createDataFrame(
+        [(i, float(i % 10)) for i in range(500)], "event_id long, value double"
+    )
+    a = weighted_priority_sample(df, F.col("value") + 1.0, "event_id", n=50)
+    b = weighted_priority_sample(df, F.col("value") + 1.0, "event_id", n=50)
+    ra, rb = a.collect(), b.collect()
+    assert [r.event_id for r in ra] == [r.event_id for r in rb]
+    assert len(ra) == 50
+    # weight bias: the sampled mean weight must exceed the population's
+    pop_mean = 1.0 + sum(i % 10 for i in range(500)) / 500
+    got_mean = sum(r.value + 1.0 for r in ra) / 50
+    assert got_mean > pop_mean
+
+
+def test_degree_histogram_counts_nodes_per_degree(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "a"), ("c", "a")], "src string, dst string"
+    )
+    got = {r.degree: r.n_nodes for r in degree_histogram(edges).collect()}
+    assert got == {2: 1, 1: 2}  # a has out-deg 2; b, c have 1
+
+
+def test_length_bands_boundaries(spark):
+    docs = spark.createDataFrame(
+        [(0, 0), (1, 255), (2, 256), (3, 16383), (4, 16384), (5, 99999)],
+        "doc_id long, n_chars long",
+    )
+    got = {r.band: (r.n_docs, r.total_chars) for r in T.length_bands(docs).collect()}
+    assert got["0-255"] == (2, 255)
+    assert got["256-1023"] == (1, 256)
+    assert got["4096-16383"] == (1, 16383)
+    assert got["16384+"] == (2, 16384 + 99999)
+
+
+def test_bigram_topk_counts_multiset(spark):
+    docs = _docs(spark, ["x y x y", "x y z"])
+    got = {r.bigram: r.n for r in T.bigram_topk(docs, k=10).collect()}
+    # "x y" appears twice in doc0 (positions 0,2) and once in doc1
+    assert got["x y"] == 3
+    assert got["y x"] == 1 and got["y z"] == 1
+
+
+def test_range_search_matches_brute_force(spark, sf_dir):
+    from audience_manager_platform_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = S.cosine_range_search(emb, [0, 1], threshold=0.2)
+    brute = S.cosine_topk(emb, [0, 1], k=10**9).filter(F.col("cosine") >= 0.2)
+    assert sorted((r.query_id, r.neighbor_id, r.cosine) for r in got.collect()) == sorted(
+        (r.query_id, r.neighbor_id, r.cosine) for r in brute.collect()
+    )
+
+
+def test_norm_stats_hand_vectors(spark):
+    rows = [(0, [3.0, 4.0] + [0.0] * 62, 1), (1, [6.0, 8.0] + [0.0] * 62, 1)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    r = S.norm_stats_by_label(emb).collect()[0]
+    assert (r.label, r.n_vectors, r.min_norm, r.max_norm, r.avg_norm) == (
+        1, 2, 5.0, 10.0, 7.5,
+    )
+
+
+def test_last_touch_attribution_semantics(spark):
+    ev = spark.createDataFrame(
+        [
+            # user 1: click then purchase 60s later -> attributed
+            (1, datetime(2024, 1, 1, 10, 0, 0), 1, "click", 0.0),
+            (2, datetime(2024, 1, 1, 10, 1, 0), 1, "purchase", 9.0),
+            # user 1: a second purchase still rides the SAME last click
+            (3, datetime(2024, 1, 2, 10, 0, 0), 1, "purchase", 5.0),
+            # user 2: click too old (8 days) -> unattributed
+            (4, datetime(2024, 1, 1, 0, 0, 0), 2, "click", 0.0),
+            (5, datetime(2024, 1, 9, 0, 0, 0), 2, "purchase", 7.0),
+            # user 3: purchase with no click at all
+            (6, datetime(2024, 1, 5, 0, 0, 0), 3, "purchase", 1.0),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = {r.event_id: (r.click_event_id, r.gap_seconds) for r in
+           last_touch_attribution(ev).collect()}
+    assert got[2] == (1, 60)
+    assert got[3] == (1, 86400)  # exactly 1 day after the click
+    assert got[5] == (None, None)
+    assert got[6] == (None, None)

@@ -110,3 +110,59 @@ def range_join_bands(
             F.round(F.sum(value_col), 2).alias("total"),
         )
     )
+
+
+# ------------------------------------------------- basket co-occurrence
+def basket_brand_pairs(
+    lineitem: DataFrame, part: DataFrame, k: int = 25
+) -> DataFrame:
+    """Market-basket co-occurrence: per unordered brand pair, in how many
+    orders both brands appear — the association signal behind
+    bought-together recommenders, on the TPC-H schema.
+
+    Shape: broadcast-join the (small) part dim onto lineitem, reduce to
+    DISTINCT (order, brand) so multi-line orders don't overcount, then
+    self-join keyed on the ORDER key — the basket — with brand_a <
+    brand_b, and aggregate pair counts. The order-keyed self-join is the
+    scale path: cost is Σ basket_size², never |lineitem|², and baskets
+    are bounded (TPC-H ≤ 7 lines). Top-k carries the usual total order
+    (count DESC, pair ASC)."""
+    ob = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    pairs = (
+        ob.alias("x")
+        .join(ob.alias("y"), "l_orderkey")
+        .filter(F.col("x.brand") < F.col("y.brand"))
+        .select(
+            F.col("x.brand").alias("brand_a"), F.col("y.brand").alias("brand_b")
+        )
+    )
+    return (
+        pairs.groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("brand_a"), F.asc("brand_b"))
+        .limit(k)
+    )
+
+
+def basket_brand_pairs_sql(
+    lineitem: str = "lineitem", part: str = "part", k: int = 25
+) -> str:
+    return f"""
+        WITH ob AS (
+          SELECT DISTINCT l_orderkey, p_brand AS brand
+          FROM {lineitem} JOIN {part} ON l_partkey = p_partkey
+        )
+        SELECT x.brand AS brand_a, y.brand AS brand_b,
+               COUNT(*) AS n_orders
+        FROM ob x JOIN ob y
+          ON x.l_orderkey = y.l_orderkey AND x.brand < y.brand
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, brand_a ASC, brand_b ASC
+        LIMIT {k}
+    """

@@ -672,3 +672,80 @@ def length_bands_sql(src: str = "documents") -> str:
                CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM {src} GROUP BY 1
     """
+
+
+# ---------------------------------------------- vocab / OOV coverage
+VOCAB_SIZE = 256
+
+
+def oov_rate_bands(docs: DataFrame, vocab_size: int = VOCAB_SIZE) -> DataFrame:
+    """Tokenizer-fit diagnostic: derive the corpus' top-``vocab_size``
+    tokens (count DESC, token ASC — total order), score every doc's
+    out-of-vocabulary token rate against it, and histogram docs into
+    10%-wide OOV bands. High-OOV bands locate the subcorpora a fixed
+    vocabulary would shred into bytes/unks — read BEFORE freezing a
+    tokenizer.
+
+    Shape: one explode + count aggregate for the vocab (top-k via
+    total-ordered limit), a broadcast left-semi membership join back
+    onto the exploded tokens, one per-doc aggregate, one tiny band
+    aggregate. The vocab is ``vocab_size`` rows — always broadcastable.
+    Docs with zero tokens are excluded (rate undefined, not 0)."""
+    toked = docs.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+    vocab = (
+        toked.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(vocab_size)
+        .select("tok")
+    )
+    marked = toked.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "tok", "left"
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_toks"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+    )
+    rate = F.round(F.col("n_oov") / F.col("n_toks").cast("double"), 6)
+    band = F.least(F.floor(rate * 10).cast("int"), F.lit(9))
+    return (
+        per_doc.select(band.alias("oov_band"), "n_toks", "n_oov")
+        .groupBy("oov_band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("total_toks"),
+            F.sum("n_oov").alias("total_oov"),
+        )
+    )
+
+
+def oov_rate_bands_sql(
+    src: str = "documents", vocab_size: int = VOCAB_SIZE
+) -> str:
+    t = tokens_sql("text")
+    return f"""
+        WITH toked AS (
+          SELECT doc_id, UNNEST({t}) AS tok FROM {src}
+        ),
+        vocab AS (
+          SELECT tok FROM (
+            SELECT tok, COUNT(*) AS n FROM toked GROUP BY tok
+            ORDER BY n DESC, tok ASC LIMIT {vocab_size}
+          ) v
+        ),
+        marked AS (
+          SELECT toked.doc_id,
+                 CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END AS is_oov
+          FROM toked LEFT JOIN vocab ON toked.tok = vocab.tok
+        ),
+        per_doc AS (
+          SELECT doc_id, COUNT(*) AS n_toks, SUM(is_oov) AS n_oov
+          FROM marked GROUP BY doc_id
+        )
+        SELECT LEAST(CAST(FLOOR(ROUND(n_oov / CAST(n_toks AS DOUBLE), 6) * 10)
+                     AS INTEGER), 9) AS oov_band,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS total_toks,
+               CAST(SUM(n_oov) AS BIGINT) AS total_oov
+        FROM per_doc GROUP BY 1
+    """

@@ -6,7 +6,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.relational import asof_join, pivot_counts, range_join_bands
+from ..operators.relational import (
+    asof_join,
+    basket_brand_pairs,
+    basket_brand_pairs_sql,
+    pivot_counts,
+    range_join_bands,
+)
 from ..operators.skew import salted_sum_count
 from ..sources import load_table
 
@@ -297,6 +303,10 @@ QUERIES = {
     "skew_salted_user_totals": lambda s, d: salted_sum_count(
         _events(s, d), "user_id", "value"
     ),
+    # r4: basket co-occurrence — order-keyed self-join, cost Σ basket²
+    "basket_brand_pairs": lambda s, d: basket_brand_pairs(
+        load_table(s, d, "lineitem"), load_table(s, d, "part"), k=25
+    ),
 }
 
 _PIVOT_CASES = ",\n               ".join(
@@ -304,6 +314,7 @@ _PIVOT_CASES = ",\n               ".join(
 )
 
 ORACLES = {
+    "basket_brand_pairs": basket_brand_pairs_sql(k=25),
     "pivot_day_by_type": f"""
         SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
                {_PIVOT_CASES}

@@ -36,6 +36,7 @@ QUERIES = {
     "corpus_chunk_tokens": lambda s, d: T.chunk_tokens(_docs(s, d)),
     "corpus_bigram_topk": lambda s, d: T.bigram_topk(_docs(s, d), k=50),
     "text_length_bands": lambda s, d: T.length_bands(_docs(s, d)),
+    "text_oov_rate_bands": lambda s, d: T.oov_rate_bands(_docs(s, d)),
     "dedup_exact": lambda s, d: D.exact_dedup(_docs(s, d)),
     "dedup_ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_docs(s, d), threshold=0.6),
     "dedup_ngram_jaccard_capped": lambda s, d: D.ngram_jaccard_pairs(
@@ -97,6 +98,7 @@ ORACLES = {
     "corpus_chunk_tokens": T.chunk_tokens_sql(),
     "corpus_bigram_topk": T.bigram_topk_sql(k=50),
     "text_length_bands": T.length_bands_sql(),
+    "text_oov_rate_bands": T.oov_rate_bands_sql(),
     "dedup_exact": D.exact_dedup_sql(),
     "dedup_ngram_jaccard": D.ngram_jaccard_pairs_sql(threshold=0.6),
     "dedup_ngram_jaccard_capped": D.ngram_jaccard_pairs_sql(

@@ -141,3 +141,37 @@ def test_last_touch_attribution_semantics(spark):
     assert got[3] == (1, 86400)  # exactly 1 day after the click
     assert got[5] == (None, None)
     assert got[6] == (None, None)
+
+
+def test_oov_bands_partition_docs(spark):
+    # 5 docs of common words + 1 doc of rare words; vocab_size=4 keeps
+    # the common words in-vocab and pushes the rare doc into a high band
+    docs = _docs(
+        spark,
+        ["aa bb cc dd"] * 5 + ["zz yy xx ww"],
+    )
+    got = {r.oov_band: (r.n_docs, r.total_toks, r.total_oov) for r in
+           T.oov_rate_bands(docs, vocab_size=4).collect()}
+    assert got[0] == (5, 20, 0)       # fully in-vocab
+    assert got[9] == (1, 4, 4)        # fully OOV -> clamped top band
+    assert sum(n for n, _, _ in got.values()) == 6
+
+
+def test_basket_pairs_count_orders_not_lines(spark):
+    from audience_manager_platform_spark.operators.relational import (
+        basket_brand_pairs,
+    )
+
+    li = spark.createDataFrame(
+        # order 1 holds brands A (twice -> must not double count) and B;
+        # order 2 holds A and B; order 3 holds A only
+        [(1, 10), (1, 11), (1, 20), (2, 10), (2, 21), (3, 10)],
+        "l_orderkey long, l_partkey long",
+    )
+    part = spark.createDataFrame(
+        [(10, "A"), (11, "A"), (20, "B"), (21, "B")],
+        "p_partkey long, p_brand string",
+    )
+    got = [(r.brand_a, r.brand_b, r.n_orders) for r in
+           basket_brand_pairs(li, part).collect()]
+    assert got == [("A", "B", 2)]

@@ -108,6 +108,7 @@ def main() -> None:
     timed("exact dedup", D.exact_dedup(docs))
     timed("simhash fingerprints", D.simhash(docs))
     timed("minhash+LSH near-dup pairs", D.minhash_lsh_pairs(docs))
+    timed("simhash hamming pairs (banded)", D.simhash_hamming_pairs(docs))
 
     # ------------------------- round-3 families at scale
     from audience_manager_platform_spark.operators import pq as PQ
@@ -123,6 +124,29 @@ def main() -> None:
     )
     timed("ts LOCF resample (user x day grid)", TS.resample_locf(events))
     timed("ts EWMA smoothing", TS.ewma_smooth(events))
+
+    # ------------------------- round-4 additions at scale
+    from audience_manager_platform_spark.operators.corpus import (
+        weighted_priority_sample,
+    )
+
+    typed_events = events.withColumn(
+        "event_type",
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            (F.abs(F.xxhash64("event_id", F.lit(11))) % 3 + 1).cast("int"),
+        ),
+    )
+    timed(
+        "last-touch attribution (LOCF window)",
+        A.last_touch_attribution(typed_events),
+    )
+    timed(
+        "weighted priority sample n=1000",
+        weighted_priority_sample(
+            events, F.col("value") + F.lit(1.0), "event_id", n=1000
+        ),
+    )
 
     n_edges = int(os.environ.get("SCALE_EDGES", 1_000_000))
     ROWS = n_edges * 2

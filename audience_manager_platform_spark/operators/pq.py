@@ -408,8 +408,8 @@ def ivfpq_topk(
     from .similarity import (
         IVF_PROBES,
         KMEANS_K,
-        _assign_inline,
         _model_df,
+        assign_cells_arrow,
         kmeans_fit_model,
     )
     from ..functions import cosine_similarity
@@ -418,7 +418,7 @@ def ivfpq_topk(
     n_cells = KMEANS_K if n_cells is None else n_cells
     base = emb.select("vec_id", _vec_double().alias("v"))
     cell_model = kmeans_fit_model(emb, n_cells, iters)
-    assigned = _assign_inline(base, cell_model).select("vec_id", "cent_id")
+    assigned = assign_cells_arrow(base, cell_model).select("vec_id", "cent_id")
     pq_model = pq_fit_model(emb, iters)
     _check_dense(pq_model)
     codes = pq_encode_arrow(emb, pq_model).select(

@@ -476,7 +476,9 @@ def _ivf_probe(
     driver-side, else broadcast-join) -> queries probe their ``n_probes``
     nearest cells -> exact scoring inside probed cells only."""
     if model is not None:
-        assigned = _assign_inline(base, model).select("vec_id", "v", "cent_id")
+        assigned = assign_cells_arrow(base, model, keep_vec=True).select(
+            "vec_id", "v", "cent_id"
+        )
     else:
         assigned = _assign(base, cents).select("vec_id", "v", "cent_id")
     # queries probe their IVF_PROBES nearest cells
@@ -575,9 +577,10 @@ def kmeans_fit(
     ops (spherical variant: assignment by cosine, like the IVF coarse
     quantizer it trains).
 
-    Per iteration: fold the K driver-side centroids into the assignment
-    projection as literals (:func:`_assign_inline` — a NARROW map, no
-    broadcast exchange, no K-row blow-up, no corpus shuffle), then
+    Per iteration: assign with the Arrow kernel
+    (:func:`assign_cells_arrow`, bit-equal to the literal-fold
+    :func:`_assign_inline` which stays as the oracle-shape reference —
+    a NARROW map, no broadcast exchange, no corpus shuffle), then
     recompute each centroid as the element-wise mean via EMBED_DIM
     codegen'd ``avg(v[i])`` aggregates — the only exchange per iteration,
     carrying at most K x EMBED_DIM doubles after map-side partial
@@ -626,7 +629,10 @@ def kmeans_fit_model(
     ).alias("m")
     for _ in range(iters):
         rows = (
-            _assign_inline(base, model).groupBy("cent_id").agg(mean_vec).collect()
+            assign_cells_arrow(base, model, keep_vec=True)
+            .groupBy("cent_id")
+            .agg(mean_vec)
+            .collect()
         )  # K rows: the model, not the data
         model = sorted(
             (int(r["cent_id"]), [float(x) for x in r["m"]]) for r in rows
@@ -645,7 +651,7 @@ def kmeans_clusters(
     model = kmeans_fit_model(emb, k, iters)
     cents = _model_df(emb.sparkSession, model)
     return (
-        _assign_inline(base, model)
+        assign_cells_arrow(base, model)
         .groupBy("cent_id")
         .agg(
             F.count("*").alias("size"),
@@ -833,7 +839,9 @@ def semantic_dedup(
     """
     base = emb.select("vec_id", _vec_double().alias("v"))
     model = kmeans_fit_model(emb, k, iters)
-    assigned = _assign_inline(base, model).select("vec_id", "v", "cent_id")
+    assigned = assign_cells_arrow(base, model, keep_vec=True).select(
+        "vec_id", "v", "cent_id"
+    )
     a = assigned.select(
         "cent_id", F.col("vec_id").alias("a_id"), F.col("v").alias("va")
     )
@@ -892,19 +900,35 @@ def semantic_dedup_sql(
 
 
 def assign_cells_arrow(
-    base: DataFrame, model: list[tuple[int, list[float]]]
+    base: DataFrame, model: list[tuple[int, list[float]]], keep_vec: bool = False
 ) -> DataFrame:
     """Production twin of :func:`_assign_inline` (same output columns
-    minus the carried vector): the argmax-cosine assignment as numpy
+    minus the carried vector unless ``keep_vec``): the argmax-cosine
+    assignment as numpy
     over Arrow batches — vectorized across rows, SEQUENTIAL across dims,
     so every dot/norm is the identical left-associative IEEE sum and the
     result is bit-equal to the inline path (test-pinned). Use when the
     janino fallback of the K x dim literal projection matters (large
     corpora); the inline path remains the oracle-gated reference.
 
+    ``keep_vec=True`` passes the vector column through the Arrow batch,
+    for consumers (the k-means mean step, IVF probe scans) that need
+    (v, cent_id) together without a join back to the scan.
+
     HALF_UP 6dp is emulated sign-aware (round-half-away-from-zero) since
     cosines can be negative."""
     import numpy as np
+
+    if not model:
+        out = (
+            base.withColumn("cent_id", F.lit(None).cast("bigint"))
+            .withColumn("csim", F.lit(None).cast("double"))
+            .filter(F.lit(False))
+        )
+        cols = ["vec_id", "v", "cent_id", "csim"] if keep_vec else [
+            "vec_id", "cent_id", "csim"
+        ]
+        return out.select(*cols)
 
     # sort by cent_id so the strict-> tie-break resolves to the LOWEST
     # cent_id exactly like _assign_inline's struct order, regardless of
@@ -941,15 +965,21 @@ def assign_cells_arrow(
                     m = csim > best_s  # strict: ties keep the lower cent_id
                     best_s = np.where(m, csim, best_s)
                     best_c = np.where(m, np.int64(cid), best_c)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "cent_id": best_c, "csim": best_s}
-            )
+            out = {"vec_id": pdf["vec_id"]}
+            if keep_vec:
+                out["v"] = pdf["v"]
+            out["cent_id"] = best_c
+            out["csim"] = best_s
+            yield pd.DataFrame(out)
 
     import pandas as pd  # noqa: F811 — late import, closure resolves it
 
-    return base.select("vec_id", "v").mapInPandas(
-        assign, schema="vec_id long, cent_id long, csim double"
+    schema = (
+        "vec_id long, v array<double>, cent_id long, csim double"
+        if keep_vec
+        else "vec_id long, cent_id long, csim double"
     )
+    return base.select("vec_id", "v").mapInPandas(assign, schema=schema)
 
 
 # ----------------------------------------------------- range search

@@ -1057,3 +1057,46 @@ def norm_stats_by_label_sql(src: str = "embeddings") -> str:
                ROUND(AVG(nrm), 4) AS avg_norm
         FROM n GROUP BY label
     """
+
+
+# ------------------------------------------------------- retrieval QA
+def recall_eval(
+    emb: DataFrame, query_ids: list[int], k: int = 5
+) -> DataFrame:
+    """Recall@k of the probed IVF path against the exact scan — the QA
+    number every ANN deployment tracks before trading recall for probe
+    count. Output: (query_id, hits, recall_at_k).
+
+    Plan shape: both sides are tiny (|queries| x k rows), so the compare
+    join and the per-query aggregate are driver-scale no matter the
+    corpus size; the cost is the two retrieval plans themselves, which
+    are the operators under test."""
+    exact = cosine_topk(emb, query_ids, k).select("query_id", "neighbor_id")
+    approx = ivf_topk(emb, query_ids, k).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("hits"),
+            F.round(F.count("hit") / F.lit(float(k)), 4).alias("recall_at_k"),
+        )
+    )
+
+
+def recall_eval_sql(
+    query_ids: list[int], k: int = 5, src: str = "embeddings"
+) -> str:
+    exact = cosine_topk_sql(query_ids, k, src)
+    approx = ivf_topk_sql(query_ids, k, src)
+    return f"""
+        SELECT e.query_id,
+               COUNT(a.neighbor_id) AS hits,
+               ROUND(COUNT(a.neighbor_id) / CAST({k} AS DOUBLE), 4)
+                 AS recall_at_k
+        FROM ({exact}) e
+        LEFT JOIN ({approx}) a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id
+    """

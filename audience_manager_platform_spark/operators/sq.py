@@ -1,0 +1,211 @@
+"""Scalar quantization (SQ8) for embedding columns.
+
+The third quantizer family next to IVF (operators/similarity.py) and PQ
+(operators/pq.py): each of the EMBED_DIM dimensions gets an affine int8
+code ``code = clamp(floor((x - min_d) / scale_d + 0.5), 0, 255)`` with
+``scale_d = (max_d - min_d) / 255`` fitted from one pass over the table.
+This is FAISS's ``ScalarQuantizer(QT_8bit)`` layout re-expressed as Spark
+aggregates + codegen projections; the reference platform has no vector
+surface at all, so the family is part of the LLM-pipeline extension the
+engine adds on top (SURVEY.md §2 extension table).
+
+Scale posture (100 TB):
+- the fit is ONE aggregate job producing EMBED_DIM (min, max) pairs —
+  bounded driver model state (128 doubles), same contract as the k-means
+  centroids and PQ codebooks;
+- encode and ADC scoring are single codegen'd projections over the scan
+  (no shuffle, no Python); the int8 codes are 8x smaller than float64 at
+  rest, which is the point of SQ at this scale;
+- top-k uses the same scan + window pattern as every other ANN entry.
+
+Determinism contract with the DuckDB oracle: min/max are exact, the
+scale division and half-up floor encode are identical double ops on both
+engines, and scores are rounded to 6dp before ranking with a vec_id
+tiebreaker — the same convention the cosine/PQ families use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import EMBED_DIM, _vec_double
+
+SQ_LEVELS = 255  # int8 code range 0..255
+
+
+class SqModel:
+    """Per-dimension affine quantizer: mins[d] + code * scales[d]."""
+
+    def __init__(self, mins: list[float], scales: list[float]):
+        assert len(mins) == EMBED_DIM and len(scales) == EMBED_DIM
+        self.mins = mins
+        self.scales = scales
+
+
+def sq_fit_model(emb: DataFrame) -> SqModel:
+    """One aggregate pass -> EMBED_DIM (min, max) pairs on the driver.
+
+    ``scale = greatest((max-min)/255, 1e-12)`` — the epsilon guards a
+    constant dimension (scale 0 would make decode NaN-free but encode
+    divide-by-zero)."""
+    base = emb.select(_vec_double().alias("v"))
+    aggs = []
+    for d in range(EMBED_DIM):
+        aggs.append(F.min(F.col("v")[d]).alias(f"mn{d}"))
+        aggs.append(F.max(F.col("v")[d]).alias(f"mx{d}"))
+    row = base.agg(*aggs).collect()[0]
+    mins, scales = [], []
+    for d in range(EMBED_DIM):
+        mn, mx = row[f"mn{d}"], row[f"mx{d}"]
+        mins.append(mn)
+        scales.append(max((mx - mn) / SQ_LEVELS, 1e-12))
+    return SqModel(mins, scales)
+
+
+def _code_expr(d: int, model: SqModel, v: str = "v") -> str:
+    """Half-up floor encode, clamped to 0..255 (same floor(x+0.5) trick
+    as the PQ Arrow kernel — engine-independent, unlike HALF_EVEN)."""
+    mn, sc = repr(model.mins[d]), repr(model.scales[d])
+    return (
+        f"least(greatest(cast(floor(({v}[{d}] - {mn}) / {sc} + 0.5d) as int),"
+        f" 0), {SQ_LEVELS})"
+    )
+
+
+def sq_encode(emb: DataFrame, model: SqModel) -> DataFrame:
+    """(vec_id, codes array<int>) — one codegen projection, no shuffle."""
+    codes = F.expr(
+        "array(" + ", ".join(_code_expr(d, model) for d in range(EMBED_DIM)) + ")"
+    )
+    return emb.select(
+        "vec_id", _vec_double().alias("v")
+    ).select("vec_id", codes.alias("codes"))
+
+
+def sq_code_stats(emb: DataFrame) -> DataFrame:
+    """Per-dimension quantizer profile: scale, mean absolute
+    reconstruction error, and the number of distinct codes in use.
+    This is the QA table an embedding pipeline checks before committing
+    to an 8x-compressed index (outlier dims show up as fat scales and
+    sparse code occupancy)."""
+    model = sq_fit_model(emb)
+    enc = sq_encode(emb, SqModel(model.mins, model.scales))
+    base = emb.select("vec_id", _vec_double().alias("v")).join(enc, "vec_id")
+    rows = []
+    for d in range(EMBED_DIM):
+        mn, sc = repr(model.mins[d]), repr(model.scales[d])
+        rec = f"({mn} + cast(codes[{d}] as double) * {sc})"
+        rows.append(
+            F.struct(
+                F.lit(d).alias("dim"),
+                F.round(F.lit(model.scales[d]), 9).alias("scale"),
+                F.round(F.avg(F.expr(f"abs(v[{d}] - {rec})")), 9).alias(
+                    "avg_abs_err"
+                ),
+                F.expr(f"count(distinct codes[{d}])").alias("codes_used"),
+            ).alias(f"s{d}")
+        )
+    one = base.agg(*rows)
+    stacked = one.select(
+        F.explode(F.array(*[F.col(f"s{d}") for d in range(EMBED_DIM)])).alias("s")
+    )
+    return stacked.select("s.dim", "s.scale", "s.avg_abs_err", "s.codes_used")
+
+
+def sq_adc_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 5
+) -> DataFrame:
+    """Asymmetric top-k: full-precision queries against decoded int8
+    codes. score = sum_d q[d] * (min_d + code_d * scale_d), rounded 6dp,
+    ranked (score desc, vec_id asc). The decode folds into the dot
+    product as one codegen expression — the scan reads only the codes
+    column at deployment (codes are what a 100 TB index stores)."""
+    model = sq_fit_model(emb)
+    enc = sq_encode(emb, model)
+    queries = (
+        emb.filter(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"), _vec_double().alias("q"))
+    )
+    dot = F.expr(
+        " + ".join(
+            f"q[{d}] * ({model.mins[d]!r} + cast(codes[{d}] as double)"
+            f" * {model.scales[d]!r})"
+            for d in range(EMBED_DIM)
+        )
+    )
+    scored = enc.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(dot, 6).alias("adc_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+# ------------------------------------------------------------ SQL twins
+def _sq_ctes(src: str = "embeddings") -> str:
+    """Shared CTE prefix: fit per-dim (min, scale) then encode. DuckDB
+    lists are 1-indexed; ``dim`` is normalized to 0-based to match the
+    Spark array indexing in the output."""
+    return f"""
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src}),
+        dims AS (
+          SELECT dim - 1 AS dim, MIN(x) AS mn,
+                 GREATEST((MAX(x) - MIN(x)) / {SQ_LEVELS}, 1e-12) AS scale
+          FROM (
+            SELECT UNNEST(v) AS x, generate_subscripts(v, 1) AS dim FROM e
+          ) ux GROUP BY 1
+        ),
+        enc AS (
+          SELECT e.vec_id, d.dim, d.mn, d.scale,
+                 LEAST(GREATEST(CAST(FLOOR((e.v[d.dim + 1] - d.mn) / d.scale
+                       + 0.5) AS INT), 0), {SQ_LEVELS}) AS code
+          FROM e CROSS JOIN dims d
+        )"""
+
+
+def sq_code_stats_sql(src: str = "embeddings") -> str:
+    return f"""
+        WITH {_sq_ctes(src)}
+        SELECT en.dim,
+               ROUND(MAX(en.scale), 9) AS scale,
+               ROUND(AVG(ABS(e.v[en.dim + 1]
+                     - (en.mn + CAST(en.code AS DOUBLE) * en.scale))), 9)
+                 AS avg_abs_err,
+               COUNT(DISTINCT en.code) AS codes_used
+        FROM enc en JOIN e ON e.vec_id = en.vec_id
+        GROUP BY en.dim
+    """
+
+
+def sq_adc_topk_sql(
+    query_ids: list[int], k: int = 5, src: str = "embeddings"
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+        WITH {_sq_ctes(src)},
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e
+              WHERE vec_id IN ({ids})),
+        scored AS (
+          SELECT q.query_id, en.vec_id AS neighbor_id,
+                 ROUND(SUM(q.qv[en.dim + 1]
+                       * (en.mn + CAST(en.code AS DOUBLE) * en.scale)), 6)
+                   AS adc_score
+          FROM enc en CROSS JOIN q
+          WHERE en.vec_id != q.query_id
+          GROUP BY q.query_id, en.vec_id
+        )
+        SELECT query_id, neighbor_id, adc_score, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY adc_score DESC, neighbor_id ASC) AS rank
+          FROM scored
+        ) r WHERE rank <= {k}
+    """

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from ..operators import pq as PQ
 from ..operators import similarity as S
+from ..operators import sq as SQ
 from ..sources import load_table
 
 _QUERY_IDS = [0, 1, 2, 3, 4]
@@ -52,6 +53,14 @@ QUERIES = {
         _emb(s, d), _QUERY_IDS, threshold=0.3
     ),
     "emb_norm_stats_by_label": lambda s, d: S.norm_stats_by_label(_emb(s, d)),
+    # r4: scalar quantization (SQ8) — the third quantizer family next to
+    # IVF and PQ; fit = one agg pass, encode/ADC = codegen projections
+    "sq_code_stats": lambda s, d: SQ.sq_code_stats(_emb(s, d)),
+    "ann_sq_adc_topk": lambda s, d: SQ.sq_adc_topk(_emb(s, d), _QUERY_IDS, k=5),
+    # r4: retrieval QA — recall@k of the probed IVF path vs the exact scan
+    "ann_recall_ivf_vs_exact": lambda s, d: S.recall_eval(
+        _emb(s, d), _QUERY_IDS, k=5
+    ),
 }
 
 ORACLES = {
@@ -74,4 +83,7 @@ ORACLES = {
         _QUERY_IDS, threshold=0.3
     ),
     "emb_norm_stats_by_label": S.norm_stats_by_label_sql(),
+    "sq_code_stats": SQ.sq_code_stats_sql(),
+    "ann_sq_adc_topk": SQ.sq_adc_topk_sql(_QUERY_IDS, k=5),
+    "ann_recall_ivf_vs_exact": S.recall_eval_sql(_QUERY_IDS, k=5),
 }

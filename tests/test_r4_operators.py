@@ -175,3 +175,66 @@ def test_basket_pairs_count_orders_not_lines(spark):
     got = [(r.brand_a, r.brand_b, r.n_orders) for r in
            basket_brand_pairs(li, part).collect()]
     assert got == [("A", "B", 2)]
+
+
+# ---------------------------------------------------- scalar quantization
+def _emb_df(spark, vecs):
+    from audience_manager_platform_spark.operators.similarity import EMBED_DIM
+
+    rows = []
+    for i, v in enumerate(vecs):
+        full = (list(v) + [0.0] * EMBED_DIM)[:EMBED_DIM]
+        rows.append((i, [float(x) for x in full], "a"))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+
+
+def test_sq_encode_roundtrip_error_bounded_by_half_scale(spark):
+    from audience_manager_platform_spark.operators import sq as Q
+
+    emb = _emb_df(spark, [[0.0, 1.0], [0.5, -1.0], [1.0, 0.25], [0.125, 3.0]])
+    model = Q.sq_fit_model(emb)
+    enc = {r.vec_id: r.codes for r in Q.sq_encode(emb, model).collect()}
+    raw = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    for vid, codes in enc.items():
+        assert all(0 <= c <= 255 for c in codes)
+        for d, c in enumerate(codes):
+            rec = model.mins[d] + c * model.scales[d]
+            # half-up rounding bounds reconstruction error by scale/2
+            assert abs(rec - raw[vid][d]) <= model.scales[d] / 2 + 1e-9
+
+
+def test_sq_constant_dim_uses_epsilon_scale(spark):
+    from audience_manager_platform_spark.operators import sq as Q
+
+    emb = _emb_df(spark, [[1.0, 7.5], [2.0, 7.5], [3.0, 7.5]])
+    model = Q.sq_fit_model(emb)
+    assert model.scales[1] == 1e-12  # constant dim -> epsilon guard
+    codes = {r.vec_id: r.codes for r in Q.sq_encode(emb, model).collect()}
+    # constant dim encodes to 0 everywhere (x - min == 0)
+    assert all(c[1] == 0 for c in codes.values())
+
+
+def test_sq_adc_agrees_with_exact_on_well_separated_vectors(spark):
+    from audience_manager_platform_spark.operators import sq as Q
+
+    # orthogonal-ish vectors: quantization noise can't flip the ranking
+    emb = _emb_df(
+        spark,
+        [[10.0, 0.0, 0.0], [9.0, 1.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]],
+    )
+    got = Q.sq_adc_topk(emb, [0], k=1).collect()
+    assert [(r.query_id, r.neighbor_id) for r in got] == [(0, 1)]
+
+
+def test_recall_eval_bounds_and_exact_self_recall(spark, sf_dir):
+    from audience_manager_platform_spark.operators.similarity import recall_eval
+    from audience_manager_platform_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = recall_eval(emb, [0, 1, 2], k=3).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 0 <= r.hits <= 3
+        assert abs(r.recall_at_k - r.hits / 3.0) < 1e-9

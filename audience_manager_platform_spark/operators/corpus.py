@@ -515,3 +515,115 @@ def quality_bins_sql(src: str = "documents", bins: int = N_QUALITY_BINS) -> str:
                  AS quality_bin
         FROM qs, th
     """
+
+
+# --------------------------------------- bloom-prefilter decontamination
+BLOOM_M_BITS = 1 << 20
+BLOOM_K = 5
+
+
+def _bloom_positions(gram: str, m_bits: int, k: int) -> list[int]:
+    """k double-hashed bit positions (crc32 + odd adler32 stride) —
+    deterministic across processes, no PYTHONHASHSEED dependence."""
+    import zlib
+
+    b = gram.encode("utf-8")
+    h1 = zlib.crc32(b)
+    h2 = zlib.adler32(b) | 1  # odd stride so it cycles the whole table
+    return [(h1 + i * h2) % m_bits for i in range(k)]
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    m_bits: int = BLOOM_M_BITS,
+    k_hashes: int = BLOOM_K,
+) -> DataFrame:
+    """:func:`decontaminate` with a Bloom prefilter on the corpus side —
+    IDENTICAL output (the exact confirm join removes every bloom false
+    positive), different 100 TB posture.
+
+    The exact path broadcasts the benchmark gram set as a hash relation:
+    fine while the benchmark fits an executor's memory, dead at a
+    100M-gram benchmark suite (multi-GB hash table per executor). The
+    bloom bitmap costs m_bits/8 bytes TOTAL (128 KiB at the default)
+    no matter the gram count, so the broadcast always fits; corpus grams
+    that miss the bitmap — the overwhelming majority — are dropped in the
+    narrow map stage, and only the surviving fraction (true matches + the
+    ~(1-e^{-kn/m})^k false-positive rate) pays the exact confirm join,
+    which therefore shuffles survivors, not the corpus.
+
+    Build is distributed: each benchmark partition ORs its grams into a
+    local bitmap (mapInPandas, one binary row per partition); the driver
+    ORs the partition bitmaps — bounded driver state, same contract as
+    the k-means/PQ/SQ model collects."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.ml.feature import NGram
+
+    def grams_of(df: DataFrame) -> DataFrame:
+        toked = df.select("doc_id", tokens_col("text").alias("toks"))
+        g = NGram(n=n, inputCol="toks", outputCol="grams").transform(toked)
+        return g.select(
+            "doc_id", F.explode(F.array_distinct("grams")).alias("gram")
+        )
+
+    bench_grams = grams_of(benchmark).select("gram").distinct()
+    corpus_grams = grams_of(docs)
+
+    def build(batches):
+        bm = np.zeros(m_bits // 8, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            for gram in pdf["gram"]:
+                any_rows = True
+                for pos in _bloom_positions(gram, m_bits, k_hashes):
+                    bm[pos >> 3] |= np.uint8(1 << (pos & 7))
+        if any_rows:
+            yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    parts = bench_grams.mapInPandas(build, "bm binary").collect()
+    merged = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in parts:
+        merged |= np.frombuffer(row["bm"], dtype=np.uint8)
+    bc = docs.sparkSession.sparkContext.broadcast(merged.tobytes())
+
+    def member_filter(batches):
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep = []
+            for gram in pdf["gram"]:
+                hit = True
+                for pos in _bloom_positions(gram, m_bits, k_hashes):
+                    if not (bm[pos >> 3] >> (pos & 7)) & 1:
+                        hit = False
+                        break
+                keep.append(hit)
+            out = pdf[pd.Series(keep, index=pdf.index)]
+            if len(out):
+                yield out
+
+    surviving = corpus_grams.mapInPandas(
+        member_filter, schema="doc_id long, gram string"
+    )
+    # exact confirm: NO broadcast hint — the point is that survivors are
+    # few enough to shuffle even when the benchmark can't be a hash
+    # relation (AQE still may pick broadcast at small scale; that's fine)
+    shared = (
+        surviving.join(bench_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -80,6 +80,12 @@ QUERIES = {
     "corpus_decontaminate": lambda s, d: C.decontaminate(
         _docs(s, d), _docs(s, d).filter(F.col("doc_id") % 50 == 0)
     ),
+    # r4: same semantics, bloom-prefilter posture (128 KiB broadcast
+    # bitmap instead of a benchmark-sized hash relation; exact confirm
+    # join removes every false positive, so the oracle is the exact one)
+    "corpus_bloom_decontaminate": lambda s, d: C.bloom_decontaminate(
+        _docs(s, d), _docs(s, d).filter(F.col("doc_id") % 50 == 0)
+    ),
     "corpus_shuffle_shards": lambda s, d: C.shuffle_shards(_docs(s, d)),
     "corpus_mixture_weights": lambda s, d: C.mixture_weights(_docs(s, d)),
     "corpus_quality_bins": lambda s, d: C.quality_bins(_docs(s, d)),
@@ -126,6 +132,7 @@ ORACLES = {
     "corpus_split_assign": C.split_assign_sql(),
     "corpus_pack_sequences": C.pack_sequences_sql(),
     "corpus_decontaminate": C.decontaminate_sql(),
+    "corpus_bloom_decontaminate": C.decontaminate_sql(),
     "corpus_shuffle_shards": C.shuffle_shards_sql(),
     "corpus_mixture_weights": C.mixture_weights_sql(),
     "corpus_quality_bins": C.quality_bins_sql(),

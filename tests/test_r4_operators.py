@@ -238,3 +238,56 @@ def test_recall_eval_bounds_and_exact_self_recall(spark, sf_dir):
     for r in rows:
         assert 0 <= r.hits <= 3
         assert abs(r.recall_at_k - r.hits / 3.0) < 1e-9
+
+
+# ------------------------------------------- bloom-prefilter decontamination
+def test_bloom_decontaminate_matches_exact_path(spark):
+    from audience_manager_platform_spark.operators.corpus import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    corpus = _docs(
+        spark,
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "totally unrelated content with no shared phrases here",
+            "quick brown fox appears in this one too somewhere",
+            "short",
+        ],
+    )
+    bench = _docs(spark, ["watch the quick brown fox jumps high"])
+    exact = sorted(
+        (r.doc_id, r.n_shared_grams, r.contaminated)
+        for r in decontaminate(corpus, bench).collect()
+    )
+    bloom = sorted(
+        (r.doc_id, r.n_shared_grams, r.contaminated)
+        for r in bloom_decontaminate(corpus, bench).collect()
+    )
+    assert bloom == exact
+    assert any(c for _, _, c in bloom)  # at least one contaminated doc
+
+
+def test_bloom_decontaminate_tiny_filter_still_exact(spark):
+    # a deliberately saturated 64-bit bloom: every gram collides, so the
+    # prefilter passes ~everything and correctness rests on the confirm
+    # join — output must STILL equal the exact path
+    from audience_manager_platform_spark.operators.corpus import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    corpus = _docs(
+        spark,
+        ["alpha beta gamma delta epsilon", "one two three four five six"],
+    )
+    bench = _docs(spark, ["gamma delta epsilon zeta eta"])
+    exact = sorted(
+        tuple(r) for r in decontaminate(corpus, bench).collect()
+    )
+    bloom = sorted(
+        tuple(r)
+        for r in bloom_decontaminate(corpus, bench, m_bits=64, k_hashes=2).collect()
+    )
+    assert bloom == exact

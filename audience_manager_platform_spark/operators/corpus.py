@@ -627,3 +627,39 @@ def bloom_decontaminate(
             (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# ------------------------------------------------------- per-source caps
+def source_cap(docs: DataFrame, cap: int = 100) -> DataFrame:
+    """Cap documents per source — the per-domain quota every web-corpus
+    pipeline applies so one prolific host can't dominate the training
+    mix. Keeps the ``cap`` highest-value docs per source (value proxy:
+    n_chars desc, doc_id asc as the deterministic tiebreak) and returns
+    every doc with its rank and kept flag, so downstream can filter or
+    audit the drop.
+
+    Shape at scale: one shuffle keyed on source + a per-source window.
+    A skewed mega-source serializes its own partition only; if one host
+    is a double-digit fraction of the corpus the salting pattern from
+    operators/skew.py applies, but at web-scale source cardinality the
+    planner's hash partitioning spreads fine."""
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).alias("source_rank"),
+    ).withColumn("kept", F.col("source_rank") <= cap)
+
+
+def source_cap_sql(src: str = "documents", cap: int = 100) -> str:
+    return f"""
+        SELECT doc_id, source, source_rank, source_rank <= {cap} AS kept
+        FROM (
+          SELECT doc_id, source, ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY n_chars DESC, doc_id ASC)
+            AS source_rank
+          FROM {src}
+        ) r
+    """

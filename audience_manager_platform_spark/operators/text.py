@@ -749,3 +749,92 @@ def oov_rate_bands_sql(
                CAST(SUM(n_oov) AS BIGINT) AS total_oov
         FROM per_doc GROUP BY 1
     """
+
+
+# -------------------------------------------------------- inverted index
+def inverted_postings(
+    docs: DataFrame, k: int = 25, sample: int = 5
+) -> DataFrame:
+    """Top-k vocabulary terms by document frequency, each with its first
+    ``sample`` posting doc_ids — the seed table for a distributed
+    inverted index (the BM25/keyword-retrieval counterpart to the ANN
+    family).
+
+    Shape at scale: distinct (doc_id, term) [1 shuffle with map-side
+    combine] feeds BOTH the df count and the posting sample; the sample
+    is a per-term window top-N over doc_id, so no full posting list is
+    ever collected into one aggregation buffer (a stopword's postings at
+    100 TB are millions of ids — ``collect_list`` there would OOM the
+    executor; the window keeps state at ``sample`` rows). Postings are
+    emitted as a comma-joined string so the oracle hash is
+    representation-stable.
+
+    Ranking: (df desc, term asc) — total order."""
+    from pyspark.sql import Window
+
+    from .partitioning import spread
+
+    dt = (
+        spread(docs)
+        .select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .distinct()
+    )
+    df_t = dt.groupBy("term").agg(F.count("*").alias("df"))
+    # top-k terms via distributed TakeOrdered (orderBy+limit — never a
+    # vocab-wide single-partition window); the k-row result then gets its
+    # dense rank from a window that only ever sees k rows
+    wk = Window.orderBy(F.desc("df"), F.asc("term"))
+    top = (
+        df_t.orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(wk))
+    )
+    # posting samples computed ONLY for the surviving k terms (broadcast
+    # semi-join gates the per-term window)
+    w = Window.partitionBy("term").orderBy(F.asc("doc_id"))
+    postings = (
+        dt.join(F.broadcast(top.select("term")), "term", "left_semi")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= sample)
+        .groupBy("term")
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.col("doc_id")))
+            ).alias("top_doc_ids")
+        )
+    )
+    return top.join(postings, "term").select(
+        "rank", "term", "df", "top_doc_ids"
+    )
+
+
+def inverted_postings_sql(
+    src: str = "documents", k: int = 25, sample: int = 5
+) -> str:
+    t = tokens_sql("text")
+    return f"""
+        WITH dt AS (
+          SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, UNNEST({t}) AS term FROM {src}
+          ) u
+        ),
+        df_t AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY term),
+        sampled AS (
+          SELECT term, doc_id FROM (
+            SELECT term, doc_id, ROW_NUMBER() OVER (
+              PARTITION BY term ORDER BY doc_id ASC) AS rn
+            FROM dt
+          ) x WHERE rn <= {sample}
+        ),
+        postings AS (
+          SELECT term,
+                 STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id ASC)
+                   AS top_doc_ids
+          FROM sampled GROUP BY term
+        )
+        SELECT rank, term, df, top_doc_ids FROM (
+          SELECT d.term, d.df, p.top_doc_ids, ROW_NUMBER() OVER (
+            ORDER BY d.df DESC, d.term ASC) AS rank
+          FROM df_t d JOIN postings p USING (term)
+        ) r WHERE rank <= {k}
+    """

@@ -169,3 +169,92 @@ def validate_table_sql(src: str, constraints: Sequence[tuple]) -> str:
         WITH s AS (SELECT {", ".join(aggs)} FROM {src})
         {union}
     """
+
+
+# ------------------------------------------------------- table profiling
+def table_profile(df: DataFrame, columns: Sequence[tuple[str, str]]) -> DataFrame:
+    """ANALYZE-style column profile: per column, row count, null count,
+    exact distinct count, and min/max (numeric columns in *_num, string
+    columns in *_str — never a cross-engine float-to-string render).
+
+    ``columns`` is a list of (name, kind) with kind in {"num", "str"};
+    numeric columns are cast to double for the min/max so int and double
+    columns share one schema.
+
+    One aggregate job regardless of column count (every stat is a column
+    of the same agg — a single scan), then an explode to rows. Exact NDV
+    is the oracle-checkable choice; the approx_count_distinct variant for
+    100 TB profiling is the ``approx_distinct_users`` pattern
+    (operators/skew.py) with no shape change."""
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    for name, kind in columns:
+        c = F.col(name)
+        aggs.append(F.count(c).alias(f"_nn_{name}"))
+        aggs.append(F.countDistinct(c).alias(f"_ndv_{name}"))
+        if kind == "num":
+            aggs.append(F.min(c.cast("double")).alias(f"_min_{name}"))
+            aggs.append(F.max(c.cast("double")).alias(f"_max_{name}"))
+        else:
+            aggs.append(F.min(c).alias(f"_min_{name}"))
+            aggs.append(F.max(c).alias(f"_max_{name}"))
+    one = df.agg(*aggs)
+    structs = []
+    for name, kind in columns:
+        is_num = kind == "num"
+        structs.append(
+            F.struct(
+                F.lit(name).alias("col_name"),
+                (F.col("_n_rows") - F.col(f"_nn_{name}")).alias("n_nulls"),
+                F.col(f"_ndv_{name}").alias("ndv"),
+                (
+                    F.col(f"_min_{name}")
+                    if is_num
+                    else F.lit(None).cast("double")
+                ).alias("min_num"),
+                (
+                    F.col(f"_max_{name}")
+                    if is_num
+                    else F.lit(None).cast("double")
+                ).alias("max_num"),
+                (
+                    F.lit(None).cast("string")
+                    if is_num
+                    else F.col(f"_min_{name}")
+                ).alias("min_str"),
+                (
+                    F.lit(None).cast("string")
+                    if is_num
+                    else F.col(f"_max_{name}")
+                ).alias("max_str"),
+            )
+        )
+    return one.select(F.explode(F.array(*structs)).alias("s")).select(
+        "s.col_name", "s.n_nulls", "s.ndv", "s.min_num", "s.max_num",
+        "s.min_str", "s.max_str",
+    )
+
+
+def table_profile_sql(src: str, columns: Sequence[tuple[str, str]]) -> str:
+    parts = []
+    for name, kind in columns:
+        if kind == "num":
+            mn = f"CAST(MIN(CAST({name} AS DOUBLE)) AS DOUBLE)"
+            mx = f"CAST(MAX(CAST({name} AS DOUBLE)) AS DOUBLE)"
+            ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+            parts.append(
+                f"SELECT '{name}' AS col_name,"
+                f" COUNT(*) - COUNT({name}) AS n_nulls,"
+                f" COUNT(DISTINCT {name}) AS ndv,"
+                f" {mn} AS min_num, {mx} AS max_num,"
+                f" {ms} AS min_str, {xs} AS max_str FROM {src}"
+            )
+        else:
+            parts.append(
+                f"SELECT '{name}' AS col_name,"
+                f" COUNT(*) - COUNT({name}) AS n_nulls,"
+                f" COUNT(DISTINCT {name}) AS ndv,"
+                f" CAST(NULL AS DOUBLE) AS min_num,"
+                f" CAST(NULL AS DOUBLE) AS max_num,"
+                f" MIN({name}) AS min_str, MAX({name}) AS max_str FROM {src}"
+            )
+    return " UNION ALL ".join(parts)

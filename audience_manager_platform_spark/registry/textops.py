@@ -35,6 +35,10 @@ QUERIES = {
     "text_pii_scrub": lambda s, d: T.pii_scrub(_docs(s, d)),
     "corpus_chunk_tokens": lambda s, d: T.chunk_tokens(_docs(s, d)),
     "corpus_bigram_topk": lambda s, d: T.bigram_topk(_docs(s, d), k=50),
+    # r4: inverted-index seed (keyword-retrieval counterpart to ANN)
+    "text_inverted_postings": lambda s, d: T.inverted_postings(_docs(s, d)),
+    # r4: per-source quota (the per-domain cap of web-corpus curation)
+    "corpus_source_cap": lambda s, d: C.source_cap(_docs(s, d), cap=100),
     "text_length_bands": lambda s, d: T.length_bands(_docs(s, d)),
     "text_oov_rate_bands": lambda s, d: T.oov_rate_bands(_docs(s, d)),
     "dedup_exact": lambda s, d: D.exact_dedup(_docs(s, d)),
@@ -103,6 +107,8 @@ ORACLES = {
     "text_pii_scrub": T.pii_scrub_sql(),
     "corpus_chunk_tokens": T.chunk_tokens_sql(),
     "corpus_bigram_topk": T.bigram_topk_sql(k=50),
+    "text_inverted_postings": T.inverted_postings_sql(),
+    "corpus_source_cap": C.source_cap_sql(cap=100),
     "text_length_bands": T.length_bands_sql(),
     "text_oov_rate_bands": T.oov_rate_bands_sql(),
     "dedup_exact": D.exact_dedup_sql(),

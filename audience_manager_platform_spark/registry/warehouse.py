@@ -35,7 +35,23 @@ from ..operators.reconcile import (
     table_diff_sql,
 )
 from ..operators.skew import heavy_hitters, heavy_hitters_sql
-from ..operators.validation import validate_table, validate_table_sql
+from ..operators.validation import (
+    table_profile,
+    table_profile_sql,
+    validate_table,
+    validate_table_sql,
+)
+
+# (name, kind) pairs for the events profile; ts stays out (timestamp
+# min/max would need a cross-engine render), props is profiled as a
+# raw string
+PROFILE_COLS = [
+    ("event_id", "num"),
+    ("user_id", "num"),
+    ("event_type", "str"),
+    ("value", "num"),
+    ("props", "str"),
+]
 from ..sources import load_table
 
 # per-stratum sampling rates over the events fixture: downsample the
@@ -175,6 +191,11 @@ QUERIES = {
     "validate_events_expectations": lambda s, d: validate_table(
         _events(s, d), EXPECTATIONS
     ),
+    # r4: ANALYZE-style column profile (exact NDV at gate scale; the
+    # approx_count_distinct swap is the 100 TB variant, same shape)
+    "table_profile_events": lambda s, d: table_profile(
+        _events(s, d), PROFILE_COLS
+    ),
     # r3: vertex-centric compute over warehouse-derived edges
     "pagerank_customer_supplier": pagerank_customer_supplier,
     # r4: degree distribution — the hub/skew diagnostic on the same graph
@@ -220,6 +241,7 @@ ORACLES = {
     ),
     "scd2_incremental_stream": MG.scd2_history_sql(),
     "validate_events_expectations": validate_table_sql("events", EXPECTATIONS),
+    "table_profile_events": table_profile_sql("events", PROFILE_COLS),
     "pagerank_customer_supplier": pagerank_sql(),
     "graph_degree_histogram": degree_histogram_sql(),
     "sample_weighted_events": C.weighted_priority_sample_sql(

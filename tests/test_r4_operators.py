@@ -291,3 +291,59 @@ def test_bloom_decontaminate_tiny_filter_still_exact(spark):
         for r in bloom_decontaminate(corpus, bench, m_bits=64, k_hashes=2).collect()
     )
     assert bloom == exact
+
+
+# --------------------------------- inverted index / source cap / profile
+def test_inverted_postings_df_and_sample(spark):
+    from audience_manager_platform_spark.operators.text import inverted_postings
+
+    docs = _docs(
+        spark,
+        [
+            "apple banana cherry",
+            "apple banana",
+            "apple date elderberry",
+            "fig grape",
+        ],
+    )
+    rows = {r.term: r for r in inverted_postings(docs, k=3, sample=2).collect()}
+    assert rows["apple"].df == 3 and rows["apple"].rank == 1
+    assert rows["apple"].top_doc_ids == "0,1"  # sample=2 lowest doc_ids
+    assert rows["banana"].df == 2
+    assert len(rows) == 3  # k=3
+
+
+def test_source_cap_keeps_top_by_chars(spark):
+    from audience_manager_platform_spark.operators.corpus import source_cap
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aaaa", "en", "s1", 4),
+            (1, "aaa", "en", "s1", 3),
+            (2, "aa", "en", "s1", 2),
+            (3, "bbbbb", "en", "s2", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.doc_id: (r.source_rank, r.kept) for r in source_cap(docs, cap=2).collect()}
+    assert got[0] == (1, True) and got[1] == (2, True)
+    assert got[2] == (3, False)  # over the s1 cap
+    assert got[3] == (1, True)
+
+
+def test_table_profile_stats(spark):
+    from audience_manager_platform_spark.operators.validation import table_profile
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "x"), (2, None, "y"), (3, 4.5, None), (4, 4.5, "y")],
+        "id long, v double, s string",
+    )
+    rows = {r.col_name: r for r in table_profile(
+        df, [("id", "num"), ("v", "num"), ("s", "str")]
+    ).collect()}
+    assert rows["id"].n_nulls == 0 and rows["id"].ndv == 4
+    assert rows["id"].min_num == 1.0 and rows["id"].max_num == 4.0
+    assert rows["v"].n_nulls == 1 and rows["v"].ndv == 2
+    assert rows["s"].n_nulls == 1 and rows["s"].ndv == 2
+    assert rows["s"].min_str == "x" and rows["s"].max_str == "y"
+    assert rows["s"].min_num is None

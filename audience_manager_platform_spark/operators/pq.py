@@ -252,12 +252,18 @@ def _d2_terms_sql(j: int, v: str, m: str) -> str:
 
 
 def _pq_ctes(
-    iters: int = PQ_ITERS, src: str = "embeddings", include_e: bool = True
+    iters: int = PQ_ITERS,
+    src: str = "embeddings",
+    include_e: bool = True,
+    base: str = "e",
 ) -> str:
     """CTE chain replicating :func:`pq_fit_model` + :func:`pq_encode`:
     seeds -> per-iteration (assign, means) per subspace -> final codes.
     ``include_e=False`` composes with another chain that already defines
-    the ``e`` base relation (identically)."""
+    the ``e`` base relation (identically). ``base`` names the relation
+    the codebooks train on and the codes encode — (vec_id, v DOUBLE[]) —
+    so the residual IVF-PQ twin can point the whole chain at the
+    residual table instead of the raw vectors."""
     parts = (
         [f"e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src})"]
         if include_e
@@ -267,24 +273,24 @@ def _pq_ctes(
         parts.append(
             f"cb{j}_0 AS (SELECT vec_id AS code, "
             f"v[{j * SUB_DIM + 1}:{(j + 1) * SUB_DIM}] AS m "
-            f"FROM e WHERE vec_id < {PQ_K})"
+            f"FROM {base} WHERE vec_id < {PQ_K})"
         )
     for it in range(iters):
         for j in range(PQ_M):
-            terms = _d2_terms_sql(j, "e.v", "cb.m")
+            terms = _d2_terms_sql(j, f"{base}.v", "cb.m")
             means = ", ".join(
                 f"ROUND(AVG(s[{i + 1}]), 6)" for i in range(SUB_DIM)
             )
             parts.append(
                 f"""asg{j}_{it} AS (
               SELECT vec_id, s, code FROM (
-                SELECT e.vec_id,
-                       e.v[{j * SUB_DIM + 1}:{(j + 1) * SUB_DIM}] AS s,
+                SELECT {base}.vec_id,
+                       {base}.v[{j * SUB_DIM + 1}:{(j + 1) * SUB_DIM}] AS s,
                        cb.code,
                        ROW_NUMBER() OVER (
-                         PARTITION BY e.vec_id
+                         PARTITION BY {base}.vec_id
                          ORDER BY ROUND({terms}, 6) ASC, cb.code ASC) AS rn
-                FROM e CROSS JOIN cb{j}_{it} cb
+                FROM {base} CROSS JOIN cb{j}_{it} cb
               ) x WHERE rn = 1
             )"""
             )
@@ -293,15 +299,15 @@ def _pq_ctes(
                 f"FROM asg{j}_{it} GROUP BY code)"
             )
     for j in range(PQ_M):
-        terms = _d2_terms_sql(j, "e.v", "cb.m")
+        terms = _d2_terms_sql(j, f"{base}.v", "cb.m")
         parts.append(
             f"""codes{j} AS (
           SELECT vec_id, code AS c{j}, d2 AS d{j} FROM (
-            SELECT e.vec_id, cb.code, ROUND({terms}, 6) AS d2,
+            SELECT {base}.vec_id, cb.code, ROUND({terms}, 6) AS d2,
                    ROW_NUMBER() OVER (
-                     PARTITION BY e.vec_id
+                     PARTITION BY {base}.vec_id
                      ORDER BY ROUND({terms}, 6) ASC, cb.code ASC) AS rn
-            FROM e CROSS JOIN cb{j}_{iters} cb
+            FROM {base} CROSS JOIN cb{j}_{iters} cb
           ) x WHERE rn = 1
         )"""
         )
@@ -689,3 +695,249 @@ def _stacked_arrow(emb: DataFrame, model: Model, with_vec: bool) -> DataFrame:
     return emb.select("vec_id", _vec_double().alias("v")).mapInPandas(
         gen, schema=schema
     )
+
+
+# ---------------------------------------------------- residual IVF-PQ
+def residuals_arrow(
+    assigned: DataFrame, cell_model: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """(vec_id, v, cent_id) -> (vec_id, cent_id, embedding=v - centroid).
+
+    The residual subtraction is elementwise double arithmetic — exact,
+    no rounding, identical on every engine — vectorized over Arrow
+    batches. Centroids are the 6dp-rounded model literals, so both
+    engines subtract the same constants."""
+    import numpy as np
+    import pandas as pd
+
+    cents = {cid: np.array(cv, dtype=np.float64) for cid, cv in cell_model}
+
+    def sub(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["v"].to_numpy())
+            cids = pdf["cent_id"].to_numpy()
+            out = np.empty_like(X)
+            for cid in np.unique(cids):
+                m = cids == cid
+                out[m] = X[m] - cents[int(cid)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cent_id": pdf["cent_id"],
+                    "embedding": list(out),
+                }
+            )
+
+    return assigned.select("vec_id", "v", "cent_id").mapInPandas(
+        sub, schema="vec_id long, cent_id long, embedding array<double>"
+    )
+
+
+def ivfpq_residual_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_probes: int | None = None,
+    n_cells: int | None = None,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """FAISS-exact IVFPQ: PQ codebooks trained on the RESIDUALS
+    ``v - centroid(cell(v))`` (Jégou et al. §IV.B), closing the
+    documented deviation in :func:`ivfpq_topk` (which quantizes raw
+    vectors). Residuals concentrate around the origin, so the same
+    M x K codebook budget spends its codewords on a tighter
+    distribution — better recall per byte, which is why deployed IVFPQ
+    always encodes residuals.
+
+    Query side: for each probed cell the query's OWN residual
+    ``q - centroid`` builds that cell's ADC LUT — per (query, cell)
+    constants folded into one CASE projection, the same
+    driver-bounded-model contract as every quantizer here.
+
+    Plan shape: k-means fit + assignment (Arrow kernels, narrow), one
+    residual map, PQ fit over residuals (stacked aggregate), encode
+    (narrow), then broadcast(probes) ⋈ assigned ⋈ codes and a top-k
+    window — the only wide ops are the cent_id candidate join and the
+    final window, identical to the raw-vector layout."""
+    from .similarity import (
+        IVF_PROBES,
+        KMEANS_K,
+        _model_df,
+        assign_cells_arrow,
+        kmeans_fit_model,
+    )
+    from ..functions import cosine_similarity
+
+    from .partitioning import materialize
+
+    n_probes = IVF_PROBES if n_probes is None else n_probes
+    n_cells = KMEANS_K if n_cells is None else n_cells
+    base = emb.select("vec_id", _vec_double().alias("v"))
+    cell_model = kmeans_fit_model(emb, n_cells, iters)
+    # residuals are consumed by the PQ fit (seed collect + stacked
+    # aggregate), the encode pass, AND carry the cent_id the candidate
+    # join needs — materialize once so the assignment+subtraction
+    # kernels run a single time (the PageRank edge-list pattern)
+    res = materialize(
+        residuals_arrow(
+            assign_cells_arrow(base, cell_model, keep_vec=True), cell_model
+        )
+    )
+    assigned = res.select("vec_id", "cent_id")
+    pq_model = pq_fit_model(res, iters)
+    _check_dense(pq_model)
+    codes = pq_encode_arrow(res, pq_model).select(
+        "vec_id", *[f"c{j}" for j in range(PQ_M)]
+    )
+    cents = _model_df(emb.sparkSession, cell_model)
+    queries = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("qsim"), F.asc("cent_id")
+    )
+    probes = (
+        queries.join(F.broadcast(cents), how="cross")
+        .select(
+            "query_id",
+            "cent_id",
+            F.round(cosine_similarity(F.col("q"), F.col("cv")), 6).alias("qsim"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probes)
+        .select("query_id", "cent_id")
+    )
+    probe_rows = [(int(r["query_id"]), int(r["cent_id"])) for r in probes.collect()]
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["v"]]
+        for r in base.filter(F.col("vec_id").isin(query_ids)).collect()
+    }
+    cent_vecs = dict(cell_model)
+    branches = []
+    for qid, cid in sorted(probe_rows):
+        q_res = [a - b for a, b in zip(qvecs[qid], cent_vecs[cid])]
+        luts = _adc_lut_exprs(pq_model, q_res)
+        branches.append(
+            f"WHEN query_id = {qid}L AND cent_id = {cid}L "
+            f"THEN round({' + '.join(luts)}, 6)"
+        )
+    adc = F.expr(f"CASE {' '.join(branches)} END")
+    probes_df = emb.sparkSession.createDataFrame(
+        probe_rows, "query_id bigint, cent_id bigint"
+    )
+    cand = (
+        F.broadcast(probes_df)
+        .join(assigned.select("vec_id", "cent_id"), "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "cent_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    scored = cand.join(
+        codes.select(
+            F.col("vec_id").alias("neighbor_id"), *[f"c{j}" for j in range(PQ_M)]
+        ),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", adc.alias("approx_d2"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_d2"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivfpq_residual_topk_sql(
+    query_ids: list[int],
+    k: int = 5,
+    n_probes: int | None = None,
+    n_cells: int | None = None,
+    iters: int = PQ_ITERS,
+    src: str = "embeddings",
+) -> str:
+    from .similarity import IVF_PROBES, KMEANS_K, _kmeans_ctes
+
+    n_probes = IVF_PROBES if n_probes is None else n_probes
+    n_cells = KMEANS_K if n_cells is None else n_cells
+    ids = ", ".join(str(i) for i in sorted(query_ids))
+    res_items = ", ".join(
+        f"e.v[{i + 1}] - c.cv[{i + 1}]" for i in range(PQ_M * SUB_DIM)
+    )
+    qres_items = ", ".join(
+        f"q.v[{i + 1}] - c.cv[{i + 1}]" for i in range(PQ_M * SUB_DIM)
+    )
+    luts = []
+    for j in range(PQ_M):
+        terms = _d2_terms_sql(j, "qr.v", "cb.m")
+        luts.append(
+            f"lut{j} AS (SELECT qr.query_id, qr.cent_id, cb.code, "
+            f"ROUND({terms}, 6) AS ld FROM qres qr CROSS JOIN cb{j}_{iters} cb)"
+        )
+    luts_sql = ",\n        ".join(luts)
+    lut_joins = "\n            ".join(
+        f"JOIN lut{j} l{j} ON l{j}.query_id = cand.query_id "
+        f"AND l{j}.cent_id = cand.cent_id AND l{j}.code = ac.c{j}"
+        for j in range(PQ_M)
+    )
+    adc = " + ".join(f"l{j}.ld" for j in range(PQ_M))
+    code_joins = " ".join(
+        f"JOIN codes{j} USING (vec_id)" for j in range(1, PQ_M)
+    )
+    code_cols = ", ".join(f"c{j}" for j in range(PQ_M))
+    return f"""
+        WITH {_kmeans_ctes(n_cells, iters, src)},
+        cellasg AS (
+          SELECT vec_id, cent_id FROM (
+            SELECT e.vec_id, c.cent_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                              c.cent_id ASC) AS rn
+            FROM e CROSS JOIN cents c
+          ) x WHERE rn = 1
+        ),
+        res AS (
+          SELECT e.vec_id, a.cent_id, [{res_items}] AS v
+          FROM e JOIN cellasg a USING (vec_id) JOIN cents c USING (cent_id)
+        ),
+        {_pq_ctes(iters, src, include_e=False, base="res")},
+        qv AS (SELECT vec_id, v FROM e WHERE vec_id IN ({ids})),
+        probes AS (
+          SELECT query_id, cent_id FROM (
+            SELECT q.vec_id AS query_id, c.cent_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(q.v, c.cv), 6) DESC,
+                              c.cent_id ASC) AS rn
+            FROM qv q CROSS JOIN cents c
+          ) x WHERE rn <= {n_probes}
+        ),
+        qres AS (
+          SELECT p.query_id, p.cent_id, [{qres_items}] AS v
+          FROM probes p
+          JOIN qv q ON q.vec_id = p.query_id
+          JOIN cents c ON c.cent_id = p.cent_id
+        ),
+        {luts_sql},
+        allcodes AS (
+          SELECT vec_id, {code_cols} FROM codes0 {code_joins}
+        ),
+        cand AS (
+          SELECT p.query_id, p.cent_id, a.vec_id AS neighbor_id
+          FROM probes p JOIN cellasg a USING (cent_id)
+          WHERE a.vec_id <> p.query_id
+        ),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 ROUND({adc}, 6) AS approx_d2
+          FROM cand JOIN allcodes ac ON ac.vec_id = cand.neighbor_id
+            {lut_joins}
+        )
+        SELECT query_id, neighbor_id, approx_d2, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank
+          FROM scored
+        ) r WHERE rank <= {k}
+    """

@@ -47,6 +47,10 @@ QUERIES = {
     "ann_pq_adc_topk": lambda s, d: PQ.pq_adc_topk(_emb(s, d), _QUERY_IDS, k=5),
     # the composed FAISS layout: learned cells gate the ADC scan
     "ann_ivfpq_adc_topk": lambda s, d: PQ.ivfpq_topk(_emb(s, d), _QUERY_IDS, k=5),
+    # r4: FAISS-exact variant — codebooks train on per-cell RESIDUALS
+    "ann_ivfpq_residual_topk": lambda s, d: PQ.ivfpq_residual_topk(
+        _emb(s, d), _QUERY_IDS, k=5
+    ),
     # r4: radius-bounded retrieval (the dual of top-k) + the norm-drift
     # profile an embedding pipeline checks after every encoder change
     "ann_cosine_range_search": lambda s, d: S.cosine_range_search(
@@ -79,6 +83,7 @@ ORACLES = {
     "pq_code_histogram": PQ.pq_histogram_sql(),
     "ann_pq_adc_topk": PQ.pq_adc_topk_sql(_QUERY_IDS, k=5),
     "ann_ivfpq_adc_topk": PQ.ivfpq_topk_sql(_QUERY_IDS, k=5),
+    "ann_ivfpq_residual_topk": PQ.ivfpq_residual_topk_sql(_QUERY_IDS, k=5),
     "ann_cosine_range_search": S.cosine_range_search_sql(
         _QUERY_IDS, threshold=0.3
     ),

@@ -61,6 +61,12 @@ HEADLINE = [
     # queries were invisible to round-over-round bench diffs
     "ann_ivfpq_adc_topk",
     "pq_code_histogram",
+    # r4 additions: residual IVF-PQ (FAISS-exact layout), scalar
+    # quantization, bloom decontamination, inverted index
+    "ann_ivfpq_residual_topk",
+    "ann_sq_adc_topk",
+    "corpus_bloom_decontaminate",
+    "text_inverted_postings",
 ]
 
 # Repeats per query: medians make the bench regression-proof (r3 saw a
@@ -75,6 +81,7 @@ HEAVY = {
     "ann_ivfpq_adc_topk",
     "pq_code_histogram",
     "pagerank_customer_supplier",
+    "ann_ivfpq_residual_topk",
 }
 
 

@@ -119,3 +119,39 @@ def test_arrow_cell_assignment_matches_inline(spark, sf_dir):
         for r in S.assign_cells_arrow(base, model).collect()
     }
     assert a == b
+
+
+def test_residuals_arrow_exact_subtraction(spark):
+    import numpy as np
+
+    from audience_manager_platform_spark.operators.pq import residuals_arrow
+    from audience_manager_platform_spark.operators.similarity import EMBED_DIM
+
+    v0 = [float(i) / 7 for i in range(EMBED_DIM)]
+    v1 = [1.0 - float(i) / 9 for i in range(EMBED_DIM)]
+    c0 = [0.125] * EMBED_DIM
+    c1 = [-0.5] * EMBED_DIM
+    assigned = spark.createDataFrame(
+        [(0, v0, 0), (1, v1, 1)], "vec_id long, v array<double>, cent_id long"
+    )
+    got = {
+        r.vec_id: list(r.embedding)
+        for r in residuals_arrow(assigned, [(0, c0), (1, c1)]).collect()
+    }
+    assert got[0] == [a - b for a, b in zip(v0, c0)]  # exact doubles
+    assert got[1] == [a - b for a, b in zip(v1, c1)]
+
+
+def test_ivfpq_residual_topk_shape_and_no_self(spark, sf_dir):
+    from audience_manager_platform_spark.operators.pq import ivfpq_residual_topk
+    from audience_manager_platform_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = ivfpq_residual_topk(emb, [0, 1], k=3).collect()
+    by_q = {}
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(by_q) == {0, 1}
+    for ranks in by_q.values():
+        assert sorted(ranks) == [1, 2, 3]

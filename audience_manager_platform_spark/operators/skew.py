@@ -122,3 +122,64 @@ def heavy_hitters_sql(src: str, col: str, k: int = 20) -> str:
         HAVING COUNT(*) * {k} >
                (SELECT COUNT(*) FROM {src} WHERE {col} IS NOT NULL)
     """
+
+
+# -------------------------------------------------- mergeable sketches
+def hll_mergeable_rollup(events: DataFrame, rel_tol: float = 0.05) -> DataFrame:
+    """Mergeable-sketch rollup: one Datasketches HLL sketch per day, then
+    the period-level distinct-user estimate from ``hll_union_agg`` over
+    the DAILY SKETCHES — never re-reading the raw data. This is the
+    pattern that makes 100 TB rollups re-aggregatable: store sketch
+    columns in the daily rollup table and any ad-hoc period (week,
+    month, campaign) unions in O(days) sketch merges instead of an
+    O(period-rows) rescan.
+
+    Gate shape (the ``approx_distinct_users`` convention): the sketch
+    estimate itself is engine-specific, so the output carries the EXACT
+    count plus a ``within_bound`` verdict that the estimate lands within
+    ``rel_tol`` of it — deterministic, and the oracle's exact+TRUE rows
+    hash-match iff both the exact counts and every verdict agree. The
+    'ALL' row is the mergeability proof: its estimate comes from the
+    unioned daily sketches, its exact count from the raw data."""
+    ev = events.select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    per_day = daily.select(
+        "day",
+        "exact_users",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
+            <= F.col("exact_users") * F.lit(rel_tol)
+        ).alias("within_bound"),
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    overall_exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    all_row = overall_exact.crossJoin(F.broadcast(merged)).select(
+        F.lit("ALL").alias("day"),
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= F.col("exact_users") * F.lit(rel_tol)
+        ).alias("within_bound"),
+    )
+    return per_day.unionByName(all_row)
+
+
+def hll_mergeable_rollup_sql(src: str = "events") -> str:
+    return f"""
+        SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS within_bound
+        FROM {src} GROUP BY 1
+        UNION ALL
+        SELECT 'ALL' AS day,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS within_bound
+        FROM {src}
+    """

@@ -13,7 +13,11 @@ from ..operators.relational import (
     pivot_counts,
     range_join_bands,
 )
-from ..operators.skew import salted_sum_count
+from ..operators.skew import (
+    hll_mergeable_rollup,
+    hll_mergeable_rollup_sql,
+    salted_sum_count,
+)
 from ..sources import load_table
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -303,6 +307,11 @@ QUERIES = {
     "skew_salted_user_totals": lambda s, d: salted_sum_count(
         _events(s, d), "user_id", "value"
     ),
+    # r4: re-aggregatable rollup — period estimate from unioned DAILY
+    # sketches (never a raw-data rescan); gate carries exact + verdict
+    "hll_mergeable_rollup": lambda s, d: hll_mergeable_rollup(
+        load_table(s, d, "events")
+    ),
     # r4: basket co-occurrence — order-keyed self-join, cost Σ basket²
     "basket_brand_pairs": lambda s, d: basket_brand_pairs(
         load_table(s, d, "lineitem"), load_table(s, d, "part"), k=25
@@ -452,4 +461,5 @@ ORACLES = {
         SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
         FROM events GROUP BY user_id
     """,
+    "hll_mergeable_rollup": hll_mergeable_rollup_sql(),
 }

@@ -347,3 +347,24 @@ def test_table_profile_stats(spark):
     assert rows["s"].n_nulls == 1 and rows["s"].ndv == 2
     assert rows["s"].min_str == "x" and rows["s"].max_str == "y"
     assert rows["s"].min_num is None
+
+
+def test_hll_mergeable_rollup_exact_and_within(spark, sf_dir):
+    from audience_manager_platform_spark.operators.skew import (
+        hll_mergeable_rollup,
+    )
+    from audience_manager_platform_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = hll_mergeable_rollup(ev).collect()
+    by_day = {r.day: r for r in rows}
+    assert "ALL" in by_day
+    exact_all = ev.select("user_id").distinct().count()
+    assert by_day["ALL"].exact_users == exact_all
+    # HLL default lgConfigK=12 is well within 5% at fixture cardinalities
+    assert all(r.within_bound for r in rows)
+    # mergeability sanity: ALL >= any single day
+    assert all(
+        by_day["ALL"].exact_users >= r.exact_users
+        for r in rows if r.day != "ALL"
+    )

@@ -180,6 +180,40 @@ def main() -> None:
         "PQ encode (Arrow kernel)",
         PQ.pq_encode_arrow(vecs, model).groupBy("c0", "c1", "c2", "c3").count(),
     )
+
+    # ------------------------- round-4 quantizer + corpus additions
+    from audience_manager_platform_spark.operators import sq as SQ
+    from audience_manager_platform_spark.operators.corpus import (
+        bloom_decontaminate,
+    )
+    from audience_manager_platform_spark.operators.pq import (
+        ivfpq_residual_topk,
+    )
+    from audience_manager_platform_spark.operators.text import (
+        inverted_postings,
+    )
+
+    sq_model = SQ.sq_fit_model(vecs)
+    # aggregate over two code positions so the encode projection can't
+    # be pruned away
+    timed(
+        "SQ8 encode (codegen projection)",
+        SQ.sq_encode(vecs, sq_model).select(
+            F.sum(F.expr("codes[0] + codes[63]")).alias("s")
+        ),
+    )
+    timed("SQ8 ADC top-k (5 queries)", SQ.sq_adc_topk(vecs, [0, 1, 2, 3, 4]))
+    timed(
+        "residual IVF-PQ top-k (5 queries)",
+        ivfpq_residual_topk(vecs, [0, 1, 2, 3, 4]),
+    )
+
+    ROWS = n_docs
+    timed(
+        "bloom decontaminate (2k-doc bench)",
+        bloom_decontaminate(docs, docs.filter(F.col("doc_id") % 50 == 0)),
+    )
+    timed("inverted postings top-25", inverted_postings(docs))
     spark.stop()
 
 

@@ -449,3 +449,300 @@ def last_touch_attribution_sql(
                     THEN gap END AS gap_seconds
         FROM purchases
     """
+
+
+# ---------------------------------------------------- RFM segmentation
+def rfm_segments(events: DataFrame, bins: int = 3) -> DataFrame:
+    """Classic RFM (recency / frequency / monetary) customer
+    segmentation over purchase events — the audience-platform
+    counterpart of a rule-based segment: every purchaser is scored
+    1..``bins`` on each axis and labelled with the concatenated cell
+    (``"3-1-2"``), the input to campaigns like "win back high-value
+    lapsed buyers" (R low, M high).
+
+    Shape: one user-keyed aggregate reduces purchases to |users| rows
+    (recency anchor = the corpus-wide latest purchase day, a 1-row
+    broadcast); axis thresholds are exact interpolated quantiles of the
+    REDUCED table computed in ONE aggregate (same pattern as
+    ``corpus.quality_bins`` — never a global ``ntile`` sort), carried to
+    every row by a 1-row broadcast join. Everything after the first
+    shuffle is per-row expression work, so the operator is one exchange
+    end-to-end regardless of corpus size.
+
+    Scoring contract (cross-engine deterministic): thresholds and the
+    metrics they cut are 6dp-quantized; a value strictly above t
+    thresholds lands in bin t+1 (boundary ties share the lower bin).
+    Frequency and monetary score ascending (more = better); recency
+    scores DESCENDING (fewer days since last purchase = better), i.e.
+    ``r_score = bins + 1 - raw_bin(recency_days)``.
+    """
+    purchases = events.filter(F.col("event_type") == "purchase")
+    per_user = purchases.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.count("*").cast("long").alias("frequency"),
+        F.round(F.sum("value"), 2).alias("monetary"),
+    )
+    anchor = per_user.agg(F.max("last_day").alias("_anchor"))
+    scored = per_user.join(F.broadcast(anchor)).select(
+        "user_id",
+        F.datediff("_anchor", "last_day").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    fracs = ", ".join(f"{i / bins}D" for i in range(1, bins))
+    th = scored.agg(
+        *[
+            F.expr(
+                f"transform(percentile(cast({c} as double), array({fracs})),"
+                " t -> round(t, 6))"
+            ).alias(f"_th_{c}")
+            for c in ("recency_days", "frequency", "monetary")
+        ]
+    )
+
+    def _bin(c: str) -> Column:
+        return (
+            F.lit(1)
+            + F.size(F.expr(f"filter(_th_{c}, t -> round(cast({c} as double), 6) > t)"))
+        ).cast("long")
+
+    out = scored.join(F.broadcast(th)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (F.lit(bins + 1) - _bin("recency_days")).alias("r_score"),
+        _bin("frequency").alias("f_score"),
+        _bin("monetary").alias("m_score"),
+    )
+    return out.withColumn(
+        "rfm_cell",
+        F.concat_ws("-", "r_score", "f_score", "m_score"),
+    )
+
+
+def rfm_segments_sql(src: str = "events", bins: int = 3) -> str:
+    fracs = ", ".join(str(i / bins) for i in range(1, bins))
+    th_cols = ",\n                 ".join(
+        f"list_transform(QUANTILE_CONT(CAST({c} AS DOUBLE), [{fracs}]),"
+        f" t -> ROUND(t, 6)) AS _th_{c}"
+        for c in ("recency_days", "frequency", "monetary")
+    )
+
+    def b(c: str) -> str:
+        return (
+            f"CAST(1 + len(list_filter(_th_{c},"
+            f" t -> ROUND(CAST({c} AS DOUBLE), 6) > t)) AS BIGINT)"
+        )
+
+    return f"""
+        WITH per_user AS (
+          SELECT user_id,
+                 MAX(CAST(ts AS DATE)) AS last_day,
+                 CAST(COUNT(*) AS BIGINT) AS frequency,
+                 ROUND(SUM(value), 2) AS monetary
+          FROM {src} WHERE event_type = 'purchase' GROUP BY user_id
+        ),
+        anchor AS (SELECT MAX(last_day) AS _anchor FROM per_user),
+        scored AS (
+          SELECT user_id,
+                 CAST(date_diff('day', last_day, _anchor) AS BIGINT)
+                   AS recency_days,
+                 frequency, monetary
+          FROM per_user, anchor
+        ),
+        th AS (
+          SELECT {th_cols}
+          FROM scored
+        )
+        SELECT user_id, recency_days, frequency, monetary,
+               {bins + 1} - {b("recency_days")} AS r_score,
+               {b("frequency")} AS f_score,
+               {b("monetary")} AS m_score,
+               CONCAT_WS('-', {bins + 1} - {b("recency_days")},
+                         {b("frequency")}, {b("monetary")}) AS rfm_cell
+        FROM scored, th
+    """
+
+
+# ------------------------------------------------- session path mining
+def top_session_paths(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    k: int = 20,
+    max_path_len: int = 20,
+) -> DataFrame:
+    """Top-k user journeys: sessionize each user's event stream on a
+    ``gap_minutes`` inactivity gap (the gaps-and-islands running-sum,
+    sharing ONE user-keyed window exchange), render each session's first
+    ``max_path_len`` events as an ordered ``view>click>purchase`` path
+    string, and count sessions per path.
+
+    ``max_path_len`` is the scale guard: a bot session with 10M events
+    would otherwise build a 10M-element path string in one task; the
+    row_number cap bounds per-session state before any aggregation, so
+    path strings are O(max_path_len) everywhere. Path construction
+    sorts each session's (ts, event_id, type) structs — order is total
+    (event_id unique), so both engines render identical strings.
+
+    The path aggregate shuffles |sessions| rows keyed by a short string;
+    the final top-k is a total order (count DESC, path ASC) over the
+    distinct-path table, which is at most |event_type|^max_path_len but
+    in practice tiny — Spark runs TakeOrderedAndProject, no global sort.
+    """
+    w_user = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.expr(
+        "timestampdiff(SECOND, date_trunc('SECOND', _prev_ts), "
+        "date_trunc('SECOND', ts))"
+    )
+    sess = (
+        events.withColumn("_prev_ts", F.lag("ts").over(w_user))
+        .withColumn(
+            "_new_sess",
+            (F.col("_prev_ts").isNull() | (gap > gap_minutes * 60)).cast("long"),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("_new_sess").over(
+                w_user.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    w_sess = Window.partitionBy("user_id", "session_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    paths = (
+        sess.withColumn("_rn", F.row_number().over(w_sess))
+        .filter(F.col("_rn") <= max_path_len)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.expr(
+                "array_join(transform(sort_array(collect_list("
+                "struct(ts, event_id, event_type))), s -> s.event_type), '>')"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(k)
+    )
+
+
+def top_session_paths_sql(
+    src: str = "events",
+    gap_minutes: int = 30,
+    k: int = 20,
+    max_path_len: int = 20,
+) -> str:
+    return f"""
+        WITH ord AS (
+          SELECT user_id, ts, event_id, event_type,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+          FROM {src}
+        ),
+        flagged AS (
+          SELECT *,
+                 CASE WHEN prev_ts IS NULL
+                        OR date_diff('second', date_trunc('second', prev_ts),
+                                     date_trunc('second', ts))
+                           > {gap_minutes * 60}
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM ord
+        ),
+        sess AS (
+          SELECT *,
+                 SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged
+        ),
+        lim AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id, session_id ORDER BY ts, event_id)
+                   AS rn
+          FROM sess
+        ),
+        paths AS (
+          SELECT user_id, session_id,
+                 string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+          FROM lim WHERE rn <= {max_path_len}
+          GROUP BY user_id, session_id
+        )
+        SELECT path, COUNT(*) AS n_sessions
+        FROM paths GROUP BY path
+        ORDER BY n_sessions DESC, path ASC LIMIT {k}
+    """
+
+
+# ------------------------------------------- linear (multi-touch) attribution
+def linear_attribution(events: DataFrame, max_gap_days: int = 7) -> DataFrame:
+    """Linear multi-touch attribution: each purchase splits one unit of
+    credit equally across ALL of the user's clicks in the preceding
+    ``max_gap_days`` (vs :func:`last_touch_attribution`, which gives the
+    whole unit to the latest one).
+
+    Shape: a RANGE window frame over epoch seconds — Spark's
+    ``rangeBetween(-gap, 0)`` with a conditional count — so the operator
+    is ONE user-keyed window exchange; no purchases⋈clicks self-join
+    (the naive pair join explodes quadratically on power users, and the
+    per-purchase count is all the credit formula needs).
+
+    Touch-window contract (cross-engine deterministic): timestamps are
+    second-truncated and a click qualifies when ``0 <= purchase_sec -
+    click_sec <= gap`` — clicks sharing the purchase's truncated second
+    count regardless of sub-second order, which is what a RANGE frame
+    (value-based, order-blind within a peer group) means on both
+    engines."""
+    sec = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP '1970-01-01 00:00:00', "
+        "date_trunc('SECOND', ts))"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("_sec").asc())
+        .rangeBetween(-max_gap_days * 86400, 0)
+    )
+    n_touches = F.sum(
+        F.when(F.col("event_type") == "click", F.lit(1)).otherwise(F.lit(0))
+    ).over(w)
+    return (
+        events.withColumn("_sec", sec)
+        .withColumn("_n", n_touches)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("_n").cast("long").alias("n_touches"),
+            F.when(
+                F.col("_n") > 0, F.round(F.lit(1.0) / F.col("_n"), 6)
+            ).alias("credit_per_touch"),
+        )
+    )
+
+
+def linear_attribution_sql(src: str = "events", max_gap_days: int = 7) -> str:
+    return f"""
+        WITH secs AS (
+          SELECT event_id, user_id, ts, event_type,
+                 date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+                           date_trunc('second', ts)) AS sec
+          FROM {src}
+        ),
+        counted AS (
+          SELECT *,
+                 SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY sec
+                   RANGE BETWEEN {max_gap_days * 86400} PRECEDING
+                         AND CURRENT ROW) AS n
+          FROM secs
+        )
+        SELECT event_id, user_id, ts,
+               CAST(n AS BIGINT) AS n_touches,
+               CASE WHEN n > 0 THEN ROUND(1.0 / n, 6) END AS credit_per_touch
+        FROM counted WHERE event_type = 'purchase'
+    """

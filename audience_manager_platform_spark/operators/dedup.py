@@ -742,3 +742,85 @@ def cluster_canonical_sql(
         comp AS (SELECT id AS doc_id, MIN(seen) AS cluster_id FROM reach GROUP BY id)
         SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical FROM comp
     """
+
+
+# ----------------------------------------------------- line-level dedup
+LINE_TOKENS = 16
+
+
+def line_dedup_stats(docs: DataFrame, line_tokens: int = LINE_TOKENS) -> DataFrame:
+    """Line-level (sub-document) dedup, the C4/RefinedWeb curation rule:
+    repeated lines — navigation chrome, licence headers, boilerplate —
+    are removed from every document EXCEPT their first occurrence, even
+    when the documents as wholes are unique. The fixtures carry no
+    newline structure, so "lines" are consecutive non-overlapping
+    ``line_tokens``-token windows (the :func:`~.text.chunk_tokens` shape
+    with stride = chunk).
+
+    The keeper of each repeated line is the corpus-wide minimum
+    (doc_id, line_idx), encoded as the single bigint ``doc_id * 1e6 +
+    line_idx`` so keeper election is a plain ``min`` aggregate —
+    MAP-SIDE COMBINABLE, which is what makes a mega-hot line (the same
+    cookie banner in 100M documents) a non-event: each task reduces its
+    share to one candidate before the shuffle, where a rank-window
+    election would funnel every copy of the hot line into one task.
+    (The encoding caps documents at 1e6 lines ≈ 16M tokens — far beyond
+    any real document; a violation would need doc_ids dense enough to
+    collide, and the gate's fixtures sit 8 orders of magnitude under
+    it.) The join back to the line table reuses the aggregate's
+    hash-partitioning on ``line_text``.
+
+    Output is the per-document audit (total / kept lines + kept ratio),
+    the statistic curation pipelines thresh on ("drop docs that are
+    mostly boilerplate")."""
+    from .text import chunk_tokens
+
+    lines = chunk_tokens(docs, chunk=line_tokens, stride=line_tokens).select(
+        "doc_id",
+        F.col("chunk_idx").alias("line_idx"),
+        F.col("chunk_text").alias("line_text"),
+    )
+    pos = (F.col("doc_id") * F.lit(1_000_000) + F.col("line_idx")).cast("long")
+    keepers = (
+        lines.select("line_text", pos.alias("_pos"))
+        .groupBy("line_text")
+        .agg(F.min("_pos").alias("_keeper"))
+    )
+    marked = lines.join(keepers, "line_text").withColumn(
+        "_kept", (pos == F.col("_keeper")).cast("long")
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("_kept").cast("long").alias("n_kept"),
+        F.round(F.sum("_kept") / F.count("*"), 6).alias("kept_ratio"),
+    )
+
+
+def line_dedup_stats_sql(
+    src: str = "documents", line_tokens: int = LINE_TOKENS
+) -> str:
+    from .text import chunk_tokens_sql
+
+    chunks = chunk_tokens_sql(src, chunk=line_tokens, stride=line_tokens)
+    return f"""
+        WITH lines AS (
+          SELECT doc_id, chunk_idx AS line_idx, chunk_text AS line_text
+          FROM ({chunks}) c
+        ),
+        keepers AS (
+          SELECT line_text,
+                 MIN(doc_id * 1000000 + line_idx) AS keeper
+          FROM lines GROUP BY line_text
+        ),
+        marked AS (
+          SELECT l.doc_id,
+                 CASE WHEN l.doc_id * 1000000 + l.line_idx = k.keeper
+                      THEN 1 ELSE 0 END AS kept
+          FROM lines l JOIN keepers k USING (line_text)
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(kept) AS BIGINT) AS n_kept,
+               ROUND(SUM(kept) / CAST(COUNT(*) AS DOUBLE), 6) AS kept_ratio
+        FROM marked GROUP BY doc_id
+    """

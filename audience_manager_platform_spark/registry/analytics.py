@@ -89,6 +89,18 @@ QUERIES = {
     "analytics_last_touch_attribution": lambda s, d: A.last_touch_attribution(
         load_table(s, d, "events")
     ),
+    # r5: RFM segmentation, session-path mining, linear attribution —
+    # the audience-platform trio (quantile-threshold scoring, gaps-and-
+    # islands paths, RANGE-frame multi-touch credit)
+    "analytics_rfm_segments": lambda s, d: A.rfm_segments(
+        load_table(s, d, "events")
+    ),
+    "analytics_top_session_paths": lambda s, d: A.top_session_paths(
+        load_table(s, d, "events")
+    ),
+    "analytics_linear_attribution": lambda s, d: A.linear_attribution(
+        load_table(s, d, "events")
+    ),
 }
 
 _DAILY_TOTALS_TMPL = """
@@ -233,4 +245,7 @@ ORACLES = {
     """,
     "analytics_daily_anomalies": A.daily_anomalies_sql(),
     "analytics_last_touch_attribution": A.last_touch_attribution_sql(),
+    "analytics_rfm_segments": A.rfm_segments_sql(),
+    "analytics_top_session_paths": A.top_session_paths_sql(),
+    "analytics_linear_attribution": A.linear_attribution_sql(),
 }

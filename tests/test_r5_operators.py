@@ -1,0 +1,104 @@
+"""Round-5 operator semantics on hand-built inputs: RFM segmentation,
+session-path mining, linear multi-touch attribution, line-level dedup."""
+
+from datetime import datetime
+
+from audience_manager_platform_spark.operators import dedup as D
+from audience_manager_platform_spark.operators.analytics import (
+    linear_attribution,
+    rfm_segments,
+    top_session_paths,
+)
+
+_EVENTS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, ts, uid, et, val, "{}") for i, (ts, uid, et, val) in enumerate(rows)],
+        _EVENTS_SCHEMA,
+    )
+
+
+def test_rfm_scores_rank_the_planted_extremes(spark):
+    # u1: 1 early cheap purchase (worst R, F, M); u3: 5 recent expensive
+    # ones (best all three); u2 in between.
+    rows = []
+    rows += [(datetime(2024, 1, 1), 1, "purchase", 10.0)]
+    rows += [(datetime(2024, 1, 10), 2, "purchase", 50.0)] * 2
+    rows += [(datetime(2024, 1, 20 + i), 3, "purchase", 500.0) for i in range(5)]
+    got = {r.user_id: r for r in rfm_segments(_events(spark, rows)).collect()}
+    assert got[3].r_score > got[1].r_score
+    assert got[3].f_score > got[1].f_score
+    assert got[3].m_score > got[1].m_score
+    assert got[3].rfm_cell == f"{got[3].r_score}-{got[3].f_score}-{got[3].m_score}"
+    assert got[1].recency_days == 23 and got[3].recency_days == 0
+    assert got[2].frequency == 2 and got[2].monetary == 100.0
+
+
+def test_rfm_only_counts_purchases(spark):
+    rows = [
+        (datetime(2024, 1, 1), 1, "purchase", 10.0),
+        (datetime(2024, 1, 2), 1, "click", 99.0),
+        (datetime(2024, 1, 3), 2, "view", 5.0),
+    ]
+    got = rfm_segments(_events(spark, rows)).collect()
+    assert {r.user_id for r in got} == {1}
+    assert got[0].frequency == 1 and got[0].monetary == 10.0
+
+
+def test_session_paths_split_on_gap_and_order_events(spark):
+    rows = [
+        # u1 session 1: view > click (1 min apart)
+        (datetime(2024, 1, 1, 10, 0), 1, "view", 0.0),
+        (datetime(2024, 1, 1, 10, 1), 1, "click", 0.0),
+        # u1 session 2 after a 2h gap: purchase alone
+        (datetime(2024, 1, 1, 12, 30), 1, "purchase", 0.0),
+        # u2: one session with the same view>click shape
+        (datetime(2024, 1, 2, 9, 0), 2, "view", 0.0),
+        (datetime(2024, 1, 2, 9, 10), 2, "click", 0.0),
+    ]
+    got = {r.path: r.n_sessions for r in
+           top_session_paths(_events(spark, rows), gap_minutes=30).collect()}
+    assert got == {"view>click": 2, "purchase": 1}
+
+
+def test_session_paths_cap_bounds_bot_sessions(spark):
+    rows = [(datetime(2024, 1, 1, 10, 0, i), 1, "view", 0.0) for i in range(30)]
+    got = top_session_paths(_events(spark, rows), max_path_len=5).collect()
+    assert len(got) == 1
+    assert got[0].path == ">".join(["view"] * 5)
+
+
+def test_linear_attribution_splits_credit_inside_window(spark):
+    rows = [
+        (datetime(2024, 1, 1), 1, "click", 0.0),     # 9 days out: excluded
+        (datetime(2024, 1, 5), 1, "click", 0.0),     # in window
+        (datetime(2024, 1, 9), 1, "click", 0.0),     # in window
+        (datetime(2024, 1, 10), 1, "purchase", 30.0),
+        (datetime(2024, 1, 11), 2, "purchase", 5.0),  # no clicks at all
+    ]
+    got = {r.user_id: r for r in
+           linear_attribution(_events(spark, rows), max_gap_days=7).collect()}
+    assert got[1].n_touches == 2 and got[1].credit_per_touch == 0.5
+    assert got[2].n_touches == 0 and got[2].credit_per_touch is None
+
+
+def test_line_dedup_drops_repeats_keeps_first(spark):
+    line_a = " ".join(f"tok{i}" for i in range(16))        # shared boilerplate
+    line_b = " ".join(f"other{i}" for i in range(16))
+    line_c = " ".join(f"unique{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            (0, f"{line_a} {line_b}", "en", "web", 1),
+            (1, f"{line_a} {line_c}", "en", "web", 1),   # repeats line_a
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.doc_id: r for r in D.line_dedup_stats(docs).collect()}
+    assert got[0].n_lines == 2 and got[0].n_kept == 2      # first occurrence keeps
+    assert got[1].n_lines == 2 and got[1].n_kept == 1      # its copy of line_a drops
+    assert got[1].kept_ratio == 0.5

@@ -838,3 +838,120 @@ def inverted_postings_sql(
           FROM df_t d JOIN postings p USING (term)
         ) r WHERE rank <= {k}
     """
+
+
+# ----------------------------------------------------------- BM25 search
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 keyword retrieval over the corpus — the lexical counterpart
+    of the ANN family (the two sides of hybrid search). Scores every
+    document against a literal term list with the Lucene/Okapi
+    formulation: ``idf = ln((N - df + 0.5)/(df + 0.5) + 1)`` (always
+    positive) and the saturated-tf length-normalized term weight.
+
+    Shape at scale: the explode is FILTERED to query terms before any
+    aggregation, so the (doc, term) shuffle carries only matching
+    postings — a |query|-term search moves |matching postings| rows, not
+    the corpus. Doc lengths are a second map-side-combinable aggregate
+    over the same scan; N and avgdl ride a 1-row broadcast; per-term df
+    is a |query|-row broadcast. The final top-k is a total order
+    (score DESC, doc_id ASC) → TakeOrderedAndProject, no global sort.
+
+    Scores are 6dp-rounded BEFORE ranking so cross-engine last-ulp ln()
+    differences cannot reorder ties."""
+    from .partitioning import spread
+
+    toks = spread(docs).select("doc_id", tokens_col("text").alias("toks"))
+    lens = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = lens.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    terms = [t.lower() for t in query_terms]
+    posting = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = posting.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        posting.join(F.broadcast(df_t), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * (F.col("tf") * (F.lit(k1) + 1))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0)
+                        - F.lit(b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("w"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("w"), 6).alias("bm25"),
+            F.count("*").cast("long").alias("n_matched_terms"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def bm25_topk_sql(
+    query_terms: list[str],
+    src: str = "documents",
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    t = tokens_sql("text")
+    lit_terms = ", ".join(f"'{x.lower()}'" for x in query_terms)
+    return f"""
+        WITH toks AS (SELECT doc_id, {t} AS toks FROM {src}),
+        lens AS (SELECT doc_id, len(toks) AS dl FROM toks),
+        stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens),
+        posting AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM (
+            SELECT doc_id, UNNEST(toks) AS term FROM toks
+          ) e WHERE term IN ({lit_terms})
+          GROUP BY doc_id, term
+        ),
+        df_t AS (SELECT term, COUNT(*) AS df FROM posting GROUP BY term),
+        scored AS (
+          SELECT p.doc_id,
+                 LN((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                 * (p.tf * ({k1} + 1))
+                 / (p.tf + {k1} * (1.0 - {b} + {b} * l.dl / s.avgdl)) AS w
+          FROM posting p
+          JOIN df_t d USING (term)
+          JOIN lens l USING (doc_id)
+          CROSS JOIN stats s
+        )
+        SELECT doc_id, ROUND(SUM(w), 6) AS bm25,
+               CAST(COUNT(*) AS BIGINT) AS n_matched_terms
+        FROM scored GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id ASC LIMIT {k}
+    """

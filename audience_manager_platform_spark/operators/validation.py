@@ -258,3 +258,42 @@ def table_profile_sql(src: str, columns: Sequence[tuple[str, str]]) -> str:
                 f" MIN({name}) AS min_str, MAX({name}) AS max_str FROM {src}"
             )
     return " UNION ALL ".join(parts)
+
+
+# ------------------------------------------------------ k-anonymity audit
+def k_anonymity_audit(
+    df: DataFrame, quasi_identifiers: Sequence[str], k: int = 5
+) -> DataFrame:
+    """Privacy-governance audit before releasing a user-level extract:
+    group the table by its quasi-identifier columns (the attributes an
+    adversary could link on) and report every equivalence class with its
+    size and whether it violates k-anonymity (size < ``k`` means an
+    individual in that class is re-identifiable among fewer than k
+    peers). The audience-platform governance step that gates segment
+    exports — the same class sizes also feed suppression/generalization
+    decisions (drop or coarsen the violating classes).
+
+    ONE map-side-combinable aggregate over the release candidate; output
+    is |equivalence classes| rows, which for release-worthy
+    quasi-identifier sets is far below the row count. Columns are passed
+    through as-is, so callers band continuous attributes FIRST (a raw
+    float like account balance would make every class size 1 — banding
+    IS the generalization step)."""
+    qi = [F.col(c) for c in quasi_identifiers]
+    return (
+        df.groupBy(*qi)
+        .agg(F.count("*").cast("long").alias("class_size"))
+        .withColumn("at_risk", F.col("class_size") < k)
+    )
+
+
+def k_anonymity_audit_sql(
+    src: str, quasi_identifiers: Sequence[str], k: int = 5
+) -> str:
+    cols = ", ".join(quasi_identifiers)
+    return f"""
+        SELECT {cols},
+               CAST(COUNT(*) AS BIGINT) AS class_size,
+               COUNT(*) < {k} AS at_risk
+        FROM {src} GROUP BY {cols}
+    """

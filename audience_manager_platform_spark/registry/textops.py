@@ -22,6 +22,10 @@ def _docs(spark, sf_dir):
 # in uncapped bands, and identical docs are exact-dedup's job anyway.
 LSH_MAX_BAND = 100
 
+# Literal search query for the BM25 entry: mid-frequency fixture vocab,
+# so scores spread and the top-k is a meaningful ranking.
+BM25_QUERY = ["spark", "join", "window"]
+
 
 QUERIES = {
     "text_token_stats": lambda s, d: T.token_stats(_docs(s, d)),
@@ -37,6 +41,10 @@ QUERIES = {
     "corpus_bigram_topk": lambda s, d: T.bigram_topk(_docs(s, d), k=50),
     # r4: inverted-index seed (keyword-retrieval counterpart to ANN)
     "text_inverted_postings": lambda s, d: T.inverted_postings(_docs(s, d)),
+    # r5: BM25 keyword retrieval — the lexical side of hybrid search
+    "text_bm25_topk": lambda s, d: T.bm25_topk(
+        _docs(s, d), BM25_QUERY, k=15
+    ),
     # r4: per-source quota (the per-domain cap of web-corpus curation)
     "corpus_source_cap": lambda s, d: C.source_cap(_docs(s, d), cap=100),
     "text_length_bands": lambda s, d: T.length_bands(_docs(s, d)),
@@ -110,6 +118,7 @@ ORACLES = {
     "corpus_chunk_tokens": T.chunk_tokens_sql(),
     "corpus_bigram_topk": T.bigram_topk_sql(k=50),
     "text_inverted_postings": T.inverted_postings_sql(),
+    "text_bm25_topk": T.bm25_topk_sql(BM25_QUERY, k=15),
     "corpus_source_cap": C.source_cap_sql(cap=100),
     "text_length_bands": T.length_bands_sql(),
     "text_oov_rate_bands": T.oov_rate_bands_sql(),

@@ -36,6 +36,8 @@ from ..operators.reconcile import (
 )
 from ..operators.skew import heavy_hitters, heavy_hitters_sql
 from ..operators.validation import (
+    k_anonymity_audit,
+    k_anonymity_audit_sql,
     table_profile,
     table_profile_sql,
     validate_table,
@@ -196,6 +198,18 @@ QUERIES = {
     "table_profile_events": lambda s, d: table_profile(
         _events(s, d), PROFILE_COLS
     ),
+    # r5: k-anonymity release audit — quasi-identifiers are the customer
+    # dims plus a BANDED balance (banding is the generalization step; a
+    # raw float would make every class size 1)
+    "privacy_k_anonymity_customer": lambda s, d: k_anonymity_audit(
+        load_table(s, d, "customer").select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+        ),
+        ["c_nationkey", "c_mktsegment", "bal_band"],
+        k=5,
+    ),
     # r3: vertex-centric compute over warehouse-derived edges
     "pagerank_customer_supplier": pagerank_customer_supplier,
     # r4: degree distribution — the hub/skew diagnostic on the same graph
@@ -242,6 +256,13 @@ ORACLES = {
     "scd2_incremental_stream": MG.scd2_history_sql(),
     "validate_events_expectations": validate_table_sql("events", EXPECTATIONS),
     "table_profile_events": table_profile_sql("events", PROFILE_COLS),
+    "privacy_k_anonymity_customer": k_anonymity_audit_sql(
+        "(SELECT c_nationkey, c_mktsegment,"
+        " CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band"
+        " FROM customer) q",
+        ["c_nationkey", "c_mktsegment", "bal_band"],
+        k=5,
+    ),
     "pagerank_customer_supplier": pagerank_sql(),
     "graph_degree_histogram": degree_histogram_sql(),
     "sample_weighted_events": C.weighted_priority_sample_sql(

@@ -102,3 +102,44 @@ def test_line_dedup_drops_repeats_keeps_first(spark):
     assert got[0].n_lines == 2 and got[0].n_kept == 2      # first occurrence keeps
     assert got[1].n_lines == 2 and got[1].n_kept == 1      # its copy of line_a drops
     assert got[1].kept_ratio == 0.5
+
+
+def test_bm25_ranks_matching_docs_and_normalizes_length(spark):
+    from audience_manager_platform_spark.operators.text import bm25_topk
+
+    docs = _docs5(spark, [
+        "spark join window spark join",          # dense in query terms
+        "spark " + "filler " * 50,               # one hit, long doc
+        "nothing relevant here at all",
+        "join window",                           # short, two hits
+    ])
+    got = bm25_topk(docs, ["spark", "join", "window"], k=10).collect()
+    ids = [r.doc_id for r in got]
+    assert 2 not in ids                          # no matching term, no row
+    assert ids[0] == 0                           # densest doc wins
+    by_id = {r.doc_id: r for r in got}
+    assert by_id[0].n_matched_terms == 3
+    assert by_id[1].n_matched_terms == 1
+    # length normalization: the short two-term doc outranks the long one-hit doc
+    assert by_id[3].bm25 > by_id[1].bm25
+
+
+def _docs5(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    from audience_manager_platform_spark.operators.validation import (
+        k_anonymity_audit,
+    )
+
+    rows = [("US", "gold")] * 6 + [("US", "silver")] * 2 + [("DE", "gold")]
+    df = spark.createDataFrame(rows, "country string, tier string")
+    got = {(r.country, r.tier): r for r in
+           k_anonymity_audit(df, ["country", "tier"], k=5).collect()}
+    assert got[("US", "gold")].class_size == 6
+    assert not got[("US", "gold")].at_risk
+    assert got[("US", "silver")].at_risk and got[("DE", "gold")].at_risk

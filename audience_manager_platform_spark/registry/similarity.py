@@ -9,6 +9,7 @@ raw fixture contains no true near-dups; VERDICT r1 finding 3).
 
 from __future__ import annotations
 
+from ..operators import hybrid as H
 from ..operators import pq as PQ
 from ..operators import similarity as S
 from ..operators import sq as SQ
@@ -21,8 +22,18 @@ def _emb(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
 
+# Hybrid search: same literal query on both towers (the fixtures align
+# doc_id == vec_id, so one id addresses a doc and its embedding).
+HYBRID_TERMS = ["spark", "join", "window"]
+HYBRID_QVEC = 7
+
+
 QUERIES = {
     "ann_cosine_topk": lambda s, d: S.cosine_topk(_emb(s, d), _QUERY_IDS, k=5),
+    # r5: reciprocal-rank fusion of BM25 and exact-cosine retrieval
+    "hybrid_search_rrf": lambda s, d: H.hybrid_search_rrf(
+        load_table(s, d, "documents"), _emb(s, d), HYBRID_TERMS, HYBRID_QVEC
+    ),
     "ann_lsh_near_pairs": lambda s, d: S.lsh_near_pairs(_emb(s, d), threshold=0.35),
     "ann_ivf_topk": lambda s, d: S.ivf_topk(_emb(s, d), _QUERY_IDS, k=5),
     "ann_similar_pairs": lambda s, d: S.lsh_near_pairs(_emb(s, d), threshold=0.45),
@@ -69,6 +80,7 @@ QUERIES = {
 
 ORACLES = {
     "ann_cosine_topk": S.cosine_topk_sql(_QUERY_IDS, k=5),
+    "hybrid_search_rrf": H.hybrid_search_rrf_sql(HYBRID_TERMS, HYBRID_QVEC),
     "ann_lsh_near_pairs": S.lsh_near_pairs_sql(threshold=0.35),
     "ann_ivf_topk": S.ivf_topk_sql(_QUERY_IDS, k=5),
     "ann_similar_pairs": S.lsh_near_pairs_sql(threshold=0.45),

@@ -67,6 +67,14 @@ HEADLINE = [
     "ann_sq_adc_topk",
     "corpus_bloom_decontaminate",
     "text_inverted_postings",
+    # r5 additions: audience analytics trio + line dedup + BM25 +
+    # k-anonymity governance audit
+    "analytics_rfm_segments",
+    "analytics_top_session_paths",
+    "analytics_linear_attribution",
+    "dedup_line_stats",
+    "text_bm25_topk",
+    "privacy_k_anonymity_customer",
 ]
 
 # Repeats per query: medians make the bench regression-proof (r3 saw a

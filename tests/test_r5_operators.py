@@ -143,3 +143,51 @@ def test_k_anonymity_flags_small_classes(spark):
     assert got[("US", "gold")].class_size == 6
     assert not got[("US", "gold")].at_risk
     assert got[("US", "silver")].at_risk and got[("DE", "gold")].at_risk
+
+
+def test_hybrid_rrf_fuses_both_rankings(spark):
+    from audience_manager_platform_spark.operators.hybrid import (
+        hybrid_search_rrf,
+    )
+
+    docs = _docs5(spark, [
+        "spark join window",          # lexical hit
+        "spark spark join join",      # lexical hit
+        "unrelated words entirely",   # semantic-only candidate
+        "query doc text",             # the query's own doc
+    ])
+    import math
+
+    # embeddings: id 2 is nearly parallel to the query vector (id 3),
+    # ids 0/1 are near-orthogonal
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.05]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in vecs],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = hybrid_search_rrf(
+        docs, emb, ["spark", "join"], query_vec_id=3, k=4, pool=3
+    ).collect()
+    by_id = {r.id: r for r in got}
+    # doc 2: no lexical rank, best semantic rank
+    assert by_id[2].rank_lex is None and by_id[2].rank_sem == 1
+    # docs 0/1: lexical ranks present
+    assert by_id[0].rank_lex is not None and by_id[1].rank_lex is not None
+    # every fused score is the sum of the rank contributions
+    for r in got:
+        want = sum(
+            1.0 / (60 + x) for x in (r.rank_lex, r.rank_sem) if x is not None
+        )
+        assert math.isclose(r.rrf, round(want, 6))
+    # a doc present in BOTH rankings outranks one present in a single
+    # ranking at similar depth
+    both = [r for r in got if r.rank_lex and r.rank_sem]
+    if both:
+        single = [r for r in got if (r.rank_lex is None) != (r.rank_sem is None)]
+        assert all(b.rrf > s.rrf for b in both for s in single
+                   if (b.rank_lex or 99) <= (s.rank_lex or s.rank_sem))

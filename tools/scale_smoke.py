@@ -214,6 +214,41 @@ def main() -> None:
         bloom_decontaminate(docs, docs.filter(F.col("doc_id") % 50 == 0)),
     )
     timed("inverted postings top-25", inverted_postings(docs))
+
+    # ------------------------- round-5 additions at scale
+    from audience_manager_platform_spark.operators.text import bm25_topk
+    from audience_manager_platform_spark.operators.validation import (
+        k_anonymity_audit,
+    )
+
+    ROWS = int(os.environ.get("SCALE_ROWS", 10_000_000))
+    timed("RFM segmentation", A.rfm_segments(typed_events))
+    timed(
+        "session paths top-20 (30min gap)",
+        A.top_session_paths(typed_events),
+    )
+    timed(
+        "linear attribution (RANGE frame)",
+        A.linear_attribution(typed_events),
+    )
+    timed(
+        "k-anonymity audit (3 QIs)",
+        k_anonymity_audit(
+            typed_events.select(
+                "event_type",
+                (F.col("user_id") % 100).alias("geo_band"),
+                F.floor(F.col("value") / 100).alias("value_band"),
+            ),
+            ["event_type", "geo_band", "value_band"],
+        ),
+    )
+
+    ROWS = n_docs
+    timed("line-level dedup stats", D.line_dedup_stats(docs))
+    timed(
+        "BM25 top-10 (3-term query)",
+        bm25_topk(docs, ["w1", "w2", "w3"], k=10),
+    )
     spark.stop()
 
 

@@ -1100,3 +1100,84 @@ def recall_eval_sql(
           ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
         GROUP BY e.query_id
     """
+
+
+# --------------------------------------- Johnson-Lindenstrauss projection
+JL_OUT_DIM = 16
+
+
+def _jl_signs() -> list[list[int]]:
+    """Deterministic ±1 Rademacher projection matrix (JL_OUT_DIM x
+    EMBED_DIM), derived from the same LCG family as the MinHash/LSH
+    constants — shared verbatim with the SQL twin."""
+    signs = []
+    state = 0x9E3779B97F4A7C15
+    for _ in range(JL_OUT_DIM):
+        row = []
+        for _ in range(EMBED_DIM):
+            state = (state * 6_364_136_223_846_793_005 + 1_442_695_040_888_963_407) % (
+                2**63
+            )
+            row.append(1 if (state >> 32) & 1 else -1)
+        signs.append(row)
+    return signs
+
+
+JL_SIGNS = _jl_signs()
+
+
+def _jl_dot_terms(row: list[int], idx) -> str:
+    # identical string for both engines apart from the indexing base;
+    # left-assoc chain keeps the IEEE summation order shared
+    return " ".join(
+        ("+ " if s > 0 else "- ") + idx(i) for i, s in enumerate(row)
+    ).lstrip("+ ")
+
+
+def jl_distortion(emb: DataFrame) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction audit: project
+    every embedding 64 → 16 dims through a deterministic Rademacher ±1
+    matrix (scaled 1/sqrt(k)) and report the per-vector norm distortion
+    ``|f(v)| / |v|`` — the metric that decides whether the reduced space
+    is safe to run ANN in (JL guarantees distortion ≈ 1 ± ε w.h.p.).
+
+    Because entries are ±1, each projected coordinate is a pure
+    ADD/SUBTRACT chain over the input — no multiplies — and the whole
+    audit is ONE whole-stage-codegen projection per row: no shuffle, no
+    UDF, embarrassingly parallel at any corpus size. Both engines
+    evaluate the identical left-associative chains, so distortion is
+    deterministic cross-engine at 6dp."""
+    base = emb.select("vec_id", _vec_double().alias("v"))
+    dots = [
+        f"({_jl_dot_terms(row, lambda i: f'v[{i}]')})" for row in JL_SIGNS
+    ]
+    proj_sq = " + ".join(f"{d} * {d}" for d in dots)
+    return base.select(
+        "vec_id",
+        F.round(_norm_expr("v"), 6).alias("norm_orig"),
+        F.round(
+            F.expr(f"sqrt(({proj_sq}) / {JL_OUT_DIM})"), 6
+        ).alias("norm_jl"),
+        F.round(
+            F.expr(f"sqrt(({proj_sq}) / {JL_OUT_DIM})") / _norm_expr("v"), 6
+        ).alias("distortion"),
+    )
+
+
+def jl_distortion_sql(src: str = "embeddings") -> str:
+    dots = [
+        f"({_jl_dot_terms(row, lambda i: f'v[{i + 1}]')})" for row in JL_SIGNS
+    ]
+    proj_sq = " + ".join(f"{d} * {d}" for d in dots)
+    norm = "SQRT(" + " + ".join(
+        f"v[{i + 1}] * v[{i + 1}]" for i in range(EMBED_DIM)
+    ) + ")"
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src})
+        SELECT vec_id,
+               ROUND({norm}, 6) AS norm_orig,
+               ROUND(SQRT(({proj_sq}) / {JL_OUT_DIM}), 6) AS norm_jl,
+               ROUND(SQRT(({proj_sq}) / {JL_OUT_DIM}) / {norm}, 6)
+                 AS distortion
+        FROM e
+    """

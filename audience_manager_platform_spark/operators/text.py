@@ -955,3 +955,119 @@ def bm25_topk_sql(
         FROM scored GROUP BY doc_id
         ORDER BY bm25 DESC, doc_id ASC LIMIT {k}
     """
+
+
+# ------------------------------------------- model-based quality filter
+# Fixed logistic-regression weights over interpretable doc features —
+# the scaffold of a fasttext-style learned quality classifier (weights
+# would come from training; the OPERATOR is the serving shape: pure
+# column math, no UDF, embarrassingly parallel).
+QUALITY_LOGIT_W = {
+    "bias": -2.0,
+    "alpha_ratio": 1.5,
+    "stopword_ratio": 2.0,
+    "len_sat": 1.0,
+    "ttr": 0.75,  # type-token ratio: vocabulary richness
+}
+
+
+def quality_logit(docs: DataFrame) -> DataFrame:
+    """Model-based document quality filter: a logistic regression with
+    FIXED literal weights over four interpretable features (alphabetic
+    ratio, stopword ratio, length saturation, type-token ratio).
+
+    The serving shape of every learned quality classifier
+    (fasttext-style): one codegen projection per document — features,
+    dot product, sigmoid — no shuffle, no UDF. Features and the logit
+    are 6dp-quantized BEFORE the sigmoid so both engines exponentiate
+    the identical argument; ``keep`` thresholds the rounded probability
+    at 0.5."""
+    toks = tokens_col("text")
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    stop_cnt = F.expr(
+        f"size(filter(filter(split(lower(text), '{TOKEN_SPLIT_RE}'), x -> x != ''),"
+        f" t -> array_contains(array({en}), t)))"
+    )
+    alpha = F.round(
+        F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+        / F.nullif(F.length("text"), F.lit(0)).cast("double"),
+        6,
+    )
+    stop = F.round(
+        stop_cnt / F.nullif(F.size(toks), F.lit(0)).cast("double"), 6
+    )
+    len_sat = F.round(F.least(F.size(toks) / F.lit(100.0), F.lit(1.0)), 6)
+    ttr = F.round(
+        F.size(F.array_distinct(toks))
+        / F.nullif(F.size(toks), F.lit(0)).cast("double"),
+        6,
+    )
+    w = QUALITY_LOGIT_W
+    # decimal-exact dot product: weights carry <=2 decimals and the
+    # quantized features 6, so every product is EXACT at 8 decimals and
+    # the 6dp HALF_UP round is identical across engines (a double-side
+    # round here can straddle a representation boundary — e.g. 1.5 * a
+    # 6dp feature ends in ...5 at the 7th decimal; gate-caught)
+    feats = docs.select(
+        "doc_id",
+        alpha.alias("alpha"),
+        stop.alias("stop"),
+        len_sat.alias("len_sat_f"),
+        ttr.alias("ttr_f"),
+    )
+    dec = "DECIMAL(16,6)"
+    logit = F.expr(
+        f"CAST(round(CAST({w['bias']} AS {dec})"
+        f" + CAST({w['alpha_ratio']} AS DECIMAL(4,2)) * CAST(alpha AS {dec})"
+        f" + CAST({w['stopword_ratio']} AS DECIMAL(4,2)) * CAST(stop AS {dec})"
+        f" + CAST({w['len_sat']} AS DECIMAL(4,2)) * CAST(len_sat_f AS {dec})"
+        f" + CAST({w['ttr']} AS DECIMAL(4,2)) * CAST(ttr_f AS {dec})"
+        f", 6) AS DOUBLE)"
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return feats.select(
+        "doc_id",
+        F.col("alpha").alias("alpha_ratio"),
+        F.col("stop").alias("stopword_ratio"),
+        F.col("len_sat_f").alias("len_sat"),
+        F.col("ttr_f").alias("ttr"),
+        logit.alias("logit"),
+        p.alias("p_keep"),
+        (p >= 0.5).alias("keep"),
+    )
+
+
+def quality_logit_sql(src: str = "documents") -> str:
+    t = tokens_sql("text")
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    w = QUALITY_LOGIT_W
+    dec = "DECIMAL(16,6)"
+    logit = (
+        f"CAST(ROUND(CAST({w['bias']} AS {dec})"
+        f" + CAST({w['alpha_ratio']} AS DECIMAL(4,2)) * CAST(alpha AS {dec})"
+        f" + CAST({w['stopword_ratio']} AS DECIMAL(4,2)) * CAST(stop AS {dec})"
+        f" + CAST({w['len_sat']} AS DECIMAL(4,2)) * CAST(len_sat AS {dec})"
+        f" + CAST({w['ttr']} AS DECIMAL(4,2)) * CAST(ttr AS {dec})"
+        f", 6) AS DOUBLE)"
+    )
+    return f"""
+        WITH feats AS (
+          SELECT doc_id,
+                 ROUND(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   / CAST(NULLIF(len(text), 0) AS DOUBLE), 6) AS alpha,
+                 ROUND(len(list_filter(toks, t -> list_contains([{en}], t)))
+                   / CAST(NULLIF(len(toks), 0) AS DOUBLE), 6) AS stop,
+                 ROUND(LEAST(len(toks) / 100.0, 1.0), 6) AS len_sat,
+                 ROUND(len(list_distinct(toks))
+                   / CAST(NULLIF(len(toks), 0) AS DOUBLE), 6) AS ttr
+          FROM (SELECT doc_id, text, {t} AS toks FROM {src}) s
+        )
+        SELECT doc_id,
+               alpha AS alpha_ratio,
+               stop AS stopword_ratio,
+               len_sat, ttr,
+               {logit} AS logit,
+               ROUND(1.0 / (1.0 + EXP(-{logit})), 6) AS p_keep,
+               ROUND(1.0 / (1.0 + EXP(-{logit})), 6) >= 0.5 AS keep
+        FROM feats
+    """

@@ -63,9 +63,14 @@ def _load_driver_credited() -> frozenset[str]:
 _DRIVER_CREDITED = _load_driver_credited()
 
 # Names to hold out of the current window even though uncredited (used when
-# there are more uncredited names than the 50 slots).  Empty this round:
-# the 22 never-credited queries plus this round's additions all fit.
-_DEFER_TO_NEXT_ROUND: tuple[str, ...] = ()
+# there are more uncredited names than the 50 slots).  This round the 42
+# previously-uncredited queries plus seven round-5 additions fill 49 of
+# the 50 slots; the operators added after that point queue here for the
+# next window.
+_DEFER_TO_NEXT_ROUND: tuple[str, ...] = (
+    "text_quality_logit",
+    "emb_jl_distortion",
+)
 
 
 def _rotate(entries: dict) -> dict:

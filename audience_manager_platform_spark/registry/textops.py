@@ -49,6 +49,8 @@ QUERIES = {
     "corpus_source_cap": lambda s, d: C.source_cap(_docs(s, d), cap=100),
     "text_length_bands": lambda s, d: T.length_bands(_docs(s, d)),
     "text_oov_rate_bands": lambda s, d: T.oov_rate_bands(_docs(s, d)),
+    # r5 (deferred window): model-based quality filter scaffold
+    "text_quality_logit": lambda s, d: T.quality_logit(_docs(s, d)),
     "dedup_exact": lambda s, d: D.exact_dedup(_docs(s, d)),
     "dedup_ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_docs(s, d), threshold=0.6),
     "dedup_ngram_jaccard_capped": lambda s, d: D.ngram_jaccard_pairs(
@@ -119,6 +121,7 @@ ORACLES = {
     "corpus_bigram_topk": T.bigram_topk_sql(k=50),
     "text_inverted_postings": T.inverted_postings_sql(),
     "text_bm25_topk": T.bm25_topk_sql(BM25_QUERY, k=15),
+    "text_quality_logit": T.quality_logit_sql(),
     "corpus_source_cap": C.source_cap_sql(cap=100),
     "text_length_bands": T.length_bands_sql(),
     "text_oov_rate_bands": T.oov_rate_bands_sql(),

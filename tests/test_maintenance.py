@@ -136,3 +136,42 @@ def test_incremental_refresh_partitioned_base_prunes(spark, tmp_path):
     want = sorted(tuple(r) for r in daily_rollup(base).collect())
     got = sorted(tuple(r) for r in out.collect())
     assert got == want
+
+
+def test_dynamic_partition_pruning_fires_on_dim_filtered_join(spark, tmp_path):
+    """100 TB posture: a fact⋈dim join where the selective filter sits on
+    the DIM side must still prune fact partitions — Spark's dynamic
+    partition pruning (DPP) injects a runtime subquery into the fact
+    scan's PartitionFilters. This is the plan shape every star-schema
+    query in the engine relies on at warehouse scale; assert it actually
+    fires on a day-partitioned fact."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, datetime(2024, 3, 1 + (i % 10), 10), i % 5, float(i))
+        for i in range(1000)
+    ]
+    fact = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    ).withColumn("day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
+    path = str(tmp_path / "fact_by_day")
+    fact.write.partitionBy("day").parquet(path)
+    fact = spark.read.parquet(path)
+
+    dim = spark.createDataFrame(
+        [(f"2024-03-{d:02d}", "keep" if d <= 2 else "drop") for d in range(1, 11)],
+        "day string, status string",
+    )
+    joined = fact.join(dim.filter(F.col("status") == "keep"), "day").agg(
+        F.sum("value").alias("total")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "DynamicPruning" in plan, (
+        f"DPP did not fire on the partitioned fact scan:\n"
+        f"{[ln for ln in plan.splitlines() if 'PartitionFilters' in ln]}"
+    )
+    # and the result is the pruned-side aggregate
+    want = sum(float(i) for i in range(1000) if (i % 10) < 2)
+    assert joined.collect()[0].total == want

@@ -191,3 +191,53 @@ def test_hybrid_rrf_fuses_both_rankings(spark):
         single = [r for r in got if (r.rank_lex is None) != (r.rank_sem is None)]
         assert all(b.rrf > s.rrf for b in both for s in single
                    if (b.rank_lex or 99) <= (s.rank_lex or s.rank_sem))
+
+
+def test_jl_distortion_exact_on_basis_vector(spark):
+    from audience_manager_platform_spark.operators.similarity import (
+        EMBED_DIM,
+        jl_distortion,
+    )
+
+    # e_0: every projected coordinate is +-1/sqrt(k), so the projected
+    # norm is exactly 1 and distortion is exactly 1.0
+    basis = [1.0] + [0.0] * (EMBED_DIM - 1)
+    emb = spark.createDataFrame(
+        [(0, basis, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    row = jl_distortion(emb).collect()[0]
+    assert row.norm_orig == 1.0
+    assert row.norm_jl == 1.0
+    assert row.distortion == 1.0
+
+
+def test_jl_distortion_concentrates_near_one(spark, sf_dir):
+    from audience_manager_platform_spark.operators.similarity import jl_distortion
+    from audience_manager_platform_spark.sources import load_table
+
+    rows = jl_distortion(load_table(spark, sf_dir, "embeddings")).collect()
+    ds = [r.distortion for r in rows]
+    # JL with k=16: distortion concentrates around 1 +- O(1/sqrt(k));
+    # generous band, but catches a broken projection (0 or >> 1)
+    assert all(0.3 < d < 1.9 for d in ds)
+    mean = sum(ds) / len(ds)
+    assert 0.8 < mean < 1.2
+
+
+def test_quality_logit_orders_clean_text_above_junk(spark):
+    from audience_manager_platform_spark.operators.text import quality_logit
+
+    docs = _docs5(spark, [
+        "the quick brown fox and the lazy dog were a fine pair of animals",
+        "zzzz 123 ### $$$ 999 @@@@ xxxx 42 %%% !!!",
+    ])
+    got = {r.doc_id: r for r in quality_logit(docs).collect()}
+    assert got[0].p_keep > got[1].p_keep
+    assert got[0].logit > got[1].logit
+    # probability is the sigmoid of the (rounded) logit
+    import math
+
+    for r in got.values():
+        assert math.isclose(
+            r.p_keep, round(1.0 / (1.0 + math.exp(-r.logit)), 6), abs_tol=1e-6
+        )

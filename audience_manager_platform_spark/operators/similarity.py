@@ -1181,3 +1181,94 @@ def jl_distortion_sql(src: str = "embeddings") -> str:
                  AS distortion
         FROM e
     """
+
+
+# --------------------------------------- k-center diversity selection
+KCENTER_K = 8
+
+
+def kcenter_select(emb: DataFrame, k: int = KCENTER_K) -> DataFrame:
+    """Greedy farthest-point (Gonzalez k-center) selection: pick the
+    min-id vector as the seed, then repeatedly add the vector FARTHEST
+    (lowest max-cosine) from the chosen set — the classic 2-approx
+    core-set that training-data curation uses to pick a maximally
+    DIVERSE exemplar subset (the opposite pull of SemDeDup's
+    redundancy removal).
+
+    Scale shape: per round, one narrow Arrow-kernel assignment pass
+    (:func:`assign_cells_arrow` against the ≤k chosen vectors — no
+    shuffle) and a TakeOrdered(1) to elect the farthest vector; driver
+    state is the chosen set, O(k × dim), exactly the k-means model
+    discipline. k rounds total — the corpus is scanned k times but
+    never shuffled.
+
+    Output: every vector assigned to its nearest center (max rounded
+    cosine, ties to the lowest center id), with the cosine DISTANCE and
+    an ``is_center`` flag. Deterministic cross-engine: the same 6dp
+    quantization + tie-break contract the k-means family certifies.
+    """
+    base = emb.select("vec_id", _vec_double().alias("v"))
+    seed = base.orderBy(F.asc("vec_id")).limit(1).collect()[0]
+    chosen: list[tuple[int, list[float]]] = [
+        (int(seed.vec_id), [float(x) for x in seed.v])
+    ]
+    for _ in range(k - 1):
+        nxt = (
+            assign_cells_arrow(base, chosen, keep_vec=True)
+            .orderBy(F.asc("csim"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((int(nxt.vec_id), [float(x) for x in nxt.v]))
+        chosen.sort()
+    final = assign_cells_arrow(base, chosen)
+    return final.select(
+        "vec_id",
+        F.col("cent_id").alias("center_id"),
+        F.round(F.lit(1.0) - F.col("csim"), 6).alias("dist"),
+        (F.col("vec_id") == F.col("cent_id")).alias("is_center"),
+    )
+
+
+def kcenter_select_sql(k: int = KCENTER_K, src: str = "embeddings") -> str:
+    """DuckDB twin of :func:`kcenter_select`: the greedy loop unrolled
+    as CTE stages — per round an argmax-cosine assignment against the
+    accumulated chosen set and a LIMIT-1 farthest election."""
+
+    def assign(i: int) -> str:
+        return f"""a{i} AS (
+          SELECT vec_id, v, cent_id, csim FROM (
+            SELECT e.vec_id, e.v, c.cent_id,
+                   ROUND(list_cosine_similarity(e.v, c.cv), 6) AS csim,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                              c.cent_id ASC) AS rn
+            FROM e CROSS JOIN ch{i} c
+          ) x WHERE rn = 1
+        )"""
+
+    parts = [
+        f"e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src})",
+        "ch1 AS (SELECT vec_id AS cent_id, v AS cv FROM e "
+        "WHERE vec_id = (SELECT MIN(vec_id) FROM e))",
+    ]
+    for i in range(1, k):
+        parts.append(assign(i))
+        parts.append(
+            f"n{i} AS (SELECT vec_id FROM a{i} "
+            f"ORDER BY csim ASC, vec_id ASC LIMIT 1)"
+        )
+        parts.append(
+            f"ch{i + 1} AS (SELECT cent_id, cv FROM ch{i} UNION ALL "
+            f"SELECT e.vec_id, e.v FROM e JOIN n{i} USING (vec_id))"
+        )
+    parts.append(assign(k))
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT vec_id, cent_id AS center_id,
+               ROUND(1.0 - csim, 6) AS dist,
+               vec_id = cent_id AS is_center
+        FROM a{k}
+    """

@@ -70,6 +70,7 @@ _DRIVER_CREDITED = _load_driver_credited()
 _DEFER_TO_NEXT_ROUND: tuple[str, ...] = (
     "text_quality_logit",
     "emb_jl_distortion",
+    "sample_kcenter_diverse",
 )
 
 

@@ -32,6 +32,8 @@ QUERIES = {
     "ann_cosine_topk": lambda s, d: S.cosine_topk(_emb(s, d), _QUERY_IDS, k=5),
     # r5 (deferred window): JL dimension-reduction distortion audit
     "emb_jl_distortion": lambda s, d: S.jl_distortion(_emb(s, d)),
+    # r5 (deferred window): greedy farthest-point diversity core-set
+    "sample_kcenter_diverse": lambda s, d: S.kcenter_select(_emb(s, d)),
     # r5: reciprocal-rank fusion of BM25 and exact-cosine retrieval
     "hybrid_search_rrf": lambda s, d: H.hybrid_search_rrf(
         load_table(s, d, "documents"), _emb(s, d), HYBRID_TERMS, HYBRID_QVEC
@@ -84,6 +86,7 @@ ORACLES = {
     "ann_cosine_topk": S.cosine_topk_sql(_QUERY_IDS, k=5),
     "hybrid_search_rrf": H.hybrid_search_rrf_sql(HYBRID_TERMS, HYBRID_QVEC),
     "emb_jl_distortion": S.jl_distortion_sql(),
+    "sample_kcenter_diverse": S.kcenter_select_sql(),
     "ann_lsh_near_pairs": S.lsh_near_pairs_sql(threshold=0.35),
     "ann_ivf_topk": S.ivf_topk_sql(_QUERY_IDS, k=5),
     "ann_similar_pairs": S.lsh_near_pairs_sql(threshold=0.45),

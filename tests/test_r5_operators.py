@@ -241,3 +241,37 @@ def test_quality_logit_orders_clean_text_above_junk(spark):
         assert math.isclose(
             r.p_keep, round(1.0 / (1.0 + math.exp(-r.logit)), 6), abs_tol=1e-6
         )
+
+
+def test_kcenter_picks_the_planted_extremes(spark):
+    from audience_manager_platform_spark.operators.similarity import (
+        EMBED_DIM,
+        kcenter_select,
+    )
+
+    # three tight clusters along different axes; k=3 must pick one
+    # representative per cluster (farthest-point property)
+    def vec(axis, eps):
+        v = [0.0] * EMBED_DIM
+        v[axis] = 1.0
+        v[(axis + 1) % EMBED_DIM] = eps
+        return v
+
+    rows = []
+    for cluster, axis in enumerate((0, 20, 40)):
+        for j in range(4):
+            rows.append((cluster * 10 + j, vec(axis, 0.01 * j), cluster))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = kcenter_select(emb, k=3).collect()
+    centers = {r.center_id for r in got}
+    assert len(centers) == 3
+    # one center per planted cluster
+    assert {c // 10 for c in centers} == {0, 1, 2}
+    by_id = {r.vec_id: r for r in got}
+    # members assign to their own cluster's center with near-zero distance
+    for vid, r in by_id.items():
+        assert r.center_id // 10 == vid // 10
+        assert r.dist < 0.01
+        assert r.is_center == (vid == r.center_id)

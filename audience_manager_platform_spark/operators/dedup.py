@@ -824,3 +824,84 @@ def line_dedup_stats_sql(
                ROUND(SUM(kept) / CAST(COUNT(*) AS DOUBLE), 6) AS kept_ratio
         FROM marked GROUP BY doc_id
     """
+
+
+def line_dedup_rewrite(docs: DataFrame, line_tokens: int = LINE_TOKENS) -> DataFrame:
+    """The TRANSFORM companion of :func:`line_dedup_stats`: emit each
+    document's cleaned text with its corpus-duplicated lines removed
+    (first occurrence kept), i.e. what actually ships to training after
+    the C4 repeated-line rule.
+
+    Same two keyed exchanges as the stats variant (keeper election on
+    ``line_text`` — map-side-combinable min — then one doc-keyed
+    aggregate); reassembly concatenates the kept lines in line order
+    via a sorted struct aggregate, so no window pass and no assumption
+    about row order surviving the shuffle. Documents whose every line
+    was a duplicate come back with empty text, which is exactly the
+    "drop docs that are pure boilerplate" signal downstream filters key
+    on."""
+    from .text import chunk_tokens
+
+    lines = chunk_tokens(docs, chunk=line_tokens, stride=line_tokens).select(
+        "doc_id",
+        F.col("chunk_idx").alias("line_idx"),
+        F.col("chunk_text").alias("line_text"),
+    )
+    pos = (F.col("doc_id") * F.lit(1_000_000) + F.col("line_idx")).cast("long")
+    keepers = (
+        lines.select("line_text", pos.alias("_pos"))
+        .groupBy("line_text")
+        .agg(F.min("_pos").alias("_keeper"))
+    )
+    kept = (
+        lines.join(keepers, "line_text")
+        .filter(pos == F.col("_keeper"))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "array_join(transform(sort_array(collect_list("
+                "struct(line_idx, line_text))), s -> s.line_text), ' ')"
+            ).alias("clean_text"),
+            F.count("*").cast("long").alias("n_kept"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+def line_dedup_rewrite_sql(
+    src: str = "documents", line_tokens: int = LINE_TOKENS
+) -> str:
+    from .text import chunk_tokens_sql
+
+    chunks = chunk_tokens_sql(src, chunk=line_tokens, stride=line_tokens)
+    return f"""
+        WITH lines AS (
+          SELECT doc_id, chunk_idx AS line_idx, chunk_text AS line_text
+          FROM ({chunks}) c
+        ),
+        keepers AS (
+          SELECT line_text,
+                 MIN(doc_id * 1000000 + line_idx) AS keeper
+          FROM lines GROUP BY line_text
+        ),
+        kept AS (
+          SELECT l.doc_id,
+                 string_agg(l.line_text, ' ' ORDER BY l.line_idx) AS clean_text,
+                 CAST(COUNT(*) AS BIGINT) AS n_kept
+          FROM lines l JOIN keepers k USING (line_text)
+          WHERE l.doc_id * 1000000 + l.line_idx = k.keeper
+          GROUP BY l.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(kept.clean_text, '') AS clean_text,
+               COALESCE(kept.n_kept, 0) AS n_kept
+        FROM {src} d LEFT JOIN kept USING (doc_id)
+    """

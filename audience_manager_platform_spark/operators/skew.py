@@ -183,3 +183,147 @@ def hll_mergeable_rollup_sql(src: str = "events") -> str:
                TRUE AS within_bound
         FROM {src}
     """
+
+
+# ----------------------------------------------------- count-min sketch
+# Third mergeable sketch beside HLL (distincts) and Misra-Gries (heavy
+# hitters): CMS answers point frequency queries from O(d*w) counters.
+CMS_D = 4       # hash rows
+CMS_W = 256     # buckets per row
+CMS_P = 2_147_483_647  # 2^31 - 1, the MinHash family's Mersenne prime
+
+
+def _cms_params() -> list[tuple[int, int]]:
+    def lcg(seed: int) -> int:
+        return (seed * 6_364_136_223_846_793_005 + 1_442_695_040_888_963_407) % (
+            2**63
+        )
+
+    return [
+        ((lcg(r * 2 + 101) % (CMS_P - 1)) + 1, lcg(r * 2 + 102) % CMS_P)
+        for r in range(CMS_D)
+    ]
+
+
+CMS_AB = _cms_params()
+
+
+def _cms_bucket_py(key: int, r: int) -> int:
+    a, b = CMS_AB[r]
+    return ((a * (key % CMS_P) + b) % CMS_P) % CMS_W
+
+
+def _cms_bucket_sql(col: str, r: int) -> str:
+    # pure 64-bit-safe arithmetic: (key % P) < 2^31 and a < 2^31, so the
+    # product stays under 2^62 on both engines (DuckDB would ERROR on a
+    # BIGINT overflow; Spark would wrap — neither happens)
+    a, b = CMS_AB[r]
+    return f"(({a} * ({col} % {CMS_P}) + {b}) % {CMS_P}) % {CMS_W}"
+
+
+def cms_estimate(
+    df: DataFrame, key: str, query_keys: list[int]
+) -> DataFrame:
+    """Count-min sketch point-frequency estimates with the exact truth
+    beside them: build the d×w counter table over ``key``, answer each
+    ``query_keys`` id with ``min`` over its d counters, and join the
+    true count so the output certifies the CMS guarantee
+    (``cms_est >= true_count``, overcount bounded by collisions).
+
+    Scale shape: the counter build is ONE map-side-combinable aggregate
+    over (row, bucket) — at most d·w = {d}×{w} groups survive the
+    shuffle regardless of input size, which is the point of the sketch:
+    the counter table is a broadcastable summary that merges across
+    partitions/days by addition (same rollup pattern as the HLL sketch
+    column). Query buckets are computed driver-side from the shared
+    constants (pure integer arithmetic — both engines and Python agree
+    exactly) and enter the plan as a literal row set; the probe is a
+    broadcast join against the tiny counter table.
+    """.format(d=CMS_D, w=CMS_W)
+    spark = df.sparkSession
+    counters = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            F.expr(_cms_bucket_sql(key, r)).alias("bucket"),
+                        )
+                        for r in range(CMS_D)
+                    ]
+                )
+            ).alias("rb")
+        )
+        .select("rb.r", "rb.bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    probes = spark.createDataFrame(
+        [
+            (int(k), r, _cms_bucket_py(int(k), r))
+            for k in query_keys
+            for r in range(CMS_D)
+        ],
+        f"{key} long, r int, bucket long",
+    )
+    ests = (
+        probes
+        .join(F.broadcast(counters), ["r", "bucket"], "left")
+        .groupBy(key)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("cms_est"))
+    )
+    truth = (
+        df.filter(F.col(key).isin([int(k) for k in query_keys]))
+        .groupBy(key)
+        .agg(F.count("*").cast("long").alias("true_count"))
+    )
+    return (
+        ests.join(truth, key, "left")
+        .select(
+            key,
+            F.coalesce("true_count", F.lit(0)).cast("long").alias("true_count"),
+            "cms_est",
+            (F.col("cms_est") - F.coalesce("true_count", F.lit(0)))
+            .cast("long")
+            .alias("overcount"),
+        )
+    )
+
+
+def cms_estimate_sql(src: str, key: str, query_keys: list[int]) -> str:
+    rows = ",\n                 ".join(
+        f"({int(k)}, {r}, {_cms_bucket_py(int(k), r)})"
+        for k in query_keys
+        for r in range(CMS_D)
+    )
+    union_rows = "\n          UNION ALL ".join(
+        f"SELECT {r} AS r, {_cms_bucket_sql(key, r)} AS bucket FROM {src}"
+        for r in range(CMS_D)
+    )
+    keys_in = ", ".join(str(int(k)) for k in query_keys)
+    return f"""
+        WITH exploded AS (
+          {union_rows}
+        ),
+        counters AS (
+          SELECT r, bucket, COUNT(*) AS cnt FROM exploded GROUP BY r, bucket
+        ),
+        probes({key}, r, bucket) AS (VALUES {rows}),
+        ests AS (
+          SELECT p.{key},
+                 CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_est
+          FROM probes p LEFT JOIN counters c USING (r, bucket)
+          GROUP BY p.{key}
+        ),
+        truth AS (
+          SELECT {key}, CAST(COUNT(*) AS BIGINT) AS true_count
+          FROM {src} WHERE {key} IN ({keys_in}) GROUP BY {key}
+        )
+        SELECT e.{key},
+               COALESCE(t.true_count, 0) AS true_count,
+               e.cms_est,
+               CAST(e.cms_est - COALESCE(t.true_count, 0) AS BIGINT)
+                 AS overcount
+        FROM ests e LEFT JOIN truth t USING ({key})
+    """

@@ -71,6 +71,8 @@ _DEFER_TO_NEXT_ROUND: tuple[str, ...] = (
     "text_quality_logit",
     "emb_jl_distortion",
     "sample_kcenter_diverse",
+    "dedup_line_rewrite",
+    "sketch_cms_user_counts",
 )
 
 

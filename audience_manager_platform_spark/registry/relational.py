@@ -14,6 +14,8 @@ from ..operators.relational import (
     range_join_bands,
 )
 from ..operators.skew import (
+    cms_estimate,
+    cms_estimate_sql,
     hll_mergeable_rollup,
     hll_mergeable_rollup_sql,
     salted_sum_count,
@@ -316,7 +318,15 @@ QUERIES = {
     "basket_brand_pairs": lambda s, d: basket_brand_pairs(
         load_table(s, d, "lineitem"), load_table(s, d, "part"), k=25
     ),
+    # r5 (deferred window): count-min sketch point-frequency estimates,
+    # exact truth beside them (third mergeable sketch after HLL and MG)
+    "sketch_cms_user_counts": lambda s, d: cms_estimate(
+        _events(s, d), "user_id", CMS_QUERY_IDS
+    ),
 }
+
+# ten fixed probe ids spanning the fixture's user range
+CMS_QUERY_IDS = [0, 7, 13, 29, 42, 55, 68, 91, 120, 149]
 
 _PIVOT_CASES = ",\n               ".join(
     f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in EVENT_TYPES
@@ -462,4 +472,7 @@ ORACLES = {
         FROM events GROUP BY user_id
     """,
     "hll_mergeable_rollup": hll_mergeable_rollup_sql(),
+    "sketch_cms_user_counts": cms_estimate_sql(
+        "events", "user_id", [0, 7, 13, 29, 42, 55, 68, 91, 120, 149]
+    ),
 }

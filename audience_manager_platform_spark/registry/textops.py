@@ -69,6 +69,8 @@ QUERIES = {
     ),
     # r5: C4-style line-level dedup audit (repeated-window removal)
     "dedup_line_stats": lambda s, d: D.line_dedup_stats(_docs(s, d)),
+    # r5 (deferred window): the transform twin — cleaned text shipped
+    "dedup_line_rewrite": lambda s, d: D.line_dedup_rewrite(_docs(s, d)),
     "dedup_cluster_canonical": lambda s, d: D.cluster_canonical(
         _docs(s, d),
         D.minhash_lsh_pairs(
@@ -138,6 +140,7 @@ ORACLES = {
     "dedup_simhash_hamming_pairs": D.simhash_hamming_pairs_sql(max_hamming=3),
     "dedup_ngram_containment": D.ngram_containment_pairs_sql(threshold=0.8),
     "dedup_line_stats": D.line_dedup_stats_sql(),
+    "dedup_line_rewrite": D.line_dedup_rewrite_sql(),
     "dedup_cluster_canonical": D.cluster_canonical_sql(
         est_threshold=0.5, max_band_size=LSH_MAX_BAND
     ),

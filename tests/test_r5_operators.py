@@ -275,3 +275,35 @@ def test_kcenter_picks_the_planted_extremes(spark):
         assert r.center_id // 10 == vid // 10
         assert r.dist < 0.01
         assert r.is_center == (vid == r.center_id)
+
+
+def test_line_rewrite_strips_repeats_preserves_order(spark):
+    line_a = " ".join(f"tok{i}" for i in range(16))
+    line_b = " ".join(f"other{i}" for i in range(16))
+    line_c = " ".join(f"unique{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            (0, f"{line_a} {line_b}", "en", "web", 1),
+            (1, f"{line_a} {line_c}", "en", "web", 1),
+            (2, line_a, "en", "web", 1),          # pure boilerplate
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.doc_id: r for r in D.line_dedup_rewrite(docs).collect()}
+    assert got[0].clean_text == f"{line_a} {line_b}"
+    assert got[1].clean_text == line_c        # its copy of line_a removed
+    assert got[2].clean_text == "" and got[2].n_kept == 0
+
+
+def test_cms_never_undercounts_and_is_exact_without_collisions(spark):
+    from audience_manager_platform_spark.operators.skew import cms_estimate
+
+    rows = [(i, i % 7, "t") for i in range(700)]  # keys 0..6, 100 each
+    df = spark.createDataFrame(rows, "event_id long, user_id long, x string")
+    got = {r.user_id: r for r in
+           cms_estimate(df, "user_id", [0, 3, 6, 999]).collect()}
+    for k in (0, 3, 6):
+        assert got[k].true_count == 100
+        assert got[k].cms_est >= 100 and got[k].overcount >= 0
+    # absent key: truth 0, estimate >= 0 (collisions only)
+    assert got[999].true_count == 0 and got[999].overcount == got[999].cms_est

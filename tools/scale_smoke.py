@@ -245,9 +245,26 @@ def main() -> None:
 
     ROWS = n_docs
     timed("line-level dedup stats", D.line_dedup_stats(docs))
+    timed("line-level dedup rewrite", D.line_dedup_rewrite(docs))
     timed(
         "BM25 top-10 (3-term query)",
         bm25_topk(docs, ["w1", "w2", "w3"], k=10),
+    )
+
+    from audience_manager_platform_spark.operators.similarity import (
+        jl_distortion,
+        kcenter_select,
+    )
+    from audience_manager_platform_spark.operators.skew import cms_estimate
+
+    ROWS = n_vecs
+    timed("JL 64->16 distortion audit", jl_distortion(vecs))
+    timed("k-center diverse pick (k=8)", kcenter_select(vecs, k=8))
+
+    ROWS = int(os.environ.get("SCALE_ROWS", 10_000_000))
+    timed(
+        "count-min sketch (10 probes)",
+        cms_estimate(typed_events, "user_id", list(range(10))),
     )
     spark.stop()
 

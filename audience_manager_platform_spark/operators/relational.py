@@ -49,7 +49,11 @@ def asof_join(
     ``merge_asof`` in per-group Pandas which forces Python). Ties
     (right_ts == left_ts) sort the right row first → inclusive semantics,
     matching DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``."""
-    lcols = [c for c in left.columns if c != on]
+    # left_ts already travels as _ts and is renamed back on the way out —
+    # keeping it in lcols too would emit a DUPLICATE column of that name
+    # (ambiguous for any downstream select of left_ts; latent until a
+    # caller actually selected it)
+    lcols = [c for c in left.columns if c not in (on, left_ts)]
     l = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),

@@ -73,6 +73,7 @@ _DEFER_TO_NEXT_ROUND: tuple[str, ...] = (
     "sample_kcenter_diverse",
     "dedup_line_rewrite",
     "sketch_cms_user_counts",
+    "scd2_temporal_enrich",
 )
 
 

@@ -83,6 +83,38 @@ def _rollup_orders(spark, sf_dir):
     )
 
 
+def _scd2_temporal_enrich(spark, sf_dir):
+    """Fact-to-SCD2 temporal enrichment — THE star-schema warehouse
+    pattern: each purchase is stamped with the user's dimension state
+    AS OF the purchase instant. Composed from the engine's own pieces:
+    the change stream collapses to one row per (user, ts) — max_by
+    tiebreak, so the as-of match is unique — and the generic union-
+    window :func:`~.operators.relational.asof_join` binds facts to the
+    latest preceding change in ONE user-keyed shuffle (no interval
+    join, no correlated subquery). Purchases before any change carry
+    NULLs (left semantics). DuckDB oracle is its native ASOF LEFT
+    JOIN."""
+    ev = _events(spark, sf_dir)
+    changes = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.expr("max_by(event_type, event_id)").alias("state"))
+        .select(
+            "user_id",
+            F.col("ts").alias("change_ts"),
+            "state",
+            F.col("ts").alias("valid_from"),
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        facts, changes, on="user_id", left_ts="ts",
+        right_ts="change_ts", right_vals=["state", "valid_from"],
+    ).select("event_id", "user_id", "ts", "asof_state", "asof_valid_from")
+
+
 def _funnel_stages(spark, sf_dir):
     """Event funnel (view → click → purchase, strictly ordered by first
     occurrence): per-user conditional MINs in one shuffle, stage counts
@@ -318,6 +350,8 @@ QUERIES = {
     "basket_brand_pairs": lambda s, d: basket_brand_pairs(
         load_table(s, d, "lineitem"), load_table(s, d, "part"), k=25
     ),
+    # r5 (deferred window): fact-to-SCD2 as-of enrichment (star schema)
+    "scd2_temporal_enrich": _scd2_temporal_enrich,
     # r5 (deferred window): count-min sketch point-frequency estimates,
     # exact truth beside them (third mergeable sketch after HLL and MG)
     "sketch_cms_user_counts": lambda s, d: cms_estimate(
@@ -472,6 +506,22 @@ ORACLES = {
         FROM events GROUP BY user_id
     """,
     "hll_mergeable_rollup": hll_mergeable_rollup_sql(),
+    "scd2_temporal_enrich": """
+        WITH changes AS (
+          SELECT user_id, ts,
+                 arg_max(event_type, event_id) AS state
+          FROM events WHERE event_type <> 'purchase'
+          GROUP BY user_id, ts
+        ),
+        facts AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'
+        )
+        SELECT f.event_id, f.user_id, f.ts,
+               c.state AS asof_state, c.ts AS asof_valid_from
+        FROM facts f ASOF LEFT JOIN changes c
+          ON f.user_id = c.user_id AND f.ts >= c.ts
+    """,
     "sketch_cms_user_counts": cms_estimate_sql(
         "events", "user_id", [0, 7, 13, 29, 42, 55, 68, 91, 120, 149]
     ),

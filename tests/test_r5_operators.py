@@ -307,3 +307,28 @@ def test_cms_never_undercounts_and_is_exact_without_collisions(spark):
         assert got[k].cms_est >= 100 and got[k].overcount >= 0
     # absent key: truth 0, estimate >= 0 (collisions only)
     assert got[999].true_count == 0 and got[999].overcount == got[999].cms_est
+
+
+def test_scd2_temporal_enrich_stamps_asof_state(spark):
+    from audience_manager_platform_spark.registry.relational import (
+        _scd2_temporal_enrich,
+    )
+    # not a fixture-path test: drive the composition directly
+    rows = [
+        (datetime(2024, 1, 1, 9), 1, "signup", 0.0),
+        (datetime(2024, 1, 2, 9), 1, "view", 0.0),
+        (datetime(2024, 1, 2, 12), 1, "purchase", 10.0),  # after view
+        (datetime(2024, 1, 3, 9), 2, "purchase", 5.0),    # no prior change
+    ]
+    ev = _events(spark, rows)  # event_ids 0..3 in list order
+
+    import audience_manager_platform_spark.registry.relational as R
+    orig = R._events
+    R._events = lambda s, d: ev
+    try:
+        got = {r.event_id: r for r in _scd2_temporal_enrich(spark, "").collect()}
+    finally:
+        R._events = orig
+    assert got[2].asof_state == "view"
+    assert got[2].asof_valid_from == datetime(2024, 1, 2, 9)
+    assert got[3].asof_state is None and got[3].asof_valid_from is None

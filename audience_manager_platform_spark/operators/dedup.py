@@ -111,13 +111,18 @@ def ngram_jaccard_pairs(
     so dropping a shared stop-gram shrinks numerator and denominator
     together instead of biasing the score low.
 
-    The exploded gram table feeds both sides of the self-join as the
-    IDENTICAL subplan, so Catalyst's exchange reuse materializes its
-    shuffle once — no persist() needed, and nothing is left cached after
-    the action (at warehouse scale signatures/grams would be a
-    materialized table reused across runs)."""
+    The exploded gram table feeds both sides of the self-join, and
+    Catalyst's exchange reuse does NOT fire across the differently-
+    aliased branches (measured: the tokenize/gram map side ran twice,
+    15.1 s vs 6.4 s at sf0.1) — so the table is
+    :func:`~.partitioning.materialize`'d once, the same remedy the LSH
+    bucket table uses. At warehouse scale the gram table would be a
+    materialized artifact reused across dedup runs anyway; nothing stays
+    in the block manager after the action."""
     grams = _doc_grams(docs, n)
-    exploded = grams.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
+    exploded = materialize(
+        grams.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
+    )
     if max_gram_df is not None:
         df_counts = exploded.groupBy("gram").agg(F.count("*").alias("gram_df"))
         kept = exploded.join(
@@ -213,7 +218,9 @@ def ngram_containment_pairs(
     recomputed so the score is the true containment of surviving sets.
     """
     grams = _doc_grams(docs, n)
-    exploded = grams.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
+    exploded = materialize(
+        grams.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
+    )  # feeds both join sides + the sizes: one derivation (see jaccard)
     if max_gram_df is not None:
         df_counts = exploded.groupBy("gram").agg(F.count("*").alias("gram_df"))
         kept = exploded.join(
@@ -533,8 +540,15 @@ def simhash_hamming_pairs(
 
     This is the Google web-crawl dedup layout (Manku et al., "Detecting
     Near-Duplicates for Web Crawling", WWW'07): fingerprint table sorted
-    by rotated prefixes ≈ our band-keyed shuffle."""
-    fps = simhash(docs)
+    by rotated prefixes ≈ our band-keyed shuffle.
+
+    The fingerprint table feeds both sides of the band self-join;
+    exchange reuse does not fire across the aliased branches, so the
+    (doc_id, simhash) table — two ints per doc — is
+    :func:`~.partitioning.materialize`'d once (measured 14.9 s → 2.6 s
+    end-to-end at sf0.1; the bit-vote fingerprint computation is the
+    expensive map side)."""
+    fps = materialize(simhash(docs))
     bands = fps.select(
         "doc_id",
         "simhash",

@@ -538,3 +538,191 @@ def flipbook_frames_oracle_sql(
                SELECT {FLIP_SEED_A} * d.doc_id + {FLIP_SEED_B} * i AS seed
              ) s
     """
+
+
+# ---------------------------------------------------- perceptual hashing
+# Classic DCT pHash (the imagehash/pHash.org layout): grayscale ->
+# 32x32 resample -> 2D DCT-II -> top-left 8x8 block minus the DC term ->
+# median threshold -> 64-bit fingerprint. Two images whose fingerprints
+# differ in <= ~6 bits are perceptual near-duplicates (crops, small
+# edits, re-encodes) even when their bytes share nothing — the image
+# counterpart of SimHash over text.
+PHASH_SIZE = 32   # resample edge
+PHASH_DCT = 8     # low-frequency block edge
+TEX_W = TEX_H = 32
+TEX_TWIN_EVERY = 10
+
+
+def synthesize_textured_bmp(
+    docs: DataFrame, twin_every: int = TEX_TWIN_EVERY
+) -> DataFrame:
+    """Deterministic TEXTURED 24-bit BMPs (the constant-fill synthesis
+    is degenerate for pHash — every AC coefficient is 0): per-pixel
+    intensity mixes two spatial frequencies seeded by doc_id. Every
+    ``twin_every``-th doc reuses the PREVIOUS doc's pattern with a few
+    perturbed pixels — planted perceptual near-dups whose bytes differ,
+    the recall target for :func:`phash_hamming_pairs`."""
+    out_schema = "doc_id long, media binary, media_type string"
+    w_px, h_px = TEX_W, TEX_H
+
+    def pattern(seed: int, perturb: bool):
+        rows = []
+        for y in range(h_px):
+            row = bytearray()
+            for x in range(w_px):
+                v = (
+                    128
+                    + 60 * math.sin(2 * math.pi * ((seed % 7) + 1) * x / w_px)
+                    + 50 * math.cos(2 * math.pi * ((seed % 5) + 1) * y / h_px)
+                    + ((seed * 31 + x * y) % 23) - 11
+                )
+                g = max(0, min(255, int(v)))
+                if perturb and (x + y * w_px) % 97 == 0:
+                    g = max(0, min(255, g + 12))
+                row += bytes((g, g, g))
+            row += b"\x00" * ((4 - (3 * w_px) % 4) % 4)
+            rows.append(bytes(row))
+        return b"".join(rows)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                twin = twin_every > 0 and d % twin_every == 0 and d > 0
+                seed = d - 1 if twin else d
+                pixels = pattern(seed, perturb=twin)
+                header = struct.pack(
+                    "<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 54
+                )
+                info = struct.pack(
+                    "<IiiHHIIiiII",
+                    40, w_px, h_px, 1, 24, 0, len(pixels), 2835, 2835, 0, 0,
+                )
+                payloads.append(header + info + pixels)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": payloads,
+                    "media_type": ["image/bmp"] * len(pdf),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(synth, schema=out_schema)
+
+
+def phash64(media_df: DataFrame) -> DataFrame:
+    """64-bit DCT perceptual hash per image, Arrow-batched: numpy
+    decodes the BMP pixel rows (bottom-up, padded, BGR), grayscales,
+    nearest-neighbor-resamples to 32x32, applies the exact DCT-II by
+    matrix product, and thresholds the low-frequency block at its
+    median. Pure per-row map — no shuffle; the downstream pair search
+    is banded exactly like SimHash's."""
+    import numpy as np
+
+    out_schema = "doc_id long, phash long"
+    n, k = PHASH_SIZE, PHASH_DCT
+    # DCT-II basis (orthonormal), built once per worker
+    i = np.arange(n)
+    basis = np.sqrt(2.0 / n) * np.cos(
+        np.pi * (2 * i[None, :] + 1) * i[:, None] / (2 * n)
+    )
+    basis[0, :] = np.sqrt(1.0 / n)
+
+    def decode_gray(buf: bytes) -> "np.ndarray":
+        if buf[:2] != b"BM":
+            raise ValueError("not a BMP payload")
+        off = struct.unpack_from("<I", buf, 10)[0]
+        w, h = struct.unpack_from("<ii", buf, 18)
+        stride = (3 * w + 3) // 4 * 4
+        img = np.zeros((h, w), dtype=np.float64)
+        for y in range(h):
+            row = np.frombuffer(buf, dtype=np.uint8,
+                                count=3 * w, offset=off + y * stride)
+            # bottom-up rows; grayscale = mean of BGR
+            img[h - 1 - y, :] = row.reshape(w, 3).mean(axis=1)
+        return img
+
+    def resample(img: "np.ndarray") -> "np.ndarray":
+        h, w = img.shape
+        ys = (np.arange(n) * h) // n
+        xs = (np.arange(n) * w) // n
+        return img[np.ix_(ys, xs)]
+
+    def one_hash(buf: bytes) -> int:
+        g = resample(decode_gray(buf))
+        d = basis @ g @ basis.T
+        block = d[:k, :k].flatten()[1:]  # drop the DC term
+        med = float(np.median(block))
+        bits = 0
+        for j, v in enumerate(block):
+            if v > med:
+                bits |= 1 << j
+        return bits
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [one_hash(bytes(b)) for b in pdf["media"]],
+                }
+            )
+
+    return media_df.select("doc_id", "media").mapInPandas(
+        kernel, schema=out_schema
+    )
+
+
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 16  # 63 used bits; top band carries 15
+
+
+def phash_hamming_pairs(
+    media_df: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Perceptual near-duplicate IMAGE pairs: pHash fingerprints banded
+    into 4 disjoint 16-bit keys — only images agreeing on at least one
+    whole band are compared (pigeonhole: perfect recall for hamming <=
+    3, high recall at the conventional <= 6 cutoff), exact
+    ``bit_count`` verify on survivors. Same shuffle geometry as
+    :func:`~.dedup.simhash_hamming_pairs`; the fingerprint table is
+    materialized once for the self-join's two branches."""
+    from .partitioning import materialize
+
+    fps = materialize(phash64(media_df))
+    bands = fps.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.expr(
+                            f"shiftright(phash, {b * PHASH_BAND_BITS}) "
+                            f"& {(1 << PHASH_BAND_BITS) - 1}"
+                        ).alias("band_val"),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "phash", "bk.band_idx", "bk.band_val")
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band_idx", "band_val"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.phash").alias("ha"),
+            F.col("y.phash").alias("hb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.expr("bit_count(ha ^ hb)").cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

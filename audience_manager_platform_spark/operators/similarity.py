@@ -227,6 +227,14 @@ def lsh_near_pairs(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
         )
         .distinct()
     )
+    # AQE coalesces the tiny id-pair exchange by BYTES (255k pairs ≈ a
+    # few MB → 1-2 partitions), starving the 64-dim verify below of
+    # parallelism (measured 7.0 s → 1.1 s at sf0.1 once respread). The
+    # keyed repartition also IS the verify join's required distribution
+    # on id_a, so it replaces that exchange rather than adding one.
+    cand = cand.repartition(
+        cand.sparkSession.sparkContext.defaultParallelism, "id_a"
+    )
     # norms once per vector (N sums), not once per candidate pair
     # (|candidates| >> N)
     va = base.select(

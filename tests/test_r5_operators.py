@@ -332,3 +332,40 @@ def test_scd2_temporal_enrich_stamps_asof_state(spark):
     assert got[2].asof_state == "view"
     assert got[2].asof_valid_from == datetime(2024, 1, 2, 9)
     assert got[3].asof_state is None and got[3].asof_valid_from is None
+
+
+def test_phash_finds_planted_image_twins(spark):
+    from audience_manager_platform_spark.operators.multimodal import (
+        phash64,
+        phash_hamming_pairs,
+        synthesize_textured_bmp,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "web", 1) for i in range(30)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = synthesize_textured_bmp(docs)  # doc 10 twins 9, 20 twins 19
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in phash_hamming_pairs(media, max_hamming=6).collect()}
+    assert (9, 10) in pairs and (19, 20) in pairs
+    assert all(h <= 6 for h in pairs.values())
+    # fingerprints are 63-bit ints and deterministic
+    hashes = {r.doc_id: r.phash for r in phash64(media).collect()}
+    assert all(0 <= h < (1 << 63) for h in hashes.values())
+    again = {r.doc_id: r.phash for r in phash64(media).collect()}
+    assert hashes == again
+
+
+def test_phash_identical_images_hash_equal(spark):
+    from audience_manager_platform_spark.operators.multimodal import (
+        phash64,
+        synthesize_textured_bmp,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, "t", "en", "web", 1), (7, "t", "en", "web", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = [r.phash for r in phash64(synthesize_textured_bmp(docs)).collect()]
+    assert got[0] == got[1]

@@ -114,6 +114,39 @@ SHOWCASE = [
         "semi-join (recompute) and an anti-join (carry-over); the base "
         "re-scan prunes to changed partitions on a day-partitioned table.",
     ),
+    (
+        "analytics_rfm_segments",
+        "RFM scoring: purchases reduce to one row per user (single "
+        "exchange); the anchor day and the 6 quantile thresholds ride "
+        "1-row broadcasts; every score is a per-row expression after "
+        "that.",
+    ),
+    (
+        "text_bm25_topk",
+        "BM25: the posting explode is FILTERED to the query's terms "
+        "before aggregation — the (doc, term) shuffle carries matching "
+        "postings only; N/avgdl/df are broadcasts; final top-k is "
+        "TakeOrderedAndProject.",
+    ),
+    (
+        "dedup_line_stats",
+        "Line dedup: keeper election is a map-side-combinable MIN over "
+        "bigint-encoded positions (hot boilerplate lines partial-"
+        "aggregate before the shuffle); the join back reuses the "
+        "line_text hash partitioning.",
+    ),
+    (
+        "analytics_linear_attribution",
+        "Multi-touch credit: ONE user-keyed RANGE-frame window over epoch "
+        "seconds — no purchases-to-clicks self-join, so power users cost "
+        "O(events), not O(purchases x clicks).",
+    ),
+    (
+        "hybrid_search_rrf",
+        "RRF fusion: both towers end in bounded top-pool results before "
+        "the fusion join, which therefore touches at most 2*pool rows "
+        "regardless of corpus size.",
+    ),
 ]
 
 

@@ -365,3 +365,64 @@ def enriched_segment_counts(
             "total_value",
         )
     )
+
+
+# ----------------------------------------------- streaming sketch rollup
+def hll_rollup_fold(state: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """One micro-batch of streaming distinct-user sketch maintenance:
+    aggregate the batch into per-day HLL sketches, union them with the
+    committed per-day sketches, and return the NEW state — one (day,
+    sketch) row per day ever seen.
+
+    This is the streaming form of the mergeable-rollup pattern
+    (:func:`~..operators.skew.hll_mergeable_rollup`): state is O(days ×
+    sketch_size) regardless of event volume, merging is the sketch
+    union (associative + idempotent-under-re-union of the same day's
+    OLD sketch, so the fold is deterministic for a given batch split),
+    and any period estimate comes from ``hll_union_agg`` over the state
+    rows without touching raw events."""
+    daily = (
+        batch.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    if state is None:
+        return daily
+    return (
+        state.unionByName(daily)
+        .groupBy("day")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+    )
+
+
+def hll_rollup_stream(
+    events: DataFrame, state_dir: str, checkpoint_dir: str
+) -> "StreamingQuery":  # noqa: F821
+    """Maintain the per-day HLL sketch table from the event stream via
+    foreachBatch: read committed state, fold the batch in, OVERWRITE the
+    state table (tiny — |days| rows). Estimates for any day range are a
+    scan of this table, never of raw history."""
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        state = _read_state_or_none(spark, state_dir)
+        new_state = hll_rollup_fold(state, batch_df)
+        # state is day-keyed and tiny: collect-free rewrite via staging
+        # dir + atomic-enough rename is overkill; overwrite mode suffices
+        # for the foreachBatch exactly-once contract (epoch replays
+        # rewrite the same rows)
+        new_state.persist()
+        new_state.count()
+        new_state.write.mode("overwrite").parquet(state_dir + "_next")
+        spark.read.parquet(state_dir + "_next").write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+        new_state.unpersist()
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -297,3 +297,52 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         for r in stream_stream_interval_join(lb, rb).collect()
     }
     assert batch == got
+
+
+def test_hll_rollup_stream_matches_batch_sketches(spark, sf_dir, tmp_path):
+    """Streaming per-day HLL maintenance: after folding the event stream
+    through foreachBatch micro-batches, per-day (and whole-period)
+    estimates from the state table equal the one-shot batch sketches —
+    the mergeable-rollup property under incremental maintenance."""
+    from pyspark.sql import functions as F
+
+    from audience_manager_platform_spark.sources import load_table
+    from audience_manager_platform_spark.streaming.jobs import (
+        hll_rollup_stream,
+        stream_events,
+    )
+
+    state = str(tmp_path / "hll_state")
+    ckpt = str(tmp_path / "ckpt")
+    q = hll_rollup_stream(stream_events(spark, sf_dir), state, ckpt)
+    q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(state)
+        .select("day", F.hll_sketch_estimate("sk").alias("est"))
+        .collect()
+    )
+    events = load_table(spark, sf_dir, "events")
+    want = {
+        r.day: r.est
+        for r in events.groupBy(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert {r.day for r in got} == set(want)
+    for r in got:
+        assert r.est == want[r.day], (r.day, r.est, want[r.day])
+    # period rollup from the STATE table (no raw rescan) equals the
+    # direct whole-period sketch
+    period = (
+        spark.read.parquet(state)
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]
+        .est
+    )
+    direct = events.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).collect()[0].est
+    assert period == direct

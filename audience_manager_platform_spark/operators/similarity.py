@@ -837,9 +837,11 @@ def semantic_dedup(
     — 6dp-rounded cosines, cent_id tie-break — so the DuckDB twin
     (:func:`semantic_dedup_sql`) reproduces every keep/drop decision.
 
-    The assignment subplan feeds both sides of the pair join and the
-    final projection as the IDENTICAL plan, so Catalyst's exchange
-    reuse materializes its shuffle once; nothing is persisted.
+    The assignment subplan (an Arrow kernel pass) feeds both sides of
+    the pair join and the final projection; exchange reuse does not
+    fire across the aliased branches, so the (vec_id, v, cent_id) table
+    is :func:`~.partitioning.materialize`'d once — nothing is persisted
+    in the block manager.
 
     The reference stops at set-algebra dedup of segment memberships
     (SURVEY.md §2.4); embedding-level corpus dedup is part of the
@@ -847,8 +849,12 @@ def semantic_dedup(
     """
     base = emb.select("vec_id", _vec_double().alias("v"))
     model = kmeans_fit_model(emb, k, iters)
-    assigned = assign_cells_arrow(base, model, keep_vec=True).select(
-        "vec_id", "v", "cent_id"
+    from .partitioning import materialize
+
+    assigned = materialize(
+        assign_cells_arrow(base, model, keep_vec=True).select(
+            "vec_id", "v", "cent_id"
+        )
     )
     a = assigned.select(
         "cent_id", F.col("vec_id").alias("a_id"), F.col("v").alias("va")

@@ -297,3 +297,59 @@ def k_anonymity_audit_sql(
                COUNT(*) < {k} AS at_risk
         FROM {src} GROUP BY {cols}
     """
+
+
+# ------------------------------------------------------- profile drift
+def profile_drift(
+    old: DataFrame, new: DataFrame, columns: Sequence[tuple[str, str]]
+) -> DataFrame:
+    """Schema/statistics drift report between two snapshots of a table:
+    per column, the old vs new null count and NDV plus their deltas —
+    the check a nightly warehouse job runs before promoting a snapshot
+    (an NDV collapse or a null-rate spike is the classic upstream-broke
+    signal that value-level diffs miss when the table is huge).
+
+    Two single-scan profile aggregates (one per snapshot; each is ONE
+    job regardless of column count) joined on the |columns|-row output —
+    driver-scale after the scans no matter the table size."""
+    po = table_profile(old, columns).select(
+        "col_name",
+        F.col("n_nulls").alias("old_nulls"),
+        F.col("ndv").alias("old_ndv"),
+    )
+    pn = table_profile(new, columns).select(
+        "col_name",
+        F.col("n_nulls").alias("new_nulls"),
+        F.col("ndv").alias("new_ndv"),
+    )
+    return po.join(pn, "col_name").select(
+        "col_name",
+        "old_nulls",
+        "new_nulls",
+        (F.col("new_nulls") - F.col("old_nulls")).alias("nulls_delta"),
+        "old_ndv",
+        "new_ndv",
+        (F.col("new_ndv") - F.col("old_ndv")).alias("ndv_delta"),
+    )
+
+
+def profile_drift_sql(
+    old_src: str, new_src: str, columns: Sequence[tuple[str, str]]
+) -> str:
+    po = table_profile_sql(old_src, columns)
+    pn = table_profile_sql(new_src, columns)
+    return f"""
+        WITH po AS (
+          SELECT col_name, n_nulls AS old_nulls, ndv AS old_ndv
+          FROM ({po}) o
+        ),
+        pn AS (
+          SELECT col_name, n_nulls AS new_nulls, ndv AS new_ndv
+          FROM ({pn}) n
+        )
+        SELECT col_name, old_nulls, new_nulls,
+               CAST(new_nulls - old_nulls AS BIGINT) AS nulls_delta,
+               old_ndv, new_ndv,
+               CAST(new_ndv - old_ndv AS BIGINT) AS ndv_delta
+        FROM po JOIN pn USING (col_name)
+    """

@@ -74,6 +74,8 @@ _DEFER_TO_NEXT_ROUND: tuple[str, ...] = (
     "dedup_line_rewrite",
     "sketch_cms_user_counts",
     "scd2_temporal_enrich",
+    "geo_cell_rollup",
+    "table_profile_drift",
 )
 
 

@@ -35,9 +35,12 @@ from ..operators.reconcile import (
     table_diff_sql,
 )
 from ..operators.skew import heavy_hitters, heavy_hitters_sql
+from ..operators.geo import geo_cell_rollup, geo_cell_rollup_sql
 from ..operators.validation import (
     k_anonymity_audit,
     k_anonymity_audit_sql,
+    profile_drift,
+    profile_drift_sql,
     table_profile,
     table_profile_sql,
     validate_table,
@@ -201,6 +204,15 @@ QUERIES = {
     # r5: k-anonymity release audit — quasi-identifiers are the customer
     # dims plus a BANDED balance (banding is the generalization step; a
     # raw float would make every class size 1)
+    # r5 (deferred window): spatial grid rollup on the Morton cell key
+    "geo_cell_rollup": lambda s, d: geo_cell_rollup(_events(s, d)),
+    # r5 (deferred window): snapshot statistics drift (old = full month,
+    # new = the last 20 days cut — planted drift on every column)
+    "table_profile_drift": lambda s, d: profile_drift(
+        _events(s, d),
+        _events(s, d).filter(F.dayofmonth("ts") > 10),
+        PROFILE_COLS,
+    ),
     "privacy_k_anonymity_customer": lambda s, d: k_anonymity_audit(
         load_table(s, d, "customer").select(
             "c_nationkey",
@@ -256,6 +268,12 @@ ORACLES = {
     "scd2_incremental_stream": MG.scd2_history_sql(),
     "validate_events_expectations": validate_table_sql("events", EXPECTATIONS),
     "table_profile_events": table_profile_sql("events", PROFILE_COLS),
+    "geo_cell_rollup": geo_cell_rollup_sql("events"),
+    "table_profile_drift": profile_drift_sql(
+        "events",
+        "(SELECT * FROM events WHERE date_part('day', ts) > 10) nv",
+        PROFILE_COLS,
+    ),
     "privacy_k_anonymity_customer": k_anonymity_audit_sql(
         "(SELECT c_nationkey, c_mktsegment,"
         " CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band"

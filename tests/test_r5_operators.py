@@ -369,3 +369,40 @@ def test_phash_identical_images_hash_equal(spark):
     )
     got = [r.phash for r in phash64(synthesize_textured_bmp(docs)).collect()]
     assert got[0] == got[1]
+
+
+def test_geo_cells_deterministic_and_bounded(spark, sf_dir):
+    from audience_manager_platform_spark.operators.geo import (
+        GEO_LAT_CELLS,
+        GEO_LON_CELLS,
+        geo_cell_rollup,
+    )
+    from audience_manager_platform_spark.sources import load_table
+
+    got = geo_cell_rollup(load_table(spark, sf_dir, "events"), k=20).collect()
+    assert got and all(0 <= r.lat_cell < GEO_LAT_CELLS for r in got)
+    assert all(0 <= r.lon_cell < GEO_LON_CELLS for r in got)
+    # Morton key decodes back to the cell pair
+    for r in got:
+        lat = sum(((r.cell_id >> (2 * i)) & 1) << i for i in range(9))
+        lon = sum(((r.cell_id >> (2 * i + 1)) & 1) << i for i in range(9))
+        assert (lat, lon) == (r.lat_cell, r.lon_cell)
+
+
+def test_profile_drift_flags_planted_changes(spark):
+    from audience_manager_platform_spark.operators.validation import (
+        profile_drift,
+    )
+
+    old = spark.createDataFrame(
+        [(i, float(i % 10)) for i in range(100)], "id long, v double"
+    )
+    new = spark.createDataFrame(
+        [(i, None if i % 2 == 0 else float(i % 3)) for i in range(100)],
+        "id long, v double",
+    )
+    got = {r.col_name: r for r in
+           profile_drift(old, new, [("id", "num"), ("v", "num")]).collect()}
+    assert got["v"].nulls_delta == 50           # planted null spike
+    assert got["v"].ndv_delta == 3 - 10         # NDV collapse 10 -> 3
+    assert got["id"].nulls_delta == 0 and got["id"].ndv_delta == 0

@@ -77,3 +77,37 @@ def combine_segments(
         segments[1:],
         segments[0],
     )
+
+
+def segment_overlap_matrix(
+    memberships: "DataFrame", user_col: str = "user_id"
+) -> "DataFrame":
+    """Audience overlap matrix — the campaign-planning report every
+    audience platform ships: for each pair of segments, how many users
+    belong to BOTH (the diagonal is each segment's size). Input is the
+    long membership table ``(segment, user)``.
+
+    Shape: one distinct pass, then a self-join keyed on the USER —
+    cost Σ (segments-per-user)², never |users|² and never
+    |segments|²·|users| — with ``seg_a <= seg_b`` keeping one triangle
+    plus the diagonal. Segments-per-user is bounded by the segment
+    count, so the join fan-out is a small constant per user; the
+    membership table feeds both sides and is materialized once (the
+    aliased-branch exchange-reuse gap, as in the dedup family)."""
+    from pyspark.sql import functions as F
+
+    from .partitioning import materialize
+
+    m = materialize(
+        memberships.select(F.col("segment"), F.col(user_col).alias("_u")).distinct()
+    )
+    return (
+        m.alias("x")
+        .join(m.alias("y"), "_u")
+        .filter(F.col("x.segment") <= F.col("y.segment"))
+        .groupBy(
+            F.col("x.segment").alias("seg_a"),
+            F.col("y.segment").alias("seg_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )

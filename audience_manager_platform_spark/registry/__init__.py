@@ -76,6 +76,7 @@ _DEFER_TO_NEXT_ROUND: tuple[str, ...] = (
     "scd2_temporal_enrich",
     "geo_cell_rollup",
     "table_profile_drift",
+    "segment_overlap_matrix",
 )
 
 

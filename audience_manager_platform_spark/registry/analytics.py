@@ -71,6 +71,39 @@ def _trailing_rollups(spark, sf_dir):
     ).withColumn("period_end", F.date_format("period_end", "yyyy-MM-dd"))
 
 
+def _segment_overlap_matrix(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..operators.segments import segment_overlap_matrix
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+                .otherwise(F.lit(0.0))
+            ),
+            2,
+        ).alias("spend"),
+        F.count("*").alias("n_events"),
+        F.max((F.col("event_type") == "signup").cast("int")).alias("has_signup"),
+        F.max((F.col("event_type") == "error").cast("int")).alias("has_error"),
+    )
+    segs = (
+        "CASE WHEN spend > 300 THEN 'big_spender' END",
+        "CASE WHEN n_events >= 70 THEN 'high_activity' END",
+        "CASE WHEN has_signup = 1 THEN 'registered' END",
+        "CASE WHEN has_error = 1 THEN 'error_prone' END",
+    )
+    memberships = per_user.select(
+        "user_id",
+        F.explode(
+            F.expr(f"filter(array({', '.join(segs)}), x -> x IS NOT NULL)")
+        ).alias("segment"),
+    )
+    return segment_overlap_matrix(memberships)
+
+
 QUERIES = {
     "analytics_category_totals": _category_totals,
     "analytics_daily_totals": _daily_totals,
@@ -101,6 +134,9 @@ QUERIES = {
     "analytics_linear_attribution": lambda s, d: A.linear_attribution(
         load_table(s, d, "events")
     ),
+    # r5 (deferred window): pairwise audience overlap — the campaign-
+    # planning matrix; one membership derivation, user-keyed self-join
+    "segment_overlap_matrix": _segment_overlap_matrix,
 }
 
 _DAILY_TOTALS_TMPL = """
@@ -248,4 +284,32 @@ ORACLES = {
     "analytics_rfm_segments": A.rfm_segments_sql(),
     "analytics_top_session_paths": A.top_session_paths_sql(),
     "analytics_linear_attribution": A.linear_attribution_sql(),
+    "segment_overlap_matrix": """
+        WITH per_user AS (
+          SELECT user_id,
+                 ROUND(SUM(CASE WHEN event_type = 'purchase'
+                                THEN value ELSE 0.0 END), 2) AS spend,
+                 COUNT(*) AS n_events,
+                 MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                   AS has_signup,
+                 MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS has_error
+          FROM events GROUP BY user_id
+        ),
+        m AS (
+          SELECT 'big_spender' AS segment, user_id FROM per_user
+          WHERE spend > 300
+          UNION ALL
+          SELECT 'high_activity', user_id FROM per_user WHERE n_events >= 70
+          UNION ALL
+          SELECT 'registered', user_id FROM per_user WHERE has_signup = 1
+          UNION ALL
+          SELECT 'error_prone', user_id FROM per_user WHERE has_error = 1
+        )
+        SELECT x.segment AS seg_a, y.segment AS seg_b,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM m x JOIN m y
+          ON x.user_id = y.user_id AND x.segment <= y.segment
+        GROUP BY 1, 2
+    """,
 }

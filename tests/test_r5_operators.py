@@ -406,3 +406,17 @@ def test_profile_drift_flags_planted_changes(spark):
     assert got["v"].nulls_delta == 50           # planted null spike
     assert got["v"].ndv_delta == 3 - 10         # NDV collapse 10 -> 3
     assert got["id"].nulls_delta == 0 and got["id"].ndv_delta == 0
+
+
+def test_segment_overlap_matrix_counts(spark):
+    from audience_manager_platform_spark.operators.segments import (
+        segment_overlap_matrix,
+    )
+
+    rows = [("a", 1), ("a", 2), ("a", 3), ("b", 2), ("b", 3), ("c", 9)]
+    m = spark.createDataFrame(rows, "segment string, user_id long")
+    got = {(r.seg_a, r.seg_b): r.n_users
+           for r in segment_overlap_matrix(m).collect()}
+    assert got[("a", "a")] == 3 and got[("b", "b")] == 2 and got[("c", "c")] == 1
+    assert got[("a", "b")] == 2                 # users 2 and 3
+    assert ("a", "c") not in got                # disjoint pairs absent

@@ -284,3 +284,82 @@ def test_validate_table_matches_model(spark, rows):
     av = sum(1 for r in rows if r[1] is None or r[1] not in ("a", "b", "c"))
     assert out[("accepted_values", "kind")] == (av, av == 0)
     assert out[("min_rows", "*")] == (n, n >= 5)
+
+
+# -------------------------------------------- round-5 operator invariants
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    counts=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(1, 40)),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+    probes=st.lists(st.integers(0, 9), min_size=1, max_size=4, unique=True),
+)
+def test_cms_never_undercounts_any_key(spark, counts, probes):
+    """CMS one-sided error: estimate >= truth for every probed key,
+    whatever the data distribution."""
+    from audience_manager_platform_spark.operators.skew import cms_estimate
+
+    rows = [
+        (i, key, "x")
+        for key, n in counts
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "row_id long, user_id long, s string")
+    got = cms_estimate(df, "user_id", probes).collect()
+    truth = {key: n for key, n in counts}
+    assert {r.user_id for r in got} == set(probes)
+    for r in got:
+        assert r.true_count == truth.get(r.user_id, 0)
+        assert r.cms_est >= r.true_count
+        assert r.overcount == r.cms_est - r.true_count
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from([f"w{i}" for i in range(8)]),
+            min_size=16,
+            max_size=48,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_line_dedup_conservation(spark, texts):
+    """Line-dedup invariants on arbitrary corpora: kept <= total per
+    doc, every distinct line text kept EXACTLY once corpus-wide, and
+    stats/rewrite agree on the kept count."""
+    from audience_manager_platform_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    stats = {r.doc_id: r for r in D.line_dedup_stats(docs).collect()}
+    rewrite = {r.doc_id: r for r in D.line_dedup_rewrite(docs).collect()}
+    assert set(stats) == set(rewrite) == set(range(len(texts)))
+    total_kept = sum(r.n_kept for r in stats.values())
+    # distinct 16-token windows across the corpus == total kept
+    distinct_lines = set()
+    for t in texts:
+        toks = t.split()
+        for s0 in range(0, len(toks), 16):
+            piece = toks[s0:s0 + 16]
+            if piece:
+                distinct_lines.add(" ".join(piece))
+    assert total_kept == len(distinct_lines)
+    for d, r in stats.items():
+        assert 0 <= r.n_kept <= r.n_lines
+        assert rewrite[d].n_kept == r.n_kept

@@ -116,7 +116,12 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("share").alias("incoming"))
         )
-        ranks = (
+        # each iteration consumes `ranks` TWICE (state carry + contribs),
+        # so an un-truncated loop doubles the previous iteration's
+        # subtree per level — 2^iters recompute (measured 6.3 s vs 2.4 s
+        # at sf0.1 for 3 iterations). Materializing the |nodes|-row state
+        # per iteration is the Pregel superstep contract.
+        ranks = materialize(
             ranks.select("node", "deg", "n")
             .join(contribs, "node", "left")
             .select(

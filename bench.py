@@ -75,6 +75,13 @@ HEADLINE = [
     "dedup_line_stats",
     "text_bm25_topk",
     "privacy_k_anonymity_customer",
+    # r5 wave 2: hybrid retrieval, diversity core-set, CMS sketch,
+    # spatial rollup, audience overlap
+    "hybrid_search_rrf",
+    "sample_kcenter_diverse",
+    "sketch_cms_user_counts",
+    "geo_cell_rollup",
+    "segment_overlap_matrix",
 ]
 
 # Repeats per query: medians make the bench regression-proof (r3 saw a
@@ -130,7 +137,15 @@ def main() -> None:
         for _ in range(n_rep):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
-            n = df.count()
+            # force EVERY output column: a bare count() lets Catalyst
+            # prune unused projections (whole window operators, even
+            # left joins against distinct-keyed sides), timing a
+            # hollowed-out plan for projection-shaped queries
+            n = (
+                df.select(F.xxhash64(F.struct(*df.columns)).alias("_h"))
+                .agg(F.count("*").alias("n"), F.expr("bit_xor(_h)"))
+                .collect()[0]["n"]
+            )
             samples.append(round(time.perf_counter() - t0, 3))
         runs[name] = samples
         timings[name] = round(statistics.median(samples), 3)
@@ -141,12 +156,18 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
+    # r4+: timings force FULL column materialization (hash-forced) — a
+    # bare count() let Catalyst prune unused projections, so earlier
+    # rounds' numbers for projection-shaped queries were optimistic;
+    # the label records the protocol so cross-round diffs read right
     label = (
-        f"total wall-clock of all {len(names)} registered queries, one warm session"
+        f"total wall-clock of all {len(names)} registered queries, one warm "
+        f"session, full-materialization timing"
         if run_all
         else (
             f"sum over {len(names)} headline queries of the per-query median "
-            f"({REPEATS_DEFAULT} runs, heavy families {REPEATS_HEAVY}), one warm session"
+            f"({REPEATS_DEFAULT} runs, heavy families {REPEATS_HEAVY}), one "
+            f"warm session, full-materialization timing"
         )
     )
     out = {

@@ -51,8 +51,20 @@ def synthetic_stream(spark, n: int):
 
 
 def timed(label: str, df) -> None:
+    """Force FULL materialization of every output column. A bare
+    ``count()`` lets Catalyst prune unused projections — including
+    whole window operators (an attribution op whose credit column is
+    never consumed times as a purchase count) and even left joins
+    against aggregated (distinct-keyed) sides. Hashing the complete row
+    struct into the aggregate makes every column load-bearing, so the
+    number measures the operator, not its pruned skeleton."""
     t0 = time.perf_counter()
-    n = df.count()
+    row = (
+        df.select(F.xxhash64(F.struct(*df.columns)).alias("_h"))
+        .agg(F.count("*").alias("n"), F.expr("bit_xor(_h)"))
+        .collect()[0]
+    )
+    n = row["n"]
     dt = time.perf_counter() - t0
     print(
         f"{label:36s} {n:>12,} out-rows  {dt:7.2f}s  "

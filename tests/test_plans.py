@@ -337,3 +337,12 @@ def test_incremental_refresh_broadcasts_changed_days(spark, sf_dir, queries):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi, BuildRight" in plan
     assert "LeftAnti, BuildRight" in plan
+
+
+def test_lsh_verify_parallelism_respread(spark, sf_dir, queries):
+    """Regression pin for the AQE byte-coalescing fix: the candidate
+    id-pair table must be re-spread (keyed repartition on id_a) before
+    the 64-dim cosine verify, or the heavy per-row compute runs on the
+    1-2 partitions AQE's byte heuristic leaves behind."""
+    plan = _plan(queries["ann_lsh_near_pairs"](spark, sf_dir), "simple")
+    assert "hashpartitioning(id_a" in plan, plan[:2000]

@@ -1071,3 +1071,64 @@ def quality_logit_sql(src: str = "documents") -> str:
                ROUND(1.0 / (1.0 + EXP(-{logit})), 6) >= 0.5 AS keep
         FROM feats
     """
+
+
+# ------------------------------------------------ unigram LM scoring
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Corpus-unigram language-model scoring — the scaffold of the
+    perplexity filter (KenLM-style) in curation pipelines: train the
+    unigram distribution on the corpus itself with add-one smoothing,
+    then score every document by its mean token log-probability.
+    Low-probability-mass documents (gibberish, OCR noise, wrong-language
+    contamination) sit in the left tail; the threshold lives downstream.
+
+    Shape at scale: ONE token aggregate builds the vocabulary counts
+    (map-side combinable), the corpus totals ride a 1-row broadcast, and
+    scoring is the token explode joined against the vocab relation —
+    token-keyed, so Spark picks broadcast vs shuffle join from vocab
+    size — followed by a doc-keyed mean. Log-probs are summed exactly
+    once per token occurrence; the per-doc mean is 6dp-rounded so ln()
+    last-ulp differences cannot flip the hash (the tfidf convention)."""
+    from .partitioning import spread
+
+    toks = spread(docs).select(
+        "doc_id", F.explode(tokens_col("text")).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count("*").alias("c"))
+    totals = vocab.agg(
+        F.sum("c").alias("n_corpus"), F.count("*").alias("v_size")
+    )
+    scored = toks.join(vocab, "term").crossJoin(F.broadcast(totals)).select(
+        "doc_id",
+        F.log(
+            (F.col("c") + F.lit(1.0))
+            / (F.col("n_corpus") + F.col("v_size")).cast("double")
+        ).alias("lp"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+
+
+def unigram_logprob_sql(src: str = "documents") -> str:
+    t = tokens_sql("text")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, UNNEST({t}) AS term FROM {src}
+        ),
+        vocab AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+        totals AS (
+          SELECT SUM(c) AS n_corpus, COUNT(*) AS v_size FROM vocab
+        ),
+        scored AS (
+          SELECT toks.doc_id,
+                 LN((vocab.c + 1.0)
+                    / CAST(totals.n_corpus + totals.v_size AS DOUBLE)) AS lp
+          FROM toks JOIN vocab USING (term) CROSS JOIN totals
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(AVG(lp), 6) AS avg_logprob
+        FROM scored GROUP BY doc_id
+    """

@@ -77,6 +77,7 @@ _DEFER_TO_NEXT_ROUND: tuple[str, ...] = (
     "geo_cell_rollup",
     "table_profile_drift",
     "segment_overlap_matrix",
+    "text_unigram_logprob",
 )
 
 

@@ -51,6 +51,9 @@ QUERIES = {
     "text_oov_rate_bands": lambda s, d: T.oov_rate_bands(_docs(s, d)),
     # r5 (deferred window): model-based quality filter scaffold
     "text_quality_logit": lambda s, d: T.quality_logit(_docs(s, d)),
+    # r5 (deferred window): corpus-unigram LM scoring (perplexity-filter
+    # scaffold)
+    "text_unigram_logprob": lambda s, d: T.unigram_logprob(_docs(s, d)),
     "dedup_exact": lambda s, d: D.exact_dedup(_docs(s, d)),
     "dedup_ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_docs(s, d), threshold=0.6),
     "dedup_ngram_jaccard_capped": lambda s, d: D.ngram_jaccard_pairs(
@@ -124,6 +127,7 @@ ORACLES = {
     "text_inverted_postings": T.inverted_postings_sql(),
     "text_bm25_topk": T.bm25_topk_sql(BM25_QUERY, k=15),
     "text_quality_logit": T.quality_logit_sql(),
+    "text_unigram_logprob": T.unigram_logprob_sql(),
     "corpus_source_cap": C.source_cap_sql(cap=100),
     "text_length_bands": T.length_bands_sql(),
     "text_oov_rate_bands": T.oov_rate_bands_sql(),

@@ -420,3 +420,18 @@ def test_segment_overlap_matrix_counts(spark):
     assert got[("a", "a")] == 3 and got[("b", "b")] == 2 and got[("c", "c")] == 1
     assert got[("a", "b")] == 2                 # users 2 and 3
     assert ("a", "c") not in got                # disjoint pairs absent
+
+
+def test_unigram_logprob_ranks_common_text_higher(spark):
+    from audience_manager_platform_spark.operators.text import unigram_logprob
+
+    # doc 0 uses only corpus-frequent tokens; doc 2 is all hapaxes
+    common = "the data table " * 10
+    docs = _docs5(spark, [
+        common,
+        common + " rare1 rare2",
+        "zzq1 zzq2 zzq3 zzq4 zzq5 zzq6",
+    ])
+    got = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    assert got[0].avg_logprob > got[1].avg_logprob > got[2].avg_logprob
+    assert got[0].n_tokens == 30 and got[2].n_tokens == 6

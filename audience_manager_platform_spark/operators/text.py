@@ -1132,3 +1132,94 @@ def unigram_logprob_sql(src: str = "documents") -> str:
                ROUND(AVG(lp), 6) AS avg_logprob
         FROM scored GROUP BY doc_id
     """
+
+
+# ------------------------------------------ feature-hashed embeddings
+HASH_EMBED_DIM = 64
+
+
+def hash_embed(docs: DataFrame, dim: int = HASH_EMBED_DIM) -> DataFrame:
+    """Hashing-trick vectorizer (Weinberger et al. 2009): every document
+    becomes a ``dim``-dimensional signed token-count vector — bucket =
+    h(token) mod dim, sign from the next hash bit — with NO trained
+    vocabulary, which is what lets the whole embedding-side stack
+    (cosine ANN, k-means, SemDeDup) run over TEXT before any neural
+    encoder exists. Output schema matches the embeddings fixture
+    (``vec_id``, ``embedding array<double>``), so the ANN operators
+    compose directly.
+
+    Shape: token explode → ONE (doc, bucket) combinable aggregate →
+    one doc-keyed aggregate assembling the dense vector from at most
+    ``dim`` (bucket, weight) entries via a map lookup — per-doc state
+    is bounded by ``dim``, never vocabulary size. Weights are exact
+    integers in double form, so cross-engine equality is exact."""
+    from ..functions import HASH60_SPARK_SQL
+
+    h = HASH60_SPARK_SQL.format(x="term")
+    toks = docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    hashed = toks.select(
+        "doc_id",
+        F.expr(f"({h}) % {dim}").alias("bucket"),
+        # next bit above the bucket selects the sign
+        (F.expr(f"(({h}) div {dim}) % 2") * 2 - 1).cast("double").alias("sgn"),
+    )
+    buckets = hashed.groupBy("doc_id", "bucket").agg(
+        F.sum("sgn").alias("w")
+    )
+    vec = F.expr(
+        f"transform(sequence(0, {dim - 1}), j -> "
+        "coalesce(element_at(map_from_entries(collect_list(struct(bucket, w))), j),"
+        " cast(0.0 as double)))"
+    )
+    return buckets.groupBy("doc_id").agg(vec.alias("embedding")).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+
+
+def hash_embed_sql(src: str = "documents", dim: int = HASH_EMBED_DIM) -> str:
+    from ..functions import HASH60_DUCK_SQL
+
+    t = tokens_sql("text")
+    h = HASH60_DUCK_SQL.format(x="term")
+    return f"""
+        SELECT doc_id AS vec_id,
+               list_transform(range(0, {dim}),
+                 j -> COALESCE(ws[list_position(bs, j)], 0.0)) AS embedding
+        FROM (
+          SELECT doc_id,
+                 array_agg(bucket ORDER BY bucket) AS bs,
+                 array_agg(w ORDER BY bucket) AS ws
+          FROM (
+            SELECT doc_id, bucket, SUM(sgn) AS w FROM (
+              SELECT doc_id,
+                     ({h}) % {dim} AS bucket,
+                     CAST((({h}) // {dim}) % 2 * 2 - 1 AS DOUBLE) AS sgn
+              FROM (SELECT doc_id, UNNEST({t}) AS term FROM {src}) e
+            ) hb GROUP BY doc_id, bucket
+          ) bw GROUP BY doc_id
+        ) g
+    """
+
+
+def hash_embed_stats(docs: DataFrame, dim: int = HASH_EMBED_DIM) -> DataFrame:
+    """Gate-facing audit of :func:`hash_embed`: per-doc nonzero bucket
+    count and L2 norm (left-assoc IEEE sum, 6dp) — scalar facts both
+    engines hash identically, standing in for the raw vector."""
+    emb = hash_embed(docs, dim)
+    sq = " + ".join(f"embedding[{i}] * embedding[{i}]" for i in range(dim))
+    return emb.select(
+        "vec_id",
+        F.expr("size(filter(embedding, x -> x != 0.0))").cast("long").alias("nnz"),
+        F.round(F.expr(f"sqrt({sq})"), 6).alias("l2_norm"),
+    )
+
+
+def hash_embed_stats_sql(src: str = "documents", dim: int = HASH_EMBED_DIM) -> str:
+    sq = " + ".join(f"embedding[{i + 1}] * embedding[{i + 1}]" for i in range(dim))
+    return f"""
+        SELECT vec_id,
+               CAST(len(list_filter(embedding, x -> x != 0.0)) AS BIGINT)
+                 AS nnz,
+               ROUND(SQRT({sq}), 6) AS l2_norm
+        FROM ({hash_embed_sql(src, dim)}) he
+    """

@@ -78,6 +78,8 @@ _DEFER_TO_NEXT_ROUND: tuple[str, ...] = (
     "table_profile_drift",
     "segment_overlap_matrix",
     "text_unigram_logprob",
+    "text_hash_embed_stats",
+    "dedup_semantic_text",
 )
 
 

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from ..operators import corpus as C
 from ..operators import dedup as D
 from ..operators import multimodal as M
+from ..operators import similarity as S
 from ..operators import text as T
 from ..sources import load_table
 
@@ -54,6 +55,14 @@ QUERIES = {
     # r5 (deferred window): corpus-unigram LM scoring (perplexity-filter
     # scaffold)
     "text_unigram_logprob": lambda s, d: T.unigram_logprob(_docs(s, d)),
+    # r5 (deferred window): hashing-trick vectorizer audit (the no-model
+    # text->vector bridge into the ANN/SemDeDup stack)
+    "text_hash_embed_stats": lambda s, d: T.hash_embed_stats(_docs(s, d)),
+    # r5 (deferred window): SemDeDup over the hashed text vectors — the
+    # full embedding-side dedup stack running on TEXT with no model
+    "dedup_semantic_text": lambda s, d: S.semantic_dedup(
+        T.hash_embed(_docs(s, d)), threshold=0.9, iters=1
+    ),
     "dedup_exact": lambda s, d: D.exact_dedup(_docs(s, d)),
     "dedup_ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_docs(s, d), threshold=0.6),
     "dedup_ngram_jaccard_capped": lambda s, d: D.ngram_jaccard_pairs(
@@ -128,6 +137,11 @@ ORACLES = {
     "text_bm25_topk": T.bm25_topk_sql(BM25_QUERY, k=15),
     "text_quality_logit": T.quality_logit_sql(),
     "text_unigram_logprob": T.unigram_logprob_sql(),
+    "text_hash_embed_stats": T.hash_embed_stats_sql(),
+    "dedup_semantic_text": S.semantic_dedup_sql(
+        threshold=0.9, iters=1,
+        src="(" + T.hash_embed_sql() + ") he",
+    ),
     "corpus_source_cap": C.source_cap_sql(cap=100),
     "text_length_bands": T.length_bands_sql(),
     "text_oov_rate_bands": T.oov_rate_bands_sql(),

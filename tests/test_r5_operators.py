@@ -435,3 +435,37 @@ def test_unigram_logprob_ranks_common_text_higher(spark):
     got = {r.doc_id: r for r in unigram_logprob(docs).collect()}
     assert got[0].avg_logprob > got[1].avg_logprob > got[2].avg_logprob
     assert got[0].n_tokens == 30 and got[2].n_tokens == 6
+
+
+def test_hash_embed_identical_texts_identical_vectors(spark):
+    from audience_manager_platform_spark.operators.text import hash_embed
+
+    docs = _docs5(spark, [
+        "spark join window table scan filter",
+        "spark join window table scan filter",   # exact dup
+        "completely different content here now",
+    ])
+    vecs = {r.vec_id: list(r.embedding) for r in hash_embed(docs).collect()}
+    assert vecs[0] == vecs[1]
+    assert vecs[0] != vecs[2]
+    assert len(vecs[0]) == 64
+    # signed counts: total mass equals token count in L1 terms or less
+    # (sign cancellation only within a bucket)
+    assert sum(abs(x) for x in vecs[0]) <= 6
+
+
+def test_semantic_text_dedup_drops_hashed_twin(spark):
+    from audience_manager_platform_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from audience_manager_platform_spark.operators.text import hash_embed
+
+    texts = [f"doc number {i} unique tokens t{i} u{i} v{i} w{i}" for i in range(12)]
+    texts[7] = texts[3]          # plant an exact twin: ids 3 and 7
+    docs = _docs5(spark, texts)
+    got = {r.vec_id: r for r in
+           semantic_dedup(hash_embed(docs), threshold=0.9, iters=1).collect()}
+    assert got[3].is_kept
+    assert not got[7].is_kept    # keep-min-id drops the higher twin
+    dropped = [v for v, r in got.items() if not r.is_kept]
+    assert dropped == [7]

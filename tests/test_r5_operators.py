@@ -469,3 +469,28 @@ def test_semantic_text_dedup_drops_hashed_twin(spark):
     assert not got[7].is_kept    # keep-min-id drops the higher twin
     dropped = [v for v, r in got.items() if not r.is_kept]
     assert dropped == [7]
+
+
+def test_pca_variance_finds_planted_axis(spark):
+    from audience_manager_platform_spark.operators.similarity import (
+        EMBED_DIM,
+        pca_variance,
+    )
+
+    # variance concentrated on axis 5: x5 ~ wide spread, others tiny
+    rows = []
+    for i in range(200):
+        v = [0.001 * ((i * 7 + j) % 11 - 5) for j in range(EMBED_DIM)]
+        v[5] = (i % 21 - 10) * 1.0
+        rows.append((i, v, 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    comps = pca_variance(emb, k=4)
+    assert comps[0][0] == 0
+    # the planted axis dominates: first component carries >90% of variance
+    assert comps[0][2] > 0.9
+    assert abs(sum(r for _, _, r in pca_variance(emb, k=EMBED_DIM)) - 1.0) < 1e-6
+    # eigenvalues descend
+    evs = [e for _, e, _ in comps]
+    assert evs == sorted(evs, reverse=True)

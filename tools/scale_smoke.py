@@ -262,6 +262,20 @@ def main() -> None:
         "BM25 top-10 (3-term query)",
         bm25_topk(docs, ["w1", "w2", "w3"], k=10),
     )
+    from audience_manager_platform_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from audience_manager_platform_spark.operators.text import (
+        hash_embed,
+        unigram_logprob,
+    )
+
+    timed("unigram LM scoring", unigram_logprob(docs))
+    timed("hash-embed 64-dim vectorizer", hash_embed(docs))
+    timed(
+        "SemDeDup over hashed text",
+        semantic_dedup(hash_embed(docs), threshold=0.9, iters=1),
+    )
 
     from audience_manager_platform_spark.operators.similarity import (
         jl_distortion,

@@ -61,7 +61,7 @@ QUERIES = {
     # r5 (deferred window): SemDeDup over the hashed text vectors — the
     # full embedding-side dedup stack running on TEXT with no model
     "dedup_semantic_text": lambda s, d: S.semantic_dedup(
-        T.hash_embed(_docs(s, d)), threshold=0.9, iters=1
+        T.hash_embed(_docs(s, d)), threshold=0.9, k=64, iters=1
     ),
     "dedup_exact": lambda s, d: D.exact_dedup(_docs(s, d)),
     "dedup_ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_docs(s, d), threshold=0.6),
@@ -139,7 +139,7 @@ ORACLES = {
     "text_unigram_logprob": T.unigram_logprob_sql(),
     "text_hash_embed_stats": T.hash_embed_stats_sql(),
     "dedup_semantic_text": S.semantic_dedup_sql(
-        threshold=0.9, iters=1,
+        threshold=0.9, k=64, iters=1,
         src="(" + T.hash_embed_sql() + ") he",
     ),
     "corpus_source_cap": C.source_cap_sql(cap=100),

@@ -272,9 +272,13 @@ def main() -> None:
 
     timed("unigram LM scoring", unigram_logprob(docs))
     timed("hash-embed 64-dim vectorizer", hash_embed(docs))
+    # k is SemDeDup's scale knob (cells bound the pairwise stage at
+    # sum(|cell|^2)): k=16 over 100k docs leaves ~6k-member cells and a
+    # quadratic blow-up (measured 375s); k=256 keeps cells executor-
+    # sized, the same ratio the paper runs (11k cells for 5B points)
     timed(
-        "SemDeDup over hashed text",
-        semantic_dedup(hash_embed(docs), threshold=0.9, iters=1),
+        "SemDeDup over hashed text (k=256)",
+        semantic_dedup(hash_embed(docs), threshold=0.9, k=256, iters=1),
     )
 
     from audience_manager_platform_spark.operators.similarity import (

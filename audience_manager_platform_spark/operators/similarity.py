@@ -1220,6 +1220,11 @@ def kcenter_select(emb: DataFrame, k: int = KCENTER_K) -> DataFrame:
     cosine, ties to the lowest center id), with the cosine DISTANCE and
     an ``is_center`` flag. Deterministic cross-engine: the same 6dp
     quantization + tie-break contract the k-means family certifies.
+
+    Precondition: ``k`` must not exceed the number of distinct vectors
+    (with fewer vectors than k the greedy loop would re-elect an
+    already-chosen point and the SQL twin, which unrolls exactly k
+    stages, would diverge).
     """
     base = emb.select("vec_id", _vec_double().alias("v"))
     seed = base.orderBy(F.asc("vec_id")).limit(1).collect()[0]

@@ -53,6 +53,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--window",
+        action="store_true",
+        help="run exactly the driver's 50-entry correctness window "
+        "(the first 50 of queries() in rotation order)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as e
@@ -67,6 +73,8 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     only = set(args.only.split(",")) if args.only else None
+    if args.window:
+        only = set(list(qs)[:50])
     failed, no_oracle = [], []
     n_run = 0
     for name, fn in sorted(qs.items()):

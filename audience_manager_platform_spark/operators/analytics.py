@@ -746,3 +746,84 @@ def linear_attribution_sql(src: str = "events", max_gap_days: int = 7) -> str:
                CASE WHEN n > 0 THEN ROUND(1.0 / n, 6) END AS credit_per_touch
         FROM counted WHERE event_type = 'purchase'
     """
+
+
+# ------------------------------------------------- session metrics table
+def session_metrics(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Product-analytics session table: sessionize each user's stream on
+    a ``gap_minutes`` inactivity gap (the same gaps-and-islands pass
+    :func:`top_session_paths` uses) and aggregate the per-session facts
+    every engagement dashboard is built on — event depth, duration in
+    seconds, bounce flag (single-event session), conversion flag
+    (contains a purchase).
+
+    Shape: one user-keyed window exchange for sessionization, one
+    (user, session) aggregate; output is |sessions| rows. Durations are
+    whole-second (truncated timestamps), matching the gap predicate's
+    cross-engine contract."""
+    w_user = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.expr(
+        "timestampdiff(SECOND, date_trunc('SECOND', _prev_ts), "
+        "date_trunc('SECOND', ts))"
+    )
+    sess = (
+        events.withColumn("_prev_ts", F.lag("ts").over(w_user))
+        .withColumn(
+            "_new_sess",
+            (F.col("_prev_ts").isNull() | (gap > gap_minutes * 60)).cast("long"),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("_new_sess").over(
+                w_user.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    dur = F.expr(
+        "timestampdiff(SECOND, date_trunc('SECOND', min(ts)), "
+        "date_trunc('SECOND', max(ts)))"
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        dur.cast("long").alias("duration_seconds"),
+        (F.count("*") == 1).alias("is_bounce"),
+        F.max((F.col("event_type") == "purchase").cast("int")).cast("boolean").alias(
+            "converted"
+        ),
+    )
+
+
+def session_metrics_sql(src: str = "events", gap_minutes: int = 30) -> str:
+    return f"""
+        WITH ord AS (
+          SELECT user_id, ts, event_id, event_type,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+          FROM {src}
+        ),
+        flagged AS (
+          SELECT *,
+                 CASE WHEN prev_ts IS NULL
+                        OR date_diff('second', date_trunc('second', prev_ts),
+                                     date_trunc('second', ts))
+                           > {gap_minutes * 60}
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM ord
+        ),
+        sess AS (
+          SELECT *,
+                 SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(date_diff('second', date_trunc('second', MIN(ts)),
+                              date_trunc('second', MAX(ts))) AS BIGINT)
+                 AS duration_seconds,
+               COUNT(*) = 1 AS is_bounce,
+               CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BOOLEAN) AS converted
+        FROM sess GROUP BY user_id, session_id
+    """

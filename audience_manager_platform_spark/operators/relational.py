@@ -174,3 +174,88 @@ def basket_brand_pairs_sql(
         ORDER BY n_orders DESC, brand_a ASC, brand_b ASC
         LIMIT {k}
     """
+
+
+def basket_brand_lift(
+    lineitem: DataFrame, part: DataFrame, k: int = 25, min_orders: int = 5
+) -> DataFrame:
+    """Association LIFT per brand pair: ``P(a,b) / (P(a)·P(b))`` over
+    order baskets — the normalized form of
+    :func:`basket_brand_pairs` that separates genuinely associated
+    brands from merely popular ones (raw co-occurrence counts rank
+    popular×popular pairs first even when independent).
+
+    Same shuffle geometry as the pair count (one materialized distinct
+    basket table, order-keyed self-join bounded by Σ basket²) plus a
+    |brands|-row marginal aggregate broadcast back; ``min_orders``
+    suppresses the noise floor where tiny supports produce huge
+    spurious lifts. 6dp-rounded ratios; top-k totally ordered."""
+    from .partitioning import materialize
+
+    ob = materialize(
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = ob.select("l_orderkey").distinct().count()
+    marg = ob.groupBy("brand").agg(F.count("*").alias("n_brand"))
+    pairs = (
+        ob.alias("x")
+        .join(ob.alias("y"), "l_orderkey")
+        .filter(F.col("x.brand") < F.col("y.brand"))
+        .groupBy(
+            F.col("x.brand").alias("brand_a"),
+            F.col("y.brand").alias("brand_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= min_orders)
+    )
+    ma = marg.select(F.col("brand").alias("brand_a"), F.col("n_brand").alias("na"))
+    mb = marg.select(F.col("brand").alias("brand_b"), F.col("n_brand").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ma), "brand_a")
+        .join(F.broadcast(mb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            F.round(
+                (F.col("n_both") * F.lit(float(n_orders)))
+                / (F.col("na") * F.col("nb")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("brand_a"), F.asc("brand_b"))
+        .limit(k)
+    )
+
+
+def basket_brand_lift_sql(
+    lineitem: str = "lineitem", part: str = "part",
+    k: int = 25, min_orders: int = 5,
+) -> str:
+    return f"""
+        WITH ob AS (
+          SELECT DISTINCT l_orderkey, p_brand AS brand
+          FROM {lineitem} JOIN {part} ON l_partkey = p_partkey
+        ),
+        tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob),
+        marg AS (SELECT brand, COUNT(*) AS n_brand FROM ob GROUP BY brand),
+        pairs AS (
+          SELECT x.brand AS brand_a, y.brand AS brand_b,
+                 COUNT(*) AS n_both
+          FROM ob x JOIN ob y
+            ON x.l_orderkey = y.l_orderkey AND x.brand < y.brand
+          GROUP BY 1, 2 HAVING COUNT(*) >= {min_orders}
+        )
+        SELECT brand_a, brand_b, n_both,
+               ROUND((n_both * CAST(tot.n_orders AS DOUBLE))
+                     / (ma.n_brand * mb.n_brand), 6) AS lift
+        FROM pairs
+        JOIN marg ma ON ma.brand = pairs.brand_a
+        JOIN marg mb ON mb.brand = pairs.brand_b
+        CROSS JOIN tot
+        ORDER BY lift DESC, brand_a ASC, brand_b ASC LIMIT {k}
+    """

@@ -80,6 +80,8 @@ _DEFER_TO_NEXT_ROUND: tuple[str, ...] = (
     "text_unigram_logprob",
     "text_hash_embed_stats",
     "dedup_semantic_text",
+    "analytics_session_metrics",
+    "basket_brand_lift",
 )
 
 

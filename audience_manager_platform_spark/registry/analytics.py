@@ -137,6 +137,10 @@ QUERIES = {
     # r5 (deferred window): pairwise audience overlap — the campaign-
     # planning matrix; one membership derivation, user-keyed self-join
     "segment_overlap_matrix": _segment_overlap_matrix,
+    # r5 (deferred window): the engagement-dashboard session table
+    "analytics_session_metrics": lambda s, d: A.session_metrics(
+        load_table(s, d, "events")
+    ),
 }
 
 _DAILY_TOTALS_TMPL = """
@@ -284,6 +288,7 @@ ORACLES = {
     "analytics_rfm_segments": A.rfm_segments_sql(),
     "analytics_top_session_paths": A.top_session_paths_sql(),
     "analytics_linear_attribution": A.linear_attribution_sql(),
+    "analytics_session_metrics": A.session_metrics_sql(),
     "segment_overlap_matrix": """
         WITH per_user AS (
           SELECT user_id,

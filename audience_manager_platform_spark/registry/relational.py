@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 from ..operators.relational import (
     asof_join,
+    basket_brand_lift,
+    basket_brand_lift_sql,
     basket_brand_pairs,
     basket_brand_pairs_sql,
     pivot_counts,
@@ -357,6 +359,10 @@ QUERIES = {
     "sketch_cms_user_counts": lambda s, d: cms_estimate(
         _events(s, d), "user_id", CMS_QUERY_IDS
     ),
+    # r5 (deferred window): association lift over order baskets
+    "basket_brand_lift": lambda s, d: basket_brand_lift(
+        load_table(s, d, "lineitem"), load_table(s, d, "part"), k=25
+    ),
 }
 
 # ten fixed probe ids spanning the fixture's user range
@@ -368,6 +374,7 @@ _PIVOT_CASES = ",\n               ".join(
 
 ORACLES = {
     "basket_brand_pairs": basket_brand_pairs_sql(k=25),
+    "basket_brand_lift": basket_brand_lift_sql(k=25),
     "pivot_day_by_type": f"""
         SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
                {_PIVOT_CASES}

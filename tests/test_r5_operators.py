@@ -494,3 +494,57 @@ def test_pca_variance_finds_planted_axis(spark):
     # eigenvalues descend
     evs = [e for _, e, _ in comps]
     assert evs == sorted(evs, reverse=True)
+
+
+def test_session_metrics_facts(spark):
+    from audience_manager_platform_spark.operators.analytics import (
+        session_metrics,
+    )
+
+    rows = [
+        (datetime(2024, 1, 1, 10, 0), 1, "view", 0.0),
+        (datetime(2024, 1, 1, 10, 5), 1, "purchase", 9.0),
+        (datetime(2024, 1, 1, 13, 0), 1, "view", 0.0),    # new session, bounce
+        (datetime(2024, 1, 2, 9, 0), 2, "click", 0.0),    # bounce, no convert
+    ]
+    got = {(r.user_id, r.session_id): r
+           for r in session_metrics(_events(spark, rows)).collect()}
+    s1 = got[(1, 1)]
+    assert s1.n_events == 2 and s1.duration_seconds == 300
+    assert not s1.is_bounce and s1.converted
+    assert got[(1, 2)].is_bounce and not got[(1, 2)].converted
+    assert got[(2, 1)].is_bounce
+
+
+def test_brand_lift_normalizes_popularity(spark):
+    from audience_manager_platform_spark.operators.relational import (
+        basket_brand_lift,
+    )
+
+    # brands P and Q co-occur in every one of their orders (perfect
+    # association); brands X and Y are popular but independent
+    li, pt = [], []
+    part_ids = {"P": 1, "Q": 2, "X": 3, "Y": 4}
+    for b, pk in part_ids.items():
+        pt.append((pk, b))
+    order = 0
+    for _ in range(6):            # P+Q always together
+        order += 1
+        li += [(order, 1), (order, 2)]
+    for _ in range(12):           # X alone
+        order += 1
+        li += [(order, 3)]
+    for _ in range(12):           # Y alone
+        order += 1
+        li += [(order, 4)]
+    for _ in range(6):            # X+Y together sometimes
+        order += 1
+        li += [(order, 3), (order, 4)]
+    lineitem = spark.createDataFrame(li, "l_orderkey long, l_partkey long")
+    part = spark.createDataFrame(pt, "p_partkey long, p_brand string")
+    got = {(r.brand_a, r.brand_b): r.lift
+           for r in basket_brand_lift(lineitem, part, min_orders=2).collect()}
+    # P,Q: n_both=6, na=nb=6, N=36 -> lift 6.0 ; X,Y: 6*36/(18*18)=0.67
+    assert abs(got[("P", "Q")] - 6.0) < 1e-6
+    assert got[("P", "Q")] > got[("X", "Y")]
+    assert got[("X", "Y")] < 1.1

@@ -122,7 +122,7 @@ QUERIES = {
     "analytics_last_touch_attribution": lambda s, d: A.last_touch_attribution(
         load_table(s, d, "events")
     ),
-    # r5: RFM segmentation, session-path mining, linear attribution —
+    # r4 window: RFM segmentation, session-path mining, linear attribution —
     # the audience-platform trio (quantile-threshold scoring, gaps-and-
     # islands paths, RANGE-frame multi-touch credit)
     "analytics_rfm_segments": lambda s, d: A.rfm_segments(

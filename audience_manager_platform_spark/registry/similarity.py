@@ -34,7 +34,7 @@ QUERIES = {
     "emb_jl_distortion": lambda s, d: S.jl_distortion(_emb(s, d)),
     # r5 (deferred window): greedy farthest-point diversity core-set
     "sample_kcenter_diverse": lambda s, d: S.kcenter_select(_emb(s, d)),
-    # r5: reciprocal-rank fusion of BM25 and exact-cosine retrieval
+    # r4 window: reciprocal-rank fusion of BM25 and exact-cosine retrieval
     "hybrid_search_rrf": lambda s, d: H.hybrid_search_rrf(
         load_table(s, d, "documents"), _emb(s, d), HYBRID_TERMS, HYBRID_QVEC
     ),

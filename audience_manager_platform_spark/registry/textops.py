@@ -42,7 +42,7 @@ QUERIES = {
     "corpus_bigram_topk": lambda s, d: T.bigram_topk(_docs(s, d), k=50),
     # r4: inverted-index seed (keyword-retrieval counterpart to ANN)
     "text_inverted_postings": lambda s, d: T.inverted_postings(_docs(s, d)),
-    # r5: BM25 keyword retrieval — the lexical side of hybrid search
+    # r4 window: BM25 keyword retrieval — the lexical side of hybrid search
     "text_bm25_topk": lambda s, d: T.bm25_topk(
         _docs(s, d), BM25_QUERY, k=15
     ),
@@ -79,7 +79,7 @@ QUERIES = {
     "dedup_ngram_containment": lambda s, d: D.ngram_containment_pairs(
         _docs(s, d), threshold=0.8
     ),
-    # r5: C4-style line-level dedup audit (repeated-window removal)
+    # r4 window: C4-style line-level dedup audit (repeated-window removal)
     "dedup_line_stats": lambda s, d: D.line_dedup_stats(_docs(s, d)),
     # r5 (deferred window): the transform twin — cleaned text shipped
     "dedup_line_rewrite": lambda s, d: D.line_dedup_rewrite(_docs(s, d)),

@@ -201,7 +201,7 @@ QUERIES = {
     "table_profile_events": lambda s, d: table_profile(
         _events(s, d), PROFILE_COLS
     ),
-    # r5: k-anonymity release audit — quasi-identifiers are the customer
+    # r4 window: k-anonymity release audit — quasi-identifiers are the customer
     # dims plus a BANDED balance (banding is the generalization step; a
     # raw float would make every class size 1)
     # r5 (deferred window): spatial grid rollup on the Morton cell key

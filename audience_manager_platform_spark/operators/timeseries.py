@@ -305,3 +305,48 @@ def ewma_smooth_sql(src: str = "events") -> str:
                ROUND(({num}) / ({den}), 6) AS ewma
         FROM obs
     """
+
+
+# ---------------------------------------------- daily percentile bands
+def daily_percentiles(events: DataFrame) -> DataFrame:
+    """Per-day P50/P95/P99 value bands — the latency/spend distribution
+    series every operational dashboard tracks (mean-based series hide
+    tail regressions; the P95/P99 lines are where incidents surface).
+
+    ONE day-keyed aggregate; ``percentile`` computes all three cut
+    points in a single pass over each group (exact interpolated
+    percentiles, the oracle-checkable choice — ``approx_percentile``
+    with the same call shape is the 100 TB swap, same plan). 6dp
+    rounding keeps interpolation arithmetic hash-stable cross-engine."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.expr(
+                "transform(percentile(value, array(0.5D, 0.95D, 0.99D)),"
+                " t -> round(t, 6))"
+            ).alias("_p"),
+        )
+        .select(
+            "day",
+            "n",
+            F.col("_p")[0].alias("p50"),
+            F.col("_p")[1].alias("p95"),
+            F.col("_p")[2].alias("p99"),
+        )
+    )
+
+
+def daily_percentiles_sql(src: str = "events") -> str:
+    return f"""
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(QUANTILE_CONT(value, 0.5), 6) AS p50,
+               ROUND(QUANTILE_CONT(value, 0.95), 6) AS p95,
+               ROUND(QUANTILE_CONT(value, 0.99), 6) AS p99
+        FROM {src} WHERE value IS NOT NULL
+        GROUP BY 1
+    """

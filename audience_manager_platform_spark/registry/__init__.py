@@ -82,6 +82,7 @@ _DEFER_TO_NEXT_ROUND: tuple[str, ...] = (
     "dedup_semantic_text",
     "analytics_session_metrics",
     "basket_brand_lift",
+    "ts_daily_percentiles",
 )
 
 

@@ -46,6 +46,8 @@ QUERIES = {
     "ts_interpolate_linear": lambda s, d: TS.interpolate_linear(_events(s, d)),
     "ts_ohlc_daily": lambda s, d: TS.ohlc_daily(_events(s, d)),
     "ts_ewma_smooth": lambda s, d: TS.ewma_smooth(_events(s, d)),
+    # r5 (deferred window): daily tail-latency bands
+    "ts_daily_percentiles": lambda s, d: TS.daily_percentiles(_events(s, d)),
     "sample_fixed_n_events": _sample_fixed,
 }
 
@@ -54,6 +56,7 @@ ORACLES = {
     "ts_interpolate_linear": TS.interpolate_linear_sql(),
     "ts_ohlc_daily": TS.ohlc_daily_sql(),
     "ts_ewma_smooth": TS.ewma_smooth_sql(),
+    "ts_daily_percentiles": TS.daily_percentiles_sql(),
     "sample_fixed_n_events": f"""
         SELECT event_id, user_id, event_type, ROUND(value, 2) AS value,
                MD5(CAST(event_id AS VARCHAR) || '{SAMPLE_SALT}') AS sample_key

@@ -548,3 +548,16 @@ def test_brand_lift_normalizes_popularity(spark):
     assert abs(got[("P", "Q")] - 6.0) < 1e-6
     assert got[("P", "Q")] > got[("X", "Y")]
     assert got[("X", "Y")] < 1.1
+
+
+def test_daily_percentiles_orders_bands(spark, sf_dir):
+    from audience_manager_platform_spark.operators.timeseries import (
+        daily_percentiles,
+    )
+    from audience_manager_platform_spark.sources import load_table
+
+    rows = daily_percentiles(load_table(spark, sf_dir, "events")).collect()
+    assert rows
+    for r in rows:
+        assert r.p50 <= r.p95 <= r.p99
+        assert r.n > 0

@@ -827,3 +827,71 @@ def session_metrics_sql(src: str = "events", gap_minutes: int = 30) -> str:
                     AS BOOLEAN) AS converted
         FROM sess GROUP BY user_id, session_id
     """
+
+
+# ------------------------------------------- funnel conversion latency
+def funnel_latency(events: DataFrame) -> DataFrame:
+    """Time-to-convert distribution: for users whose FIRST purchase
+    follows their FIRST view, the P50/P90/P99 of that latency — the
+    funnel's companion metric (stage counts say HOW MANY convert;
+    this says HOW LONG conversion takes, and the tail percentiles are
+    what nurture-campaign timing is tuned against).
+
+    ONE user-keyed conditional-MIN aggregate (the funnel shuffle),
+    then a 1-row exact-percentile aggregate over the |converted-users|
+    latencies. Whole-second latencies (truncated timestamps, the
+    cross-engine gap contract); percentiles interpolate on exact
+    integers so both engines agree at 6dp."""
+    first = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    lat = first.filter(
+        F.col("t_view").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") > F.col("t_view"))
+    ).select(
+        F.expr(
+            "timestampdiff(SECOND, date_trunc('SECOND', t_view), "
+            "date_trunc('SECOND', t_purchase))"
+        ).cast("double").alias("latency_s")
+    )
+    return lat.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.expr(
+            "transform(percentile(latency_s, array(0.5D, 0.9D, 0.99D)),"
+            " t -> round(t, 6))"
+        ).alias("_p"),
+    ).select(
+        "n_converted",
+        F.col("_p")[0].alias("p50_s"),
+        F.col("_p")[1].alias("p90_s"),
+        F.col("_p")[2].alias("p99_s"),
+    )
+
+
+def funnel_latency_sql(src: str = "events") -> str:
+    return f"""
+        WITH first AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                 MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS t_purchase
+          FROM {src} GROUP BY user_id
+        ),
+        lat AS (
+          SELECT CAST(date_diff('second', date_trunc('second', t_view),
+                                date_trunc('second', t_purchase)) AS DOUBLE)
+                   AS latency_s
+          FROM first
+          WHERE t_view IS NOT NULL AND t_purchase IS NOT NULL
+            AND t_purchase > t_view
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+               ROUND(QUANTILE_CONT(latency_s, 0.5), 6) AS p50_s,
+               ROUND(QUANTILE_CONT(latency_s, 0.9), 6) AS p90_s,
+               ROUND(QUANTILE_CONT(latency_s, 0.99), 6) AS p99_s
+        FROM lat
+    """

@@ -83,6 +83,7 @@ _DEFER_TO_NEXT_ROUND: tuple[str, ...] = (
     "analytics_session_metrics",
     "basket_brand_lift",
     "ts_daily_percentiles",
+    "analytics_funnel_latency",
 )
 
 

@@ -141,6 +141,10 @@ QUERIES = {
     "analytics_session_metrics": lambda s, d: A.session_metrics(
         load_table(s, d, "events")
     ),
+    # r5 (deferred window): funnel time-to-convert percentile bands
+    "analytics_funnel_latency": lambda s, d: A.funnel_latency(
+        load_table(s, d, "events")
+    ),
 }
 
 _DAILY_TOTALS_TMPL = """
@@ -289,6 +293,7 @@ ORACLES = {
     "analytics_top_session_paths": A.top_session_paths_sql(),
     "analytics_linear_attribution": A.linear_attribution_sql(),
     "analytics_session_metrics": A.session_metrics_sql(),
+    "analytics_funnel_latency": A.funnel_latency_sql(),
     "segment_overlap_matrix": """
         WITH per_user AS (
           SELECT user_id,

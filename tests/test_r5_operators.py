@@ -561,3 +561,23 @@ def test_daily_percentiles_orders_bands(spark, sf_dir):
     for r in rows:
         assert r.p50 <= r.p95 <= r.p99
         assert r.n > 0
+
+
+def test_funnel_latency_uses_first_view_first_purchase(spark):
+    from audience_manager_platform_spark.operators.analytics import (
+        funnel_latency,
+    )
+
+    rows = [
+        (datetime(2024, 1, 1, 10, 0), 1, "view", 0.0),
+        (datetime(2024, 1, 1, 10, 10), 1, "purchase", 5.0),   # 600s
+        (datetime(2024, 1, 2, 9, 0), 2, "view", 0.0),
+        (datetime(2024, 1, 2, 9, 20), 2, "purchase", 5.0),    # 1200s
+        (datetime(2024, 1, 3, 8, 0), 3, "purchase", 5.0),     # purchase first
+        (datetime(2024, 1, 3, 9, 0), 3, "view", 0.0),         # -> excluded
+        (datetime(2024, 1, 4, 9, 0), 4, "view", 0.0),         # never converts
+    ]
+    got = funnel_latency(_events(spark, rows)).collect()[0]
+    assert got.n_converted == 2
+    assert got.p50_s == 900.0                    # midpoint of 600 and 1200
+    assert got.p99_s <= 1200.0

@@ -895,3 +895,111 @@ def funnel_latency_sql(src: str = "events") -> str:
                ROUND(QUANTILE_CONT(latency_s, 0.99), 6) AS p99_s
         FROM lat
     """
+
+
+# ------------------------------------------- event transition matrix
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: for every (from_type, to_type) pair of CONSECUTIVE events,
+    the transition count and the row-normalized probability — the
+    behavioral fingerprint behind next-action prediction and the
+    journey graphs marketing tools render.
+
+    One user-keyed window (lag) then one tiny aggregate over
+    |event_types|² pairs; probabilities are exact ratios of bigint
+    counts, 6dp-rounded. Order (ts, event_id) is total so both engines
+    pair the same neighbors."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    pairs = (
+        events.withColumn("_next", F.lead("event_type").over(w))
+        .filter(F.col("_next").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("_next").alias("to_type"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    row_tot = pairs.groupBy("from_type").agg(F.sum("n").alias("_tot"))
+    return pairs.join(F.broadcast(row_tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("_tot").cast("double"), 6).alias("p"),
+    )
+
+
+def event_transitions_sql(src: str = "events") -> str:
+    return f"""
+        WITH pairs AS (
+          SELECT event_type AS from_type,
+                 LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+          FROM {src}
+        ),
+        counted AS (
+          SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM pairs WHERE to_type IS NOT NULL
+          GROUP BY from_type, to_type
+        ),
+        tot AS (
+          SELECT from_type, SUM(n) AS t FROM counted GROUP BY from_type
+        )
+        SELECT c.from_type, c.to_type, c.n,
+               ROUND(c.n / CAST(tot.t AS DOUBLE), 6) AS p
+        FROM counted c JOIN tot USING (from_type)
+    """
+
+
+# ------------------------------------------------------ burst detection
+def burst_stats(events: DataFrame, window_seconds: int = 60) -> DataFrame:
+    """Bot/abuse burst profile: each user's peak event rate — the max
+    number of events falling in any trailing ``window_seconds`` window
+    — plus total volume. Rule-based bot filters threshold on exactly
+    this (no human emits 200 events in a minute); it is also the
+    pre-check before per-user rate limits are tuned.
+
+    ONE user-keyed RANGE-frame window over second-truncated epoch
+    seconds (value-based frame, same contract as
+    :func:`linear_attribution`) and a per-user max — no self-join, no
+    explode; cost O(events) regardless of burst size."""
+    sec = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP '1970-01-01 00:00:00', "
+        "date_trunc('SECOND', ts))"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("_sec").asc())
+        .rangeBetween(-(window_seconds - 1), 0)
+    )
+    return (
+        events.withColumn("_sec", sec)
+        .withColumn("_in_window", F.count("*").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.max("_in_window").cast("long").alias("peak_per_window"),
+        )
+    )
+
+
+def burst_stats_sql(src: str = "events", window_seconds: int = 60) -> str:
+    return f"""
+        WITH secs AS (
+          SELECT user_id,
+                 date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+                           date_trunc('second', ts)) AS sec
+          FROM {src}
+        ),
+        counted AS (
+          SELECT user_id,
+                 COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY sec
+                   RANGE BETWEEN {window_seconds - 1} PRECEDING
+                         AND CURRENT ROW) AS in_window
+          FROM secs
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(in_window) AS BIGINT) AS peak_per_window
+        FROM counted GROUP BY user_id
+    """

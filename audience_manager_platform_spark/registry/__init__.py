@@ -84,6 +84,8 @@ _DEFER_TO_NEXT_ROUND: tuple[str, ...] = (
     "basket_brand_lift",
     "ts_daily_percentiles",
     "analytics_funnel_latency",
+    "analytics_event_transitions",
+    "analytics_burst_stats",
 )
 
 

@@ -145,6 +145,13 @@ QUERIES = {
     "analytics_funnel_latency": lambda s, d: A.funnel_latency(
         load_table(s, d, "events")
     ),
+    # r5 (deferred window): Markov transitions + bot-burst profile
+    "analytics_event_transitions": lambda s, d: A.event_transitions(
+        load_table(s, d, "events")
+    ),
+    "analytics_burst_stats": lambda s, d: A.burst_stats(
+        load_table(s, d, "events")
+    ),
 }
 
 _DAILY_TOTALS_TMPL = """
@@ -294,6 +301,8 @@ ORACLES = {
     "analytics_linear_attribution": A.linear_attribution_sql(),
     "analytics_session_metrics": A.session_metrics_sql(),
     "analytics_funnel_latency": A.funnel_latency_sql(),
+    "analytics_event_transitions": A.event_transitions_sql(),
+    "analytics_burst_stats": A.burst_stats_sql(),
     "segment_overlap_matrix": """
         WITH per_user AS (
           SELECT user_id,

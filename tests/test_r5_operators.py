@@ -581,3 +581,34 @@ def test_funnel_latency_uses_first_view_first_purchase(spark):
     assert got.n_converted == 2
     assert got.p50_s == 900.0                    # midpoint of 600 and 1200
     assert got.p99_s <= 1200.0
+
+
+def test_event_transitions_probabilities(spark):
+    from audience_manager_platform_spark.operators.analytics import (
+        event_transitions,
+    )
+
+    rows = [
+        (datetime(2024, 1, 1, 10, 0), 1, "view", 0.0),
+        (datetime(2024, 1, 1, 10, 1), 1, "click", 0.0),
+        (datetime(2024, 1, 1, 10, 2), 1, "view", 0.0),
+        (datetime(2024, 1, 1, 10, 3), 1, "click", 0.0),
+        (datetime(2024, 1, 1, 10, 4), 1, "purchase", 0.0),
+    ]
+    got = {(r.from_type, r.to_type): r for r in
+           event_transitions(_events(spark, rows)).collect()}
+    assert got[("view", "click")].n == 2 and got[("view", "click")].p == 1.0
+    assert got[("click", "view")].p == 0.5
+    assert got[("click", "purchase")].p == 0.5
+    # cross-user pairs never appear
+    assert all(k[0] != "purchase" for k in got)
+
+
+def test_burst_stats_finds_the_planted_burst(spark):
+    from audience_manager_platform_spark.operators.analytics import burst_stats
+
+    rows = [(datetime(2024, 1, 1, 10, 0, s), 1, "view", 0.0) for s in range(30)]
+    rows += [(datetime(2024, 1, 1, h, 0), 2, "view", 0.0) for h in range(10, 15)]
+    got = {r.user_id: r for r in burst_stats(_events(spark, rows)).collect()}
+    assert got[1].peak_per_window == 30      # 30 events inside one minute
+    assert got[2].peak_per_window == 1       # spread out hourly

@@ -1003,3 +1003,77 @@ def burst_stats_sql(src: str = "events", window_seconds: int = 60) -> str:
                CAST(MAX(in_window) AS BIGINT) AS peak_per_window
         FROM counted GROUP BY user_id
     """
+
+
+# ---------------------------------------------------- WAU/MAU stickiness
+def stickiness(events: DataFrame) -> DataFrame:
+    """The engagement ratio every growth team reports: per ISO-ish week
+    (epoch-day // 7), weekly active users (WAU), trailing-4-week
+    monthly active users (MAU — DISTINCT users across the window, NOT a
+    sum of weekly counts, which would double-count returnees), and
+    WAU/MAU stickiness.
+
+    Shape: the fact table compacts to the DISTINCT (user, week) grid
+    (one shuffle — the grid is |users|×|weeks|, tiny relative to
+    events); WAU is a week-keyed count; MAU joins the compact grid to
+    the week spine on a 4-week band and distinct-counts — every post-
+    compaction join runs on grid-sized inputs regardless of event
+    volume."""
+    uw = (
+        events.select(
+            "user_id",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) / 7
+            ).cast("long").alias("week"),
+        )
+        .distinct()
+    )
+    wau = uw.groupBy("week").agg(F.count("*").cast("long").alias("wau"))
+    weeks = uw.select("week").distinct()
+    mau = (
+        weeks.alias("w")
+        .join(
+            uw.alias("g"),
+            (F.col("g.week") <= F.col("w.week"))
+            & (F.col("g.week") >= F.col("w.week") - 3),
+        )
+        .groupBy(F.col("w.week").alias("week"))
+        .agg(F.countDistinct("g.user_id").cast("long").alias("mau"))
+    )
+    return (
+        wau.join(mau, "week")
+        .select(
+            "week",
+            "wau",
+            "mau",
+            F.round(F.col("wau") / F.col("mau").cast("double"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+def stickiness_sql(src: str = "events") -> str:
+    return f"""
+        WITH uw AS (
+          SELECT DISTINCT user_id,
+                 CAST(FLOOR(date_diff('day', DATE '1970-01-01',
+                                      CAST(ts AS DATE)) / 7) AS BIGINT)
+                   AS week
+          FROM {src}
+        ),
+        wau AS (
+          SELECT week, CAST(COUNT(*) AS BIGINT) AS wau FROM uw GROUP BY week
+        ),
+        weeks AS (SELECT DISTINCT week FROM uw),
+        mau AS (
+          SELECT w.week,
+                 CAST(COUNT(DISTINCT g.user_id) AS BIGINT) AS mau
+          FROM weeks w JOIN uw g
+            ON g.week <= w.week AND g.week >= w.week - 3
+          GROUP BY w.week
+        )
+        SELECT week, wau, mau,
+               ROUND(wau / CAST(mau AS DOUBLE), 6) AS stickiness
+        FROM wau JOIN mau USING (week)
+    """

@@ -1223,3 +1223,78 @@ def hash_embed_stats_sql(src: str = "documents", dim: int = HASH_EMBED_DIM) -> s
                ROUND(SQRT({sq}), 6) AS l2_norm
         FROM ({hash_embed_sql(src, dim)}) he
     """
+
+
+# ------------------------------------------------------------ Zipf fit
+def zipf_fit(docs: DataFrame, top_n: int = 200) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: least-squares slope of
+    ``ln(freq)`` on ``ln(rank)`` over the top ``top_n`` terms. Natural
+    corpora sit near slope −1; a flat slope flags synthetic/templated
+    text and a cliff flags boilerplate domination — a one-row corpus
+    health check curation dashboards track across snapshots.
+
+    One vocab aggregate → top-n by (freq DESC, term ASC) via
+    TakeOrdered → the regression is FOUR sums over n rows folded in a
+    single 1-row aggregate. 6dp-rounded outputs under the ln()
+    convention."""
+    from .partitioning import spread
+
+    from pyspark.sql import Window
+
+    vocab = (
+        spread(docs)
+        .select(F.explode(tokens_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("term"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("term"))
+    xy = vocab.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    return xy.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.round(
+            (F.sum(F.col("x") * F.col("y")) - F.count("*") * F.avg("x") * F.avg("y"))
+            / (F.sum(F.col("x") * F.col("x")) - F.count("*") * F.avg("x") * F.avg("x")),
+            6,
+        ).alias("slope"),
+        F.round(
+            F.avg("y")
+            - (
+                (F.sum(F.col("x") * F.col("y")) - F.count("*") * F.avg("x") * F.avg("y"))
+                / (F.sum(F.col("x") * F.col("x")) - F.count("*") * F.avg("x") * F.avg("x"))
+            )
+            * F.avg("x"),
+            6,
+        ).alias("intercept"),
+    )
+
+
+def zipf_fit_sql(src: str = "documents", top_n: int = 200) -> str:
+    t = tokens_sql("text")
+    return f"""
+        WITH vocab AS (
+          SELECT term, COUNT(*) AS c FROM (
+            SELECT UNNEST({t}) AS term FROM {src}
+          ) e GROUP BY term
+          ORDER BY c DESC, term ASC LIMIT {top_n}
+        ),
+        xy AS (
+          SELECT LN(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, term ASC)
+                         AS DOUBLE)) AS x,
+                 LN(CAST(c AS DOUBLE)) AS y
+          FROM vocab
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+               ROUND((SUM(x * y) - COUNT(*) * AVG(x) * AVG(y))
+                     / (SUM(x * x) - COUNT(*) * AVG(x) * AVG(x)), 6)
+                 AS slope,
+               ROUND(AVG(y)
+                     - ((SUM(x * y) - COUNT(*) * AVG(x) * AVG(y))
+                        / (SUM(x * x) - COUNT(*) * AVG(x) * AVG(x)))
+                       * AVG(x), 6) AS intercept
+        FROM xy
+    """

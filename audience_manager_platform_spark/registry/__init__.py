@@ -86,6 +86,8 @@ _DEFER_TO_NEXT_ROUND: tuple[str, ...] = (
     "analytics_funnel_latency",
     "analytics_event_transitions",
     "analytics_burst_stats",
+    "analytics_stickiness",
+    "text_zipf_fit",
 )
 
 

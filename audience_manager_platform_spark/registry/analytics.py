@@ -152,6 +152,10 @@ QUERIES = {
     "analytics_burst_stats": lambda s, d: A.burst_stats(
         load_table(s, d, "events")
     ),
+    # r5 (deferred window): WAU / trailing-4-week MAU stickiness
+    "analytics_stickiness": lambda s, d: A.stickiness(
+        load_table(s, d, "events")
+    ),
 }
 
 _DAILY_TOTALS_TMPL = """
@@ -303,6 +307,7 @@ ORACLES = {
     "analytics_funnel_latency": A.funnel_latency_sql(),
     "analytics_event_transitions": A.event_transitions_sql(),
     "analytics_burst_stats": A.burst_stats_sql(),
+    "analytics_stickiness": A.stickiness_sql(),
     "segment_overlap_matrix": """
         WITH per_user AS (
           SELECT user_id,

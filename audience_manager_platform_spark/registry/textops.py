@@ -55,6 +55,8 @@ QUERIES = {
     # r5 (deferred window): corpus-unigram LM scoring (perplexity-filter
     # scaffold)
     "text_unigram_logprob": lambda s, d: T.unigram_logprob(_docs(s, d)),
+    # r5 (deferred window): Zipf-law corpus health check
+    "text_zipf_fit": lambda s, d: T.zipf_fit(_docs(s, d)),
     # r5 (deferred window): hashing-trick vectorizer audit (the no-model
     # text->vector bridge into the ANN/SemDeDup stack)
     "text_hash_embed_stats": lambda s, d: T.hash_embed_stats(_docs(s, d)),
@@ -137,6 +139,7 @@ ORACLES = {
     "text_bm25_topk": T.bm25_topk_sql(BM25_QUERY, k=15),
     "text_quality_logit": T.quality_logit_sql(),
     "text_unigram_logprob": T.unigram_logprob_sql(),
+    "text_zipf_fit": T.zipf_fit_sql(),
     "text_hash_embed_stats": T.hash_embed_stats_sql(),
     "dedup_semantic_text": S.semantic_dedup_sql(
         threshold=0.9, k=64, iters=1,

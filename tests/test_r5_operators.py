@@ -612,3 +612,30 @@ def test_burst_stats_finds_the_planted_burst(spark):
     got = {r.user_id: r for r in burst_stats(_events(spark, rows)).collect()}
     assert got[1].peak_per_window == 30      # 30 events inside one minute
     assert got[2].peak_per_window == 1       # spread out hourly
+
+
+def test_zipf_fit_recovers_planted_power_law(spark):
+    from audience_manager_platform_spark.operators.text import zipf_fit
+
+    # corpus where term w_r appears ~ 1000/r times: slope should be ~ -1
+    words = []
+    for r in range(1, 51):
+        words += [f"w{r:03d}"] * (1000 // r)
+    text = " ".join(words)
+    docs = _docs5(spark, [text])
+    got = zipf_fit(docs, top_n=50).collect()[0]
+    assert got.n_terms == 50
+    assert -1.15 < got.slope < -0.85
+
+
+def test_stickiness_distinct_mau_not_sum(spark):
+    from audience_manager_platform_spark.operators.analytics import stickiness
+
+    # the same single user active in 4 consecutive weeks: WAU=1 each
+    # week and MAU must be 1 (distinct), never 4 (summed weeklies)
+    rows = [(datetime(2024, 1, 1 + 7 * w, 12), 1, "view", 0.0) for w in range(4)]
+    got = {r.week: r for r in stickiness(_events(spark, rows)).collect()}
+    weeks = sorted(got)
+    assert got[weeks[-1]].wau == 1
+    assert got[weeks[-1]].mau == 1
+    assert got[weeks[-1]].stickiness == 1.0

@@ -1077,3 +1077,111 @@ def stickiness_sql(src: str = "events") -> str:
                ROUND(wau / CAST(mau AS DOUBLE), 6) AS stickiness
         FROM wau JOIN mau USING (week)
     """
+
+
+# ------------------------------------------------- revenue concentration
+def revenue_gini(events: DataFrame) -> DataFrame:
+    """Whale-concentration profile: the Gini coefficient of per-user
+    purchase revenue — the one-number inequality summary monetization
+    dashboards track snapshot over snapshot.
+
+    The fact table reduces to per-user totals first (ONE combinable
+    shuffle); everything after runs on |users| rows: one rank window
+    for the sorted cumulative form of Gini (G = 2·Σ i·xᵢ / (n·Σx) −
+    (n+1)/n over ascending totals). 2dp-quantized totals keep the rank
+    order and every ratio engine-identical."""
+    per_user = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("spend"))
+    )
+    w = Window.orderBy(F.asc("spend"), F.asc("user_id"))
+    ranked = per_user.select(
+        "spend", F.row_number().over(w).cast("double").alias("i")
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.round(F.sum("spend"), 2).alias("total_revenue"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("spend"))
+            / (F.count("*") * F.sum("spend"))
+            - (F.count("*") + 1) / F.count("*").cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+def revenue_gini_sql(src: str = "events") -> str:
+    return f"""
+        WITH per_user AS (
+          SELECT user_id, ROUND(SUM(value), 2) AS spend
+          FROM {src} WHERE event_type = 'purchase' GROUP BY user_id
+        ),
+        ranked AS (
+          SELECT spend,
+                 CAST(ROW_NUMBER() OVER (ORDER BY spend ASC, user_id ASC)
+                      AS DOUBLE) AS i
+          FROM per_user
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               ROUND(SUM(spend), 2) AS total_revenue,
+               ROUND(2.0 * SUM(i * spend) / (COUNT(*) * SUM(spend))
+                     - (COUNT(*) + 1) / CAST(COUNT(*) AS DOUBLE), 6)
+                 AS gini
+        FROM ranked
+    """
+
+
+# ----------------------------------------------- new vs returning users
+def new_vs_returning(events: DataFrame) -> DataFrame:
+    """Weekly acquisition split: per week, how many active users are
+    NEW (their first-ever week) vs RETURNING — the top chart of every
+    growth report, and the denominator sanity check for retention
+    cohorts.
+
+    Same compact (user, week) grid as :func:`stickiness` (one
+    combinable distinct shuffle); first weeks come from a grid-sized
+    aggregate joined back on user, and the split is a per-row flag
+    aggregated per week."""
+    uw = (
+        events.select(
+            "user_id",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) / 7
+            ).cast("long").alias("week"),
+        )
+        .distinct()
+    )
+    first = uw.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    return (
+        uw.join(first, "user_id")
+        .groupBy("week")
+        .agg(
+            F.sum((F.col("week") == F.col("first_week")).cast("long"))
+            .cast("long").alias("new_users"),
+            F.sum((F.col("week") != F.col("first_week")).cast("long"))
+            .cast("long").alias("returning_users"),
+        )
+    )
+
+
+def new_vs_returning_sql(src: str = "events") -> str:
+    return f"""
+        WITH uw AS (
+          SELECT DISTINCT user_id,
+                 CAST(FLOOR(date_diff('day', DATE '1970-01-01',
+                                      CAST(ts AS DATE)) / 7) AS BIGINT)
+                   AS week
+          FROM {src}
+        ),
+        first AS (
+          SELECT user_id, MIN(week) AS first_week FROM uw GROUP BY user_id
+        )
+        SELECT week,
+               CAST(SUM(CASE WHEN week = first_week THEN 1 ELSE 0 END)
+                    AS BIGINT) AS new_users,
+               CAST(SUM(CASE WHEN week <> first_week THEN 1 ELSE 0 END)
+                    AS BIGINT) AS returning_users
+        FROM uw JOIN first USING (user_id)
+        GROUP BY week
+    """

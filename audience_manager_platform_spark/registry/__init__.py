@@ -88,6 +88,8 @@ _DEFER_TO_NEXT_ROUND: tuple[str, ...] = (
     "analytics_burst_stats",
     "analytics_stickiness",
     "text_zipf_fit",
+    "analytics_revenue_gini",
+    "analytics_new_vs_returning",
 )
 
 

@@ -156,6 +156,13 @@ QUERIES = {
     "analytics_stickiness": lambda s, d: A.stickiness(
         load_table(s, d, "events")
     ),
+    # r5 (deferred window): revenue concentration + acquisition split
+    "analytics_revenue_gini": lambda s, d: A.revenue_gini(
+        load_table(s, d, "events")
+    ),
+    "analytics_new_vs_returning": lambda s, d: A.new_vs_returning(
+        load_table(s, d, "events")
+    ),
 }
 
 _DAILY_TOTALS_TMPL = """
@@ -308,6 +315,8 @@ ORACLES = {
     "analytics_event_transitions": A.event_transitions_sql(),
     "analytics_burst_stats": A.burst_stats_sql(),
     "analytics_stickiness": A.stickiness_sql(),
+    "analytics_revenue_gini": A.revenue_gini_sql(),
+    "analytics_new_vs_returning": A.new_vs_returning_sql(),
     "segment_overlap_matrix": """
         WITH per_user AS (
           SELECT user_id,

@@ -639,3 +639,35 @@ def test_stickiness_distinct_mau_not_sum(spark):
     assert got[weeks[-1]].wau == 1
     assert got[weeks[-1]].mau == 1
     assert got[weeks[-1]].stickiness == 1.0
+
+
+def test_revenue_gini_bounds_and_equality_case(spark):
+    from audience_manager_platform_spark.operators.analytics import revenue_gini
+
+    # perfectly equal spenders: Gini == 0
+    rows = [(datetime(2024, 1, 1 + u), u, "purchase", 100.0) for u in range(10)]
+    got = revenue_gini(_events(spark, rows)).collect()[0]
+    assert got.n_users == 10 and got.total_revenue == 1000.0
+    assert abs(got.gini) < 1e-9
+
+    # one whale: Gini approaches (n-1)/n
+    rows2 = [(datetime(2024, 1, 1 + u), u, "purchase",
+              10000.0 if u == 0 else 0.01) for u in range(10)]
+    g2 = revenue_gini(_events(spark, rows2)).collect()[0].gini
+    assert g2 > 0.85
+
+
+def test_new_vs_returning_split(spark):
+    from audience_manager_platform_spark.operators.analytics import (
+        new_vs_returning,
+    )
+
+    rows = [
+        (datetime(2024, 1, 1), 1, "view", 0.0),    # week w0: user1 new
+        (datetime(2024, 1, 8), 1, "view", 0.0),    # w1: user1 returning
+        (datetime(2024, 1, 8), 2, "view", 0.0),    # w1: user2 new
+    ]
+    got = {r.week: r for r in new_vs_returning(_events(spark, rows)).collect()}
+    weeks = sorted(got)
+    assert got[weeks[0]].new_users == 1 and got[weeks[0]].returning_users == 0
+    assert got[weeks[1]].new_users == 1 and got[weeks[1]].returning_users == 1

@@ -1366,3 +1366,56 @@ def pca_variance(emb: DataFrame, k: int = 8) -> list[tuple[int, float, float]]:
         (i, float(evals[i]), float(evals[i] / total))
         for i in range(min(k, d))
     ]
+
+
+# ------------------------------------------- label centroid separation
+def label_centroid_separation(emb: DataFrame) -> DataFrame:
+    """Inter-class separation QA: the pairwise cosine between per-label
+    MEAN vectors — the companion to :func:`norm_stats_by_label` (norms
+    say the encoder's scale drifted; centroid cosines say the classes
+    COLLAPSED: two labels whose centroids read ≈1.0 are
+    indistinguishable to any downstream classifier or ANN filter).
+
+    One label-keyed aggregate reduces the corpus to |labels| centroid
+    rows (EMBED_DIM codegen'd avgs, map-side combinable, 6dp-quantized
+    like the k-means means); the pairwise stage is a |labels|² driver-
+    scale cross of that tiny table. Same rounded-cosine contract the
+    k-means family certifies."""
+    mean_vec = F.expr(
+        "array(" + ", ".join(f"round(avg(v[{i}]), 6)" for i in range(EMBED_DIM)) + ")"
+    ).alias("cv")
+    cents = (
+        emb.select("label", _vec_double().alias("v"))
+        .groupBy("label")
+        .agg(mean_vec)
+    )
+    a = cents.select(F.col("label").alias("label_a"), F.col("cv").alias("va"))
+    b = cents.select(F.col("label").alias("label_b"), F.col("cv").alias("vb"))
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                _dot_expr("va", "vb")
+                / (_norm_expr("va") * _norm_expr("vb")),
+                6,
+            ).alias("centroid_cosine"),
+        )
+    )
+
+
+def label_centroid_separation_sql(src: str = "embeddings") -> str:
+    avg_items = ", ".join(
+        f"ROUND(AVG(v[{i + 1}]), 6)" for i in range(EMBED_DIM)
+    )
+    return f"""
+        WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM {src}),
+        cents AS (
+          SELECT label, [{avg_items}] AS cv FROM e GROUP BY label
+        )
+        SELECT a.label AS label_a, b.label AS label_b,
+               ROUND(list_cosine_similarity(a.cv, b.cv), 6)
+                 AS centroid_cosine
+        FROM cents a JOIN cents b ON a.label < b.label
+    """

@@ -90,6 +90,7 @@ _DEFER_TO_NEXT_ROUND: tuple[str, ...] = (
     "text_zipf_fit",
     "analytics_revenue_gini",
     "analytics_new_vs_returning",
+    "emb_label_separation",
 )
 
 

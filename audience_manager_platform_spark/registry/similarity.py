@@ -34,6 +34,10 @@ QUERIES = {
     "emb_jl_distortion": lambda s, d: S.jl_distortion(_emb(s, d)),
     # r5 (deferred window): greedy farthest-point diversity core-set
     "sample_kcenter_diverse": lambda s, d: S.kcenter_select(_emb(s, d)),
+    # r5 (deferred window): inter-class centroid separation QA
+    "emb_label_separation": lambda s, d: S.label_centroid_separation(
+        _emb(s, d)
+    ),
     # r4 window: reciprocal-rank fusion of BM25 and exact-cosine retrieval
     "hybrid_search_rrf": lambda s, d: H.hybrid_search_rrf(
         load_table(s, d, "documents"), _emb(s, d), HYBRID_TERMS, HYBRID_QVEC
@@ -87,6 +91,7 @@ ORACLES = {
     "hybrid_search_rrf": H.hybrid_search_rrf_sql(HYBRID_TERMS, HYBRID_QVEC),
     "emb_jl_distortion": S.jl_distortion_sql(),
     "sample_kcenter_diverse": S.kcenter_select_sql(),
+    "emb_label_separation": S.label_centroid_separation_sql(),
     "ann_lsh_near_pairs": S.lsh_near_pairs_sql(threshold=0.35),
     "ann_ivf_topk": S.ivf_topk_sql(_QUERY_IDS, k=5),
     "ann_similar_pairs": S.lsh_near_pairs_sql(threshold=0.45),

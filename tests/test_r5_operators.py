@@ -671,3 +671,29 @@ def test_new_vs_returning_split(spark):
     weeks = sorted(got)
     assert got[weeks[0]].new_users == 1 and got[weeks[0]].returning_users == 0
     assert got[weeks[1]].new_users == 1 and got[weeks[1]].returning_users == 1
+
+
+def test_label_separation_detects_collapse(spark):
+    from audience_manager_platform_spark.operators.similarity import (
+        EMBED_DIM,
+        label_centroid_separation,
+    )
+
+    def vec(axis, jitter):
+        v = [0.0] * EMBED_DIM
+        v[axis] = 1.0
+        v[(axis + 1) % EMBED_DIM] = jitter
+        return v
+
+    rows = []
+    for i in range(10):
+        rows.append((i, vec(0, 0.01 * i), 0))          # label 0 on axis 0
+        rows.append((100 + i, vec(0, 0.01 * i), 1))    # label 1 COLLAPSED onto 0
+        rows.append((200 + i, vec(30, 0.01 * i), 2))   # label 2 orthogonal
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {(r.label_a, r.label_b): r.centroid_cosine
+           for r in label_centroid_separation(emb).collect()}
+    assert got[(0, 1)] > 0.999          # collapse detected
+    assert got[(0, 2)] < 0.1 and got[(1, 2)] < 0.1

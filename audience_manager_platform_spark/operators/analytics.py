@@ -1185,3 +1185,97 @@ def new_vs_returning_sql(src: str = "events") -> str:
         FROM uw JOIN first USING (user_id)
         GROUP BY week
     """
+
+
+# ------------------------------------------- robust anomalies + ranks
+def daily_anomalies_robust(events: DataFrame, k: float = 3.0) -> DataFrame:
+    """Median/MAD anomaly flags over the daily-total series — the
+    robust twin of :func:`daily_anomalies`: a mean/std detector lets a
+    single huge spike inflate σ and mask itself (and its neighbors);
+    the median and the median-absolute-deviation barely move, so the
+    spike stands out at its full magnitude. Flag: |x − median| >
+    k · 1.4826 · MAD (the Gaussian-consistent scale).
+
+    The fact table reduces to the |days|-row series first; median and
+    MAD are two 1-row exact-percentile aggregates over that tiny series
+    (broadcast back), so robustness costs nothing at any event volume.
+    All statistics 6dp-quantized before the compare."""
+    daily = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    med = daily.agg(
+        F.round(F.expr("percentile(total, 0.5D)"), 6).alias("_med")
+    )
+    with_med = daily.join(F.broadcast(med))
+    mad = with_med.agg(
+        F.round(F.expr("percentile(abs(total - _med), 0.5D)"), 6).alias("_mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad))
+        .select(
+            "day",
+            "total",
+            F.col("_med").alias("series_median"),
+            F.col("_mad").alias("series_mad"),
+            (
+                F.abs(F.col("total") - F.col("_med"))
+                > F.lit(k * 1.4826) * F.col("_mad")
+            ).alias("is_anomaly"),
+        )
+    )
+
+
+def daily_anomalies_robust_sql(src: str = "events", k: float = 3.0) -> str:
+    return f"""
+        WITH daily AS (
+          SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                 ROUND(SUM(value), 2) AS total
+          FROM {src} WHERE value IS NOT NULL GROUP BY 1
+        ),
+        med AS (
+          SELECT ROUND(QUANTILE_CONT(total, 0.5), 6) AS m FROM daily
+        ),
+        mad AS (
+          SELECT ROUND(QUANTILE_CONT(ABS(total - med.m), 0.5), 6) AS d
+          FROM daily, med
+        )
+        SELECT day, total,
+               med.m AS series_median,
+               mad.d AS series_mad,
+               ABS(total - med.m) > {k * 1.4826} * mad.d AS is_anomaly
+        FROM daily, med, mad
+    """
+
+
+def spend_percentile_rank(events: DataFrame) -> DataFrame:
+    """Each purchaser's spend percentile — the "you're in the top X% of
+    customers" feature and the input to percentile-based tiering.
+    ``percent_rank`` over the COMPACT per-user totals (never the fact
+    table): the window sorts |users| rows, and the rank is an exact
+    rational of bigint positions, engine-identical at 6dp."""
+    per_user = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("spend"))
+    )
+    w = Window.orderBy(F.asc("spend"), F.asc("user_id"))
+    return per_user.select(
+        "user_id",
+        "spend",
+        F.round(F.percent_rank().over(w), 6).alias("spend_pct_rank"),
+    )
+
+
+def spend_percentile_rank_sql(src: str = "events") -> str:
+    return f"""
+        WITH per_user AS (
+          SELECT user_id, ROUND(SUM(value), 2) AS spend
+          FROM {src} WHERE event_type = 'purchase' GROUP BY user_id
+        )
+        SELECT user_id, spend,
+               ROUND(PERCENT_RANK() OVER (ORDER BY spend ASC, user_id ASC), 6)
+                 AS spend_pct_rank
+        FROM per_user
+    """

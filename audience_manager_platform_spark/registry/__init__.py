@@ -91,6 +91,8 @@ _DEFER_TO_NEXT_ROUND: tuple[str, ...] = (
     "analytics_revenue_gini",
     "analytics_new_vs_returning",
     "emb_label_separation",
+    "analytics_daily_anomalies_robust",
+    "analytics_spend_percentile_rank",
 )
 
 

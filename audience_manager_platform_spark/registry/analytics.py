@@ -163,6 +163,13 @@ QUERIES = {
     "analytics_new_vs_returning": lambda s, d: A.new_vs_returning(
         load_table(s, d, "events")
     ),
+    # r5 (deferred window): robust anomaly flags + percentile tiering
+    "analytics_daily_anomalies_robust": lambda s, d: A.daily_anomalies_robust(
+        load_table(s, d, "events")
+    ),
+    "analytics_spend_percentile_rank": lambda s, d: A.spend_percentile_rank(
+        load_table(s, d, "events")
+    ),
 }
 
 _DAILY_TOTALS_TMPL = """
@@ -317,6 +324,8 @@ ORACLES = {
     "analytics_stickiness": A.stickiness_sql(),
     "analytics_revenue_gini": A.revenue_gini_sql(),
     "analytics_new_vs_returning": A.new_vs_returning_sql(),
+    "analytics_daily_anomalies_robust": A.daily_anomalies_robust_sql(),
+    "analytics_spend_percentile_rank": A.spend_percentile_rank_sql(),
     "segment_overlap_matrix": """
         WITH per_user AS (
           SELECT user_id,

@@ -697,3 +697,33 @@ def test_label_separation_detects_collapse(spark):
            for r in label_centroid_separation(emb).collect()}
     assert got[(0, 1)] > 0.999          # collapse detected
     assert got[(0, 2)] < 0.1 and got[(1, 2)] < 0.1
+
+
+def test_robust_anomaly_immune_to_its_own_spike(spark):
+    from audience_manager_platform_spark.operators.analytics import (
+        daily_anomalies_robust,
+    )
+
+    # 20 quiet days at ~100 plus one 100x spike: median/MAD flags ONLY
+    # the spike (a mean/std detector would inflate sigma by the spike)
+    rows = []
+    for d in range(20):
+        rows.append((datetime(2024, 1, 1 + d, 12), 1, "view", 100.0 + d % 3))
+    rows.append((datetime(2024, 1, 25, 12), 1, "view", 10000.0))
+    got = {r.day: r for r in
+           daily_anomalies_robust(_events(spark, rows)).collect()}
+    flagged = [d for d, r in got.items() if r.is_anomaly]
+    assert flagged == ["2024-01-25"]
+
+
+def test_spend_percentile_rank_orders(spark):
+    from audience_manager_platform_spark.operators.analytics import (
+        spend_percentile_rank,
+    )
+
+    rows = [(datetime(2024, 1, 1 + u), u, "purchase", float(10 * (u + 1)))
+            for u in range(5)]
+    got = {r.user_id: r.spend_pct_rank
+           for r in spend_percentile_rank(_events(spark, rows)).collect()}
+    assert got[0] == 0.0 and got[4] == 1.0
+    assert got[2] == 0.5

@@ -28,9 +28,11 @@ Scale/architecture posture (mirrors the shuffle-free k-means,
 
 Determinism contract with the DuckDB twin (:func:`pq_histogram_sql`,
 :func:`pq_adc_topk_sql`): subspace distances are rounded to 6dp before
-the argmin (ties break on code asc), codeword means are rounded to 6dp
-(same boundary-straddle caveat as the k-means oracle), and the ADC sum
-is written LEFT-ASSOCIATIVE on both engines (4 explicit adds, not an
+the argmin (ties break on code asc), codeword means are 6dp-quantized
+through the order-free exact-integer contract (``similarity.py``, block
+above ``KMEANS_K`` — commutative scaled-integer sums, one driver-side
+rounding; bit-identical on any partitioning/engine), and the ADC sum is
+written LEFT-ASSOCIATIVE on both engines (4 explicit adds, not an
 order-free SUM), so every rank decision is reproducible.
 """
 
@@ -39,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import _vec_double
+from .similarity import _mean6, _mean6_sql_items, _sum12_agg, _vec_double
 
 PQ_M = 4  # subspaces
 SUB_DIM = 16  # dims per subspace (PQ_M * SUB_DIM == EMBED_DIM)
@@ -103,9 +105,11 @@ def pq_fit_model(emb: DataFrame, iters: int = PQ_ITERS) -> Model:
         [(code, vec[j * SUB_DIM : (j + 1) * SUB_DIM]) for code, vec in seed_rows]
         for j in range(PQ_M)
     ]
-    mean_vec = F.expr(
-        "array(" + ", ".join(f"round(avg(s[{i}]), 6)" for i in range(SUB_DIM)) + ")"
-    ).alias("m")
+    # codeword means ride the order-free exact-integer contract
+    # (similarity.py, block above KMEANS_K): commutative scaled sums in
+    # the aggregate, ONE 6dp rounding driver-side — bit-identical model
+    # on any partitioning / engine (closes the r4 driver-red hash rows)
+    sum_vec = _sum12_agg("s", SUB_DIM).alias("sv")
     for _ in range(iters):
         # assignment rides the Arrow kernel (the literal-fold projection
         # trips janino's method limit and drops to interpreted eval; the
@@ -115,12 +119,15 @@ def pq_fit_model(emb: DataFrame, iters: int = PQ_ITERS) -> Model:
         rows = (
             _stacked_arrow(emb, model, with_vec=True)
             .groupBy("j", "code")
-            .agg(mean_vec)
+            .agg(sum_vec, F.count("*").alias("n"))
             .collect()
         )
         model = [
             sorted(
-                (int(r["code"]), [float(x) for x in r["m"]])
+                (
+                    int(r["code"]),
+                    [_mean6(int(s), int(r["n"])) for s in r["sv"]],
+                )
                 for r in rows
                 if int(r["j"]) == j
             )
@@ -278,9 +285,7 @@ def _pq_ctes(
     for it in range(iters):
         for j in range(PQ_M):
             terms = _d2_terms_sql(j, f"{base}.v", "cb.m")
-            means = ", ".join(
-                f"ROUND(AVG(s[{i + 1}]), 6)" for i in range(SUB_DIM)
-            )
+            means = _mean6_sql_items("s", SUB_DIM)
             parts.append(
                 f"""asg{j}_{it} AS (
               SELECT vec_id, s, code FROM (

@@ -578,6 +578,98 @@ KMEANS_K = 16
 KMEANS_ITERS = 2
 
 
+# ------------------------------------- order-free quantized model means
+# Model state (k-means centroids, PQ codewords, label centroids) must be
+# bit-identical across engines AND across partitionings — `avg(double)`
+# accumulates in partition order, so `round(avg(x), 6)` can flip its last
+# digit when a mean straddles a 0.5e-6 boundary (the r4 driver-red PQ
+# rows were exactly that).  The order-free contract:
+#
+#   scaled(x)  = floor(x * 1e12 + 0.5)     -- one IEEE multiply, one IEEE
+#                                             add, one exact floor: every
+#                                             step is bit-deterministic
+#                                             double arithmetic with NO
+#                                             engine-specific decimal /
+#                                             string-repr path (DuckDB's
+#                                             round(double) is not
+#                                             exact-value HALF_UP at
+#                                             ~1e12 magnitudes; floor is)
+#   S          = SUM(scaled(x))            -- exact integer sum, fully
+#                                             commutative (decimal(38,0)
+#                                             in Spark, HUGEINT in DuckDB)
+#   mean6      = sign(S) * ((|S| + n*5e5) // (n*1e6)) / 1e6
+#                                          -- ONE half-away-from-zero
+#                                             rounding done in exact
+#                                             integer arithmetic (Python
+#                                             //, DuckDB //, Spark `div`
+#                                             all agree on non-negative
+#                                             operands)
+#
+# tri-engine agreement is pinned by tests/test_pq.py::test_mean6_*.
+
+
+def _mean6(s_int: int, n: int) -> float:
+    """Driver-side half of the contract: 6dp mean of an exact
+    1e-12-scaled integer sum, rounded half-away-from-zero in exact
+    integer arithmetic."""
+    d = n * 1_000_000
+    micro = (abs(int(s_int)) + d // 2) // d
+    return (-micro if s_int < 0 else micro) / 1e6
+
+
+def _sum12_agg(v: str, n_dims: int, offset: int = 0):
+    """Spark aggregate producing the per-dim exact scaled sums as
+    ``array<decimal(38,0)>`` (one expr string -> one py4j call)."""
+    return F.expr(
+        "array("
+        + ", ".join(
+            f"sum(cast(floor({v}[{offset + i}] * 1e12 + 0.5d) as decimal(38,0)))"
+            for i in range(n_dims)
+        )
+        + ")"
+    )
+
+
+def _mean6_from_rows(rows, key: str, n_dims_unused: int = 0):
+    """(key, sv, n) rows -> sorted [(key, [mean6 ...])] model list."""
+    return sorted(
+        (
+            int(r[key]),
+            [_mean6(int(s), int(r["n"])) for s in r["sv"]],
+        )
+        for r in rows
+    )
+
+
+def _mean6_sql_items(v: str, n_dims: int, offset: int = 0) -> str:
+    """DuckDB twin of the contract: per-dim mean expressions (1-based
+    list indexing) for a GROUP BY aggregate."""
+    items = []
+    for i in range(n_dims):
+        s = f"SUM(CAST(floor({v}[{offset + i + 1}] * 1e12 + 0.5) AS HUGEINT))"
+        micro = f"((abs({s}) + COUNT(*) * 500000) // (COUNT(*) * 1000000))"
+        items.append(
+            f"CAST(CASE WHEN {s} < 0 THEN -{micro} ELSE {micro} END"
+            f" AS DOUBLE) / 1e6"
+        )
+    return ", ".join(items)
+
+
+def _mean6_spark_items(v: str, n_dims: int, offset: int = 0) -> str:
+    """Spark-SQL-side twin for operators whose centroids stay in the
+    DataFrame (e.g. per-label centroids): same integer formula, `div`
+    (truncating, operands kept non-negative) for the exact division."""
+    items = []
+    for i in range(n_dims):
+        s = f"sum(cast(floor({v}[{offset + i}] * 1e12 + 0.5d) as decimal(38,0)))"
+        micro = f"((abs({s}) + count(*) * 500000) div (count(*) * 1000000))"
+        items.append(
+            f"cast(case when {s} < 0 then -{micro} else {micro} end"
+            f" as double) / 1e6"
+        )
+    return ", ".join(items)
+
+
 def kmeans_fit(
     emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
 ) -> DataFrame:
@@ -599,15 +691,13 @@ def kmeans_fit(
 
     Determinism: init centroids are the vectors with ``vec_id < k`` (the
     reference-free deterministic seed the oracle can replicate);
-    per-iteration means are rounded to 6dp (quantized model state), so
-    the DuckDB twin (:func:`_kmeans_ctes`) reproduces every assignment
-    decision exactly. Caveat: ``avg`` over doubles accumulates in
-    partition order, so the quantized mean differs from the oracle's
-    sequential mean only if both straddle a 0.5e-6 rounding boundary —
-    an ~1e-16-relative perturbation against a 1e-6 grid (≪1e-9 per
-    component; the same tolerance every rounded aggregate in the gate
-    carries). Clusters that lose all members drop out on both engines
-    (GROUP BY semantics).
+    per-iteration means are 6dp-quantized model state computed through
+    the order-free exact-integer contract (see the block above
+    :data:`KMEANS_K`): scaled-integer sums are exact and commutative, so
+    the model is bit-identical on ANY partitioning and any engine — the
+    r4 ``round(avg(..), 6)`` boundary-straddle hazard is closed, not
+    just improbable. Clusters that lose all members drop out on both
+    engines (GROUP BY semantics).
     """
     return _model_df(emb.sparkSession, kmeans_fit_model(emb, k, iters))
 
@@ -631,20 +721,18 @@ def kmeans_fit_model(
         (int(r["vec_id"]), [float(x) for x in r["v"]])
         for r in base.filter(F.col("vec_id") < k).collect()
     ]
-    # one expr string -> one py4j call (see _dot_expr on why that matters)
-    mean_vec = F.expr(
-        "array(" + ", ".join(f"round(avg(v[{i}]), 6)" for i in range(EMBED_DIM)) + ")"
-    ).alias("m")
+    # exact scaled-integer sums (order-free; see the contract block above
+    # KMEANS_K) collected with the count; the single 6dp rounding happens
+    # driver-side — the model is driver state already
+    sum_vec = _sum12_agg("v", EMBED_DIM).alias("sv")
     for _ in range(iters):
         rows = (
             assign_cells_arrow(base, model, keep_vec=True)
             .groupBy("cent_id")
-            .agg(mean_vec)
+            .agg(sum_vec, F.count("*").alias("n"))
             .collect()
         )  # K rows: the model, not the data
-        model = sorted(
-            (int(r["cent_id"]), [float(x) for x in r["m"]]) for r in rows
-        )
+        model = _mean6_from_rows(rows, "cent_id")
     return model
 
 
@@ -698,7 +786,7 @@ def _kmeans_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
     vectors, then per iteration an argmax-cosine assignment CTE and a
     64-column unrolled AVG mean CTE (DuckDB lists are 1-indexed). The
     final centroid table is exposed as ``cents`` (cent_id, cv)."""
-    avg_items = ", ".join(f"ROUND(AVG(v[{i + 1}]), 6)" for i in range(EMBED_DIM))
+    avg_items = _mean6_sql_items("v", EMBED_DIM)
     parts = [
         f"e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src})",
         f"c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {k})",
@@ -1382,7 +1470,7 @@ def label_centroid_separation(emb: DataFrame) -> DataFrame:
     scale cross of that tiny table. Same rounded-cosine contract the
     k-means family certifies."""
     mean_vec = F.expr(
-        "array(" + ", ".join(f"round(avg(v[{i}]), 6)" for i in range(EMBED_DIM)) + ")"
+        "array(" + _mean6_spark_items("v", EMBED_DIM) + ")"
     ).alias("cv")
     cents = (
         emb.select("label", _vec_double().alias("v"))
@@ -1406,9 +1494,7 @@ def label_centroid_separation(emb: DataFrame) -> DataFrame:
 
 
 def label_centroid_separation_sql(src: str = "embeddings") -> str:
-    avg_items = ", ".join(
-        f"ROUND(AVG(v[{i + 1}]), 6)" for i in range(EMBED_DIM)
-    )
+    avg_items = _mean6_sql_items("v", EMBED_DIM)
     return f"""
         WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM {src}),
         cents AS (

@@ -62,37 +62,15 @@ def _load_driver_credited() -> frozenset[str]:
 
 _DRIVER_CREDITED = _load_driver_credited()
 
-# Names to hold out of the current window even though uncredited (used when
-# there are more uncredited names than the 50 slots).  This round the 42
-# previously-uncredited queries plus seven round-5 additions fill 49 of
-# the 50 slots; the operators added after that point queue here for the
-# next window.
-_DEFER_TO_NEXT_ROUND: tuple[str, ...] = (
-    "text_quality_logit",
-    "emb_jl_distortion",
-    "sample_kcenter_diverse",
-    "dedup_line_rewrite",
-    "sketch_cms_user_counts",
-    "scd2_temporal_enrich",
-    "geo_cell_rollup",
-    "table_profile_drift",
-    "segment_overlap_matrix",
-    "text_unigram_logprob",
-    "text_hash_embed_stats",
-    "dedup_semantic_text",
-    "analytics_session_metrics",
-    "basket_brand_lift",
-    "ts_daily_percentiles",
-    "analytics_funnel_latency",
-    "analytics_event_transitions",
-    "analytics_burst_stats",
-    "analytics_stickiness",
-    "text_zipf_fit",
-    "analytics_revenue_gini",
-    "analytics_new_vs_returning",
-    "emb_label_separation",
-    "analytics_daily_anomalies_robust",
-    "analytics_spend_percentile_rank",
+# Names to hold out of the current window even though uncredited (used
+# ONLY when there are more uncredited names than the 50 slots — r5 has
+# 27 uncredited: 24 r4-deferred entries plus the 3 PQ determinism
+# re-checks, all of which fit, so nothing queues).  Names already
+# credited are ignored (a driver window may reach a queued query before
+# the builder expects — the r4 `segment_overlap_matrix` lesson).
+_DEFER_RAW: tuple[str, ...] = ()
+_DEFER_TO_NEXT_ROUND: frozenset[str] = (
+    frozenset(_DEFER_RAW) - _DRIVER_CREDITED
 )
 
 

@@ -121,6 +121,65 @@ def test_arrow_cell_assignment_matches_inline(spark, sf_dir):
     assert a == b
 
 
+def test_mean6_tri_engine_agreement(spark):
+    """The order-free quantized-mean contract (similarity.py, block above
+    KMEANS_K) must produce bit-identical values from (a) the driver-side
+    Python formula over Spark's exact decimal sums, (b) the Spark-SQL-side
+    expression, and (c) the DuckDB twin — on adversarial values including
+    negatives and near-boundary magnitudes, independent of partitioning."""
+    import random
+
+    import duckdb
+
+    random.seed(11)
+    vals = [random.uniform(-3, 3) for _ in range(2000)]
+    vals += [0.0000005, -0.0000005, 1.0000005, 7.5e-7, -1.9999995,
+             -1.8221821023874998]  # r4 repro: DuckDB round(double) broke here
+    n = len(vals)
+
+    s_int = sum(__import__("math").floor(x * 1e12 + 0.5) for x in vals)
+    py = S._mean6(s_int, n)
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(7)
+    sql_side = df.selectExpr(
+        "array(" + S._mean6_spark_items("array(x)", 1) + ") as m",
+        "array(" + ", ".join(
+            "sum(cast(floor(array(x)[{0}] * 1e12 + 0.5d) as decimal(38,0)))".format(0)
+            for _ in range(1)
+        ) + ") as sv",
+        "count(*) as n",
+    ).collect()[0]
+    driver_side = S._mean6(int(sql_side["sv"][0]), int(sql_side["n"]))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"([{v!r}]::DOUBLE[])" for v in vals)
+        + ") v(x)"
+    )
+    duck = con.sql(
+        "SELECT " + S._mean6_sql_items("x", 1) + " FROM t"
+    ).fetchone()[0]
+
+    assert py == sql_side["m"][0] == driver_side == duck
+    assert int(sql_side["sv"][0]) == s_int
+
+
+def test_kmeans_model_partition_invariant(spark, sf_dir):
+    """The fitted model must be IDENTICAL whatever the input
+    partitioning — the property whose absence produced the r4 driver-red
+    PQ rows."""
+    from audience_manager_platform_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = S.kmeans_fit_model(emb.repartition(1), 16, 1)
+    b = S.kmeans_fit_model(emb.repartition(13), 16, 1)
+    assert a == b
+    pa = PQ.pq_fit_model(emb.repartition(1))
+    pb = PQ.pq_fit_model(emb.repartition(13))
+    assert pa == pb
+
+
 def test_residuals_arrow_exact_subtraction(spark):
     import numpy as np
 

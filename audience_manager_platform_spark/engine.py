@@ -50,6 +50,11 @@ class AudienceEngine:
         self.compiler = compiler or RuleCompiler()
         self.combine_keys = list(combine_keys) if combine_keys else None
 
+    def transactions(self) -> DataFrame:
+        """The unified all-transactions view (the analytics routes and
+        ad-hoc consumers read it through this accessor)."""
+        return self._transactions()
+
     # ------------------------------------------------------ rule creation
     def create_rule(self, name: str, conditions: list, schedule: str = "ONCE") -> Rule:
         """Entry point A (SURVEY.md §3.1): validate -> dependency rewrite ->

@@ -26,10 +26,18 @@ def filter_transactions(
     min_amount: float | None = None,
     city_tier: int | None = None,
     category: str | None = None,
+    transaction_type: str | None = None,
+    days: int | None = None,
 ) -> DataFrame:
     """Optional-parameter filter chain (P8/P9, reference
     ``backend/app/utils/aggregates.py:12-21,177-187``). Filters are plain
-    comparisons -> pushed into the parquet scan by Catalyst."""
+    comparisons -> pushed into the parquet scan by Catalyst.
+
+    ``days`` keeps the trailing N calendar days, anchored on the data's
+    own max transaction date (the reference anchors on ``datetime.now()``,
+    ``aggregates.py``; data-anchoring keeps the operator deterministic —
+    the same wall-clock-free convention as :func:`daily_totals`'s spine).
+    The anchor is a one-row aggregate broadcast into the filter."""
     if start is not None:
         txns = txns.filter(F.col("transaction_date") >= F.lit(start).cast("timestamp"))
     if end is not None:
@@ -40,6 +48,18 @@ def filter_transactions(
         txns = txns.filter(F.col("city_tier") == city_tier)
     if category is not None:
         txns = txns.filter(F.col("category") == category)
+    if transaction_type is not None:
+        txns = txns.filter(F.col("transaction_type") == transaction_type)
+    if days is not None:
+        hi = txns.select(F.max(F.to_date("transaction_date")).alias("_hi"))
+        txns = (
+            txns.crossJoin(F.broadcast(hi))
+            .filter(
+                F.to_date("transaction_date")
+                >= F.date_sub(F.col("_hi"), days - 1)
+            )
+            .drop("_hi")
+        )
     return txns
 
 
@@ -117,15 +137,25 @@ def user_search(
     min_amount: float | None = None,
     city_tier: int | None = None,
     category: str | None = None,
+    transaction_type: str | None = None,
+    days: int | None = None,
     min_transactions: int = 1,
-    page: int = 1,
+    page: int | None = 1,
     per_page: int = 20,
 ) -> DataFrame:
     """A6/A7/O4: filtered per-user aggregate with HAVING and deterministic
     LIMIT/OFFSET pagination (ordered by user_id — pagination without a
-    total order is undefined under distributed execution)."""
+    total order is undefined under distributed execution).
+
+    ``page=None`` skips pagination (the REST route's pre-pagination
+    total count reuses the identical aggregate plan)."""
     filtered = filter_transactions(
-        txns, min_amount=min_amount, city_tier=city_tier, category=category
+        txns,
+        min_amount=min_amount,
+        city_tier=city_tier,
+        category=category,
+        transaction_type=transaction_type,
+        days=days,
     )
     agg = (
         filtered.groupBy("user_id")
@@ -135,6 +165,8 @@ def user_search(
         )
         .filter(F.col("transaction_count") >= min_transactions)
     )
+    if page is None:
+        return agg
     return agg.orderBy("user_id").offset((page - 1) * per_page).limit(per_page)
 
 

@@ -56,6 +56,23 @@ def _events_transaction_type(event_id: Column) -> Column:
     return F.when(event_id % 5 < 3, F.lit("UPI")).otherwise(F.lit("CREDIT_CARD"))
 
 
+def transactions_with_id(events: DataFrame) -> DataFrame:
+    """The unified adapter plus a stable ``transaction_id`` (the source
+    ``event_id``) — the listing/detail REST routes need an addressable
+    row id (reference ``backend/app/api/transactions.py:26-35`` serves
+    ``GET .../<transaction_id>`` from the source table's PK), while the
+    rule/analytics pipeline keeps the narrower canonical projection."""
+    return events.select(
+        F.col("event_id").alias("transaction_id"),
+        F.col("user_id"),
+        F.col("value").alias("amount"),
+        F.col("ts").alias("transaction_date"),
+        F.col("event_type").alias("category"),
+        (F.get_json_object(F.col("props"), "$.k").cast("int") % 4 + 1).alias("city_tier"),
+        _events_transaction_type(F.col("event_id")).alias("transaction_type"),
+    )
+
+
 def unified_transactions_from_events(events: DataFrame) -> DataFrame:
     """Adapt the driver ``events`` table to the unified transaction schema.
 

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 DAMPING = 0.85
 PR_ITERS = 3
+CHECKPOINT_EVERY = 8  # truncate the linear iteration chain periodically
 
 
 def customer_supplier_edges(
@@ -39,25 +40,82 @@ def customer_supplier_edges(
     directions materialized: PageRank walks an undirected relation as a
     symmetric directed graph). Node ids are prefixed ('c123' / 's7') so
     the two key spaces can't collide."""
-    pairs = (
+    fwd = _edges_encoded(orders, lineitem).select(
+        decode_node("src").alias("src"), decode_node("dst").alias("dst")
+    )
+    return fwd
+
+
+def _pairs_encoded(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """The distinct customer—supplier pairs on ENCODED bigint node ids —
+    the compute representation (`2*custkey` / `2*suppkey+1`, bijective
+    with the public 'c{k}'/'s{k}' strings): every shuffle in the
+    degree/contrib path then moves and hashes 8-byte keys instead of
+    strings, and the distinct runs BEFORE any string building.
+
+    Only this |distinct pairs| table is materialized (the expensive
+    lineitem⋈orders + distinct — half the symmetric edge count); both
+    edge directions are derived from it lazily, a narrow 2-scan union of
+    a small columnar table, so the upstream join still runs exactly once
+    while the parquet write halves."""
+    from .partitioning import materialize
+
+    return materialize(
         lineitem.select("l_orderkey", "l_suppkey")
         .join(
             orders.select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("cust"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("supp"),
-        )
+        .select("o_custkey", "l_suppkey")
         .distinct()
+        .select(
+            (F.col("o_custkey").cast("bigint") * 2).alias("cust"),
+            (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("supp"),
+        )
     )
+
+
+def _sym_edges(pairs: DataFrame) -> DataFrame:
     fwd = pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
     rev = pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
     return fwd.unionByName(rev)
 
 
+def _pairs_state(pairs: DataFrame) -> DataFrame:
+    """(node, deg) derived from the pair table directly: on a symmetric
+    bipartite-keyed edge list, out-deg(c) = |pairs with cust=c| and
+    out-deg(s) = |pairs with supp=s|, and the two key spaces are
+    disjoint (even/odd encoding) — two half-size aggregates and a
+    narrow union replace the full-edge-list degree scan, node distinct,
+    and left join; no dangling nodes can exist by construction."""
+    return (
+        pairs.groupBy(F.col("cust").alias("node"))
+        .agg(F.count("*").alias("deg"))
+        .unionByName(
+            pairs.groupBy(F.col("supp").alias("node"))
+            .agg(F.count("*").alias("deg"))
+        )
+    )
+
+
+def _edges_encoded(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    return _sym_edges(_pairs_encoded(orders, lineitem))
+
+
+def decode_node(col: str):
+    """Encoded bigint node id -> the public 'c{key}' / 's{key}' form."""
+    c = F.col(col)
+    return F.when(
+        c % 2 == 0, F.concat(F.lit("c"), (c / 2).cast("bigint"))
+    ).otherwise(F.concat(F.lit("s"), ((c - 1) / 2).cast("bigint")))
+
+
 def pagerank(
-    edges: DataFrame, iters: int = PR_ITERS, damping: float = DAMPING
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    damping: float = DAMPING,
+    materialize_edges: bool = True,
+    state: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (src, dst).
     Returns (node, rank, out_deg). Nodes are the edge endpoints; with a
@@ -79,21 +137,24 @@ def pagerank(
     the state build, not a separate join job against the raw edges)."""
     from .partitioning import materialize
 
-    edges = materialize(edges)  # ONE derivation of the upstream join
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    n_total = nodes.agg(F.count("*").alias("n"))
-    # (node, deg, n) — the invariant per-node state each iteration reuses;
+    if materialize_edges:  # skip when the caller already truncated the
+        # upstream lineage (e.g. _pairs_encoded materializes the distinct
+        # pair table and derives both directions narrowly)
+        edges = materialize(edges)  # ONE derivation of the upstream join
+    if state is None:
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        state = (
+            nodes.join(deg, nodes["node"] == deg["src"], "left")
+            .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
+        )
+    # (node, deg) — the invariant per-node state each iteration reuses;
     # deg = 0 marks a dangling node (endpoint with no out-edges)
-    state = materialize(
-        nodes.join(deg, nodes["node"] == deg["src"], "left")
-        .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
-        .crossJoin(F.broadcast(n_total))
-    )
+    state = materialize(state)
     n_dangling = state.filter(F.col("deg") == 0).count()
     if n_dangling:
         raise ValueError(
@@ -101,10 +162,15 @@ def pagerank(
             "iteration formulation has no dangling-mass redistribution "
             "and would leak rank mass; supply a symmetric edge list"
         )
+    # |V| is a scalar — collected once and inlined as a literal, not a
+    # column cross-joined through every row of every iteration (O(1)
+    # driver state; rounding stays engine-side so both engines round the
+    # same division)
+    n = state.count()
     ranks = state.select(
-        "node", "deg", "n", F.round(F.lit(1.0) / F.col("n"), 8).alias("rank")
+        "node", "deg", F.round(F.lit(1.0) / F.lit(n), 8).alias("rank")
     )
-    for _ in range(iters):
+    for t in range(iters):
         contribs = (
             edges.join(
                 ranks.select(
@@ -116,28 +182,29 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("share").alias("incoming"))
         )
-        # each iteration consumes `ranks` TWICE (state carry + contribs),
-        # so an un-truncated loop doubles the previous iteration's
-        # subtree per level — 2^iters recompute (measured 6.3 s vs 2.4 s
-        # at sf0.1 for 3 iterations). Materializing the |nodes|-row state
-        # per iteration is the Pregel superstep contract.
-        ranks = materialize(
-            ranks.select("node", "deg", "n")
-            .join(contribs, "node", "left")
-            .select(
-                "node",
-                "deg",
-                "n",
-                F.round(
-                    # base precomputed in Python and inlined in BOTH
-                    # engines: DuckDB would otherwise do (1.0 - 0.85) in
-                    # DECIMAL (exact 0.15) vs the JVM's IEEE subtraction
-                    F.lit(1.0 - damping) / F.col("n")
-                    + F.lit(damping) * F.coalesce("incoming", F.lit(0.0)),
-                    8,
-                ).alias("rank"),
-            )
+        # the MATERIALIZED invariant state is the carrier of the update
+        # join, so ranks_t is consumed exactly ONCE per level (inside
+        # contribs_{t+1}) and the unrolled plan is a LINEAR chain over
+        # the two materialized leaves — no per-iteration write/read at
+        # all (an earlier revision carried ranks itself: consumed twice
+        # per level -> 2^iters recompute unless each superstep was
+        # materialized; measured 6.3 s vs 2.4 s at sf0.1). A periodic
+        # checkpoint still truncates genuinely deep loops (plan/codegen
+        # growth), the standard GraphX checkpointInterval.
+        ranks = state.join(contribs, "node", "left").select(
+            "node",
+            "deg",
+            F.round(
+                # base precomputed in Python and inlined in BOTH
+                # engines: DuckDB would otherwise do (1.0 - 0.85) in
+                # DECIMAL (exact 0.15) vs the JVM's IEEE subtraction
+                F.lit(1.0 - damping) / F.lit(n)
+                + F.lit(damping) * F.coalesce("incoming", F.lit(0.0)),
+                8,
+            ).alias("rank"),
         )
+        if (t + 1) % CHECKPOINT_EVERY == 0 and t + 1 < iters:
+            ranks = materialize(ranks)
     return ranks.select(
         "node", F.round("rank", 6).alias("rank"), F.col("deg").alias("out_deg")
     )
@@ -148,10 +215,18 @@ def pagerank_customer_supplier(
 ) -> DataFrame:
     from ..sources import load_table
 
-    edges = customer_supplier_edges(
+    # compute on encoded bigint node ids, decode to the public string
+    # form only in the final projection; degrees come straight from the
+    # pair table (half-size aggregates) instead of the full edge list
+    pairs = _pairs_encoded(
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
     )
-    return pagerank(edges)
+    ranks = pagerank(
+        _sym_edges(pairs), materialize_edges=False, state=_pairs_state(pairs)
+    )
+    return ranks.select(
+        decode_node("node").alias("node"), "rank", "out_deg"
+    )
 
 
 def degree_histogram(edges: DataFrame) -> DataFrame:
@@ -173,8 +248,9 @@ def degree_histogram_customer_supplier(
 ) -> DataFrame:
     from ..sources import load_table
 
+    # degrees are node-name-free — run the whole thing on encoded ints
     return degree_histogram(
-        customer_supplier_edges(
+        _edges_encoded(
             load_table(spark, sf_dir, "orders"),
             load_table(spark, sf_dir, "lineitem"),
         )

@@ -929,3 +929,217 @@ def line_dedup_rewrite_sql(
                COALESCE(kept.n_kept, 0) AS n_kept
         FROM {src} d LEFT JOIN kept USING (doc_id)
     """
+
+
+# --------------------------------------- exact substring (span) dedup
+DUP_SPAN_K = 8  # tokens per positional gram = minimum detectable repeat
+DUP_SPAN_MIN_OCC = 2  # global occurrences that make a gram "duplicated"
+
+
+def duplicate_ngram_spans(
+    docs: DataFrame, k: int = DUP_SPAN_K, min_occurrences: int = DUP_SPAN_MIN_OCC
+) -> DataFrame:
+    """Exact-substring duplication profile (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 §4.1 EXACTSUBSTR): find VERBATIM repeated token
+    spans across the corpus — the dedup pass that catches boilerplate,
+    licenses and templated passages that document-level MinHash/SimHash
+    miss because the containing documents differ.
+
+    Suffix arrays (the paper's tool) are sequential; the distributed
+    re-expression is positional k-gram fingerprints: any repeated span
+    of >= k tokens necessarily repeats all its k-grams, so (1) hash
+    every token position's k-gram (md5-60bit, same constants both
+    engines), (2) a global count finds grams occurring >=
+    ``min_occurrences`` times, (3) each doc's duplicated positions merge
+    into maximal spans with one gaps-and-islands window (adjacent
+    duplicated starts overlap), (4) per-doc aggregate: span count,
+    duplicated token total, longest span, and the duplicated-token
+    ratio driving the keep/trim/drop decision.
+
+    Returns (doc_id, n_spans, dup_tokens, longest_span, dup_ratio) for
+    documents containing at least one duplicated span.
+
+    Scale posture: the positional gram table is O(total tokens) rows of
+    (bigint hash, int pos) — the gram STRING never leaves the map side.
+    The occurrence count is map-side combinable; the duplicated-gram
+    semi-join is keyed on the hash with a distinct build side (no row
+    explosion on hot grams — a million-fold repeated license gram is ONE
+    build row); the islands window partitions by doc_id. Nothing is
+    all-pairs, nothing is driver-side. 60-bit collisions could mark a
+    non-duplicated gram (~1e-18 x |grams|² false-flag odds), identically
+    in both engines.
+    """
+    toked = spread(docs).select(
+        "doc_id", tokens_col("text").alias("toks")
+    ).select("doc_id", "toks", F.size("toks").alias("n_tokens"))
+    gram_h = _HASH60_SPARK.format(x=f"concat_ws(' ', slice(toks, i, {k}))")
+    pos_grams = materialize(
+        toked.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(toks) >= {k} THEN"
+                    f" transform(sequence(1, size(toks) - {k - 1}),"
+                    f" i -> struct(i AS pos, {gram_h} AS gh))"
+                    " ELSE array() END"
+                )
+            ).alias("x"),
+        ).select("doc_id", F.col("x.pos").alias("pos"), F.col("x.gh").alias("gh"))
+    )
+    dup_grams = (
+        pos_grams.groupBy("gh")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= min_occurrences)
+        .select("gh")
+    )
+    dup_pos = pos_grams.join(dup_grams, "gh", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        dup_pos.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > 1), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(w))
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + F.lit(k - 1)).alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+        F.max(F.col("e") - F.col("s") + 1).alias("longest_span"),
+    )
+    return per_doc.join(toked.select("doc_id", "n_tokens"), "doc_id").select(
+        "doc_id",
+        "n_spans",
+        "dup_tokens",
+        "longest_span",
+        F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias("dup_ratio"),
+    )
+
+
+def duplicate_ngram_spans_sql(
+    src: str = "documents",
+    k: int = DUP_SPAN_K,
+    min_occurrences: int = DUP_SPAN_MIN_OCC,
+) -> str:
+    t = tokens_sql("text")
+    gram_h = _HASH60_DUCK.format(
+        x=f"array_to_string(toks[i:i+{k - 1}], ' ')"
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, {t} AS toks FROM {src}),
+        sized AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM toks),
+        pg0 AS (
+          SELECT doc_id,
+                 [{{'pos': i, 'gh': {gram_h}}}
+                  for i in generate_series(1, greatest(len(toks) - {k - 1}, 0))]
+                   AS gs
+          FROM sized
+        ),
+        pg AS (SELECT doc_id, UNNEST(gs, recursive := true) FROM pg0),
+        dupg AS (SELECT gh FROM pg GROUP BY gh
+                 HAVING COUNT(*) >= {min_occurrences}),
+        dp AS (SELECT doc_id, pos FROM pg JOIN dupg USING (gh)),
+        lagd AS (
+          SELECT doc_id, pos,
+                 LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM dp
+        ),
+        isl AS (
+          SELECT doc_id, pos,
+                 SUM(CASE WHEN prev IS NULL OR pos - prev > 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM lagd
+        ),
+        spans AS (
+          SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {k - 1} AS e
+          FROM isl GROUP BY doc_id, island
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_spans,
+                 CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+                 CAST(MAX(e - s + 1) AS BIGINT) AS longest_span
+          FROM spans GROUP BY doc_id
+        )
+        SELECT p.doc_id, p.n_spans, p.dup_tokens, p.longest_span,
+               ROUND(p.dup_tokens / CAST(s.n_tokens AS DOUBLE), 6) AS dup_ratio
+        FROM per_doc p JOIN sized s USING (doc_id)
+    """
+
+
+# --------------------------------------------- dedup pipeline QA (eval)
+def dedup_recall_eval(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = NGRAM_N,
+) -> DataFrame:
+    """Retrieval-quality audit of the MinHash+LSH dedup path against
+    exact n-gram Jaccard ground truth AT THE SAME THRESHOLD — the dedup
+    twin of :func:`..similarity.recall_eval` (every approximate stage in
+    the curation pipeline ships with its own measured recall, not an
+    assumed one; a re-banding or hash change that silently tanks recall
+    must show up in a number).
+
+    One row: exact pairs, estimated pairs, their overlap, precision and
+    recall. The eval join is |pairs| x |pairs| keyed on the pair ids —
+    pair sets are tiny next to the corpus, so the audit costs two dedup
+    runs plus a pair-keyed join, at any scale."""
+    true_pairs = ngram_jaccard_pairs(docs, threshold=threshold, n=n).select(
+        "doc_a", "doc_b", F.lit(1).alias("t")
+    )
+    est_pairs = minhash_lsh_pairs(docs, est_threshold=threshold, n=n).select(
+        "doc_a", "doc_b", F.lit(1).alias("e")
+    )
+    both = true_pairs.join(est_pairs, ["doc_a", "doc_b"], "full")
+    return both.agg(
+        F.sum("t").alias("n_true"),
+        F.sum("e").alias("n_est"),
+        F.sum(F.col("t") * F.col("e")).alias("n_hit"),
+    ).select(
+        F.coalesce("n_true", F.lit(0)).alias("n_true"),
+        F.coalesce("n_est", F.lit(0)).alias("n_est"),
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        F.round(
+            F.coalesce("n_hit", F.lit(0))
+            / F.greatest(F.coalesce("n_est", F.lit(0)), F.lit(1)).cast("double"),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.coalesce("n_hit", F.lit(0))
+            / F.greatest(F.coalesce("n_true", F.lit(0)), F.lit(1)).cast("double"),
+            6,
+        ).alias("recall"),
+    )
+
+
+def dedup_recall_eval_sql(
+    src: str = "documents", threshold: float = 0.5, n: int = NGRAM_N
+) -> str:
+    true_sql = ngram_jaccard_pairs_sql(src, threshold=threshold, n=n)
+    est_sql = minhash_lsh_pairs_sql(src, est_threshold=threshold, n=n)
+    return f"""
+        WITH tp AS (SELECT doc_a, doc_b, 1 AS t FROM ({true_sql}) x),
+        ep AS (SELECT doc_a, doc_b, 1 AS e FROM ({est_sql}) y),
+        j AS (
+          SELECT COALESCE(tp.doc_a, ep.doc_a) AS doc_a,
+                 COALESCE(tp.doc_b, ep.doc_b) AS doc_b, t, e
+          FROM tp FULL OUTER JOIN ep
+            ON tp.doc_a = ep.doc_a AND tp.doc_b = ep.doc_b
+        )
+        SELECT CAST(COALESCE(SUM(t), 0) AS BIGINT) AS n_true,
+               CAST(COALESCE(SUM(e), 0) AS BIGINT) AS n_est,
+               CAST(COALESCE(SUM(t * e), 0) AS BIGINT) AS n_hit,
+               ROUND(COALESCE(SUM(t * e), 0)
+                     / CAST(GREATEST(COALESCE(SUM(e), 0), 1) AS DOUBLE), 6)
+                 AS precision,
+               ROUND(COALESCE(SUM(t * e), 0)
+                     / CAST(GREATEST(COALESCE(SUM(t), 0), 1) AS DOUBLE), 6)
+                 AS recall
+        FROM j
+    """

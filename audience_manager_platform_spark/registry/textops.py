@@ -65,6 +65,11 @@ QUERIES = {
     "dedup_semantic_text": lambda s, d: S.semantic_dedup(
         T.hash_embed(_docs(s, d)), threshold=0.9, k=64, iters=1
     ),
+    # r5: exact-substring span dedup (Lee et al. 2022 EXACTSUBSTR,
+    # re-expressed as positional k-gram fingerprints + islands merge)
+    "dedup_duplicate_spans": lambda s, d: D.duplicate_ngram_spans(_docs(s, d)),
+    # r5: measured recall/precision of the LSH dedup path vs exact Jaccard
+    "dedup_recall_eval": lambda s, d: D.dedup_recall_eval(_docs(s, d)),
     "dedup_exact": lambda s, d: D.exact_dedup(_docs(s, d)),
     "dedup_ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_docs(s, d), threshold=0.6),
     "dedup_ngram_jaccard_capped": lambda s, d: D.ngram_jaccard_pairs(
@@ -148,6 +153,8 @@ ORACLES = {
     "corpus_source_cap": C.source_cap_sql(cap=100),
     "text_length_bands": T.length_bands_sql(),
     "text_oov_rate_bands": T.oov_rate_bands_sql(),
+    "dedup_duplicate_spans": D.duplicate_ngram_spans_sql(),
+    "dedup_recall_eval": D.dedup_recall_eval_sql(),
     "dedup_exact": D.exact_dedup_sql(),
     "dedup_ngram_jaccard": D.ngram_jaccard_pairs_sql(threshold=0.6),
     "dedup_ngram_jaccard_capped": D.ngram_jaccard_pairs_sql(

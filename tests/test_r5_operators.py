@@ -727,3 +727,65 @@ def test_spend_percentile_rank_orders(spark):
            for r in spend_percentile_rank(_events(spark, rows)).collect()}
     assert got[0] == 0.0 and got[4] == 1.0
     assert got[2] == 0.5
+
+
+def test_duplicate_spans_finds_planted_verbatim_repeat(spark):
+    """Two docs sharing one verbatim 10-token passage (surrounded by
+    unique text) must each report exactly one span covering ~10 tokens;
+    a doc with no repeats must not appear."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _docs5(spark, [
+        "unique one two three " + shared + " tail aaa bbb ccc",
+        "different opening words here " + shared + " other ending xyz",
+        "completely unrelated text with no repeated passage at all okay",
+    ])
+    got = {r.doc_id: r for r in D.duplicate_ngram_spans(docs, k=8).collect()}
+    assert set(got) == {0, 1}
+    for r in got.values():
+        assert r.n_spans == 1
+        assert r.longest_span == 10  # the shared passage, exactly
+        assert 0 < r.dup_ratio < 1
+
+
+def test_duplicate_spans_merges_adjacent_positions(spark):
+    """A doc repeated VERBATIM yields one maximal span covering the
+    whole doc (every position duplicated -> single island), not one
+    span per gram position."""
+    text = "one two three four five six seven eight nine ten eleven twelve"
+    docs = _docs5(spark, [text, text])
+    got = D.duplicate_ngram_spans(docs, k=8).collect()
+    assert len(got) == 2
+    for r in got:
+        assert r.n_spans == 1
+        assert r.dup_tokens == 12
+        assert r.dup_ratio == 1.0
+
+
+def test_duplicate_spans_same_doc_repetition_counts(spark):
+    """min_occurrences counts GLOBAL occurrences, so a passage repeated
+    twice INSIDE one doc is duplicated (the Lee et al. semantics —
+    self-repetition is still wasted training signal)."""
+    eight = "p1 p2 p3 p4 p5 p6 p7 p8"
+    docs = _docs5(spark, [
+        f"start {eight} middle words go here {eight} finish",
+        "some other totally unrelated document text without any repeats",
+    ])
+    got = {r.doc_id: r for r in D.duplicate_ngram_spans(docs, k=8).collect()}
+    assert set(got) == {0}
+    assert got[0].n_spans == 2
+
+
+def test_dedup_recall_eval_counts(spark):
+    """On a corpus with one exact-duplicate pair and unrelated rest, the
+    exact and estimated sets both contain exactly that pair -> perfect
+    precision/recall; the full-join bookkeeping must not double count."""
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = _docs5(spark, [
+        text,
+        text,
+        "entirely different content about spark dataframes and shuffles",
+        "yet another unrelated string of words for the control group",
+    ])
+    row = D.dedup_recall_eval(docs, threshold=0.5).collect()[0]
+    assert row.n_true == 1 and row.n_est == 1 and row.n_hit == 1
+    assert row.precision == 1.0 and row.recall == 1.0

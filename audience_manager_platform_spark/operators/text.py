@@ -1298,3 +1298,181 @@ def zipf_fit_sql(src: str = "documents", top_n: int = 200) -> str:
                        * AVG(x), 6) AS intercept
         FROM xy
     """
+
+
+# ----------------------------------------------- BPE tokenizer training
+BPE_MERGES = 6
+
+
+def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016,
+    arXiv:1508.07909 — the algorithm behind GPT/Llama tokenizers),
+    re-expressed as DataFrame supersteps: per round, count every
+    adjacent symbol pair weighted by word frequency, merge the most
+    frequent pair corpus-wide, repeat. Returns the learned merge table
+    (merge_rank, left_sym, right_sym, pair_count) — the model a
+    tokenizer ships.
+
+    Distribution shape (the part single-node trainers can't do): the
+    corpus collapses to the word-frequency table in ONE aggregate (all
+    later rounds are vocabulary-sized, the standard BPE trick), held as
+    an exploded (word, freq, pos, sym) symbol table. Each round is:
+
+    - pair counts: one lead() window per word + one map-side-combinable
+      weighted SUM keyed on (sym, next) — exact integer counts, so the
+      argmax is order-free; tie-break (count DESC, left ASC, right ASC)
+      makes every round deterministic on any engine;
+    - the winning pair is O(1) driver state (the k-means model-update
+      contract);
+    - merge application: BPE's greedy LEFT-TO-RIGHT non-overlapping
+      rule. For left != right, matches can never be adjacent and all
+      are taken; for a self-pair (aa) a run of consecutive matches
+      alternates — expressed as gaps-and-islands over the matched
+      positions (island = pos - row_number) taking even offsets, the
+      same window shape on both engines (no sequential scan, no UDF);
+    - absorbed positions drop via an anti self-join on (word, pos-1),
+      then positions reindex with row_number — one materialized
+      superstep per round, Pregel-style.
+
+    Every structure is vocabulary-sized after the first pass; merges are
+    driver state; nothing is all-pairs. The DuckDB twin
+    (:func:`bpe_train_sql`) replays the identical rounds as CTE levels.
+    """
+    from pyspark.sql import Window
+
+    from .partitioning import materialize, spread
+
+    words = (
+        spread(docs)
+        .select(F.explode(tokens_col("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    syms = materialize(
+        words.select(
+            "word",
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word)),"
+                    " i -> struct(i AS pos, substring(word, i, 1) AS sym))"
+                )
+            ).alias("x"),
+        ).select("word", "freq", F.col("x.pos").alias("pos"), F.col("x.sym").alias("sym"))
+    )
+    w = Window.partitionBy("word").orderBy("pos")
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        with_next = syms.withColumn("nxt", F.lead("sym").over(w))
+        best = (
+            with_next.filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("sym"), F.asc("nxt"))
+            .limit(1)
+            .collect()
+        )
+        if not best:  # corpus exhausted (single-symbol words only)
+            break
+        left, right, cnt = best[0]["sym"], best[0]["nxt"], int(best[0]["cnt"])
+        merges.append((rank, left, right, cnt))
+        matched = (
+            with_next.filter((F.col("sym") == left) & (F.col("nxt") == right))
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("isl", F.col("pos") - F.col("rn"))
+        )
+        taken = (
+            matched.withColumn(
+                "off",
+                F.col("rn") - F.min("rn").over(Window.partitionBy("word", "isl")),
+            )
+            .filter(F.col("off") % 2 == 0)
+            .select("word", "pos", F.lit(True).alias("is_taken"))
+        )
+        absorbed = taken.select(
+            "word", (F.col("pos") + 1).alias("pos"), F.lit(True).alias("was_absorbed")
+        )
+        syms = materialize(
+            syms.join(taken, ["word", "pos"], "left")
+            .join(absorbed, ["word", "pos"], "left")
+            .filter(F.col("was_absorbed").isNull())
+            .select(
+                "word",
+                "freq",
+                F.row_number().over(w).alias("pos"),
+                F.when(F.col("is_taken"), F.lit(left + right))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+        )
+    return docs.sparkSession.createDataFrame(
+        merges, "merge_rank int, left_sym string, right_sym string, pair_count bigint"
+    )
+
+
+def bpe_train_sql(src: str = "documents", n_merges: int = BPE_MERGES) -> str:
+    """DuckDB twin of :func:`bpe_train`: the same rounds as CTE levels;
+    the per-round winner is a 1-row CTE cross-joined into the rewrite
+    (SQL's version of the collected driver state)."""
+    t = tokens_sql("text")
+    parts = [
+        f"""words AS MATERIALIZED (
+          SELECT word, COUNT(*) AS freq FROM (
+            SELECT UNNEST({t}) AS word FROM {src}
+          ) GROUP BY word
+        )""",
+        """s0 AS MATERIALIZED (
+          SELECT word, freq, i AS pos, substr(word, i, 1) AS sym
+          FROM words, UNNEST(generate_series(1, length(word))) AS u(i)
+        )""",
+    ]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(f"""n{k} AS MATERIALIZED (
+          SELECT word, freq, pos, sym,
+                 LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+          FROM s{p}
+        )""")
+        parts.append(f"""b{k} AS MATERIALIZED (
+          SELECT sym AS l, nxt AS r, SUM(freq) AS cnt
+          FROM n{k} WHERE nxt IS NOT NULL
+          GROUP BY sym, nxt
+          ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+        )""")
+        parts.append(f"""mt{k} AS MATERIALIZED (
+          SELECT n.word, n.pos,
+                 ROW_NUMBER() OVER (PARTITION BY n.word ORDER BY n.pos) AS rn
+          FROM n{k} n CROSS JOIN b{k} b
+          WHERE n.sym = b.l AND n.nxt = b.r
+        )""")
+        parts.append(f"""tk{k} AS MATERIALIZED (
+          SELECT word, pos FROM (
+            SELECT word, pos,
+                   rn - MIN(rn) OVER (PARTITION BY word, pos - rn) AS off
+            FROM mt{k}
+          ) WHERE off % 2 = 0
+        )""")
+        parts.append(f"""s{k} AS MATERIALIZED (
+          SELECT word, freq,
+                 ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+                 sym
+          FROM (
+            SELECT s.word, s.freq, s.pos,
+                   CASE WHEN tk.pos IS NOT NULL THEN b.l || b.r
+                        ELSE s.sym END AS sym
+            FROM s{p} s CROSS JOIN b{k} b
+            LEFT JOIN tk{k} tk ON tk.word = s.word AND tk.pos = s.pos
+            LEFT JOIN tk{k} pv ON pv.word = s.word AND pv.pos = s.pos - 1
+            WHERE pv.pos IS NULL
+          )
+        )""")
+    ctes = ",\n        ".join(parts)
+    sel = "\n        UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, l AS left_sym, r AS right_sym,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return f"""
+        WITH {ctes}
+        {sel}
+    """

@@ -789,3 +789,32 @@ def test_dedup_recall_eval_counts(spark):
     row = D.dedup_recall_eval(docs, threshold=0.5).collect()[0]
     assert row.n_true == 1 and row.n_est == 1 and row.n_hit == 1
     assert row.precision == 1.0 and row.recall == 1.0
+
+
+def test_bpe_train_learns_expected_merges(spark):
+    """Hand-checkable corpus: 'abab' x3 and 'cd' x2. Pair counts round 1:
+    (a,b)=6, (b,a)=3, (c,d)=2 -> merge (a,b). Round 2: words are
+    [ab, ab] x3 and [c, d] x2 -> (ab,ab)=3 beats (c,d)=2."""
+    from audience_manager_platform_spark.operators.text import bpe_train
+
+    docs = _docs5(spark, ["abab abab abab", "cd cd"])
+    rows = [(r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+            for r in bpe_train(docs, n_merges=3).collect()]
+    assert rows[0] == (1, "a", "b", 6)
+    assert rows[1] == (2, "ab", "ab", 3)
+    assert rows[2][:3] == (3, "c", "d")
+
+
+def test_bpe_self_pair_merges_greedy_left_to_right(spark):
+    """'aaaa' x2 with merge (a,a): greedy left-to-right takes positions
+    (1,2) and (3,4) -> each word becomes [aa, aa], so round 2's top
+    pair is (aa,aa) with count 2 - the exact overlap rule real BPE
+    uses (taking (2,3) too would be the bug)."""
+    from audience_manager_platform_spark.operators.text import bpe_train
+
+    docs = _docs5(spark, ["aaaa aaaa"])
+    rows = [(r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+            for r in bpe_train(docs, n_merges=2).collect()]
+    # 'aaaa' has 3 adjacent (a,a) pairs, word freq 2 -> count 6
+    assert rows[0] == (1, "a", "a", 6)
+    assert rows[1] == (2, "aa", "aa", 2)

@@ -222,6 +222,44 @@ def stream_stream_interval_join(
     )
 
 
+def stream_stream_left_outer_join(
+    left: DataFrame,
+    right: DataFrame,
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join with the same event-time interval
+    bound as :func:`stream_stream_interval_join` — the conversion-vs-no-
+    conversion shape: every left event is emitted, matched rows as they
+    arrive and UNMATCHED rows with null right columns once the watermark
+    has passed the join window's end (only then can the engine PROVE no
+    match will ever arrive; until that point the row sits in state).
+
+    Same state-expiry contract as the inner variant — watermarks on both
+    sides plus the bounded condition keep per-key state finite. The
+    null-emission timing caveat is structural, not a bug: unmatched
+    results trail the data by up to watermark+max_delay, and a stalled
+    source stalls them (the micro-batch engine advances watermarks only
+    when batches run). Batch DataFrames take the identical plan minus
+    the state machinery, which is what the equivalence test pins."""
+    l = left.alias("l").withWatermark("ts", watermark)
+    r = right.alias("r").withWatermark("ts", watermark)
+    return l.join(
+        r,
+        F.expr(
+            f"l.user_id = r.user_id AND r.ts >= l.ts "
+            f"AND r.ts <= l.ts + interval {max_delay}"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("left_id"),
+        F.col("r.event_id").alias("right_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.ts").alias("right_ts"),
+    )
+
+
 def _read_state_or_none(spark: SparkSession, path: str) -> DataFrame | None:
     """Read a foreachBatch state-log parquet dir, or None if no batch has
     written it yet. Only the genuinely-missing cases (dir absent, or

@@ -346,3 +346,96 @@ def test_hll_rollup_stream_matches_batch_sketches(spark, sf_dir, tmp_path):
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
     ).collect()[0].est
     assert period == direct
+
+
+def test_stream_stream_left_outer_join_emits_nulls_after_watermark(
+    spark, tmp_path
+):
+    """Left-outer stream-stream join: matches emit like the inner join;
+    unmatched clicks emit with NULL right columns once the watermark
+    passes their join window. Null emission needs a LATER batch to
+    advance the watermark (micro-batch semantics), so the fixture lands
+    as two files processed one per trigger — the second carries a
+    far-future heartbeat that expires every buffered left row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from audience_manager_platform_spark.streaming.jobs import (
+        stream_stream_left_outer_join,
+    )
+
+    def write(dirname, name, rows):
+        d = tmp_path / dirname
+        d.mkdir(exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                    "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                }
+            ),
+            d / name,
+        )
+
+    d = datetime
+    clicks = [
+        (1, 10, d(2024, 1, 1, 10, 0)),   # matched by 101
+        (2, 10, d(2024, 1, 1, 12, 0)),   # never matched -> null row
+        (3, 20, d(2024, 1, 1, 10, 0)),   # matched by 103
+    ]
+    purchases = [
+        (101, 10, d(2024, 1, 1, 10, 20)),
+        (103, 20, d(2024, 1, 1, 10, 29)),
+    ]
+    write("clicks", "00.parquet", clicks)
+    write("purchases", "00.parquet", purchases)
+    # batch 2: heartbeats far past every click's expiry
+    # (ts + max_delay + watermark)
+    write("clicks", "01.parquet", [(99, 91, d(2024, 1, 2, 12, 0))])
+    write("purchases", "01.parquet", [(199, 92, d(2024, 1, 2, 12, 0))])
+
+    schema = "event_id long, user_id long, ts timestamp"
+    lstream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "clicks"))
+    )
+    rstream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "purchases"))
+    )
+    joined = stream_stream_left_outer_join(
+        lstream, rstream, max_delay="30 minutes", watermark="10 minutes"
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_loj_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt_loj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    got = {
+        (r.left_id, r.right_id) for r in spark.table("ss_loj_t").collect()
+    }
+    # click 2 emitted with null right; heartbeat 99 still in state when
+    # the run ends (nothing after it advances the watermark), so absent
+    assert {(1, 101), (3, 103), (2, None)} <= got
+    assert (2, 101) not in got and (2, 103) not in got
+
+    # batch equivalence (no state machinery): same pairs plus the
+    # heartbeat's unmatched row, which batch semantics CAN decide
+    lb = spark.read.schema(schema).parquet(str(tmp_path / "clicks"))
+    rb = spark.read.schema(schema).parquet(str(tmp_path / "purchases"))
+    batch = {
+        (r.left_id, r.right_id)
+        for r in stream_stream_left_outer_join(
+            lb, rb, max_delay="30 minutes"
+        ).collect()
+    }
+    assert batch == {(1, 101), (3, 103), (2, None), (99, None)}

@@ -71,6 +71,10 @@ def test_no_python_in_relational_paths(spark, sf_dir, queries):
         "tpch_q3_shipping_priority",
         "dedup_minhash_lsh_pairs",
         "window_topn_per_group",
+        # r5 additions: positional-gram span dedup and the LSH recall
+        # eval are pure built-ins end to end
+        "dedup_duplicate_spans",
+        "dedup_recall_eval",
     ):
         plan = _plan(queries[name](spark, sf_dir), "simple")
         assert "BatchEvalPython" not in plan, name
@@ -346,3 +350,13 @@ def test_lsh_verify_parallelism_respread(spark, sf_dir, queries):
     1-2 partitions AQE's byte heuristic leaves behind."""
     plan = _plan(queries["ann_lsh_near_pairs"](spark, sf_dir), "simple")
     assert "hashpartitioning(id_a" in plan, plan[:2000]
+
+
+def test_duplicate_spans_plan_shape(spark, sf_dir, queries):
+    """The span-dedup plan must contain no cartesian product and no
+    Python eval: candidate restriction is the hash-keyed semi join
+    (distinct build side), islands are windows."""
+    plan = _plan(queries["dedup_duplicate_spans"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "LeftSemi" in plan  # duplicated-gram restriction

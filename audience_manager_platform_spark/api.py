@@ -67,6 +67,11 @@ def create_app(
             "row_count": seg.row_count if seg else None,
         }
 
+    @app.get("/api/v1/health")
+    def health_check():
+        # reference backend/app/api/routes.py:3-6
+        return jsonify({"status": "healthy"}), 200
+
     # ----------------------------------------------------------- rules
     @app.post("/api/v1/rules")
     def create_rule():

@@ -80,6 +80,11 @@ def test_lineage_endpoint_shape(client):
 # reference backend/app/api/analytics.py:6-118 — envelope + semantics
 
 
+def test_health(client):
+    r = client.get("/api/v1/health")
+    assert r.status_code == 200 and r.json == {"status": "healthy"}
+
+
 def test_analytics_summary_envelope(client):
     r = client.get("/api/v1/analytics/summary")
     assert r.status_code == 200 and r.json["status"] == "success"

@@ -1338,6 +1338,16 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     driver state; nothing is all-pairs. The DuckDB twin
     (:func:`bpe_train_sql`) replays the identical rounds as CTE levels.
     """
+    merges, _ = _bpe_supersteps(docs, n_merges)
+    return docs.sparkSession.createDataFrame(
+        merges, "merge_rank int, left_sym string, right_sym string, pair_count bigint"
+    )
+
+
+def _bpe_supersteps(docs: DataFrame, n_merges: int):
+    """The shared training loop: returns (merge list, final symbol
+    table) — :func:`bpe_train` reports the model,
+    :func:`bpe_vocab_stats` aggregates the rewritten corpus."""
     from pyspark.sql import Window
 
     from .partitioning import materialize, spread
@@ -1405,9 +1415,7 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
                 .alias("sym"),
             )
         )
-    return docs.sparkSession.createDataFrame(
-        merges, "merge_rank int, left_sym string, right_sym string, pair_count bigint"
-    )
+    return merges, syms
 
 
 def bpe_train_sql(src: str = "documents", n_merges: int = BPE_MERGES) -> str:
@@ -1475,4 +1483,45 @@ def bpe_train_sql(src: str = "documents", n_merges: int = BPE_MERGES) -> str:
     return f"""
         WITH {ctes}
         {sel}
+    """
+
+
+def bpe_vocab_stats(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """The corpus-level effect of the learned merges — the number a
+    tokenizer change is judged by: total corpus tokens before (= chars)
+    and after the merge rounds, the compression they buy, and the symbol
+    vocabulary size. One row.
+
+    Shape: the rewritten symbol table is vocabulary-sized; corpus totals
+    come from freq-weighted sums over it (each (word, pos) row counts
+    freq corpus occurrences), so the aggregate never touches the corpus
+    again after the initial word count inside the shared supersteps."""
+    _, syms = _bpe_supersteps(docs, n_merges)
+    return syms.agg(
+        F.sum(F.col("freq") * F.length("sym")).alias("total_chars"),
+        F.sum("freq").alias("total_tokens"),
+        F.countDistinct("sym").alias("vocab_symbols"),
+    ).select(
+        F.col("total_chars").cast("bigint").alias("total_chars"),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        F.col("vocab_symbols").cast("bigint").alias("vocab_symbols"),
+        F.round(
+            F.col("total_chars") / F.col("total_tokens").cast("double"), 6
+        ).alias("chars_per_token"),
+    )
+
+
+def bpe_vocab_stats_sql(src: str = "documents", n_merges: int = BPE_MERGES) -> str:
+    """Same CTE chain as :func:`bpe_train_sql`, aggregated over the final
+    symbol table instead of unioning the per-round winners."""
+    base = bpe_train_sql(src, n_merges)
+    # reuse the WITH chain; swap the final SELECT for the aggregate
+    with_part = base[: base.rindex("SELECT 1 AS merge_rank")]
+    return f"""{with_part}
+        SELECT CAST(SUM(freq * length(sym)) AS BIGINT) AS total_chars,
+               CAST(SUM(freq) AS BIGINT) AS total_tokens,
+               CAST(COUNT(DISTINCT sym) AS BIGINT) AS vocab_symbols,
+               ROUND(SUM(freq * length(sym))
+                     / CAST(SUM(freq) AS DOUBLE), 6) AS chars_per_token
+        FROM s{n_merges}
     """

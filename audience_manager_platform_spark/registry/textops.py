@@ -68,6 +68,7 @@ QUERIES = {
     # r5: distributed BPE merge training (Sennrich 2016) — the learned
     # tokenizer model as supersteps over the word-frequency table
     "text_bpe_train": lambda s, d: T.bpe_train(_docs(s, d)),
+    "text_bpe_vocab_stats": lambda s, d: T.bpe_vocab_stats(_docs(s, d)),
     # r5: exact-substring span dedup (Lee et al. 2022 EXACTSUBSTR,
     # re-expressed as positional k-gram fingerprints + islands merge)
     "dedup_duplicate_spans": lambda s, d: D.duplicate_ngram_spans(_docs(s, d)),
@@ -157,6 +158,7 @@ ORACLES = {
     "text_length_bands": T.length_bands_sql(),
     "text_oov_rate_bands": T.oov_rate_bands_sql(),
     "text_bpe_train": T.bpe_train_sql(),
+    "text_bpe_vocab_stats": T.bpe_vocab_stats_sql(),
     "dedup_duplicate_spans": D.duplicate_ngram_spans_sql(),
     "dedup_recall_eval": D.dedup_recall_eval_sql(),
     "dedup_exact": D.exact_dedup_sql(),

@@ -818,3 +818,17 @@ def test_bpe_self_pair_merges_greedy_left_to_right(spark):
     # 'aaaa' has 3 adjacent (a,a) pairs, word freq 2 -> count 6
     assert rows[0] == (1, "a", "a", 6)
     assert rows[1] == (2, "aa", "aa", 2)
+
+
+def test_bpe_vocab_stats_compression(spark):
+    """'abab' x3: chars = 4*3 = 12. After 2 merges ('ab', then 'abab')
+    each word is ONE symbol -> tokens = 3, chars_per_token = 4.0,
+    vocab = {'abab'}."""
+    from audience_manager_platform_spark.operators.text import bpe_vocab_stats
+
+    docs = _docs5(spark, ["abab abab abab"])
+    row = bpe_vocab_stats(docs, n_merges=2).collect()[0]
+    assert row.total_chars == 12
+    assert row.total_tokens == 3
+    assert row.vocab_symbols == 1
+    assert row.chars_per_token == 4.0

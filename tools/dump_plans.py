@@ -105,8 +105,11 @@ SHOWCASE = [
     (
         "pagerank_customer_supplier",
         "One equi-join + one dst-keyed aggregate per iteration (Pregel's "
-        "data movement); per-node state (deg, n) computed once and carried "
-        "on the rank rows; AQE skew-join splits hub nodes.",
+        "data movement) on encoded bigint node ids; the materialized "
+        "invariant (node, deg) state is the update-join carrier, so the "
+        "unrolled loop is one LINEAR plan chain over two materialized "
+        "leaves (r5: no per-iteration writes); AQE skew-join splits hub "
+        "nodes.",
     ),
     (
         "rollup_incremental_refresh",
@@ -146,6 +149,13 @@ SHOWCASE = [
         "RRF fusion: both towers end in bounded top-pool results before "
         "the fusion join, which therefore touches at most 2*pool rows "
         "regardless of corpus size.",
+    ),
+    (
+        "dedup_duplicate_spans",
+        "Exact-substring dedup: positional k-gram hashes (gram strings "
+        "never shuffle), map-side-combinable occurrence count, LEFT SEMI "
+        "restriction with a distinct build side (hot grams cannot "
+        "explode), islands merge as doc-partitioned windows.",
     ),
 ]
 

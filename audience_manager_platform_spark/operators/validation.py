@@ -353,3 +353,79 @@ def profile_drift_sql(
                CAST(new_ndv - old_ndv AS BIGINT) AS ndv_delta
         FROM po JOIN pn USING (col_name)
     """
+
+
+# -------------------------------------------- differential-privacy release
+DP_EPSILON = 1.0
+DP_SALT = "dp-v1"
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_col: str = "event_type",
+    epsilon: float = DP_EPSILON,
+    salt: str = DP_SALT,
+) -> DataFrame:
+    """ε-differentially-private count release (Laplace mechanism,
+    Dwork et al. 2006): per group, COUNT(*) plus Laplace(1/ε) noise —
+    count queries have sensitivity 1, so scale b = 1/ε. The governance
+    companion to :func:`k_anonymity_audit`: k-anonymity gates row-level
+    extracts, DP noise gates AGGREGATE releases.
+
+    Noise is SEEDED, not sampled: u = (md5-60bit(group ∥ salt) mod 1e6
+    + 0.5)/1e6 ∈ (0,1), folded through the Laplace inverse CDF
+    −b·sign(u−½)·ln(1−2|u−½|). That makes every release bit-reproducible
+    (replayable pipelines, cross-engine oracle) with the documented
+    trade: reproducibility with a KNOWN salt is not a formal DP
+    guarantee — an adversary who learns the salt can subtract the
+    noise. Production keeps the salt secret and rotates it per release
+    (fresh salt ≡ fresh randomness); the mechanism and its calibration
+    are unchanged.
+
+    One map-side-combinable aggregate; the noise is a per-ROW expression
+    over the |groups|-row result. Output: (group, noisy_count, epsilon)
+    — the true count is deliberately NOT released."""
+    from ..functions import HASH60_SPARK_SQL
+
+    h = HASH60_SPARK_SQL.format(
+        x=f"concat(cast({group_col} as string), '\\u0001', '{salt}')"
+    )
+    u = f"((({h}) % 1000000) + 0.5) / 1e6"
+    v = f"({u} - 0.5)"
+    noise = (
+        f"-(1.0/{epsilon!r}) * sign({v}) * ln(1.0 - 2.0 * abs({v}))"
+    )
+    return (
+        df.groupBy(group_col)
+        .agg(F.count("*").alias("_n"))
+        .select(
+            group_col,
+            F.round(F.expr(f"_n + ({noise})"), 6).alias("noisy_count"),
+            F.lit(float(epsilon)).alias("epsilon"),
+        )
+    )
+
+
+def dp_noisy_counts_sql(
+    src: str = "events",
+    group_col: str = "event_type",
+    epsilon: float = DP_EPSILON,
+    salt: str = DP_SALT,
+) -> str:
+    from ..functions import HASH60_DUCK_SQL
+
+    h = HASH60_DUCK_SQL.format(
+        x=f"CAST({group_col} AS VARCHAR) || chr(1) || '{salt}'"
+    )
+    u = f"((({h}) % 1000000) + 0.5) / 1e6"
+    v = f"({u} - 0.5)"
+    noise = f"-(1.0/{epsilon!r}) * sign({v}) * ln(1.0 - 2.0 * abs({v}))"
+    return f"""
+        WITH counts AS (
+          SELECT {group_col}, COUNT(*) AS _n FROM {src} GROUP BY {group_col}
+        )
+        SELECT {group_col},
+               ROUND(_n + ({noise}), 6) AS noisy_count,
+               CAST({epsilon!r} AS DOUBLE) AS epsilon
+        FROM counts
+    """

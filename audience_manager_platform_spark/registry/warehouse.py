@@ -45,6 +45,8 @@ from ..operators.validation import (
     table_profile_sql,
     validate_table,
     validate_table_sql,
+    dp_noisy_counts,
+    dp_noisy_counts_sql,
 )
 
 # (name, kind) pairs for the events profile; ts stays out (timestamp
@@ -213,6 +215,11 @@ QUERIES = {
         _events(s, d).filter(F.dayofmonth("ts") > 10),
         PROFILE_COLS,
     ),
+    # r5: Laplace-mechanism aggregate release next to the k-anonymity
+    # row-release gate (seeded noise — see dp_noisy_counts docstring)
+    "privacy_dp_event_counts": lambda s, d: dp_noisy_counts(
+        _events(s, d), "event_type", epsilon=1.0
+    ),
     "privacy_k_anonymity_customer": lambda s, d: k_anonymity_audit(
         load_table(s, d, "customer").select(
             "c_nationkey",
@@ -273,6 +280,9 @@ ORACLES = {
         "events",
         "(SELECT * FROM events WHERE date_part('day', ts) > 10) nv",
         PROFILE_COLS,
+    ),
+    "privacy_dp_event_counts": dp_noisy_counts_sql(
+        "events", "event_type", epsilon=1.0
     ),
     "privacy_k_anonymity_customer": k_anonymity_audit_sql(
         "(SELECT c_nationkey, c_mktsegment,"

@@ -832,3 +832,31 @@ def test_bpe_vocab_stats_compression(spark):
     assert row.total_tokens == 3
     assert row.vocab_symbols == 1
     assert row.chars_per_token == 4.0
+
+
+def test_dp_noisy_counts_calibration(spark):
+    """The released counts differ from the truth by seeded Laplace(1/eps)
+    noise: nonzero, reproducible across calls, scale-calibrated (|noise|
+    for eps=10 strictly smaller than for eps=0.1 at the same seed), and
+    the true count never escapes."""
+    from audience_manager_platform_spark.operators.validation import (
+        dp_noisy_counts,
+    )
+
+    rows = [(datetime(2024, 1, 1), u, "view", 1.0) for u in range(100)]
+    rows += [(datetime(2024, 1, 1), u, "purchase", 1.0) for u in range(40)]
+    ev = _events(spark, rows)
+    a = {r[0]: r.noisy_count for r in dp_noisy_counts(ev, "event_type").collect()}
+    b = {r[0]: r.noisy_count for r in dp_noisy_counts(ev, "event_type").collect()}
+    assert a == b  # seeded noise: bit-reproducible
+    assert a["view"] != 100.0 and a["purchase"] != 40.0
+    assert abs(a["view"] - 100.0) < 20  # eps=1 noise is single-digit scale
+    tight = {r[0]: r.noisy_count
+             for r in dp_noisy_counts(ev, "event_type", epsilon=10.0).collect()}
+    loose = {r[0]: r.noisy_count
+             for r in dp_noisy_counts(ev, "event_type", epsilon=0.1).collect()}
+    for k in a:
+        true = 100.0 if k == "view" else 40.0
+        assert abs(tight[k] - true) < abs(loose[k] - true)
+    cols = set(dp_noisy_counts(ev, "event_type").columns)
+    assert cols == {"event_type", "noisy_count", "epsilon"}

@@ -82,6 +82,10 @@ HEADLINE = [
     "sketch_cms_user_counts",
     "geo_cell_rollup",
     "segment_overlap_matrix",
+    # r5 wave 3: exact-substring span dedup, BPE training, DP release
+    "dedup_duplicate_spans",
+    "text_bpe_train",
+    "privacy_dp_event_counts",
 ]
 
 # Repeats per query: medians make the bench regression-proof (r3 saw a
@@ -90,6 +94,8 @@ HEADLINE = [
 REPEATS_DEFAULT = 3
 REPEATS_HEAVY = 2
 HEAVY = {
+    "dedup_duplicate_spans",
+    "text_bpe_train",
     "dedup_semantic",
     "kmeans_embedding_clusters",
     "ann_pq_adc_topk",

@@ -90,3 +90,29 @@ def _sweep_materialized() -> None:
 import atexit
 
 atexit.register(_sweep_materialized)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (optionally sort-ordered) table —
+    THE 100 TB layout lever for repeated equi-joins/aggregations on a
+    stable key: two tables bucketed on the same key with the same bucket
+    count join with ZERO exchange (each task pairs bucket i with bucket
+    i), and a groupBy on the key skips its shuffle the same way. The
+    write pays one clustering shuffle ONCE; every downstream consumer
+    skips theirs — the batch twin of a co-partitioned stream-stream
+    join. `tests/test_plans.py::test_bucketed_join_has_no_exchange`
+    pins the property on a real saveAsTable round-trip.
+
+    Spark only reads bucket layout through the catalog, hence
+    ``saveAsTable`` (a path-based ``parquet(path)`` write silently drops
+    the metadata)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *keys)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)

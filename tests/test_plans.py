@@ -360,3 +360,54 @@ def test_duplicate_spans_plan_shape(spark, sf_dir, queries):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "LeftSemi" in plan  # duplicated-gram restriction
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Co-located layout: orders and customer bucketed on the customer
+    key join WITHOUT any Exchange (bucket i pairs with bucket i), and a
+    groupBy on the bucket key also runs shuffle-free. Broadcast is
+    disabled so the shuffle-free sort-merge join is what's proven, not
+    a broadcast fallback."""
+    from pyspark.sql import functions as F
+
+    from audience_manager_platform_spark.operators.partitioning import (
+        write_bucketed,
+    )
+    from audience_manager_platform_spark.sources import load_table
+
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        "t_orders_bkt",
+        ["o_custkey"],
+        n_buckets=8,
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+        "t_customer_bkt",
+        ["c_custkey"],
+        n_buckets=8,
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_orders_bkt").join(
+            spark.table("t_customer_bkt"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = _plan(joined, "simple")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        agg = (
+            spark.table("t_orders_bkt")
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias("n"))
+        )
+        agg_plan = _plan(agg, "simple")
+        assert "Exchange" not in agg_plan, agg_plan
+        # and the result is right (join actually pairs the buckets)
+        n = joined.count()
+        assert n == spark.table("t_orders_bkt").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_customer_bkt")

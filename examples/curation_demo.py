@@ -42,6 +42,12 @@ def main():
     print("== embedding near-dups at the honest 0.9 threshold ==")
     S.embedding_near_dup(S.plant_near_dups(emb), threshold=0.9).show(5)
 
+    print("== exact-substring spans: verbatim repeats to trim (r5) ==")
+    D.duplicate_ngram_spans(docs).orderBy(F.desc("dup_ratio")).show(5)
+
+    print("== LSH dedup recall audit vs exact Jaccard (r5) ==")
+    D.dedup_recall_eval(docs, threshold=0.5).show()
+
     print("== selected docs -> packed training sequences ==")
     keep = ledger.filter(F.col("selected")).select("doc_id")
     packed = C.pack_sequences(docs.join(keep, "doc_id"))
@@ -54,6 +60,10 @@ def main():
         F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
         F.round(F.avg("fertility"), 4).alias("mean_fertility"),
     ).show()
+
+    print("== learned BPE merges + corpus compression (r5) ==")
+    T.bpe_train(docs.join(keep, "doc_id"), n_merges=6).show()
+    T.bpe_vocab_stats(docs.join(keep, "doc_id"), n_merges=6).show()
 
     print("== language mixture: raw shares -> temperature-0.5 weights ==")
     C.mixture_weights(docs.join(keep, "doc_id"), "lang", alpha=0.5).orderBy(

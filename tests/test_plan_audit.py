@@ -1,0 +1,30 @@
+"""Registry-wide plan enforcement: every one of the ~190 queries'
+physical plans is scanned for 100 TB red flags (row-at-a-time Python,
+undeclared cartesian/nested-loop joins, undeclared Python kernels) —
+the allowlists in tools/audit_plans.py are the single source of truth,
+so a new operator with a scale-hostile plan fails CI instead of
+shipping. Runs at sf0.001 (plan SHAPE is sf-independent)."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+
+
+def test_registry_plans_have_no_undeclared_red_flags(spark):
+    from audit_plans import audit
+
+    rows, violations = audit(spark, "/root/testdata/sf0.001")
+    assert len(rows) >= 185  # the whole registry was actually scanned
+    assert not violations, violations
+
+
+def test_allowlists_contain_no_stale_names():
+    """Every allowlisted name must still exist in the registry — a
+    renamed query would otherwise silently lose its enforcement."""
+    from audience_manager_platform_spark import registry
+    from audit_plans import ARROW_ALLOWED, NESTED_LOOP_ALLOWED
+
+    names = set(registry.queries())
+    stale = (NESTED_LOOP_ALLOWED | ARROW_ALLOWED) - names
+    assert not stale, stale

@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""Machine audit of EVERY registry query's physical plan for 100 TB red
+flags, writing PLAN_AUDIT.md:
+
+- CartesianProduct / BroadcastNestedLoopJoin — all-pairs data movement.
+  Allowed only where the nested-loop side is provably model/driver-scale
+  (the declared exception list below, each with its bound).
+- BatchEvalPython — row-at-a-time Python in the plan. Never allowed.
+- ArrowEvalPython / mapInPandas — vectorized Python. Allowed only in the
+  operators that declare an Arrow kernel.
+- Exchange count — not a failure, but recorded per query so a regression
+  (a new shuffle appearing in a tuned plan) shows up in the diff.
+
+`tests/test_plan_audit.py` runs the same scan and fails on any
+undeclared flag, so the audit is enforcement, not documentation.
+
+Note: operators built on eager `materialize()` boundaries execute their
+upstream stages during plan CONSTRUCTION; the audited plan is the final
+consumer plan reading the materialized tables (the per-stage plans are
+covered by the operator-specific tests in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# (query, pattern) pairs that are DECLARED sound: every nested-loop here
+# has a driver/model-scale side (counts in comments are sf-independent
+# bounds, not fixture sizes).
+NESTED_LOOP_ALLOWED = {
+    # |labels|^2 centroid pairs (labels is a tiny closed set)
+    "emb_label_separation",
+    # per-query probes cross-join the K-row centroid table (K = model)
+    "ann_ivf_kmeans_topk",
+    "ann_ivfpq_adc_topk",
+    "ann_ivfpq_residual_topk",
+    "ann_cosine_topk",
+    "ann_cosine_range_search",
+    "ann_ivf_topk",
+    "ann_sq_adc_topk",
+    "ann_pq_adc_topk",
+    "ann_recall_ivf_vs_exact",
+    "kmeans_embedding_clusters",
+    "dedup_semantic",
+    "dedup_semantic_text",
+    # |queries| x corpus scoring is the DOCUMENTED brute-force baseline
+    "sample_kcenter_diverse",
+    "emb_jl_distortion",
+    # day-spine / scalar anchors: 1-row side
+    "analytics_daily_totals",
+    "analytics_daily_totals_sparse",
+    "ts_daily_percentiles",
+    "analytics_daily_anomalies_robust",
+    "analytics_revenue_gini",
+    "analytics_spend_percentile_rank",
+    "corpus_mixture_weights",
+    "corpus_decontaminate",
+    "corpus_bloom_decontaminate",
+    "corpus_quality_bins",
+    "corpus_split_assign",
+    "text_zipf_fit",
+    "text_quality_logit",
+    "text_unigram_logprob",
+    "text_oov_rate_bands",
+    "text_bm25_topk",
+    "hybrid_search_rrf",
+    "table_profile_drift",
+    "approx_distinct_users",
+    "dedup_recall_eval",
+    "analytics_stickiness",
+    "analytics_new_vs_returning",
+    "sample_weighted_events",
+    "sample_fixed_n_events",
+    "corpus_shuffle_shards",
+    "basket_brand_lift",
+    "basket_brand_pairs",
+    # trailing-window anchor day / quantile thresholds / corpus N /
+    # min-max spines / ACV scalars: all 1-row broadcast sides
+    "analytics_trailing_rollups",
+    "analytics_rfm_segments",
+    "text_tfidf_top_terms",
+    "hll_mergeable_rollup",
+    "tpch_q11_important_parts",
+    "tpch_q22_idle_customers",
+    "heavy_hitters_value_bands",
+    "ts_resample_locf",
+    "ts_interpolate_linear",
+    # non-equi join against the BOUNDED bands dimension (the documented
+    # range-join shape; bands is a closed set at any scale)
+    "range_join_amount_bands",
+}
+
+ARROW_ALLOWED = {
+    # declared Arrow kernels (bucket matmul / cell assignment / PQ encode
+    # / residuals / WAV-BMP decode / bloom build-probe / CMS / stateful)
+    "ann_lsh_near_pairs",
+    "ann_similar_pairs",
+    "dedup_embedding_near_dup",
+    "ann_ivf_topk",
+    "kmeans_embedding_clusters",
+    "ann_ivf_kmeans_topk",
+    "ann_ivfpq_adc_topk",
+    "ann_ivfpq_residual_topk",
+    "ann_pq_adc_topk",
+    "pq_code_histogram",
+    "dedup_semantic",
+    "dedup_semantic_text",
+    "multimodal_wav_decode",
+    "multimodal_bmp_decode",
+    "multimodal_frame_sample",
+    "corpus_bloom_decontaminate",
+    "sketch_cms_user_counts",
+    "heavy_hitters_value_bands",  # Misra-Gries per-partition kernel
+    "streaming_stateful_spend",
+    "ann_recall_ivf_vs_exact",
+    "dedup_semantic",
+    "emb_jl_distortion",
+    "sample_kcenter_diverse",
+}
+
+
+def scan(plan: str) -> dict:
+    return {
+        "cartesian": "CartesianProduct" in plan,
+        "nested_loop": "BroadcastNestedLoopJoin" in plan,
+        "batch_python": "BatchEvalPython" in plan,
+        "arrow_python": "ArrowEvalPython" in plan or "MapInPandas" in plan,
+        "exchanges": len(re.findall(r"\bExchange\b", plan)),
+    }
+
+
+def audit(spark, sf_dir: str):
+    from audience_manager_platform_spark import registry
+
+    rows = []
+    violations = []
+    for name, fn in registry.queries().items():
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # audit must SEE failures, not skip them
+            violations.append((name, f"plan build failed: {ex}"))
+            continue
+        s = scan(plan)
+        rows.append((name, s))
+        if s["batch_python"]:
+            violations.append((name, "BatchEvalPython (row-at-a-time Python)"))
+        if (s["cartesian"] or s["nested_loop"]) and name not in NESTED_LOOP_ALLOWED:
+            violations.append((name, "undeclared cartesian/nested-loop join"))
+        if s["arrow_python"] and name not in ARROW_ALLOWED:
+            violations.append((name, "undeclared ArrowEvalPython/MapInPandas"))
+    return rows, violations
+
+
+def main() -> int:
+    from audience_manager_platform_spark.session import get_spark
+
+    sf_dir = sys.argv[sys.argv.index("--sf-dir") + 1] if "--sf-dir" in sys.argv \
+        else "/root/testdata/sf0.01"
+    spark = get_spark("plan-audit")
+    rows, violations = audit(spark, sf_dir)
+    lines = [
+        "# PLAN_AUDIT — registry-wide physical-plan scan",
+        "",
+        f"Scanned {len(rows)} query plans at {sf_dir} "
+        "(`python tools/audit_plans.py`; enforced by "
+        "`tests/test_plan_audit.py`).",
+        "",
+        "| query | exchanges | nested-loop | arrow |",
+        "|---|---|---|---|",
+    ]
+    for name, s in sorted(rows):
+        nl = "allowed" if (s["cartesian"] or s["nested_loop"]) else ""
+        ar = "kernel" if s["arrow_python"] else ""
+        lines.append(f"| {name} | {s['exchanges']} | {nl} | {ar} |")
+    lines.append("")
+    if violations:
+        lines.append("## VIOLATIONS")
+        for name, why in violations:
+            lines.append(f"- **{name}**: {why}")
+    else:
+        lines.append("No violations: zero row-at-a-time Python, every "
+                     "nested-loop join is a declared model/driver-scale "
+                     "side, every Arrow escape hatch is a declared kernel.")
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PLAN_AUDIT.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"{len(rows)} plans scanned; {len(violations)} violations")
+    for name, why in violations:
+        print(f"  VIOLATION {name}: {why}")
+    return 1 if violations else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -860,3 +860,26 @@ def test_dp_noisy_counts_calibration(spark):
         assert abs(tight[k] - true) < abs(loose[k] - true)
     cols = set(dp_noisy_counts(ev, "event_type").columns)
     assert cols == {"event_type", "noisy_count", "epsilon"}
+
+
+def test_duplicate_spans_empty_on_unique_corpus(spark):
+    docs = _docs5(spark, [
+        "first completely unique document body alpha beta one",
+        "second entirely different words gamma delta two three",
+    ])
+    assert D.duplicate_ngram_spans(docs, k=8).count() == 0
+
+
+def test_bpe_train_short_words_only(spark):
+    """Single-char words have no pairs: training emits zero merges and
+    vocab stats still hold (tokens == chars)."""
+    from audience_manager_platform_spark.operators.text import (
+        bpe_train,
+        bpe_vocab_stats,
+    )
+
+    docs = _docs5(spark, ["a b c a b a"])
+    assert bpe_train(docs, n_merges=3).count() == 0
+    row = bpe_vocab_stats(docs, n_merges=0).collect()[0]
+    assert row.total_chars == row.total_tokens == 6
+    assert row.chars_per_token == 1.0

@@ -364,21 +364,7 @@ def minhash_lsh_pairs(
     anyway; nothing stays in the block manager after the action.
     """
     sigs = materialize(minhash_signatures(docs, n))
-    band_cols = []
-    for b in range(BANDS):
-        parts = [f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        band_cols.append(
-            F.md5(F.concat_ws(",", *[F.col(p).cast("string") for p in parts])).alias(
-                f"band{b}"
-            )
-        )
-    banded = sigs.select("doc_id", *band_cols)
-    bands_long = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.col(f"band{b}") for b in range(BANDS)])
-        ).alias("band_key"),
-    )
+    bands_long = bands_of(sigs)
     if max_band_size is not None:
         small_bands = (
             bands_long.groupBy("band_key")
@@ -396,6 +382,34 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+    return score_candidates(cand, sigs, est_threshold)
+
+
+def bands_of(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_key) — the LSH band table of a signature table
+    (md5 of each band's ROWS_PER_BAND signature values). Shared by the
+    batch pair join and the incremental streaming detector."""
+    band_cols = []
+    for b in range(BANDS):
+        parts = [f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        band_cols.append(
+            F.md5(F.concat_ws(",", *[F.col(p).cast("string") for p in parts])).alias(
+                f"band{b}"
+            )
+        )
+    return sigs.select("doc_id", *band_cols).select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.col(f"band{b}") for b in range(BANDS)])
+        ).alias("band_key"),
+    )
+
+
+def score_candidates(
+    cand: DataFrame, sigs: DataFrame, est_threshold: float
+) -> DataFrame:
+    """Score (doc_a, doc_b) candidates with the estimated Jaccard
+    (matching signature-position fraction), keeping >= threshold."""
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"s{i}").alias(f"a{i}") for i in range(NUM_HASHES)],

@@ -375,6 +375,82 @@ def corpus_dedup_stream(
     )
 
 
+def lsh_dedup_stream(
+    docs: DataFrame,
+    sig_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    est_threshold: float = 0.5,
+) -> "StreamingQuery":  # noqa: f821
+    """Incremental MinHash-LSH near-duplicate detection at ingestion
+    time: every micro-batch signatures its NEW documents, joins their
+    band keys against the bands of everything admitted so far, and
+    appends the newly-detectable near-dup pairs — each pair is found in
+    the batch its SECOND member arrives, so the pairs log converges to
+    exactly what batch :func:`..operators.dedup.minhash_lsh_pairs`
+    computes over the full corpus (pinned by
+    ``tests/test_streaming.py::test_lsh_dedup_stream_matches_batch``).
+
+    State = the signature log: NUM_HASHES ints per admitted doc — the
+    compact sketch a 100 TB ingest keeps anyway, NOT the text. Per
+    batch the band join is keyed (new-side bands x full band table);
+    old-old pairs can never form because at least one side must be new.
+
+    Exactly-once: new signatures are anti-joined on doc_id against the
+    log (a replayed batch re-derives nothing), and candidate pairs are
+    anti-joined against the pairs log before the append, so the fold is
+    idempotent regardless of which of the two appends a crash lands
+    between."""
+    from ..operators.dedup import (
+        bands_of,
+        minhash_signatures,
+        score_candidates,
+    )
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        state = _read_state_or_none(spark, sig_dir)
+        new_sigs = minhash_signatures(batch_df)
+        if state is not None:
+            new_sigs = new_sigs.join(
+                state.select("doc_id"), "doc_id", "left_anti"
+            )
+        from ..operators.partitioning import materialize
+
+        new_sigs = materialize(new_sigs)
+        all_sigs = (
+            new_sigs if state is None else state.unionByName(new_sigs)
+        )
+        cand = (
+            bands_of(new_sigs)
+            .alias("x")
+            .join(bands_of(all_sigs).alias("y"), "band_key")
+            .filter(F.col("x.doc_id") != F.col("y.doc_id"))
+            .select(
+                F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+                F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        pairs = score_candidates(cand, all_sigs, est_threshold)
+        prior = _read_state_or_none(spark, pairs_dir)
+        if prior is not None:
+            pairs = pairs.join(
+                prior.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+            )
+        pairs.write.mode("append").parquet(pairs_dir)
+        new_sigs.write.mode("append").parquet(sig_dir)
+
+    return (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def enriched_segment_counts(
     events: DataFrame, customer_dim: DataFrame, watermark: str = "1 hour"
 ) -> DataFrame:

@@ -439,3 +439,58 @@ def test_stream_stream_left_outer_join_emits_nulls_after_watermark(
         ).collect()
     }
     assert batch == {(1, 101), (3, 103), (2, None), (99, None)}
+
+
+def test_lsh_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Replay the documents fixture in 3 chunks through the incremental
+    LSH detector: the pairs log must converge to EXACTLY the batch
+    MinHash-LSH pair set over the full corpus (each pair surfacing in
+    the batch its second member arrived), with no duplicate pair rows."""
+    from audience_manager_platform_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from audience_manager_platform_spark.sources import load_table
+    from audience_manager_platform_spark.streaming.jobs import (
+        lsh_dedup_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # stage the fixture as 3 chunk files for maxFilesPerTrigger=1 replay
+    land = tmp_path / "docs_land"
+    land.mkdir()
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"chunk{i}"))
+        import glob
+        import shutil
+
+        src = glob.glob(str(tmp_path / f"chunk{i}" / "*.parquet"))[0]
+        shutil.copy(src, land / f"{i:02d}.parquet")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    q = lsh_dedup_stream(
+        stream,
+        str(tmp_path / "sigs"),
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt_lsh"),
+        est_threshold=0.5,
+    )
+    q.awaitTermination(600)
+    q.stop()
+
+    got_rows = spark.read.parquet(str(tmp_path / "pairs")).collect()
+    got = {(r.doc_a, r.doc_b) for r in got_rows}
+    assert len(got_rows) == len(got)  # no duplicate pair rows
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, est_threshold=0.5).collect()
+    }
+    assert got == want and want  # converged to the batch result
+    # signature log holds every admitted doc exactly once
+    sigs = spark.read.parquet(str(tmp_path / "sigs"))
+    n_docs_with_grams = sigs.count()
+    assert sigs.select("doc_id").distinct().count() == n_docs_with_grams

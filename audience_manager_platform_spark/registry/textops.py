@@ -16,6 +16,47 @@ def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
 
+def _lsh_dedup_streaming(spark, sf_dir):
+    """Drive the incremental LSH detector over a 3-chunk replay of the
+    documents fixture and return the settled pairs log — checked against
+    the ONE-SHOT batch MinHash-LSH oracle, the hard evidence that the
+    ingestion-time fold converges to batch semantics exactly (each pair
+    surfaces in the batch its second member arrives)."""
+    import glob
+    import os
+    import shutil
+
+    from ..operators.partitioning import tracked_tempdir
+    from ..streaming.jobs import lsh_dedup_stream
+
+    docs = _docs(spark, sf_dir)
+    work = tracked_tempdir("amps_lsh_gate_")
+    land = os.path.join(work, "land")
+    os.makedirs(land, exist_ok=True)
+    for i in range(3):
+        chunk = os.path.join(work, f"chunk{i}")
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(chunk)
+        part = glob.glob(os.path.join(chunk, "*.parquet"))[0]
+        shutil.copy(part, os.path.join(land, f"{i:02d}.parquet"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = lsh_dedup_stream(
+        stream,
+        os.path.join(work, "sigs"),
+        os.path.join(work, "pairs"),
+        os.path.join(work, "ckpt"),
+        est_threshold=0.5,
+    )
+    q.awaitTermination(400)
+    q.stop()
+    return spark.read.parquet(os.path.join(work, "pairs"))
+
+
 # Hot-band skew guard on every driver-visible LSH path (VERDICT r3 #1):
 # a boilerplate cluster of k identical docs lands k members in one band
 # bucket and the self-join emits k²/2 candidates from a single task.
@@ -74,6 +115,8 @@ QUERIES = {
     "dedup_duplicate_spans": lambda s, d: D.duplicate_ngram_spans(_docs(s, d)),
     # r5: measured recall/precision of the LSH dedup path vs exact Jaccard
     "dedup_recall_eval": lambda s, d: D.dedup_recall_eval(_docs(s, d)),
+    # r5: incremental ingestion-time LSH (streaming fold == batch result)
+    "streaming_lsh_dedup": _lsh_dedup_streaming,
     "dedup_exact": lambda s, d: D.exact_dedup(_docs(s, d)),
     "dedup_ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_docs(s, d), threshold=0.6),
     "dedup_ngram_jaccard_capped": lambda s, d: D.ngram_jaccard_pairs(
@@ -161,6 +204,7 @@ ORACLES = {
     "text_bpe_vocab_stats": T.bpe_vocab_stats_sql(),
     "dedup_duplicate_spans": D.duplicate_ngram_spans_sql(),
     "dedup_recall_eval": D.dedup_recall_eval_sql(),
+    "streaming_lsh_dedup": D.minhash_lsh_pairs_sql(est_threshold=0.5),
     "dedup_exact": D.exact_dedup_sql(),
     "dedup_ngram_jaccard": D.ngram_jaccard_pairs_sql(threshold=0.6),
     "dedup_ngram_jaccard_capped": D.ngram_jaccard_pairs_sql(

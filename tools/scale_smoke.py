@@ -258,6 +258,24 @@ def main() -> None:
     ROWS = n_docs
     timed("line-level dedup stats", D.line_dedup_stats(docs))
     timed("line-level dedup rewrite", D.line_dedup_rewrite(docs))
+
+    # ------------------------- round-5 additions at scale
+    from audience_manager_platform_spark.operators.text import (
+        bpe_train,
+        bpe_vocab_stats,
+    )
+    from audience_manager_platform_spark.operators.validation import (
+        dp_noisy_counts,
+    )
+
+    timed(
+        "exact-substring span dedup (k=8 grams)",
+        D.duplicate_ngram_spans(docs),
+    )
+    timed("BPE training (6 merges)", bpe_train(docs))
+    timed("BPE corpus compression stats", bpe_vocab_stats(docs))
+    ROWS = int(os.environ.get("SCALE_ROWS", 10_000_000))
+    timed("DP noisy count release", dp_noisy_counts(typed_events))
     timed(
         "BM25 top-10 (3-term query)",
         bm25_topk(docs, ["w1", "w2", "w3"], k=10),

@@ -74,13 +74,27 @@ def _code_expr(d: int, model: SqModel, v: str = "v") -> str:
 
 
 def sq_encode(emb: DataFrame, model: SqModel) -> DataFrame:
-    """(vec_id, codes array<int>) — one codegen projection, no shuffle."""
+    """(vec_id, codes array<int>) — one codegen projection, no shuffle.
+
+    The nondeterministic ``_mid`` column keeps CollapseProject from
+    inlining the 64-element encode array into a downstream consumer that
+    indexes ``codes`` 64 times (the ADC dot product) — the merged
+    projection re-expands every element 64x, blows janino's 64 KB
+    method limit, and drops the stage to interpreted eval (the same
+    barrier ``pq._with_best`` uses; observed live in the scale smoke's
+    SQ ADC stack trace before this)."""
     codes = F.expr(
         "array(" + ", ".join(_code_expr(d, model) for d in range(EMBED_DIM)) + ")"
     )
-    return emb.select(
-        "vec_id", _vec_double().alias("v")
-    ).select("vec_id", codes.alias("codes"))
+    return (
+        emb.select("vec_id", _vec_double().alias("v"))
+        .select(
+            "vec_id",
+            F.monotonically_increasing_id().alias("_mid"),
+            codes.alias("codes"),
+        )
+        .select("vec_id", "codes")
+    )
 
 
 def sq_code_stats(emb: DataFrame) -> DataFrame:
@@ -127,12 +141,21 @@ def sq_adc_topk(
         emb.filter(F.col("vec_id").isin(query_ids))
         .select(F.col("vec_id").alias("query_id"), _vec_double().alias("q"))
     )
+    # decode + dot as HOF loops (transform/zip_with/aggregate — the
+    # cosine_similarity pattern): an unrolled 64-term "+"-chain is ONE
+    # expression tree codegen cannot split, which blew janino's 64 KB
+    # method limit and dropped the scoring stage to interpreted eval
+    # (measured 5.3 s vs 1.9 s at 200k vectors). The fold's sequential
+    # summation sits inside the same 6dp-rounding tolerance the DuckDB
+    # twin's order-free SUM already relies on.
+    mins_arr = "array(" + ", ".join(repr(m) for m in model.mins) + ")"
+    scales_arr = "array(" + ", ".join(repr(s) for s in model.scales) + ")"
     dot = F.expr(
-        " + ".join(
-            f"q[{d}] * ({model.mins[d]!r} + cast(codes[{d}] as double)"
-            f" * {model.scales[d]!r})"
-            for d in range(EMBED_DIM)
-        )
+        f"aggregate(sequence(0, {EMBED_DIM - 1}), cast(0.0 as double),"
+        f" (acc, i) -> acc + element_at(q, i + 1)"
+        f" * (element_at({mins_arr}, i + 1)"
+        f" + cast(element_at(codes, i + 1) as double)"
+        f" * element_at({scales_arr}, i + 1)))"
     )
     scored = enc.join(
         F.broadcast(queries), F.col("vec_id") != F.col("query_id")

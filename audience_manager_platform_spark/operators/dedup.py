@@ -813,10 +813,16 @@ def line_dedup_stats(docs: DataFrame, line_tokens: int = LINE_TOKENS) -> DataFra
     mostly boilerplate")."""
     from .text import chunk_tokens
 
-    lines = chunk_tokens(docs, chunk=line_tokens, stride=line_tokens).select(
-        "doc_id",
-        F.col("chunk_idx").alias("line_idx"),
-        F.col("chunk_text").alias("line_text"),
+    # the line table feeds keeper election AND the join-back branch;
+    # exchange reuse does not fire across aliased branches, so without
+    # truncation the tokenize+chunk pass runs TWICE (same remedy as the
+    # gram/signature tables)
+    lines = materialize(
+        chunk_tokens(docs, chunk=line_tokens, stride=line_tokens).select(
+            "doc_id",
+            F.col("chunk_idx").alias("line_idx"),
+            F.col("chunk_text").alias("line_text"),
+        )
     )
     pos = (F.col("doc_id") * F.lit(1_000_000) + F.col("line_idx")).cast("long")
     keepers = (
@@ -880,10 +886,16 @@ def line_dedup_rewrite(docs: DataFrame, line_tokens: int = LINE_TOKENS) -> DataF
     on."""
     from .text import chunk_tokens
 
-    lines = chunk_tokens(docs, chunk=line_tokens, stride=line_tokens).select(
-        "doc_id",
-        F.col("chunk_idx").alias("line_idx"),
-        F.col("chunk_text").alias("line_text"),
+    # the line table feeds keeper election AND the join-back branch;
+    # exchange reuse does not fire across aliased branches, so without
+    # truncation the tokenize+chunk pass runs TWICE (same remedy as the
+    # gram/signature tables)
+    lines = materialize(
+        chunk_tokens(docs, chunk=line_tokens, stride=line_tokens).select(
+            "doc_id",
+            F.col("chunk_idx").alias("line_idx"),
+            F.col("chunk_text").alias("line_text"),
+        )
     )
     pos = (F.col("doc_id") * F.lit(1_000_000) + F.col("line_idx")).cast("long")
     keepers = (

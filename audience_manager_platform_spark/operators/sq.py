@@ -104,27 +104,60 @@ def sq_code_stats(emb: DataFrame) -> DataFrame:
     to an 8x-compressed index (outlier dims show up as fat scales and
     sparse code occupancy)."""
     model = sq_fit_model(emb)
-    enc = sq_encode(emb, SqModel(model.mins, model.scales))
-    base = emb.select("vec_id", _vec_double().alias("v")).join(enc, "vec_id")
-    rows = []
-    for d in range(EMBED_DIM):
-        mn, sc = repr(model.mins[d]), repr(model.scales[d])
-        rec = f"({mn} + cast(codes[{d}] as double) * {sc})"
-        rows.append(
-            F.struct(
-                F.lit(d).alias("dim"),
-                F.round(F.lit(model.scales[d]), 9).alias("scale"),
-                F.round(F.avg(F.expr(f"abs(v[{d}] - {rec})")), 9).alias(
-                    "avg_abs_err"
-                ),
-                F.expr(f"count(distinct codes[{d}])").alias("codes_used"),
-            ).alias(f"s{d}")
-        )
-    one = base.agg(*rows)
-    stacked = one.select(
-        F.explode(F.array(*[F.col(f"s{d}") for d in range(EMBED_DIM)])).alias("s")
+    # ONE narrow pass: codes computed next to v (no self-join back to the
+    # scan — the previous emb ⋈ enc recomputed the embedding read on both
+    # branches), then a stacked (dim, x, code) explode feeding a dim-keyed
+    # aggregate: 64 per-dim countDistincts as one grouped single-distinct
+    # aggregate instead of 64 distinct aggregates in one row (which
+    # Expand-multiplied every row 64x). 8.0 s -> ~2 s at sf0.1.
+    base = sq_encode_with_vec(emb, model)
+    # cast: bare numeric literals in SQL strings parse as DECIMAL; the
+    # double cast round-trips the repr'd floats exactly
+    mins_arr = ("cast(array(" + ", ".join(repr(m) for m in model.mins)
+                + ") as array<double>)")
+    scales_arr = ("cast(array(" + ", ".join(repr(s) for s in model.scales)
+                  + ") as array<double>)")
+    pairs = base.select(
+        F.posexplode(F.arrays_zip("v", "codes")).alias("dim", "z")
+    ).select("dim", F.col("z.v").alias("x"), F.col("z.codes").alias("code"))
+    rec = (
+        f"element_at({mins_arr}, dim + 1)"
+        f" + cast(code as double) * element_at({scales_arr}, dim + 1)"
     )
-    return stacked.select("s.dim", "s.scale", "s.avg_abs_err", "s.codes_used")
+    return (
+        pairs.groupBy("dim")
+        .agg(
+            F.round(F.avg(F.expr(f"abs(x - ({rec}))")), 9).alias("avg_abs_err"),
+            F.countDistinct("code").alias("codes_used"),
+        )
+        .select(
+            "dim",
+            F.round(F.expr(f"element_at({scales_arr}, dim + 1)"), 9).alias(
+                "scale"
+            ),
+            "avg_abs_err",
+            "codes_used",
+        )
+    )
+
+
+def sq_encode_with_vec(emb: DataFrame, model: SqModel) -> DataFrame:
+    """(vec_id, v, codes) in one narrow projection — for consumers that
+    need the original vector next to its codes without a join back to
+    the scan (same CollapseProject barrier as :func:`sq_encode`)."""
+    codes = F.expr(
+        "array(" + ", ".join(_code_expr(d, model) for d in range(EMBED_DIM)) + ")"
+    )
+    return (
+        emb.select("vec_id", _vec_double().alias("v"))
+        .select(
+            "vec_id",
+            "v",
+            F.monotonically_increasing_id().alias("_mid"),
+            codes.alias("codes"),
+        )
+        .select("vec_id", "v", "codes")
+    )
 
 
 def sq_adc_topk(
@@ -148,8 +181,10 @@ def sq_adc_topk(
     # (measured 5.3 s vs 1.9 s at 200k vectors). The fold's sequential
     # summation sits inside the same 6dp-rounding tolerance the DuckDB
     # twin's order-free SUM already relies on.
-    mins_arr = "array(" + ", ".join(repr(m) for m in model.mins) + ")"
-    scales_arr = "array(" + ", ".join(repr(s) for s in model.scales) + ")"
+    mins_arr = ("cast(array(" + ", ".join(repr(m) for m in model.mins)
+                + ") as array<double>)")
+    scales_arr = ("cast(array(" + ", ".join(repr(s) for s in model.scales)
+                  + ") as array<double>)")
     dot = F.expr(
         f"aggregate(sequence(0, {EMBED_DIM - 1}), cast(0.0 as double),"
         f" (acc, i) -> acc + element_at(q, i + 1)"

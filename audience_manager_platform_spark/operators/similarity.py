@@ -913,6 +913,7 @@ def semantic_dedup(
     threshold: float = 0.9,
     k: int = KMEANS_K,
     iters: int = 1,
+    model: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embeddings with the k-means coarse
@@ -945,7 +946,8 @@ def semantic_dedup(
     LLM-pipeline extension mandated by BASELINE.json.
     """
     base = emb.select("vec_id", _vec_double().alias("v"))
-    model = kmeans_fit_model(emb, k, iters)
+    if model is None:
+        model = kmeans_fit_model(emb, k, iters)
     from .partitioning import materialize
 
     assigned = materialize(

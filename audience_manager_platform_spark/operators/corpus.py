@@ -663,3 +663,130 @@ def source_cap_sql(src: str = "documents", cap: int = 100) -> str:
           FROM {src}
         ) r
     """
+
+
+# ------------------------------------------- DSIR importance weights
+DSIR_BUCKETS = 128
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_lang: str = "en",
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023 — "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by how much more likely its hashed-unigram bag is
+    under a TARGET distribution (here: the ``target_lang`` slice, the
+    stand-in for "looks like the high-quality domain") than under the
+    RAW corpus distribution,
+
+        log w(x) = Σ_b c_b(x) · (ln p̂_tgt[b] − ln p̂_raw[b])
+
+    with add-one smoothing over ``buckets`` hashed features (the paper's
+    hashed n-gram generative model; the pipeline then resamples docs
+    with probability ∝ w — the score column IS the selection key, so the
+    sampler downstream is :func:`weighted_priority_sample`).
+
+    Shape at scale: token explode → one (doc, bucket) map-side-combinable
+    aggregate; both feature distributions are ``buckets``-row aggregates
+    of the SAME hashed relation (one pass, the target is a filtered
+    re-aggregate, never a second tokenize); the per-bucket log-ratio
+    table is O(buckets) and broadcast into the scoring join. Nothing
+    after the first aggregate is corpus-sized except the per-doc reduce.
+
+    Determinism contract: the log-ratio λ[b] is floor-scaled to an
+    INTEGER micro-log-ratio (⌊λ·1e6⌋ as bigint — ln() of exact integer
+    counts, quantized once per bucket), so the per-doc score is an EXACT
+    bigint sum Σ c·λ_int divided once by 1e6 — no rounding boundary
+    exists downstream of the quantization (a doc sum landing exactly on
+    a half-grid edge flipped 2/500 rows under the earlier
+    round-the-double-sum formulation).
+    """
+    from ..functions import HASH60_SPARK_SQL
+    from .partitioning import spread
+
+    h = HASH60_SPARK_SQL.format(x="term")
+    hashed = (
+        spread(docs)
+        .select("doc_id", "lang", F.explode(tokens_col("text")).alias("term"))
+        .select("doc_id", "lang", F.expr(f"({h}) % {buckets}").alias("bucket"))
+    )
+    doc_b = hashed.groupBy("doc_id", "bucket").agg(F.count("*").alias("c"))
+    raw = hashed.groupBy("bucket").agg(F.count("*").alias("r"))
+    tgt = (
+        hashed.filter(F.col("lang") == target_lang)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("t"))
+    )
+    # target ⊆ raw, so raw's bucket set is the support; absent target
+    # buckets are genuine zeros under smoothing
+    lam = raw.join(tgt, "bucket", "left").select(
+        "bucket", F.coalesce("t", F.lit(0)).alias("t"), "r"
+    )
+    totals = lam.agg(F.sum("t").alias("tt"), F.sum("r").alias("rr"))
+    lam6 = lam.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.floor(
+            (
+                F.log((F.col("t") + 1).cast("double"))
+                - F.log((F.col("tt") + buckets).cast("double"))
+                - F.log((F.col("r") + 1).cast("double"))
+                + F.log((F.col("rr") + buckets).cast("double"))
+            )
+            * F.lit(1_000_000.0)
+        )
+        .cast("bigint")
+        .alias("lam_int"),
+    )
+    return (
+        doc_b.join(F.broadcast(lam6), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            (
+                F.sum(F.col("c") * F.col("lam_int")).cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("dsir_logw"),
+        )
+    )
+
+
+def dsir_weights_sql(
+    src: str = "documents",
+    target_lang: str = "en",
+    buckets: int = DSIR_BUCKETS,
+) -> str:
+    t = tokens_sql("text")
+    h = _HASH60_DUCK.format(x="term")
+    return f"""
+        WITH hashed AS (
+          SELECT doc_id, lang, ({h}) % {buckets} AS bucket
+          FROM (SELECT doc_id, lang, UNNEST({t}) AS term FROM {src}) e
+        ),
+        doc_b AS (
+          SELECT doc_id, bucket, COUNT(*) AS c FROM hashed GROUP BY 1, 2
+        ),
+        raw AS (SELECT bucket, COUNT(*) AS r FROM hashed GROUP BY 1),
+        tgt AS (
+          SELECT bucket, COUNT(*) AS t FROM hashed
+          WHERE lang = '{target_lang}' GROUP BY 1
+        ),
+        lam AS (
+          SELECT raw.bucket, COALESCE(tgt.t, 0) AS t, raw.r
+          FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket
+        ),
+        tot AS (SELECT SUM(t) AS tt, SUM(r) AS rr FROM lam),
+        lam6 AS (
+          SELECT bucket,
+                 CAST(FLOOR((LN(t + 1) - LN(tt + {buckets})
+                       - LN(r + 1) + LN(rr + {buckets}))
+                       * 1000000.0) AS BIGINT) AS lam_int
+          FROM lam, tot
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(SUM(c * lam_int) AS DOUBLE) / 1000000.0 AS dsir_logw
+        FROM doc_b JOIN lam6 USING (bucket)
+        GROUP BY doc_id
+    """

@@ -190,6 +190,9 @@ QUERIES = {
     "corpus_shuffle_shards": lambda s, d: C.shuffle_shards(_docs(s, d)),
     "corpus_mixture_weights": lambda s, d: C.mixture_weights(_docs(s, d)),
     "corpus_quality_bins": lambda s, d: C.quality_bins(_docs(s, d)),
+    # r5: DSIR importance-resampling weights (hashed-unigram target/raw
+    # log-likelihood ratio — the published data-selection scorer)
+    "corpus_dsir_weights": lambda s, d: C.dsir_weights(_docs(s, d)),
 }
 
 ORACLES = {
@@ -255,4 +258,5 @@ ORACLES = {
     "corpus_shuffle_shards": C.shuffle_shards_sql(),
     "corpus_mixture_weights": C.mixture_weights_sql(),
     "corpus_quality_bins": C.quality_bins_sql(),
+    "corpus_dsir_weights": C.dsir_weights_sql(),
 }

@@ -883,3 +883,41 @@ def test_bpe_train_short_words_only(spark):
     row = bpe_vocab_stats(docs, n_merges=0).collect()[0]
     assert row.total_chars == row.total_tokens == 6
     assert row.chars_per_token == 1.0
+
+
+def test_dsir_weights_favor_target_distribution(spark):
+    # Target = 'en' docs about "alpha beta"; the raw pool adds 'de' docs
+    # about "gamma delta". A doc written in target vocabulary must score
+    # strictly above one written in the off-target vocabulary.
+    from audience_manager_platform_spark.operators.corpus import dsir_weights
+
+    # terms chosen collision-free under HASH60 % 128 (alpha/gamma DO
+    # collide at bucket 123 — a collided pair blends the distributions)
+    rows = [
+        (0, "omega beta omega beta omega", "en"),
+        (1, "omega beta beta omega beta", "en"),
+        (2, "kappa delta kappa delta kappa", "de"),
+        (3, "kappa delta delta kappa delta", "de"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, lang, "web", len(t)) for i, t, lang in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.doc_id: r for r in dsir_weights(docs).collect()}
+    assert got[0].n_tokens == 5
+    # target-vocab docs score positive, off-target negative
+    assert got[0].dsir_logw > 0 > got[2].dsir_logw
+    assert min(got[0].dsir_logw, got[1].dsir_logw) > max(
+        got[2].dsir_logw, got[3].dsir_logw
+    )
+
+
+def test_dsir_weights_zero_token_docs_drop(spark):
+    from audience_manager_platform_spark.operators.corpus import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(0, "alpha", "en", "web", 5), (1, "", "en", "web", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = dsir_weights(docs).collect()
+    assert {r.doc_id for r in got} == {0}

@@ -790,3 +790,72 @@ def dsir_weights_sql(
         FROM doc_b JOIN lam6 USING (bucket)
         GROUP BY doc_id
     """
+
+
+# ---------------------------------------------- per-source dup profile
+def dup_rate_by_source(docs: DataFrame) -> DataFrame:
+    """Per-source exact-duplication profile — the curation dashboard's
+    "which feed is flooding us with copies" report, and the first place
+    cross-source syndication (the same article arriving via N crawlers)
+    becomes visible. Per source: doc count, docs whose normalized
+    fingerprint occurs more than once corpus-wide, docs whose
+    fingerprint also appears under ANOTHER source, and the dup rate.
+
+    Shape at scale: one fingerprint projection (md5 of the normalized
+    token join, the exact-dedup key), one fingerprint-keyed aggregate
+    (|distinct fingerprints| rows), one fingerprint-keyed join back, one
+    |sources|-row rollup — every exchange is keyed and combinable, and
+    the wide text column is dropped before the first shuffle (only
+    32-char fingerprints move).
+    """
+    fp = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.array_join(tokens_col("text"), " ")).alias("fingerprint"),
+    )
+    fam = fp.groupBy("fingerprint").agg(
+        F.count("*").alias("copies"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return (
+        fp.join(fam, "fingerprint")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("copies") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_cross_source"),
+            F.round(
+                F.avg(F.when(F.col("copies") > 1, 1.0).otherwise(0.0)), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
+def dup_rate_by_source_sql(src: str = "documents") -> str:
+    t = tokens_sql("text")
+    return f"""
+        WITH fp AS (
+          SELECT doc_id, source,
+                 md5(array_to_string({t}, ' ')) AS fingerprint
+          FROM {src}
+        ),
+        fam AS (
+          SELECT fingerprint, COUNT(*) AS copies,
+                 COUNT(DISTINCT source) AS n_sources
+          FROM fp GROUP BY 1
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_docs,
+               CAST(SUM(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_cross_source,
+               ROUND(AVG(CASE WHEN copies > 1 THEN 1.0 ELSE 0.0 END), 6)
+                 AS dup_rate
+        FROM fp JOIN fam USING (fingerprint)
+        GROUP BY source
+    """

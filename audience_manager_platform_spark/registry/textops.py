@@ -193,6 +193,10 @@ QUERIES = {
     # r5: DSIR importance-resampling weights (hashed-unigram target/raw
     # log-likelihood ratio — the published data-selection scorer)
     "corpus_dsir_weights": lambda s, d: C.dsir_weights(_docs(s, d)),
+    # r5: per-source exact-dup + cross-source syndication profile
+    "corpus_dup_rate_by_source": lambda s, d: C.dup_rate_by_source(
+        _docs(s, d)
+    ),
 }
 
 ORACLES = {
@@ -259,4 +263,5 @@ ORACLES = {
     "corpus_mixture_weights": C.mixture_weights_sql(),
     "corpus_quality_bins": C.quality_bins_sql(),
     "corpus_dsir_weights": C.dsir_weights_sql(),
+    "corpus_dup_rate_by_source": C.dup_rate_by_source_sql(),
 }

@@ -921,3 +921,30 @@ def test_dsir_weights_zero_token_docs_drop(spark):
     )
     got = dsir_weights(docs).collect()
     assert {r.doc_id for r in got} == {0}
+
+
+def test_dup_rate_by_source_cross_source_syndication(spark):
+    # srcA: 2 unique docs; srcB: one copy of A's first doc (cross-source
+    # dup) + one internal pair of identical docs.
+    from audience_manager_platform_spark.operators.corpus import (
+        dup_rate_by_source,
+    )
+
+    rows = [
+        (0, "the quick brown fox", "srcA"),
+        (1, "lorem ipsum dolor sit", "srcA"),
+        (2, "The quick   brown FOX", "srcB"),  # normalizes equal to doc 0
+        (3, "copy pasta twice over", "srcB"),
+        (4, "copy pasta twice over", "srcB"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", src, len(t)) for i, t, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.source: r for r in dup_rate_by_source(docs).collect()}
+    assert got["srcA"].n_docs == 2 and got["srcB"].n_docs == 3
+    # doc 0 is duplicated (by doc 2); doc 1 unique
+    assert got["srcA"].n_dup_docs == 1 and got["srcA"].n_cross_source == 1
+    # docs 2 (cross) + 3 + 4 (internal pair) are all dup members
+    assert got["srcB"].n_dup_docs == 3 and got["srcB"].n_cross_source == 1
+    assert got["srcB"].dup_rate == 1.0

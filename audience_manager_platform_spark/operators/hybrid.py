@@ -94,3 +94,154 @@ def hybrid_search_rrf_sql(
         FROM lex FULL OUTER JOIN sem USING (id)
         ORDER BY rrf DESC, id ASC LIMIT {k}
     """
+
+
+# --------------------------------------- late-interaction (MaxSim) search
+CHUNK_ID_BASE = 1_000_000  # composite chunk id = doc_id * BASE + chunk_idx
+
+
+def chunk_maxsim_topk(
+    docs: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    chunk: int = 32,
+    stride: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Late-interaction retrieval (the ColBERT/long-doc serving shape):
+    score a document by its BEST-MATCHING CHUNK instead of one pooled
+    doc vector — max-pooling over sub-document similarities is what
+    keeps a single relevant paragraph findable inside a 50-page
+    document, where mean-pooled doc vectors wash it out.
+
+    Pipeline: sliding-window chunking → hashing-trick chunk vectors (no
+    trained encoder needed; swap :func:`~.text.hash_embed` for a real
+    encoder output table at parity) → broadcast the query tower →
+    cosine per (query, chunk) → per (query, doc) max-pool with the best
+    chunk recorded → top-``k`` docs per query.
+
+    Shape at scale: the query tower is O(|queries|·dim) and broadcast;
+    chunk scoring is a map-side projection over the chunk-vector
+    relation (no shuffle); max-pooling is ONE map-side-combinable
+    aggregate keyed (query, doc) — an argmax via struct-max, never a
+    window over the scored relation; only the |queries|×|docs| pooled
+    table reaches the top-k window. Cosines are exact-integer dots in
+    double (hash_embed weights are integers), 6dp-rounded before any
+    ordering so ranks are engine-identical.
+    """
+    from .text import chunk_tokens, hash_embed
+    from ..functions import cosine_similarity
+
+    chunks = chunk_tokens(docs, chunk, stride).filter(
+        F.col("chunk_tokens") > 0
+    )
+    cvec = hash_embed(
+        chunks.select(
+            (F.col("doc_id") * CHUNK_ID_BASE + F.col("chunk_idx")).alias(
+                "doc_id"
+            ),
+            F.col("chunk_text").alias("text"),
+        ),
+        dim,
+    ).select(
+        F.expr(f"vec_id div {CHUNK_ID_BASE}").alias("doc_id"),
+        (F.col("vec_id") % CHUNK_ID_BASE).alias("chunk_idx"),
+        F.col("embedding").alias("cv"),
+    )
+    qvec = hash_embed(
+        docs.filter(F.col("doc_id").isin(query_ids)), dim
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    norm2 = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0.0), lambda a, x: a + x * x
+    )
+    scored = (
+        cvec.filter(norm2(F.col("cv")) > 0)
+        .crossJoin(F.broadcast(qvec.filter(norm2(F.col("qv")) > 0)))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            "chunk_idx",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias(
+                "cos"
+            ),
+        )
+    )
+    pooled = scored.groupBy("query_id", "doc_id").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("chunk_idx")).alias("nci"))).alias(
+            "best"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("maxsim"), F.asc("doc_id")
+    )
+    return (
+        pooled.select(
+            "query_id",
+            "doc_id",
+            F.col("best.cos").alias("maxsim"),
+            (-F.col("best.nci")).cast("bigint").alias("best_chunk_idx"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def chunk_maxsim_topk_sql(
+    query_ids: list[int],
+    k: int = 5,
+    chunk: int = 32,
+    stride: int = 16,
+    dim: int = 64,
+    src: str = "documents",
+) -> str:
+    from .text import chunk_tokens_sql, hash_embed_sql
+
+    ids = ", ".join(str(i) for i in query_ids)
+    chunks_rel = (
+        f"(SELECT doc_id * {CHUNK_ID_BASE} + chunk_idx AS doc_id, "
+        f"chunk_text AS text FROM ({chunk_tokens_sql(src, chunk, stride)}) ck "
+        "WHERE chunk_tokens > 0) cr"
+    )
+    queries_rel = f"(SELECT * FROM {src} WHERE doc_id IN ({ids})) qr"
+    return f"""
+        WITH cemb AS ({hash_embed_sql(chunks_rel, dim)}),
+        cvec AS (
+          SELECT vec_id // {CHUNK_ID_BASE} AS doc_id,
+                 vec_id % {CHUNK_ID_BASE} AS chunk_idx,
+                 embedding AS cv
+          FROM cemb
+          WHERE list_sum(list_transform(embedding, x -> x * x)) > 0
+        ),
+        qvec AS (
+          SELECT vec_id AS query_id, embedding AS qv
+          FROM ({hash_embed_sql(queries_rel, dim)}) qe
+          WHERE list_sum(list_transform(embedding, x -> x * x)) > 0
+        ),
+        scored AS (
+          SELECT query_id, doc_id, chunk_idx,
+                 ROUND(list_cosine_similarity(qv, cv), 6) AS cos
+          FROM cvec CROSS JOIN qvec
+          WHERE doc_id != query_id
+        ),
+        pooledmax AS (
+          SELECT query_id, doc_id, MAX(cos) AS maxsim
+          FROM scored GROUP BY 1, 2
+        ),
+        pooled AS (
+          SELECT s.query_id, s.doc_id, p.maxsim,
+                 MIN(s.chunk_idx) AS best_chunk_idx
+          FROM scored s
+          JOIN pooledmax p
+            ON s.query_id = p.query_id AND s.doc_id = p.doc_id
+           AND s.cos = p.maxsim
+          GROUP BY 1, 2, 3
+        )
+        SELECT query_id, doc_id, maxsim,
+               CAST(best_chunk_idx AS BIGINT) AS best_chunk_idx, rank
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY maxsim DESC, doc_id ASC) AS rank
+          FROM pooled
+        ) r WHERE rank <= {k}
+    """

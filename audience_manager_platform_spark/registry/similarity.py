@@ -54,6 +54,7 @@ def _pq_model(s, d, iters=PQ.PQ_ITERS):
 # doc_id == vec_id, so one id addresses a doc and its embedding).
 HYBRID_TERMS = ["spark", "join", "window"]
 HYBRID_QVEC = 7
+MAXSIM_QUERY_DOCS = [0, 100, 200, 300, 400]
 
 
 QUERIES = {
@@ -69,6 +70,11 @@ QUERIES = {
     # r4 window: reciprocal-rank fusion of BM25 and exact-cosine retrieval
     "hybrid_search_rrf": lambda s, d: H.hybrid_search_rrf(
         load_table(s, d, "documents"), _emb(s, d), HYBRID_TERMS, HYBRID_QVEC
+    ),
+    # r5: late-interaction (ColBERT-shape) retrieval — docs scored by
+    # their best-matching chunk over hashing-trick chunk vectors
+    "ann_chunk_maxsim_topk": lambda s, d: H.chunk_maxsim_topk(
+        load_table(s, d, "documents"), MAXSIM_QUERY_DOCS, k=5
     ),
     "ann_lsh_near_pairs": lambda s, d: S.lsh_near_pairs(_emb(s, d), threshold=0.35),
     "ann_ivf_topk": lambda s, d: S.ivf_topk(_emb(s, d), _QUERY_IDS, k=5),
@@ -128,6 +134,7 @@ QUERIES = {
 ORACLES = {
     "ann_cosine_topk": S.cosine_topk_sql(_QUERY_IDS, k=5),
     "hybrid_search_rrf": H.hybrid_search_rrf_sql(HYBRID_TERMS, HYBRID_QVEC),
+    "ann_chunk_maxsim_topk": H.chunk_maxsim_topk_sql(MAXSIM_QUERY_DOCS, k=5),
     "emb_jl_distortion": S.jl_distortion_sql(),
     "sample_kcenter_diverse": S.kcenter_select_sql(),
     "emb_label_separation": S.label_centroid_separation_sql(),

@@ -948,3 +948,31 @@ def test_dup_rate_by_source_cross_source_syndication(spark):
     # docs 2 (cross) + 3 + 4 (internal pair) are all dup members
     assert got["srcB"].n_dup_docs == 3 and got["srcB"].n_cross_source == 1
     assert got["srcB"].dup_rate == 1.0
+
+
+def test_chunk_maxsim_finds_planted_chunk_in_long_doc(spark):
+    # doc 1 buries an EXACT copy of the query text after 32 filler
+    # tokens — its best chunk must score cosine 1.0 and win; doc 2 has
+    # only mild uniform overlap. Max-pooling is what finds the needle.
+    from audience_manager_platform_spark.operators.hybrid import (
+        chunk_maxsim_topk,
+    )
+
+    query_txt = "omega beta " * 8                       # 16 tokens
+    filler = " ".join(f"fill{i}" for i in range(32))    # 32 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, query_txt.strip(), "en", "web", 1),      # the query doc
+            (1, f"{filler} {query_txt.strip()}", "en", "web", 1),
+            (2, "omega " + " ".join(f"x{i}" for i in range(15)), "en", "web", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = chunk_maxsim_topk(docs, [0], k=5, chunk=32, stride=16).collect()
+    assert all(r.query_id == 0 for r in got)
+    assert all(r.doc_id != 0 for r in got)               # self excluded
+    by_rank = {r.rank: r for r in got}
+    assert by_rank[1].doc_id == 1 and by_rank[1].maxsim == 1.0
+    # the winning chunk is the pure planted window (tokens 33..48)
+    assert by_rank[1].best_chunk_idx == 2
+    assert by_rank[2].doc_id == 2 and by_rank[2].maxsim < 1.0

@@ -1169,3 +1169,105 @@ def dedup_recall_eval_sql(
                  AS recall
         FROM j
     """
+
+
+# ------------------------------------------- minhash estimate accuracy
+def minhash_accuracy(
+    docs: DataFrame,
+    est_threshold: float = 0.5,
+    n: int = NGRAM_N,
+    max_band_size: int | None = None,
+) -> DataFrame:
+    """Estimate-vs-truth audit of the MinHash signatures: for every LSH
+    candidate pair, the signature-agreement ESTIMATE next to the exact
+    n-gram Jaccard — the "measure, don't guess" report that tells you
+    whether NUM_HASHES is big enough and where the banding threshold
+    actually sits before a 100 TB dedup run commits to it (the MinHash
+    estimator is unbiased with σ = sqrt(J(1-J)/k); this table is that
+    theory checked against this corpus).
+
+    Shape at scale: candidate generation IS :func:`minhash_lsh_pairs`
+    (banded, capped — never all-pairs); the exact re-check restricts the
+    gram table to PAIR MEMBERS first (a doc-id semi-join, so the
+    shared-gram self-join runs over the candidate docs only, the same
+    containment trick :func:`ngram_containment_pairs` uses), and sizes
+    ride the pair row from the |docs|-row gram-size table."""
+    pairs = minhash_lsh_pairs(docs, est_threshold, n, max_band_size)
+    grams = _doc_grams(docs, n)
+    sizes = grams.select("doc_id", "n_grams")
+    withsz = pairs.join(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na")),
+        "doc_a",
+    ).join(
+        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb")),
+        "doc_b",
+    )
+    ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    ex = (
+        grams.join(ids, "doc_id")
+        .select("doc_id", F.explode("grams").alias("gram"))
+    )
+    inter = (
+        ex.select(F.col("doc_id").alias("doc_a"), "gram")
+        .join(ex.select(F.col("doc_id").alias("doc_b"), "gram"), "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        withsz.join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.round(
+                F.coalesce("inter", F.lit(0))
+                / (
+                    F.col("na") + F.col("nb") - F.coalesce("inter", F.lit(0))
+                ).cast("double"),
+                6,
+            ).alias("true_jaccard"),
+        )
+    )
+
+
+def minhash_accuracy_sql(
+    src: str = "documents",
+    est_threshold: float = 0.5,
+    n: int = NGRAM_N,
+    max_band_size: int | None = None,
+) -> str:
+    t = tokens_sql("text")
+    g = word_ngrams_sql("toks", n)
+    return f"""
+        WITH pairs AS ({minhash_lsh_pairs_sql(src, est_threshold, n, max_band_size)}),
+        gsets AS (
+          SELECT doc_id, list_distinct({g}) AS grams
+          FROM (SELECT doc_id, {t} AS toks FROM {src}) tk
+        ),
+        sizes AS (SELECT doc_id, len(grams) AS n_grams FROM gsets),
+        ids AS (
+          SELECT doc_a AS doc_id FROM pairs
+          UNION SELECT doc_b FROM pairs
+        ),
+        ex AS (
+          SELECT doc_id, UNNEST(grams) AS gram FROM gsets
+          WHERE doc_id IN (SELECT doc_id FROM ids)
+        ),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT p.doc_a, p.doc_b, p.est_jaccard,
+               ROUND(COALESCE(i, 0) / CAST(sa.n_grams + sb.n_grams
+                     - COALESCE(i, 0) AS DOUBLE), 6) AS true_jaccard
+        FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+        LEFT JOIN inter ON inter.doc_a = p.doc_a AND inter.doc_b = p.doc_b
+    """

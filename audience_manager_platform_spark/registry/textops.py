@@ -143,6 +143,10 @@ QUERIES = {
     "dedup_minhash_lsh_pairs": lambda s, d: D.minhash_lsh_pairs(
         _docs(s, d), est_threshold=0.5, max_band_size=LSH_MAX_BAND
     ),
+    # r5: estimate-vs-truth audit of the MinHash estimator itself
+    "dedup_minhash_accuracy": lambda s, d: D.minhash_accuracy(
+        _docs(s, d), est_threshold=0.5, max_band_size=LSH_MAX_BAND
+    ),
     "dedup_simhash": lambda s, d: D.simhash(_docs(s, d)),
     "dedup_simhash_hamming_pairs": lambda s, d: D.simhash_hamming_pairs(
         _docs(s, d), max_hamming=3
@@ -236,6 +240,9 @@ ORACLES = {
     ),
     "dedup_minhash_signatures": D.minhash_signatures_sql(),
     "dedup_minhash_lsh_pairs": D.minhash_lsh_pairs_sql(
+        est_threshold=0.5, max_band_size=LSH_MAX_BAND
+    ),
+    "dedup_minhash_accuracy": D.minhash_accuracy_sql(
         est_threshold=0.5, max_band_size=LSH_MAX_BAND
     ),
     "dedup_simhash": D.simhash_sql(),

@@ -976,3 +976,31 @@ def test_chunk_maxsim_finds_planted_chunk_in_long_doc(spark):
     # the winning chunk is the pure planted window (tokens 33..48)
     assert by_rank[1].best_chunk_idx == 2
     assert by_rank[2].doc_id == 2 and by_rank[2].maxsim < 1.0
+
+
+def test_minhash_accuracy_exact_dup_and_estimator_sanity(spark):
+    # An exact duplicate pair must show est == true == 1.0; a partial
+    # overlap pair keeps the true Jaccard in [0, 1] alongside the
+    # estimate from signature agreement.
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(35)) + " q1 q2 q3 q4 q5"
+    docs = spark.createDataFrame(
+        [
+            (0, base, "en", "web", 1),
+            (1, base, "en", "web", 1),          # exact dup of 0
+            (2, near, "en", "web", 1),          # high-overlap near dup
+            (3, "totally different content here now", "en", "web", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from audience_manager_platform_spark.operators.dedup import (
+        minhash_accuracy,
+    )
+
+    got = {(r.doc_a, r.doc_b): r for r in
+           minhash_accuracy(docs, est_threshold=0.5).collect()}
+    assert (0, 1) in got
+    assert got[(0, 1)].est_jaccard == 1.0 and got[(0, 1)].true_jaccard == 1.0
+    for r in got.values():
+        assert 0.0 <= r.true_jaccard <= 1.0
+        assert 0.5 <= r.est_jaccard <= 1.0

@@ -350,3 +350,56 @@ def daily_percentiles_sql(src: str = "events") -> str:
         FROM {src} WHERE value IS NOT NULL
         GROUP BY 1
     """
+
+
+def seasonality_profile(events: DataFrame) -> DataFrame:
+    """Day-of-week seasonal profile: per ISO weekday (1=Mon..7=Sun),
+    event volume, mean value, and the SEASONAL INDEX — that weekday's
+    per-event mean over the all-days per-event mean (the multiplicative
+    factor a forecast or anomaly baseline deseasonalizes with; index 1.0
+    = no weekly effect). Weekday extraction is pinned to ISO numbering
+    on both engines (Spark ``weekday()+1`` ⇄ DuckDB ``isodow()``) —
+    the engines' bare ``dayofweek`` disagree on Sunday's number.
+
+    One 7-group map-side-combinable aggregate + a 1-row grand total
+    broadcast back; nothing after the first reduce is data-sized."""
+    from pyspark.sql import functions as F
+
+    per_dow = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(F.expr("weekday(ts) + 1").cast("int").alias("iso_dow"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value").alias("_total"),
+        )
+    )
+    tot = per_dow.agg(
+        F.sum("n_events").alias("_N"), F.sum("_total").alias("_T")
+    )
+    return per_dow.join(F.broadcast(tot)).select(
+        "iso_dow",
+        "n_events",
+        F.round(F.col("_total") / F.col("n_events"), 2).alias("avg_value"),
+        F.round(
+            (F.col("_total") / F.col("n_events"))
+            / (F.col("_T") / F.col("_N")),
+            6,
+        ).alias("seasonal_idx"),
+    )
+
+
+def seasonality_profile_sql(src: str = "events") -> str:
+    return f"""
+        WITH per_dow AS (
+          SELECT CAST(isodow(ts) AS INTEGER) AS iso_dow,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 SUM(value) AS _total
+          FROM {src} WHERE value IS NOT NULL
+          GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n_events) AS _N, SUM(_total) AS _T FROM per_dow)
+        SELECT iso_dow, n_events,
+               ROUND(_total / n_events, 2) AS avg_value,
+               ROUND((_total / n_events) / (_T / _N), 6) AS seasonal_idx
+        FROM per_dow, tot
+    """

@@ -48,6 +48,10 @@ QUERIES = {
     "ts_ewma_smooth": lambda s, d: TS.ewma_smooth(_events(s, d)),
     # r5 (deferred window): daily tail-latency bands
     "ts_daily_percentiles": lambda s, d: TS.daily_percentiles(_events(s, d)),
+    # r5: ISO day-of-week seasonal index (deseasonalization baseline)
+    "ts_seasonality_profile": lambda s, d: TS.seasonality_profile(
+        _events(s, d)
+    ),
     "sample_fixed_n_events": _sample_fixed,
 }
 
@@ -57,6 +61,7 @@ ORACLES = {
     "ts_ohlc_daily": TS.ohlc_daily_sql(),
     "ts_ewma_smooth": TS.ewma_smooth_sql(),
     "ts_daily_percentiles": TS.daily_percentiles_sql(),
+    "ts_seasonality_profile": TS.seasonality_profile_sql(),
     "sample_fixed_n_events": f"""
         SELECT event_id, user_id, event_type, ROUND(value, 2) AS value,
                MD5(CAST(event_id AS VARCHAR) || '{SAMPLE_SALT}') AS sample_key

@@ -208,3 +208,47 @@ ORACLES = {
         FROM orders
     """,
 }
+
+
+def window_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of CONSECUTIVE active days per user (the engagement
+    streak metric): gaps-and-islands on the distinct (user, day) grid —
+    island anchor = day − row_number() days, so every maximal run of
+    consecutive dates shares one anchor; streak length is the island
+    size. One distinct shuffle compacts events to the grid; everything
+    after is grid-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = isl.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.sum("len").cast("long").alias("active_days"),
+    )
+
+
+QUERIES["window_longest_streak"] = window_longest_streak
+ORACLES["window_longest_streak"] = """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    isl AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, anchor, COUNT(*) AS len
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM streaks GROUP BY user_id
+"""

@@ -1004,3 +1004,42 @@ def test_minhash_accuracy_exact_dup_and_estimator_sanity(spark):
     for r in got.values():
         assert 0.0 <= r.true_jaccard <= 1.0
         assert 0.5 <= r.est_jaccard <= 1.0
+
+
+def test_seasonality_profile_planted_weekday_effect(spark):
+    # Mondays carry value 20, all other days 10 → Monday's index > 1,
+    # others < 1; ISO numbering (1=Mon) pinned.
+    from audience_manager_platform_spark.operators.timeseries import (
+        seasonality_profile,
+    )
+
+    rows = []
+    # 2024-01-01 is a Monday
+    for d in range(14):
+        day = datetime(2024, 1, 1 + d, 12, 0)
+        val = 20.0 if day.weekday() == 0 else 10.0
+        rows.append((day, 1, "purchase", val))
+    got = {r.iso_dow: r for r in
+           seasonality_profile(_events(spark, rows)).collect()}
+    assert set(got) == set(range(1, 8))
+    assert got[1].avg_value == 20.0 and got[1].seasonal_idx > 1.0
+    for d in range(2, 8):
+        assert got[d].avg_value == 10.0 and got[d].seasonal_idx < 1.0
+
+
+def test_longest_streak_islands(spark):
+    # u1 active on days 1,2,3, then 5,6 → longest 3, active 5
+    from audience_manager_platform_spark.registry.windows import (
+        window_longest_streak,
+    )
+    import os
+    import tempfile
+
+    rows = [(datetime(2024, 1, d, 10, 0), 1, "view", 1.0) for d in (1, 2, 3, 5, 6)]
+    rows += [(datetime(2024, 1, 1, 11, 0), 1, "click", 1.0)]  # same-day dup
+    rows += [(datetime(2024, 1, 9, 10, 0), 2, "view", 1.0)]
+    with tempfile.TemporaryDirectory() as td:
+        _events(spark, rows).write.parquet(os.path.join(td, "events.parquet"))
+        got = {r.user_id: r for r in window_longest_streak(spark, td).collect()}
+    assert got[1].longest_streak == 3 and got[1].active_days == 5
+    assert got[2].longest_streak == 1 and got[2].active_days == 1

@@ -92,6 +92,12 @@ NESTED_LOOP_ALLOWED = {
     # non-equi join against the BOUNDED bands dimension (the documented
     # range-join shape; bands is a closed set at any scale)
     "range_join_amount_bands",
+    # r5 additions: 1-row totals broadcast (DSIR λ normalizer /
+    # seasonal grand mean) and the O(|queries|·dim) broadcast query
+    # tower of the late-interaction scorer
+    "corpus_dsir_weights",
+    "ts_seasonality_profile",
+    "ann_chunk_maxsim_topk",
 }
 
 ARROW_ALLOWED = {

@@ -478,12 +478,17 @@ def _ivf_probe(
     k: int,
     n_probes: int = IVF_PROBES,
     model: list[tuple[int, list[float]]] | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Shared IVF probe pipeline: per-vector cell assignment (argmax
     cosine — a narrow inline map when the centroids are already
     driver-side, else broadcast-join) -> queries probe their ``n_probes``
-    nearest cells -> exact scoring inside probed cells only."""
-    if model is not None:
+    nearest cells -> exact scoring inside probed cells only. A caller
+    sweeping ``n_probes`` passes a precomputed ``assigned`` table so the
+    corpus is cell-assigned once, not once per sweep point."""
+    if assigned is not None:
+        pass
+    elif model is not None:
         assigned = assign_cells_arrow(base, model, keep_vec=True).select(
             "vec_id", "v", "cent_id"
         )
@@ -1516,3 +1521,87 @@ def label_centroid_separation_sql(src: str = "embeddings") -> str:
                  AS centroid_cosine
         FROM cents a JOIN cents b ON a.label < b.label
     """
+
+
+# ------------------------------------------------- IVF probe-count sweep
+def ivf_probe_sweep(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    probe_counts: tuple[int, ...] = (1, 2, 4),
+) -> DataFrame:
+    """Recall@k per probe count — the IVF TUNING CURVE (recall rises
+    with probes, cost rises linearly; a deployment picks the knee).
+    One row per sweep point: (n_probes, n_queries, mean_recall).
+
+    The corpus is cell-assigned ONCE (the assignment table is
+    :func:`~.partitioning.materialize`'d and shared by every sweep
+    point — re-assigning per probe count would multiply the dominant
+    cost by |sweep|); each sweep point then only re-runs the
+    probe-selection + in-cell scoring, whose cost is the point being
+    measured. The exact top-k baseline is likewise computed once."""
+    from .partitioning import materialize
+
+    base = emb.select("vec_id", _vec_double().alias("v"))
+    model = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]])
+        for r in base.filter(F.col("vec_id") < IVF_CENTROIDS).collect()
+    ]
+    cents = _model_df(emb.sparkSession, model)
+    assigned = materialize(
+        assign_cells_arrow(base, model, keep_vec=True).select(
+            "vec_id", "v", "cent_id"
+        )
+    )
+    exact = materialize(
+        cosine_topk(emb, query_ids, k).select("query_id", "neighbor_id")
+    )
+    outs = []
+    for p in probe_counts:
+        approx = _ivf_probe(
+            base, cents, query_ids, k, n_probes=p, assigned=assigned
+        ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+        outs.append(
+            exact.join(approx, ["query_id", "neighbor_id"], "left").agg(
+                F.lit(p).cast("int").alias("n_probes"),
+                F.countDistinct("query_id").cast("long").alias("n_queries"),
+                F.round(
+                    F.count("hit")
+                    / (F.lit(float(k)) * F.countDistinct("query_id")),
+                    4,
+                ).alias("mean_recall"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def ivf_probe_sweep_sql(
+    query_ids: list[int],
+    k: int = 5,
+    probe_counts: tuple[int, ...] = (1, 2, 4),
+    src: str = "embeddings",
+) -> str:
+    exact = cosine_topk_sql(query_ids, k, src)
+    prefix = f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src}),
+        cents AS (
+          SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {IVF_CENTROIDS}
+        )"""
+    points = []
+    for p in probe_counts:
+        approx = _ivf_probe_sql(prefix, query_ids, k, n_probes=p)
+        points.append(
+            f"""
+        SELECT CAST({p} AS INTEGER) AS n_probes,
+               CAST(COUNT(DISTINCT x.query_id) AS BIGINT) AS n_queries,
+               ROUND(COUNT(a.neighbor_id)
+                     / (CAST({k} AS DOUBLE) * COUNT(DISTINCT x.query_id)), 4)
+                 AS mean_recall
+        FROM ({exact}) x
+        LEFT JOIN ({approx}) a
+          ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+        """
+        )
+    return " UNION ALL ".join(points)

@@ -76,6 +76,10 @@ QUERIES = {
     "ann_chunk_maxsim_topk": lambda s, d: H.chunk_maxsim_topk(
         load_table(s, d, "documents"), MAXSIM_QUERY_DOCS, k=5
     ),
+    # r5: IVF tuning curve — recall@k per probe count, one assignment
+    "ann_ivf_probe_sweep": lambda s, d: S.ivf_probe_sweep(
+        _emb(s, d), _QUERY_IDS, k=5
+    ),
     "ann_lsh_near_pairs": lambda s, d: S.lsh_near_pairs(_emb(s, d), threshold=0.35),
     "ann_ivf_topk": lambda s, d: S.ivf_topk(_emb(s, d), _QUERY_IDS, k=5),
     "ann_similar_pairs": lambda s, d: S.lsh_near_pairs(_emb(s, d), threshold=0.45),
@@ -135,6 +139,7 @@ ORACLES = {
     "ann_cosine_topk": S.cosine_topk_sql(_QUERY_IDS, k=5),
     "hybrid_search_rrf": H.hybrid_search_rrf_sql(HYBRID_TERMS, HYBRID_QVEC),
     "ann_chunk_maxsim_topk": H.chunk_maxsim_topk_sql(MAXSIM_QUERY_DOCS, k=5),
+    "ann_ivf_probe_sweep": S.ivf_probe_sweep_sql(_QUERY_IDS, k=5),
     "emb_jl_distortion": S.jl_distortion_sql(),
     "sample_kcenter_diverse": S.kcenter_select_sql(),
     "emb_label_separation": S.label_centroid_separation_sql(),

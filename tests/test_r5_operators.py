@@ -1043,3 +1043,29 @@ def test_longest_streak_islands(spark):
         got = {r.user_id: r for r in window_longest_streak(spark, td).collect()}
     assert got[1].longest_streak == 3 and got[1].active_days == 5
     assert got[2].longest_streak == 1 and got[2].active_days == 1
+
+
+def test_ivf_probe_sweep_recall_monotone(spark):
+    # Recall@k can only improve as more cells are probed; at probes ==
+    # IVF_CENTROIDS the search is exhaustive so recall == 1.0.
+    from audience_manager_platform_spark.operators.similarity import (
+        IVF_CENTROIDS,
+        ivf_probe_sweep,
+    )
+
+    import math
+
+    vecs = []
+    for i in range(40):
+        a = 2 * math.pi * (i / 40.0)
+        vecs.append((i, [math.cos(a), math.sin(a), 0.1 * (i % 3)], i % 2))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], lab) for i, v, lab in vecs],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r.n_probes: r for r in
+           ivf_probe_sweep(emb, [20, 30], k=3,
+                           probe_counts=(1, 2, IVF_CENTROIDS)).collect()}
+    assert got[1].mean_recall <= got[2].mean_recall <= got[IVF_CENTROIDS].mean_recall
+    assert got[IVF_CENTROIDS].mean_recall == 1.0
+    assert all(r.n_queries == 2 for r in got.values())

@@ -98,6 +98,8 @@ NESTED_LOOP_ALLOWED = {
     "corpus_dsir_weights",
     "ts_seasonality_profile",
     "ann_chunk_maxsim_topk",
+    # sweep re-runs the K-row centroid cross join per probe point
+    "ann_ivf_probe_sweep",
 }
 
 ARROW_ALLOWED = {
@@ -123,6 +125,7 @@ ARROW_ALLOWED = {
     "heavy_hitters_value_bands",  # Misra-Gries per-partition kernel
     "streaming_stateful_spend",
     "ann_recall_ivf_vs_exact",
+    "ann_ivf_probe_sweep",
     "dedup_semantic",
     "emb_jl_distortion",
     "sample_kcenter_diverse",

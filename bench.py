@@ -86,6 +86,12 @@ HEADLINE = [
     "dedup_duplicate_spans",
     "text_bpe_train",
     "privacy_dp_event_counts",
+    # r5 wave 4: DSIR data selection, late-interaction retrieval,
+    # MinHash estimator audit, IVF tuning sweep
+    "corpus_dsir_weights",
+    "ann_chunk_maxsim_topk",
+    "dedup_minhash_accuracy",
+    "ann_ivf_probe_sweep",
 ]
 
 # Repeats per query: medians make the bench regression-proof (r3 saw a
@@ -103,6 +109,8 @@ HEAVY = {
     "pq_code_histogram",
     "pagerank_customer_supplier",
     "ann_ivfpq_residual_topk",
+    "dedup_minhash_accuracy",
+    "ann_ivf_probe_sweep",
 }
 
 

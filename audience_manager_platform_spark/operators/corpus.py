@@ -760,7 +760,7 @@ def dsir_weights_sql(
     t = tokens_sql("text")
     h = _HASH60_DUCK.format(x="term")
     return f"""
-        WITH hashed AS (
+        WITH hashed AS MATERIALIZED (
           SELECT doc_id, lang, ({h}) % {buckets} AS bucket
           FROM (SELECT doc_id, lang, UNNEST({t}) AS term FROM {src}) e
         ),
@@ -772,7 +772,7 @@ def dsir_weights_sql(
           SELECT bucket, COUNT(*) AS t FROM hashed
           WHERE lang = '{target_lang}' GROUP BY 1
         ),
-        lam AS (
+        lam AS MATERIALIZED (
           SELECT raw.bucket, COALESCE(tgt.t, 0) AS t, raw.r
           FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket
         ),

@@ -1244,8 +1244,8 @@ def minhash_accuracy_sql(
     t = tokens_sql("text")
     g = word_ngrams_sql("toks", n)
     return f"""
-        WITH pairs AS ({minhash_lsh_pairs_sql(src, est_threshold, n, max_band_size)}),
-        gsets AS (
+        WITH pairs AS MATERIALIZED ({minhash_lsh_pairs_sql(src, est_threshold, n, max_band_size)}),
+        gsets AS MATERIALIZED (
           SELECT doc_id, list_distinct({g}) AS grams
           FROM (SELECT doc_id, {t} AS toks FROM {src}) tk
         ),
@@ -1254,7 +1254,7 @@ def minhash_accuracy_sql(
           SELECT doc_a AS doc_id FROM pairs
           UNION SELECT doc_b FROM pairs
         ),
-        ex AS (
+        ex AS MATERIALIZED (
           SELECT doc_id, UNNEST(grams) AS gram FROM gsets
           WHERE doc_id IN (SELECT doc_id FROM ids)
         ),

@@ -218,7 +218,7 @@ def chunk_maxsim_topk_sql(
           FROM ({hash_embed_sql(queries_rel, dim)}) qe
           WHERE list_sum(list_transform(embedding, x -> x * x)) > 0
         ),
-        scored AS (
+        scored AS MATERIALIZED (
           SELECT query_id, doc_id, chunk_idx,
                  ROUND(list_cosine_similarity(qv, cv), 6) AS cos
           FROM cvec CROSS JOIN qvec

@@ -314,6 +314,39 @@ def main() -> None:
         "count-min sketch (10 probes)",
         cms_estimate(typed_events, "user_id", list(range(10))),
     )
+
+    # ------------------------- round-5 wave-4 additions at scale
+    from audience_manager_platform_spark.operators.corpus import dsir_weights
+    from audience_manager_platform_spark.operators.dedup import (
+        minhash_accuracy,
+    )
+    from audience_manager_platform_spark.operators.hybrid import (
+        chunk_maxsim_topk,
+    )
+    from audience_manager_platform_spark.operators.similarity import (
+        ivf_probe_sweep,
+    )
+
+    ROWS = n_docs
+    # a fifth of the corpus is the "target domain" slice
+    tagged = docs.withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 5 == 0, F.lit("en")).otherwise(F.lit("de")),
+    )
+    timed("DSIR importance weights", dsir_weights(tagged))
+    timed(
+        "MinHash estimator accuracy audit",
+        minhash_accuracy(docs, max_band_size=200),
+    )
+    timed(
+        "chunk MaxSim top-5 (5 queries)",
+        chunk_maxsim_topk(docs, [0, 50, 100, 150, 200], k=5),
+    )
+    ROWS = n_vecs
+    timed(
+        "IVF probe sweep (1/2/4 probes, 5 queries)",
+        ivf_probe_sweep(vecs, [0, 1, 2, 3, 4], k=5),
+    )
     spark.stop()
 
 

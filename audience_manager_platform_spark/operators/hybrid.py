@@ -154,17 +154,28 @@ def chunk_maxsim_topk(
     norm2 = lambda c: F.aggregate(  # noqa: E731
         c, F.lit(0.0), lambda a, x: a + x * x
     )
+    # norms computed ONCE per side (the generic cosine_similarity would
+    # re-derive the chunk norm per query and the filter re-derived it
+    # again: 6 HOF passes per chunk at 5 queries; now 1)
+    cvec_n = cvec.select(
+        "doc_id", "chunk_idx", "cv", F.sqrt(norm2(F.col("cv"))).alias("cn")
+    ).filter(F.col("cn") > 0)
+    qvec_n = qvec.select(
+        "query_id", "qv", F.sqrt(norm2(F.col("qv"))).alias("qn")
+    ).filter(F.col("qn") > 0)
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     scored = (
-        cvec.filter(norm2(F.col("cv")) > 0)
-        .crossJoin(F.broadcast(qvec.filter(norm2(F.col("qv")) > 0)))
+        cvec_n.crossJoin(F.broadcast(qvec_n))
         .filter(F.col("doc_id") != F.col("query_id"))
         .select(
             "query_id",
             "doc_id",
             "chunk_idx",
-            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias(
-                "cos"
-            ),
+            F.round(dot / (F.col("qn") * F.col("cn")), 6).alias("cos"),
         )
     )
     pooled = scored.groupBy("query_id", "doc_id").agg(

@@ -1166,13 +1166,22 @@ def hash_embed(docs: DataFrame, dim: int = HASH_EMBED_DIM) -> DataFrame:
     buckets = hashed.groupBy("doc_id", "bucket").agg(
         F.sum("sgn").alias("w")
     )
-    vec = F.expr(
-        f"transform(sequence(0, {dim - 1}), j -> "
-        "coalesce(element_at(map_from_entries(collect_list(struct(bucket, w))), j),"
-        " cast(0.0 as double)))"
+    # build the (bucket -> weight) map ONCE per doc in the aggregate,
+    # then assemble the dense vector from it in a separate projection —
+    # keeps the map construction visibly out of the per-dimension
+    # lambda (codegen subexpression elimination covered the inlined
+    # form, but only as an optimizer courtesy this shape doesn't need)
+    m = buckets.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "w"))
+        ).alias("_m")
     )
-    return buckets.groupBy("doc_id").agg(vec.alias("embedding")).select(
-        F.col("doc_id").alias("vec_id"), "embedding"
+    return m.select(
+        F.col("doc_id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), j -> "
+            "coalesce(element_at(_m, j), cast(0.0 as double)))"
+        ).alias("embedding"),
     )
 
 

@@ -859,3 +859,130 @@ def dup_rate_by_source_sql(src: str = "documents") -> str:
         FROM fp JOIN fam USING (fingerprint)
         GROUP BY source
     """
+
+
+# -------------------------------------------------- curation filter funnel
+def filter_funnel(docs: DataFrame) -> DataFrame:
+    """Stage-by-stage attrition through the standard curation cascade —
+    language-ID → Gopher quality gate → exact dedup — the funnel report
+    every curation run publishes (each row: docs entering the stage,
+    survivors, dropped, survival ratio). The conjunction is CUMULATIVE
+    in pipeline order, so the numbers answer "which stage costs us the
+    most data" rather than scoring stages in isolation.
+
+    Shape at scale: the three per-doc verdicts are each the documented
+    map-stage / fingerprint-keyed shapes of their operators; they join
+    on doc_id into ONE flag table, and the funnel itself is a single
+    1-row aggregate unpivoted to |stages| rows — exact integer counts,
+    so cross-engine equality is exact.
+    """
+    from .text import gopher_quality, language_id
+
+    lang = language_id(docs).select(
+        "doc_id", (F.col("detected_lang") != "und").alias("lang_ok")
+    )
+    goph = gopher_quality(docs).select(
+        "doc_id", F.col("keep").alias("gopher_ok")
+    )
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.array_join(tokens_col("text"), " ")).alias("fingerprint"),
+    )
+    keeper = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keeper_id"))
+    uniq = fp.join(keeper, "fingerprint").select(
+        "doc_id", (F.col("doc_id") == F.col("keeper_id")).alias("uniq_ok")
+    )
+    flags = (
+        docs.select("doc_id")
+        .join(lang, "doc_id")
+        .join(goph, "doc_id")
+        .join(uniq, "doc_id")
+    )
+    agg = flags.agg(
+        F.count("*").alias("s0"),
+        F.sum(F.when(F.col("lang_ok"), 1).otherwise(0)).alias("s1"),
+        F.sum(
+            F.when(F.col("lang_ok") & F.col("gopher_ok"), 1).otherwise(0)
+        ).alias("s2"),
+        F.sum(
+            F.when(
+                F.col("lang_ok") & F.col("gopher_ok") & F.col("uniq_ok"), 1
+            ).otherwise(0)
+        ).alias("s3"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3,"
+            " 1, 'language_id',    s0, s1,"
+            " 2, 'gopher_quality', s1, s2,"
+            " 3, 'exact_dedup',    s2, s3"
+            ") as (stage, stage_name, entered, survivors)"
+        )
+    ).select(
+        "stage",
+        "stage_name",
+        F.col("entered").cast("long").alias("entered"),
+        F.col("survivors").cast("long").alias("survivors"),
+        (F.col("entered") - F.col("survivors")).cast("long").alias("dropped"),
+        F.round(
+            F.col("survivors")
+            / F.nullif(F.col("entered"), F.lit(0)).cast("double"),
+            6,
+        ).alias("survival_ratio"),
+    )
+
+
+def filter_funnel_sql(src: str = "documents") -> str:
+    from .text import gopher_quality_sql, language_id_sql
+
+    t = tokens_sql("text")
+    return f"""
+        WITH lang AS MATERIALIZED (
+          SELECT doc_id, detected_lang != 'und' AS lang_ok
+          FROM ({language_id_sql(src)}) l
+        ),
+        goph AS MATERIALIZED (
+          SELECT doc_id, keep AS gopher_ok FROM ({gopher_quality_sql(src)}) g
+        ),
+        fp AS MATERIALIZED (
+          SELECT doc_id, md5(array_to_string({t}, ' ')) AS fingerprint
+          FROM {src}
+        ),
+        keeper AS (
+          SELECT fingerprint, MIN(doc_id) AS keeper_id FROM fp GROUP BY 1
+        ),
+        uniq AS (
+          SELECT fp.doc_id, fp.doc_id = keeper_id AS uniq_ok
+          FROM fp JOIN keeper USING (fingerprint)
+        ),
+        flags AS (
+          SELECT d.doc_id, lang_ok, gopher_ok, uniq_ok
+          FROM (SELECT doc_id FROM {src}) d
+          JOIN lang USING (doc_id)
+          JOIN goph USING (doc_id)
+          JOIN uniq USING (doc_id)
+        ),
+        agg AS MATERIALIZED (
+          SELECT COUNT(*) AS s0,
+                 SUM(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS s1,
+                 SUM(CASE WHEN lang_ok AND gopher_ok THEN 1 ELSE 0 END) AS s2,
+                 SUM(CASE WHEN lang_ok AND gopher_ok AND uniq_ok
+                     THEN 1 ELSE 0 END) AS s3
+          FROM flags
+        ),
+        stages AS (
+          SELECT 1 AS stage, 'language_id' AS stage_name,
+                 s0 AS entered, s1 AS survivors FROM agg
+          UNION ALL
+          SELECT 2, 'gopher_quality', s1, s2 FROM agg
+          UNION ALL
+          SELECT 3, 'exact_dedup', s2, s3 FROM agg
+        )
+        SELECT stage, stage_name,
+               CAST(entered AS BIGINT) AS entered,
+               CAST(survivors AS BIGINT) AS survivors,
+               CAST(entered - survivors AS BIGINT) AS dropped,
+               ROUND(survivors / CAST(NULLIF(entered, 0) AS DOUBLE), 6)
+                 AS survival_ratio
+        FROM stages
+    """

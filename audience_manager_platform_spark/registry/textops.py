@@ -201,6 +201,8 @@ QUERIES = {
     "corpus_dup_rate_by_source": lambda s, d: C.dup_rate_by_source(
         _docs(s, d)
     ),
+    # r5: langid -> gopher -> dedup attrition funnel
+    "corpus_filter_funnel": lambda s, d: C.filter_funnel(_docs(s, d)),
 }
 
 ORACLES = {
@@ -271,4 +273,5 @@ ORACLES = {
     "corpus_quality_bins": C.quality_bins_sql(),
     "corpus_dsir_weights": C.dsir_weights_sql(),
     "corpus_dup_rate_by_source": C.dup_rate_by_source_sql(),
+    "corpus_filter_funnel": C.filter_funnel_sql(),
 }

@@ -1069,3 +1069,39 @@ def test_ivf_probe_sweep_recall_monotone(spark):
     assert got[1].mean_recall <= got[2].mean_recall <= got[IVF_CENTROIDS].mean_recall
     assert got[IVF_CENTROIDS].mean_recall == 1.0
     assert all(r.n_queries == 2 for r in got.values())
+
+
+def test_filter_funnel_cumulative_attrition(spark):
+    # 3 docs: one healthy English doc, one exact copy of it (dedup
+    # drop), one gibberish doc with no stopwords (gopher drop).
+    from audience_manager_platform_spark.operators.corpus import filter_funnel
+
+    # >=20 words, mean word length in [3,10], has stopwords, and
+    # distinct enough to clear the dup-word-frac <= 0.6 gate
+    healthy = (
+        "the quick brown fox jumped over one lazy sleeping dog while "
+        "and many other animals watched from nearby shaded benches "
+        "with great interest during that warm quiet summer afternoon"
+    )
+    gibberish = " ".join(f"zqxv{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (0, healthy, "en", "web", 1),
+            (1, healthy, "en", "web", 1),
+            (2, gibberish, "en", "web", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.stage_name: r for r in filter_funnel(docs).collect()}
+    assert got["language_id"].entered == 3
+    # the gibberish doc may or may not clear langid; whatever survives
+    # language_id enters gopher, and the funnel is monotone
+    assert got["gopher_quality"].entered == got["language_id"].survivors
+    assert got["exact_dedup"].entered == got["gopher_quality"].survivors
+    assert got["exact_dedup"].survivors <= got["exact_dedup"].entered
+    # the copy (doc 1) is dropped by dedup: of the two healthy copies
+    # only one survives the final stage
+    assert got["exact_dedup"].survivors == 1
+    assert got["gopher_quality"].survivors == 2  # gibberish dropped
+    for r in got.values():
+        assert r.dropped == r.entered - r.survivors

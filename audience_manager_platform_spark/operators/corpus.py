@@ -986,3 +986,69 @@ def filter_funnel_sql(src: str = "documents") -> str:
                  AS survival_ratio
         FROM stages
     """
+
+
+# ------------------------------------------------ packing efficiency
+def pack_efficiency(
+    docs: DataFrame, token_budget: int = 256, n_shards: int = 32
+) -> DataFrame:
+    """Context-window utilization report over :func:`pack_sequences` —
+    "how much of every training context am I wasting": bins grouped by
+    fill decile (0..10, where 10 = exactly/over budget), with bin and
+    doc counts and the mean fill ratio per band. A left-heavy histogram
+    means the packer is leaving paid-for context tokens empty; the
+    over-budget band counts long docs that spill past one window (the
+    tokenizer splits those downstream).
+
+    Shape: the packer's one shard-keyed window, then TWO map-side-
+    combinable aggregates ((shard, bin) sums → |bands| rollup) — exact
+    integer token counts end-to-end, so cross-engine equality is exact.
+    """
+    packed = pack_sequences(docs, token_budget, n_shards)
+    bins = packed.groupBy("shard", "bin_id").agg(
+        F.sum("n_tokens").alias("used"),
+        F.count("*").alias("docs_in_bin"),
+    )
+    band = F.least(
+        F.floor(F.col("used") * 10 / token_budget), F.lit(10)
+    ).cast("int")
+    return (
+        bins.groupBy(band.alias("fill_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_bins"),
+            F.sum("docs_in_bin").cast("long").alias("n_docs"),
+            F.round(
+                F.avg(
+                    F.least(
+                        F.col("used") / F.lit(float(token_budget)), F.lit(1.0)
+                    )
+                ),
+                6,
+            ).alias("avg_fill"),
+            F.sum(
+                F.when(F.col("used") > token_budget, 1).otherwise(0)
+            ).cast("long").alias("overflow_bins"),
+        )
+    )
+
+
+def pack_efficiency_sql(
+    src: str = "documents", token_budget: int = 256, n_shards: int = 32
+) -> str:
+    return f"""
+        WITH packed AS ({pack_sequences_sql(src, token_budget, n_shards)}),
+        bins AS (
+          SELECT shard, bin_id, SUM(n_tokens) AS used,
+                 COUNT(*) AS docs_in_bin
+          FROM packed GROUP BY 1, 2
+        )
+        SELECT CAST(LEAST(FLOOR(used * 10 / {token_budget}), 10) AS INTEGER)
+                 AS fill_band,
+               CAST(COUNT(*) AS BIGINT) AS n_bins,
+               CAST(SUM(docs_in_bin) AS BIGINT) AS n_docs,
+               ROUND(AVG(LEAST(used / CAST({token_budget} AS DOUBLE), 1.0)), 6)
+                 AS avg_fill,
+               CAST(SUM(CASE WHEN used > {token_budget} THEN 1 ELSE 0 END)
+                 AS BIGINT) AS overflow_bins
+        FROM bins GROUP BY 1
+    """

@@ -203,6 +203,8 @@ QUERIES = {
     ),
     # r5: langid -> gopher -> dedup attrition funnel
     "corpus_filter_funnel": lambda s, d: C.filter_funnel(_docs(s, d)),
+    # r5: context-window fill histogram over the packer
+    "corpus_pack_efficiency": lambda s, d: C.pack_efficiency(_docs(s, d)),
 }
 
 ORACLES = {
@@ -274,4 +276,5 @@ ORACLES = {
     "corpus_dsir_weights": C.dsir_weights_sql(),
     "corpus_dup_rate_by_source": C.dup_rate_by_source_sql(),
     "corpus_filter_funnel": C.filter_funnel_sql(),
+    "corpus_pack_efficiency": C.pack_efficiency_sql(),
 }

@@ -1105,3 +1105,25 @@ def test_filter_funnel_cumulative_attrition(spark):
     assert got["gopher_quality"].survivors == 2  # gibberish dropped
     for r in got.values():
         assert r.dropped == r.entered - r.survivors
+
+
+def test_pack_efficiency_bands_and_overflow(spark):
+    # budget 8: doc A (5 tok) + doc B (3 tok) exactly fill bin 0 of
+    # shard 0; doc C (12 tok) overflows its own bin.
+    from audience_manager_platform_spark.operators.corpus import (
+        pack_efficiency,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e", "en", "web", 1),
+            (32, "f g h", "en", "web", 1),           # same shard as 0 (id%32)
+            (1, " ".join(f"t{i}" for i in range(12)), "en", "web", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.fill_band: r for r in
+           pack_efficiency(docs, token_budget=8, n_shards=32).collect()}
+    # shard0 bin0: 5+3 = 8/8 -> band 10 full; shard1 doc C: 12 > 8 -> band 10 overflow
+    assert got[10].n_bins == 2 and got[10].n_docs == 3
+    assert got[10].overflow_bins == 1

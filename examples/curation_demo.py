@@ -82,6 +82,23 @@ def main():
         "shard_id", "pos_in_shard"
     ).show(8)
 
+    print("== filter funnel: where the corpus actually shrinks (r5 w4) ==")
+    C.filter_funnel(docs).orderBy("stage").show()
+
+    print("== DSIR importance weights toward the 'en' slice (r5 w4) ==")
+    C.dsir_weights(docs).orderBy(F.desc("dsir_logw")).show(5)
+
+    print("== per-source dup / syndication profile (r5 w4) ==")
+    C.dup_rate_by_source(docs).orderBy(F.desc("dup_rate")).show(5)
+
+    print("== context-window fill histogram of the packer (r5 w4) ==")
+    C.pack_efficiency(docs.join(keep, "doc_id")).orderBy("fill_band").show()
+
+    print("== MinHash estimator accuracy vs exact Jaccard (r5 w4) ==")
+    D.minhash_accuracy(docs, est_threshold=0.5).orderBy(
+        F.desc("est_jaccard")
+    ).show(5)
+
 
 if __name__ == "__main__":
     main()

@@ -1311,3 +1311,107 @@ def spend_percentile_rank_sql(src: str = "events") -> str:
                  AS spend_pct_rank
         FROM per_user
     """
+
+
+def ab_conversion_ztest(
+    events: DataFrame, convert_type: str = "purchase"
+) -> DataFrame:
+    """Two-proportion conversion z-test between hash-bucketed variants —
+    the experimentation readout a campaign/audience platform serves next
+    to its segment counts. Unit = USER (the standard assignment grain:
+    ``user_id % 2`` stands in for ``hash(user) % arms``; swap the bucket
+    expression for the salted split hash when arms are configured),
+    conversion = at least one ``convert_type`` event.
+
+    One user-keyed combinable aggregate compacts events to a per-user
+    conversion bit; everything after is a 1-row conditional aggregate —
+    at any event volume the statistics cost one reduce. z is computed
+    from exact integer counts with an identical expression shape on both
+    engines (divisions of the same integers → identical doubles), so the
+    6dp rounding is hash-stable."""
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == convert_type, 1).otherwise(0)
+            ).alias("conv")
+        )
+        .select((F.col("user_id") % 2).alias("variant"), "conv")
+    )
+    row = per_user.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    )
+    pa = F.col("conv_a") / F.nullif(F.col("n_a"), F.lit(0)).cast("double")
+    pb = F.col("conv_b") / F.nullif(F.col("n_b"), F.lit(0)).cast("double")
+    pooled = (F.col("conv_a") + F.col("conv_b")) / F.nullif(
+        F.col("n_a") + F.col("n_b"), F.lit(0)
+    ).cast("double")
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0) / F.nullif(F.col("n_a"), F.lit(0)).cast("double")
+            + F.lit(1.0) / F.nullif(F.col("n_b"), F.lit(0)).cast("double")
+        )
+    )
+    # a degenerate pool (everyone or no one converts, or an empty arm)
+    # has zero standard error — z is undefined, emitted NULL, never an
+    # ANSI divide-by-zero or an engine-dependent inf
+    z = F.when(se > 0, F.round((pb - pa) / se, 6))
+    return row.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("conv_a").cast("long").alias("conv_a"),
+        F.col("conv_b").cast("long").alias("conv_b"),
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(pb - pa, 6).alias("abs_lift"),
+        z.alias("z_score"),
+    )
+
+
+def ab_conversion_ztest_sql(
+    src: str = "events", convert_type: str = "purchase"
+) -> str:
+    return f"""
+        WITH per_user AS (
+          SELECT user_id % 2 AS variant,
+                 MAX(CASE WHEN event_type = '{convert_type}'
+                     THEN 1 ELSE 0 END) AS conv
+          FROM {src} GROUP BY user_id
+        ),
+        agg AS MATERIALIZED (
+          SELECT SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+                 SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+                 SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS conv_a,
+                 SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS conv_b
+          FROM per_user
+        )
+        , terms AS (
+          SELECT n_a, n_b, conv_a, conv_b,
+                 conv_a / CAST(NULLIF(n_a, 0) AS DOUBLE) AS pa,
+                 conv_b / CAST(NULLIF(n_b, 0) AS DOUBLE) AS pb,
+                 SQRT(((conv_a + conv_b) / CAST(NULLIF(n_a + n_b, 0) AS DOUBLE))
+                   * (1.0 - (conv_a + conv_b)
+                      / CAST(NULLIF(n_a + n_b, 0) AS DOUBLE))
+                   * (1.0 / CAST(NULLIF(n_a, 0) AS DOUBLE)
+                      + 1.0 / CAST(NULLIF(n_b, 0) AS DOUBLE))) AS se
+          FROM agg
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               CAST(conv_a AS BIGINT) AS conv_a,
+               CAST(conv_b AS BIGINT) AS conv_b,
+               ROUND(pa, 6) AS rate_a,
+               ROUND(pb, 6) AS rate_b,
+               ROUND(pb - pa, 6) AS abs_lift,
+               CASE WHEN se > 0 THEN ROUND((pb - pa) / se, 6) END AS z_score
+        FROM terms
+    """

@@ -149,6 +149,10 @@ QUERIES = {
     "analytics_event_transitions": lambda s, d: A.event_transitions(
         load_table(s, d, "events")
     ),
+    # r5 wave 4: two-proportion A/B conversion z-test
+    "analytics_ab_conversion_ztest": lambda s, d: A.ab_conversion_ztest(
+        load_table(s, d, "events")
+    ),
     "analytics_burst_stats": lambda s, d: A.burst_stats(
         load_table(s, d, "events")
     ),
@@ -320,6 +324,7 @@ ORACLES = {
     "analytics_session_metrics": A.session_metrics_sql(),
     "analytics_funnel_latency": A.funnel_latency_sql(),
     "analytics_event_transitions": A.event_transitions_sql(),
+    "analytics_ab_conversion_ztest": A.ab_conversion_ztest_sql(),
     "analytics_burst_stats": A.burst_stats_sql(),
     "analytics_stickiness": A.stickiness_sql(),
     "analytics_revenue_gini": A.revenue_gini_sql(),

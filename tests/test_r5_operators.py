@@ -1127,3 +1127,36 @@ def test_pack_efficiency_bands_and_overflow(spark):
     # shard0 bin0: 5+3 = 8/8 -> band 10 full; shard1 doc C: 12 > 8 -> band 10 overflow
     assert got[10].n_bins == 2 and got[10].n_docs == 3
     assert got[10].overflow_bins == 1
+
+
+def test_ab_ztest_detects_planted_lift(spark):
+    # even users (variant A) never convert; odd users (variant B) all
+    # convert -> rate_a=0, rate_b=1, z large and positive.
+    from audience_manager_platform_spark.operators.analytics import (
+        ab_conversion_ztest,
+    )
+
+    rows = []
+    for u in range(20):
+        et = "purchase" if u % 2 == 1 else "view"
+        rows.append((datetime(2024, 1, 1 + (u % 5)), u, et, 10.0))
+        rows.append((datetime(2024, 1, 2 + (u % 5)), u, "view", 1.0))
+    got = ab_conversion_ztest(_events(spark, rows)).collect()[0]
+    assert got.n_a == 10 and got.n_b == 10
+    assert got.rate_a == 0.0 and got.rate_b == 1.0
+    assert got.abs_lift == 1.0
+    # z = 1 / sqrt(0.5*0.5*(0.1+0.1)) = sqrt(20) ~ 4.472136
+    assert abs(got.z_score - 4.472136) < 1e-6
+
+
+def test_ab_ztest_null_effect_is_zero(spark):
+    from audience_manager_platform_spark.operators.analytics import (
+        ab_conversion_ztest,
+    )
+
+    rows = [(datetime(2024, 1, 1), u, "purchase", 5.0) for u in range(8)]
+    got = ab_conversion_ztest(_events(spark, rows)).collect()[0]
+    assert got.rate_a == got.rate_b == 1.0
+    # se is 0 when p==1; the z expression divides by zero -> inf/NaN is
+    # unacceptable output: a degenerate pool must still emit a row
+    assert got.abs_lift == 0.0

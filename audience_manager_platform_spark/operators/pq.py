@@ -958,3 +958,104 @@ def ivfpq_residual_topk_sql(
           FROM scored
         ) r WHERE rank <= {k}
     """
+
+
+# ------------------------------------------------- PQ quantization-loss QA
+def pq_recall_eval(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    iters: int = PQ_ITERS,
+    model: Model | None = None,
+) -> DataFrame:
+    """Recall@k of the PQ/ADC path against the EXACT L2 scan — the
+    quantization-loss audit (the IVF counterpart is
+    :func:`~.similarity.recall_eval`): how many of the true k nearest
+    neighbors survive 64-dim float32 → 4x4-bit code compression. This
+    is the number a deployment reads before trading 64x memory for
+    recall, and the honest companion to the ADC top-k itself (recall <
+    1 is the documented semantics, here it is MEASURED).
+
+    Exact side: brute-force squared-L2 with the distance UNROLLED as
+    the same left-associated per-dimension chain on both engines (the
+    join carries the query vector, so no driver-side literals); both
+    sides are |queries| x k after their rank windows, and the compare
+    join is driver-scale at any corpus size."""
+    from .similarity import EMBED_DIM
+
+    base = emb.select("vec_id", _vec_double().alias("v"))
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    d2 = F.expr(
+        " + ".join(
+            f"(v[{i}] - qv[{i}]) * (v[{i}] - qv[{i}])"
+            for i in range(EMBED_DIM)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("d2"), F.asc("neighbor_id")
+    )
+    exact = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(d2, 6).alias("d2"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    approx = pq_adc_topk(emb, query_ids, k, iters, model=model).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("hits"),
+            F.round(F.count("hit") / F.lit(float(k)), 4).alias("recall_at_k"),
+        )
+    )
+
+
+def pq_recall_eval_sql(
+    query_ids: list[int],
+    k: int = 5,
+    iters: int = PQ_ITERS,
+    src: str = "embeddings",
+) -> str:
+    from .similarity import EMBED_DIM
+
+    ids = ", ".join(str(i) for i in query_ids)
+    d2 = " + ".join(
+        f"(e.v[{i + 1}] - q.qv[{i + 1}]) * (e.v[{i + 1}] - q.qv[{i + 1}])"
+        for i in range(EMBED_DIM)
+    )
+    approx = pq_adc_topk_sql(query_ids, k, iters, src)
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src}
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e
+              WHERE vec_id IN ({ids})),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY ROUND({d2}, 6) ASC, e.vec_id ASC) AS rank
+            FROM e CROSS JOIN q WHERE e.vec_id != q.query_id
+          ) r WHERE rank <= {k}
+        )
+        SELECT x.query_id,
+               COUNT(a.neighbor_id) AS hits,
+               ROUND(COUNT(a.neighbor_id) / CAST({k} AS DOUBLE), 4)
+                 AS recall_at_k
+        FROM exact x
+        LEFT JOIN ({approx}) a
+          ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+        GROUP BY x.query_id
+    """

@@ -108,6 +108,10 @@ QUERIES = {
     "ann_pq_adc_topk": lambda s, d: PQ.pq_adc_topk(
         _emb(s, d), _QUERY_IDS, k=5, model=_pq_model(s, d)
     ),
+    # r5 wave 4: quantization-loss audit — PQ/ADC recall vs exact L2
+    "ann_recall_pq_vs_exact": lambda s, d: PQ.pq_recall_eval(
+        _emb(s, d), _QUERY_IDS, k=5, model=_pq_model(s, d)
+    ),
     # the composed FAISS layout: learned cells gate the ADC scan
     "ann_ivfpq_adc_topk": lambda s, d: PQ.ivfpq_topk(
         _emb(s, d), _QUERY_IDS, k=5,
@@ -156,6 +160,7 @@ ORACLES = {
     ),
     "pq_code_histogram": PQ.pq_histogram_sql(),
     "ann_pq_adc_topk": PQ.pq_adc_topk_sql(_QUERY_IDS, k=5),
+    "ann_recall_pq_vs_exact": PQ.pq_recall_eval_sql(_QUERY_IDS, k=5),
     "ann_ivfpq_adc_topk": PQ.ivfpq_topk_sql(_QUERY_IDS, k=5),
     "ann_ivfpq_residual_topk": PQ.ivfpq_residual_topk_sql(_QUERY_IDS, k=5),
     "ann_cosine_range_search": S.cosine_range_search_sql(

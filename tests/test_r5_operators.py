@@ -1160,3 +1160,28 @@ def test_ab_ztest_null_effect_is_zero(spark):
     # se is 0 when p==1; the z expression divides by zero -> inf/NaN is
     # unacceptable output: a degenerate pool must still emit a row
     assert got.abs_lift == 0.0
+
+
+def test_pq_recall_eval_perfect_on_separable_vectors(spark):
+    # Recall@1 of the PQ/ADC path against the exact L2 scan stays a
+    # well-formed fraction for every query on a spread-out corpus.
+    from audience_manager_platform_spark.operators.pq import pq_recall_eval
+    from audience_manager_platform_spark.operators.similarity import EMBED_DIM
+
+    import random
+
+    rng = random.Random(7)
+    # enough spread that every subspace keeps all 16 codewords populated
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(EMBED_DIM)], i % 2)
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], lab) for i, v, lab in vecs],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = pq_recall_eval(emb, [0, 1, 2], k=1).collect()
+    assert {r.query_id for r in got} == {0, 1, 2}
+    for r in got:
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert r.hits <= 1

@@ -100,6 +100,9 @@ NESTED_LOOP_ALLOWED = {
     "ann_chunk_maxsim_topk",
     # sweep re-runs the K-row centroid cross join per probe point
     "ann_ivf_probe_sweep",
+    # exact-L2 baseline: |queries| broadcast cross join (the documented
+    # brute-force side of the recall audit)
+    "ann_recall_pq_vs_exact",
 }
 
 ARROW_ALLOWED = {
@@ -125,6 +128,7 @@ ARROW_ALLOWED = {
     "heavy_hitters_value_bands",  # Misra-Gries per-partition kernel
     "streaming_stateful_spend",
     "ann_recall_ivf_vs_exact",
+    "ann_recall_pq_vs_exact",
     "ann_ivf_probe_sweep",
     "dedup_semantic",
     "emb_jl_distortion",

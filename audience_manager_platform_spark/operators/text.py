@@ -1534,3 +1534,77 @@ def bpe_vocab_stats_sql(src: str = "documents", n_merges: int = BPE_MERGES) -> s
                      / CAST(SUM(freq) AS DOUBLE), 6) AS chars_per_token
         FROM s{n_merges}
     """
+
+
+# ---------------------------------------------------- bigram LM scoring
+def bigram_logprob(docs: DataFrame) -> DataFrame:
+    """Corpus-bigram language-model scoring — one order up from
+    :func:`unigram_logprob` on the perplexity-filter ladder: every doc
+    scored by its mean ``ln P(w_i | w_{i-1})`` under add-one smoothing,
+    ``P(b|a) = (c(a,b)+1)/(c(a)+V)``. Word-salad that sails past the
+    unigram filter (common words, impossible sequences) sits in this
+    score's left tail — the signal KenLM-class filters actually use.
+
+    Shape at scale: ONE bigram aggregate (map-side combinable, keyed on
+    the pair string) + the unigram/vocab aggregates shared with the
+    unigram scorer; scoring joins the exploded bigram table against the
+    |bigrams|-row model relation (pair-keyed; Spark picks broadcast vs
+    shuffle from model size), then one doc-keyed mean. The prefix count
+    uses the standard unigram approximation (documented: doc-final
+    tokens count as prefixes they never head)."""
+    from .partitioning import spread
+
+    toked = spread(docs).select("doc_id", tokens_col("text").alias("toks"))
+    big = toked.select(
+        "doc_id", F.explode(word_ngrams_col("toks", 2)).alias("bg")
+    )
+    uni = toked.select("doc_id", F.explode("toks").alias("w"))
+    cb = big.groupBy("bg").agg(F.count("*").alias("cb"))
+    ca = uni.groupBy("w").agg(F.count("*").alias("ca"))
+    v = ca.agg(F.count("*").alias("v_size"))
+    scored = (
+        big.join(cb, "bg")
+        .withColumn("w", F.expr("split_part(bg, ' ', 1)"))
+        .join(ca, "w")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("cb") + F.lit(1.0))
+                / (F.col("ca") + F.col("v_size")).cast("double")
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+
+
+def bigram_logprob_sql(src: str = "documents") -> str:
+    t = tokens_sql("text")
+    g2 = word_ngrams_sql("toks", 2)
+    return f"""
+        WITH toked AS (SELECT doc_id, {t} AS toks FROM {src}),
+        big AS MATERIALIZED (
+          SELECT doc_id, UNNEST({g2}) AS bg FROM toked
+        ),
+        uni AS MATERIALIZED (
+          SELECT doc_id, UNNEST(toks) AS w FROM toked
+        ),
+        cb AS (SELECT bg, COUNT(*) AS cb FROM big GROUP BY bg),
+        ca AS (SELECT w, COUNT(*) AS ca FROM uni GROUP BY w),
+        v AS (SELECT COUNT(*) AS v_size FROM ca),
+        scored AS (
+          SELECT big.doc_id,
+                 LN((cb.cb + 1.0) / CAST(ca.ca + v.v_size AS DOUBLE)) AS lp
+          FROM big
+          JOIN cb USING (bg)
+          JOIN ca ON ca.w = split_part(big.bg, ' ', 1)
+          CROSS JOIN v
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(AVG(lp), 6) AS avg_logprob
+        FROM scored GROUP BY doc_id
+    """

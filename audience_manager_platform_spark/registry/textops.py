@@ -112,6 +112,8 @@ QUERIES = {
     # r5 (deferred window): corpus-unigram LM scoring (perplexity-filter
     # scaffold)
     "text_unigram_logprob": lambda s, d: T.unigram_logprob(_docs(s, d)),
+    # r5 wave 4: one order up the perplexity-filter ladder
+    "text_bigram_logprob": lambda s, d: T.bigram_logprob(_docs(s, d)),
     # r5 (deferred window): Zipf-law corpus health check
     "text_zipf_fit": lambda s, d: T.zipf_fit(_docs(s, d)),
     # r5 (deferred window): hashing-trick vectorizer audit (the no-model
@@ -223,6 +225,7 @@ ORACLES = {
     "text_bm25_topk": T.bm25_topk_sql(BM25_QUERY, k=15),
     "text_quality_logit": T.quality_logit_sql(),
     "text_unigram_logprob": T.unigram_logprob_sql(),
+    "text_bigram_logprob": T.bigram_logprob_sql(),
     "text_zipf_fit": T.zipf_fit_sql(),
     "text_hash_embed_stats": T.hash_embed_stats_sql(),
     "dedup_semantic_text": S.semantic_dedup_sql(

@@ -1185,3 +1185,25 @@ def test_pq_recall_eval_perfect_on_separable_vectors(spark):
     for r in got:
         assert 0.0 <= r.recall_at_k <= 1.0
         assert r.hits <= 1
+
+
+def test_bigram_logprob_flags_shuffled_word_salad(spark):
+    # Natural repeated phrase vs the same words in scrambled order: the
+    # scrambled doc's bigrams are unseen (count 0 before smoothing), so
+    # its mean bigram log-prob is strictly lower.
+    from audience_manager_platform_spark.operators.text import bigram_logprob
+
+    natural = "the cat sat on the mat " * 4
+    salad = "mat the on sat cat the " + "cat mat sat the on the " * 3
+    docs = spark.createDataFrame(
+        [
+            (0, natural.strip(), "en", "web", 1),
+            (1, natural.strip(), "en", "web", 1),
+            (2, salad.strip(), "en", "web", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    assert got[0].n_bigrams == 23
+    assert got[0].avg_logprob == got[1].avg_logprob
+    assert got[2].avg_logprob < got[0].avg_logprob

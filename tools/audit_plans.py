@@ -103,6 +103,8 @@ NESTED_LOOP_ALLOWED = {
     # exact-L2 baseline: |queries| broadcast cross join (the documented
     # brute-force side of the recall audit)
     "ann_recall_pq_vs_exact",
+    # 1-row vocab-size broadcast (the unigram scorer's totals shape)
+    "text_bigram_logprob",
 }
 
 ARROW_ALLOWED = {

@@ -363,3 +363,188 @@ def test_line_dedup_conservation(spark, texts):
     for d, r in stats.items():
         assert 0 <= r.n_kept <= r.n_lines
         assert rewrite[d].n_kept == r.n_kept
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from([f"w{i}" for i in range(10)]),
+            min_size=1,
+            max_size=20,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_dsir_zero_when_target_equals_raw(spark, texts):
+    """DSIR identity: when the target slice IS the whole corpus, the
+    target and raw distributions coincide and every document's
+    importance log-weight is exactly 0 (the integer-quantized λ makes
+    this exact, not approximate)."""
+    from audience_manager_platform_spark.operators.corpus import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = dsir_weights(docs, target_lang="en").collect()
+    assert {r.doc_id for r in got} == set(range(len(texts)))
+    for r in got:
+        assert r.dsir_logw == 0.0
+        assert r.n_tokens == len(texts[r.doc_id].split())
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["the", "and", "for", "quick", "brown", "fox", "zq1", "zq2"]
+            ),
+            min_size=0,
+            max_size=40,
+        ).map(" ".join),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_filter_funnel_chain_invariants(spark, texts):
+    """Funnel conservation on arbitrary corpora: stages chain (entered
+    of stage i+1 == survivors of stage i), counts are monotone
+    non-increasing, and stage 1 enters the whole corpus."""
+    from audience_manager_platform_spark.operators.corpus import filter_funnel
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = sorted(filter_funnel(docs).collect(), key=lambda r: r.stage)
+    assert [r.stage for r in rows] == [1, 2, 3]
+    assert rows[0].entered == len(texts)
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.entered == prev.survivors
+    for r in rows:
+        assert 0 <= r.survivors <= r.entered
+        assert r.dropped == r.entered - r.survivors
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from([f"w{i}" for i in range(6)]),
+            min_size=0,
+            max_size=30,
+        ).map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_pack_efficiency_conserves_docs_and_bounds_fill(spark, texts):
+    """Packing-report conservation: every document lands in exactly one
+    bin band (Σ n_docs == |docs|), fills are in (0, 1], and overflow
+    bins only appear in the top band."""
+    from audience_manager_platform_spark.operators.corpus import (
+        pack_efficiency,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = pack_efficiency(docs, token_budget=16).collect()
+    assert sum(r.n_docs for r in rows) == len(texts)
+    for r in rows:
+        assert 0 <= r.fill_band <= 10
+        assert 0.0 <= r.avg_fill <= 1.0
+        assert r.overflow_bins <= r.n_bins
+        if r.fill_band < 10:
+            assert r.overflow_bins == 0
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 20),              # user
+            st.integers(0, 13),              # day offset
+            st.floats(0.5, 100.0, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_seasonality_index_weighted_mean_is_one(spark, rows):
+    """Seasonal-index identity: the event-weighted mean of the index is
+    1 by construction (Σ n_d·idx_d == N), whatever the distribution."""
+    from datetime import datetime
+
+    from audience_manager_platform_spark.operators.timeseries import (
+        seasonality_profile,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (i, datetime(2024, 3, 1 + d), u, "view", float(v), "{}")
+            for i, (u, d, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = seasonality_profile(ev).collect()
+    n_total = sum(r.n_events for r in got)
+    weighted = sum(r.n_events * r.seasonal_idx for r in got)
+    assert n_total == len(rows)
+    assert abs(weighted / n_total - 1.0) < 1e-4
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from([f"w{i}" for i in range(6)]),
+            min_size=0,
+            max_size=25,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bigram_logprob_counts_and_sign(spark, texts):
+    """Bigram-LM invariants: a doc emits max(0, tokens-1) bigrams (docs
+    under 2 tokens drop out) and every smoothed log-prob is negative."""
+    from audience_manager_platform_spark.operators.text import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    for i, t in enumerate(texts):
+        n = len(t.split())
+        if n >= 2:
+            assert got[i].n_bigrams == n - 1
+            assert got[i].avg_logprob < 0
+        else:
+            assert i not in got

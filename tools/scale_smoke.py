@@ -347,6 +347,23 @@ def main() -> None:
         "IVF probe sweep (1/2/4 probes, 5 queries)",
         ivf_probe_sweep(vecs, [0, 1, 2, 3, 4], k=5),
     )
+
+    # ------------------------- round-5 wave-4b additions at scale
+    from audience_manager_platform_spark.operators.analytics import (
+        ab_conversion_ztest,
+    )
+    from audience_manager_platform_spark.operators.corpus import (
+        filter_funnel,
+        pack_efficiency,
+    )
+    from audience_manager_platform_spark.operators.text import bigram_logprob
+
+    ROWS = n_docs
+    timed("curation filter funnel", filter_funnel(docs))
+    timed("packing efficiency histogram", pack_efficiency(docs))
+    timed("bigram LM scoring", bigram_logprob(docs))
+    ROWS = int(os.environ.get("SCALE_ROWS", 10_000_000))
+    timed("A/B conversion z-test", ab_conversion_ztest(typed_events))
     spark.stop()
 
 

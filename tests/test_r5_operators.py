@@ -1207,3 +1207,39 @@ def test_bigram_logprob_flags_shuffled_word_salad(spark):
     assert got[0].n_bigrams == 23
     assert got[0].avg_logprob == got[1].avg_logprob
     assert got[2].avg_logprob < got[0].avg_logprob
+
+
+def test_dsir_weights_partition_invariant(spark):
+    # The per-doc score is an exact bigint sum of integer micro-log-
+    # ratios — it must be IDENTICAL whatever the input partitioning
+    # (the property class whose absence produced the r4 driver-red PQ
+    # rows).
+    from audience_manager_platform_spark.operators.corpus import dsir_weights
+    from audience_manager_platform_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = {
+        r.doc_id: (r.n_tokens, r.dsir_logw)
+        for r in dsir_weights(docs.repartition(1)).collect()
+    }
+    b = {
+        r.doc_id: (r.n_tokens, r.dsir_logw)
+        for r in dsir_weights(docs.repartition(13)).collect()
+    }
+    assert a == b
+
+
+def test_chunk_maxsim_partition_invariant(spark):
+    from audience_manager_platform_spark.operators.hybrid import (
+        chunk_maxsim_topk,
+    )
+    from audience_manager_platform_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    key = lambda rows: sorted(  # noqa: E731
+        (r.query_id, r.rank, r.doc_id, r.maxsim, r.best_chunk_idx)
+        for r in rows
+    )
+    a = key(chunk_maxsim_topk(docs.repartition(1), [0, 10], k=3).collect())
+    b = key(chunk_maxsim_topk(docs.repartition(7), [0, 10], k=3).collect())
+    assert a == b

@@ -341,3 +341,93 @@ def pagerank_sql(
         WITH {ctes}
         SELECT node, ROUND(rank, 6) AS rank, deg AS out_deg FROM r{iters}
     """
+
+
+def neighbor_jaccard(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    threshold: float = 0.3,
+    max_nbr_df: int | None = None,
+) -> DataFrame:
+    """Node similarity by shared neighbors — Jaccard over neighbor sets
+    on a bipartite relation (customers similar when they trade with the
+    same suppliers): the link-prediction / lookalike-audience primitive.
+
+    Same candidate-generation discipline as the dedup family: pairs are
+    generated through a shared-neighbor equi-join (cost Σ deg(b)², never
+    |A|² cross), with ``max_nbr_df`` as the hub guard — a neighbor
+    connected to everything (the stop-gram of graphs) would otherwise
+    emit a quadratic candidate block; capped hubs carry no similarity
+    signal anyway. Jaccard = shared/(da+db-shared) from exact integer
+    counts, 6dp-rounded."""
+    rel = pairs.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).distinct()
+    if max_nbr_df is not None:
+        small = (
+            rel.groupBy("b")
+            .agg(F.count("*").alias("bdf"))
+            .filter(F.col("bdf") <= max_nbr_df)
+            .select("b")
+        )
+        rel = rel.join(small, "b")
+    from .partitioning import materialize
+
+    rel = materialize(rel)
+    deg = rel.groupBy("a").agg(F.count("*").alias("deg"))
+    x = rel.select(F.col("a").alias("a1"), "b")
+    y = rel.select(F.col("a").alias("a2"), "b")
+    shared = (
+        x.join(y, "b")
+        .filter(F.col("a1") < F.col("a2"))
+        .groupBy("a1", "a2")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(deg.select(F.col("a").alias("a1"), F.col("deg").alias("d1")), "a1")
+        .join(deg.select(F.col("a").alias("a2"), F.col("deg").alias("d2")), "a2")
+        .select(
+            "a1",
+            "a2",
+            "shared",
+            F.round(
+                F.col("shared")
+                / (F.col("d1") + F.col("d2") - F.col("shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def neighbor_jaccard_sql(
+    rel_sql: str, threshold: float = 0.3, max_nbr_df: int | None = None
+) -> str:
+    """SQL twin; ``rel_sql`` must yield columns (a, b)."""
+    guard = ""
+    src = "rel"
+    if max_nbr_df is not None:
+        guard = f""",
+        small AS (
+          SELECT b FROM rel GROUP BY b HAVING COUNT(*) <= {int(max_nbr_df)}
+        ),
+        relk AS (SELECT rel.a, rel.b FROM rel JOIN small USING (b))"""
+        src = "relk"
+    return f"""
+        WITH rel AS MATERIALIZED (SELECT DISTINCT a, b FROM ({rel_sql}) r){guard},
+        deg AS (SELECT a, COUNT(*) AS deg FROM {src} GROUP BY a),
+        shared AS (
+          SELECT x.a AS a1, y.a AS a2, COUNT(*) AS shared
+          FROM {src} x JOIN {src} y ON x.b = y.b AND x.a < y.a
+          GROUP BY 1, 2
+        )
+        SELECT a1, a2, shared,
+               ROUND(shared / CAST(d1.deg + d2.deg - shared AS DOUBLE), 6)
+                 AS jaccard
+        FROM shared
+        JOIN deg d1 ON d1.a = shared.a1
+        JOIN deg d2 ON d2.a = shared.a2
+        WHERE ROUND(shared / CAST(d1.deg + d2.deg - shared AS DOUBLE), 6)
+              >= {threshold}
+    """

@@ -429,3 +429,71 @@ def dp_noisy_counts_sql(
                CAST({epsilon!r} AS DOUBLE) AS epsilon
         FROM counts
     """
+
+
+# ----------------------------------------------- referential integrity
+def fk_orphan_audit(rels) -> "DataFrame":
+    """Referential-integrity audit over a set of FK relationships —
+    ``rels`` is a list of ``(name, child_df, child_key, parent_df,
+    parent_key)``. One row per relationship: child row count, NULL
+    foreign keys (legal, counted separately), orphan rows and distinct
+    orphan keys (children pointing at a parent that does not exist —
+    the broken-pipeline signal a warehouse checks before promoting a
+    snapshot).
+
+    Shape at scale: per relationship one narrow child projection
+    (key column only — the scan prunes everything else), one distinct
+    on the parent key, one ANTI join keyed on the FK (Spark broadcasts
+    the deduped parent side when it is dimension-sized), and two 1-row
+    aggregates; the report is |relationships| rows."""
+    outs = []
+    for name, child, ck, parent, pk in rels:
+        ckeys = child.select(F.col(ck).alias("k"))
+        totals = ckeys.agg(
+            F.count("*").alias("child_rows"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias(
+                "null_keys"
+            ),
+        )
+        orphans = (
+            ckeys.filter(F.col("k").isNotNull())
+            .join(parent.select(F.col(pk).alias("k")).distinct(), "k", "left_anti")
+            .agg(
+                F.count("*").alias("orphan_rows"),
+                F.countDistinct("k").alias("orphan_keys"),
+            )
+        )
+        outs.append(
+            totals.crossJoin(orphans).select(
+                F.lit(name).alias("relationship"),
+                F.col("child_rows").cast("long").alias("child_rows"),
+                F.col("null_keys").cast("long").alias("null_keys"),
+                F.col("orphan_rows").cast("long").alias("orphan_rows"),
+                F.col("orphan_keys").cast("long").alias("orphan_keys"),
+                (F.col("orphan_rows") == 0).alias("intact"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def fk_orphan_audit_sql(rels) -> str:
+    """SQL twin; ``rels`` is ``(name, child_table, child_key,
+    parent_table, parent_key)``."""
+    parts = []
+    for name, child, ck, parent, pk in rels:
+        parts.append(f"""
+        SELECT '{name}' AS relationship,
+               CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS child_rows,
+               CAST((SELECT COUNT(*) FROM {child} WHERE {ck} IS NULL)
+                 AS BIGINT) AS null_keys,
+               CAST(COUNT(*) AS BIGINT) AS orphan_rows,
+               CAST(COUNT(DISTINCT c.{ck}) AS BIGINT) AS orphan_keys,
+               COUNT(*) = 0 AS intact
+        FROM {child} c
+        WHERE c.{ck} IS NOT NULL
+          AND c.{ck} NOT IN (SELECT {pk} FROM {parent} WHERE {pk} IS NOT NULL)
+        """)
+    return " UNION ALL ".join(parts)

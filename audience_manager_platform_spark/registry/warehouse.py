@@ -18,6 +18,8 @@ from ..operators import merge as MG
 from ..operators.graph import (
     degree_histogram_customer_supplier,
     degree_histogram_sql,
+    neighbor_jaccard,
+    neighbor_jaccard_sql,
     pagerank_customer_supplier,
     pagerank_sql,
 )
@@ -37,6 +39,8 @@ from ..operators.reconcile import (
 from ..operators.skew import heavy_hitters, heavy_hitters_sql
 from ..operators.geo import geo_cell_rollup, geo_cell_rollup_sql
 from ..operators.validation import (
+    fk_orphan_audit,
+    fk_orphan_audit_sql,
     k_anonymity_audit,
     k_anonymity_audit_sql,
     profile_drift,
@@ -233,6 +237,30 @@ QUERIES = {
     "pagerank_customer_supplier": pagerank_customer_supplier,
     # r4: degree distribution — the hub/skew diagnostic on the same graph
     "graph_degree_histogram": degree_histogram_customer_supplier,
+    # r5 wave 4: referential-integrity audit across the star schema
+    "validate_fk_orphans": lambda s, d: fk_orphan_audit([
+        ("lineitem->orders", load_table(s, d, "lineitem"), "l_orderkey",
+         load_table(s, d, "orders"), "o_orderkey"),
+        ("orders->customer", load_table(s, d, "orders"), "o_custkey",
+         load_table(s, d, "customer"), "c_custkey"),
+        ("customer->nation", load_table(s, d, "customer"), "c_nationkey",
+         load_table(s, d, "nation"), "n_nationkey"),
+        ("lineitem->part", load_table(s, d, "lineitem"), "l_partkey",
+         load_table(s, d, "part"), "p_partkey"),
+        ("lineitem->supplier", load_table(s, d, "lineitem"), "l_suppkey",
+         load_table(s, d, "supplier"), "s_suppkey"),
+    ]),
+    # r5 wave 4: link-prediction primitive — suppliers similar by the
+    # parts they ship (shared-neighbor equi-join, hub-capped)
+    "graph_supplier_similarity": lambda s, d: neighbor_jaccard(
+        load_table(s, d, "lineitem").select(
+            F.col("l_suppkey").alias("a"), F.col("l_partkey").alias("b")
+        ),
+        "a",
+        "b",
+        threshold=0.15,
+        max_nbr_df=50,
+    ),
     # r4: deterministic weight-biased top-n (quality-weighted corpus
     # sampling made replayable; value+1 keeps weights positive)
     "sample_weighted_events": lambda s, d: C.weighted_priority_sample(
@@ -293,6 +321,18 @@ ORACLES = {
     ),
     "pagerank_customer_supplier": pagerank_sql(),
     "graph_degree_histogram": degree_histogram_sql(),
+    "validate_fk_orphans": fk_orphan_audit_sql([
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ]),
+    "graph_supplier_similarity": neighbor_jaccard_sql(
+        "SELECT l_suppkey AS a, l_partkey AS b FROM lineitem",
+        threshold=0.15,
+        max_nbr_df=50,
+    ),
     "sample_weighted_events": C.weighted_priority_sample_sql(
         "(SELECT event_id, user_id, event_type, ROUND(value, 2) AS value "
         "FROM events WHERE value IS NOT NULL) w",

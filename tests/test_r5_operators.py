@@ -1243,3 +1243,48 @@ def test_chunk_maxsim_partition_invariant(spark):
     a = key(chunk_maxsim_topk(docs.repartition(1), [0, 10], k=3).collect())
     b = key(chunk_maxsim_topk(docs.repartition(7), [0, 10], k=3).collect())
     assert a == b
+
+
+def test_neighbor_jaccard_planted_twins_and_hub_guard(spark):
+    from audience_manager_platform_spark.operators.graph import (
+        neighbor_jaccard,
+    )
+
+    # a1/a2 share all 3 neighbors (J=1); a3 shares none; hub neighbor
+    # h is connected to everyone and must NOT create candidates once
+    # capped out.
+    rows = []
+    for b in ("x", "y", "z"):
+        rows += [(1, b), (2, b)]
+    rows += [(3, "p"), (3, "q"), (3, "r")]
+    rows += [(1, "h"), (2, "h"), (3, "h"), (4, "h")]
+    df = spark.createDataFrame(rows, "a long, b string")
+    got = {(r.a1, r.a2): r for r in
+           neighbor_jaccard(df, "a", "b", threshold=0.5, max_nbr_df=3).collect()}
+    # with the hub dropped, degrees are 3/3/3 and (1,2) is the only pair
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)].jaccard == 1.0 and got[(1, 2)].shared == 3
+    # without the cap the hub links everyone but dilutes scores below 0.5
+    uncapped = {(r.a1, r.a2) for r in
+                neighbor_jaccard(df, "a", "b", threshold=0.5).collect()}
+    assert (1, 2) in uncapped and (1, 4) not in uncapped
+
+
+def test_fk_orphan_audit_finds_planted_orphans(spark):
+    from audience_manager_platform_spark.operators.validation import (
+        fk_orphan_audit,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, 99), (5, None)],
+        "id long, fk long",
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    got = fk_orphan_audit(
+        [("child->parent", child, "fk", parent, "pk")]
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.child_rows == 5 and r.null_keys == 1
+    assert r.orphan_rows == 2 and r.orphan_keys == 1  # key 99 twice
+    assert not r.intact

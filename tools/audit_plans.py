@@ -105,6 +105,9 @@ NESTED_LOOP_ALLOWED = {
     "ann_recall_pq_vs_exact",
     # 1-row vocab-size broadcast (the unigram scorer's totals shape)
     "text_bigram_logprob",
+    # per relationship: two 1-row aggregates cross-joined into the
+    # report row
+    "validate_fk_orphans",
 }
 
 ARROW_ALLOWED = {

@@ -1052,3 +1052,104 @@ def pack_efficiency_sql(
                  AS BIGINT) AS overflow_bins
         FROM bins GROUP BY 1
     """
+
+
+# ------------------------------------------------- n-gram novelty curve
+def ngram_novelty(
+    docs: DataFrame, n: int = 3, buckets: int = 10
+) -> DataFrame:
+    """Corpus novelty curve: scan the corpus in doc_id order and measure,
+    per doc_id decile, what fraction of the distinct word n-grams are NEW
+    — never seen in any earlier doc. This is the curation dashboard's
+    diversity/saturation report: a healthy growing corpus keeps the tail
+    buckets' novelty well above zero; a crawler stuck re-fetching the
+    same sites shows novelty collapsing toward the exact-dup floor, and
+    the knee tells you where additional ingestion stopped adding
+    information (the data-scaling analogue of deduplication ROI).
+
+    "First seen" is exact, not sketched: gram -> MIN(doc_id) via one
+    gram-keyed map-side-combinable aggregate, joined back on gram — the
+    same candidate shape as the dedup family, cost proportional to
+    |distinct (doc, gram)| with no all-pairs stage. Buckets come from a
+    1-row MAX(doc_id) broadcast (``least(buckets-1, floor(doc_id *
+    buckets / (max_id + 1)))``), NOT a global ntile — nothing
+    corpus-sized ever crosses one partition. Docs with fewer than ``n``
+    tokens carry no grams and drop out (documented in the oracle too);
+    the per-bucket novelty is a ratio of exact integer sums divided
+    once, so there is no engine-order rounding hazard."""
+    toked = docs.select("doc_id", tokens_col("text").alias("toks"))
+    grams = toked.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams_col("toks", n))).alias("gram"),
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_new"),
+        )
+    )
+    mx = per_doc.agg(F.max("doc_id").alias("_max_id"))
+    return (
+        per_doc.join(F.broadcast(mx))
+        .select(
+            F.least(
+                F.lit(buckets - 1),
+                F.floor(
+                    F.col("doc_id") * buckets / (F.col("_max_id") + 1)
+                ),
+            ).cast("int").alias("bucket"),
+            "n_grams",
+            "n_new",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("grams"),
+            F.sum("n_new").cast("long").alias("new_grams"),
+            F.round(
+                F.sum("n_new").cast("double") / F.sum("n_grams"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+def ngram_novelty_sql(
+    src: str = "documents", n: int = 3, buckets: int = 10
+) -> str:
+    t = tokens_sql("text")
+    g = word_ngrams_sql("toks", n)
+    return f"""
+        WITH toked AS (
+          SELECT doc_id, {t} AS toks FROM {src}
+        ),
+        grams AS (
+          SELECT doc_id, UNNEST(list_distinct({g})) AS gram FROM toked
+        ),
+        first AS (
+          SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY 1
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_grams,
+                 CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_new
+          FROM grams JOIN first USING (gram)
+          GROUP BY 1
+        ),
+        mx AS (SELECT MAX(doc_id) AS _max_id FROM per_doc)
+        SELECT CAST(LEAST({buckets - 1},
+                 FLOOR(doc_id * {buckets} / (_max_id + 1))) AS INTEGER)
+                 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_grams) AS BIGINT) AS grams,
+               CAST(SUM(n_new) AS BIGINT) AS new_grams,
+               ROUND(CAST(SUM(n_new) AS DOUBLE) / SUM(n_grams), 6)
+                 AS novelty
+        FROM per_doc, mx
+        GROUP BY 1
+    """

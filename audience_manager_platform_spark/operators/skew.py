@@ -11,7 +11,7 @@ topology changes — so the same SQL oracle applies.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -121,6 +121,76 @@ def heavy_hitters_sql(src: str, col: str, k: int = 20) -> str:
         GROUP BY {col}
         HAVING COUNT(*) * {k} >
                (SELECT COUNT(*) FROM {src} WHERE {col} IS NOT NULL)
+    """
+
+
+# ------------------------------------------------- key-skew diagnostics
+def key_skew_profile(df: DataFrame, key: str, bands: int = 10) -> DataFrame:
+    """Frequency-decile profile of an aggregation/join key — the report
+    you run BEFORE deciding whether a 100 TB shuffle needs salting or an
+    AQE skew hint. Keys are ranked by frequency and cut into ``bands``
+    ntile bands (band 1 = hottest keys); each band reports how many keys
+    it holds, how many rows they carry, the row share, and the single
+    hottest key's row count. A healthy key shows band 1 carrying ~1/bands
+    of the rows; a salting candidate shows band 1 carrying most of them.
+
+    Scale shape: one map-side-combinable count per key, then the ntile
+    window runs over the PER-KEY table (|keys| rows, not |rows|) and the
+    final aggregate collapses it to ``bands`` rows; the share divides by
+    a window total over those ``bands`` rows. Nothing corpus-sized ever
+    crosses a single partition except the |keys|-row global sort, which
+    is the documented cost of an exact decile cut (swap in
+    ``approx_percentile`` bounds when |keys| itself is huge).
+
+    NULL keys are profiled as their own row-carrying group? No — they are
+    excluded: a NULL join key never co-locates anyway, so it is noise in
+    a skew report (and NULL ordering differs across engines)."""
+    per_key = (
+        df.filter(F.col(key).isNotNull())
+        .groupBy(key)
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc(key))
+    banded = per_key.select(
+        "cnt", F.ntile(bands).over(w).alias("band")
+    )
+    out = banded.groupBy("band").agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("rows"),
+        F.max("cnt").alias("max_key_rows"),
+    )
+    total = Window.partitionBy()
+    return out.select(
+        "band",
+        "n_keys",
+        "rows",
+        "max_key_rows",
+        F.round(F.col("rows") / F.sum("rows").over(total), 6).alias(
+            "rows_share"
+        ),
+    )
+
+
+def key_skew_profile_sql(src: str, key: str, bands: int = 10) -> str:
+    return f"""
+        WITH per_key AS (
+          SELECT {key}, COUNT(*) AS cnt
+          FROM {src} WHERE {key} IS NOT NULL GROUP BY {key}
+        ),
+        banded AS (
+          SELECT cnt, NTILE({bands}) OVER (ORDER BY cnt DESC, {key} ASC)
+                   AS band
+          FROM per_key
+        ),
+        agg AS (
+          SELECT band, CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(SUM(cnt) AS BIGINT) AS rows,
+                 MAX(cnt) AS max_key_rows
+          FROM banded GROUP BY band
+        )
+        SELECT band, n_keys, rows, max_key_rows,
+               ROUND(rows / SUM(rows) OVER (), 6) AS rows_share
+        FROM agg
     """
 
 

@@ -403,3 +403,102 @@ def seasonality_profile_sql(src: str = "events") -> str:
                ROUND((_total / n_events) / (_T / _N), 6) AS seasonal_idx
         FROM per_dow, tot
     """
+
+
+# --------------------------------------------- mean-shift changepoints
+CP_WINDOW = 7
+CP_TOPK = 5
+
+
+def changepoint_mean_shift(
+    events: DataFrame, w: int = CP_WINDOW, k: int = CP_TOPK
+) -> DataFrame:
+    """Rolling mean-shift changepoint report: for each event_type's daily
+    total series, score every day by |mean of the next ``w`` days − mean
+    of the previous ``w`` days| (the two-sample sliding-window scan that
+    CUSUM/PELT-style detectors threshold) and report the top ``k``
+    candidate shift days per series. Level shifts — a pricing change, a
+    tracking bug, a new traffic source — surface as the days where the
+    leading and trailing regimes disagree most.
+
+    Edge discipline: only days with FULL w-day frames on both sides are
+    scored (a truncated frame would bias the mean toward whatever edge
+    noise survives). Determinism: ranks order by the 4dp-rounded score
+    with day as tiebreaker, so the top-k set is stable cross-engine.
+
+    Shape at scale: one day-keyed combinable aggregate collapses the
+    events to |series|x|days| rows; every window after that runs inside
+    an event_type partition of at most |days| rows — the wide input
+    never reaches a window operator."""
+    daily = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    ws = Window.partitionBy("event_type").orderBy("day")
+    trail = ws.rowsBetween(-w, -1)
+    lead = ws.rowsBetween(0, w - 1)
+    scored = daily.select(
+        "event_type",
+        "day",
+        F.count("total").over(trail).alias("_nt"),
+        F.count("total").over(lead).alias("_nl"),
+        F.avg("total").over(trail).alias("_mt"),
+        F.avg("total").over(lead).alias("_ml"),
+    ).filter((F.col("_nt") == w) & (F.col("_nl") == w))
+    shifted = scored.select(
+        "event_type",
+        "day",
+        F.round("_mt", 4).alias("trail_mean"),
+        F.round("_ml", 4).alias("lead_mean"),
+        F.round(F.abs(F.col("_ml") - F.col("_mt")), 4).alias("shift_score"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.desc("shift_score"), F.asc("day")
+    )
+    return shifted.select(
+        "*", F.row_number().over(wr).alias("rk")
+    ).filter(F.col("rk") <= k)
+
+
+def changepoint_mean_shift_sql(
+    src: str = "events", w: int = CP_WINDOW, k: int = CP_TOPK
+) -> str:
+    return f"""
+        WITH daily AS (
+          SELECT event_type,
+                 strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                 ROUND(SUM(value), 2) AS total
+          FROM {src} WHERE value IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT event_type, day,
+                 COUNT(total) OVER wt AS _nt,
+                 COUNT(total) OVER wl AS _nl,
+                 AVG(total) OVER wt AS _mt,
+                 AVG(total) OVER wl AS _ml
+          FROM daily
+          WINDOW wt AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN {w} PRECEDING AND 1 PRECEDING),
+                 wl AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+        ),
+        shifted AS (
+          SELECT event_type, day,
+                 ROUND(_mt, 4) AS trail_mean,
+                 ROUND(_ml, 4) AS lead_mean,
+                 ROUND(ABS(_ml - _mt), 4) AS shift_score
+          FROM scored WHERE _nt = {w} AND _nl = {w}
+        )
+        SELECT * FROM (
+          SELECT event_type, day, trail_mean, lead_mean, shift_score,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY shift_score DESC, day ASC)
+                   AS rk
+          FROM shifted
+        ) WHERE rk <= {k}
+    """

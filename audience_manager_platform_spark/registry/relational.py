@@ -20,6 +20,8 @@ from ..operators.skew import (
     cms_estimate_sql,
     hll_mergeable_rollup,
     hll_mergeable_rollup_sql,
+    key_skew_profile,
+    key_skew_profile_sql,
     salted_sum_count,
 )
 from ..sources import load_table
@@ -363,6 +365,11 @@ QUERIES = {
     "basket_brand_lift": lambda s, d: basket_brand_lift(
         load_table(s, d, "lineitem"), load_table(s, d, "part"), k=25
     ),
+    # r5: frequency-decile skew diagnostics for a shuffle key (the
+    # salting/AQE-hint decision report)
+    "skew_key_profile": lambda s, d: key_skew_profile(
+        _events(s, d), "user_id"
+    ),
 }
 
 # ten fixed probe ids spanning the fixture's user range
@@ -532,4 +539,5 @@ ORACLES = {
     "sketch_cms_user_counts": cms_estimate_sql(
         "events", "user_id", [0, 7, 13, 29, 42, 55, 68, 91, 120, 149]
     ),
+    "skew_key_profile": key_skew_profile_sql("events", "user_id"),
 }

@@ -207,6 +207,9 @@ QUERIES = {
     "corpus_filter_funnel": lambda s, d: C.filter_funnel(_docs(s, d)),
     # r5: context-window fill histogram over the packer
     "corpus_pack_efficiency": lambda s, d: C.pack_efficiency(_docs(s, d)),
+    # r5: novelty curve — per doc_id decile, share of n-grams first seen
+    # there (corpus diversity/saturation report)
+    "corpus_ngram_novelty": lambda s, d: C.ngram_novelty(_docs(s, d)),
 }
 
 ORACLES = {
@@ -280,4 +283,5 @@ ORACLES = {
     "corpus_dup_rate_by_source": C.dup_rate_by_source_sql(),
     "corpus_filter_funnel": C.filter_funnel_sql(),
     "corpus_pack_efficiency": C.pack_efficiency_sql(),
+    "corpus_ngram_novelty": C.ngram_novelty_sql(),
 }

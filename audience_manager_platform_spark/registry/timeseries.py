@@ -53,6 +53,11 @@ QUERIES = {
         _events(s, d)
     ),
     "sample_fixed_n_events": _sample_fixed,
+    # r5: sliding two-window mean-shift scan (top-k candidate
+    # changepoint days per event_type series)
+    "ts_changepoint_mean_shift": lambda s, d: TS.changepoint_mean_shift(
+        _events(s, d)
+    ),
 }
 
 ORACLES = {
@@ -62,6 +67,7 @@ ORACLES = {
     "ts_ewma_smooth": TS.ewma_smooth_sql(),
     "ts_daily_percentiles": TS.daily_percentiles_sql(),
     "ts_seasonality_profile": TS.seasonality_profile_sql(),
+    "ts_changepoint_mean_shift": TS.changepoint_mean_shift_sql(),
     "sample_fixed_n_events": f"""
         SELECT event_id, user_id, event_type, ROUND(value, 2) AS value,
                MD5(CAST(event_id AS VARCHAR) || '{SAMPLE_SALT}') AS sample_key

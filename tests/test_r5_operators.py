@@ -1288,3 +1288,91 @@ def test_fk_orphan_audit_finds_planted_orphans(spark):
     assert r.child_rows == 5 and r.null_keys == 1
     assert r.orphan_rows == 2 and r.orphan_keys == 1  # key 99 twice
     assert not r.intact
+
+
+def test_key_skew_profile_planted_hot_key(spark):
+    from audience_manager_platform_spark.operators.skew import key_skew_profile
+
+    # key 999 carries half the rows; keys 0..19 carry 5 each; one NULL
+    # row must be excluded entirely
+    rows = [(999,)] * 100 + [(k,) for k in range(20) for _ in range(5)]
+    rows += [(None,)]
+    df = spark.createDataFrame(rows, "user_id long")
+    got = {r.band: r for r in key_skew_profile(df, "user_id", bands=4).collect()}
+    assert sorted(got) == [1, 2, 3, 4]
+    # the hot key lands in band 1 and dominates its row share
+    assert got[1].max_key_rows == 100
+    assert sum(r.rows for r in got.values()) == 200  # NULL excluded
+    assert abs(sum(r.rows_share for r in got.values()) - 1.0) < 1e-6
+    assert got[1].rows_share > 0.5
+    # 21 keys over 4 ntile bands: 6,5,5,5
+    assert [got[b].n_keys for b in (1, 2, 3, 4)] == [6, 5, 5, 5]
+
+
+def test_key_skew_profile_partition_invariant(spark):
+    from audience_manager_platform_spark.operators.skew import key_skew_profile
+    from audience_manager_platform_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    key = lambda df: {
+        r.band: (r.n_keys, r.rows, r.max_key_rows, r.rows_share)
+        for r in key_skew_profile(df, "user_id").collect()
+    }
+    assert key(ev.repartition(1)) == key(ev.repartition(13))
+
+
+def test_ngram_novelty_planted_copies(spark):
+    from audience_manager_platform_spark.operators.corpus import ngram_novelty
+
+    originals = [
+        "alpha beta gamma delta epsilon",
+        "zeta eta theta iota kappa",
+        "lambda mu nu xi omicron",
+        "pi rho sigma tau upsilon",
+    ]
+    # docs 0-3: originals (bucket 0); docs 4-7: verbatim copies (bucket 1)
+    got = {
+        r.bucket: r
+        for r in ngram_novelty(
+            _docs5(spark, originals + originals), buckets=2
+        ).collect()
+    }
+    assert got[0].novelty == 1.0  # every gram first seen here
+    assert got[1].novelty == 0.0  # pure re-crawl: nothing new
+    assert got[0].grams == got[1].grams
+    assert got[1].new_grams == 0
+
+
+def test_ngram_novelty_short_docs_drop(spark):
+    from audience_manager_platform_spark.operators.corpus import ngram_novelty
+
+    got = ngram_novelty(
+        _docs5(spark, ["one two", "a fresh three gram doc"]), buckets=1
+    ).collect()
+    assert len(got) == 1
+    assert got[0].n_docs == 1  # the 2-token doc has no 3-grams
+
+
+def test_changepoint_mean_shift_finds_planted_step(spark):
+    from datetime import datetime
+
+    from audience_manager_platform_spark.operators.timeseries import (
+        changepoint_mean_shift,
+    )
+
+    # 28 daily purchases: 10.0/day through Jan 14, 100.0/day from Jan 15
+    rows = [
+        (i, datetime(2024, 1, 1 + i), 1, "purchase",
+         10.0 if i < 14 else 100.0, "{}")
+        for i in range(28)
+    ]
+    df = spark.createDataFrame(rows, _EVENTS_SCHEMA)
+    got = changepoint_mean_shift(df).collect()
+    top = next(r for r in got if r.rk == 1)
+    # the first day of the new regime wins with the full 90-point shift
+    assert top.day == "2024-01-15"
+    assert top.shift_score == 90.0
+    assert top.trail_mean == 10.0 and top.lead_mean == 100.0
+    # edge discipline: no day without full 7-day frames on both sides
+    assert min(r.day for r in got) >= "2024-01-08"
+    assert max(r.day for r in got) <= "2024-01-22"

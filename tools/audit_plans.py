@@ -108,6 +108,8 @@ NESTED_LOOP_ALLOWED = {
     # per relationship: two 1-row aggregates cross-joined into the
     # report row
     "validate_fk_orphans",
+    # 1-row MAX(doc_id) broadcast defines the decile bucket boundaries
+    "corpus_ngram_novelty",
 }
 
 ARROW_ALLOWED = {

@@ -92,6 +92,11 @@ HEADLINE = [
     "ann_chunk_maxsim_topk",
     "dedup_minhash_accuracy",
     "ann_ivf_probe_sweep",
+    # r5 wave 5: shuffle-key skew diagnostics, corpus novelty curve,
+    # mean-shift changepoint scan
+    "skew_key_profile",
+    "corpus_ngram_novelty",
+    "ts_changepoint_mean_shift",
 ]
 
 # Repeats per query: medians make the bench regression-proof (r3 saw a

@@ -364,6 +364,20 @@ def main() -> None:
     timed("bigram LM scoring", bigram_logprob(docs))
     ROWS = int(os.environ.get("SCALE_ROWS", 10_000_000))
     timed("A/B conversion z-test", ab_conversion_ztest(typed_events))
+
+    # ------------------------- round-5 wave-5 additions at scale
+    from audience_manager_platform_spark.operators.corpus import ngram_novelty
+    from audience_manager_platform_spark.operators.skew import key_skew_profile
+    from audience_manager_platform_spark.operators.timeseries import (
+        changepoint_mean_shift,
+    )
+
+    timed("key-skew decile profile", key_skew_profile(typed_events, "user_id"))
+    timed(
+        "mean-shift changepoint scan", changepoint_mean_shift(typed_events)
+    )
+    ROWS = n_docs
+    timed("n-gram novelty curve", ngram_novelty(docs))
     spark.stop()
 
 

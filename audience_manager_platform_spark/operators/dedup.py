@@ -1271,3 +1271,159 @@ def minhash_accuracy_sql(
         JOIN sizes sb ON sb.doc_id = p.doc_b
         LEFT JOIN inter ON inter.doc_a = p.doc_a AND inter.doc_b = p.doc_b
     """
+
+
+# ----------------------------------- cross-corpus (train/benchmark) LSH
+def cross_corpus_contamination(
+    docs: DataFrame,
+    eval_source: str = "src0",
+    est_threshold: float = 0.5,
+    n: int = NGRAM_N,
+    max_band_size: int | None = None,
+) -> DataFrame:
+    """FUZZY train/benchmark contamination report — the near-dup
+    complement of :mod:`.corpus`'s exact-gram ``decontaminate``: an eval
+    doc lightly paraphrased or partially quoted inside the training
+    corpus shares no long exact gram but still collides in MinHash
+    bands. For every doc of the held-out corpus (``source ==
+    eval_source``) that near-duplicates ANY training-side doc at
+    ``est_threshold`` estimated Jaccard, report its best-matching
+    training doc — the list a pretraining run must drop (or an eval
+    must flag) before results are trustworthy.
+
+    Candidate generation is the SAME banded LSH as the dedup family —
+    band-keyed join restricted to cross-side pairs, hot-band cap
+    applied over the union corpus — so the cost model (O(Σ band²),
+    capped) carries over unchanged; the top-1-per-eval-doc window runs
+    on the already-thresholded pair set. At 100 TB the train side
+    dwarfs the eval side, which is exactly the asymmetry LSH likes:
+    eval bands are a sliver of the band table, and only colliding
+    training docs are ever touched.
+    """
+    sides = docs.select(
+        "doc_id", (F.col("source") == F.lit(eval_source)).alias("is_eval")
+    )
+    sigs = materialize(minhash_signatures(docs, n).join(sides, "doc_id"))
+    bands_long = bands_of(sigs)
+    if max_band_size is not None:
+        small = (
+            bands_long.groupBy("band_key")
+            .agg(F.count("*").alias("bn"))
+            .filter(F.col("bn") <= max_band_size)
+            .select("band_key")
+        )
+        bands_long = bands_long.join(small, "band_key")
+    tagged = bands_long.join(sigs.select("doc_id", "is_eval"), "doc_id")
+    ev = tagged.filter(F.col("is_eval")).select(
+        F.col("doc_id").alias("eval_doc"), "band_key"
+    )
+    tr = tagged.filter(~F.col("is_eval")).select(
+        F.col("doc_id").alias("train_doc"), "band_key"
+    )
+    cand = ev.join(tr, "band_key").select("eval_doc", "train_doc").distinct()
+    sa = sigs.select(
+        F.col("doc_id").alias("eval_doc"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("train_doc"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    scored = (
+        cand.join(sa, "eval_doc")
+        .join(sb, "train_doc")
+        .select(
+            "eval_doc",
+            "train_doc",
+            F.round(matches / F.lit(float(NUM_HASHES)), 6).alias(
+                "est_jaccard"
+            ),
+        )
+        .filter(F.col("est_jaccard") >= est_threshold)
+    )
+    w = Window.partitionBy("eval_doc").orderBy(
+        F.desc("est_jaccard"), F.asc("train_doc")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("eval_doc", "train_doc", "est_jaccard")
+    )
+
+
+def cross_corpus_contamination_sql(
+    src: str = "documents",
+    eval_source: str = "src0",
+    est_threshold: float = 0.5,
+    n: int = NGRAM_N,
+    max_band_size: int | None = None,
+) -> str:
+    sig_sql = minhash_signatures_sql(src, n)
+    band_exprs = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(
+            f"CAST(s{b * ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(ROWS_PER_BAND)
+        )
+        + f")) AS band{b}"
+        for b in range(BANDS)
+    )
+    band_list = ", ".join(f"band{b}" for b in range(BANDS))
+    match_expr = " + ".join(
+        f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_HASHES)
+    )
+    if max_band_size is not None:
+        band_filter = f"""
+        kept AS (
+          SELECT band_key FROM bands_long
+          GROUP BY band_key HAVING COUNT(*) <= {int(max_band_size)}
+        ),
+        bands_kept AS (
+          SELECT bl.doc_id, bl.band_key
+          FROM bands_long bl JOIN kept k ON bl.band_key = k.band_key
+        ),"""
+        cand_src = "bands_kept"
+    else:
+        band_filter = ""
+        cand_src = "bands_long"
+    return f"""
+        WITH sigs AS MATERIALIZED ({sig_sql}),
+        sides AS (
+          SELECT doc_id, source = '{eval_source}' AS is_eval FROM {src}
+        ),
+        banded AS (SELECT doc_id, {band_exprs} FROM sigs),
+        bands_long AS (
+          SELECT doc_id, UNNEST([{band_list}]) AS band_key FROM banded
+        ),{band_filter}
+        tagged AS (
+          SELECT b.doc_id, b.band_key, s.is_eval
+          FROM {cand_src} b JOIN sides s USING (doc_id)
+        ),
+        cand AS (
+          SELECT DISTINCT e.doc_id AS eval_doc, t.doc_id AS train_doc
+          FROM tagged e JOIN tagged t ON e.band_key = t.band_key
+          WHERE e.is_eval AND NOT t.is_eval
+        ),
+        scored AS (
+          SELECT cand.eval_doc, cand.train_doc,
+                 ROUND(({match_expr}) / {float(NUM_HASHES)}, 6)
+                   AS est_jaccard
+          FROM cand
+          JOIN sigs sa ON sa.doc_id = cand.eval_doc
+          JOIN sigs sb ON sb.doc_id = cand.train_doc
+          WHERE ROUND(({match_expr}) / {float(NUM_HASHES)}, 6)
+                  >= {est_threshold}
+        )
+        SELECT eval_doc, train_doc, est_jaccard FROM (
+          SELECT scored.*,
+                 ROW_NUMBER() OVER (PARTITION BY eval_doc
+                                    ORDER BY est_jaccard DESC,
+                                             train_doc ASC) AS rk
+          FROM scored
+        ) WHERE rk = 1
+    """

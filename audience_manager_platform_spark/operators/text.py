@@ -15,7 +15,7 @@ bit-portable across engines; swap in a real BPE via pandas_udf if needed
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
@@ -1607,4 +1607,199 @@ def bigram_logprob_sql(src: str = "documents") -> str:
                CAST(COUNT(*) AS BIGINT) AS n_bigrams,
                ROUND(AVG(lp), 6) AS avg_logprob
         FROM scored GROUP BY doc_id
+    """
+
+
+# ------------------------------------------------- readability scoring
+def readability_scores(docs: DataFrame) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per doc — the classic
+    readability axis of a quality-filter ladder (alongside the Gopher
+    rules and the LM scorers; extremely low ease correlates with
+    boilerplate/jargon sludge, "too easy" with listicles/spam).
+
+    Syllables use the standard vowel-group heuristic (runs of
+    ``[aeiouy]+``, min 1 per word) — the published approximation every
+    non-dictionary implementation uses; sentences split on ``[.!?]+``.
+    One narrow codegen projection per doc: no shuffle, no UDF, nothing
+    leaves the scan task at any corpus size. Docs with zero words emit
+    NULL scores (guarded identically in the oracle — neither engine's
+    divide-by-zero semantics are portable)."""
+    toks = tokens_col("text")
+    syls = (
+        "aggregate(transform(toks, t -> greatest(1, "
+        "size(regexp_extract_all(t, '[aeiouy]+', 0)))), 0, (acc, x) -> acc + x)"
+    )
+    sents = (
+        "size(filter(split(text, '[.!?]+'), s -> trim(s) != ''))"
+    )
+    base = docs.select(
+        "doc_id", "text", toks.alias("toks")
+    ).select(
+        "doc_id",
+        F.expr(sents).alias("n_sentences"),
+        F.size("toks").alias("n_words"),
+        F.expr(syls).alias("n_syllables"),
+    )
+    wps = F.col("n_words") / F.greatest(F.col("n_sentences"), F.lit(1))
+    spw = F.col("n_syllables") / F.col("n_words")
+    guard = F.col("n_words") > 0
+    return base.select(
+        "doc_id",
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        F.when(
+            guard, F.round(F.lit(206.835) - 1.015 * wps - 84.6 * spw, 4)
+        ).alias("flesch_ease"),
+        F.when(
+            guard, F.round(0.39 * wps + 11.8 * spw - F.lit(15.59), 4)
+        ).alias("fk_grade"),
+    )
+
+
+def readability_scores_sql(src: str = "documents") -> str:
+    t = tokens_sql("text")
+    return f"""
+        WITH toked AS (
+          SELECT doc_id, text, {t} AS toks FROM {src}
+        ),
+        base AS (
+          SELECT doc_id,
+                 len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                     s -> trim(s) != '')) AS n_sentences,
+                 len(toks) AS n_words,
+                 COALESCE(list_sum([GREATEST(1,
+                     len(regexp_extract_all(t, '[aeiouy]+')))
+                     for t in toks]), 0) AS n_syllables
+          FROM toked
+        )
+        SELECT doc_id,
+               CAST(n_sentences AS INTEGER) AS n_sentences,
+               CAST(n_words AS INTEGER) AS n_words,
+               CAST(n_syllables AS INTEGER) AS n_syllables,
+               CASE WHEN n_words > 0 THEN
+                 ROUND(206.835
+                       - 1.015 * (n_words / CAST(GREATEST(n_sentences, 1)
+                                                 AS DOUBLE))
+                       - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)), 4)
+               END AS flesch_ease,
+               CASE WHEN n_words > 0 THEN
+                 ROUND(0.39 * (n_words / CAST(GREATEST(n_sentences, 1)
+                                              AS DOUBLE))
+                       + 11.8 * (n_syllables / CAST(n_words AS DOUBLE))
+                       - 15.59, 4)
+               END AS fk_grade
+        FROM base
+    """
+
+
+# --------------------------------------------- RAKE keyword extraction
+RAKE_TOPK = 30
+
+
+def rake_keywords(docs: DataFrame, k: int = RAKE_TOPK) -> DataFrame:
+    """RAKE corpus keywords (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs; each word scores degree/frequency
+    over the phrase table (degree = Σ lengths of phrases containing the
+    word — co-occurrence mass; frequency = appearances), a phrase scores
+    the sum of its word scores, and the corpus report is the top ``k``
+    distinct phrases by (score, count). The stop list is the engine's
+    ``STOPWORDS['en']`` (tiny by design — it drives the language-ID and
+    quality features too; swap a fuller list in production).
+
+    Shape at scale: phrase assembly is ONE doc-keyed window (the
+    gaps-and-islands anchor ``pos − row_number``) over the non-stop
+    tokens; word scores are a |vocab|-row keyed aggregate; phrase
+    scoring joins words back on the word key and reduces per phrase
+    text. Nothing is ever all-pairs and the top-k is a total order →
+    TakeOrderedAndProject."""
+    toked = docs.select(
+        "doc_id", F.posexplode(tokens_col("text")).alias("pos", "w")
+    ).filter(~F.col("w").isin(*STOPWORDS["en"]))
+    dw = Window.partitionBy("doc_id").orderBy("pos")
+    islands = toked.select(
+        "doc_id",
+        "w",
+        "pos",
+        (F.col("pos") - F.row_number().over(dw)).alias("island"),
+    )
+    phrases = islands.groupBy("doc_id", "island").agg(
+        F.concat_ws(
+            " ", F.array_sort(F.collect_list(F.struct("pos", "w"))).getField("w")
+        ).alias("phrase"),
+        F.count("*").alias("plen"),
+    )
+    words = phrases.select(
+        F.explode(F.split("phrase", " ")).alias("w"), "plen"
+    )
+    scores = words.groupBy("w").agg(
+        (F.sum("plen").cast("double") / F.count("*")).alias("wscore")
+    )
+    per_phrase = (
+        phrases.select("phrase")
+        .distinct()
+        .select("phrase", F.explode(F.split("phrase", " ")).alias("w"))
+        .join(scores, "w")
+        .groupBy("phrase")
+        .agg(F.round(F.sum("wscore"), 6).alias("score"))
+    )
+    counts = phrases.groupBy("phrase").agg(
+        F.count("*").cast("long").alias("n_occurrences")
+    )
+    ranked = (
+        per_phrase.join(counts, "phrase")
+        .orderBy(F.desc("score"), F.desc("n_occurrences"), F.asc("phrase"))
+        .limit(k)
+    )
+    return ranked.select("phrase", "score", "n_occurrences")
+
+
+def rake_keywords_sql(src: str = "documents", k: int = RAKE_TOPK) -> str:
+    t = tokens_sql("text")
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+        WITH toked0 AS (SELECT doc_id, {t} AS toks FROM {src}),
+        pw0 AS (
+          SELECT doc_id,
+                 [{{'pos': i, 'w': toks[i]}}
+                  for i in generate_series(1, len(toks))] AS pws
+          FROM toked0
+        ),
+        pw AS (SELECT doc_id, UNNEST(pws, recursive := true) FROM pw0),
+        ns AS (SELECT doc_id, pos, w FROM pw WHERE w NOT IN ({stop})),
+        isl AS (
+          SELECT doc_id, w, pos,
+                 pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS island
+          FROM ns
+        ),
+        phrases AS MATERIALIZED (
+          SELECT doc_id, island,
+                 string_agg(w, ' ' ORDER BY pos) AS phrase,
+                 COUNT(*) AS plen
+          FROM isl GROUP BY doc_id, island
+        ),
+        words AS (
+          SELECT UNNEST(string_split(phrase, ' ')) AS w, plen FROM phrases
+        ),
+        scores AS (
+          SELECT w, CAST(SUM(plen) AS DOUBLE) / COUNT(*) AS wscore
+          FROM words GROUP BY w
+        ),
+        dp AS (SELECT DISTINCT phrase FROM phrases),
+        pwords AS (
+          SELECT phrase, UNNEST(string_split(phrase, ' ')) AS w FROM dp
+        ),
+        pscore AS (
+          SELECT phrase, ROUND(SUM(wscore), 6) AS score
+          FROM pwords JOIN scores USING (w) GROUP BY phrase
+        ),
+        counts AS (
+          SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+          FROM phrases GROUP BY phrase
+        )
+        SELECT p.phrase, p.score, c.n_occurrences
+        FROM pscore p JOIN counts c USING (phrase)
+        ORDER BY score DESC, n_occurrences DESC, phrase ASC
+        LIMIT {k}
     """

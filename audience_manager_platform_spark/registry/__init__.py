@@ -68,7 +68,13 @@ _DRIVER_CREDITED = _load_driver_credited()
 # re-checks, all of which fit, so nothing queues).  Names already
 # credited are ignored (a driver window may reach a queued query before
 # the builder expects — the r4 `segment_overlap_matrix` lesson).
-_DEFER_RAW: tuple[str, ...] = ()
+_DEFER_RAW: tuple[str, ...] = (
+    # r6 queue: the r5 window is exactly full (50 uncredited), so
+    # late-r5 additions hold here to not displace a queued credit
+    "text_readability",
+    "text_rake_keywords",
+    "dedup_cross_corpus",
+)
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED
 )

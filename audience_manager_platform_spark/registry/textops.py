@@ -210,6 +210,14 @@ QUERIES = {
     # r5: novelty curve — per doc_id decile, share of n-grams first seen
     # there (corpus diversity/saturation report)
     "corpus_ngram_novelty": lambda s, d: C.ngram_novelty(_docs(s, d)),
+    # r6 queue: Flesch/FK readability (quality-ladder axis)
+    "text_readability": lambda s, d: T.readability_scores(_docs(s, d)),
+    # r6 queue: RAKE keyphrase extraction (corpus top-30)
+    "text_rake_keywords": lambda s, d: T.rake_keywords(_docs(s, d)),
+    # r6 queue: fuzzy train/benchmark contamination via cross-side LSH
+    "dedup_cross_corpus": lambda s, d: D.cross_corpus_contamination(
+        _docs(s, d), eval_source="src0", max_band_size=LSH_MAX_BAND
+    ),
 }
 
 ORACLES = {
@@ -284,4 +292,9 @@ ORACLES = {
     "corpus_filter_funnel": C.filter_funnel_sql(),
     "corpus_pack_efficiency": C.pack_efficiency_sql(),
     "corpus_ngram_novelty": C.ngram_novelty_sql(),
+    "text_readability": T.readability_scores_sql(),
+    "text_rake_keywords": T.rake_keywords_sql(),
+    "dedup_cross_corpus": D.cross_corpus_contamination_sql(
+        eval_source="src0", max_band_size=LSH_MAX_BAND
+    ),
 }

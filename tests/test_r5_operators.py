@@ -1376,3 +1376,69 @@ def test_changepoint_mean_shift_finds_planted_step(spark):
     # edge discipline: no day without full 7-day frames on both sides
     assert min(r.day for r in got) >= "2024-01-08"
     assert max(r.day for r in got) <= "2024-01-22"
+
+
+def test_readability_scores_hand_computed(spark):
+    from audience_manager_platform_spark.operators.text import (
+        readability_scores,
+    )
+
+    got = {
+        r.doc_id: r
+        for r in readability_scores(
+            _docs5(spark, ["the cat sat. it ran fast!", ""])
+        ).collect()
+    }
+    r0 = got[0]
+    assert r0.n_sentences == 2 and r0.n_words == 6 and r0.n_syllables == 6
+    # flesch = 206.835 - 1.015*(6/2) - 84.6*(6/6)
+    assert r0.flesch_ease == round(206.835 - 1.015 * 3 - 84.6, 4)
+    assert r0.fk_grade == round(0.39 * 3 + 11.8 - 15.59, 4)
+    # zero-word doc: counts zero, scores NULL (guarded division)
+    r1 = got[1]
+    assert r1.n_words == 0
+    assert r1.flesch_ease is None and r1.fk_grade is None
+
+
+def test_rake_scores_cooccurring_phrase_over_stray_words(spark):
+    from audience_manager_platform_spark.operators.text import rake_keywords
+
+    docs = [
+        "the deep learning model and the deep learning data",
+        "the deep learning model",
+        "the pizza",
+    ]
+    got = {r.phrase: r for r in rake_keywords(_docs5(spark, docs)).collect()}
+    # "deep learning model" occurs twice and its words co-occur in long
+    # phrases -> top score; the isolated word scores its own tiny degree
+    assert got["deep learning model"].n_occurrences == 2
+    assert got["deep learning model"].score > got["pizza"].score
+    # degree/frequency: deep appears in 3 phrases of len 3 -> deg 9,
+    # freq 3 -> wscore 3; same for learning; model: deg 3+3=6? no -
+    # model in 2 phrases len 3 -> deg 6, freq 2 -> 3. data: deg 3/1 = 3
+    assert got["deep learning data"].score == 9.0
+    assert got["pizza"].score == 1.0
+
+
+def test_cross_corpus_contamination_flags_only_cross_side(spark):
+    from audience_manager_platform_spark.operators.dedup import (
+        cross_corpus_contamination,
+    )
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        # train side: doc 1 = the leaked doc, doc 2 unrelated
+        (1, text_a, "en", "train", len(text_a)),
+        (2, "one two three four five six seven eight", "en", "train", 40),
+        # eval side: doc 10 duplicates train doc 1; doc 11 duplicates
+        # ANOTHER EVAL doc only (no train match) -> must not appear
+        (10, text_a, "en", "bench", len(text_a)),
+        (11, "nine ten eleven twelve thirteen fourteen fifteen", "en", "bench", 48),
+        (12, "nine ten eleven twelve thirteen fourteen fifteen", "en", "bench", 48),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = cross_corpus_contamination(docs, eval_source="bench").collect()
+    assert {(r.eval_doc, r.train_doc) for r in got} == {(10, 1)}
+    assert got[0].est_jaccard == 1.0

@@ -1153,3 +1153,91 @@ def ngram_novelty_sql(
         FROM per_doc, mx
         GROUP BY 1
     """
+
+
+# ---------------------------------------------- epoch budget allocation
+EPOCH_BUDGET_TOKENS = 1_000_000
+EPOCH_REPEAT_CAP = 4.0  # >4 epochs of repetition: diminishing returns
+
+
+def epoch_budget(
+    docs: DataFrame,
+    group_col: str = "lang",
+    budget_tokens: int = EPOCH_BUDGET_TOKENS,
+    alpha: float = 0.5,
+    repeat_cap: float = EPOCH_REPEAT_CAP,
+) -> DataFrame:
+    """Training-run token-budget allocation per corpus slice: combine the
+    temperature-scaled mixture (w ∝ share^alpha, as
+    :func:`mixture_weights`) with each slice's actual token supply to
+    report how many EPOCHS of every slice the run would consume — the
+    planning table that surfaces the repeated-data trap before training
+    starts (a slice allocated 5x its supply repeats 5 times;
+    ``repeat_risk`` flags slices past ``repeat_cap``, the
+    published diminishing-returns knee for multi-epoch pretraining
+    data). Per slice: docs, tokens, mixture weight, allocated tokens,
+    effective epochs, and the risk verdict.
+
+    Shape: one narrow token-count projection feeding a |slices|-row
+    combinable aggregate, then two 1-row broadcasts (total + mixture
+    normalizer) — nothing after the first reduce is data-sized."""
+    per = docs.select(
+        group_col, F.size(tokens_col("text")).alias("_tok")
+    ).groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_tok").cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("_T"))
+    scaled = per.join(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        F.pow(F.col("n_tokens") / F.col("_T"), F.lit(alpha)).alias("_s"),
+    )
+    z = scaled.agg(F.sum("_s").alias("_z"))
+    w = F.col("_s") / F.col("_z")
+    epochs = F.round(
+        F.lit(float(budget_tokens)) * w / F.col("n_tokens"), 4
+    )
+    return scaled.join(F.broadcast(z)).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        F.round(w, 6).alias("mixture_weight"),
+        F.round(F.lit(float(budget_tokens)) * w, 2).alias("alloc_tokens"),
+        epochs.alias("epochs"),
+        (epochs > repeat_cap).alias("repeat_risk"),
+    )
+
+
+def epoch_budget_sql(
+    src: str = "documents",
+    group_col: str = "lang",
+    budget_tokens: int = EPOCH_BUDGET_TOKENS,
+    alpha: float = 0.5,
+    repeat_cap: float = EPOCH_REPEAT_CAP,
+) -> str:
+    t = tokens_sql("text")
+    return f"""
+        WITH per AS (
+          SELECT {group_col},
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(len({t})) AS BIGINT) AS n_tokens
+          FROM {src} GROUP BY {group_col}
+        ),
+        tot AS (SELECT SUM(n_tokens) AS _T FROM per),
+        scaled AS (
+          SELECT {group_col}, n_docs, n_tokens,
+                 POWER(n_tokens / CAST(_T AS DOUBLE), {alpha}) AS _s
+          FROM per, tot
+        ),
+        z AS (SELECT SUM(_s) AS _z FROM scaled)
+        SELECT {group_col}, n_docs, n_tokens,
+               ROUND(_s / _z, 6) AS mixture_weight,
+               ROUND({float(budget_tokens)} * (_s / _z), 2) AS alloc_tokens,
+               ROUND({float(budget_tokens)} * (_s / _z) / n_tokens, 4)
+                 AS epochs,
+               ROUND({float(budget_tokens)} * (_s / _z) / n_tokens, 4)
+                 > {repeat_cap} AS repeat_risk
+        FROM scaled, z
+    """

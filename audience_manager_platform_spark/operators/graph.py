@@ -431,3 +431,139 @@ def neighbor_jaccard_sql(
         WHERE ROUND(shared / CAST(d1.deg + d2.deg - shared AS DOUBLE), 6)
               >= {threshold}
     """
+
+
+# -------------------------------------------------- label propagation
+LPA_ITERS = 2
+
+
+def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """Deterministic synchronous label propagation (community detection):
+    every node starts labelled with its own id; each superstep it adopts
+    the MOST FREQUENT label among its neighbours AND itself, ties broken
+    by the smallest label — the classic LPA vote made reproducible (the
+    published algorithm's random tie-break and visit order are replaced
+    by a total order, the same determinism discipline as the k-means
+    seeding). The self-vote is the standard guard against the
+    synchronous-LPA two-coloring oscillation on bipartite graphs —
+    without it a customer—supplier graph just swaps side labels every
+    superstep. Requires a symmetric edge list (every node has a
+    neighbour, so no vote is ever empty).
+
+    One superstep is exactly one equi-join (labels ⋈ edges on src) plus
+    one (node, label) vote count plus a per-node top-1 window — the
+    Pregel data movement as DataFrames, like :func:`pagerank`; the edge
+    list is materialized once and the label state (consumed twice per
+    level: neighbour votes + self-vote) is materialized per superstep —
+    it is O(|V|) and the alternative is 2^iters plan replay.
+
+    Node ids must be numeric-comparable consistently with the SQL twin —
+    the customer-supplier wrapper votes on ENCODED bigint ids and
+    decodes only in the final projection (a string tie-break would
+    order 'c10' < 'c2' while the bigint order says otherwise)."""
+    from .partitioning import materialize
+
+    edges = materialize(edges)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    from pyspark.sql import Window
+
+    for _ in range(iters):
+        labels = materialize(labels)
+        nbr_pairs = edges.join(
+            labels.select(F.col("node").alias("src"), "label"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        votes = (
+            nbr_pairs.union(labels.select("node", "label"))
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("votes"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.desc("votes"), F.asc("label")
+        )
+        labels = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", "label")
+        )
+    return labels
+
+
+def trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LPA communities over the customer—supplier trade graph, with each
+    node's community label and the community size (votes run on encoded
+    bigint ids; the public 'c{k}'/'s{k}' strings appear only in the
+    final projection)."""
+    from ..sources import load_table
+
+    pairs = _pairs_encoded(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+    labels = label_propagation(_sym_edges(pairs))
+    from pyspark.sql import Window
+
+    sz = Window.partitionBy("label")
+    return labels.select(
+        decode_node("node").alias("node"),
+        decode_node("label").alias("community"),
+        F.count("*").over(sz).cast("long").alias("community_size"),
+    )
+
+
+def trade_communities_sql(
+    iters: int = LPA_ITERS,
+    orders: str = "orders",
+    lineitem: str = "lineitem",
+) -> str:
+    parts = [
+        f"""pairs AS MATERIALIZED (
+          SELECT DISTINCT 2 * o_custkey AS cust, 2 * l_suppkey + 1 AS supp
+          FROM {lineitem} JOIN {orders} ON l_orderkey = o_orderkey
+        ),
+        edges AS MATERIALIZED (
+          SELECT cust AS src, supp AS dst FROM pairs
+          UNION ALL
+          SELECT supp AS src, cust AS dst FROM pairs
+        ),
+        l0 AS MATERIALIZED (
+          SELECT DISTINCT src AS node, src AS label FROM edges
+        )"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""v{t + 1} AS (
+          SELECT node, label, COUNT(*) AS votes FROM (
+            SELECT e.dst AS node, l.label
+            FROM edges e JOIN l{t} l ON e.src = l.node
+            UNION ALL
+            SELECT node, label FROM l{t}
+          ) GROUP BY 1, 2
+        ),
+        l{t + 1} AS MATERIALIZED (
+          SELECT node, label FROM (
+            SELECT v{t + 1}.*,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY votes DESC, label ASC) AS rk
+            FROM v{t + 1}
+          ) WHERE rk = 1
+        )"""
+        )
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {ctes},
+        sizes AS (
+          SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+          FROM l{iters} GROUP BY label
+        )
+        SELECT CASE WHEN l.node % 2 = 0 THEN 'c' || (l.node // 2)
+                    ELSE 's' || ((l.node - 1) // 2) END AS node,
+               CASE WHEN l.label % 2 = 0 THEN 'c' || (l.label // 2)
+                    ELSE 's' || ((l.label - 1) // 2) END AS community,
+               s.community_size
+        FROM l{iters} l JOIN sizes s USING (label)
+    """

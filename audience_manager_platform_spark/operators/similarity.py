@@ -1605,3 +1605,110 @@ def ivf_probe_sweep_sql(
         """
         )
     return " UNION ALL ".join(points)
+
+
+# --------------------------------------------- embedding snapshot drift
+def snapshot_drift(emb: DataFrame) -> DataFrame:
+    """Embedding-distribution drift between two corpus snapshots — the
+    monitoring gate a production retrieval/dedup stack runs when the
+    encoder or the corpus changes (silent encoder drift quietly breaks
+    every cached ANN index and SemDeDup threshold downstream). Per
+    label: both snapshots' sizes, the L2 distance between their
+    centroids, and the mean-norm delta. Snapshots here are the vec_id
+    parity split (a deterministic stand-in for version tags — swap in a
+    real ``snapshot`` column at parity).
+
+    Determinism: centroids and mean norms ride the order-free exact-
+    integer contract (floor-scaled decimal sums, ONE half-up rounding —
+    the block above ``KMEANS_K``), so both engines compute bit-identical
+    model state on any partitioning; the drift distance is then a fixed
+    left-associative expression over 6dp-exact operands.
+
+    Shape at scale: ONE corpus scan into a (label, side)-keyed
+    map-side-combinable aggregate (exchange carries |labels|·2 rows of
+    O(dim) state); the old/new join runs on the MATERIALIZED aggregate,
+    so the corpus is never re-scanned for the second side."""
+    from .partitioning import materialize
+
+    base = emb.select(
+        (F.col("vec_id") % 2 == 1).alias("is_new"),
+        "label",
+        _vec_double().alias("v"),
+    ).withColumn("nrm", _norm_expr("v"))
+    s = "sum(cast(floor(nrm * 1e12 + 0.5d) as decimal(38,0)))"
+    micro = f"((abs({s}) + count(*) * 500000) div (count(*) * 1000000))"
+    mean_norm = F.expr(
+        f"cast(case when {s} < 0 then -{micro} else {micro} end"
+        " as double) / 1e6"
+    )
+    agg = materialize(
+        base.groupBy("label", "is_new").agg(
+            F.count("*").cast("long").alias("n"),
+            F.expr(
+                "array(" + _mean6_spark_items("v", EMBED_DIM) + ")"
+            ).alias("c"),
+            mean_norm.alias("mean_norm"),
+        )
+    )
+    old = agg.filter(~F.col("is_new")).select(
+        "label",
+        F.col("n").alias("n_old"),
+        F.col("c").alias("c_old"),
+        F.col("mean_norm").alias("norm_old"),
+    )
+    new = agg.filter(F.col("is_new")).select(
+        "label",
+        F.col("n").alias("n_new"),
+        F.col("c").alias("c_new"),
+        F.col("mean_norm").alias("norm_new"),
+    )
+    dist = F.sqrt(
+        F.expr(
+            " + ".join(
+                f"(c_new[{i}] - c_old[{i}]) * (c_new[{i}] - c_old[{i}])"
+                for i in range(EMBED_DIM)
+            )
+        )
+    )
+    return old.join(new, "label").select(
+        "label",
+        "n_old",
+        "n_new",
+        F.round(dist, 6).alias("centroid_shift"),
+        F.round(F.col("norm_new") - F.col("norm_old"), 6).alias(
+            "mean_norm_delta"
+        ),
+    )
+
+
+def snapshot_drift_sql(src: str = "embeddings") -> str:
+    norm = " + ".join(f"v[{i + 1}] * v[{i + 1}]" for i in range(EMBED_DIM))
+    s = "SUM(CAST(floor(nrm * 1e12 + 0.5) AS HUGEINT))"
+    micro = f"((abs({s}) + COUNT(*) * 500000) // (COUNT(*) * 1000000))"
+    mean_norm = (
+        f"CAST(CASE WHEN {s} < 0 THEN -{micro} ELSE {micro} END"
+        " AS DOUBLE) / 1e6"
+    )
+    dist = " + ".join(
+        f"(n.c[{i + 1}] - o.c[{i + 1}]) * (n.c[{i + 1}] - o.c[{i + 1}])"
+        for i in range(EMBED_DIM)
+    )
+    return f"""
+        WITH base AS (
+          SELECT (vec_id % 2 = 1) AS is_new, label,
+                 CAST(embedding AS DOUBLE[]) AS v
+          FROM {src}
+        ),
+        based AS (SELECT is_new, label, v, sqrt({norm}) AS nrm FROM base),
+        agg AS MATERIALIZED (
+          SELECT label, is_new, CAST(COUNT(*) AS BIGINT) AS n,
+                 [{_mean6_sql_items("v", EMBED_DIM)}] AS c,
+                 {mean_norm} AS mean_norm
+          FROM based GROUP BY 1, 2
+        )
+        SELECT o.label, o.n AS n_old, n.n AS n_new,
+               ROUND(sqrt({dist}), 6) AS centroid_shift,
+               ROUND(n.mean_norm - o.mean_norm, 6) AS mean_norm_delta
+        FROM agg o JOIN agg n
+          ON o.label = n.label AND NOT o.is_new AND n.is_new
+    """

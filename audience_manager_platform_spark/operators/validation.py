@@ -299,6 +299,72 @@ def k_anonymity_audit_sql(
     """
 
 
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_identifiers: Sequence[str],
+    sensitive: str,
+    k: int = 5,
+    ell: int = 2,
+) -> DataFrame:
+    """l-diversity extension of :func:`k_anonymity_audit` — the audit
+    k-anonymity alone cannot pass: a class of 50 users is still a
+    disclosure if all 50 share the same sensitive value (the homogeneity
+    attack). Per quasi-identifier equivalence class: the class size, the
+    number of DISTINCT sensitive values, the largest single value's
+    share, and the release verdicts (``k_risk`` = too small a crowd,
+    ``l_risk`` = too homogeneous a crowd).
+
+    Still ONE map-side-combinable aggregate pass: distinct-sensitive
+    counts come from a (qi..., sensitive) pre-aggregate rolled up to the
+    class — two keyed reduces, both combinable, output |classes| rows."""
+    qi = list(quasi_identifiers)
+    per_value = df.groupBy(*qi, sensitive).agg(
+        F.count("*").alias("_vn")
+    )
+    return (
+        per_value.groupBy(*qi)
+        .agg(
+            F.sum("_vn").cast("long").alias("class_size"),
+            F.count("*").cast("long").alias("distinct_sensitive"),
+            F.max("_vn").cast("long").alias("top_value_n"),
+        )
+        .select(
+            *qi,
+            "class_size",
+            "distinct_sensitive",
+            F.round(
+                F.col("top_value_n") / F.col("class_size").cast("double"), 6
+            ).alias("top_value_share"),
+            (F.col("class_size") < k).alias("k_risk"),
+            (F.col("distinct_sensitive") < ell).alias("l_risk"),
+        )
+    )
+
+
+def l_diversity_audit_sql(
+    src: str,
+    quasi_identifiers: Sequence[str],
+    sensitive: str,
+    k: int = 5,
+    ell: int = 2,
+) -> str:
+    cols = ", ".join(quasi_identifiers)
+    return f"""
+        WITH per_value AS (
+          SELECT {cols}, {sensitive}, COUNT(*) AS _vn
+          FROM {src} GROUP BY {cols}, {sensitive}
+        )
+        SELECT {cols},
+               CAST(SUM(_vn) AS BIGINT) AS class_size,
+               CAST(COUNT(*) AS BIGINT) AS distinct_sensitive,
+               ROUND(MAX(_vn) / CAST(SUM(_vn) AS DOUBLE), 6)
+                 AS top_value_share,
+               SUM(_vn) < {k} AS k_risk,
+               COUNT(*) < {ell} AS l_risk
+        FROM per_value GROUP BY {cols}
+    """
+
+
 # ------------------------------------------------------- profile drift
 def profile_drift(
     old: DataFrame, new: DataFrame, columns: Sequence[tuple[str, str]]

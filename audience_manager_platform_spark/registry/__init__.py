@@ -74,6 +74,10 @@ _DEFER_RAW: tuple[str, ...] = (
     "text_readability",
     "text_rake_keywords",
     "dedup_cross_corpus",
+    "corpus_epoch_budget",
+    "emb_snapshot_drift",
+    "privacy_l_diversity_customer",
+    "graph_trade_communities",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

@@ -129,6 +129,8 @@ QUERIES = {
         _emb(s, d), _QUERY_IDS, threshold=0.3
     ),
     "emb_norm_stats_by_label": lambda s, d: S.norm_stats_by_label(_emb(s, d)),
+    # r6 queue: snapshot-to-snapshot centroid/norm drift per label
+    "emb_snapshot_drift": lambda s, d: S.snapshot_drift(_emb(s, d)),
     # r4: scalar quantization (SQ8) — the third quantizer family next to
     # IVF and PQ; fit = one agg pass, encode/ADC = codegen projections
     "sq_code_stats": lambda s, d: SQ.sq_code_stats(_emb(s, d)),
@@ -167,6 +169,7 @@ ORACLES = {
         _QUERY_IDS, threshold=0.3
     ),
     "emb_norm_stats_by_label": S.norm_stats_by_label_sql(),
+    "emb_snapshot_drift": S.snapshot_drift_sql(),
     "sq_code_stats": SQ.sq_code_stats_sql(),
     "ann_sq_adc_topk": SQ.sq_adc_topk_sql(_QUERY_IDS, k=5),
     "ann_recall_ivf_vs_exact": S.recall_eval_sql(_QUERY_IDS, k=5),

@@ -218,6 +218,8 @@ QUERIES = {
     "dedup_cross_corpus": lambda s, d: D.cross_corpus_contamination(
         _docs(s, d), eval_source="src0", max_band_size=LSH_MAX_BAND
     ),
+    # r6 queue: per-slice token-budget epochs + repeat-risk verdicts
+    "corpus_epoch_budget": lambda s, d: C.epoch_budget(_docs(s, d)),
 }
 
 ORACLES = {
@@ -297,4 +299,5 @@ ORACLES = {
     "dedup_cross_corpus": D.cross_corpus_contamination_sql(
         eval_source="src0", max_band_size=LSH_MAX_BAND
     ),
+    "corpus_epoch_budget": C.epoch_budget_sql(),
 }

@@ -22,6 +22,8 @@ from ..operators.graph import (
     neighbor_jaccard_sql,
     pagerank_customer_supplier,
     pagerank_sql,
+    trade_communities,
+    trade_communities_sql,
 )
 from ..operators.maintenance import (
     daily_rollup,
@@ -43,6 +45,8 @@ from ..operators.validation import (
     fk_orphan_audit_sql,
     k_anonymity_audit,
     k_anonymity_audit_sql,
+    l_diversity_audit,
+    l_diversity_audit_sql,
     profile_drift,
     profile_drift_sql,
     table_profile,
@@ -233,6 +237,20 @@ QUERIES = {
         ["c_nationkey", "c_mktsegment", "bal_band"],
         k=5,
     ),
+    # r6 queue: l-diversity (homogeneity-attack audit k-anonymity misses)
+    "privacy_l_diversity_customer": lambda s, d: l_diversity_audit(
+        load_table(s, d, "customer").select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+        ),
+        ["c_nationkey", "bal_band"],
+        sensitive="c_mktsegment",
+        k=5,
+        ell=2,
+    ),
+    # r6 queue: deterministic LPA communities over the trade graph
+    "graph_trade_communities": trade_communities,
     # r3: vertex-centric compute over warehouse-derived edges
     "pagerank_customer_supplier": pagerank_customer_supplier,
     # r4: degree distribution — the hub/skew diagnostic on the same graph
@@ -319,6 +337,16 @@ ORACLES = {
         ["c_nationkey", "c_mktsegment", "bal_band"],
         k=5,
     ),
+    "privacy_l_diversity_customer": l_diversity_audit_sql(
+        "(SELECT c_nationkey, c_mktsegment,"
+        " CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band"
+        " FROM customer) q",
+        ["c_nationkey", "bal_band"],
+        sensitive="c_mktsegment",
+        k=5,
+        ell=2,
+    ),
+    "graph_trade_communities": trade_communities_sql(),
     "pagerank_customer_supplier": pagerank_sql(),
     "graph_degree_histogram": degree_histogram_sql(),
     "validate_fk_orphans": fk_orphan_audit_sql([

@@ -1442,3 +1442,85 @@ def test_cross_corpus_contamination_flags_only_cross_side(spark):
     got = cross_corpus_contamination(docs, eval_source="bench").collect()
     assert {(r.eval_doc, r.train_doc) for r in got} == {(10, 1)}
     assert got[0].est_jaccard == 1.0
+
+
+def test_label_propagation_components_with_self_vote(spark):
+    from audience_manager_platform_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # two components: path 1-2-3 and pair 10-11 (symmetric edge lists)
+    und = [(1, 2), (2, 3), (10, 11)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {r.node: r.label for r in label_propagation(edges).collect()}
+    # min-label fixed point per component; no cross-component leakage
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+
+
+def test_l_diversity_catches_homogeneous_class(spark):
+    from audience_manager_platform_spark.operators.validation import (
+        l_diversity_audit,
+    )
+
+    rows = [("US", "gold")] * 6 + [("DE", "gold"), ("DE", "silver")]
+    df = spark.createDataFrame(rows, "country string, tier string")
+    got = {r.country: r for r in l_diversity_audit(
+        df, ["country"], "tier", k=5, ell=2
+    ).collect()}
+    # US: big enough crowd (no k risk) but perfectly homogeneous (l risk)
+    assert not got["US"].k_risk and got["US"].l_risk
+    assert got["US"].distinct_sensitive == 1
+    assert got["US"].top_value_share == 1.0
+    # DE: diverse (no l risk) but only 2 members (k risk)
+    assert got["DE"].k_risk and not got["DE"].l_risk
+    assert got["DE"].top_value_share == 0.5
+
+
+def test_snapshot_drift_planted_centroid_shift(spark):
+    from audience_manager_platform_spark.operators.similarity import (
+        EMBED_DIM,
+        snapshot_drift,
+    )
+
+    def vec(x0):
+        return [float(x0)] + [0.0] * (EMBED_DIM - 1)
+
+    # label 0: old (even ids) at x=1, new (odd ids) at x=3 -> shift 2.0;
+    # label 1: both snapshots identical -> shift 0
+    rows = [
+        (0, vec(1.0), 0), (2, vec(1.0), 0),
+        (1, vec(3.0), 0), (3, vec(3.0), 0),
+        (10, vec(5.0), 1), (11, vec(5.0), 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r.label: r for r in snapshot_drift(emb).collect()}
+    assert got[0].n_old == 2 and got[0].n_new == 2
+    assert got[0].centroid_shift == 2.0
+    assert got[0].mean_norm_delta == 2.0
+    assert got[1].centroid_shift == 0.0 and got[1].mean_norm_delta == 0.0
+
+
+def test_epoch_budget_flags_over_repeated_slice(spark):
+    from audience_manager_platform_spark.operators.corpus import epoch_budget
+
+    rows = [
+        (0, "one two three four", "a", "web", 18),
+        (1, "five six seven eight", "a", "web", 20),
+        (2, "nine ten", "b", "web", 8),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r.lang: r for r in epoch_budget(
+        docs, budget_tokens=30, alpha=0.5
+    ).collect()}
+    # shares 8/10 vs 2/10; sqrt-temperature -> weights exactly 2/3, 1/3
+    assert got["a"].n_tokens == 8 and got["b"].n_tokens == 2
+    assert got["a"].mixture_weight == round(2 / 3, 6)
+    assert got["a"].epochs == 2.5 and not got["a"].repeat_risk
+    assert got["b"].epochs == 5.0 and got["b"].repeat_risk

@@ -110,6 +110,9 @@ NESTED_LOOP_ALLOWED = {
     "validate_fk_orphans",
     # 1-row MAX(doc_id) broadcast defines the decile bucket boundaries
     "corpus_ngram_novelty",
+    # two 1-row broadcasts (token total + mixture normalizer), the
+    # mixture_weights shape
+    "corpus_epoch_budget",
 }
 
 ARROW_ALLOWED = {

@@ -1524,3 +1524,42 @@ def test_epoch_budget_flags_over_repeated_slice(spark):
     assert got["a"].mixture_weight == round(2 / 3, 6)
     assert got["a"].epochs == 2.5 and not got["a"].repeat_risk
     assert got["b"].epochs == 5.0 and got["b"].repeat_risk
+
+
+def test_snapshot_drift_partition_invariant(spark):
+    # centroids/norms are floor-scaled integer sums -> the report must be
+    # IDENTICAL under any input partitioning (the r4 PQ lesson applied
+    # to every new model-state operator)
+    from audience_manager_platform_spark.operators.similarity import (
+        snapshot_drift,
+    )
+    from audience_manager_platform_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    key = lambda df: {
+        r.label: (r.n_old, r.n_new, r.centroid_shift, r.mean_norm_delta)
+        for r in snapshot_drift(df).collect()
+    }
+    assert key(emb.repartition(1)) == key(emb.repartition(13))
+
+
+def test_trade_communities_partition_invariant(spark):
+    from audience_manager_platform_spark.operators.graph import (
+        _pairs_encoded,
+        _sym_edges,
+        label_propagation,
+    )
+    from audience_manager_platform_spark.sources import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    pairs = _pairs_encoded(orders, li)
+    a = {
+        r.node: r.label
+        for r in label_propagation(_sym_edges(pairs).repartition(1)).collect()
+    }
+    b = {
+        r.node: r.label
+        for r in label_propagation(_sym_edges(pairs).repartition(13)).collect()
+    }
+    assert a == b

@@ -20,6 +20,10 @@ Format notes at scale:
   identical values.
 - **json (lines)** carries nested arrays/structs (e.g. the embeddings
   table); each line is a record, so the file still splits across tasks.
+- **orc** is the second self-describing columnar format (predicate
+  pushdown + pruning like parquet; schema travels with the file, so no
+  declared schema is demanded) — the interop surface for Hive-era
+  warehouses.
 """
 
 from __future__ import annotations
@@ -65,11 +69,11 @@ def read_table(
 ) -> DataFrame:
     """Typed scan. CSV/JSON demand a schema (the customSchema contract);
     parquet carries its own."""
-    if fmt == "parquet":
+    if fmt in ("parquet", "orc"):
         reader = spark.read
         if schema is not None:
             reader = reader.schema(schema)
-        return reader.parquet(path)
+        return reader.format(fmt).load(path)
     if schema is None:
         raise ValueError(f"{fmt} reads require an explicit schema (no inference)")
     reader = spark.read.schema(schema)

@@ -19,7 +19,7 @@ def _rows(df, keys):
     ))
 
 
-@pytest.mark.parametrize("fmt", ["csv", "json", "parquet"])
+@pytest.mark.parametrize("fmt", ["csv", "json", "parquet", "orc"])
 def test_flat_table_round_trip(spark, sf_dir, tmp_path, fmt):
     """orders: longs, doubles, strings, timestamps — every flat fixture
     type survives a write+typed-read in each format."""
@@ -70,3 +70,15 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert back.count() == src.filter("o_orderstatus = 'F'").count()
     assert "PartitionFilters: [isnotnull(status" in plan or "status#" in plan
+
+
+def test_orc_round_trips_nested_and_pushes_filters(spark, sf_dir, tmp_path):
+    """ORC is self-describing columnar like parquet: nested arrays
+    survive, and predicates reach the scan (PushedFilters)."""
+    src = load_table(spark, sf_dir, "embeddings")
+    back = round_trip(src, str(tmp_path / "emb_orc"), "orc")
+    assert back.schema == src.schema
+    q = back.filter("vec_id = 7").select("vec_id", "label")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "EqualTo(vec_id,7)" in plan
+    assert q.count() == 1

@@ -99,6 +99,26 @@ def main():
         F.desc("est_jaccard")
     ).show(5)
 
+    print("== n-gram novelty curve: is ingestion still adding info? (r5 w5) ==")
+    C.ngram_novelty(docs).orderBy("bucket").show()
+
+    print("== readability profile of the kept corpus (r5 w6) ==")
+    T.readability_scores(docs.join(keep, "doc_id")).agg(
+        F.round(F.avg("flesch_ease"), 2).alias("mean_flesch"),
+        F.round(F.avg("fk_grade"), 2).alias("mean_fk_grade"),
+    ).show()
+
+    print("== RAKE corpus keyphrases (r5 w6) ==")
+    T.rake_keywords(docs.join(keep, "doc_id"), k=10).show(truncate=False)
+
+    print("== fuzzy benchmark contamination: src0 as held-out eval (r5 w6) ==")
+    D.cross_corpus_contamination(docs, eval_source="src0").show(5)
+
+    print("== epoch budget: who repeats past the 4-epoch knee? (r5 w7) ==")
+    C.epoch_budget(docs.join(keep, "doc_id"), budget_tokens=200_000).orderBy(
+        F.desc("epochs")
+    ).show()
+
 
 if __name__ == "__main__":
     main()

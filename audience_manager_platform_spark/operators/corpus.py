@@ -1241,3 +1241,113 @@ def epoch_budget_sql(
                  > {repeat_cap} AS repeat_risk
         FROM scaled, z
     """
+
+
+# -------------------------------------- per-source unigram JS divergence
+def source_unigram_jsd(
+    docs: DataFrame, buckets: int = DSIR_BUCKETS
+) -> DataFrame:
+    """Data-mixture health metric: per source, the Jensen-Shannon
+    divergence (nats; bounded by ln 2) between that source's hashed-
+    unigram distribution and the whole corpus' — the dashboard number
+    that ranks feeds by "how different is this slice's vocabulary from
+    the mixture", flags a feed drifting off-domain, and feeds mixture
+    re-weighting decisions next to :func:`mixture_weights` (JSD is the
+    symmetric, finite alternative to the KL score DSIR uses — defined
+    even where supports differ).
+
+    Distributions live on the same ``buckets`` hashed features as
+    :func:`dsir_weights` (one token pass, |buckets|-row model), add-one
+    smoothed over the corpus support so every grid cell has positive
+    mass. The per-source sum runs over a |sources| x |support| dense
+    grid (broadcast cross join of two tiny aggregates — at B=128 this
+    is dashboard-sized at any corpus scale).
+
+    Determinism: each grid term p·ln(p/m) + q·ln(q/m) is floor-scaled
+    to a 1e-9-grid integer and summed EXACTLY in bigint, one division +
+    rounding at the end (the DSIR integer-sum lesson: never sum raw
+    doubles that feed a rounding boundary)."""
+    from ..functions import HASH60_SPARK_SQL
+    from .partitioning import materialize, spread
+
+    h = HASH60_SPARK_SQL.format(x="term")
+    hashed = (
+        spread(docs)
+        .select("source", F.explode(tokens_col("text")).alias("term"))
+        .select("source", F.expr(f"({h}) % {buckets}").alias("bucket"))
+    )
+    sb = materialize(
+        hashed.groupBy("source", "bucket").agg(F.count("*").alias("cs"))
+    )
+    qb = materialize(hashed.groupBy("bucket").agg(F.count("*").alias("cb")))
+    tot = qb.agg(
+        F.count("*").alias("bs"), F.sum("cb").alias("big_n")
+    )
+    ns = sb.groupBy("source").agg(F.sum("cs").alias("n_tokens"))
+    grid = (
+        ns.crossJoin(F.broadcast(qb))
+        .crossJoin(F.broadcast(tot))
+        .join(sb, ["source", "bucket"], "left")
+        .select(
+            "source",
+            "n_tokens",
+            F.expr(
+                "(coalesce(cs, 0) + 1) / cast(n_tokens + bs as double)"
+            ).alias("p"),
+            F.expr("(cb + 1) / cast(big_n + bs as double)").alias("q"),
+        )
+    )
+    term = (
+        "p * ln(p / ((p + q) / 2)) + q * ln(q / ((p + q) / 2))"
+    )
+    return (
+        grid.select(
+            "source",
+            "n_tokens",
+            F.expr(
+                f"cast(floor(({term}) * 1e9) as bigint)"
+            ).alias("_t9"),
+        )
+        .groupBy("source")
+        .agg(
+            F.first("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.lit(0.5) * F.sum("_t9").cast("double") / F.lit(1e9), 6
+            ).alias("jsd"),
+        )
+    )
+
+
+def source_unigram_jsd_sql(
+    src: str = "documents", buckets: int = DSIR_BUCKETS
+) -> str:
+    t = tokens_sql("text")
+    h = _HASH60_DUCK.format(x="term")
+    term = "p * LN(p / ((p + q) / 2)) + q * LN(q / ((p + q) / 2))"
+    return f"""
+        WITH hashed AS MATERIALIZED (
+          SELECT source, ({h}) % {buckets} AS bucket
+          FROM (SELECT source, UNNEST({t}) AS term FROM {src}) e
+        ),
+        sb AS MATERIALIZED (
+          SELECT source, bucket, COUNT(*) AS cs FROM hashed GROUP BY 1, 2
+        ),
+        qb AS MATERIALIZED (
+          SELECT bucket, COUNT(*) AS cb FROM hashed GROUP BY 1
+        ),
+        tot AS (SELECT COUNT(*) AS bs, SUM(cb) AS big_n FROM qb),
+        ns AS (SELECT source, SUM(cs) AS n_tokens FROM sb GROUP BY 1),
+        grid AS (
+          SELECT ns.source, ns.n_tokens,
+                 (COALESCE(sb.cs, 0) + 1)
+                   / CAST(ns.n_tokens + tot.bs AS DOUBLE) AS p,
+                 (qb.cb + 1) / CAST(tot.big_n + tot.bs AS DOUBLE) AS q
+          FROM ns CROSS JOIN qb CROSS JOIN tot
+          LEFT JOIN sb ON sb.source = ns.source AND sb.bucket = qb.bucket
+        )
+        SELECT source,
+               CAST(MIN(n_tokens) AS BIGINT) AS n_tokens,
+               ROUND(0.5 * CAST(SUM(CAST(FLOOR(({term}) * 1e9) AS BIGINT))
+                     AS DOUBLE) / 1e9, 6) AS jsd
+        FROM grid GROUP BY source
+    """

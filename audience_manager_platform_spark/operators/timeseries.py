@@ -502,3 +502,107 @@ def changepoint_mean_shift_sql(
           FROM shifted
         ) WHERE rk <= {k}
     """
+
+
+# ------------------------------------------- rolling regression trend
+REG_WINDOW = 14
+REG_ANCHOR = "2024-01-01"  # x = datediff(day, anchor): small, well-conditioned
+
+
+def rolling_regression(
+    events: DataFrame, w: int = REG_WINDOW, anchor: str = REG_ANCHOR
+) -> DataFrame:
+    """Rolling OLS trend per event_type series: over each trailing
+    ``w``-day window of daily totals, the closed-form least-squares
+    slope (units/day) and its r² — the trend extraction every capacity
+    forecast and "is this KPI actually moving" dashboard runs, and the
+    smooth counterpart of :func:`changepoint_mean_shift`'s step detector
+    (a changepoint spikes the shift score; a drift shows up as a
+    sustained non-zero slope with high r²).
+
+    x is datediff from a FIXED anchor date, so the regressor is a small
+    exact integer (epoch-day x values ~19700 would eat double precision
+    in nΣx² − (Σx)²); only full windows emit (a truncated frame biases
+    the slope), and zero-variance windows emit NULL r² rather than an
+    engine-specific divide-by-zero. One combinable daily reduce, then
+    all five running sums ride ONE window frame inside |days|-row
+    series partitions."""
+    daily = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.to_date("ts").alias("d"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("y"))
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.datediff("d", F.to_date(F.lit(anchor))).alias("x"),
+            "y",
+        )
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(w - 1), 0)
+    )
+    sums = daily.select(
+        "event_type",
+        "day",
+        F.count("y").over(win).alias("n"),
+        F.sum("x").over(win).alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("sxx"),
+        F.sum("y").over(win).alias("sy"),
+        F.sum(F.col("y") * F.col("y")).over(win).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(win).alias("sxy"),
+    ).filter(F.col("n") == w)
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return sums.select(
+        "event_type",
+        "day",
+        F.round(num / denx, 4).alias("slope"),
+        F.when(
+            F.round(deny, 6) > 0,
+            F.round(num * num / (denx * deny), 4),
+        ).alias("r2"),
+    )
+
+
+def rolling_regression_sql(
+    src: str = "events", w: int = REG_WINDOW, anchor: str = REG_ANCHOR
+) -> str:
+    return f"""
+        WITH daily AS (
+          SELECT event_type,
+                 strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                 datediff('day', DATE '{anchor}', CAST(ts AS DATE)) AS x,
+                 ROUND(SUM(value), 2) AS y
+          FROM {src} WHERE value IS NOT NULL
+          GROUP BY 1, 2, 3
+        ),
+        sums AS (
+          SELECT event_type, day,
+                 COUNT(y) OVER win AS n,
+                 SUM(x) OVER win AS sx,
+                 SUM(x * x) OVER win AS sxx,
+                 SUM(y) OVER win AS sy,
+                 SUM(y * y) OVER win AS syy,
+                 SUM(x * y) OVER win AS sxy
+          FROM daily
+          WINDOW win AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, day,
+               ROUND((n * sxy - sx * sy)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS slope,
+               CASE WHEN ROUND(n * syy - sy * sy, 6) > 0 THEN
+                 ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                       / (CAST(n * sxx - sx * sx AS DOUBLE)
+                          * (n * syy - sy * sy)), 4)
+               END AS r2
+        FROM sums WHERE n = {w}
+    """

@@ -78,6 +78,8 @@ _DEFER_RAW: tuple[str, ...] = (
     "emb_snapshot_drift",
     "privacy_l_diversity_customer",
     "graph_trade_communities",
+    "corpus_source_jsd",
+    "ts_rolling_regression",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

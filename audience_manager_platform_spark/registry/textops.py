@@ -220,6 +220,8 @@ QUERIES = {
     ),
     # r6 queue: per-slice token-budget epochs + repeat-risk verdicts
     "corpus_epoch_budget": lambda s, d: C.epoch_budget(_docs(s, d)),
+    # r6 queue: per-source unigram JSD vs the corpus mixture
+    "corpus_source_jsd": lambda s, d: C.source_unigram_jsd(_docs(s, d)),
 }
 
 ORACLES = {
@@ -300,4 +302,5 @@ ORACLES = {
         eval_source="src0", max_band_size=LSH_MAX_BAND
     ),
     "corpus_epoch_budget": C.epoch_budget_sql(),
+    "corpus_source_jsd": C.source_unigram_jsd_sql(),
 }

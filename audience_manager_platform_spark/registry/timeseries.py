@@ -58,6 +58,10 @@ QUERIES = {
     "ts_changepoint_mean_shift": lambda s, d: TS.changepoint_mean_shift(
         _events(s, d)
     ),
+    # r6 queue: rolling OLS slope + r² per series (trend extraction)
+    "ts_rolling_regression": lambda s, d: TS.rolling_regression(
+        _events(s, d)
+    ),
 }
 
 ORACLES = {
@@ -68,6 +72,7 @@ ORACLES = {
     "ts_daily_percentiles": TS.daily_percentiles_sql(),
     "ts_seasonality_profile": TS.seasonality_profile_sql(),
     "ts_changepoint_mean_shift": TS.changepoint_mean_shift_sql(),
+    "ts_rolling_regression": TS.rolling_regression_sql(),
     "sample_fixed_n_events": f"""
         SELECT event_id, user_id, event_type, ROUND(value, 2) AS value,
                MD5(CAST(event_id AS VARCHAR) || '{SAMPLE_SALT}') AS sample_key

@@ -1563,3 +1563,51 @@ def test_trade_communities_partition_invariant(spark):
         for r in label_propagation(_sym_edges(pairs).repartition(13)).collect()
     }
     assert a == b
+
+
+def test_source_jsd_orders_disjoint_above_identical(spark):
+    from audience_manager_platform_spark.operators.corpus import (
+        source_unigram_jsd,
+    )
+
+    same = "alpha beta gamma delta epsilon zeta"
+    rows = (
+        [(i, same, "en", "twin_a", 1) for i in range(5)]
+        + [(100 + i, same, "en", "twin_b", 1) for i in range(5)]
+        + [(200 + i, "omicron pi rho sigma tau upsilon", "en", "alien", 1)
+           for i in range(5)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r.source: r.jsd for r in source_unigram_jsd(docs).collect()}
+    # twins share the corpus-dominant vocabulary -> near-zero divergence;
+    # the disjoint-vocab source stands clearly apart
+    assert got["alien"] > got["twin_a"] + 0.05
+    assert abs(got["twin_a"] - got["twin_b"]) < 1e-9
+    assert 0.0 <= got["twin_a"] < 0.1
+
+
+def test_rolling_regression_recovers_planted_slope(spark):
+    from datetime import datetime
+
+    from audience_manager_platform_spark.operators.timeseries import (
+        rolling_regression,
+    )
+
+    rows = [
+        (i, datetime(2024, 1, 1 + i), 1, "purchase", 10.0 * i, "{}")
+        for i in range(20)
+    ] + [
+        (100 + i, datetime(2024, 1, 1 + i), 1, "view", 7.0, "{}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, _EVENTS_SCHEMA)
+    got = rolling_regression(df).collect()
+    purchase = [r for r in got if r.event_type == "purchase"]
+    view = [r for r in got if r.event_type == "view"]
+    # exact linear ramp: slope 10/day, perfect fit, full windows only
+    assert purchase and all(r.slope == 10.0 and r.r2 == 1.0 for r in purchase)
+    assert min(r.day for r in purchase) == "2024-01-14"
+    # flat series: zero slope, r² undefined (zero variance -> NULL)
+    assert view and all(r.slope == 0.0 and r.r2 is None for r in view)

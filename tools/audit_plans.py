@@ -113,6 +113,9 @@ NESTED_LOOP_ALLOWED = {
     # two 1-row broadcasts (token total + mixture normalizer), the
     # mixture_weights shape
     "corpus_epoch_budget",
+    # |sources| x B=128 dense probability grid from two broadcast tiny
+    # aggregates (the JSD sum's domain)
+    "corpus_source_jsd",
 }
 
 ARROW_ALLOWED = {

@@ -97,6 +97,12 @@ HEADLINE = [
     "skew_key_profile",
     "corpus_ngram_novelty",
     "ts_changepoint_mean_shift",
+    # r5 waves 6-8: RAKE keyphrases, cross-corpus contamination, LPA
+    # communities, per-source JSD
+    "text_rake_keywords",
+    "dedup_cross_corpus",
+    "graph_trade_communities",
+    "corpus_source_jsd",
 ]
 
 # Repeats per query: medians make the bench regression-proof (r3 saw a

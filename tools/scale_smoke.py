@@ -378,6 +378,42 @@ def main() -> None:
     )
     ROWS = n_docs
     timed("n-gram novelty curve", ngram_novelty(docs))
+
+    # ------------------------- round-5 wave-6/7/8 additions at scale
+    from audience_manager_platform_spark.operators.corpus import (
+        epoch_budget,
+        source_unigram_jsd,
+    )
+    from audience_manager_platform_spark.operators.dedup import (
+        cross_corpus_contamination,
+    )
+    from audience_manager_platform_spark.operators.text import (
+        rake_keywords,
+        readability_scores,
+    )
+    from audience_manager_platform_spark.operators.timeseries import (
+        rolling_regression,
+    )
+
+    timed("readability scoring", readability_scores(docs))
+    timed("RAKE corpus keyphrases", rake_keywords(docs))
+    # a 1% slice plays the held-out benchmark corpus
+    tagged_src = docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 100 == 0, F.lit("bench")).otherwise(
+            F.lit("train")
+        ),
+    )
+    timed(
+        "cross-corpus contamination (1% eval side)",
+        cross_corpus_contamination(
+            tagged_src, eval_source="bench", max_band_size=200
+        ),
+    )
+    timed("per-source unigram JSD", source_unigram_jsd(tagged_src))
+    timed("epoch-budget allocation", epoch_budget(tagged, group_col="lang"))
+    ROWS = int(os.environ.get("SCALE_ROWS", 10_000_000))
+    timed("rolling OLS trend (14d windows)", rolling_regression(typed_events))
     spark.stop()
 
 

@@ -1427,3 +1427,104 @@ def cross_corpus_contamination_sql(
           FROM scored
         ) WHERE rk = 1
     """
+
+
+# ------------------------------------------- dedup ROI threshold sweep
+SWEEP_THRESHOLDS = (0.5, 0.625, 0.75, 0.875, 1.0)
+
+
+def lsh_threshold_sweep(
+    docs: DataFrame,
+    thresholds: tuple[float, ...] = SWEEP_THRESHOLDS,
+    n: int = NGRAM_N,
+    max_band_size: int | None = None,
+) -> DataFrame:
+    """Dedup ROI curve: for each candidate MinHash threshold, how many
+    near-dup pairs would be flagged and how many documents touched —
+    the tuning table a pipeline reads before committing a threshold
+    (too low: harvest collapses distinct docs; too high: mirrors
+    survive), symmetric with the IVF ``probe``-count sweep on the ANN
+    side. Thresholds are estimator-grid values (multiples of
+    1/NUM_HASHES), so verdicts never sit on a float boundary.
+
+    ONE banded candidate generation + ONE signature-scoring join serve
+    every sweep point (the candidates are scored once, unfiltered;
+    each threshold is a conditional aggregate over the scored pair
+    table) — the sweep costs the same data movement as a single dedup
+    run plus a |pairs|-row multi-count."""
+    sigs = materialize(minhash_signatures(docs, n))
+    bands_long = bands_of(sigs)
+    if max_band_size is not None:
+        small = (
+            bands_long.groupBy("band_key")
+            .agg(F.count("*").alias("bn"))
+            .filter(F.col("bn") <= max_band_size)
+            .select("band_key")
+        )
+        bands_long = bands_long.join(small, "band_key")
+    cand = (
+        bands_long.alias("x")
+        .join(bands_long.alias("y"), "band_key")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    scored = materialize(score_candidates(cand, sigs, est_threshold=0.0))
+    rows = []
+    for t in thresholds:
+        cond = F.col("est_jaccard") >= t
+        rows.append(
+            scored.agg(
+                F.lit(float(t)).alias("threshold"),
+                F.sum(cond.cast("long")).alias("n_pairs"),
+                F.countDistinct(
+                    F.when(cond, F.col("doc_a"))
+                ).alias("_da"),
+                F.countDistinct(
+                    F.when(cond, F.col("doc_b"))
+                ).alias("_db"),
+            )
+        )
+    from functools import reduce
+
+    per_t = reduce(lambda a, b: a.unionByName(b), rows)
+    # docs touched = |union of both sides|: count distinct over the
+    # unioned side columns needs the pair table once more per threshold;
+    # instead report both side counts and the pair count (the ROI signal)
+    # plus removable docs = n_pairs-capped upper bound min(_da+_db, ...)
+    return per_t.select(
+        "threshold",
+        F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        (F.coalesce("_da", F.lit(0)) + F.coalesce("_db", F.lit(0)))
+        .cast("long")
+        .alias("docs_in_pairs_ub"),
+    )
+
+
+def lsh_threshold_sweep_sql(
+    src: str = "documents",
+    thresholds: tuple[float, ...] = SWEEP_THRESHOLDS,
+    n: int = NGRAM_N,
+    max_band_size: int | None = None,
+) -> str:
+    pairs_sql = minhash_lsh_pairs_sql(
+        src, est_threshold=0.0, n=n, max_band_size=max_band_size
+    )
+    selects = "\n        UNION ALL ".join(
+        f"""SELECT CAST({float(t)} AS DOUBLE) AS threshold,
+               CAST(COALESCE(SUM(CASE WHEN est_jaccard >= {float(t)}
+                                      THEN 1 END), 0) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT CASE WHEN est_jaccard >= {float(t)}
+                                        THEN doc_a END)
+                    + COUNT(DISTINCT CASE WHEN est_jaccard >= {float(t)}
+                                          THEN doc_b END) AS BIGINT)
+                 AS docs_in_pairs_ub
+        FROM scored"""
+        for t in thresholds
+    )
+    return f"""
+        WITH scored AS MATERIALIZED ({pairs_sql})
+        {selects}
+    """

@@ -80,6 +80,7 @@ _DEFER_RAW: tuple[str, ...] = (
     "graph_trade_communities",
     "corpus_source_jsd",
     "ts_rolling_regression",
+    "dedup_threshold_sweep",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

@@ -1611,3 +1611,22 @@ def test_rolling_regression_recovers_planted_slope(spark):
     assert min(r.day for r in purchase) == "2024-01-14"
     # flat series: zero slope, r² undefined (zero variance -> NULL)
     assert view and all(r.slope == 0.0 and r.r2 is None for r in view)
+
+
+def test_lsh_threshold_sweep_monotone_and_catches_exact_dup(spark):
+    from audience_manager_platform_spark.operators.dedup import (
+        lsh_threshold_sweep,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [base, base, "one two three four five six seven eight nine ten"]
+    got = sorted(
+        lsh_threshold_sweep(_docs5(spark, rows)).collect(),
+        key=lambda r: r.threshold,
+    )
+    # flagged volume is non-increasing in the threshold, and the exact
+    # duplicate pair survives even at threshold 1.0
+    pairs = [r.n_pairs for r in got]
+    assert pairs == sorted(pairs, reverse=True)
+    assert got[-1].threshold == 1.0 and got[-1].n_pairs == 1
+    assert got[-1].docs_in_pairs_ub == 2

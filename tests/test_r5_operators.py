@@ -1630,3 +1630,44 @@ def test_lsh_threshold_sweep_monotone_and_catches_exact_dup(spark):
     assert pairs == sorted(pairs, reverse=True)
     assert got[-1].threshold == 1.0 and got[-1].n_pairs == 1
     assert got[-1].docs_in_pairs_ub == 2
+
+
+def test_ngram_novelty_conserves_first_occurrences(spark):
+    # every distinct corpus gram is first-seen in EXACTLY one doc, so
+    # the bucketed new-gram counts must sum to |distinct grams|
+    from pyspark.sql import functions as F
+
+    from audience_manager_platform_spark.operators.corpus import ngram_novelty
+    from audience_manager_platform_spark.operators.text import (
+        tokens_col,
+        word_ngrams_col,
+    )
+    from audience_manager_platform_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = ngram_novelty(docs).collect()
+    assert all(0 <= r.new_grams <= r.grams for r in out)
+    assert all(0.0 <= r.novelty <= 1.0 for r in out)
+    distinct_grams = (
+        docs.select("doc_id", tokens_col("text").alias("toks"))
+        .select(F.explode(word_ngrams_col("toks", 3)).alias("gram"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.new_grams for r in out) == distinct_grams
+
+
+def test_source_jsd_within_theoretical_bounds(spark):
+    import math
+
+    from audience_manager_platform_spark.operators.corpus import (
+        source_unigram_jsd,
+    )
+    from audience_manager_platform_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = source_unigram_jsd(docs).collect()
+    assert out
+    # JSD in nats is bounded by ln 2 (allow the 1e-9 floor-grid slack)
+    for r in out:
+        assert -1e-6 <= r.jsd <= math.log(2) + 1e-6

@@ -157,6 +157,27 @@ SHOWCASE = [
         "restriction with a distinct build side (hot grams cannot "
         "explode), islands merge as doc-partitioned windows.",
     ),
+    (
+        "skew_key_profile",
+        "Shuffle-key skew diagnostics: the events collapse in a map-side-"
+        "combinable per-key count FIRST; the single-partition ntile "
+        "window (the documented exact-decile cost) runs over the |keys| "
+        "table, never the fact rows.",
+    ),
+    (
+        "dedup_cross_corpus",
+        "Train x benchmark contamination: the band self-join is "
+        "restricted to cross-side pairs, so the candidate exchange "
+        "carries eval-side bands (a sliver) against colliding train "
+        "bands — never the full band table squared.",
+    ),
+    (
+        "graph_trade_communities",
+        "LPA superstep chain: edges and per-level label state are "
+        "materialized leaves; each superstep is one equi-join + one "
+        "vote aggregate + a per-node top-1 window — the Pregel data "
+        "movement with no 2^iters plan replay.",
+    ),
 ]
 
 

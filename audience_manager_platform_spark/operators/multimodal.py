@@ -726,3 +726,103 @@ def phash_hamming_pairs(
         "doc_b",
         F.expr("bit_count(ha ^ hb)").cast("int").alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# ------------------------------------------------------ real BMP resize
+def resize_bmp(media_df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL image resize (the thumbnail stage of a multimodal ingest
+    pipeline): decode the 24-bit BMP payload, nearest-neighbor resample
+    to ``out_w`` x ``out_h``, and re-encode a VALID BMP (headers, BGR
+    rows, 4-byte padding) — so downstream decoders consume the output
+    byte-for-byte. This replaces the generic ``resize_media`` stub for
+    the format this container can actually decode; the same Arrow-batch
+    shape (mapInPandas over binary payloads, O(pixels) per row, no
+    shuffle) is where a PIL/ffmpeg kernel drops in for other codecs.
+
+    Nearest-neighbor index: src = floor((dst + 0.5) * in / out) — the
+    standard pixel-center mapping, exact integer arithmetic via
+    ``(2*dst + 1) * in // (2*out)`` so every engine/library agrees."""
+    out_schema = "doc_id long, media binary, media_type string"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                data = bytes(blob)
+                magic, _sz, _r1, _r2, offset = struct.unpack_from(
+                    "<2sIHHI", data, 0
+                )
+                if magic != b"BM":
+                    raise ValueError(f"not a BMP payload (doc_id={doc_id})")
+                _hsz, w_px, h_px, _planes, bpp = struct.unpack_from(
+                    "<IiiHH", data, 14
+                )
+                if bpp != 24:
+                    raise ValueError(f"only 24-bit BMP supported (got {bpp})")
+                h_abs = abs(h_px)
+                stride = (3 * w_px + 3) // 4 * 4
+                out_stride = (3 * out_w + 3) // 4 * 4
+                out_rows = bytearray()
+                for oy in range(out_h):
+                    sy = (2 * oy + 1) * h_abs // (2 * out_h)
+                    base = offset + sy * stride
+                    row = bytearray()
+                    for ox in range(out_w):
+                        sx = (2 * ox + 1) * w_px // (2 * out_w)
+                        row += data[base + 3 * sx : base + 3 * sx + 3]
+                    row += b"\x00" * (out_stride - 3 * out_w)
+                    out_rows += row
+                header = struct.pack(
+                    "<2sIHHI", b"BM", 54 + len(out_rows), 0, 0, 54
+                )
+                info = struct.pack(
+                    "<IiiHHIIiiII",
+                    40, out_w, out_h, 1, 24, 0, len(out_rows),
+                    2835, 2835, 0, 0,
+                )
+                payloads.append(header + info + bytes(out_rows))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": payloads,
+                    "media_type": ["image/bmp"] * len(pdf),
+                }
+            )
+
+    return media_df.mapInPandas(resize, schema=out_schema)
+
+
+def bmp_resize_meta(
+    docs: DataFrame, out_w: int = 3, out_h: int = 2
+) -> DataFrame:
+    """Registry shape: synthesize real BMPs, resize them for real, then
+    decode the RESIZED payloads — dims must be the target, constant-fill
+    channel means must survive resampling exactly, and the re-encoded
+    byte length is header + padded stride x height (all of which the
+    SQL oracle predicts in closed form)."""
+    from pyspark.sql import functions as F
+
+    resized = resize_bmp(synthesize_bmp(docs), out_w, out_h)
+    meta = decode_bmp_meta(resized)
+    lens = resized.select(
+        "doc_id", F.length("media").cast("long").alias("byte_len")
+    )
+    return meta.join(lens, "doc_id")
+
+
+def bmp_resize_meta_oracle_sql(
+    src: str = "documents", out_w: int = 3, out_h: int = 2
+) -> str:
+    out_stride = (3 * out_w + 3) // 4 * 4
+    byte_len = 54 + out_stride * out_h
+    return f"""
+        SELECT doc_id,
+               {out_w} AS width,
+               {out_h} AS height,
+               24 AS bpp,
+               ROUND(CAST(doc_id % 256 AS DOUBLE), 6) AS mean_r,
+               ROUND(CAST((doc_id * 7) % 256 AS DOUBLE), 6) AS mean_g,
+               ROUND(CAST((doc_id * 13) % 256 AS DOUBLE), 6) AS mean_b,
+               CAST({byte_len} AS BIGINT) AS byte_len
+        FROM {src}
+    """

@@ -81,6 +81,7 @@ _DEFER_RAW: tuple[str, ...] = (
     "corpus_source_jsd",
     "ts_rolling_regression",
     "dedup_threshold_sweep",
+    "multimodal_bmp_resize",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

@@ -181,6 +181,9 @@ QUERIES = {
     "multimodal_bmp_decode": lambda s, d: M.decode_bmp_meta(
         M.synthesize_bmp(_docs(s, d))
     ),
+    # r6 queue: REAL resize — decode, nearest-neighbor resample,
+    # re-encode a valid BMP, decode the result
+    "multimodal_bmp_resize": lambda s, d: M.bmp_resize_meta(_docs(s, d)),
     # corpus-curation pipeline ops
     "corpus_split_assign": lambda s, d: C.split_assign(_docs(s, d)),
     "corpus_pack_sequences": lambda s, d: C.pack_sequences(_docs(s, d)),
@@ -288,6 +291,7 @@ ORACLES = {
     "multimodal_wav_decode": M.wav_meta_oracle_sql(),
     "multimodal_frame_sample": M.flipbook_frames_oracle_sql(),
     "multimodal_bmp_decode": M.bmp_meta_oracle_sql(),
+    "multimodal_bmp_resize": M.bmp_resize_meta_oracle_sql(),
     "corpus_split_assign": C.split_assign_sql(),
     "corpus_pack_sequences": C.pack_sequences_sql(),
     "corpus_decontaminate": C.decontaminate_sql(),

@@ -1671,3 +1671,33 @@ def test_source_jsd_within_theoretical_bounds(spark):
     # JSD in nats is bounded by ln 2 (allow the 1e-9 floor-grid slack)
     for r in out:
         assert -1e-6 <= r.jsd <= math.log(2) + 1e-6
+
+
+def test_bmp_resize_nearest_neighbor_on_gradient(spark):
+    import struct
+
+    from audience_manager_platform_spark.operators.multimodal import (
+        decode_bmp_meta,
+        resize_bmp,
+    )
+
+    # 4x2 gradient: pixel (x, row) = (r=10x, g=20*row, b=0); stride 12
+    w_px, h_px = 4, 2
+    rows_b = bytearray()
+    for y in range(h_px):
+        for x in range(w_px):
+            rows_b += bytes((0, 20 * y, 10 * x))  # BGR
+        # 3*4 = 12 bytes: no padding needed
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(rows_b), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w_px, h_px, 1, 24, 0, len(rows_b), 2835, 2835, 0, 0
+    )
+    media = spark.createDataFrame(
+        [(1, bytes(header + info + rows_b), "image/bmp")],
+        "doc_id long, media binary, media_type string",
+    )
+    got = decode_bmp_meta(resize_bmp(media, 2, 1)).collect()[0]
+    # pixel-center mapping picks sx in {1, 3}, sy = 1:
+    # colors (r=10, g=20) and (r=30, g=20) -> means (20, 20, 0)
+    assert (got.width, got.height) == (2, 1)
+    assert (got.mean_r, got.mean_g, got.mean_b) == (20.0, 20.0, 0.0)

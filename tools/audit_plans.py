@@ -135,6 +135,7 @@ ARROW_ALLOWED = {
     "dedup_semantic_text",
     "multimodal_wav_decode",
     "multimodal_bmp_decode",
+    "multimodal_bmp_resize",
     "multimodal_frame_sample",
     "corpus_bloom_decontaminate",
     "sketch_cms_user_counts",

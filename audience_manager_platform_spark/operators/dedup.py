@@ -1528,3 +1528,58 @@ def lsh_threshold_sweep_sql(
         WITH scored AS MATERIALIZED ({pairs_sql})
         {selects}
     """
+
+
+# ------------------------------------------------- soft-dedup weights
+def soft_dedup_weights(docs: DataFrame) -> DataFrame:
+    """Soft deduplication: instead of DELETING exact duplicates, assign
+    each doc a training loss weight 1/|dup-group| so every distinct text
+    contributes one unit of gradient signal regardless of how many times
+    it was crawled (the reweighting alternative to hard removal — the
+    "soft dedup" knob in LLM corpus planners; here the commonness unit
+    is the exact normalized-text fingerprint group).
+
+    Emits per doc: group size, weight, and the doc's EFFECTIVE token
+    budget (tokens x weight) — the number planners sum to get the
+    de-duplicated token supply without dropping rows.
+
+    One shuffle on the md5 fingerprint (the window's partition key); a
+    100M-copy boilerplate doc still works because the window computes a
+    COUNT, not an ordered scan. Weight lands on the 1e-6 grid identically
+    in both engines (round once, after the division)."""
+    toks = tokens_col("text")
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.array_join(toks, " ")).alias("fingerprint"),
+        F.size(toks).cast("long").alias("token_count"),
+    )
+    w = Window.partitionBy("fingerprint")
+    grp = F.count(F.lit(1)).over(w).cast("long")
+    weight = F.round(F.lit(1.0) / grp.cast("double"), 6)
+    return fp.select(
+        "doc_id",
+        "token_count",
+        grp.alias("group_size"),
+        weight.alias("weight"),
+        F.round(F.col("token_count").cast("double") * weight, 6).alias(
+            "eff_tokens"
+        ),
+    )
+
+
+def soft_dedup_weights_sql(src: str = "documents") -> str:
+    t = tokens_sql("text")
+    return f"""
+        SELECT doc_id,
+               token_count,
+               COUNT(*) OVER (PARTITION BY fingerprint) AS group_size,
+               ROUND(1.0 / (COUNT(*) OVER (PARTITION BY fingerprint)), 6)
+                   AS weight,
+               ROUND(CAST(token_count AS DOUBLE)
+                     * ROUND(1.0 / (COUNT(*) OVER (PARTITION BY fingerprint)), 6),
+                     6) AS eff_tokens
+        FROM (SELECT doc_id,
+                     md5(array_to_string({t}, ' ')) AS fingerprint,
+                     CAST(len({t}) AS BIGINT) AS token_count
+              FROM {src}) s
+    """

@@ -82,6 +82,7 @@ _DEFER_RAW: tuple[str, ...] = (
     "ts_rolling_regression",
     "dedup_threshold_sweep",
     "multimodal_bmp_resize",
+    "dedup_soft_weights",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

@@ -229,6 +229,8 @@ QUERIES = {
     "dedup_threshold_sweep": lambda s, d: D.lsh_threshold_sweep(
         _docs(s, d), max_band_size=LSH_MAX_BAND
     ),
+    # r6 queue: soft dedup — 1/|dup-group| loss weights, no row drops
+    "dedup_soft_weights": lambda s, d: D.soft_dedup_weights(_docs(s, d)),
 }
 
 ORACLES = {
@@ -314,4 +316,5 @@ ORACLES = {
     "dedup_threshold_sweep": D.lsh_threshold_sweep_sql(
         max_band_size=LSH_MAX_BAND
     ),
+    "dedup_soft_weights": D.soft_dedup_weights_sql(),
 }

@@ -1701,3 +1701,29 @@ def test_bmp_resize_nearest_neighbor_on_gradient(spark):
     # colors (r=10, g=20) and (r=30, g=20) -> means (20, 20, 0)
     assert (got.width, got.height) == (2, 1)
     assert (got.mean_r, got.mean_g, got.mean_b) == (20.0, 20.0, 0.0)
+
+
+def test_soft_dedup_weights_conserve_distinct_supply(spark):
+    from audience_manager_platform_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat", "a"),
+            (2, "the cat sat", "a"),   # exact dup of 1
+            (3, "THE cat   sat", "a"), # normalized dup of 1
+            (4, "something else entirely", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.doc_id: r for r in soft_dedup_weights(docs).collect()}
+    assert rows[1].group_size == 3 and rows[4].group_size == 1
+    assert rows[4].weight == 1.0
+    # each weight is round(1/n, 6); the group's weights sum to ~1
+    grp_w = rows[1].weight + rows[2].weight + rows[3].weight
+    assert abs(grp_w - 1.0) < 1e-5
+    # effective tokens: each distinct text contributes ~one copy of its
+    # 3-token count ("the cat sat" / "something else entirely")
+    eff = sum(r.eff_tokens for r in rows.values())
+    assert abs(eff - 6.0) < 1e-4

@@ -1712,3 +1712,125 @@ def snapshot_drift_sql(src: str = "embeddings") -> str:
         FROM agg o JOIN agg n
           ON o.label = n.label AND NOT o.is_new AND n.is_new
     """
+
+
+def kmeans_quality(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    model: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Cluster-quality audit (Davies-Bouldin, spherical form): the
+    go/no-go number for the fitted coarse quantizer the IVF / SemDeDup
+    stack serves from. Per cluster: cosine scatter S_i = 1 - mean member
+    cosine to the centroid, and the DB component
+    ``max_j (S_i + S_j) / M_ij`` with M_ij = 1 - cos(c_i, c_j) — high
+    components mean the cell overlaps a neighbor (probe counts and
+    SemDeDup thresholds tuned on it will leak).
+
+    Cost shape: ONE corpus assignment pass (the shared Arrow kernel) into
+    a map-side-combinable per-cell aggregate; everything after runs on
+    K-row model tables (a K x K centroid cross join is model-scale, not
+    data-scale). Scatter means ride the exact-integer contract: csim is
+    already on the 1e-6 grid, so ``sum(bigint micro-csim)`` is exact and
+    order-free on both engines; one rounding after the division."""
+    base = emb.select("vec_id", _vec_double().alias("v"))
+    if model is None:
+        model = kmeans_fit_model(emb, k, iters)
+    assigned = assign_cells_arrow(base, model)
+    per = (
+        assigned.groupBy("cent_id")
+        .agg(
+            F.count("*").alias("size"),
+            F.sum(
+                F.expr("cast(floor(csim * 1e6 + 0.5d) as bigint)")
+            ).alias("sm"),
+        )
+        .select(
+            "cent_id",
+            "size",
+            F.round(
+                F.lit(1.0)
+                - F.col("sm").cast("double")
+                / (F.col("size").cast("double") * F.lit(1000000.0)),
+                6,
+            ).alias("scatter"),
+        )
+    )
+    cents = _model_df(emb.sparkSession, model)
+    ca = cents.select(F.col("cent_id").alias("ci"), F.col("cv").alias("cva"))
+    cb = cents.select(F.col("cent_id").alias("cj"), F.col("cv").alias("cvb"))
+    sep = (
+        ca.crossJoin(cb)
+        .filter(F.col("ci") != F.col("cj"))
+        .select(
+            "ci",
+            "cj",
+            F.round(
+                F.lit(1.0)
+                - _dot_expr("cva", "cvb")
+                / (_norm_expr("cva") * _norm_expr("cvb")),
+                6,
+            ).alias("m"),
+        )
+    )
+    si = per.select(
+        F.col("cent_id").alias("ci"), F.col("scatter").alias("s_i"), "size"
+    )
+    sj = per.select(F.col("cent_id").alias("cj"), F.col("scatter").alias("s_j"))
+    ratio = F.when(
+        F.col("m") > 0, (F.col("s_i") + F.col("s_j")) / F.col("m")
+    )
+    return (
+        sep.join(si, "ci")
+        .join(sj, "cj")
+        .groupBy("ci", "size", "s_i")
+        .agg(F.round(F.max(ratio), 6).alias("db_component"))
+        .select(
+            F.col("ci").alias("cluster_id"),
+            "size",
+            F.col("s_i").alias("scatter"),
+            "db_component",
+        )
+    )
+
+
+def kmeans_quality_sql(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS, src: str = "embeddings"
+) -> str:
+    return f"""
+        WITH {_kmeans_ctes(k, iters, src)},
+        assigned AS (
+          SELECT vec_id, cent_id, csim FROM (
+            SELECT e.vec_id, c.cent_id,
+                   ROUND(list_cosine_similarity(e.v, c.cv), 6) AS csim,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                              c.cent_id ASC) AS rn
+            FROM e CROSS JOIN cents c
+          ) x WHERE rn = 1
+        ),
+        sc AS (
+          SELECT cent_id, COUNT(*) AS size,
+                 ROUND(1.0 - CAST(SUM(CAST(floor(csim * 1e6 + 0.5) AS HUGEINT))
+                                  AS DOUBLE)
+                           / (COUNT(*) * 1000000.0), 6) AS scatter
+          FROM assigned GROUP BY cent_id
+        ),
+        sep AS (
+          SELECT a.cent_id AS ci, b.cent_id AS cj,
+                 ROUND(1.0 - list_cosine_similarity(a.cv, b.cv), 6) AS m
+          FROM cents a JOIN cents b ON a.cent_id != b.cent_id
+        )
+        SELECT si.cent_id AS cluster_id,
+               si.size AS size,
+               si.scatter AS scatter,
+               ROUND(MAX(CASE WHEN sep.m > 0
+                              THEN (si.scatter + sj.scatter) / sep.m END),
+                     6) AS db_component
+        FROM sep
+        JOIN sc si ON sep.ci = si.cent_id
+        JOIN sc sj ON sep.cj = sj.cent_id
+        GROUP BY si.cent_id, si.size, si.scatter
+    """

@@ -83,6 +83,7 @@ _DEFER_RAW: tuple[str, ...] = (
     "dedup_threshold_sweep",
     "multimodal_bmp_resize",
     "dedup_soft_weights",
+    "kmeans_cluster_quality",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

@@ -93,6 +93,10 @@ QUERIES = {
     "kmeans_embedding_clusters": lambda s, d: S.kmeans_clusters(
         _emb(s, d), iters=1, model=_kmeans_model(s, d)
     ),
+    # r6 queue: Davies-Bouldin audit of the shared coarse quantizer
+    "kmeans_cluster_quality": lambda s, d: S.kmeans_quality(
+        _emb(s, d), iters=1, model=_kmeans_model(s, d)
+    ),
     "ann_ivf_kmeans_topk": lambda s, d: S.ivf_kmeans_topk(
         _emb(s, d), _QUERY_IDS, k=5, iters=1, model=_kmeans_model(s, d)
     ),
@@ -156,6 +160,7 @@ ORACLES = {
         threshold=0.9, src=S.near_dup_src_sql()
     ),
     "kmeans_embedding_clusters": S.kmeans_clusters_sql(iters=1),
+    "kmeans_cluster_quality": S.kmeans_quality_sql(iters=1),
     "ann_ivf_kmeans_topk": S.ivf_kmeans_topk_sql(_QUERY_IDS, k=5, iters=1),
     "dedup_semantic": S.semantic_dedup_sql(
         threshold=0.9, iters=1, src=S.near_dup_src_sql()

@@ -1727,3 +1727,35 @@ def test_soft_dedup_weights_conserve_distinct_supply(spark):
     # 3-token count ("the cat sat" / "something else entirely")
     eff = sum(r.eff_tokens for r in rows.values())
     assert abs(eff - 6.0) < 1e-4
+
+
+def test_kmeans_quality_orders_overlap_above_separation(spark):
+    from audience_manager_platform_spark.operators.similarity import (
+        EMBED_DIM,
+        kmeans_quality,
+    )
+
+    # three planted blobs on coordinate axes: clusters around e0 and a
+    # slightly-rotated e0 overlap; the e1 blob is far from both
+    rows = []
+    blobs = ((0, 0.0), (0, 0.35), (1, 0.0))
+    # interleave blobs so the vec_id < k seed rule picks one seed per blob
+    for j in range(20):
+        for b, (base_axis, tilt) in enumerate(blobs):
+            v = [0.0] * EMBED_DIM
+            v[base_axis] = 1.0
+            v[2] = tilt  # tilts blob 2 toward blob 1 without joining it
+            v[3 + (j % 4)] = 0.05 * ((j % 3) - 1)  # small jitter
+            rows.append((j * 3 + b, v))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = {r.cluster_id: r for r in kmeans_quality(emb, k=3, iters=2).collect()}
+    assert len(out) == 3
+    for r in out.values():
+        assert r.scatter >= 0.0 and r.db_component is not None
+    # the far blob (axis e1) must have the LOWEST db component; the two
+    # overlapping e0 blobs must both exceed it
+    far = min(out.values(), key=lambda r: r.db_component)
+    others = [r for r in out.values() if r.cluster_id != far.cluster_id]
+    assert all(r.db_component > far.db_component for r in others)

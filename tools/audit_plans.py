@@ -116,6 +116,8 @@ NESTED_LOOP_ALLOWED = {
     # |sources| x B=128 dense probability grid from two broadcast tiny
     # aggregates (the JSD sum's domain)
     "corpus_source_jsd",
+    # K x K centroid cross join — model-scale, not data-scale
+    "kmeans_cluster_quality",
 }
 
 ARROW_ALLOWED = {
@@ -126,6 +128,7 @@ ARROW_ALLOWED = {
     "dedup_embedding_near_dup",
     "ann_ivf_topk",
     "kmeans_embedding_clusters",
+    "kmeans_cluster_quality",
     "ann_ivf_kmeans_topk",
     "ann_ivfpq_adc_topk",
     "ann_ivfpq_residual_topk",

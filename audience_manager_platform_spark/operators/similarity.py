@@ -1834,3 +1834,70 @@ def kmeans_quality_sql(
         JOIN sc sj ON sep.cj = sj.cent_id
         GROUP BY si.cent_id, si.size, si.scatter
     """
+
+
+def hard_negatives(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    pos_threshold: float = 0.9,
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: for each
+    query, the TOP-scoring neighbors that are NOT positives — self and
+    anything at/above ``pos_threshold`` cosine (near-duplicates of the
+    query, which would be false negatives poisoning the contrastive
+    loss) are excluded, then the highest-cosine survivors are the hard
+    negatives the trainer wants.
+
+    Same plan shape as :func:`cosine_topk` (queries broadcast over one
+    corpus scan; |queries| x corpus scored rows reduce to k per query
+    via TakeOrdered-style window ranking) plus one codegen filter; the
+    positive cut compares on the shared 6dp grid so both engines drop
+    the same rows."""
+    base = emb.select("vec_id", _vec_double().alias("v"))
+    queries = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    scored = (
+        base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("q"), F.col("v")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") < pos_threshold)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def hard_negatives_sql(
+    query_ids: list[int],
+    k: int = 5,
+    pos_threshold: float = 0.9,
+    src: str = "embeddings",
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM {src}),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e
+              WHERE vec_id IN ({ids})),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 ROUND(list_cosine_similarity(q.qv, e.v), 6) AS cosine
+          FROM e CROSS JOIN q WHERE e.vec_id != q.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+            AS rank
+          FROM scored WHERE cosine < {pos_threshold}
+        ) r WHERE rank <= {k}
+    """

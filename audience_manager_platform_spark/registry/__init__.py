@@ -84,6 +84,7 @@ _DEFER_RAW: tuple[str, ...] = (
     "multimodal_bmp_resize",
     "dedup_soft_weights",
     "kmeans_cluster_quality",
+    "ann_hard_negatives",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

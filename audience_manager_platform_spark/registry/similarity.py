@@ -80,6 +80,11 @@ QUERIES = {
     "ann_ivf_probe_sweep": lambda s, d: S.ivf_probe_sweep(
         _emb(s, d), _QUERY_IDS, k=5
     ),
+    # r6 queue: hard-negative mining over the planted-twin corpus — the
+    # 0.92-0.94 twins are POSITIVES the 0.9 cut must exclude
+    "ann_hard_negatives": lambda s, d: S.hard_negatives(
+        S.plant_near_dups(_emb(s, d)), _QUERY_IDS, k=5, pos_threshold=0.9
+    ),
     "ann_lsh_near_pairs": lambda s, d: S.lsh_near_pairs(_emb(s, d), threshold=0.35),
     "ann_ivf_topk": lambda s, d: S.ivf_topk(_emb(s, d), _QUERY_IDS, k=5),
     "ann_similar_pairs": lambda s, d: S.lsh_near_pairs(_emb(s, d), threshold=0.45),
@@ -161,6 +166,9 @@ ORACLES = {
     ),
     "kmeans_embedding_clusters": S.kmeans_clusters_sql(iters=1),
     "kmeans_cluster_quality": S.kmeans_quality_sql(iters=1),
+    "ann_hard_negatives": S.hard_negatives_sql(
+        _QUERY_IDS, k=5, pos_threshold=0.9, src=S.near_dup_src_sql()
+    ),
     "ann_ivf_kmeans_topk": S.ivf_kmeans_topk_sql(_QUERY_IDS, k=5, iters=1),
     "dedup_semantic": S.semantic_dedup_sql(
         threshold=0.9, iters=1, src=S.near_dup_src_sql()

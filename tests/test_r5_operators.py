@@ -1759,3 +1759,27 @@ def test_kmeans_quality_orders_overlap_above_separation(spark):
     far = min(out.values(), key=lambda r: r.db_component)
     others = [r for r in out.values() if r.cluster_id != far.cluster_id]
     assert all(r.db_component > far.db_component for r in others)
+
+
+def test_hard_negatives_exclude_planted_twin(spark):
+    from audience_manager_platform_spark.operators.similarity import (
+        NEAR_DUP_ID_OFFSET,
+        cosine_topk,
+        hard_negatives,
+        plant_near_dups,
+    )
+    from audience_manager_platform_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    planted = plant_near_dups(emb)
+    # without the positive cut, the planted twin IS the top neighbor
+    top = cosine_topk(planted, [0], k=1).collect()[0]
+    assert top.neighbor_id == NEAR_DUP_ID_OFFSET and top.cosine > 0.9
+    # the miner must exclude it and return only sub-threshold negatives
+    negs = hard_negatives(planted, [0], k=5, pos_threshold=0.9).collect()
+    assert len(negs) == 5
+    ids = {r.neighbor_id for r in negs}
+    assert NEAR_DUP_ID_OFFSET not in ids
+    assert all(r.cosine < 0.9 for r in negs)
+    # ranks are a contiguous total order
+    assert sorted(r.rank for r in negs) == [1, 2, 3, 4, 5]

@@ -118,6 +118,8 @@ NESTED_LOOP_ALLOWED = {
     "corpus_source_jsd",
     # K x K centroid cross join — model-scale, not data-scale
     "kmeans_cluster_quality",
+    # |queries| broadcast query tower (the ann_cosine_topk shape)
+    "ann_hard_negatives",
 }
 
 ARROW_ALLOWED = {

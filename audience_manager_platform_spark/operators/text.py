@@ -1803,3 +1803,92 @@ def rake_keywords_sql(src: str = "documents", k: int = RAKE_TOPK) -> str:
         ORDER BY score DESC, n_occurrences DESC, phrase ASC
         LIMIT {k}
     """
+
+
+def bigram_pmi(docs: DataFrame, k: int = 50, min_count: int = 5) -> DataFrame:
+    """Collocation extraction by pointwise mutual information:
+    ``pmi(a,b) = ln( (n_ab / N_bi) / ((n_a / N_uni) * (n_b / N_uni)) )``
+    over adjacent token bigrams. Raw counts surface boilerplate
+    (:func:`bigram_topk`); PMI surfaces PHRASES — pairs that co-occur
+    far above chance ("los angeles") — the tokenizer-merge and
+    stop-phrase candidates a curation run wants ranked. ``min_count``
+    floors n_ab so one-off juxtapositions can't post infinite-looking
+    scores.
+
+    Shape: one corpus pass into the unigram aggregate, one into the
+    bigram aggregate (both map-side combinable), then |bigrams|-row
+    joins against the |vocab|-row count tables and two 1-row total
+    broadcasts. The ln() argument is a ratio of exact integer counts
+    (same doubles on both engines); scores are 6dp-rounded BEFORE
+    ranking (the tfidf convention) with the bigram string as the total-
+    order tiebreaker."""
+    from pyspark.ml.feature import NGram
+
+    from .partitioning import spread
+
+    toked = spread(docs).select(tokens_col("text").alias("toks"))
+    uni = toked.select(F.explode("toks").alias("w")).groupBy("w").agg(
+        F.count("*").alias("n_w")
+    )
+    n_uni = uni.agg(F.sum("n_w").cast("double").alias("n_uni"))
+    grams = NGram(n=2, inputCol="toks", outputCol="grams").transform(toked)
+    bi = (
+        grams.select(F.explode("grams").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    n_bi = bi.agg(F.sum("n_ab").cast("double").alias("n_bi"))
+    first = F.split(F.col("bigram"), " ")[0]
+    second = F.split(F.col("bigram"), " ")[1]
+    ua = uni.select(F.col("w").alias("wa"), F.col("n_w").alias("n_a"))
+    ub = uni.select(F.col("w").alias("wb"), F.col("n_w").alias("n_b"))
+    joined = (
+        bi.withColumn("wa", first)
+        .withColumn("wb", second)
+        .join(ua, "wa")
+        .join(ub, "wb")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n_ab") / F.col("n_bi"))
+            / ((F.col("n_a") / F.col("n_uni")) * (F.col("n_b") / F.col("n_uni")))
+        ),
+        6,
+    )
+    return (
+        joined.select("bigram", "n_ab", "n_a", "n_b", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(k)
+    )
+
+
+def bigram_pmi_sql(
+    src: str = "documents", k: int = 50, min_count: int = 5
+) -> str:
+    t = tokens_sql("text")
+    g = word_ngrams_sql("toks", 2)
+    return f"""
+        WITH toks AS (SELECT doc_id, {t} AS toks FROM {src}),
+        uni AS (SELECT UNNEST(toks) AS w FROM toks),
+        uc AS (SELECT w, COUNT(*) AS n_w FROM uni GROUP BY w),
+        nu AS (SELECT CAST(SUM(n_w) AS DOUBLE) AS n_uni FROM uc),
+        grams AS (SELECT {g} AS grams FROM toks),
+        bi AS (SELECT bigram, COUNT(*) AS n_ab FROM
+                 (SELECT UNNEST(grams) AS bigram FROM grams) x
+               GROUP BY bigram HAVING COUNT(*) >= {min_count}),
+        nb AS (SELECT CAST(SUM(n_ab) AS DOUBLE) AS n_bi FROM bi)
+        SELECT bigram, n_ab, n_a, n_b, pmi FROM (
+          SELECT bi.bigram, bi.n_ab, ua.n_w AS n_a, ub.n_w AS n_b,
+                 ROUND(LN((bi.n_ab / nb.n_bi)
+                          / ((ua.n_w / nu.n_uni) * (ub.n_w / nu.n_uni))),
+                       6) AS pmi
+          FROM bi
+          JOIN uc ua ON ua.w = split_part(bi.bigram, ' ', 1)
+          JOIN uc ub ON ub.w = split_part(bi.bigram, ' ', 2)
+          CROSS JOIN nu CROSS JOIN nb
+        ) s
+        ORDER BY pmi DESC, bigram ASC LIMIT {k}
+    """

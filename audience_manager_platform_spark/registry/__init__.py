@@ -85,6 +85,7 @@ _DEFER_RAW: tuple[str, ...] = (
     "dedup_soft_weights",
     "kmeans_cluster_quality",
     "ann_hard_negatives",
+    "text_bigram_pmi",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

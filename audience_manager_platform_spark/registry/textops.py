@@ -97,6 +97,8 @@ QUERIES = {
     "text_pii_scrub": lambda s, d: T.pii_scrub(_docs(s, d)),
     "corpus_chunk_tokens": lambda s, d: T.chunk_tokens(_docs(s, d)),
     "corpus_bigram_topk": lambda s, d: T.bigram_topk(_docs(s, d), k=50),
+    # r6 queue: PMI collocations — phrases, not boilerplate
+    "text_bigram_pmi": lambda s, d: T.bigram_pmi(_docs(s, d), k=50),
     # r4: inverted-index seed (keyword-retrieval counterpart to ANN)
     "text_inverted_postings": lambda s, d: T.inverted_postings(_docs(s, d)),
     # r4 window: BM25 keyword retrieval — the lexical side of hybrid search
@@ -245,6 +247,7 @@ ORACLES = {
     "text_pii_scrub": T.pii_scrub_sql(),
     "corpus_chunk_tokens": T.chunk_tokens_sql(),
     "corpus_bigram_topk": T.bigram_topk_sql(k=50),
+    "text_bigram_pmi": T.bigram_pmi_sql(k=50),
     "text_inverted_postings": T.inverted_postings_sql(),
     "text_bm25_topk": T.bm25_topk_sql(BM25_QUERY, k=15),
     "text_quality_logit": T.quality_logit_sql(),

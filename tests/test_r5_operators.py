@@ -1783,3 +1783,21 @@ def test_hard_negatives_exclude_planted_twin(spark):
     assert all(r.cosine < 0.9 for r in negs)
     # ranks are a contiguous total order
     assert sorted(r.rank for r in negs) == [1, 2, 3, 4, 5]
+
+
+def test_bigram_pmi_ranks_phrase_above_boilerplate(spark):
+    from audience_manager_platform_spark.operators.text import bigram_pmi
+
+    # "los angeles": words only ever together -> high PMI.
+    # "the end": both words everywhere -> frequent but low PMI.
+    rows = []
+    for i in range(10):
+        rows.append((i, "los angeles is the place the end", "a"))
+    for i in range(10, 20):
+        rows.append((i, "the start the middle the end", "a"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = bigram_pmi(docs, k=50, min_count=5).collect()
+    by = {r.bigram: r for r in out}
+    assert "los angeles" in by and "the end" in by
+    assert by["los angeles"].pmi > by["the end"].pmi
+    assert by["los angeles"].n_ab == 10 and by["los angeles"].n_a == 10

@@ -105,6 +105,8 @@ NESTED_LOOP_ALLOWED = {
     "ann_recall_pq_vs_exact",
     # 1-row vocab-size broadcast (the unigram scorer's totals shape)
     "text_bigram_logprob",
+    # two 1-row totals broadcasts (N_uni / N_bi) into the PMI ratio
+    "text_bigram_pmi",
     # per relationship: two 1-row aggregates cross-joined into the
     # report row
     "validate_fk_orphans",

@@ -103,6 +103,13 @@ HEADLINE = [
     "dedup_cross_corpus",
     "graph_trade_communities",
     "corpus_source_jsd",
+    # r5 tail: real BMP resize, soft-dedup weights, DB cluster quality,
+    # hard-negative mining, PMI collocations
+    "multimodal_bmp_resize",
+    "dedup_soft_weights",
+    "kmeans_cluster_quality",
+    "ann_hard_negatives",
+    "text_bigram_pmi",
 ]
 
 # Repeats per query: medians make the bench regression-proof (r3 saw a

@@ -1892,3 +1892,72 @@ def bigram_pmi_sql(
         ) s
         ORDER BY pmi DESC, bigram ASC LIMIT {k}
     """
+
+
+def vocab_growth_audit(docs: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """Heaps'-law vocabulary growth audit: per n-gram order (1/2/3) the
+    total occurrences, EXACT distinct count, type-token ratio, and a
+    bounded verdict that the HLL++ estimate — the only vocabulary
+    counter that works at 100 TB — agrees with the exact count within
+    4 standard errors (the ``approx_distinct_users`` convention: the
+    engine-specific raw estimate stays OUT of the gated output, the
+    boolean bound is the value-level check). A templated corpus shows up
+    as a flat curve (trigram vocab barely above bigram); natural text
+    keeps growing.
+
+    Shape: one explode per order into a single unioned aggregate —
+    exact countDistinct carries the gram shuffle at gate scale; the
+    production path at 100 TB drops the exact column and keeps the
+    sketch, same plan otherwise."""
+    from .partitioning import spread
+
+    toked = spread(docs).select(tokens_col("text").alias("toks"))
+    parts = [
+        toked.select(
+            F.lit(n).alias("n"),
+            F.explode(word_ngrams_col("toks", n)).alias("gram"),
+        )
+        for n in (1, 2, 3)
+    ]
+    grams = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    agg = grams.groupBy("n").agg(
+        F.count("*").alias("total_grams"),
+        F.countDistinct("gram").alias("exact_distinct"),
+        F.approx_count_distinct("gram", rsd).alias("approx_distinct"),
+    )
+    return agg.select(
+        "n",
+        "total_grams",
+        "exact_distinct",
+        F.round(
+            F.col("exact_distinct").cast("double")
+            / F.col("total_grams").cast("double"),
+            6,
+        ).alias("ttr"),
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= 4 * rsd * F.col("exact_distinct")
+        ).alias("within_bound"),
+    )
+
+
+def vocab_growth_audit_sql(src: str = "documents") -> str:
+    t = tokens_sql("text")
+    selects = []
+    for n in (1, 2, 3):
+        g = word_ngrams_sql("toks", n)
+        selects.append(
+            f"SELECT {n} AS n, UNNEST({g}) AS gram FROM toks"
+        )
+    union = " UNION ALL ".join(selects)
+    return f"""
+        WITH toks AS (SELECT doc_id, {t} AS toks FROM {src}),
+        grams AS ({union})
+        SELECT n,
+               COUNT(*) AS total_grams,
+               COUNT(DISTINCT gram) AS exact_distinct,
+               ROUND(CAST(COUNT(DISTINCT gram) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS ttr,
+               TRUE AS within_bound
+        FROM grams GROUP BY n
+    """

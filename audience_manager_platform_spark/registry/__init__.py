@@ -86,6 +86,7 @@ _DEFER_RAW: tuple[str, ...] = (
     "kmeans_cluster_quality",
     "ann_hard_negatives",
     "text_bigram_pmi",
+    "text_vocab_growth",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

@@ -99,6 +99,8 @@ QUERIES = {
     "corpus_bigram_topk": lambda s, d: T.bigram_topk(_docs(s, d), k=50),
     # r6 queue: PMI collocations — phrases, not boilerplate
     "text_bigram_pmi": lambda s, d: T.bigram_pmi(_docs(s, d), k=50),
+    # r6 queue: Heaps'-law vocab growth with HLL bounded verdicts
+    "text_vocab_growth": lambda s, d: T.vocab_growth_audit(_docs(s, d)),
     # r4: inverted-index seed (keyword-retrieval counterpart to ANN)
     "text_inverted_postings": lambda s, d: T.inverted_postings(_docs(s, d)),
     # r4 window: BM25 keyword retrieval — the lexical side of hybrid search
@@ -248,6 +250,7 @@ ORACLES = {
     "corpus_chunk_tokens": T.chunk_tokens_sql(),
     "corpus_bigram_topk": T.bigram_topk_sql(k=50),
     "text_bigram_pmi": T.bigram_pmi_sql(k=50),
+    "text_vocab_growth": T.vocab_growth_audit_sql(),
     "text_inverted_postings": T.inverted_postings_sql(),
     "text_bm25_topk": T.bm25_topk_sql(BM25_QUERY, k=15),
     "text_quality_logit": T.quality_logit_sql(),

@@ -1801,3 +1801,20 @@ def test_bigram_pmi_ranks_phrase_above_boilerplate(spark):
     assert "los angeles" in by and "the end" in by
     assert by["los angeles"].pmi > by["the end"].pmi
     assert by["los angeles"].n_ab == 10 and by["los angeles"].n_a == 10
+
+
+def test_vocab_growth_monotone_and_bounded(spark):
+    from audience_manager_platform_spark.operators.text import (
+        vocab_growth_audit,
+    )
+    from audience_manager_platform_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = {r.n: r for r in vocab_growth_audit(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    # natural-ish text: vocabulary grows with n, totals shrink with n
+    assert out[1].exact_distinct < out[2].exact_distinct < out[3].exact_distinct
+    assert out[1].total_grams > out[2].total_grams > out[3].total_grams
+    # TTR rises toward 1 as grams get rarer; sketches within 4 sigma
+    assert out[1].ttr < out[2].ttr < out[3].ttr
+    assert all(r.within_bound for r in out.values())

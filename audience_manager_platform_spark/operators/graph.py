@@ -567,3 +567,96 @@ def trade_communities_sql(
                s.community_size
         FROM l{iters} l JOIN sizes s USING (label)
     """
+
+
+# -------------------------------------------------- triangle counting
+def triangle_participation(
+    pairs: DataFrame,
+    ctx_col: str,
+    item_col: str,
+    min_cooc: int = 2,
+) -> DataFrame:
+    """Per-node triangle participation over the co-occurrence graph:
+    items are adjacent when they share at least ``min_cooc`` distinct
+    contexts (parts co-purchased in the same order at least twice), and
+    each node's score is the number of triangles it closes — the
+    local-clustering / community-density primitive (recommendation
+    bundles, collusion rings, co-citation cliques).
+
+    Shape at scale: the co-occurrence edge list is built by the same
+    shared-context equi-join discipline as :func:`neighbor_jaccard`
+    (cost Σ deg(ctx)², never |items|²) and the ``min_cooc`` support cut
+    is what keeps the graph sparse (the fixture graph drops 115k → 3.4k
+    edges at support 2). Edges are materialized ONCE, ordered (a < b);
+    triangles come from the standard two-join wedge closure
+    e(a,b) ⋈ e(b,c) ⋈ e(a,c), whose cost is Σ deg(b)² over the oriented
+    edge list — at production scale orient by (degree, id) instead of
+    raw id so every wedge pivot has bounded out-degree. Output is exact
+    integer counts: one row per participating node.
+    """
+    from .partitioning import materialize
+
+    rel = pairs.select(
+        F.col(ctx_col).alias("_ctx"), F.col(item_col).alias("_it")
+    ).distinct()
+    edges = materialize(
+        rel.alias("x")
+        .join(rel.alias("y"), on="_ctx")
+        .filter(F.col("x._it") < F.col("y._it"))
+        .select(F.col("x._it").alias("a"), F.col("y._it").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("_cooc"))
+        .filter(F.col("_cooc") >= min_cooc)
+        .select("a", "b")
+    )
+    wedges = (
+        edges.select(F.col("a").alias("ta"), F.col("b").alias("tb"))
+        .join(
+            edges.select(F.col("a").alias("tb"), F.col("b").alias("tc")),
+            on="tb",
+        )
+    )
+    tri = wedges.join(
+        edges.select(F.col("a").alias("ta"), F.col("b").alias("tc")),
+        on=["ta", "tc"],
+    ).select("ta", "tb", "tc")
+    nodes = (
+        tri.select(F.col("ta").alias("node"))
+        .unionAll(tri.select(F.col("tb").alias("node")))
+        .unionAll(tri.select(F.col("tc").alias("node")))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count("*").cast("long").alias("triangles"))
+        .orderBy(F.desc("triangles"), F.asc("node"))
+    )
+
+
+def triangle_participation_sql(
+    rel_sql: str, min_cooc: int = 2
+) -> str:
+    """SQL twin; ``rel_sql`` must yield columns (_ctx, _it)."""
+    return f"""
+        WITH rel AS MATERIALIZED (
+          SELECT DISTINCT _ctx, _it FROM ({rel_sql}) r
+        ),
+        edges AS MATERIALIZED (
+          SELECT x._it AS a, y._it AS b
+          FROM rel x JOIN rel y ON x._ctx = y._ctx AND x._it < y._it
+          GROUP BY 1, 2 HAVING COUNT(*) >= {int(min_cooc)}
+        ),
+        tri AS (
+          SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+          FROM edges e1
+          JOIN edges e2 ON e1.b = e2.a
+          JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        nodes AS (
+          SELECT ta AS node FROM tri
+          UNION ALL SELECT tb FROM tri
+          UNION ALL SELECT tc FROM tri
+        )
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+        FROM nodes GROUP BY node
+        ORDER BY triangles DESC, node ASC
+    """

@@ -563,3 +563,118 @@ def fk_orphan_audit_sql(rels) -> str:
           AND c.{ck} NOT IN (SELECT {pk} FROM {parent} WHERE {pk} IS NOT NULL)
         """)
     return " UNION ALL ".join(parts)
+
+
+# ------------------------------------------------------- t-closeness
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_identifiers: Sequence[str],
+    sensitive: str,
+    t: float = 0.35,
+    k: int = 5,
+) -> DataFrame:
+    """t-closeness — the third rung of the release-audit ladder after
+    :func:`k_anonymity_audit` and :func:`l_diversity_audit`: a class can
+    be large (k ok) and varied (l ok) yet still leak if its sensitive
+    distribution DIFFERS sharply from the table-wide one (the skewness
+    attack — "this class is 90% churned vs 20% overall"). Per
+    equivalence class we compute the total-variation distance between
+    the class's sensitive-value distribution and the global one
+    (TVD = ½ Σ_v |p_class(v) − p_global(v)|, the EMD under uniform
+    ground distance — the standard form for categorical sensitive
+    attributes) and flag classes with ``t_closeness > t``.
+
+    Determinism contract: the distance is assembled entirely from exact
+    integer counts — the numerator Σ_v |cnt_class,v · N − cnt_global,v
+    · n_class| is bigint arithmetic, divided ONCE by (2 · n_class · N)
+    and 6dp-rounded, so both engines see the identical double. Classes
+    missing a global value contribute that value's full global mass
+    (the LEFT join + COALESCE 0), which a naive inner-join formulation
+    silently drops.
+
+    Shape at scale: one (qi, sensitive) pre-aggregate, a |classes| ×
+    |values| broadcast expansion (values is a tiny dimension — this is
+    model-sized, never data-sized), and a |classes|-row rollup.
+    """
+    qi = list(quasi_identifiers)
+    per_value = df.groupBy(*qi, sensitive).agg(F.count("*").alias("_vn"))
+    classes = per_value.groupBy(*qi).agg(
+        F.sum("_vn").cast("long").alias("class_size")
+    )
+    global_values = (
+        df.groupBy(sensitive)
+        .agg(F.count("*").cast("long").alias("_gn"))
+    )
+    total = df.agg(F.count("*").cast("long").alias("_N"))
+    expanded = (
+        classes.crossJoin(F.broadcast(global_values))
+        .crossJoin(F.broadcast(total))
+        .join(per_value, on=[*qi, sensitive], how="left")
+        .na.fill({"_vn": 0})
+    )
+    num = F.abs(
+        F.col("_vn").cast("long") * F.col("_N")
+        - F.col("_gn") * F.col("class_size")
+    )
+    return (
+        expanded.groupBy(*qi)
+        .agg(
+            F.max("class_size").alias("class_size"),
+            F.round(
+                F.sum(num)
+                / (F.lit(2.0) * F.max("class_size") * F.max("_N")),
+                6,
+            ).alias("t_closeness"),
+        )
+        .select(
+            *qi,
+            "class_size",
+            "t_closeness",
+            (F.col("class_size") < k).alias("k_risk"),
+            (F.col("t_closeness") > t).alias("t_risk"),
+        )
+    )
+
+
+def t_closeness_audit_sql(
+    src: str,
+    quasi_identifiers: Sequence[str],
+    sensitive: str,
+    t: float = 0.35,
+    k: int = 5,
+) -> str:
+    cols = ", ".join(quasi_identifiers)
+    on = " AND ".join(
+        f"pv.{c} = cl.{c}" for c in quasi_identifiers
+    )
+    return f"""
+        WITH per_value AS (
+          SELECT {cols}, {sensitive}, COUNT(*) AS _vn
+          FROM {src} GROUP BY {cols}, {sensitive}
+        ),
+        classes AS (
+          SELECT {cols}, CAST(SUM(_vn) AS BIGINT) AS class_size
+          FROM per_value GROUP BY {cols}
+        ),
+        gv AS (
+          SELECT {sensitive}, CAST(COUNT(*) AS BIGINT) AS _gn
+          FROM {src} GROUP BY {sensitive}
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS _N FROM {src}),
+        expanded AS (
+          SELECT cl.*, gv.{sensitive}, gv._gn, tot._N,
+                 CAST(COALESCE(pv._vn, 0) AS BIGINT) AS _vn
+          FROM classes cl CROSS JOIN gv CROSS JOIN tot
+          LEFT JOIN per_value pv
+            ON {on} AND pv.{sensitive} = gv.{sensitive}
+        )
+        SELECT {cols}, MAX(class_size) AS class_size,
+               ROUND(SUM(ABS(_vn * _N - _gn * class_size))
+                     / (2.0 * MAX(class_size) * MAX(_N)), 6)
+                 AS t_closeness,
+               MAX(class_size) < {int(k)} AS k_risk,
+               ROUND(SUM(ABS(_vn * _N - _gn * class_size))
+                     / (2.0 * MAX(class_size) * MAX(_N)), 6) > {t}
+                 AS t_risk
+        FROM expanded GROUP BY {cols}
+    """

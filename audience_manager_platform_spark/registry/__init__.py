@@ -87,6 +87,9 @@ _DEFER_RAW: tuple[str, ...] = (
     "ann_hard_negatives",
     "text_bigram_pmi",
     "text_vocab_growth",
+    "privacy_t_closeness_customer",
+    "er_fuzzy_part_pairs",
+    "graph_triangle_parts",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators import corpus as C
 from ..operators import merge as MG
+from ..operators.er import fuzzy_blocked_pairs, fuzzy_blocked_pairs_sql
 from ..operators.graph import (
     degree_histogram_customer_supplier,
     degree_histogram_sql,
@@ -24,6 +25,8 @@ from ..operators.graph import (
     pagerank_sql,
     trade_communities,
     trade_communities_sql,
+    triangle_participation,
+    triangle_participation_sql,
 )
 from ..operators.maintenance import (
     daily_rollup,
@@ -47,6 +50,8 @@ from ..operators.validation import (
     k_anonymity_audit_sql,
     l_diversity_audit,
     l_diversity_audit_sql,
+    t_closeness_audit,
+    t_closeness_audit_sql,
     profile_drift,
     profile_drift_sql,
     table_profile,
@@ -249,6 +254,36 @@ QUERIES = {
         k=5,
         ell=2,
     ),
+    # r6 queue: t-closeness — skewness-attack audit (k/l pass, t fails
+    # when a class's sensitive distribution diverges from the global)
+    "privacy_t_closeness_customer": lambda s, d: t_closeness_audit(
+        load_table(s, d, "customer").select(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+            "c_mktsegment",
+        ),
+        ["c_nationkey", "bal_band"],
+        sensitive="c_mktsegment",
+        t=0.35,
+        k=5,
+    ),
+    # r6 queue: blocked edit-distance entity resolution over part names
+    # (first-token block + brand agreement + levenshtein 1..3)
+    "er_fuzzy_part_pairs": lambda s, d: fuzzy_blocked_pairs(
+        load_table(s, d, "part"),
+        "p_partkey",
+        "p_name",
+        agree_col="p_brand",
+        max_distance=3,
+    ),
+    # r6 queue: per-node triangle participation over the co-purchase
+    # graph (parts sharing >= 2 orders; wedge-closure joins)
+    "graph_triangle_parts": lambda s, d: triangle_participation(
+        load_table(s, d, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        min_cooc=2,
+    ),
     # r6 queue: deterministic LPA communities over the trade graph
     "graph_trade_communities": trade_communities,
     # r3: vertex-centric compute over warehouse-derived edges
@@ -345,6 +380,26 @@ ORACLES = {
         sensitive="c_mktsegment",
         k=5,
         ell=2,
+    ),
+    "privacy_t_closeness_customer": t_closeness_audit_sql(
+        "(SELECT c_nationkey,"
+        " CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band,"
+        " c_mktsegment FROM customer) q",
+        ["c_nationkey", "bal_band"],
+        sensitive="c_mktsegment",
+        t=0.35,
+        k=5,
+    ),
+    "er_fuzzy_part_pairs": fuzzy_blocked_pairs_sql(
+        "part",
+        "p_partkey",
+        "p_name",
+        agree_col="p_brand",
+        max_distance=3,
+    ),
+    "graph_triangle_parts": triangle_participation_sql(
+        "SELECT l_orderkey AS _ctx, l_partkey AS _it FROM lineitem",
+        min_cooc=2,
     ),
     "graph_trade_communities": trade_communities_sql(),
     "pagerank_customer_supplier": pagerank_sql(),

@@ -1818,3 +1818,120 @@ def test_vocab_growth_monotone_and_bounded(spark):
     # TTR rises toward 1 as grams get rarer; sketches within 4 sigma
     assert out[1].ttr < out[2].ttr < out[3].ttr
     assert all(r.within_bound for r in out.values())
+
+
+# ------------------------------------------------------ wave 9: ER
+def test_er_fuzzy_pairs_blocked_and_thresholded(spark):
+    from audience_manager_platform_spark.operators.er import (
+        fuzzy_blocked_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha bravo", "B1"),   # matches 2 (dist 1, same block+brand)
+            (2, "alpha bravo x", "B1"),
+            (3, "alpha bravo", "B2"),   # brand disagrees with 1/2 -> no pair
+            (4, "alpha bravo", "B1"),   # exact dup of 1 -> dist 0 excluded
+            (5, "zeta bravo x", "B1"),  # different block -> never compared
+            (6, "alpha completely different", "B1"),  # dist > 3 excluded
+        ],
+        "k long, name string, brand string",
+    )
+    got = {
+        (r.a_key, r.b_key): r
+        for r in fuzzy_blocked_pairs(
+            df, "k", "name", agree_col="brand", max_distance=3
+        ).collect()
+    }
+    assert set(got) == {(1, 2), (2, 4)}
+    pair = got[(1, 2)]
+    assert pair.edit_distance == 2  # " x" appended
+    assert abs(pair.similarity - (1 - 2 / 13)) < 1e-6  # 6dp-rounded
+
+
+def test_er_fuzzy_pairs_orders_keys(spark):
+    from audience_manager_platform_spark.operators.er import (
+        fuzzy_blocked_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(9, "m n", "B"), (2, "m o", "B")], "k long, name string, brand string"
+    )
+    rows = fuzzy_blocked_pairs(df, "k", "name", agree_col="brand").collect()
+    assert len(rows) == 1 and rows[0].a_key == 2 and rows[0].b_key == 9
+
+
+# ------------------------------------------- wave 9: triangle counting
+def test_triangle_participation_counts_planted_clique(spark):
+    from audience_manager_platform_spark.operators.graph import (
+        triangle_participation,
+    )
+
+    # contexts 1..2 make items (10, 11, 12) pairwise co-occur twice (a
+    # triangle); item 13 co-occurs with 10 once only (below support).
+    rows = [(c, i) for c in (1, 2) for i in (10, 11, 12)] + [(3, 13), (3, 10)]
+    df = spark.createDataFrame(rows, "ctx long, item long")
+    got = {
+        r.node: r.triangles
+        for r in triangle_participation(df, "ctx", "item", min_cooc=2).collect()
+    }
+    assert got == {10: 1, 11: 1, 12: 1}
+
+
+def test_triangle_participation_k4_has_three_per_node(spark):
+    from audience_manager_platform_spark.operators.graph import (
+        triangle_participation,
+    )
+
+    # K4: every pair of the 4 items shares 2 contexts -> C(3,2)=3
+    # triangles per node, 4 triangles total.
+    rows = [(c, i) for c in (1, 2) for i in (10, 11, 12, 13)]
+    df = spark.createDataFrame(rows, "ctx long, item long")
+    got = {
+        r.node: r.triangles
+        for r in triangle_participation(df, "ctx", "item", min_cooc=2).collect()
+    }
+    assert got == {10: 3, 11: 3, 12: 3, 13: 3}
+
+
+# ---------------------------------------------- wave 9: t-closeness
+def test_t_closeness_zero_when_class_mirrors_global(spark):
+    from audience_manager_platform_spark.operators.validation import (
+        t_closeness_audit,
+    )
+
+    # both classes have the identical 50/50 sensitive split -> t == 0
+    rows = [(g, s) for g in ("a", "b") for s in ("x", "y") for _ in range(5)]
+    df = spark.createDataFrame(rows, "grp string, sens string")
+    got = t_closeness_audit(df, ["grp"], "sens", t=0.35, k=5).collect()
+    assert all(r.t_closeness == 0.0 and not r.t_risk for r in got)
+
+
+def test_t_closeness_flags_skewed_class(spark):
+    from audience_manager_platform_spark.operators.validation import (
+        t_closeness_audit,
+    )
+
+    # class a: all x; class b: all y; global 50/50 -> TVD = 0.5 for both
+    rows = [("a", "x")] * 10 + [("b", "y")] * 10
+    df = spark.createDataFrame(rows, "grp string, sens string")
+    got = {r.grp: r for r in t_closeness_audit(df, ["grp"], "sens").collect()}
+    assert got["a"].t_closeness == 0.5 and got["a"].t_risk
+    assert got["b"].t_closeness == 0.5 and got["b"].t_risk
+    assert got["a"].class_size == 10 and not got["a"].k_risk
+
+
+def test_t_closeness_counts_missing_global_values(spark):
+    from audience_manager_platform_spark.operators.validation import (
+        t_closeness_audit,
+    )
+
+    # class a never sees sensitive value z (global mass 1/3): the LEFT
+    # join must still charge |0 - 1/3| for z.
+    rows = [("a", "x")] * 4 + [("a", "y")] * 4 + [("b", "z")] * 4
+    df = spark.createDataFrame(rows, "grp string, sens string")
+    got = {r.grp: r for r in t_closeness_audit(df, ["grp"], "sens").collect()}
+    # class a: p=(1/2,1/2,0) vs q=(1/3,1/3,1/3) -> TVD = 1/3
+    assert abs(got["a"].t_closeness - 1 / 3) < 1e-6
+    # class b: p=(0,0,1) vs q -> TVD = 2/3
+    assert abs(got["b"].t_closeness - 2 / 3) < 1e-6

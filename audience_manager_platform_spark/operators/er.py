@@ -117,3 +117,89 @@ def fuzzy_blocked_pairs_sql(
         FROM b x JOIN b y ON x._blk = y._blk AND x._k < y._k {agree_join}
         WHERE levenshtein(x._name, y._name) BETWEEN 1 AND {int(max_distance)}
     """
+
+
+# ------------------------------------------------- entity clustering
+def entity_clusters(
+    df: DataFrame,
+    key_col: str,
+    name_col: str,
+    agree_col: str | None = None,
+    max_distance: int = 3,
+) -> DataFrame:
+    """The second half of entity resolution: pairwise matches from
+    :func:`fuzzy_blocked_pairs` are only EVIDENCE — the deliverable is
+    ENTITIES, i.e. the transitive closure of the match graph (A≈B and
+    B≈C put A and C in one entity even when blocking never compared
+    them). Reuses the dedup funnel's min-label-propagation connected
+    components (:func:`..dedup.connected_components` — one keyed shuffle
+    per round, rounds = component diameter, match graphs are near-clique
+    so it converges in 2-3), then rolls each multi-member component up
+    to an entity record: canonical id (min member key), member count,
+    distinct surface forms, and the canonical (minimum) name.
+
+    Output is the master-data table an MDM/curation pipeline persists:
+    one row per resolved entity that actually merged records.
+    """
+    from .dedup import connected_components
+
+    pairs = fuzzy_blocked_pairs(
+        df, key_col, name_col, agree_col=agree_col, max_distance=max_distance
+    ).select(F.col("a_key").alias("doc_a"), F.col("b_key").alias("doc_b"))
+    nodes = df.select(F.col(key_col).alias("doc_id"))
+    cc = connected_components(pairs, nodes)
+    members = cc.join(
+        df.select(
+            F.col(key_col).alias("doc_id"), F.col(name_col).alias("_name")
+        ),
+        "doc_id",
+    )
+    return (
+        members.groupBy(F.col("cluster_id").alias("entity_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.countDistinct("_name").cast("long").alias("n_names"),
+            F.min("_name").alias("canonical_name"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy(F.desc("n_members"), F.asc("entity_id"))
+    )
+
+
+def entity_clusters_sql(
+    src: str,
+    key_col: str,
+    name_col: str,
+    agree_col: str | None = None,
+    max_distance: int = 3,
+) -> str:
+    pairs_sql = fuzzy_blocked_pairs_sql(
+        src, key_col, name_col, agree_col=agree_col, max_distance=max_distance
+    )
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        edges AS (
+          SELECT a_key AS src, b_key AS dst FROM pairs
+          UNION
+          SELECT b_key, a_key FROM pairs
+        ),
+        reach(id, seen) AS (
+          SELECT {key_col}, {key_col} FROM {src}
+          UNION
+          SELECT r.id, e.dst FROM reach r JOIN edges e ON r.seen = e.src
+        ),
+        comp AS (
+          SELECT id AS _k, MIN(seen) AS entity_id FROM reach GROUP BY id
+        ),
+        members AS (
+          SELECT comp.entity_id, s.{name_col} AS _name
+          FROM comp JOIN {src} s ON s.{key_col} = comp._k
+        )
+        SELECT entity_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(COUNT(DISTINCT _name) AS BIGINT) AS n_names,
+               MIN(_name) AS canonical_name
+        FROM members GROUP BY entity_id
+        HAVING COUNT(*) >= 2
+        ORDER BY n_members DESC, entity_id ASC
+    """

@@ -89,6 +89,7 @@ _DEFER_RAW: tuple[str, ...] = (
     "text_vocab_growth",
     "privacy_t_closeness_customer",
     "er_fuzzy_part_pairs",
+    "er_entity_clusters",
     "graph_triangle_parts",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (

@@ -15,7 +15,12 @@ from pyspark.sql import functions as F
 
 from ..operators import corpus as C
 from ..operators import merge as MG
-from ..operators.er import fuzzy_blocked_pairs, fuzzy_blocked_pairs_sql
+from ..operators.er import (
+    entity_clusters,
+    entity_clusters_sql,
+    fuzzy_blocked_pairs,
+    fuzzy_blocked_pairs_sql,
+)
 from ..operators.graph import (
     degree_histogram_customer_supplier,
     degree_histogram_sql,
@@ -276,6 +281,14 @@ QUERIES = {
         agree_col="p_brand",
         max_distance=3,
     ),
+    # r6 queue: transitive closure of the ER match graph -> entity table
+    "er_entity_clusters": lambda s, d: entity_clusters(
+        load_table(s, d, "part"),
+        "p_partkey",
+        "p_name",
+        agree_col="p_brand",
+        max_distance=3,
+    ),
     # r6 queue: per-node triangle participation over the co-purchase
     # graph (parts sharing >= 2 orders; wedge-closure joins)
     "graph_triangle_parts": lambda s, d: triangle_participation(
@@ -391,6 +404,13 @@ ORACLES = {
         k=5,
     ),
     "er_fuzzy_part_pairs": fuzzy_blocked_pairs_sql(
+        "part",
+        "p_partkey",
+        "p_name",
+        agree_col="p_brand",
+        max_distance=3,
+    ),
+    "er_entity_clusters": entity_clusters_sql(
         "part",
         "p_partkey",
         "p_name",

@@ -1935,3 +1935,25 @@ def test_t_closeness_counts_missing_global_values(spark):
     assert abs(got["a"].t_closeness - 1 / 3) < 1e-6
     # class b: p=(0,0,1) vs q -> TVD = 2/3
     assert abs(got["b"].t_closeness - 2 / 3) < 1e-6
+
+
+def test_er_entity_clusters_merge_transitively(spark):
+    from audience_manager_platform_spark.operators.er import entity_clusters
+
+    # chain: 1≈2 (dist 2), 2≈3 (dist 2), but 1 vs 3 is dist 4 (> max) —
+    # the entity must still merge all three via transitive closure.
+    df = spark.createDataFrame(
+        [
+            (1, "alpha bbbb", "B"),
+            (2, "alpha bbdd", "B"),
+            (3, "alpha dddd", "B"),
+            (4, "alpha zzzz", "B"),  # > 3 from everyone: stays singleton
+            (5, "other name", "B"),
+        ],
+        "k long, name string, brand string",
+    )
+    got = entity_clusters(df, "k", "name", agree_col="brand").collect()
+    assert len(got) == 1
+    ent = got[0]
+    assert ent.entity_id == 1 and ent.n_members == 3 and ent.n_names == 3
+    assert ent.canonical_name == "alpha bbbb"

@@ -1901,3 +1901,168 @@ def hard_negatives_sql(
           FROM scored WHERE cosine < {pos_threshold}
         ) r WHERE rank <= {k}
     """
+
+
+# ------------------------------------------- margin-based mutual-kNN mining
+MARGIN_K = 4
+MARGIN_THRESHOLD = 1.1
+
+
+def margin_mutual_knn(
+    emb: DataFrame,
+    k: int = MARGIN_K,
+    threshold: float = MARGIN_THRESHOLD,
+) -> DataFrame:
+    """Margin-based mutual-kNN alignment mining — the LASER / CCMatrix
+    bitext-mining operator (Artetxe & Schwenk, "Margin-based Parallel
+    Corpus Mining"): given two embedding sides, score every cross pair
+    by the RATIO margin ``cos(x,y) / mean(kNN-cos(x) ∪ kNN-cos(y))``
+    (raw cosine over-selects hubs — points that are near everything;
+    dividing by the local neighborhood density cancels hubness), keep
+    pairs that are each other's best margin match (mutual argmax), and
+    threshold. This is how parallel training corpora are mined from
+    independently-crawled monolingual sides at web scale.
+
+    The fixtures carry one embedding table, so the two "languages" are
+    the even/odd ``vec_id`` halves; with real data each side is its own
+    table and everything below is unchanged.
+
+    Determinism contract: cosines are 6dp-rounded on both engines; the
+    k-NN denominator is an exact bigint sum of 1e-6-grid micro-cosines
+    (``floor(csim*1e6 + 0.5)``), and the margin is computed in the
+    integer-friendly form ``csim * 2k·1e6 / (sm_x + sm_y)`` — identical
+    doubles bit-for-bit on Spark, DuckDB, and any partitioning.
+
+    Scale shape: the cross-scoring here is the exact bipartite baseline
+    (fixture sides are small); at production scale candidates come from
+    the IVF cell join (:func:`ivf_kmeans_topk`'s probe discipline) and
+    the margin/mutual stages below are unchanged — they are keyed
+    aggregates and window top-1s over the candidate table, shuffling
+    only (id, id, cosine) triples. The scored table is materialized ONCE
+    and feeds all four downstream passes (two denominators, two
+    argmaxes).
+    """
+    base = emb.select("vec_id", _vec_double().alias("v"))
+    a = base.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("av")
+    )
+    b = base.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("bv")
+    )
+    scored = materialize(
+        a.crossJoin(F.broadcast(b)).select(
+            "a_id",
+            "b_id",
+            F.round(cosine_similarity(F.col("av"), F.col("bv")), 6).alias(
+                "csim"
+            ),
+        )
+    )
+    micro = F.expr("cast(floor(csim * 1e6 + 0.5d) as bigint)")
+
+    def _denom(side: str, other: str) -> DataFrame:
+        w = Window.partitionBy(side).orderBy(
+            F.desc("csim"), F.asc(other)
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .groupBy(side)
+            .agg(F.sum(micro).alias(f"sm_{side}"))
+        )
+    margins = (
+        scored.join(_denom("a_id", "b_id"), "a_id")
+        .join(_denom("b_id", "a_id"), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "csim",
+            (
+                F.col("csim")
+                * F.lit(float(2 * k * 1_000_000))
+                / (F.col("sm_a_id") + F.col("sm_b_id"))
+            ).alias("margin"),
+        )
+    )
+    margins = materialize(margins)
+    wa = Window.partitionBy("a_id").orderBy(F.desc("margin"), F.asc("b_id"))
+    wb = Window.partitionBy("b_id").orderBy(F.desc("margin"), F.asc("a_id"))
+    best_a = (
+        margins.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    best_b = (
+        margins.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("a_id", "b_id")
+    )
+    return (
+        best_a.join(best_b, ["a_id", "b_id"])
+        .filter(F.col("margin") >= threshold)
+        .select(
+            "a_id",
+            "b_id",
+            F.col("csim").alias("cosine"),
+            F.round("margin", 6).alias("margin"),
+        )
+        .orderBy(F.desc("margin"), F.asc("a_id"))
+    )
+
+
+def margin_mutual_knn_sql(
+    k: int = MARGIN_K,
+    threshold: float = MARGIN_THRESHOLD,
+    src: str = "embeddings",
+) -> str:
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM {src}
+        ),
+        a AS (SELECT vec_id a_id, v av FROM e WHERE vec_id % 2 = 0),
+        b AS (SELECT vec_id b_id, v bv FROM e WHERE vec_id % 2 = 1),
+        scored AS MATERIALIZED (
+          SELECT a_id, b_id,
+                 ROUND(list_cosine_similarity(av, bv), 6) csim
+          FROM a CROSS JOIN b
+        ),
+        da AS (
+          SELECT a_id, SUM(CAST(FLOOR(csim*1e6 + 0.5) AS BIGINT)) sm_a
+          FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY a_id ORDER BY csim DESC, b_id ASC) rn
+            FROM scored) x
+          WHERE rn <= {int(k)} GROUP BY a_id
+        ),
+        db AS (
+          SELECT b_id, SUM(CAST(FLOOR(csim*1e6 + 0.5) AS BIGINT)) sm_b
+          FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY b_id ORDER BY csim DESC, a_id ASC) rn
+            FROM scored) x
+          WHERE rn <= {int(k)} GROUP BY b_id
+        ),
+        m AS MATERIALIZED (
+          SELECT s.a_id, s.b_id, s.csim,
+                 s.csim * {float(2 * k * 1_000_000)} / (da.sm_a + db.sm_b)
+                   AS margin
+          FROM scored s JOIN da USING (a_id) JOIN db USING (b_id)
+        ),
+        ba AS (
+          SELECT a_id, b_id, csim, margin FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY a_id ORDER BY margin DESC, b_id ASC) rn
+            FROM m) x WHERE rn = 1
+        ),
+        bb AS (
+          SELECT a_id, b_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY b_id ORDER BY margin DESC, a_id ASC) rn
+            FROM m) x WHERE rn = 1
+        )
+        SELECT ba.a_id, ba.b_id, ba.csim AS cosine,
+               ROUND(ba.margin, 6) AS margin
+        FROM ba JOIN bb USING (a_id, b_id)
+        WHERE ba.margin >= {threshold}
+        ORDER BY margin DESC, a_id ASC
+    """

@@ -91,6 +91,7 @@ _DEFER_RAW: tuple[str, ...] = (
     "er_fuzzy_part_pairs",
     "er_entity_clusters",
     "graph_triangle_parts",
+    "emb_margin_mutual_knn",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

@@ -140,6 +140,9 @@ QUERIES = {
     "emb_norm_stats_by_label": lambda s, d: S.norm_stats_by_label(_emb(s, d)),
     # r6 queue: snapshot-to-snapshot centroid/norm drift per label
     "emb_snapshot_drift": lambda s, d: S.snapshot_drift(_emb(s, d)),
+    # r6 queue: LASER/CCMatrix margin-based mutual-kNN alignment
+    # mining between the even/odd embedding halves
+    "emb_margin_mutual_knn": lambda s, d: S.margin_mutual_knn(_emb(s, d)),
     # r4: scalar quantization (SQ8) — the third quantizer family next to
     # IVF and PQ; fit = one agg pass, encode/ADC = codegen projections
     "sq_code_stats": lambda s, d: SQ.sq_code_stats(_emb(s, d)),
@@ -183,6 +186,7 @@ ORACLES = {
     ),
     "emb_norm_stats_by_label": S.norm_stats_by_label_sql(),
     "emb_snapshot_drift": S.snapshot_drift_sql(),
+    "emb_margin_mutual_knn": S.margin_mutual_knn_sql(),
     "sq_code_stats": SQ.sq_code_stats_sql(),
     "ann_sq_adc_topk": SQ.sq_adc_topk_sql(_QUERY_IDS, k=5),
     "ann_recall_ivf_vs_exact": S.recall_eval_sql(_QUERY_IDS, k=5),

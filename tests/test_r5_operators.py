@@ -1957,3 +1957,35 @@ def test_er_entity_clusters_merge_transitively(spark):
     ent = got[0]
     assert ent.entity_id == 1 and ent.n_members == 3 and ent.n_names == 3
     assert ent.canonical_name == "alpha bbbb"
+
+
+# --------------------------------- wave 9: margin-based bitext mining
+def test_margin_mutual_knn_mines_planted_pair(spark):
+    from audience_manager_platform_spark.operators.similarity import (
+        margin_mutual_knn,
+    )
+
+    # even ids = side A, odd ids = side B. Vectors 0 and 1 are aligned
+    # (same direction); everything else is near-orthogonal noise.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.14, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0, 0.0], 1),
+        (3, [0.0, 0.9, 0.44, 0.0], 1),
+        (4, [0.0, 0.0, 1.0, 0.0], 2),
+        (5, [0.0, 0.1, 0.99, 0.0], 2),
+        (6, [0.0, 0.0, 0.0, 1.0], 3),
+        (7, [0.3, 0.0, 0.0, 0.95], 3),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    got = margin_mutual_knn(emb, k=2, threshold=1.0).collect()
+    pairs = {(r.a_id, r.b_id) for r in got}
+    assert (0, 1) in pairs
+    by = {(r.a_id, r.b_id): r for r in got}
+    assert by[(0, 1)].cosine > 0.98
+    assert by[(0, 1)].margin > 1.0
+    # mutual-argmax property: each side id appears at most once
+    assert len({a for a, _ in pairs}) == len(pairs)
+    assert len({b for _, b in pairs}) == len(pairs)

@@ -92,6 +92,7 @@ _DEFER_RAW: tuple[str, ...] = (
     "er_entity_clusters",
     "graph_triangle_parts",
     "emb_margin_mutual_knn",
+    "window_rolling_median",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

@@ -129,6 +129,35 @@ def window_percent_cume_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sliding median (trailing 5-order ROWS frame per customer) —
+    the robust smoother for spend/latency series where one outlier order
+    would drag a moving AVERAGE for the whole frame width. ``percentile``
+    sorts only the <= 5-row frame, so cost is frame-bounded, and the one
+    shuffle is the customer-key window partition.
+
+    Determinism: money lives on a 2dp grid, so the even-frame
+    interpolated midpoint lives on a 3dp grid — rounding at 4dp leaves
+    every representable value untouched (never a rounding boundary), and
+    the <= 1-ulp difference between the engines' interpolation formulas
+    cannot cross a 4dp edge."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.expr("percentile(o_totalprice, 0.5)").over(w), 4
+        ).alias("median_5"),
+    )
+
+
 QUERIES = {
     "window_topn_per_group": window_topn_per_group,
     "window_running_total": window_running_total,
@@ -137,6 +166,7 @@ QUERIES = {
     "window_moving_avg_rows": window_moving_avg_rows,
     "window_range_trailing_count": window_range_trailing_count,
     "window_percent_cume_ntile": window_percent_cume_ntile,
+    "window_rolling_median": window_rolling_median,
 }
 
 ORACLES = {
@@ -251,4 +281,12 @@ ORACLES["window_longest_streak"] = """
            CAST(MAX(len) AS BIGINT) AS longest_streak,
            CAST(SUM(len) AS BIGINT) AS active_days
     FROM streaks GROUP BY user_id
+"""
+ORACLES["window_rolling_median"] = """
+    SELECT o_custkey, o_orderkey,
+           ROUND(quantile_cont(o_totalprice, 0.5) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS median_5
+    FROM orders
 """

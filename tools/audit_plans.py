@@ -34,6 +34,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 NESTED_LOOP_ALLOWED = {
     # |labels|^2 centroid pairs (labels is a tiny closed set)
     "emb_label_separation",
+    # |classes| x |sensitive-values| broadcast expansion — the sensitive
+    # dimension is a tiny closed set (model-sized, never data-sized)
+    "privacy_t_closeness_customer",
     # per-query probes cross-join the K-row centroid table (K = model)
     "ann_ivf_kmeans_topk",
     "ann_ivfpq_adc_topk",

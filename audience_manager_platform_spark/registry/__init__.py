@@ -93,6 +93,7 @@ _DEFER_RAW: tuple[str, ...] = (
     "graph_triangle_parts",
     "emb_margin_mutual_knn",
     "window_rolling_median",
+    "table_bucketed_join",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

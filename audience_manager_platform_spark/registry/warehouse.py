@@ -187,6 +187,52 @@ def _incremental_rollup_gate(spark, sf_dir):
     return incremental_rollup_refresh(daily_rollup(old), ev, delta)
 
 
+
+def _bucketed_join_revenue(s, d):
+    """Rebuild (per session; the in-memory catalog does not persist) the
+    bucketed twin tables, then join shuffle-free and roll revenue up by
+    market segment. The md5 tag keys the layout to the dataset dir so
+    two sf dirs never share a table."""
+    import hashlib
+
+    from ..operators.partitioning import write_bucketed
+
+    tag = hashlib.md5(d.encode()).hexdigest()[:8]
+    to, tc = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
+    if not s.catalog.tableExists(to):
+        write_bucketed(
+            load_table(s, d, "orders").select(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            ),
+            to,
+            ["o_custkey"],
+            n_buckets=8,
+        )
+    if not s.catalog.tableExists(tc):
+        write_bucketed(
+            load_table(s, d, "customer").select("c_custkey", "c_mktsegment"),
+            tc,
+            ["c_custkey"],
+            n_buckets=8,
+        )
+    from pyspark.sql import functions as FF
+
+    return (
+        s.table(to)
+        .join(s.table(tc), FF.col("o_custkey") == FF.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            FF.count("*").cast("long").alias("n_orders"),
+            FF.round(
+                FF.sum(FF.col("o_totalprice").cast("decimal(18,4)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+        )
+    )
+
+
 QUERIES = {
     "scd2_user_state_history": lambda s, d: MG.scd2_history(_events(s, d)),
     "cdc_latest_user_state": lambda s, d: MG.cdc_latest_state(_events(s, d)),
@@ -259,6 +305,11 @@ QUERIES = {
         k=5,
         ell=2,
     ),
+    # r6 queue: bucketed-layout SMB join — both sides written bucketBy
+    # the customer key ONCE (the 100 TB layout lever), then joined and
+    # rolled up; the zero-Exchange property is plan-pinned in
+    # tests/test_plans.py::test_bucketed_join_has_no_exchange
+    "table_bucketed_join": lambda s, d: _bucketed_join_revenue(s, d),
     # r6 queue: t-closeness — skewness-attack audit (k/l pass, t fails
     # when a class's sensitive distribution diverges from the global)
     "privacy_t_closeness_customer": lambda s, d: t_closeness_audit(
@@ -394,6 +445,14 @@ ORACLES = {
         k=5,
         ell=2,
     ),
+    "table_bucketed_join": """
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                          AS DOUBLE), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
     "privacy_t_closeness_customer": t_closeness_audit_sql(
         "(SELECT c_nationkey,"
         " CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band,"

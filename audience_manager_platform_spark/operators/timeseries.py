@@ -606,3 +606,103 @@ def rolling_regression_sql(
                END AS r2
         FROM sums WHERE n = {w}
     """
+
+
+# --------------------------------------- seasonal-naive forecast backtest
+def seasonal_naive_backtest(events: DataFrame, lag_days: int = 7) -> DataFrame:
+    """Forecast backtest for the week-seasonal baseline: predict each
+    (event_type, day) total as the total ``lag_days`` earlier, then
+    score per event type with MAPE (mean |actual−forecast|/actual) and
+    signed bias — the sanity floor every real forecasting model must
+    beat before it earns a pipeline slot, and the drift alarm when a
+    previously-calibrated series stops being week-stationary.
+
+    Determinism: daily totals are exact decimal sums rounded 2dp; each
+    per-day error ratio is quantized to the 1e-6 integer grid
+    (``floor(r*1e6 + 0.5)`` of identical doubles) and summed in bigint
+    — the per-type mean is one exact integer division, so no
+    engine/partitioning can flip the rounding (the [[cross-engine-
+    determinism]] integer-sum shape).
+
+    Shape at scale: one map-side-combinable (type, day) aggregate, a
+    lag window inside each (tiny) type partition of the |types|×|days|
+    daily table, and a |types|-row rollup."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    daily = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
+            ).alias("actual")
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    scored = daily.withColumn(
+        "forecast", F.lag("actual", lag_days).over(w)
+    ).filter(F.col("forecast").isNotNull() & (F.col("actual") != 0))
+    ape = F.abs(F.col("actual") - F.col("forecast")) / F.col("actual")
+    pe = (F.col("actual") - F.col("forecast")) / F.col("actual")
+    q = lambda c: F.expr(  # noqa: E731 — 1e-6-grid quantizer
+        f"cast(floor(({c}) * 1e6 + 0.5d) as bigint)"
+    )
+    return (
+        scored.select(
+            "event_type",
+            q("abs(actual - forecast) / actual").alias("_ape"),
+            q("(actual - forecast) / actual").alias("_pe"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.round(
+                F.sum("_ape").cast("double")
+                / (F.count("*") * F.lit(1000000.0)),
+                6,
+            ).alias("mape"),
+            F.round(
+                F.sum("_pe").cast("double")
+                / (F.count("*") * F.lit(1000000.0)),
+                6,
+            ).alias("bias"),
+        )
+    )
+
+
+def seasonal_naive_backtest_sql(
+    src: str = "events", lag_days: int = 7
+) -> str:
+    return f"""
+        WITH daily AS (
+          SELECT event_type,
+                 strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                 ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+                   AS actual
+          FROM {src} WHERE value IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT event_type, actual,
+                 LAG(actual, {int(lag_days)}) OVER (
+                   PARTITION BY event_type ORDER BY day) AS forecast
+          FROM daily
+        ),
+        graded AS (
+          SELECT event_type,
+                 CAST(FLOOR(ABS(actual - forecast) / actual * 1e6 + 0.5)
+                   AS BIGINT) AS _ape,
+                 CAST(FLOOR((actual - forecast) / actual * 1e6 + 0.5)
+                   AS BIGINT) AS _pe
+          FROM scored WHERE forecast IS NOT NULL AND actual != 0
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               ROUND(SUM(_ape) / (COUNT(*) * 1000000.0), 6) AS mape,
+               ROUND(SUM(_pe) / (COUNT(*) * 1000000.0), 6) AS bias
+        FROM graded GROUP BY event_type
+    """

@@ -94,6 +94,8 @@ _DEFER_RAW: tuple[str, ...] = (
     "emb_margin_mutual_knn",
     "window_rolling_median",
     "table_bucketed_join",
+    "ts_seasonal_naive_backtest",
+    "hll_retention_overlap",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

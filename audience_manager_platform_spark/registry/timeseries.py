@@ -59,6 +59,10 @@ QUERIES = {
         _events(s, d)
     ),
     # r6 queue: rolling OLS slope + r² per series (trend extraction)
+    # r6 queue: the week-seasonal forecast floor + MAPE/bias grading
+    "ts_seasonal_naive_backtest": lambda s, d: TS.seasonal_naive_backtest(
+        _events(s, d)
+    ),
     "ts_rolling_regression": lambda s, d: TS.rolling_regression(
         _events(s, d)
     ),
@@ -73,6 +77,7 @@ ORACLES = {
     "ts_seasonality_profile": TS.seasonality_profile_sql(),
     "ts_changepoint_mean_shift": TS.changepoint_mean_shift_sql(),
     "ts_rolling_regression": TS.rolling_regression_sql(),
+    "ts_seasonal_naive_backtest": TS.seasonal_naive_backtest_sql(),
     "sample_fixed_n_events": f"""
         SELECT event_id, user_id, event_type, ROUND(value, 2) AS value,
                MD5(CAST(event_id AS VARCHAR) || '{SAMPLE_SALT}') AS sample_key

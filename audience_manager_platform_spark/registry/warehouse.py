@@ -46,7 +46,12 @@ from ..operators.reconcile import (
     table_diff,
     table_diff_sql,
 )
-from ..operators.skew import heavy_hitters, heavy_hitters_sql
+from ..operators.skew import (
+    heavy_hitters,
+    heavy_hitters_sql,
+    hll_retention_overlap,
+    hll_retention_overlap_sql,
+)
 from ..operators.geo import geo_cell_rollup, geo_cell_rollup_sql
 from ..operators.validation import (
     fk_orphan_audit,
@@ -310,6 +315,11 @@ QUERIES = {
     # rolled up; the zero-Exchange property is plan-pinned in
     # tests/test_plans.py::test_bucketed_join_has_no_exchange
     "table_bucketed_join": lambda s, d: _bucketed_join_revenue(s, d),
+    # r6 queue: sketch set-algebra — month-over-month retention where
+    # the overlap is HLL inclusion-exclusion (bounded verdict vs exact)
+    "hll_retention_overlap": lambda s, d: hll_retention_overlap(
+        load_table(s, d, "orders")
+    ),
     # r6 queue: t-closeness — skewness-attack audit (k/l pass, t fails
     # when a class's sensitive distribution diverges from the global)
     "privacy_t_closeness_customer": lambda s, d: t_closeness_audit(
@@ -453,6 +463,7 @@ ORACLES = {
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
     """,
+    "hll_retention_overlap": hll_retention_overlap_sql(),
     "privacy_t_closeness_customer": t_closeness_audit_sql(
         "(SELECT c_nationkey,"
         " CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band,"

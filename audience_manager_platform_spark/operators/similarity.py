@@ -2066,3 +2066,91 @@ def margin_mutual_knn_sql(
         WHERE ba.margin >= {threshold}
         ORDER BY margin DESC, a_id ASC
     """
+
+
+# ------------------------------------------------ IVF probe-recall curve
+PROBE_SWEEP = (1, 2, 4, 8)
+
+
+def probe_recall_curve(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    probes: tuple[int, ...] = PROBE_SWEEP,
+) -> DataFrame:
+    """Recall@k as a function of IVF probe count — the tuning curve an
+    ANN deployment reads before picking its latency/recall operating
+    point (the IVF analogue of :func:`~.dedup` LSH threshold ROI sweep):
+    each added probe widens the scanned fraction ~1/IVF_CENTROIDS and
+    buys back the neighbors that landed in unprobed cells.
+
+    The corpus is cell-assigned ONCE (materialized) and every sweep
+    point reuses it — the sweep costs |probes| small probe-join plans,
+    not |probes| assignment passes. The exact baseline is likewise
+    materialized once. Mean recall is hits/(k·|queries|), an exact
+    small-integer ratio on both engines.
+    """
+    spark = emb.sparkSession
+    base = emb.select("vec_id", _vec_double().alias("v"))
+    model = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]])
+        for r in base.filter(F.col("vec_id") < IVF_CENTROIDS).collect()
+    ]
+    cents = _model_df(spark, model)
+    assigned = materialize(
+        assign_cells_arrow(base, model, keep_vec=True).select(
+            "vec_id", "v", "cent_id"
+        )
+    )
+    exact = materialize(
+        cosine_topk(emb, query_ids, k).select("query_id", "neighbor_id")
+    )
+    denom = float(k * len(query_ids))
+    out = None
+    for p in probes:
+        approx = _ivf_probe(
+            base, cents, query_ids, k, n_probes=p, assigned=assigned
+        ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+        row = (
+            exact.join(approx, ["query_id", "neighbor_id"], "left")
+            .agg(F.count("hit").cast("long").alias("hits"))
+            .select(
+                F.lit(p).cast("int").alias("n_probes"),
+                "hits",
+                F.round(F.col("hits") / F.lit(denom), 6).alias(
+                    "mean_recall"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n_probes")
+
+
+def probe_recall_curve_sql(
+    query_ids: list[int],
+    k: int = 5,
+    probes: tuple[int, ...] = PROBE_SWEEP,
+    src: str = "embeddings",
+) -> str:
+    exact = cosine_topk_sql(query_ids, k, src)
+    denom = k * len(query_ids)
+    parts = []
+    for p in probes:
+        prefix = f"""e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src}),
+        cents AS (
+          SELECT vec_id AS cent_id, v AS cv FROM e
+          WHERE vec_id < {IVF_CENTROIDS}
+        )"""
+        approx = _ivf_probe_sql(prefix, query_ids, k, n_probes=p)
+        parts.append(f"""
+        SELECT CAST({p} AS INTEGER) AS n_probes,
+               CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits,
+               ROUND(COUNT(a.neighbor_id) / CAST({denom} AS DOUBLE), 6)
+                 AS mean_recall
+        FROM ({exact}) e
+        LEFT JOIN ({approx}) a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        """)
+    u = " UNION ALL ".join(parts)
+    return f"SELECT * FROM ({u}) s ORDER BY n_probes"

@@ -1961,3 +1961,51 @@ def vocab_growth_audit_sql(src: str = "documents") -> str:
                TRUE AS within_bound
         FROM grams GROUP BY n
     """
+
+
+# ------------------------------------------- language-ID confusion matrix
+def langid_confusion(docs: DataFrame) -> DataFrame:
+    """Confusion matrix of :func:`language_id` against the corpus's
+    labeled ``lang`` column — the classifier-quality audit run before
+    trusting a heuristic language filter at corpus scale (a filter that
+    silently routes 20% of one language to 'und' starves that language's
+    mixture slice). Per (true lang, detected lang): doc count and the
+    row-normalized share (recall on the diagonal, leakage off it), an
+    exact small-integer ratio.
+
+    One |langs|-fan-out classify pass (the language_id plan) joined to
+    the label column, then a |langs|²-row aggregate — nothing after the
+    classify is data-sized."""
+    from pyspark.sql import Window
+
+    pred = language_id(docs).select("doc_id", "detected_lang")
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    per = joined.groupBy("lang", "detected_lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return per.select(
+        "lang",
+        "detected_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 6
+        ).alias("share"),
+    )
+
+
+def langid_confusion_sql(src: str = "documents") -> str:
+    pred = language_id_sql(src)
+    return f"""
+        WITH pred AS ({pred}),
+        per AS (
+          SELECT d.lang, p.detected_lang,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM {src} d JOIN pred p USING (doc_id)
+          GROUP BY 1, 2
+        )
+        SELECT lang, detected_lang, n_docs,
+               ROUND(n_docs / CAST(SUM(n_docs) OVER (
+                 PARTITION BY lang) AS DOUBLE), 6) AS share
+        FROM per
+    """

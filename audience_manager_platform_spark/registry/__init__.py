@@ -96,6 +96,8 @@ _DEFER_RAW: tuple[str, ...] = (
     "table_bucketed_join",
     "ts_seasonal_naive_backtest",
     "hll_retention_overlap",
+    "ann_probe_recall_curve",
+    "text_langid_confusion",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

@@ -143,6 +143,11 @@ QUERIES = {
     # r6 queue: LASER/CCMatrix margin-based mutual-kNN alignment
     # mining between the even/odd embedding halves
     "emb_margin_mutual_knn": lambda s, d: S.margin_mutual_knn(_emb(s, d)),
+    # r6 queue: the IVF latency/recall tuning curve (probe sweep over a
+    # single materialized cell assignment)
+    "ann_probe_recall_curve": lambda s, d: S.probe_recall_curve(
+        _emb(s, d), _QUERY_IDS, k=5
+    ),
     # r4: scalar quantization (SQ8) — the third quantizer family next to
     # IVF and PQ; fit = one agg pass, encode/ADC = codegen projections
     "sq_code_stats": lambda s, d: SQ.sq_code_stats(_emb(s, d)),
@@ -187,6 +192,7 @@ ORACLES = {
     "emb_norm_stats_by_label": S.norm_stats_by_label_sql(),
     "emb_snapshot_drift": S.snapshot_drift_sql(),
     "emb_margin_mutual_knn": S.margin_mutual_knn_sql(),
+    "ann_probe_recall_curve": S.probe_recall_curve_sql(_QUERY_IDS, k=5),
     "sq_code_stats": SQ.sq_code_stats_sql(),
     "ann_sq_adc_topk": SQ.sq_adc_topk_sql(_QUERY_IDS, k=5),
     "ann_recall_ivf_vs_exact": S.recall_eval_sql(_QUERY_IDS, k=5),

@@ -90,6 +90,8 @@ QUERIES = {
     "text_bpe_token_stats": lambda s, d: T.bpe_token_stats(_docs(s, d)),
     "text_quality_score": lambda s, d: T.quality_score(_docs(s, d)),
     "text_language_id": lambda s, d: T.language_id(_docs(s, d)),
+    # r6 queue: classifier-quality audit of the language filter
+    "text_langid_confusion": lambda s, d: T.langid_confusion(_docs(s, d)),
     "text_fingerprint": lambda s, d: T.fingerprint(_docs(s, d)),
     "text_tfidf_top_terms": lambda s, d: T.tfidf_top_terms(_docs(s, d), k=5),
     "text_gopher_quality": lambda s, d: T.gopher_quality(_docs(s, d)),
@@ -241,6 +243,7 @@ ORACLES = {
     "text_token_stats": T.token_stats_sql(),
     "text_bpe_token_stats": T.bpe_token_stats_sql(),
     "text_quality_score": T.quality_score_sql(),
+    "text_langid_confusion": T.langid_confusion_sql(),
     "text_language_id": T.language_id_sql(),
     "text_fingerprint": T.fingerprint_sql(),
     "text_tfidf_top_terms": T.tfidf_top_terms_sql(k=5),

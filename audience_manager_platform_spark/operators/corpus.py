@@ -1351,3 +1351,148 @@ def source_unigram_jsd_sql(
                      AS DOUBLE) / 1e9, 6) AS jsd
         FROM grid GROUP BY source
     """
+
+
+# --------------------------------------- dedup-cluster-safe split audit
+def cluster_safe_split(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    salt: str = "split-v1",
+    prefix_tokens: int = 8,
+) -> DataFrame:
+    """Leakage-safe splitting: hashing DOC IDS into train/val/test puts
+    two copies of the same document on opposite sides of the split — the
+    eval set then *contains the training data* and every benchmark
+    number is inflated. The fix is to split on the dedup-cluster key
+    (here the exact-dedup fingerprint; with near-dup clusters, the CC
+    cluster_id) so a whole duplicate family lands in ONE split.
+
+    Output contrasts both strategies side by side: per (strategy,
+    split): doc and distinct-group counts, plus the strategy's count of
+    STRADDLING groups (fingerprints whose copies land in >1 split) —
+    positive for the naive doc-id split wherever duplicates exist, ZERO
+    by construction for the cluster-safe split. This is the audit row a
+    training pipeline pins before trusting held-out numbers.
+
+    Shape at scale: one fingerprint projection, two pure per-row hash
+    projections (no shuffle), and fingerprint-keyed aggregates — the
+    same exchanges exact dedup already pays.
+    """
+    from .text import tokens_col
+
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    items = list(weights.items())
+
+    def split_of(col) -> F.Column:
+        bucket = stable_long_hash(col, salt=salt) % SPLIT_BUCKETS
+        expr = None
+        acc = 0.0
+        for name, w in items[:-1]:
+            acc += w
+            cond = bucket < int(round(acc * SPLIT_BUCKETS))
+            expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        return expr.otherwise(items[-1][0])
+
+    fp = docs.select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.slice(tokens_col("text"), 1, prefix_tokens), " "
+            )
+        ).alias("fp"),
+    )
+    tagged = fp.select(
+        "fp",
+        split_of(F.col("doc_id").cast("string")).alias("naive"),
+        split_of(F.col("fp")).alias("safe"),
+    )
+    long = tagged.select(
+        F.lit("doc_id_hash").alias("strategy"),
+        F.col("naive").alias("split"),
+        "fp",
+    ).unionByName(
+        tagged.select(
+            F.lit("cluster_safe").alias("strategy"),
+            F.col("safe").alias("split"),
+            "fp",
+        )
+    )
+    per = long.groupBy("strategy", "split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("fp").cast("long").alias("n_groups"),
+    )
+    straddle = (
+        long.groupBy("strategy", "fp")
+        .agg(F.countDistinct("split").alias("_ns"))
+        .groupBy("strategy")
+        .agg(
+            F.sum(F.when(F.col("_ns") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("straddling_groups")
+        )
+    )
+    return per.join(straddle, "strategy").orderBy("strategy", "split")
+
+
+def cluster_safe_split_sql(
+    src: str = "documents",
+    weights: dict[str, float] | None = None,
+    salt: str = "split-v1",
+    prefix_tokens: int = 8,
+) -> str:
+    from .text import tokens_sql
+
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    items = list(weights.items())
+
+    def case_of(x: str) -> str:
+        h = _HASH60_DUCK.format(x=f"'{salt}' || {x}")
+        acc = 0.0
+        cases = []
+        for name, w in items[:-1]:
+            acc += w
+            cases.append(
+                f"WHEN {h} % {SPLIT_BUCKETS}"
+                f" < {int(round(acc * SPLIT_BUCKETS))} THEN '{name}'"
+            )
+        return "CASE " + " ".join(cases) + f" ELSE '{items[-1][0]}' END"
+
+    t = tokens_sql("text")
+    return f"""
+        WITH fp AS (
+          SELECT doc_id,
+                 md5(array_to_string(
+                   list_slice({t}, 1, {int(prefix_tokens)}), ' ')) AS fp
+          FROM {src}
+        ),
+        tagged AS (
+          SELECT fp,
+                 {case_of("CAST(doc_id AS VARCHAR)")} AS naive,
+                 {case_of("fp")} AS safe
+          FROM fp
+        ),
+        long AS (
+          SELECT 'doc_id_hash' AS strategy, naive AS split, fp FROM tagged
+          UNION ALL
+          SELECT 'cluster_safe', safe, fp FROM tagged
+        ),
+        per AS (
+          SELECT strategy, split,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_groups
+          FROM long GROUP BY 1, 2
+        ),
+        straddle AS (
+          SELECT strategy,
+                 CAST(SUM(CASE WHEN _ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS straddling_groups
+          FROM (
+            SELECT strategy, fp, COUNT(DISTINCT split) AS _ns
+            FROM long GROUP BY 1, 2
+          ) x GROUP BY strategy
+        )
+        SELECT per.strategy, per.split, per.n_docs, per.n_groups,
+               straddle.straddling_groups
+        FROM per JOIN straddle USING (strategy)
+        ORDER BY strategy, split
+    """

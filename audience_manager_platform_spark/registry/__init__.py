@@ -98,6 +98,7 @@ _DEFER_RAW: tuple[str, ...] = (
     "hll_retention_overlap",
     "ann_probe_recall_curve",
     "text_langid_confusion",
+    "corpus_cluster_safe_split",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

@@ -192,6 +192,10 @@ QUERIES = {
     "multimodal_bmp_resize": lambda s, d: M.bmp_resize_meta(_docs(s, d)),
     # corpus-curation pipeline ops
     "corpus_split_assign": lambda s, d: C.split_assign(_docs(s, d)),
+    # r6 queue: split-leakage audit — doc-id-hash vs cluster-safe splits
+    "corpus_cluster_safe_split": lambda s, d: C.cluster_safe_split(
+        _docs(s, d)
+    ),
     "corpus_pack_sequences": lambda s, d: C.pack_sequences(_docs(s, d)),
     "corpus_decontaminate": lambda s, d: C.decontaminate(
         _docs(s, d), _docs(s, d).filter(F.col("doc_id") % 50 == 0)
@@ -304,6 +308,7 @@ ORACLES = {
     "multimodal_bmp_decode": M.bmp_meta_oracle_sql(),
     "multimodal_bmp_resize": M.bmp_resize_meta_oracle_sql(),
     "corpus_split_assign": C.split_assign_sql(),
+    "corpus_cluster_safe_split": C.cluster_safe_split_sql(),
     "corpus_pack_sequences": C.pack_sequences_sql(),
     "corpus_decontaminate": C.decontaminate_sql(),
     "corpus_bloom_decontaminate": C.decontaminate_sql(),

@@ -1989,3 +1989,32 @@ def test_margin_mutual_knn_mines_planted_pair(spark):
     # mutual-argmax property: each side id appears at most once
     assert len({a for a, _ in pairs}) == len(pairs)
     assert len({b for _, b in pairs}) == len(pairs)
+
+
+def test_cluster_safe_split_never_straddles_planted_twins(spark):
+    from audience_manager_platform_spark.operators.corpus import (
+        cluster_safe_split,
+    )
+
+    # 40 twin pairs sharing the same 8-token prefix; with doc-id-hash
+    # splitting at 50/50 some pairs WILL straddle; cluster-safe never.
+    rows = []
+    for i in range(40):
+        body = f"alpha bravo charlie delta echo foxtrot golf hotel tail{i}"
+        rows.append((2 * i, body + " one", "en", "web", len(body)))
+        rows.append((2 * i + 1, body + " two", "en", "web", len(body)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = cluster_safe_split(
+        docs, weights={"train": 0.5, "test": 0.5}
+    ).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.strategy, set()).add(r.straddling_groups)
+    assert by["cluster_safe"] == {0}
+    # all 40 twin pairs share ONE prefix-8 family here (same first 8
+    # tokens) -> naive splitting straddles that family with near
+    # certainty (80 docs split 50/50); assert it was detected
+    (naive_straddle,) = by["doc_id_hash"]
+    assert naive_straddle >= 1

@@ -99,6 +99,7 @@ _DEFER_RAW: tuple[str, ...] = (
     "ann_probe_recall_curve",
     "text_langid_confusion",
     "corpus_cluster_safe_split",
+    "join_null_safe",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

@@ -327,8 +327,43 @@ def _approx_percentiles(spark, sf_dir):
     return ev.groupBy("event_type").agg(*aggs)
 
 
+
+
+def _null_safe_join(spark, sf_dir):
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the anonymous
+    bucket (user_id NULL) must JOIN with itself when reconciling two
+    per-user aggregates — a plain `=` silently drops it and the two
+    rollups stop reconciling (sum of parts != total). The fixture has no
+    NULL user_ids, so attribution is masked on 'error' events (the
+    lost-session story) before aggregating — the NULL bucket then exists
+    on BOTH sides and must pair up. One row per user including the NULL
+    user; exact long counts and decimal-rounded values on both sides."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir).withColumn(
+        "user_id",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    days = ev.groupBy("user_id").agg(
+        F.countDistinct(F.to_date("ts")).cast("long").alias("n_days")
+    )
+    totals = ev.filter(F.col("value").isNotNull()).groupBy("user_id").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
+        ).alias("total_value")
+    )
+    return days.join(
+        totals.withColumnRenamed("user_id", "_uid"),
+        days["user_id"].eqNullSafe(F.col("_uid")),
+        "left",
+    ).select("user_id", "n_days", "total_value")
+
+
 QUERIES = {
     "pivot_day_by_type": _pivot_day_by_type,
+    "join_null_safe": _null_safe_join,
     "unpivot_daily_metrics": _unpivot_daily,
     "cube_lineitem_status": _cube_lineitem,
     "rollup_orders_priority": _rollup_orders,
@@ -380,6 +415,27 @@ _PIVOT_CASES = ",\n               ".join(
 )
 
 ORACLES = {
+    "join_null_safe": """
+        WITH ev AS (
+          SELECT CASE WHEN event_type = 'error' THEN NULL
+                      ELSE user_id END AS user_id, ts, value
+          FROM events
+        ),
+        days AS (
+          SELECT user_id,
+                 CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+          FROM ev GROUP BY user_id
+        ),
+        totals AS (
+          SELECT user_id,
+                 ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+                   AS total_value
+          FROM ev WHERE value IS NOT NULL GROUP BY user_id
+        )
+        SELECT d.user_id, d.n_days, t.total_value
+        FROM days d LEFT JOIN totals t
+          ON d.user_id IS NOT DISTINCT FROM t.user_id
+    """,
     "basket_brand_pairs": basket_brand_pairs_sql(k=25),
     "basket_brand_lift": basket_brand_lift_sql(k=25),
     "pivot_day_by_type": f"""

@@ -100,6 +100,7 @@ _DEFER_RAW: tuple[str, ...] = (
     "text_langid_confusion",
     "corpus_cluster_safe_split",
     "join_null_safe",
+    "dedup_incremental_probe",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

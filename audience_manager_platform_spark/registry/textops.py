@@ -151,6 +151,11 @@ QUERIES = {
     "dedup_minhash_lsh_pairs": lambda s, d: D.minhash_lsh_pairs(
         _docs(s, d), est_threshold=0.5, max_band_size=LSH_MAX_BAND
     ),
+    # r6 queue: nightly-delta probe of the standing LSH index — pairs
+    # touching the delta slice only, provably equal to the full pass
+    "dedup_incremental_probe": lambda s, d: D.incremental_lsh_probe(
+        _docs(s, d), est_threshold=0.5
+    ),
     # r5: estimate-vs-truth audit of the MinHash estimator itself
     "dedup_minhash_accuracy": lambda s, d: D.minhash_accuracy(
         _docs(s, d), est_threshold=0.5, max_band_size=LSH_MAX_BAND
@@ -285,6 +290,9 @@ ORACLES = {
     "dedup_minhash_signatures": D.minhash_signatures_sql(),
     "dedup_minhash_lsh_pairs": D.minhash_lsh_pairs_sql(
         est_threshold=0.5, max_band_size=LSH_MAX_BAND
+    ),
+    "dedup_incremental_probe": D.incremental_lsh_probe_sql(
+        est_threshold=0.5
     ),
     "dedup_minhash_accuracy": D.minhash_accuracy_sql(
         est_threshold=0.5, max_band_size=LSH_MAX_BAND

@@ -2018,3 +2018,36 @@ def test_cluster_safe_split_never_straddles_planted_twins(spark):
     # certainty (80 docs split 50/50); assert it was detected
     (naive_straddle,) = by["doc_id_hash"]
     assert naive_straddle >= 1
+
+
+def test_incremental_lsh_probe_equals_restricted_full_pass(spark):
+    from audience_manager_platform_spark.operators.dedup import (
+        incremental_lsh_probe,
+        minhash_lsh_pairs,
+    )
+
+    body = ("the quick brown fox jumps over the lazy dog again and again "
+            "while seven wizards brew strong potions at midnight ")
+    rows = []
+    for i in range(30):
+        if i % 3 == 0:
+            rows.append((i, body + f"variant {i % 2}", "en", "web", 10))
+        else:
+            rows.append((i, f"unique document number {i} with its own "
+                            f"content entirely {i*7} {i*13}", "en", "web", 10))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    full = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, est_threshold=0.5).collect()
+    }
+    restricted = {
+        k: v for k, v in full.items() if k[0] % 10 == 7 or k[1] % 10 == 7
+    }
+    probe = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in incremental_lsh_probe(docs, est_threshold=0.5).collect()
+    }
+    assert probe == restricted
+    assert len(full) > len(restricted) > 0  # both regimes exercised

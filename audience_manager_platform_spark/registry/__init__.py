@@ -101,6 +101,7 @@ _DEFER_RAW: tuple[str, ...] = (
     "corpus_cluster_safe_split",
     "join_null_safe",
     "dedup_incremental_probe",
+    "graph_bfs_distances",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

@@ -22,6 +22,8 @@ from ..operators.er import (
     fuzzy_blocked_pairs_sql,
 )
 from ..operators.graph import (
+    bfs_distances,
+    bfs_distances_sql,
     degree_histogram_customer_supplier,
     degree_histogram_sql,
     neighbor_jaccard,
@@ -358,6 +360,15 @@ QUERIES = {
         "l_partkey",
         min_cooc=2,
     ),
+    # r6 queue: single-source BFS hop distances over the co-purchase
+    # graph (frontier joins + anti-join visited, constant rounds)
+    "graph_bfs_distances": lambda s, d: bfs_distances(
+        load_table(s, d, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        min_cooc=2,
+        max_depth=3,
+    ),
     # r6 queue: deterministic LPA communities over the trade graph
     "graph_trade_communities": trade_communities,
     # r3: vertex-centric compute over warehouse-derived edges
@@ -490,6 +501,11 @@ ORACLES = {
     "graph_triangle_parts": triangle_participation_sql(
         "SELECT l_orderkey AS _ctx, l_partkey AS _it FROM lineitem",
         min_cooc=2,
+    ),
+    "graph_bfs_distances": bfs_distances_sql(
+        "SELECT l_orderkey AS _ctx, l_partkey AS _it FROM lineitem",
+        min_cooc=2,
+        max_depth=3,
     ),
     "graph_trade_communities": trade_communities_sql(),
     "pagerank_customer_supplier": pagerank_sql(),

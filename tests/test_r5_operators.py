@@ -2051,3 +2051,25 @@ def test_incremental_lsh_probe_equals_restricted_full_pass(spark):
     }
     assert probe == restricted
     assert len(full) > len(restricted) > 0  # both regimes exercised
+
+
+def test_bfs_distances_on_planted_path(spark):
+    from audience_manager_platform_spark.operators.graph import bfs_distances
+
+    # path 1-2-3-4-5 via shared contexts (each adjacent pair shares 2
+    # contexts); node 9 is isolated from the path's component.
+    rows = []
+    ctx = 0
+    for a, b in [(1, 2), (2, 3), (3, 4), (4, 5)]:
+        for _ in range(2):
+            rows += [(ctx, a), (ctx, b)]
+            ctx += 1
+    rows += [(ctx, 9), (ctx + 1, 9)]
+    df = spark.createDataFrame(rows, "ctx long, item long")
+    got = {
+        r.node: r.distance
+        for r in bfs_distances(df, "ctx", "item", min_cooc=2, max_depth=3).collect()
+    }
+    # source = min node (1); node 5 is 4 hops away -> outside max_depth;
+    # 9 unreachable
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}

@@ -1059,3 +1059,102 @@ def pq_recall_eval_sql(
           ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
         GROUP BY x.query_id
     """
+
+
+# --------------------------------------------------- ADC + exact re-rank
+RERANK_MULT = 4
+
+
+def adc_rerank_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    shortlist_mult: int = RERANK_MULT,
+    iters: int = PQ_ITERS,
+    model: Model | None = None,
+) -> DataFrame:
+    """Two-stage retrieval, the standard production ANN shape: the ADC
+    scan produces a CHEAP shortlist of ``k·shortlist_mult`` candidates
+    per query (4 LUT lookups + 3 adds per vector), then only the
+    shortlist's RAW vectors are re-read and re-scored with exact L2 —
+    quantization error is confined to shortlist membership, never to
+    the final ranking. At 100 TB the exact stage touches
+    |queries|·k·mult vectors instead of the corpus: the refinement join
+    is keyed on neighbor_id and is model-scale.
+
+    Exact distances use the unrolled left-assoc squared-diff chain
+    (same IEEE order as the twins' 1-based expansion), 6dp-rounded —
+    bit-identical on both engines."""
+    from .similarity import EMBED_DIM
+
+    short = pq_adc_topk(
+        emb, query_ids, k=k * shortlist_mult, iters=iters, model=model
+    ).select("query_id", "neighbor_id")
+    base = emb.select("vec_id", _vec_double().alias("v"))
+    queries = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    d2 = F.expr(
+        " + ".join(
+            f"(v[{i}] - qv[{i}]) * (v[{i}] - qv[{i}])"
+            for i in range(EMBED_DIM)
+        )
+    )
+    scored = (
+        short.join(
+            base.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+        )
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(d2, 6).alias("exact_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("exact_d2"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def adc_rerank_topk_sql(
+    query_ids: list[int],
+    k: int = 5,
+    shortlist_mult: int = RERANK_MULT,
+    iters: int = PQ_ITERS,
+    src: str = "embeddings",
+) -> str:
+    from .similarity import EMBED_DIM
+
+    short = pq_adc_topk_sql(
+        query_ids, k=k * shortlist_mult, iters=iters, src=src
+    )
+    d2 = " + ".join(
+        f"(ev.v[{i + 1}] - q.qv[{i + 1}]) * (ev.v[{i + 1}] - q.qv[{i + 1}])"
+        for i in range(EMBED_DIM)
+    )
+    ids = ", ".join(str(i) for i in sorted(query_ids))
+    return f"""
+        WITH short AS ({short}),
+        ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src}),
+        q AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM {src} WHERE vec_id IN ({ids})
+        ),
+        scored AS (
+          SELECT s.query_id, s.neighbor_id,
+                 ROUND({d2}, 6) AS exact_d2
+          FROM short s
+          JOIN ev ON ev.vec_id = s.neighbor_id
+          JOIN q ON q.query_id = s.query_id
+        )
+        SELECT query_id, neighbor_id, exact_d2, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY exact_d2 ASC, neighbor_id ASC) AS rank
+          FROM scored
+        ) r WHERE rank <= {k}
+    """

@@ -678,3 +678,60 @@ def t_closeness_audit_sql(
                  AS t_risk
         FROM expanded GROUP BY {cols}
     """
+
+
+# ------------------------------------------------------ FK fanout profile
+def fk_fanout_profile(rels) -> "DataFrame":
+    """Join-cardinality profile per FK relationship: parents, parents
+    with at least one child, and the min/avg/max children per matched
+    parent — the numbers that decide join strategy at scale (a max
+    fanout of 10⁶ on one parent is the skew-join/salting signal; an avg
+    near 1 says the join is safe to broadcast-build on the child side).
+    Complements :func:`fk_orphan_audit` (referential integrity) with
+    the CARDINALITY side of the contract.
+
+    One child-side keyed count per relationship plus a parent distinct
+    count — map-side-combinable, |parents|-row state, unioned into a
+    |relationships|-row report. ``rels`` is ``(name, child_df,
+    child_key, parent_df, parent_key)``."""
+    out = None
+    for name, child, ck, parent, pk in rels:
+        per_parent = (
+            child.filter(F.col(ck).isNotNull())
+            .groupBy(ck)
+            .agg(F.count("*").alias("_n"))
+        )
+        n_parents = parent.select(pk).distinct().count()
+        row = per_parent.agg(
+            F.lit(name).alias("relationship"),
+            F.lit(n_parents).cast("long").alias("n_parents"),
+            F.count("*").cast("long").alias("matched_parents"),
+            F.min("_n").cast("long").alias("min_fanout"),
+            F.round(
+                F.sum("_n") / F.count("*").cast("double"), 6
+            ).alias("avg_fanout"),
+            F.max("_n").cast("long").alias("max_fanout"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def fk_fanout_profile_sql(rels) -> str:
+    """SQL twin; ``rels`` is ``(name, child_table, child_key,
+    parent_table, parent_key)``."""
+    parts = []
+    for name, child, ck, parent, pk in rels:
+        parts.append(f"""
+        SELECT '{name}' AS relationship,
+               (SELECT CAST(COUNT(DISTINCT {pk}) AS BIGINT) FROM {parent})
+                 AS n_parents,
+               CAST(COUNT(*) AS BIGINT) AS matched_parents,
+               CAST(MIN(_n) AS BIGINT) AS min_fanout,
+               ROUND(SUM(_n) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_fanout,
+               CAST(MAX(_n) AS BIGINT) AS max_fanout
+        FROM (
+          SELECT {ck}, COUNT(*) AS _n FROM {child}
+          WHERE {ck} IS NOT NULL GROUP BY {ck}
+        ) pp
+        """)
+    return " UNION ALL ".join(parts)

@@ -102,6 +102,8 @@ _DEFER_RAW: tuple[str, ...] = (
     "join_null_safe",
     "dedup_incremental_probe",
     "graph_bfs_distances",
+    "ann_adc_rerank_topk",
+    "validate_fk_fanout",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

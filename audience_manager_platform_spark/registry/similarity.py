@@ -117,6 +117,10 @@ QUERIES = {
     "ann_pq_adc_topk": lambda s, d: PQ.pq_adc_topk(
         _emb(s, d), _QUERY_IDS, k=5, model=_pq_model(s, d)
     ),
+    # r6 queue: two-stage retrieval — ADC shortlist + exact re-rank
+    "ann_adc_rerank_topk": lambda s, d: PQ.adc_rerank_topk(
+        _emb(s, d), _QUERY_IDS, k=5, model=_pq_model(s, d)
+    ),
     # r5 wave 4: quantization-loss audit — PQ/ADC recall vs exact L2
     "ann_recall_pq_vs_exact": lambda s, d: PQ.pq_recall_eval(
         _emb(s, d), _QUERY_IDS, k=5, model=_pq_model(s, d)
@@ -183,6 +187,7 @@ ORACLES = {
     ),
     "pq_code_histogram": PQ.pq_histogram_sql(),
     "ann_pq_adc_topk": PQ.pq_adc_topk_sql(_QUERY_IDS, k=5),
+    "ann_adc_rerank_topk": PQ.adc_rerank_topk_sql(_QUERY_IDS, k=5),
     "ann_recall_pq_vs_exact": PQ.pq_recall_eval_sql(_QUERY_IDS, k=5),
     "ann_ivfpq_adc_topk": PQ.ivfpq_topk_sql(_QUERY_IDS, k=5),
     "ann_ivfpq_residual_topk": PQ.ivfpq_residual_topk_sql(_QUERY_IDS, k=5),

@@ -56,6 +56,8 @@ from ..operators.skew import (
 )
 from ..operators.geo import geo_cell_rollup, geo_cell_rollup_sql
 from ..operators.validation import (
+    fk_fanout_profile,
+    fk_fanout_profile_sql,
     fk_orphan_audit,
     fk_orphan_audit_sql,
     k_anonymity_audit,
@@ -376,6 +378,15 @@ QUERIES = {
     # r4: degree distribution — the hub/skew diagnostic on the same graph
     "graph_degree_histogram": degree_histogram_customer_supplier,
     # r5 wave 4: referential-integrity audit across the star schema
+    # r6 queue: join-cardinality (fanout) profile per FK relationship
+    "validate_fk_fanout": lambda s, d: fk_fanout_profile([
+        ("orders->customer", load_table(s, d, "orders"), "o_custkey",
+         load_table(s, d, "customer"), "c_custkey"),
+        ("lineitem->orders", load_table(s, d, "lineitem"), "l_orderkey",
+         load_table(s, d, "orders"), "o_orderkey"),
+        ("lineitem->part", load_table(s, d, "lineitem"), "l_partkey",
+         load_table(s, d, "part"), "p_partkey"),
+    ]),
     "validate_fk_orphans": lambda s, d: fk_orphan_audit([
         ("lineitem->orders", load_table(s, d, "lineitem"), "l_orderkey",
          load_table(s, d, "orders"), "o_orderkey"),
@@ -510,6 +521,11 @@ ORACLES = {
     "graph_trade_communities": trade_communities_sql(),
     "pagerank_customer_supplier": pagerank_sql(),
     "graph_degree_histogram": degree_histogram_sql(),
+    "validate_fk_fanout": fk_fanout_profile_sql([
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ]),
     "validate_fk_orphans": fk_orphan_audit_sql([
         ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
         ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),

@@ -203,11 +203,22 @@ def _bucketed_join_revenue(s, d):
     market segment. The md5 tag keys the layout to the dataset dir so
     two sf dirs never share a table."""
     import hashlib
+    import shutil
+    from pathlib import Path
+    from urllib.parse import urlparse
 
     from ..operators.partitioning import write_bucketed
 
     tag = hashlib.md5(d.encode()).hexdigest()[:8]
     to, tc = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
+    # the in-memory catalog dies with the session but the warehouse dir
+    # does not: an orphaned location (no catalog entry) would fail the
+    # rebuild with LOCATION_ALREADY_EXISTS — clear it first
+    wh = urlparse(s.conf.get("spark.sql.warehouse.dir")).path
+    for t in (to, tc):
+        loc = Path(wh) / t
+        if not s.catalog.tableExists(t) and loc.exists():
+            shutil.rmtree(loc, ignore_errors=True)
     if not s.catalog.tableExists(to):
         write_bucketed(
             load_table(s, d, "orders").select(

@@ -178,6 +178,41 @@ SHOWCASE = [
         "vote aggregate + a per-node top-1 window — the Pregel data "
         "movement with no 2^iters plan replay.",
     ),
+    (
+        "emb_margin_mutual_knn",
+        "Margin-based bitext mining: the scored table is materialized "
+        "ONCE and feeds all four downstream passes (two kNN denominators, "
+        "two argmaxes) — keyed windows/aggregates over (id, id, cosine) "
+        "triples; the exact bigint micro-cosine sums keep the margin "
+        "order-free.",
+    ),
+    (
+        "dedup_incremental_probe",
+        "Nightly-delta LSH maintenance: delta band keys join the standing "
+        "band table + each other; base-vs-base pairs never re-derived — "
+        "candidate cost scales with |delta| band rows, not corpus².",
+    ),
+    (
+        "ann_adc_rerank_topk",
+        "Two-stage retrieval: the ADC scan shortlists 4k candidates per "
+        "query (narrow LUT map), then the exact stage re-reads ONLY "
+        "shortlist vectors via a neighbor_id-keyed join — model-scale, "
+        "never corpus-scale.",
+    ),
+    (
+        "table_bucketed_join",
+        "Bucketed SMB layout: both sides written bucketBy(custkey) once; "
+        "the join pairs bucket i with bucket i (zero Exchange below the "
+        "join when broadcast is off — pinned in tests/test_plans.py); "
+        "the rollup is the only shuffle.",
+    ),
+    (
+        "corpus_cluster_safe_split",
+        "Leakage-safe splitting: both split strategies are pure per-row "
+        "hash projections (no shuffle); the straddle audit is a "
+        "fingerprint-keyed aggregate — the same exchanges exact dedup "
+        "already pays.",
+    ),
 ]
 
 

@@ -41,6 +41,8 @@ NESTED_LOOP_ALLOWED = {
     "ann_ivf_kmeans_topk",
     "ann_ivfpq_adc_topk",
     "ann_ivfpq_residual_topk",
+    # probe sweep: queries cross-join the K-row centroid table (model)
+    "ann_probe_recall_curve",
     "ann_cosine_topk",
     "ann_cosine_range_search",
     "ann_ivf_topk",
@@ -140,6 +142,8 @@ ARROW_ALLOWED = {
     "ann_ivfpq_adc_topk",
     "ann_ivfpq_residual_topk",
     "ann_pq_adc_topk",
+    # ADC shortlist inherits the PQ encode kernel; exact stage is codegen
+    "ann_adc_rerank_topk",
     "pq_code_histogram",
     "dedup_semantic",
     "dedup_semantic_text",

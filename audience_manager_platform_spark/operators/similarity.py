@@ -1915,13 +1915,15 @@ def margin_mutual_knn(
 ) -> DataFrame:
     """Margin-based mutual-kNN alignment mining — the LASER / CCMatrix
     bitext-mining operator (Artetxe & Schwenk, "Margin-based Parallel
-    Corpus Mining"): given two embedding sides, score every cross pair
-    by the RATIO margin ``cos(x,y) / mean(kNN-cos(x) ∪ kNN-cos(y))``
-    (raw cosine over-selects hubs — points that are near everything;
-    dividing by the local neighborhood density cancels hubness), keep
-    pairs that are each other's best margin match (mutual argmax), and
-    threshold. This is how parallel training corpora are mined from
-    independently-crawled monolingual sides at web scale.
+    Corpus Mining"): given two embedding sides, each point's CANDIDATES
+    are its k nearest cross-side neighbors; every candidate pair is
+    scored by the RATIO margin ``cos(x,y) / mean(kNN-cos(x) ∪
+    kNN-cos(y))`` (raw cosine over-selects hubs — points near
+    everything; dividing by the local neighborhood density cancels
+    hubness), and a pair is mined when each side is the other's best
+    margin match (mutual argmax) above the threshold. This is how
+    parallel training corpora are mined from independently-crawled
+    monolingual sides at web scale.
 
     The fixtures carry one embedding table, so the two "languages" are
     the even/odd ``vec_id`` halves; with real data each side is its own
@@ -1933,68 +1935,88 @@ def margin_mutual_knn(
     integer-friendly form ``csim * 2k·1e6 / (sm_x + sm_y)`` — identical
     doubles bit-for-bit on Spark, DuckDB, and any partitioning.
 
-    Scale shape: the cross-scoring here is the exact bipartite baseline
-    (fixture sides are small); at production scale candidates come from
-    the IVF cell join (:func:`ivf_kmeans_topk`'s probe discipline) and
-    the margin/mutual stages below are unchanged — they are keyed
-    aggregates and window top-1s over the candidate table, shuffling
-    only (id, id, cosine) triples. The scored table is materialized ONCE
-    and feeds all four downstream passes (two denominators, two
-    argmaxes).
+    Scale shape: the exact-kNN stage is the brute bipartite baseline on
+    the fixtures (at production scale candidates come from the IVF cell
+    join — :func:`ivf_kmeans_topk`'s probe discipline — and everything
+    downstream is unchanged); crucially the full score table is NEVER
+    materialized — each orientation's window emits only the |side|·k
+    candidate rows, and margins/argmaxes run on those model-scale
+    tables with keyed joins against the |side|-row denominator
+    aggregates.
     """
     base = emb.select("vec_id", _vec_double().alias("v"))
-    a = base.filter(F.col("vec_id") % 2 == 0).select(
-        F.col("vec_id").alias("a_id"), F.col("v").alias("av")
+    # codegen'd fixed-dim dot/norm (the _dot_expr discipline): the HOF
+    # cosine costs ~45µs per interpreted fold — at |A|·|B| pairs that IS
+    # the operator's runtime; the unrolled chain is sub-µs with the
+    # identical left-assoc IEEE order, and norms are computed once per
+    # side row, not once per pair
+    # the fixture parquet is ONE row group -> one scan task; the cross
+    # scoring is the heavy stage, so spread the driving side across the
+    # cluster first (a |A|-row shuffle buys |cores|-way scoring)
+    a = spread(
+        base.filter(F.col("vec_id") % 2 == 0).select(
+            F.col("vec_id").alias("a_id"),
+            F.col("v").alias("av"),
+            _norm_expr("v").alias("na"),
+        )
     )
     b = base.filter(F.col("vec_id") % 2 == 1).select(
-        F.col("vec_id").alias("b_id"), F.col("v").alias("bv")
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+        _norm_expr("v").alias("nb"),
     )
     scored = materialize(
         a.crossJoin(F.broadcast(b)).select(
             "a_id",
             "b_id",
-            F.round(cosine_similarity(F.col("av"), F.col("bv")), 6).alias(
-                "csim"
-            ),
+            F.round(
+                _dot_expr("av", "bv") / (F.col("na") * F.col("nb")), 6
+            ).alias("csim"),
+        )
+    )
+    wa = Window.partitionBy("a_id").orderBy(F.desc("csim"), F.asc("b_id"))
+    wb = Window.partitionBy("b_id").orderBy(F.desc("csim"), F.asc("a_id"))
+    top_a = materialize(
+        scored.withColumn("rn", F.row_number().over(wa)).filter(
+            F.col("rn") <= k
+        )
+    )
+    top_b = materialize(
+        scored.withColumn("rn", F.row_number().over(wb)).filter(
+            F.col("rn") <= k
         )
     )
     micro = F.expr("cast(floor(csim * 1e6 + 0.5d) as bigint)")
+    sm_a = top_a.groupBy("a_id").agg(F.sum(micro).alias("sm_a"))
+    sm_b = top_b.groupBy("b_id").agg(F.sum(micro).alias("sm_b"))
+    scale = F.lit(float(2 * k * 1_000_000))
 
-    def _denom(side: str, other: str) -> DataFrame:
-        w = Window.partitionBy(side).orderBy(
-            F.desc("csim"), F.asc(other)
-        )
+    def margins(cand: DataFrame) -> DataFrame:
         return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
-            .groupBy(side)
-            .agg(F.sum(micro).alias(f"sm_{side}"))
+            cand.join(sm_a, "a_id")
+            .join(sm_b, "b_id")
+            .select(
+                "a_id",
+                "b_id",
+                "csim",
+                (F.col("csim") * scale / (F.col("sm_a") + F.col("sm_b"))).alias(
+                    "margin"
+                ),
+            )
         )
-    margins = (
-        scored.join(_denom("a_id", "b_id"), "a_id")
-        .join(_denom("b_id", "a_id"), "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            "csim",
-            (
-                F.col("csim")
-                * F.lit(float(2 * k * 1_000_000))
-                / (F.col("sm_a_id") + F.col("sm_b_id"))
-            ).alias("margin"),
-        )
-    )
-    margins = materialize(margins)
-    wa = Window.partitionBy("a_id").orderBy(F.desc("margin"), F.asc("b_id"))
-    wb = Window.partitionBy("b_id").orderBy(F.desc("margin"), F.asc("a_id"))
+
+    wma = Window.partitionBy("a_id").orderBy(F.desc("margin"), F.asc("b_id"))
+    wmb = Window.partitionBy("b_id").orderBy(F.desc("margin"), F.asc("a_id"))
     best_a = (
-        margins.withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        margins(top_a.drop("rn"))
+        .withColumn("mrn", F.row_number().over(wma))
+        .filter(F.col("mrn") == 1)
+        .drop("mrn")
     )
     best_b = (
-        margins.withColumn("rn", F.row_number().over(wb))
-        .filter(F.col("rn") == 1)
+        margins(top_b.drop("rn"))
+        .withColumn("mrn", F.row_number().over(wmb))
+        .filter(F.col("mrn") == 1)
         .select("a_id", "b_id")
     )
     return (
@@ -2026,39 +2048,49 @@ def margin_mutual_knn_sql(
                  ROUND(list_cosine_similarity(av, bv), 6) csim
           FROM a CROSS JOIN b
         ),
-        da AS (
-          SELECT a_id, SUM(CAST(FLOOR(csim*1e6 + 0.5) AS BIGINT)) sm_a
-          FROM (
+        ta AS MATERIALIZED (
+          SELECT a_id, b_id, csim FROM (
             SELECT *, ROW_NUMBER() OVER (
               PARTITION BY a_id ORDER BY csim DESC, b_id ASC) rn
-            FROM scored) x
-          WHERE rn <= {int(k)} GROUP BY a_id
+            FROM scored) x WHERE rn <= {int(k)}
+        ),
+        tb AS MATERIALIZED (
+          SELECT a_id, b_id, csim FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY b_id ORDER BY csim DESC, a_id ASC) rn
+            FROM scored) x WHERE rn <= {int(k)}
+        ),
+        da AS (
+          SELECT a_id, SUM(CAST(FLOOR(csim*1e6 + 0.5) AS BIGINT)) sm_a
+          FROM ta GROUP BY a_id
         ),
         db AS (
           SELECT b_id, SUM(CAST(FLOOR(csim*1e6 + 0.5) AS BIGINT)) sm_b
-          FROM (
-            SELECT *, ROW_NUMBER() OVER (
-              PARTITION BY b_id ORDER BY csim DESC, a_id ASC) rn
-            FROM scored) x
-          WHERE rn <= {int(k)} GROUP BY b_id
+          FROM tb GROUP BY b_id
         ),
-        m AS MATERIALIZED (
-          SELECT s.a_id, s.b_id, s.csim,
-                 s.csim * {float(2 * k * 1_000_000)} / (da.sm_a + db.sm_b)
+        ma AS (
+          SELECT t.a_id, t.b_id, t.csim,
+                 t.csim * {float(2 * k * 1_000_000)} / (da.sm_a + db.sm_b)
                    AS margin
-          FROM scored s JOIN da USING (a_id) JOIN db USING (b_id)
+          FROM ta t JOIN da USING (a_id) JOIN db USING (b_id)
+        ),
+        mb AS (
+          SELECT t.a_id, t.b_id, t.csim,
+                 t.csim * {float(2 * k * 1_000_000)} / (da.sm_a + db.sm_b)
+                   AS margin
+          FROM tb t JOIN da USING (a_id) JOIN db USING (b_id)
         ),
         ba AS (
           SELECT a_id, b_id, csim, margin FROM (
             SELECT *, ROW_NUMBER() OVER (
               PARTITION BY a_id ORDER BY margin DESC, b_id ASC) rn
-            FROM m) x WHERE rn = 1
+            FROM ma) x WHERE rn = 1
         ),
         bb AS (
           SELECT a_id, b_id FROM (
             SELECT *, ROW_NUMBER() OVER (
               PARTITION BY b_id ORDER BY margin DESC, a_id ASC) rn
-            FROM m) x WHERE rn = 1
+            FROM mb) x WHERE rn = 1
         )
         SELECT ba.a_id, ba.b_id, ba.csim AS cosine,
                ROUND(ba.margin, 6) AS margin
@@ -2066,7 +2098,6 @@ def margin_mutual_knn_sql(
         WHERE ba.margin >= {threshold}
         ORDER BY margin DESC, a_id ASC
     """
-
 
 # ------------------------------------------------ IVF probe-recall curve
 PROBE_SWEEP = (1, 2, 4, 8)

@@ -1967,7 +1967,9 @@ def test_margin_mutual_knn_mines_planted_pair(spark):
 
     # even ids = side A, odd ids = side B. Vectors 0 and 1 are aligned
     # (same direction); everything else is near-orthogonal noise.
-    rows = [
+    # (zero-padded to the engine's EMBED_DIM — the scorer's unrolled
+    # codegen chain addresses all 64 positions)
+    base = [
         (0, [1.0, 0.0, 0.0, 0.0], 0),
         (1, [0.99, 0.14, 0.0, 0.0], 0),
         (2, [0.0, 1.0, 0.0, 0.0], 1),
@@ -1977,6 +1979,7 @@ def test_margin_mutual_knn_mines_planted_pair(spark):
         (6, [0.0, 0.0, 0.0, 1.0], 3),
         (7, [0.3, 0.0, 0.0, 0.95], 3),
     ]
+    rows = [(i, v + [0.0] * 60, lab) for i, v, lab in base]
     emb = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>, label long"
     )

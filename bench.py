@@ -110,6 +110,17 @@ HEADLINE = [
     "kmeans_cluster_quality",
     "ann_hard_negatives",
     "text_bigram_pmi",
+    # r5 waves 9-10: ER match+cluster, margin bitext mining, incremental
+    # LSH probe, two-stage ADC re-rank, triangles, leakage-safe splits,
+    # HLL overlap algebra, seasonal-naive backtest
+    "er_fuzzy_part_pairs",
+    "emb_margin_mutual_knn",
+    "dedup_incremental_probe",
+    "ann_adc_rerank_topk",
+    "graph_triangle_parts",
+    "corpus_cluster_safe_split",
+    "hll_retention_overlap",
+    "ts_seasonal_naive_backtest",
 ]
 
 # Repeats per query: medians make the bench regression-proof (r3 saw a
@@ -129,6 +140,8 @@ HEAVY = {
     "ann_ivfpq_residual_topk",
     "dedup_minhash_accuracy",
     "ann_ivf_probe_sweep",
+    "emb_margin_mutual_knn",
+    "ann_adc_rerank_topk",
 }
 
 

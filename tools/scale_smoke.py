@@ -414,7 +414,123 @@ def main() -> None:
     timed("epoch-budget allocation", epoch_budget(tagged, group_col="lang"))
     ROWS = int(os.environ.get("SCALE_ROWS", 10_000_000))
     timed("rolling OLS trend (14d windows)", rolling_regression(typed_events))
+
+    # ------------------------- round-5 wave-9/10 additions at scale
+    from audience_manager_platform_spark.operators.dedup import (
+        incremental_lsh_probe,
+    )
+    from audience_manager_platform_spark.operators.er import (
+        fuzzy_blocked_pairs,
+    )
+    from audience_manager_platform_spark.operators.graph import (
+        bfs_distances,
+        triangle_participation,
+    )
+    from audience_manager_platform_spark.operators.pq import adc_rerank_topk
+    from audience_manager_platform_spark.operators.corpus import (
+        cluster_safe_split,
+    )
+    from audience_manager_platform_spark.operators.similarity import (
+        margin_mutual_knn,
+    )
+    from audience_manager_platform_spark.operators.skew import (
+        hll_retention_overlap,
+    )
+    from audience_manager_platform_spark.operators.timeseries import (
+        seasonal_naive_backtest,
+    )
+    from audience_manager_platform_spark.operators.validation import (
+        t_closeness_audit,
+    )
+
+    # ER: 200k catalog rows, ~2k blocks of ~100 names each
+    n_cat = int(os.environ.get("SCALE_CATALOG", 200_000))
+    first = F.concat(
+        F.lit("tok"), (F.abs(F.xxhash64("id", F.lit(21))) % 2000).cast("string")
+    )
+    w2 = F.concat(
+        F.lit("mid"), (F.abs(F.xxhash64("id", F.lit(22))) % 40).cast("string")
+    )
+    w3 = F.concat(
+        F.lit("end"), (F.abs(F.xxhash64("id", F.lit(23))) % 40).cast("string")
+    )
+    catalog = spark.range(n_cat).select(
+        F.col("id").alias("k"),
+        F.concat_ws(" ", first, w2, w3).alias("name"),
+        F.concat(
+            F.lit("B"), (F.abs(F.xxhash64("id", F.lit(24))) % 5).cast("string")
+        ).alias("brand"),
+    )
+    ROWS = n_cat
+    timed(
+        "ER blocked fuzzy pairs (2k blocks x ~100)",
+        fuzzy_blocked_pairs(catalog, "k", "name", agree_col="brand"),
+    )
+
+    # margin mining: brute bipartite baseline at 12k vectors (36M pairs);
+    # beyond this the IVF-cell candidate path replaces the cross scoring
+    n_mv = int(os.environ.get("SCALE_MARGIN_VECS", 12_000))
+    mvecs = spark.range(n_mv).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (F.abs(F.xxhash64("id", i)) % 1000) / 500.0 - 1.0,
+        ).alias("embedding"),
+    )
+    ROWS = n_mv
+    timed(
+        "margin mutual-kNN mining (6k x 6k brute)",
+        margin_mutual_knn(mvecs),
+    )
+    ROWS = n_vecs
+    timed(
+        "ADC shortlist + exact re-rank (5 queries)",
+        adc_rerank_topk(vecs, [0, 1, 2, 3, 4], k=5),
+    )
+
+    ROWS = n_docs
+    timed(
+        "incremental LSH delta probe (10% batch)",
+        incremental_lsh_probe(docs),
+    )
+    timed("cluster-safe split audit", cluster_safe_split(docs))
+
+    # co-occurrence graph: 100k contexts x ~10 items -> support-cut edges
+    n_rel = int(os.environ.get("SCALE_REL", 1_000_000))
+    rel = spark.range(n_rel).select(
+        (F.col("id") % 100_000).alias("ctx"),
+        (F.abs(F.xxhash64("id", F.lit(31))) % 10_000).alias("item"),
+    )
+    ROWS = n_rel
+    timed(
+        "triangle participation (1M co-occurrences)",
+        triangle_participation(rel, "ctx", "item", min_cooc=2),
+    )
+    timed(
+        "BFS hop distances d<=3",
+        bfs_distances(rel, "ctx", "item", min_cooc=2),
+    )
+
+    ROWS = int(os.environ.get("SCALE_ROWS", 10_000_000))
+    timed(
+        "t-closeness audit (2 QIDs)",
+        t_closeness_audit(
+            txns.select("city_tier", "category", "transaction_type"),
+            ["city_tier", "category"],
+            sensitive="transaction_type",
+        ),
+    )
+    orders_like = txns.select(
+        F.col("transaction_date").alias("o_orderdate"),
+        F.col("user_id").alias("o_custkey"),
+    )
+    timed("HLL retention overlap (month pairs)", hll_retention_overlap(orders_like))
+    timed(
+        "seasonal-naive backtest (lag-7 MAPE)",
+        seasonal_naive_backtest(typed_events),
+    )
     spark.stop()
+
 
 
 if __name__ == "__main__":

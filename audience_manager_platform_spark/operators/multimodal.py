@@ -826,3 +826,82 @@ def bmp_resize_meta_oracle_sql(
                CAST({byte_len} AS BIGINT) AS byte_len
         FROM {src}
     """
+
+
+# ----------------------------------------------- real WAV downsampling
+def downsample_wav(media_df: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL audio downsample: parse the RIFF container, decimate the
+    PCM16 stream by ``factor`` (keep every factor-th sample from index
+    0), divide the sample rate, and RE-ENCODE a valid WAV — the
+    fit-into-the-model's-sample-rate stage of an audio training
+    pipeline, minus the anti-alias filter (which needs real DSP; naive
+    decimation is the honest closed-form baseline and its aliasing is
+    exactly what the oracle predicts on the synthetic square wave).
+    Arrow-batched ``mapInPandas``, O(samples) per row, zero shuffle."""
+    out_schema = "doc_id long, media binary, media_type string"
+
+    def ds(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for blob in pdf["media"]:
+                w = wave.open(io.BytesIO(bytes(blob)), "rb")
+                nch, rate, n = (
+                    w.getnchannels(), w.getframerate(), w.getnframes(),
+                )
+                raw = w.readframes(n)
+                w.close()
+                samples = struct.unpack(f"<{n * nch}h", raw)
+                kept = samples[::factor]
+                buf = io.BytesIO()
+                out = wave.open(buf, "wb")
+                out.setnchannels(nch)
+                out.setsampwidth(2)
+                out.setframerate(rate // factor)
+                out.writeframes(struct.pack(f"<{len(kept)}h", *kept))
+                out.close()
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": payloads,
+                    "media_type": ["audio/wav"] * len(pdf),
+                }
+            )
+
+    return media_df.select("doc_id", "media").mapInPandas(
+        ds, schema=out_schema
+    )
+
+
+def wav_downsample_meta(docs: DataFrame, factor: int = 2) -> DataFrame:
+    """Registry shape: synthesize real WAVs, decimate them for real,
+    then DECODE THE DOWNSAMPLED payloads — rate/frames must be the
+    divided values, and decimating the ±A alternating square wave by 2
+    keeps only the +A phase (the aliasing artifact, analytically exact:
+    peak = rms = A), all of which the SQL oracle predicts in closed
+    form from the synthesis formulas. A malformed re-encode fails the
+    stdlib parser, not just the hash."""
+    return decode_wav_meta(downsample_wav(synthesize_wav(docs), factor))
+
+
+def wav_downsample_meta_oracle_sql(
+    src: str = "documents", factor: int = 2
+) -> str:
+    rate = f"({WAV_RATE_BASE} + {WAV_RATE_STEP} * (doc_id % 3))"
+    n = f"({WAV_FRAMES_BASE} + {WAV_FRAMES_STEP} * (doc_id % 32))"
+    amp = f"({WAV_AMP_BASE} + {WAV_AMP_STEP} * (doc_id % 1000))"
+    new_rate = f"({rate} // {int(factor)})"
+    # frames are always even and factor divides them on the fixture;
+    # ceil-div keeps the formula honest for odd counts
+    new_n = f"(({n} + {int(factor)} - 1) // {int(factor)})"
+    return f"""
+        SELECT doc_id,
+               1 AS n_channels,
+               CAST({new_rate} AS INTEGER) AS sample_rate,
+               CAST({new_n} AS INTEGER) AS n_frames,
+               CAST({new_n} * 1000000 AS BIGINT) // {new_rate}
+                 AS duration_us,
+               CAST({amp} AS INTEGER) AS peak,
+               ROUND(CAST({amp} AS DOUBLE), 6) AS rms
+        FROM {src}
+    """

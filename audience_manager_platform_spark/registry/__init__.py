@@ -104,6 +104,8 @@ _DEFER_RAW: tuple[str, ...] = (
     "graph_bfs_distances",
     "ann_adc_rerank_topk",
     "validate_fk_fanout",
+    "streaming_trending_topk",
+    "multimodal_wav_downsample",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

@@ -86,11 +86,38 @@ def _stateful_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending report: a REAL streaming run (availableNow) maintains
+    the per-window per-type counts; the rank is a batch read over the
+    settled sink (rank is not a streaming-updatable operator — the
+    serving layer ranks at read time, which is exactly how a trending
+    dashboard consumes a streaming rollup). Top-3 types per day with a
+    total order (n desc, type asc)."""
+    from pyspark.sql import Window
+
+    events = stream_events(spark, sf_dir)
+    result = windowed_event_counts(events, window="1 day", watermark="1 hour")
+    name = f"stream_trending_{next(_counter)}"
+    run_available_now(result, name)
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        spark.table(name)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("window_start", "rank", "event_type", "n_events")
+    )
+
+
 QUERIES = {
     "streaming_window_counts": _window_counts,
     "streaming_static_join_counts": _static_join_counts,
     "streaming_sessionization": _sessionization,
     "streaming_stateful_spend": _stateful_spend,
+    "streaming_trending_topk": _trending_topk,
 }
 
 ORACLES = {
@@ -137,6 +164,20 @@ ORACLES = {
                ROUND(SUM(value), 2) AS total_value
         FROM islands
         GROUP BY user_id, sid
+    """,
+    "streaming_trending_topk": """
+        WITH counts AS (
+          SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+                 event_type, COUNT(*) AS n_events
+          FROM events GROUP BY 1, 2
+        )
+        SELECT window_start, rank, event_type, n_events FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY window_start
+            ORDER BY n_events DESC, event_type ASC) AS rank
+          FROM counts
+        ) r WHERE rank <= 3
     """,
     "streaming_stateful_spend": """
         SELECT user_id,

@@ -195,6 +195,11 @@ QUERIES = {
     # r6 queue: REAL resize — decode, nearest-neighbor resample,
     # re-encode a valid BMP, decode the result
     "multimodal_bmp_resize": lambda s, d: M.bmp_resize_meta(_docs(s, d)),
+    # r6 queue: real PCM decimation (decode -> every-2nd-sample ->
+    # re-encode -> decode-verify; aliasing analytically predicted)
+    "multimodal_wav_downsample": lambda s, d: M.wav_downsample_meta(
+        _docs(s, d)
+    ),
     # corpus-curation pipeline ops
     "corpus_split_assign": lambda s, d: C.split_assign(_docs(s, d)),
     # r6 queue: split-leakage audit — doc-id-hash vs cluster-safe splits
@@ -315,6 +320,7 @@ ORACLES = {
     "multimodal_frame_sample": M.flipbook_frames_oracle_sql(),
     "multimodal_bmp_decode": M.bmp_meta_oracle_sql(),
     "multimodal_bmp_resize": M.bmp_resize_meta_oracle_sql(),
+    "multimodal_wav_downsample": M.wav_downsample_meta_oracle_sql(),
     "corpus_split_assign": C.split_assign_sql(),
     "corpus_cluster_safe_split": C.cluster_safe_split_sql(),
     "corpus_pack_sequences": C.pack_sequences_sql(),

@@ -2076,3 +2076,29 @@ def test_bfs_distances_on_planted_path(spark):
     # source = min node (1); node 5 is 4 hops away -> outside max_depth;
     # 9 unreachable
     assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_wav_downsample_roundtrip_and_aliasing(spark):
+    import io
+    import wave
+
+    from audience_manager_platform_spark.operators.multimodal import (
+        downsample_wav,
+        synthesize_wav,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, "x", "en", "web", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = downsample_wav(synthesize_wav(docs), factor=2).collect()[0]
+    w = wave.open(io.BytesIO(bytes(out.media)), "rb")
+    # doc 7: rate 8000+1000*(7%3)=9000 -> 4500; frames 64+2*7=78 -> 39
+    assert w.getframerate() == 4500 and w.getnframes() == 39
+    import struct
+
+    samples = struct.unpack("<39h", w.readframes(39))
+    w.close()
+    amp = 500 + 30 * 7
+    # decimating the +A/-A alternation by 2 keeps only the +A phase
+    assert set(samples) == {amp}

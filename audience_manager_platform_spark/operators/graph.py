@@ -769,3 +769,89 @@ def bfs_distances_sql(
         FROM vis{max_depth}
         ORDER BY distance, node
     """
+
+
+# ---------------------------------------------------- k-core peeling
+def kcore_nodes(
+    pairs: DataFrame,
+    ctx_col: str,
+    item_col: str,
+    core_k: int = 2,
+    min_cooc: int = 2,
+    rounds: int = 6,
+) -> DataFrame:
+    """k-core decomposition (fixed peeling rounds): repeatedly drop
+    nodes whose degree in the surviving subgraph is below ``core_k`` —
+    the dense-substructure extractor (spam/collusion cores, community
+    nuclei, the preprocessing cut before expensive clique mining).
+    Each round is one semi-join restriction of the edge list to
+    surviving endpoints plus one degree aggregate; state (the survivor
+    set) is materialized per round so round r never replays rounds
+    1..r-1. ``rounds`` is a fixed constant — both the Spark plan and
+    the SQL twin peel exactly ``rounds`` times, so the contract is
+    deterministic even on an adversarial chain that hasn't fully
+    converged (the fixture graph settles in 2-3).
+
+    Output: surviving nodes with their within-core degree.
+    """
+    from .partitioning import materialize
+
+    edges = cooccurrence_edges(pairs, ctx_col, item_col, min_cooc)
+    sym = materialize(
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+    )
+    alive = sym
+    deg = None
+    for _ in range(rounds):
+        deg = alive.groupBy("src").agg(F.count("*").alias("degree"))
+        keep = deg.filter(F.col("degree") >= core_k).select(
+            F.col("src").alias("_keep")
+        )
+        alive = materialize(
+            alive.join(keep.withColumnRenamed("_keep", "src"), "src")
+            .join(keep.withColumnRenamed("_keep", "dst"), "dst")
+            .select("src", "dst")
+        )
+    return (
+        alive.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("long").alias("core_degree"))
+        .filter(F.col("core_degree") >= core_k)
+        .orderBy(F.desc("core_degree"), F.asc("node"))
+    )
+
+
+def kcore_nodes_sql(
+    rel_sql: str,
+    core_k: int = 2,
+    min_cooc: int = 2,
+    rounds: int = 6,
+) -> str:
+    """SQL twin; ``rel_sql`` must yield columns (_ctx, _it)."""
+    parts = [
+        _cooccurrence_edges_sql(rel_sql, min_cooc),
+        """alive0 AS MATERIALIZED (
+          SELECT a AS src, b AS dst FROM edges
+          UNION ALL SELECT b, a FROM edges
+        )""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""keep{r} AS MATERIALIZED (
+          SELECT src AS node FROM alive{r - 1}
+          GROUP BY src HAVING COUNT(*) >= {int(core_k)}
+        )""")
+        parts.append(f"""alive{r} AS MATERIALIZED (
+          SELECT a.src, a.dst FROM alive{r - 1} a
+          JOIN keep{r} ks ON a.src = ks.node
+          JOIN keep{r} kd ON a.dst = kd.node
+        )""")
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+        FROM alive{rounds}
+        GROUP BY src HAVING COUNT(*) >= {int(core_k)}
+        ORDER BY core_degree DESC, node ASC
+    """

@@ -2185,3 +2185,76 @@ def probe_recall_curve_sql(
         """)
     u = " UNION ALL ".join(parts)
     return f"SELECT * FROM ({u}) s ORDER BY n_probes"
+
+
+# ------------------------------------------------ filtered vector search
+def filtered_cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    allowed_labels: list[int],
+    k: int = 5,
+) -> DataFrame:
+    """Filtered vector search (the RAG workhorse: "nearest neighbors
+    WHERE tenant/label/date matches"): the metadata predicate is applied
+    PRE-search, so the top-k is exact over the filtered sub-corpus —
+    the semantics post-filtering cannot give (post-filtering a k-list
+    returns < k rows whenever neighbors fail the predicate, with recall
+    loss growing as the filter tightens). In Spark the predicate is just
+    a pushed filter on the scan side of the scoring join, so "filtered
+    ANN" costs LESS than unfiltered — the index-side machinery (IVF
+    cells, PQ codes) composes unchanged on the filtered relation.
+    """
+    base = emb.select("vec_id", "label", _vec_double().alias("v")).filter(
+        F.col("label").isin(allowed_labels)
+    )
+    queries = (
+        emb.select("vec_id", _vec_double().alias("v"))
+        .filter(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("q"))
+    )
+    scored = base.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.round(cosine_similarity(F.col("q"), F.col("v")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def filtered_cosine_topk_sql(
+    query_ids: list[int],
+    allowed_labels: list[int],
+    k: int = 5,
+    src: str = "embeddings",
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    labels = ", ".join(str(x) for x in allowed_labels)
+    return f"""
+        WITH e AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM {src}
+        ),
+        q AS (
+          SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({ids})
+        ),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+                 ROUND(list_cosine_similarity(q.qv, e.v), 6) AS cosine
+          FROM e CROSS JOIN q
+          WHERE e.vec_id != q.query_id AND e.label IN ({labels})
+        )
+        SELECT query_id, neighbor_id, label, cosine, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+          ) AS rank
+          FROM scored
+        ) r WHERE rank <= {k}
+    """

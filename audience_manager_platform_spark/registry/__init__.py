@@ -106,6 +106,8 @@ _DEFER_RAW: tuple[str, ...] = (
     "validate_fk_fanout",
     "streaming_trending_topk",
     "multimodal_wav_downsample",
+    "ann_filtered_topk",
+    "graph_kcore_parts",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

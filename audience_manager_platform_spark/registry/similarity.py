@@ -59,6 +59,10 @@ MAXSIM_QUERY_DOCS = [0, 100, 200, 300, 400]
 
 QUERIES = {
     "ann_cosine_topk": lambda s, d: S.cosine_topk(_emb(s, d), _QUERY_IDS, k=5),
+    # r6 queue: filtered vector search (pre-filter exact semantics)
+    "ann_filtered_topk": lambda s, d: S.filtered_cosine_topk(
+        _emb(s, d), _QUERY_IDS, allowed_labels=[0, 2, 4], k=5
+    ),
     # r5 (deferred window): JL dimension-reduction distortion audit
     "emb_jl_distortion": lambda s, d: S.jl_distortion(_emb(s, d)),
     # r5 (deferred window): greedy farthest-point diversity core-set
@@ -163,6 +167,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_filtered_topk": S.filtered_cosine_topk_sql(
+        _QUERY_IDS, allowed_labels=[0, 2, 4], k=5
+    ),
     "ann_cosine_topk": S.cosine_topk_sql(_QUERY_IDS, k=5),
     "hybrid_search_rrf": H.hybrid_search_rrf_sql(HYBRID_TERMS, HYBRID_QVEC),
     "ann_chunk_maxsim_topk": H.chunk_maxsim_topk_sql(MAXSIM_QUERY_DOCS, k=5),

@@ -24,6 +24,8 @@ from ..operators.er import (
 from ..operators.graph import (
     bfs_distances,
     bfs_distances_sql,
+    kcore_nodes,
+    kcore_nodes_sql,
     degree_histogram_customer_supplier,
     degree_histogram_sql,
     neighbor_jaccard,
@@ -382,6 +384,15 @@ QUERIES = {
         min_cooc=2,
         max_depth=3,
     ),
+    # r6 queue: k-core peeling over the co-purchase graph (dense
+    # substructure extraction; fixed rounds, per-round materialized)
+    "graph_kcore_parts": lambda s, d: kcore_nodes(
+        load_table(s, d, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        core_k=3,
+        min_cooc=2,
+    ),
     # r6 queue: deterministic LPA communities over the trade graph
     "graph_trade_communities": trade_communities,
     # r3: vertex-centric compute over warehouse-derived edges
@@ -528,6 +539,11 @@ ORACLES = {
         "SELECT l_orderkey AS _ctx, l_partkey AS _it FROM lineitem",
         min_cooc=2,
         max_depth=3,
+    ),
+    "graph_kcore_parts": kcore_nodes_sql(
+        "SELECT l_orderkey AS _ctx, l_partkey AS _it FROM lineitem",
+        core_k=3,
+        min_cooc=2,
     ),
     "graph_trade_communities": trade_communities_sql(),
     "pagerank_customer_supplier": pagerank_sql(),

@@ -2102,3 +2102,36 @@ def test_wav_downsample_roundtrip_and_aliasing(spark):
     amp = 500 + 30 * 7
     # decimating the +A/-A alternation by 2 keeps only the +A phase
     assert set(samples) == {amp}
+
+
+def test_kcore_peels_tail_keeps_clique(spark):
+    from audience_manager_platform_spark.operators.graph import kcore_nodes
+
+    # K4 clique on 10-13 (each pair shares 2 contexts) + a pendant path
+    # 13-20-21: the path peels away at k=2... use core_k=3: only the
+    # clique survives (degree 3 within it).
+    rows = [(c, i) for c in (1, 2) for i in (10, 11, 12, 13)]
+    rows += [(3, 13), (3, 20), (4, 13), (4, 20), (5, 20), (5, 21), (6, 20), (6, 21)]
+    df = spark.createDataFrame(rows, "ctx long, item long")
+    got = {
+        r.node: r.core_degree
+        for r in kcore_nodes(df, "ctx", "item", core_k=3, min_cooc=2).collect()
+    }
+    assert got == {10: 3, 11: 3, 12: 3, 13: 3}
+
+
+def test_filtered_topk_excludes_disallowed_labels(spark):
+    from audience_manager_platform_spark.operators.similarity import (
+        filtered_cosine_topk,
+    )
+
+    rows = [
+        (i, [1.0 if j == i % 4 else 0.1 for j in range(4)] + [0.0] * 60, i % 4)
+        for i in range(12)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    got = filtered_cosine_topk(emb, [0], allowed_labels=[1, 3], k=5).collect()
+    assert all(r.label in (1, 3) for r in got)
+    assert len(got) == 5

@@ -44,6 +44,8 @@ NESTED_LOOP_ALLOWED = {
     # probe sweep: queries cross-join the K-row centroid table (model)
     "ann_probe_recall_curve",
     "ann_cosine_topk",
+    # pre-filtered exact search: same broadcast query tower
+    "ann_filtered_topk",
     "ann_cosine_range_search",
     "ann_ivf_topk",
     "ann_sq_adc_topk",

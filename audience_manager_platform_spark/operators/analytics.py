@@ -1415,3 +1415,113 @@ def ab_conversion_ztest_sql(
                CASE WHEN se > 0 THEN ROUND((pb - pa) / se, 6) END AS z_score
         FROM terms
     """
+
+
+# --------------------------------------------------- cohort LTV curve
+def ltv_cohort_curve(events: DataFrame) -> DataFrame:
+    """Cumulative lifetime value by acquisition cohort — the growth
+    curve behind every retention/payback decision ("how much has the
+    week-N cohort spent by week-age K"), and the companion to the
+    count-based cohort retention matrix: per (cohort week, week age):
+    the cohort's size, that age's revenue, the cumulative revenue, and
+    cumulative LTV per cohort user.
+
+    Determinism: revenue aggregates in DECIMAL (exact, order-free) and
+    STAYS decimal through the cumulative window — the running sum is
+    exact at every age, cast to double and rounded only at the edge;
+    cohort size is an exact integer. Week truncation is Monday-start on
+    both engines.
+
+    Shape at scale: one user-keyed min (first activity), one
+    fact-to-first join re-using the user hash partitioning, one
+    (cohort, age) aggregate (map-side-combinable), and windows over the
+    |cohorts|x|ages| rollup — nothing after the second reduce is
+    data-sized."""
+    ev = events.filter(F.col("value").isNotNull()).select(
+        "user_id", F.to_date("ts").alias("d"), "value"
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("d")).cast("date").alias("cohort_week")
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").cast("long").alias("cohort_size")
+    )
+    aged = ev.join(firsts, "user_id").select(
+        "cohort_week",
+        (
+            F.datediff(
+                F.date_trunc("week", F.col("d")).cast("date"),
+                F.col("cohort_week"),
+            )
+            / 7
+        )
+        .cast("long")
+        .alias("week_age"),
+        "value",
+    )
+    per = aged.groupBy("cohort_week", "week_age").agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("_rev")
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per.withColumn("_cum", F.sum("_rev").over(w))
+        .join(sizes, "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_age",
+            "cohort_size",
+            F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+            F.round(F.col("_cum").cast("double"), 2).alias("cum_revenue"),
+            F.round(
+                F.col("_cum").cast("double") / F.col("cohort_size"), 4
+            ).alias("cum_ltv_per_user"),
+        )
+    )
+
+
+def ltv_cohort_curve_sql(src: str = "events") -> str:
+    return f"""
+        WITH ev AS (
+          SELECT user_id, CAST(ts AS DATE) AS d, value
+          FROM {src} WHERE value IS NOT NULL
+        ),
+        firsts AS (
+          SELECT user_id,
+                 CAST(date_trunc('week', MIN(d)) AS DATE) AS cohort_week
+          FROM ev GROUP BY user_id
+        ),
+        sizes AS (
+          SELECT cohort_week,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS cohort_size
+          FROM firsts GROUP BY cohort_week
+        ),
+        per AS (
+          SELECT f.cohort_week,
+                 CAST(date_diff('day', f.cohort_week,
+                      CAST(date_trunc('week', e.d) AS DATE)) // 7 AS BIGINT)
+                   AS week_age,
+                 SUM(CAST(e.value AS DECIMAL(18,4))) AS _rev
+          FROM ev e JOIN firsts f USING (user_id)
+          GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT cohort_week, week_age, _rev,
+                 SUM(_rev) OVER (
+                   PARTITION BY cohort_week ORDER BY week_age
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS _cum
+          FROM per
+        )
+        SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+               c.week_age,
+               s.cohort_size,
+               ROUND(CAST(c._rev AS DOUBLE), 2) AS revenue,
+               ROUND(CAST(c._cum AS DOUBLE), 2) AS cum_revenue,
+               ROUND(CAST(c._cum AS DOUBLE) / s.cohort_size, 4)
+                 AS cum_ltv_per_user
+        FROM cum c JOIN sizes s USING (cohort_week)
+    """

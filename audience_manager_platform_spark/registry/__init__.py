@@ -108,6 +108,7 @@ _DEFER_RAW: tuple[str, ...] = (
     "multimodal_wav_downsample",
     "ann_filtered_topk",
     "graph_kcore_parts",
+    "analytics_ltv_cohort_curve",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

@@ -114,6 +114,10 @@ QUERIES = {
     "analytics_favorite_category": _favorite_category,
     "analytics_trailing_rollups": _trailing_rollups,
     "analytics_cohort_retention": lambda s, d: A.cohort_retention(_txns(s, d)),
+    # r6 queue: cumulative LTV per acquisition cohort by week age
+    "analytics_ltv_cohort_curve": lambda s, d: A.ltv_cohort_curve(
+        load_table(s, d, "events")
+    ),
     "analytics_daily_anomalies": lambda s, d: A.daily_anomalies(
         load_table(s, d, "events")
     ),
@@ -200,6 +204,7 @@ FROM spine LEFT JOIN d USING (day)
 """
 
 ORACLES = {
+    "analytics_ltv_cohort_curve": A.ltv_cohort_curve_sql(),
     "analytics_cohort_retention": f"""
         {_T},
         active AS (

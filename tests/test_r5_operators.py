@@ -2135,3 +2135,33 @@ def test_filtered_topk_excludes_disallowed_labels(spark):
     got = filtered_cosine_topk(emb, [0], allowed_labels=[1, 3], k=5).collect()
     assert all(r.label in (1, 3) for r in got)
     assert len(got) == 5
+
+
+def test_ltv_cohort_curve_cumulates_per_cohort(spark):
+    from datetime import datetime
+
+    from audience_manager_platform_spark.operators.analytics import (
+        ltv_cohort_curve,
+    )
+
+    rows = [
+        # cohort of week 2024-01-01 (Mon): u1 spends 10 then 20 a week later
+        (0, datetime(2024, 1, 2), 1, "purchase", 10.0, "{}"),
+        (1, datetime(2024, 1, 9), 1, "purchase", 20.0, "{}"),
+        # cohort of week 2024-01-08: u2 spends 5 in week age 0
+        (2, datetime(2024, 1, 10), 2, "purchase", 5.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r.cohort_week, r.week_age): r for r in ltv_cohort_curve(ev).collect()
+    }
+    a0 = got[("2024-01-01", 0)]
+    a1 = got[("2024-01-01", 1)]
+    b0 = got[("2024-01-08", 0)]
+    assert a0.cohort_size == 1 and a0.cum_revenue == 10.0
+    assert a1.cum_revenue == 30.0 and a1.cum_ltv_per_user == 30.0
+    assert b0.cohort_size == 1 and b0.cum_ltv_per_user == 5.0

@@ -109,6 +109,9 @@ _DEFER_RAW: tuple[str, ...] = (
     "ann_filtered_topk",
     "graph_kcore_parts",
     "analytics_ltv_cohort_curve",
+    "setop_except_all",
+    "setop_intersect_all",
+    "window_running_distinct",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

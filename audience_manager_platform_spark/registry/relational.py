@@ -361,9 +361,71 @@ def _null_safe_join(spark, sf_dir):
     ).select("user_id", "n_days", "total_value")
 
 
+
+
+def _except_all(spark, sf_dir):
+    """Multiset EXCEPT ALL (bag semantics — the distinct-based segment
+    DIFFERENCE cannot express "remove ONE occurrence per match"): first
+    fortnight's (user, type) visits minus the second fortnight's,
+    multiplicity-aware. Spark's exceptAll compiles to a count-balance
+    generate plan — no distinct, no row explosion beyond the inputs."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.dayofmonth("ts").alias("_d")
+    )
+    a = ev.filter(F.col("_d") <= 15).select("user_id", "event_type")
+    b = ev.filter(F.col("_d") > 15).select("user_id", "event_type")
+    return a.exceptAll(b)
+
+
+def _intersect_all(spark, sf_dir):
+    """Multiset INTERSECT ALL: per (user, type), min(count_a, count_b)
+    occurrences survive — the bag-overlap the distinct-based
+    INTERSECTION collapses."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.dayofmonth("ts").alias("_d")
+    )
+    a = ev.filter(F.col("_d") <= 15).select("user_id", "event_type")
+    b = ev.filter(F.col("_d") > 15).select("user_id", "event_type")
+    return a.intersectAll(b)
+
+
+def _running_distinct(spark, sf_dir):
+    """Running COUNT(DISTINCT) — not window-able directly in either
+    engine; the standard decomposition flags each (user, type)'s FIRST
+    occurrence with one row_number window, then running-sums the flag.
+    Two windows over the same user-keyed partitioning (one exchange)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts", "event_type")
+    wf = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.withColumn(
+        "_first", (F.row_number().over(wf) == 1).cast("long")
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("_first").over(wr).cast("long").alias("distinct_types_so_far"),
+    )
+
+
 QUERIES = {
     "pivot_day_by_type": _pivot_day_by_type,
     "join_null_safe": _null_safe_join,
+    "setop_except_all": _except_all,
+    "setop_intersect_all": _intersect_all,
+    "window_running_distinct": _running_distinct,
     "unpivot_daily_metrics": _unpivot_daily,
     "cube_lineitem_status": _cube_lineitem,
     "rollup_orders_priority": _rollup_orders,
@@ -415,6 +477,37 @@ _PIVOT_CASES = ",\n               ".join(
 )
 
 ORACLES = {
+    "setop_except_all": """
+        WITH ev AS (
+          SELECT user_id, event_type, date_part('day', ts) AS _d FROM events
+        )
+        SELECT user_id, event_type FROM ev WHERE _d <= 15
+        EXCEPT ALL
+        SELECT user_id, event_type FROM ev WHERE _d > 15
+    """,
+    "setop_intersect_all": """
+        WITH ev AS (
+          SELECT user_id, event_type, date_part('day', ts) AS _d FROM events
+        )
+        SELECT user_id, event_type FROM ev WHERE _d <= 15
+        INTERSECT ALL
+        SELECT user_id, event_type FROM ev WHERE _d > 15
+    """,
+    "window_running_distinct": """
+        WITH flagged AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS _first
+          FROM events
+        )
+        SELECT user_id, event_id,
+               CAST(SUM(_first) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS distinct_types_so_far
+        FROM flagged
+    """,
     "join_null_safe": """
         WITH ev AS (
           SELECT CASE WHEN event_type = 'error' THEN NULL

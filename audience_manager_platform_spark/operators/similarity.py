@@ -2258,3 +2258,81 @@ def filtered_cosine_topk_sql(
           FROM scored
         ) r WHERE rank <= {k}
     """
+
+
+# ------------------------------------- nearest-centroid classifier eval
+def centroid_classifier_eval(emb: DataFrame) -> DataFrame:
+    """Nearest-centroid classification graded against the labels — the
+    vector-space twin of the language-ID confusion audit, and the
+    fastest possible "are these embeddings linearly usable" probe (a
+    label whose members scatter to other centroids is not separable for
+    ANY downstream head). Per (true label, predicted label): count and
+    row-normalized share (recall on the diagonal).
+
+    Centroids ride the order-free exact-integer mean contract (the
+    k-means certification); assignment is one |labels|-fan-out cross of
+    the corpus against the centroid table (model-scale side) with a
+    per-vector top-1 window; the confusion rollup is |labels|² rows.
+    Centroids include each vector's own contribution (resubstitution
+    eval — the standard nearest-centroid sanity number)."""
+    base = emb.select("vec_id", "label", _vec_double().alias("v"))
+    mean_vec = F.expr(
+        "array(" + _mean6_spark_items("v", EMBED_DIM) + ")"
+    ).alias("cv")
+    cents = base.groupBy(F.col("label").alias("_cl")).agg(mean_vec)
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        F.col("_cl").alias("pred"),
+        F.round(
+            _dot_expr("v", "cv") / (_norm_expr("v") * _norm_expr("cv")), 6
+        ).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("pred"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("label", "pred")
+    )
+    per = assigned.groupBy("label", "pred").agg(
+        F.count("*").cast("long").alias("n_vecs")
+    )
+    wl = Window.partitionBy("label")
+    return per.select(
+        "label",
+        "pred",
+        "n_vecs",
+        F.round(
+            F.col("n_vecs") / F.sum("n_vecs").over(wl).cast("double"), 6
+        ).alias("share"),
+    )
+
+
+def centroid_classifier_eval_sql(src: str = "embeddings") -> str:
+    avg_items = _mean6_sql_items("v", EMBED_DIM)
+    return f"""
+        WITH e AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM {src}
+        ),
+        cents AS (
+          SELECT label AS _cl, [{avg_items}] AS cv FROM e GROUP BY label
+        ),
+        assigned AS (
+          SELECT label, pred FROM (
+            SELECT e.vec_id, e.label, c._cl AS pred,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6)
+                       DESC, c._cl ASC) AS rn
+            FROM e CROSS JOIN cents c
+          ) x WHERE rn = 1
+        ),
+        per AS (
+          SELECT label, pred, CAST(COUNT(*) AS BIGINT) AS n_vecs
+          FROM assigned GROUP BY 1, 2
+        )
+        SELECT label, pred, n_vecs,
+               ROUND(n_vecs / CAST(SUM(n_vecs) OVER (
+                 PARTITION BY label) AS DOUBLE), 6) AS share
+        FROM per
+    """

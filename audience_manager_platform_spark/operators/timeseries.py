@@ -706,3 +706,101 @@ def seasonal_naive_backtest_sql(
                ROUND(SUM(_pe) / (COUNT(*) * 1000000.0), 6) AS bias
         FROM graded GROUP BY event_type
     """
+
+
+# ------------------------------------------------------ autocorrelation
+def autocorrelation(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """ACF per series: Pearson correlation between the daily-total
+    series and its lag-L shift, L = 1..max_lag — the periodicity
+    detector that picks the seasonal-naive lag (a weekly cycle shows as
+    an ACF spike at 7) and the independence check behind forecast
+    residual audits.
+
+    Determinism: daily totals are 2dp decimal-rounded then scaled to
+    EXACT integer cents (``floor(v*100 + 0.5)``); all five correlation
+    sums (Σx Σy Σxy Σx² Σy²) accumulate in bigint — exact and
+    commutative — and the final r is assembled from identical integer
+    inputs with identical double ops on both engines, rounded 6dp.
+
+    Shape at scale: one combinable (type, day) reduce, a |lags|
+    broadcast explode, one (type, day-L) equi-join INSIDE the tiny
+    daily table, and a |types|x|lags| rollup."""
+    from pyspark.sql import functions as F
+
+    daily = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.expr(
+                "cast(floor(cast(round(sum(cast(value as decimal(18,4))), 2)"
+                " as double) * 100 + 0.5d) as bigint)"
+            ).alias("v100")
+        )
+    )
+    lags = F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag")
+    a = daily.select("event_type", "day", F.col("v100").alias("x"), lags)
+    b = daily.select(
+        "event_type",
+        F.col("day").alias("_bday"),
+        F.col("v100").alias("y"),
+    )
+    pairs = a.join(
+        b,
+        (a["event_type"] == b["event_type"])
+        & (F.expr("date_sub(day, lag)") == F.col("_bday")),
+    ).select(a["event_type"], "lag", "x", "y")
+    g = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return g.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(
+            num.cast("double")
+            / F.sqrt(varx.cast("double") * vary.cast("double")),
+            6,
+        ).alias("acf"),
+    )
+
+
+def autocorrelation_sql(src: str = "events", max_lag: int = 7) -> str:
+    return f"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(FLOOR(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2)
+                      AS DOUBLE) * 100 + 0.5) AS BIGINT) AS v100
+          FROM {src} WHERE value IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT a.event_type, l.lag, a.v100 AS x, b.v100 AS y
+          FROM daily a
+          CROSS JOIN (SELECT UNNEST(generate_series(1, {int(max_lag)}))
+                        AS lag) l
+          JOIN daily b ON b.event_type = a.event_type
+                      AND b.day = a.day - TO_DAYS(CAST(l.lag AS INTEGER))
+        ),
+        g AS (
+          SELECT event_type, lag,
+                 COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+          FROM pairs GROUP BY 1, 2
+        )
+        SELECT event_type, CAST(lag AS INTEGER) AS lag,
+               CAST(n AS BIGINT) AS n_pairs,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf
+        FROM g
+    """

@@ -112,6 +112,8 @@ _DEFER_RAW: tuple[str, ...] = (
     "setop_except_all",
     "setop_intersect_all",
     "window_running_distinct",
+    "ts_autocorrelation",
+    "emb_centroid_classifier_eval",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

@@ -148,6 +148,9 @@ QUERIES = {
     "emb_norm_stats_by_label": lambda s, d: S.norm_stats_by_label(_emb(s, d)),
     # r6 queue: snapshot-to-snapshot centroid/norm drift per label
     "emb_snapshot_drift": lambda s, d: S.snapshot_drift(_emb(s, d)),
+    # r6 queue: nearest-centroid classifier graded against labels
+    "emb_centroid_classifier_eval": lambda s, d:
+        S.centroid_classifier_eval(_emb(s, d)),
     # r6 queue: LASER/CCMatrix margin-based mutual-kNN alignment
     # mining between the even/odd embedding halves
     "emb_margin_mutual_knn": lambda s, d: S.margin_mutual_knn(_emb(s, d)),
@@ -203,6 +206,7 @@ ORACLES = {
     ),
     "emb_norm_stats_by_label": S.norm_stats_by_label_sql(),
     "emb_snapshot_drift": S.snapshot_drift_sql(),
+    "emb_centroid_classifier_eval": S.centroid_classifier_eval_sql(),
     "emb_margin_mutual_knn": S.margin_mutual_knn_sql(),
     "ann_probe_recall_curve": S.probe_recall_curve_sql(_QUERY_IDS, k=5),
     "sq_code_stats": SQ.sq_code_stats_sql(),

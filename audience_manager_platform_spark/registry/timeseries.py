@@ -63,6 +63,8 @@ QUERIES = {
     "ts_seasonal_naive_backtest": lambda s, d: TS.seasonal_naive_backtest(
         _events(s, d)
     ),
+    # r6 queue: ACF per series from exact integer-cent sums
+    "ts_autocorrelation": lambda s, d: TS.autocorrelation(_events(s, d)),
     "ts_rolling_regression": lambda s, d: TS.rolling_regression(
         _events(s, d)
     ),
@@ -78,6 +80,7 @@ ORACLES = {
     "ts_changepoint_mean_shift": TS.changepoint_mean_shift_sql(),
     "ts_rolling_regression": TS.rolling_regression_sql(),
     "ts_seasonal_naive_backtest": TS.seasonal_naive_backtest_sql(),
+    "ts_autocorrelation": TS.autocorrelation_sql(),
     "sample_fixed_n_events": f"""
         SELECT event_id, user_id, event_type, ROUND(value, 2) AS value,
                MD5(CAST(event_id AS VARCHAR) || '{SAMPLE_SALT}') AS sample_key

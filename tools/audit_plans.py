@@ -34,6 +34,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 NESTED_LOOP_ALLOWED = {
     # |labels|^2 centroid pairs (labels is a tiny closed set)
     "emb_label_separation",
+    # |labels|-fan-out against the broadcast centroid table (model)
+    "emb_centroid_classifier_eval",
     # |classes| x |sensitive-values| broadcast expansion — the sensitive
     # dimension is a tiny closed set (model-sized, never data-sized)
     "privacy_t_closeness_customer",

@@ -1496,3 +1496,130 @@ def cluster_safe_split_sql(
         FROM per JOIN straddle USING (strategy)
         ORDER BY strategy, split
     """
+
+
+# ------------------------------------ deterministic mixture interleave
+def interleave_schedule(
+    docs: DataFrame, first_n: int = 200, salt: str = "interleave-v1"
+) -> DataFrame:
+    """Deterministic weighted interleave — the replayable ORDER in which
+    a training job consumes a multi-source mixture (stride/virtual-time
+    scheduling, the WFQ discipline): doc r of source s is served at
+    virtual time r/w_s, so at every prefix of the stream each source's
+    share tracks its weight — no RNG state, reproducible from scratch
+    on any cluster, stable under corpus growth.
+
+    Audit output per source: corpus share (the proportional weight),
+    the source's count in the first ``first_n`` served docs, the
+    observed share, and an on-schedule verdict (|observed − target|
+    bounded by the granularity 1.5·|sources|/first_n + one stride).
+
+    Determinism: within-source order is the md5 shuffle rank; virtual
+    time is the exact bigint ``r·10¹² // n_s`` (both engines truncate
+    toward zero on positive operands); the global order is a total
+    order on (vtime, source, rank). The fixture-scale global window is
+    one partition; at 100 TB the schedule is served per range-partition
+    of virtual time — the key is already the range key.
+    """
+    n_tot = docs.count()
+    per_src = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+                "doc_id",
+            )
+        )
+        .alias("r"),
+    )
+    v = ranked.join(per_src, "source").select(
+        "doc_id",
+        "source",
+        "r",
+        # pure bigint stride: overflows only past ~9.2M docs per source,
+        # where the schedule would shard by source anyway
+        F.expr(
+            "(cast(r as bigint) * 1000000000000L) div n_docs"
+        ).alias("_vt"),
+    )
+    pos = v.select(
+        "source",
+        F.row_number()
+        .over(Window.orderBy("_vt", "source", "r"))
+        .alias("pos"),
+    )
+    head = pos.filter(F.col("pos") <= first_n)
+    obs = head.groupBy("source").agg(
+        F.count("*").cast("long").alias(f"in_first_{first_n}")
+    )
+    return (
+        per_src.join(obs, "source", "left")
+        .na.fill(0)
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(F.col("n_docs") / F.lit(float(n_tot)), 6).alias(
+                "target_share"
+            ),
+            F.col(f"in_first_{first_n}"),
+            F.round(
+                F.col(f"in_first_{first_n}") / F.lit(float(first_n)), 6
+            ).alias("observed_share"),
+        )
+        .withColumn(
+            "on_schedule",
+            F.abs(F.col("observed_share") - F.col("target_share"))
+            <= F.col("target_share") / first_n + F.lit(1.5 / first_n),
+        )
+    )
+
+
+def interleave_schedule_sql(
+    src: str = "documents", first_n: int = 200, salt: str = "interleave-v1"
+) -> str:
+    return f"""
+        WITH per_src AS (
+          SELECT source, COUNT(*) AS n_docs FROM {src} GROUP BY source
+        ),
+        tot AS (SELECT COUNT(*) AS n FROM {src}),
+        ranked AS (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('{salt}' || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS r
+          FROM {src}
+        ),
+        v AS (
+          SELECT ranked.doc_id, ranked.source, ranked.r,
+                 (CAST(ranked.r AS BIGINT) * 1000000000000)
+                   // per_src.n_docs AS _vt
+          FROM ranked JOIN per_src USING (source)
+        ),
+        pos AS (
+          SELECT source,
+                 ROW_NUMBER() OVER (ORDER BY _vt, source, r) AS pos
+          FROM v
+        ),
+        obs AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS in_first_{first_n}
+          FROM pos WHERE pos <= {int(first_n)} GROUP BY source
+        )
+        SELECT p.source,
+               CAST(p.n_docs AS BIGINT) AS n_docs,
+               ROUND(p.n_docs / CAST(tot.n AS DOUBLE), 6) AS target_share,
+               COALESCE(obs.in_first_{first_n}, 0) AS in_first_{first_n},
+               ROUND(COALESCE(obs.in_first_{first_n}, 0)
+                     / CAST({int(first_n)} AS DOUBLE), 6)
+                 AS observed_share,
+               ABS(ROUND(COALESCE(obs.in_first_{first_n}, 0)
+                     / CAST({int(first_n)} AS DOUBLE), 6)
+                   - ROUND(p.n_docs / CAST(tot.n AS DOUBLE), 6))
+                 <= ROUND(p.n_docs / CAST(tot.n AS DOUBLE), 6)
+                    / {int(first_n)} + 1.5 / {int(first_n)} AS on_schedule
+        FROM per_src p CROSS JOIN tot
+        LEFT JOIN obs USING (source)
+    """

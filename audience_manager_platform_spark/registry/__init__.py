@@ -114,6 +114,7 @@ _DEFER_RAW: tuple[str, ...] = (
     "window_running_distinct",
     "ts_autocorrelation",
     "emb_centroid_classifier_eval",
+    "corpus_interleave_schedule",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

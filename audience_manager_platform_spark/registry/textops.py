@@ -206,6 +206,10 @@ QUERIES = {
     "corpus_cluster_safe_split": lambda s, d: C.cluster_safe_split(
         _docs(s, d)
     ),
+    # r6 queue: replayable weighted interleave (training-stream order)
+    "corpus_interleave_schedule": lambda s, d: C.interleave_schedule(
+        _docs(s, d)
+    ),
     "corpus_pack_sequences": lambda s, d: C.pack_sequences(_docs(s, d)),
     "corpus_decontaminate": lambda s, d: C.decontaminate(
         _docs(s, d), _docs(s, d).filter(F.col("doc_id") % 50 == 0)
@@ -323,6 +327,7 @@ ORACLES = {
     "multimodal_wav_downsample": M.wav_downsample_meta_oracle_sql(),
     "corpus_split_assign": C.split_assign_sql(),
     "corpus_cluster_safe_split": C.cluster_safe_split_sql(),
+    "corpus_interleave_schedule": C.interleave_schedule_sql(),
     "corpus_pack_sequences": C.pack_sequences_sql(),
     "corpus_decontaminate": C.decontaminate_sql(),
     "corpus_bloom_decontaminate": C.decontaminate_sql(),

@@ -2165,3 +2165,22 @@ def test_ltv_cohort_curve_cumulates_per_cohort(spark):
     assert a0.cohort_size == 1 and a0.cum_revenue == 10.0
     assert a1.cum_revenue == 30.0 and a1.cum_ltv_per_user == 30.0
     assert b0.cohort_size == 1 and b0.cum_ltv_per_user == 5.0
+
+
+def test_interleave_schedule_tracks_uneven_weights(spark):
+    from audience_manager_platform_spark.operators.corpus import (
+        interleave_schedule,
+    )
+
+    # 300 big-source docs vs 100 small-source docs: every prefix of the
+    # schedule must hold ~75/25 (stride scheduling), not luck.
+    rows = [(i, f"text {i}", "en", "big" if i < 300 else "small", 6)
+            for i in range(400)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r.source: r for r in interleave_schedule(docs, first_n=100).collect()}
+    assert got["big"].target_share == 0.75
+    assert got["big"].on_schedule and got["small"].on_schedule
+    assert abs(got["big"].in_first_100 - 75) <= 2
+    assert abs(got["small"].in_first_100 - 25) <= 2

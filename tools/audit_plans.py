@@ -154,6 +154,7 @@ ARROW_ALLOWED = {
     "multimodal_wav_decode",
     "multimodal_bmp_decode",
     "multimodal_bmp_resize",
+    "multimodal_wav_downsample",
     "multimodal_frame_sample",
     "corpus_bloom_decontaminate",
     "sketch_cms_user_counts",

@@ -514,3 +514,208 @@ def hll_retention_overlap_sql(src: str = "orders") -> str:
         JOIN per pa ON pa.mo = p.month_a
         JOIN per pb ON pb.mo = p.month_b
     """
+
+
+# -------------------------------------------------- salted skew join
+def salted_join(
+    fact: DataFrame, dim: DataFrame, key: str, salt_buckets: int = 8
+) -> DataFrame:
+    """Skew-safe equi-join by salting: the manual counterpart of the AQE
+    skew-join for the cases AQE cannot rescue — a single join key so hot
+    its rows exceed one task's memory, on a dim side too large to
+    broadcast. Fact rows get a deterministic salt in ``[0, salt_buckets)``
+    (hash of the whole row — WHICH bucket a row lands in is irrelevant,
+    only that the hot key's rows spread across all of them); the dim side
+    is replicated once per bucket; the join runs on ``(key, salt)`` so the
+    hot key's probe work fans out over ``salt_buckets`` tasks instead of
+    funneling into one.
+
+    The result is EXACTLY the plain inner join — every fact row still
+    meets every matching dim row exactly once (its one salted copy) — so
+    the plain-join SQL oracle applies unchanged. Cost: the dim side is
+    shuffled ``salt_buckets``x; worth it only when the skew is real
+    (:func:`key_skew_profile` is the decision input). Prefer
+    ``broadcast(dim)`` whenever dim fits — salting is for the big-dim,
+    hot-key corner.
+    """
+    salted_fact = fact.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets)),
+    )
+    dim_rep = dim.withColumn(
+        "_salt",
+        F.explode(F.expr(f"sequence(CAST(0 AS BIGINT), {salt_buckets - 1})")),
+    )
+    return salted_fact.join(dim_rep, [key, "_salt"], "inner").drop("_salt")
+
+
+# ------------------------------------- mergeable quantile histogram
+def quantile_histogram(
+    df: DataFrame,
+    value_col: str,
+    quantile_pcts: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Mergeable quantile sketch with a provable relative-error bound —
+    the DDSketch idea (Masson et al., VLDB 2019) made cross-engine
+    deterministic: positive values quantize to exact integer cents, land
+    in log2 buckets (bucket = bit-length of cents) each split into 8
+    linear sub-buckets, and the quantile estimate is the midpoint of the
+    sub-bucket where the cumulative count crosses ceil(q*n). Every step
+    is integer arithmetic — bit-length via ``length(bin(x))``, sub-bucket
+    via integer division — so the sketch is bit-identical on any engine
+    and any partitioning, and the histogram is a plain combinable
+    ``GROUP BY``: per-partition partials merge by addition, the mergeable
+    contract HLL/CMS follow.
+
+    Error contract: the true value lies inside the picked sub-bucket,
+    whose half-width is base/16 <= value/16, so the midpoint estimate is
+    within 1/16 (6.25%) relative error. Each output row carries the
+    EXACT quantile beside the estimate and a ``within_bound`` verdict
+    checked in integers (|est*16 - exact*16| <= base) — the
+    ``approx_distinct_users`` convention: the sketch answer is gated, not
+    trusted. The exact column is the audit harness (a global
+    rank-selection); at 100 TB you ship the estimate and drop the audit,
+    or run it on a sample.
+
+    Scale shape: one combinable aggregate into a few-hundred-row
+    histogram; the cumulative window and quantile probes run over that
+    model-sized table. NULL and non-positive values are excluded (a log
+    sketch is defined on positives).
+    """
+    cents = F.expr(f"CAST(floor({value_col} * 100 + 0.5) AS BIGINT)")
+    base_rel = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(cents.alias("cents"))
+        .filter(F.col("cents") > 0)
+    )
+    bucketed = base_rel.select(
+        "cents",
+        F.length(F.expr("bin(cents)")).alias("blen"),
+    ).select(
+        "cents",
+        "blen",
+        F.expr("shiftleft(CAST(1 AS BIGINT), blen - 1)").alias("base"),
+    )
+    hist = (
+        bucketed.groupBy("blen", F.expr("((cents - base) * 8) div base").alias("sub"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "blen",
+            "sub",
+            "cnt",
+            F.expr("shiftleft(CAST(1 AS BIGINT), blen - 1)").alias("base"),
+        )
+    )
+    order = Window.orderBy("blen", "sub")
+    cum = hist.select(
+        "blen",
+        "sub",
+        "base",
+        F.sum("cnt").over(order).alias("cum"),
+    )
+    total = base_rel.agg(F.count("*").alias("n"))
+    spark = df.sparkSession
+    probes = spark.createDataFrame(
+        [(f"p{p}", p) for p in quantile_pcts], "q_label string, q_pct int"
+    )
+    ranks = probes.crossJoin(F.broadcast(total)).select(
+        "q_label",
+        F.expr("(q_pct * n + 99) div 100").alias("rank"),
+    )
+    pick_w = Window.partitionBy("q_label").orderBy("blen", "sub")
+    picked = (
+        F.broadcast(ranks)
+        .crossJoin(cum)
+        .filter(F.col("cum") >= F.col("rank"))
+        .withColumn("rn", F.row_number().over(pick_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "q_label",
+            "rank",
+            "base",
+            (F.lit(16) * F.col("base") + (F.lit(2) * F.col("sub") + 1) * F.col("base")).alias(
+                "est16"
+            ),
+        )
+    )
+    # audit side: exact rank selection (global sort — audit-only cost)
+    exact_w = Window.orderBy("cents")
+    exact = (
+        base_rel.withColumn("rn", F.row_number().over(exact_w))
+        .join(F.broadcast(ranks.select(F.col("rank").alias("rn"), "q_label")), "rn")
+        .select("q_label", F.col("cents").alias("exact_cents"))
+    )
+    return (
+        picked.join(exact, "q_label")
+        .select(
+            "q_label",
+            (F.col("est16") / F.lit(1600.0)).alias("est_value"),
+            (F.col("exact_cents") / F.lit(100.0)).alias("exact_value"),
+            (
+                F.abs(F.col("est16") - F.col("exact_cents") * 16) <= F.col("base")
+            ).alias("within_bound"),
+        )
+        .orderBy("q_label")
+    )
+
+
+def quantile_histogram_sql(
+    src: str, value_col: str, quantile_pcts: tuple[int, ...] = (50, 90, 99)
+) -> str:
+    probe_rows = " UNION ALL ".join(
+        f"SELECT 'p{p}' AS q_label, {p} AS q_pct" for p in quantile_pcts
+    )
+    return f"""
+        WITH base_rel AS (
+          SELECT CAST(floor({value_col} * 100 + 0.5) AS BIGINT) AS cents
+          FROM {src}
+          WHERE {value_col} IS NOT NULL
+            AND CAST(floor({value_col} * 100 + 0.5) AS BIGINT) > 0
+        ),
+        bucketed AS (
+          SELECT cents, length(bin(cents)) AS blen,
+                 (CAST(1 AS BIGINT) << (length(bin(cents)) - 1)) AS base
+          FROM base_rel
+        ),
+        hist AS (
+          SELECT blen, ((cents - base) * 8) // base AS sub,
+                 COUNT(*) AS cnt,
+                 (CAST(1 AS BIGINT) << (blen - 1)) AS base
+          FROM bucketed GROUP BY blen, ((cents - base) * 8) // base
+        ),
+        cum AS (
+          SELECT blen, sub, base,
+                 SUM(cnt) OVER (ORDER BY blen, sub) AS cum
+          FROM hist
+        ),
+        total AS (SELECT COUNT(*) AS n FROM base_rel),
+        probes AS ({probe_rows}),
+        ranks AS (
+          SELECT q_label, (q_pct * n + 99) // 100 AS rank
+          FROM probes CROSS JOIN total
+        ),
+        picked AS (
+          SELECT q_label, rank, base,
+                 16 * base + (2 * sub + 1) * base AS est16
+          FROM (
+            SELECT r.q_label, r.rank, c.base, c.sub,
+                   ROW_NUMBER() OVER (PARTITION BY r.q_label
+                                      ORDER BY c.blen, c.sub) AS rn
+            FROM ranks r CROSS JOIN cum c
+            WHERE c.cum >= r.rank
+          ) WHERE rn = 1
+        ),
+        exact AS (
+          SELECT r.q_label, b.cents AS exact_cents
+          FROM (
+            SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn
+            FROM base_rel
+          ) b JOIN ranks r ON b.rn = r.rank
+        )
+        SELECT p.q_label,
+               est16 / 1600.0 AS est_value,
+               exact_cents / 100.0 AS exact_value,
+               abs(est16 - exact_cents * 16) <= base AS within_bound
+        FROM picked p JOIN exact e ON p.q_label = e.q_label
+        ORDER BY p.q_label
+    """

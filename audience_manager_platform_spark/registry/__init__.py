@@ -115,6 +115,9 @@ _DEFER_RAW: tuple[str, ...] = (
     "ts_autocorrelation",
     "emb_centroid_classifier_eval",
     "corpus_interleave_schedule",
+    # wave 12
+    "join_skew_salted",
+    "sketch_quantile_bands",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

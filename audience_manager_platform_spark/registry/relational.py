@@ -22,6 +22,9 @@ from ..operators.skew import (
     hll_mergeable_rollup_sql,
     key_skew_profile,
     key_skew_profile_sql,
+    quantile_histogram,
+    quantile_histogram_sql,
+    salted_join,
     salted_sum_count,
 )
 from ..sources import load_table
@@ -467,6 +470,29 @@ QUERIES = {
     "skew_key_profile": lambda s, d: key_skew_profile(
         _events(s, d), "user_id"
     ),
+    # r5 wave 12: salted replicated join — the hot-key/big-dim corner
+    # AQE can't split; result contract = the plain inner join
+    "join_skew_salted": lambda s, d: salted_join(
+        _events(s, d),
+        load_table(s, d, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        ),
+        "user_id",
+    )
+    .groupBy("c_mktsegment")
+    .agg(
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+            / F.lit(100.0)
+        ).alias("total_value"),
+    )
+    .orderBy("c_mktsegment"),
+    # r5 wave 12: mergeable log-bucket quantile sketch (DDSketch-style)
+    # with integer-exact bounded-error verdicts beside the exact audit
+    "sketch_quantile_bands": lambda s, d: quantile_histogram(
+        load_table(s, d, "lineitem"), "l_extendedprice"
+    ),
 }
 
 # ten fixed probe ids spanning the fixture's user range
@@ -689,4 +715,16 @@ ORACLES = {
         "events", "user_id", [0, 7, 13, 29, 42, 55, 68, 91, 120, 149]
     ),
     "skew_key_profile": key_skew_profile_sql("events", "user_id"),
+    "join_skew_salted": """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_events,
+               SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0
+                 AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    "sketch_quantile_bands": quantile_histogram_sql(
+        "lineitem", "l_extendedprice"
+    ),
 }

@@ -2184,3 +2184,59 @@ def test_interleave_schedule_tracks_uneven_weights(spark):
     assert got["big"].on_schedule and got["small"].on_schedule
     assert abs(got["big"].in_first_100 - 75) <= 2
     assert abs(got["small"].in_first_100 - 25) <= 2
+
+
+def test_salted_join_equals_plain_join_and_spreads_hot_key(spark):
+    from audience_manager_platform_spark.operators.skew import salted_join
+
+    # hot key 7 carries 500 of 520 fact rows
+    fact = spark.createDataFrame(
+        [(7 if i < 500 else i % 20, float(i)) for i in range(520)],
+        "k long, v double",
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(20)], "k long, name string"
+    )
+    got = salted_join(fact, dim, "k", salt_buckets=4)
+    plain = fact.join(dim, "k")
+    assert got.count() == plain.count() == 520
+    assert got.exceptAll(plain).count() == 0
+    assert plain.exceptAll(got).count() == 0
+    # the hot key's fact rows really spread over multiple salt buckets
+    from pyspark.sql import functions as F
+
+    salted = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(4))
+    )
+    n_buckets = (
+        salted.filter(F.col("k") == 7).select("_salt").distinct().count()
+    )
+    assert n_buckets == 4
+
+
+def test_quantile_histogram_bound_and_exact_on_planted_data(spark):
+    from audience_manager_platform_spark.operators.skew import quantile_histogram
+
+    # 100 rows of value i+1 cents/100: exact p50 = row 50 -> 0.50
+    rows = [(float((i + 1)) / 100,) for i in range(100)]
+    df = spark.createDataFrame(rows, "v double")
+    got = {r.q_label: r for r in quantile_histogram(df, "v").collect()}
+    assert set(got) == {"p50", "p90", "p99"}
+    assert got["p50"].exact_value == 0.50
+    assert got["p90"].exact_value == 0.90
+    assert got["p99"].exact_value == 0.99
+    for r in got.values():
+        assert r.within_bound
+        # the documented DDSketch-style bound: <= 1/16 relative error
+        assert abs(r.est_value - r.exact_value) <= r.exact_value / 16 + 1e-9
+
+
+def test_quantile_histogram_partition_invariant(spark):
+    from audience_manager_platform_spark.operators.skew import quantile_histogram
+
+    rows = [(float(i % 997 + 1),) for i in range(5000)]
+    df1 = spark.createDataFrame(rows, "v double").repartition(1)
+    df32 = spark.createDataFrame(rows, "v double").repartition(32)
+    a = [tuple(r) for r in quantile_histogram(df1, "v").collect()]
+    b = [tuple(r) for r in quantile_histogram(df32, "v").collect()]
+    assert a == b

@@ -59,6 +59,8 @@ NESTED_LOOP_ALLOWED = {
     # |queries| x corpus scoring is the DOCUMENTED brute-force baseline
     "sample_kcenter_diverse",
     "emb_jl_distortion",
+    # quantile probes (3 rows) x the model-sized histogram; 1-row total
+    "sketch_quantile_bands",
     # day-spine / scalar anchors: 1-row side
     "analytics_daily_totals",
     "analytics_daily_totals_sparse",

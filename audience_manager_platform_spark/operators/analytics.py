@@ -1525,3 +1525,69 @@ def ltv_cohort_curve_sql(src: str = "events") -> str:
                  AS cum_ltv_per_user
         FROM cum c JOIN sizes s USING (cohort_week)
     """
+
+
+def decayed_popularity(events: DataFrame, horizon_weeks: int = 20) -> DataFrame:
+    """Exponentially time-decayed popularity per event type — the
+    freshness-weighted ranking feeds (trending content, recency-biased
+    recommenders) use instead of raw counts: each event contributes
+    ``value * 2^(-age_weeks)``, so last week's activity counts double
+    next week's and a stale giant decays away.
+
+    Cross-engine exactness: a float ``pow(2.0, -age/7.0)`` would hang the
+    hash on libm rounding, so the decay is EXACT integer arithmetic on
+    the weekly-halving grid: age capped at ``horizon_weeks`` (beyond it a
+    weight < 1e-6 of the newest is noise, and the cap bounds the
+    multiplier), each event contributes ``cents << (horizon - age)`` to a
+    decimal(38,0) sum (commutative, overflow-free at any scale), and ONE
+    division by ``100 * 2^horizon`` converts to display units at the
+    edge.
+
+    Shape: one combinable |types|-row aggregate after a 1-row max-day
+    broadcast; nothing corpus-sized shuffles."""
+    bounds = events.agg(F.max(F.to_date("ts")).alias("_maxday"))
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    age_w = F.expr("least(datediff(_maxday, to_date(ts)) div 7, "
+                   f"{horizon_weeks})")
+    prod = F.expr(
+        f"CAST(shiftleft(CAST(1 AS BIGINT), {horizon_weeks} - _age_w) "
+        "* _cents AS DECIMAL(38,0))"
+    )
+    den = float(100 * (1 << horizon_weeks))
+    return (
+        events.crossJoin(F.broadcast(bounds))
+        .withColumn("_cents", cents)
+        .withColumn("_age_w", age_w)
+        .withColumn("_prod", prod)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum("_prod").cast("double") / F.lit(den)).alias("decayed_score"),
+        )
+        .orderBy(F.desc("decayed_score"), F.asc("event_type"))
+    )
+
+
+def decayed_popularity_sql(src: str = "events", horizon_weeks: int = 20) -> str:
+    den = float(100 * (1 << horizon_weeks))
+    return f"""
+        WITH bounds AS (
+          SELECT MAX(CAST(ts AS DATE)) AS maxday FROM {src}
+        ),
+        staged AS (
+          SELECT event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                 LEAST(date_diff('day', CAST(ts AS DATE), maxday) // 7,
+                       {horizon_weeks}) AS age_w
+          FROM {src} CROSS JOIN bounds
+        )
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST((CAST(1 AS BIGINT)
+                              << ({horizon_weeks} - age_w)) * cents
+                             AS DECIMAL(38,0))) AS DOUBLE) / {den}
+                 AS decayed_score
+        FROM staged
+        GROUP BY event_type
+        ORDER BY decayed_score DESC, event_type ASC
+    """

@@ -804,3 +804,138 @@ def autocorrelation_sql(src: str = "events", max_lag: int = 7) -> str:
                             * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf
         FROM g
     """
+
+
+# ------------------------------------------- Holt linear-trend backtest
+def holt_linear_backtest(events: DataFrame) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend), backtested as
+    one-step-ahead forecasts over each event type's daily-total series —
+    the trend-aware rung above :func:`seasonal_naive_backtest` on the
+    classical forecasting ladder. Per series: observation count, scored
+    forecasts, MAPE, and the final level/trend state a nightly job would
+    checkpoint and roll forward.
+
+    Determinism contract: alpha = beta = 0.5, so every recurrence step is
+    a halving of sums — exact IEEE ops replayed in the SAME
+    parenthesization by the DuckDB recursive-CTE twin (the sequential
+    recurrence both engines must walk in day order):
+
+        f_t = l + b
+        l'  = (y_t + (l + b)) * 0.5
+        b'  = ((l' - l) + b) * 0.5
+
+    Per-day absolute-percentage errors quantize to an exact 1e-6 integer
+    grid and sum in bigint (the DSIR lesson: never round a float sum —
+    sum integers, divide once).
+
+    Scale shape: the corpus collapses to |series| x |days| daily totals
+    in one combinable aggregate; the recurrence is inherently sequential
+    per series, so it runs as Arrow-batched ``applyInPandas`` with one
+    task per series and O(1) state — the sanctioned custom-stateful
+    shape (series count bounds parallelism, days bound the loop)."""
+    import math
+
+    import pandas as pd
+
+    daily = (
+        events.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).alias(
+                "cents"
+            )
+        )
+        .select("event_type", "day", F.col("cents").cast("double").alias("y"))
+    )
+
+    out_schema = (
+        "event_type string, n_days bigint, n_scored bigint, "
+        "mape double, final_level double, final_trend double"
+    )
+
+    def _holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        y = pdf["y"].to_numpy()
+        level = float(y[0])
+        trend = 0.0
+        ape_sum = 0
+        n_scored = 0
+        for t in range(1, len(y)):
+            forecast = level + trend
+            new_level = (y[t] + (level + trend)) * 0.5
+            trend = ((new_level - level) + trend) * 0.5
+            level = new_level
+            if y[t] > 0:
+                ape = abs(forecast - y[t]) / y[t]
+                ape_sum += int(math.floor(ape * 1000000.0 + 0.5))
+                n_scored += 1
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "n_days": len(y),
+                    "n_scored": n_scored,
+                    "mape": (
+                        ape_sum / (1000000.0 * n_scored) if n_scored else None
+                    ),
+                    "final_level": level / 100.0,
+                    "final_trend": trend / 100.0,
+                }
+            ]
+        )
+
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(_holt, schema=out_schema)
+        .orderBy("event_type")
+    )
+
+
+def holt_linear_backtest_sql(src: str = "events") -> str:
+    # the recursive twin walks the identical recurrence; every float op
+    # keeps the Python parenthesization so the halving chain is
+    # bit-identical
+    l_expr = "(b2.y + (r.l + r.b)) * 0.5"
+    return f"""
+        WITH RECURSIVE
+        daily AS MATERIALIZED (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+          FROM {src} GROUP BY 1, 2
+        ),
+        base AS MATERIALIZED (
+          SELECT event_type, CAST(cents AS DOUBLE) AS y,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                   AS t,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM daily
+        ),
+        rec AS (
+          SELECT event_type, t, n, y,
+                 y AS l, CAST(0.0 AS DOUBLE) AS b,
+                 CAST(0 AS BIGINT) AS ape_sum, CAST(0 AS BIGINT) AS n_scored
+          FROM base WHERE t = 1
+          UNION ALL
+          SELECT b2.event_type, b2.t, b2.n, b2.y,
+                 {l_expr} AS l,
+                 ((({l_expr}) - r.l) + r.b) * 0.5 AS b,
+                 r.ape_sum + CASE WHEN b2.y > 0
+                   THEN CAST(floor((abs((r.l + r.b) - b2.y) / b2.y)
+                                   * 1000000.0 + 0.5) AS BIGINT)
+                   ELSE 0 END,
+                 r.n_scored + CASE WHEN b2.y > 0 THEN 1 ELSE 0 END
+          FROM rec r
+          JOIN base b2
+            ON b2.event_type = r.event_type AND b2.t = r.t + 1
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_days,
+               n_scored,
+               CASE WHEN n_scored > 0
+                    THEN ape_sum / (1000000.0 * n_scored) END AS mape,
+               l / 100.0 AS final_level,
+               b / 100.0 AS final_trend
+        FROM rec WHERE t = n
+        ORDER BY event_type
+    """

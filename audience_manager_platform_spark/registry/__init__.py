@@ -118,6 +118,8 @@ _DEFER_RAW: tuple[str, ...] = (
     # wave 12
     "join_skew_salted",
     "sketch_quantile_bands",
+    "analytics_decayed_popularity",
+    "ts_holt_linear_backtest",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

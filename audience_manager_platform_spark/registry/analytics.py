@@ -160,6 +160,11 @@ QUERIES = {
     "analytics_burst_stats": lambda s, d: A.burst_stats(
         load_table(s, d, "events")
     ),
+    # r5 wave 12: freshness-weighted ranking on the exact weekly-halving
+    # integer grid (no libm pow in the contract)
+    "analytics_decayed_popularity": lambda s, d: A.decayed_popularity(
+        load_table(s, d, "events")
+    ),
     # r5 (deferred window): WAU / trailing-4-week MAU stickiness
     "analytics_stickiness": lambda s, d: A.stickiness(
         load_table(s, d, "events")
@@ -331,6 +336,7 @@ ORACLES = {
     "analytics_event_transitions": A.event_transitions_sql(),
     "analytics_ab_conversion_ztest": A.ab_conversion_ztest_sql(),
     "analytics_burst_stats": A.burst_stats_sql(),
+    "analytics_decayed_popularity": A.decayed_popularity_sql(),
     "analytics_stickiness": A.stickiness_sql(),
     "analytics_revenue_gini": A.revenue_gini_sql(),
     "analytics_new_vs_returning": A.new_vs_returning_sql(),

@@ -65,6 +65,11 @@ QUERIES = {
     ),
     # r6 queue: ACF per series from exact integer-cent sums
     "ts_autocorrelation": lambda s, d: TS.autocorrelation(_events(s, d)),
+    # r5 wave 12: Holt level+trend one-step backtest — dyadic halving
+    # recurrence replayed by a recursive-CTE twin
+    "ts_holt_linear_backtest": lambda s, d: TS.holt_linear_backtest(
+        _events(s, d)
+    ),
     "ts_rolling_regression": lambda s, d: TS.rolling_regression(
         _events(s, d)
     ),
@@ -81,6 +86,7 @@ ORACLES = {
     "ts_rolling_regression": TS.rolling_regression_sql(),
     "ts_seasonal_naive_backtest": TS.seasonal_naive_backtest_sql(),
     "ts_autocorrelation": TS.autocorrelation_sql(),
+    "ts_holt_linear_backtest": TS.holt_linear_backtest_sql(),
     "sample_fixed_n_events": f"""
         SELECT event_id, user_id, event_type, ROUND(value, 2) AS value,
                MD5(CAST(event_id AS VARCHAR) || '{SAMPLE_SALT}') AS sample_key

@@ -2240,3 +2240,55 @@ def test_quantile_histogram_partition_invariant(spark):
     a = [tuple(r) for r in quantile_histogram(df1, "v").collect()]
     b = [tuple(r) for r in quantile_histogram(df32, "v").collect()]
     assert a == b
+
+
+def test_decayed_popularity_recency_beats_volume(spark):
+    from audience_manager_platform_spark.operators.analytics import (
+        decayed_popularity,
+    )
+
+    # "old" type: 8 events of value 10, 10 weeks ago; "new" type: 2
+    # events of value 10 this week — decay must rank new above old
+    # (8 * 2^-10 = 0.0078 << 2 * 2^0 = 2) while raw counts say otherwise.
+    rows = []
+    for i in range(8):
+        rows.append((i, "2024-01-01 00:00:00", 1, "old", 10.0, "{}"))
+    for i in range(2):
+        rows.append((100 + i, "2024-03-11 00:00:00", 1, "new", 10.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("ts"))
+    got = decayed_popularity(ev).collect()
+    assert [r.event_type for r in got] == ["new", "old"]
+    by = {r.event_type: r for r in got}
+    assert by["new"].n_events == 2 and by["old"].n_events == 8
+    assert by["new"].decayed_score == 20.0  # age 0: full value
+    assert abs(by["old"].decayed_score - 80.0 / 1024) < 1e-9  # 10 weeks
+
+
+def test_holt_backtest_tracks_planted_linear_trend(spark):
+    from audience_manager_platform_spark.operators.timeseries import (
+        holt_linear_backtest,
+    )
+
+    # y_t = 100 + 10t cents for 40 days: Holt's trend state must
+    # converge to ~10 cents/day (0.1 dollars) and MAPE must be small.
+    import datetime
+
+    rows = []
+    for t in range(40):
+        day = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=t)
+        rows.append((t, day, 1, "steady", (100 + 10 * t) / 100.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = holt_linear_backtest(ev).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_days == 40 and r.n_scored == 39
+    assert abs(r.final_trend - 0.10) < 0.01
+    assert r.mape < 0.05

@@ -61,6 +61,8 @@ NESTED_LOOP_ALLOWED = {
     "emb_jl_distortion",
     # quantile probes (3 rows) x the model-sized histogram; 1-row total
     "sketch_quantile_bands",
+    # 1-row max-day anchor broadcast
+    "analytics_decayed_popularity",
     # day-spine / scalar anchors: 1-row side
     "analytics_daily_totals",
     "analytics_daily_totals_sparse",
@@ -138,6 +140,8 @@ NESTED_LOOP_ALLOWED = {
 ARROW_ALLOWED = {
     # declared Arrow kernels (bucket matmul / cell assignment / PQ encode
     # / residuals / WAV-BMP decode / bloom build-probe / CMS / stateful)
+    # sequential per-series Holt recurrence (sanctioned custom-stateful)
+    "ts_holt_linear_backtest",
     "ann_lsh_near_pairs",
     "ann_similar_pairs",
     "dedup_embedding_near_dup",
@@ -176,7 +180,9 @@ def scan(plan: str) -> dict:
         "cartesian": "CartesianProduct" in plan,
         "nested_loop": "BroadcastNestedLoopJoin" in plan,
         "batch_python": "BatchEvalPython" in plan,
-        "arrow_python": "ArrowEvalPython" in plan or "MapInPandas" in plan,
+        "arrow_python": "ArrowEvalPython" in plan
+        or "MapInPandas" in plan
+        or "FlatMapGroupsInPandas" in plan,
         "exchanges": len(re.findall(r"\bExchange\b", plan)),
     }
 

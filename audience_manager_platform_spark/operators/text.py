@@ -1353,12 +1353,9 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     )
 
 
-def _bpe_supersteps(docs: DataFrame, n_merges: int):
-    """The shared training loop: returns (merge list, final symbol
-    table) — :func:`bpe_train` reports the model,
-    :func:`bpe_vocab_stats` aggregates the rewritten corpus."""
-    from pyspark.sql import Window
-
+def _bpe_symbol_table(docs: DataFrame) -> DataFrame:
+    """Corpus → materialized (word, freq, pos, sym) character table —
+    the starting state of both training and encoding."""
     from .partitioning import materialize, spread
 
     words = (
@@ -1367,7 +1364,7 @@ def _bpe_supersteps(docs: DataFrame, n_merges: int):
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
-    syms = materialize(
+    return materialize(
         words.select(
             "word",
             "freq",
@@ -1379,6 +1376,56 @@ def _bpe_supersteps(docs: DataFrame, n_merges: int):
             ).alias("x"),
         ).select("word", "freq", F.col("x.pos").alias("pos"), F.col("x.sym").alias("sym"))
     )
+
+
+def _bpe_apply_merge(syms: DataFrame, left: str, right: str) -> DataFrame:
+    """One greedy left-to-right non-overlapping merge application —
+    shared verbatim by the training loop and the encoder so the two can
+    never drift (islands-parity windows; see :func:`bpe_train`)."""
+    from pyspark.sql import Window
+
+    from .partitioning import materialize
+
+    w = Window.partitionBy("word").orderBy("pos")
+    with_next = syms.withColumn("nxt", F.lead("sym").over(w))
+    matched = (
+        with_next.filter((F.col("sym") == left) & (F.col("nxt") == right))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("isl", F.col("pos") - F.col("rn"))
+    )
+    taken = (
+        matched.withColumn(
+            "off",
+            F.col("rn") - F.min("rn").over(Window.partitionBy("word", "isl")),
+        )
+        .filter(F.col("off") % 2 == 0)
+        .select("word", "pos", F.lit(True).alias("is_taken"))
+    )
+    absorbed = taken.select(
+        "word", (F.col("pos") + 1).alias("pos"), F.lit(True).alias("was_absorbed")
+    )
+    return materialize(
+        syms.join(taken, ["word", "pos"], "left")
+        .join(absorbed, ["word", "pos"], "left")
+        .filter(F.col("was_absorbed").isNull())
+        .select(
+            "word",
+            "freq",
+            F.row_number().over(w).alias("pos"),
+            F.when(F.col("is_taken"), F.lit(left + right))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+    )
+
+
+def _bpe_supersteps(docs: DataFrame, n_merges: int):
+    """The shared training loop: returns (merge list, final symbol
+    table) — :func:`bpe_train` reports the model,
+    :func:`bpe_vocab_stats` aggregates the rewritten corpus."""
+    from pyspark.sql import Window
+
+    syms = _bpe_symbol_table(docs)
     w = Window.partitionBy("word").orderBy("pos")
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
@@ -1395,42 +1442,13 @@ def _bpe_supersteps(docs: DataFrame, n_merges: int):
             break
         left, right, cnt = best[0]["sym"], best[0]["nxt"], int(best[0]["cnt"])
         merges.append((rank, left, right, cnt))
-        matched = (
-            with_next.filter((F.col("sym") == left) & (F.col("nxt") == right))
-            .withColumn("rn", F.row_number().over(w))
-            .withColumn("isl", F.col("pos") - F.col("rn"))
-        )
-        taken = (
-            matched.withColumn(
-                "off",
-                F.col("rn") - F.min("rn").over(Window.partitionBy("word", "isl")),
-            )
-            .filter(F.col("off") % 2 == 0)
-            .select("word", "pos", F.lit(True).alias("is_taken"))
-        )
-        absorbed = taken.select(
-            "word", (F.col("pos") + 1).alias("pos"), F.lit(True).alias("was_absorbed")
-        )
-        syms = materialize(
-            syms.join(taken, ["word", "pos"], "left")
-            .join(absorbed, ["word", "pos"], "left")
-            .filter(F.col("was_absorbed").isNull())
-            .select(
-                "word",
-                "freq",
-                F.row_number().over(w).alias("pos"),
-                F.when(F.col("is_taken"), F.lit(left + right))
-                .otherwise(F.col("sym"))
-                .alias("sym"),
-            )
-        )
+        syms = _bpe_apply_merge(syms, left, right)
     return merges, syms
 
 
-def bpe_train_sql(src: str = "documents", n_merges: int = BPE_MERGES) -> str:
-    """DuckDB twin of :func:`bpe_train`: the same rounds as CTE levels;
-    the per-round winner is a 1-row CTE cross-joined into the rewrite
-    (SQL's version of the collected driver state)."""
+def _bpe_train_ctes(src: str, n_merges: int) -> list[str]:
+    """The training CTE chain shared by :func:`bpe_train_sql`,
+    :func:`bpe_vocab_stats_sql` and :func:`bpe_encode_stats_sql`."""
     t = tokens_sql("text")
     parts = [
         f"""words AS MATERIALIZED (
@@ -1483,7 +1501,14 @@ def bpe_train_sql(src: str = "documents", n_merges: int = BPE_MERGES) -> str:
             WHERE pv.pos IS NULL
           )
         )""")
-    ctes = ",\n        ".join(parts)
+    return parts
+
+
+def bpe_train_sql(src: str = "documents", n_merges: int = BPE_MERGES) -> str:
+    """DuckDB twin of :func:`bpe_train`: the same rounds as CTE levels;
+    the per-round winner is a 1-row CTE cross-joined into the rewrite
+    (SQL's version of the collected driver state)."""
+    ctes = ",\n        ".join(_bpe_train_ctes(src, n_merges))
     sel = "\n        UNION ALL ".join(
         f"SELECT {k} AS merge_rank, l AS left_sym, r AS right_sym,"
         f" CAST(cnt AS BIGINT) AS pair_count FROM b{k}"
@@ -2008,4 +2033,134 @@ def langid_confusion_sql(src: str = "documents") -> str:
                ROUND(n_docs / CAST(SUM(n_docs) OVER (
                  PARTITION BY lang) AS DOUBLE), 6) AS share
         FROM per
+    """
+
+
+def bpe_encode_stats(
+    docs: DataFrame, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """Tokenizer APPLICATION — the half of the BPE ladder
+    :func:`bpe_train` doesn't cover: train the merge table on one half
+    of the corpus (even doc_ids), encode the HELD-OUT half (odd doc_ids)
+    by replaying the learned merges in rank order, and report what a
+    tokenizer owner checks before shipping a vocabulary: held-out
+    compression (chars per token), how much of the token stream the
+    merges actually cover (``merged_token_share``), and how many
+    held-out symbols the training corpus never saw (``new_symbols`` —
+    the coverage gap that becomes bytes/UNK at serving time).
+
+    Encoding reuses :func:`_bpe_apply_merge` VERBATIM (greedy
+    left-to-right, islands parity), so train-time and apply-time
+    segmentation can never drift — the property real BPE codebases get
+    by sharing the merge function. Scale shape: the held-out corpus
+    collapses to its word-frequency table once; each merge application
+    is vocabulary-sized; the merge list is O(n_merges) driver state.
+    """
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    heldout = docs.filter(F.col("doc_id") % 2 == 1)
+    merges, final_train_syms = _bpe_supersteps(train, n_merges)
+    h = _bpe_symbol_table(heldout)
+    for _, left, right, _ in merges:
+        h = _bpe_apply_merge(h, left, right)
+    train_vocab = final_train_syms.select("sym").distinct()
+    new_syms = (
+        h.select("sym")
+        .distinct()
+        .join(train_vocab, "sym", "left_anti")
+        .agg(F.count("*").alias("new_symbols"))
+    )
+    return (
+        h.agg(
+            F.sum(F.col("freq") * F.length("sym"))
+            .cast("bigint")
+            .alias("heldout_chars"),
+            F.sum("freq").cast("bigint").alias("heldout_tokens"),
+            F.sum(F.when(F.length("sym") > 1, F.col("freq")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("merged_tokens"),
+        )
+        .crossJoin(F.broadcast(new_syms))
+        .select(
+            "heldout_chars",
+            "heldout_tokens",
+            F.round(
+                F.col("heldout_chars") / F.col("heldout_tokens").cast("double"),
+                6,
+            ).alias("chars_per_token"),
+            F.round(
+                F.col("merged_tokens") / F.col("heldout_tokens").cast("double"),
+                6,
+            ).alias("merged_token_share"),
+            F.col("new_symbols").cast("bigint").alias("new_symbols"),
+        )
+    )
+
+
+def bpe_encode_stats_sql(
+    src: str = "documents", n_merges: int = BPE_MERGES
+) -> str:
+    """Twin: the train chain on even doc_ids, then a parallel rewrite
+    chain (h0..hN) over the held-out half driven by each round's b{k}."""
+    train_src = f"(SELECT * FROM {src} WHERE doc_id % 2 = 0) tr"
+    parts = _bpe_train_ctes(train_src, n_merges)
+    t = tokens_sql("text")
+    parts.append(f"""hwords AS MATERIALIZED (
+          SELECT word, COUNT(*) AS freq FROM (
+            SELECT UNNEST({t}) AS word
+            FROM (SELECT * FROM {src} WHERE doc_id % 2 = 1) ho
+          ) GROUP BY word
+        )""")
+    parts.append("""h0 AS MATERIALIZED (
+          SELECT word, freq, i AS pos, substr(word, i, 1) AS sym
+          FROM hwords, UNNEST(generate_series(1, length(word))) AS u(i)
+        )""")
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(f"""nh{k} AS MATERIALIZED (
+          SELECT word, freq, pos, sym,
+                 LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+          FROM h{p}
+        )""")
+        parts.append(f"""mh{k} AS MATERIALIZED (
+          SELECT n.word, n.pos,
+                 ROW_NUMBER() OVER (PARTITION BY n.word ORDER BY n.pos) AS rn
+          FROM nh{k} n CROSS JOIN b{k} b
+          WHERE n.sym = b.l AND n.nxt = b.r
+        )""")
+        parts.append(f"""th{k} AS MATERIALIZED (
+          SELECT word, pos FROM (
+            SELECT word, pos,
+                   rn - MIN(rn) OVER (PARTITION BY word, pos - rn) AS off
+            FROM mh{k}
+          ) WHERE off % 2 = 0
+        )""")
+        parts.append(f"""h{k} AS MATERIALIZED (
+          SELECT word, freq,
+                 ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+                 sym
+          FROM (
+            SELECT s.word, s.freq, s.pos,
+                   CASE WHEN tk.pos IS NOT NULL THEN b.l || b.r
+                        ELSE s.sym END AS sym
+            FROM h{p} s CROSS JOIN b{k} b
+            LEFT JOIN th{k} tk ON tk.word = s.word AND tk.pos = s.pos
+            LEFT JOIN th{k} pv ON pv.word = s.word AND pv.pos = s.pos - 1
+            WHERE pv.pos IS NULL
+          )
+        )""")
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT CAST(SUM(freq * length(sym)) AS BIGINT) AS heldout_chars,
+               CAST(SUM(freq) AS BIGINT) AS heldout_tokens,
+               ROUND(SUM(freq * length(sym))
+                     / CAST(SUM(freq) AS DOUBLE), 6) AS chars_per_token,
+               ROUND(SUM(CASE WHEN length(sym) > 1 THEN freq ELSE 0 END)
+                     / CAST(SUM(freq) AS DOUBLE), 6) AS merged_token_share,
+               (SELECT COUNT(*) FROM (
+                  SELECT DISTINCT sym FROM h{n_merges}
+                  EXCEPT
+                  SELECT DISTINCT sym FROM s{n_merges}
+               )) AS new_symbols
+        FROM h{n_merges}
     """

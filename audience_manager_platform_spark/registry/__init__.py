@@ -120,6 +120,7 @@ _DEFER_RAW: tuple[str, ...] = (
     "sketch_quantile_bands",
     "analytics_decayed_popularity",
     "ts_holt_linear_backtest",
+    "text_bpe_encode",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

@@ -135,6 +135,9 @@ QUERIES = {
     # tokenizer model as supersteps over the word-frequency table
     "text_bpe_train": lambda s, d: T.bpe_train(_docs(s, d)),
     "text_bpe_vocab_stats": lambda s, d: T.bpe_vocab_stats(_docs(s, d)),
+    # r5 wave 12: tokenizer APPLICATION — train on even doc_ids, encode
+    # the held-out odd half with the shared merge-application code
+    "text_bpe_encode": lambda s, d: T.bpe_encode_stats(_docs(s, d)),
     # r5: exact-substring span dedup (Lee et al. 2022 EXACTSUBSTR,
     # re-expressed as positional k-gram fingerprints + islands merge)
     "dedup_duplicate_spans": lambda s, d: D.duplicate_ngram_spans(_docs(s, d)),
@@ -288,6 +291,7 @@ ORACLES = {
     "text_oov_rate_bands": T.oov_rate_bands_sql(),
     "text_bpe_train": T.bpe_train_sql(),
     "text_bpe_vocab_stats": T.bpe_vocab_stats_sql(),
+    "text_bpe_encode": T.bpe_encode_stats_sql(),
     "dedup_duplicate_spans": D.duplicate_ngram_spans_sql(),
     "dedup_recall_eval": D.dedup_recall_eval_sql(),
     "streaming_lsh_dedup": D.minhash_lsh_pairs_sql(est_threshold=0.5),

@@ -2292,3 +2292,29 @@ def test_holt_backtest_tracks_planted_linear_trend(spark):
     assert r.n_days == 40 and r.n_scored == 39
     assert abs(r.final_trend - 0.10) < 0.01
     assert r.mape < 0.05
+
+
+def test_bpe_encode_heldout_compression_and_coverage_gap(spark):
+    from audience_manager_platform_spark.operators.text import (
+        bpe_encode_stats,
+    )
+
+    # train half (even ids): "aa bb" repeated -> merges learn aa, bb.
+    # held-out half (odd ids): same words compress 2 chars -> 1 token;
+    # 'z' never appears in training -> new_symbols >= 1.
+    rows = [
+        (0, "aa bb aa bb aa", "en", "s", 14),
+        (2, "aa bb aa", "en", "s", 8),
+        (1, "aa bb z", "en", "s", 7),
+        (3, "aa aa", "en", "s", 5),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = bpe_encode_stats(docs, n_merges=2).collect()[0]
+    # held-out: words aa(x3), bb(x1), z(x1): chars=3*2+2+1=9
+    assert got.heldout_chars == 9
+    # aa/bb each become one merged token; z stays single
+    assert got.heldout_tokens == 5
+    assert got.merged_token_share == round(4 / 5, 6)
+    assert got.new_symbols == 1  # 'z' unseen in training

@@ -1623,3 +1623,93 @@ def interleave_schedule_sql(
         FROM per_src p CROSS JOIN tot
         LEFT JOIN obs USING (source)
     """
+
+
+# ------------------------------------------------- canary scan
+CANARY_PROBES: tuple[str, ...] = (
+    "canary-2f9d-4e1b-deadbeef",
+    "hash value table",
+    "merge batch part",
+)
+
+
+def canary_scan(
+    docs: DataFrame, canaries: tuple[str, ...] = CANARY_PROBES
+) -> DataFrame:
+    """Benchmark-canary detection — the decontamination practice of
+    planting unique marker strings (GUID canaries) in held-out sets and
+    scanning training corpora for them (the published big-bench /
+    training-data-extraction hygiene check). For every probe string:
+    documents hit, total occurrences (exact substring count), and the
+    first offending doc_id — zero hits is the healthy answer for a real
+    canary; the phrase probes demonstrate the hit path.
+
+    Exact occurrence counting with no UDF:
+    ``(len(text) - len(replace(text, c, ''))) / len(c)`` — pure codegen
+    string ops, identical on both engines. Shape: ONE corpus scan
+    against the broadcast |canaries| probe list (bounded fan-out per
+    row); the report is |canaries| rows, zero-hit probes included."""
+    spark = docs.sparkSession
+    probe_df = spark.createDataFrame(
+        [(c,) for c in canaries], "canary string"
+    )
+    hits = (
+        docs.crossJoin(F.broadcast(probe_df))
+        .select(
+            "doc_id",
+            "canary",
+            F.expr(
+                "(length(text) - length(replace(text, canary, '')))"
+                " div length(canary)"
+            ).alias("occ"),
+        )
+        .filter(F.col("occ") > 0)
+        .groupBy("canary")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("occ").cast("long").alias("total_occurrences"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )
+    return (
+        probe_df.join(hits, "canary", "left")
+        .select(
+            "canary",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("total_occurrences", F.lit(0))
+            .cast("long")
+            .alias("total_occurrences"),
+            F.col("first_doc_id").cast("long").alias("first_doc_id"),
+        )
+        .orderBy("canary")
+    )
+
+
+def canary_scan_sql(
+    src: str = "documents", canaries: tuple[str, ...] = CANARY_PROBES
+) -> str:
+    probe_rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS canary" for c in canaries
+    )
+    return f"""
+        WITH probes AS ({probe_rows}),
+        hits AS (
+          SELECT canary,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(occ) AS BIGINT) AS total_occurrences,
+                 MIN(doc_id) AS first_doc_id
+          FROM (
+            SELECT d.doc_id, p.canary,
+                   (length(d.text) - length(replace(d.text, p.canary, '')))
+                     // length(p.canary) AS occ
+            FROM {src} d CROSS JOIN probes p
+          ) WHERE occ > 0
+          GROUP BY canary
+        )
+        SELECT p.canary,
+               COALESCE(h.n_docs, 0) AS n_docs,
+               COALESCE(h.total_occurrences, 0) AS total_occurrences,
+               h.first_doc_id
+        FROM probes p LEFT JOIN hits h ON p.canary = h.canary
+        ORDER BY p.canary
+    """

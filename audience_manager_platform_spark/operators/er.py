@@ -203,3 +203,129 @@ def entity_clusters_sql(
         HAVING COUNT(*) >= 2
         ORDER BY n_members DESC, entity_id ASC
     """
+
+
+# ------------------------------------------------- golden records
+def survivorship(
+    df: DataFrame,
+    key_col: str,
+    name_col: str,
+    attrs: tuple[str, ...],
+    agree_col: str | None = None,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Golden-record construction — the step after
+    :func:`entity_clusters` that MDM pipelines actually ship: for every
+    resolved entity, elect ONE surviving value per attribute by
+    most-frequent-wins voting over the member records (ties break to the
+    smallest value, so the election is deterministic on any engine and
+    any partitioning — never ``mode()``, whose tie behavior is engine
+    noise). Output: entity id, member count, canonical (minimum) name,
+    and one ``<attr>_survivor`` column per requested attribute.
+
+    Scale shape: members = component table joined back to the source
+    (key-wise); each attribute election is a |entities|x|values|
+    combinable count plus an entity-keyed top-1 window; the final joins
+    are |entities|-row model tables.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import connected_components
+
+    pairs = fuzzy_blocked_pairs(
+        df, key_col, name_col, agree_col=agree_col, max_distance=max_distance
+    ).select(F.col("a_key").alias("doc_a"), F.col("b_key").alias("doc_b"))
+    nodes = df.select(F.col(key_col).alias("doc_id"))
+    cc = connected_components(pairs, nodes)
+    members = cc.join(
+        df.select(F.col(key_col).alias("doc_id"), name_col, *attrs), "doc_id"
+    )
+    ents = (
+        members.groupBy(F.col("cluster_id").alias("entity_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.min(name_col).alias("canonical_name"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    out = ents
+    for attr in attrs:
+        votes = members.groupBy("cluster_id", attr).agg(
+            F.count("*").alias("_c")
+        )
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.desc("_c"), F.asc(attr)
+        )
+        top = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col("cluster_id").alias("entity_id"),
+                F.col(attr).alias(f"{attr}_survivor"),
+            )
+        )
+        out = out.join(top, "entity_id")
+    return out.orderBy(F.desc("n_members"), F.asc("entity_id"))
+
+
+def survivorship_sql(
+    src: str,
+    key_col: str,
+    name_col: str,
+    attrs: tuple[str, ...],
+    agree_col: str | None = None,
+    max_distance: int = 3,
+) -> str:
+    pairs_sql = fuzzy_blocked_pairs_sql(
+        src, key_col, name_col, agree_col=agree_col, max_distance=max_distance
+    )
+    vote_ctes = []
+    vote_joins = []
+    vote_cols = []
+    for attr in attrs:
+        vote_ctes.append(f"""v_{attr} AS (
+          SELECT entity_id, {attr} AS {attr}_survivor FROM (
+            SELECT entity_id, {attr}, ROW_NUMBER() OVER (
+                     PARTITION BY entity_id
+                     ORDER BY COUNT(*) DESC, {attr} ASC NULLS FIRST) AS rn
+            FROM members GROUP BY entity_id, {attr}
+          ) WHERE rn = 1
+        )""")
+        vote_joins.append(f"JOIN v_{attr} USING (entity_id)")
+        vote_cols.append(f"{attr}_survivor")
+    votes = ",\n        ".join(vote_ctes)
+    joins = "\n        ".join(vote_joins)
+    cols = ", ".join(vote_cols)
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        edges AS (
+          SELECT a_key AS src, b_key AS dst FROM pairs
+          UNION
+          SELECT b_key, a_key FROM pairs
+        ),
+        reach(id, seen) AS (
+          SELECT {key_col}, {key_col} FROM {src}
+          UNION
+          SELECT r.id, e.dst FROM reach r JOIN edges e ON r.seen = e.src
+        ),
+        comp AS (
+          SELECT id AS _k, MIN(seen) AS entity_id FROM reach GROUP BY id
+        ),
+        members AS (
+          SELECT comp.entity_id, s.{name_col} AS _name,
+                 {", ".join(f"s.{a}" for a in attrs)}
+          FROM comp JOIN {src} s ON s.{key_col} = comp._k
+        ),
+        ents AS (
+          SELECT entity_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_members,
+                 MIN(_name) AS canonical_name
+          FROM members GROUP BY entity_id
+          HAVING COUNT(*) >= 2
+        ),
+        {votes}
+        SELECT entity_id, n_members, canonical_name, {cols}
+        FROM ents
+        {joins}
+        ORDER BY n_members DESC, entity_id ASC
+    """

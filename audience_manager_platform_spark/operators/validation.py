@@ -735,3 +735,64 @@ def fk_fanout_profile_sql(rels) -> str:
         ) pp
         """)
     return " UNION ALL ".join(parts)
+
+
+def unique_key_audit(tables) -> "DataFrame":
+    """Primary-key uniqueness audit — the first rung of the validation
+    ladder (beneath :func:`fk_orphan_audit` / :func:`fk_fanout_profile`):
+    for every declared key, does it actually identify rows? ``tables``
+    is a list of ``(table_name, df, key_cols)``. One row per table:
+    total rows, distinct keys, keys carrying more than one row, the
+    worst multiplicity, and the promote/block verdict.
+
+    Shape: per table ONE combinable groupBy on the key columns (narrow
+    projection — the scan prunes everything else) collapsed by a 1-row
+    aggregate; the report is |tables| rows."""
+    outs = []
+    for name, df, keys in tables:
+        per_key = df.groupBy(*keys).agg(F.count("*").alias("_cnt"))
+        outs.append(
+            per_key.agg(
+                F.sum("_cnt").cast("long").alias("n_rows"),
+                F.count("*").cast("long").alias("n_keys"),
+                F.sum(F.when(F.col("_cnt") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("dup_keys"),
+                F.max("_cnt").cast("long").alias("max_multiplicity"),
+            ).select(
+                F.lit(name).alias("table_name"),
+                F.lit(",".join(keys)).alias("key_columns"),
+                "n_rows",
+                "n_keys",
+                "dup_keys",
+                "max_multiplicity",
+                (F.col("dup_keys") == 0).alias("is_unique"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("table_name")
+
+
+def unique_key_audit_sql(tables) -> str:
+    """SQL twin; ``tables`` is ``(table_name, table_sql_name,
+    key_cols)``."""
+    parts = []
+    for name, src, keys in tables:
+        kl = ", ".join(keys)
+        parts.append(f"""
+        SELECT '{name}' AS table_name,
+               '{",".join(keys)}' AS key_columns,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS dup_keys,
+               CAST(MAX(cnt) AS BIGINT) AS max_multiplicity,
+               SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) = 0 AS is_unique
+        FROM (SELECT COUNT(*) AS cnt FROM {src} GROUP BY {kl})""")
+    body = "\n        UNION ALL".join(parts)
+    return f"""
+        SELECT * FROM ({body})
+        ORDER BY table_name
+    """

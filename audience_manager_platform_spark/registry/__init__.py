@@ -121,6 +121,10 @@ _DEFER_RAW: tuple[str, ...] = (
     "analytics_decayed_popularity",
     "ts_holt_linear_backtest",
     "text_bpe_encode",
+    # wave 13
+    "corpus_canary_scan",
+    "validate_unique_keys",
+    "er_survivorship",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

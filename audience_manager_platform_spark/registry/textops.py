@@ -235,6 +235,8 @@ QUERIES = {
     ),
     # r5: langid -> gopher -> dedup attrition funnel
     "corpus_filter_funnel": lambda s, d: C.filter_funnel(_docs(s, d)),
+    # r5 wave 13: benchmark-canary decontamination scan
+    "corpus_canary_scan": lambda s, d: C.canary_scan(_docs(s, d)),
     # r5: context-window fill histogram over the packer
     "corpus_pack_efficiency": lambda s, d: C.pack_efficiency(_docs(s, d)),
     # r5: novelty curve — per doc_id decile, share of n-grams first seen
@@ -341,6 +343,7 @@ ORACLES = {
     "corpus_dsir_weights": C.dsir_weights_sql(),
     "corpus_dup_rate_by_source": C.dup_rate_by_source_sql(),
     "corpus_filter_funnel": C.filter_funnel_sql(),
+    "corpus_canary_scan": C.canary_scan_sql(),
     "corpus_pack_efficiency": C.pack_efficiency_sql(),
     "corpus_ngram_novelty": C.ngram_novelty_sql(),
     "text_readability": T.readability_scores_sql(),

@@ -20,6 +20,8 @@ from ..operators.er import (
     entity_clusters_sql,
     fuzzy_blocked_pairs,
     fuzzy_blocked_pairs_sql,
+    survivorship,
+    survivorship_sql,
 )
 from ..operators.graph import (
     bfs_distances,
@@ -62,6 +64,8 @@ from ..operators.validation import (
     fk_fanout_profile_sql,
     fk_orphan_audit,
     fk_orphan_audit_sql,
+    unique_key_audit,
+    unique_key_audit_sql,
     k_anonymity_audit,
     k_anonymity_audit_sql,
     l_diversity_audit,
@@ -421,6 +425,27 @@ QUERIES = {
         ("lineitem->supplier", load_table(s, d, "lineitem"), "l_suppkey",
          load_table(s, d, "supplier"), "s_suppkey"),
     ]),
+    # r5 wave 13: PK uniqueness — the promote/block gate beneath the
+    # orphan and fanout audits
+    "validate_unique_keys": lambda s, d: unique_key_audit([
+        ("customer", load_table(s, d, "customer"), ["c_custkey"]),
+        ("documents", load_table(s, d, "documents"), ["doc_id"]),
+        ("events", load_table(s, d, "events"), ["event_id"]),
+        ("lineitem", load_table(s, d, "lineitem"),
+         ["l_orderkey", "l_linenumber"]),
+        ("orders", load_table(s, d, "orders"), ["o_orderkey"]),
+        ("part", load_table(s, d, "part"), ["p_partkey"]),
+    ]),
+    # r5 wave 13: golden records — deterministic most-frequent-wins
+    # attribute election over the resolved ER entities
+    "er_survivorship": lambda s, d: survivorship(
+        load_table(s, d, "part"),
+        "p_partkey",
+        "p_name",
+        ("p_brand", "p_type", "p_size"),
+        agree_col="p_brand",
+        max_distance=3,
+    ),
     # r5 wave 4: link-prediction primitive — suppliers similar by the
     # parts they ship (shared-neighbor equi-join, hub-capped)
     "graph_supplier_similarity": lambda s, d: neighbor_jaccard(
@@ -560,6 +585,22 @@ ORACLES = {
         ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
         ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
     ]),
+    "validate_unique_keys": unique_key_audit_sql([
+        ("customer", "customer", ["c_custkey"]),
+        ("documents", "documents", ["doc_id"]),
+        ("events", "events", ["event_id"]),
+        ("lineitem", "lineitem", ["l_orderkey", "l_linenumber"]),
+        ("orders", "orders", ["o_orderkey"]),
+        ("part", "part", ["p_partkey"]),
+    ]),
+    "er_survivorship": survivorship_sql(
+        "part",
+        "p_partkey",
+        "p_name",
+        ("p_brand", "p_type", "p_size"),
+        agree_col="p_brand",
+        max_distance=3,
+    ),
     "graph_supplier_similarity": neighbor_jaccard_sql(
         "SELECT l_suppkey AS a, l_partkey AS b FROM lineitem",
         threshold=0.15,

@@ -2318,3 +2318,70 @@ def test_bpe_encode_heldout_compression_and_coverage_gap(spark):
     assert got.heldout_tokens == 5
     assert got.merged_token_share == round(4 / 5, 6)
     assert got.new_symbols == 1  # 'z' unseen in training
+
+
+def test_canary_scan_counts_occurrences_and_reports_zero_hits(spark):
+    from audience_manager_platform_spark.operators.corpus import canary_scan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean text with nothing", "en", "s", 23),
+            (2, "CANARY-X here and CANARY-X again", "en", "s", 32),
+            (3, "one CANARY-X only", "en", "s", 17),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.canary: r for r in canary_scan(
+        docs, canaries=("CANARY-X", "absent-guid")
+    ).collect()}
+    assert got["CANARY-X"].n_docs == 2
+    assert got["CANARY-X"].total_occurrences == 3
+    assert got["CANARY-X"].first_doc_id == 2
+    assert got["absent-guid"].n_docs == 0
+    assert got["absent-guid"].total_occurrences == 0
+    assert got["absent-guid"].first_doc_id is None
+
+
+def test_unique_key_audit_flags_planted_duplicate(spark):
+    from audience_manager_platform_spark.operators.validation import (
+        unique_key_audit,
+    )
+
+    clean = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    dirty = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "d")], "id long, v string"
+    )
+    got = {r.table_name: r for r in unique_key_audit(
+        [("clean", clean, ["id"]), ("dirty", dirty, ["id"])]
+    ).collect()}
+    assert got["clean"].is_unique and got["clean"].dup_keys == 0
+    assert not got["dirty"].is_unique
+    assert got["dirty"].n_rows == 4 and got["dirty"].n_keys == 2
+    assert got["dirty"].dup_keys == 1 and got["dirty"].max_multiplicity == 3
+
+
+def test_survivorship_elects_majority_value_with_min_tiebreak(spark):
+    from audience_manager_platform_spark.operators.er import survivorship
+
+    # three near-duplicate names in one block ('acme corp' family, edit
+    # distance 1, same brand): brand vote unanimous, color vote 2-1,
+    # size vote 1-1-1 ties -> min wins
+    rows = [
+        (1, "acme corpA", "B1", "red", 10),
+        (2, "acme corpB", "B1", "red", 30),
+        (3, "acme corpC", "B1", "blue", 20),
+        (9, "other thing", "B2", "green", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "pk long, name string, brand string, color string, size int"
+    )
+    got = survivorship(
+        df, "pk", "name", ("brand", "color", "size"), agree_col="brand"
+    ).collect()
+    assert len(got) == 1  # the singleton never becomes an entity
+    r = got[0]
+    assert r.entity_id == 1 and r.n_members == 3
+    assert r.canonical_name == "acme corpA"
+    assert r.brand_survivor == "B1"
+    assert r.color_survivor == "red"
+    assert r.size_survivor == 10  # 1-1-1 tie -> smallest value

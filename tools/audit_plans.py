@@ -63,6 +63,8 @@ NESTED_LOOP_ALLOWED = {
     "sketch_quantile_bands",
     # 1-row max-day anchor broadcast
     "analytics_decayed_popularity",
+    # broadcast |canaries| probe list (bounded fan-out per doc)
+    "corpus_canary_scan",
     # day-spine / scalar anchors: 1-row side
     "analytics_daily_totals",
     "analytics_daily_totals_sparse",

@@ -1591,3 +1591,194 @@ def decayed_popularity_sql(src: str = "events", horizon_weeks: int = 20) -> str:
         GROUP BY event_type
         ORDER BY decayed_score DESC, event_type ASC
     """
+
+
+def position_attribution(events: DataFrame, max_gap_days: int = 7) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — the third
+    rung of the ladder after :func:`last_touch_attribution` (100% to the
+    latest click) and :func:`linear_attribution` (equal split): 40% to
+    the FIRST touch, 40% to the LAST, 20% shared by the middles; one
+    touch takes everything, two split 50/50.
+
+    Credits are EXACT integer parts-per-million — no floats exist
+    anywhere in the contract: ``mid_each_ppm = 200000 // (n-2)`` with
+    the division remainder surfaced as ``mid_rem_ppm`` (assigned to the
+    earliest middle by convention), so
+    ``first + last + (n-2)*mid_each + rem == 1000000`` holds row by row
+    and company-wide credit conservation is an arithmetic identity, not
+    a rounding hope.
+
+    Same single-pass shape as the linear variant: ONE user-keyed RANGE
+    window (no purchases x clicks self-join — quadratic on power
+    users); beside the counts it carries conditional MIN/MAX click
+    seconds, so each purchase also reports its time-to-conversion from
+    first and last touch."""
+    sec = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP '1970-01-01 00:00:00', "
+        "date_trunc('SECOND', ts))"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("_sec").asc())
+        .rangeBetween(-max_gap_days * 86400, 0)
+    )
+    is_click = F.col("event_type") == "click"
+    n_touches = F.sum(F.when(is_click, F.lit(1)).otherwise(F.lit(0))).over(w)
+    first_sec = F.min(F.when(is_click, F.col("_sec"))).over(w)
+    last_sec = F.max(F.when(is_click, F.col("_sec"))).over(w)
+    n = F.col("n_touches")
+    return (
+        events.withColumn("_sec", sec)
+        .withColumn("n_touches", n_touches)
+        .withColumn("_first", first_sec)
+        .withColumn("_last", last_sec)
+        .filter(F.col("event_type") == "purchase")
+        .filter(n > 0)
+        .select(
+            "event_id",
+            "user_id",
+            n.cast("long").alias("n_touches"),
+            F.when(n == 1, F.lit(1000000))
+            .when(n == 2, F.lit(500000))
+            .otherwise(F.lit(400000))
+            .cast("long")
+            .alias("first_ppm"),
+            F.when(n == 1, F.lit(0))
+            .when(n == 2, F.lit(500000))
+            .otherwise(F.lit(400000))
+            .cast("long")
+            .alias("last_ppm"),
+            F.when(n >= 3, F.expr("200000 div (n_touches - 2)"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("mid_each_ppm"),
+            F.when(n >= 3, F.expr("200000 % (n_touches - 2)"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("mid_rem_ppm"),
+            (F.col("_sec") - F.col("_first"))
+            .cast("long")
+            .alias("secs_since_first_touch"),
+            (F.col("_sec") - F.col("_last"))
+            .cast("long")
+            .alias("secs_since_last_touch"),
+        )
+    )
+
+
+def position_attribution_sql(src: str = "events", max_gap_days: int = 7) -> str:
+    gap = max_gap_days * 86400
+    frame = (
+        f"PARTITION BY user_id ORDER BY sec "
+        f"RANGE BETWEEN {gap} PRECEDING AND CURRENT ROW"
+    )
+    return f"""
+        WITH secs AS (
+          SELECT event_id, user_id, ts, event_type,
+                 date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+                           date_trunc('second', ts)) AS sec
+          FROM {src}
+        ),
+        counted AS (
+          SELECT *,
+                 SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   OVER ({frame}) AS n_touches,
+                 MIN(CASE WHEN event_type = 'click' THEN sec END)
+                   OVER ({frame}) AS first_sec,
+                 MAX(CASE WHEN event_type = 'click' THEN sec END)
+                   OVER ({frame}) AS last_sec
+          FROM secs
+        )
+        SELECT event_id, user_id,
+               CAST(n_touches AS BIGINT) AS n_touches,
+               CAST(CASE WHEN n_touches = 1 THEN 1000000
+                         WHEN n_touches = 2 THEN 500000
+                         ELSE 400000 END AS BIGINT) AS first_ppm,
+               CAST(CASE WHEN n_touches = 1 THEN 0
+                         WHEN n_touches = 2 THEN 500000
+                         ELSE 400000 END AS BIGINT) AS last_ppm,
+               CAST(CASE WHEN n_touches >= 3
+                         THEN 200000 // (n_touches - 2)
+                         ELSE 0 END AS BIGINT) AS mid_each_ppm,
+               CAST(CASE WHEN n_touches >= 3
+                         THEN 200000 % (n_touches - 2)
+                         ELSE 0 END AS BIGINT) AS mid_rem_ppm,
+               CAST(sec - first_sec AS BIGINT) AS secs_since_first_touch,
+               CAST(sec - last_sec AS BIGINT) AS secs_since_last_touch
+        FROM counted
+        WHERE event_type = 'purchase' AND n_touches > 0
+    """
+
+
+def pareto_coverage(events: DataFrame) -> DataFrame:
+    """Pareto concentration: how many of the heaviest spenders cover 80%
+    of total revenue — the "do 20% of users drive 80% of spend" number
+    beside :func:`revenue_gini` (Gini says HOW concentrated; this says
+    WHO you must retain). One row: users counted, the minimal top-k
+    whose cumulative spend reaches 80%, their share of the user base,
+    and total revenue.
+
+    Exactness: spend in integer cents, the 80% test is the integer
+    cross-multiplication ``cum*5 >= total*4`` — no percent float ever
+    exists. Shape: one combinable per-user reduce, then the cumulative
+    window runs over the |users|-row table (the documented exact cost,
+    same as the decile profile; approx quantiles are the huge-|users|
+    swap)."""
+    per_user = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).alias(
+                "cents"
+            )
+        )
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("user_id"))
+    ranked = per_user.select(
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.sum("cents").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.sum("cents").over(Window.partitionBy()).alias("tot"),
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.min(
+            F.when(F.col("cum") * 5 >= F.col("tot") * 4, F.col("rn"))
+        ).cast("long").alias("n_users_80pct"),
+        F.max("tot").alias("total_cents"),
+    ).select(
+        "n_users",
+        "n_users_80pct",
+        F.round(
+            F.col("n_users_80pct") / F.col("n_users").cast("double"), 6
+        ).alias("users_share_80pct"),
+        (F.col("total_cents") / F.lit(100.0)).alias("total_revenue"),
+    )
+
+
+def pareto_coverage_sql(src: str = "events") -> str:
+    return f"""
+        WITH per_user AS (
+          SELECT user_id,
+                 SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+          FROM {src} WHERE user_id IS NOT NULL GROUP BY user_id
+        ),
+        ranked AS (
+          SELECT cents,
+                 ROW_NUMBER() OVER (ORDER BY cents DESC, user_id ASC) AS rn,
+                 SUM(cents) OVER (ORDER BY cents DESC, user_id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum,
+                 SUM(cents) OVER () AS tot
+          FROM per_user
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(MIN(CASE WHEN cum * 5 >= tot * 4 THEN rn END)
+                 AS BIGINT) AS n_users_80pct,
+               ROUND(MIN(CASE WHEN cum * 5 >= tot * 4 THEN rn END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS users_share_80pct,
+               MAX(tot) / 100.0 AS total_revenue
+        FROM ranked
+    """

@@ -125,6 +125,9 @@ _DEFER_RAW: tuple[str, ...] = (
     "corpus_canary_scan",
     "validate_unique_keys",
     "er_survivorship",
+    # wave 14
+    "analytics_position_attribution",
+    "analytics_pareto_coverage",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

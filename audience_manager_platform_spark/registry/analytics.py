@@ -165,6 +165,15 @@ QUERIES = {
     "analytics_decayed_popularity": lambda s, d: A.decayed_popularity(
         load_table(s, d, "events")
     ),
+    # r5 wave 14: U-shaped attribution — exact integer ppm credits,
+    # conservation by construction
+    "analytics_position_attribution": lambda s, d: A.position_attribution(
+        load_table(s, d, "events")
+    ),
+    # r5 wave 14: top-k users covering 80% of revenue (Pareto check)
+    "analytics_pareto_coverage": lambda s, d: A.pareto_coverage(
+        load_table(s, d, "events")
+    ),
     # r5 (deferred window): WAU / trailing-4-week MAU stickiness
     "analytics_stickiness": lambda s, d: A.stickiness(
         load_table(s, d, "events")
@@ -337,6 +346,8 @@ ORACLES = {
     "analytics_ab_conversion_ztest": A.ab_conversion_ztest_sql(),
     "analytics_burst_stats": A.burst_stats_sql(),
     "analytics_decayed_popularity": A.decayed_popularity_sql(),
+    "analytics_position_attribution": A.position_attribution_sql(),
+    "analytics_pareto_coverage": A.pareto_coverage_sql(),
     "analytics_stickiness": A.stickiness_sql(),
     "analytics_revenue_gini": A.revenue_gini_sql(),
     "analytics_new_vs_returning": A.new_vs_returning_sql(),

@@ -2385,3 +2385,66 @@ def test_survivorship_elects_majority_value_with_min_tiebreak(spark):
     assert r.brand_survivor == "B1"
     assert r.color_survivor == "red"
     assert r.size_survivor == 10  # 1-1-1 tie -> smallest value
+
+
+def test_position_attribution_conserves_exact_ppm(spark):
+    from pyspark.sql import functions as F
+
+    from audience_manager_platform_spark.operators.analytics import (
+        position_attribution,
+    )
+
+    import datetime
+
+    base = datetime.datetime(2024, 1, 10, 12, 0, 0)
+    rows = []
+    # user 1: 5 clicks then purchase -> 40/40/20 with 200000 % 3 = 2 rem
+    for i in range(5):
+        rows.append((i, base + datetime.timedelta(hours=i), 1, "click", 0.0, "{}"))
+    rows.append((10, base + datetime.timedelta(hours=6), 1, "purchase", 9.99, "{}"))
+    # user 2: single click then purchase -> 100% to first
+    rows.append((20, base, 2, "click", 0.0, "{}"))
+    rows.append((21, base + datetime.timedelta(hours=1), 2, "purchase", 5.0, "{}"))
+    # user 3: purchase with NO clicks -> dropped
+    rows.append((30, base, 3, "purchase", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.user_id: r for r in position_attribution(ev).collect()}
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    assert r1.n_touches == 5
+    assert r1.first_ppm == 400000 and r1.last_ppm == 400000
+    assert r1.mid_each_ppm == 66666 and r1.mid_rem_ppm == 2
+    assert (
+        r1.first_ppm + r1.last_ppm + 3 * r1.mid_each_ppm + r1.mid_rem_ppm
+        == 1000000
+    )
+    assert r1.secs_since_first_touch == 6 * 3600
+    assert r1.secs_since_last_touch == 2 * 3600
+    r2 = got[2]
+    assert r2.n_touches == 1 and r2.first_ppm == 1000000 and r2.last_ppm == 0
+
+
+def test_pareto_coverage_planted_concentration(spark):
+    from audience_manager_platform_spark.operators.analytics import (
+        pareto_coverage,
+    )
+
+    # one whale with 800 of 1000 total -> a single user covers 80%
+    rows = [(0, "2024-01-01 00:00:00", 99, "purchase", 800.0, "{}")]
+    for i in range(20):
+        rows.append((i + 1, "2024-01-01 00:00:00", i, "purchase", 10.0, "{}"))
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = pareto_coverage(ev).collect()[0]
+    assert r.n_users == 21
+    assert r.n_users_80pct == 1
+    assert r.total_revenue == 1000.0

@@ -259,3 +259,150 @@ def basket_brand_lift_sql(
         CROSS JOIN tot
         ORDER BY lift DESC, brand_a ASC, brand_b ASC LIMIT {k}
     """
+
+
+# --------------------------------------------- interval-overlap join
+def interval_overlap_state_promos(events: DataFrame) -> DataFrame:
+    """Interval-overlap join — the join primitive neither equi- nor
+    as-of joins cover: pair rows whose VALIDITY PERIODS intersect and
+    measure the intersection. Demonstrated on the warehouse's own
+    tables: SCD2 user-state periods (from :func:`..merge.scd2_history`)
+    against a monthly promo calendar (first 7 days of each month in the
+    data span), reporting per state how many user-periods touched a
+    promo window and for how many user-days in total.
+
+    Scale shape — the banded interval join: naively "a.from < b.to AND
+    b.from < a.to" is a cross join. Instead both sides band to calendar
+    MONTHS (periods explode to the months they touch — bounded by
+    period length; promos are monthly by construction), the join runs
+    as an EQUI-join on the month key, and each overlapping pair is
+    emitted EXACTLY ONCE by the allocation rule ``band ==
+    month(overlap_start)`` — no distinct over the pair table. Overlap
+    arithmetic is exact integer day counts on half-open ranges
+    ``[from_day, to_day)``; open SCD2 tails close at max-day + 1."""
+    from .merge import scd2_history
+
+    periods = scd2_history(events)
+    bounds = events.agg(
+        F.max(F.to_date("ts")).alias("_hi"), F.min(F.to_date("ts")).alias("_lo")
+    )
+    p = (
+        periods.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            "state",
+            F.to_date("valid_from").alias("p_from"),
+            F.coalesce(
+                F.date_add(F.to_date("valid_to"), 1),
+                F.date_add(F.col("_hi"), 1),
+            ).alias("p_to"),
+        )
+    )
+    promos = (
+        bounds.select(
+            F.explode(
+                F.expr(
+                    "sequence(date_trunc('MONTH', _lo),"
+                    " date_trunc('MONTH', _hi), interval 1 month)"
+                )
+            ).alias("m_start")
+        )
+        .select(
+            F.date_format("m_start", "yyyy-MM").alias("promo_id"),
+            F.col("m_start").cast("date").alias("b_from"),
+            F.date_add(F.col("m_start").cast("date"), 7).alias("b_to"),
+        )
+    )
+    banded = p.select(
+        "user_id",
+        "state",
+        "p_from",
+        "p_to",
+        F.explode(
+            F.expr(
+                "sequence(date_trunc('MONTH', p_from),"
+                " date_trunc('MONTH', date_sub(p_to, 1)), interval 1 month)"
+            )
+        ).alias("_band_ts"),
+    ).withColumn("band", F.col("_band_ts").cast("date")).drop("_band_ts")
+    pairs = (
+        banded.join(
+            F.broadcast(promos),
+            F.col("band") == F.col("b_from"),
+        )
+        .withColumn(
+            "ov_start", F.greatest("p_from", "b_from")
+        )
+        .withColumn("ov_end", F.least("p_to", "b_to"))
+        .filter(F.col("ov_end") > F.col("ov_start"))
+        .filter(
+            F.expr("date_trunc('MONTH', ov_start)").cast("date")
+            == F.col("band")
+        )
+        .select(
+            "state",
+            F.datediff("ov_end", "ov_start").alias("overlap_days"),
+        )
+    )
+    return (
+        pairs.groupBy("state")
+        .agg(
+            F.count("*").cast("long").alias("n_overlapping_periods"),
+            F.sum("overlap_days").cast("long").alias("total_overlap_days"),
+        )
+        .orderBy("state")
+    )
+
+
+def interval_overlap_state_promos_sql(src: str = "events") -> str:
+    from .merge import scd2_history_sql
+
+    return f"""
+        WITH hist AS ({scd2_history_sql(src)}),
+        bounds AS (
+          SELECT MAX(CAST(ts AS DATE)) AS hi, MIN(CAST(ts AS DATE)) AS lo
+          FROM {src}
+        ),
+        p AS (
+          SELECT user_id, state,
+                 CAST(valid_from AS DATE) AS p_from,
+                 COALESCE(CAST(valid_to AS DATE) + 1, hi + 1) AS p_to
+          FROM hist CROSS JOIN bounds
+        ),
+        promos AS (
+          SELECT strftime(m_start, '%Y-%m') AS promo_id,
+                 CAST(m_start AS DATE) AS b_from,
+                 CAST(m_start AS DATE) + 7 AS b_to
+          FROM (
+            SELECT UNNEST(generate_series(
+                     date_trunc('month', lo),
+                     date_trunc('month', hi),
+                     INTERVAL 1 MONTH)) AS m_start
+            FROM bounds
+          )
+        ),
+        banded AS (
+          SELECT user_id, state, p_from, p_to,
+                 CAST(UNNEST(generate_series(
+                   date_trunc('month', p_from),
+                   date_trunc('month', p_to - 1),
+                   INTERVAL 1 MONTH)) AS DATE) AS band
+          FROM p
+        ),
+        pairs AS (
+          SELECT state,
+                 date_diff('day',
+                           GREATEST(p_from, b_from),
+                           LEAST(p_to, b_to)) AS overlap_days
+          FROM banded JOIN promos ON band = b_from
+          WHERE LEAST(p_to, b_to) > GREATEST(p_from, b_from)
+            AND CAST(date_trunc('month', GREATEST(p_from, b_from)) AS DATE)
+                = band
+        )
+        SELECT state,
+               CAST(COUNT(*) AS BIGINT) AS n_overlapping_periods,
+               CAST(SUM(overlap_days) AS BIGINT) AS total_overlap_days
+        FROM pairs
+        GROUP BY state
+        ORDER BY state
+    """

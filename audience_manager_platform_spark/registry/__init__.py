@@ -128,6 +128,7 @@ _DEFER_RAW: tuple[str, ...] = (
     # wave 14
     "analytics_position_attribution",
     "analytics_pareto_coverage",
+    "join_interval_overlap",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

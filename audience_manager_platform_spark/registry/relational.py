@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 from ..operators.relational import (
     asof_join,
+    interval_overlap_state_promos,
+    interval_overlap_state_promos_sql,
     basket_brand_lift,
     basket_brand_lift_sql,
     basket_brand_pairs,
@@ -493,6 +495,11 @@ QUERIES = {
     "sketch_quantile_bands": lambda s, d: quantile_histogram(
         load_table(s, d, "lineitem"), "l_extendedprice"
     ),
+    # r5 wave 14: banded interval-overlap join (SCD2 periods x promo
+    # calendar) — month-band equi-join, emit-once allocation rule
+    "join_interval_overlap": lambda s, d: interval_overlap_state_promos(
+        _events(s, d)
+    ),
 }
 
 # ten fixed probe ids spanning the fixture's user range
@@ -727,4 +734,5 @@ ORACLES = {
     "sketch_quantile_bands": quantile_histogram_sql(
         "lineitem", "l_extendedprice"
     ),
+    "join_interval_overlap": interval_overlap_state_promos_sql(),
 }

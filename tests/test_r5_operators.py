@@ -2448,3 +2448,37 @@ def test_pareto_coverage_planted_concentration(spark):
     assert r.n_users == 21
     assert r.n_users_80pct == 1
     assert r.total_revenue == 1000.0
+
+
+def test_interval_overlap_join_exact_days_and_emit_once(spark):
+    from pyspark.sql import functions as F
+
+    from audience_manager_platform_spark.operators.relational import (
+        interval_overlap_state_promos,
+    )
+
+    import datetime
+
+    # user 1 stays in state 'view' from Jan 5 to Feb 20 (one long
+    # period spanning two promo windows: Jan 1-8 overlap 3 days
+    # [5,6,7], Feb 1-8 overlap full 7) then 'click' until Mar 2.
+    rows = [
+        (1, datetime.datetime(2024, 1, 5), 1, "view", 0.0, "{}"),
+        (2, datetime.datetime(2024, 2, 20), 1, "click", 0.0, "{}"),
+        (3, datetime.datetime(2024, 3, 2), 1, "click", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.state: r for r in interval_overlap_state_promos(ev).collect()}
+    # view period: [Jan5, Feb20): Jan promo overlap = Jan5..Jan8 = 3
+    # days; Feb promo = Feb1..Feb8 = 7 days -> 2 periods rows? one
+    # period, two windows -> counted once per overlapping pair
+    assert got["view"].n_overlapping_periods == 2
+    assert got["view"].total_overlap_days == 10
+    # click period: [Feb20, Mar3): only the Mar 1-8 promo overlaps,
+    # Mar1..Mar3 = 2 days
+    assert got["click"].n_overlapping_periods == 1
+    assert got["click"].total_overlap_days == 2

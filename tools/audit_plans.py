@@ -65,6 +65,8 @@ NESTED_LOOP_ALLOWED = {
     "analytics_decayed_popularity",
     # broadcast |canaries| probe list (bounded fan-out per doc)
     "corpus_canary_scan",
+    # 1-row date-bounds broadcast; promo side is |months| rows
+    "join_interval_overlap",
     # day-spine / scalar anchors: 1-row side
     "analytics_daily_totals",
     "analytics_daily_totals_sparse",

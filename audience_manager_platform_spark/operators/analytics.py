@@ -1782,3 +1782,127 @@ def pareto_coverage_sql(src: str = "events") -> str:
                MAX(tot) / 100.0 AS total_revenue
         FROM ranked
     """
+
+
+def survival_retention(
+    events: DataFrame, churn_gap_days: int = 7
+) -> DataFrame:
+    """Kaplan-Meier retention curve — the censoring-aware survival
+    estimate behind "what fraction of users are still active after t
+    days" (naive retention over-counts churn because recently-acquired
+    users haven't had TIME to churn; KM handles them as right-censored
+    observations). A user's lifetime is first-activity to
+    last-activity; users silent for the final ``churn_gap_days`` of the
+    observation window churned at their last day, everyone else is
+    censored there. Per observed lifetime t: the risk set, churn and
+    censor counts, and S(t) = Π_{s<=t} (1 − d_s/n_s).
+
+    Determinism: the KM product is inherently sequential, so it runs as
+    the Holt contract — the |lifetimes|-row life table (model-sized:
+    bounded by the day span) walks once through an Arrow-batched
+    ``applyInPandas`` step whose float ops the DuckDB recursive-CTE twin
+    replays in the SAME order and parenthesization (``s * (1.0 -
+    (d / n))``), making the curve bit-identical. Risk sets and counts
+    are exact integers from ONE user-keyed combinable reduce — the only
+    corpus-sized shuffle."""
+    import pandas as pd
+
+    bounds = events.agg(F.max(F.to_date("ts")).alias("_maxday"))
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("_first"),
+        F.max(F.to_date("ts")).alias("_last"),
+    )
+    lif = per_user.crossJoin(F.broadcast(bounds)).select(
+        F.datediff("_last", "_first").alias("t"),
+        (F.datediff("_maxday", "_last") >= churn_gap_days).alias("_churned"),
+    )
+    per_t = lif.groupBy("t").agg(
+        F.sum(F.when(F.col("_churned"), 1).otherwise(0)).alias("d"),
+        F.sum(F.when(F.col("_churned"), 0).otherwise(1)).alias("c"),
+    )
+
+    out_schema = (
+        "t_days int, n_risk bigint, n_churned bigint, n_censored bigint, "
+        "survival double"
+    )
+
+    def _km(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        remaining = int((pdf["d"] + pdf["c"]).sum())
+        s = 1.0
+        rows = []
+        for _, r in pdf.iterrows():
+            d, c = int(r["d"]), int(r["c"])
+            n_risk = remaining
+            s = s * (1.0 - (float(d) / float(n_risk)))
+            rows.append(
+                {
+                    "t_days": int(r["t"]),
+                    "n_risk": n_risk,
+                    "n_churned": d,
+                    "n_censored": c,
+                    "survival": s,
+                }
+            )
+            remaining -= d + c
+        return pd.DataFrame(rows)
+
+    return (
+        per_t.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(lambda _, pdf: _km(pdf), schema=out_schema)
+        .orderBy("t_days")
+    )
+
+
+def survival_retention_sql(
+    src: str = "events", churn_gap_days: int = 7
+) -> str:
+    return f"""
+        WITH RECURSIVE
+        bounds AS (SELECT MAX(CAST(ts AS DATE)) AS maxday FROM {src}),
+        per_user AS (
+          SELECT user_id,
+                 MIN(CAST(ts AS DATE)) AS first_day,
+                 MAX(CAST(ts AS DATE)) AS last_day
+          FROM {src} GROUP BY user_id
+        ),
+        lif AS (
+          SELECT date_diff('day', first_day, last_day) AS t,
+                 date_diff('day', last_day, maxday) >= {churn_gap_days}
+                   AS churned
+          FROM per_user CROSS JOIN bounds
+        ),
+        per_t AS (
+          SELECT t,
+                 SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS d,
+                 SUM(CASE WHEN churned THEN 0 ELSE 1 END) AS c
+          FROM lif GROUP BY t
+        ),
+        base AS (
+          SELECT t, d, c,
+                 ROW_NUMBER() OVER (ORDER BY t) AS i,
+                 SUM(d + c) OVER () -
+                   COALESCE(SUM(d + c) OVER (
+                     ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS n_risk
+          FROM per_t
+        ),
+        rec AS (
+          SELECT i, t, d, c, n_risk,
+                 1.0 * (1.0 - (CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+                   AS s
+          FROM base WHERE i = 1
+          UNION ALL
+          SELECT b.i, b.t, b.d, b.c, b.n_risk,
+                 r.s * (1.0 - (CAST(b.d AS DOUBLE)
+                               / CAST(b.n_risk AS DOUBLE)))
+          FROM rec r JOIN base b ON b.i = r.i + 1
+        )
+        SELECT CAST(t AS INTEGER) AS t_days,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(d AS BIGINT) AS n_churned,
+               CAST(c AS BIGINT) AS n_censored,
+               s AS survival
+        FROM rec ORDER BY t_days
+    """

@@ -719,3 +719,188 @@ def quantile_histogram_sql(
         FROM picked p JOIN exact e ON p.q_label = e.q_label
         ORDER BY p.q_label
     """
+
+
+def quantile_rollup(
+    events: DataFrame,
+    quantile_pcts: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Re-aggregatable quantile rollup — :func:`quantile_histogram`'s
+    bucket table IS the stored sketch, and this operator proves it: one
+    histogram per day, and the period ('ALL') percentiles computed by
+    SUMMING the daily bucket counts — never re-reading raw data. The
+    quantile twin of :func:`hll_mergeable_rollup`: store (day, bucket,
+    cnt) in the daily rollup table and any ad-hoc period merges in
+    O(days x buckets) additions instead of an O(period-rows) rescan.
+
+    Every row (each day and the merged ALL) carries the estimate, the
+    EXACT quantile (audit side, from raw — dropped at 100 TB), and the
+    integer-exact ``within_bound`` verdict (|est16 − exact·16| <= base,
+    the <= 1/16 relative-error contract)."""
+    cents_expr = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+    base_day = (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+            F.expr(cents_expr).alias("cents"),
+        )
+        .filter(F.col("cents") > 0)
+    )
+    hist_daily = (
+        base_day.select(
+            "day", "cents", F.length(F.expr("bin(cents)")).alias("blen")
+        )
+        .select(
+            "day",
+            "blen",
+            F.expr(
+                "((cents - shiftleft(CAST(1 AS BIGINT), blen - 1)) * 8)"
+                " div shiftleft(CAST(1 AS BIGINT), blen - 1)"
+            ).alias("sub"),
+        )
+        .groupBy("day", "blen", "sub")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # the mergeability proof: ALL = sum of the stored daily buckets
+    hist_all = (
+        hist_daily.groupBy("blen", "sub")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(F.lit("ALL").alias("day"), "blen", "sub", "cnt")
+    )
+    hist = hist_daily.unionByName(hist_all).withColumn(
+        "base", F.expr("shiftleft(CAST(1 AS BIGINT), blen - 1)")
+    )
+    order = Window.partitionBy("day").orderBy("blen", "sub")
+    cum = hist.select(
+        "day", "blen", "sub", "base", "cnt",
+        F.sum("cnt").over(order).alias("cum"),
+    )
+    totals = hist.groupBy("day").agg(F.sum("cnt").alias("n"))
+    spark = events.sparkSession
+    probes = spark.createDataFrame(
+        [(f"p{p}", p) for p in quantile_pcts], "q_label string, q_pct int"
+    )
+    ranks = totals.crossJoin(F.broadcast(probes)).select(
+        "day", "q_label", F.expr("(q_pct * n + 99) div 100").alias("rank")
+    )
+    pick_w = Window.partitionBy("day", "q_label").orderBy("blen", "sub")
+    picked = (
+        ranks.join(cum, "day")
+        .filter(F.col("cum") >= F.col("rank"))
+        .withColumn("rn", F.row_number().over(pick_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "day",
+            "q_label",
+            "rank",
+            "base",
+            (
+                F.lit(16) * F.col("base")
+                + (F.lit(2) * F.col("sub") + 1) * F.col("base")
+            ).alias("est16"),
+        )
+    )
+    # audit side: exact per-day (and ALL) rank selection from raw
+    audit_base = base_day.unionByName(
+        base_day.select(F.lit("ALL").alias("day"), "cents")
+    )
+    exact_w = Window.partitionBy("day").orderBy("cents")
+    exact = (
+        audit_base.withColumn("rn", F.row_number().over(exact_w))
+        .join(
+            ranks.select("day", F.col("rank").alias("rn"), "q_label"),
+            ["day", "rn"],
+        )
+        .select("day", "q_label", F.col("cents").alias("exact_cents"))
+    )
+    return (
+        picked.join(exact, ["day", "q_label"])
+        .select(
+            "day",
+            "q_label",
+            (F.col("est16") / F.lit(1600.0)).alias("est_value"),
+            (F.col("exact_cents") / F.lit(100.0)).alias("exact_value"),
+            (
+                F.abs(F.col("est16") - F.col("exact_cents") * 16)
+                <= F.col("base")
+            ).alias("within_bound"),
+        )
+        .orderBy("day", "q_label")
+    )
+
+
+def quantile_rollup_sql(
+    src: str = "events", quantile_pcts: tuple[int, ...] = (50, 90, 99)
+) -> str:
+    probe_rows = " UNION ALL ".join(
+        f"SELECT 'p{p}' AS q_label, {p} AS q_pct" for p in quantile_pcts
+    )
+    return f"""
+        WITH base_day AS (
+          SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM {src}
+          WHERE value IS NOT NULL
+            AND CAST(floor(value * 100 + 0.5) AS BIGINT) > 0
+        ),
+        hist_daily AS (
+          SELECT day, blen,
+                 ((cents - (CAST(1 AS BIGINT) << (blen - 1))) * 8)
+                   // (CAST(1 AS BIGINT) << (blen - 1)) AS sub,
+                 COUNT(*) AS cnt
+          FROM (SELECT day, cents, length(bin(cents)) AS blen FROM base_day)
+          GROUP BY 1, 2, 3
+        ),
+        hist AS (
+          SELECT day, blen, sub, cnt,
+                 (CAST(1 AS BIGINT) << (blen - 1)) AS base
+          FROM (
+            SELECT day, blen, sub, cnt FROM hist_daily
+            UNION ALL
+            SELECT 'ALL', blen, sub, SUM(cnt)
+            FROM hist_daily GROUP BY 2, 3
+          )
+        ),
+        cum AS (
+          SELECT day, blen, sub, base,
+                 SUM(cnt) OVER (PARTITION BY day ORDER BY blen, sub) AS cum
+          FROM hist
+        ),
+        totals AS (SELECT day, SUM(cnt) AS n FROM hist GROUP BY day),
+        probes AS ({probe_rows}),
+        ranks AS (
+          SELECT day, q_label, (q_pct * n + 99) // 100 AS rank
+          FROM totals CROSS JOIN probes
+        ),
+        picked AS (
+          SELECT day, q_label, rank, base,
+                 16 * base + (2 * sub + 1) * base AS est16
+          FROM (
+            SELECT r.day, r.q_label, r.rank, c.base, c.sub,
+                   ROW_NUMBER() OVER (PARTITION BY r.day, r.q_label
+                                      ORDER BY c.blen, c.sub) AS rn
+            FROM ranks r JOIN cum c ON r.day = c.day
+            WHERE c.cum >= r.rank
+          ) WHERE rn = 1
+        ),
+        audit_base AS (
+          SELECT day, cents FROM base_day
+          UNION ALL
+          SELECT 'ALL', cents FROM base_day
+        ),
+        exact AS (
+          SELECT r.day, r.q_label, b.cents AS exact_cents
+          FROM (
+            SELECT day, cents,
+                   ROW_NUMBER() OVER (PARTITION BY day ORDER BY cents) AS rn
+            FROM audit_base
+          ) b JOIN ranks r ON b.day = r.day AND b.rn = r.rank
+        )
+        SELECT p.day, p.q_label,
+               est16 / 1600.0 AS est_value,
+               exact_cents / 100.0 AS exact_value,
+               abs(est16 - exact_cents * 16) <= base AS within_bound
+        FROM picked p
+        JOIN exact e ON p.day = e.day AND p.q_label = e.q_label
+        ORDER BY p.day, p.q_label
+    """

@@ -129,6 +129,9 @@ _DEFER_RAW: tuple[str, ...] = (
     "analytics_position_attribution",
     "analytics_pareto_coverage",
     "join_interval_overlap",
+    # wave 15
+    "sketch_quantile_rollup",
+    "analytics_survival_km",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

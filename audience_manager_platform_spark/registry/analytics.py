@@ -174,6 +174,10 @@ QUERIES = {
     "analytics_pareto_coverage": lambda s, d: A.pareto_coverage(
         load_table(s, d, "events")
     ),
+    # r5 wave 15: Kaplan-Meier retention (censoring-aware churn curve)
+    "analytics_survival_km": lambda s, d: A.survival_retention(
+        load_table(s, d, "events")
+    ),
     # r5 (deferred window): WAU / trailing-4-week MAU stickiness
     "analytics_stickiness": lambda s, d: A.stickiness(
         load_table(s, d, "events")
@@ -348,6 +352,7 @@ ORACLES = {
     "analytics_decayed_popularity": A.decayed_popularity_sql(),
     "analytics_position_attribution": A.position_attribution_sql(),
     "analytics_pareto_coverage": A.pareto_coverage_sql(),
+    "analytics_survival_km": A.survival_retention_sql(),
     "analytics_stickiness": A.stickiness_sql(),
     "analytics_revenue_gini": A.revenue_gini_sql(),
     "analytics_new_vs_returning": A.new_vs_returning_sql(),

@@ -26,6 +26,8 @@ from ..operators.skew import (
     key_skew_profile_sql,
     quantile_histogram,
     quantile_histogram_sql,
+    quantile_rollup,
+    quantile_rollup_sql,
     salted_join,
     salted_sum_count,
 )
@@ -500,6 +502,9 @@ QUERIES = {
     "join_interval_overlap": lambda s, d: interval_overlap_state_promos(
         _events(s, d)
     ),
+    # r5 wave 15: re-aggregatable quantile rollup — period percentiles
+    # from SUMMED daily bucket tables, never a raw rescan
+    "sketch_quantile_rollup": lambda s, d: quantile_rollup(_events(s, d)),
 }
 
 # ten fixed probe ids spanning the fixture's user range
@@ -735,4 +740,5 @@ ORACLES = {
         "lineitem", "l_extendedprice"
     ),
     "join_interval_overlap": interval_overlap_state_promos_sql(),
+    "sketch_quantile_rollup": quantile_rollup_sql(),
 }

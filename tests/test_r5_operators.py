@@ -2482,3 +2482,75 @@ def test_interval_overlap_join_exact_days_and_emit_once(spark):
     # Mar1..Mar3 = 2 days
     assert got["click"].n_overlapping_periods == 1
     assert got["click"].total_overlap_days == 2
+
+
+def test_quantile_rollup_merged_row_matches_bucket_sums(spark):
+    from pyspark.sql import functions as F
+
+    from audience_manager_platform_spark.operators.skew import quantile_rollup
+
+    import datetime
+
+    rows = []
+    eid = 0
+    # two days with disjoint value ranges: day1 ~ 1.00..1.99,
+    # day2 ~ 64.00..64.99 -> the merged p50 must sit at the boundary
+    for day, lo in ((1, 100), (2, 6400)):
+        for i in range(100):
+            rows.append(
+                (eid, datetime.datetime(2024, 3, day), i, "view",
+                 (lo + i) / 100.0, "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = quantile_rollup(ev).collect()
+    by = {(r.day, r.q_label): r for r in got}
+    assert set(d for d, _ in by) == {"2024-03-01", "2024-03-02", "ALL"}
+    for r in got:
+        assert r.within_bound, r
+    # per-day p99 sits inside that day's range; merged p99 in day2's
+    assert 1.0 <= by[("2024-03-01", "p99")].exact_value < 2.0
+    assert 64.0 <= by[("ALL", "p99")].exact_value < 65.0
+    # merged p50 = 200th of 200 sorted values' midpoint -> day1's top
+    assert by[("ALL", "p50")].exact_value < 2.0
+
+
+def test_survival_km_censors_recent_users(spark):
+    from audience_manager_platform_spark.operators.analytics import (
+        survival_retention,
+    )
+
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 4 users: lifetimes 10d (churned long before the end), 10d
+    # (ending at maxday -> censored), 0d churned, 0d censored-at-end
+    for uid, (start, life) in enumerate(
+        [(0, 10), (20, 10), (5, 0), (30, 0)]
+    ):
+        for d in (0, life):
+            rows.append(
+                (eid, base + datetime.timedelta(days=start + d), uid,
+                 "view", 1.0, "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.t_days: r for r in survival_retention(ev).collect()}
+    # t=0: 4 at risk, 1 churned (user 2), 1 censored (user 3)
+    assert got[0].n_risk == 4
+    assert got[0].n_churned == 1 and got[0].n_censored == 1
+    assert abs(got[0].survival - 0.75) < 1e-12
+    # t=10: 2 at risk, 1 churned, 1 censored -> S = 0.75 * 0.5
+    assert got[10].n_risk == 2
+    assert got[10].n_churned == 1 and got[10].n_censored == 1
+    assert abs(got[10].survival - 0.375) < 1e-12

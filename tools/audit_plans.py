@@ -67,6 +67,10 @@ NESTED_LOOP_ALLOWED = {
     "corpus_canary_scan",
     # 1-row date-bounds broadcast; promo side is |months| rows
     "join_interval_overlap",
+    # |days|-row totals x 3 quantile probes (model-sized both sides)
+    "sketch_quantile_rollup",
+    # 1-row max-day anchor broadcast into the user reduce
+    "analytics_survival_km",
     # day-spine / scalar anchors: 1-row side
     "analytics_daily_totals",
     "analytics_daily_totals_sparse",
@@ -146,6 +150,8 @@ ARROW_ALLOWED = {
     # / residuals / WAV-BMP decode / bloom build-probe / CMS / stateful)
     # sequential per-series Holt recurrence (sanctioned custom-stateful)
     "ts_holt_linear_backtest",
+    # sequential KM product over the model-sized life table
+    "analytics_survival_km",
     "ann_lsh_near_pairs",
     "ann_similar_pairs",
     "dedup_embedding_near_dup",

@@ -596,15 +596,24 @@ def quantile_histogram(
         "blen",
         F.expr("shiftleft(CAST(1 AS BIGINT), blen - 1)").alias("base"),
     )
-    hist = (
-        bucketed.groupBy("blen", F.expr("((cents - base) * 8) div base").alias("sub"))
-        .agg(F.count("*").alias("cnt"))
-        .select(
-            "blen",
-            "sub",
-            "cnt",
-            F.expr("shiftleft(CAST(1 AS BIGINT), blen - 1)").alias("base"),
-        )
+    hist = bucketed.groupBy(
+        "blen", F.expr("((cents - base) * 8) div base").alias("sub")
+    ).agg(F.count("*").alias("cnt"))
+    return quantile_from_histogram(hist, base_rel, quantile_pcts)
+
+
+def quantile_from_histogram(
+    hist: DataFrame,
+    audit_base: DataFrame,
+    quantile_pcts: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Serving-side quantile pricing over a (blen, sub, cnt) bucket
+    table — shared by the batch sketch, the mergeable rollup and the
+    STREAMING maintenance path (whose settled sink table is exactly this
+    histogram). ``audit_base`` supplies the exact-rank audit column
+    (a cents relation; at 100 TB the audit is dropped or sampled)."""
+    hist = hist.withColumn(
+        "base", F.expr("shiftleft(CAST(1 AS BIGINT), blen - 1)")
     )
     order = Window.orderBy("blen", "sub")
     cum = hist.select(
@@ -613,8 +622,8 @@ def quantile_histogram(
         "base",
         F.sum("cnt").over(order).alias("cum"),
     )
-    total = base_rel.agg(F.count("*").alias("n"))
-    spark = df.sparkSession
+    total = hist.agg(F.sum("cnt").alias("n"))
+    spark = hist.sparkSession
     probes = spark.createDataFrame(
         [(f"p{p}", p) for p in quantile_pcts], "q_label string, q_pct int"
     )
@@ -641,7 +650,7 @@ def quantile_histogram(
     # audit side: exact rank selection (global sort — audit-only cost)
     exact_w = Window.orderBy("cents")
     exact = (
-        base_rel.withColumn("rn", F.row_number().over(exact_w))
+        audit_base.withColumn("rn", F.row_number().over(exact_w))
         .join(F.broadcast(ranks.select(F.col("rank").alias("rn"), "q_label")), "rn")
         .select("q_label", F.col("cents").alias("exact_cents"))
     )

@@ -132,6 +132,7 @@ _DEFER_RAW: tuple[str, ...] = (
     # wave 15
     "sketch_quantile_rollup",
     "analytics_survival_km",
+    "streaming_quantile_maintenance",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

@@ -19,11 +19,13 @@ from pyspark.sql import functions as F
 from ..sources import load_table
 from ..streaming.jobs import (
     enriched_segment_counts,
+    quantile_sketch_stream,
     run_available_now,
     sessionize,
     stream_events,
     windowed_event_counts,
 )
+from ..operators.skew import quantile_histogram_sql
 from ..streaming.stateful import running_spend_monitor
 
 _counter = itertools.count()
@@ -112,15 +114,43 @@ def _trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quantile_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL streaming run (availableNow) maintains the mergeable
+    quantile-sketch bucket table; the serving read prices p50/p90/p99
+    off the settled sink plus the batch exact audit. Oracle = the
+    ONE-SHOT batch sketch SQL — the streaming fold equals batch because
+    the bucket counts are combinable."""
+    from ..operators.skew import quantile_from_histogram
+    from ..sources import load_table as _lt
+
+    events = stream_events(spark, sf_dir)
+    hist = quantile_sketch_stream(events)
+    name = f"stream_qsketch_{next(_counter)}"
+    run_available_now(hist, name)
+    batch = _lt(spark, sf_dir, "events")
+    audit = (
+        batch.filter(F.col("value").isNotNull())
+        .select(
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents")
+        )
+        .filter(F.col("cents") > 0)
+    )
+    return quantile_from_histogram(spark.table(name), audit)
+
+
 QUERIES = {
     "streaming_window_counts": _window_counts,
     "streaming_static_join_counts": _static_join_counts,
     "streaming_sessionization": _sessionization,
     "streaming_stateful_spend": _stateful_spend,
     "streaming_trending_topk": _trending_topk,
+    "streaming_quantile_maintenance": _quantile_maintenance,
 }
 
 ORACLES = {
+    "streaming_quantile_maintenance": quantile_histogram_sql(
+        "events", "value"
+    ),
     "streaming_window_counts": """
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type,

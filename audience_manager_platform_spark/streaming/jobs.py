@@ -540,3 +540,34 @@ def hll_rollup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def quantile_sketch_stream(events: DataFrame) -> DataFrame:
+    """Streaming maintenance of the mergeable quantile sketch
+    (:func:`..operators.skew.quantile_histogram`'s bucket table): the
+    log2 x 8 bucket counts are a plain streaming aggregate — combinable,
+    hence streaming-updatable — so the sketch stays current per
+    micro-batch with O(buckets) state and NO raw-data retention; the
+    serving layer prices p50/p90/p99 off the settled table at read time
+    (:func:`..operators.skew.quantile_from_histogram`), the same
+    rank-at-read split as the trending top-k."""
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    base = (
+        events.filter(F.col("value").isNotNull())
+        .select(cents.alias("cents"))
+        .filter(F.col("cents") > 0)
+    )
+    return (
+        base.select(
+            "cents", F.length(F.expr("bin(cents)")).alias("blen")
+        )
+        .select(
+            "blen",
+            F.expr(
+                "((cents - shiftleft(CAST(1 AS BIGINT), blen - 1)) * 8)"
+                " div shiftleft(CAST(1 AS BIGINT), blen - 1)"
+            ).alias("sub"),
+        )
+        .groupBy("blen", "sub")
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -494,3 +494,52 @@ def test_lsh_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
     sigs = spark.read.parquet(str(tmp_path / "sigs"))
     n_docs_with_grams = sigs.count()
     assert sigs.select("doc_id").distinct().count() == n_docs_with_grams
+
+
+def test_quantile_sketch_stream_matches_batch(spark, tmp_path):
+    """The streaming-maintained bucket table must equal the one-shot
+    batch histogram (combinable aggregate => replay-order-free)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from audience_manager_platform_spark.streaming.jobs import (
+        quantile_sketch_stream,
+        run_available_now,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows = [
+        {"event_id": i, "user_id": i % 7, "event_type": "view",
+         "value": float(i % 250 + 1) / 2, "props": "{}"}
+        for i in range(2000)
+    ]
+    # two files -> two micro-batch candidates
+    pd.DataFrame(rows[:1000]).to_parquet(src / "a.parquet")
+    pd.DataFrame(rows[1000:]).to_parquet(src / "b.parquet")
+    batch = spark.read.parquet(str(src))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_available_now(quantile_sketch_stream(stream), "qsketch_test")
+    settled = {(r.blen, r.sub): r.cnt for r in spark.table("qsketch_test").collect()}
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    expected = {
+        (r.blen, r.sub): r.cnt
+        for r in (
+            batch.select(cents.alias("cents"))
+            .filter(F.col("cents") > 0)
+            .selectExpr("length(bin(cents)) AS blen", "cents")
+            .selectExpr(
+                "blen",
+                "((cents - shiftleft(CAST(1 AS BIGINT), blen - 1)) * 8)"
+                " div shiftleft(CAST(1 AS BIGINT), blen - 1) AS sub",
+            )
+            .groupBy("blen", "sub")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+    }
+    assert settled == expected and sum(settled.values()) == 2000

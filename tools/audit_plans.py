@@ -69,6 +69,8 @@ NESTED_LOOP_ALLOWED = {
     "join_interval_overlap",
     # |days|-row totals x 3 quantile probes (model-sized both sides)
     "sketch_quantile_rollup",
+    # serving read over the settled O(buckets) sketch table
+    "streaming_quantile_maintenance",
     # 1-row max-day anchor broadcast into the user reduce
     "analytics_survival_km",
     # day-spine / scalar anchors: 1-row side

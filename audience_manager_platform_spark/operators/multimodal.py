@@ -905,3 +905,128 @@ def wav_downsample_meta_oracle_sql(
                ROUND(CAST({amp} AS DOUBLE), 6) AS rms
         FROM {src}
     """
+
+
+# ----------------------------------------------- energy-based VAD
+VAD_FRAME = 8  # samples per VAD frame
+VAD_GAP_START = 16  # silence plant offset (samples, frame-aligned)
+VAD_GAP_STEP = 8  # silence length = 8 * (doc_id % 5) samples
+
+
+def synthesize_wav_gapped(docs: DataFrame) -> DataFrame:
+    """:func:`synthesize_wav` with a PLANTED frame-aligned silence gap —
+    the fixture for voice-activity detection: samples ``[16, 16 + 8*
+    (doc_id % 5))`` are zeroed (up to 32 of the >= 64 frames), so every
+    payload is still a genuine RIFF container whose silence layout is
+    closed-form predictable."""
+    out_schema = "doc_id long, media binary, media_type string"
+    rb, rs, fb, fs, ab, as_ = (
+        WAV_RATE_BASE, WAV_RATE_STEP, WAV_FRAMES_BASE,
+        WAV_FRAMES_STEP, WAV_AMP_BASE, WAV_AMP_STEP,
+    )
+    g0, gs = VAD_GAP_START, VAD_GAP_STEP
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rate = rb + rs * (d % 3)
+                n = fb + fs * (d % 32)
+                amp = ab + as_ * (d % 1000)
+                gap = gs * (d % 5)
+                samples = [amp if i % 2 == 0 else -amp for i in range(n)]
+                for i in range(g0, g0 + gap):
+                    samples[i] = 0
+                buf = io.BytesIO()
+                w = wave.open(buf, "wb")
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(struct.pack(f"<{n}h", *samples))
+                w.close()
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": payloads,
+                    "media_type": ["audio/wav"] * len(pdf),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(synth, schema=out_schema)
+
+
+def wav_vad_segments(media_df: DataFrame) -> DataFrame:
+    """Energy-based voice-activity detection — the silence-trimming /
+    speech-segmentation stage of an audio training pipeline (the slot a
+    webrtcvad/silero kernel drops into), on the formats this container
+    can really decode: PCM16 frames of ``VAD_FRAME`` samples are active
+    when any sample is nonzero; consecutive active frames merge into
+    segments. Per doc: sample count, VAD frame count, active frames,
+    segment count, and the planted silence duration in exact integer
+    microseconds.
+
+    Arrow-batched ``mapInPandas``, O(samples) per row, zero shuffle —
+    the same scale posture as the decoder it composes with."""
+    out_schema = (
+        "doc_id long, n_samples int, n_vad_frames int, active_frames int, "
+        "n_segments int, silence_us long"
+    )
+    fr = VAD_FRAME
+
+    def vad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "n_samples", "n_vad_frames", "active_frames",
+                "n_segments", "silence_us",
+            )}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                w = wave.open(io.BytesIO(bytes(blob)), "rb")
+                rate, n = w.getframerate(), w.getnframes()
+                raw = w.readframes(n)
+                w.close()
+                samples = struct.unpack(f"<{n}h", raw)
+                n_frames = (n + fr - 1) // fr
+                flags = [
+                    any(samples[i] != 0 for i in range(f * fr, min((f + 1) * fr, n)))
+                    for f in range(n_frames)
+                ]
+                active = sum(flags)
+                segs = sum(
+                    1 for f in range(n_frames)
+                    if flags[f] and (f == 0 or not flags[f - 1])
+                )
+                silent_samples = n - sum(
+                    1 for s in samples if s != 0
+                )
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(n)
+                rows["n_vad_frames"].append(n_frames)
+                rows["active_frames"].append(active)
+                rows["n_segments"].append(segs)
+                rows["silence_us"].append(silent_samples * 1_000_000 // rate)
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(vad, schema=out_schema)
+
+
+def wav_vad_oracle_sql(src: str = "documents") -> str:
+    """Closed-form prediction of every :func:`wav_vad_segments` field
+    from the gapped-synthesis formulas — a decoder or segmenter bug
+    breaks the hash gate."""
+    n = f"({WAV_FRAMES_BASE} + {WAV_FRAMES_STEP} * (doc_id % 32))"
+    rate = f"({WAV_RATE_BASE} + {WAV_RATE_STEP} * (doc_id % 3))"
+    gap = f"({VAD_GAP_STEP} * (doc_id % 5))"
+    return f"""
+        SELECT doc_id,
+               CAST({n} AS INTEGER) AS n_samples,
+               CAST(({n} + {VAD_FRAME - 1}) // {VAD_FRAME} AS INTEGER)
+                 AS n_vad_frames,
+               CAST(({n} + {VAD_FRAME - 1}) // {VAD_FRAME}
+                    - {gap} // {VAD_FRAME} AS INTEGER) AS active_frames,
+               CAST(CASE WHEN {gap} = 0 THEN 1 ELSE 2 END AS INTEGER)
+                 AS n_segments,
+               CAST({gap} * 1000000 // {rate} AS BIGINT) AS silence_us
+        FROM {src}
+    """

@@ -133,6 +133,7 @@ _DEFER_RAW: tuple[str, ...] = (
     "sketch_quantile_rollup",
     "analytics_survival_km",
     "streaming_quantile_maintenance",
+    "multimodal_wav_vad",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

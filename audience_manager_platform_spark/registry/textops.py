@@ -203,6 +203,10 @@ QUERIES = {
     "multimodal_wav_downsample": lambda s, d: M.wav_downsample_meta(
         _docs(s, d)
     ),
+    # r5 wave 16: energy-based VAD over planted frame-aligned silence
+    "multimodal_wav_vad": lambda s, d: M.wav_vad_segments(
+        M.synthesize_wav_gapped(_docs(s, d))
+    ),
     # corpus-curation pipeline ops
     "corpus_split_assign": lambda s, d: C.split_assign(_docs(s, d)),
     # r6 queue: split-leakage audit — doc-id-hash vs cluster-safe splits
@@ -327,6 +331,7 @@ ORACLES = {
         FROM documents
     """,
     "multimodal_wav_decode": M.wav_meta_oracle_sql(),
+    "multimodal_wav_vad": M.wav_vad_oracle_sql(),
     "multimodal_frame_sample": M.flipbook_frames_oracle_sql(),
     "multimodal_bmp_decode": M.bmp_meta_oracle_sql(),
     "multimodal_bmp_resize": M.bmp_resize_meta_oracle_sql(),

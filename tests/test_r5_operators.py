@@ -2554,3 +2554,32 @@ def test_survival_km_censors_recent_users(spark):
     assert got[10].n_risk == 2
     assert got[10].n_churned == 1 and got[10].n_censored == 1
     assert abs(got[10].survival - 0.375) < 1e-12
+
+
+def test_wav_vad_hand_built_silence_pattern(spark):
+    import io
+    import struct
+    import wave
+
+    from audience_manager_platform_spark.operators.multimodal import (
+        wav_vad_segments,
+    )
+
+    # 48 samples at 8kHz: active [0,16), silence [16,32), active [32,48)
+    samples = [100] * 16 + [0] * 16 + [100] * 16
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(8000)
+    w.writeframes(struct.pack("<48h", *samples))
+    w.close()
+    media = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()), "audio/wav")],
+        "doc_id long, media binary, media_type string",
+    )
+    r = wav_vad_segments(media).collect()[0]
+    assert r.n_samples == 48 and r.n_vad_frames == 6
+    assert r.active_frames == 4
+    assert r.n_segments == 2
+    assert r.silence_us == 16 * 1_000_000 // 8000

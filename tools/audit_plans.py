@@ -173,6 +173,7 @@ ARROW_ALLOWED = {
     "multimodal_bmp_decode",
     "multimodal_bmp_resize",
     "multimodal_wav_downsample",
+    "multimodal_wav_vad",
     "multimodal_frame_sample",
     "corpus_bloom_decontaminate",
     "sketch_cms_user_counts",

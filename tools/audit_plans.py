@@ -71,6 +71,8 @@ NESTED_LOOP_ALLOWED = {
     "sketch_quantile_rollup",
     # serving read over the settled O(buckets) sketch table
     "streaming_quantile_maintenance",
+    # 1-row unseen-symbol count broadcast beside the held-out aggregate
+    "text_bpe_encode",
     # 1-row max-day anchor broadcast into the user reduce
     "analytics_survival_km",
     # day-spine / scalar anchors: 1-row side

@@ -710,7 +710,13 @@ def kmeans_fit(
 def _model_df(
     spark: SparkSession, model: list[tuple[int, list[float]]]
 ) -> DataFrame:
-    return spark.createDataFrame(model, "cent_id bigint, cv array<double>")
+    # ONE partition: a K-row model table sliced across the session's
+    # default parallelism turns every self-cross-join into parallelism²
+    # near-empty tasks (measured: the K x K Davies-Bouldin join spawned a
+    # 1024-task stage whose scheduling overhead dwarfed the work)
+    return spark.createDataFrame(
+        model, "cent_id bigint, cv array<double>"
+    ).coalesce(1)
 
 
 def kmeans_fit_model(

@@ -529,6 +529,40 @@ def main() -> None:
         "seasonal-naive backtest (lag-7 MAPE)",
         seasonal_naive_backtest(typed_events),
     )
+
+    # ------------------------- wave-12+ additions at scale
+    from audience_manager_platform_spark.operators.analytics import (
+        decayed_popularity,
+        pareto_coverage,
+        position_attribution,
+        survival_retention,
+    )
+    from audience_manager_platform_spark.operators.skew import (
+        quantile_histogram,
+        salted_join,
+    )
+
+    timed(
+        "mergeable quantile sketch (p50/p90/p99 + exact audit)",
+        quantile_histogram(txns, "amount"),
+    )
+    dim = spark.range(USERS).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("seg"), F.col("id") % 7).alias("segment"),
+    )
+    timed(
+        "salted join + segment rollup (16 buckets)",
+        salted_join(txns, dim, "user_id", salt_buckets=16)
+        .groupBy("segment")
+        .agg(F.count("*").alias("n")),
+    )
+    timed("decayed popularity (exact halving grid)",
+          decayed_popularity(typed_events.withColumn(
+              "event_type", F.col("event_type"))))
+    timed("U-shaped attribution (RANGE window)",
+          position_attribution(typed_events))
+    timed("Pareto 80pct coverage", pareto_coverage(typed_events))
+    timed("Kaplan-Meier retention", survival_retention(typed_events))
     spark.stop()
 
 

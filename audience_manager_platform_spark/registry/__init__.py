@@ -134,6 +134,8 @@ _DEFER_RAW: tuple[str, ...] = (
     "analytics_survival_km",
     "streaming_quantile_maintenance",
     "multimodal_wav_vad",
+    # wave 17
+    "er_blocking_quality",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

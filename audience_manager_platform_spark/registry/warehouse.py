@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 from ..operators import corpus as C
 from ..operators import merge as MG
 from ..operators.er import (
+    blocking_quality,
+    blocking_quality_sql,
     entity_clusters,
     entity_clusters_sql,
     fuzzy_blocked_pairs,
@@ -436,6 +438,15 @@ QUERIES = {
         ("orders", load_table(s, d, "orders"), ["o_orderkey"]),
         ("part", load_table(s, d, "part"), ["p_partkey"]),
     ]),
+    # r5 wave 17: blocking-key evaluation — reduction ratio + sampled
+    # pair completeness (the "is blocking throwing matches away" gate)
+    "er_blocking_quality": lambda s, d: blocking_quality(
+        load_table(s, d, "part"),
+        "p_partkey",
+        "p_name",
+        agree_col="p_brand",
+        max_distance=3,
+    ),
     # r5 wave 13: golden records — deterministic most-frequent-wins
     # attribute election over the resolved ER entities
     "er_survivorship": lambda s, d: survivorship(
@@ -593,6 +604,13 @@ ORACLES = {
         ("orders", "orders", ["o_orderkey"]),
         ("part", "part", ["p_partkey"]),
     ]),
+    "er_blocking_quality": blocking_quality_sql(
+        "part",
+        "p_partkey",
+        "p_name",
+        agree_col="p_brand",
+        max_distance=3,
+    ),
     "er_survivorship": survivorship_sql(
         "part",
         "p_partkey",

@@ -2583,3 +2583,30 @@ def test_wav_vad_hand_built_silence_pattern(spark):
     assert r.active_frames == 4
     assert r.n_segments == 2
     assert r.silence_us == 16 * 1_000_000 // 8000
+
+
+def test_blocking_quality_counts_missed_cross_block_match(spark):
+    from audience_manager_platform_spark.operators.er import blocking_quality
+
+    # rows 1/2: same block ('acme'), distance 1 -> truth + found.
+    # rows 3/4: distance 1 but DIFFERENT first token -> truth, missed.
+    # row 9: unrelated.
+    rows = [
+        (1, "acme corpA", "B"),
+        (2, "acme corpB", "B"),
+        (3, "zeta9 works", "B"),
+        (4, "zeta8 works", "B"),
+        (9, "other thing", "B"),
+    ]
+    df = spark.createDataFrame(rows, "pk long, name string, brand string")
+    r = blocking_quality(
+        df, "pk", "name", agree_col="brand", sample_n=100
+    ).collect()[0]
+    assert r.sample_rows == 5
+    assert r.truth_pairs == 2
+    assert r.found_pairs == 1
+    assert r.pair_completeness == 0.5
+    # blocks: acme(2) zeta9(1) zeta8(1) other(1) -> 1 candidate pair
+    assert r.candidate_pairs == 1
+    assert r.all_pairs == 10
+    assert r.reduction_ratio == 0.9

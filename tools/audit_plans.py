@@ -73,6 +73,8 @@ NESTED_LOOP_ALLOWED = {
     "streaming_quantile_maintenance",
     # 1-row unseen-symbol count broadcast beside the held-out aggregate
     "text_bpe_encode",
+    # bounded sample² truth pass (documented audit cost) + 1-row stats
+    "er_blocking_quality",
     # 1-row max-day anchor broadcast into the user reduce
     "analytics_survival_km",
     # day-spine / scalar anchors: 1-row side

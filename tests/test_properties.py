@@ -548,3 +548,93 @@ def test_bigram_logprob_counts_and_sign(spark, texts):
             assert got[i].avg_logprob < 0
         else:
             assert i not in got
+
+
+# --------------------------------------------- wave-12+ contract math
+# Pure-Python twins of the integer contracts behind the new operators —
+# hypothesis fuzzes the MATH (bound proofs, conservation identities) at
+# volumes a Spark-per-example property could never afford; the Spark
+# plans themselves are pinned by the example tests and DuckDB oracles.
+
+
+def _qbuckets(c: int) -> tuple[int, int, int]:
+    blen = c.bit_length()
+    base = 1 << (blen - 1)
+    sub = ((c - base) * 8) // base
+    est16 = 16 * base + (2 * sub + 1) * base
+    return base, sub, est16
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10**9), min_size=1, max_size=400),
+    st.sampled_from([50, 90, 99]),
+)
+@settings(max_examples=300, deadline=None)
+def test_quantile_sketch_bound_holds_for_arbitrary_positive_values(
+    cents, q_pct
+):
+    """The DDSketch-style contract: the picked sub-bucket midpoint is
+    within base/16 of the exact rank value, for ANY data."""
+    cents = sorted(cents)
+    n = len(cents)
+    rank = (q_pct * n + 99) // 100
+    exact = cents[rank - 1]
+    # histogram pick: first bucket (by (blen, sub)) whose cum >= rank
+    from collections import Counter
+
+    hist = Counter()
+    for c in cents:
+        base, sub, _ = _qbuckets(c)
+        hist[(base.bit_length(), sub)] += 1
+    cum = 0
+    for key in sorted(hist):
+        cum += hist[key]
+        if cum >= rank:
+            blen, sub = key
+            base = 1 << (blen - 1)
+            est16 = 16 * base + (2 * sub + 1) * base
+            break
+    assert abs(est16 - exact * 16) <= base
+    # and the bound really is <= 1/16 relative error
+    assert abs(est16 / 16 - exact) <= exact / 16
+
+
+@given(st.integers(min_value=1, max_value=10**6))
+@settings(max_examples=500, deadline=None)
+def test_position_attribution_ppm_conserves_for_any_touch_count(n):
+    """first + last + (n-2)*mid + rem == 1,000,000 exactly, for any n."""
+    if n == 1:
+        first, last, mid, rem = 1000000, 0, 0, 0
+    elif n == 2:
+        first, last, mid, rem = 500000, 500000, 0, 0
+    else:
+        first, last = 400000, 400000
+        mid = 200000 // (n - 2)
+        rem = 200000 % (n - 2)
+    assert first + last + max(0, n - 2) * mid + rem == 1000000
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=60,
+    ).filter(lambda rows: sum(d + c for d, c in rows) > 0)
+)
+@settings(max_examples=300, deadline=None)
+def test_kaplan_meier_curve_is_monotone_in_unit_interval(rows):
+    """S(t) stays in [0, 1] and never increases, for any life table."""
+    rows = [(d, c) for d, c in rows if d + c > 0]
+    if not rows:
+        return
+    remaining = sum(d + c for d, c in rows)
+    s = 1.0
+    prev = 1.0
+    for d, c in rows:
+        s = s * (1.0 - (float(d) / float(remaining)))
+        assert 0.0 <= s <= prev + 1e-15
+        prev = s
+        remaining -= d + c

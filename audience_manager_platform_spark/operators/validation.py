@@ -796,3 +796,144 @@ def unique_key_audit_sql(tables) -> str:
         SELECT * FROM ({body})
         ORDER BY table_name
     """
+
+
+def psi_value_drift(events: "DataFrame", value_col: str = "value") -> "DataFrame":
+    """Population Stability Index — the ML-ops drift metric
+    :func:`profile_drift` doesn't cover (null rates and NDV can hold
+    steady while the SHAPE of a distribution walks away): the first-half
+    and second-half snapshots of the observation window are binned on
+    the quantile sketch's data-independent log2 x 8 grid and each bucket
+    contributes ``(p - q) * ln(p / q)``.
+
+    Determinism: bucket counts are exact integers on the shared grid;
+    shares are add-one-smoothed exact rationals; each bucket's PSI term
+    is floor-scaled to a 1e-9 integer grid (``psi_term_e9`` BIGINT — the
+    JSD convention: never sum floats, sum integers), so the output is
+    bit-stable and the consumer's total is an exact bigint sum. The
+    usual reading: Σ terms < 0.1 stable, 0.1-0.2 drifting, > 0.2 act.
+
+    Shape: two combinable histogram aggregates (one per half) full-outer
+    joined on the |buckets|-row grid — nothing data-sized after the
+    scans."""
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("_lo"), F.max(F.to_date("ts")).alias("_hi")
+    )
+    staged = (
+        events.crossJoin(F.broadcast(bounds))
+        .filter(F.col(value_col).isNotNull())
+        .select(
+            F.expr(
+                "CASE WHEN to_date(ts) <= date_add(_lo,"
+                " CAST(datediff(_hi, _lo) div 2 AS INT)) THEN 'old'"
+                " ELSE 'new' END"
+            ).alias("side"),
+            F.expr(f"CAST(floor({value_col} * 100 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .filter(F.col("cents") > 0)
+        .select(
+            "side", "cents", F.length(F.expr("bin(cents)")).alias("blen")
+        )
+        .select(
+            "side",
+            "blen",
+            F.expr(
+                "((cents - shiftleft(CAST(1 AS BIGINT), blen - 1)) * 8)"
+                " div shiftleft(CAST(1 AS BIGINT), blen - 1)"
+            ).alias("sub"),
+        )
+    )
+    hist = (
+        staged.groupBy("blen", "sub")
+        .agg(
+            F.sum(F.when(F.col("side") == "old", 1).otherwise(0)).alias(
+                "old_n"
+            ),
+            F.sum(F.when(F.col("side") == "new", 1).otherwise(0)).alias(
+                "new_n"
+            ),
+        )
+    )
+    tot = hist.agg(
+        F.sum("old_n").alias("o_tot"),
+        F.sum("new_n").alias("n_tot"),
+        F.count("*").alias("b"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "blen",
+            "sub",
+            "old_n",
+            "new_n",
+            F.expr(
+                "CAST(floor((old_n + 1) / CAST(o_tot + b AS DOUBLE)"
+                " * 1e6 + 0.5) AS BIGINT)"
+            ).alias("old_share_e6"),
+            F.expr(
+                "CAST(floor((new_n + 1) / CAST(n_tot + b AS DOUBLE)"
+                " * 1e6 + 0.5) AS BIGINT)"
+            ).alias("new_share_e6"),
+            F.expr(
+                "CAST(floor((((old_n + 1) / CAST(o_tot + b AS DOUBLE))"
+                " - ((new_n + 1) / CAST(n_tot + b AS DOUBLE)))"
+                " * ln(((old_n + 1) / CAST(o_tot + b AS DOUBLE))"
+                "      / ((new_n + 1) / CAST(n_tot + b AS DOUBLE)))"
+                " * 1e9 + 0.5) AS BIGINT)"
+            ).alias("psi_term_e9"),
+        )
+        .orderBy("blen", "sub")
+    )
+
+
+def psi_value_drift_sql(src: str = "events", value_col: str = "value") -> str:
+    return f"""
+        WITH bounds AS (
+          SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+          FROM {src}
+        ),
+        staged AS (
+          SELECT CASE WHEN CAST(ts AS DATE)
+                        <= lo + CAST(date_diff('day', lo, hi) // 2 AS INTEGER)
+                      THEN 'old' ELSE 'new' END AS side,
+                 length(bin(CAST(floor({value_col} * 100 + 0.5) AS BIGINT)))
+                   AS blen,
+                 ((CAST(floor({value_col} * 100 + 0.5) AS BIGINT)
+                   - (CAST(1 AS BIGINT) <<
+                      (length(bin(CAST(floor({value_col} * 100 + 0.5)
+                                        AS BIGINT))) - 1))) * 8)
+                 // (CAST(1 AS BIGINT) <<
+                     (length(bin(CAST(floor({value_col} * 100 + 0.5)
+                                       AS BIGINT))) - 1)) AS sub
+          FROM {src} CROSS JOIN bounds
+          WHERE {value_col} IS NOT NULL
+            AND CAST(floor({value_col} * 100 + 0.5) AS BIGINT) > 0
+        ),
+        hist AS (
+          SELECT blen, sub,
+                 SUM(CASE WHEN side = 'old' THEN 1 ELSE 0 END) AS old_n,
+                 SUM(CASE WHEN side = 'new' THEN 1 ELSE 0 END) AS new_n
+          FROM staged GROUP BY blen, sub
+        ),
+        tot AS (
+          SELECT SUM(old_n) AS o_tot, SUM(new_n) AS n_tot,
+                 COUNT(*) AS b
+          FROM hist
+        )
+        SELECT blen, sub,
+               CAST(old_n AS BIGINT) AS old_n,
+               CAST(new_n AS BIGINT) AS new_n,
+               CAST(floor((old_n + 1) / CAST(o_tot + b AS DOUBLE)
+                          * 1e6 + 0.5) AS BIGINT) AS old_share_e6,
+               CAST(floor((new_n + 1) / CAST(n_tot + b AS DOUBLE)
+                          * 1e6 + 0.5) AS BIGINT) AS new_share_e6,
+               CAST(floor((((old_n + 1) / CAST(o_tot + b AS DOUBLE))
+                           - ((new_n + 1) / CAST(n_tot + b AS DOUBLE)))
+                          * ln(((old_n + 1) / CAST(o_tot + b AS DOUBLE))
+                               / ((new_n + 1) / CAST(n_tot + b AS DOUBLE)))
+                          * 1e9 + 0.5) AS BIGINT) AS psi_term_e9
+        FROM hist CROSS JOIN tot
+        ORDER BY blen, sub
+    """

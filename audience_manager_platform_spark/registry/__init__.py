@@ -136,6 +136,7 @@ _DEFER_RAW: tuple[str, ...] = (
     "multimodal_wav_vad",
     # wave 17
     "er_blocking_quality",
+    "validate_psi_drift",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

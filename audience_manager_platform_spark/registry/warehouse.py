@@ -76,6 +76,8 @@ from ..operators.validation import (
     t_closeness_audit_sql,
     profile_drift,
     profile_drift_sql,
+    psi_value_drift,
+    psi_value_drift_sql,
     table_profile,
     table_profile_sql,
     validate_table,
@@ -307,6 +309,10 @@ QUERIES = {
         _events(s, d).filter(F.dayofmonth("ts") > 10),
         PROFILE_COLS,
     ),
+    # wave 17: PSI on the value distribution (old half vs new half of
+    # the window) — catches shape drift profile_drift's null/NDV rows
+    # can't see
+    "validate_psi_drift": lambda s, d: psi_value_drift(_events(s, d)),
     # r5: Laplace-mechanism aggregate release next to the k-anonymity
     # row-release gate (seeded noise — see dp_noisy_counts docstring)
     "privacy_dp_event_counts": lambda s, d: dp_noisy_counts(
@@ -516,6 +522,7 @@ ORACLES = {
         "(SELECT * FROM events WHERE date_part('day', ts) > 10) nv",
         PROFILE_COLS,
     ),
+    "validate_psi_drift": psi_value_drift_sql("events"),
     "privacy_dp_event_counts": dp_noisy_counts_sql(
         "events", "event_type", epsilon=1.0
     ),

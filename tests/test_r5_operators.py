@@ -2610,3 +2610,52 @@ def test_blocking_quality_counts_missed_cross_block_match(spark):
     assert r.candidate_pairs == 1
     assert r.all_pairs == 10
     assert r.reduction_ratio == 0.9
+
+
+def test_psi_drift_detects_planted_shift(spark):
+    from audience_manager_platform_spark.operators.validation import (
+        psi_value_drift,
+    )
+
+    # first half of the window: values near 10; second half: near 80.
+    # Split date for Jan 1..Jan 30 is Jan 15 (floor(29/2)=14 days in).
+    rows = [
+        (i, f"2024-01-{(i % 14) + 1:02d} 12:00:00", 10.0 + (i % 5))
+        for i in range(200)
+    ] + [
+        (1000 + i, f"2024-01-{16 + (i % 14):02d} 12:00:00", 80.0 + (i % 5))
+        for i in range(200)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts string, value double")
+    got = psi_value_drift(ev).collect()
+    assert got, "expected non-empty bucket grid"
+    # exact-integer bucket counts: totals reconcile to the input halves
+    assert sum(r.old_n for r in got) == 200
+    assert sum(r.new_n for r in got) == 200
+    # disjoint value ranges => every bucket is one-sided => large PSI
+    assert all(r.old_n == 0 or r.new_n == 0 for r in got)
+    total_psi = sum(r.psi_term_e9 for r in got) / 1e9
+    assert total_psi > 0.2, f"planted shift must read as actionable: {total_psi}"
+    # identical halves => PSI ~ 0 (only smoothing noise)
+    same = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 28) + 1:02d} 12:00:00", 10.0 + (i % 5))
+         for i in range(400)],
+        "event_id long, ts string, value double",
+    )
+    flat = psi_value_drift(same).collect()
+    assert sum(abs(r.psi_term_e9) for r in flat) / 1e9 < 0.05
+
+
+def test_psi_drift_partition_invariant(spark):
+    from audience_manager_platform_spark.operators.validation import (
+        psi_value_drift,
+    )
+
+    rows = [
+        (i, f"2024-01-{(i % 28) + 1:02d} 12:00:00", float(1 + (i * 37) % 500))
+        for i in range(300)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts string, value double")
+    a = [tuple(r) for r in psi_value_drift(ev.coalesce(1)).collect()]
+    b = [tuple(r) for r in psi_value_drift(ev.repartition(13)).collect()]
+    assert a == b, "PSI terms must be bit-identical under any partitioning"

@@ -194,3 +194,186 @@ def zorder_layout(df, a: str, b: str, path: str, n_files: int = 8) -> None:
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ------------------------------------- zone-map pruning effectiveness
+PRUNE_BUCKETS = 64
+# each probe is the middle eighth of a dimension's OBSERVED range —
+# derived from the data's min/max with exact integer arithmetic so the
+# band is non-degenerate and selective at every scale factor
+PRUNE_PROBE_COLS = ("ub", "doy")
+
+
+def pruning_audit(events, n_buckets: int = PRUNE_BUCKETS):
+    """Zone-map pruning effectiveness: would a reader's min/max file
+    stats actually skip data under this layout? Rows are dealt into
+    ``n_buckets`` equal \"files\" under two candidate orders — natural
+    (ingestion/event_id) and Morton z-order over (user-bucket,
+    day-of-year) — and each band predicate counts the files whose
+    [min, max] range it overlaps (what a parquet reader must scan).
+
+    This is the decision audit behind OPTIMIZE ZORDER at 100 TB: natural
+    order prunes the time dimension and nothing else; z-order trades a
+    little of that for pruning on BOTH dimensions. The output is the
+    scan fraction per (layout, probe) in exact ppm.
+
+    Cost note: each layout is one global sort of (event_id, ub, doy,
+    zval) — the same sort the real layout rewrite performs; this audit
+    is the dry run you price before committing the rewrite. Everything
+    downstream is a |buckets|-sized aggregate."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = (
+        events.filter(F.col("user_id").isNotNull())
+        .select(
+            "event_id",
+            (F.col("user_id") % 65536).alias("ub"),
+            F.dayofyear("ts").alias("doy"),
+        )
+        .withColumn("zval", zorder_key("ub", "doy"))
+    )
+    tot = base.agg(F.count("*").alias("n"))
+    layouts = []
+    for layout, order in (
+        ("natural", [F.col("event_id")]),
+        ("zorder", [F.col("zval"), F.col("event_id")]),
+    ):
+        rn = F.row_number().over(Window.orderBy(*order))
+        layouts.append(
+            base.withColumn("rn", rn)
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(layout).alias("layout"),
+                F.expr(f"CAST((rn - 1) * {int(n_buckets)} div n AS INT)").alias(
+                    "bucket"
+                ),
+                "ub",
+                "doy",
+            )
+        )
+    files = (
+        layouts[0]
+        .unionByName(layouts[1])
+        .groupBy("layout", "bucket")
+        .agg(
+            F.min("ub").alias("min_ub"),
+            F.max("ub").alias("max_ub"),
+            F.min("doy").alias("min_doy"),
+            F.max("doy").alias("max_doy"),
+        )
+    )
+    # probe bands: middle eighth of each dimension's observed range,
+    # exact integer arithmetic (g_* are global bounds, broadcast 1 row)
+    gbounds = base.agg(
+        *[
+            f
+            for c in PRUNE_PROBE_COLS
+            for f in (
+                F.min(c).alias(f"g_min_{c}"),
+                F.max(c).alias(f"g_max_{c}"),
+            )
+        ]
+    )
+    band = {
+        c: (
+            f"(g_min_{c} + 3 * (g_max_{c} - g_min_{c} + 1) div 8)",
+            f"(g_min_{c} + 4 * (g_max_{c} - g_min_{c} + 1) div 8 - 1)",
+        )
+        for c in PRUNE_PROBE_COLS
+    }
+    probed = files.crossJoin(F.broadcast(gbounds)).select(
+        "layout",
+        "bucket",
+        *[
+            F.expr(
+                f"CASE WHEN max_{c} >= {band[c][0]}"
+                f" AND min_{c} <= {band[c][1]} THEN 1 ELSE 0 END"
+            ).alias(f"sc_{c}")
+            for c in PRUNE_PROBE_COLS
+        ],
+    )
+    stack = ", ".join(
+        f"'{c}_band', sc_{c}" for c in PRUNE_PROBE_COLS
+    )
+    probed = probed.selectExpr(
+        "layout",
+        f"stack({len(PRUNE_PROBE_COLS)}, {stack}) AS (probe_id, scanned)",
+    )
+    return (
+        probed.groupBy("layout", "probe_id")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("scanned").cast("long").alias("files_scanned"),
+        )
+        .select(
+            "layout",
+            "probe_id",
+            "n_files",
+            "files_scanned",
+            F.expr(
+                "CAST(floor(files_scanned / CAST(n_files AS DOUBLE)"
+                " * 1e6 + 0.5) AS BIGINT)"
+            ).alias("scan_ppm"),
+        )
+        .orderBy("layout", "probe_id")
+    )
+
+
+def pruning_audit_sql(src: str = "events", n_buckets: int = PRUNE_BUCKETS) -> str:
+    z = zorder_key_sql("ub", "doy")
+    gb_cols = ", ".join(
+        f"MIN({c}) AS g_min_{c}, MAX({c}) AS g_max_{c}"
+        for c in PRUNE_PROBE_COLS
+    )
+    arms = "\n          UNION ALL ".join(
+        f"""SELECT layout,
+                 '{c}_band' AS probe_id,
+                 CASE WHEN max_{c} >= g_min_{c}
+                             + 3 * (g_max_{c} - g_min_{c} + 1) // 8
+                       AND min_{c} <= g_min_{c}
+                             + 4 * (g_max_{c} - g_min_{c} + 1) // 8 - 1
+                      THEN 1 ELSE 0 END AS scanned
+          FROM files CROSS JOIN gbounds"""
+        for c in PRUNE_PROBE_COLS
+    )
+    return f"""
+        WITH base AS (
+          SELECT event_id, user_id % 65536 AS ub,
+                 date_part('doy', ts) AS doy
+          FROM {src} WHERE user_id IS NOT NULL
+        ),
+        keyed AS (SELECT *, {z} AS zval FROM base),
+        tot AS (SELECT COUNT(*) AS n FROM keyed),
+        gbounds AS (SELECT {gb_cols} FROM base),
+        laid AS (
+          SELECT 'natural' AS layout,
+                 CAST((ROW_NUMBER() OVER (ORDER BY event_id) - 1)
+                      * {int(n_buckets)} // n AS INTEGER) AS bucket,
+                 ub, doy
+          FROM keyed CROSS JOIN tot
+          UNION ALL
+          SELECT 'zorder',
+                 CAST((ROW_NUMBER() OVER (ORDER BY zval, event_id) - 1)
+                      * {int(n_buckets)} // n AS INTEGER),
+                 ub, doy
+          FROM keyed CROSS JOIN tot
+        ),
+        files AS (
+          SELECT layout, bucket,
+                 MIN(ub) AS min_ub, MAX(ub) AS max_ub,
+                 MIN(doy) AS min_doy, MAX(doy) AS max_doy
+          FROM laid GROUP BY 1, 2
+        ),
+        probed AS (
+          {arms}
+        )
+        SELECT layout, probe_id,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(scanned) AS BIGINT) AS files_scanned,
+               CAST(floor(SUM(scanned) / CAST(COUNT(*) AS DOUBLE)
+                          * 1e6 + 0.5) AS BIGINT) AS scan_ppm
+        FROM probed
+        GROUP BY 1, 2
+        ORDER BY layout, probe_id
+    """

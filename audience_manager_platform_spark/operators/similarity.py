@@ -1226,6 +1226,111 @@ def recall_eval_sql(
     """
 
 
+
+# ----------------------------------------------------- ranking-quality eval
+# 1/log2(i+1) position discounts, floor(x*1e9 + 0.5) — mathematical
+# constants inlined so no cross-engine libm call sits in the contract.
+NDCG_DISCOUNT_E9 = {
+    1: 1000000000,
+    2: 630929754,
+    3: 500000000,
+    4: 430676558,
+    5: 386852807,
+    6: 356207187,
+    7: 333333333,
+    8: 315464877,
+    9: 301029996,
+    10: 289064826,
+}
+
+
+def ndcg_eval(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
+    """nDCG@k of the probed IVF ranking against the exact scan — the
+    *order-aware* companion to :func:`recall_eval` (recall@k can't tell
+    "found all k but scrambled" from "perfect"; production retrieval
+    dashboards track both). Graded relevance of a returned neighbor is
+    its exact-scan standing: ``rel = k + 1 - exact_rank`` (the true
+    nearest is worth k, the k-th is worth 1, anything outside the exact
+    top-k is worth 0).
+
+    Determinism: relevances and position discounts are exact integers
+    (discounts are the inlined e9 constants above), so DCG is an exact
+    bigint sum; the ideal DCG is the same constant on both engines
+    (the exact list always has k graded items); one floor-scaled e6
+    division at the edge.
+
+    Shape at scale: the compare join is |queries| x k rows regardless
+    of corpus size — the cost is the two retrieval plans under test."""
+    idcg = sum((k + 1 - i) * NDCG_DISCOUNT_E9[i] for i in range(1, k + 1))
+    exact = cosine_topk(emb, query_ids, k).select(
+        "query_id",
+        "neighbor_id",
+        (F.lit(k + 1) - F.col("rank")).cast("long").alias("rel"),
+    )
+    disc = F.create_map(
+        *[
+            F.lit(x)
+            for i in range(1, k + 1)
+            for x in (i, NDCG_DISCOUNT_E9[i])
+        ]
+    )
+    approx = ivf_topk(emb, query_ids, k).select(
+        "query_id", "neighbor_id", disc[F.col("rank")].alias("disc_e9")
+    )
+    return (
+        approx.join(exact, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("rel"), F.lit(0)) * F.col("disc_e9")
+            ).alias("dcg_e9"),
+            F.count(F.col("rel")).alias("graded_hits"),
+        )
+        .select(
+            "query_id",
+            "dcg_e9",
+            F.col("graded_hits").cast("long").alias("graded_hits"),
+            F.expr(
+                f"CAST(floor(dcg_e9 / CAST({idcg} AS DOUBLE) * 1e6 + 0.5)"
+                " AS BIGINT)"
+            ).alias("ndcg_e6"),
+        )
+    )
+
+
+def ndcg_eval_sql(
+    query_ids: list[int], k: int = 10, src: str = "embeddings"
+) -> str:
+    idcg = sum((k + 1 - i) * NDCG_DISCOUNT_E9[i] for i in range(1, k + 1))
+    disc_rows = ", ".join(
+        f"({i}, {NDCG_DISCOUNT_E9[i]})" for i in range(1, k + 1)
+    )
+    exact = cosine_topk_sql(query_ids, k, src)
+    approx = ivf_topk_sql(query_ids, k, src)
+    return f"""
+        WITH disc(pos, disc_e9) AS (VALUES {disc_rows}),
+        ex AS (
+          SELECT query_id, neighbor_id,
+                 CAST({k} + 1 - rank AS BIGINT) AS rel
+          FROM ({exact})
+        ),
+        ap AS (
+          SELECT a.query_id, a.neighbor_id, d.disc_e9
+          FROM ({approx}) a JOIN disc d ON d.pos = a.rank
+        )
+        SELECT ap.query_id,
+               CAST(SUM(COALESCE(ex.rel, 0) * ap.disc_e9) AS BIGINT)
+                 AS dcg_e9,
+               CAST(COUNT(ex.rel) AS BIGINT) AS graded_hits,
+               CAST(floor(SUM(COALESCE(ex.rel, 0) * ap.disc_e9)
+                          / CAST({idcg} AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                 AS ndcg_e6
+        FROM ap LEFT JOIN ex
+          ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+        GROUP BY ap.query_id
+    """
+
+
 # --------------------------------------- Johnson-Lindenstrauss projection
 JL_OUT_DIM = 16
 

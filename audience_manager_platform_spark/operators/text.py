@@ -2164,3 +2164,35 @@ def bpe_encode_stats_sql(
                )) AS new_symbols
         FROM h{n_merges}
     """
+
+
+def langid_en_auc(docs: DataFrame) -> DataFrame:
+    """ROC-AUC of the English stopword-hit score against the labeled
+    language — grades the *ranking power* of the langid signal, where
+    :func:`langid_confusion` grades only the argmax decision (a filter
+    threshold is picked off this curve, not off the confusion matrix).
+    Delegates to the exact tie-corrected Mann-Whitney in
+    :func:`..validation.auc_exact`; the hit-count score is already an
+    exact integer, so the whole statistic is integer-exact."""
+    from .validation import auc_exact
+
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    scored = docs.select(
+        F.size(
+            F.filter(tokens_col("text"), lambda t: F.array_contains(en, t))
+        ).alias("en_hits"),
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+    )
+    return auc_exact(scored, "en_hits", "is_en")
+
+
+def langid_en_auc_sql(src: str = "documents") -> str:
+    from .validation import auc_exact_sql
+
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    t = tokens_sql("text")
+    scored = (
+        f"(SELECT len(list_filter({t}, x -> list_contains([{en}], x)))"
+        f" AS en_hits, CAST(lang = 'en' AS INTEGER) AS is_en FROM {src}) q"
+    )
+    return auc_exact_sql(scored, "en_hits", "is_en")

@@ -939,3 +939,110 @@ def holt_linear_backtest_sql(src: str = "events") -> str:
         FROM rec WHERE t = n
         ORDER BY event_type
     """
+
+
+def crosscorr_lead_lag(
+    events: DataFrame,
+    x_type: str = "view",
+    y_type: str = "purchase",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Cross-correlation function between two event types' daily-total
+    series at lags -max_lag..max_lag — the lead/lag detector behind
+    "do views drive purchases, and with how many days' delay?"
+    (a CCF peak at positive lag L means x leads y by L days; the lag-0
+    column is plain same-day correlation). Completes the forecasting
+    ladder next to :func:`autocorrelation`, which is the x == y special
+    case.
+
+    Determinism: the exact contract of :func:`autocorrelation` — daily
+    totals quantize to integer cents, all five correlation sums
+    accumulate in bigint, and the final r assembles identical integer
+    inputs with identical IEEE ops, rounded 6dp.
+
+    Shape at scale: one combinable (type, day) reduce over the fact
+    scan, then every join/window lives INSIDE the tiny daily table
+    (|days| rows per series, |lags| fan-out)."""
+    daily = (
+        events.filter(F.col("value").isNotNull())
+        .filter(F.col("event_type").isin([x_type, y_type]))
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.expr(
+                "cast(floor(cast(round(sum(cast(value as decimal(18,4))), 2)"
+                " as double) * 100 + 0.5d) as bigint)"
+            ).alias("v100")
+        )
+    )
+    lags = F.explode(
+        F.sequence(F.lit(-max_lag), F.lit(max_lag))
+    ).alias("lag")
+    a = (
+        daily.filter(F.col("event_type") == x_type)
+        .select("day", F.col("v100").alias("x"), lags)
+    )
+    b = daily.filter(F.col("event_type") == y_type).select(
+        F.col("day").alias("_bday"), F.col("v100").alias("y")
+    )
+    pairs = a.join(
+        b, F.expr("date_add(day, CAST(lag AS INT))") == F.col("_bday")
+    ).select("lag", "x", "y")
+    g = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return g.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(
+            num.cast("double")
+            / F.sqrt(varx.cast("double") * vary.cast("double")),
+            6,
+        ).alias("ccf"),
+    )
+
+
+def crosscorr_lead_lag_sql(
+    src: str = "events",
+    x_type: str = "view",
+    y_type: str = "purchase",
+    max_lag: int = 7,
+) -> str:
+    return f"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(FLOOR(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2)
+                      AS DOUBLE) * 100 + 0.5) AS BIGINT) AS v100
+          FROM {src}
+          WHERE value IS NOT NULL AND event_type IN ('{x_type}', '{y_type}')
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT l.lag, a.v100 AS x, b.v100 AS y
+          FROM daily a
+          CROSS JOIN (SELECT UNNEST(generate_series(-{int(max_lag)},
+                                                    {int(max_lag)})) AS lag) l
+          JOIN daily b ON b.event_type = '{y_type}'
+                      AND b.day = a.day + TO_DAYS(CAST(l.lag AS INTEGER))
+          WHERE a.event_type = '{x_type}'
+        ),
+        g AS (
+          SELECT lag,
+                 COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+          FROM pairs GROUP BY 1
+        )
+        SELECT CAST(lag AS INTEGER) AS lag,
+               CAST(n AS BIGINT) AS n_pairs,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS ccf
+        FROM g
+    """

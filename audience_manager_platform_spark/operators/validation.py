@@ -937,3 +937,314 @@ def psi_value_drift_sql(src: str = "events", value_col: str = "value") -> str:
         FROM hist CROSS JOIN tot
         ORDER BY blen, sub
     """
+
+
+def ks_value_drift(events: "DataFrame", value_col: str = "value") -> "DataFrame":
+    """Two-sample Kolmogorov-Smirnov statistic between the old and new
+    halves of the observation window — the rank-based companion to
+    :func:`psi_value_drift` (PSI needs a binning; KS is the exact
+    max-ECDF-gap over the raw value grid and catches shifts a coarse
+    grid smears out). Emits ONE row: the split sizes, the number of
+    distinct value points, the arg-max value (cents), the exact integer
+    gap numerator and the e6-scaled statistic.
+
+    Determinism: values quantize to exact integer cents
+    (``floor(v*100 + 0.5)``); per-cents counts and their running sums
+    are exact bigints; the gap is compared as the cross-multiplied
+    integer ``|cum_old*n_new - cum_new*n_old|`` (never a float ECDF),
+    with the min-cents tiebreak on the arg-max. Only the final
+    ``ks_d_e6`` touches doubles — identical integer inputs, identical
+    IEEE ops, floor-scaled once.
+
+    Shape at scale: one map-side-combinable GROUP BY cents (the value
+    grid, not the row count, bounds the state), one window cumsum over
+    that grid, one broadcast totals join, one top-1."""
+    from pyspark.sql import Window
+
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("_lo"), F.max(F.to_date("ts")).alias("_hi")
+    )
+    staged = (
+        events.crossJoin(F.broadcast(bounds))
+        .filter(F.col(value_col).isNotNull())
+        .select(
+            F.expr(
+                "CASE WHEN to_date(ts) <= date_add(_lo,"
+                " CAST(datediff(_hi, _lo) div 2 AS INT)) THEN 'old'"
+                " ELSE 'new' END"
+            ).alias("side"),
+            F.expr(f"CAST(floor({value_col} * 100 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+    )
+    per_val = staged.groupBy("cents").agg(
+        F.sum(F.when(F.col("side") == "old", 1).otherwise(0)).alias("old_c"),
+        F.sum(F.when(F.col("side") == "new", 1).otherwise(0)).alias("new_c"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_val.select(
+        "cents",
+        F.sum("old_c").over(w).alias("cum_o"),
+        F.sum("new_c").over(w).alias("cum_n"),
+    )
+    tot = per_val.agg(
+        F.sum("old_c").alias("n_old"),
+        F.sum("new_c").alias("n_new"),
+        F.count("*").alias("n_values"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_old").cast("long").alias("n_old"),
+            F.col("n_new").cast("long").alias("n_new"),
+            F.col("n_values").cast("long").alias("n_values"),
+            F.col("cents").alias("ks_at_cents"),
+            F.expr("abs(cum_o * n_new - cum_n * n_old)").alias("ks_num"),
+            F.expr(
+                "CAST(floor(abs(cum_o * n_new - cum_n * n_old)"
+                " / (CAST(n_old AS DOUBLE) * CAST(n_new AS DOUBLE))"
+                " * 1e6 + 0.5) AS BIGINT)"
+            ).alias("ks_d_e6"),
+        )
+        .orderBy(F.desc("ks_num"), F.asc("ks_at_cents"))
+        .limit(1)
+    )
+
+
+def ks_value_drift_sql(src: str = "events", value_col: str = "value") -> str:
+    return f"""
+        WITH bounds AS (
+          SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+          FROM {src}
+        ),
+        staged AS (
+          SELECT CASE WHEN CAST(ts AS DATE)
+                        <= lo + CAST(date_diff('day', lo, hi) // 2 AS INTEGER)
+                      THEN 'old' ELSE 'new' END AS side,
+                 CAST(floor({value_col} * 100 + 0.5) AS BIGINT) AS cents
+          FROM {src} CROSS JOIN bounds
+          WHERE {value_col} IS NOT NULL
+        ),
+        per_val AS (
+          SELECT cents,
+                 SUM(CASE WHEN side = 'old' THEN 1 ELSE 0 END) AS old_c,
+                 SUM(CASE WHEN side = 'new' THEN 1 ELSE 0 END) AS new_c
+          FROM staged GROUP BY cents
+        ),
+        cum AS (
+          SELECT cents,
+                 SUM(old_c) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_o,
+                 SUM(new_c) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+          FROM per_val
+        ),
+        tot AS (
+          SELECT SUM(old_c) AS n_old, SUM(new_c) AS n_new,
+                 COUNT(*) AS n_values
+          FROM per_val
+        )
+        SELECT CAST(n_old AS BIGINT) AS n_old,
+               CAST(n_new AS BIGINT) AS n_new,
+               CAST(n_values AS BIGINT) AS n_values,
+               cents AS ks_at_cents,
+               CAST(abs(cum_o * n_new - cum_n * n_old) AS BIGINT) AS ks_num,
+               CAST(floor(abs(cum_o * n_new - cum_n * n_old)
+                          / (CAST(n_old AS DOUBLE) * CAST(n_new AS DOUBLE))
+                          * 1e6 + 0.5) AS BIGINT) AS ks_d_e6
+        FROM cum CROSS JOIN tot
+        ORDER BY abs(cum_o * n_new - cum_n * n_old) DESC, cents ASC
+        LIMIT 1
+    """
+
+
+# Benford expected first-digit shares, floor(log10(1 + 1/d) * 1e9 + 0.5):
+# mathematical constants precomputed once so NO cross-engine libm call
+# sits in the contract.
+BENFORD_E9 = {
+    1: 301029996,
+    2: 176091259,
+    3: 124938737,
+    4: 96910013,
+    5: 79181246,
+    6: 66946790,
+    7: 57991947,
+    8: 51152522,
+    9: 45757491,
+}
+
+
+def benford_digit_audit(df: "DataFrame", amount_col: str) -> "DataFrame":
+    """Benford's-law first-digit audit over a monetary column — the
+    classic fabricated-data / ingestion-bug screen (a constant-price
+    catalog, a unit mixup, or synthetic padding all bend the leading
+    digit away from log10(1 + 1/d)).
+
+    Determinism: the leading digit comes from STRING inspection of the
+    floored integer amount (no log10 on data); expected shares are the
+    inlined e9 integer constants above; per-digit counts are exact; the
+    chi-square term assembles tot*share and (n-exp)^2/exp from identical
+    integer inputs with identical IEEE ops, floor-scaled to e6 once.
+
+    Shape: one map-side-combinable 9-group aggregate + a broadcast
+    9-row digit spine (zero-count digits still report)."""
+    spark = df.sparkSession
+    spine = spark.createDataFrame(
+        [(d, e9) for d, e9 in BENFORD_E9.items()], "digit int, exp_ppb long"
+    )
+    counts = (
+        df.filter(F.col(amount_col) >= 1)
+        .select(
+            F.substring(
+                F.floor(F.col(amount_col)).cast("long").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("tot"))
+    return (
+        F.broadcast(spine)
+        .join(counts, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.expr(
+                "CAST(floor(coalesce(n, 0) / CAST(tot AS DOUBLE)"
+                " * 1e6 + 0.5) AS BIGINT)"
+            ).alias("obs_ppm"),
+            F.col("exp_ppb").alias("exp_ppb"),
+            F.expr(
+                "CAST(floor("
+                " pow(coalesce(n, 0) - tot * (exp_ppb / 1e9), 2)"
+                " / (tot * (exp_ppb / 1e9)) * 1e6 + 0.5) AS BIGINT)"
+            ).alias("chi2_term_e6"),
+        )
+        .orderBy("digit")
+    )
+
+
+def benford_digit_audit_sql(src: str, amount_col: str) -> str:
+    values = ", ".join(f"({d}, {e9})" for d, e9 in BENFORD_E9.items())
+    return f"""
+        WITH spine(digit, exp_ppb) AS (VALUES {values}),
+        counts AS (
+          SELECT CAST(substr(CAST(CAST(floor({amount_col}) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+                 COUNT(*) AS n
+          FROM {src} WHERE {amount_col} >= 1
+          GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n) AS tot FROM counts)
+        SELECT s.digit,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+               CAST(floor(COALESCE(c.n, 0) / CAST(tot AS DOUBLE)
+                          * 1e6 + 0.5) AS BIGINT) AS obs_ppm,
+               CAST(s.exp_ppb AS BIGINT) AS exp_ppb,
+               CAST(floor(
+                 pow(COALESCE(c.n, 0) - tot * (s.exp_ppb / 1e9), 2)
+                 / (tot * (s.exp_ppb / 1e9)) * 1e6 + 0.5) AS BIGINT)
+                 AS chi2_term_e6
+        FROM spine s LEFT JOIN counts c ON c.digit = s.digit
+        CROSS JOIN tot
+        ORDER BY s.digit
+    """
+
+
+def auc_exact(scored: "DataFrame", score_col: str, label_col: str) -> "DataFrame":
+    """Exact ROC-AUC of a score against a binary label via the
+    tie-corrected Mann-Whitney rank-sum — the model-eval primitive behind
+    every classifier/filter quality gate (language filters, quality
+    logits, dedup verdicts). One row out: class sizes, distinct score
+    count, the doubled U statistic and the e6-scaled AUC.
+
+    Tie handling is the textbook midrank: a tie group spanning ranks
+    (a, a+g] contributes ``pos_g * (2a + g + 1)`` to DOUBLED positive
+    rank-sum — kept doubled so the whole statistic is an exact bigint
+    (``u2 = 2*R_pos - n_pos*(n_pos+1) = 2*U``); ties then cost 0.5 each,
+    exactly. Only the final division touches doubles, floor-scaled once.
+
+    Shape at scale: one map-side-combinable GROUP BY score (state is the
+    score grid, not the row count), one window cumsum over that grid,
+    one total-merge row."""
+    from pyspark.sql import Window
+
+    per = (
+        scored.filter(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .groupBy(F.col(score_col).alias("s"))
+        .agg(
+            F.sum(F.col(label_col).cast("long")).alias("pos_g"),
+            F.sum(F.lit(1) - F.col(label_col).cast("long")).alias("neg_g"),
+        )
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per.select(
+        "pos_g",
+        "neg_g",
+        F.coalesce(
+            F.sum(F.col("pos_g") + F.col("neg_g")).over(w), F.lit(0)
+        ).alias("a"),
+    )
+    return ranked.agg(
+        F.sum("pos_g").cast("long").alias("n_pos"),
+        F.sum("neg_g").cast("long").alias("n_neg"),
+        F.count("*").cast("long").alias("n_scores"),
+        (
+            F.sum(
+                F.col("pos_g")
+                * (F.lit(2) * F.col("a") + F.col("pos_g") + F.col("neg_g") + 1)
+            )
+            - F.sum("pos_g") * (F.sum("pos_g") + 1)
+        )
+        .cast("long")
+        .alias("u2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        "u2",
+        F.expr(
+            "CAST(floor(u2 / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS"
+            " DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+        ).alias("auc_e6"),
+    )
+
+
+def auc_exact_sql(scored_src: str, score_col: str, label_col: str) -> str:
+    """``scored_src`` is a FROM-able producing (score_col, label_col)
+    with label in {0,1}/boolean."""
+    return f"""
+        WITH per AS (
+          SELECT {score_col} AS s,
+                 SUM(CAST({label_col} AS BIGINT)) AS pos_g,
+                 SUM(1 - CAST({label_col} AS BIGINT)) AS neg_g
+          FROM {scored_src}
+          WHERE {score_col} IS NOT NULL AND {label_col} IS NOT NULL
+          GROUP BY 1
+        ),
+        ranked AS (
+          SELECT pos_g, neg_g,
+                 COALESCE(SUM(pos_g + neg_g) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a
+          FROM per
+        ),
+        tot AS (
+          SELECT CAST(SUM(pos_g) AS BIGINT) AS n_pos,
+                 CAST(SUM(neg_g) AS BIGINT) AS n_neg,
+                 CAST(COUNT(*) AS BIGINT) AS n_scores,
+                 CAST(SUM(pos_g * (2 * a + pos_g + neg_g + 1))
+                      - SUM(pos_g) * (SUM(pos_g) + 1) AS BIGINT) AS u2
+          FROM ranked
+        )
+        SELECT n_pos, n_neg, n_scores, u2,
+               CAST(floor(u2 / (2.0 * CAST(n_pos AS DOUBLE)
+                                * CAST(n_neg AS DOUBLE))
+                          * 1e6 + 0.5) AS BIGINT) AS auc_e6
+        FROM tot
+    """

@@ -137,6 +137,13 @@ _DEFER_RAW: tuple[str, ...] = (
     # wave 17
     "er_blocking_quality",
     "validate_psi_drift",
+    "validate_ks_drift",
+    "validate_benford_orders",
+    "ts_crosscorr_lead_lag",
+    "ann_ndcg_ivf_vs_exact",
+    # wave 18
+    "text_langid_en_auc",
+    "layout_pruning_audit",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

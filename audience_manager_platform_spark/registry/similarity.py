@@ -167,6 +167,11 @@ QUERIES = {
     "ann_recall_ivf_vs_exact": lambda s, d: S.recall_eval(
         _emb(s, d), _QUERY_IDS, k=5
     ),
+    # wave 17: order-aware retrieval QA — nDCG@10 of the IVF ranking
+    # graded by exact-scan standing (recall@k can't see scrambles)
+    "ann_ndcg_ivf_vs_exact": lambda s, d: S.ndcg_eval(
+        _emb(s, d), _QUERY_IDS, k=10
+    ),
 }
 
 ORACLES = {
@@ -212,4 +217,5 @@ ORACLES = {
     "sq_code_stats": SQ.sq_code_stats_sql(),
     "ann_sq_adc_topk": SQ.sq_adc_topk_sql(_QUERY_IDS, k=5),
     "ann_recall_ivf_vs_exact": S.recall_eval_sql(_QUERY_IDS, k=5),
+    "ann_ndcg_ivf_vs_exact": S.ndcg_eval_sql(_QUERY_IDS, k=10),
 }

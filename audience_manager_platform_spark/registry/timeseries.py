@@ -73,6 +73,11 @@ QUERIES = {
     "ts_rolling_regression": lambda s, d: TS.rolling_regression(
         _events(s, d)
     ),
+    # wave 17: lead/lag CCF — does one series drive the other, and with
+    # how many days' delay (the x == y special case is ts_autocorrelation)
+    "ts_crosscorr_lead_lag": lambda s, d: TS.crosscorr_lead_lag(
+        _events(s, d)
+    ),
 }
 
 ORACLES = {
@@ -86,6 +91,7 @@ ORACLES = {
     "ts_rolling_regression": TS.rolling_regression_sql(),
     "ts_seasonal_naive_backtest": TS.seasonal_naive_backtest_sql(),
     "ts_autocorrelation": TS.autocorrelation_sql(),
+    "ts_crosscorr_lead_lag": TS.crosscorr_lead_lag_sql(),
     "ts_holt_linear_backtest": TS.holt_linear_backtest_sql(),
     "sample_fixed_n_events": f"""
         SELECT event_id, user_id, event_type, ROUND(value, 2) AS value,

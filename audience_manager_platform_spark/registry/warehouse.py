@@ -45,6 +45,8 @@ from ..operators.maintenance import (
     daily_rollup,
     daily_rollup_sql,
     incremental_rollup_refresh,
+    pruning_audit,
+    pruning_audit_sql,
     zorder_key,
     zorder_key_sql,
 )
@@ -78,6 +80,10 @@ from ..operators.validation import (
     profile_drift_sql,
     psi_value_drift,
     psi_value_drift_sql,
+    ks_value_drift,
+    ks_value_drift_sql,
+    benford_digit_audit,
+    benford_digit_audit_sql,
     table_profile,
     table_profile_sql,
     validate_table,
@@ -313,6 +319,12 @@ QUERIES = {
     # the window) — catches shape drift profile_drift's null/NDV rows
     # can't see
     "validate_psi_drift": lambda s, d: psi_value_drift(_events(s, d)),
+    # wave 17: exact max-ECDF-gap drift (the binning-free rank test
+    # beside PSI) and the Benford leading-digit fabrication screen
+    "validate_ks_drift": lambda s, d: ks_value_drift(_events(s, d)),
+    "validate_benford_orders": lambda s, d: benford_digit_audit(
+        load_table(s, d, "orders"), "o_totalprice"
+    ),
     # r5: Laplace-mechanism aggregate release next to the k-anonymity
     # row-release gate (seeded noise — see dp_noisy_counts docstring)
     "privacy_dp_event_counts": lambda s, d: dp_noisy_counts(
@@ -490,6 +502,9 @@ QUERIES = {
     "forget_users_audit": lambda s, d: forget_users(_events(s, d), FORGET_IDS),
     # r3: the clustering key behind OPTIMIZE ZORDER-style layout jobs
     "layout_zorder_keys": lambda s, d: _zorder_keys(s, d),
+    # wave 18: the decision audit ABOVE the z-key — does the layout's
+    # zone-map min/max actually skip files for band predicates?
+    "layout_pruning_audit": lambda s, d: pruning_audit(_events(s, d)),
     # r3: partition-level incremental view maintenance; the gate drives a
     # last-5-days churn through the refresh path and checks the result
     # equals the from-scratch rollup (the oracle)
@@ -523,6 +538,11 @@ ORACLES = {
         PROFILE_COLS,
     ),
     "validate_psi_drift": psi_value_drift_sql("events"),
+    "validate_ks_drift": ks_value_drift_sql("events"),
+    "layout_pruning_audit": pruning_audit_sql("events"),
+    "validate_benford_orders": benford_digit_audit_sql(
+        "orders", "o_totalprice"
+    ),
     "privacy_dp_event_counts": dp_noisy_counts_sql(
         "events", "event_type", epsilon=1.0
     ),

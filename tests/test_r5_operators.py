@@ -2659,3 +2659,199 @@ def test_psi_drift_partition_invariant(spark):
     a = [tuple(r) for r in psi_value_drift(ev.coalesce(1)).collect()]
     b = [tuple(r) for r in psi_value_drift(ev.repartition(13)).collect()]
     assert a == b, "PSI terms must be bit-identical under any partitioning"
+
+
+def test_ks_drift_exact_on_disjoint_and_identical_halves(spark):
+    from audience_manager_platform_spark.operators.validation import (
+        ks_value_drift,
+    )
+
+    # disjoint supports => at the boundary the ECDF gap is exactly 1
+    rows = [
+        (i, f"2024-01-{(i % 14) + 1:02d} 12:00:00", 10.0) for i in range(60)
+    ] + [
+        (100 + i, f"2024-01-{16 + (i % 14):02d} 12:00:00", 90.0)
+        for i in range(40)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts string, value double")
+    r = ks_value_drift(ev).collect()[0]
+    assert (r.n_old, r.n_new) == (60, 40)
+    assert r.ks_at_cents == 1000          # the gap peaks at the old mass
+    assert r.ks_num == 60 * 40            # cum_o*n_new - 0 = full cross product
+    assert r.ks_d_e6 == 1_000_000
+    # identical halves => D = 0 at every point; min-cents tiebreak wins
+    # every day carries the same value multiset -> identical ECDFs
+    same = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 28) + 1:02d} 12:00:00", float(1 + (i // 28) % 3))
+         for i in range(280)],
+        "event_id long, ts string, value double",
+    )
+    r0 = ks_value_drift(same).collect()[0]
+    assert r0.ks_num == 0 and r0.ks_d_e6 == 0 and r0.ks_at_cents == 100
+
+
+def test_ks_drift_partition_invariant(spark):
+    from audience_manager_platform_spark.operators.validation import (
+        ks_value_drift,
+    )
+
+    rows = [
+        (i, f"2024-01-{(i % 28) + 1:02d} 12:00:00",
+         float(1 + (i * 37) % 211) / 7.0)
+        for i in range(300)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts string, value double")
+    a = tuple(ks_value_drift(ev.coalesce(1)).collect()[0])
+    b = tuple(ks_value_drift(ev.repartition(13)).collect()[0])
+    assert a == b
+
+
+def test_benford_audit_flags_constant_prices(spark):
+    from audience_manager_platform_spark.operators.validation import (
+        benford_digit_audit,
+        BENFORD_E9,
+    )
+
+    # fabricated: every amount starts with 5 -> all mass on one digit
+    fab = spark.createDataFrame(
+        [(i, 5000.0 + i) for i in range(500)], "id long, amt double"
+    )
+    got = {r.digit: r for r in benford_digit_audit(fab, "amt").collect()}
+    assert set(got) == set(range(1, 10))          # zero-count digits report
+    assert got[5].n == 500 and got[5].obs_ppm == 1_000_000
+    assert all(got[d].n == 0 for d in range(1, 10) if d != 5)
+    assert all(got[d].exp_ppb == BENFORD_E9[d] for d in range(1, 10))
+    # the digit-5 chi2 term alone: (500 - 500*p5)^2 / (500*p5), e6-scaled
+    exp5 = 500 * BENFORD_E9[5] / 1e9
+    import math
+    want = math.floor((500 - exp5) ** 2 / exp5 * 1e6 + 0.5)
+    assert got[5].chi2_term_e6 == want
+    # sub-1 and negative amounts are excluded from the audit
+    assert benford_digit_audit(
+        spark.createDataFrame([(1, 0.5), (2, -30.0)], "id long, amt double"),
+        "amt",
+    ).collect()[0].n == 0
+
+
+def test_crosscorr_planted_lead(spark):
+    from audience_manager_platform_spark.operators.timeseries import (
+        crosscorr_lead_lag,
+    )
+
+    # purchases copy views with a 2-day delay -> CCF at lag +2 is 1.0
+    views = [
+        (i, f"2024-01-{d + 1:02d} 08:00:00", "view",
+         float(10 + ((d * 7) % 13)))
+        for d in range(26) for i in [d]
+    ]
+    buys = [
+        (100 + d, f"2024-01-{d + 3:02d} 20:00:00", "purchase",
+         float(10 + ((d * 7) % 13)))
+        for d in range(26)
+    ]
+    ev = spark.createDataFrame(
+        views + buys, "event_id long, ts string, event_type string, value double"
+    )
+    got = {r.lag: r for r in crosscorr_lead_lag(ev).collect()}
+    assert got[2].ccf == 1.0
+    assert got[2].n_pairs == 26
+    assert all(abs(got[l].ccf) < 1.0 for l in got if l != 2)
+
+
+def test_ndcg_eval_perfect_when_ivf_matches_exact(spark):
+    from audience_manager_platform_spark.operators.similarity import (
+        ndcg_eval,
+        recall_eval,
+        NDCG_DISCOUNT_E9,
+    )
+    from audience_manager_platform_spark.sources import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {r.query_id: r for r in ndcg_eval(emb, [0, 1, 2], k=10).collect()}
+    rec = {r.query_id: r for r in
+           recall_eval(emb, [0, 1, 2], k=10).collect()}
+    idcg = sum((11 - i) * NDCG_DISCOUNT_E9[i] for i in range(1, 11))
+    for q, r in got.items():
+        assert 0 <= r.ndcg_e6 <= 1_000_000
+        assert r.graded_hits == rec[q].hits      # same compare, order-aware
+        if r.graded_hits == 10 and r.ndcg_e6 == 1_000_000:
+            assert r.dcg_e9 == idcg              # perfect ranking pins IDCG
+        # scrambled-but-complete must score below perfect
+        if r.graded_hits == 10:
+            assert r.dcg_e9 <= idcg
+
+
+def test_auc_exact_hand_computed_with_ties(spark):
+    from audience_manager_platform_spark.operators.validation import auc_exact
+
+    # scores: pos {3, 2, 2}, neg {2, 1}.
+    # ranks: 1 -> 1; the three 2s share midrank 3; 3 -> 5.
+    # R_pos = 3 + 3 + 5 = 11; U = 11 - 3*4/2 = 5; AUC = 5 / (3*2).
+    df = spark.createDataFrame(
+        [(3, 1), (2, 1), (2, 1), (2, 0), (1, 0)], "score int, label int"
+    )
+    r = auc_exact(df, "score", "label").collect()[0]
+    assert (r.n_pos, r.n_neg, r.n_scores) == (3, 2, 3)
+    assert r.u2 == 10                      # 2*U
+    assert r.auc_e6 == 833_333             # floor(5/6 * 1e6 + 0.5)
+    # perfect separation and pure noise
+    sep = spark.createDataFrame(
+        [(i + 10, 1) for i in range(5)] + [(i, 0) for i in range(5)],
+        "score int, label int",
+    )
+    assert auc_exact(sep, "score", "label").collect()[0].auc_e6 == 1_000_000
+    tie = spark.createDataFrame(
+        [(7, 1)] * 4 + [(7, 0)] * 4, "score int, label int"
+    )
+    assert auc_exact(tie, "score", "label").collect()[0].auc_e6 == 500_000
+
+
+def test_auc_exact_partition_invariant(spark):
+    from audience_manager_platform_spark.operators.validation import auc_exact
+
+    rows = [((i * 17) % 23, 1 if (i * 13) % 3 == 0 else 0) for i in range(400)]
+    df = spark.createDataFrame(rows, "score int, label int")
+    a = tuple(auc_exact(df.coalesce(1), "score", "label").collect()[0])
+    b = tuple(auc_exact(df.repartition(11), "score", "label").collect()[0])
+    assert a == b
+
+
+def test_pruning_audit_zorder_prunes_both_dims(spark):
+    from audience_manager_platform_spark.operators.maintenance import (
+        pruning_audit,
+    )
+
+    # a 64x32 (user x day) grid: ingestion order is day-major, so the
+    # natural layout clusters days perfectly and users not at all
+    rows = [
+        (d * 64 + u, u + 1, f"2024-01-{d % 28 + 1:02d} 12:00:00")
+        for d in range(32) for u in range(64)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts string")
+    got = {(r.layout, r.probe_id): r
+           for r in pruning_audit(ev, n_buckets=16).collect()}
+    assert all(r.n_files == 16 for r in got.values())
+    # natural: every file spans all 64 users -> user band scans 100%
+    assert got[("natural", "ub_band")].scan_ppm == 1_000_000
+    # natural: day-major order prunes the day band hard
+    assert got[("natural", "doy_band")].files_scanned < 16
+    # zorder: the user band must actually prune now
+    assert got[("zorder", "ub_band")].files_scanned < 16
+    # and the day band must not degrade to a full scan
+    assert got[("zorder", "doy_band")].files_scanned < 16
+
+
+def test_pruning_audit_partition_invariant(spark):
+    from audience_manager_platform_spark.operators.maintenance import (
+        pruning_audit,
+    )
+
+    rows = [
+        (i, (i * 13) % 100 + 1, f"2024-01-{(i * 7) % 28 + 1:02d} 09:00:00")
+        for i in range(600)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts string")
+    a = sorted(tuple(r) for r in pruning_audit(ev.coalesce(1)).collect())
+    b = sorted(tuple(r) for r in pruning_audit(ev.repartition(9)).collect())
+    assert a == b

@@ -149,6 +149,18 @@ NESTED_LOOP_ALLOWED = {
     "kmeans_cluster_quality",
     # |queries| broadcast query tower (the ann_cosine_topk shape)
     "ann_hard_negatives",
+    # wave 17: 1-row date-bounds + 1-row totals broadcasts around the
+    # bounded histogram/value-grid state
+    "validate_psi_drift",
+    "validate_ks_drift",
+    # 9-row digit spine x 1-row total broadcast
+    "validate_benford_orders",
+    # wave 18: 1-row rowcount + 1-row global-bounds broadcasts around
+    # the |buckets|-sized zone-map table
+    "layout_pruning_audit",
+    # order-aware twin of ann_recall_ivf_vs_exact: same broadcast query
+    # towers on both retrieval plans under test
+    "ann_ndcg_ivf_vs_exact",
 }
 
 ARROW_ALLOWED = {
@@ -184,6 +196,7 @@ ARROW_ALLOWED = {
     "heavy_hitters_value_bands",  # Misra-Gries per-partition kernel
     "streaming_stateful_spend",
     "ann_recall_ivf_vs_exact",
+    "ann_ndcg_ivf_vs_exact",  # same IVF cell-assign kernel as recall
     "ann_recall_pq_vs_exact",
     "ann_ivf_probe_sweep",
     "dedup_semantic",

@@ -1331,6 +1331,171 @@ def ndcg_eval_sql(
     """
 
 
+
+# ------------------------------------------------------ MMR diverse rerank
+MMR_POOL = 15  # candidate shortlist per query fed to the greedy
+
+
+def mmr_rerank_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 5, pool: int = MMR_POOL
+) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): from each query's exact top-``pool`` shortlist, greedily
+    pick k results maximizing ``λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)``
+    — the diversification stage a RAG retriever runs so the k passages
+    aren't five near-copies of the same chunk.
+
+    Determinism contract: λ = 0.7 is held as INTEGERS (score10_e6 =
+    ``7·sim_e6 − 3·max_red_e6`` over e6-quantized similarities), and the
+    greedy argmax tie-breaks on neighbor_id — so the whole sequential
+    selection is exact integer arithmetic, replayed step-for-step by a
+    DuckDB recursive-CTE twin (LATERAL argmax per step). The sequential
+    dependence is *inherent* to MMR (pick r depends on picks 1..r−1);
+    it runs per query over a ≤pool-row group — the sanctioned
+    custom-stateful shape (Holt/KM precedent), cogrouped applyInPandas.
+
+    Shape at scale: the two retrieval joins build |q|·pool shortlist rows
+    and |q|·pool² pairwise rows (ids + e6 ints, never vectors after
+    scoring); the Python greedy touches only those."""
+    cands = cosine_topk(emb, query_ids, pool).select(
+        "query_id",
+        "neighbor_id",
+        F.expr("CAST(floor(cosine * 1e6 + 0.5) AS BIGINT)").alias("sim_e6"),
+    )
+    base = emb.select("vec_id", _vec_double().alias("v"))
+    pa, pb = cands.alias("pa"), cands.alias("pb")
+    pairs = (
+        pa.join(
+            pb,
+            (F.col("pa.query_id") == F.col("pb.query_id"))
+            & (F.col("pa.neighbor_id") != F.col("pb.neighbor_id")),
+        )
+        .select(
+            F.col("pa.query_id").alias("query_id"),
+            F.col("pa.neighbor_id").alias("a_id"),
+            F.col("pb.neighbor_id").alias("b_id"),
+        )
+        .join(base.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va")), "a_id")
+        .join(base.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb")), "b_id")
+        .withColumn(
+            "pair_cos",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6),
+        )
+        .select(
+            "query_id",
+            "a_id",
+            "b_id",
+            F.expr(
+                "CAST(floor(pair_cos * 1e6 + 0.5) AS BIGINT)"
+            ).alias("pair_e6"),
+        )
+    )
+
+    def greedy(cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+        if cdf.empty:
+            return pd.DataFrame(
+                columns=["query_id", "neighbor_id", "pick_rank", "score10_e6"]
+            )
+        qid = int(cdf["query_id"].iloc[0])
+        sims = {
+            int(n): int(s)
+            for n, s in zip(cdf["neighbor_id"], cdf["sim_e6"])
+        }
+        pair = {
+            (int(r_a), int(r_b)): int(p)
+            for r_a, r_b, p in zip(pdf["a_id"], pdf["b_id"], pdf["pair_e6"])
+        }
+        picked: list[int] = []
+        out = []
+        while len(picked) < min(k, len(sims)):
+            best_nid, best_score = None, None
+            for nid in sims:
+                if nid in picked:
+                    continue
+                red = max((pair[(nid, p)] for p in picked), default=0)
+                score = 7 * sims[nid] - 3 * red
+                if (
+                    best_score is None
+                    or score > best_score
+                    or (score == best_score and nid < best_nid)
+                ):
+                    best_nid, best_score = nid, score
+            picked.append(best_nid)
+            out.append((qid, best_nid, len(picked), best_score))
+        return pd.DataFrame(
+            out, columns=["query_id", "neighbor_id", "pick_rank", "score10_e6"]
+        )
+
+    return (
+        cands.groupBy("query_id")
+        .cogroup(pairs.groupBy("query_id"))
+        .applyInPandas(
+            greedy,
+            "query_id long, neighbor_id long, pick_rank int, score10_e6 long",
+        )
+    )
+
+
+def mmr_rerank_topk_sql(
+    query_ids: list[int],
+    k: int = 5,
+    pool: int = MMR_POOL,
+    src: str = "embeddings",
+) -> str:
+    shortlist = cosine_topk_sql(query_ids, pool, src)
+    return f"""
+        WITH RECURSIVE cand AS MATERIALIZED (
+          SELECT query_id, neighbor_id,
+                 CAST(floor(cosine * 1e6 + 0.5) AS BIGINT) AS sim_e6
+          FROM ({shortlist})
+        ),
+        vecs AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src}
+        ),
+        cpair AS MATERIALIZED (
+          SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+                 CAST(floor(ROUND(list_cosine_similarity(va.v, vb.v), 6)
+                            * 1e6 + 0.5) AS BIGINT) AS pair_e6
+          FROM cand a
+          JOIN cand b ON b.query_id = a.query_id
+                     AND b.neighbor_id != a.neighbor_id
+          JOIN vecs va ON va.vec_id = a.neighbor_id
+          JOIN vecs vb ON vb.vec_id = b.neighbor_id
+        ),
+        sel AS (
+          SELECT query_id, neighbor_id, 1 AS pick_rank,
+                 7 * sim_e6 AS score10_e6,
+                 [neighbor_id] AS picked
+          FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY sim_e6 DESC, neighbor_id) AS rn
+            FROM cand
+          ) b WHERE rn = 1
+          UNION ALL
+          SELECT s.query_id, best.neighbor_id, s.pick_rank + 1,
+                 best.score10_e6, list_append(s.picked, best.neighbor_id)
+          FROM sel s, LATERAL (
+            SELECT c.neighbor_id,
+                   7 * c.sim_e6 - 3 * COALESCE((
+                     SELECT MAX(p.pair_e6) FROM cpair p
+                     WHERE p.query_id = s.query_id
+                       AND p.a_id = c.neighbor_id
+                       AND list_contains(s.picked, p.b_id)), 0) AS score10_e6
+            FROM cand c
+            WHERE c.query_id = s.query_id
+              AND NOT list_contains(s.picked, c.neighbor_id)
+            ORDER BY score10_e6 DESC, c.neighbor_id
+            LIMIT 1
+          ) best
+          WHERE s.pick_rank < {int(k)}
+        )
+        SELECT query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+               CAST(pick_rank AS INTEGER) AS pick_rank,
+               CAST(score10_e6 AS BIGINT) AS score10_e6
+        FROM sel
+    """
+
+
 # --------------------------------------- Johnson-Lindenstrauss projection
 JL_OUT_DIM = 16
 

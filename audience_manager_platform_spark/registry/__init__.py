@@ -144,6 +144,7 @@ _DEFER_RAW: tuple[str, ...] = (
     # wave 18
     "text_langid_en_auc",
     "layout_pruning_audit",
+    "ann_mmr_rerank_topk",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

@@ -172,6 +172,12 @@ QUERIES = {
     "ann_ndcg_ivf_vs_exact": lambda s, d: S.ndcg_eval(
         _emb(s, d), _QUERY_IDS, k=10
     ),
+    # wave 18: MMR diversification of the exact shortlist (integer-exact
+    # greedy; sequential per query over <= pool rows — the sanctioned
+    # custom-stateful shape, replayed by a recursive-CTE twin)
+    "ann_mmr_rerank_topk": lambda s, d: S.mmr_rerank_topk(
+        _emb(s, d), _QUERY_IDS, k=5
+    ),
 }
 
 ORACLES = {
@@ -218,4 +224,5 @@ ORACLES = {
     "ann_sq_adc_topk": SQ.sq_adc_topk_sql(_QUERY_IDS, k=5),
     "ann_recall_ivf_vs_exact": S.recall_eval_sql(_QUERY_IDS, k=5),
     "ann_ndcg_ivf_vs_exact": S.ndcg_eval_sql(_QUERY_IDS, k=10),
+    "ann_mmr_rerank_topk": S.mmr_rerank_topk_sql(_QUERY_IDS, k=5),
 }

@@ -2855,3 +2855,45 @@ def test_pruning_audit_partition_invariant(spark):
     a = sorted(tuple(r) for r in pruning_audit(ev.coalesce(1)).collect())
     b = sorted(tuple(r) for r in pruning_audit(ev.repartition(9)).collect())
     assert a == b
+
+
+def test_mmr_rerank_demotes_near_duplicate(spark):
+    from audience_manager_platform_spark.operators.similarity import (
+        EMBED_DIM,
+        mmr_rerank_topk,
+        cosine_topk,
+    )
+
+    def vec(**coords):
+        v = [0.0] * EMBED_DIM
+        for i, x in coords.items():
+            v[int(i)] = x
+        return v
+
+    rows = [
+        (0, vec(**{"0": 1.0})),                       # the query
+        (1, vec(**{"0": 0.95, "1": 0.3122})),         # best hit
+        (2, vec(**{"0": 0.95, "1": 0.3122, "3": 0.01})),  # near-dup of 1
+        (3, vec(**{"0": 0.8, "1": -0.6})),            # diverse hit
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    # plain cosine ranks the near-dup second...
+    plain = [r.neighbor_id for r in
+             cosine_topk(emb, [0], k=3).orderBy("rank").collect()]
+    assert plain == [2, 1, 3] or plain == [1, 2, 3]
+    # ...MMR's redundancy penalty pushes it below the diverse hit
+    got = (
+        mmr_rerank_topk(emb, [0], k=3, pool=3)
+        .orderBy("pick_rank")
+        .collect()
+    )
+    picks = [r.neighbor_id for r in got]
+    assert picks[0] in (1, 2)                 # relevance leads
+    assert picks[1] == 3                      # diversity beats the copy
+    assert picks[2] in (1, 2) and picks[2] != picks[0]
+    assert [r.pick_rank for r in got] == [1, 2, 3]
+    # greedy scores are integers and non-increasing is NOT required by
+    # MMR, but the first pick is pure relevance (7 * sim_e6)
+    assert got[0].score10_e6 % 7 == 0

@@ -161,6 +161,8 @@ NESTED_LOOP_ALLOWED = {
     # order-aware twin of ann_recall_ivf_vs_exact: same broadcast query
     # towers on both retrieval plans under test
     "ann_ndcg_ivf_vs_exact",
+    # MMR: the exact-shortlist broadcast query tower feeding the greedy
+    "ann_mmr_rerank_topk",
 }
 
 ARROW_ALLOWED = {
@@ -197,6 +199,9 @@ ARROW_ALLOWED = {
     "streaming_stateful_spend",
     "ann_recall_ivf_vs_exact",
     "ann_ndcg_ivf_vs_exact",  # same IVF cell-assign kernel as recall
+    # sequential per-query MMR greedy (cogrouped applyInPandas over
+    # <= pool-row groups — the sanctioned custom-stateful shape)
+    "ann_mmr_rerank_topk",
     "ann_recall_pq_vs_exact",
     "ann_ivf_probe_sweep",
     "dedup_semantic",
@@ -212,7 +217,8 @@ def scan(plan: str) -> dict:
         "batch_python": "BatchEvalPython" in plan,
         "arrow_python": "ArrowEvalPython" in plan
         or "MapInPandas" in plan
-        or "FlatMapGroupsInPandas" in plan,
+        or "FlatMapGroupsInPandas" in plan
+        or "FlatMapCoGroupsInPandas" in plan,
         "exchanges": len(re.findall(r"\bExchange\b", plan)),
     }
 

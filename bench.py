@@ -121,6 +121,13 @@ HEADLINE = [
     "corpus_cluster_safe_split",
     "hll_retention_overlap",
     "ts_seasonal_naive_backtest",
+    # r5 waves 17-18: drift audits, ranking-quality evals, layout
+    # pruning dry-run, MMR diversification
+    "validate_psi_drift",
+    "validate_ks_drift",
+    "layout_pruning_audit",
+    "ann_mmr_rerank_topk",
+    "text_langid_en_auc",
 ]
 
 # Repeats per query: medians make the bench regression-proof (r3 saw a

@@ -798,6 +798,34 @@ def unique_key_audit_sql(tables) -> str:
     """
 
 
+def psi_buckets(
+    df: "DataFrame", value_col: str = "value", keep: tuple = ()
+) -> "DataFrame":
+    """Stateless projection of a value onto the PSI/quantile-sketch
+    log2 x 8 bucket grid — (``keep``…, blen, sub). No aggregate, no
+    state: works unchanged on batch AND streaming DataFrames, which is
+    what lets the streaming PSI monitor share the batch grid exactly."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *keep,
+            F.expr(f"CAST(floor({value_col} * 100 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .filter(F.col("cents") > 0)
+        .select(*keep, "cents", F.length(F.expr("bin(cents)")).alias("blen"))
+        .select(
+            *keep,
+            "blen",
+            F.expr(
+                "((cents - shiftleft(CAST(1 AS BIGINT), blen - 1)) * 8)"
+                " div shiftleft(CAST(1 AS BIGINT), blen - 1)"
+            ).alias("sub"),
+        )
+    )
+
+
 def psi_value_drift(events: "DataFrame", value_col: str = "value") -> "DataFrame":
     """Population Stability Index — the ML-ops drift metric
     :func:`profile_drift` doesn't cover (null rates and NDV can hold
@@ -819,31 +847,17 @@ def psi_value_drift(events: "DataFrame", value_col: str = "value") -> "DataFrame
     bounds = events.agg(
         F.min(F.to_date("ts")).alias("_lo"), F.max(F.to_date("ts")).alias("_hi")
     )
-    staged = (
-        events.crossJoin(F.broadcast(bounds))
-        .filter(F.col(value_col).isNotNull())
-        .select(
+    staged = psi_buckets(
+        events.crossJoin(F.broadcast(bounds)).select(
             F.expr(
                 "CASE WHEN to_date(ts) <= date_add(_lo,"
                 " CAST(datediff(_hi, _lo) div 2 AS INT)) THEN 'old'"
                 " ELSE 'new' END"
             ).alias("side"),
-            F.expr(f"CAST(floor({value_col} * 100 + 0.5) AS BIGINT)").alias(
-                "cents"
-            ),
-        )
-        .filter(F.col("cents") > 0)
-        .select(
-            "side", "cents", F.length(F.expr("bin(cents)")).alias("blen")
-        )
-        .select(
-            "side",
-            "blen",
-            F.expr(
-                "((cents - shiftleft(CAST(1 AS BIGINT), blen - 1)) * 8)"
-                " div shiftleft(CAST(1 AS BIGINT), blen - 1)"
-            ).alias("sub"),
-        )
+            F.col(value_col),
+        ),
+        value_col,
+        keep=("side",),
     )
     hist = (
         staged.groupBy("blen", "sub")
@@ -856,6 +870,14 @@ def psi_value_drift(events: "DataFrame", value_col: str = "value") -> "DataFrame
             ),
         )
     )
+    return psi_report(hist)
+
+
+def psi_report(hist: "DataFrame") -> "DataFrame":
+    """PSI rows from a bucket-count table (blen, sub, old_n, new_n) —
+    the tail :func:`psi_value_drift` and the streaming monitor share, so
+    a batch run and a streamed histogram can never diverge in the
+    smoothing/scaling arithmetic."""
     tot = hist.agg(
         F.sum("old_n").alias("o_tot"),
         F.sum("new_n").alias("n_tot"),
@@ -866,8 +888,8 @@ def psi_value_drift(events: "DataFrame", value_col: str = "value") -> "DataFrame
         .select(
             "blen",
             "sub",
-            "old_n",
-            "new_n",
+            F.col("old_n").cast("long").alias("old_n"),
+            F.col("new_n").cast("long").alias("new_n"),
             F.expr(
                 "CAST(floor((old_n + 1) / CAST(o_tot + b AS DOUBLE)"
                 " * 1e6 + 0.5) AS BIGINT)"

@@ -145,6 +145,8 @@ _DEFER_RAW: tuple[str, ...] = (
     "text_langid_en_auc",
     "layout_pruning_audit",
     "ann_mmr_rerank_topk",
+    # wave 19
+    "streaming_psi_monitor",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

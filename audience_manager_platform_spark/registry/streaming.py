@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..sources import load_table
 from ..streaming.jobs import (
     enriched_segment_counts,
+    psi_histogram_stream,
     quantile_sketch_stream,
     run_available_now,
     sessionize,
@@ -26,6 +27,7 @@ from ..streaming.jobs import (
     windowed_event_counts,
 )
 from ..operators.skew import quantile_histogram_sql
+from ..operators.validation import psi_value_drift_sql
 from ..streaming.stateful import running_spend_monitor
 
 _counter = itertools.count()
@@ -138,6 +140,47 @@ def _quantile_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_from_histogram(spark.table(name), audit)
 
 
+def _psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI drift monitor: the baseline histogram is a settled
+    batch table (days <= the mid-window cut, the monitor's fixed
+    configuration); a REAL availableNow run maintains the live-side
+    bucket counts; the serving read full-outer joins the two histograms
+    and prices PSI through the SHARED ``psi_report`` arithmetic. Oracle
+    = the one-shot batch ``psi_value_drift`` SQL — streamed counts equal
+    batch counts because the histogram is combinable."""
+    from datetime import timedelta
+
+    from ..operators.validation import psi_buckets, psi_report
+
+    batch = load_table(spark, sf_dir, "events")
+    lo, hi = (
+        batch.agg(
+            F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+        ).collect()[0]
+    )
+    split = lo + timedelta(days=(hi - lo).days // 2)
+    ref = (
+        psi_buckets(batch.filter(F.to_date("ts") <= F.lit(str(split))), "value")
+        .groupBy("blen", "sub")
+        .agg(F.count("*").alias("old_n"))
+    )
+    name = f"stream_psi_{next(_counter)}"
+    run_available_now(
+        psi_histogram_stream(stream_events(spark, sf_dir), str(split)), name
+    )
+    live = spark.table(name)
+    hist = (
+        ref.join(live, ["blen", "sub"], "full_outer")
+        .select(
+            "blen",
+            "sub",
+            F.coalesce(F.col("old_n"), F.lit(0)).alias("old_n"),
+            F.coalesce(F.col("new_n"), F.lit(0)).alias("new_n"),
+        )
+    )
+    return psi_report(hist)
+
+
 QUERIES = {
     "streaming_window_counts": _window_counts,
     "streaming_static_join_counts": _static_join_counts,
@@ -145,12 +188,14 @@ QUERIES = {
     "streaming_stateful_spend": _stateful_spend,
     "streaming_trending_topk": _trending_topk,
     "streaming_quantile_maintenance": _quantile_maintenance,
+    "streaming_psi_monitor": _psi_monitor,
 }
 
 ORACLES = {
     "streaming_quantile_maintenance": quantile_histogram_sql(
         "events", "value"
     ),
+    "streaming_psi_monitor": psi_value_drift_sql("events"),
     "streaming_window_counts": """
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type,

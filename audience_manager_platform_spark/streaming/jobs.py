@@ -571,3 +571,24 @@ def quantile_sketch_stream(events: DataFrame) -> DataFrame:
         .groupBy("blen", "sub")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def psi_histogram_stream(
+    events: DataFrame, split_date: str, value_col: str = "value"
+) -> DataFrame:
+    """Streaming side of the PSI drift monitor: the live-traffic
+    histogram over the shared log2 x 8 bucket grid, restricted to event
+    days AFTER the fixed baseline cut. Bucket counts are a plain
+    combinable streaming aggregate (the quantile-sketch precedent), so
+    the monitor stays current per micro-batch with O(buckets) state and
+    no raw retention; the serving read joins the settled counts against
+    the baseline histogram and prices the PSI terms through the SAME
+    arithmetic as the batch audit (``validation.psi_report``)."""
+    from ..operators.validation import psi_buckets
+
+    live = events.filter(F.to_date("ts") > F.lit(split_date))
+    return (
+        psi_buckets(live, value_col)
+        .groupBy("blen", "sub")
+        .agg(F.count("*").alias("new_n"))
+    )

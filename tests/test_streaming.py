@@ -543,3 +543,23 @@ def test_quantile_sketch_stream_matches_batch(spark, tmp_path):
         )
     }
     assert settled == expected and sum(settled.values()) == 2000
+
+
+def test_psi_monitor_stream_matches_batch_audit(spark, sf_dir):
+    """The streamed live-side histogram joined against the settled
+    baseline must price the SAME PSI rows as the one-shot batch audit
+    (combinable counts + shared psi_report arithmetic)."""
+    from audience_manager_platform_spark.registry.streaming import (
+        _psi_monitor,
+    )
+    from audience_manager_platform_spark.operators.validation import (
+        psi_value_drift,
+    )
+    from audience_manager_platform_spark.sources import load_table
+
+    streamed = [tuple(r) for r in _psi_monitor(spark, sf_dir).collect()]
+    batch = [
+        tuple(r)
+        for r in psi_value_drift(load_table(spark, sf_dir, "events")).collect()
+    ]
+    assert streamed == batch and len(streamed) > 0

@@ -153,6 +153,9 @@ NESTED_LOOP_ALLOWED = {
     # bounded histogram/value-grid state
     "validate_psi_drift",
     "validate_ks_drift",
+    # wave 19: the PSI serving read shares psi_report's 1-row totals
+    # broadcast over the O(buckets) joined histogram
+    "streaming_psi_monitor",
     # 9-row digit spine x 1-row total broadcast
     "validate_benford_orders",
     # wave 18: 1-row rowcount + 1-row global-bounds broadcasts around

@@ -1713,3 +1713,142 @@ def canary_scan_sql(
         FROM probes p LEFT JOIN hits h ON p.canary = h.canary
         ORDER BY p.canary
     """
+
+
+# ------------------------------------------- Neyman optimal allocation
+NEYMAN_BUDGET = 1000
+
+
+def neyman_allocation(
+    events: DataFrame, budget: int = NEYMAN_BUDGET
+) -> DataFrame:
+    """Neyman-optimal stratified sample design: allocate a fixed row
+    budget across strata proportional to ``N_h · S_h`` (stratum size x
+    stratum std-dev) — the textbook-optimal split that
+    :func:`stratified_sample`'s hand-picked fractions approximate. This
+    is the DESIGN step (per-stratum sample sizes); feeding them into the
+    md5-ordered draw is the existing fixed-n machinery.
+
+    Determinism: per-stratum variance numerators are exact bigints over
+    integer cents (``n·Σx² − (Σx)²``); S_h is one sqrt of an identical
+    double on both engines; integerization uses the largest-remainder
+    method — bases are exact floors, the +1 top-up ranks on the
+    e9-floor-scaled remainder with a stratum-name tiebreak, so the
+    allocation sums to the budget EXACTLY and is bit-stable.
+
+    Shape: one combinable per-stratum reduce, then everything lives in
+    the |strata|-row table (two 1-row broadcasts)."""
+    g = (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("x"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            F.expr(
+                "CASE WHEN n_rows > 1 THEN"
+                " sqrt((n_rows * sxx - sx * sx)"
+                "      / (CAST(n_rows AS DOUBLE) * (n_rows - 1)))"
+                " ELSE 0.0 END"
+            ).alias("s_cents"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            "s_cents",
+            (F.col("n_rows") * F.col("s_cents")).alias("w"),
+        )
+    )
+    tot = g.agg(F.sum("w").alias("w_tot"))
+    based = g.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_rows",
+        F.expr("CAST(floor(s_cents * 1e6 + 0.5) AS BIGINT)").alias(
+            "stddev_cents_e6"
+        ),
+        F.expr(f"CAST(floor({int(budget)} * w / w_tot) AS BIGINT)").alias(
+            "base_n"
+        ),
+        F.expr(
+            f"CAST(floor(({int(budget)} * w / w_tot"
+            f" - floor({int(budget)} * w / w_tot)) * 1e9 + 0.5) AS BIGINT)"
+        ).alias("rem_e9"),
+    )
+    deficit = based.agg(
+        (F.lit(int(budget)) - F.sum("base_n")).alias("_d")
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("rem_e9"), F.asc("event_type"))
+    )
+    return (
+        based.crossJoin(F.broadcast(deficit))
+        .withColumn("_rk", rk)
+        .select(
+            "event_type",
+            "n_rows",
+            "stddev_cents_e6",
+            F.expr(
+                "CAST(base_n + CASE WHEN _rk <= _d THEN 1 ELSE 0 END"
+                " AS BIGINT)"
+            ).alias("alloc_n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def neyman_allocation_sql(
+    src: str = "events", budget: int = NEYMAN_BUDGET
+) -> str:
+    return f"""
+        WITH g AS (
+          SELECT event_type, COUNT(*) AS n_rows,
+                 SUM(x) AS sx, SUM(x * x) AS sxx
+          FROM (SELECT event_type,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+                FROM {src} WHERE value IS NOT NULL) q
+          GROUP BY 1
+        ),
+        s AS (
+          SELECT event_type, n_rows,
+                 CASE WHEN n_rows > 1 THEN
+                   sqrt((n_rows * sxx - sx * sx)
+                        / (CAST(n_rows AS DOUBLE) * (n_rows - 1)))
+                 ELSE 0.0 END AS s_cents
+          FROM g
+        ),
+        w AS (SELECT *, n_rows * s_cents AS w FROM s),
+        tot AS (SELECT SUM(w) AS w_tot FROM w),
+        based AS (
+          SELECT event_type, n_rows,
+                 CAST(floor(s_cents * 1e6 + 0.5) AS BIGINT)
+                   AS stddev_cents_e6,
+                 CAST(floor({int(budget)} * w / w_tot) AS BIGINT) AS base_n,
+                 CAST(floor(({int(budget)} * w / w_tot
+                             - floor({int(budget)} * w / w_tot))
+                            * 1e9 + 0.5) AS BIGINT) AS rem_e9
+          FROM w CROSS JOIN tot
+        ),
+        deficit AS (
+          SELECT {int(budget)} - SUM(base_n) AS _d FROM based
+        ),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (
+            ORDER BY rem_e9 DESC, event_type ASC) AS _rk
+          FROM based
+        )
+        SELECT event_type, n_rows, stddev_cents_e6,
+               CAST(base_n + CASE WHEN _rk <= _d THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc_n
+        FROM ranked CROSS JOIN deficit
+        ORDER BY event_type
+    """

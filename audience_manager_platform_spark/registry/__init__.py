@@ -147,6 +147,7 @@ _DEFER_RAW: tuple[str, ...] = (
     "ann_mmr_rerank_topk",
     # wave 19
     "streaming_psi_monitor",
+    "sample_neyman_allocation",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

@@ -272,6 +272,11 @@ def _bucketed_join_revenue(s, d):
 QUERIES = {
     "scd2_user_state_history": lambda s, d: MG.scd2_history(_events(s, d)),
     "cdc_latest_user_state": lambda s, d: MG.cdc_latest_state(_events(s, d)),
+    # wave 19: the design step above the fixed-fraction draw — optimal
+    # per-stratum sizes from exact integer-cents variances
+    "sample_neyman_allocation": lambda s, d: C.neyman_allocation(
+        _events(s, d)
+    ),
     "sample_stratified_events": lambda s, d: C.stratified_sample(
         _events(s, d), "event_type", SAMPLE_FRACTIONS, "event_id"
     ).select("event_id", "user_id", "event_type", "ts", F.round("value", 2).alias("value")),
@@ -514,6 +519,7 @@ QUERIES = {
 ORACLES = {
     "scd2_user_state_history": MG.scd2_history_sql(),
     "cdc_latest_user_state": MG.cdc_latest_state_sql(),
+    "sample_neyman_allocation": C.neyman_allocation_sql("events"),
     "sample_stratified_events": (
         "SELECT event_id, user_id, event_type, ts, ROUND(value, 2) AS value FROM ("
         + C.stratified_sample_sql(

@@ -2897,3 +2897,44 @@ def test_mmr_rerank_demotes_near_duplicate(spark):
     # greedy scores are integers and non-increasing is NOT required by
     # MMR, but the first pick is pure relevance (7 * sim_e6)
     assert got[0].score10_e6 % 7 == 0
+
+
+def test_neyman_allocation_exact_budget_and_optimality(spark):
+    from audience_manager_platform_spark.operators.corpus import (
+        neyman_allocation,
+    )
+
+    # stratum A: high variance (values alternate 1 and 999), stratum B:
+    # zero variance, stratum C: mild variance; equal sizes.
+    rows = (
+        [(i, "A", 1.0 if i % 2 == 0 else 999.0) for i in range(100)]
+        + [(200 + i, "B", 50.0) for i in range(100)]
+        + [(400 + i, "C", 50.0 + (i % 50) * 5) for i in range(100)]
+    )
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    got = {r.event_type: r for r in neyman_allocation(ev, budget=90).collect()}
+    # the allocation sums EXACTLY to the budget (largest remainder)
+    assert sum(r.alloc_n for r in got.values()) == 90
+    # zero-variance stratum gets ~nothing, high-variance the lion's share
+    assert got["B"].alloc_n == 0
+    assert got["A"].alloc_n > got["C"].alloc_n > got["B"].alloc_n
+    assert got["A"].alloc_n >= 70           # S_A ~ 499, S_C ~ 72
+    assert all(r.n_rows == 100 for r in got.values())
+
+
+def test_neyman_allocation_partition_invariant(spark):
+    from audience_manager_platform_spark.operators.corpus import (
+        neyman_allocation,
+    )
+
+    rows = [
+        (i, f"t{i % 4}", float(1 + (i * 29) % 97)) for i in range(800)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    a = [tuple(r) for r in neyman_allocation(ev.coalesce(1)).collect()]
+    b = [tuple(r) for r in neyman_allocation(ev.repartition(7)).collect()]
+    assert a == b

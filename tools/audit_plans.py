@@ -156,6 +156,9 @@ NESTED_LOOP_ALLOWED = {
     # wave 19: the PSI serving read shares psi_report's 1-row totals
     # broadcast over the O(buckets) joined histogram
     "streaming_psi_monitor",
+    # two 1-row broadcasts (weight normalizer, largest-remainder
+    # deficit) into the |strata|-row design table
+    "sample_neyman_allocation",
     # 9-row digit spine x 1-row total broadcast
     "validate_benford_orders",
     # wave 18: 1-row rowcount + 1-row global-bounds broadcasts around

@@ -638,3 +638,131 @@ def test_kaplan_meier_curve_is_monotone_in_unit_interval(rows):
         assert 0.0 <= s <= prev + 1e-15
         prev = s
         remaining -= d + c
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),   # score (small grid => ties)
+            st.booleans(),                            # label
+        ),
+        min_size=2,
+        max_size=120,
+    ).filter(
+        lambda rows: any(l for _, l in rows) and any(not l for _, l in rows)
+    )
+)
+@settings(max_examples=400, deadline=None)
+def test_auc_rank_sum_equals_pairwise_definition(rows):
+    """The grouped doubled rank-sum (u2 = 2*R_pos - n_pos*(n_pos+1))
+    equals 2*wins + ties from the O(n^2) pairwise AUC definition, for
+    ANY score/label multiset — the identity auc_exact relies on."""
+    from collections import Counter
+
+    pos = [s for s, l in rows if l]
+    neg = [s for s, l in rows if not l]
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    # grouped midrank formula, exactly as the operator computes it
+    per = Counter()
+    for s, l in rows:
+        g = per.setdefault(s, [0, 0])
+        g[0 if l else 1] += 1
+    a = 0
+    u2 = 0
+    for s in sorted(per):
+        pos_g, neg_g = per[s]
+        u2 += pos_g * (2 * a + pos_g + neg_g + 1)
+        a += pos_g + neg_g
+    u2 -= len(pos) * (len(pos) + 1)
+    assert u2 == 2 * wins + ties
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=30), min_size=1, max_size=80),
+    st.lists(st.integers(min_value=1, max_value=30), min_size=1, max_size=80),
+)
+@settings(max_examples=400, deadline=None)
+def test_ks_cross_multiplied_gap_equals_brute_force(old, new):
+    """max |cum_o*n_new - cum_n*n_old| over the merged value grid equals
+    the brute-force two-sample KS numerator, for ANY pair of samples."""
+    from fractions import Fraction
+
+    n_o, n_n = len(old), len(new)
+    grid = sorted(set(old) | set(new))
+    # operator's integer form
+    best = 0
+    for v in grid:
+        cum_o = sum(1 for x in old if x <= v)
+        cum_n = sum(1 for x in new if x <= v)
+        best = max(best, abs(cum_o * n_n - cum_n * n_o))
+    # textbook D as an exact rational
+    d = max(
+        abs(
+            Fraction(sum(1 for x in old if x <= v), n_o)
+            - Fraction(sum(1 for x in new if x <= v), n_n)
+        )
+        for v in grid
+    )
+    assert Fraction(best, n_o * n_n) == d
+    if sorted(old) == sorted(new):
+        assert best == 0
+
+
+@given(
+    st.lists(
+        st.floats(min_value=0.001, max_value=1000.0, allow_nan=False),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=0, max_value=5000),
+)
+@settings(max_examples=400, deadline=None)
+def test_largest_remainder_allocation_invariants(weights, budget):
+    """Largest-remainder integerization: sums EXACTLY to budget and each
+    allocation is its floor base or base+1, for ANY weights."""
+    import math
+
+    w_tot = sum(weights)
+    raw = [budget * w / w_tot for w in weights]
+    base = [math.floor(x) for x in raw]
+    rem = [math.floor((x - math.floor(x)) * 1e9 + 0.5) for x in raw]
+    deficit = budget - sum(base)
+    assert 0 <= deficit <= len(weights)
+    order = sorted(range(len(weights)), key=lambda i: (-rem[i], i))
+    alloc = list(base)
+    for i in order[:deficit]:
+        alloc[i] += 1
+    assert sum(alloc) == budget
+    assert all(b <= a <= b + 1 for a, b in zip(alloc, base))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1000),  # old_n
+            st.integers(min_value=0, max_value=1000),  # new_n
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=400, deadline=None)
+def test_psi_term_zero_iff_shares_equal_under_identical_totals(buckets):
+    """With old totals == new totals, a bucket's e9 PSI term is 0 exactly
+    when its counts match (p == q => (p-q)*ln(p/q) == 0.0 in IEEE), and
+    the add-one smoothing keeps every term finite otherwise."""
+    import math
+
+    o_tot = sum(o for o, _ in buckets)
+    n_tot = o_tot  # identical-traffic scenario
+    b = len(buckets)
+    for o, _ in buckets:
+        p = (o + 1) / float(o_tot + b)
+        q = (o + 1) / float(n_tot + b)
+        term = math.floor((p - q) * math.log(p / q) * 1e9 + 0.5)
+        assert term == 0
+    for o, n in buckets:
+        p = (o + 1) / float(o_tot + b)
+        q = (n + 1) / float(o_tot + b)
+        assert math.isfinite((p - q) * math.log(p / q))

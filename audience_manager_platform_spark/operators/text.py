@@ -2196,3 +2196,75 @@ def langid_en_auc_sql(src: str = "documents") -> str:
         f" AS en_hits, CAST(lang = 'en' AS INTEGER) AS is_en FROM {src}) q"
     )
     return auc_exact_sql(scored, "en_hits", "is_en")
+
+
+def token_fertility(docs: DataFrame) -> DataFrame:
+    """Per-language tokenizer fertility — tokens per whitespace word and
+    characters per token — the numbers a token-budget plan is priced
+    from (the same prose costs ~1x tokens in English and 2-3x in
+    morphologically rich or unsegmented languages; fertility is how that
+    enters the mixture arithmetic).
+
+    Determinism: all four sums are exact bigint counts; the two ratios
+    are one floor-scaled e6 division each over identical integer inputs.
+    One combinable per-language reduce — nothing data-sized after the
+    scan."""
+    per = docs.select(
+        "lang",
+        F.size(F.expr("filter(split(text, ' '), x -> x != '')")).alias(
+            "ws_words"
+        ),
+        F.size(tokens_col("text")).alias("toks"),
+        F.length("text").alias("chars"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("ws_words").cast("long").alias("ws_words"),
+            F.sum("toks").cast("long").alias("tokens"),
+            F.sum("chars").cast("long").alias("chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "ws_words",
+            "tokens",
+            "chars",
+            F.expr(
+                "CAST(floor(tokens / CAST(ws_words AS DOUBLE) * 1e6 + 0.5)"
+                " AS BIGINT)"
+            ).alias("fertility_e6"),
+            F.expr(
+                "CAST(floor(chars / CAST(tokens AS DOUBLE) * 1e6 + 0.5)"
+                " AS BIGINT)"
+            ).alias("chars_per_token_e6"),
+        )
+        .orderBy("lang")
+    )
+
+
+def token_fertility_sql(src: str = "documents") -> str:
+    t = tokens_sql("text")
+    return f"""
+        WITH per AS (
+          SELECT lang,
+                 len(list_filter(str_split(text, ' '), x -> x != ''))
+                   AS ws_words,
+                 len({t}) AS toks,
+                 length(text) AS chars
+          FROM {src}
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(ws_words) AS BIGINT) AS ws_words,
+               CAST(SUM(toks) AS BIGINT) AS tokens,
+               CAST(SUM(chars) AS BIGINT) AS chars,
+               CAST(floor(SUM(toks) / CAST(SUM(ws_words) AS DOUBLE)
+                          * 1e6 + 0.5) AS BIGINT) AS fertility_e6,
+               CAST(floor(SUM(chars) / CAST(SUM(toks) AS DOUBLE)
+                          * 1e6 + 0.5) AS BIGINT) AS chars_per_token_e6
+        FROM per
+        GROUP BY lang
+        ORDER BY lang
+    """

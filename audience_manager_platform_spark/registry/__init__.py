@@ -148,6 +148,8 @@ _DEFER_RAW: tuple[str, ...] = (
     # wave 19
     "streaming_psi_monitor",
     "sample_neyman_allocation",
+    # wave 20
+    "text_token_fertility",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

@@ -95,6 +95,9 @@ QUERIES = {
     # wave 18: ranking power of the langid signal (exact tie-corrected
     # Mann-Whitney AUC; the confusion matrix only grades the argmax)
     "text_langid_en_auc": lambda s, d: T.langid_en_auc(_docs(s, d)),
+    # wave 20: token-budget pricing inputs (tokens/word, chars/token
+    # per language)
+    "text_token_fertility": lambda s, d: T.token_fertility(_docs(s, d)),
     "text_fingerprint": lambda s, d: T.fingerprint(_docs(s, d)),
     "text_tfidf_top_terms": lambda s, d: T.tfidf_top_terms(_docs(s, d), k=5),
     "text_gopher_quality": lambda s, d: T.gopher_quality(_docs(s, d)),
@@ -275,6 +278,7 @@ ORACLES = {
     "text_quality_score": T.quality_score_sql(),
     "text_langid_confusion": T.langid_confusion_sql(),
     "text_langid_en_auc": T.langid_en_auc_sql(),
+    "text_token_fertility": T.token_fertility_sql(),
     "text_language_id": T.language_id_sql(),
     "text_fingerprint": T.fingerprint_sql(),
     "text_tfidf_top_terms": T.tfidf_top_terms_sql(k=5),

@@ -2938,3 +2938,23 @@ def test_neyman_allocation_partition_invariant(spark):
     a = [tuple(r) for r in neyman_allocation(ev.coalesce(1)).collect()]
     b = [tuple(r) for r in neyman_allocation(ev.repartition(7)).collect()]
     assert a == b
+
+
+def test_token_fertility_hand_computed(spark):
+    from audience_manager_platform_spark.operators.text import token_fertility
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, world!", "en"),      # 2 ws words, 2 tokens, 13 chars
+            (2, "a b-c d", "en"),            # 3 ws words, 4 tokens, 7 chars
+            (3, "uno dos", "es"),            # 2 ws words, 2 tokens, 7 chars
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.lang: r for r in token_fertility(docs).collect()}
+    en = got["en"]
+    assert (en.n_docs, en.ws_words, en.tokens, en.chars) == (2, 5, 6, 20)
+    assert en.fertility_e6 == 1_200_000          # 6 tokens / 5 words
+    assert en.chars_per_token_e6 == 3_333_333
+    es = got["es"]
+    assert es.fertility_e6 == 1_000_000 and es.n_docs == 1

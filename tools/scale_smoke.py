@@ -563,6 +563,47 @@ def main() -> None:
           position_attribution(typed_events))
     timed("Pareto 80pct coverage", pareto_coverage(typed_events))
     timed("Kaplan-Meier retention", survival_retention(typed_events))
+
+    # ------------------------- wave-17+ additions at scale
+    from audience_manager_platform_spark.operators.corpus import (
+        neyman_allocation,
+    )
+    from audience_manager_platform_spark.operators.maintenance import (
+        pruning_audit,
+    )
+    from audience_manager_platform_spark.operators.timeseries import (
+        crosscorr_lead_lag,
+    )
+    from audience_manager_platform_spark.operators.validation import (
+        auc_exact,
+        benford_digit_audit,
+        ks_value_drift,
+        psi_value_drift,
+    )
+
+    timed("PSI drift (log2x8 histogram pair)", psi_value_drift(typed_events))
+    timed("KS drift (exact ECDF max gap)", ks_value_drift(typed_events))
+    timed("Benford digit audit", benford_digit_audit(txns, "amount"))
+    scored = typed_events.select(
+        (F.abs(F.xxhash64("event_id", F.lit(41))) % 40).alias("score"),
+        (F.abs(F.xxhash64("event_id", F.lit(42))) % 3 == 0)
+        .cast("int")
+        .alias("label"),
+    )
+    timed("exact AUC (tie-corrected rank sum)",
+          auc_exact(scored, "score", "label"))
+    timed("lead/lag CCF -7..7", crosscorr_lead_lag(typed_events))
+    timed("Neyman allocation design", neyman_allocation(typed_events))
+    timed("zone-map pruning audit (2 sorts)", pruning_audit(typed_events))
+    from audience_manager_platform_spark.operators.similarity import (
+        mmr_rerank_topk,
+        ndcg_eval,
+    )
+
+    ROWS = n_vecs
+    timed("MMR rerank (5 queries, pool 15)",
+          mmr_rerank_topk(vecs, [0, 1, 2, 3, 4], k=5))
+    timed("nDCG@10 IVF vs exact", ndcg_eval(vecs, [0, 1, 2, 3, 4], k=10))
     spark.stop()
 
 

@@ -1742,7 +1742,13 @@ def neyman_allocation(
         events.filter(F.col("value").isNotNull())
         .select(
             "event_type",
-            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("x"),
+            # decimal(38,0): exact like bigint but 128-bit-safe — sx*sx
+            # overflows a long at production stratum sizes (DuckDB's
+            # SUM(BIGINT) is already HUGEINT), found by tools/scale_smoke.py
+            F.expr(
+                "CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)"
+                " AS DECIMAL(38,0))"
+            ).alias("x"),
         )
         .groupBy("event_type")
         .agg(

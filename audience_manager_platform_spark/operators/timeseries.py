@@ -746,11 +746,19 @@ def autocorrelation(events: DataFrame, max_lag: int = 7) -> DataFrame:
         F.col("day").alias("_bday"),
         F.col("v100").alias("y"),
     )
+    # decimal(38,0): exact like bigint but 128-bit-safe — at production
+    # daily volumes sum(x*x) overflows a long (DuckDB's SUM(BIGINT) is
+    # already HUGEINT; this matches it), found by tools/scale_smoke.py
     pairs = a.join(
         b,
         (a["event_type"] == b["event_type"])
         & (F.expr("date_sub(day, lag)") == F.col("_bday")),
-    ).select(a["event_type"], "lag", "x", "y")
+    ).select(
+        a["event_type"],
+        "lag",
+        F.col("x").cast("decimal(38,0)").alias("x"),
+        F.col("y").cast("decimal(38,0)").alias("y"),
+    )
     g = pairs.groupBy("event_type", "lag").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
@@ -792,9 +800,13 @@ def autocorrelation_sql(src: str = "events", max_lag: int = 7) -> str:
                       AND b.day = a.day - TO_DAYS(CAST(l.lag AS INTEGER))
         ),
         g AS (
+          -- HUGEINT products: 128-bit-safe at production daily volumes,
+          -- mirroring the Spark side's decimal(38,0) sums
           SELECT event_type, lag,
                  COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
-                 SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(y AS HUGEINT) * y) AS syy
           FROM pairs GROUP BY 1, 2
         )
         SELECT event_type, CAST(lag AS INTEGER) AS lag,
@@ -984,9 +996,15 @@ def crosscorr_lead_lag(
     b = daily.filter(F.col("event_type") == y_type).select(
         F.col("day").alias("_bday"), F.col("v100").alias("y")
     )
+    # decimal(38,0) sums: 128-bit-safe at production daily volumes (the
+    # autocorrelation overflow contract — see note there)
     pairs = a.join(
         b, F.expr("date_add(day, CAST(lag AS INT))") == F.col("_bday")
-    ).select("lag", "x", "y")
+    ).select(
+        "lag",
+        F.col("x").cast("decimal(38,0)").alias("x"),
+        F.col("y").cast("decimal(38,0)").alias("y"),
+    )
     g = pairs.groupBy("lag").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
@@ -1034,9 +1052,12 @@ def crosscorr_lead_lag_sql(
           WHERE a.event_type = '{x_type}'
         ),
         g AS (
+          -- HUGEINT products: 128-bit-safe, mirrors the Spark decimals
           SELECT lag,
                  COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
-                 SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(y AS HUGEINT) * y) AS syy
           FROM pairs GROUP BY 1
         )
         SELECT CAST(lag AS INTEGER) AS lag,

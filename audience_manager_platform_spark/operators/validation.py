@@ -980,7 +980,10 @@ def ks_value_drift(events: "DataFrame", value_col: str = "value") -> "DataFrame"
 
     Shape at scale: one map-side-combinable GROUP BY cents (the value
     grid, not the row count, bounds the state), one window cumsum over
-    that grid, one broadcast totals join, one top-1."""
+    that grid, one broadcast totals join, one top-1. Bound: the gap
+    numerator tops out at n_old*n_new, so bigint holds to ~3e9 rows per
+    side — past that, run the audit on the per-day pre-aggregates (the
+    drift question is the same; the ECDF just steps coarser)."""
     from pyspark.sql import Window
 
     bounds = events.agg(
@@ -1192,7 +1195,9 @@ def auc_exact(scored: "DataFrame", score_col: str, label_col: str) -> "DataFrame
 
     Shape at scale: one map-side-combinable GROUP BY score (state is the
     score grid, not the row count), one window cumsum over that grid,
-    one total-merge row."""
+    one total-merge row. Bound: u2 tops out at 2*n_pos*n_neg (~pairs),
+    so bigint holds to ~2e9 rows per class — past that, evaluate on a
+    stratified eval sample as every offline AUC job does."""
     from pyspark.sql import Window
 
     per = (

@@ -220,7 +220,14 @@ def pruning_audit(events, n_buckets: int = PRUNE_BUCKETS):
     Cost note: each layout is one global sort of (event_id, ub, doy,
     zval) — the same sort the real layout rewrite performs; this audit
     is the dry run you price before committing the rewrite. Everything
-    downstream is a |buckets|-sized aggregate."""
+    downstream is a |buckets|-sized aggregate. The exact-equal-count
+    bucketing here rides a single global row_number sequence (needed for
+    the cross-engine oracle; ~17 s at 10M rows on one task). At real
+    scale you don't simulate the files — you write them:
+    :func:`zorder_layout`'s repartitionByRange + spark_partition_id IS
+    the distributed equivalent (disjoint ranges pinned by
+    tests/test_maintenance.py::test_zorder_layout_disjoint_ranges), and
+    the zone-map stats then come from the parquet footers."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 

@@ -1275,3 +1275,102 @@ def auc_exact_sql(scored_src: str, score_col: str, label_col: str) -> str:
                           * 1e6 + 0.5) AS BIGINT) AS auc_e6
         FROM tot
     """
+
+
+def mix_drift(events: "DataFrame", cat_col: str = "event_type") -> "DataFrame":
+    """Categorical mix drift between the old and new halves of the
+    observation window — the chi-square homogeneity companion to
+    :func:`psi_value_drift` / :func:`ks_value_drift` (those watch a
+    numeric SHAPE; this watches a category MIX, e.g. the view/click/
+    purchase blend tilting after a tracking change).
+
+    Per category: exact old/new counts, the expected counts under
+    homogeneity (row_total * side_total / grand_total — an exact
+    rational of bigints, assembled identically as doubles), and the
+    chi-square contribution of both cells floor-scaled to e6. The
+    consumer sums ``chi2_term_e6`` and compares against the
+    chi-square(k-1) critical value.
+
+    Shape: one combinable (category) aggregate + a 1-row totals
+    broadcast — state is the category set."""
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("_lo"), F.max(F.to_date("ts")).alias("_hi")
+    )
+    hist = (
+        events.crossJoin(F.broadcast(bounds))
+        .filter(F.col(cat_col).isNotNull())
+        .select(
+            F.col(cat_col).alias("category"),
+            F.expr(
+                "CASE WHEN to_date(ts) <= date_add(_lo,"
+                " CAST(datediff(_hi, _lo) div 2 AS INT)) THEN 1"
+                " ELSE 0 END"
+            ).alias("is_old"),
+        )
+        .groupBy("category")
+        .agg(
+            F.sum("is_old").alias("old_n"),
+            F.sum(F.lit(1) - F.col("is_old")).alias("new_n"),
+        )
+    )
+    tot = hist.agg(
+        F.sum("old_n").alias("o_tot"), F.sum("new_n").alias("n_tot")
+    )
+    exp_old = (
+        "(old_n + new_n) * (CAST(o_tot AS DOUBLE) / (o_tot + n_tot))"
+    )
+    exp_new = (
+        "(old_n + new_n) * (CAST(n_tot AS DOUBLE) / (o_tot + n_tot))"
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "category",
+            F.col("old_n").cast("long").alias("old_n"),
+            F.col("new_n").cast("long").alias("new_n"),
+            F.expr(
+                f"CAST(floor({exp_old} * 1e6 + 0.5) AS BIGINT)"
+            ).alias("exp_old_e6"),
+            F.expr(
+                f"CAST(floor((pow(old_n - {exp_old}, 2) / {exp_old}"
+                f" + pow(new_n - {exp_new}, 2) / {exp_new})"
+                " * 1e6 + 0.5) AS BIGINT)"
+            ).alias("chi2_term_e6"),
+        )
+        .orderBy("category")
+    )
+
+
+def mix_drift_sql(src: str = "events", cat_col: str = "event_type") -> str:
+    exp_old = "(old_n + new_n) * (CAST(o_tot AS DOUBLE) / (o_tot + n_tot))"
+    exp_new = "(old_n + new_n) * (CAST(n_tot AS DOUBLE) / (o_tot + n_tot))"
+    return f"""
+        WITH bounds AS (
+          SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+          FROM {src}
+        ),
+        hist AS (
+          SELECT {cat_col} AS category,
+                 SUM(CASE WHEN CAST(ts AS DATE)
+                        <= lo + CAST(date_diff('day', lo, hi) // 2 AS INTEGER)
+                     THEN 1 ELSE 0 END) AS old_n,
+                 SUM(CASE WHEN CAST(ts AS DATE)
+                        <= lo + CAST(date_diff('day', lo, hi) // 2 AS INTEGER)
+                     THEN 0 ELSE 1 END) AS new_n
+          FROM {src} CROSS JOIN bounds
+          WHERE {cat_col} IS NOT NULL
+          GROUP BY 1
+        ),
+        tot AS (
+          SELECT SUM(old_n) AS o_tot, SUM(new_n) AS n_tot FROM hist
+        )
+        SELECT category,
+               CAST(old_n AS BIGINT) AS old_n,
+               CAST(new_n AS BIGINT) AS new_n,
+               CAST(floor({exp_old} * 1e6 + 0.5) AS BIGINT) AS exp_old_e6,
+               CAST(floor((pow(old_n - {exp_old}, 2) / {exp_old}
+                           + pow(new_n - {exp_new}, 2) / {exp_new})
+                          * 1e6 + 0.5) AS BIGINT) AS chi2_term_e6
+        FROM hist CROSS JOIN tot
+        ORDER BY category
+    """

@@ -150,6 +150,8 @@ _DEFER_RAW: tuple[str, ...] = (
     "sample_neyman_allocation",
     # wave 20
     "text_token_fertility",
+    # wave 21
+    "validate_mix_drift",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

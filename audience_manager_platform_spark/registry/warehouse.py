@@ -82,6 +82,8 @@ from ..operators.validation import (
     psi_value_drift_sql,
     ks_value_drift,
     ks_value_drift_sql,
+    mix_drift,
+    mix_drift_sql,
     benford_digit_audit,
     benford_digit_audit_sql,
     table_profile,
@@ -327,6 +329,9 @@ QUERIES = {
     # wave 17: exact max-ECDF-gap drift (the binning-free rank test
     # beside PSI) and the Benford leading-digit fabrication screen
     "validate_ks_drift": lambda s, d: ks_value_drift(_events(s, d)),
+    # wave 21: the categorical companion (chi-square homogeneity on the
+    # event-type mix)
+    "validate_mix_drift": lambda s, d: mix_drift(_events(s, d)),
     "validate_benford_orders": lambda s, d: benford_digit_audit(
         load_table(s, d, "orders"), "o_totalprice"
     ),
@@ -546,6 +551,7 @@ ORACLES = {
     "validate_psi_drift": psi_value_drift_sql("events"),
     "validate_ks_drift": ks_value_drift_sql("events"),
     "layout_pruning_audit": pruning_audit_sql("events"),
+    "validate_mix_drift": mix_drift_sql("events"),
     "validate_benford_orders": benford_digit_audit_sql(
         "orders", "o_totalprice"
     ),

@@ -2958,3 +2958,46 @@ def test_token_fertility_hand_computed(spark):
     assert en.chars_per_token_e6 == 3_333_333
     es = got["es"]
     assert es.fertility_e6 == 1_000_000 and es.n_docs == 1
+
+
+def test_mix_drift_detects_category_tilt(spark):
+    from audience_manager_platform_spark.operators.validation import mix_drift
+
+    # old half: 90% view / 10% purchase; new half: 50/50
+    rows = (
+        [(i, f"2024-01-{(i % 14) + 1:02d} 10:00:00",
+          "view" if i % 10 else "purchase") for i in range(200)]
+        + [(1000 + i, f"2024-01-{16 + (i % 14):02d} 10:00:00",
+            "view" if i % 2 else "purchase") for i in range(200)]
+    )
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string"
+    )
+    got = {r.category: r for r in mix_drift(ev).collect()}
+    assert got["view"].old_n == 180 and got["view"].new_n == 100
+    assert got["purchase"].old_n == 20 and got["purchase"].new_n == 100
+    total_chi2 = sum(r.chi2_term_e6 for r in got.values()) / 1e6
+    assert total_chi2 > 3.841, total_chi2     # chi2(1) 95% critical value
+    # identical mixes => every term 0
+    same = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 28) + 1:02d} 10:00:00",
+          "view" if (i // 28) % 2 else "click") for i in range(280)],
+        "event_id long, ts string, event_type string",
+    )
+    flat = mix_drift(same).collect()
+    assert all(r.chi2_term_e6 == 0 for r in flat)
+
+
+def test_mix_drift_partition_invariant(spark):
+    from audience_manager_platform_spark.operators.validation import mix_drift
+
+    rows = [
+        (i, f"2024-01-{(i % 28) + 1:02d} 10:00:00", f"t{(i * 13) % 5}")
+        for i in range(400)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string"
+    )
+    a = [tuple(r) for r in mix_drift(ev.coalesce(1)).collect()]
+    b = [tuple(r) for r in mix_drift(ev.repartition(11)).collect()]
+    assert a == b

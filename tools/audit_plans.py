@@ -153,6 +153,8 @@ NESTED_LOOP_ALLOWED = {
     # bounded histogram/value-grid state
     "validate_psi_drift",
     "validate_ks_drift",
+    # chi-square mix drift: same 1-row bounds/totals broadcast shape
+    "validate_mix_drift",
     # wave 19: the PSI serving read shares psi_report's 1-row totals
     # broadcast over the O(buckets) joined histogram
     "streaming_psi_monitor",

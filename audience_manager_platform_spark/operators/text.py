@@ -2268,3 +2268,235 @@ def token_fertility_sql(src: str = "documents") -> str:
         GROUP BY lang
         ORDER BY lang
     """
+
+
+# --------------------------------------- pseudo-relevance feedback (RM3-lite)
+PRF_FB_DOCS = 5
+PRF_FB_TERMS = 3
+
+
+def prf_expanded_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    fb_docs: int = PRF_FB_DOCS,
+    fb_terms: int = PRF_FB_TERMS,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (RM3-lite): run the seed BM25
+    query, mine the top ``fb_docs`` results for the ``fb_terms``
+    highest-weight expansion terms (feedback tf x corpus idf, seed terms
+    excluded), and re-score the corpus with the expanded term set — the
+    classic recall-widening second pass a lexical search stack runs when
+    the seed query undershoots (Abdul-Jaleel et al., TREC 2004).
+
+    Every stage is deterministic: both BM25 passes use the 6dp-rounded
+    score with doc_id tiebreak; expansion-term selection ranks on the
+    6dp-rounded feedback weight with a term tiebreak; the chosen
+    expansion is surfaced on every output row (sorted, comma-joined) so
+    the result is self-describing.
+
+    Shape at scale: the seed pass is the filtered-postings BM25 plan;
+    the feedback mine explodes ONLY the fb_docs shortlist; candidate-df
+    and the expanded pass key the corpus explode to a broadcast term
+    set (|seed| + |candidates| terms), so every shuffle carries matching
+    postings, never the corpus."""
+    from .partitioning import spread
+
+    terms = sorted({t.lower() for t in query_terms})
+    toks = spread(docs).select("doc_id", tokens_col("text").alias("toks"))
+    lens = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = lens.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    def bm25_over(posting):
+        return (
+            posting.join(
+                F.broadcast(
+                    posting.groupBy("term").agg(F.count("*").alias("df"))
+                ),
+                "term",
+            )
+            .join(lens, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "doc_id",
+                (
+                    F.log(
+                        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                        / (F.col("df") + F.lit(0.5))
+                        + F.lit(1.0)
+                    )
+                    * (F.col("tf") * (F.lit(k1) + 1))
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (
+                            F.lit(1.0)
+                            - F.lit(b)
+                            + F.lit(b) * F.col("dl") / F.col("avgdl")
+                        )
+                    )
+                ).alias("w"),
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.round(F.sum("w"), 6).alias("bm25"),
+                F.count("*").cast("long").alias("n_matched_terms"),
+            )
+        )
+
+    exploded = toks.select("doc_id", F.explode("toks").alias("term"))
+    seed_posting = (
+        exploded.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    seed_top = (
+        bm25_over(seed_posting)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(fb_docs)
+        .select("doc_id")
+    )
+    # feedback term counts from the shortlist only
+    fb_tf = (
+        exploded.join(F.broadcast(seed_top), "doc_id", "left_semi")
+        .filter(~F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.sum(F.lit(1)).alias("tf_fb"))
+    )
+    # corpus df restricted to the candidate terms (per-doc distinct)
+    cand_df = (
+        exploded.join(F.broadcast(fb_tf.select("term")), "term", "left_semi")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    expansion = (
+        fb_tf.join(F.broadcast(cand_df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.round(
+                F.col("tf_fb")
+                * F.log(F.col("n_docs") / F.col("df").cast("double")),
+                6,
+            ).alias("fb_w"),
+        )
+        .orderBy(F.desc("fb_w"), F.asc("term"))
+        .limit(fb_terms)
+        .select("term")
+    )
+    all_terms = expansion.unionByName(
+        expansion.sparkSession.createDataFrame(
+            [(t,) for t in terms], "term string"
+        )
+    ).distinct()
+    final_posting = (
+        exploded.join(F.broadcast(all_terms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    exp_label = expansion.agg(
+        F.array_join(F.sort_array(F.collect_list("term")), ",").alias(
+            "expansion"
+        )
+    )
+    return (
+        bm25_over(final_posting)
+        .crossJoin(F.broadcast(exp_label))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def prf_expanded_topk_sql(
+    query_terms: list[str],
+    src: str = "documents",
+    k: int = 10,
+    fb_docs: int = PRF_FB_DOCS,
+    fb_terms: int = PRF_FB_TERMS,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    t = tokens_sql("text")
+    terms = sorted({x.lower() for x in query_terms})
+    lit_terms = ", ".join(f"'{x}'" for x in terms)
+
+    def bm25_cte(posting: str, out: str) -> str:
+        return f"""{out}_df AS MATERIALIZED (
+          SELECT term, COUNT(*) AS df FROM {posting} GROUP BY term
+        ),
+        {out} AS MATERIALIZED (
+          SELECT doc_id, ROUND(SUM(w), 6) AS bm25,
+                 CAST(COUNT(*) AS BIGINT) AS n_matched_terms
+          FROM (
+            SELECT p.doc_id,
+                   LN((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * (p.tf * ({k1} + 1))
+                   / (p.tf + {k1} * (1.0 - {b} + {b} * l.dl / s.avgdl)) AS w
+            FROM {posting} p
+            JOIN {out}_df d USING (term)
+            JOIN lens l USING (doc_id)
+            CROSS JOIN stats s
+          ) q GROUP BY doc_id
+        )"""
+
+    return f"""
+        WITH toks AS MATERIALIZED (SELECT doc_id, {t} AS toks FROM {src}),
+        lens AS MATERIALIZED (SELECT doc_id, len(toks) AS dl FROM toks),
+        stats AS MATERIALIZED (
+          SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens
+        ),
+        exploded AS MATERIALIZED (
+          SELECT doc_id, UNNEST(toks) AS term FROM toks
+        ),
+        seed_posting AS MATERIALIZED (
+          SELECT doc_id, term, COUNT(*) AS tf FROM exploded
+          WHERE term IN ({lit_terms}) GROUP BY 1, 2
+        ),
+        {bm25_cte("seed_posting", "seed_scored")},
+        seed_top AS MATERIALIZED (
+          SELECT doc_id FROM seed_scored
+          ORDER BY bm25 DESC, doc_id ASC LIMIT {int(fb_docs)}
+        ),
+        fb_tf AS MATERIALIZED (
+          SELECT term, COUNT(*) AS tf_fb FROM exploded
+          WHERE doc_id IN (SELECT doc_id FROM seed_top)
+            AND term NOT IN ({lit_terms})
+          GROUP BY term
+        ),
+        cand_df AS MATERIALIZED (
+          SELECT term, COUNT(*) AS df FROM (
+            SELECT DISTINCT doc_id, term FROM exploded
+            WHERE term IN (SELECT term FROM fb_tf)
+          ) q GROUP BY term
+        ),
+        expansion AS MATERIALIZED (
+          SELECT f.term
+          FROM fb_tf f JOIN cand_df c USING (term) CROSS JOIN stats s
+          ORDER BY ROUND(f.tf_fb * LN(s.n_docs / CAST(c.df AS DOUBLE)), 6)
+                   DESC, f.term ASC
+          LIMIT {int(fb_terms)}
+        ),
+        all_terms AS MATERIALIZED (
+          SELECT term FROM expansion
+          UNION
+          SELECT UNNEST([{lit_terms}]) AS term
+        ),
+        final_posting AS MATERIALIZED (
+          SELECT doc_id, term, COUNT(*) AS tf FROM exploded
+          WHERE term IN (SELECT term FROM all_terms) GROUP BY 1, 2
+        ),
+        {bm25_cte("final_posting", "final_scored")},
+        exp_label AS MATERIALIZED (
+          SELECT COALESCE(string_agg(term, ',' ORDER BY term), '')
+            AS expansion
+          FROM expansion
+        )
+        SELECT doc_id, bm25, n_matched_terms, expansion
+        FROM final_scored CROSS JOIN exp_label
+        ORDER BY bm25 DESC, doc_id ASC LIMIT {int(k)}
+    """

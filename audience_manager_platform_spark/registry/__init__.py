@@ -152,6 +152,7 @@ _DEFER_RAW: tuple[str, ...] = (
     "text_token_fertility",
     # wave 21
     "validate_mix_drift",
+    "text_prf_expansion_topk",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

@@ -115,6 +115,11 @@ QUERIES = {
     "text_bm25_topk": lambda s, d: T.bm25_topk(
         _docs(s, d), BM25_QUERY, k=15
     ),
+    # wave 21: RM3-lite pseudo-relevance feedback over the same seed
+    # query — the recall-widening second pass above plain BM25
+    "text_prf_expansion_topk": lambda s, d: T.prf_expanded_topk(
+        _docs(s, d), BM25_QUERY, k=15
+    ),
     # r4: per-source quota (the per-domain cap of web-corpus curation)
     "corpus_source_cap": lambda s, d: C.source_cap(_docs(s, d), cap=100),
     "text_length_bands": lambda s, d: T.length_bands(_docs(s, d)),
@@ -291,6 +296,7 @@ ORACLES = {
     "text_vocab_growth": T.vocab_growth_audit_sql(),
     "text_inverted_postings": T.inverted_postings_sql(),
     "text_bm25_topk": T.bm25_topk_sql(BM25_QUERY, k=15),
+    "text_prf_expansion_topk": T.prf_expanded_topk_sql(BM25_QUERY, k=15),
     "text_quality_logit": T.quality_logit_sql(),
     "text_unigram_logprob": T.unigram_logprob_sql(),
     "text_bigram_logprob": T.bigram_logprob_sql(),

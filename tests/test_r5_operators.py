@@ -3001,3 +3001,31 @@ def test_mix_drift_partition_invariant(spark):
     a = [tuple(r) for r in mix_drift(ev.coalesce(1)).collect()]
     b = [tuple(r) for r in mix_drift(ev.repartition(11)).collect()]
     assert a == b
+
+
+def test_prf_expansion_rescues_seed_invisible_doc(spark):
+    from audience_manager_platform_spark.operators.text import (
+        prf_expanded_topk,
+    )
+
+    rows = (
+        # feedback set: seed term 'alpha' strongly co-occurring with
+        # 'omega' (high feedback tf; per-doc filler words can't compete)
+        [(i, f"alpha omega omega omega filler{i}", "en")
+         for i in range(1, 6)]
+        # the doc the seed query CANNOT see (no 'alpha' at all)
+        + [(10, "omega omega omega pure expansion target", "en")]
+        # filler
+        + [(100 + i, f"noise filler{i} unrelated text", "en")
+           for i in range(20)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = prf_expanded_topk(
+        docs, ["alpha"], k=10, fb_docs=5, fb_terms=2
+    ).collect()
+    by_id = {r.doc_id: r for r in got}
+    assert 10 in by_id, "expansion must surface the alpha-less doc"
+    assert "omega" in got[0].expansion.split(",")
+    # seed docs still rank (they match both seed and expansion terms)
+    assert any(d in by_id for d in range(1, 6))
+    assert by_id[10].n_matched_terms >= 1

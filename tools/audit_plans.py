@@ -94,6 +94,8 @@ NESTED_LOOP_ALLOWED = {
     "text_unigram_logprob",
     "text_oov_rate_bands",
     "text_bm25_topk",
+    # RM3 PRF: the bm25 stats/expansion-label 1-row broadcasts, twice
+    "text_prf_expansion_topk",
     "hybrid_search_rrf",
     "table_profile_drift",
     "approx_distinct_users",

@@ -406,3 +406,118 @@ def interval_overlap_state_promos_sql(src: str = "events") -> str:
         GROUP BY state
         ORDER BY state
     """
+
+
+def item_knn_cosine(
+    lineitem: DataFrame,
+    part: DataFrame,
+    n_neighbors: int = 3,
+    min_orders: int = 5,
+) -> DataFrame:
+    """Item-item collaborative-filtering kNN: per brand, its
+    ``n_neighbors`` most-similar brands by basket-cosine
+    ``co(a,b) / sqrt(n(a)·n(b))`` — the SERVING artifact a
+    bought-together recommender actually ships (the
+    :func:`basket_brand_lift` table is the diagnostic; this is the
+    per-item neighbor list lookups hit).
+
+    Same scale geometry as the other basket ops: one materialized
+    distinct (order, brand) table, an order-keyed self-join bounded by
+    Σ basket², a |brands|-row marginal broadcast back. The cosine
+    assembles co / sqrt(n_a·n_b) in doubles (the product would overflow
+    a long at web-scale supports; doubles are deterministic and the
+    oracle does the same), floor-scaled e6 BEFORE the per-brand rank so
+    ties break on neighbor name identically in both engines."""
+    from .partitioning import materialize
+    from pyspark.sql import Window
+
+    ob = materialize(
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    marg = ob.groupBy("brand").agg(F.count("*").alias("n_brand"))
+    co = (
+        ob.alias("x")
+        .join(ob.alias("y"), "l_orderkey")
+        .filter(F.col("x.brand") != F.col("y.brand"))
+        .groupBy(
+            F.col("x.brand").alias("brand"),
+            F.col("y.brand").alias("neighbor"),
+        )
+        .agg(F.count("*").alias("co"))
+        .filter(F.col("co") >= min_orders)
+    )
+    scored = (
+        co.join(F.broadcast(marg), "brand")
+        .join(
+            F.broadcast(
+                marg.select(
+                    F.col("brand").alias("neighbor"),
+                    F.col("n_brand").alias("n_neighbor"),
+                )
+            ),
+            "neighbor",
+        )
+        .select(
+            "brand",
+            "neighbor",
+            F.col("co").cast("long").alias("co"),
+            F.expr(
+                "CAST(floor(co / sqrt(CAST(n_brand AS DOUBLE)"
+                " * CAST(n_neighbor AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+            ).alias("cosine_e6"),
+        )
+    )
+    w = Window.partitionBy("brand").orderBy(
+        F.desc("cosine_e6"), F.asc("neighbor")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_neighbors)
+        .select("brand", "rank", "neighbor", "co", "cosine_e6")
+        .orderBy("brand", "rank")
+    )
+
+
+def item_knn_cosine_sql(
+    lineitem: str = "lineitem",
+    part: str = "part",
+    n_neighbors: int = 3,
+    min_orders: int = 5,
+) -> str:
+    return f"""
+        WITH ob AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, p_brand AS brand
+          FROM {lineitem} JOIN {part} ON l_partkey = p_partkey
+        ),
+        marg AS (SELECT brand, COUNT(*) AS n_brand FROM ob GROUP BY 1),
+        co AS (
+          SELECT x.brand AS brand, y.brand AS neighbor, COUNT(*) AS co
+          FROM ob x JOIN ob y
+            ON x.l_orderkey = y.l_orderkey AND x.brand != y.brand
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= {int(min_orders)}
+        ),
+        scored AS (
+          SELECT c.brand, c.neighbor, CAST(c.co AS BIGINT) AS co,
+                 CAST(floor(c.co / sqrt(CAST(a.n_brand AS DOUBLE)
+                                        * CAST(b.n_brand AS DOUBLE))
+                            * 1e6 + 0.5) AS BIGINT) AS cosine_e6
+          FROM co c
+          JOIN marg a ON a.brand = c.brand
+          JOIN marg b ON b.brand = c.neighbor
+        )
+        SELECT brand, CAST(rank AS INTEGER) AS rank, neighbor, co,
+               cosine_e6
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY brand
+                    ORDER BY cosine_e6 DESC, neighbor ASC) AS rank
+          FROM scored
+        ) r WHERE rank <= {int(n_neighbors)}
+        ORDER BY brand, rank
+    """

@@ -153,6 +153,7 @@ _DEFER_RAW: tuple[str, ...] = (
     # wave 21
     "validate_mix_drift",
     "text_prf_expansion_topk",
+    "reco_item_knn",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

@@ -12,6 +12,8 @@ from ..operators.relational import (
     interval_overlap_state_promos_sql,
     basket_brand_lift,
     basket_brand_lift_sql,
+    item_knn_cosine,
+    item_knn_cosine_sql,
     basket_brand_pairs,
     basket_brand_pairs_sql,
     pivot_counts,
@@ -469,6 +471,11 @@ QUERIES = {
     "basket_brand_lift": lambda s, d: basket_brand_lift(
         load_table(s, d, "lineitem"), load_table(s, d, "part"), k=25
     ),
+    # wave 21: the per-item neighbor list a recommender serves (cosine
+    # over the same basket geometry)
+    "reco_item_knn": lambda s, d: item_knn_cosine(
+        load_table(s, d, "lineitem"), load_table(s, d, "part")
+    ),
     # r5: frequency-decile skew diagnostics for a shuffle key (the
     # salting/AQE-hint decision report)
     "skew_key_profile": lambda s, d: key_skew_profile(
@@ -569,6 +576,7 @@ ORACLES = {
     """,
     "basket_brand_pairs": basket_brand_pairs_sql(k=25),
     "basket_brand_lift": basket_brand_lift_sql(k=25),
+    "reco_item_knn": item_knn_cosine_sql(),
     "pivot_day_by_type": f"""
         SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
                {_PIVOT_CASES}

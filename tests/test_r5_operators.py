@@ -3029,3 +3029,37 @@ def test_prf_expansion_rescues_seed_invisible_doc(spark):
     # seed docs still rank (they match both seed and expansion terms)
     assert any(d in by_id for d in range(1, 6))
     assert by_id[10].n_matched_terms >= 1
+
+
+def test_item_knn_ranks_strong_companion_first(spark):
+    from audience_manager_platform_spark.operators.relational import (
+        item_knn_cosine,
+    )
+
+    # brands A+B co-occur in every basket; C co-occurs with A half the
+    # time; D is popular alone (high support, no co-occurrence)
+    baskets = []
+    pid = {"A": 1, "B": 2, "C": 3, "D": 4}
+    for o in range(20):
+        baskets += [(o, pid["A"]), (o, pid["B"])]
+        if o % 2 == 0:
+            baskets.append((o, pid["C"]))
+    for o in range(100, 140):
+        baskets.append((o, pid["D"]))
+    li = spark.createDataFrame(baskets, "l_orderkey long, l_partkey long")
+    part = spark.createDataFrame(
+        [(v, k) for k, v in pid.items()], "p_partkey long, p_brand string"
+    )
+    got = {(r.brand, r.rank): r
+           for r in item_knn_cosine(li, part, n_neighbors=2,
+                                    min_orders=5).collect()}
+    assert got[("A", 1)].neighbor == "B"       # perfect companion first
+    assert got[("A", 1)].cosine_e6 == 1_000_000
+    assert got[("A", 2)].neighbor == "C"
+    # cos(A,C) = 10 / sqrt(20*10)
+    import math
+    assert got[("A", 2)].cosine_e6 == math.floor(
+        10 / math.sqrt(200) * 1e6 + 0.5
+    )
+    # D never co-occurs above the floor -> no neighbor rows at all
+    assert not any(b == "D" for b, _ in got)

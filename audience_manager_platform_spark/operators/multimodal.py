@@ -1030,3 +1030,172 @@ def wav_vad_oracle_sql(src: str = "documents") -> str:
                CAST({gap} * 1000000 // {rate} AS BIGINT) AS silence_us
         FROM {src}
     """
+
+
+# ------------------------------------------- BMP channel stats (quality)
+BMP_SHADE_MOD = 200  # channel base < 200 keeps base + x + 2y <= 255: no wrap
+
+
+def synthesize_bmp_shaded(docs: DataFrame) -> DataFrame:
+    """Like :func:`synthesize_bmp` but EVEN doc_ids carry a linear
+    shading ``value = base_c + x + 2*y`` per channel (wrap-free by
+    construction) while ODD doc_ids stay constant-fill — so a
+    brightness/contrast audit sees both textured and flat images and
+    the flat-image flag has something to catch."""
+    out_schema = "doc_id long, media binary, media_type string"
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w_px = BMP_W_BASE + d % BMP_W_MOD
+                h_px = BMP_H_BASE + d % BMP_H_MOD
+                grad = 1 if d % 2 == 0 else 0
+                a_r, a_g, a_b = (
+                    d % BMP_SHADE_MOD,
+                    (d * 7) % BMP_SHADE_MOD,
+                    (d * 13) % BMP_SHADE_MOD,
+                )
+                rows_bytes = b""
+                # bottom-up storage: row y=0 is written LAST
+                for y in range(h_px - 1, -1, -1):
+                    row = b""
+                    for x in range(w_px):
+                        t = grad * (x + 2 * y)
+                        row += bytes((a_b + t, a_g + t, a_r + t))
+                    row += b"\x00" * ((4 - (3 * w_px) % 4) % 4)
+                    rows_bytes += row
+                header = struct.pack(
+                    "<2sIHHI", b"BM", 14 + 40 + len(rows_bytes), 0, 0, 54
+                )
+                info = struct.pack(
+                    "<IiiHHIIiiII",
+                    40, w_px, h_px, 1, 24, 0, len(rows_bytes),
+                    2835, 2835, 0, 0,
+                )
+                payloads.append(header + info + rows_bytes)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": payloads,
+                    "media_type": ["image/bmp"] * len(pdf),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(synth, schema=out_schema)
+
+
+def bmp_channel_stats(media_df: DataFrame) -> DataFrame:
+    """Per-channel brightness/contrast statistics from a REAL pixel walk
+    — the image-quality filter stage (too-dark and zero-contrast frames
+    get dropped before feature extraction; at 100 TB this is the cheap
+    pre-filter in front of any learned vision scorer).
+
+    Exact integer pixel sums and sum-of-squares per channel feed
+    floor-scaled e6 means and population variances, so the verdict is
+    bit-stable; ``is_flat`` is the zero-variance flag. Arrow-batched
+    ``mapInPandas``, O(pixels) per row, zero shuffle."""
+    out_schema = (
+        "doc_id long, n_pixels long, "
+        "mean_r_e6 long, mean_g_e6 long, mean_b_e6 long, "
+        "var_r_e6 long, var_g_e6 long, var_b_e6 long, is_flat boolean"
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_pixels", "mean_r_e6", "mean_g_e6", "mean_b_e6",
+                "var_r_e6", "var_g_e6", "var_b_e6", "is_flat",
+            )}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                data = bytes(blob)
+                magic, _sz, _r1, _r2, offset = struct.unpack_from(
+                    "<2sIHHI", data, 0
+                )
+                if magic != b"BM":
+                    raise ValueError(f"not a BMP payload (doc_id={doc_id})")
+                _hsz, w_px, h_px, _planes, _bpp = struct.unpack_from(
+                    "<IiiHH", data, 14
+                )
+                h_abs = abs(h_px)
+                stride = (3 * w_px + 3) // 4 * 4
+                s = [0, 0, 0]
+                s2 = [0, 0, 0]
+                for y in range(h_abs):
+                    base = offset + y * stride
+                    for x in range(w_px):
+                        b_v, g_v, r_v = data[base + 3 * x: base + 3 * x + 3]
+                        for i, v in enumerate((r_v, g_v, b_v)):
+                            s[i] += v
+                            s2[i] += v * v
+                n = w_px * h_abs
+                out["doc_id"].append(doc_id)
+                out["n_pixels"].append(n)
+                means, varis = [], []
+                for i in range(3):
+                    means.append(math.floor(s[i] / n * 1e6 + 0.5))
+                    varis.append(
+                        math.floor((n * s2[i] - s[i] * s[i]) / (n * n)
+                                   * 1e6 + 0.5)
+                    )
+                out["mean_r_e6"].append(means[0])
+                out["mean_g_e6"].append(means[1])
+                out["mean_b_e6"].append(means[2])
+                out["var_r_e6"].append(varis[0])
+                out["var_g_e6"].append(varis[1])
+                out["var_b_e6"].append(varis[2])
+                out["is_flat"].append(
+                    varis[0] == 0 and varis[1] == 0 and varis[2] == 0
+                )
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(stats, schema=out_schema)
+
+
+def bmp_channel_stats_oracle_sql(src: str = "documents") -> str:
+    """Closed-form twin: the shaded synthesis is value = base_c +
+    grad*(x + 2y) with no wrap, so the pixel sums have exact polynomial
+    forms — S = n*a + g*St, S2 = n*a^2 + 2*a*g*St + g*St2 with
+    St = h*w(w-1)/2 + w*h(h-1) and
+    St2 = h*sum(x^2) + 4*sum(x)*sum(y) + 4*w*sum(y^2)."""
+    w = f"({BMP_W_BASE} + doc_id % {BMP_W_MOD})"
+    h = f"({BMP_H_BASE} + doc_id % {BMP_H_MOD})"
+    chan = {
+        "r": f"(doc_id % {BMP_SHADE_MOD})",
+        "g": f"((doc_id * 7) % {BMP_SHADE_MOD})",
+        "b": f"((doc_id * 13) % {BMP_SHADE_MOD})",
+    }
+    cols = []
+    for c, a in chan.items():
+        s = f"(n * {a} + g * st)"
+        s2 = f"(n * {a} * {a} + 2 * {a} * g * st + g * st2)"
+        cols.append(
+            f"CAST(floor({s} / CAST(n AS DOUBLE) * 1e6 + 0.5) AS BIGINT)"
+            f" AS mean_{c}_e6"
+        )
+        cols.append(
+            f"CAST(floor((n * {s2} - {s} * {s}) / (CAST(n AS DOUBLE) * n)"
+            f" * 1e6 + 0.5) AS BIGINT) AS var_{c}_e6"
+        )
+    return f"""
+        WITH dims AS (
+          SELECT doc_id, {w} AS w, {h} AS h, {w} * {h} AS n,
+                 CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS g
+          FROM {src}
+        ),
+        terms AS (
+          SELECT *,
+                 h * (w * (w - 1) // 2) + w * (h * (h - 1)) AS st,
+                 h * ((w - 1) * w * (2 * w - 1) // 6)
+                 + 4 * (w * (w - 1) // 2) * (h * (h - 1) // 2)
+                 + 4 * w * ((h - 1) * h * (2 * h - 1) // 6) AS st2
+          FROM dims
+        )
+        SELECT doc_id, CAST(n AS BIGINT) AS n_pixels,
+               {", ".join(cols)},
+               (g = 0) AS is_flat
+        FROM terms
+    """

@@ -154,6 +154,7 @@ _DEFER_RAW: tuple[str, ...] = (
     "validate_mix_drift",
     "text_prf_expansion_topk",
     "reco_item_knn",
+    "multimodal_bmp_stats",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

@@ -209,6 +209,11 @@ QUERIES = {
     # r6 queue: REAL resize — decode, nearest-neighbor resample,
     # re-encode a valid BMP, decode the result
     "multimodal_bmp_resize": lambda s, d: M.bmp_resize_meta(_docs(s, d)),
+    # wave 21: brightness/contrast pre-filter from a real pixel walk
+    # over shaded synthetic BMPs (odd doc_ids planted flat)
+    "multimodal_bmp_stats": lambda s, d: M.bmp_channel_stats(
+        M.synthesize_bmp_shaded(_docs(s, d))
+    ),
     # r6 queue: real PCM decimation (decode -> every-2nd-sample ->
     # re-encode -> decode-verify; aliasing analytically predicted)
     "multimodal_wav_downsample": lambda s, d: M.wav_downsample_meta(
@@ -349,6 +354,7 @@ ORACLES = {
     "multimodal_frame_sample": M.flipbook_frames_oracle_sql(),
     "multimodal_bmp_decode": M.bmp_meta_oracle_sql(),
     "multimodal_bmp_resize": M.bmp_resize_meta_oracle_sql(),
+    "multimodal_bmp_stats": M.bmp_channel_stats_oracle_sql(),
     "multimodal_wav_downsample": M.wav_downsample_meta_oracle_sql(),
     "corpus_split_assign": C.split_assign_sql(),
     "corpus_cluster_safe_split": C.cluster_safe_split_sql(),

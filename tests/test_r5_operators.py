@@ -3063,3 +3063,26 @@ def test_item_knn_ranks_strong_companion_first(spark):
     )
     # D never co-occurs above the floor -> no neighbor rows at all
     assert not any(b == "D" for b, _ in got)
+
+
+def test_bmp_channel_stats_hand_checked_gradient_and_flat(spark):
+    from audience_manager_platform_spark.operators.multimodal import (
+        bmp_channel_stats,
+        synthesize_bmp_shaded,
+    )
+
+    docs = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    got = {r.doc_id: r for r in
+           bmp_channel_stats(synthesize_bmp_shaded(docs)).collect()}
+    # doc 0: w=4, h=4, base_r=0, shaded value = x + 2y over the grid
+    r0 = got[0]
+    assert r0.n_pixels == 16 and not r0.is_flat
+    vals = [x + 2 * y for x in range(4) for y in range(4)]
+    import math
+    assert r0.mean_r_e6 == math.floor(sum(vals) / 16 * 1e6 + 0.5)
+    exp_var = (16 * sum(v * v for v in vals) - sum(vals) ** 2) / 256
+    assert r0.var_r_e6 == math.floor(exp_var * 1e6 + 0.5)
+    # doc 1: odd -> constant fill -> zero variance, flagged flat
+    r1 = got[1]
+    assert r1.is_flat and r1.var_r_e6 == 0 and r1.var_g_e6 == 0
+    assert r1.mean_r_e6 == 1_000_000        # base_r = 1 % 200 = 1

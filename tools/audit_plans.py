@@ -200,6 +200,7 @@ ARROW_ALLOWED = {
     "multimodal_wav_decode",
     "multimodal_bmp_decode",
     "multimodal_bmp_resize",
+    "multimodal_bmp_stats",
     "multimodal_wav_downsample",
     "multimodal_wav_vad",
     "multimodal_frame_sample",

@@ -1027,9 +1027,11 @@ def ks_value_drift(events: "DataFrame", value_col: str = "value") -> "DataFrame"
             F.col("cents").alias("ks_at_cents"),
             F.expr("abs(cum_o * n_new - cum_n * n_old)").alias("ks_num"),
             F.expr(
+                # NULLIF: one empty side makes D undefined — report NULL,
+                # never a divide-by-zero (single-day windows happen)
                 "CAST(floor(abs(cum_o * n_new - cum_n * n_old)"
-                " / (CAST(n_old AS DOUBLE) * CAST(n_new AS DOUBLE))"
-                " * 1e6 + 0.5) AS BIGINT)"
+                " / nullif(CAST(n_old AS DOUBLE) * CAST(n_new AS DOUBLE),"
+                " 0.0d) * 1e6 + 0.5) AS BIGINT)"
             ).alias("ks_d_e6"),
         )
         .orderBy(F.desc("ks_num"), F.asc("ks_at_cents"))
@@ -1076,7 +1078,8 @@ def ks_value_drift_sql(src: str = "events", value_col: str = "value") -> str:
                cents AS ks_at_cents,
                CAST(abs(cum_o * n_new - cum_n * n_old) AS BIGINT) AS ks_num,
                CAST(floor(abs(cum_o * n_new - cum_n * n_old)
-                          / (CAST(n_old AS DOUBLE) * CAST(n_new AS DOUBLE))
+                          / NULLIF(CAST(n_old AS DOUBLE)
+                                   * CAST(n_new AS DOUBLE), 0.0)
                           * 1e6 + 0.5) AS BIGINT) AS ks_d_e6
         FROM cum CROSS JOIN tot
         ORDER BY abs(cum_o * n_new - cum_n * n_old) DESC, cents ASC

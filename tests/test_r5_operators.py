@@ -3086,3 +3086,23 @@ def test_bmp_channel_stats_hand_checked_gradient_and_flat(spark):
     r1 = got[1]
     assert r1.is_flat and r1.var_r_e6 == 0 and r1.var_g_e6 == 0
     assert r1.mean_r_e6 == 1_000_000        # base_r = 1 % 200 = 1
+
+
+def test_drift_ops_degrade_gracefully_on_single_day_window(spark):
+    """All mass on one side (a single-day table): PSI and chi-square
+    report zero evidence; KS reports NULL (undefined), never an error."""
+    from audience_manager_platform_spark.operators.validation import (
+        ks_value_drift,
+        mix_drift,
+        psi_value_drift,
+    )
+
+    one_day = spark.createDataFrame(
+        [(i, "2024-01-05 10:00:00", float(1 + i % 3), f"t{i % 2}")
+         for i in range(30)],
+        "event_id long, ts string, value double, event_type string",
+    )
+    ks = ks_value_drift(one_day).collect()[0]
+    assert ks.n_new == 0 and ks.ks_d_e6 is None
+    assert all(r.psi_term_e9 == 0 for r in psi_value_drift(one_day).collect())
+    assert all(r.chi2_term_e6 == 0 for r in mix_drift(one_day).collect())

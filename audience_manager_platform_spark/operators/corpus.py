@@ -1773,19 +1773,24 @@ def neyman_allocation(
             (F.col("n_rows") * F.col("s_cents")).alias("w"),
         )
     )
-    tot = g.agg(F.sum("w").alias("w_tot"))
+    tot = g.agg(
+        F.sum("w").alias("w_tot"), F.sum("n_rows").alias("nr_tot")
+    )
+    # all-zero-variance corner: Neyman degenerates to proportional
+    # allocation (w_h -> N_h), never a 0/0
+    share = (
+        f"CASE WHEN w_tot > 0 THEN {int(budget)} * w / w_tot"
+        f" ELSE {int(budget)} * n_rows / CAST(nr_tot AS DOUBLE) END"
+    )
     based = g.crossJoin(F.broadcast(tot)).select(
         "event_type",
         "n_rows",
         F.expr("CAST(floor(s_cents * 1e6 + 0.5) AS BIGINT)").alias(
             "stddev_cents_e6"
         ),
-        F.expr(f"CAST(floor({int(budget)} * w / w_tot) AS BIGINT)").alias(
-            "base_n"
-        ),
+        F.expr(f"CAST(floor({share}) AS BIGINT)").alias("base_n"),
         F.expr(
-            f"CAST(floor(({int(budget)} * w / w_tot"
-            f" - floor({int(budget)} * w / w_tot)) * 1e9 + 0.5) AS BIGINT)"
+            f"CAST(floor(({share} - floor({share})) * 1e9 + 0.5) AS BIGINT)"
         ).alias("rem_e9"),
     )
     deficit = based.agg(
@@ -1833,14 +1838,26 @@ def neyman_allocation_sql(
           FROM g
         ),
         w AS (SELECT *, n_rows * s_cents AS w FROM s),
-        tot AS (SELECT SUM(w) AS w_tot FROM w),
+        tot AS (
+          SELECT SUM(w) AS w_tot, SUM(n_rows) AS nr_tot FROM w
+        ),
         based AS (
           SELECT event_type, n_rows,
                  CAST(floor(s_cents * 1e6 + 0.5) AS BIGINT)
                    AS stddev_cents_e6,
-                 CAST(floor({int(budget)} * w / w_tot) AS BIGINT) AS base_n,
-                 CAST(floor(({int(budget)} * w / w_tot
-                             - floor({int(budget)} * w / w_tot))
+                 CAST(floor(CASE WHEN w_tot > 0
+                            THEN {int(budget)} * w / w_tot
+                            ELSE {int(budget)} * n_rows
+                                 / CAST(nr_tot AS DOUBLE) END)
+                      AS BIGINT) AS base_n,
+                 CAST(floor((CASE WHEN w_tot > 0
+                             THEN {int(budget)} * w / w_tot
+                             ELSE {int(budget)} * n_rows
+                                  / CAST(nr_tot AS DOUBLE) END
+                             - floor(CASE WHEN w_tot > 0
+                               THEN {int(budget)} * w / w_tot
+                               ELSE {int(budget)} * n_rows
+                                    / CAST(nr_tot AS DOUBLE) END))
                             * 1e9 + 0.5) AS BIGINT) AS rem_e9
           FROM w CROSS JOIN tot
         ),

@@ -2232,12 +2232,12 @@ def token_fertility(docs: DataFrame) -> DataFrame:
             "tokens",
             "chars",
             F.expr(
-                "CAST(floor(tokens / CAST(ws_words AS DOUBLE) * 1e6 + 0.5)"
-                " AS BIGINT)"
+                "CAST(floor(tokens / nullif(CAST(ws_words AS DOUBLE), 0.0d)"
+                " * 1e6 + 0.5) AS BIGINT)"
             ).alias("fertility_e6"),
             F.expr(
-                "CAST(floor(chars / CAST(tokens AS DOUBLE) * 1e6 + 0.5)"
-                " AS BIGINT)"
+                "CAST(floor(chars / nullif(CAST(tokens AS DOUBLE), 0.0d)"
+                " * 1e6 + 0.5) AS BIGINT)"
             ).alias("chars_per_token_e6"),
         )
         .orderBy("lang")
@@ -2260,9 +2260,11 @@ def token_fertility_sql(src: str = "documents") -> str:
                CAST(SUM(ws_words) AS BIGINT) AS ws_words,
                CAST(SUM(toks) AS BIGINT) AS tokens,
                CAST(SUM(chars) AS BIGINT) AS chars,
-               CAST(floor(SUM(toks) / CAST(SUM(ws_words) AS DOUBLE)
+               CAST(floor(SUM(toks) / NULLIF(CAST(SUM(ws_words) AS DOUBLE),
+                                             0.0)
                           * 1e6 + 0.5) AS BIGINT) AS fertility_e6,
-               CAST(floor(SUM(chars) / CAST(SUM(toks) AS DOUBLE)
+               CAST(floor(SUM(chars) / NULLIF(CAST(SUM(toks) AS DOUBLE),
+                                              0.0)
                           * 1e6 + 0.5) AS BIGINT) AS chars_per_token_e6
         FROM per
         GROUP BY lang

@@ -1240,8 +1240,10 @@ def auc_exact(scored: "DataFrame", score_col: str, label_col: str) -> "DataFrame
         "n_scores",
         "u2",
         F.expr(
-            "CAST(floor(u2 / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS"
-            " DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+            # NULLIF: a single-class input makes AUC undefined — NULL,
+            # never a divide-by-zero
+            "CAST(floor(u2 / nullif(2.0 * CAST(n_pos AS DOUBLE)"
+            " * CAST(n_neg AS DOUBLE), 0.0d) * 1e6 + 0.5) AS BIGINT)"
         ).alias("auc_e6"),
     )
 
@@ -1273,8 +1275,8 @@ def auc_exact_sql(scored_src: str, score_col: str, label_col: str) -> str:
           FROM ranked
         )
         SELECT n_pos, n_neg, n_scores, u2,
-               CAST(floor(u2 / (2.0 * CAST(n_pos AS DOUBLE)
-                                * CAST(n_neg AS DOUBLE))
+               CAST(floor(u2 / NULLIF(2.0 * CAST(n_pos AS DOUBLE)
+                                      * CAST(n_neg AS DOUBLE), 0.0)
                           * 1e6 + 0.5) AS BIGINT) AS auc_e6
         FROM tot
     """

@@ -3106,3 +3106,25 @@ def test_drift_ops_degrade_gracefully_on_single_day_window(spark):
     assert ks.n_new == 0 and ks.ks_d_e6 is None
     assert all(r.psi_term_e9 == 0 for r in psi_value_drift(one_day).collect())
     assert all(r.chi2_term_e6 == 0 for r in mix_drift(one_day).collect())
+
+
+def test_allocation_and_auc_degenerate_inputs(spark):
+    from audience_manager_platform_spark.operators.corpus import (
+        neyman_allocation,
+    )
+    from audience_manager_platform_spark.operators.validation import auc_exact
+
+    # all-zero-variance strata -> proportional allocation, exact budget
+    flat = spark.createDataFrame(
+        [(i, "a" if i < 30 else "b", 5.0) for i in range(90)],
+        "event_id long, event_type string, value double",
+    )
+    got = {r.event_type: r.alloc_n
+           for r in neyman_allocation(flat, budget=30).collect()}
+    assert got == {"a": 10, "b": 20}
+    # single-class labels -> AUC undefined (NULL), never an error
+    one_class = spark.createDataFrame(
+        [(i % 5, 1) for i in range(20)], "score int, label int"
+    )
+    r = auc_exact(one_class, "score", "label").collect()[0]
+    assert r.n_neg == 0 and r.auc_e6 is None

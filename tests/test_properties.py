@@ -766,3 +766,53 @@ def test_psi_term_zero_iff_shares_equal_under_identical_totals(buckets):
         p = (o + 1) / float(o_tot + b)
         q = (n + 1) / float(o_tot + b)
         assert math.isfinite((p - q) * math.log(p / q))
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=500),
+        min_size=1,
+        max_size=30,
+    ).filter(lambda xs: sum(xs) > 0)
+)
+@settings(max_examples=300, deadline=None)
+def test_chi2_homogeneity_zero_iff_identical_halves(counts):
+    """mix_drift's contract: with new counts == old counts, every
+    chi-square term is exactly 0 (expected cells equal observed)."""
+    import math
+
+    o_tot = n_tot = sum(counts)
+    for c in counts:
+        row = 2 * c
+        exp_old = row * (o_tot / (o_tot + n_tot))
+        exp_new = row * (n_tot / (o_tot + n_tot))
+        term = math.floor(
+            ((c - exp_old) ** 2 / exp_old + (c - exp_new) ** 2 / exp_new)
+            * 1e6 + 0.5
+        ) if row else 0
+        assert term == 0
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10),  # graded relevance 0..k
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_ndcg_bounds_and_perfect_ranking(rels):
+    """DCG with the inlined e9 discounts never exceeds the IDCG of its
+    own sorted gains, and equals it exactly when already sorted."""
+    from audience_manager_platform_spark.operators.similarity import (
+        NDCG_DISCOUNT_E9,
+    )
+
+    dcg = sum(r * NDCG_DISCOUNT_E9[i + 1] for i, r in enumerate(rels))
+    ideal = sum(
+        r * NDCG_DISCOUNT_E9[i + 1]
+        for i, r in enumerate(sorted(rels, reverse=True))
+    )
+    assert dcg <= ideal
+    if rels == sorted(rels, reverse=True):
+        assert dcg == ideal

@@ -604,6 +604,45 @@ def main() -> None:
     timed("MMR rerank (5 queries, pool 15)",
           mmr_rerank_topk(vecs, [0, 1, 2, 3, 4], k=5))
     timed("nDCG@10 IVF vs exact", ndcg_eval(vecs, [0, 1, 2, 3, 4], k=10))
+
+    # ------------------------- wave-20/21 additions at scale
+    from audience_manager_platform_spark.operators.text import (
+        prf_expanded_topk,
+        token_fertility,
+    )
+    from audience_manager_platform_spark.operators.validation import (
+        mix_drift,
+    )
+    from audience_manager_platform_spark.operators.relational import (
+        item_knn_cosine,
+    )
+
+    ROWS = int(os.environ.get("SCALE_ROWS", 10_000_000))
+    timed("chi-square mix drift", mix_drift(typed_events))
+    ROWS = n_docs
+    lang_docs = docs.withColumn(
+        "lang",
+        F.element_at(
+            F.array(*[F.lit(x) for x in ("en", "de", "es", "fr", "zh")]),
+            (F.abs(F.xxhash64("doc_id", F.lit(51))) % 5 + 1).cast("int"),
+        ),
+    )
+    timed("token fertility by lang", token_fertility(lang_docs))
+    timed(
+        "PRF expansion (RM3-lite, 2 BM25 passes)",
+        prf_expanded_topk(docs, ["w1", "w2"], k=10),
+    )
+    n_li = int(os.environ.get("SCALE_BASKETS", 2_000_000))
+    ROWS = n_li
+    li = spark.range(n_li).select(
+        (F.col("id") % 400_000).alias("l_orderkey"),
+        (F.abs(F.xxhash64("id", F.lit(61))) % 1000).alias("l_partkey"),
+    )
+    brands = spark.range(1000).select(
+        F.col("id").alias("p_partkey"),
+        F.concat(F.lit("B"), F.col("id") % 40).alias("p_brand"),
+    )
+    timed("item-item kNN (2M basket lines)", item_knn_cosine(li, brands))
     spark.stop()
 
 

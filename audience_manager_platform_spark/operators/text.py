@@ -2304,10 +2304,14 @@ def prf_expanded_topk(
     and the expanded pass key the corpus explode to a broadcast term
     set (|seed| + |candidates| terms), so every shuffle carries matching
     postings, never the corpus."""
-    from .partitioning import spread
+    from .partitioning import materialize, spread
 
     terms = sorted({t.lower() for t in query_terms})
-    toks = spread(docs).select("doc_id", tokens_col("text").alias("toks"))
+    # four stages read the token table (seed postings, feedback mine,
+    # candidate df, final postings): tokenize ONCE, not four times
+    toks = materialize(
+        spread(docs).select("doc_id", tokens_col("text").alias("toks"))
+    )
     lens = toks.select("doc_id", F.size("toks").alias("dl"))
     stats = lens.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")

@@ -1318,6 +1318,13 @@ def mix_drift(events: "DataFrame", cat_col: str = "event_type") -> "DataFrame":
             F.sum(F.lit(1) - F.col("is_old")).alias("new_n"),
         )
     )
+    return mix_report(hist)
+
+
+def mix_report(hist: "DataFrame") -> "DataFrame":
+    """Chi-square rows from a per-category count table (category, old_n,
+    new_n) — the tail :func:`mix_drift` and the streaming monitor share
+    (the psi_report convention)."""
     tot = hist.agg(
         F.sum("old_n").alias("o_tot"), F.sum("new_n").alias("n_tot")
     )

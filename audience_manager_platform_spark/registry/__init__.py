@@ -155,6 +155,8 @@ _DEFER_RAW: tuple[str, ...] = (
     "text_prf_expansion_topk",
     "reco_item_knn",
     "multimodal_bmp_stats",
+    # wave 22
+    "streaming_mix_monitor",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..sources import load_table
 from ..streaming.jobs import (
     enriched_segment_counts,
+    mix_histogram_stream,
     psi_histogram_stream,
     quantile_sketch_stream,
     run_available_now,
@@ -27,7 +28,7 @@ from ..streaming.jobs import (
     windowed_event_counts,
 )
 from ..operators.skew import quantile_histogram_sql
-from ..operators.validation import psi_value_drift_sql
+from ..operators.validation import mix_drift_sql, psi_value_drift_sql
 from ..streaming.stateful import running_spend_monitor
 
 _counter = itertools.count()
@@ -181,6 +182,44 @@ def _psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_report(hist)
 
 
+def _mix_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming categorical-mix monitor: baseline category counts are a
+    settled batch table; a real availableNow run maintains the live
+    side; the serving read prices chi-square through the SHARED
+    ``mix_report`` arithmetic. Oracle = the one-shot batch mix_drift
+    SQL (combinable counts => stream == batch)."""
+    from datetime import timedelta
+
+    from ..operators.validation import mix_report
+
+    batch = load_table(spark, sf_dir, "events")
+    lo, hi = (
+        batch.agg(
+            F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+        ).collect()[0]
+    )
+    split = lo + timedelta(days=(hi - lo).days // 2)
+    ref = (
+        batch.filter(F.to_date("ts") <= F.lit(str(split)))
+        .filter(F.col("event_type").isNotNull())
+        .groupBy(F.col("event_type").alias("category"))
+        .agg(F.count("*").alias("old_n"))
+    )
+    name = f"stream_mix_{next(_counter)}"
+    run_available_now(
+        mix_histogram_stream(stream_events(spark, sf_dir), str(split)), name
+    )
+    hist = (
+        ref.join(spark.table(name), ["category"], "full_outer")
+        .select(
+            "category",
+            F.coalesce(F.col("old_n"), F.lit(0)).alias("old_n"),
+            F.coalesce(F.col("new_n"), F.lit(0)).alias("new_n"),
+        )
+    )
+    return mix_report(hist)
+
+
 QUERIES = {
     "streaming_window_counts": _window_counts,
     "streaming_static_join_counts": _static_join_counts,
@@ -189,6 +228,7 @@ QUERIES = {
     "streaming_trending_topk": _trending_topk,
     "streaming_quantile_maintenance": _quantile_maintenance,
     "streaming_psi_monitor": _psi_monitor,
+    "streaming_mix_monitor": _mix_monitor,
 }
 
 ORACLES = {
@@ -196,6 +236,7 @@ ORACLES = {
         "events", "value"
     ),
     "streaming_psi_monitor": psi_value_drift_sql("events"),
+    "streaming_mix_monitor": mix_drift_sql("events"),
     "streaming_window_counts": """
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type,

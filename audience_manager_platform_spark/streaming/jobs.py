@@ -592,3 +592,19 @@ def psi_histogram_stream(
         .groupBy("blen", "sub")
         .agg(F.count("*").alias("new_n"))
     )
+
+
+def mix_histogram_stream(
+    events: DataFrame, split_date: str, cat_col: str = "event_type"
+) -> DataFrame:
+    """Streaming side of the categorical mix-drift monitor: live per-
+    category counts after the fixed baseline cut — a plain combinable
+    streaming aggregate (state = the category set), the third drift
+    audit maintained this way (quantile sketch, PSI histogram, and now
+    the chi-square mix)."""
+    live = events.filter(
+        F.to_date("ts") > F.lit(split_date)
+    ).filter(F.col(cat_col).isNotNull())
+    return live.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count("*").alias("new_n")
+    )

@@ -563,3 +563,22 @@ def test_psi_monitor_stream_matches_batch_audit(spark, sf_dir):
         for r in psi_value_drift(load_table(spark, sf_dir, "events")).collect()
     ]
     assert streamed == batch and len(streamed) > 0
+
+
+def test_mix_monitor_stream_matches_batch_audit(spark, sf_dir):
+    """The streamed category counts joined against the settled baseline
+    must price the SAME chi-square rows as the one-shot batch audit."""
+    from audience_manager_platform_spark.registry.streaming import (
+        _mix_monitor,
+    )
+    from audience_manager_platform_spark.operators.validation import (
+        mix_drift,
+    )
+    from audience_manager_platform_spark.sources import load_table
+
+    streamed = [tuple(r) for r in _mix_monitor(spark, sf_dir).collect()]
+    batch = [
+        tuple(r)
+        for r in mix_drift(load_table(spark, sf_dir, "events")).collect()
+    ]
+    assert streamed == batch and len(streamed) > 0

@@ -157,6 +157,8 @@ NESTED_LOOP_ALLOWED = {
     "validate_ks_drift",
     # chi-square mix drift: same 1-row bounds/totals broadcast shape
     "validate_mix_drift",
+    # the streamed mix monitor serves through the same mix_report tail
+    "streaming_mix_monitor",
     # wave 19: the PSI serving read shares psi_report's 1-row totals
     # broadcast over the O(buckets) joined histogram
     "streaming_psi_monitor",

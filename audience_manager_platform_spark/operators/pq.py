@@ -27,13 +27,21 @@ Scale/architecture posture (mirrors the shuffle-free k-means,
   operation in the whole query is the final top-k window per query.
 
 Determinism contract with the DuckDB twin (:func:`pq_histogram_sql`,
-:func:`pq_adc_topk_sql`): subspace distances are rounded to 6dp before
-the argmin (ties break on code asc), codeword means are 6dp-quantized
-through the order-free exact-integer contract (``similarity.py``, block
-above ``KMEANS_K`` — commutative scaled-integer sums, one driver-side
-rounding; bit-identical on any partitioning/engine), and the ADC sum is
-written LEFT-ASSOCIATIVE on both engines (4 explicit adds, not an
-order-free SUM), so every rank decision is reproducible.
+:func:`pq_adc_topk_sql`): every quantized distance in the PQ path is an
+exact INTEGER micro-distance ``floor(d2 * 1e6 + 0.5)`` — one IEEE
+multiply, one IEEE add, one exact floor, each bit-identical on Spark
+(``floor(double)`` is LONG), DuckDB (``CAST(floor(..) AS BIGINT)``),
+numpy, and driver-side Python — with the underlying double ``d2``
+accumulated LEFT-ASSOCIATIVELY dimension-by-dimension on all four.
+Argmins tie-break on code asc over the integers; codeword means ride
+the order-free exact-integer mean contract (``similarity.py``, block
+above ``KMEANS_K``); the ADC score is a SUM OF FOUR BIGINTS (exact,
+commutative, no rounding boundary at all). ``round(double, n)`` appears
+NOWHERE in a rank or display path: engine ``round()`` implementations
+disagree on representable .5 boundaries (measured, see the
+cross-engine notes in ``similarity.py``), and two rounds of
+local-green/driver-red hashes on the ADC trio traced to exactly that
+class, so the contract bans it outright.
 """
 
 from __future__ import annotations
@@ -59,8 +67,9 @@ def _d2_terms_spark(j: int, cw: list[float]) -> str:
 
 
 def _with_best(base: DataFrame, model: Model) -> DataFrame:
-    """vec_id, v, b0..b3 where b_j = argmin-d2 codeword struct for
-    subspace j ((d2 ASC, code ASC) via ``least()`` struct order).
+    """vec_id, v, b0..b3 where b_j = argmin codeword struct for
+    subspace j ((d2_micro ASC, code ASC) via ``least()`` struct order;
+    d2 is the exact bigint micro-distance).
 
     Two projections: every (subspace, codeword) distance struct is its
     own column in the first (separate columns -> separate codegen
@@ -71,7 +80,8 @@ def _with_best(base: DataFrame, model: Model) -> DataFrame:
     eval (see ``similarity._assign_inline`` — same pattern, measured)."""
     cand_cols = [
         F.expr(
-            f"named_struct('d2', round({_d2_terms_spark(j, cw)}, 6), "
+            f"named_struct("
+            f"'d2', floor(({_d2_terms_spark(j, cw)}) * 1e6 + 0.5d), "
             f"'code', {code}L)"
         ).alias(f"_b{j}_{code}")
         for j in range(PQ_M)
@@ -138,7 +148,8 @@ def pq_fit_model(emb: DataFrame, iters: int = PQ_ITERS) -> Model:
 
 def pq_encode(emb: DataFrame, model: Model) -> DataFrame:
     """vec_id -> (c0..c3, d0..d3): the stored code columns plus each
-    subspace's quantization error (rounded 6dp). A narrow map."""
+    subspace's quantization error as a bigint micro-distance. A narrow
+    map."""
     cols = []
     for j in range(PQ_M):
         cols.append(F.col(f"b{j}.code").alias(f"c{j}"))
@@ -152,8 +163,10 @@ def pq_code_histogram(
     emb: DataFrame, iters: int = PQ_ITERS, model: Model | None = None
 ) -> DataFrame:
     """Gate-facing encode summary: per (subspace, code) the population
-    and the min/max quantization error — order-free exact aggregates of
-    rounded values, so both engines hash identically. The encode pass
+    and the min/max quantization error — MIN/MAX over exact bigint
+    micro-distances (order-free by construction), displayed as the
+    6dp double ``micro / 1e6`` (one exact int→double conversion and one
+    division by the same constant on both engines). The encode pass
     runs the Arrow kernel (registry path; the inline fold is the
     oracle-shape reference, pinned equal by ``tests/test_pq.py``)."""
     model = pq_fit_model(emb, iters) if model is None else model
@@ -164,8 +177,8 @@ def pq_code_histogram(
         )
         .agg(
             F.count("*").alias("n_vectors"),
-            F.min("d2").alias("min_d2"),
-            F.max("d2").alias("max_d2"),
+            (F.min("d2") / F.lit(1000000.0)).alias("min_d2"),
+            (F.max("d2") / F.lit(1000000.0)).alias("max_d2"),
         )
     )
 
@@ -183,13 +196,19 @@ def _check_dense(model: Model) -> None:
 
 def _adc_lut_exprs(model: Model, qv: list[float]) -> list[str]:
     """Per-subspace constant-array lookup expressions for one query
-    vector: round({exact driver-side d2}, 6) entries indexed by the code
-    column — shared by the flat and IVF ADC paths."""
+    vector: bigint micro-distance entries (``floor(d2*1e6+0.5)``
+    quantized DRIVER-SIDE in exact Python arithmetic, inlined as
+    integer literals) indexed by the code column — shared by the flat
+    and IVF ADC paths. The engine never rounds: it just indexes an
+    integer array."""
+    import math
+
     luts = []
     for j in range(PQ_M):
         qsub = qv[j * SUB_DIM : (j + 1) * SUB_DIM]
         vals = ", ".join(
-            f"round({_py_d2(qsub, cw)!r}, 6)" for _code, cw in model[j]
+            f"{math.floor(_py_d2(qsub, cw) * 1e6 + 0.5)}L"
+            for _code, cw in model[j]
         )
         luts.append(f"array({vals})[c{j}]")
     return luts
@@ -215,9 +234,10 @@ def pq_adc_topk(
     """ADC top-k: per query build the 4x16 LUT of exact subspace
     distances to every codeword (driver-side — it is O(M x K) per query
     and the model is driver state already), then score every encoded
-    vector with 4 constant-array lookups and 3 adds. The LUT values are
-    inlined UNROUNDED (repr round-trips exactly) and rounded by the
-    engine, so Spark and DuckDB round the same doubles."""
+    vector with 4 constant-array lookups and 3 adds. LUT entries are
+    exact bigint micro-distances and the score is their exact integer
+    sum (``approx_d2_micro``) — no floating point and no rounding
+    anywhere between the LUT and the rank decision, on either engine."""
     model = pq_fit_model(emb, iters) if model is None else model
     _check_dense(model)
     base = emb.select("vec_id", _vec_double().alias("v"))
@@ -233,7 +253,7 @@ def pq_adc_topk(
         luts = _adc_lut_exprs(model, qvecs[qid])
         per_query.append(
             f"named_struct('query_id', {qid}L, "
-            f"'approx_d2', round({' + '.join(luts)}, 6))"
+            f"'approx_d2_micro', {' + '.join(luts)})"
         )
     scored = codes.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -241,10 +261,10 @@ def pq_adc_topk(
     ).select(
         F.col("x.query_id").alias("query_id"),
         "neighbor_id",
-        F.col("x.approx_d2").alias("approx_d2"),
+        F.col("x.approx_d2_micro").alias("approx_d2_micro"),
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.asc("approx_d2"), F.asc("neighbor_id")
+        F.asc("approx_d2_micro"), F.asc("neighbor_id")
     )
     return (
         scored.filter(F.col("neighbor_id") != F.col("query_id"))
@@ -300,7 +320,9 @@ def _pq_ctes(
                        cb.code,
                        ROW_NUMBER() OVER (
                          PARTITION BY {base}.vec_id
-                         ORDER BY ROUND({terms}, 6) ASC, cb.code ASC) AS rn
+                         ORDER BY CAST(floor(({terms}) * 1e6 + 0.5)
+                                       AS BIGINT) ASC,
+                                  cb.code ASC) AS rn
                 FROM {base} CROSS JOIN cb{j}_{it} cb
               ) x WHERE rn = 1
             )"""
@@ -314,10 +336,13 @@ def _pq_ctes(
         parts.append(
             f"""codes{j} AS (
           SELECT vec_id, code AS c{j}, d2 AS d{j} FROM (
-            SELECT {base}.vec_id, cb.code, ROUND({terms}, 6) AS d2,
+            SELECT {base}.vec_id, cb.code,
+                   CAST(floor(({terms}) * 1e6 + 0.5) AS BIGINT) AS d2,
                    ROW_NUMBER() OVER (
                      PARTITION BY {base}.vec_id
-                     ORDER BY ROUND({terms}, 6) ASC, cb.code ASC) AS rn
+                     ORDER BY CAST(floor(({terms}) * 1e6 + 0.5)
+                                   AS BIGINT) ASC,
+                              cb.code ASC) AS rn
             FROM {base} CROSS JOIN cb{j}_{iters} cb
           ) x WHERE rn = 1
         )"""
@@ -334,7 +359,8 @@ def pq_histogram_sql(iters: int = PQ_ITERS, src: str = "embeddings") -> str:
         WITH {_pq_ctes(iters, src)},
         stacked AS ({stacked})
         SELECT subspace, code, COUNT(*) AS n_vectors,
-               MIN(d2) AS min_d2, MAX(d2) AS max_d2
+               CAST(MIN(d2) AS DOUBLE) / 1000000.0 AS min_d2,
+               CAST(MAX(d2) AS DOUBLE) / 1000000.0 AS max_d2
         FROM stacked GROUP BY subspace, code
     """
 
@@ -357,7 +383,8 @@ def pq_adc_topk_sql(
         terms = _d2_terms_sql(j, "q.v", "cb.m")
         luts.append(
             f"lut{j} AS (SELECT q.vec_id AS query_id, cb.code, "
-            f"ROUND({terms}, 6) AS ld FROM qv q CROSS JOIN cb{j}_{iters} cb)"
+            f"CAST(floor(({terms}) * 1e6 + 0.5) AS BIGINT) AS ld "
+            f"FROM qv q CROSS JOIN cb{j}_{iters} cb)"
         )
     lut_joins = "\n            ".join(
         f"JOIN lut{j} l{j} ON l{j}.query_id = q.query_id "
@@ -380,15 +407,15 @@ def pq_adc_topk_sql(
         queries AS (SELECT vec_id AS query_id FROM qv),
         scored AS (
           SELECT q.query_id, c.vec_id AS neighbor_id,
-                 ROUND({adc}, 6) AS approx_d2
+                 {adc} AS approx_d2_micro
           FROM queries q CROSS JOIN allcodes c
             {lut_joins}
           WHERE c.vec_id <> q.query_id
         )
-        SELECT query_id, neighbor_id, approx_d2, rank FROM (
+        SELECT query_id, neighbor_id, approx_d2_micro, rank FROM (
           SELECT *, ROW_NUMBER() OVER (
             PARTITION BY query_id
-            ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank
+            ORDER BY approx_d2_micro ASC, neighbor_id ASC) AS rank
           FROM scored
         ) r WHERE rank <= {k}
     """
@@ -471,7 +498,7 @@ def ivfpq_topk(
     for qid in sorted(qvecs):
         luts = _adc_lut_exprs(pq_model, qvecs[qid])
         branches.append(
-            f"WHEN query_id = {qid}L THEN round({' + '.join(luts)}, 6)"
+            f"WHEN query_id = {qid}L THEN {' + '.join(luts)}"
         )
     adc = F.expr(f"CASE {' '.join(branches)} END")
     cand = (
@@ -483,9 +510,9 @@ def ivfpq_topk(
     scored = cand.join(
         codes.select(F.col("vec_id").alias("neighbor_id"), *[f"c{j}" for j in range(PQ_M)]),
         "neighbor_id",
-    ).select("query_id", "neighbor_id", adc.alias("approx_d2"))
+    ).select("query_id", "neighbor_id", adc.alias("approx_d2_micro"))
     w = Window.partitionBy("query_id").orderBy(
-        F.asc("approx_d2"), F.asc("neighbor_id")
+        F.asc("approx_d2_micro"), F.asc("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -511,7 +538,8 @@ def ivfpq_topk_sql(
         terms = _d2_terms_sql(j, "q.v", "cb.m")
         luts.append(
             f"lut{j} AS (SELECT q.vec_id AS query_id, cb.code, "
-            f"ROUND({terms}, 6) AS ld FROM qv q CROSS JOIN cb{j}_{iters} cb)"
+            f"CAST(floor(({terms}) * 1e6 + 0.5) AS BIGINT) AS ld "
+            f"FROM qv q CROSS JOIN cb{j}_{iters} cb)"
         )
     luts_sql = ",\n        ".join(luts)
     lut_joins = "\n            ".join(
@@ -558,14 +586,14 @@ def ivfpq_topk_sql(
           WHERE a.vec_id <> p.query_id
         ),
         scored AS (
-          SELECT cand.query_id, cand.neighbor_id, ROUND({adc}, 6) AS approx_d2
+          SELECT cand.query_id, cand.neighbor_id, {adc} AS approx_d2_micro
           FROM cand JOIN allcodes c ON c.vec_id = cand.neighbor_id
             {lut_joins}
         )
-        SELECT query_id, neighbor_id, approx_d2, rank FROM (
+        SELECT query_id, neighbor_id, approx_d2_micro, rank FROM (
           SELECT *, ROW_NUMBER() OVER (
             PARTITION BY query_id
-            ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank
+            ORDER BY approx_d2_micro ASC, neighbor_id ASC) AS rank
           FROM scored
         ) r WHERE rank <= {k}
     """
@@ -592,12 +620,13 @@ def _make_argmin(sub_dim: int):
     closure import this package on the worker, which a vanilla driver
     session (sys.path set driver-side only) cannot satisfy.
 
-    Rounding caveat: 6dp HALF_UP is emulated as floor(x*1e6 + 0.5)/1e6
-    (valid for the non-negative distances here); it can disagree with
-    the engines' BigDecimal rounding only when x*1e6 lands exactly on a
-    representable .5 boundary — so 'bit-identical to the inline path'
-    means bit-identical on all fixture values (test-pinned), not
-    unconditionally."""
+    The quantization is the exact integer contract shared by every PQ
+    path: ``floor(d2 * 1e6 + 0.5)`` as int64. Multiply, add, and floor
+    are each exact IEEE ops on the identical double ``d2`` (left-assoc
+    accumulation), so this is bit-identical to the Spark literal fold,
+    the DuckDB twin, and driver-side Python UNCONDITIONALLY — no
+    HALF_UP emulation, no .5-boundary caveat (the r4/r5 driver-red
+    class)."""
 
     def argmin(Xj, codebook):
         import numpy as np
@@ -610,7 +639,7 @@ def _make_argmin(sub_dim: int):
             for i in range(sub_dim):
                 d = Xj[:, i] - w[i]
                 acc = acc + d * d
-            accr = np.floor(acc * 1e6 + 0.5) / 1e6
+            accr = np.floor(acc * 1e6 + 0.5)  # exact integer-valued
             if best_d is None:
                 best_d = accr
                 best_c = np.zeros(len(Xj), dtype=np.int64)
@@ -618,7 +647,7 @@ def _make_argmin(sub_dim: int):
                 m = accr < best_d  # strict: ties keep the lower code
                 best_d = np.where(m, accr, best_d)
                 best_c = np.where(m, np.int64(code), best_c)
-        return best_c, best_d
+        return best_c, best_d.astype(np.int64)
 
     return argmin
 
@@ -633,8 +662,8 @@ def pq_encode_arrow(emb: DataFrame, model: Model) -> DataFrame:
     0.23s for this kernel). This IS the registry/production encode path;
     the inline :func:`pq_encode` remains the oracle-shape reference, and
     ``tests/test_pq.py::test_arrow_encode_matches_inline`` pins exact
-    equality on the fixtures (see :func:`_argmin_batch` for the one
-    theoretical .5-boundary divergence)."""
+    equality (unconditional under the integer micro-distance contract —
+    see :func:`_make_argmin`)."""
     _check_dense(model)  # positional codes below require dense 0..K-1
     codebooks = _codebook_arrays(model)
     argmin = _make_argmin(SUB_DIM)
@@ -642,7 +671,7 @@ def pq_encode_arrow(emb: DataFrame, model: Model) -> DataFrame:
     fields = []
     for j in range(PQ_M):
         fields.append(f"c{j} long")
-        fields.append(f"d{j} double")
+        fields.append(f"d{j} long")
     out_schema = "vec_id long, " + ", ".join(fields)
 
     def enc(batches):
@@ -676,7 +705,7 @@ def _stacked_arrow(emb: DataFrame, model: Model, with_vec: bool) -> DataFrame:
     codebooks = _codebook_arrays(model)
     argmin = _make_argmin(SUB_DIM)
     n_sub, sub_dim = PQ_M, SUB_DIM
-    schema = "vec_id long, j integer, code long, d2 double"
+    schema = "vec_id long, j integer, code long, d2 long"
     if with_vec:
         schema += ", s array<double>"
 
@@ -838,7 +867,7 @@ def ivfpq_residual_topk(
         luts = _adc_lut_exprs(pq_model, q_res)
         branches.append(
             f"WHEN query_id = {qid}L AND cent_id = {cid}L "
-            f"THEN round({' + '.join(luts)}, 6)"
+            f"THEN {' + '.join(luts)}"
         )
     adc = F.expr(f"CASE {' '.join(branches)} END")
     probes_df = emb.sparkSession.createDataFrame(
@@ -855,9 +884,9 @@ def ivfpq_residual_topk(
             F.col("vec_id").alias("neighbor_id"), *[f"c{j}" for j in range(PQ_M)]
         ),
         "neighbor_id",
-    ).select("query_id", "neighbor_id", adc.alias("approx_d2"))
+    ).select("query_id", "neighbor_id", adc.alias("approx_d2_micro"))
     w = Window.partitionBy("query_id").orderBy(
-        F.asc("approx_d2"), F.asc("neighbor_id")
+        F.asc("approx_d2_micro"), F.asc("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -889,7 +918,8 @@ def ivfpq_residual_topk_sql(
         terms = _d2_terms_sql(j, "qr.v", "cb.m")
         luts.append(
             f"lut{j} AS (SELECT qr.query_id, qr.cent_id, cb.code, "
-            f"ROUND({terms}, 6) AS ld FROM qres qr CROSS JOIN cb{j}_{iters} cb)"
+            f"CAST(floor(({terms}) * 1e6 + 0.5) AS BIGINT) AS ld "
+            f"FROM qres qr CROSS JOIN cb{j}_{iters} cb)"
         )
     luts_sql = ",\n        ".join(luts)
     lut_joins = "\n            ".join(
@@ -947,14 +977,14 @@ def ivfpq_residual_topk_sql(
         ),
         scored AS (
           SELECT cand.query_id, cand.neighbor_id,
-                 ROUND({adc}, 6) AS approx_d2
+                 {adc} AS approx_d2_micro
           FROM cand JOIN allcodes ac ON ac.vec_id = cand.neighbor_id
             {lut_joins}
         )
-        SELECT query_id, neighbor_id, approx_d2, rank FROM (
+        SELECT query_id, neighbor_id, approx_d2_micro, rank FROM (
           SELECT *, ROW_NUMBER() OVER (
             PARTITION BY query_id
-            ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank
+            ORDER BY approx_d2_micro ASC, neighbor_id ASC) AS rank
           FROM scored
         ) r WHERE rank <= {k}
     """
@@ -1083,8 +1113,9 @@ def adc_rerank_topk(
     is keyed on neighbor_id and is model-scale.
 
     Exact distances use the unrolled left-assoc squared-diff chain
-    (same IEEE order as the twins' 1-based expansion), 6dp-rounded —
-    bit-identical on both engines."""
+    (same IEEE order as the twins' 1-based expansion), quantized to the
+    exact bigint micro-distance ``floor(d2*1e6+0.5)`` for both ranking
+    and display — same no-round() contract as the ADC stage."""
     from .similarity import EMBED_DIM
 
     short = pq_adc_topk(
@@ -1094,11 +1125,9 @@ def adc_rerank_topk(
     queries = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    d2 = F.expr(
-        " + ".join(
-            f"(v[{i}] - qv[{i}]) * (v[{i}] - qv[{i}])"
-            for i in range(EMBED_DIM)
-        )
+    d2 = " + ".join(
+        f"(v[{i}] - qv[{i}]) * (v[{i}] - qv[{i}])"
+        for i in range(EMBED_DIM)
     )
     scored = (
         short.join(
@@ -1108,11 +1137,11 @@ def adc_rerank_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(d2, 6).alias("exact_d2"),
+            F.expr(f"floor(({d2}) * 1e6 + 0.5d)").alias("exact_d2_micro"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.asc("exact_d2"), F.asc("neighbor_id")
+        F.asc("exact_d2_micro"), F.asc("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1146,15 +1175,15 @@ def adc_rerank_topk_sql(
         ),
         scored AS (
           SELECT s.query_id, s.neighbor_id,
-                 ROUND({d2}, 6) AS exact_d2
+                 CAST(floor(({d2}) * 1e6 + 0.5) AS BIGINT) AS exact_d2_micro
           FROM short s
           JOIN ev ON ev.vec_id = s.neighbor_id
           JOIN q ON q.query_id = s.query_id
         )
-        SELECT query_id, neighbor_id, exact_d2, rank FROM (
+        SELECT query_id, neighbor_id, exact_d2_micro, rank FROM (
           SELECT *, ROW_NUMBER() OVER (
             PARTITION BY query_id
-            ORDER BY exact_d2 ASC, neighbor_id ASC) AS rank
+            ORDER BY exact_d2_micro ASC, neighbor_id ASC) AS rank
           FROM scored
         ) r WHERE rank <= {k}
     """

@@ -77,13 +77,13 @@ def test_ivfpq_subset_of_flat_adc_candidates(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     flat = {
-        (r.query_id, r.neighbor_id): r.approx_d2
+        (r.query_id, r.neighbor_id): r.approx_d2_micro
         for r in PQ.pq_adc_topk(emb, [0, 1, 2], k=1000000).collect()
     }
     ivf = PQ.ivfpq_topk(emb, [0, 1, 2], k=5).collect()
     assert ivf, "ivfpq returned nothing"
     for r in ivf:
-        assert flat[(r.query_id, r.neighbor_id)] == r.approx_d2
+        assert flat[(r.query_id, r.neighbor_id)] == r.approx_d2_micro
 
 
 def test_arrow_encode_matches_inline(spark, sf_dir):
@@ -163,6 +163,53 @@ def test_mean6_tri_engine_agreement(spark):
 
     assert py == sql_side["m"][0] == driver_side == duck
     assert int(sql_side["sv"][0]) == s_int
+
+
+def test_micro_quantize_tri_engine_agreement(spark):
+    """The PQ-path quantizer ``floor(x * 1e6 + 0.5) -> bigint`` must be
+    bit-identical across driver-side Python, Spark SQL, DuckDB, and the
+    numpy Arrow kernel — including on representable .5 boundaries and
+    the r4 value class where engine ``round()`` implementations were
+    measured to disagree. This is the contract that replaced every
+    ``round(double, 6)`` in a PQ rank/display path after two rounds of
+    local-green/driver-red ADC hashes."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    vals = [
+        0.0,
+        1.5e-6, 2.5e-6, 0.0000005, 0.0000015,  # exact .5 boundaries
+        0.1234565, 0.9999995, 1.0000005,
+        1.8221821023874998, 182.21821023874998,  # r4 round() repro class
+        7.5e-7, 3.0517578125e-5,  # dyadic: x*1e6 lands exactly on .5
+        123.456789, 0.3333333333333333, 2.0 / 3.0,
+    ]
+    py = [math.floor(x * 1e6 + 0.5) for x in vals]
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    sp = [
+        r["m"]
+        for r in df.selectExpr("x", "floor(x * 1e6 + 0.5d) as m")
+            .orderBy("x").collect()
+    ]
+
+    con = duckdb.connect()
+    duck = [
+        r[0]
+        for r in con.sql(
+            "SELECT CAST(floor(x * 1e6 + 0.5) AS BIGINT) FROM (VALUES "
+            + ",".join(f"({v!r}::DOUBLE)" for v in sorted(vals))
+            + ") t(x) ORDER BY x"
+        ).fetchall()
+    ]
+
+    np_side = np.floor(np.array(sorted(vals)) * 1e6 + 0.5).astype(np.int64)
+
+    ordered = [math.floor(x * 1e6 + 0.5) for x in sorted(vals)]
+    assert ordered == sp == duck == list(np_side)
+    assert sorted(py) == sorted(ordered)
 
 
 def test_kmeans_model_partition_invariant(spark, sf_dir):

@@ -209,6 +209,7 @@ def _modules():
         "tpch_wave3",
         "warehouse",
         "timeseries",
+        "envprobe",
     ):
         try:
             mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))

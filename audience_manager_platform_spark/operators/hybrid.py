@@ -128,6 +128,13 @@ def chunk_maxsim_topk(
     table reaches the top-k window. Cosines are exact-integer dots in
     double (hash_embed weights are integers), 6dp-rounded before any
     ordering so ranks are engine-identical.
+
+    CONTRACT NOTE (100 TB): this is the EXACT late-interaction scorer —
+    it scans every chunk per query set by design, as the recall
+    reference the gated serving path (:func:`chunk_maxsim_ivf_topk`)
+    is graded against. Serve with the IVF-gated variant; run this one
+    for evaluation (recall/nDCG baselines), where a full scan is the
+    point.
     """
     from .text import chunk_tokens, hash_embed
     from ..functions import cosine_similarity
@@ -234,6 +241,350 @@ def chunk_maxsim_topk_sql(
                  ROUND(list_cosine_similarity(qv, cv), 6) AS cos
           FROM cvec CROSS JOIN qvec
           WHERE doc_id != query_id
+        ),
+        pooledmax AS (
+          SELECT query_id, doc_id, MAX(cos) AS maxsim
+          FROM scored GROUP BY 1, 2
+        ),
+        pooled AS (
+          SELECT s.query_id, s.doc_id, p.maxsim,
+                 MIN(s.chunk_idx) AS best_chunk_idx
+          FROM scored s
+          JOIN pooledmax p
+            ON s.query_id = p.query_id AND s.doc_id = p.doc_id
+           AND s.cos = p.maxsim
+          GROUP BY 1, 2, 3
+        )
+        SELECT query_id, doc_id, maxsim,
+               CAST(best_chunk_idx AS BIGINT) AS best_chunk_idx, rank
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY maxsim DESC, doc_id ASC) AS rank
+          FROM pooled
+        ) r WHERE rank <= {k}
+    """
+
+
+# ------------------------------------------------ IVF-gated late interaction
+MAXSIM_CELLS = 16  # coarse-quantizer cells over CHUNK vectors
+MAXSIM_PROBES = 4  # cells scanned per query
+
+
+def _fit_vec_id(n_cells: int) -> str:
+    """Chunk -> synthetic vec_id remap that makes the SHARED k-means
+    seed rule (``vec_id < k`` — ``similarity.kmeans_fit_model`` and
+    ``_kmeans_ctes`` alike) pick a deterministic, SF-stable seed set:
+    the first chunk of docs ``0..n_cells-1``. Everything else gets a
+    unique id above the seed range. Pure projection, invertible."""
+    return (
+        f"CASE WHEN chunk_idx = 0 AND doc_id < {n_cells} THEN doc_id "
+        f"ELSE {n_cells} + doc_id * {CHUNK_ID_BASE} + chunk_idx END"
+    )
+
+
+def _chunk_vec_frame(
+    docs: DataFrame,
+    chunk: int,
+    stride: int,
+    dim: int,
+    n_cells: int,
+    materialized: bool = True,
+) -> DataFrame:
+    """(doc_id, chunk_idx, vec_id, embedding) chunk-vector frame with
+    the seed-remapped synthetic id. ``materialized=True`` snapshots it
+    to parquet — worth it ONLY when multiple actions consume it (the
+    fit's seed collect + mean job, the residual IVF-PQ pattern); the
+    single-action serving query keeps the narrow lineage instead (a
+    measured 2x: the snapshot write of every chunk vector dominated
+    the gated scan it was meant to help)."""
+    from .partitioning import materialize
+    from .text import chunk_tokens, hash_embed
+
+    chunks = chunk_tokens(docs, chunk, stride).filter(
+        F.col("chunk_tokens") > 0
+    )
+    norm2 = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0.0), lambda a, x: a + x * x
+    )
+    cvec = hash_embed(
+        chunks.select(
+            (F.col("doc_id") * CHUNK_ID_BASE + F.col("chunk_idx")).alias(
+                "doc_id"
+            ),
+            F.col("chunk_text").alias("text"),
+        ),
+        dim,
+    ).select(
+        F.expr(f"vec_id div {CHUNK_ID_BASE}").alias("doc_id"),
+        (F.col("vec_id") % CHUNK_ID_BASE).alias("chunk_idx"),
+        "embedding",
+    )
+    out = cvec.filter(norm2(F.col("embedding")) > 0).select(
+        "doc_id",
+        "chunk_idx",
+        F.expr(_fit_vec_id(n_cells)).alias("vec_id"),
+        "embedding",
+    )
+    return materialize(out) if materialized else out
+
+
+def chunk_cell_model(
+    docs: DataFrame,
+    chunk: int = 32,
+    stride: int = 16,
+    dim: int = 64,
+    n_cells: int = MAXSIM_CELLS,
+    _cvec: DataFrame | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Train the coarse quantizer over the chunk vectors — half of the
+    index build (see :func:`chunk_cell_index` for the full build)."""
+    from .similarity import kmeans_fit_model
+
+    cvec = (
+        _chunk_vec_frame(docs, chunk, stride, dim, n_cells)
+        if _cvec is None
+        else _cvec
+    )
+    return kmeans_fit_model(
+        cvec.select("vec_id", "embedding"), n_cells, iters=1
+    )
+
+
+def chunk_cell_index(
+    docs: DataFrame,
+    chunk: int = 32,
+    stride: int = 16,
+    dim: int = 64,
+    n_cells: int = MAXSIM_CELLS,
+):
+    """The FULL index build a deployment runs once per corpus snapshot
+    and serves many query sets from: coarse-cell model (driver state)
+    PLUS the cell-assigned chunk-vector table, materialized. Assigning
+    chunks to cells at QUERY time would do K cosines per chunk — more
+    arithmetic than the exact scan whenever |queries| < K, which is
+    why IVF systems always persist the inverted lists at build time
+    (measured here: per-query assignment made the gated path 2.7x
+    SLOWER than exact at 5 queries / 16 cells; with the prebuilt index
+    the gated query beats exact). Returns ``(cell_model, assigned)``
+    where ``assigned`` is (doc_id, chunk_idx, cent_id, v)."""
+    from .partitioning import materialize
+    from .similarity import _vec_double, assign_cells_arrow
+
+    cvec_n = _chunk_vec_frame(docs, chunk, stride, dim, n_cells)
+    cell_model = chunk_cell_model(
+        docs, chunk, stride, dim, n_cells, _cvec=cvec_n
+    )
+    inv_doc = (
+        f"CASE WHEN vec_id < {n_cells} THEN vec_id "
+        f"ELSE (vec_id - {n_cells}) div {CHUNK_ID_BASE} END"
+    )
+    inv_chunk = (
+        f"CASE WHEN vec_id < {n_cells} THEN 0L "
+        f"ELSE (vec_id - {n_cells}) % {CHUNK_ID_BASE} END"
+    )
+    assigned = materialize(
+        assign_cells_arrow(
+            cvec_n.select("vec_id", _vec_double().alias("v")),
+            cell_model,
+            keep_vec=True,
+        ).select(
+            F.expr(inv_doc).alias("doc_id"),
+            F.expr(inv_chunk).alias("chunk_idx"),
+            "cent_id",
+            "v",
+        )
+    )
+    return cell_model, assigned
+
+
+def chunk_maxsim_ivf_topk(
+    docs: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    chunk: int = 32,
+    stride: int = 16,
+    dim: int = 64,
+    n_cells: int = MAXSIM_CELLS,
+    n_probes: int = MAXSIM_PROBES,
+    index=None,
+) -> DataFrame:
+    """The SERVING shape for late-interaction retrieval: a learned
+    coarse quantizer over the CHUNK vectors (spherical k-means, the
+    engine's shared fit) gates max-sim scoring to each query's
+    ``n_probes`` nearest cells — candidate chunks drop by roughly
+    ``n_probes / n_cells`` versus the exact scan
+    (:func:`chunk_maxsim_topk`, which stays as the recall reference).
+    Recall < 1 comes from unprobed cells, exactly the IVF semantics of
+    the ``ann_ivf*`` family, now composed in front of chunk scoring.
+
+    Plan shape at 100 TB: the index build (:func:`chunk_cell_index` —
+    chunking, hashing-trick embedding, fit, cell assignment) runs ONCE
+    per corpus snapshot and persists the inverted lists; the QUERY is
+    then probe selection (O(|queries| x n_cells), broadcast), one
+    equi-join keyed on cent_id against the assigned table, a map-side
+    cosine projection over only the probed cells' chunks, one
+    combinable max-pool aggregate, and the per-query top-k window.
+
+    ``index``: the prebuilt ``(cell_model, assigned)`` pair from
+    :func:`chunk_cell_index` (the registry memoizes one build per
+    corpus — production trains the index once and serves many query
+    sets; without it this function builds the index inline first)."""
+    from .similarity import _model_df
+    from .text import hash_embed
+
+    norm2 = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0.0), lambda a, x: a + x * x
+    )
+    if index is None:
+        index = chunk_cell_index(docs, chunk, stride, dim, n_cells)
+    cell_model, assigned = index
+    from ..functions import cosine_similarity
+
+    qvec_n = (
+        hash_embed(docs.filter(F.col("doc_id").isin(query_ids)), dim)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+        )
+        .select(
+            "query_id", "qv", F.sqrt(norm2(F.col("qv"))).alias("qn")
+        )
+        .filter(F.col("qn") > 0)
+    )
+    cents = _model_df(docs.sparkSession, cell_model)
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("qsim"), F.asc("cent_id")
+    )
+    probes = (
+        qvec_n.join(F.broadcast(cents), how="cross")
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            "cent_id",
+            F.round(
+                cosine_similarity(F.col("qv"), F.col("cv")), 6
+            ).alias("qsim"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probes)
+        .select("query_id", "qv", "qn", "cent_id")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "cent_id")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            "chunk_idx",
+            F.round(
+                dot / (F.col("qn") * F.sqrt(norm2(F.col("v")))), 6
+            ).alias("cos"),
+        )
+    )
+    pooled = scored.groupBy("query_id", "doc_id").agg(
+        F.max(
+            F.struct(F.col("cos"), (-F.col("chunk_idx")).alias("nci"))
+        ).alias("best")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("maxsim"), F.asc("doc_id")
+    )
+    return (
+        pooled.select(
+            "query_id",
+            "doc_id",
+            F.col("best.cos").alias("maxsim"),
+            (-F.col("best.nci")).cast("bigint").alias("best_chunk_idx"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def chunk_maxsim_ivf_topk_sql(
+    query_ids: list[int],
+    k: int = 5,
+    chunk: int = 32,
+    stride: int = 16,
+    dim: int = 64,
+    n_cells: int = MAXSIM_CELLS,
+    n_probes: int = MAXSIM_PROBES,
+    src: str = "documents",
+) -> str:
+    from .similarity import _kmeans_ctes
+    from .text import chunk_tokens_sql, hash_embed_sql
+
+    ids = ", ".join(str(i) for i in query_ids)
+    chunks_rel = (
+        f"(SELECT doc_id * {CHUNK_ID_BASE} + chunk_idx AS doc_id, "
+        f"chunk_text AS text FROM ({chunk_tokens_sql(src, chunk, stride)}) ck "
+        "WHERE chunk_tokens > 0) cr"
+    )
+    queries_rel = f"(SELECT * FROM {src} WHERE doc_id IN ({ids})) qr"
+    fit_id = _fit_vec_id(n_cells)
+    return f"""
+        WITH cemb AS MATERIALIZED ({hash_embed_sql(chunks_rel, dim)}),
+        cvec AS MATERIALIZED (
+          SELECT vec_id // {CHUNK_ID_BASE} AS doc_id,
+                 vec_id % {CHUNK_ID_BASE} AS chunk_idx,
+                 CAST(embedding AS DOUBLE[]) AS cv
+          FROM cemb
+          WHERE list_sum(list_transform(embedding, x -> x * x)) > 0
+        ),
+        cm AS (
+          SELECT {fit_id} AS vec_id, cv AS embedding FROM cvec
+        ),
+        {_kmeans_ctes(n_cells, 1, "cm")},
+        assigned AS (
+          SELECT vec_id, cent_id FROM (
+            SELECT e.vec_id, c.cent_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                              c.cent_id ASC) AS rn
+            FROM e CROSS JOIN cents c
+          ) x WHERE rn = 1
+        ),
+        ac AS (
+          SELECT CASE WHEN vec_id < {n_cells} THEN vec_id
+                      ELSE (vec_id - {n_cells}) // {CHUNK_ID_BASE} END
+                   AS doc_id,
+                 CASE WHEN vec_id < {n_cells} THEN 0
+                      ELSE (vec_id - {n_cells}) % {CHUNK_ID_BASE} END
+                   AS chunk_idx,
+                 cent_id
+          FROM assigned
+        ),
+        qvec AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM ({hash_embed_sql(queries_rel, dim)}) qe
+          WHERE list_sum(list_transform(embedding, x -> x * x)) > 0
+        ),
+        probes AS (
+          SELECT query_id, cent_id FROM (
+            SELECT q.query_id, c.cent_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+                              c.cent_id ASC) AS rn
+            FROM qvec q CROSS JOIN cents c
+          ) p WHERE rn <= {n_probes}
+        ),
+        scored AS MATERIALIZED (
+          SELECT p.query_id, a.doc_id, a.chunk_idx,
+                 ROUND(list_cosine_similarity(q.qv, v.cv), 6) AS cos
+          FROM probes p
+          JOIN ac a USING (cent_id)
+          JOIN cvec v ON v.doc_id = a.doc_id AND v.chunk_idx = a.chunk_idx
+          JOIN qvec q ON q.query_id = p.query_id
+          WHERE a.doc_id != p.query_id
         ),
         pooledmax AS (
           SELECT query_id, doc_id, MAX(cos) AS maxsim

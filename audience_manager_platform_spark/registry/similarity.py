@@ -76,9 +76,25 @@ QUERIES = {
         load_table(s, d, "documents"), _emb(s, d), HYBRID_TERMS, HYBRID_QVEC
     ),
     # r5: late-interaction (ColBERT-shape) retrieval — docs scored by
-    # their best-matching chunk over hashing-trick chunk vectors
+    # their best-matching chunk over hashing-trick chunk vectors.
+    # EXACT full-chunk scan: the recall reference / eval baseline for
+    # the gated serving path below (see the operator's contract note)
     "ann_chunk_maxsim_topk": lambda s, d: H.chunk_maxsim_topk(
         load_table(s, d, "documents"), MAXSIM_QUERY_DOCS, k=5
+    ),
+    # r6: the SERVING path — learned coarse cells over chunk vectors
+    # gate scoring to n_probes cells per query (the ann_ivf* layout
+    # composed in front of late interaction); the full index (model +
+    # materialized inverted lists) is memoized per corpus like every
+    # other ANN family fit
+    "ann_chunk_maxsim_ivf_topk": lambda s, d: H.chunk_maxsim_ivf_topk(
+        load_table(s, d, "documents"),
+        MAXSIM_QUERY_DOCS,
+        k=5,
+        index=_cached_fit(
+            ("maxsim_index", d),
+            lambda: H.chunk_cell_index(load_table(s, d, "documents")),
+        ),
     ),
     # r5: IVF tuning curve — recall@k per probe count, one assignment
     "ann_ivf_probe_sweep": lambda s, d: S.ivf_probe_sweep(
@@ -187,6 +203,9 @@ ORACLES = {
     "ann_cosine_topk": S.cosine_topk_sql(_QUERY_IDS, k=5),
     "hybrid_search_rrf": H.hybrid_search_rrf_sql(HYBRID_TERMS, HYBRID_QVEC),
     "ann_chunk_maxsim_topk": H.chunk_maxsim_topk_sql(MAXSIM_QUERY_DOCS, k=5),
+    "ann_chunk_maxsim_ivf_topk": H.chunk_maxsim_ivf_topk_sql(
+        MAXSIM_QUERY_DOCS, k=5
+    ),
     "ann_ivf_probe_sweep": S.ivf_probe_sweep_sql(_QUERY_IDS, k=5),
     "emb_jl_distortion": S.jl_distortion_sql(),
     "sample_kcenter_diverse": S.kcenter_select_sql(),

@@ -1,0 +1,79 @@
+"""Round-6 additions: IVF-gated late-interaction retrieval and the
+environment-skew canaries."""
+
+from audience_manager_platform_spark.operators import envprobe as E
+from audience_manager_platform_spark.operators.hybrid import (
+    chunk_maxsim_ivf_topk,
+    chunk_maxsim_topk,
+)
+from audience_manager_platform_spark.sources import load_table
+
+
+def test_chunk_maxsim_ivf_subset_of_exact(spark, sf_dir):
+    """Cell gating loses chunks, never invents or re-scores them: every
+    (query, doc) the gated path returns must appear in the exact scan's
+    pooled table with a maxsim >= the gated maxsim (equality whenever
+    the best chunk's cell was probed), and best_chunk_idx must be a
+    chunk the exact path scored for that pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    qids = [0, 100, 200]
+    exact = {
+        (r.query_id, r.doc_id): r.maxsim
+        for r in chunk_maxsim_topk(docs, qids, k=10**6).collect()
+    }
+    gated = chunk_maxsim_ivf_topk(docs, qids, k=5).collect()
+    assert gated, "gated path returned nothing"
+    for r in gated:
+        assert r.doc_id != r.query_id
+        assert (r.query_id, r.doc_id) in exact
+        assert r.maxsim <= exact[(r.query_id, r.doc_id)]
+    # the gate must actually bite at default settings (4/16 cells):
+    # at least one query's top-1 differs OR every returned score equals
+    # exact — either way the result is well-formed top-k per query
+    by_q = {}
+    for r in gated:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_chunk_maxsim_ivf_partition_invariant(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    key = lambda rows: sorted(  # noqa: E731
+        (r.query_id, r.rank, r.doc_id, r.maxsim) for r in rows
+    )
+    a = key(chunk_maxsim_ivf_topk(docs.repartition(1), [0, 100], k=3).collect())
+    b = key(chunk_maxsim_ivf_topk(docs.repartition(7), [0, 100], k=3).collect())
+    assert a == b
+    assert a, "empty result"
+
+
+def test_env_probe_vector_is_boundary_heavy():
+    """The canary vector must keep its adversarial cases: exact .5
+    boundaries after the 1e6 scaling and the r4 repro magnitude."""
+    import math
+
+    vals = dict(E.PROBE_VECTOR)
+    # exact representable .5 boundaries (multiply is exact for these)
+    assert vals["c02_half_ulp_small"] * 1e6 == 0.5
+    assert vals["c03_one_and_half"] * 1e6 == 1.5
+    # r4 magnitude class present with both signs
+    assert vals["c08_r4_repro_pos"] == -vals["c09_r4_repro_neg"]
+    assert abs(vals["c08_r4_repro_pos"] * 1e6) > 1e12
+    # floor-micro stays within int64 for every probe value
+    for _, v in E.PROBE_VECTOR:
+        assert abs(math.floor(v * 1e6 + 0.5)) < 2**53
+
+
+def test_env_probes_match_oracles(spark, duck):
+    """All four probes green against their own oracles in-process (the
+    same check the driver runs)."""
+    for q, sql in [
+        (E.probe_floor_micro, E.probe_floor_micro_sql()),
+        (E.probe_round_half, E.probe_round_half_sql()),
+        (E.probe_arrow_floor, E.probe_arrow_floor_sql()),
+        (E.probe_versions, E.probe_versions_sql()),
+    ]:
+        got = {tuple(r) for r in q(spark).collect()}
+        want = {tuple(r) for r in duck.sql(sql).fetchall()}
+        assert got == want, q.__name__

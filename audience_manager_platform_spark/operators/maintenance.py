@@ -221,13 +221,17 @@ def pruning_audit(events, n_buckets: int = PRUNE_BUCKETS):
     zval) — the same sort the real layout rewrite performs; this audit
     is the dry run you price before committing the rewrite. Everything
     downstream is a |buckets|-sized aggregate. The exact-equal-count
-    bucketing here rides a single global row_number sequence (needed for
-    the cross-engine oracle; ~17 s at 10M rows on one task). At real
-    scale you don't simulate the files — you write them:
-    :func:`zorder_layout`'s repartitionByRange + spark_partition_id IS
-    the distributed equivalent (disjoint ranges pinned by
-    tests/test_maintenance.py::test_zorder_layout_disjoint_ranges), and
-    the zone-map stats then come from the parquet footers."""
+    bucketing needs an exact GLOBAL rank under each layout's total
+    order; rather than a single-partition row_number window (one task
+    sorting everything — ~17 s at 10M rows), the rank is computed
+    distributed: rows are dealt into range shards by a DETERMINISTIC
+    width-bucket of the leading order key over its broadcast global
+    [min, max] (a data-derived range partitioning — sampled
+    ``repartitionByRange`` bounds are not stable across the two plan
+    subtrees that need them to agree), each shard ranks ITS rows in
+    parallel, and the global rank is the local rank plus a cumulative
+    per-shard offset — the only single-partition window left runs over
+    |shards| rows, not the data."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -241,14 +245,53 @@ def pruning_audit(events, n_buckets: int = PRUNE_BUCKETS):
         .withColumn("zval", zorder_key("ub", "doy"))
     )
     tot = base.agg(F.count("*").alias("n"))
+    n_rank_parts = int(
+        events.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     layouts = []
     for layout, order in (
-        ("natural", [F.col("event_id")]),
-        ("zorder", [F.col("zval"), F.col("event_id")]),
+        ("natural", ["event_id"]),
+        ("zorder", ["zval", "event_id"]),
     ):
-        rn = F.row_number().over(Window.orderBy(*order))
+        # exact distributed global rank under this layout's total order:
+        # shard by a deterministic width-bucket of the leading key (same
+        # pid on every recomputation, unlike sampled range bounds),
+        # monotone in the order, so shard-local ranks + offsets compose
+        lead = order[0]
+        bounds = base.agg(
+            F.min(lead).cast("long").alias("lo"),
+            F.max(lead).cast("long").alias("hi"),
+        )
+        ranged = base.crossJoin(F.broadcast(bounds)).withColumn(
+            "pid",
+            F.expr(
+                f"CAST((CAST({lead} AS BIGINT) - lo) * {n_rank_parts}"
+                " div (hi - lo + 1) AS INT)"
+            ),
+        )
+        offs = (
+            ranged.groupBy("pid")
+            .agg(F.count("*").alias("c"))
+            .withColumn(
+                "off",
+                F.coalesce(
+                    F.sum("c").over(
+                        Window.orderBy("pid").rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .select("pid", "off")
+        )
+        lrn = F.row_number().over(
+            Window.partitionBy("pid").orderBy(*[F.col(c) for c in order])
+        )
         layouts.append(
-            base.withColumn("rn", rn)
+            ranged.withColumn("lrn", lrn)
+            .join(F.broadcast(offs), "pid")
+            .withColumn("rn", F.col("off") + F.col("lrn"))
             .crossJoin(F.broadcast(tot))
             .select(
                 F.lit(layout).alias("layout"),

@@ -100,6 +100,21 @@ def hybrid_search_rrf_sql(
 CHUNK_ID_BASE = 1_000_000  # composite chunk id = doc_id * BASE + chunk_idx
 
 
+def _dot_dim(a: str, b: str, dim: int):
+    """Codegen'd dot product over ``dim`` elements, one ``F.expr``
+    string (same rationale and IEEE left-assoc summation order as
+    ``similarity._dot_expr``, parameterized by dim): the HOF
+    ``aggregate(zip_with(...))`` fold is interpreted per element —
+    measured ~200µs/row here vs sub-µs compiled, the difference between
+    the gated serving path losing to the exact scan and beating it."""
+    return F.expr(" + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim)))
+
+
+def _norm_dim(v: str, dim: int):
+    """Codegen'd L2 norm, same summation order as the HOF fold."""
+    return F.sqrt(F.expr(" + ".join(f"{v}[{i}] * {v}[{i}]" for i in range(dim))))
+
+
 def chunk_maxsim_topk(
     docs: DataFrame,
     query_ids: list[int],
@@ -158,23 +173,16 @@ def chunk_maxsim_topk(
     qvec = hash_embed(
         docs.filter(F.col("doc_id").isin(query_ids)), dim
     ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
-    norm2 = lambda c: F.aggregate(  # noqa: E731
-        c, F.lit(0.0), lambda a, x: a + x * x
-    )
     # norms computed ONCE per side (the generic cosine_similarity would
     # re-derive the chunk norm per query and the filter re-derived it
-    # again: 6 HOF passes per chunk at 5 queries; now 1)
+    # again: 6 HOF passes per chunk at 5 queries; now 1), all codegen
     cvec_n = cvec.select(
-        "doc_id", "chunk_idx", "cv", F.sqrt(norm2(F.col("cv"))).alias("cn")
+        "doc_id", "chunk_idx", "cv", _norm_dim("cv", dim).alias("cn")
     ).filter(F.col("cn") > 0)
     qvec_n = qvec.select(
-        "query_id", "qv", F.sqrt(norm2(F.col("qv"))).alias("qn")
+        "query_id", "qv", _norm_dim("qv", dim).alias("qn")
     ).filter(F.col("qn") > 0)
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    dot = _dot_dim("qv", "cv", dim)
     scored = (
         cvec_n.crossJoin(F.broadcast(qvec_n))
         .filter(F.col("doc_id") != F.col("query_id"))
@@ -303,9 +311,6 @@ def _chunk_vec_frame(
     chunks = chunk_tokens(docs, chunk, stride).filter(
         F.col("chunk_tokens") > 0
     )
-    norm2 = lambda c: F.aggregate(  # noqa: E731
-        c, F.lit(0.0), lambda a, x: a + x * x
-    )
     cvec = hash_embed(
         chunks.select(
             (F.col("doc_id") * CHUNK_ID_BASE + F.col("chunk_idx")).alias(
@@ -319,7 +324,10 @@ def _chunk_vec_frame(
         (F.col("vec_id") % CHUNK_ID_BASE).alias("chunk_idx"),
         "embedding",
     )
-    out = cvec.filter(norm2(F.col("embedding")) > 0).select(
+    out = cvec.filter(
+        F.expr(" + ".join(f"embedding[{i}] * embedding[{i}]" for i in range(dim)))
+        > 0
+    ).select(
         "doc_id",
         "chunk_idx",
         F.expr(_fit_vec_id(n_cells)).alias("vec_id"),
@@ -365,8 +373,11 @@ def chunk_cell_index(
     why IVF systems always persist the inverted lists at build time
     (measured here: per-query assignment made the gated path 2.7x
     SLOWER than exact at 5 queries / 16 cells; with the prebuilt index
-    the gated query beats exact). Returns ``(cell_model, assigned)``
-    where ``assigned`` is (doc_id, chunk_idx, cent_id, v)."""
+    the gated query beats exact). The vector NORM is precomputed and
+    stored alongside each vector — the standard IVF payload — so the
+    serving plan carries one codegen dot, not a dot plus a norm.
+    Returns ``(cell_model, assigned)`` where ``assigned`` is
+    (doc_id, chunk_idx, cent_id, v, vn)."""
     from .partitioning import materialize
     from .similarity import _vec_double, assign_cells_arrow
 
@@ -392,6 +403,7 @@ def chunk_cell_index(
             F.expr(inv_chunk).alias("chunk_idx"),
             "cent_id",
             "v",
+            _norm_dim("v", dim).alias("vn"),
         )
     )
     return cell_model, assigned
@@ -429,12 +441,10 @@ def chunk_maxsim_ivf_topk(
     :func:`chunk_cell_index` (the registry memoizes one build per
     corpus — production trains the index once and serves many query
     sets; without it this function builds the index inline first)."""
+    from .partitioning import spread
     from .similarity import _model_df
     from .text import hash_embed
 
-    norm2 = lambda c: F.aggregate(  # noqa: E731
-        c, F.lit(0.0), lambda a, x: a + x * x
-    )
     if index is None:
         index = chunk_cell_index(docs, chunk, stride, dim, n_cells)
     cell_model, assigned = index
@@ -446,9 +456,7 @@ def chunk_maxsim_ivf_topk(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
         )
-        .select(
-            "query_id", "qv", F.sqrt(norm2(F.col("qv"))).alias("qn")
-        )
+        .select("query_id", "qv", _norm_dim("qv", dim).alias("qn"))
         .filter(F.col("qn") > 0)
     )
     cents = _model_df(docs.sparkSession, cell_model)
@@ -470,21 +478,20 @@ def chunk_maxsim_ivf_topk(
         .filter(F.col("rn") <= n_probes)
         .select("query_id", "qv", "qn", "cent_id")
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    # spread: the materialized index reads back in O(file-count)
+    # partitions — re-spread so scoring parallelism tracks the cluster,
+    # not the snapshot's file layout
     scored = (
         F.broadcast(probes)
-        .join(assigned, "cent_id")
+        .join(spread(assigned), "cent_id")
         .filter(F.col("doc_id") != F.col("query_id"))
         .select(
             "query_id",
             "doc_id",
             "chunk_idx",
             F.round(
-                dot / (F.col("qn") * F.sqrt(norm2(F.col("v")))), 6
+                _dot_dim("qv", "v", dim) / (F.col("qn") * F.col("vn")),
+                6,
             ).alias("cos"),
         )
     )

@@ -713,10 +713,15 @@ def _model_df(
     # ONE partition: a K-row model table sliced across the session's
     # default parallelism turns every self-cross-join into parallelism²
     # near-empty tasks (measured: the K x K Davies-Bouldin join spawned a
-    # 1024-task stage whose scheduling overhead dwarfed the work)
+    # 1024-task stage whose scheduling overhead dwarfed the work).
+    # repartition(1), NOT coalesce(1): Python-created frames are pickled
+    # RDD partitions, and coalesce runs all |defaultParallelism| Python
+    # deserializer partitions SERIALLY in one task (~4 s per execution,
+    # re-paid inside every broadcast build); the one-row shuffle
+    # deserializes them in parallel first (~0.03 s warm, measured 130x)
     return spark.createDataFrame(
         model, "cent_id bigint, cv array<double>"
-    ).coalesce(1)
+    ).repartition(1)
 
 
 def kmeans_fit_model(

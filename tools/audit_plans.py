@@ -43,6 +43,8 @@ NESTED_LOOP_ALLOWED = {
     "ann_ivf_kmeans_topk",
     "ann_ivfpq_adc_topk",
     "ann_ivfpq_residual_topk",
+    # gated maxsim: probe selection crosses queries x K-row cell model
+    "ann_chunk_maxsim_ivf_topk",
     # probe sweep: queries cross-join the K-row centroid table (model)
     "ann_probe_recall_curve",
     "ann_cosine_topk",
@@ -182,6 +184,10 @@ ARROW_ALLOWED = {
     # / residuals / WAV-BMP decode / bloom build-probe / CMS / stateful)
     # sequential per-series Holt recurrence (sanctioned custom-stateful)
     "ts_holt_linear_backtest",
+    # environment-skew canaries: the POINT is exercising the Arrow/numpy
+    # kernel path and stamping library versions (1-row frames)
+    "env_probe_arrow_floor",
+    "env_probe_versions",
     # sequential KM product over the model-sized life table
     "analytics_survival_km",
     "ann_lsh_near_pairs",

@@ -2617,3 +2617,194 @@ def centroid_classifier_eval_sql(src: str = "embeddings") -> str:
                  PARTITION BY label) AS DOUBLE), 6) AS share
         FROM per
     """
+
+
+# --------------------------------------------- binary (1-bit) quantization
+# The last rung of the compression ladder (float64 512B -> SQ8 64B -> PQ
+# 8B -> binary 8B-as-ONE-WORD): sign-binarize each embedding into a
+# single 64-bit code, shortlist by Hamming distance (one xor + popcount
+# per candidate -- the cheapest distance computable), then re-rank the
+# shortlist with exact cosine over re-fetched full vectors. This is the
+# memory-tier layout production vector stores use for billion-vector
+# first-pass filtering (sign random projection, Charikar 2002; the
+# hashing-trick embeddings are already de-correlated, so the identity
+# rotation stands in for the random hyperplanes).
+HAMMING_SHORTLIST = 4  # shortlist size = HAMMING_SHORTLIST * k per query
+
+# bit 63 is the two's-complement sign bit; BOTH engines reject 1<<63 as
+# a positive literal, so it is emitted pre-wrapped
+_SIGN_BIT_WEIGHTS = [1 << i for i in range(63)] + [-(1 << 63)]
+
+
+def _sign_code_expr(v: str = "v") -> Column:
+    """Pack the sign bits of a dim-``EMBED_DIM`` vector into ONE BIGINT
+    code word (bit d set iff v[d] > 0), as a single codegen expression —
+    the encode is a pure projection, no shuffle, no Python."""
+    assert EMBED_DIM <= 64, "one code word holds at most 64 sign bits"
+    terms = [
+        f"IF({v}[{i}] > 0, CAST({_SIGN_BIT_WEIGHTS[i]} AS BIGINT), 0L)"
+        for i in range(EMBED_DIM)
+    ]
+    return F.expr(" | ".join(terms))
+
+
+def hamming_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """Binary-quantized top-k with exact re-rank: Hamming shortlist of
+    ``shortlist`` (default ``HAMMING_SHORTLIST * k``) candidates per
+    query over the 64-bit sign codes, then exact cosine over the
+    shortlist only. Output (query_id, neighbor_id, hamming, cosine,
+    rank), ranked (cosine desc, neighbor_id asc) like the exact scan.
+
+    Plan shape at 100 TB: the code table is 64x smaller than the
+    vectors and scans at memory bandwidth (xor+popcount is one fused
+    codegen expression); the full vectors are touched ONLY for the
+    |queries| x shortlist re-rank join — exactly the codes-in-RAM /
+    vectors-on-disk split a deployment runs. Integer Hamming distances
+    and id tiebreaks make the shortlist engine-exact; the re-rank reuses
+    the 6dp-rounded cosine contract of :func:`cosine_topk`."""
+    from ..functions import cosine_similarity
+
+    r = shortlist if shortlist is not None else HAMMING_SHORTLIST * k
+    base = emb.select("vec_id", _vec_double().alias("v"))
+    codes = base.select("vec_id", _sign_code_expr("v").alias("code"))
+    queries = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        _sign_code_expr("v").alias("qcode"),
+    )
+    ham = codes.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr("CAST(bit_count(code ^ qcode) AS INT)").alias("hamming"),
+        "qv",
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    short = (
+        ham.withColumn("srank", F.row_number().over(w_short))
+        .filter(F.col("srank") <= r)
+        .drop("srank")
+    )
+    # re-fetch full vectors for the shortlist only (codes RAM-resident,
+    # vectors cold storage); |short| = |queries| * shortlist -> broadcast
+    scored = base.withColumnRenamed("vec_id", "neighbor_id").join(
+        F.broadcast(short), "neighbor_id"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "hamming",
+        F.round(cosine_similarity(F.col("qv"), F.col("v")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _sign_code_sql(src_cte: str = "e") -> str:
+    """DuckDB twin of :func:`_sign_code_expr`: bit_or over unnested
+    dims (1-indexed), bit 63 via the pre-wrapped literal."""
+    return f"""
+        SELECT vec_id,
+               bit_or(CASE WHEN x > 0 THEN
+                 CASE WHEN d = 64
+                      THEN CAST(-9223372036854775808 AS BIGINT)
+                      ELSE (CAST(1 AS BIGINT) << (d - 1)) END
+                 ELSE CAST(0 AS BIGINT) END) AS code
+        FROM (SELECT vec_id, UNNEST(v) AS x,
+                     generate_subscripts(v, 1) AS d FROM {src_cte}) u
+        GROUP BY vec_id
+    """
+
+
+def hamming_topk_sql(
+    query_ids: list[int],
+    k: int = 5,
+    shortlist: int | None = None,
+    src: str = "embeddings",
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    r = shortlist if shortlist is not None else HAMMING_SHORTLIST * k
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src}
+        ),
+        codes AS ({_sign_code_sql("e")}),
+        q AS (
+          SELECT c.vec_id AS query_id, c.code AS qcode, e.v AS qv
+          FROM codes c JOIN e USING (vec_id)
+          WHERE c.vec_id IN ({ids})
+        ),
+        short AS (
+          SELECT query_id, neighbor_id, hamming, qv FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   CAST(bit_count(xor(c.code, q.qcode)) AS INT) AS hamming,
+                   q.qv,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY bit_count(xor(c.code, q.qcode)) ASC,
+                              c.vec_id ASC) AS srank
+            FROM codes c CROSS JOIN q WHERE c.vec_id != q.query_id
+          ) s WHERE srank <= {r}
+        ),
+        scored AS (
+          SELECT s.query_id, s.neighbor_id, s.hamming,
+                 ROUND(list_cosine_similarity(s.qv, e.v), 6) AS cosine
+          FROM short s JOIN e ON e.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, hamming, cosine, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        ) r WHERE rank <= {k}
+    """
+
+
+def hamming_recall_eval(
+    emb: DataFrame, query_ids: list[int], k: int = 5
+) -> DataFrame:
+    """Recall@k of the binary-code path against the exact scan — the QA
+    number that prices the 64x compression (companion to
+    :func:`recall_eval` for IVF). Output (query_id, hits, recall_at_k)."""
+    exact = cosine_topk(emb, query_ids, k).select("query_id", "neighbor_id")
+    approx = hamming_topk(emb, query_ids, k).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("hits"),
+            F.round(F.count("hit") / F.lit(float(k)), 4).alias("recall_at_k"),
+        )
+    )
+
+
+def hamming_recall_eval_sql(
+    query_ids: list[int], k: int = 5, src: str = "embeddings"
+) -> str:
+    exact = cosine_topk_sql(query_ids, k, src)
+    approx = hamming_topk_sql(query_ids, k, src=src)
+    return f"""
+        SELECT e.query_id,
+               COUNT(a.neighbor_id) AS hits,
+               ROUND(COUNT(a.neighbor_id) / CAST({k} AS DOUBLE), 4)
+                 AS recall_at_k
+        FROM ({exact}) e
+        LEFT JOIN ({approx}) a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id
+    """

@@ -157,6 +157,9 @@ _DEFER_RAW: tuple[str, ...] = (
     "multimodal_bmp_stats",
     # wave 22
     "streaming_mix_monitor",
+    # wave 23 (added mid-r6: the r6 window was already full)
+    "ann_hamming_topk",
+    "ann_recall_hamming_vs_exact",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

@@ -59,6 +59,14 @@ MAXSIM_QUERY_DOCS = [0, 100, 200, 300, 400]
 
 QUERIES = {
     "ann_cosine_topk": lambda s, d: S.cosine_topk(_emb(s, d), _QUERY_IDS, k=5),
+    # r6 (wave 23): binary 1-bit codes — Hamming shortlist, exact re-rank
+    "ann_hamming_topk": lambda s, d: S.hamming_topk(
+        _emb(s, d), _QUERY_IDS, k=5
+    ),
+    # r6 (wave 23): recall@k pricing the 64x binary compression
+    "ann_recall_hamming_vs_exact": lambda s, d: S.hamming_recall_eval(
+        _emb(s, d), _QUERY_IDS, k=5
+    ),
     # r6 queue: filtered vector search (pre-filter exact semantics)
     "ann_filtered_topk": lambda s, d: S.filtered_cosine_topk(
         _emb(s, d), _QUERY_IDS, allowed_labels=[0, 2, 4], k=5
@@ -197,6 +205,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_hamming_topk": S.hamming_topk_sql(_QUERY_IDS, k=5),
+    "ann_recall_hamming_vs_exact": S.hamming_recall_eval_sql(_QUERY_IDS, k=5),
     "ann_filtered_topk": S.filtered_cosine_topk_sql(
         _QUERY_IDS, allowed_labels=[0, 2, 4], k=5
     ),

@@ -131,6 +131,8 @@ HEADLINE = [
     # r6: IVF-gated late-interaction serving path (the exact
     # ann_chunk_maxsim_topk above stays as its recall baseline)
     "ann_chunk_maxsim_ivf_topk",
+    # r6 wave 23: binary 1-bit codes, Hamming shortlist + exact re-rank
+    "ann_hamming_topk",
 ]
 
 # Measured findings that contextualize round-over-round diffs (the judge

@@ -77,3 +77,71 @@ def test_env_probes_match_oracles(spark, duck):
         got = {tuple(r) for r in q(spark).collect()}
         want = {tuple(r) for r in duck.sql(sql).fetchall()}
         assert got == want, q.__name__
+
+
+def test_hamming_code_matches_vector_signs(spark, sf_dir):
+    """The packed BIGINT code must agree bit-for-bit with the vector's
+    signs, including bit 63 (the two's-complement wrap both engines
+    need as a pre-wrapped literal)."""
+    from pyspark.sql import functions as F
+
+    from audience_manager_platform_spark.operators.similarity import (
+        _sign_code_expr,
+        _vec_double,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.select("vec_id", _vec_double().alias("v"))
+        .select("vec_id", "v", _sign_code_expr("v").alias("code"))
+        .limit(20)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        expect = 0
+        for i, x in enumerate(r.v):
+            if x > 0:
+                expect |= 1 << i
+        # reinterpret as signed 64-bit (bit 63 set -> negative)
+        if expect >= 1 << 63:
+            expect -= 1 << 64
+        assert r.code == expect, r.vec_id
+
+
+def test_hamming_topk_reranks_within_shortlist(spark, sf_dir):
+    """Every returned neighbor must come from the Hamming shortlist
+    (subset property), carry the exact 6dp cosine, and rank densely."""
+    from audience_manager_platform_spark.operators.similarity import (
+        cosine_topk,
+        hamming_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2]
+    got = hamming_topk(emb, qids, k=5).collect()
+    assert got
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(emb, qids, k=10**6).collect()
+    }
+    by_q = {}
+    for r in got:
+        assert 0 <= r.hamming <= 64
+        # re-rank cosine equals the exact scan's 6dp cosine for the pair
+        assert r.cosine == exact[(r.query_id, r.neighbor_id)]
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_hamming_topk_partition_invariant(spark, sf_dir):
+    from audience_manager_platform_spark.operators.similarity import (
+        hamming_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+    a = key(hamming_topk(emb.repartition(1), [0, 1], k=4).collect())
+    b = key(hamming_topk(emb.repartition(13), [0, 1], k=4).collect())
+    assert a == b and a

@@ -2808,3 +2808,97 @@ def hamming_recall_eval_sql(
           ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
         GROUP BY e.query_id
     """
+
+
+# ------------------------------------------- matryoshka truncation eval
+MATRYOSHKA_DIMS = (8, 16, 32, 64)
+
+
+def matryoshka_recall(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    dims: tuple[int, ...] = MATRYOSHKA_DIMS,
+) -> DataFrame:
+    """Recall@k of dimension-PREFIX retrieval against the full-dim exact
+    scan, one row per prefix length — the eval behind matryoshka-style
+    (MRL, Kusupati et al. 2022) deployment tiers, where the first m
+    coordinates of an embedding serve as a cheaper index (m/dim of the
+    scan bandwidth) and the full vector only re-ranks. Output
+    (dim_prefix, hits, recall_at_k), recall 4dp over |queries| x k
+    ground-truth pairs.
+
+    Shape: |dims| truncated scans, each the same broadcast-query plan as
+    :func:`cosine_topk` (the operator under test dominates; the compare
+    joins are |queries| x k). The fixture's hashing-trick embeddings are
+    not MRL-trained, so the curve here prices raw truncation — the
+    operator is the eval harness, not a claim about the encoder."""
+    exact = cosine_topk(emb, query_ids, k).select("query_id", "neighbor_id")
+    total = float(len(query_ids) * k)
+    outs = []
+    for m in dims:
+        trunc = emb.select(
+            "vec_id", F.slice(_vec_double(), 1, m).alias("embedding")
+        )
+        approx = cosine_topk(trunc, query_ids, k).select(
+            "query_id", "neighbor_id", F.lit(1).alias("hit")
+        )
+        outs.append(
+            exact.join(approx, ["query_id", "neighbor_id"], "left").agg(
+                F.lit(m).cast("int").alias("dim_prefix"),
+                F.count("hit").alias("hits"),
+                F.round(F.count("hit") / F.lit(total), 4).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("dim_prefix")
+
+
+def matryoshka_recall_sql(
+    query_ids: list[int],
+    k: int = 5,
+    dims: tuple[int, ...] = MATRYOSHKA_DIMS,
+    src: str = "embeddings",
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    total = len(query_ids) * k
+    branches = []
+    for m in dims:
+        branches.append(f"""
+        SELECT {m} AS dim_prefix,
+               COUNT(a.neighbor_id) AS hits,
+               ROUND(COUNT(a.neighbor_id) / CAST({total} AS DOUBLE), 4)
+                 AS recall_at_k
+        FROM (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                     ORDER BY ROUND(list_cosine_similarity(q.qv, e.v), 6)
+                       DESC, e.vec_id ASC) AS rank
+            FROM e CROSS JOIN q WHERE e.vec_id != q.query_id
+          ) x WHERE rank <= {k}
+        ) ex
+        LEFT JOIN (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                     ORDER BY ROUND(list_cosine_similarity(
+                       q.qv[1:{m}], e.v[1:{m}]), 6) DESC,
+                       e.vec_id ASC) AS rank
+            FROM e CROSS JOIN q WHERE e.vec_id != q.query_id
+          ) y WHERE rank <= {k}
+        ) a ON ex.query_id = a.query_id AND ex.neighbor_id = a.neighbor_id
+        """)
+    u = "\n        UNION ALL\n".join(branches)
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src}
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e
+              WHERE vec_id IN ({ids}))
+        SELECT * FROM ({u}) all_dims ORDER BY dim_prefix
+    """

@@ -160,6 +160,7 @@ _DEFER_RAW: tuple[str, ...] = (
     # wave 23 (added mid-r6: the r6 window was already full)
     "ann_hamming_topk",
     "ann_recall_hamming_vs_exact",
+    "emb_matryoshka_recall",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

@@ -67,6 +67,10 @@ QUERIES = {
     "ann_recall_hamming_vs_exact": lambda s, d: S.hamming_recall_eval(
         _emb(s, d), _QUERY_IDS, k=5
     ),
+    # r6 (wave 23): dim-prefix (matryoshka-tier) retrieval recall curve
+    "emb_matryoshka_recall": lambda s, d: S.matryoshka_recall(
+        _emb(s, d), _QUERY_IDS, k=5
+    ),
     # r6 queue: filtered vector search (pre-filter exact semantics)
     "ann_filtered_topk": lambda s, d: S.filtered_cosine_topk(
         _emb(s, d), _QUERY_IDS, allowed_labels=[0, 2, 4], k=5
@@ -207,6 +211,7 @@ QUERIES = {
 ORACLES = {
     "ann_hamming_topk": S.hamming_topk_sql(_QUERY_IDS, k=5),
     "ann_recall_hamming_vs_exact": S.hamming_recall_eval_sql(_QUERY_IDS, k=5),
+    "emb_matryoshka_recall": S.matryoshka_recall_sql(_QUERY_IDS, k=5),
     "ann_filtered_topk": S.filtered_cosine_topk_sql(
         _QUERY_IDS, allowed_labels=[0, 2, 4], k=5
     ),

@@ -145,3 +145,21 @@ def test_hamming_topk_partition_invariant(spark, sf_dir):
     a = key(hamming_topk(emb.repartition(1), [0, 1], k=4).collect())
     b = key(hamming_topk(emb.repartition(13), [0, 1], k=4).collect())
     assert a == b and a
+
+
+def test_matryoshka_recall_monotone_tail(spark, sf_dir):
+    """The full-dim prefix must reproduce the exact scan (recall 1.0),
+    every recall must be in [0, 1], and hits must be <= total pairs."""
+    from audience_manager_platform_spark.operators.similarity import (
+        EMBED_DIM,
+        matryoshka_recall,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    rows = {r.dim_prefix: r for r in matryoshka_recall(emb, qids, k=5).collect()}
+    assert set(rows) == {8, 16, 32, 64}
+    for m, r in rows.items():
+        assert 0.0 <= r.recall_at_k <= 1.0, m
+        assert 0 <= r.hits <= len(qids) * 5
+    assert rows[EMBED_DIM].recall_at_k == 1.0

@@ -153,7 +153,12 @@ NOTES = (
     "from interpreted HOF folds to codegen exprs (exec 5.3s->0.16s on the "
     "gated path, which now beats the exact scan); the exact path trades "
     "~1s more one-time plan compile for 10x less execution -- the right "
-    "side of the trade at any real corpus size."
+    "side of the trade at any real corpus size. ann_chunk_maxsim_ivf_topk's "
+    "first sample carries the one-time per-corpus index build plus the "
+    "chunk pipeline's codegen (~10s, alphabetically first in its family); "
+    "the warm serving query executes in 0.16s. Full-sweep totals are "
+    "single-shot and sequencing-sensitive: a contended run measured 475s "
+    "where the idle re-run measured 376s on identical code."
 )
 
 # Repeats per query: medians make the bench regression-proof (r3 saw a

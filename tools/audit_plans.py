@@ -48,6 +48,11 @@ NESTED_LOOP_ALLOWED = {
     # probe sweep: queries cross-join the K-row centroid table (model)
     "ann_probe_recall_curve",
     "ann_cosine_topk",
+    # binary codes + matryoshka evals: the same broadcast query tower
+    # (|queries| rows) against the scan — the documented exact pattern
+    "ann_hamming_topk",
+    "ann_recall_hamming_vs_exact",
+    "emb_matryoshka_recall",
     # pre-filtered exact search: same broadcast query tower
     "ann_filtered_topk",
     "ann_cosine_range_search",

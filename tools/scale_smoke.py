@@ -643,6 +643,52 @@ def main() -> None:
         F.concat(F.lit("B"), F.col("id") % 40).alias("p_brand"),
     )
     timed("item-item kNN (2M basket lines)", item_knn_cosine(li, brands))
+
+    # ------------------------- round-6 additions at scale
+    from audience_manager_platform_spark.operators.hybrid import (
+        chunk_cell_index,
+        chunk_maxsim_ivf_topk,
+    )
+    from audience_manager_platform_spark.operators.maintenance import (
+        pruning_audit,
+    )
+    from audience_manager_platform_spark.operators.similarity import (
+        hamming_topk,
+        matryoshka_recall,
+    )
+
+    ROWS = n_vecs
+    timed(
+        "binary Hamming top-5 + exact re-rank",
+        hamming_topk(vecs, [0, 1, 2, 3, 4], k=5),
+    )
+    timed(
+        "matryoshka prefix recall (4 dims)",
+        matryoshka_recall(vecs, [0, 1, 2, 3, 4], k=5),
+    )
+    ROWS = n_docs
+    t0 = time.perf_counter()
+    idx = chunk_cell_index(docs)
+    print(
+        f"{'maxsim IVF index build (once/corpus)':36s} "
+        f"{'-':>12s} out-rows  {time.perf_counter() - t0:7.2f}s"
+    )
+    timed(
+        "gated chunk MaxSim top-5 (5 queries)",
+        chunk_maxsim_ivf_topk(docs, [0, 50, 100, 150, 200], k=5, index=idx),
+    )
+    # synthetic events stream for the distributed-rank pruning audit
+    n_ev = int(os.environ.get("SCALE_EVENTS", 10_000_000))
+    ROWS = n_ev
+    ev = spark.range(n_ev).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") * 2654435761 % 1000003).alias("user_id"),
+        (
+            F.to_timestamp(F.lit("2025-01-01"))
+            + F.make_interval(days=(F.col("id") % 300).cast("int"))
+        ).alias("ts"),
+    )
+    timed("zone-map pruning audit (10M events)", pruning_audit(ev))
     spark.stop()
 
 

@@ -2902,3 +2902,31 @@ def matryoshka_recall_sql(
               WHERE vec_id IN ({ids}))
         SELECT * FROM ({u}) all_dims ORDER BY dim_prefix
     """
+
+
+def ivf_ingest_summary_sql(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS, src: str = "embeddings"
+) -> str:
+    """Oracle for the settled streaming IVF-ingest log: the one-shot
+    batch assignment (shared :func:`_kmeans_ctes` fit + argmax-cosine
+    final CTE, exactly :func:`kmeans_clusters_sql`'s) summarized per
+    cell — if the incremental fold converges to batch semantics, the
+    per-cell counts, id bounds, and mean similarity all match."""
+    return f"""
+        WITH {_kmeans_ctes(k, iters, src)},
+        final AS (
+          SELECT vec_id, cent_id, csim FROM (
+            SELECT e.vec_id, c.cent_id,
+                   ROUND(list_cosine_similarity(e.v, c.cv), 6) AS csim,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                              c.cent_id ASC) AS rn
+            FROM e CROSS JOIN cents c
+          ) x WHERE rn = 1
+        )
+        SELECT cent_id, COUNT(*) AS n_vecs,
+               MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id,
+               ROUND(AVG(csim), 6) AS mean_sim
+        FROM final GROUP BY cent_id
+    """

@@ -161,6 +161,7 @@ _DEFER_RAW: tuple[str, ...] = (
     "ann_hamming_topk",
     "ann_recall_hamming_vs_exact",
     "emb_matryoshka_recall",
+    "streaming_ivf_ingest",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

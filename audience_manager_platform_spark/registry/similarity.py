@@ -50,6 +50,55 @@ def _pq_model(s, d, iters=PQ.PQ_ITERS):
     )
 
 
+def _ivf_ingest_streaming(spark, sf_dir):
+    """Drive the incremental IVF ingest over a 3-chunk replay of the
+    embeddings fixture and summarize the settled inverted-lists log —
+    checked against the ONE-SHOT batch assignment oracle (shared
+    k-means CTE fit), the hard evidence that ingestion-time index
+    maintenance converges to batch semantics exactly."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..operators.partitioning import tracked_tempdir
+    from ..streaming.jobs import ivf_ingest_stream
+
+    emb = _emb(spark, sf_dir)
+    model = _kmeans_model(spark, sf_dir, iters=1)
+    work = tracked_tempdir("amps_ivf_ingest_")
+    land = os.path.join(work, "land")
+    os.makedirs(land, exist_ok=True)
+    for i in range(3):
+        chunk = os.path.join(work, f"chunk{i}")
+        emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(chunk)
+        part = glob.glob(os.path.join(chunk, "*.parquet"))[0]
+        shutil.copy(part, os.path.join(land, f"{i:02d}.parquet"))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = ivf_ingest_stream(
+        stream,
+        model,
+        os.path.join(work, "lists"),
+        os.path.join(work, "ckpt"),
+    )
+    q.awaitTermination(400)
+    q.stop()
+    lists = spark.read.parquet(os.path.join(work, "lists"))
+    return lists.groupBy("cent_id").agg(
+        F.count("*").alias("n_vecs"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
+        F.round(F.avg("csim"), 6).alias("mean_sim"),
+    )
+
+
 # Hybrid search: same literal query on both towers (the fixtures align
 # doc_id == vec_id, so one id addresses a doc and its embedding).
 HYBRID_TERMS = ["spark", "join", "window"]
@@ -71,6 +120,8 @@ QUERIES = {
     "emb_matryoshka_recall": lambda s, d: S.matryoshka_recall(
         _emb(s, d), _QUERY_IDS, k=5
     ),
+    # r6 (wave 23): streaming IVF index maintenance (ingest == batch)
+    "streaming_ivf_ingest": _ivf_ingest_streaming,
     # r6 queue: filtered vector search (pre-filter exact semantics)
     "ann_filtered_topk": lambda s, d: S.filtered_cosine_topk(
         _emb(s, d), _QUERY_IDS, allowed_labels=[0, 2, 4], k=5
@@ -212,6 +263,7 @@ ORACLES = {
     "ann_hamming_topk": S.hamming_topk_sql(_QUERY_IDS, k=5),
     "ann_recall_hamming_vs_exact": S.hamming_recall_eval_sql(_QUERY_IDS, k=5),
     "emb_matryoshka_recall": S.matryoshka_recall_sql(_QUERY_IDS, k=5),
+    "streaming_ivf_ingest": S.ivf_ingest_summary_sql(iters=1),
     "ann_filtered_topk": S.filtered_cosine_topk_sql(
         _QUERY_IDS, allowed_labels=[0, 2, 4], k=5
     ),

@@ -608,3 +608,45 @@ def mix_histogram_stream(
     return live.groupBy(F.col(cat_col).alias("category")).agg(
         F.count("*").alias("new_n")
     )
+
+
+def ivf_ingest_stream(
+    vecs: DataFrame,
+    model: list[tuple[int, list[float]]],
+    lists_dir: str,
+    checkpoint_dir: str,
+) -> "StreamingQuery":  # noqa: F821
+    """Incremental IVF index maintenance — the freshness half of the ANN
+    serving story: vectors arriving on a stream are assigned to the
+    FROZEN coarse cells (the broadcast driver-side model; re-training is
+    a batch concern, same split FAISS deployments use) and appended to
+    the inverted-lists log that the ``ann_ivf*`` serving queries read.
+
+    Per micro-batch: one shuffle-free inline assignment (the same
+    codegen literal-argmax the batch path uses, so the settled log is
+    bit-identical to the one-shot batch assignment), an anti-join on
+    vec_id against the log for exactly-once under replay, one append.
+    State = the lists log itself: (vec_id, cent_id, csim) — O(corpus)
+    like every index, never re-derived."""
+    from ..operators.similarity import _assign_inline, _vec_double
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        assigned = _assign_inline(
+            batch_df.select("vec_id", _vec_double().alias("v")), model
+        ).select("vec_id", "cent_id", "csim")
+        state = _read_state_or_none(spark, lists_dir)
+        if state is not None:
+            assigned = assigned.join(
+                state.select("vec_id"), "vec_id", "left_anti"
+            )
+        assigned.write.mode("append").parquet(lists_dir)
+
+    return (
+        vecs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -163,3 +163,66 @@ def test_matryoshka_recall_monotone_tail(spark, sf_dir):
         assert 0.0 <= r.recall_at_k <= 1.0, m
         assert 0 <= r.hits <= len(qids) * 5
     assert rows[EMBED_DIM].recall_at_k == 1.0
+
+
+def test_ivf_ingest_stream_matches_batch_and_replays_idempotently(
+    spark, sf_dir, tmp_path
+):
+    """The settled inverted-lists log must equal the one-shot batch
+    assignment exactly, and re-processing the same files with a FRESH
+    checkpoint (worst-case replay) must not change the log."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from audience_manager_platform_spark.operators.similarity import (
+        _assign_inline,
+        _vec_double,
+        kmeans_fit_model,
+    )
+    from audience_manager_platform_spark.streaming.jobs import (
+        ivf_ingest_stream,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = kmeans_fit_model(emb, iters=1)
+    land = tmp_path / "land"
+    land.mkdir()
+    for i in range(3):
+        emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"chunk{i}"))
+        src = glob.glob(str(tmp_path / f"chunk{i}" / "*.parquet"))[0]
+        shutil.copy(src, land / f"{i:02d}.parquet")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(land))
+        )
+        q = ivf_ingest_stream(
+            stream, model, str(tmp_path / "lists"), str(tmp_path / ckpt)
+        )
+        q.awaitTermination(400)
+        q.stop()
+
+    run("ckpt1")
+    log = {
+        (r.vec_id, r.cent_id, r.csim)
+        for r in spark.read.parquet(str(tmp_path / "lists")).collect()
+    }
+    batch = {
+        (r.vec_id, r.cent_id, r.csim)
+        for r in _assign_inline(
+            emb.select("vec_id", _vec_double().alias("v")), model
+        )
+        .select("vec_id", "cent_id", "csim")
+        .collect()
+    }
+    assert log == batch and log
+    run("ckpt2")  # full replay: fresh checkpoint re-reads every file
+    log2_rows = spark.read.parquet(str(tmp_path / "lists")).collect()
+    assert len(log2_rows) == len(log)
+    assert {(r.vec_id, r.cent_id, r.csim) for r in log2_rows} == log

@@ -213,6 +213,21 @@ SHOWCASE = [
         "fingerprint-keyed aggregate — the same exchanges exact dedup "
         "already pays.",
     ),
+    (
+        "ann_chunk_maxsim_ivf_topk",
+        "Gated late-interaction SERVING path: probe selection is a "
+        "broadcast cross of |queries| x K cells; scoring is one cent_id "
+        "equi-join against the prebuilt inverted lists (precomputed "
+        "norms, codegen dots) touching ~n_probes/n_cells of the corpus; "
+        "max-pool is a combinable struct-max aggregate; only the pooled "
+        "table reaches the top-k window.",
+    ),
+    (
+        "ann_hamming_topk",
+        "Binary memory tier: the 64-bit sign-code scan does one "
+        "xor+popcount per candidate (fused codegen); full vectors are "
+        "re-fetched ONLY for the |queries| x shortlist re-rank join.",
+    ),
 ]
 
 

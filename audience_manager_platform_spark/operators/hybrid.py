@@ -614,3 +614,51 @@ def chunk_maxsim_ivf_topk_sql(
           FROM pooled
         ) r WHERE rank <= {k}
     """
+
+
+def chunk_maxsim_recall_eval(
+    docs: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    index=None,
+) -> DataFrame:
+    """Recall@k of the IVF-gated late-interaction serving path against
+    the exact full-chunk scan — the QA number that prices the
+    n_probes/n_cells scan reduction, completing the family contract
+    (every gated retrieval tier here ships with its recall eval: IVF,
+    PQ, binary, and now chunked maxsim). Output (query_id, hits,
+    recall_at_k); compare joins are |queries| x k rows, driver-scale at
+    any corpus size — the cost is the two retrieval plans under test."""
+    exact = chunk_maxsim_topk(docs, query_ids, k).select(
+        "query_id", "doc_id"
+    )
+    approx = chunk_maxsim_ivf_topk(docs, query_ids, k, index=index).select(
+        "query_id", "doc_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "doc_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("hits"),
+            F.round(F.count("hit") / F.lit(float(k)), 4).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+def chunk_maxsim_recall_eval_sql(
+    query_ids: list[int], k: int = 5, src: str = "documents"
+) -> str:
+    exact = chunk_maxsim_topk_sql(query_ids, k, src=src)
+    approx = chunk_maxsim_ivf_topk_sql(query_ids, k, src=src)
+    return f"""
+        SELECT e.query_id,
+               COUNT(a.doc_id) AS hits,
+               ROUND(COUNT(a.doc_id) / CAST({k} AS DOUBLE), 4)
+                 AS recall_at_k
+        FROM ({exact}) e
+        LEFT JOIN ({approx}) a
+          ON e.query_id = a.query_id AND e.doc_id = a.doc_id
+        GROUP BY e.query_id
+    """

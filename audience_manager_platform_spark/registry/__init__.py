@@ -162,6 +162,7 @@ _DEFER_RAW: tuple[str, ...] = (
     "ann_recall_hamming_vs_exact",
     "emb_matryoshka_recall",
     "streaming_ivf_ingest",
+    "ann_recall_maxsim_ivf_vs_exact",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

@@ -122,6 +122,16 @@ QUERIES = {
     ),
     # r6 (wave 23): streaming IVF index maintenance (ingest == batch)
     "streaming_ivf_ingest": _ivf_ingest_streaming,
+    # r6 (wave 23): recall@k of the gated maxsim serving path vs exact
+    "ann_recall_maxsim_ivf_vs_exact": lambda s, d: H.chunk_maxsim_recall_eval(
+        load_table(s, d, "documents"),
+        MAXSIM_QUERY_DOCS,
+        k=5,
+        index=_cached_fit(
+            ("maxsim_index", d),
+            lambda: H.chunk_cell_index(load_table(s, d, "documents")),
+        ),
+    ),
     # r6 queue: filtered vector search (pre-filter exact semantics)
     "ann_filtered_topk": lambda s, d: S.filtered_cosine_topk(
         _emb(s, d), _QUERY_IDS, allowed_labels=[0, 2, 4], k=5
@@ -264,6 +274,9 @@ ORACLES = {
     "ann_recall_hamming_vs_exact": S.hamming_recall_eval_sql(_QUERY_IDS, k=5),
     "emb_matryoshka_recall": S.matryoshka_recall_sql(_QUERY_IDS, k=5),
     "streaming_ivf_ingest": S.ivf_ingest_summary_sql(iters=1),
+    "ann_recall_maxsim_ivf_vs_exact": H.chunk_maxsim_recall_eval_sql(
+        MAXSIM_QUERY_DOCS, k=5
+    ),
     "ann_filtered_topk": S.filtered_cosine_topk_sql(
         _QUERY_IDS, allowed_labels=[0, 2, 4], k=5
     ),

@@ -226,3 +226,34 @@ def test_ivf_ingest_stream_matches_batch_and_replays_idempotently(
     log2_rows = spark.read.parquet(str(tmp_path / "lists")).collect()
     assert len(log2_rows) == len(log)
     assert {(r.vec_id, r.cent_id, r.csim) for r in log2_rows} == log
+
+
+def test_chunk_maxsim_recall_bounds(spark, sf_dir):
+    """Gated recall is in [0, 1] per query, and with n_probes == n_cells
+    (no gating) it must be exactly 1.0 everywhere."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from audience_manager_platform_spark.operators.hybrid import (
+        MAXSIM_CELLS,
+        chunk_cell_index,
+        chunk_maxsim_ivf_topk,
+        chunk_maxsim_recall_eval,
+        chunk_maxsim_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    qids = [0, 100, 200]
+    idx = chunk_cell_index(docs)
+    rows = chunk_maxsim_recall_eval(docs, qids, k=3, index=idx).collect()
+    assert {r.query_id for r in rows} <= set(qids)
+    for r in rows:
+        assert 0.0 <= r.recall_at_k <= 1.0
+    # probing every cell removes the gate entirely -> exact results
+    full = chunk_maxsim_ivf_topk(
+        docs, qids, k=3, n_probes=MAXSIM_CELLS, index=idx
+    )
+    exact = chunk_maxsim_topk(docs, qids, k=3)
+    key = lambda rs: sorted(  # noqa: E731
+        (r.query_id, r.rank, r.doc_id, r.maxsim) for r in rs
+    )
+    assert key(full.collect()) == key(exact.collect())

@@ -45,6 +45,8 @@ NESTED_LOOP_ALLOWED = {
     "ann_ivfpq_residual_topk",
     # gated maxsim: probe selection crosses queries x K-row cell model
     "ann_chunk_maxsim_ivf_topk",
+    # its recall eval composes the exact scan + gated path (both above)
+    "ann_recall_maxsim_ivf_vs_exact",
     # probe sweep: queries cross-join the K-row centroid table (model)
     "ann_probe_recall_curve",
     "ann_cosine_topk",

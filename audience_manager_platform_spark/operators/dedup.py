@@ -1653,3 +1653,103 @@ def incremental_lsh_probe_sql(
         WHERE p.doc_a % {delta_mod} = {delta_rem}
            OR p.doc_b % {delta_mod} = {delta_rem}
     """
+
+
+# ------------------------------------------------ URL canonicalization
+# Web-corpus ingestion's first dedup pass: the same page arrives under
+# scheme/host-case variants, www. prefixes, tracking query params
+# (utm_*), fragments, and trailing slashes. Canonicalizing BEFORE the
+# fetch/dedup pipeline collapses those families for the cost of a
+# per-row projection — no content comparison at all.
+_URL_SYNTH_SPARK = (
+    "concat("
+    " CASE WHEN doc_id % 7 = 0 THEN 'HTTPS://' ELSE 'https://' END,"
+    " CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,"
+    " source, '.Example.COM/docs/item-', CAST(doc_id % 40 AS STRING),"
+    " CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,"
+    " CASE WHEN doc_id % 2 = 0"
+    "   THEN concat('?utm_source=feed&utm_campaign=x&ref=',"
+    "               CAST(doc_id % 5 AS STRING))"
+    "   WHEN doc_id % 5 = 0 THEN concat('?ref=', CAST(doc_id % 5 AS STRING))"
+    "   ELSE '' END,"
+    " CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END)"
+)
+_URL_SYNTH_DUCK = (
+    _URL_SYNTH_SPARK.replace("AS STRING", "AS VARCHAR")
+)
+
+
+def url_canonical_dedup(docs: DataFrame) -> DataFrame:
+    """Canonical-URL duplicate groups over deterministically synthesized
+    raw URLs (scheme/host case, www., utm_* tracking params, fragments,
+    trailing slash planted from doc_id — both engines derive the SAME
+    raw string, so the oracle checks the CANONICALIZATION, not the
+    synthesis): lowercase, drop the fragment, strip utm_* params (and
+    the dangling '?'/'&' they leave), strip www., strip the trailing
+    slash; then one groupBy canonical key.
+
+    All string built-ins in one codegen projection + one combinable
+    aggregate — the shape that survives a 100 TB crawl manifest. Spark's
+    ``regexp_replace`` is replace-ALL by default; the DuckDB twin passes
+    the 'g' flag explicitly."""
+    raw = docs.select(
+        "doc_id", F.expr(_URL_SYNTH_SPARK).alias("raw_url")
+    )
+    canon = (
+        "regexp_replace("
+        "  regexp_replace("
+        "    regexp_replace("
+        "      regexp_replace(lower(raw_url), '#.*$', ''),"
+        "      'utm_[a-z]+=[^&#]*&?', ''),"
+        "    '[?&]$', ''),"
+        "  '^https://www\\\\.', 'https://')"
+    )
+    return (
+        raw.select(
+            "doc_id",
+            "raw_url",
+            F.expr(
+                f"CASE WHEN {canon} LIKE '%/' "
+                f"THEN substring({canon}, 1, length({canon}) - 1) "
+                f"ELSE {canon} END"
+            ).alias("canonical_url"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("raw_url").alias("n_raw_variants"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+def url_canonical_dedup_sql(src: str = "documents") -> str:
+    canon = (
+        "regexp_replace("
+        "  regexp_replace("
+        "    regexp_replace("
+        "      regexp_replace(lower(raw_url), '#.*$', '', 'g'),"
+        "      'utm_[a-z]+=[^&#]*&?', '', 'g'),"
+        "    '[?&]$', '', 'g'),"
+        "  '^https://www\\.', 'https://', 'g')"
+    )
+    return f"""
+        WITH raw AS (
+          SELECT doc_id, {_URL_SYNTH_DUCK} AS raw_url FROM {src}
+        ),
+        canon AS (
+          SELECT doc_id, raw_url,
+                 CASE WHEN {canon} LIKE '%/'
+                      THEN substring({canon}, 1, length({canon}) - 1)
+                      ELSE {canon} END AS canonical_url
+          FROM raw
+        )
+        SELECT canonical_url,
+               CAST(COUNT(*) AS BIGINT) AS n_urls,
+               CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_raw_variants,
+               CAST(MIN(doc_id) AS BIGINT) AS keeper_doc
+        FROM canon
+        GROUP BY 1
+        ORDER BY 1
+    """

@@ -427,3 +427,141 @@ def pruning_audit_sql(src: str = "events", n_buckets: int = PRUNE_BUCKETS) -> st
         GROUP BY 1, 2
         ORDER BY layout, probe_id
     """
+
+
+# --------------------------------------------- small-file compaction plan
+COMPACT_TARGET_BYTES = 256 * 1024  # plan-time target "file" size
+COMPACT_ROW_OVERHEAD = 64          # per-row storage overhead estimate
+
+
+def compaction_plan(events, target_bytes: int = COMPACT_TARGET_BYTES):
+    """Small-file compaction PLANNER — the query you run before paying
+    for an OPTIMIZE rewrite at 100 TB: estimate each (event_type, day)
+    partition's on-disk footprint, leave already-large partitions
+    alone, and bin-pack the small ones into target-sized rewrite
+    groups so the rewrite job's task list (and its shuffle volume) is
+    priced before a byte moves. ``compact_table`` is the executor of
+    this plan; this is the costing step.
+
+    Packing rule: small files ordered by (bytes DESC, key) — the
+    first-fit-decreasing order — with bin id = exact integer division
+    of the RUNNING bytes-before by the target, i.e. next-fit over the
+    FFD order: deterministic, one pass, no driver loop, and within
+    2x-optimal like any next-fit bound (good enough for a cost audit;
+    the executor re-packs exactly).
+
+    Determinism: footprints are exact bigint byte sums; the running sum
+    and bin ids are bigint window arithmetic; fill is reported in exact
+    ppm of the target (bigint div). Shape: one map-side-combinable
+    (type, day) aggregate; the ONLY window runs over the |types|x|days|
+    FILE-STATS table (bounded by the layout's partition count, never by
+    row count) — same bounded-window contract as the daily rollups."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    files = (
+        events.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.expr(
+                    "octet_length(coalesce(props, ''))"
+                    f" + octet_length(event_type) + {COMPACT_ROW_OVERHEAD}"
+                )
+            ).alias("est_bytes"),
+        )
+    )
+    small = files.filter(F.col("est_bytes") < target_bytes)
+    w = Window.orderBy(
+        F.desc("est_bytes"), F.asc("event_type"), F.asc("day")
+    )
+    cum_before = F.coalesce(
+        F.sum("est_bytes").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    ).cast("long")
+    packed = small.select(
+        "event_type",
+        "day",
+        "n_rows",
+        "est_bytes",
+        cum_before.alias("_cum"),
+    ).select(
+        "event_type",
+        "day",
+        "n_rows",
+        "est_bytes",
+        # bigint div: exact at any byte scale (no double rounding)
+        F.expr(f"_cum div {int(target_bytes)}").alias("bin_id"),
+    )
+    plan = (
+        packed.groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("n_rows").alias("tot_rows"),
+            F.sum("est_bytes").alias("tot_bytes"),
+        )
+        .unionByName(
+            files.filter(F.col("est_bytes") >= target_bytes).agg(
+                F.lit(-1).cast("long").alias("bin_id"),
+                F.count("*").alias("n_files"),
+                F.sum("n_rows").alias("tot_rows"),
+                F.sum("est_bytes").alias("tot_bytes"),
+            )
+        )
+        .filter(F.col("n_files") > 0)
+    )
+    return plan.select(
+        "bin_id",
+        "n_files",
+        "tot_rows",
+        "tot_bytes",
+        F.expr(
+            f"CAST(tot_bytes * 1000000 div {int(target_bytes)} AS BIGINT)"
+        ).alias("fill_ppm"),
+    ).orderBy("bin_id")
+
+
+def compaction_plan_sql(
+    src: str = "events", target_bytes: int = COMPACT_TARGET_BYTES
+) -> str:
+    t = int(target_bytes)
+    return f"""
+        WITH files AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 COUNT(*) AS n_rows,
+                 SUM(octet_length(encode(COALESCE(props, '')))
+                     + octet_length(encode(event_type))
+                     + {COMPACT_ROW_OVERHEAD}) AS est_bytes
+          FROM {src}
+          GROUP BY 1, 2
+        ),
+        packed AS (
+          SELECT event_type, day, n_rows, est_bytes,
+                 CAST(COALESCE(SUM(est_bytes) OVER (
+                        ORDER BY est_bytes DESC, event_type ASC, day ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) // {t} AS BIGINT) AS bin_id
+          FROM files WHERE est_bytes < {t}
+        ),
+        plan AS (
+          SELECT bin_id, COUNT(*) AS n_files,
+                 SUM(n_rows) AS tot_rows, SUM(est_bytes) AS tot_bytes
+          FROM packed GROUP BY 1
+          UNION ALL
+          SELECT -1 AS bin_id, COUNT(*) AS n_files,
+                 SUM(n_rows) AS tot_rows, SUM(est_bytes) AS tot_bytes
+          FROM files WHERE est_bytes >= {t}
+          HAVING COUNT(*) > 0
+        )
+        SELECT CAST(bin_id AS BIGINT) AS bin_id,
+               CAST(n_files AS BIGINT) AS n_files,
+               CAST(tot_rows AS BIGINT) AS tot_rows,
+               CAST(tot_bytes AS BIGINT) AS tot_bytes,
+               CAST(tot_bytes * 1000000 // {t} AS BIGINT) AS fill_ppm
+        FROM plan
+        ORDER BY bin_id
+    """

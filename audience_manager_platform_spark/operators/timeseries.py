@@ -1067,3 +1067,122 @@ def crosscorr_lead_lag_sql(
                             * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS ccf
         FROM g
     """
+
+
+# ------------------------------------------- EWMA point-anomaly monitor
+# Completes the monitoring ladder beside the mean-shift changepoint scan
+# (level changes) and the burst detector: POINT anomalies against a
+# one-step-ahead EWMA baseline, the alert rule ops dashboards actually
+# run (yesterday's smoothed level, not today's, so a spike can't mask
+# itself by inflating its own baseline).
+EWMA_ANOM_TAPS = 10  # same truncation depth as ewma_smooth
+
+
+def ewma_anomaly(events: DataFrame) -> DataFrame:
+    """Per-event-type daily spend anomalies vs the trailing EWMA
+    (alpha = 0.5, truncated to EWMA_ANOM_TAPS PRIOR days): verdict
+    ``spike`` when the day's total exceeds 1.5x the baseline, ``dip``
+    below 0.5x, ``warmup`` for the first day of a series, else ``ok``.
+
+    Determinism: daily totals are exact bigint cents; every EWMA weight
+    0.5^i is an exact IEEE double and the numerator is the same
+    left-associative lag composition as :func:`ewma_smooth`, so
+    ``num``/``den`` are bit-identical on both engines. Verdicts compare
+    ``2*x*den`` and ``3*num`` / ``num`` — products of exact doubles well
+    inside 53 bits — so no rounding boundary exists anywhere in the
+    decision; the displayed baseline alone is floor-scaled to the 1e-6
+    grid AFTER the one shared division.
+
+    Shape at scale: one map-side-combinable (type, day) aggregate, then
+    lag windows inside |types| partitions of the |types| x |days| daily
+    table — no global window, nothing driver-side."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+            ).alias("cents")
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    num = None
+    den = None
+    for i in range(1, EWMA_ANOM_TAPS + 1):
+        lg = F.lag("cents", i).over(w)
+        weight = 0.5 ** (i - 1)
+        term = F.when(lg.isNotNull(), lg.cast("double") * F.lit(weight))
+        num = F.coalesce(term, F.lit(0.0)) if num is None else num + F.coalesce(term, F.lit(0.0))
+        mass = F.when(lg.isNotNull(), F.lit(weight)).otherwise(F.lit(0.0))
+        den = mass if den is None else den + mass
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            "cents",
+            num.alias("_num"),
+            den.alias("_den"),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.col("cents").alias("total_cents"),
+            F.expr(
+                "CASE WHEN _den = 0.0 THEN NULL ELSE"
+                " CAST(floor(_num / _den * 1e6 + 0.5) AS BIGINT) END"
+            ).alias("ewma_cents_e6"),
+            F.expr(
+                "CASE WHEN _den = 0.0 THEN 'warmup'"
+                " WHEN 2.0 * cents * _den > 3.0 * _num THEN 'spike'"
+                " WHEN 2.0 * cents * _den < _num THEN 'dip'"
+                " ELSE 'ok' END"
+            ).alias("verdict"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def ewma_anomaly_sql(src: str = "events") -> str:
+    terms, masses = [], []
+    for i in range(1, EWMA_ANOM_TAPS + 1):
+        lg = f"LAG(cents, {i}) OVER (PARTITION BY event_type ORDER BY day)"
+        w = repr(0.5 ** (i - 1))
+        terms.append(
+            f"CASE WHEN {lg} IS NOT NULL"
+            f" THEN CAST({lg} AS DOUBLE) * {w} ELSE 0.0 END"
+        )
+        masses.append(f"CASE WHEN {lg} IS NOT NULL THEN {w} ELSE 0.0 END")
+    num = " + ".join(terms)
+    den = " + ".join(masses)
+    return f"""
+        WITH daily AS (
+          SELECT event_type, STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                 -- DuckDB SUM(BIGINT) is HUGEINT: cast back so the
+                 -- artifact dtype matches Spark's bigint
+                 CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM {src}
+          WHERE value IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        sm AS (
+          SELECT event_type, day, cents,
+                 ({num}) AS num, ({den}) AS den
+          FROM daily
+        )
+        SELECT event_type, day, cents AS total_cents,
+               CASE WHEN den = 0.0 THEN NULL ELSE
+                 CAST(FLOOR(num / den * 1e6 + 0.5) AS BIGINT) END
+                 AS ewma_cents_e6,
+               CASE WHEN den = 0.0 THEN 'warmup'
+                    WHEN 2.0 * cents * den > 3.0 * num THEN 'spike'
+                    WHEN 2.0 * cents * den < num THEN 'dip'
+                    ELSE 'ok' END AS verdict
+        FROM sm
+        ORDER BY event_type, day
+    """

@@ -1386,3 +1386,94 @@ def mix_drift_sql(src: str = "events", cat_col: str = "event_type") -> str:
         FROM hist CROSS JOIN tot
         ORDER BY category
     """
+
+
+# ------------------------------------- partition completeness / freshness
+def partition_completeness(events: "DataFrame") -> "DataFrame":
+    """Ingest-completeness audit over the table's date partitions — the
+    data-ops gate that catches a silently missing or half-loaded daily
+    drop before anything downstream trains on it: every calendar day in
+    the table's [min, max] span gets a row count (zero-filled from the
+    dense day grid, so a WHOLLY absent partition is surfaced, not
+    skipped) and a verdict against the trailing-7-day median —
+    ``missing`` (0 rows), ``low`` (count < half the median), ``ok``,
+    or ``warmup`` (fewer than 7 prior days to judge by).
+
+    Determinism: counts are exact bigints; the trailing median is the
+    4th-smallest of exactly 7 integers (``array_sort`` + element pick —
+    odd window, so no interpolation exists to diverge on) and the
+    ``low`` cut compares ``2*n < med`` in bigint. No doubles anywhere.
+
+    Shape at scale: one map-side-combinable per-day count, a broadcast
+    1-row span joined to a |days|-row exploded grid, and lag windows
+    over the |days|-row table — the window never touches raw rows."""
+    from pyspark.sql import Window as W
+
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = span.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    dense = (
+        grid.join(daily, "day", "left")
+        .select("day", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    w = W.orderBy("day")  # |days|-row table: bounded, documented above
+    lags = F.array(*[F.lag("n", i).over(w) for i in range(1, 8)])
+    return (
+        dense.withColumn("_l", lags)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n").alias("n_rows"),
+            F.expr(
+                "CASE WHEN exists(_l, x -> x IS NULL) THEN NULL"
+                " ELSE element_at(array_sort(_l), 4) END"
+            ).alias("trail_med7"),
+            F.expr(
+                "CASE"
+                " WHEN exists(_l, x -> x IS NULL) THEN 'warmup'"
+                " WHEN n = 0 THEN 'missing'"
+                " WHEN 2 * n < element_at(array_sort(_l), 4) THEN 'low'"
+                " ELSE 'ok' END"
+            ).alias("verdict"),
+        )
+        .orderBy("day")
+    )
+
+
+def partition_completeness_sql(src: str = "events") -> str:
+    lag_list = ", ".join(
+        f"LAG(n, {i}) OVER (ORDER BY day)" for i in range(1, 8)
+    )
+    return f"""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+          FROM {src} GROUP BY 1
+        ),
+        grid AS (
+          SELECT CAST(UNNEST(generate_series(
+                   (SELECT MIN(day) FROM daily),
+                   (SELECT MAX(day) FROM daily),
+                   INTERVAL 1 DAY)) AS DATE) AS day
+        ),
+        dense AS (
+          SELECT grid.day, COALESCE(daily.n, 0) AS n
+          FROM grid LEFT JOIN daily ON grid.day = daily.day
+        ),
+        lagged AS (
+          SELECT day, n, [{lag_list}] AS l FROM dense
+        )
+        SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+               CAST(n AS BIGINT) AS n_rows,
+               CASE WHEN len(list_filter(l, x -> x IS NULL)) > 0 THEN NULL
+                    ELSE CAST(list_sort(l)[4] AS BIGINT) END AS trail_med7,
+               CASE WHEN len(list_filter(l, x -> x IS NULL)) > 0
+                      THEN 'warmup'
+                    WHEN n = 0 THEN 'missing'
+                    WHEN 2 * n < list_sort(l)[4] THEN 'low'
+                    ELSE 'ok' END AS verdict
+        FROM lagged
+        ORDER BY day
+    """

@@ -163,6 +163,12 @@ _DEFER_RAW: tuple[str, ...] = (
     "emb_matryoshka_recall",
     "streaming_ivf_ingest",
     "ann_recall_maxsim_ivf_vs_exact",
+    # wave 24 (added mid-r6, queued for the r7 window)
+    "ts_ewma_anomaly",
+    "validate_partition_completeness",
+    "layout_compaction_plan",
+    "dedup_url_canonical",
+    "multimodal_phash_neardup",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

@@ -16,6 +16,15 @@ def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
 
+def D_PHASH(spark, sf_dir):
+    """Perceptual-hash near-dup pairs over the textured BMP corpus,
+    ordered (doc_a, doc_b) for a stable rows-only artifact."""
+    pairs = M.phash_hamming_pairs(
+        M.synthesize_textured_bmp(_docs(spark, sf_dir))
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
 _TEXT_KMEANS_CACHE: dict = {}
 
 
@@ -280,6 +289,18 @@ QUERIES = {
     ),
     # r6 queue: soft dedup — 1/|dup-group| loss weights, no row drops
     "dedup_soft_weights": lambda s, d: D.soft_dedup_weights(_docs(s, d)),
+    # wave 24: canonical-URL dedup — scheme/host case, www., utm_*
+    # params, fragments, trailing slash collapsed before any content
+    # comparison (both engines synthesize the SAME raw URL from doc_id,
+    # so the oracle checks the canonicalization itself)
+    "dedup_url_canonical": lambda s, d: D.url_canonical_dedup(_docs(s, d)),
+    # wave 24: perceptual near-duplicate IMAGE pairs — 64-bit DCT pHash
+    # over real decoded BMPs, banded hamming join + exact bit_count
+    # verify. The 32x32 DCT has no practical SQL twin, so this is a
+    # rows-only driver check; the planted-twin recall and band-recall
+    # contracts are pytest-pinned (tests/test_r5_operators.py,
+    # tests/test_r6_operators.py).
+    "multimodal_phash_neardup": lambda s, d: D_PHASH(s, d),
 }
 
 ORACLES = {
@@ -382,4 +403,5 @@ ORACLES = {
         max_band_size=LSH_MAX_BAND
     ),
     "dedup_soft_weights": D.soft_dedup_weights_sql(),
+    "dedup_url_canonical": D.url_canonical_dedup_sql(),
 }

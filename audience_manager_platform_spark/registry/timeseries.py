@@ -78,6 +78,9 @@ QUERIES = {
     "ts_crosscorr_lead_lag": lambda s, d: TS.crosscorr_lead_lag(
         _events(s, d)
     ),
+    # wave 24: point anomalies vs a one-step-ahead EWMA baseline (the
+    # alert rule beside the changepoint scan's level-shift detection)
+    "ts_ewma_anomaly": lambda s, d: TS.ewma_anomaly(_events(s, d)),
 }
 
 ORACLES = {
@@ -93,6 +96,7 @@ ORACLES = {
     "ts_autocorrelation": TS.autocorrelation_sql(),
     "ts_crosscorr_lead_lag": TS.crosscorr_lead_lag_sql(),
     "ts_holt_linear_backtest": TS.holt_linear_backtest_sql(),
+    "ts_ewma_anomaly": TS.ewma_anomaly_sql(),
     "sample_fixed_n_events": f"""
         SELECT event_id, user_id, event_type, ROUND(value, 2) AS value,
                MD5(CAST(event_id AS VARCHAR) || '{SAMPLE_SALT}') AS sample_key

@@ -42,6 +42,8 @@ from ..operators.graph import (
     triangle_participation_sql,
 )
 from ..operators.maintenance import (
+    compaction_plan,
+    compaction_plan_sql,
     daily_rollup,
     daily_rollup_sql,
     incremental_rollup_refresh,
@@ -92,6 +94,8 @@ from ..operators.validation import (
     validate_table_sql,
     dp_noisy_counts,
     dp_noisy_counts_sql,
+    partition_completeness,
+    partition_completeness_sql,
 )
 
 # (name, kind) pairs for the events profile; ts stays out (timestamp
@@ -515,6 +519,15 @@ QUERIES = {
     # wave 18: the decision audit ABOVE the z-key — does the layout's
     # zone-map min/max actually skip files for band predicates?
     "layout_pruning_audit": lambda s, d: pruning_audit(_events(s, d)),
+    # wave 24: the compaction costing step BELOW the pruning audit —
+    # bin-pack small (type, day) partitions into target-sized rewrite
+    # groups before paying for the OPTIMIZE job
+    "layout_compaction_plan": lambda s, d: compaction_plan(_events(s, d)),
+    # wave 24: ingest-completeness gate — dense day grid, zero-filled,
+    # each day judged against its trailing-7-day exact median
+    "validate_partition_completeness": lambda s, d: partition_completeness(
+        _events(s, d)
+    ),
     # r3: partition-level incremental view maintenance; the gate drives a
     # last-5-days churn through the refresh path and checks the result
     # equals the from-scratch rollup (the oracle)
@@ -551,6 +564,8 @@ ORACLES = {
     "validate_psi_drift": psi_value_drift_sql("events"),
     "validate_ks_drift": ks_value_drift_sql("events"),
     "layout_pruning_audit": pruning_audit_sql("events"),
+    "layout_compaction_plan": compaction_plan_sql("events"),
+    "validate_partition_completeness": partition_completeness_sql("events"),
     "validate_mix_drift": mix_drift_sql("events"),
     "validate_benford_orders": benford_digit_audit_sql(
         "orders", "o_totalprice"

@@ -257,3 +257,141 @@ def test_chunk_maxsim_recall_bounds(spark, sf_dir):
         (r.query_id, r.rank, r.doc_id, r.maxsim) for r in rs
     )
     assert key(full.collect()) == key(exact.collect())
+
+
+# ---------------------------------------------------------------- wave 24
+def _mk_events(spark, rows):
+    """rows: (event_id, ts_str, user_id, event_type, value, props)"""
+    return spark.createDataFrame(
+        [
+            (i, ts, u, et, v, p)
+            for i, (ts, u, et, v, p) in enumerate(rows)
+        ],
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id",
+        "CAST(ts_s AS TIMESTAMP) AS ts",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def test_ewma_anomaly_flags_planted_spike_and_dip(spark):
+    from audience_manager_platform_spark.operators.timeseries import (
+        ewma_anomaly,
+    )
+
+    rows = []
+    # stable 100.00/day for 5 days, then a 10x spike, then a collapse
+    for d in range(1, 6):
+        rows.append((f"2024-01-0{d} 10:00:00", 1, "buy", 100.0, None))
+    rows.append(("2024-01-06 10:00:00", 1, "buy", 1000.0, None))
+    rows.append(("2024-01-07 10:00:00", 1, "buy", 1.0, None))
+    out = {
+        r.day: r for r in ewma_anomaly(_mk_events(spark, rows)).collect()
+    }
+    assert out["2024-01-01"].verdict == "warmup"
+    assert out["2024-01-01"].ewma_cents_e6 is None
+    for d in range(2, 6):
+        assert out[f"2024-01-0{d}"].verdict == "ok"
+    assert out["2024-01-06"].verdict == "spike"
+    # baseline before the spike is exactly 100.00 -> 1e8 micro-cents
+    assert out["2024-01-06"].ewma_cents_e6 == 10_000 * 10**6
+    assert out["2024-01-07"].verdict == "dip"
+
+
+def test_partition_completeness_flags_missing_and_low_days(spark):
+    from audience_manager_platform_spark.operators.validation import (
+        partition_completeness,
+    )
+
+    rows = []
+    # 10 rows/day for days 1..8; day 9 absent; day 10 has 1 row (low)
+    for d in list(range(1, 9)) + [10]:
+        n = 10 if d != 10 else 1
+        for i in range(n):
+            rows.append((f"2024-01-{d:02d} 0{i % 10}:00:00", 1, "e", 1.0, None))
+    out = {
+        r.day: r
+        for r in partition_completeness(_mk_events(spark, rows)).collect()
+    }
+    assert len(out) == 10  # dense grid: the absent day still has a row
+    for d in range(1, 8):
+        assert out[f"2024-01-{d:02d}"].verdict == "warmup"
+    assert out["2024-01-08"].verdict == "ok"
+    assert out["2024-01-08"].trail_med7 == 10
+    assert out["2024-01-09"].verdict == "missing"
+    assert out["2024-01-09"].n_rows == 0
+    assert out["2024-01-10"].verdict == "low"
+
+
+def test_compaction_plan_packs_small_and_keeps_large(spark):
+    from audience_manager_platform_spark.operators.maintenance import (
+        compaction_plan,
+    )
+
+    rows = []
+    # one huge (type, day) partition >= target, and 6 small ones
+    big_props = "x" * 500
+    for i in range(30):
+        rows.append(("2024-01-01 10:00:00", 1, "big", 1.0, big_props))
+    for d in range(2, 8):
+        rows.append((f"2024-01-0{d} 10:00:00", 1, "small", 1.0, "y" * 10))
+    out = compaction_plan(
+        _mk_events(spark, rows), target_bytes=10_000
+    ).collect()
+    by_bin = {r.bin_id: r for r in out}
+    # the big partition (30 * (500 + 3 + 64) = 17010 bytes) is kept as-is
+    assert by_bin[-1].n_files == 1
+    assert by_bin[-1].tot_bytes == 30 * (500 + 3 + 64)
+    # all six small partitions (79 bytes each) pack into bin 0
+    assert by_bin[0].n_files == 6
+    assert by_bin[0].tot_bytes == 6 * (10 + 5 + 64)
+    assert by_bin[0].fill_ppm == by_bin[0].tot_bytes * 1_000_000 // 10_000
+    assert set(by_bin) == {-1, 0}
+    # conservation: every file lands somewhere
+    assert sum(r.n_files for r in out) == 7
+
+
+def test_url_canonical_dedup_collapses_planted_variants(spark, sf_dir):
+    from audience_manager_platform_spark.operators.dedup import (
+        url_canonical_dedup,
+    )
+    from audience_manager_platform_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = url_canonical_dedup(docs).collect()
+    canon = {r.canonical_url: r for r in out}
+    for url, r in canon.items():
+        # canonical invariants hold for every group key
+        assert url == url.lower()
+        assert "utm_" not in url
+        assert "#" not in url
+        assert "www." not in url
+        assert not url.endswith("/") or "?" in url
+        assert not url.endswith("?") and not url.endswith("&")
+        # keeper is the smallest doc in its group (min aggregation)
+        assert r.keeper_doc >= 0
+    # variants actually collapse: strictly fewer groups than docs,
+    # and at least one group merges >= 2 distinct raw spellings
+    n_docs = docs.count()
+    assert len(out) < n_docs
+    assert any(r.n_raw_variants >= 2 for r in out)
+    # conservation: group sizes sum to the doc count
+    assert sum(r.n_urls for r in out) == n_docs
+
+
+def test_phash_neardup_registry_entry_finds_planted_twins(spark, sf_dir):
+    """The rows-only registry entry must keep the planted-twin recall
+    contract: every (d-1, d) twin pair survives banding + the hamming
+    cut except the measured tail (hamming > 6 after perturbation)."""
+    from audience_manager_platform_spark.registry.textops import D_PHASH
+
+    pairs = {(r.doc_a, r.doc_b) for r in D_PHASH(spark, sf_dir).collect()}
+    planted = {(d - 1, d) for d in range(10, 500, 10)}
+    found = planted & pairs
+    # >= 90% planted-twin recall at the conventional <= 6 cutoff
+    assert len(found) >= int(0.9 * len(planted))

@@ -8,11 +8,25 @@ import __spark_entry__ as e
 from audience_manager_platform_spark import registry
 
 
+# Queries whose semantics genuinely cannot be re-expressed in DuckDB SQL
+# (the driver records its weaker rows-only check for these). Additions
+# need a justification here — the default contract is oracle-paired.
+ROWS_ONLY = {
+    # 64-bit DCT perceptual hash over decoded BMP binaries: a SQL twin
+    # would hinge on bit-level libm sin/cos and summation-order parity
+    # inside the 32x32 DCT — exactly the float-boundary class the
+    # determinism contracts ban. Planted-twin recall is pytest-pinned
+    # instead (tests/test_r6_operators.py).
+    "multimodal_phash_neardup",
+}
+
+
 def test_every_query_has_an_oracle_and_vice_versa():
     qs, os_ = e.queries(), e.oracle_sql()
-    assert set(qs) == set(os_), (
-        set(qs) ^ set(os_)
+    assert set(qs) - set(os_) == ROWS_ONLY, (
+        set(qs) ^ set(os_) ^ ROWS_ONLY
     )  # symmetric difference shows the offender
+    assert not set(os_) - set(qs), set(os_) - set(qs)
 
 
 def test_rotation_is_a_permutation():

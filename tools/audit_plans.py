@@ -218,6 +218,8 @@ ARROW_ALLOWED = {
     "multimodal_bmp_stats",
     "multimodal_wav_downsample",
     "multimodal_wav_vad",
+    # BMP synth + DCT pHash kernel (Arrow), banded join is relational
+    "multimodal_phash_neardup",
     "multimodal_frame_sample",
     "corpus_bloom_decontaminate",
     "sketch_cms_user_counts",

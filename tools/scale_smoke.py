@@ -689,6 +689,43 @@ def main() -> None:
         ).alias("ts"),
     )
     timed("zone-map pruning audit (10M events)", pruning_audit(ev))
+
+    # ------------------------- round-6 wave-24 additions at scale
+    from audience_manager_platform_spark.operators.dedup import (
+        url_canonical_dedup,
+    )
+    from audience_manager_platform_spark.operators.maintenance import (
+        compaction_plan,
+    )
+    from audience_manager_platform_spark.operators.timeseries import (
+        ewma_anomaly,
+    )
+    from audience_manager_platform_spark.operators.validation import (
+        partition_completeness,
+    )
+
+    ROWS = int(os.environ.get("SCALE_ROWS", 10_000_000))
+    # the monitors' windows must ride the AGGREGATED day tables, never
+    # the raw stream — these timings prove the reduction dominates
+    timed("EWMA anomaly monitor", ewma_anomaly(typed_events))
+    timed(
+        "partition completeness audit",
+        partition_completeness(typed_events),
+    )
+    timed("compaction plan (type x day files)", compaction_plan(
+        typed_events.withColumn(
+            "props", F.concat(F.lit("p"), (F.col("event_id") % 97))
+        )
+    ))
+    ROWS = n_docs
+    timed(
+        "canonical-URL dedup (100k docs)",
+        url_canonical_dedup(
+            docs.withColumn(
+                "source", F.concat(F.lit("src"), F.col("doc_id") % 10)
+            )
+        ),
+    )
     spark.stop()
 
 

@@ -158,7 +158,18 @@ NOTES = (
     "chunk pipeline's codegen (~10s, alphabetically first in its family); "
     "the warm serving query executes in 0.16s. Full-sweep totals are "
     "single-shot and sequencing-sensitive: a contended run measured 475s "
-    "where the idle re-run measured 376s on identical code."
+    "where the idle re-run measured 376s on identical code. "
+    "r6 late-session: the VM's effective CPU throughput dropped mid-round "
+    "and became bursty — same-commit A/B on an idle box: full sweep 376s "
+    "(morning) vs 798s (afternoon) with a 1.23x MEDIAN per-query ratio "
+    "plus rare multi-10s transient stalls (hll_retention_overlap 1.7s -> "
+    "165.8s in-sweep yet 4.1s warm standalone; join_broadcast_dim 0.49s "
+    "-> 34.7s in-sweep yet 1.4s warm standalone); a fixed pure-python "
+    "loop timed 2.4-3.5s across repeats on the same interpreter. Treat "
+    "BENCH_r06 absolute seconds as environment-scaled; within-round "
+    "per-query ratios and plan shapes remain meaningful, and no code "
+    "regression exists (checked-out r5-era commits reproduce the same "
+    "slowed timings)."
 )
 
 # Repeats per query: medians make the bench regression-proof (r3 saw a

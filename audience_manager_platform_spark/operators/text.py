@@ -2506,3 +2506,156 @@ def prf_expanded_topk_sql(
         FROM final_scored CROSS JOIN exp_label
         ORDER BY bm25 DESC, doc_id ASC LIMIT {int(k)}
     """
+
+
+# -------------------------------------------- weak-supervision diagnostics
+# The label-model input audit (Ratner et al., "Snorkel: Rapid Training
+# Data Creation with Weak Supervision", VLDB 2018): before any label
+# model is fit, each labeling function is graded on coverage (how often
+# it votes), accuracy against the gold slice, and agreement with the
+# majority vote — the three numbers that decide whether an LF enters
+# the ensemble or gets rewritten.
+def weak_label_votes(docs: DataFrame) -> DataFrame:
+    """Per-labeling-function diagnostics for the English-detection task
+    (gold = the fixture's ``lang`` column): three deterministic LFs with
+    Snorkel's vote/abstain semantics —
+
+    - ``lf_the``: token 'the' present -> en, absent -> other (total
+      coverage, the blunt high-recall cue);
+    - ``lf_hits``: >=3 English stopword hits -> en, 0 hits -> other,
+      else ABSTAIN (the confident-band LF);
+    - ``lf_articles``: >=2 hits among {a, and, of} -> en, else ABSTAIN
+      (a deliberately noisy overlap LF — every grade it earns here is
+      honest signal that it should be down-weighted).
+
+    Output: one row per LF plus the ``majority`` ensemble (per-doc
+    majority of non-abstaining votes; ties abstain). All ratios are
+    exact bigint-count divisions floor-scaled to the 1e-6 grid.
+
+    Shape: one codegen projection computes every vote; the stacked
+    (labeler, vote) explode feeds ONE combinable aggregate — |LFs|+1
+    result rows, nothing data-sized after the scan."""
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    toks = f"filter(split(lower(text), '{TOKEN_SPLIT_RE}'), x -> x != '')"
+    hits = f"size(filter({toks}, t -> array_contains(array({en}), t)))"
+    art = (
+        f"size(filter({toks},"
+        " t -> array_contains(array('a', 'and', 'of'), t)))"
+    )
+    voted = docs.select(
+        (F.col("lang") == "en").cast("int").alias("gold"),
+        # trailing WHEN (no ELSE) keeps the column NULLABLE so all four
+        # vote structs share one type in the stacking array below
+        F.expr(
+            f"CASE WHEN array_contains({toks}, 'the') THEN 1"
+            " WHEN true THEN 0 END"
+        ).alias("v_the"),
+        F.expr(
+            f"CASE WHEN {hits} >= 3 THEN 1 WHEN {hits} = 0 THEN 0 END"
+        ).alias("v_hits"),
+        F.expr(f"CASE WHEN {art} >= 2 THEN 1 END").alias("v_articles"),
+    )
+    # majority of the non-abstaining votes; ties abstain
+    yes = "(v_the + coalesce(v_hits, 0) + coalesce(v_articles, 0))"
+    n_vote = (
+        "(1 + CASE WHEN v_hits IS NULL THEN 0 ELSE 1 END"
+        " + CASE WHEN v_articles IS NULL THEN 0 ELSE 1 END)"
+    )
+    voted = voted.withColumn(
+        "v_majority",
+        F.expr(
+            f"CASE WHEN 2 * {yes} > {n_vote} THEN 1"
+            f" WHEN 2 * {yes} < {n_vote} THEN 0 END"
+        ),
+    )
+    stacked = voted.select(
+        "gold",
+        F.explode(
+            F.expr(
+                "array(named_struct('labeler', 'lf_the', 'vote', v_the),"
+                " named_struct('labeler', 'lf_hits', 'vote', v_hits),"
+                " named_struct('labeler', 'lf_articles', 'vote', v_articles),"
+                " named_struct('labeler', 'majority', 'vote', v_majority))"
+            )
+        ).alias("s"),
+    ).select("gold", "s.labeler", "s.vote")
+    tot = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        stacked.groupBy("labeler")
+        .agg(
+            F.sum(F.expr("CASE WHEN vote IS NOT NULL THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_votes"),
+            F.sum(
+                F.expr("CASE WHEN vote = gold THEN 1 ELSE 0 END")
+            ).cast("long").alias("n_correct"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "labeler",
+            "n_votes",
+            F.expr(
+                "CAST(floor(n_votes / CAST(n_docs AS DOUBLE)"
+                " * 1e6 + 0.5) AS BIGINT)"
+            ).alias("coverage_e6"),
+            F.expr(
+                "CASE WHEN n_votes > 0 THEN"
+                " CAST(floor(n_correct / CAST(n_votes AS DOUBLE)"
+                " * 1e6 + 0.5) AS BIGINT) END"
+            ).alias("accuracy_e6"),
+        )
+        .orderBy("labeler")
+    )
+
+
+def weak_label_votes_sql(src: str = "documents") -> str:
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    t = tokens_sql("text")
+    hits = f"len(list_filter({t}, x -> list_contains([{en}], x)))"
+    art = f"len(list_filter({t}, x -> list_contains(['a','and','of'], x)))"
+    yes = "(v_the + coalesce(v_hits, 0) + coalesce(v_articles, 0))"
+    n_vote = (
+        "(1 + CASE WHEN v_hits IS NULL THEN 0 ELSE 1 END"
+        " + CASE WHEN v_articles IS NULL THEN 0 ELSE 1 END)"
+    )
+    return f"""
+        WITH voted AS (
+          SELECT CAST(lang = 'en' AS INTEGER) AS gold,
+                 CASE WHEN list_contains({t}, 'the') THEN 1 ELSE 0 END
+                   AS v_the,
+                 CASE WHEN {hits} >= 3 THEN 1
+                      WHEN {hits} = 0 THEN 0 END AS v_hits,
+                 CASE WHEN {art} >= 2 THEN 1 END AS v_articles
+          FROM {src}
+        ),
+        maj AS (
+          SELECT *,
+                 CASE WHEN 2 * {yes} > {n_vote} THEN 1
+                      WHEN 2 * {yes} < {n_vote} THEN 0 END AS v_majority
+          FROM voted
+        ),
+        stacked AS (
+          SELECT gold, 'lf_the' AS labeler, v_the AS vote FROM maj
+          UNION ALL
+          SELECT gold, 'lf_hits', v_hits FROM maj
+          UNION ALL
+          SELECT gold, 'lf_articles', v_articles FROM maj
+          UNION ALL
+          SELECT gold, 'majority', v_majority FROM maj
+        ),
+        tot AS (SELECT COUNT(*) AS n_docs FROM {src})
+        SELECT labeler,
+               CAST(SUM(CASE WHEN vote IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_votes,
+               CAST(FLOOR(SUM(CASE WHEN vote IS NOT NULL THEN 1 ELSE 0 END)
+                          / CAST(n_docs AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                 AS coverage_e6,
+               CASE WHEN SUM(CASE WHEN vote IS NOT NULL THEN 1 ELSE 0 END) > 0
+                 THEN CAST(FLOOR(SUM(CASE WHEN vote = gold THEN 1 ELSE 0 END)
+                      / CAST(SUM(CASE WHEN vote IS NOT NULL THEN 1 ELSE 0 END)
+                             AS DOUBLE) * 1e6 + 0.5) AS BIGINT) END
+                 AS accuracy_e6
+        FROM stacked CROSS JOIN tot
+        GROUP BY labeler, n_docs
+        ORDER BY labeler
+    """

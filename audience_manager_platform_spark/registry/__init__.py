@@ -169,6 +169,8 @@ _DEFER_RAW: tuple[str, ...] = (
     "layout_compaction_plan",
     "dedup_url_canonical",
     "multimodal_phash_neardup",
+    # wave 25
+    "text_weak_label_votes",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

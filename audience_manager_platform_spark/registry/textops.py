@@ -294,6 +294,10 @@ QUERIES = {
     # comparison (both engines synthesize the SAME raw URL from doc_id,
     # so the oracle checks the canonicalization itself)
     "dedup_url_canonical": lambda s, d: D.url_canonical_dedup(_docs(s, d)),
+    # wave 25: Snorkel-style labeling-function diagnostics (coverage /
+    # accuracy-vs-gold / majority ensemble) — the audit run before any
+    # label model is fit over weak supervision sources
+    "text_weak_label_votes": lambda s, d: T.weak_label_votes(_docs(s, d)),
     # wave 24: perceptual near-duplicate IMAGE pairs — 64-bit DCT pHash
     # over real decoded BMPs, banded hamming join + exact bit_count
     # verify. The 32x32 DCT has no practical SQL twin, so this is a
@@ -404,4 +408,5 @@ ORACLES = {
     ),
     "dedup_soft_weights": D.soft_dedup_weights_sql(),
     "dedup_url_canonical": D.url_canonical_dedup_sql(),
+    "text_weak_label_votes": T.weak_label_votes_sql(),
 }

@@ -395,3 +395,45 @@ def test_phash_neardup_registry_entry_finds_planted_twins(spark, sf_dir):
     found = planted & pairs
     # >= 90% planted-twin recall at the conventional <= 6 cutoff
     assert len(found) >= int(0.9 * len(planted))
+
+
+def test_weak_label_votes_hand_computed(spark):
+    """4 hand-built docs: every LF's coverage/accuracy and the majority
+    ensemble grade are computed by hand.
+
+    doc0 en  'the cat sat of and'   -> the=1, hits(the,of,and)=3 ->1, art(a/and/of)>=2 ->1, maj=1
+    doc1 en  'cat sat mat'          -> the=0, hits=0 ->0, art=0 -> abstain, maj=0
+    doc2 de  'der hund a'           -> the=0, hits('a')=1 -> abstain, art=1 -> abstain, maj=0
+    doc3 de  'the a of und'         -> the=1, hits=3 ->1, art>=2 ->1, maj=1 (a fooled trio)
+    """
+    from audience_manager_platform_spark.operators.text import (
+        weak_label_votes,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat of and", "en"),
+            (1, "cat sat mat", "en"),
+            (2, "der hund a", "de"),
+            (3, "the a of und", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.labeler: r for r in weak_label_votes(docs).collect()}
+    assert set(out) == {"lf_the", "lf_hits", "lf_articles", "majority"}
+    # lf_the votes on all 4; correct on doc0 (1=1), doc1 (0? voted 0, gold 1 -> wrong),
+    # doc2 (0=0 correct), doc3 (1 vs 0 wrong) => 2/4
+    assert out["lf_the"].n_votes == 4
+    assert out["lf_the"].coverage_e6 == 1_000_000
+    assert out["lf_the"].accuracy_e6 == 500_000
+    # lf_hits votes on doc0 (1 ok), doc1 (0 wrong), doc3 (1 wrong) => 1/3
+    assert out["lf_hits"].n_votes == 3
+    assert out["lf_hits"].coverage_e6 == 750_000
+    assert out["lf_hits"].accuracy_e6 == 333_333
+    # lf_articles votes on doc0 (1 ok) and doc3 (1 wrong) => 1/2
+    assert out["lf_articles"].n_votes == 2
+    assert out["lf_articles"].accuracy_e6 == 500_000
+    # majority: doc0 ->1 ok; doc1 votes {0,0} ->0 wrong; doc2 {0} ->0 ok;
+    # doc3 {1,1,1} ->1 wrong => 2/4
+    assert out["majority"].n_votes == 4
+    assert out["majority"].accuracy_e6 == 500_000

@@ -184,6 +184,8 @@ NESTED_LOOP_ALLOWED = {
     "ann_ndcg_ivf_vs_exact",
     # MMR: the exact-shortlist broadcast query tower feeding the greedy
     "ann_mmr_rerank_topk",
+    # |LFs|+1 result rows cross the broadcast 1-row doc-count total
+    "text_weak_label_votes",
 }
 
 ARROW_ALLOWED = {

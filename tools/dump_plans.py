@@ -228,6 +228,19 @@ SHOWCASE = [
         "xor+popcount per candidate (fused codegen); full vectors are "
         "re-fetched ONLY for the |queries| x shortlist re-rank join.",
     ),
+    (
+        "layout_compaction_plan",
+        "OPTIMIZE costing step: one map-side-combinable (type, day) "
+        "footprint aggregate; the bin-packing window runs over the "
+        "|partitions|-row FILE-STATS table, never the raw rows — the "
+        "plan's only data-sized stage is the scan.",
+    ),
+    (
+        "validate_partition_completeness",
+        "Ingest gate: per-day counts reduce map-side, the dense day grid "
+        "comes from one broadcast 1-row span, and the trailing-median "
+        "window rides the |days|-row table.",
+    ),
 ]
 
 

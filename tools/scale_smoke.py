@@ -726,6 +726,19 @@ def main() -> None:
             )
         ),
     )
+    from audience_manager_platform_spark.operators.text import (
+        weak_label_votes,
+    )
+
+    timed(
+        "weak-supervision LF diagnostics",
+        weak_label_votes(
+            docs.withColumn(
+                "lang",
+                F.when(F.col("doc_id") % 3 == 0, "en").otherwise("de"),
+            )
+        ),
+    )
     spark.stop()
 
 

@@ -437,3 +437,35 @@ def test_weak_label_votes_hand_computed(spark):
     # doc3 {1,1,1} ->1 wrong => 2/4
     assert out["majority"].n_votes == 4
     assert out["majority"].accuracy_e6 == 500_000
+
+
+def test_phash_kernel_environment_pin(spark, sf_dir):
+    """Environment-drift canary for the one rows-only registry entry:
+    the pHash DCT rides numpy/BLAS float behavior (matmul summation
+    order is vendor-specific), so the exact 64-bit fingerprints of the
+    first 64 fixture BMPs are pinned. If this fails after a
+    numpy/BLAS/arrow change, the DCT bit pattern moved — re-pin AND
+    expect the rows-only count of multimodal_phash_neardup to shift
+    (same lesson as the r4-r5 ADC round() divergence: catch library
+    drift in a named canary, not in a red driver row)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from audience_manager_platform_spark.operators.multimodal import (
+        phash64,
+        synthesize_textured_bmp,
+    )
+    from audience_manager_platform_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    rows = sorted(
+        (r.doc_id, r.phash)
+        for r in phash64(synthesize_textured_bmp(docs)).collect()
+    )
+    assert len(rows) == 64
+    assert rows[0] == (0, 2008424753268054785)
+    sha = hashlib.sha256(repr(rows).encode()).hexdigest()
+    assert sha == (
+        "8ba96e9e7d4ab95af3522d757065a65c238e5593428ba2240730b1a2ca40af60"
+    )

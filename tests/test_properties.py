@@ -816,3 +816,121 @@ def test_ndcg_bounds_and_perfect_ranking(rels):
     assert dcg <= ideal
     if rels == sorted(rels, reverse=True):
         assert dcg == ideal
+
+
+# ------------------------------------------- wave-24 operator invariants
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # event_type index
+            st.integers(min_value=1, max_value=9),   # day
+            st.integers(min_value=0, max_value=400), # props length
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    target=st.sampled_from([200, 1000, 5000]),
+)
+def test_compaction_plan_conservation_and_contiguity(spark, sizes, target):
+    """Next-fit-over-FFD invariants on arbitrary inputs: every file lands
+    in exactly one bin (rows/bytes/files conserved), kept files are >=
+    target while packed files are < target, and packed bin ids are
+    contiguous from 0 (each small file advances the running sum by less
+    than one target, so no bin index can be skipped)."""
+    from audience_manager_platform_spark.operators.maintenance import (
+        COMPACT_ROW_OVERHEAD,
+        compaction_plan,
+    )
+
+    rows = [
+        (i, f"2024-01-0{d} 10:00:00", 1, f"t{t}", 1.0, "x" * plen)
+        for i, (t, d, plen) in enumerate(sizes)
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props",
+    )
+    out = compaction_plan(events, target_bytes=target).collect()
+    # conservation against an independently-computed file table
+    import collections
+
+    files = collections.Counter()
+    fbytes = collections.Counter()
+    for t, d, plen in sizes:
+        key = (t, d)
+        files[key] += 1
+        fbytes[key] += plen + 2 + COMPACT_ROW_OVERHEAD  # len('t0') == 2
+    n_groups = len(files)
+    assert sum(r.n_files for r in out) == n_groups
+    assert sum(r.tot_rows for r in out) == len(sizes)
+    assert sum(r.tot_bytes for r in out) == sum(fbytes.values())
+    packed_ids = sorted(r.bin_id for r in out if r.bin_id >= 0)
+    assert packed_ids == list(range(len(packed_ids)))
+    for r in out:
+        assert r.fill_ppm == r.tot_bytes * 1_000_000 // target
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    counts=st.lists(
+        st.integers(min_value=0, max_value=5), min_size=1, max_size=20
+    ),
+)
+def test_partition_completeness_grid_and_verdicts(spark, counts):
+    """The dense grid spans exactly [first, last] observed day; warmup
+    iff fewer than 7 prior grid days; missing iff 0 rows post-warmup;
+    low iff 2n < the trailing median; total rows conserved."""
+    from audience_manager_platform_spark.operators.validation import (
+        partition_completeness,
+    )
+
+    # day i (1-based) gets counts[i-1] rows; interior zero days stay in
+    # the grid because the span is anchored by the non-zero endpoints
+    if not any(counts):
+        counts = counts + [1]
+    rows = []
+    eid = 0
+    for i, n in enumerate(counts, start=1):
+        for _ in range(n):
+            rows.append((eid, f"2024-01-{i:02d} 05:00:00", 1, "e", 1.0, None))
+            eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props",
+    )
+    out = sorted(partition_completeness(events).collect(), key=lambda r: r.day)
+    first = next(i for i, n in enumerate(counts, start=1) if n > 0)
+    last = max(i for i, n in enumerate(counts, start=1) if counts[i - 1] > 0)
+    assert len(out) == last - first + 1
+    assert sum(r.n_rows for r in out) == sum(counts)
+    for idx, r in enumerate(out):
+        assert r.n_rows == counts[first - 1 + idx]
+        if idx < 7:
+            assert r.verdict == "warmup" and r.trail_med7 is None
+        else:
+            window = sorted(x.n_rows for x in out[idx - 7 : idx])
+            med = window[3]
+            assert r.trail_med7 == med
+            if r.n_rows == 0:
+                assert r.verdict == "missing"
+            elif 2 * r.n_rows < med:
+                assert r.verdict == "low"
+            else:
+                assert r.verdict == "ok"

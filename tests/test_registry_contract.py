@@ -108,3 +108,21 @@ def test_uncredited_queries_fit_in_driver_window():
         assert len(uncredited) > 50, (
             f"window has spare slots yet these are deferred: {overflow}"
         )
+
+
+def test_window_pin_names_exist_and_lead_the_rotation():
+    """_WINDOW_PIN protects the driver window from registry-growth
+    reshuffling — but only if every pinned name actually resolves (a
+    typo would silently shrink the window) and the rotation really
+    leads with the uncredited pinned names in pin order."""
+    raw = {}
+    for mod in registry._modules():
+        raw.update(mod.QUERIES)
+    missing = set(registry._WINDOW_PIN) - set(raw)
+    assert not missing, missing
+    assert len(set(registry._WINDOW_PIN)) == len(registry._WINDOW_PIN)
+    expected_lead = [
+        k for k in registry._WINDOW_PIN if k not in registry._DRIVER_CREDITED
+    ]
+    names = list(e.queries())
+    assert names[: len(expected_lead)] == expected_lead

@@ -521,3 +521,145 @@ def item_knn_cosine_sql(
         ) r WHERE rank <= {int(n_neighbors)}
         ORDER BY brand, rank
     """
+
+
+# ------------------------------------------ point-in-time feature audit
+def pit_feature_leakage(events: DataFrame) -> DataFrame:
+    """Feature-store correctness primitive: the POINT-IN-TIME join and
+    its leakage audit. Labels are purchase events; the feature is each
+    user's trailing daily spend total, which becomes SERVABLE at the
+    next midnight (the nightly batch contract: a day's aggregate cannot
+    be read during the day it summarizes). For every label the PIT join
+    picks the latest feature with ``available_ts <= label_ts`` (the
+    existing as-of composition: one union-window pass, one user_id
+    shuffle); the NAIVE join — what leaky training pipelines do — reads
+    the label's OWN calendar day's total, summing events that happen
+    after the label itself.
+
+    Output per label day: label count, PIT-matched count, how many
+    labels the naive join would have silently poisoned (naive feature
+    differs from the PIT feature), and the exact PIT feature sum in
+    cents — all bigint, no float anywhere.
+
+    Why it matters at 100 TB: train/serve skew from time-travel joins
+    is invisible in aggregate metrics; this audit prices it per
+    partition before a model trains on it."""
+    base = events.filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    feats = (
+        base.groupBy(
+            "user_id", F.to_date("ts").alias("feature_day")
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+            ).alias("day_cents")
+        )
+        .select(
+            "user_id",
+            "feature_day",
+            "day_cents",
+            # servable at the NEXT midnight
+            F.expr(
+                "CAST(feature_day AS TIMESTAMP) + INTERVAL 1 DAY"
+            ).alias("available_ts"),
+        )
+    )
+    labels = base.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("label_ts"),
+        F.col("event_id").alias("label_id"),
+        F.to_date("ts").alias("label_day"),
+    )
+    pit = asof_join(
+        labels,
+        feats.select("user_id", "available_ts", "day_cents"),
+        on="user_id",
+        left_ts="label_ts",
+        right_ts="available_ts",
+        right_vals=["day_cents"],
+    ).select(
+        "user_id",
+        "label_id",
+        "label_day",
+        F.col("asof_day_cents").alias("pit_cents"),
+    )
+    naive = labels.join(
+        feats.select(
+            "user_id",
+            F.col("feature_day").alias("label_day"),
+            F.col("day_cents").alias("naive_cents"),
+        ),
+        ["user_id", "label_day"],
+        "left",
+    ).select("label_id", "naive_cents")
+    return (
+        pit.join(naive, "label_id")
+        .groupBy("label_day")
+        .agg(
+            F.count("*").cast("long").alias("n_labels"),
+            F.sum(
+                F.expr("CASE WHEN pit_cents IS NOT NULL THEN 1 ELSE 0 END")
+            ).cast("long").alias("n_with_pit"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN naive_cents IS DISTINCT FROM pit_cents"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).cast("long").alias("n_naive_leaky"),
+            F.sum(F.coalesce("pit_cents", F.lit(0)))
+            .cast("long")
+            .alias("pit_cents_sum"),
+        )
+        .select(
+            F.date_format("label_day", "yyyy-MM-dd").alias("label_day"),
+            "n_labels",
+            "n_with_pit",
+            "n_naive_leaky",
+            "pit_cents_sum",
+        )
+        .orderBy("label_day")
+    )
+
+
+def pit_feature_leakage_sql(src: str = "events") -> str:
+    return f"""
+        WITH base AS (
+          SELECT * FROM {src}
+          WHERE user_id IS NOT NULL AND value IS NOT NULL
+        ),
+        feats AS (
+          SELECT user_id, CAST(ts AS DATE) AS feature_day,
+                 CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS day_cents,
+                 CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY
+                   AS available_ts
+          FROM base GROUP BY user_id, CAST(ts AS DATE)
+        ),
+        labels AS (
+          SELECT user_id, ts AS label_ts, event_id AS label_id,
+                 CAST(ts AS DATE) AS label_day
+          FROM base WHERE event_type = 'purchase'
+        ),
+        pit AS (
+          SELECT l.label_id, l.label_day, l.user_id, f.day_cents AS pit_cents
+          FROM labels l ASOF LEFT JOIN feats f
+            ON l.user_id = f.user_id AND l.label_ts >= f.available_ts
+        ),
+        naive AS (
+          SELECT l.label_id, f.day_cents AS naive_cents
+          FROM labels l LEFT JOIN feats f
+            ON l.user_id = f.user_id AND l.label_day = f.feature_day
+        )
+        SELECT STRFTIME(p.label_day, '%Y-%m-%d') AS label_day,
+               CAST(COUNT(*) AS BIGINT) AS n_labels,
+               CAST(SUM(CASE WHEN p.pit_cents IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_with_pit,
+               CAST(SUM(CASE WHEN n.naive_cents IS DISTINCT FROM p.pit_cents
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_naive_leaky,
+               CAST(SUM(COALESCE(p.pit_cents, 0)) AS BIGINT) AS pit_cents_sum
+        FROM pit p JOIN naive n ON n.label_id = p.label_id
+        GROUP BY p.label_day
+        ORDER BY label_day
+    """

@@ -171,6 +171,7 @@ _DEFER_RAW: tuple[str, ...] = (
     "multimodal_phash_neardup",
     # wave 25
     "text_weak_label_votes",
+    "join_pit_features",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

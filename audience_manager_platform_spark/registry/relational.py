@@ -16,6 +16,8 @@ from ..operators.relational import (
     item_knn_cosine_sql,
     basket_brand_pairs,
     basket_brand_pairs_sql,
+    pit_feature_leakage,
+    pit_feature_leakage_sql,
     pivot_counts,
     range_join_bands,
 )
@@ -439,6 +441,12 @@ QUERIES = {
     "cube_lineitem_status": _cube_lineitem,
     "rollup_orders_priority": _rollup_orders,
     "asof_join_event_daily": _asof_event_daily,
+    # wave 25: the feature-store point-in-time join + leakage audit —
+    # PIT (servable-at-next-midnight) vs the naive same-day join,
+    # counting the labels the naive join would silently poison
+    "join_pit_features": lambda s, d: pit_feature_leakage(
+        load_table(s, d, "events")
+    ),
     "range_join_amount_bands": _amount_bands,
     "regexp_extract_docs": _regexp_extract_docs,
     "json_props_histogram": _json_props_histogram,
@@ -522,6 +530,7 @@ _PIVOT_CASES = ",\n               ".join(
 )
 
 ORACLES = {
+    "join_pit_features": pit_feature_leakage_sql("events"),
     "setop_except_all": """
         WITH ev AS (
           SELECT user_id, event_type, date_part('day', ts) AS _d FROM events

@@ -469,3 +469,38 @@ def test_phash_kernel_environment_pin(spark, sf_dir):
     assert sha == (
         "8ba96e9e7d4ab95af3522d757065a65c238e5593428ba2240730b1a2ca40af60"
     )
+
+
+def test_pit_feature_leakage_hand_computed(spark):
+    """user 1: day-1 spend 100.00; day-2 purchase at noon followed by a
+    15:00 spend of 200.00. The PIT feature for that purchase is day-1's
+    total (servable at day-2 midnight); the naive same-day join reads
+    day-2's own total — which includes the 15:00 event that happens
+    AFTER the label — so the label counts as leaky. user 2 purchases on
+    their first day: no PIT feature exists, naive invents one -> leaky."""
+    from audience_manager_platform_spark.operators.relational import (
+        pit_feature_leakage,
+    )
+
+    rows = [
+        (0, "2024-01-01 10:00:00", 1, "view", 100.0, None),
+        (1, "2024-01-02 12:00:00", 1, "purchase", 50.0, None),
+        (2, "2024-01-02 15:00:00", 1, "view", 200.0, None),
+        (3, "2024-01-03 09:00:00", 2, "purchase", 10.0, None),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props",
+    )
+    out = {r.label_day: r for r in pit_feature_leakage(events).collect()}
+    assert set(out) == {"2024-01-02", "2024-01-03"}
+    d2 = out["2024-01-02"]
+    assert (d2.n_labels, d2.n_with_pit, d2.n_naive_leaky) == (1, 1, 1)
+    assert d2.pit_cents_sum == 10_000  # day-1's 100.00, NOT day-2's 250.00
+    d3 = out["2024-01-03"]
+    assert (d3.n_labels, d3.n_with_pit, d3.n_naive_leaky) == (1, 0, 1)
+    assert d3.pit_cents_sum == 0

@@ -739,6 +739,16 @@ def main() -> None:
             )
         ),
     )
+    from audience_manager_platform_spark.operators.relational import (
+        pit_feature_leakage,
+    )
+
+    ROWS = int(os.environ.get("SCALE_ROWS", 10_000_000))
+    # PIT feature join at stream scale: the as-of is ONE union-window
+    # pass on user_id — no per-label probe, no range explosion
+    timed("PIT feature join + leakage audit", pit_feature_leakage(
+        typed_events
+    ))
     spark.stop()
 
 

@@ -241,6 +241,12 @@ SHOWCASE = [
         "comes from one broadcast 1-row span, and the trailing-median "
         "window rides the |days|-row table.",
     ),
+    (
+        "join_pit_features",
+        "Feature-store PIT join: the as-of is ONE union-window pass on "
+        "user_id (no per-label probe, no range explosion); the naive-join "
+        "leakage audit adds exactly one more keyed shuffle.",
+    ),
 ]
 
 

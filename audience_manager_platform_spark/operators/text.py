@@ -2659,3 +2659,78 @@ def weak_label_votes_sql(src: str = "documents") -> str:
         GROUP BY labeler, n_docs
         ORDER BY labeler
     """
+
+
+# ------------------------------------------------ score calibration bins
+def langid_calibration(docs: DataFrame) -> DataFrame:
+    """Reliability diagram for the English-detection score — the third
+    rung of the eval ladder (confusion matrix grades the argmax, AUC
+    grades the ranking, calibration grades the PROBABILITIES a
+    threshold-picker actually consumes): the stopword-hit score is
+    squashed to p = h/(h+3), binned into five fixed probability bands,
+    and each band reports its mean predicted confidence vs the observed
+    English share. A well-calibrated filter has small gaps; Σ n·gap is
+    the (unnormalized) expected calibration error.
+
+    Determinism: NO float exists anywhere — p is materialized directly
+    on the 1e-6 grid by BIGINT division (``h*1e6 div (h+3)``), bin ids
+    by integer division of that, and both reported rates are single
+    bigint divisions. One codegen projection + one combinable 5-group
+    aggregate."""
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    toks = f"filter(split(lower(text), '{TOKEN_SPLIT_RE}'), x -> x != '')"
+    hits = f"size(filter({toks}, t -> array_contains(array({en}), t)))"
+    scored = docs.select(
+        (F.col("lang") == "en").cast("long").alias("is_en"),
+        F.expr(
+            f"CAST({hits} AS BIGINT) * 1000000 div ({hits} + 3)"
+        ).alias("p_e6"),
+    )
+    return (
+        scored.groupBy(
+            F.expr("p_e6 div 200000").cast("long").alias("bin_id")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("p_e6").alias("_sp"),
+            F.sum("is_en").alias("_se"),
+        )
+        .select(
+            "bin_id",
+            "n_docs",
+            F.expr("_sp div n_docs").cast("long").alias("mean_pred_e6"),
+            F.expr("(_se * 1000000) div n_docs")
+            .cast("long")
+            .alias("obs_en_e6"),
+            F.expr(
+                "abs(_sp div n_docs - (_se * 1000000) div n_docs)"
+            ).cast("long").alias("gap_e6"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+def langid_calibration_sql(src: str = "documents") -> str:
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    t = tokens_sql("text")
+    hits = f"len(list_filter({t}, x -> list_contains([{en}], x)))"
+    return f"""
+        WITH scored AS (
+          SELECT CAST(lang = 'en' AS BIGINT) AS is_en,
+                 (CAST({hits} AS BIGINT) * 1000000) // ({hits} + 3) AS p_e6
+          FROM {src}
+        ),
+        b AS (
+          SELECT p_e6 // 200000 AS bin_id,
+                 COUNT(*) AS n_docs, SUM(p_e6) AS sp, SUM(is_en) AS se
+          FROM scored GROUP BY 1
+        )
+        SELECT CAST(bin_id AS BIGINT) AS bin_id,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(sp // n_docs AS BIGINT) AS mean_pred_e6,
+               CAST((se * 1000000) // n_docs AS BIGINT) AS obs_en_e6,
+               CAST(abs(sp // n_docs - (se * 1000000) // n_docs) AS BIGINT)
+                 AS gap_e6
+        FROM b
+        ORDER BY bin_id
+    """

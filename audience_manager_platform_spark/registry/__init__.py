@@ -172,6 +172,7 @@ _DEFER_RAW: tuple[str, ...] = (
     # wave 25
     "text_weak_label_votes",
     "join_pit_features",
+    "text_langid_calibration",
 )
 _DEFER_TO_NEXT_ROUND: frozenset[str] = (
     frozenset(_DEFER_RAW) - _DRIVER_CREDITED

@@ -298,6 +298,12 @@ QUERIES = {
     # accuracy-vs-gold / majority ensemble) — the audit run before any
     # label model is fit over weak supervision sources
     "text_weak_label_votes": lambda s, d: T.weak_label_votes(_docs(s, d)),
+    # wave 25: reliability bins + per-bin calibration gap for the langid
+    # score (confusion grades argmax, AUC the ranking, THIS the
+    # probabilities a threshold-picker consumes); zero floats anywhere
+    "text_langid_calibration": lambda s, d: T.langid_calibration(
+        _docs(s, d)
+    ),
     # wave 24: perceptual near-duplicate IMAGE pairs — 64-bit DCT pHash
     # over real decoded BMPs, banded hamming join + exact bit_count
     # verify. The 32x32 DCT has no practical SQL twin, so this is a
@@ -409,4 +415,5 @@ ORACLES = {
     "dedup_soft_weights": D.soft_dedup_weights_sql(),
     "dedup_url_canonical": D.url_canonical_dedup_sql(),
     "text_weak_label_votes": T.weak_label_votes_sql(),
+    "text_langid_calibration": T.langid_calibration_sql(),
 }

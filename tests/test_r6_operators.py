@@ -504,3 +504,31 @@ def test_pit_feature_leakage_hand_computed(spark):
     d3 = out["2024-01-03"]
     assert (d3.n_labels, d3.n_with_pit, d3.n_naive_leaky) == (1, 0, 1)
     assert d3.pit_cents_sum == 0
+
+
+def test_langid_calibration_hand_computed(spark):
+    """3 docs in one bin, exact integer arithmetic end-to-end:
+    'the of and' (en) -> h=3, p_e6 = 3e6 div 6 = 500000 (bin 2)
+    'the a x'    (en) -> h=2, p_e6 = 2e6 div 5 = 400000 (bin 2)
+    'the und x'  (de) -> h=1, p_e6 = 1e6 div 4 = 250000 (bin 1)
+    bin 2: n=2, mean_pred = (500000+400000) div 2 = 450000,
+           obs = 2*1e6 div 2 = 1000000, gap = 550000.
+    bin 1: n=1, mean_pred = 250000, obs = 0, gap = 250000."""
+    from audience_manager_platform_spark.operators.text import (
+        langid_calibration,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the of and", "en"),
+            (1, "the a x", "en"),
+            (2, "the und x", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.bin_id: r for r in langid_calibration(docs).collect()}
+    assert set(out) == {1, 2}
+    assert (out[2].n_docs, out[2].mean_pred_e6) == (2, 450_000)
+    assert (out[2].obs_en_e6, out[2].gap_e6) == (1_000_000, 550_000)
+    assert (out[1].n_docs, out[1].mean_pred_e6) == (1, 250_000)
+    assert (out[1].obs_en_e6, out[1].gap_e6) == (0, 250_000)

@@ -1665,7 +1665,12 @@ _URL_SYNTH_SPARK = (
     "concat("
     " CASE WHEN doc_id % 7 = 0 THEN 'HTTPS://' ELSE 'https://' END,"
     " CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,"
-    " source, '.Example.COM/docs/item-', CAST(doc_id % 40 AS STRING),"
+    # coalesce: Spark's concat is NULL-absorbing while DuckDB's skips
+    # NULLs — a NULL source would make the twins synthesize different
+    # raw URLs and silently diverge (r6 advice; fixture is NULL-free
+    # today, this pins the degradation mode identical anyway)
+    " coalesce(source, ''), '.Example.COM/docs/item-',"
+    " CAST(doc_id % 40 AS STRING),"
     " CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,"
     " CASE WHEN doc_id % 2 = 0"
     "   THEN concat('?utm_source=feed&utm_campaign=x&ref=',"
@@ -1695,14 +1700,19 @@ def url_canonical_dedup(docs: DataFrame) -> DataFrame:
     raw = docs.select(
         "doc_id", F.expr(_URL_SYNTH_SPARK).alias("raw_url")
     )
+    # outermost layer collapses a slash-before-query ('/docs/x/?ref=2')
+    # with its slash-less variant — without it trailing-slash collapsing
+    # only covered end-of-string slashes (r6 advice)
     canon = (
         "regexp_replace("
         "  regexp_replace("
         "    regexp_replace("
-        "      regexp_replace(lower(raw_url), '#.*$', ''),"
-        "      'utm_[a-z]+=[^&#]*&?', ''),"
-        "    '[?&]$', ''),"
-        "  '^https://www\\\\.', 'https://')"
+        "      regexp_replace("
+        "        regexp_replace(lower(raw_url), '#.*$', ''),"
+        "        'utm_[a-z]+=[^&#]*&?', ''),"
+        "      '[?&]$', ''),"
+        "    '^https://www\\\\.', 'https://'),"
+        "  '/\\\\?', '?')"
     )
     return (
         raw.select(
@@ -1729,10 +1739,12 @@ def url_canonical_dedup_sql(src: str = "documents") -> str:
         "regexp_replace("
         "  regexp_replace("
         "    regexp_replace("
-        "      regexp_replace(lower(raw_url), '#.*$', '', 'g'),"
-        "      'utm_[a-z]+=[^&#]*&?', '', 'g'),"
-        "    '[?&]$', '', 'g'),"
-        "  '^https://www\\.', 'https://', 'g')"
+        "      regexp_replace("
+        "        regexp_replace(lower(raw_url), '#.*$', '', 'g'),"
+        "        'utm_[a-z]+=[^&#]*&?', '', 'g'),"
+        "      '[?&]$', '', 'g'),"
+        "    '^https://www\\.', 'https://', 'g'),"
+        "  '/\\?', '?', 'g')"
     )
     return f"""
         WITH raw AS (

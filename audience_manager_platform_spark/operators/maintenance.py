@@ -519,8 +519,15 @@ def compaction_plan(events, target_bytes: int = COMPACT_TARGET_BYTES):
         "n_files",
         "tot_rows",
         "tot_bytes",
+        # split quotient/remainder so the ppm scale never overflows:
+        # tot_bytes * 1e6 wraps BIGINT past ~9.2 TB per bin (the -1
+        # keep-as-is bin aggregates ALL large partitions), while
+        # (q*1e6 + r*1e6 div T) is the identical exact value with the
+        # intermediate bounded by T*1e6 (r6 advice)
         F.expr(
-            f"CAST(tot_bytes * 1000000 div {int(target_bytes)} AS BIGINT)"
+            f"CAST((tot_bytes div {int(target_bytes)}) * 1000000"
+            f" + (tot_bytes % {int(target_bytes)}) * 1000000"
+            f" div {int(target_bytes)} AS BIGINT)"
         ).alias("fill_ppm"),
     ).orderBy("bin_id")
 
@@ -561,7 +568,8 @@ def compaction_plan_sql(
                CAST(n_files AS BIGINT) AS n_files,
                CAST(tot_rows AS BIGINT) AS tot_rows,
                CAST(tot_bytes AS BIGINT) AS tot_bytes,
-               CAST(tot_bytes * 1000000 // {t} AS BIGINT) AS fill_ppm
+               CAST((tot_bytes // {t}) * 1000000
+                    + (tot_bytes % {t}) * 1000000 // {t} AS BIGINT) AS fill_ppm
         FROM plan
         ORDER BY bin_id
     """

@@ -38,6 +38,15 @@ from . import rules
 # (rows-only check for non-SQL-expressible ops).
 
 
+# Queries whose semantics genuinely cannot be re-expressed in DuckDB SQL,
+# for which the driver records only its weaker rows-only check
+# (hash_match=None). Additions need a justification — the default
+# contract is oracle-paired. EMPTY since r7: multimodal_phash_neardup,
+# the one historical member, gained a pinned-fingerprint DuckDB oracle
+# (registry/phash_pins.py), so every registry query is value-hash-checked.
+ROWS_ONLY: frozenset[str] = frozenset()
+
+
 def _load_driver_credited() -> frozenset[str]:
     root = Path(__file__).resolve().parents[2]
     names: set[str] = set()
@@ -51,10 +60,14 @@ def _load_driver_credited() -> frozenset[str]:
                 continue
             if row.get("err"):
                 continue
+            hm = row.get("hash_match")
+            # hash_match=None (the driver's rows-only check) only earns
+            # credit for declared ROWS_ONLY names — an accidentally
+            # oracle-less query must NOT be silently credited (r6 advice).
             if (
                 row.get("rows_match")
                 and row.get("schema_match", True)
-                and row.get("hash_match") in (True, None)
+                and (hm is True or (hm is None and name in ROWS_ONLY))
             ):
                 names.add(name)
     return frozenset(names)
@@ -62,153 +75,82 @@ def _load_driver_credited() -> frozenset[str]:
 
 _DRIVER_CREDITED = _load_driver_credited()
 
-# Names to hold out of the current window even though uncredited (used
-# ONLY when there are more uncredited names than the 50 slots — r5 has
-# 27 uncredited: 24 r4-deferred entries plus the 3 PQ determinism
-# re-checks, all of which fit, so nothing queues).  Names already
-# credited are ignored (a driver window may reach a queued query before
-# the builder expects — the r4 `segment_overlap_matrix` lesson).
-_DEFER_RAW: tuple[str, ...] = (
-    # r6 queue: the r5 window is exactly full (50 uncredited), so
-    # late-r5 additions hold here to not displace a queued credit
-    "text_readability",
-    "text_rake_keywords",
-    "dedup_cross_corpus",
-    "corpus_epoch_budget",
-    "emb_snapshot_drift",
+# The EXACT driver correctness window for round 7, verified green by the
+# local driver replica (tools/check_oracle.py --window). Pinning makes the
+# window invariant to later registry inserts: without the pin, a new name
+# added mid-dict silently displaces the window's tail (measured in r6:
+# wave-24 textops inserts pushed out 3 verified ann_* queries). Names that
+# turn driver-credited simply fall out and the window backfills from the
+# derived queue below. Re-pin each round after local verification.
+#
+# r7 pin = ALL 47 names never credited in CORRECTNESS_r01..r06 plus the
+# three r7 additions (funnel / null-profile / co-purchase lift) — the
+# entire remaining backlog fits in one 50-slot round, taking the
+# driver-verified union to the full registry.
+_WINDOW_PIN: tuple[str, ...] = (
+    "dedup_url_canonical",
+    "text_weak_label_votes",
+    "text_langid_calibration",
+    "multimodal_phash_neardup",
+    "window_rolling_median",
+    "streaming_trending_topk",
+    "streaming_quantile_maintenance",
+    "streaming_psi_monitor",
+    "streaming_mix_monitor",
+    "join_null_safe",
+    "setop_except_all",
+    "setop_intersect_all",
+    "window_running_distinct",
+    "join_pit_features",
+    "reco_item_knn",
+    "join_skew_salted",
+    "sketch_quantile_bands",
+    "join_interval_overlap",
+    "sketch_quantile_rollup",
+    "sample_neyman_allocation",
+    "validate_psi_drift",
+    "validate_ks_drift",
+    "validate_mix_drift",
+    "validate_benford_orders",
     "privacy_l_diversity_customer",
-    "graph_trade_communities",
-    "corpus_source_jsd",
-    "ts_rolling_regression",
-    "dedup_threshold_sweep",
-    "multimodal_bmp_resize",
-    "dedup_soft_weights",
-    "kmeans_cluster_quality",
-    "ann_hard_negatives",
-    "text_bigram_pmi",
-    "text_vocab_growth",
+    "table_bucketed_join",
+    "hll_retention_overlap",
     "privacy_t_closeness_customer",
     "er_fuzzy_part_pairs",
     "er_entity_clusters",
     "graph_triangle_parts",
-    "emb_margin_mutual_knn",
-    "window_rolling_median",
-    "table_bucketed_join",
-    "ts_seasonal_naive_backtest",
-    "hll_retention_overlap",
-    "ann_probe_recall_curve",
-    "text_langid_confusion",
-    "corpus_cluster_safe_split",
-    "join_null_safe",
-    "dedup_incremental_probe",
     "graph_bfs_distances",
-    "ann_adc_rerank_topk",
-    "validate_fk_fanout",
-    "streaming_trending_topk",
-    "multimodal_wav_downsample",
-    "ann_filtered_topk",
     "graph_kcore_parts",
-    "analytics_ltv_cohort_curve",
-    "setop_except_all",
-    "setop_intersect_all",
-    "window_running_distinct",
-    "ts_autocorrelation",
-    "emb_centroid_classifier_eval",
-    "corpus_interleave_schedule",
-    # wave 12
-    "join_skew_salted",
-    "sketch_quantile_bands",
-    "analytics_decayed_popularity",
-    "ts_holt_linear_backtest",
-    "text_bpe_encode",
-    # wave 13
-    "corpus_canary_scan",
+    "graph_trade_communities",
+    "validate_fk_fanout",
     "validate_unique_keys",
-    "er_survivorship",
-    # wave 14
-    "analytics_position_attribution",
-    "analytics_pareto_coverage",
-    "join_interval_overlap",
-    # wave 15
-    "sketch_quantile_rollup",
-    "analytics_survival_km",
-    "streaming_quantile_maintenance",
-    "multimodal_wav_vad",
-    # wave 17
     "er_blocking_quality",
-    "validate_psi_drift",
-    "validate_ks_drift",
-    "validate_benford_orders",
-    "ts_crosscorr_lead_lag",
-    "ann_ndcg_ivf_vs_exact",
-    # wave 18
-    "text_langid_en_auc",
+    "er_survivorship",
     "layout_pruning_audit",
-    "ann_mmr_rerank_topk",
-    # wave 19
-    "streaming_psi_monitor",
-    "sample_neyman_allocation",
-    # wave 20
-    "text_token_fertility",
-    # wave 21
-    "validate_mix_drift",
-    "text_prf_expansion_topk",
-    "reco_item_knn",
-    "multimodal_bmp_stats",
-    # wave 22
-    "streaming_mix_monitor",
-    # wave 23 (added mid-r6: the r6 window was already full)
-    "ann_hamming_topk",
-    "ann_recall_hamming_vs_exact",
-    "emb_matryoshka_recall",
-    "streaming_ivf_ingest",
-    "ann_recall_maxsim_ivf_vs_exact",
-    # wave 24 (added mid-r6, queued for the r7 window)
-    "ts_ewma_anomaly",
-    "validate_partition_completeness",
     "layout_compaction_plan",
-    "dedup_url_canonical",
-    "multimodal_phash_neardup",
-    # wave 25
-    "text_weak_label_votes",
-    "join_pit_features",
-    "text_langid_calibration",
-)
-_DEFER_TO_NEXT_ROUND: frozenset[str] = (
-    frozenset(_DEFER_RAW) - _DRIVER_CREDITED
+    "validate_partition_completeness",
+    "ts_seasonal_naive_backtest",
+    "ts_autocorrelation",
+    "ts_holt_linear_backtest",
+    "ts_rolling_regression",
+    "ts_crosscorr_lead_lag",
+    "ts_ewma_anomaly",
 )
 
-# The EXACT 50-entry window verified green by the local driver replica
-# this round (tools/check_oracle.py --window, 50/50). Pinning it makes
-# the window invariant to later registry inserts: without the pin, a
-# new deferred name added mid-dict silently displaces the window's tail
-# (measured: wave-24's textops inserts pushed out 3 verified ann_*
-# queries). Names here that later turn driver-credited simply fall out
-# and the window backfills from the deferred queue. Drop/replace this
-# tuple when the next round re-verifies its own window.
-_WINDOW_PIN: tuple[str, ...] = (
-    "ann_chunk_maxsim_ivf_topk", "ann_pq_adc_topk", "ann_ivfpq_adc_topk",
-    "ann_ivfpq_residual_topk", "env_probe_floor_micro",
-    "env_probe_round_half", "env_probe_arrow_floor", "env_probe_versions",
-    "analytics_ltv_cohort_curve", "analytics_decayed_popularity",
-    "analytics_position_attribution", "analytics_pareto_coverage",
-    "analytics_survival_km", "text_langid_confusion", "text_langid_en_auc",
-    "text_token_fertility", "text_bigram_pmi", "text_vocab_growth",
-    "text_prf_expansion_topk", "text_bpe_encode", "dedup_incremental_probe",
-    "multimodal_bmp_resize", "multimodal_bmp_stats",
-    "multimodal_wav_downsample", "multimodal_wav_vad",
-    "corpus_cluster_safe_split", "corpus_interleave_schedule",
-    "corpus_canary_scan", "text_readability", "text_rake_keywords",
-    "dedup_cross_corpus", "corpus_epoch_budget", "corpus_source_jsd",
-    "dedup_threshold_sweep", "dedup_soft_weights", "ann_hamming_topk",
-    "ann_recall_hamming_vs_exact", "emb_matryoshka_recall",
-    "streaming_ivf_ingest", "ann_recall_maxsim_ivf_vs_exact",
-    "ann_filtered_topk", "ann_hard_negatives", "kmeans_cluster_quality",
-    "ann_adc_rerank_topk", "emb_snapshot_drift",
-    "emb_centroid_classifier_eval", "emb_margin_mutual_knn",
-    "ann_probe_recall_curve", "ann_ndcg_ivf_vs_exact",
-    "ann_mmr_rerank_topk",
-)
+# There is NO hand-kept defer list anymore (r6 advice: the 80-name
+# _DEFER_RAW tuple was load-bearing for rotation and a typo would have
+# silently mis-rotated). The queue is DERIVED: uncredited names outside
+# _WINDOW_PIN follow the pin in registry order, and anything past slot
+# 50 simply ships next round — deferral is a position, not a list.
+
+
+def deferred_queue() -> list[str]:
+    """Uncredited names that fall outside the driver's 50-entry window
+    this round (derived, for tests and round planning)."""
+    names = list(queries())
+    return [
+        k for k in names[50:] if k not in _DRIVER_CREDITED
+    ]
 
 
 def _rotate(entries: dict) -> dict:
@@ -218,22 +160,13 @@ def _rotate(entries: dict) -> dict:
         if k in entries and k not in _DRIVER_CREDITED
     ]
     in_pin = set(pinned)
-    front = [
+    queued = [
         k
         for k in entries
-        if k not in _DRIVER_CREDITED
-        and k not in _DEFER_TO_NEXT_ROUND
-        and k not in in_pin
-    ]
-    deferred = [
-        k
-        for k in entries
-        if k in _DEFER_TO_NEXT_ROUND
-        and k not in _DRIVER_CREDITED
-        and k not in in_pin
+        if k not in _DRIVER_CREDITED and k not in in_pin
     ]
     credited = [k for k in entries if k in _DRIVER_CREDITED]
-    return {k: entries[k] for k in (*pinned, *front, *deferred, *credited)}
+    return {k: entries[k] for k in (*pinned, *queued, *credited)}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

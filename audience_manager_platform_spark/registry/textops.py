@@ -10,6 +10,7 @@ from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as T
 from ..sources import load_table
+from .phash_pins import phash_neardup_oracle_sql
 
 
 def _docs(spark, sf_dir):
@@ -387,6 +388,7 @@ ORACLES = {
     "multimodal_bmp_resize": M.bmp_resize_meta_oracle_sql(),
     "multimodal_bmp_stats": M.bmp_channel_stats_oracle_sql(),
     "multimodal_wav_downsample": M.wav_downsample_meta_oracle_sql(),
+    "multimodal_phash_neardup": phash_neardup_oracle_sql(),
     "corpus_split_assign": C.split_assign_sql(),
     "corpus_cluster_safe_split": C.cluster_safe_split_sql(),
     "corpus_interleave_schedule": C.interleave_schedule_sql(),

@@ -9,16 +9,27 @@ from audience_manager_platform_spark import registry
 
 
 # Queries whose semantics genuinely cannot be re-expressed in DuckDB SQL
-# (the driver records its weaker rows-only check for these). Additions
-# need a justification here — the default contract is oracle-paired.
-ROWS_ONLY = {
-    # 64-bit DCT perceptual hash over decoded BMP binaries: a SQL twin
-    # would hinge on bit-level libm sin/cos and summation-order parity
-    # inside the 32x32 DCT — exactly the float-boundary class the
-    # determinism contracts ban. Planted-twin recall is pytest-pinned
-    # instead (tests/test_r6_operators.py).
-    "multimodal_phash_neardup",
-}
+# (the driver records its weaker rows-only check for these) — declared in
+# the registry itself since r7, where the credit loader enforces it.
+# Currently EMPTY: multimodal_phash_neardup, the one historical member,
+# now pairs with a pinned-fingerprint DuckDB oracle (the fingerprints are
+# byte-pinned constants under the ENV_CANARY discipline; the oracle
+# re-runs the band join + hamming verify on them in SQL).
+ROWS_ONLY = registry.ROWS_ONLY
+
+
+def test_rows_only_set_is_empty_and_loader_rejects_strays():
+    """hash_match=None earns credit ONLY for declared ROWS_ONLY names —
+    an accidentally oracle-less query must not be silently credited
+    (r6 advice item 1)."""
+    assert registry.ROWS_ONLY == frozenset()
+    row = {"rows_match": True, "schema_match": True, "hash_match": None}
+    # simulate the loader's predicate on a stray rows-only row
+    hm = row.get("hash_match")
+    credited = row.get("rows_match") and row.get("schema_match", True) and (
+        hm is True or (hm is None and "stray" in registry.ROWS_ONLY)
+    )
+    assert not credited
 
 
 def test_every_query_has_an_oracle_and_vice_versa():
@@ -44,25 +55,20 @@ def test_rotation_bookkeeping_names_exist():
     for mod in registry._modules():
         raw.update(mod.QUERIES)
     missing_credited = registry._DRIVER_CREDITED - set(raw)
-    missing_deferred = set(registry._DEFER_TO_NEXT_ROUND) - set(raw)
     assert not missing_credited, missing_credited
-    assert not missing_deferred, missing_deferred
-    # no name both credited and deferred (deferral would silently win)
-    assert not registry._DRIVER_CREDITED & set(registry._DEFER_TO_NEXT_ROUND)
 
 
-def test_rotation_front_is_uncredited_then_deferred_then_credited():
+def test_rotation_is_uncredited_then_credited():
+    """There is no hand-kept defer list anymore (r6 advice): rotation is
+    pinned-uncredited, then the remaining uncredited in registry order,
+    then credited. Deferral is a position (past slot 50), not a list."""
     names = list(e.queries())
-    seen_deferred = seen_credited = False
+    seen_credited = False
     for n in names:
         if n in registry._DRIVER_CREDITED:
             seen_credited = True
-            continue
-        assert not seen_credited, f"uncredited {n} after a credited entry"
-        if n in registry._DEFER_TO_NEXT_ROUND:
-            seen_deferred = True
         else:
-            assert not seen_deferred, f"window entry {n} after a deferred one"
+            assert not seen_credited, f"uncredited {n} after a credited entry"
 
 
 def test_driver_credited_derives_from_committed_correctness_files():
@@ -90,23 +96,15 @@ def test_driver_credited_derives_from_committed_correctness_files():
 
 def test_uncredited_queries_fit_in_driver_window():
     """A never-credited query outside the driver's 50-entry correctness
-    window ships another round without hard driver evidence. That is
-    only acceptable when it was CONSCIOUSLY queued via
-    _DEFER_TO_NEXT_ROUND (more uncredited names than slots); silent
-    overflow — an undeferraled window entry pushed past slot 50 — is a
-    bookkeeping bug."""
+    window ships another round without hard driver evidence. The queue
+    is derived (registry.deferred_queue()); it may only be non-empty
+    when there genuinely are more uncredited names than slots."""
     names = list(e.queries())
     uncredited = [n for n in names if n not in registry._DRIVER_CREDITED]
-    overflow = [n for n in uncredited if names.index(n) >= 50]
-    silent = [n for n in overflow if n not in registry._DEFER_TO_NEXT_ROUND]
-    assert not silent, (
-        f"{len(uncredited)} uncredited queries; these overflow the 50-entry "
-        f"window WITHOUT being deferred: {silent}"
-    )
+    overflow = registry.deferred_queue()
     if overflow:
-        # deferral must be the reason the window overflows at all
         assert len(uncredited) > 50, (
-            f"window has spare slots yet these are deferred: {overflow}"
+            f"window has spare slots yet these queue: {overflow}"
         )
 
 

@@ -268,3 +268,211 @@ def scd2_intervals_view(history: DataFrame, key: str = "user_id") -> DataFrame:
         )
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+# --------------------------------------------------- MERGE action log
+MERGE_CUTOFF = "2024-01-24 00:00:00"
+
+
+def merge_upsert_actions(
+    changes: DataFrame,
+    cutoff: str = MERGE_CUTOFF,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """MERGE INTO dry-run: classify what an upsert of the post-``cutoff``
+    changelog into the pre-``cutoff`` snapshot WOULD do, row by row —
+    the audit table a warehouse MERGE emits (Delta/Iceberg publish these
+    as operation metrics; plain parquet has to derive them).
+
+    Snapshot and batch are both latest-writer-wins compactions
+    (:func:`cdc_latest_state` shape: one ``max(struct(...))`` aggregate,
+    one row per key map-side — NOT a window sort). The classification is
+    a single full-outer join on the key:
+
+    - ``insert``   — key only in the batch;
+    - ``update``   — key in both, (state, value) changed;
+    - ``nochange`` — key in both, payload identical (idempotent replay);
+    - keys only in the snapshot are untouched and not emitted (MERGE
+      WHEN NOT MATCHED BY SOURCE ... do nothing).
+
+    Both sides aggregate before the join, so the shuffle carries one row
+    per key per side regardless of changelog depth — the same geometry
+    at 100 TB with the key bucketed."""
+    from pyspark.sql import functions as F
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(key)
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col(ts).alias("ts"),
+                        F.col(tiebreak).alias("tb"),
+                        F.col("event_type").alias("state"),
+                        F.col("value").alias("value"),
+                    )
+                ).alias("last")
+            )
+            .select(
+                key,
+                F.col("last.state").alias("state"),
+                F.round(F.col("last.value"), 2).alias("value"),
+            )
+        )
+
+    snap = latest(changes.filter(F.col(ts) < F.lit(cutoff).cast("timestamp")))
+    batch = latest(
+        changes.filter(F.col(ts) >= F.lit(cutoff).cast("timestamp"))
+    )
+    b = batch.select(
+        key,
+        F.col("state").alias("new_state"),
+        F.col("value").alias("new_value"),
+    )
+    s = snap.select(
+        key,
+        F.col("state").alias("prev_state"),
+        F.col("value").alias("prev_value"),
+    )
+    return (
+        b.join(s, key, "left")
+        .select(
+            key,
+            F.when(F.col("prev_state").isNull(), F.lit("insert"))
+            .when(
+                (F.col("prev_state") == F.col("new_state"))
+                & (F.col("prev_value") == F.col("new_value")),
+                F.lit("nochange"),
+            )
+            .otherwise(F.lit("update"))
+            .alias("action"),
+            "prev_state",
+            "new_state",
+            "new_value",
+        )
+        .orderBy(key)
+    )
+
+
+def merge_upsert_actions_sql(
+    src: str = "events",
+    cutoff: str = MERGE_CUTOFF,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+) -> str:
+    """DuckDB twin of :func:`merge_upsert_actions`."""
+    return f"""
+        WITH snap AS (
+          SELECT {key}, event_type AS prev_state,
+                 ROUND(value, 2) AS prev_value
+          FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY {key} ORDER BY {ts} DESC, {tiebreak} DESC) rn
+            FROM {src} WHERE {ts} < TIMESTAMP '{cutoff}'
+          ) x WHERE rn = 1
+        ),
+        batch AS (
+          SELECT {key}, event_type AS new_state,
+                 ROUND(value, 2) AS new_value
+          FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY {key} ORDER BY {ts} DESC, {tiebreak} DESC) rn
+            FROM {src} WHERE {ts} >= TIMESTAMP '{cutoff}'
+          ) x WHERE rn = 1
+        )
+        SELECT b.{key},
+               CASE WHEN s.prev_state IS NULL THEN 'insert'
+                    WHEN s.prev_state = b.new_state
+                         AND s.prev_value = b.new_value THEN 'nochange'
+                    ELSE 'update' END AS action,
+               s.prev_state, b.new_state, b.new_value
+        FROM batch b LEFT JOIN snap s ON b.{key} = s.{key}
+        ORDER BY b.{key}
+    """
+
+
+# -------------------------------------- algebraic rollup maintenance
+ALG_MERGE_CUTOFF = "2001-01-01 00:00:00"
+
+
+def algebraic_rollup_merge(
+    orders: DataFrame, cutoff: str = ALG_MERGE_CUTOFF
+) -> DataFrame:
+    """Incremental rollup maintenance by ALGEBRAIC MERGE — the third
+    strategy next to full recompute (the reference's only mode) and
+    partition recompute-from-base (:func:`~.maintenance.
+    incremental_rollup_refresh`): count/sum are commutative monoids, so
+    the refreshed rollup is ``prev ⊕ agg(delta)`` — one full-outer join
+    on the group key, NEVER re-reading the base table. Cost is
+    O(|delta| + |groups|) instead of O(|touched base partitions|); this
+    is the strategy a 100 TB hourly rollup wants when deltas are
+    append-only (it cannot express retractions — that's what the
+    partition-recompute variant is for).
+
+    The fixture split simulates the ingest: ``prev`` is the rollup over
+    orders before ``cutoff`` (the stored materialization), the delta is
+    everything after. The oracle is the plain GROUP BY over the whole
+    table — the lossless-maintenance contract: merge(prev, delta) must
+    equal recompute(all)."""
+    from pyspark.sql import functions as F
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy").alias("year"),
+        ).agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_totalprice").alias("total_price"),
+        )
+
+    cut = F.lit(cutoff).cast("timestamp")
+    prev = rollup(orders.filter(F.col("o_orderdate") < cut))
+    delta = rollup(orders.filter(F.col("o_orderdate") >= cut))
+    p = prev.select(
+        "o_custkey",
+        "year",
+        F.col("n_orders").alias("n_p"),
+        F.col("total_price").alias("s_p"),
+    )
+    d = delta.select(
+        "o_custkey",
+        "year",
+        F.col("n_orders").alias("n_d"),
+        F.col("total_price").alias("s_d"),
+    )
+    return (
+        p.join(d, ["o_custkey", "year"], "full_outer")
+        .select(
+            "o_custkey",
+            "year",
+            (
+                F.coalesce(F.col("n_p"), F.lit(0))
+                + F.coalesce(F.col("n_d"), F.lit(0))
+            ).alias("n_orders"),
+            F.round(
+                F.coalesce(F.col("s_p"), F.lit(0.0))
+                + F.coalesce(F.col("s_d"), F.lit(0.0)),
+                2,
+            ).alias("total_price"),
+        )
+        .orderBy("o_custkey", "year")
+    )
+
+
+def algebraic_rollup_merge_sql(src: str = "orders") -> str:
+    """DuckDB twin: the MERGED rollup must equal the one-shot GROUP BY
+    over the full table — the oracle IS the recompute, so it bypasses
+    the merge entirely (checking the contract, not mirroring the
+    implementation)."""
+    return f"""
+        SELECT o_custkey,
+               strftime(o_orderdate, '%Y') AS year,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM {src}
+        GROUP BY 1, 2
+        ORDER BY o_custkey, year
+    """

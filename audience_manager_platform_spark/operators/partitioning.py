@@ -14,9 +14,55 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf string ('134217728', '128m', '1g')."""
+    s = str(v).strip().lower().rstrip("b")
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(s)
+
+
 def spread(df: DataFrame) -> DataFrame:
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    """Repartition ONLY when the scan cannot parallelize on its own.
+
+    The probe is plan-side metadata — ``inputFiles()`` plus local file
+    sizes against ``maxPartitionBytes`` — never ``df.rdd`` (the RDD
+    conversion costs a Py4J/serializer round-trip per call at plan
+    time; r6 verdict). A scan is left alone when it already has either
+    enough files or enough estimated byte-splits (FileSourceScan splits
+    large files at maxPartitionBytes, so few-but-huge files still fan
+    out); non-file sources (in-memory fixtures, streams) and remote
+    filesystems are trusted as-is."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files:
+        return df
+    if len(files) >= target:
+        return df
+    import os
+    from urllib.parse import urlparse
+
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            # remote FS: stat calls are not free — trust the scan's
+            # own maxPartitionBytes splitting
+            return df
+        try:
+            total += os.path.getsize(u.path)
+        except OSError:
+            return df
+    max_bytes = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    est_splits = max(1, total // max(1, max_bytes))
+    if est_splits >= target:
         return df
     return df.repartition(target)
 

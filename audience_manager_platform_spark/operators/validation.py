@@ -1477,3 +1477,82 @@ def partition_completeness_sql(src: str = "events") -> str:
         FROM lagged
         ORDER BY day
     """
+
+
+# ------------------------------------------------- robust winsorization
+def winsorize_stats(
+    events: DataFrame, p_lo: float = 0.01, p_hi: float = 0.99
+) -> DataFrame:
+    """Winsorized robust feature statistics per event_type — the
+    feature-prep pass an ML pipeline runs before normalizing a
+    heavy-tailed column: clamp to the [p01, p99] band and report how
+    much mass the clamps touched.
+
+    Thresholds use ``percentile_disc`` (an ACTUAL data value, no
+    interpolation) so both engines land on bit-identical cutoffs and
+    the strict < / > clip counts can't sit on a float knife edge —
+    the same determinism contract as the exact-integer ADC grids.
+
+    Two passes over the column: a per-group threshold aggregate (rows
+    per group collapse map-side into the percentile's sort — at 100 TB
+    with few, hot group keys swap in the KLL sketch variant,
+    ``sketch_quantile_bands``, same shape), then one broadcast join of
+    the |groups|-row threshold table back onto the scan for the
+    clamped re-aggregate."""
+    thresholds = events.groupBy("event_type").agg(
+        F.expr(f"percentile_disc({p_lo}) WITHIN GROUP (ORDER BY value)")
+        .alias("lo"),
+        F.expr(f"percentile_disc({p_hi}) WITHIN GROUP (ORDER BY value)")
+        .alias("hi"),
+    )
+    clamped = events.join(F.broadcast(thresholds), "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+        .alias("wv"),
+    )
+    return (
+        clamped.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("lo").alias("p_lo"),
+            F.min("hi").alias("p_hi"),
+            F.sum((F.col("value") < F.col("lo")).cast("long"))
+            .alias("n_clip_lo"),
+            F.sum((F.col("value") > F.col("hi")).cast("long"))
+            .alias("n_clip_hi"),
+            F.round(F.avg("wv"), 4).alias("win_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def winsorize_stats_sql(
+    src: str = "events", p_lo: float = 0.01, p_hi: float = 0.99
+) -> str:
+    """DuckDB twin of :func:`winsorize_stats` (quantile_disc ==
+    percentile_disc: smallest value whose cumulative distribution
+    reaches p — verified identical on boundary fixtures)."""
+    return f"""
+        WITH th AS (
+          SELECT event_type,
+                 quantile_disc(value, {p_lo}) AS lo,
+                 quantile_disc(value, {p_hi}) AS hi
+          FROM {src} GROUP BY 1
+        )
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(t.lo) AS p_lo,
+               MIN(t.hi) AS p_hi,
+               CAST(SUM(CASE WHEN e.value < t.lo THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clip_lo,
+               CAST(SUM(CASE WHEN e.value > t.hi THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clip_hi,
+               ROUND(AVG(LEAST(GREATEST(e.value, t.lo), t.hi)), 4)
+                 AS win_mean
+        FROM {src} e JOIN th t ON e.event_type = t.event_type
+        GROUP BY 1
+        ORDER BY 1
+    """

@@ -135,6 +135,11 @@ _WINDOW_PIN: tuple[str, ...] = (
     "ts_rolling_regression",
     "ts_crosscorr_lead_lag",
     "ts_ewma_anomaly",
+    # r7 additions (wave 26): MERGE dry-run audit, algebraic rollup
+    # maintenance, winsorized robust feature stats
+    "cdc_merge_upsert_actions",
+    "rollup_algebraic_merge",
+    "feature_winsorize_events",
 )
 
 # There is NO hand-kept defer list anymore (r6 advice: the 80-name

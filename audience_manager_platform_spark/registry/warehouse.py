@@ -66,6 +66,8 @@ from ..operators.skew import (
 )
 from ..operators.geo import geo_cell_rollup, geo_cell_rollup_sql
 from ..operators.validation import (
+    winsorize_stats,
+    winsorize_stats_sql,
     fk_fanout_profile,
     fk_fanout_profile_sql,
     fk_orphan_audit,
@@ -278,6 +280,19 @@ def _bucketed_join_revenue(s, d):
 QUERIES = {
     "scd2_user_state_history": lambda s, d: MG.scd2_history(_events(s, d)),
     "cdc_latest_user_state": lambda s, d: MG.cdc_latest_state(_events(s, d)),
+    # r7: MERGE INTO dry-run — the per-key insert/update/nochange audit
+    # a transactional MERGE emits, derived over plain parquet
+    "cdc_merge_upsert_actions": lambda s, d: MG.merge_upsert_actions(
+        _events(s, d)
+    ),
+    # r7: algebraic incremental rollup (prev ⊕ agg(delta), base never
+    # re-read) — oracle is the full recompute (lossless-maintenance)
+    "rollup_algebraic_merge": lambda s, d: MG.algebraic_rollup_merge(
+        load_table(s, d, "orders")
+    ),
+    # r7: winsorized robust feature stats on percentile_disc cutoffs
+    # (actual data values — no cross-engine interpolation arithmetic)
+    "feature_winsorize_events": lambda s, d: winsorize_stats(_events(s, d)),
     # wave 19: the design step above the fixed-fraction draw — optimal
     # per-stratum sizes from exact integer-cents variances
     "sample_neyman_allocation": lambda s, d: C.neyman_allocation(
@@ -537,6 +552,9 @@ QUERIES = {
 ORACLES = {
     "scd2_user_state_history": MG.scd2_history_sql(),
     "cdc_latest_user_state": MG.cdc_latest_state_sql(),
+    "cdc_merge_upsert_actions": MG.merge_upsert_actions_sql(),
+    "rollup_algebraic_merge": MG.algebraic_rollup_merge_sql(),
+    "feature_winsorize_events": winsorize_stats_sql(),
     "sample_neyman_allocation": C.neyman_allocation_sql("events"),
     "sample_stratified_events": (
         "SELECT event_id, user_id, event_type, ts, ROUND(value, 2) AS value FROM ("

@@ -1,0 +1,219 @@
+"""Round-7 wave-26 operators: MERGE dry-run audit, algebraic rollup
+maintenance, winsorized robust stats, and the pinned-fingerprint pHash
+oracle plumbing. Hand-computed fixtures only — the sf0.01 oracle gate is
+the volume check."""
+
+import hashlib
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double",
+    ).selectExpr(
+        "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value",
+    )
+
+
+def test_merge_upsert_actions_hand_computed(spark):
+    """user 1 replays its snapshot payload -> nochange; user 2 changes
+    state -> update; user 3 is batch-only -> insert; user 4 is
+    snapshot-only -> untouched, NOT emitted (WHEN NOT MATCHED BY SOURCE
+    do nothing)."""
+    from audience_manager_platform_spark.operators.merge import (
+        merge_upsert_actions,
+    )
+
+    rows = [
+        # snapshot era (< cutoff)
+        (0, "2024-01-01 10:00:00", 1, "view", 10.0),
+        (1, "2024-01-02 10:00:00", 2, "click", 5.0),
+        (2, "2024-01-03 10:00:00", 4, "error", 3.0),
+        # batch era (>= cutoff); user 1's LATEST batch row replays the
+        # snapshot payload (the earlier 9.0 row must lose the argmax)
+        (3, "2024-02-01 10:00:00", 1, "view", 9.0),
+        (4, "2024-02-02 10:00:00", 1, "view", 10.0),
+        (5, "2024-02-01 11:00:00", 2, "purchase", 7.0),
+        (6, "2024-02-01 12:00:00", 3, "signup", 1.0),
+    ]
+    out = {
+        r.user_id: r
+        for r in merge_upsert_actions(
+            _events_df(spark, rows), cutoff="2024-02-01 00:00:00"
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}  # user 4 untouched
+    assert out[1].action == "nochange"
+    assert out[1].prev_state == "view" and out[1].new_value == 10.0
+    assert out[2].action == "update"
+    assert out[2].prev_state == "click" and out[2].new_state == "purchase"
+    assert out[3].action == "insert" and out[3].prev_state is None
+
+
+def test_merge_upsert_null_value_counts_as_change(spark):
+    """NULL payload equality is three-valued: a NULL on either side makes
+    the nochange predicate non-TRUE, so the row classifies as update —
+    identically in the DuckDB twin's CASE."""
+    from audience_manager_platform_spark.operators.merge import (
+        merge_upsert_actions,
+    )
+
+    rows = [
+        (0, "2024-01-01 10:00:00", 1, "view", None),
+        (1, "2024-02-01 10:00:00", 1, "view", None),
+    ]
+    out = merge_upsert_actions(
+        _events_df(spark, rows), cutoff="2024-02-01 00:00:00"
+    ).collect()
+    assert len(out) == 1 and out[0].action == "update"
+
+
+def test_algebraic_rollup_merge_equals_full_recompute(spark):
+    """The lossless-maintenance contract on a hand-built split: groups
+    touched on both sides of the cutoff merge counts/sums; one-sided
+    groups pass through. Oracle semantics = plain GROUP BY over all."""
+    from pyspark.sql import functions as F
+
+    from audience_manager_platform_spark.operators.merge import (
+        algebraic_rollup_merge,
+    )
+
+    orders = spark.createDataFrame(
+        [
+            # custkey 7, year 2000: entirely pre-cutoff
+            (1, 7, "2000-03-01", 10.00),
+            (2, 7, "2000-04-01", 20.00),
+            # custkey 7, year 2001: straddles the 2001-01-01 cutoff
+            # (o_orderdate >= cutoff is the delta)
+            (3, 7, "2001-01-01", 5.50),
+            # custkey 9, year 2001: delta-only group
+            (4, 9, "2001-02-01", 7.25),
+        ],
+        "o_orderkey long, o_custkey long, d string, o_totalprice double",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "CAST(d AS TIMESTAMP) AS o_orderdate",
+        "o_totalprice",
+    )
+    got = {
+        (r.o_custkey, r.year): (r.n_orders, r.total_price)
+        for r in algebraic_rollup_merge(orders).collect()
+    }
+    assert got == {
+        (7, "2000"): (2, 30.00),
+        (7, "2001"): (1, 5.50),
+        (9, "2001"): (1, 7.25),
+    }
+    # contract: identical to the one-shot recompute
+    full = {
+        (r.o_custkey, r.year): (r.n_orders, r.total_price)
+        for r in orders.groupBy(
+            "o_custkey", F.date_format("o_orderdate", "yyyy").alias("year")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .collect()
+    }
+    assert got == full
+
+
+def test_algebraic_merge_straddling_group_sums_both_sides(spark):
+    """A group with rows on BOTH sides of the cutoff must come out as
+    prev ⊕ delta, not either side alone."""
+    from audience_manager_platform_spark.operators.merge import (
+        algebraic_rollup_merge,
+    )
+
+    orders = spark.createDataFrame(
+        [
+            (1, 5, "2000-12-31", 1.00),   # year 2000 prev — separate group
+            (2, 5, "2001-06-01", 2.00),   # year 2001 delta
+            (3, 5, "2001-01-01", 4.00),   # year 2001 delta (on the cutoff)
+        ],
+        "o_orderkey long, o_custkey long, d string, o_totalprice double",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "CAST(d AS TIMESTAMP) AS o_orderdate",
+        "o_totalprice",
+    )
+    got = {
+        (r.o_custkey, r.year): (r.n_orders, r.total_price)
+        for r in algebraic_rollup_merge(orders).collect()
+    }
+    assert got == {(5, "2000"): (1, 1.00), (5, "2001"): (2, 6.00)}
+
+
+def test_winsorize_stats_hand_computed(spark):
+    """100 values 1..100 in one group: percentile_disc(.01)=1,
+    percentile_disc(.99)=99 (smallest value whose cumulative dist
+    reaches p), so only 100 clips high; winsorized mean =
+    (sum(1..99) + 99) / 100 = 50.49."""
+    from audience_manager_platform_spark.operators.validation import (
+        winsorize_stats,
+    )
+
+    rows = [
+        (i, "2024-01-01 00:00:00", 1, "click", float(i))
+        for i in range(1, 101)
+    ]
+    out = winsorize_stats(_events_df(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.p_lo, r.p_hi) == (1.0, 99.0)
+    assert (r.n_clip_lo, r.n_clip_hi) == (0, 1)
+    assert r.n == 100
+    assert r.win_mean == 50.49
+
+
+def test_phash_pins_match_the_environment_canary():
+    """registry/phash_pins.py must stay bit-identical to the pinned
+    numpy/BLAS canary (tests/test_r6_operators.py pins the first 64
+    fingerprints + a sha over them): if the canary re-pins after a
+    library drift, the oracle pin table must be regenerated too —
+    this test fails loudly if the two diverge."""
+    from audience_manager_platform_spark.registry.phash_pins import (
+        PHASH_SF001,
+    )
+
+    assert len(PHASH_SF001) == 500
+    assert PHASH_SF001[0] == (0, 2008424753268054785)
+    first64 = list(PHASH_SF001[:64])
+    sha = hashlib.sha256(repr(first64).encode()).hexdigest()
+    assert sha == (
+        "8ba96e9e7d4ab95af3522d757065a65c238e5593428ba2240730b1a2ca40af60"
+    )
+
+
+def test_phash_oracle_sql_binds_to_fixture_doc_ids():
+    """The inline pin table joins against the documents view, so the
+    oracle stays correct on any fixture whose doc_ids are a subset of
+    the pinned 500 (sf0.001 as well as the sf0.01 gate)."""
+    import duckdb
+
+    from audience_manager_platform_spark.registry.phash_pins import (
+        phash_neardup_oracle_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet')"
+    )
+    small = con.execute(phash_neardup_oracle_sql()).df()
+    con2 = duckdb.connect()
+    con2.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        "'/root/testdata/sf0.01/documents.parquet')"
+    )
+    big = con2.execute(phash_neardup_oracle_sql()).df()
+    n_docs_small = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert set(small.columns) == {"doc_a", "doc_b", "hamming"}
+    # every small-fixture pair involves only small-fixture docs, and is
+    # a subset of the big fixture's pairs
+    assert (small["doc_a"] < n_docs_small).all()
+    assert (small["doc_b"] < n_docs_small).all()
+    big_pairs = set(zip(big["doc_a"], big["doc_b"]))
+    assert set(zip(small["doc_a"], small["doc_b"])) <= big_pairs
+    assert (big["hamming"] <= 6).all()

@@ -150,6 +150,93 @@ class AudienceEngine:
         )
         return rule
 
+    # ------------------------------------------- batch reclassification
+    def effective_conditions(self, rule_id: int) -> list:
+        """A rule's FULL condition payload with dependency rewrites
+        undone: its stored (possibly reduced) conditions plus the
+        effective conditions of everything it depends on, recursively.
+        Cycle-safe; duplicates collapse by the canonical condition set."""
+        from .plans.dependency_finder import conditions_to_set
+
+        out: list = []
+        seen_keys: set = set()
+        visited: set[int] = set()
+
+        def visit(rid: int) -> None:
+            if rid in visited:
+                return
+            visited.add(rid)
+            rule = self.catalog.get_rule(rid)
+            for cond in rule.conditions or []:
+                # canonical key; unparseable conditions fall back to repr
+                key = conditions_to_set([cond]) or repr(cond)
+                if key not in seen_keys:
+                    seen_keys.add(key)
+                    out.append(cond)
+            for pid in rule.depends_on or []:
+                visit(pid)
+
+        visit(rule_id)
+        return out
+
+    def reclassify_catalog(self) -> dict[int, dict]:
+        """One-shot batch reclassification of the WHOLE existing catalog —
+        the engine-side equivalent of the reference's standalone analysis
+        script (``backend/update_segment_query.py:43-89``), for catalogs
+        that predate the dependency planner (M3 otherwise only runs at
+        create/update time).
+
+        Like the reference: every rule is re-analyzed simplest-first
+        (condition count ascending, then rule_id), each against ALL other
+        active rules; composites get ``depends_on``/``operation`` and drop
+        their direct SQL, base rules get a direct SQL query and cleared
+        dependencies. Unlike the reference's dict-merge subset check, the
+        analysis is :func:`find_best_dependency` itself — so a catalog
+        built without the planner converges to exactly the rewrites
+        create-time would have produced had the rules arrived in that
+        order (pinned by ``tests/test_engine.py``). Rules already
+        rewritten are first expanded back to their effective conditions,
+        making the pass idempotent.
+
+        Returns {rule_id: {"operation", "depends_on", "conditions"}} for
+        inspection/logging."""
+        rules = list(self.catalog.active_rules())
+        effective = {r.rule_id: self.effective_conditions(r.rule_id) for r in rules}
+        order = sorted(rules, key=lambda r: (len(effective[r.rule_id]), r.rule_id))
+        report: dict[int, dict] = {}
+        for r in order:
+            updated = self.update_rule(r.rule_id, effective[r.rule_id])
+            if self.catalog.get_segment(r.rule_id) is None:
+                # a pre-planner catalog may hold rules with no segment
+                # row at all (raw inserts); create it like create_rule
+                # does so the classification lands somewhere visible
+                query = self.compiler.compile(updated.conditions)
+                self.catalog.upsert_segment(
+                    SegmentMeta(
+                        rule_id=updated.rule_id,
+                        segment_name=f"Segment for rule: {updated.name}",
+                        table_name=f"segment_output_{updated.rule_id}",
+                        path=self.catalog.segment_path(updated.rule_id),
+                        sql_query=(
+                            query.to_sql(
+                                "SELECT * FROM all_transactions",
+                                dialect="spark",
+                            )
+                            if updated.conditions or not updated.depends_on
+                            else None
+                        ),
+                        depends_on=updated.depends_on,
+                        operation=updated.operation,
+                        combine_keys=self.combine_keys,
+                    )
+                )
+            report[r.rule_id] = {
+                "operation": updated.operation,
+                "depends_on": list(updated.depends_on),
+                "conditions": list(updated.conditions),
+            }
+        return report
+
     # ----------------------------------------------------- plan selection
     def segment_dataframe(self, rule_id: int) -> DataFrame:
         """Entry point B plan selection: compound path folds parent

@@ -238,3 +238,81 @@ def test_concurrent_refreshes_serialize_at_the_swap(engine):
         if d.startswith(base + ".tmp-") or d.startswith(base + ".old-")
     ]
     assert leftovers == []
+
+
+def test_reclassify_catalog_matches_create_time(engine):
+    """A catalog that PREDATES the dependency planner (rules inserted
+    directly, composite created before its would-be parents — the worst
+    order for create-time planning) converges under reclassify_catalog()
+    to exactly the rewrites create-time produces with a favorable order:
+    the reference's one-shot analysis script
+    (backend/update_segment_query.py:43-89) as an engine method."""
+    # pre-planner catalog: raw inserts, no rewrite anywhere
+    big = engine.catalog.add_rule("amt_and_tier", conditions=[AMT, TIER])
+    a = engine.catalog.add_rule("amt", conditions=[AMT])
+    t = engine.catalog.add_rule("tier", conditions=[TIER])
+    for r in (big, a, t):
+        assert r.depends_on == [] and r.operation is None
+
+    report = engine.reclassify_catalog()
+
+    # bases stay base, with a direct SQL query and no deps
+    for rid in (a.rule_id, t.rule_id):
+        rule = engine.catalog.get_rule(rid)
+        assert rule.depends_on == [] and rule.operation is None
+        meta = engine.catalog.get_segment(rid)
+        assert meta and meta.sql_query and "GROUP BY user_id" in meta.sql_query
+    # the composite is rewritten onto both bases, fully covered
+    rule = engine.catalog.get_rule(big.rule_id)
+    assert sorted(rule.depends_on) == sorted([a.rule_id, t.rule_id])
+    assert rule.operation == "intersection" and rule.conditions == []
+    meta = engine.catalog.get_segment(big.rule_id)
+    assert meta.sql_query is None  # compound path, no direct SQL
+    assert report[big.rule_id]["operation"] == "intersection"
+
+    # ...and the classification equals create-time with parents-first order
+    clean = AudienceEngine(
+        engine.spark,
+        Catalog(engine.catalog.base_dir + "_clean"),
+        engine._transactions,
+    )
+    clean.create_rule("amt", [AMT])
+    clean.create_rule("tier", [TIER])
+    cb = clean.create_rule("amt_and_tier", [AMT, TIER])
+
+    def shape(eng, rid):
+        r = eng.catalog.get_rule(rid)
+        dep_names = sorted(eng.catalog.get_rule(p).name for p in r.depends_on)
+        return (dep_names, r.operation, list(r.conditions))
+
+    assert shape(engine, big.rule_id) == shape(clean, cb.rule_id)
+
+
+def test_reclassify_catalog_is_idempotent(engine):
+    """Already-rewritten rules expand back to effective conditions first,
+    so a second pass is a no-op — including residual-condition splits."""
+    r1 = engine.create_rule("amt", [AMT])
+    r2 = engine.create_rule("amt_plus_count", [AMT, COUNT])
+    assert r2.depends_on == [r1.rule_id] and r2.conditions == [COUNT]
+
+    before = {
+        r.rule_id: (list(r.conditions), list(r.depends_on), r.operation)
+        for r in engine.catalog.active_rules()
+    }
+    engine.reclassify_catalog()
+    after = {
+        r.rule_id: (list(r.conditions), list(r.depends_on), r.operation)
+        for r in engine.catalog.active_rules()
+    }
+    assert before == after
+
+
+def test_effective_conditions_expand_dependencies(engine):
+    engine.create_rule("amt", [AMT])
+    r2 = engine.create_rule("amt_plus_count", [AMT, COUNT])
+    eff = engine.effective_conditions(r2.rule_id)
+    # reduced storage ([COUNT] + dep on amt) expands back to {AMT, COUNT}
+    assert {frozenset(c.items()) for c in eff} == {
+        frozenset(AMT.items()),
+        frozenset(COUNT.items()),
+    }

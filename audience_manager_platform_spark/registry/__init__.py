@@ -34,8 +34,9 @@ from . import rules
 # in a committed CORRECTNESS_r{N}.json to the front of the dict.  The
 # credited set is DERIVED from those files at import time (no hand-kept
 # list to fall out of sync); a green row is one whose row-count and schema
-# match and whose value-hash either matches or was not applicable
-# (rows-only check for non-SQL-expressible ops).
+# match and whose value-hash matches (hash_match=None — the driver's
+# weaker rows-only check — only counts for names declared in ROWS_ONLY,
+# currently none).
 
 
 # Queries whose semantics genuinely cannot be re-expressed in DuckDB SQL,

@@ -133,6 +133,12 @@ HEADLINE = [
     "ann_chunk_maxsim_ivf_topk",
     # r6 wave 23: binary 1-bit codes, Hamming shortlist + exact re-rank
     "ann_hamming_topk",
+    # r7 wave 26: MERGE dry-run audit, algebraic rollup maintenance,
+    # winsorized robust stats, pHash near-dup (now oracle-paired)
+    "cdc_merge_upsert_actions",
+    "rollup_algebraic_merge",
+    "feature_winsorize_events",
+    "multimodal_phash_neardup",
 ]
 
 # Measured findings that contextualize round-over-round diffs (the judge

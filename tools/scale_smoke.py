@@ -749,6 +749,66 @@ def main() -> None:
     timed("PIT feature join + leakage audit", pit_feature_leakage(
         typed_events
     ))
+
+    # wave 24/26 additions (r7): decode-bound multimodal, calibration,
+    # MERGE audit, algebraic rollup, winsorize
+    from audience_manager_platform_spark.operators.multimodal import (
+        phash_hamming_pairs,
+        synthesize_textured_bmp,
+    )
+
+    n_imgs = int(os.environ.get("SCALE_IMGS", 20_000))
+    ROWS = n_imgs
+    # pHash is O(pixels)/row with zero shuffle before the band join;
+    # this measures decode+DCT throughput per core at 40x the fixture
+    timed(
+        f"pHash near-dup ({n_imgs:,} BMPs decoded)",
+        phash_hamming_pairs(
+            synthesize_textured_bmp(
+                spark.range(n_imgs).select(F.col("id").alias("doc_id"))
+            )
+        ),
+    )
+
+    from audience_manager_platform_spark.operators.text import (
+        langid_calibration,
+    )
+
+    ROWS = n_docs
+    timed(
+        "language-ID calibration bins",
+        langid_calibration(
+            docs.withColumn(
+                "lang",
+                F.when(F.col("doc_id") % 3 == 0, "en").otherwise("de"),
+            )
+        ),
+    )
+
+    from audience_manager_platform_spark.operators.merge import (
+        algebraic_rollup_merge,
+        merge_upsert_actions,
+    )
+    from audience_manager_platform_spark.operators.validation import (
+        winsorize_stats,
+    )
+
+    ROWS = int(os.environ.get("SCALE_ROWS", 10_000_000))
+    timed(
+        "MERGE dry-run audit (insert/update/nochange)",
+        merge_upsert_actions(typed_events, cutoff="2025-07-01 00:00:00"),
+    )
+    orders_like = typed_events.select(
+        F.col("event_id").alias("o_orderkey"),
+        F.col("user_id").alias("o_custkey"),
+        F.col("ts").alias("o_orderdate"),
+        F.col("value").alias("o_totalprice"),
+    )
+    timed(
+        "algebraic rollup merge (prev + delta)",
+        algebraic_rollup_merge(orders_like, cutoff="2025-07-01 00:00:00"),
+    )
+    timed("winsorized robust stats", winsorize_stats(typed_events))
     spark.stop()
 
 

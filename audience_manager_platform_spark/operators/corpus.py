@@ -1875,3 +1875,102 @@ def neyman_allocation_sql(
         FROM ranked CROSS JOIN deficit
         ORDER BY event_type
     """
+
+
+# --------------------------------------------- purged time-series folds
+def purged_time_split(
+    events: DataFrame, k: int = 5, embargo_days: int = 2
+) -> DataFrame:
+    """Purged k-fold assignment for time-ordered data — the
+    leakage-safe cross-validation layout (de Prado's purged CV): days
+    split into k contiguous folds by calendar order, and the first
+    ``embargo_days`` days of each fold AFTER the first are EMBARGOED
+    (excluded from training) so serial correlation can't leak the
+    previous fold's information across the boundary.
+
+    All bookkeeping rides the |days|-row aggregated table (the raw
+    stream contributes one count aggregate); fold id is closed-form
+    ``(idx-1)*k div D`` so the embargo test needs NO second window —
+    a day is embargoed iff its fold differs from the fold of the day
+    ``embargo_days`` earlier. Exact integers everywhere."""
+    days = (
+        events.select(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    w = Window.orderBy("day")  # |days| rows only — never the raw stream
+    d_total = days.select(F.count("*").alias("n_days"))
+    idxed = (
+        days.withColumn("idx", F.row_number().over(w))
+        .crossJoin(F.broadcast(d_total))
+        .select(
+            "day",
+            "n_rows",
+            F.expr(f"(idx - 1) * {k} div n_days").alias("fold"),
+            F.when(
+                F.col("idx") - embargo_days >= 1,
+                F.expr(
+                    f"(idx - 1 - {embargo_days}) * {k} div n_days"
+                ),
+            ).alias("prev_fold"),
+        )
+        .select(
+            "day",
+            "n_rows",
+            "fold",
+            (
+                F.col("prev_fold").isNotNull()
+                & (F.col("prev_fold") != F.col("fold"))
+            ).alias("embargoed"),
+        )
+    )
+    return (
+        idxed.groupBy("fold")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum(F.when(F.col("embargoed"), F.col("n_rows")).otherwise(0))
+            .alias("n_embargo_rows"),
+            F.min("day").alias("day_min"),
+            F.max("day").alias("day_max"),
+        )
+        .orderBy("fold")
+    )
+
+
+def purged_time_split_sql(
+    src: str = "events", k: int = 5, embargo_days: int = 2
+) -> str:
+    """DuckDB twin of :func:`purged_time_split`."""
+    return f"""
+        WITH days AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_rows
+          FROM {src} GROUP BY 1
+        ),
+        idxed AS (
+          SELECT day, n_rows,
+                 ROW_NUMBER() OVER (ORDER BY day) AS idx,
+                 COUNT(*) OVER () AS n_days
+          FROM days
+        ),
+        flagged AS (
+          SELECT day, n_rows,
+                 (idx - 1) * {k} // n_days AS fold,
+                 CASE WHEN idx - {embargo_days} >= 1
+                      THEN (idx - 1 - {embargo_days}) * {k} // n_days
+                 END AS prev_fold
+          FROM idxed
+        )
+        SELECT CAST(fold AS BIGINT) AS fold,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN prev_fold IS NOT NULL
+                              AND prev_fold != fold
+                             THEN n_rows ELSE 0 END) AS BIGINT)
+                 AS n_embargo_rows,
+               MIN(day) AS day_min,
+               MAX(day) AS day_max
+        FROM flagged
+        GROUP BY 1
+        ORDER BY 1
+    """

@@ -2734,3 +2734,105 @@ def langid_calibration_sql(src: str = "documents") -> str:
         FROM b
         ORDER BY bin_id
     """
+
+
+# ------------------------------------------------- code-vs-prose triage
+# Shared synthesis (both engines derive the same augmented text from
+# doc_id, so the oracle checks the DETECTOR, not the synthesis — the
+# url_canonical_dedup pattern): every 5th doc gets a code-ish tail.
+_CODE_TAIL = (
+    " def load(x) { return x + 1; } var y = f(x); class T { y = 2; }"
+)
+_CODE_SYNTH_SPARK = (
+    "CASE WHEN doc_id % 5 = 0 "
+    f"THEN concat(text, '{_CODE_TAIL}') ELSE text END"
+)
+# symbols that dominate source code but are rare in prose
+_CODE_SYM_RE = "[{}();=]"
+
+
+def code_detect(docs: DataFrame, sym_ppm_cut: int = 20_000,
+                kw_cut: int = 2) -> DataFrame:
+    """Code-vs-prose triage per source — the routing pass a training
+    corpus runs before applying prose-only quality filters to code (or
+    vice versa): symbol density (chars in ``{}();=`` per million chars)
+    and code-keyword hits, both EXACT integers, classify each doc; the
+    report aggregates per source.
+
+    One codegen projection (two regexp passes over the text) + one
+    combinable |sources|-group aggregate — embarrassingly parallel at
+    100 TB, no shuffle before the tiny final agg."""
+    full = F.expr(_CODE_SYNTH_SPARK)
+    scored = docs.select(
+        "source",
+        F.length(full).alias("n_chars"),
+        (
+            F.length(full)
+            - F.length(F.regexp_replace(full, _CODE_SYM_RE, ""))
+        ).alias("n_sym"),
+        F.size(
+            # lit pattern, not a SQL string literal — Spark SQL literals
+            # interpret backslash escapes ('\b' would become backspace)
+            F.regexp_extract_all(
+                full, F.lit(r"\b(def|return|var|function|class)\b"), 1
+            )
+        ).alias("n_kw"),
+    ).select(
+        "source",
+        # exact integer div (a double division + cast could land one
+        # ulp under the true integer and truncate wrong)
+        F.expr("n_sym * 1000000 div n_chars").alias("sym_ppm"),
+        "n_kw",
+    )
+    is_code = (F.col("sym_ppm") >= sym_ppm_cut) | (F.col("n_kw") >= kw_cut)
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(is_code.cast("long")).alias("n_code"),
+            F.expr("sum(sym_ppm) div count(*)").alias("mean_sym_ppm"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_code",
+            F.expr("n_code * 1000000 div n_docs").alias("code_ppm"),
+            "mean_sym_ppm",
+        )
+        .orderBy("source")
+    )
+
+
+def code_detect_sql(src: str = "documents", sym_ppm_cut: int = 20_000,
+                    kw_cut: int = 2) -> str:
+    """DuckDB twin of :func:`code_detect`. Spark's integer ``div`` on
+    the ppm is mirrored by casting the float division down — both
+    truncate toward zero on the same exact integers."""
+    synth = (
+        f"CASE WHEN doc_id % 5 = 0 THEN concat(text, '{_CODE_TAIL}') "
+        "ELSE text END"
+    )
+    return f"""
+        WITH scored AS (
+          SELECT source,
+                 CAST(
+                   (length({synth})
+                    - length(regexp_replace({synth}, '[{{}}();=]', '', 'g')))
+                   * 1000000 // length({synth}) AS BIGINT) AS sym_ppm,
+                 len(regexp_extract_all({synth},
+                     '\\b(def|return|var|function|class)\\b', 1)) AS n_kw
+          FROM {src}
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN sym_ppm >= {sym_ppm_cut}
+                              OR n_kw >= {kw_cut} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_code,
+               CAST(SUM(CASE WHEN sym_ppm >= {sym_ppm_cut}
+                              OR n_kw >= {kw_cut} THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*) AS BIGINT) AS code_ppm,
+               CAST(SUM(sym_ppm) // COUNT(*) AS BIGINT) AS mean_sym_ppm
+        FROM scored
+        GROUP BY 1
+        ORDER BY 1
+    """

@@ -1556,3 +1556,134 @@ def winsorize_stats_sql(
         GROUP BY 1
         ORDER BY 1
     """
+
+
+def robust_scale_stats(events: DataFrame, k: float = 3.0) -> DataFrame:
+    """Median/MAD robust-scaling statistics per event_type — the
+    outlier-resistant counterpart of mean/stddev standardization
+    (:func:`winsorize_stats`'s sibling; MAD tolerates 50% contamination
+    where stddev breaks at one bad row).
+
+    Both the median and the MAD use ``percentile_disc`` (actual data
+    values), so the cutoffs are bit-identical across engines and the
+    outlier count (|x - med| > k·MAD, IEEE-exact arithmetic on exact
+    inputs) can't sit on a knife edge. Three passes over the column,
+    each a |groups|-row broadcast back onto the scan; the KLL-sketch
+    swap is the 100 TB path for hot group keys."""
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+        .alias("med"),
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", "value",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)")
+        .alias("mad"),
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                (F.col("adev") > F.lit(k) * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type", "n", "med", "mad", "n_outliers",
+            F.expr("n_outliers * 1000000 div n").alias("outlier_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def robust_scale_stats_sql(src: str = "events", k: float = 3.0) -> str:
+    """DuckDB twin of :func:`robust_scale_stats`."""
+    return f"""
+        WITH med AS (
+          SELECT event_type, quantile_disc(value, 0.5) AS med
+          FROM {src} GROUP BY 1
+        ),
+        dev AS (
+          SELECT e.event_type, m.med, e.value,
+                 abs(e.value - m.med) AS adev
+          FROM {src} e JOIN med m ON e.event_type = m.event_type
+        ),
+        mad AS (
+          SELECT event_type, quantile_disc(adev, 0.5) AS mad
+          FROM dev GROUP BY 1
+        )
+        SELECT d.event_type,
+               CAST(COUNT(d.value) AS BIGINT) AS n,
+               MIN(d.med) AS med,
+               MIN(t.mad) AS mad,
+               CAST(SUM(CASE WHEN d.adev > {k} * t.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers,
+               CAST(SUM(CASE WHEN d.adev > {k} * t.mad THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(d.value) AS BIGINT) AS outlier_ppm
+        FROM dev d JOIN mad t ON d.event_type = t.event_type
+        GROUP BY 1
+        ORDER BY 1
+    """
+
+
+# ------------------------------------------- portable partition checksums
+_CK_MOD = 2_147_483_647      # 2^31 - 1: keeps every product under 2^63
+_CK_MUL_ID = 2_654_435_761   # Knuth multiplicative constants
+_CK_MUL_V = 40_503
+
+
+def partition_checksums(events: DataFrame) -> DataFrame:
+    """Order-insensitive per-day row checksums for replication /
+    migration verification at warehouse scale: two tables agree on a
+    day iff (n_rows, checksum) match, regardless of row order, file
+    layout, or engine.
+
+    The row hash is PORTABLE integer arithmetic (reduce-then-multiply
+    mod 2^31-1, so no BIGINT overflow in either engine — Spark would
+    wrap silently where DuckDB raises), the day aggregate is bit_xor —
+    commutative, so partial aggregation map-side combines and a
+    re-partitioned replica produces the identical value. One scan, one
+    |days|-group aggregate."""
+    m, p_id, p_v = _CK_MOD, _CK_MUL_ID, _CK_MUL_V
+    # Spark spells bitwise xor '^' (DuckDB's '^' is POWER — its twin
+    # uses the xor() function instead)
+    h = (
+        f"((event_id % {m}) * {p_id} % {m})"
+        f" ^ (((coalesce(CAST(floor(value * 100) AS BIGINT), -1) % {m}"
+        f" + {m}) % {m}) * {p_v} % {m})"
+    )
+    return (
+        events.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.expr(h).alias("h"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(h)").alias("checksum"),
+        )
+        .orderBy("day")
+    )
+
+
+def partition_checksums_sql(src: str = "events") -> str:
+    """DuckDB twin of :func:`partition_checksums` (same exact integer
+    lattice; xor/bit_xor are engine-native on BIGINT)."""
+    m, p_id, p_v = _CK_MOD, _CK_MUL_ID, _CK_MUL_V
+    return f"""
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(bit_xor(
+                 xor((event_id % {m}) * {p_id} % {m},
+                     ((coalesce(CAST(floor(value * 100) AS BIGINT), -1)
+                       % {m} + {m}) % {m}) * {p_v} % {m})
+               ) AS BIGINT) AS checksum
+        FROM {src}
+        GROUP BY 1
+        ORDER BY 1
+    """

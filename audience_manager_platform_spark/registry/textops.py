@@ -299,6 +299,10 @@ QUERIES = {
     # accuracy-vs-gold / majority ensemble) — the audit run before any
     # label model is fit over weak supervision sources
     "text_weak_label_votes": lambda s, d: T.weak_label_votes(_docs(s, d)),
+    # r7 wave 27 (r8 queue): code-vs-prose triage before prose-only
+    # quality filters touch code (shared doc_id-keyed synthesis — the
+    # oracle checks the detector, not the synthesis)
+    "text_code_detect": lambda s, d: T.code_detect(_docs(s, d)),
     # wave 25: reliability bins + per-bin calibration gap for the langid
     # score (confusion grades argmax, AUC the ranking, THIS the
     # probabilities a threshold-picker consumes); zero floats anywhere
@@ -417,5 +421,6 @@ ORACLES = {
     "dedup_soft_weights": D.soft_dedup_weights_sql(),
     "dedup_url_canonical": D.url_canonical_dedup_sql(),
     "text_weak_label_votes": T.weak_label_votes_sql(),
+    "text_code_detect": T.code_detect_sql(),
     "text_langid_calibration": T.langid_calibration_sql(),
 }

@@ -68,6 +68,10 @@ from ..operators.geo import geo_cell_rollup, geo_cell_rollup_sql
 from ..operators.validation import (
     winsorize_stats,
     winsorize_stats_sql,
+    robust_scale_stats,
+    robust_scale_stats_sql,
+    partition_checksums,
+    partition_checksums_sql,
     fk_fanout_profile,
     fk_fanout_profile_sql,
     fk_orphan_audit,
@@ -293,6 +297,17 @@ QUERIES = {
     # r7: winsorized robust feature stats on percentile_disc cutoffs
     # (actual data values — no cross-engine interpolation arithmetic)
     "feature_winsorize_events": lambda s, d: winsorize_stats(_events(s, d)),
+    # r7 wave 27 (r8 queue): median/MAD robust scaling, portable
+    # replication checksums, purged time-series CV folds
+    "feature_robust_scale_events": lambda s, d: robust_scale_stats(
+        _events(s, d)
+    ),
+    "validate_partition_checksums": lambda s, d: partition_checksums(
+        _events(s, d)
+    ),
+    "corpus_purged_time_split": lambda s, d: C.purged_time_split(
+        _events(s, d)
+    ),
     # wave 19: the design step above the fixed-fraction draw — optimal
     # per-stratum sizes from exact integer-cents variances
     "sample_neyman_allocation": lambda s, d: C.neyman_allocation(
@@ -555,6 +570,9 @@ ORACLES = {
     "cdc_merge_upsert_actions": MG.merge_upsert_actions_sql(),
     "rollup_algebraic_merge": MG.algebraic_rollup_merge_sql(),
     "feature_winsorize_events": winsorize_stats_sql(),
+    "feature_robust_scale_events": robust_scale_stats_sql(),
+    "validate_partition_checksums": partition_checksums_sql(),
+    "corpus_purged_time_split": C.purged_time_split_sql(),
     "sample_neyman_allocation": C.neyman_allocation_sql("events"),
     "sample_stratified_events": (
         "SELECT event_id, user_id, event_type, ts, ROUND(value, 2) AS value FROM ("

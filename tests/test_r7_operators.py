@@ -217,3 +217,104 @@ def test_phash_oracle_sql_binds_to_fixture_doc_ids():
     big_pairs = set(zip(big["doc_a"], big["doc_b"]))
     assert set(zip(small["doc_a"], small["doc_b"])) <= big_pairs
     assert (big["hamming"] <= 6).all()
+
+
+# ---------------------------------------------------------- wave 27
+def test_code_detect_hand_computed(spark):
+    """doc 0 gets the shared code tail (6 '{}();=' symbols per '{', '}',
+    '(', ')', ';', '=' occurrence + keywords def/return/var/class);
+    doc 1 stays prose -> zero symbols, zero keywords."""
+    from audience_manager_platform_spark.operators.text import code_detect
+
+    docs = spark.createDataFrame(
+        [
+            (0, "plain words here", "en", "srcA", 16),
+            (1, "more plain words", "en", "srcB", 16),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.source: r for r in code_detect(docs).collect()}
+    assert out["srcB"].n_code == 0 and out["srcB"].mean_sym_ppm == 0
+    a = out["srcA"]
+    # tail: " def load(x) { return x + 1; } var y = f(x); class T { y = 2; }"
+    # symbols {}();= -> ( ) { ; } ( ) ; { ; } plus '=' x2 = count them:
+    # load(x) ->2, {..} ->2, +1; ->1, var y = ->1, f(x) ->2, ; ->1,
+    # { } ->2, y = 2 ->1, ; ->1  => 13 symbols, 64-char tail + 16 prose
+    assert a.n_docs == 1 and a.n_code == 1 and a.code_ppm == 1_000_000
+    full_len = 16 + len(
+        " def load(x) { return x + 1; } var y = f(x); class T { y = 2; }"
+    )
+    assert a.mean_sym_ppm == 13 * 1_000_000 // full_len
+
+
+def test_robust_scale_hand_computed(spark):
+    """Values 1..9 plus an outlier 1000: median (disc, n=10) = 5,
+    adev = {4,3,2,1,0,1,2,3,4,995}, MAD (disc) = lower-median
+    of sorted {0,1,1,2,2,3,3,4,4,995} = 2; outliers: adev > 6
+    -> 995 only."""
+    from audience_manager_platform_spark.operators.validation import (
+        robust_scale_stats,
+    )
+
+    vals = [float(i) for i in range(1, 10)] + [1000.0]
+    rows = [
+        (i, "2024-01-01 00:00:00", 1, "click", v)
+        for i, v in enumerate(vals)
+    ]
+    out = robust_scale_stats(_events_df(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.med, r.mad) == (5.0, 2.0)
+    assert r.n == 10 and r.n_outliers == 1 and r.outlier_ppm == 100_000
+
+
+def test_partition_checksums_order_invariant(spark):
+    """The per-day checksum must be identical under any row order /
+    partitioning (bit_xor is commutative) and must move when a single
+    value changes."""
+    from audience_manager_platform_spark.operators.validation import (
+        partition_checksums,
+    )
+
+    rows = [
+        (1, "2024-01-01 01:00:00", 1, "view", 10.00),
+        (2, "2024-01-01 02:00:00", 2, "click", 20.50),
+        (3, "2024-01-02 01:00:00", 3, "view", 30.25),
+    ]
+    a = {r.day: (r.n_rows, r.checksum)
+         for r in partition_checksums(_events_df(spark, rows)).collect()}
+    shuffled = partition_checksums(
+        _events_df(spark, rows[::-1]).repartition(7)
+    )
+    b = {r.day: (r.n_rows, r.checksum) for r in shuffled.collect()}
+    assert a == b
+    rows_mut = [rows[0], (2, "2024-01-01 02:00:00", 2, "click", 20.51),
+                rows[2]]
+    c = {r.day: (r.n_rows, r.checksum)
+         for r in partition_checksums(_events_df(spark, rows_mut)).collect()}
+    assert c["2024-01-01"] != a["2024-01-01"]
+    assert c["2024-01-02"] == a["2024-01-02"]
+
+
+def test_purged_time_split_hand_computed(spark):
+    """10 days, k=5, embargo=2: folds of 2 days each; in every fold
+    after the first, BOTH days lie within 2 days of the boundary
+    (fold(idx-2) != fold(idx)), so both are embargoed; fold 0 has no
+    prior fold -> nothing embargoed."""
+    from audience_manager_platform_spark.operators.corpus import (
+        purged_time_split,
+    )
+
+    rows = [
+        (d * 10 + i, f"2024-01-{d + 1:02d} 06:00:00", 1, "view", 1.0)
+        for d in range(10)
+        for i in range(3)  # 3 rows/day
+    ]
+    out = {r.fold: r for r in
+           purged_time_split(_events_df(spark, rows)).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert all(r.n_days == 2 and r.n_rows == 6 for r in out.values())
+    assert out[0].n_embargo_rows == 0
+    for f in (1, 2, 3, 4):
+        assert out[f].n_embargo_rows == 6  # both days embargoed
+    assert out[0].day_min == "2024-01-01" and out[4].day_max == "2024-01-10"

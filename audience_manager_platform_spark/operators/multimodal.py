@@ -679,7 +679,8 @@ PHASH_BAND_BITS = 16  # 63 used bits; top band carries 15
 
 
 def phash_hamming_pairs(
-    media_df: DataFrame, max_hamming: int = 6
+    media_df: DataFrame, max_hamming: int = 6,
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """Perceptual near-duplicate IMAGE pairs: pHash fingerprints banded
     into 4 disjoint 16-bit keys — only images agreeing on at least one
@@ -687,7 +688,18 @@ def phash_hamming_pairs(
     3, high recall at the conventional <= 6 cutoff), exact
     ``bit_count`` verify on survivors. Same shuffle geometry as
     :func:`~.dedup.simhash_hamming_pairs`; the fingerprint table is
-    materialized once for the self-join's two branches."""
+    materialized once for the self-join's two branches.
+
+    ``max_band_size`` is the hot-band skew guard (the same contract as
+    :func:`~.dedup.minhash_lsh_pairs`): a clique of k visually identical
+    images lands all k in one band bucket and the self-join emits k²/2
+    pairs from a single task — the 10M scale smoke measured 5.9M pairs
+    from a 20k synthetic corpus whose pattern space collapses into
+    cliques. Capping drops over-full (band_idx, band_val) buckets before
+    the join; clique members still pair wherever an uncapped band
+    collides, and a mega-clique is better collapsed by exact-hash dedup
+    on the full phash first. Default None preserves exact semantics
+    (the fixture's bands are far below any sensible cap)."""
     from .partitioning import materialize
 
     fps = materialize(phash64(media_df))
@@ -709,6 +721,14 @@ def phash_hamming_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "phash", "bk.band_idx", "bk.band_val")
+    if max_band_size is not None:
+        small = (
+            bands.groupBy("band_idx", "band_val")
+            .agg(F.count("*").alias("band_n"))
+            .filter(F.col("band_n") <= max_band_size)
+            .select("band_idx", "band_val")
+        )
+        bands = bands.join(small, ["band_idx", "band_val"])
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band_idx", "band_val"])

@@ -318,3 +318,31 @@ def test_purged_time_split_hand_computed(spark):
     for f in (1, 2, 3, 4):
         assert out[f].n_embargo_rows == 6  # both days embargoed
     assert out[0].day_min == "2024-01-01" and out[4].day_max == "2024-01-10"
+
+
+def test_phash_band_cap_drops_hot_bands_only(spark, sf_dir):
+    """max_band_size semantics (the minhash_lsh_pairs contract on the
+    image path): uncapped == a cap larger than any fixture band, and a
+    tiny cap removes pairs without inventing new ones."""
+    from pyspark.sql import functions as F
+
+    from audience_manager_platform_spark.operators.multimodal import (
+        phash_hamming_pairs,
+        synthesize_textured_bmp,
+    )
+    from audience_manager_platform_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 60
+    )
+    media = synthesize_textured_bmp(docs)
+    base = {(r.doc_a, r.doc_b)
+            for r in phash_hamming_pairs(media).collect()}
+    roomy = {(r.doc_a, r.doc_b)
+             for r in phash_hamming_pairs(media, max_band_size=10_000)
+             .collect()}
+    assert roomy == base
+    capped = {(r.doc_a, r.doc_b)
+              for r in phash_hamming_pairs(media, max_band_size=1)
+              .collect()}
+    assert capped <= base

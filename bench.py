@@ -175,7 +175,16 @@ NOTES = (
     "BENCH_r06 absolute seconds as environment-scaled; within-round "
     "per-query ratios and plan shapes remain meaningful, and no code "
     "regression exists (checked-out r5-era commits reproduce the same "
-    "slowed timings)."
+    "slowed timings). "
+    "r7 idle-box re-base (BENCH_LOCAL_r7_idle.json): median per-query "
+    "ratio r7/r6 = 0.99 over the 43 tail-comparable queries — the r6 "
+    "1.24x median was environmental as diagnosed; the r6 stall "
+    "outliers re-measure clean (kmeans_cluster_quality 17.8s in r6 "
+    "sweep -> 1.0s idle r7). multimodal_phash_neardup (~14s at sf0.1) "
+    "decodes all 5,000 fixture BMPs through the Python DCT kernel "
+    "twice per median -- decode-bound, embarrassingly parallel, and "
+    "the band join now carries a max_band_size hot-band cap for "
+    "clique-heavy corpora."
 )
 
 # Repeats per query: medians make the bench regression-proof (r3 saw a

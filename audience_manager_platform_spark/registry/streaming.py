@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..sources import load_table
 from ..streaming.jobs import (
+    checksum_maintenance_stream,
     enriched_segment_counts,
     mix_histogram_stream,
     psi_histogram_stream,
@@ -28,6 +29,7 @@ from ..streaming.jobs import (
     windowed_event_counts,
 )
 from ..operators.skew import quantile_histogram_sql
+from ..operators.validation import partition_checksums_sql
 from ..operators.validation import mix_drift_sql, psi_value_drift_sql
 from ..streaming.stateful import running_spend_monitor
 
@@ -220,6 +222,44 @@ def _mix_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_report(hist)
 
 
+def _checksum_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL 3-chunk replay of the events fixture through the
+    foreachBatch checksum fold; the settled state table must equal the
+    ONE-SHOT batch checksum table exactly (counts add, checksums xor —
+    both monoids), which is also the oracle. This is the ingestion-time
+    migration-verify: any replica chunking yields the same table."""
+    import glob
+    import os
+    import shutil
+
+    from ..operators.partitioning import tracked_tempdir
+
+    events = load_table(spark, sf_dir, "events")
+    work = tracked_tempdir("amps_cksum_gate_")
+    land = os.path.join(work, "land")
+    os.makedirs(land, exist_ok=True)
+    for i in range(3):
+        chunk = os.path.join(work, f"chunk{i}")
+        events.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(chunk)
+        part = glob.glob(os.path.join(chunk, "*.parquet"))[0]
+        shutil.copy(part, os.path.join(land, f"{i:02d}.parquet"))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = checksum_maintenance_stream(
+        stream,
+        os.path.join(work, "state"),
+        os.path.join(work, "ckpt"),
+    )
+    q.awaitTermination(400)
+    q.stop()
+    return spark.read.parquet(os.path.join(work, "state")).orderBy("day")
+
+
 QUERIES = {
     "streaming_window_counts": _window_counts,
     "streaming_static_join_counts": _static_join_counts,
@@ -229,6 +269,10 @@ QUERIES = {
     "streaming_quantile_maintenance": _quantile_maintenance,
     "streaming_psi_monitor": _psi_monitor,
     "streaming_mix_monitor": _mix_monitor,
+    # r7 wave 27 (r8 queue): ingestion-time replication checksums —
+    # the settled fold state equals the one-shot batch table for ANY
+    # replay chunking (counts add, checksums xor)
+    "streaming_checksum_maintenance": _checksum_maintenance,
 }
 
 ORACLES = {
@@ -237,6 +281,7 @@ ORACLES = {
     ),
     "streaming_psi_monitor": psi_value_drift_sql("events"),
     "streaming_mix_monitor": mix_drift_sql("events"),
+    "streaming_checksum_maintenance": partition_checksums_sql("events"),
     "streaming_window_counts": """
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type,

@@ -650,3 +650,62 @@ def ivf_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def checksum_fold(state: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """One micro-batch of streaming integrity-checksum maintenance:
+    compute the batch's per-day (n_rows, portable xor checksum) via the
+    BATCH operator (:func:`~..operators.validation.partition_checksums`)
+    and merge into the committed state — counts add, checksums xor, both
+    commutative monoids, so the settled state equals the one-shot batch
+    table for ANY chunking of the ingest (the lossless-maintenance
+    contract, same family as the LSH and HLL folds).
+
+    Epoch-replay safety comes from the read-fold-overwrite discipline
+    (a replayed epoch re-folds from the same committed state — xor is
+    NOT idempotent, so the discipline, not the operator, carries
+    exactly-once; identical to :func:`hll_rollup_stream`'s contract)."""
+    from ..operators.validation import partition_checksums
+
+    daily = partition_checksums(batch)
+    if state is None:
+        return daily
+    return (
+        state.unionByName(daily)
+        .groupBy("day")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.expr("bit_xor(checksum)").alias("checksum"),
+        )
+    )
+
+
+def checksum_maintenance_stream(
+    events: DataFrame, state_dir: str, checkpoint_dir: str
+) -> "StreamingQuery":  # noqa: F821
+    """Maintain the per-day replication-checksum table from the event
+    stream via foreachBatch (read committed state, fold, overwrite —
+    state is |days| rows): the ingestion-time form of the migration
+    verify, so a replica can be diffed against the source WITHOUT ever
+    re-scanning raw history."""
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        state = _read_state_or_none(spark, state_dir)
+        new_state = checksum_fold(state, batch_df)
+        new_state.persist()
+        new_state.count()
+        new_state.write.mode("overwrite").parquet(state_dir + "_next")
+        spark.read.parquet(state_dir + "_next").write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+        new_state.unpersist()
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

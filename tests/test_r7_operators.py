@@ -346,3 +346,27 @@ def test_phash_band_cap_drops_hot_bands_only(spark, sf_dir):
               for r in phash_hamming_pairs(media, max_band_size=1)
               .collect()}
     assert capped <= base
+
+
+def test_checksum_fold_any_chunking_equals_batch(spark):
+    """The monoid contract behind streaming_checksum_maintenance: folding
+    the stream in ANY chunking yields exactly the one-shot batch table
+    (counts add, checksums xor over disjoint row sets)."""
+    from audience_manager_platform_spark.operators.validation import (
+        partition_checksums,
+    )
+    from audience_manager_platform_spark.streaming.jobs import checksum_fold
+
+    rows = [
+        (i, f"2024-01-{(i % 3) + 1:02d} 0{i % 9}:00:00", i % 5, "view",
+         float(i) + 0.25)
+        for i in range(30)
+    ]
+    full = {r.day: (r.n_rows, r.checksum)
+            for r in partition_checksums(_events_df(spark, rows)).collect()}
+    # fold in 3 uneven chunks
+    state = None
+    for lo, hi in ((0, 7), (7, 19), (19, 30)):
+        state = checksum_fold(state, _events_df(spark, rows[lo:hi]))
+    folded = {r.day: (r.n_rows, r.checksum) for r in state.collect()}
+    assert folded == full

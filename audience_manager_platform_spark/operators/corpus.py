@@ -1899,10 +1899,16 @@ def purged_time_split(
         .agg(F.count("*").alias("n_rows"))
     )
     w = Window.orderBy("day")  # |days| rows only — never the raw stream
-    d_total = days.select(F.count("*").alias("n_days"))
+    # total-day count as an unbounded window over the SAME (empty
+    # partition, day-order) spec: one exchange+sort evaluates both
+    # exprs, and no cross join enters the plan (the audit bans
+    # undeclared cartesians; the DuckDB twin is COUNT(*) OVER ())
+    w_all = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     idxed = (
         days.withColumn("idx", F.row_number().over(w))
-        .crossJoin(F.broadcast(d_total))
+        .withColumn("n_days", F.count("*").over(w_all))
         .select(
             "day",
             "n_rows",

@@ -57,7 +57,17 @@ def timed(label: str, df) -> None:
     never consumed times as a purchase count) and even left joins
     against aggregated (distinct-keyed) sides. Hashing the complete row
     struct into the aggregate makes every column load-bearing, so the
-    number measures the operator, not its pruned skeleton."""
+    number measures the operator, not its pruned skeleton.
+
+    ``SCALE_ONLY`` (comma-separated, case-insensitive substrings) skips
+    every non-matching label — so individual ops can be pushed to
+    SCALE_ROWS=100M+ without paying for the whole sweep."""
+    only = os.environ.get("SCALE_ONLY")
+    if only and not any(
+        s.strip().lower() in label.lower()
+        for s in only.split(",") if s.strip()
+    ):
+        return
     t0 = time.perf_counter()
     row = (
         df.select(F.xxhash64(F.struct(*df.columns)).alias("_h"))

@@ -42,6 +42,17 @@ MEDIA_SCHEMA = (
 )
 
 
+def _spread_ids(docs: DataFrame) -> DataFrame:
+    """doc_id projection, repartitioned when the scan cannot parallelize
+    on its own (single-file fixture -> ONE mapInPandas task otherwise;
+    every synthesis kernel below is per-row Python, so task count IS the
+    speedup — measured 14.4 s -> ~0.6 s for the textured-BMP synthesis
+    at sf0.1). No-op on multi-split scans (see partitioning.spread)."""
+    from .partitioning import spread
+
+    return spread(docs.select("doc_id"))
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Build a typed binary-media table from the documents fixture (the
     text bytes stand in for an image/audio payload): opaque payload +
@@ -113,7 +124,7 @@ def synthesize_wav(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(synth, schema=out_schema)
+    return _spread_ids(docs).mapInPandas(synth, schema=out_schema)
 
 
 def decode_wav_meta(media_df: DataFrame) -> DataFrame:
@@ -221,7 +232,7 @@ def synthesize_bmp(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(synth, schema=out_schema)
+    return _spread_ids(docs).mapInPandas(synth, schema=out_schema)
 
 
 def decode_bmp_meta(media_df: DataFrame) -> DataFrame:
@@ -451,7 +462,7 @@ def synthesize_flipbook(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(synth, schema=out_schema)
+    return _spread_ids(docs).mapInPandas(synth, schema=out_schema)
 
 
 def sample_flipbook_frames(media_df: DataFrame, every_nth: int = 2) -> DataFrame:
@@ -561,7 +572,15 @@ def synthesize_textured_bmp(
     intensity mixes two spatial frequencies seeded by doc_id. Every
     ``twin_every``-th doc reuses the PREVIOUS doc's pattern with a few
     perturbed pixels — planted perceptual near-dups whose bytes differ,
-    the recall target for :func:`phash_hamming_pairs`."""
+    the recall target for :func:`phash_hamming_pairs`.
+
+    The per-pixel pattern math stays SCALAR Python on purpose — the
+    pinned pHash fingerprints (registry/phash_pins.py + the numpy/BLAS
+    canary) ride its exact libm float path, and a numpy-vectorized sin
+    could round differently. Parallelism comes from ``spread`` instead:
+    the single-file fixture scan otherwise drags the whole synthesis
+    onto ONE task (measured 14.4 s for 5,000 BMPs at sf0.1 on one core
+    vs ~0.6 s spread over 32)."""
     out_schema = "doc_id long, media binary, media_type string"
     w_px, h_px = TEX_W, TEX_H
 
@@ -608,7 +627,7 @@ def synthesize_textured_bmp(
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(synth, schema=out_schema)
+    return _spread_ids(docs).mapInPandas(synth, schema=out_schema)
 
 
 def phash64(media_df: DataFrame) -> DataFrame:
@@ -974,7 +993,7 @@ def synthesize_wav_gapped(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(synth, schema=out_schema)
+    return _spread_ids(docs).mapInPandas(synth, schema=out_schema)
 
 
 def wav_vad_segments(media_df: DataFrame) -> DataFrame:
@@ -1103,7 +1122,7 @@ def synthesize_bmp_shaded(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(synth, schema=out_schema)
+    return _spread_ids(docs).mapInPandas(synth, schema=out_schema)
 
 
 def bmp_channel_stats(media_df: DataFrame) -> DataFrame:

@@ -585,16 +585,27 @@ def synthesize_textured_bmp(
     w_px, h_px = TEX_W, TEX_H
 
     def pattern(seed: int, perturb: bool):
+        # per-axis sinusoids hoisted out of the pixel loop: 60*sin(...)
+        # and 50*cos(...) depend only on x resp. y, so precomputing them
+        # is BIT-IDENTICAL (same multiply, same operand order in the
+        # pixel sum) while cutting 2048 libm calls/image to 64 — the
+        # pinned pHash fingerprints ride this exact float path, so only
+        # transformations that preserve it are legal here
+        sx = [
+            60 * math.sin(2 * math.pi * ((seed % 7) + 1) * x / w_px)
+            for x in range(w_px)
+        ]
+        cy = [
+            50 * math.cos(2 * math.pi * ((seed % 5) + 1) * y / h_px)
+            for y in range(h_px)
+        ]
+        s31 = seed * 31
         rows = []
         for y in range(h_px):
             row = bytearray()
+            cyy = cy[y]
             for x in range(w_px):
-                v = (
-                    128
-                    + 60 * math.sin(2 * math.pi * ((seed % 7) + 1) * x / w_px)
-                    + 50 * math.cos(2 * math.pi * ((seed % 5) + 1) * y / h_px)
-                    + ((seed * 31 + x * y) % 23) - 11
-                )
+                v = 128 + sx[x] + cyy + ((s31 + x * y) % 23) - 11
                 g = max(0, min(255, int(v)))
                 if perturb and (x + y * w_px) % 97 == 0:
                     g = max(0, min(255, g + 12))

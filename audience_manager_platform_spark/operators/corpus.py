@@ -1980,3 +1980,102 @@ def purged_time_split_sql(
         GROUP BY 1
         ORDER BY 1
     """
+
+
+# ------------------------------------------- cross-source overlap matrix
+def source_overlap_matrix(
+    docs: DataFrame, n: int = 3, max_gram_df: int | None = None
+) -> DataFrame:
+    """Pairwise n-gram overlap between SOURCES — the corpus-level
+    contamination/redundancy map (which feeds deduplicate-before-mixing
+    decisions: two crawls with 40% containment shouldn't both enter the
+    mixture at full weight).
+
+    Geometry: distinct (source, gram) pairs — the reduction that makes
+    everything downstream |vocab|-sized — then a gram-keyed self-join
+    emits only co-occurring source pairs (never the |sources|² cross
+    product); per-source gram counts broadcast back for the exact
+    integer containment/Jaccard ppm. ``max_gram_df`` drops grams present
+    in more than that many sources (boilerplate guard — at thousands of
+    sources a universal gram would emit df² pairs; 20 fixture sources
+    need no cap)."""
+    from .partitioning import spread
+
+    grams = (
+        spread(docs)
+        .select("source", tokens_col("text").alias("toks"))
+        .select(
+            "source", F.explode(word_ngrams_col("toks", n)).alias("g")
+        )
+        .distinct()
+    )
+    if max_gram_df is not None:
+        ok = (
+            grams.groupBy("g")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_gram_df)
+            .select("g")
+        )
+        grams = grams.join(ok, "g")
+    sizes = grams.groupBy("source").agg(F.count("*").alias("n_grams"))
+    pairs = (
+        grams.alias("a")
+        .join(grams.alias("b"), "g")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n_grams").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.expr("n_shared * 1000000 div least(na, nb)")
+            .alias("containment_ppm"),
+            F.expr("n_shared * 1000000 div (na + nb - n_shared)")
+            .alias("jaccard_ppm"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def source_overlap_matrix_sql(src: str = "documents", n: int = 3) -> str:
+    """DuckDB twin of :func:`source_overlap_matrix`."""
+    toks = tokens_sql("text")
+    return f"""
+        WITH grams AS (
+          SELECT DISTINCT source, g
+          FROM (
+            SELECT source,
+                   unnest({word_ngrams_sql(f'({toks})', n)}) AS g
+            FROM {src}
+          )
+        ),
+        sizes AS (
+          SELECT source, COUNT(*) AS n_grams FROM grams GROUP BY 1
+        ),
+        pairs AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+                 COUNT(*) AS n_shared
+          FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT p.src_a, p.src_b,
+               CAST(p.n_shared AS BIGINT) AS n_shared,
+               CAST(p.n_shared * 1000000 // least(sa.n_grams, sb.n_grams)
+                    AS BIGINT) AS containment_ppm,
+               CAST(p.n_shared * 1000000
+                    // (sa.n_grams + sb.n_grams - p.n_shared)
+                    AS BIGINT) AS jaccard_ppm
+        FROM pairs p
+        JOIN sizes sa ON sa.source = p.src_a
+        JOIN sizes sb ON sb.source = p.src_b
+        ORDER BY 1, 2
+    """

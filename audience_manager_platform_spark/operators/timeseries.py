@@ -1186,3 +1186,117 @@ def ewma_anomaly_sql(src: str = "events") -> str:
         FROM sm
         ORDER BY event_type, day
     """
+
+
+# --------------------------------------- classical seasonal decomposition
+def seasonal_decompose(events: DataFrame) -> DataFrame:
+    """Classical additive decomposition of the daily revenue series:
+    trend = centered 7-day moving average, seasonal = per-ISO-weekday
+    mean of the detrended series, residual = the rest — the STL-lite
+    a monitoring stack runs before alerting on "unusual" days (a Sunday
+    dip is seasonality, not an incident).
+
+    EXACT integer arithmetic end to end: daily totals in bigint cents,
+    the 7-day mean and weekday means on the 1e-6 grid via integer
+    division. The weekday mean uses an explicit FLOOR division
+    (``(s - ((s%c)+c)%c) div c``) because detrended values go negative
+    and Spark's ``div`` truncates toward zero while DuckDB's ``//``
+    floors — the pymod form is engine-identical. Trend/residual are
+    NULL on the 3 edge days each side (no centered window exists).
+
+    Everything after the first aggregate rides the |days|-row table
+    (the single-partition window is the documented monitor pattern).
+    Micro-grid ceiling: cents/day must stay under ~9.2e12 (92 G$/day)
+    for the 1e6 scale — far past any real tenant; pre-scale if not."""
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    daily = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    trended = daily.select(
+        "d",
+        "cents",
+        F.expr("weekday(d) + 1").cast("int").alias("iso_dow"),
+        F.sum("cents").over(w7).alias("_sum7"),
+        F.count("*").over(w7).alias("_n7"),
+    ).select(
+        "d",
+        "cents",
+        "iso_dow",
+        F.when(
+            F.col("_n7") == 7, F.expr("_sum7 * 1000000 div 7")
+        ).alias("trend_micro"),
+    )
+    detr = trended.withColumn(
+        "detr_micro", F.col("cents") * 1_000_000 - F.col("trend_micro")
+    )
+    seasonal = (
+        detr.filter(F.col("detr_micro").isNotNull())
+        .groupBy("iso_dow")
+        .agg(
+            F.sum("detr_micro").alias("_s"),
+            F.count("*").alias("_c"),
+        )
+        .select(
+            "iso_dow",
+            F.expr(
+                "(_s - ((_s % _c) + _c) % _c) div _c"
+            ).alias("seasonal_micro"),
+        )
+    )
+    return (
+        detr.join(F.broadcast(seasonal), "iso_dow", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "iso_dow",
+            "cents",
+            "trend_micro",
+            "seasonal_micro",
+            (F.col("detr_micro") - F.col("seasonal_micro"))
+            .alias("resid_micro"),
+        )
+        .orderBy("day")
+    )
+
+
+def seasonal_decompose_sql(src: str = "events") -> str:
+    """DuckDB twin of :func:`seasonal_decompose` (same floor-division
+    form; isodow == Spark's weekday()+1)."""
+    return f"""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d,
+                 SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+          FROM {src} WHERE value IS NOT NULL GROUP BY 1
+        ),
+        trended AS (
+          SELECT d, cents, CAST(isodow(d) AS INTEGER) AS iso_dow,
+                 CASE WHEN COUNT(*) OVER w = 7
+                      THEN SUM(cents) OVER w * 1000000 // 7
+                 END AS trend_micro
+          FROM daily
+          WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        detr AS (
+          SELECT *, cents * 1000000 - trend_micro AS detr_micro
+          FROM trended
+        ),
+        seasonal AS (
+          SELECT iso_dow,
+                 (s - ((s % c) + c) % c) // c AS seasonal_micro
+          FROM (
+            SELECT iso_dow, SUM(detr_micro) AS s, COUNT(*) AS c
+            FROM detr WHERE detr_micro IS NOT NULL GROUP BY 1
+          )
+        )
+        SELECT strftime(t.d, '%Y-%m-%d') AS day,
+               t.iso_dow,
+               CAST(t.cents AS BIGINT) AS cents,
+               CAST(t.trend_micro AS BIGINT) AS trend_micro,
+               CAST(s.seasonal_micro AS BIGINT) AS seasonal_micro,
+               CAST(t.detr_micro - s.seasonal_micro AS BIGINT)
+                 AS resid_micro
+        FROM detr t LEFT JOIN seasonal s ON t.iso_dow = s.iso_dow
+        ORDER BY day
+    """

@@ -1687,3 +1687,103 @@ def partition_checksums_sql(src: str = "events") -> str:
         GROUP BY 1
         ORDER BY 1
     """
+
+
+# --------------------------------------- k-anon generalization planner
+def kanon_generalization_plan(
+    customer: DataFrame,
+    k: int = 5,
+    band_unit: float = 2000.0,
+    max_level: int = 2,
+) -> DataFrame:
+    """The decision step AFTER :func:`k_anonymity_audit` flags classes:
+    for every level-0 equivalence class (nation, segment, balance band),
+    find the MINIMAL generalization of the banded attribute — halving
+    band resolution per level — that reaches k-anonymity, else mark the
+    class for suppression. This is the generalization-ladder plan a
+    privacy officer executes instead of blanket-dropping rows.
+
+    Bands at every level come straight from ``floor(acctbal /
+    (unit·2^L))`` (the nested-floor law makes the ladder consistent),
+    so negative balances band identically in both engines — no
+    truncate-vs-floor divergence. Aggregates are |classes|-sized at
+    every level; the coarser levels broadcast back onto level 0."""
+    lv = [
+        F.floor(F.col("c_acctbal") / (band_unit * (2 ** L))).cast("long")
+        for L in range(max_level + 1)
+    ]
+    base = customer.select(
+        "c_nationkey", "c_mktsegment",
+        *[lv[L].alias(f"band_{L}") for L in range(max_level + 1)],
+    )
+    l0 = base.groupBy("c_nationkey", "c_mktsegment", "band_0").agg(
+        F.count("*").alias("class_size"),
+        *[F.min(f"band_{L}").alias(f"band_{L}")
+          for L in range(1, max_level + 1)],
+    )
+    out = l0
+    for L in range(1, max_level + 1):
+        szl = (
+            base.groupBy("c_nationkey", "c_mktsegment", f"band_{L}")
+            .agg(F.count("*").alias(f"size_{L}"))
+        )
+        out = out.join(
+            F.broadcast(szl),
+            ["c_nationkey", "c_mktsegment", f"band_{L}"],
+        )
+    plan = (
+        F.when(F.col("class_size") >= k, F.lit("release"))
+        .when(F.col("size_1") >= k, F.lit("generalize_1"))
+        .when(F.col("size_2") >= k, F.lit("generalize_2"))
+        .otherwise(F.lit("suppress"))
+    )
+    return out.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "band_0",
+        "class_size",
+        plan.alias("plan"),
+    ).orderBy("c_nationkey", "c_mktsegment", "band_0")
+
+
+def kanon_generalization_plan_sql(
+    src: str = "customer",
+    k: int = 5,
+    band_unit: float = 2000.0,
+) -> str:
+    """DuckDB twin of :func:`kanon_generalization_plan` (floor() on the
+    raw balance at every level — identical banding semantics)."""
+    u = band_unit
+    return f"""
+        WITH base AS (
+          SELECT c_nationkey, c_mktsegment,
+                 CAST(FLOOR(c_acctbal / {u}) AS BIGINT) AS band_0,
+                 CAST(FLOOR(c_acctbal / {u * 2}) AS BIGINT) AS band_1,
+                 CAST(FLOOR(c_acctbal / {u * 4}) AS BIGINT) AS band_2
+          FROM {src}
+        ),
+        l0 AS (
+          SELECT c_nationkey, c_mktsegment, band_0,
+                 COUNT(*) AS class_size,
+                 MIN(band_1) AS band_1, MIN(band_2) AS band_2
+          FROM base GROUP BY 1, 2, 3
+        ),
+        s1 AS (
+          SELECT c_nationkey, c_mktsegment, band_1, COUNT(*) AS size_1
+          FROM base GROUP BY 1, 2, 3
+        ),
+        s2 AS (
+          SELECT c_nationkey, c_mktsegment, band_2, COUNT(*) AS size_2
+          FROM base GROUP BY 1, 2, 3
+        )
+        SELECT l0.c_nationkey, l0.c_mktsegment, l0.band_0,
+               CAST(l0.class_size AS BIGINT) AS class_size,
+               CASE WHEN l0.class_size >= {k} THEN 'release'
+                    WHEN s1.size_1 >= {k} THEN 'generalize_1'
+                    WHEN s2.size_2 >= {k} THEN 'generalize_2'
+                    ELSE 'suppress' END AS plan
+        FROM l0
+        JOIN s1 USING (c_nationkey, c_mktsegment, band_1)
+        JOIN s2 USING (c_nationkey, c_mktsegment, band_2)
+        ORDER BY 1, 2, 3
+    """

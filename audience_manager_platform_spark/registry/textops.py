@@ -284,6 +284,12 @@ QUERIES = {
     "corpus_epoch_budget": lambda s, d: C.epoch_budget(_docs(s, d)),
     # r6 queue: per-source unigram JSD vs the corpus mixture
     "corpus_source_jsd": lambda s, d: C.source_unigram_jsd(_docs(s, d)),
+    # r7 wave 28 (r8 queue): pairwise source n-gram overlap — the
+    # dedup-before-mixing map (JSD grades distribution shift; THIS
+    # grades literal shared content)
+    "corpus_source_overlap_matrix": lambda s, d: C.source_overlap_matrix(
+        _docs(s, d)
+    ),
     # r6 queue: dedup ROI curve — pairs/docs flagged per LSH threshold
     "dedup_threshold_sweep": lambda s, d: D.lsh_threshold_sweep(
         _docs(s, d), max_band_size=LSH_MAX_BAND
@@ -415,6 +421,7 @@ ORACLES = {
     ),
     "corpus_epoch_budget": C.epoch_budget_sql(),
     "corpus_source_jsd": C.source_unigram_jsd_sql(),
+    "corpus_source_overlap_matrix": C.source_overlap_matrix_sql(),
     "dedup_threshold_sweep": D.lsh_threshold_sweep_sql(
         max_band_size=LSH_MAX_BAND
     ),

@@ -52,6 +52,11 @@ QUERIES = {
     "ts_seasonality_profile": lambda s, d: TS.seasonality_profile(
         _events(s, d)
     ),
+    # r7 wave 28 (r8 queue): classical additive trend/seasonal/residual
+    # split on the exact integer micro-grid
+    "ts_seasonal_decompose": lambda s, d: TS.seasonal_decompose(
+        _events(s, d)
+    ),
     "sample_fixed_n_events": _sample_fixed,
     # r5: sliding two-window mean-shift scan (top-k candidate
     # changepoint days per event_type series)
@@ -90,6 +95,7 @@ ORACLES = {
     "ts_ewma_smooth": TS.ewma_smooth_sql(),
     "ts_daily_percentiles": TS.daily_percentiles_sql(),
     "ts_seasonality_profile": TS.seasonality_profile_sql(),
+    "ts_seasonal_decompose": TS.seasonal_decompose_sql(),
     "ts_changepoint_mean_shift": TS.changepoint_mean_shift_sql(),
     "ts_rolling_regression": TS.rolling_regression_sql(),
     "ts_seasonal_naive_backtest": TS.seasonal_naive_backtest_sql(),

@@ -72,6 +72,8 @@ from ..operators.validation import (
     robust_scale_stats_sql,
     partition_checksums,
     partition_checksums_sql,
+    kanon_generalization_plan,
+    kanon_generalization_plan_sql,
     fk_fanout_profile,
     fk_fanout_profile_sql,
     fk_orphan_audit,
@@ -383,6 +385,11 @@ QUERIES = {
         ["c_nationkey", "c_mktsegment", "bal_band"],
         k=5,
     ),
+    # r7 wave 28 (r8 queue): the decision step after the k-anon audit —
+    # minimal band generalization per class, else suppress
+    "privacy_kanon_generalization_plan": lambda s, d: (
+        kanon_generalization_plan(load_table(s, d, "customer"))
+    ),
     # r6 queue: l-diversity (homogeneity-attack audit k-anonymity misses)
     "privacy_l_diversity_customer": lambda s, d: l_diversity_audit(
         load_table(s, d, "customer").select(
@@ -616,6 +623,7 @@ ORACLES = {
         ["c_nationkey", "c_mktsegment", "bal_band"],
         k=5,
     ),
+    "privacy_kanon_generalization_plan": kanon_generalization_plan_sql(),
     "privacy_l_diversity_customer": l_diversity_audit_sql(
         "(SELECT c_nationkey, c_mktsegment,"
         " CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band"

@@ -370,3 +370,96 @@ def test_checksum_fold_any_chunking_equals_batch(spark):
         state = checksum_fold(state, _events_df(spark, rows[lo:hi]))
     folded = {r.day: (r.n_rows, r.checksum) for r in state.collect()}
     assert folded == full
+
+
+# ---------------------------------------------------------- wave 28
+def test_seasonal_decompose_hand_computed(spark):
+    """14 days of 10.00/day with a 7.00 Sunday bump: interior trend is
+    the 7-day mean (1100e6 micro-cents once a window straddles a
+    Sunday), detrended is -1e8 on weekdays / +6e8 on the Sunday, so
+    residuals vanish everywhere the trend exists; the 3 edge days each
+    side carry NULL trend/residual."""
+    from audience_manager_platform_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    rows = []
+    eid = 0
+    for d in range(1, 15):  # 2024-01-01 (Mon) .. 2024-01-14 (Sun)
+        rows.append((eid, f"2024-01-{d:02d} 10:00:00", 1, "view", 10.00))
+        eid += 1
+        if d in (7, 14):  # Sundays
+            rows.append((eid, f"2024-01-{d:02d} 11:00:00", 1, "view", 7.00))
+            eid += 1
+    out = {r.day: r for r in
+           seasonal_decompose(_events_df(spark, rows)).collect()}
+    assert len(out) == 14
+    # edges: no centered window
+    for d in ("2024-01-01", "2024-01-02", "2024-01-03",
+              "2024-01-12", "2024-01-13", "2024-01-14"):
+        assert out[d].trend_micro is None and out[d].resid_micro is None
+    # interior: every 7-day window holds exactly one Sunday
+    for d in range(4, 12):
+        r = out[f"2024-01-{d:02d}"]
+        assert r.trend_micro == 1_100_000_000
+        assert r.resid_micro == 0
+    assert out["2024-01-07"].iso_dow == 7
+    assert out["2024-01-07"].seasonal_micro == 600_000_000
+    assert out["2024-01-04"].seasonal_micro == -100_000_000
+
+
+def test_source_overlap_matrix_hand_computed(spark):
+    """A and B share one of their two 3-grams (containment 1/2,
+    jaccard 1/3); C shares nothing and emits NO row (the gram join
+    never sees the |sources|^2 cross product)."""
+    from audience_manager_platform_spark.operators.corpus import (
+        source_overlap_matrix,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d", "en", "srcA", 7),
+            (1, "a b c e", "en", "srcB", 7),
+            (2, "x y z w", "en", "srcC", 7),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = source_overlap_matrix(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.src_a, r.src_b, r.n_shared) == ("srcA", "srcB", 1)
+    assert r.containment_ppm == 500_000
+    assert r.jaccard_ppm == 333_333
+
+
+def test_kanon_generalization_plan_hand_computed(spark):
+    """Two k-violating sibling bands merge at level 1 -> generalize_1;
+    a 6-row class releases; a singleton with no rescue suppresses; a
+    negative balance bands by FLOOR (band_0 = -1) in both engines."""
+    from audience_manager_platform_spark.operators.validation import (
+        kanon_generalization_plan,
+    )
+
+    rows = []
+    ck = 0
+    for _ in range(3):
+        rows.append((ck, 1, "A", 100.0)); ck += 1       # band0=0
+    for _ in range(3):
+        rows.append((ck, 1, "A", 2100.0)); ck += 1      # band0=1
+    for _ in range(6):
+        rows.append((ck, 2, "B", 500.0)); ck += 1       # release
+    rows.append((ck, 3, "C", 9000.0)); ck += 1          # suppress
+    for _ in range(5):
+        rows.append((ck, 4, "D", -100.0)); ck += 1      # band0=-1 release
+    customer = spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey long, c_mktsegment string,"
+        " c_acctbal double",
+    )
+    out = {(r.c_nationkey, r.c_mktsegment, r.band_0): r
+           for r in kanon_generalization_plan(customer).collect()}
+    assert out[(1, "A", 0)].plan == "generalize_1"
+    assert out[(1, "A", 1)].plan == "generalize_1"
+    assert out[(2, "B", 0)].plan == "release"
+    assert out[(3, "C", 4)].plan == "suppress"
+    assert out[(4, "D", -1)].plan == "release"
+    assert out[(4, "D", -1)].class_size == 5

@@ -1906,3 +1906,134 @@ def survival_retention_sql(
                s AS survival
         FROM rec ORDER BY t_days
     """
+
+
+# ------------------------------------------------ exposure uplift (DiD)
+UPLIFT_CUTOFF = "2024-01-16 00:00:00"
+
+
+def exposure_uplift(
+    events: DataFrame, cutoff: str = UPLIFT_CUTOFF
+) -> DataFrame:
+    """Difference-in-differences scaffold for exposure measurement: users
+    are 'treated' if their FIRST pre-``cutoff`` event is a click (a
+    first-touch exposure definition that actually splits a dense event
+    stream — "ever clicked" saturates to 100% of active users); the
+    outcome is per-user purchase spend AFTER minus BEFORE the cutoff.
+    The report carries each cohort's pre/post cent totals and the mean
+    per-user delta on the exact 1e-6 grid — the difference of the two
+    delta rows IS the DiD estimate (observational; the causal read
+    needs parallel-trends, which is exactly what the pre columns let
+    an analyst check).
+
+    One pass over events (the treatment flag is a ``min_by`` over the
+    same groupBy that builds pre/post spend), then a 2-group reduce.
+    Mean deltas can be negative, so the division uses the
+    engine-identical pymod FLOOR form (Spark ``div`` truncates toward
+    zero, DuckDB ``//`` floors)."""
+    cut = F.lit(cutoff).cast("timestamp")
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    per_user = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(min_by(CASE WHEN ts < CAST('"
+                + cutoff
+                + "' AS TIMESTAMP) THEN event_type END,"
+                " CASE WHEN ts < CAST('"
+                + cutoff
+                + "' AS TIMESTAMP) THEN struct(ts, event_id) END)"
+                " = 'click' AS INT)"
+            ).alias("treated"),
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") < cut),
+                    cents,
+                ).otherwise(F.lit(0))
+            ).alias("pre_cents"),
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= cut),
+                    cents,
+                ).otherwise(F.lit(0))
+            ).alias("post_cents"),
+        )
+    )
+    return (
+        per_user.groupBy(
+            F.when(F.col("treated") == 1, F.lit("treated"))
+            .otherwise(F.lit("control"))
+            .alias("cohort")
+        )
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("pre_cents").alias("pre_cents"),
+            F.sum("post_cents").alias("post_cents"),
+        )
+        .select(
+            "cohort",
+            "n_users",
+            "pre_cents",
+            "post_cents",
+            F.expr(
+                "((post_cents - pre_cents) * 1000000"
+                " - ((((post_cents - pre_cents) * 1000000) % n_users)"
+                "    + n_users) % n_users)"
+                " div n_users"
+            ).alias("mean_delta_micro"),
+        )
+        .orderBy("cohort")
+    )
+
+
+def exposure_uplift_sql(
+    src: str = "events", cutoff: str = UPLIFT_CUTOFF
+) -> str:
+    """DuckDB twin of :func:`exposure_uplift` (window formulation of the
+    first-touch flag — Spark evaluates it as a ``min_by`` aggregate)."""
+    return f"""
+        WITH pre_first AS (
+          SELECT user_id,
+                 CAST(event_type = 'click' AS INTEGER) AS treated
+          FROM (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM {src}
+            WHERE ts < TIMESTAMP '{cutoff}' AND user_id IS NOT NULL
+          ) x WHERE rn = 1
+        ),
+        spend AS (
+          SELECT user_id,
+                 SUM(CASE WHEN event_type = 'purchase'
+                           AND ts < TIMESTAMP '{cutoff}'
+                          THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                          ELSE 0 END) AS pre_cents,
+                 SUM(CASE WHEN event_type = 'purchase'
+                           AND ts >= TIMESTAMP '{cutoff}'
+                          THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                          ELSE 0 END) AS post_cents
+          FROM {src} WHERE user_id IS NOT NULL
+          GROUP BY 1
+        ),
+        per_user AS (
+          SELECT s.user_id, f.treated, s.pre_cents, s.post_cents
+          FROM spend s LEFT JOIN pre_first f ON s.user_id = f.user_id
+        )
+        SELECT CASE WHEN treated = 1 THEN 'treated' ELSE 'control' END
+                 AS cohort,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(pre_cents) AS BIGINT) AS pre_cents,
+               CAST(SUM(post_cents) AS BIGINT) AS post_cents,
+               CAST((
+                 (SUM(post_cents) - SUM(pre_cents)) * 1000000
+                 - (((((SUM(post_cents) - SUM(pre_cents)) * 1000000)
+                      % COUNT(*)) + COUNT(*)) % COUNT(*))
+               ) // COUNT(*) AS BIGINT) AS mean_delta_micro
+        FROM per_user
+        GROUP BY 1
+        ORDER BY 1
+    """

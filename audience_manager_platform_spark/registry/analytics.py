@@ -178,6 +178,11 @@ QUERIES = {
     "analytics_survival_km": lambda s, d: A.survival_retention(
         load_table(s, d, "events")
     ),
+    # r7 wave 29 (r8 queue): diff-in-differences exposure uplift on the
+    # exact cents/micro grid (pre columns = the parallel-trends check)
+    "analytics_exposure_uplift": lambda s, d: A.exposure_uplift(
+        load_table(s, d, "events")
+    ),
     # r5 (deferred window): WAU / trailing-4-week MAU stickiness
     "analytics_stickiness": lambda s, d: A.stickiness(
         load_table(s, d, "events")
@@ -353,6 +358,7 @@ ORACLES = {
     "analytics_position_attribution": A.position_attribution_sql(),
     "analytics_pareto_coverage": A.pareto_coverage_sql(),
     "analytics_survival_km": A.survival_retention_sql(),
+    "analytics_exposure_uplift": A.exposure_uplift_sql(),
     "analytics_stickiness": A.stickiness_sql(),
     "analytics_revenue_gini": A.revenue_gini_sql(),
     "analytics_new_vs_returning": A.new_vs_returning_sql(),

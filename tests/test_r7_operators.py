@@ -463,3 +463,36 @@ def test_kanon_generalization_plan_hand_computed(spark):
     assert out[(3, "C", 4)].plan == "suppress"
     assert out[(4, "D", -1)].plan == "release"
     assert out[(4, "D", -1)].class_size == 5
+
+
+def test_exposure_uplift_hand_computed(spark):
+    """user 1 first-touches with a click pre-cutoff (treated): pre spend
+    10.00, post 25.00 -> delta +1500 cents = 1.5e9 micro-cents. user 2 first-touches
+    with a view (control): pre 20.00, post 5.00 -> delta -15.00 (floor
+    division on a NEGATIVE total pinned). user 3 has no pre-cutoff
+    events at all -> control."""
+    from audience_manager_platform_spark.operators.analytics import (
+        exposure_uplift,
+    )
+
+    rows = [
+        (0, "2024-01-01 09:00:00", 1, "click", 1.0),
+        (1, "2024-01-02 09:00:00", 1, "purchase", 10.00),
+        (2, "2024-01-20 09:00:00", 1, "purchase", 25.00),
+        (3, "2024-01-01 08:00:00", 2, "view", 1.0),
+        (4, "2024-01-01 09:00:00", 2, "click", 1.0),   # clicks, but not FIRST
+        (5, "2024-01-02 09:00:00", 2, "purchase", 20.00),
+        (6, "2024-01-20 09:00:00", 2, "purchase", 5.00),
+        (7, "2024-01-21 09:00:00", 3, "purchase", 7.00),
+    ]
+    out = {r.cohort: r for r in
+           exposure_uplift(_events_df(spark, rows)).collect()}
+    assert set(out) == {"treated", "control"}
+    t = out["treated"]
+    assert (t.n_users, t.pre_cents, t.post_cents) == (1, 1000, 2500)
+    assert t.mean_delta_micro == 1_500_000_000
+    c = out["control"]
+    # users 2 and 3: pre 2000+0, post 500+700; delta total -800 cents
+    # over 2 users -> floor(-800e6 / 2) = -400e6
+    assert (c.n_users, c.pre_cents, c.post_cents) == (2, 2000, 1200)
+    assert c.mean_delta_micro == -400_000_000

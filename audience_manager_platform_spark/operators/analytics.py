@@ -2037,3 +2037,131 @@ def exposure_uplift_sql(
         GROUP BY 1
         ORDER BY 1
     """
+
+
+# ------------------------------------------- Markov order-2 predictor lift
+def markov_order2_lift(events: DataFrame) -> DataFrame:
+    """Does sequence memory help predict the next event? Fit the
+    majority-class next-event predictor at Markov order 1 (condition on
+    the previous event) and order 2 (condition on the previous two),
+    then grade both on the SAME transition set and report the accuracy
+    lift — the go/no-go diagnostic before anyone builds a sequence
+    model over clickstreams (lift ~ 0 ppm means the extra state is
+    noise and order-1 transition tables suffice).
+
+    In-sample by design: this measures how much MORE of the stream's
+    variance the longer context explains, not generalization (a
+    train/test variant composes with corpus_purged_time_split).
+
+    Determinism: neighbor pairing uses the total (ts, event_id) order
+    (the event_transitions contract); both argmaxes break count ties
+    lexicographically on the predicted type; accuracies are exact
+    integer ppm. Shape at scale: one user-keyed window (two lags), two
+    |types|^k-row transition tables (tiny — argmax via one row_number
+    window each), two broadcast joins back, one 1-row rollup."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("nxt"),
+            F.lag("event_type", 1).over(w).alias("p1"),
+            F.lag("event_type", 2).over(w).alias("p2"),
+        )
+        .filter(F.col("p2").isNotNull())
+        .select("p2", "p1", "nxt")
+    )
+    t1 = seq.groupBy("p1", "nxt").agg(F.count("*").alias("n"))
+    pred1 = (
+        t1.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("p1").orderBy(
+                    F.desc("n"), F.asc("nxt")
+                )
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select("p1", F.col("nxt").alias("pred1"))
+    )
+    t2 = seq.groupBy("p2", "p1", "nxt").agg(F.count("*").alias("n"))
+    pred2 = (
+        t2.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("p2", "p1").orderBy(
+                    F.desc("n"), F.asc("nxt")
+                )
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select("p2", "p1", F.col("nxt").alias("pred2"))
+    )
+    return (
+        seq.join(F.broadcast(pred1), "p1")
+        .join(F.broadcast(pred2), ["p2", "p1"])
+        .agg(
+            F.count("*").cast("long").alias("n_eval"),
+            F.sum((F.col("pred1") == F.col("nxt")).cast("long"))
+            .alias("hits_order1"),
+            F.sum((F.col("pred2") == F.col("nxt")).cast("long"))
+            .alias("hits_order2"),
+        )
+        .select(
+            "n_eval",
+            "hits_order1",
+            "hits_order2",
+            F.expr("hits_order1 * 1000000 div n_eval").alias("acc1_ppm"),
+            F.expr("hits_order2 * 1000000 div n_eval").alias("acc2_ppm"),
+            F.expr(
+                "hits_order2 * 1000000 div n_eval"
+                " - hits_order1 * 1000000 div n_eval"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+def markov_order2_lift_sql(src: str = "events") -> str:
+    return f"""
+        WITH seq AS (
+          SELECT LAG(event_type, 2) OVER w AS p2,
+                 LAG(event_type, 1) OVER w AS p1,
+                 event_type AS nxt
+          FROM {src}
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        ev AS (SELECT * FROM seq WHERE p2 IS NOT NULL),
+        pred1 AS (
+          SELECT p1, nxt AS pred1 FROM (
+            SELECT p1, nxt,
+                   ROW_NUMBER() OVER (PARTITION BY p1
+                     ORDER BY COUNT(*) DESC, nxt ASC) AS _rk
+            FROM ev GROUP BY p1, nxt
+          ) WHERE _rk = 1
+        ),
+        pred2 AS (
+          SELECT p2, p1, nxt AS pred2 FROM (
+            SELECT p2, p1, nxt,
+                   ROW_NUMBER() OVER (PARTITION BY p2, p1
+                     ORDER BY COUNT(*) DESC, nxt ASC) AS _rk
+            FROM ev GROUP BY p2, p1, nxt
+          ) WHERE _rk = 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+               CAST(SUM(CASE WHEN a.pred1 = e.nxt THEN 1 ELSE 0 END)
+                 AS BIGINT) AS hits_order1,
+               CAST(SUM(CASE WHEN b.pred2 = e.nxt THEN 1 ELSE 0 END)
+                 AS BIGINT) AS hits_order2,
+               CAST(SUM(CASE WHEN a.pred1 = e.nxt THEN 1 ELSE 0 END)
+                 * 1000000 // COUNT(*) AS BIGINT) AS acc1_ppm,
+               CAST(SUM(CASE WHEN b.pred2 = e.nxt THEN 1 ELSE 0 END)
+                 * 1000000 // COUNT(*) AS BIGINT) AS acc2_ppm,
+               CAST(SUM(CASE WHEN b.pred2 = e.nxt THEN 1 ELSE 0 END)
+                 * 1000000 // COUNT(*)
+                 - SUM(CASE WHEN a.pred1 = e.nxt THEN 1 ELSE 0 END)
+                 * 1000000 // COUNT(*) AS BIGINT) AS lift_ppm
+        FROM ev e
+        JOIN pred1 a ON e.p1 = a.p1
+        JOIN pred2 b ON e.p2 = b.p2 AND e.p1 = b.p1
+    """

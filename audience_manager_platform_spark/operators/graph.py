@@ -855,3 +855,109 @@ def kcore_nodes_sql(
         GROUP BY src HAVING COUNT(*) >= {int(core_k)}
         ORDER BY core_degree DESC, node ASC
     """
+
+
+# -------------------------------------------------- link prediction
+def link_prediction_scores(
+    pairs: DataFrame,
+    ctx_col: str,
+    item_col: str,
+    min_cooc: int = 2,
+    top_n: int = 50,
+) -> DataFrame:
+    """Missing-link candidates over the co-occurrence graph: score every
+    NON-adjacent pair (u, v) that shares at least one neighbor by
+    common-neighbor count and a quantized resource-allocation index
+    (Zhou/Lu/Zhang 2009: RA = sum over shared neighbors z of
+    1/deg(z)) — "parts never bought together that the graph says should
+    be" is the recommendation-candidate / graph-completion primitive.
+
+    RA is quantized to the exact integer micro-grid as
+    sum(1000000 div deg(z)) — an integer in BOTH engines by definition,
+    so no float summation order can flip a rank (the [[cross-engine-
+    determinism]] contract; the 1e-6 quantization is part of the
+    operator's spec, not an approximation of a float ideal).
+
+    Shape at scale: edges are built once by the shared-context
+    equi-join discipline (cost sum deg(ctx)^2, never |items|^2); the
+    wedge join adj(u,z) |><| adj(z,v) costs sum deg(z)^2 over PIVOT
+    nodes — at production scale cap pivot degree (drop super-hubs,
+    which carry ~no RA signal: 1/deg -> 0) the same way the LSH band
+    cap works. Candidates are anti-joined against the edge list, and
+    the global top-n is TakeOrderedAndProject (per-partition heads,
+    no full sort)."""
+    edges = cooccurrence_edges(pairs, ctx_col, item_col, min_cooc)
+    adj = edges.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).unionAll(edges.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    deg = adj.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+    # wedges pivoting on z: u -- z -- v with u < v
+    wedge = (
+        adj.select(F.col("nbr").alias("u"), F.col("node").alias("z"))
+        .join(
+            adj.select(F.col("node").alias("z"), F.col("nbr").alias("v")),
+            on="z",
+        )
+        .filter(F.col("u") < F.col("v"))
+        .join(
+            F.broadcast(deg).select(
+                F.col("node").alias("z"),
+                F.expr("1000000 div deg").alias("_ra_z"),
+            ),
+            on="z",
+        )
+    )
+    cand = (
+        wedge.groupBy("u", "v")
+        .agg(
+            F.count("*").cast("long").alias("common_neighbors"),
+            F.sum("_ra_z").cast("long").alias("ra_micro"),
+        )
+        .join(
+            edges.select(F.col("a").alias("u"), F.col("b").alias("v")),
+            on=["u", "v"],
+            how="left_anti",
+        )
+    )
+    return cand.orderBy(
+        F.desc("ra_micro"),
+        F.desc("common_neighbors"),
+        F.asc("u"),
+        F.asc("v"),
+    ).limit(top_n)
+
+
+def link_prediction_scores_sql(
+    rel_sql: str, min_cooc: int = 2, top_n: int = 50
+) -> str:
+    """SQL twin; ``rel_sql`` must yield columns (_ctx, _it)."""
+    return f"""
+        WITH {_cooccurrence_edges_sql(rel_sql, min_cooc)},
+        adj AS MATERIALIZED (
+          SELECT a AS node, b AS nbr FROM edges
+          UNION ALL
+          SELECT b AS node, a AS nbr FROM edges
+        ),
+        deg AS (
+          SELECT node AS z, 1000000 // COUNT(*) AS _ra_z
+          FROM adj GROUP BY 1
+        ),
+        wedge AS (
+          SELECT x.nbr AS u, x.node AS z, y.nbr AS v
+          FROM adj x JOIN adj y ON x.node = y.node AND x.nbr < y.nbr
+        ),
+        cand AS (
+          SELECT w.u, w.v,
+                 CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+                 CAST(SUM(d._ra_z) AS BIGINT) AS ra_micro
+          FROM wedge w JOIN deg d ON w.z = d.z
+          GROUP BY 1, 2
+        )
+        SELECT c.u, c.v, c.common_neighbors, c.ra_micro
+        FROM cand c
+        LEFT JOIN edges e ON e.a = c.u AND e.b = c.v
+        WHERE e.a IS NULL
+        ORDER BY c.ra_micro DESC, c.common_neighbors DESC,
+                 c.u ASC, c.v ASC
+        LIMIT {int(top_n)}
+    """

@@ -1300,3 +1300,141 @@ def seasonal_decompose_sql(src: str = "events") -> str:
         FROM detr t LEFT JOIN seasonal s ON t.iso_dow = s.iso_dow
         ORDER BY day
     """
+
+
+# ------------------------------------------- split-conformal intervals
+def conformal_interval_backtest(
+    events: DataFrame, lag_days: int = 7, alpha_pct: int = 90
+) -> DataFrame:
+    """Split-conformal prediction intervals around the seasonal-naive
+    forecaster, per event_type: the calibration half of the scored
+    series yields qhat = the ``alpha_pct`` percentile of absolute
+    residuals, and the held-out test half reports how often the
+    interval forecast ± qhat actually covered the truth — the
+    distribution-free uncertainty wrapper (Vovk; Angelopoulos &
+    Bates 2023) every production forecast alert needs before paging
+    on "outside the expected band".
+
+    Determinism: daily totals are EXACT bigint cents, residuals are
+    bigint differences, qhat is ``percentile_disc`` (an actual data
+    value — bit-identical across engines, the [[cross-engine-
+    determinism]] contract), the calibration/test split is the closed
+    form n_cal = (n*3) div 5 over the day-ordered row_number, and
+    coverage is an exact integer ppm ratio.
+
+    Shape at scale: one map-side-combinable (type, day) aggregate;
+    everything after rides the |types| x |days| daily table (lag +
+    row_number inside tiny type partitions, |types|-row percentile and
+    rollup). The raw stream is touched exactly once."""
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    daily = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = (
+        daily.withColumn("forecast", F.lag("cents", lag_days).over(w))
+        .filter(F.col("forecast").isNotNull())
+        .withColumn("abs_resid", F.abs(F.col("cents") - F.col("forecast")))
+        .withColumn("idx", F.row_number().over(w))
+        .withColumn(
+            "n_scored",
+            F.count("*").over(
+                Window.partitionBy("event_type").orderBy("day").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .withColumn("n_cal", F.expr("n_scored * 3 div 5"))
+    )
+    qhat = (
+        scored.filter(F.col("idx") <= F.col("n_cal"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_cal"),
+            F.expr(
+                f"percentile_disc({alpha_pct / 100.0!r})"
+                " WITHIN GROUP (ORDER BY abs_resid)"
+            ).cast("long").alias("qhat_cents"),
+        )
+    )
+    return (
+        scored.filter(F.col("idx") > F.col("n_cal"))
+        .drop("n_cal")
+        .join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("n_cal").alias("n_cal"),
+            F.count("*").cast("long").alias("n_test"),
+            F.min("qhat_cents").alias("qhat_cents"),
+            F.sum(
+                (F.col("abs_resid") <= F.col("qhat_cents")).cast("long")
+            ).alias("n_covered"),
+        )
+        .select(
+            "event_type",
+            "n_cal",
+            "n_test",
+            "qhat_cents",
+            "n_covered",
+            F.expr("n_covered * 1000000 div n_test").alias("coverage_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def conformal_interval_backtest_sql(
+    src: str = "events", lag_days: int = 7, alpha_pct: int = 90
+) -> str:
+    return f"""
+        WITH daily AS (
+          SELECT event_type,
+                 strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                 SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+          FROM {src} WHERE value IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT event_type, day, cents,
+                 LAG(cents, {int(lag_days)}) OVER w AS forecast
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        ),
+        idxed AS (
+          SELECT event_type,
+                 ABS(cents - forecast) AS abs_resid,
+                 ROW_NUMBER() OVER w AS idx,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n_scored
+          FROM scored WHERE forecast IS NOT NULL
+          WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        ),
+        split AS (
+          SELECT *, n_scored * 3 // 5 AS n_cal FROM idxed
+        ),
+        qhat AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_cal,
+                 CAST(percentile_disc({alpha_pct / 100.0!r})
+                      WITHIN GROUP (ORDER BY abs_resid) AS BIGINT)
+                   AS qhat_cents
+          FROM split WHERE idx <= n_cal
+          GROUP BY 1
+        )
+        SELECT t.event_type,
+               MIN(q.n_cal) AS n_cal,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(MIN(q.qhat_cents) AS BIGINT) AS qhat_cents,
+               CAST(SUM(CASE WHEN t.abs_resid <= q.qhat_cents
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+               CAST(SUM(CASE WHEN t.abs_resid <= q.qhat_cents
+                             THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS coverage_ppm
+        FROM split t JOIN qhat q ON t.event_type = q.event_type
+        WHERE t.idx > t.n_cal
+        GROUP BY 1
+        ORDER BY 1
+    """

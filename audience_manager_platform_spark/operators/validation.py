@@ -1787,3 +1787,100 @@ def kanon_generalization_plan_sql(
         JOIN s2 USING (c_nationkey, c_mktsegment, band_2)
         ORDER BY 1, 2, 3
     """
+
+
+# ------------------------------------------- pseudonymization audit
+PSEUDONYM_SALT = "amp-pseudo-v1|"
+
+
+def pseudonym_bucket_audit(
+    events: DataFrame, salt: str = PSEUDONYM_SALT
+) -> DataFrame:
+    """Audit of salted-SHA-256 user pseudonymization — the
+    GDPR-pipeline step that replaces raw user_ids with stable tokens
+    before data leaves the trust boundary. Two properties a release
+    gate must check: the mapping is COLLISION-FREE (two users sharing
+    a token silently merges their histories), and tokens spread
+    UNIFORMLY across downstream shard buckets (a skewed first nibble
+    means someone truncated the hash or double-hashed).
+
+    Output: one row per first-hex-nibble bucket (16 rows) with the
+    user count, distinct-token count, collision count, and the signed
+    deviation from a perfectly uniform spread in exact integer ppm
+    (``(n*16 - total) * 1e6 div total`` — the [[cross-engine-
+    determinism]] integer contract; SHA-256 hex is lowercase in both
+    engines, pinned by test).
+
+    Shape at scale: one distinct over user_id (map-side combinable),
+    one hash projection, one 16-group aggregate; the 1-row total is a
+    broadcast. Nothing holds more than |users| rows and the hot path
+    is whole-stage codegen."""
+    users = events.select("user_id").filter(
+        F.col("user_id").isNotNull()
+    ).distinct()
+    tok = users.select(
+        "user_id",
+        F.sha2(F.concat(F.lit(salt), F.col("user_id").cast("string")), 256)
+        .alias("token"),
+    )
+    per_bucket = (
+        tok.groupBy(F.substring("token", 1, 1).alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.countDistinct("token").cast("long").alias("n_tokens"),
+        )
+        .withColumn("n_collisions", F.col("n_users") - F.col("n_tokens"))
+    )
+    total = per_bucket.agg(F.sum("n_users").alias("_tot"))
+    return (
+        per_bucket.crossJoin(F.broadcast(total))
+        .withColumn("_d", (F.col("n_users") * 16 - F.col("_tot")) * 1_000_000)
+        .select(
+            "bucket",
+            "n_users",
+            "n_tokens",
+            "n_collisions",
+            # dev goes NEGATIVE for under-populated buckets: use the
+            # pymod floor-division form because Spark's div truncates
+            # toward zero while DuckDB's // floors (seasonal_decompose
+            # contract)
+            F.expr(
+                "(_d - ((_d % _tot) + _tot) % _tot) div _tot"
+            ).alias("dev_ppm"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def pseudonym_bucket_audit_sql(
+    src: str = "events", salt: str = PSEUDONYM_SALT
+) -> str:
+    return f"""
+        WITH users AS (
+          SELECT DISTINCT user_id FROM {src} WHERE user_id IS NOT NULL
+        ),
+        tok AS (
+          SELECT user_id,
+                 sha256('{salt}' || CAST(user_id AS VARCHAR)) AS token
+          FROM users
+        ),
+        per_bucket AS (
+          SELECT substring(token, 1, 1) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(COUNT(DISTINCT token) AS BIGINT) AS n_tokens
+          FROM tok GROUP BY 1
+        ),
+        total AS (SELECT SUM(n_users) AS _tot FROM per_bucket),
+        devd AS (
+          SELECT bucket, n_users, n_tokens,
+                 (n_users * 16 - _tot) * 1000000 AS _d, _tot
+          FROM per_bucket, total
+        )
+        SELECT bucket, n_users, n_tokens,
+               CAST(n_users - n_tokens AS BIGINT) AS n_collisions,
+               -- same pymod floor-division form as the Spark side
+               CAST((_d - ((_d % _tot) + _tot) % _tot) // _tot AS BIGINT)
+                 AS dev_ppm
+        FROM devd
+        ORDER BY bucket
+    """

@@ -183,6 +183,11 @@ QUERIES = {
     "analytics_exposure_uplift": lambda s, d: A.exposure_uplift(
         load_table(s, d, "events")
     ),
+    # r7 wave 29 (r8 queue): in-sample order-1 vs order-2 majority
+    # next-event predictor accuracy — the sequence-memory diagnostic
+    "analytics_markov_order2_lift": lambda s, d: A.markov_order2_lift(
+        load_table(s, d, "events")
+    ),
     # r5 (deferred window): WAU / trailing-4-week MAU stickiness
     "analytics_stickiness": lambda s, d: A.stickiness(
         load_table(s, d, "events")
@@ -359,6 +364,7 @@ ORACLES = {
     "analytics_pareto_coverage": A.pareto_coverage_sql(),
     "analytics_survival_km": A.survival_retention_sql(),
     "analytics_exposure_uplift": A.exposure_uplift_sql(),
+    "analytics_markov_order2_lift": A.markov_order2_lift_sql(),
     "analytics_stickiness": A.stickiness_sql(),
     "analytics_revenue_gini": A.revenue_gini_sql(),
     "analytics_new_vs_returning": A.new_vs_returning_sql(),

@@ -86,6 +86,11 @@ QUERIES = {
     # wave 24: point anomalies vs a one-step-ahead EWMA baseline (the
     # alert rule beside the changepoint scan's level-shift detection)
     "ts_ewma_anomaly": lambda s, d: TS.ewma_anomaly(_events(s, d)),
+    # r7 wave 29 (r8 queue): distribution-free uncertainty bands —
+    # split-conformal qhat on calibration, coverage graded on test
+    "ts_conformal_interval": lambda s, d: TS.conformal_interval_backtest(
+        _events(s, d)
+    ),
 }
 
 ORACLES = {
@@ -103,6 +108,7 @@ ORACLES = {
     "ts_crosscorr_lead_lag": TS.crosscorr_lead_lag_sql(),
     "ts_holt_linear_backtest": TS.holt_linear_backtest_sql(),
     "ts_ewma_anomaly": TS.ewma_anomaly_sql(),
+    "ts_conformal_interval": TS.conformal_interval_backtest_sql(),
     "sample_fixed_n_events": f"""
         SELECT event_id, user_id, event_type, ROUND(value, 2) AS value,
                MD5(CAST(event_id AS VARCHAR) || '{SAMPLE_SALT}') AS sample_key

@@ -38,6 +38,8 @@ from ..operators.graph import (
     pagerank_sql,
     trade_communities,
     trade_communities_sql,
+    link_prediction_scores,
+    link_prediction_scores_sql,
     triangle_participation,
     triangle_participation_sql,
 )
@@ -82,6 +84,8 @@ from ..operators.validation import (
     unique_key_audit_sql,
     k_anonymity_audit,
     k_anonymity_audit_sql,
+    pseudonym_bucket_audit,
+    pseudonym_bucket_audit_sql,
     l_diversity_audit,
     l_diversity_audit_sql,
     t_closeness_audit,
@@ -385,6 +389,11 @@ QUERIES = {
         ["c_nationkey", "c_mktsegment", "bal_band"],
         k=5,
     ),
+    # r7 wave 29 (r8 queue): salted-SHA-256 pseudonymization release
+    # gate — collision-free + shard-bucket uniformity in exact ppm
+    "privacy_pseudonym_audit": lambda s, d: pseudonym_bucket_audit(
+        _events(s, d)
+    ),
     # r7 wave 28 (r8 queue): the decision step after the k-anon audit —
     # minimal band generalization per class, else suppress
     "privacy_kanon_generalization_plan": lambda s, d: (
@@ -449,6 +458,15 @@ QUERIES = {
         "l_orderkey",
         "l_partkey",
         min_cooc=2,
+    ),
+    # r7 wave 29 (r8 queue): missing-link candidates over the same
+    # co-purchase graph (common-neighbor + quantized RA index)
+    "graph_link_prediction": lambda s, d: link_prediction_scores(
+        load_table(s, d, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        min_cooc=2,
+        top_n=50,
     ),
     # r6 queue: single-source BFS hop distances over the co-purchase
     # graph (frontier joins + anti-join visited, constant rounds)
@@ -624,6 +642,7 @@ ORACLES = {
         k=5,
     ),
     "privacy_kanon_generalization_plan": kanon_generalization_plan_sql(),
+    "privacy_pseudonym_audit": pseudonym_bucket_audit_sql(),
     "privacy_l_diversity_customer": l_diversity_audit_sql(
         "(SELECT c_nationkey, c_mktsegment,"
         " CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band"
@@ -668,6 +687,11 @@ ORACLES = {
     "graph_triangle_parts": triangle_participation_sql(
         "SELECT l_orderkey AS _ctx, l_partkey AS _it FROM lineitem",
         min_cooc=2,
+    ),
+    "graph_link_prediction": link_prediction_scores_sql(
+        "SELECT l_orderkey AS _ctx, l_partkey AS _it FROM lineitem",
+        min_cooc=2,
+        top_n=50,
     ),
     "graph_bfs_distances": bfs_distances_sql(
         "SELECT l_orderkey AS _ctx, l_partkey AS _it FROM lineitem",

@@ -496,3 +496,101 @@ def test_exposure_uplift_hand_computed(spark):
     # over 2 users -> floor(-800e6 / 2) = -400e6
     assert (c.n_users, c.pre_cents, c.post_cents) == (2, 2000, 1200)
     assert c.mean_delta_micro == -400_000_000
+
+
+# ---------------------------------------------------------- wave 29
+def test_conformal_interval_hand_computed(spark):
+    """31 days, one event/day, cents = 100*d with a +2000-cent spike on
+    days 27-31: the 24 scored days split 14 cal / 10 test at
+    (24*3) div 5; calibration residuals are all 700 so qhat=700; test
+    days 22-26 stay covered (resid 700) while the 5 spike days miss
+    (resid 2700) -> coverage exactly 500000 ppm."""
+    from audience_manager_platform_spark.operators.timeseries import (
+        conformal_interval_backtest,
+    )
+
+    rows = []
+    for d in range(1, 32):
+        v = float(d + 20) if d >= 27 else float(d)
+        rows.append((d, f"2024-01-{d:02d} 10:00:00", 1, "view", v))
+    out = conformal_interval_backtest(_events_df(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.event_type, r.n_cal, r.n_test) == ("view", 14, 10)
+    assert r.qhat_cents == 700
+    assert r.n_covered == 5
+    assert r.coverage_ppm == 500_000
+
+
+def test_link_prediction_hand_computed(spark):
+    """Path graph 1-2-3-4 (each edge from one shared order, min_cooc=1):
+    the only wedge-closable non-edges are (1,3) via pivot 2 and (2,4)
+    via pivot 3, both deg-2 pivots -> ra_micro 500000, cn 1; ties break
+    on (u, v) so (1,3) ranks first. Adjacent pairs never appear."""
+    from audience_manager_platform_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    pairs = spark.createDataFrame(
+        [(10, 1), (10, 2), (20, 2), (20, 3), (30, 3), (30, 4)],
+        "oid long, pid long",
+    )
+    out = link_prediction_scores(
+        pairs, "oid", "pid", min_cooc=1, top_n=10
+    ).collect()
+    assert [(r.u, r.v, r.common_neighbors, r.ra_micro) for r in out] == [
+        (1, 3, 1, 500_000),
+        (2, 4, 1, 500_000),
+    ]
+
+
+def test_pseudonym_audit_matches_hashlib(spark):
+    """Spark's sha2(..., 256) must equal hashlib over the same salted
+    string; 40 users spread across first-nibble buckets with zero
+    collisions, bucket counts and signed floor-division dev_ppm
+    recomputed independently in Python."""
+    import hashlib as _h
+
+    from audience_manager_platform_spark.operators.validation import (
+        PSEUDONYM_SALT,
+        pseudonym_bucket_audit,
+    )
+
+    n_users = 40
+    rows = [
+        (i, "2024-01-01 10:00:00", i % n_users, "view", 1.0)
+        for i in range(2 * n_users)  # duplicates: distinct() must dedup
+    ]
+    expected: dict[str, int] = {}
+    for u in range(n_users):
+        b = _h.sha256(f"{PSEUDONYM_SALT}{u}".encode()).hexdigest()[0]
+        expected[b] = expected.get(b, 0) + 1
+    out = pseudonym_bucket_audit(_events_df(spark, rows)).collect()
+    assert {r.bucket: r.n_users for r in out} == expected
+    for r in out:
+        assert r.n_collisions == 0 and r.n_tokens == r.n_users
+        d = (r.n_users * 16 - n_users) * 1_000_000
+        assert r.dev_ppm == d // n_users  # Python // IS floor division
+
+
+def test_markov_order2_lift_hand_computed(spark):
+    """Sequence a x b c x d a x b c x d: after 'x' the next event is a
+    2-2 tie (order-1 predicts 'b' lexicographically, missing both 'd'
+    rows -> 8/10) while the order-2 contexts (a,x)->b and (c,x)->d are
+    pure -> 10/10; lift exactly 200000 ppm."""
+    from audience_manager_platform_spark.operators.analytics import (
+        markov_order2_lift,
+    )
+
+    seq = ["a", "x", "b", "c", "x", "d", "a", "x", "b", "c", "x", "d"]
+    rows = [
+        (i, f"2024-01-01 10:{i:02d}:00", 1, t, 1.0)
+        for i, t in enumerate(seq)
+    ]
+    out = markov_order2_lift(_events_df(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_eval, r.hits_order1, r.hits_order2) == (10, 8, 10)
+    assert (r.acc1_ppm, r.acc2_ppm, r.lift_ppm) == (
+        800_000, 1_000_000, 200_000,
+    )

@@ -124,6 +124,8 @@ NESTED_LOOP_ALLOWED = {
     "hll_mergeable_rollup",
     "tpch_q11_important_parts",
     "tpch_q22_idle_customers",
+    # 1-row total-users broadcast onto the 16-bucket table
+    "privacy_pseudonym_audit",
     "heavy_hitters_value_bands",
     "ts_resample_locf",
     "ts_interpolate_linear",

@@ -77,3 +77,121 @@ def geo_cell_rollup_sql(src: str = "events", k: int = 50) -> str:
         FROM keyed GROUP BY cell_id, lat_cell, lon_cell
         ORDER BY n_events DESC, cell_id ASC LIMIT {k}
     """
+
+
+def geo_neighbor_smoothing(events: DataFrame) -> DataFrame:
+    """3x3 spatial kernel smoothing over the 1-degree grid: each cell's
+    event value is compared against the mean of its Moore neighborhood
+    (itself + up to 8 adjacent cells) — the hotspot detector behind
+    geo dashboards (a cell glowing above its neighborhood is signal; a
+    whole warm region is baseline).
+
+    Built SCATTER-side: every aggregated cell explodes into <=9
+    (neighbor, contribution) rows (two 3-element explodes, no join to
+    an offset table and no cartesian anywhere), then one keyed
+    re-aggregate per receiving cell — at 100 TB this is two map-side-
+    combinable aggregates over a |grid|-bounded table. Edge cells
+    simply have smaller neighborhoods (n_nbrs counts actual
+    contributors). Exact arithmetic: cents in, neighborhood mean on the
+    1e-6 grid via bigint division, verdict by integer compare."""
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    lat = F.expr(_cell_sql("user_id", GEO_A1, GEO_B1, GEO_LAT_CELLS))
+    lon = F.expr(_cell_sql("user_id", GEO_A2, GEO_B2, GEO_LON_CELLS))
+    cells = (
+        events.filter(F.col("value").isNotNull())
+        .select(lat.alias("lat_cell"), lon.alias("lon_cell"), cents.alias("c"))
+        .groupBy("lat_cell", "lon_cell")
+        .agg(F.sum("c").alias("cents"))
+    )
+    scatter = (
+        cells.select(
+            "lat_cell",
+            "lon_cell",
+            "cents",
+            F.explode(F.expr("array(-1, 0, 1)")).alias("dx"),
+        )
+        .select(
+            "lat_cell",
+            "lon_cell",
+            "cents",
+            "dx",
+            F.explode(F.expr("array(-1, 0, 1)")).alias("dy"),
+        )
+        .select(
+            (F.col("lat_cell") + F.col("dx")).alias("nlat"),
+            (F.col("lon_cell") + F.col("dy")).alias("nlon"),
+            "cents",
+        )
+        .filter(
+            (F.col("nlat") >= 0)
+            & (F.col("nlat") < GEO_LAT_CELLS)
+            & (F.col("nlon") >= 0)
+            & (F.col("nlon") < GEO_LON_CELLS)
+        )
+    )
+    smoothed = scatter.groupBy(
+        F.col("nlat").alias("lat_cell"), F.col("nlon").alias("lon_cell")
+    ).agg(
+        F.count("*").cast("long").alias("n_nbrs"),
+        F.sum("cents").alias("_nbr_sum"),
+    )
+    return (
+        cells.join(smoothed, ["lat_cell", "lon_cell"])
+        .select(
+            "lat_cell",
+            "lon_cell",
+            "cents",
+            "n_nbrs",
+            F.expr("_nbr_sum * 1000000 div n_nbrs").alias("smooth_micro"),
+            F.expr(
+                "CASE WHEN cents * 1000000 > _nbr_sum * 1000000 div n_nbrs"
+                " THEN 'hot'"
+                " WHEN cents * 1000000 < _nbr_sum * 1000000 div n_nbrs"
+                " THEN 'cool' ELSE 'flat' END"
+            ).alias("verdict"),
+        )
+        .orderBy("lat_cell", "lon_cell")
+    )
+
+
+def geo_neighbor_smoothing_sql(src: str = "events") -> str:
+    lat = _cell_sql("user_id", GEO_A1, GEO_B1, GEO_LAT_CELLS)
+    lon = _cell_sql("user_id", GEO_A2, GEO_B2, GEO_LON_CELLS)
+    return f"""
+        WITH cells AS (
+          SELECT {lat} AS lat_cell, {lon} AS lon_cell,
+                 SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+          FROM {src} WHERE value IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        scatter AS (
+          SELECT c.lat_cell + dx.v AS nlat, c.lon_cell + dy.v AS nlon,
+                 c.cents
+          FROM cells c
+          CROSS JOIN (VALUES (-1), (0), (1)) dx(v)
+          CROSS JOIN (VALUES (-1), (0), (1)) dy(v)
+          WHERE c.lat_cell + dx.v >= 0
+            AND c.lat_cell + dx.v < {GEO_LAT_CELLS}
+            AND c.lon_cell + dy.v >= 0
+            AND c.lon_cell + dy.v < {GEO_LON_CELLS}
+        ),
+        smoothed AS (
+          SELECT nlat AS lat_cell, nlon AS lon_cell,
+                 CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+                 SUM(cents) AS _nbr_sum
+          FROM scatter GROUP BY 1, 2
+        )
+        SELECT c.lat_cell, c.lon_cell, CAST(c.cents AS BIGINT) AS cents,
+               s.n_nbrs,
+               CAST(s._nbr_sum * 1000000 // s.n_nbrs AS BIGINT)
+                 AS smooth_micro,
+               CASE WHEN c.cents * 1000000
+                         > s._nbr_sum * 1000000 // s.n_nbrs THEN 'hot'
+                    WHEN c.cents * 1000000
+                         < s._nbr_sum * 1000000 // s.n_nbrs THEN 'cool'
+                    ELSE 'flat' END AS verdict
+        FROM cells c
+        JOIN smoothed s
+          ON c.lat_cell = s.lat_cell AND c.lon_cell = s.lon_cell
+        ORDER BY c.lat_cell, c.lon_cell
+    """

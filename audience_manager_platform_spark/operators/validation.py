@@ -1884,3 +1884,97 @@ def pseudonym_bucket_audit_sql(
         FROM devd
         ORDER BY bucket
     """
+
+
+# ------------------------------------------- leave-one-out target encoding
+TENC_SMOOTH_M = 10
+TENC_SAMPLE_MOD = 199
+
+
+def target_encode_loo(
+    events: DataFrame,
+    smooth_m: int = TENC_SMOOTH_M,
+    sample_mod: int = TENC_SAMPLE_MOD,
+) -> DataFrame:
+    """Leakage-safe leave-one-out target encoding of event_type against
+    the cents target — the categorical-feature workhorse of tabular ML
+    pipelines, in the form that does NOT leak the row's own label:
+    enc_i = (sum_class - cents_i + m * prior) / (n_class - 1 + m), with
+    an m-weighted global prior shrinking rare classes toward the
+    corpus mean (micro-averaged empirical Bayes).
+
+    EXACT integer arithmetic: cents are bigint, the prior is
+    sum_g * 1e6 div n_g, and each row's encoding is one bigint division
+    on the 1e-6 grid — truncating division agrees between Spark ``div``
+    and DuckDB ``//`` (both toward zero), and every intermediate stays
+    under 2^63 while total corpus cents stay under ~9.2e12 - pre-scale
+    per class beyond that.
+
+    The full encoded table is |events| rows (a feature column, not a
+    report), so the REGISTRY query emits the deterministic
+    event_id % ``sample_mod`` == 0 audit slice — the encode itself is a
+    per-row projection against two broadcast tables (|classes| rows and
+    1 row), zero extra shuffles at any scale."""
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    rows = events.filter(F.col("value").isNotNull()).select(
+        "event_id", "event_type", cents.alias("cents")
+    )
+    per_class = rows.groupBy("event_type").agg(
+        F.count("*").alias("n_class"), F.sum("cents").alias("sum_class")
+    )
+    prior = rows.agg(
+        F.expr("sum(cents) * 1000000 div count(*)").alias("prior_micro")
+    )
+    return (
+        rows.filter(F.col("event_id") % sample_mod == 0)
+        .join(F.broadcast(per_class), "event_type")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "event_id",
+            "event_type",
+            "cents",
+            "n_class",
+            "prior_micro",
+            F.expr(
+                f"((sum_class - cents) * 1000000"
+                f" + {int(smooth_m)} * prior_micro)"
+                f" div (n_class - 1 + {int(smooth_m)})"
+            ).alias("enc_micro"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def target_encode_loo_sql(
+    src: str = "events",
+    smooth_m: int = TENC_SMOOTH_M,
+    sample_mod: int = TENC_SAMPLE_MOD,
+) -> str:
+    return f"""
+        WITH rows_ AS (
+          SELECT event_id, event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM {src} WHERE value IS NOT NULL
+        ),
+        per_class AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_class,
+                 SUM(cents) AS sum_class
+          FROM rows_ GROUP BY 1
+        ),
+        prior AS (
+          SELECT CAST(SUM(cents) * 1000000 // COUNT(*) AS BIGINT)
+                   AS prior_micro
+          FROM rows_
+        )
+        SELECT r.event_id, r.event_type, r.cents, c.n_class,
+               p.prior_micro,
+               CAST(((c.sum_class - r.cents) * 1000000
+                     + {int(smooth_m)} * p.prior_micro)
+                    // (c.n_class - 1 + {int(smooth_m)}) AS BIGINT)
+                 AS enc_micro
+        FROM rows_ r
+        JOIN per_class c ON r.event_type = c.event_type
+        CROSS JOIN prior p
+        WHERE r.event_id % {int(sample_mod)} = 0
+        ORDER BY r.event_id
+    """

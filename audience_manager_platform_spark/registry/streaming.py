@@ -20,6 +20,8 @@ from ..sources import load_table
 from ..streaming.jobs import (
     checksum_maintenance_stream,
     enriched_segment_counts,
+    late_arrival_audit,
+    late_arrival_audit_sql,
     mix_histogram_stream,
     psi_histogram_stream,
     quantile_sketch_stream,
@@ -260,6 +262,14 @@ def _checksum_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(work, "state")).orderBy("day")
 
 
+def _late_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = stream_events(spark, sf_dir)
+    result = late_arrival_audit(events)
+    name = f"stream_late_arrival_{next(_counter)}"
+    run_available_now(result, name)
+    return spark.table(name)
+
+
 QUERIES = {
     "streaming_window_counts": _window_counts,
     "streaming_static_join_counts": _static_join_counts,
@@ -273,6 +283,9 @@ QUERIES = {
     # the settled fold state equals the one-shot batch table for ANY
     # replay chunking (counts add, checksums xor)
     "streaming_checksum_maintenance": _checksum_maintenance,
+    # r7 wave 30 (r8 queue): per-day late-data accounting — additive
+    # counts/maxima, settled sink == batch table for any chunking
+    "streaming_late_arrival_audit": _late_arrival,
 }
 
 ORACLES = {
@@ -282,6 +295,7 @@ ORACLES = {
     "streaming_psi_monitor": psi_value_drift_sql("events"),
     "streaming_mix_monitor": mix_drift_sql("events"),
     "streaming_checksum_maintenance": partition_checksums_sql("events"),
+    "streaming_late_arrival_audit": late_arrival_audit_sql("events"),
     "streaming_window_counts": """
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type,

@@ -66,7 +66,12 @@ from ..operators.skew import (
     hll_retention_overlap,
     hll_retention_overlap_sql,
 )
-from ..operators.geo import geo_cell_rollup, geo_cell_rollup_sql
+from ..operators.geo import (
+    geo_cell_rollup,
+    geo_cell_rollup_sql,
+    geo_neighbor_smoothing,
+    geo_neighbor_smoothing_sql,
+)
 from ..operators.validation import (
     winsorize_stats,
     winsorize_stats_sql,
@@ -86,6 +91,8 @@ from ..operators.validation import (
     k_anonymity_audit_sql,
     pseudonym_bucket_audit,
     pseudonym_bucket_audit_sql,
+    target_encode_loo,
+    target_encode_loo_sql,
     l_diversity_audit,
     l_diversity_audit_sql,
     t_closeness_audit,
@@ -303,6 +310,11 @@ QUERIES = {
     # r7: winsorized robust feature stats on percentile_disc cutoffs
     # (actual data values — no cross-engine interpolation arithmetic)
     "feature_winsorize_events": lambda s, d: winsorize_stats(_events(s, d)),
+    # r7 wave 30 (r8 queue): leakage-safe LOO target encoding with an
+    # m-weighted global prior (deterministic audit slice)
+    "feature_target_encode_loo": lambda s, d: target_encode_loo(
+        _events(s, d)
+    ),
     # r7 wave 27 (r8 queue): median/MAD robust scaling, portable
     # replication checksums, purged time-series CV folds
     "feature_robust_scale_events": lambda s, d: robust_scale_stats(
@@ -355,6 +367,11 @@ QUERIES = {
     # raw float would make every class size 1)
     # r5 (deferred window): spatial grid rollup on the Morton cell key
     "geo_cell_rollup": lambda s, d: geo_cell_rollup(_events(s, d)),
+    # r7 wave 30 (r8 queue): 3x3 Moore-kernel hotspot detection built
+    # scatter-side (two explodes, no offset join, no cartesian)
+    "geo_neighbor_smoothing": lambda s, d: geo_neighbor_smoothing(
+        _events(s, d)
+    ),
     # r5 (deferred window): snapshot statistics drift (old = full month,
     # new = the last 20 days cut — planted drift on every column)
     "table_profile_drift": lambda s, d: profile_drift(
@@ -595,6 +612,7 @@ ORACLES = {
     "cdc_merge_upsert_actions": MG.merge_upsert_actions_sql(),
     "rollup_algebraic_merge": MG.algebraic_rollup_merge_sql(),
     "feature_winsorize_events": winsorize_stats_sql(),
+    "feature_target_encode_loo": target_encode_loo_sql(),
     "feature_robust_scale_events": robust_scale_stats_sql(),
     "validate_partition_checksums": partition_checksums_sql(),
     "corpus_purged_time_split": C.purged_time_split_sql(),
@@ -617,6 +635,7 @@ ORACLES = {
     "validate_events_expectations": validate_table_sql("events", EXPECTATIONS),
     "table_profile_events": table_profile_sql("events", PROFILE_COLS),
     "geo_cell_rollup": geo_cell_rollup_sql("events"),
+    "geo_neighbor_smoothing": geo_neighbor_smoothing_sql("events"),
     "table_profile_drift": profile_drift_sql(
         "events",
         "(SELECT * FROM events WHERE date_part('day', ts) > 10) nv",

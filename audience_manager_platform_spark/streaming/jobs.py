@@ -709,3 +709,74 @@ def checksum_maintenance_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ----------------------------------------------- late-arrival accounting
+LATE_DELAY_MOD = 5
+LATE_DELAY_STEP_S = 3600
+LATE_THRESHOLD_S = 7200
+
+
+def late_arrival_audit(
+    events: DataFrame, threshold_s: int = LATE_THRESHOLD_S,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-event-day late-data accounting — the observability rollup
+    that tells you whether your watermark is sized right BEFORE windows
+    silently drop rows: how many events arrived more than
+    ``threshold_s`` after their event time, and the worst lag seen.
+
+    The fixtures carry no ingestion timestamp, so arrival lag is
+    planted deterministically from event_id ((event_id % 5) hours —
+    40% of rows exceed the 2 h threshold); with real data the synthetic
+    column is replaced by ``arrival_ts - ts`` and everything downstream
+    is unchanged. Counts and maxima are additive across micro-batches,
+    so the settled availableNow sink equals the one-shot batch table
+    for ANY replay chunking (the checksum-maintenance fold contract);
+    late_ppm is an exact integer ratio of settled counts.
+
+    Shape at scale: one watermarked day-window aggregate — state is
+    |days-in-watermark| rows, map-side combinable, no joins."""
+    delayed = events.withColumn(
+        "_delay_s",
+        (F.col("event_id") % LATE_DELAY_MOD) * LATE_DELAY_STEP_S,
+    )
+    return (
+        delayed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                (F.col("_delay_s") > threshold_s).cast("long")
+            ).alias("n_late"),
+            F.max("_delay_s").cast("long").alias("max_delay_s"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "n_late",
+            F.expr("n_late * 1000000 div n_events").alias("late_ppm"),
+            "max_delay_s",
+        )
+    )
+
+
+def late_arrival_audit_sql(
+    src: str = "events", threshold_s: int = LATE_THRESHOLD_S
+) -> str:
+    late = (
+        f"(event_id % {LATE_DELAY_MOD}) * {LATE_DELAY_STEP_S}"
+        f" > {int(threshold_s)}"
+    )
+    return f"""
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN {late} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_late,
+               CAST(SUM(CASE WHEN {late} THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS late_ppm,
+               CAST(MAX((event_id % {LATE_DELAY_MOD})
+                        * {LATE_DELAY_STEP_S}) AS BIGINT) AS max_delay_s
+        FROM {src}
+        GROUP BY 1
+    """

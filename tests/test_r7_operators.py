@@ -594,3 +594,100 @@ def test_markov_order2_lift_hand_computed(spark):
     assert (r.acc1_ppm, r.acc2_ppm, r.lift_ppm) == (
         800_000, 1_000_000, 200_000,
     )
+
+
+# ---------------------------------------------------------- wave 30
+def test_late_arrival_audit_hand_computed(spark):
+    """10 same-day events, planted delay (event_id % 5) hours: ids with
+    id%5 in {3,4} exceed the 2h threshold -> 4/10 late, 400000 ppm,
+    worst lag 4h. Batch execution of the same plan (withWatermark is a
+    streaming-only hint) — the sf0.01 gate drives the REAL availableNow
+    run."""
+    from audience_manager_platform_spark.streaming.jobs import (
+        late_arrival_audit,
+    )
+
+    rows = [
+        (i, "2024-01-01 10:00:00", 1, "view", 1.0) for i in range(10)
+    ]
+    out = late_arrival_audit(_events_df(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.day, r.n_events, r.n_late) == ("2024-01-01", 10, 4)
+    assert r.late_ppm == 400_000
+    assert r.max_delay_s == 14_400
+
+
+def test_target_encode_loo_hand_computed(spark):
+    """Class A holds cents {100,200,300}, class B a singleton {400};
+    prior = 250e6 micro, m=2: A rows encode to 250/225/200e6 (the row's
+    own label fully excluded), and the singleton's LOO count is zero so
+    it collapses to the prior exactly."""
+    from audience_manager_platform_spark.operators.validation import (
+        target_encode_loo,
+    )
+
+    rows = [
+        (0, "2024-01-01 10:00:00", 1, "A", 1.0),
+        (1, "2024-01-01 11:00:00", 1, "A", 2.0),
+        (2, "2024-01-01 12:00:00", 1, "A", 3.0),
+        (3, "2024-01-01 13:00:00", 1, "B", 4.0),
+    ]
+    out = {
+        r.event_id: r
+        for r in target_encode_loo(
+            _events_df(spark, rows), smooth_m=2, sample_mod=1
+        ).collect()
+    }
+    assert all(r.prior_micro == 250_000_000 for r in out.values())
+    assert out[0].enc_micro == 250_000_000
+    assert out[1].enc_micro == 225_000_000
+    assert out[2].enc_micro == 200_000_000
+    assert out[3].enc_micro == 250_000_000  # pure prior
+    assert out[3].n_class == 1
+
+
+def test_geo_neighbor_smoothing_matches_python_reference(spark):
+    """Full independent Python reimplementation over 60 users x 1 cent
+    event each: same hash-derived cells, same scatter/gather kernel,
+    same truncating micro division and verdict."""
+    from audience_manager_platform_spark.operators.geo import (
+        GEO_A1, GEO_A2, GEO_B1, GEO_B2, GEO_LAT_CELLS, GEO_LON_CELLS,
+        GEO_P, geo_neighbor_smoothing,
+    )
+
+    users = list(range(60))
+    rows = [
+        (i, "2024-01-01 10:00:00", u, "view", 1.0 + (i % 3))
+        for i, u in enumerate(users)
+    ]
+    cells: dict[tuple[int, int], int] = {}
+    for i, u in enumerate(users):
+        la = ((GEO_A1 * (u % GEO_P) + GEO_B1) % GEO_P) % GEO_LAT_CELLS
+        lo = ((GEO_A2 * (u % GEO_P) + GEO_B2) % GEO_P) % GEO_LON_CELLS
+        cents = int((1.0 + (i % 3)) * 100)
+        cells[(la, lo)] = cells.get((la, lo), 0) + cents
+    gathered: dict[tuple[int, int], tuple[int, int]] = {}
+    for (la, lo), c in cells.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                k = (la + dx, lo + dy)
+                if 0 <= k[0] < GEO_LAT_CELLS and 0 <= k[1] < GEO_LON_CELLS:
+                    n, s = gathered.get(k, (0, 0))
+                    gathered[k] = (n + 1, s + c)
+    expected = {}
+    for k, own in cells.items():
+        n, s = gathered[k]
+        smooth = s * 1_000_000 // n  # nonneg: trunc == floor
+        verdict = (
+            "hot" if own * 1_000_000 > smooth
+            else "cool" if own * 1_000_000 < smooth else "flat"
+        )
+        expected[k] = (own, n, smooth, verdict)
+    out = geo_neighbor_smoothing(_events_df(spark, rows)).collect()
+    got = {
+        (r.lat_cell, r.lon_cell):
+        (r.cents, r.n_nbrs, r.smooth_micro, r.verdict)
+        for r in out
+    }
+    assert got == expected

@@ -126,6 +126,8 @@ NESTED_LOOP_ALLOWED = {
     "tpch_q22_idle_customers",
     # 1-row total-users broadcast onto the 16-bucket table
     "privacy_pseudonym_audit",
+    # 1-row global-prior broadcast onto the audit slice
+    "feature_target_encode_loo",
     "heavy_hitters_value_bands",
     "ts_resample_locf",
     "ts_interpolate_linear",

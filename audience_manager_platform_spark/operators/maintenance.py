@@ -573,3 +573,98 @@ def compaction_plan_sql(
         FROM plan
         ORDER BY bin_id
     """
+
+
+# ------------------------------------------------ snapshot retention
+RETAIN_LAST_DAYS = 7
+WEEK_EPOCH = "1970-01-05"  # a Monday: week buckets align to ISO weeks
+
+
+def snapshot_retention_plan(
+    events, keep_last: int = RETAIN_LAST_DAYS
+) -> "DataFrame":
+    """Snapshot-expiry planner — the Iceberg/Delta `expire_snapshots`
+    decision step: keep every daily snapshot from the trailing
+    ``keep_last`` days, thin older history to one snapshot per week
+    (the newest in each week), expire the rest. The plan is emitted as
+    a row per snapshot with its verdict, so the execution step is a
+    pure metadata delete of the 'expire' rows.
+
+    Week buckets are computed arithmetically (days-since-a-Monday div
+    7) instead of engine week-of-year formatting — date_format('ww')
+    and strftime('%V') disagree on week-year boundaries, the kind of
+    cross-engine trap this repo pins down. Everything after the first
+    aggregate rides the |days| snapshot table (the documented
+    single-partition monitor pattern); the raw stream contributes ONE
+    count aggregate."""
+    from pyspark.sql import Window, functions as F
+
+    daily = (
+        events.groupBy(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count("*").cast("long").alias("n_rows"))
+        .withColumn(
+            "week_idx",
+            F.expr(
+                f"datediff(to_date(day), DATE '{WEEK_EPOCH}') div 7"
+            ).cast("long"),
+        )
+    )
+    ranked = daily.withColumn(
+        "recency_rank",
+        F.row_number().over(Window.orderBy(F.desc("day"))).cast("int"),
+    )
+    weekly_pick = (
+        ranked.filter(F.col("recency_rank") > keep_last)
+        .groupBy("week_idx")
+        .agg(F.max("day").alias("_wk_keep"))
+    )
+    return (
+        ranked.join(F.broadcast(weekly_pick), "week_idx", "left")
+        .select(
+            "day",
+            "n_rows",
+            "recency_rank",
+            "week_idx",
+            F.expr(
+                f"CASE WHEN recency_rank <= {int(keep_last)}"
+                " THEN 'keep_recent'"
+                " WHEN day = _wk_keep THEN 'keep_weekly'"
+                " ELSE 'expire' END"
+            ).alias("action"),
+        )
+        .orderBy("day")
+    )
+
+
+def snapshot_retention_plan_sql(
+    src: str = "events", keep_last: int = RETAIN_LAST_DAYS
+) -> str:
+    return f"""
+        WITH daily AS (
+          SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST((CAST(ts AS DATE) - DATE '{WEEK_EPOCH}') // 7
+                      AS BIGINT) AS week_idx
+          FROM {src}
+          GROUP BY 1, 3
+        ),
+        ranked AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY day DESC) AS INTEGER)
+                      AS recency_rank
+          FROM daily
+        ),
+        weekly_pick AS (
+          SELECT week_idx, MAX(day) AS _wk_keep
+          FROM ranked WHERE recency_rank > {int(keep_last)}
+          GROUP BY 1
+        )
+        SELECT r.day, r.n_rows, r.recency_rank, r.week_idx,
+               CASE WHEN r.recency_rank <= {int(keep_last)}
+                    THEN 'keep_recent'
+                    WHEN r.day = w._wk_keep THEN 'keep_weekly'
+                    ELSE 'expire' END AS action
+        FROM ranked r LEFT JOIN weekly_pick w ON r.week_idx = w.week_idx
+        ORDER BY r.day
+    """

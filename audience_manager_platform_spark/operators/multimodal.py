@@ -1249,3 +1249,124 @@ def bmp_channel_stats_oracle_sql(src: str = "documents") -> str:
                (g = 0) AS is_flat
         FROM terms
     """
+
+
+def bmp_tile_stats(media_df: DataFrame) -> DataFrame:
+    """Per-quadrant channel means from a REAL pixel walk — the patching
+    primitive of every vision pipeline (ViT-style tiling, saliency
+    crops, mosaics): each decoded BMP is split into a 2x2 tile grid
+    (integer halves; odd widths give the right tiles the extra column)
+    and each tile reports its exact pixel count and e6-scaled channel
+    means.
+
+    Storage order is bottom-up (BMP), so the walk maps storage row k to
+    logical y = h-1-k before tiling — a decoder that tiles raw storage
+    rows flips the vertical split and fails the closed-form oracle.
+    Arrow-batched ``mapInPandas``, O(pixels) per row, zero shuffle; at
+    100 TB this is embarrassingly parallel next to the channel-stats
+    pre-filter."""
+    out_schema = (
+        "doc_id long, tile_x int, tile_y int, n_pixels long, "
+        "mean_r_e6 long, mean_g_e6 long, mean_b_e6 long"
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "tile_x", "tile_y", "n_pixels",
+                "mean_r_e6", "mean_g_e6", "mean_b_e6",
+            )}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                data = bytes(blob)
+                magic, _sz, _r1, _r2, offset = struct.unpack_from(
+                    "<2sIHHI", data, 0
+                )
+                if magic != b"BM":
+                    raise ValueError(f"not a BMP payload (doc_id={doc_id})")
+                _hsz, w_px, h_px, _planes, _bpp = struct.unpack_from(
+                    "<IiiHH", data, 14
+                )
+                h_abs = abs(h_px)
+                stride = (3 * w_px + 3) // 4 * 4
+                half_x, half_y = w_px // 2, h_abs // 2
+                acc = {
+                    (tx, ty): [0, 0, 0, 0]  # n, sr, sg, sb
+                    for tx in (0, 1) for ty in (0, 1)
+                }
+                for k in range(h_abs):
+                    y = h_abs - 1 - k  # bottom-up storage
+                    ty = 0 if y < half_y else 1
+                    base = offset + k * stride
+                    for x in range(w_px):
+                        b_v, g_v, r_v = data[base + 3 * x: base + 3 * x + 3]
+                        a = acc[(0 if x < half_x else 1, ty)]
+                        a[0] += 1
+                        a[1] += r_v
+                        a[2] += g_v
+                        a[3] += b_v
+                for (tx, ty), (n, sr, sg, sb) in acc.items():
+                    out["doc_id"].append(doc_id)
+                    out["tile_x"].append(tx)
+                    out["tile_y"].append(ty)
+                    out["n_pixels"].append(n)
+                    out["mean_r_e6"].append(math.floor(sr / n * 1e6 + 0.5))
+                    out["mean_g_e6"].append(math.floor(sg / n * 1e6 + 0.5))
+                    out["mean_b_e6"].append(math.floor(sb / n * 1e6 + 0.5))
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(stats, schema=out_schema)
+
+
+def bmp_tile_stats_oracle_sql(src: str = "documents") -> str:
+    """Closed-form twin over the shaded synthesis value = a + g*(x+2y):
+    per tile [x0,x1) x [y0,y1), S = n*a + g*(ny*Sx + 2*nx*Sy) with
+    Sx = (x1(x1-1) - x0(x0-1))/2 (exact — consecutive products are
+    even), so each mean is floor(S/n * 1e6 + 0.5) of an integer ratio,
+    the same double op the kernel applies."""
+    w = f"({BMP_W_BASE} + doc_id % {BMP_W_MOD})"
+    h = f"({BMP_H_BASE} + doc_id % {BMP_H_MOD})"
+    chan = {
+        "r": f"(doc_id % {BMP_SHADE_MOD})",
+        "g": f"((doc_id * 7) % {BMP_SHADE_MOD})",
+        "b": f"((doc_id * 13) % {BMP_SHADE_MOD})",
+    }
+    cols = []
+    for c, a in chan.items():
+        s = f"(n_t * {a} + g * (ny * sx + 2 * nx * sy))"
+        cols.append(
+            f"CAST(floor({s} / CAST(n_t AS DOUBLE) * 1e6 + 0.5) AS BIGINT)"
+            f" AS mean_{c}_e6"
+        )
+    return f"""
+        WITH dims AS (
+          SELECT doc_id, {w} AS w, {h} AS h,
+                 CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS g
+          FROM {src}
+        ),
+        tiles AS (
+          SELECT d.*, tx.v AS tile_x, ty.v AS tile_y,
+                 CASE WHEN tx.v = 0 THEN 0 ELSE w // 2 END AS x0,
+                 CASE WHEN tx.v = 0 THEN w // 2 ELSE w END AS x1,
+                 CASE WHEN ty.v = 0 THEN 0 ELSE h // 2 END AS y0,
+                 CASE WHEN ty.v = 0 THEN h // 2 ELSE h END AS y1
+          FROM dims d
+          CROSS JOIN (VALUES (0), (1)) tx(v)
+          CROSS JOIN (VALUES (0), (1)) ty(v)
+        ),
+        terms AS (
+          SELECT *,
+                 (x1 - x0) AS nx, (y1 - y0) AS ny,
+                 (x1 - x0) * (y1 - y0) AS n_t,
+                 (x1 * (x1 - 1) - x0 * (x0 - 1)) // 2 AS sx,
+                 (y1 * (y1 - 1) - y0 * (y0 - 1)) // 2 AS sy
+          FROM tiles
+        )
+        SELECT doc_id, CAST(tile_x AS INTEGER) AS tile_x,
+               CAST(tile_y AS INTEGER) AS tile_y,
+               CAST(n_t AS BIGINT) AS n_pixels,
+               {", ".join(cols)}
+        FROM terms
+        ORDER BY doc_id, tile_y, tile_x
+    """

@@ -1978,3 +1978,81 @@ def target_encode_loo_sql(
         WHERE r.event_id % {int(sample_mod)} = 0
         ORDER BY r.event_id
     """
+
+
+# ------------------------------------------- id-sequence density audit
+IDGAP_BUCKET = 1000
+IDGAP_PLANT_RESIDUE = 777
+
+
+def id_density_audit(
+    events: DataFrame,
+    bucket: int = IDGAP_BUCKET,
+    plant_residue: int | None = IDGAP_PLANT_RESIDUE,
+) -> DataFrame:
+    """CDC-completeness audit over a monotonically-assigned id column:
+    bucket the id space (``event_id div bucket``) and report, per
+    bucket, the observed row count against the bucket's observed
+    [min, max] span — n_missing > 0 means rows were lost between the
+    source and this table (the replication hole a row-count-only check
+    averages away, localized to an id range someone can replay).
+
+    The fixture id space is dense, so the registry query PLANTS a
+    deterministic deletion (drops ids with id % bucket == residue)
+    before auditing — the audit must find exactly those holes; pass
+    ``plant_residue=None`` for real data. Span-based counting only sees
+    holes INSIDE a bucket's observed range: a bucket missing its edge
+    rows attributes them to no bucket (document: pair with a global
+    max-id check from the source side).
+
+    One map-side-combinable aggregate keyed by bucket — no windows, no
+    global sort, shuffles |ids|/bucket groups at any scale."""
+    rows = events.select(F.col("event_id").alias("id"))
+    if plant_residue is not None:
+        rows = rows.filter(F.col("id") % bucket != plant_residue)
+    return (
+        rows.groupBy(F.expr(f"id div {int(bucket)}").alias("id_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("id").alias("first_id"),
+            F.max("id").alias("last_id"),
+        )
+        .select(
+            "id_bucket",
+            "n_rows",
+            "first_id",
+            "last_id",
+            F.expr("last_id - first_id + 1 - n_rows").alias("n_missing"),
+        )
+        .filter(F.col("n_missing") > 0)
+        .orderBy("id_bucket")
+    )
+
+
+def id_density_audit_sql(
+    src: str = "events",
+    bucket: int = IDGAP_BUCKET,
+    plant_residue: int | None = IDGAP_PLANT_RESIDUE,
+) -> str:
+    where = (
+        f"WHERE event_id % {int(bucket)} != {int(plant_residue)}"
+        if plant_residue is not None
+        else ""
+    )
+    return f"""
+        WITH b AS (
+          SELECT event_id // {int(bucket)} AS id_bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 MIN(event_id) AS first_id,
+                 MAX(event_id) AS last_id
+          FROM {src} {where}
+          GROUP BY 1
+        )
+        SELECT CAST(id_bucket AS BIGINT) AS id_bucket, n_rows,
+               CAST(first_id AS BIGINT) AS first_id,
+               CAST(last_id AS BIGINT) AS last_id,
+               CAST(last_id - first_id + 1 - n_rows AS BIGINT) AS n_missing
+        FROM b
+        WHERE last_id - first_id + 1 - n_rows > 0
+        ORDER BY id_bucket
+    """

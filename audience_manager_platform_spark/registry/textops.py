@@ -224,6 +224,11 @@ QUERIES = {
     "multimodal_bmp_stats": lambda s, d: M.bmp_channel_stats(
         M.synthesize_bmp_shaded(_docs(s, d))
     ),
+    # r7 wave 31 (r8 queue): ViT-style 2x2 tiling — per-quadrant
+    # channel means from the same real pixel walk
+    "multimodal_bmp_tile_stats": lambda s, d: M.bmp_tile_stats(
+        M.synthesize_bmp_shaded(_docs(s, d))
+    ),
     # r6 queue: real PCM decimation (decode -> every-2nd-sample ->
     # re-encode -> decode-verify; aliasing analytically predicted)
     "multimodal_wav_downsample": lambda s, d: M.wav_downsample_meta(
@@ -397,6 +402,7 @@ ORACLES = {
     "multimodal_bmp_decode": M.bmp_meta_oracle_sql(),
     "multimodal_bmp_resize": M.bmp_resize_meta_oracle_sql(),
     "multimodal_bmp_stats": M.bmp_channel_stats_oracle_sql(),
+    "multimodal_bmp_tile_stats": M.bmp_tile_stats_oracle_sql(),
     "multimodal_wav_downsample": M.wav_downsample_meta_oracle_sql(),
     "multimodal_phash_neardup": phash_neardup_oracle_sql(),
     "corpus_split_assign": C.split_assign_sql(),

@@ -46,6 +46,8 @@ from ..operators.graph import (
 from ..operators.maintenance import (
     compaction_plan,
     compaction_plan_sql,
+    snapshot_retention_plan,
+    snapshot_retention_plan_sql,
     daily_rollup,
     daily_rollup_sql,
     incremental_rollup_refresh,
@@ -93,6 +95,8 @@ from ..operators.validation import (
     pseudonym_bucket_audit_sql,
     target_encode_loo,
     target_encode_loo_sql,
+    id_density_audit,
+    id_density_audit_sql,
     l_diversity_audit,
     l_diversity_audit_sql,
     t_closeness_audit,
@@ -511,6 +515,9 @@ QUERIES = {
     "graph_degree_histogram": degree_histogram_customer_supplier,
     # r5 wave 4: referential-integrity audit across the star schema
     # r6 queue: join-cardinality (fanout) profile per FK relationship
+    # r7 wave 31 (r8 queue): CDC-completeness id-density audit with
+    # a planted deterministic deletion the audit must localize
+    "validate_id_density": lambda s, d: id_density_audit(_events(s, d)),
     "validate_fk_fanout": lambda s, d: fk_fanout_profile([
         ("orders->customer", load_table(s, d, "orders"), "o_custkey",
          load_table(s, d, "customer"), "c_custkey"),
@@ -595,6 +602,11 @@ QUERIES = {
     # bin-pack small (type, day) partitions into target-sized rewrite
     # groups before paying for the OPTIMIZE job
     "layout_compaction_plan": lambda s, d: compaction_plan(_events(s, d)),
+    # r7 wave 31 (r8 queue): expire_snapshots planner — trailing-window
+    # keep + weekly thinning, week buckets arithmetic (not '%V')
+    "layout_snapshot_retention": lambda s, d: snapshot_retention_plan(
+        _events(s, d)
+    ),
     # wave 24: ingest-completeness gate — dense day grid, zero-filled,
     # each day judged against its trailing-7-day exact median
     "validate_partition_completeness": lambda s, d: partition_completeness(
@@ -645,6 +657,7 @@ ORACLES = {
     "validate_ks_drift": ks_value_drift_sql("events"),
     "layout_pruning_audit": pruning_audit_sql("events"),
     "layout_compaction_plan": compaction_plan_sql("events"),
+    "layout_snapshot_retention": snapshot_retention_plan_sql("events"),
     "validate_partition_completeness": partition_completeness_sql("events"),
     "validate_mix_drift": mix_drift_sql("events"),
     "validate_benford_orders": benford_digit_audit_sql(
@@ -725,6 +738,7 @@ ORACLES = {
     "graph_trade_communities": trade_communities_sql(),
     "pagerank_customer_supplier": pagerank_sql(),
     "graph_degree_histogram": degree_histogram_sql(),
+    "validate_id_density": id_density_audit_sql("events"),
     "validate_fk_fanout": fk_fanout_profile_sql([
         ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
         ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),

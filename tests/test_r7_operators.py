@@ -691,3 +691,95 @@ def test_geo_neighbor_smoothing_matches_python_reference(spark):
         for r in out
     }
     assert got == expected
+
+
+# ---------------------------------------------------------- wave 31
+def test_bmp_tile_stats_hand_computed(spark):
+    """doc 0: 4x4 shaded image (bases r=0 g=0 b=0, grad 1): value =
+    x + 2y, quadrant sums computed by hand; doc 1: 5x5 constant fill
+    (odd -> grad 0) with bases (1, 7, 13) — every tile mean equals the
+    base exactly, and the odd width gives right tiles the extra
+    column and bottom tiles the extra row (2x2 split of 5 = 2+3)."""
+    from audience_manager_platform_spark.operators.multimodal import (
+        bmp_tile_stats,
+        synthesize_bmp_shaded,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "t", "en", "s", 1), (1, "t", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        (r.doc_id, r.tile_x, r.tile_y): r
+        for r in bmp_tile_stats(synthesize_bmp_shaded(docs)).collect()
+    }
+    # doc 0: w=4, h=4, halves 2/2; value = x + 2y
+    # tile(0,0): x,y in {0,1}: values 0,1,2,3 -> sum 6, n 4, mean 1.5
+    assert out[(0, 0, 0)].n_pixels == 4
+    assert out[(0, 0, 0)].mean_r_e6 == 1_500_000
+    # tile(1,0): x in {2,3}, y in {0,1}: 2,3,4,5 -> mean 3.5
+    assert out[(0, 1, 0)].mean_r_e6 == 3_500_000
+    # tile(0,1): x in {0,1}, y in {2,3}: 4,5,6,7 -> mean 5.5
+    assert out[(0, 0, 1)].mean_r_e6 == 5_500_000
+    # tile(1,1): 6,7,8,9 -> mean 7.5
+    assert out[(0, 1, 1)].mean_r_e6 == 7_500_000
+    # doc 1: w=5 (half 2), h=5 (half 2), constant (1,7,13)
+    assert out[(1, 0, 0)].n_pixels == 2 * 2
+    assert out[(1, 1, 0)].n_pixels == 3 * 2
+    assert out[(1, 0, 1)].n_pixels == 2 * 3
+    assert out[(1, 1, 1)].n_pixels == 3 * 3
+    for tx in (0, 1):
+        for ty in (0, 1):
+            r = out[(1, tx, ty)]
+            assert (r.mean_r_e6, r.mean_g_e6, r.mean_b_e6) == (
+                1_000_000, 7_000_000, 13_000_000,
+            )
+
+
+def test_snapshot_retention_plan_hand_computed(spark):
+    """18 consecutive days ending Sun 2024-01-28 with keep_last=7: days
+    22-28 keep_recent; older days thin to the newest per Mon-aligned
+    week — 21st (week of Jan 15: rank>7 members 15..21 -> max 21),
+    14th (week of Jan 8: members 11..14 -> max 14); everything else
+    expires."""
+    from audience_manager_platform_spark.operators.maintenance import (
+        snapshot_retention_plan,
+    )
+
+    rows = [
+        (d, f"2024-01-{d:02d} 10:00:00", 1, "view", 1.0)
+        for d in range(11, 29)
+    ]
+    out = {r.day: r.action for r in
+           snapshot_retention_plan(_events_df(spark, rows)).collect()}
+    assert len(out) == 18
+    for d in range(22, 29):
+        assert out[f"2024-01-{d:02d}"] == "keep_recent"
+    assert out["2024-01-21"] == "keep_weekly"
+    assert out["2024-01-14"] == "keep_weekly"
+    for d in (11, 12, 13, 15, 16, 17, 18, 19, 20):
+        assert out[f"2024-01-{d:02d}"] == "expire"
+
+
+def test_id_density_audit_hand_computed(spark):
+    """ids 0..99 with planted residue 7 dropped in bucket size 10: every
+    bucket has exactly one interior hole except bucket 9 is the same...
+    bucket b spans [10b, 10b+9], missing 10b+7 (interior for all
+    buckets) -> 10 buckets each n_missing=1. With plant disabled the
+    audit is empty."""
+    from audience_manager_platform_spark.operators.validation import (
+        id_density_audit,
+    )
+
+    rows = [
+        (i, "2024-01-01 10:00:00", 1, "view", 1.0) for i in range(100)
+    ]
+    df = _events_df(spark, rows)
+    out = id_density_audit(df, bucket=10, plant_residue=7).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.n_missing == 1
+        assert r.n_rows == 9
+        assert r.first_id == r.id_bucket * 10
+        assert r.last_id == r.id_bucket * 10 + 9
+    assert id_density_audit(df, bucket=10, plant_residue=None).count() == 0

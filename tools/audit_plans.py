@@ -222,6 +222,7 @@ ARROW_ALLOWED = {
     "multimodal_bmp_decode",
     "multimodal_bmp_resize",
     "multimodal_bmp_stats",
+    "multimodal_bmp_tile_stats",
     "multimodal_wav_downsample",
     "multimodal_wav_vad",
     # BMP synth + DCT pHash kernel (Arrow), banded join is relational

@@ -2165,3 +2165,63 @@ def markov_order2_lift_sql(src: str = "events") -> str:
         JOIN pred1 a ON e.p1 = a.p1
         JOIN pred2 b ON e.p2 = b.p2 AND e.p1 = b.p1
     """
+
+
+# ------------------------------------------- Simpson concentration bands
+def simpson_diversity_bands(events: DataFrame) -> DataFrame:
+    """Per-user behavioral concentration, banded: the Simpson index
+    sum((n_i/n)^2) over each user's event-type mix — 1.0 means a
+    single-behavior user, 1/k a perfectly mixed one. The entropy-free
+    diversity measure: it is an EXACT RATIONAL of counts, so unlike
+    Shannon entropy it needs no cross-engine ln() (whose last-ulp
+    disagreement this repo never bets a hash on).
+
+    simpson_ppm = sum(n_i^2) * 1e6 div n^2 in bigint, banded by
+    div 100000 (band 10 = exactly 1.0, the single-type users). Two
+    map-side-combinable aggregates — (user, type) then user — and a
+    <=11-row rollup with exact per-band ppm means."""
+    per_type = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_i")
+    )
+    per_user = per_type.groupBy("user_id").agg(
+        F.sum("n_i").alias("n"),
+        F.sum(F.col("n_i") * F.col("n_i")).alias("s2"),
+    )
+    scored = per_user.select(
+        F.expr("s2 * 1000000 div (n * n)").alias("simpson_ppm")
+    )
+    return (
+        scored.groupBy(
+            F.expr("simpson_ppm div 100000").cast("int").alias("band")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.expr("sum(simpson_ppm) div count(*)").alias("mean_ppm"),
+            F.min("simpson_ppm").alias("min_ppm"),
+            F.max("simpson_ppm").alias("max_ppm"),
+        )
+        .orderBy("band")
+    )
+
+
+def simpson_diversity_bands_sql(src: str = "events") -> str:
+    return f"""
+        WITH per_type AS (
+          SELECT user_id, event_type, COUNT(*) AS n_i
+          FROM {src} GROUP BY 1, 2
+        ),
+        per_user AS (
+          SELECT user_id, SUM(n_i) AS n, SUM(n_i * n_i) AS s2
+          FROM per_type GROUP BY 1
+        ),
+        scored AS (
+          SELECT CAST(s2 * 1000000 // (n * n) AS BIGINT) AS simpson_ppm
+          FROM per_user
+        )
+        SELECT CAST(simpson_ppm // 100000 AS INTEGER) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(simpson_ppm) // COUNT(*) AS BIGINT) AS mean_ppm,
+               MIN(simpson_ppm) AS min_ppm,
+               MAX(simpson_ppm) AS max_ppm
+        FROM scored GROUP BY 1 ORDER BY 1
+    """

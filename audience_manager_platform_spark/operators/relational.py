@@ -663,3 +663,376 @@ def pit_feature_leakage_sql(src: str = "events") -> str:
         GROUP BY p.label_day
         ORDER BY label_day
     """
+
+
+# --------------------------------------- recommender offline evaluation
+def item_knn_hitrate_eval(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    n_neighbors: int = 3,
+    min_orders: int = 5,
+    top_k: int = 5,
+) -> DataFrame:
+    """Leave-last-out offline evaluation of the basket-cosine
+    recommender — the number that decides whether the kNN artifact
+    ships: hold out each customer's LAST order (latest o_orderdate,
+    orderkey tiebreak), train the item-item table on everything else,
+    recommend ``top_k`` unseen brands per customer by summed neighbor
+    cosine, and report hit-rate@k plus a quantized MRR.
+
+    The protocol is the standard one (train excludes every test
+    basket, so no test co-occurrence leaks into the model). Candidate
+    scores sum e6-quantized cosines in bigint (exact, ties broken on
+    brand name); MRR is quantized as 1e6 div first_hit_rank — an
+    integer by definition, summed exactly.
+
+    Scale shape: the model build is :func:`item_knn_cosine` (basket²
+    self-join); the eval adds one history x kNN equi-join on brand
+    (|history| x n_neighbors fan-out), one per-customer top-k window,
+    and one |customers|-row rollup. Everything is keyed — nothing
+    pairwise in the eval path."""
+    from pyspark.sql import Window
+
+    ranked = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                F.desc("o_orderdate"), F.desc("o_orderkey")
+            )
+        )
+        .alias("_rk"),
+    )
+    test_orders = ranked.filter(F.col("_rk") == 1).select(
+        "o_orderkey", "o_custkey"
+    )
+    train_orders = ranked.filter(F.col("_rk") > 1).select(
+        "o_orderkey", "o_custkey"
+    )
+    train_li = lineitem.join(
+        train_orders.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
+    knn = item_knn_cosine(train_li, part, n_neighbors, min_orders)
+    brands = part.select("p_partkey", "p_brand")
+    history = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(
+            train_orders,
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(brands), F.col("l_partkey") == F.col("p_partkey"))
+        .select("o_custkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    holdout = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(
+            test_orders,
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(brands), F.col("l_partkey") == F.col("p_partkey"))
+        .select("o_custkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    cand = (
+        history.join(F.broadcast(knn), "brand")
+        .groupBy("o_custkey", "neighbor")
+        .agg(F.sum("cosine_e6").alias("score_e6"))
+        .join(
+            history.select(
+                "o_custkey", F.col("brand").alias("neighbor")
+            ),
+            ["o_custkey", "neighbor"],
+            "left_anti",
+        )
+    )
+    topk = (
+        cand.withColumn(
+            "rec_rank",
+            F.row_number().over(
+                Window.partitionBy("o_custkey").orderBy(
+                    F.desc("score_e6"), F.asc("neighbor")
+                )
+            ),
+        )
+        .filter(F.col("rec_rank") <= top_k)
+    )
+    first_hit = (
+        topk.join(
+            holdout.select(
+                "o_custkey", F.col("brand").alias("neighbor")
+            ),
+            ["o_custkey", "neighbor"],
+        )
+        .groupBy("o_custkey")
+        .agg(F.min("rec_rank").alias("first_hit_rank"))
+    )
+    eligible = history.select("o_custkey").distinct().join(
+        holdout.select("o_custkey").distinct(), "o_custkey", "left_semi"
+    )
+    return (
+        eligible.join(F.broadcast(first_hit), "o_custkey", "left")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum(
+                F.col("first_hit_rank").isNotNull().cast("long")
+            ).alias("n_hits"),
+            F.sum(
+                F.when(
+                    F.col("first_hit_rank").isNotNull(),
+                    F.expr("1000000 div first_hit_rank"),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("_rr_sum_e6"),
+        )
+        .select(
+            "n_users",
+            "n_hits",
+            F.expr("n_hits * 1000000 div n_users").alias("hitrate_ppm"),
+            F.expr("_rr_sum_e6 div n_users").alias("mrr_e6"),
+        )
+    )
+
+
+def item_knn_hitrate_eval_sql(
+    orders: str = "orders",
+    lineitem: str = "lineitem",
+    part: str = "part",
+    n_neighbors: int = 3,
+    min_orders: int = 5,
+    top_k: int = 5,
+) -> str:
+    return f"""
+        WITH ranked AS (
+          SELECT o_orderkey, o_custkey,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS _rk
+          FROM {orders}
+        ),
+        test_orders AS (
+          SELECT o_orderkey, o_custkey FROM ranked WHERE _rk = 1
+        ),
+        train_orders AS (
+          SELECT o_orderkey, o_custkey FROM ranked WHERE _rk > 1
+        ),
+        ob AS MATERIALIZED (
+          SELECT DISTINCT l.l_orderkey, p.p_brand AS brand
+          FROM {lineitem} l
+          JOIN {part} p ON l.l_partkey = p.p_partkey
+          WHERE l.l_orderkey IN (SELECT o_orderkey FROM train_orders)
+        ),
+        marg AS (SELECT brand, COUNT(*) AS n_brand FROM ob GROUP BY 1),
+        co AS (
+          SELECT x.brand AS brand, y.brand AS neighbor, COUNT(*) AS co
+          FROM ob x JOIN ob y
+            ON x.l_orderkey = y.l_orderkey AND x.brand != y.brand
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= {int(min_orders)}
+        ),
+        knn AS (
+          SELECT brand, neighbor, cosine_e6 FROM (
+            SELECT c.brand, c.neighbor,
+                   CAST(floor(c.co / sqrt(CAST(a.n_brand AS DOUBLE)
+                                          * CAST(b.n_brand AS DOUBLE))
+                              * 1e6 + 0.5) AS BIGINT) AS cosine_e6,
+                   ROW_NUMBER() OVER (PARTITION BY c.brand
+                     ORDER BY floor(c.co / sqrt(CAST(a.n_brand AS DOUBLE)
+                                    * CAST(b.n_brand AS DOUBLE))
+                                    * 1e6 + 0.5) DESC,
+                              c.neighbor ASC) AS _nrk
+            FROM co c
+            JOIN marg a ON a.brand = c.brand
+            JOIN marg b ON b.brand = c.neighbor
+          ) WHERE _nrk <= {int(n_neighbors)}
+        ),
+        history AS (
+          SELECT DISTINCT t.o_custkey, p.p_brand AS brand
+          FROM {lineitem} l
+          JOIN train_orders t ON l.l_orderkey = t.o_orderkey
+          JOIN {part} p ON l.l_partkey = p.p_partkey
+        ),
+        holdout AS (
+          SELECT DISTINCT t.o_custkey, p.p_brand AS brand
+          FROM {lineitem} l
+          JOIN test_orders t ON l.l_orderkey = t.o_orderkey
+          JOIN {part} p ON l.l_partkey = p.p_partkey
+        ),
+        cand AS (
+          SELECT h.o_custkey, k.neighbor,
+                 SUM(k.cosine_e6) AS score_e6
+          FROM history h JOIN knn k ON h.brand = k.brand
+          WHERE NOT EXISTS (
+            SELECT 1 FROM history h2
+            WHERE h2.o_custkey = h.o_custkey AND h2.brand = k.neighbor
+          )
+          GROUP BY 1, 2
+        ),
+        topk AS (
+          SELECT * FROM (
+            SELECT o_custkey, neighbor, score_e6,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                     ORDER BY score_e6 DESC, neighbor ASC) AS rec_rank
+            FROM cand
+          ) WHERE rec_rank <= {int(top_k)}
+        ),
+        first_hit AS (
+          SELECT t.o_custkey, MIN(t.rec_rank) AS first_hit_rank
+          FROM topk t
+          JOIN holdout o
+            ON t.o_custkey = o.o_custkey AND t.neighbor = o.brand
+          GROUP BY 1
+        ),
+        eligible AS (
+          SELECT DISTINCT h.o_custkey FROM history h
+          WHERE EXISTS (SELECT 1 FROM holdout o
+                        WHERE o.o_custkey = h.o_custkey)
+        ),
+        rolled AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(CASE WHEN f.first_hit_rank IS NOT NULL
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+                 CAST(SUM(CASE WHEN f.first_hit_rank IS NOT NULL
+                               THEN 1000000 // f.first_hit_rank
+                               ELSE 0 END) AS BIGINT) AS _rr_sum_e6
+          FROM eligible e
+          LEFT JOIN first_hit f ON e.o_custkey = f.o_custkey
+        )
+        SELECT n_users, n_hits,
+               CAST(n_hits * 1000000 // n_users AS BIGINT) AS hitrate_ppm,
+               CAST(_rr_sum_e6 // n_users AS BIGINT) AS mrr_e6
+        FROM rolled
+    """
+
+
+# --------------------------------------- nearest-asof conversion proximity
+def nearest_conversion_gap(
+    events: DataFrame, target_type: str = "purchase"
+) -> DataFrame:
+    """Nearest-ASOF join, both directions: for every non-target event,
+    the time gap to the SAME user's nearest ``target_type`` event —
+    backward or forward, whichever is closer (ties go backward) — the
+    attribution-window diagnostic ("how far from a conversion do
+    clicks actually sit?") and the general nearest-neighbor-in-time
+    alignment primitive Spark lacks natively.
+
+    Both directions ride ONE user-keyed sort: the backward pass is
+    last(target ts, ignorenulls) over (-inf, current], the forward pass
+    first(...) over [current, +inf) — same partitioning, same order,
+    one shuffle total. Target rows sort BEFORE coincident non-target
+    rows, so an exact-tie conversion counts backward with gap 0.
+    Gaps are exact MICROSECOND bigints (timezone-offset-free because
+    only differences are taken); the rollup reports per (event_type,
+    direction) count, exact integer mean, and percentile_disc p50."""
+    m = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    tagged = events.select(
+        "user_id",
+        "event_type",
+        m.alias("_m"),
+        F.when(F.col("event_type") == target_type, m).alias("_tm"),
+        # targets first among coincident timestamps
+        F.when(F.col("event_type") == target_type, 0)
+        .otherwise(1)
+        .alias("_side"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("_m", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("_m", "_side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    gapped = (
+        tagged.select(
+            "user_id",
+            "event_type",
+            "_m",
+            (F.col("_m") - F.last("_tm", ignorenulls=True).over(wb))
+            .alias("gap_back_us"),
+            (F.first("_tm", ignorenulls=True).over(wf) - F.col("_m"))
+            .alias("gap_fwd_us"),
+        )
+        .filter(F.col("event_type") != target_type)
+    )
+    scored = gapped.select(
+        "event_type",
+        F.expr(
+            "CASE WHEN gap_back_us IS NULL AND gap_fwd_us IS NULL"
+            " THEN 'none'"
+            " WHEN gap_fwd_us IS NULL OR (gap_back_us IS NOT NULL"
+            "      AND gap_back_us <= gap_fwd_us) THEN 'back'"
+            " ELSE 'fwd' END"
+        ).alias("direction"),
+        F.expr(
+            "CASE WHEN gap_back_us IS NULL AND gap_fwd_us IS NULL"
+            " THEN NULL"
+            " WHEN gap_fwd_us IS NULL OR (gap_back_us IS NOT NULL"
+            "      AND gap_back_us <= gap_fwd_us) THEN gap_back_us"
+            " ELSE gap_fwd_us END"
+        ).alias("gap_us"),
+    )
+    return (
+        scored.groupBy("event_type", "direction")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.expr("sum(gap_us) div count(gap_us)").alias("mean_gap_us"),
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)"
+            ).cast("long").alias("p50_gap_us"),
+        )
+        .orderBy("event_type", "direction")
+    )
+
+
+def nearest_conversion_gap_sql(
+    src: str = "events", target_type: str = "purchase"
+) -> str:
+    return f"""
+        WITH tagged AS (
+          SELECT user_id, event_type, epoch_us(ts) AS _m,
+                 CASE WHEN event_type = '{target_type}'
+                      THEN epoch_us(ts) END AS _tm,
+                 CASE WHEN event_type = '{target_type}' THEN 0 ELSE 1 END
+                   AS _side
+          FROM {src}
+        ),
+        gapped AS (
+          SELECT user_id, event_type, _m,
+                 _m - LAST_VALUE(_tm IGNORE NULLS) OVER wb AS gap_back_us,
+                 FIRST_VALUE(_tm IGNORE NULLS) OVER wf - _m AS gap_fwd_us
+          FROM tagged
+          WINDOW
+            wb AS (PARTITION BY user_id ORDER BY _m, _side
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            wf AS (PARTITION BY user_id ORDER BY _m, _side
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        ),
+        scored AS (
+          SELECT event_type,
+                 CASE WHEN gap_back_us IS NULL AND gap_fwd_us IS NULL
+                      THEN 'none'
+                      WHEN gap_fwd_us IS NULL OR (gap_back_us IS NOT NULL
+                           AND gap_back_us <= gap_fwd_us) THEN 'back'
+                      ELSE 'fwd' END AS direction,
+                 CASE WHEN gap_back_us IS NULL AND gap_fwd_us IS NULL
+                      THEN NULL
+                      WHEN gap_fwd_us IS NULL OR (gap_back_us IS NOT NULL
+                           AND gap_back_us <= gap_fwd_us)
+                      THEN gap_back_us
+                      ELSE gap_fwd_us END AS gap_us
+          FROM gapped WHERE event_type != '{target_type}'
+        )
+        SELECT event_type, direction,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(gap_us) // COUNT(gap_us) AS BIGINT) AS mean_gap_us,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)
+                    AS BIGINT) AS p50_gap_us
+        FROM scored
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """

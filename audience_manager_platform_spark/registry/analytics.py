@@ -188,6 +188,11 @@ QUERIES = {
     "analytics_markov_order2_lift": lambda s, d: A.markov_order2_lift(
         load_table(s, d, "events")
     ),
+    # r7 wave 32 (r8 queue): exact-rational Simpson concentration
+    # bands (the ln-free diversity measure)
+    "analytics_simpson_diversity": lambda s, d: A.simpson_diversity_bands(
+        load_table(s, d, "events")
+    ),
     # r5 (deferred window): WAU / trailing-4-week MAU stickiness
     "analytics_stickiness": lambda s, d: A.stickiness(
         load_table(s, d, "events")
@@ -365,6 +370,7 @@ ORACLES = {
     "analytics_survival_km": A.survival_retention_sql(),
     "analytics_exposure_uplift": A.exposure_uplift_sql(),
     "analytics_markov_order2_lift": A.markov_order2_lift_sql(),
+    "analytics_simpson_diversity": A.simpson_diversity_bands_sql(),
     "analytics_stickiness": A.stickiness_sql(),
     "analytics_revenue_gini": A.revenue_gini_sql(),
     "analytics_new_vs_returning": A.new_vs_returning_sql(),

@@ -14,6 +14,10 @@ from ..operators.relational import (
     basket_brand_lift_sql,
     item_knn_cosine,
     item_knn_cosine_sql,
+    item_knn_hitrate_eval,
+    item_knn_hitrate_eval_sql,
+    nearest_conversion_gap,
+    nearest_conversion_gap_sql,
     basket_brand_pairs,
     basket_brand_pairs_sql,
     pit_feature_leakage,
@@ -441,6 +445,11 @@ QUERIES = {
     "cube_lineitem_status": _cube_lineitem,
     "rollup_orders_priority": _rollup_orders,
     "asof_join_event_daily": _asof_event_daily,
+    # r7 wave 32 (r8 queue): nearest-ASOF both directions — one keyed
+    # sort drives the backward AND forward carry
+    "join_asof_nearest": lambda s, d: nearest_conversion_gap(
+        load_table(s, d, "events")
+    ),
     # wave 25: the feature-store point-in-time join + leakage audit —
     # PIT (servable-at-next-midnight) vs the naive same-day join,
     # counting the labels the naive join would silently poison
@@ -483,6 +492,13 @@ QUERIES = {
     # over the same basket geometry)
     "reco_item_knn": lambda s, d: item_knn_cosine(
         load_table(s, d, "lineitem"), load_table(s, d, "part")
+    ),
+    # r7 wave 32 (r8 queue): leave-last-out offline eval of that
+    # artifact — hit-rate@5 + quantized MRR, train excludes test baskets
+    "reco_knn_hitrate_eval": lambda s, d: item_knn_hitrate_eval(
+        load_table(s, d, "orders"),
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "part"),
     ),
     # r5: frequency-decile skew diagnostics for a shuffle key (the
     # salting/AQE-hint decision report)
@@ -586,6 +602,8 @@ ORACLES = {
     "basket_brand_pairs": basket_brand_pairs_sql(k=25),
     "basket_brand_lift": basket_brand_lift_sql(k=25),
     "reco_item_knn": item_knn_cosine_sql(),
+    "reco_knn_hitrate_eval": item_knn_hitrate_eval_sql(),
+    "join_asof_nearest": nearest_conversion_gap_sql(),
     "pivot_day_by_type": f"""
         SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
                {_PIVOT_CASES}

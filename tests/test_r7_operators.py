@@ -783,3 +783,92 @@ def test_id_density_audit_hand_computed(spark):
         assert r.first_id == r.id_bucket * 10
         assert r.last_id == r.id_bucket * 10 + 9
     assert id_density_audit(df, bucket=10, plant_residue=None).count() == 0
+
+
+# ---------------------------------------------------------- wave 32
+def test_item_knn_hitrate_hand_computed(spark):
+    """3 customers, leave-last-out: the train set is o1{B1,B2} o3{B2,B3}
+    o5{B1}, so cos(B1,B2)=0.5, cos(B2,B3)=0.7071; cust1 and cust2 hit
+    their held-out brand at rank 1, cust3's holdout brand B9 never
+    co-occurs -> miss. hitrate = 2/3, MRR = (1e6+1e6) div 3."""
+    from audience_manager_platform_spark.operators.relational import (
+        item_knn_hitrate_eval,
+    )
+
+    orders = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01"), (2, 1, "2024-01-02"),
+            (3, 2, "2024-01-01"), (4, 2, "2024-01-02"),
+            (5, 3, "2024-01-01"), (6, 3, "2024-01-02"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate string",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 3), (3, 2), (3, 3), (4, 1), (5, 1), (6, 9)],
+        "l_orderkey long, l_partkey long",
+    )
+    part = spark.createDataFrame(
+        [(1, "B1"), (2, "B2"), (3, "B3"), (9, "B9")],
+        "p_partkey long, p_brand string",
+    )
+    out = item_knn_hitrate_eval(
+        orders, lineitem, part, n_neighbors=2, min_orders=1, top_k=2
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_users, r.n_hits) == (3, 2)
+    assert r.hitrate_ppm == 666_666
+    assert r.mrr_e6 == 666_666
+
+
+def test_simpson_diversity_hand_computed(spark):
+    """u1 single-type -> exactly 1e6 (band 10); u2 a 2-2 mix -> 500000
+    (band 5); u3 a 1-1-1 mix -> 333333 (band 3)."""
+    from audience_manager_platform_spark.operators.analytics import (
+        simpson_diversity_bands,
+    )
+
+    rows = (
+        [(i, "2024-01-01 10:00:00", 1, "a", 1.0) for i in range(4)]
+        + [(10, "2024-01-01 10:00:00", 2, "a", 1.0),
+           (11, "2024-01-01 10:00:00", 2, "a", 1.0),
+           (12, "2024-01-01 10:00:00", 2, "b", 1.0),
+           (13, "2024-01-01 10:00:00", 2, "b", 1.0)]
+        + [(20, "2024-01-01 10:00:00", 3, "a", 1.0),
+           (21, "2024-01-01 10:00:00", 3, "b", 1.0),
+           (22, "2024-01-01 10:00:00", 3, "c", 1.0)]
+    )
+    out = {r.band: r for r in
+           simpson_diversity_bands(_events_df(spark, rows)).collect()}
+    assert set(out) == {3, 5, 10}
+    assert (out[10].n_users, out[10].mean_ppm) == (1, 1_000_000)
+    assert (out[5].n_users, out[5].min_ppm, out[5].max_ppm) == (
+        1, 500_000, 500_000,
+    )
+    assert out[3].mean_ppm == 333_333
+
+
+def test_nearest_conversion_gap_hand_computed(spark):
+    """User 1: purchase at 10:00:00; a click 10s before -> 'fwd' 10s, a
+    click AT the purchase instant -> tie counts 'back' gap 0, a view
+    30s after -> 'back' 30s. User 2 has no purchase -> 'none' with NULL
+    gaps (count(gap) = 0 keeps the mean NULL, not a crash)."""
+    from audience_manager_platform_spark.operators.relational import (
+        nearest_conversion_gap,
+    )
+
+    rows = [
+        (0, "2024-01-01 09:59:50", 1, "click", 1.0),
+        (1, "2024-01-01 10:00:00", 1, "purchase", 9.0),
+        (2, "2024-01-01 10:00:00", 1, "click", 1.0),
+        (3, "2024-01-01 10:00:30", 1, "view", 1.0),
+        (4, "2024-01-01 12:00:00", 2, "view", 1.0),
+    ]
+    out = {(r.event_type, r.direction): r for r in
+           nearest_conversion_gap(_events_df(spark, rows)).collect()}
+    assert out[("click", "fwd")].mean_gap_us == 10_000_000
+    assert out[("click", "back")].mean_gap_us == 0
+    assert out[("view", "back")].mean_gap_us == 30_000_000
+    r_none = out[("view", "none")]
+    assert r_none.n == 1
+    assert r_none.mean_gap_us is None and r_none.p50_gap_us is None

@@ -819,7 +819,77 @@ def main() -> None:
         algebraic_rollup_merge(orders_like, cutoff="2025-07-01 00:00:00"),
     )
     timed("winsorized robust stats", winsorize_stats(typed_events))
+
+    # ------------------------- round-7 wave 29-31 additions at scale
+    from audience_manager_platform_spark.operators.analytics import (
+        markov_order2_lift,
+    )
+    from audience_manager_platform_spark.operators.geo import (
+        geo_neighbor_smoothing,
+    )
+    from audience_manager_platform_spark.operators.graph import (
+        link_prediction_scores,
+    )
+    from audience_manager_platform_spark.operators.maintenance import (
+        snapshot_retention_plan,
+    )
+    from audience_manager_platform_spark.operators.multimodal import (
+        bmp_tile_stats,
+        synthesize_bmp_shaded,
+    )
+    from audience_manager_platform_spark.operators.timeseries import (
+        conformal_interval_backtest,
+    )
+    from audience_manager_platform_spark.operators.validation import (
+        id_density_audit,
+        pseudonym_bucket_audit,
+        target_encode_loo,
+    )
+    from audience_manager_platform_spark.streaming.jobs import (
+        late_arrival_audit,
+    )
+
+    ROWS = int(os.environ.get("SCALE_ROWS", 10_000_000))
+    # day-table monitors: the raw stream contributes one aggregate each
+    timed("conformal interval backtest", conformal_interval_backtest(
+        typed_events
+    ))
+    timed("snapshot retention plan", snapshot_retention_plan(typed_events))
+    timed("late-arrival audit (batch form)", late_arrival_audit(
+        typed_events
+    ))
+    # user-window + two broadcast argmax tables
+    timed("Markov order-2 lift", markov_order2_lift(typed_events))
+    # distinct-users reduce + 16-bucket hash audit
+    timed("pseudonymization audit", pseudonym_bucket_audit(typed_events))
+    # broadcast class/prior tables onto the deterministic audit slice
+    timed("LOO target encoding (slice)", target_encode_loo(typed_events))
+    # |grid|-bounded scatter/gather kernel
+    timed("geo 3x3 kernel smoothing", geo_neighbor_smoothing(typed_events))
+    # sparse ids: every bucket gappy -> measures worst-case emit path
+    timed("id-density audit", id_density_audit(
+        typed_events, plant_residue=None
+    ))
+    # co-occurrence graph from 2M 5-item contexts over 200k items: the
+    # min_cooc=2 support cut keeps the wedge stage sparse by design
+    lp_pairs = spark.range(ROWS).select(
+        F.expr("id div 5").alias("ctx"),
+        (F.abs(F.xxhash64("id", F.lit(31))) % 200_000).alias("item"),
+    )
+    timed("link prediction (support-cut graph)", link_prediction_scores(
+        lp_pairs, "ctx", "item", min_cooc=2, top_n=50
+    ))
+    ROWS = n_imgs
+    timed(
+        f"BMP 2x2 tile stats ({n_imgs:,} decoded)",
+        bmp_tile_stats(
+            synthesize_bmp_shaded(
+                spark.range(n_imgs).select(F.col("id").alias("doc_id"))
+            )
+        ),
+    )
     spark.stop()
+
 
 
 

@@ -2225,3 +2225,64 @@ def simpson_diversity_bands_sql(src: str = "events") -> str:
                MAX(simpson_ppm) AS max_ppm
         FROM scored GROUP BY 1 ORDER BY 1
     """
+
+
+# ------------------------------------------- inter-event gap bands
+def interevent_gap_bands(events: DataFrame) -> DataFrame:
+    """Inter-event time distribution per event type — the empirical
+    basis for choosing a sessionization gap (the classic method: pick
+    the knee between the intra-session and inter-session modes):
+    per-user consecutive gaps in exact microseconds, rolled up per
+    type to count, exact integer mean, and percentile_disc p50/p90/p99
+    (actual data values, bit-identical across engines).
+
+    One user-keyed window (lag over the (ts, event_id) total order),
+    one |types|-row rollup; gaps difference out any timezone offset."""
+    m = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gaps = (
+        events.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            "ts",
+            m.alias("_m"),
+        )
+        .withColumn("gap_us", F.col("_m") - F.lag("_m").over(w))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    q = "percentile_disc({p}) WITHIN GROUP (ORDER BY gap_us)"
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.expr("sum(gap_us) div count(*)").alias("mean_gap_us"),
+            F.expr(q.format(p=0.5)).cast("long").alias("p50_gap_us"),
+            F.expr(q.format(p=0.9)).cast("long").alias("p90_gap_us"),
+            F.expr(q.format(p=0.99)).cast("long").alias("p99_gap_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def interevent_gap_bands_sql(src: str = "events") -> str:
+    return f"""
+        WITH gaps AS (
+          SELECT event_type,
+                 epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ) AS gap_us
+          FROM {src}
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap_us) // COUNT(*) AS BIGINT) AS mean_gap_us,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)
+                    AS BIGINT) AS p50_gap_us,
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_us)
+                    AS BIGINT) AS p90_gap_us,
+               CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY gap_us)
+                    AS BIGINT) AS p99_gap_us
+        FROM gaps WHERE gap_us IS NOT NULL
+        GROUP BY 1 ORDER BY 1
+    """

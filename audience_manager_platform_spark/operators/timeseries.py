@@ -1438,3 +1438,172 @@ def conformal_interval_backtest_sql(
         GROUP BY 1
         ORDER BY 1
     """
+
+
+# ------------------------------------------------------- CUSUM alarms
+CUSUM_K_PPM = 50_000   # slack: 5% of the baseline mean per day
+CUSUM_H_PPM = 400_000  # alarm at 40% of baseline accumulated drift
+
+
+def cusum_alarm(
+    events: DataFrame,
+    k_ppm: int = CUSUM_K_PPM,
+    h_ppm: int = CUSUM_H_PPM,
+    baseline_days: int = 7,
+) -> DataFrame:
+    """Tabular CUSUM drift detector per event_type series — the
+    sequential cousin of the two-window mean-shift scan: accumulate
+    max(0, prev + (x - mu - k)) upward and its mirror downward against
+    the FIRST ``baseline_days`` days' mean, alarm when either side
+    crosses h. CUSUM catches slow drifts the per-point EWMA/z alarms
+    miss (each day individually in-band, the sum damning).
+
+    All exact integers: daily bigint cents, baseline mean on the 1e-6
+    grid (integer division of the first-k-days sum), slack/threshold
+    as ppm of the baseline, and the one-sided sums folded by an exact
+    integer recurrence. The recurrence is inherently sequential, so
+    it rides a per-type ordered window over the |days| daily table
+    via SUM + running MIN of prefix sums (the max(0, ...) reset has
+    the closed form S_i - min(S_0..S_i) — associative-scan friendly,
+    NOT a per-row loop). One raw-stream aggregate, day-table windows.
+    """
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    daily = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    idxed = daily.withColumn("idx", F.row_number().over(w))
+    base = (
+        idxed.filter(F.col("idx") <= baseline_days)
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                f"sum(cents) * 1000000 div {int(baseline_days)}"
+            ).alias("mu_micro")
+        )
+    )
+    # deviations on the micro grid; slack k and threshold h scale mu
+    dev = (
+        idxed.join(F.broadcast(base), "event_type")
+        .withColumn(
+            "_up_inc",
+            F.expr(
+                f"cents * 1000000 - mu_micro - mu_micro div 1000000"
+                f" * {int(k_ppm)}"
+            ),
+        )
+        .withColumn(
+            "_dn_inc",
+            F.expr(
+                f"mu_micro - cents * 1000000 - mu_micro div 1000000"
+                f" * {int(k_ppm)}"
+            ),
+        )
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scanned = dev.select(
+        "event_type",
+        "day",
+        "cents",
+        "mu_micro",
+        # C_i = S_i - min(0, min_{j<=i} S_j): the prefix-sum closed form
+        # of max(0, C_{i-1} + inc) WITH the implicit S_0 = 0 floor
+        (
+            F.sum("_up_inc").over(wcum)
+            - F.least(
+                F.min(F.sum("_up_inc").over(wcum)).over(wcum), F.lit(0)
+            )
+        ).alias("_up_raw"),
+        (
+            F.sum("_dn_inc").over(wcum)
+            - F.least(
+                F.min(F.sum("_dn_inc").over(wcum)).over(wcum), F.lit(0)
+            )
+        ).alias("_dn_raw"),
+    )
+    h = f"mu_micro div 1000000 * {int(h_ppm)}"
+    return scanned.select(
+        "event_type",
+        "day",
+        "cents",
+        F.expr("greatest(_up_raw, 0)").alias("cusum_up_micro"),
+        F.expr("greatest(_dn_raw, 0)").alias("cusum_dn_micro"),
+        F.expr(
+            f"CASE WHEN greatest(_up_raw, 0) > {h} THEN 'alarm_up'"
+            f" WHEN greatest(_dn_raw, 0) > {h} THEN 'alarm_down'"
+            f" ELSE 'ok' END"
+        ).alias("verdict"),
+    ).orderBy("event_type", "day")
+
+
+def cusum_alarm_sql(
+    src: str = "events",
+    k_ppm: int = CUSUM_K_PPM,
+    h_ppm: int = CUSUM_H_PPM,
+    baseline_days: int = 7,
+) -> str:
+    return f"""
+        WITH daily AS (
+          SELECT event_type,
+                 strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                 SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+          FROM {src} WHERE value IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        idxed AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                      ORDER BY day) AS idx
+          FROM daily
+        ),
+        base AS (
+          SELECT event_type,
+                 SUM(cents) * 1000000 // {int(baseline_days)} AS mu_micro
+          FROM idxed WHERE idx <= {int(baseline_days)}
+          GROUP BY 1
+        ),
+        dev AS (
+          SELECT i.event_type, i.day, i.cents, b.mu_micro,
+                 i.cents * 1000000 - b.mu_micro
+                   - b.mu_micro // 1000000 * {int(k_ppm)} AS _up_inc,
+                 b.mu_micro - i.cents * 1000000
+                   - b.mu_micro // 1000000 * {int(k_ppm)} AS _dn_inc
+          FROM idxed i JOIN base b ON i.event_type = b.event_type
+        ),
+        pfx AS (
+          SELECT event_type, day, cents, mu_micro,
+                 SUM(_up_inc) OVER w AS _up_s,
+                 SUM(_dn_inc) OVER w AS _dn_s
+          FROM dev
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        scanned AS (
+          SELECT event_type, day, cents, mu_micro,
+                 _up_s - LEAST(MIN(_up_s) OVER w, 0) AS _up_raw,
+                 _dn_s - LEAST(MIN(_dn_s) OVER w, 0) AS _dn_raw
+          FROM pfx
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, day, CAST(cents AS BIGINT) AS cents,
+               CAST(GREATEST(_up_raw, 0) AS BIGINT) AS cusum_up_micro,
+               CAST(GREATEST(_dn_raw, 0) AS BIGINT) AS cusum_dn_micro,
+               CASE WHEN GREATEST(_up_raw, 0)
+                         > mu_micro // 1000000 * {int(h_ppm)}
+                    THEN 'alarm_up'
+                    WHEN GREATEST(_dn_raw, 0)
+                         > mu_micro // 1000000 * {int(h_ppm)}
+                    THEN 'alarm_down'
+                    ELSE 'ok' END AS verdict
+        FROM scanned
+        ORDER BY event_type, day
+    """

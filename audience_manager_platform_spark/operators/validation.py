@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -2055,4 +2055,76 @@ def id_density_audit_sql(
         FROM b
         WHERE last_id - first_id + 1 - n_rows > 0
         ORDER BY id_bucket
+    """
+
+
+# ------------------------------------------- duplicate-charge audit
+DUPCHARGE_WINDOW_S = 60
+
+
+def duplicate_charge_audit(
+    events: DataFrame, window_s: int = DUPCHARGE_WINDOW_S
+) -> DataFrame:
+    """Double-submit detector — the payments-ops audit for retried
+    requests that billed twice: purchase events by the SAME user for
+    the SAME cent amount within ``window_s`` seconds of each other.
+    Self-join-free: one window partitioned by (user, cents) ordered by
+    time, each row comparing against its predecessor — a k-fold burst
+    of the same charge emits k-1 pair rows, never k^2/2.
+
+    Gaps are exact microsecond bigints. Output: one row per suspect
+    repeat with the gap, plus rollup-friendly per-row fields (the
+    |suspects| table IS the case queue). Shape at scale: one shuffle
+    on (user_id, cents) — the narrowest key that makes the lag
+    meaningful — then a filter."""
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    m = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    p = events.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        "event_id",
+        cents.alias("cents"),
+        m.alias("_m"),
+    )
+    w = Window.partitionBy("user_id", "cents").orderBy("_m", "event_id")
+    return (
+        p.select(
+            "user_id",
+            "cents",
+            "event_id",
+            F.lag("event_id").over(w).alias("prev_event_id"),
+            (F.col("_m") - F.lag("_m").over(w)).alias("gap_us"),
+        )
+        .filter(
+            F.col("gap_us").isNotNull()
+            & (F.col("gap_us") <= window_s * 1_000_000)
+        )
+        .orderBy("user_id", "cents", "event_id")
+    )
+
+
+def duplicate_charge_audit_sql(
+    src: str = "events", window_s: int = DUPCHARGE_WINDOW_S
+) -> str:
+    return f"""
+        WITH p AS (
+          SELECT user_id, event_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                 epoch_us(ts) AS _m
+          FROM {src}
+          WHERE event_type = 'purchase' AND value IS NOT NULL
+        ),
+        lagged AS (
+          SELECT user_id, cents, event_id,
+                 LAG(event_id) OVER w AS prev_event_id,
+                 _m - LAG(_m) OVER w AS gap_us
+          FROM p
+          WINDOW w AS (PARTITION BY user_id, cents ORDER BY _m, event_id)
+        )
+        SELECT user_id, cents, event_id, prev_event_id,
+               CAST(gap_us AS BIGINT) AS gap_us
+        FROM lagged
+        WHERE gap_us IS NOT NULL AND gap_us <= {int(window_s) * 1_000_000}
+        ORDER BY user_id, cents, event_id
     """

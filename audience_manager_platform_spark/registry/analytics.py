@@ -193,6 +193,11 @@ QUERIES = {
     "analytics_simpson_diversity": lambda s, d: A.simpson_diversity_bands(
         load_table(s, d, "events")
     ),
+    # r7 wave 33 (r8 queue): inter-event gap distribution — the
+    # empirical sessionization-threshold chooser
+    "analytics_intervent_gap_bands": lambda s, d: A.interevent_gap_bands(
+        load_table(s, d, "events")
+    ),
     # r5 (deferred window): WAU / trailing-4-week MAU stickiness
     "analytics_stickiness": lambda s, d: A.stickiness(
         load_table(s, d, "events")
@@ -371,6 +376,7 @@ ORACLES = {
     "analytics_exposure_uplift": A.exposure_uplift_sql(),
     "analytics_markov_order2_lift": A.markov_order2_lift_sql(),
     "analytics_simpson_diversity": A.simpson_diversity_bands_sql(),
+    "analytics_intervent_gap_bands": A.interevent_gap_bands_sql(),
     "analytics_stickiness": A.stickiness_sql(),
     "analytics_revenue_gini": A.revenue_gini_sql(),
     "analytics_new_vs_returning": A.new_vs_returning_sql(),

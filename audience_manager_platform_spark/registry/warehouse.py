@@ -97,6 +97,8 @@ from ..operators.validation import (
     target_encode_loo_sql,
     id_density_audit,
     id_density_audit_sql,
+    duplicate_charge_audit,
+    duplicate_charge_audit_sql,
     l_diversity_audit,
     l_diversity_audit_sql,
     t_closeness_audit,
@@ -518,6 +520,11 @@ QUERIES = {
     # r7 wave 31 (r8 queue): CDC-completeness id-density audit with
     # a planted deterministic deletion the audit must localize
     "validate_id_density": lambda s, d: id_density_audit(_events(s, d)),
+    # r7 wave 33 (r8 queue): double-submit detector — one (user, cents)
+    # window, k-1 rows per burst, never k^2/2
+    "validate_duplicate_charges": lambda s, d: duplicate_charge_audit(
+        _events(s, d)
+    ),
     "validate_fk_fanout": lambda s, d: fk_fanout_profile([
         ("orders->customer", load_table(s, d, "orders"), "o_custkey",
          load_table(s, d, "customer"), "c_custkey"),
@@ -739,6 +746,7 @@ ORACLES = {
     "pagerank_customer_supplier": pagerank_sql(),
     "graph_degree_histogram": degree_histogram_sql(),
     "validate_id_density": id_density_audit_sql("events"),
+    "validate_duplicate_charges": duplicate_charge_audit_sql("events"),
     "validate_fk_fanout": fk_fanout_profile_sql([
         ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
         ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),

@@ -872,3 +872,90 @@ def test_nearest_conversion_gap_hand_computed(spark):
     r_none = out[("view", "none")]
     assert r_none.n == 1
     assert r_none.mean_gap_us is None and r_none.p50_gap_us is None
+
+
+# ---------------------------------------------------------- wave 33
+def test_cusum_alarm_hand_computed(spark):
+    """Baseline week at exactly 100.00/day (mu = 10000 cents, slack
+    k = 5% = 500 cents, threshold h = 40% = 4000 cents), then a drift
+    to 113.00/day: each drift day nets +800 cents of CUSUM, crossing h
+    on the 6th drift day — every day's value AND verdict verified
+    against a pure-Python fold of the textbook max(0, C+inc)
+    recurrence (pinning the prefix-sum closed form, S_0 = 0 floor
+    included)."""
+    from audience_manager_platform_spark.operators.timeseries import (
+        cusum_alarm,
+    )
+
+    rows = []
+    for d in range(1, 22):  # 21 days
+        v = 100.00 if d <= 7 else 113.00
+        rows.append((d, f"2024-01-{d:02d} 10:00:00", 1, "view", v))
+    out = {r.day: r for r in cusum_alarm(_events_df(spark, rows)).collect()}
+    # textbook fold in python
+    mu = 70_000 * 1_000_000 // 7  # 7 x 10000 cents -> 100.00/day micro
+    k = (mu // 1_000_000) * 50_000
+    h = (mu // 1_000_000) * 400_000
+    c_up = 0
+    expected = {}
+    for d in range(1, 22):
+        cents = 10000 if d <= 7 else 11300
+        c_up = max(0, c_up + cents * 1_000_000 - mu - k)
+        expected[f"2024-01-{d:02d}"] = (
+            c_up, "alarm_up" if c_up > h else "ok"
+        )
+    for day, (cu, verdict) in expected.items():
+        assert out[day].cusum_up_micro == cu, day
+        assert out[day].verdict == verdict, day
+    # sanity on the shape: baseline quiet, drift eventually alarms
+    assert out["2024-01-07"].verdict == "ok"
+    assert out["2024-01-21"].verdict == "alarm_up"
+
+
+def test_duplicate_charge_audit_hand_computed(spark):
+    """User 1 retries a 25.00 charge twice within the window (3 events
+    -> 2 pair rows, never 3 pairs); a same-amount charge 10 minutes
+    later and a different-amount charge are NOT flagged; views never
+    enter."""
+    from audience_manager_platform_spark.operators.validation import (
+        duplicate_charge_audit,
+    )
+
+    rows = [
+        (0, "2024-01-01 10:00:00", 1, "purchase", 25.00),
+        (1, "2024-01-01 10:00:10", 1, "purchase", 25.00),
+        (2, "2024-01-01 10:00:50", 1, "purchase", 25.00),
+        (3, "2024-01-01 10:10:50", 1, "purchase", 25.00),  # outside 60s
+        (4, "2024-01-01 10:00:05", 1, "purchase", 30.00),  # other amount
+        (5, "2024-01-01 10:00:05", 1, "view", 25.00),      # not a charge
+        (6, "2024-01-01 10:00:05", 2, "purchase", 25.00),  # other user
+    ]
+    out = duplicate_charge_audit(_events_df(spark, rows)).collect()
+    assert [(r.event_id, r.prev_event_id, r.gap_us) for r in out] == [
+        (1, 0, 10_000_000),
+        (2, 1, 40_000_000),
+    ]
+
+
+def test_interevent_gap_bands_hand_computed(spark):
+    """One user, gaps 10s/20s/30s attributed to the LATER event's type:
+    clicks carry {10s, 30s} (p50 = the smaller actual value, disc
+    semantics), the view carries {20s}; the first event has no gap."""
+    from audience_manager_platform_spark.operators.analytics import (
+        interevent_gap_bands,
+    )
+
+    rows = [
+        (0, "2024-01-01 10:00:00", 1, "view", 1.0),
+        (1, "2024-01-01 10:00:10", 1, "click", 1.0),
+        (2, "2024-01-01 10:00:30", 1, "view", 1.0),
+        (3, "2024-01-01 10:01:00", 1, "click", 1.0),
+    ]
+    out = {r.event_type: r for r in
+           interevent_gap_bands(_events_df(spark, rows)).collect()}
+    assert out["click"].n_gaps == 2
+    assert out["click"].mean_gap_us == 20_000_000
+    assert out["click"].p50_gap_us == 10_000_000
+    assert out["click"].p99_gap_us == 30_000_000
+    assert out["view"].n_gaps == 1
+    assert out["view"].mean_gap_us == 20_000_000

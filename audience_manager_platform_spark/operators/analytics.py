@@ -2286,3 +2286,127 @@ def interevent_gap_bands_sql(src: str = "events") -> str:
         FROM gaps WHERE gap_us IS NOT NULL
         GROUP BY 1 ORDER BY 1
     """
+
+
+# ------------------------------------------- deadline-chained funnel
+FUNNEL_DEADLINE_S = 2 * 86_400
+
+
+def windowed_funnel(
+    events: DataFrame, deadline_s: int = FUNNEL_DEADLINE_S
+) -> DataFrame:
+    """ClickHouse-windowFunnel-style deadline-chained funnel: a user
+    advances view -> click -> purchase only if each NEXT stage happens
+    strictly AFTER the previous stage's match and within ``deadline_s``
+    of it — the strict-sequence conversion metric (funnel_stages counts
+    unconditional reach; funnel_latency times the endpoints; THIS
+    enforces order + per-hop deadline, which is what campaign SLAs
+    mean by "converted").
+
+    Stage matches are earliest-eligible (greedy): t1 = first view,
+    t2 = first click in (t1, t1+T], t3 = first purchase in (t2, t2+T].
+    Greedy-earliest is the standard windowFunnel semantics; exact
+    microsecond arithmetic.
+
+    Shape at scale: three conditional-min aggregates, each co-
+    partitioned on user_id (one logical funnel shuffle reused), then a
+    1-row rollup with exact ppm conversion rates."""
+    m = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    ev = events.select(
+        "user_id", "event_type", m.alias("_m")
+    )
+    t = int(deadline_s) * 1_000_000
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("_m"))).alias(
+            "t1"
+        )
+    ).filter(F.col("t1").isNotNull())
+    s2 = (
+        ev.join(s1, "user_id")
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("_m") > F.col("t1"))
+            & (F.col("_m") <= F.col("t1") + t)
+        )
+        .groupBy("user_id")
+        .agg(F.min("_m").alias("t2"))
+    )
+    s3 = (
+        ev.join(s2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("_m") > F.col("t2"))
+            & (F.col("_m") <= F.col("t2") + t)
+        )
+        .groupBy("user_id")
+        .agg(F.min("_m").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .agg(
+            F.count("*").cast("long").alias("n_stage1"),
+            F.sum(F.col("t2").isNotNull().cast("long")).alias("n_stage2"),
+            F.sum(F.col("t3").isNotNull().cast("long")).alias("n_stage3"),
+        )
+        .select(
+            "n_stage1",
+            "n_stage2",
+            "n_stage3",
+            F.expr("n_stage2 * 1000000 div n_stage1").alias("conv12_ppm"),
+            F.expr(
+                "CASE WHEN n_stage2 = 0 THEN NULL"
+                " ELSE n_stage3 * 1000000 div n_stage2 END"
+            ).alias("conv23_ppm"),
+            F.expr("n_stage3 * 1000000 div n_stage1").alias("overall_ppm"),
+        )
+    )
+
+
+def windowed_funnel_sql(
+    src: str = "events", deadline_s: int = FUNNEL_DEADLINE_S
+) -> str:
+    t = int(deadline_s) * 1_000_000
+    return f"""
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS _m FROM {src}
+        ),
+        s1 AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'view' THEN _m END) AS t1
+          FROM ev GROUP BY 1 HAVING t1 IS NOT NULL
+        ),
+        s2 AS (
+          SELECT e.user_id, MIN(e._m) AS t2
+          FROM ev e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click'
+            AND e._m > s1.t1 AND e._m <= s1.t1 + {t}
+          GROUP BY 1
+        ),
+        s3 AS (
+          SELECT e.user_id, MIN(e._m) AS t3
+          FROM ev e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase'
+            AND e._m > s2.t2 AND e._m <= s2.t2 + {t}
+          GROUP BY 1
+        ),
+        rolled AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_stage1,
+                 CAST(SUM(CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_stage2,
+                 CAST(SUM(CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_stage3
+          FROM s1
+          LEFT JOIN s2 ON s1.user_id = s2.user_id
+          LEFT JOIN s3 ON s1.user_id = s3.user_id
+        )
+        SELECT n_stage1, n_stage2, n_stage3,
+               CAST(n_stage2 * 1000000 // n_stage1 AS BIGINT)
+                 AS conv12_ppm,
+               CAST(CASE WHEN n_stage2 = 0 THEN NULL
+                    ELSE n_stage3 * 1000000 // n_stage2 END AS BIGINT)
+                 AS conv23_ppm,
+               CAST(n_stage3 * 1000000 // n_stage1 AS BIGINT)
+                 AS overall_ppm
+        FROM rolled
+    """

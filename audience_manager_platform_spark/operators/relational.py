@@ -1036,3 +1036,108 @@ def nearest_conversion_gap_sql(
         GROUP BY 1, 2
         ORDER BY 1, 2
     """
+
+
+# --------------------------------------- Kendall rank correlation
+def kendall_tau_brand_ranks(
+    lineitem: DataFrame, part: DataFrame
+) -> DataFrame:
+    """Exact Kendall tau between two brand rankings — revenue vs order
+    reach — the "do my two KPIs even agree" diagnostic behind every
+    leaderboard migration, and the rank-correlation primitive the eval
+    family lacked (AUC/nDCG/calibration exist; THIS is for comparing
+    two FULL orderings).
+
+    Both rankings are made total with a lexicographic brand tiebreak
+    (deterministic in both engines, documented as part of the spec),
+    so C + D = n(n-1)/2 exactly and tau = (C - D) / (n(n-1)/2) is an
+    exact integer ppm (truncating division, identical cross-engine —
+    no float correlation anywhere).
+
+    Shape at scale: two tiny windows over the |brands| aggregate and
+    one |brands|²/2 pair join — brands is a bounded dimension; for an
+    unbounded item space, sample or band the items first (documented
+    swap, same as the ER blockers)."""
+    from pyspark.sql import Window
+
+    per_brand = (
+        lineitem.select("l_partkey", "l_extendedprice", "l_orderkey")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+                )
+            ).alias("rev_cents"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+    ranked = per_brand.select(
+        "brand",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rev_cents"), F.asc("brand")))
+        .alias("r_rev"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_orders"), F.asc("brand")))
+        .alias("r_cnt"),
+    )
+    pairs = (
+        ranked.alias("a")
+        .join(ranked.alias("b"), F.col("a.brand") < F.col("b.brand"))
+        .select(
+            (
+                (F.col("a.r_rev") - F.col("b.r_rev"))
+                * (F.col("a.r_cnt") - F.col("b.r_cnt"))
+                > 0
+            ).cast("long").alias("conc")
+        )
+    )
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("conc").alias("n_concordant"),
+    ).select(
+        "n_pairs",
+        "n_concordant",
+        (F.col("n_pairs") - F.col("n_concordant")).alias("n_discordant"),
+        F.expr(
+            "(n_concordant * 2 - n_pairs) * 1000000 div n_pairs"
+        ).alias("tau_ppm"),
+    )
+
+
+def kendall_tau_brand_ranks_sql(
+    lineitem: str = "lineitem", part: str = "part"
+) -> str:
+    return f"""
+        WITH per_brand AS (
+          SELECT p.p_brand AS brand,
+                 SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                   AS rev_cents,
+                 COUNT(DISTINCT l.l_orderkey) AS n_orders
+          FROM {lineitem} l JOIN {part} p ON l.l_partkey = p.p_partkey
+          GROUP BY 1
+        ),
+        ranked AS (
+          SELECT brand,
+                 ROW_NUMBER() OVER (ORDER BY rev_cents DESC, brand ASC)
+                   AS r_rev,
+                 ROW_NUMBER() OVER (ORDER BY n_orders DESC, brand ASC)
+                   AS r_cnt
+          FROM per_brand
+        ),
+        pairs AS (
+          SELECT CASE WHEN (a.r_rev - b.r_rev) * (a.r_cnt - b.r_cnt) > 0
+                      THEN 1 ELSE 0 END AS conc
+          FROM ranked a JOIN ranked b ON a.brand < b.brand
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(conc) AS BIGINT) AS n_concordant,
+               CAST(COUNT(*) - SUM(conc) AS BIGINT) AS n_discordant,
+               CAST((SUM(conc) * 2 - COUNT(*)) * 1000000 // COUNT(*)
+                    AS BIGINT) AS tau_ppm
+        FROM pairs
+    """

@@ -377,6 +377,7 @@ ORACLES = {
     "analytics_markov_order2_lift": A.markov_order2_lift_sql(),
     "analytics_simpson_diversity": A.simpson_diversity_bands_sql(),
     "analytics_intervent_gap_bands": A.interevent_gap_bands_sql(),
+    "analytics_windowed_funnel": A.windowed_funnel_sql(),
     "analytics_stickiness": A.stickiness_sql(),
     "analytics_revenue_gini": A.revenue_gini_sql(),
     "analytics_new_vs_returning": A.new_vs_returning_sql(),

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.analytics import windowed_funnel
 from ..operators.relational import (
     asof_join,
     interval_overlap_state_promos,
@@ -18,6 +19,8 @@ from ..operators.relational import (
     item_knn_hitrate_eval_sql,
     nearest_conversion_gap,
     nearest_conversion_gap_sql,
+    kendall_tau_brand_ranks,
+    kendall_tau_brand_ranks_sql,
     basket_brand_pairs,
     basket_brand_pairs_sql,
     pit_feature_leakage,
@@ -463,6 +466,16 @@ QUERIES = {
     "grouping_sets_orders": _grouping_sets,
     "window_gaps_islands_sessions": _gaps_islands_sessions,
     "analytics_funnel_stages": _funnel_stages,
+    # r7 wave 34 (r8 queue): deadline-chained strict-sequence funnel
+    # (windowFunnel semantics; greedy-earliest stage matches)
+    "analytics_windowed_funnel": lambda s, d: windowed_funnel(
+        load_table(s, d, "events")
+    ),
+    # r7 wave 34 (r8 queue): exact Kendall tau between two full brand
+    # orderings (revenue vs reach) — integer ppm, no float correlation
+    "eval_kendall_tau_brands": lambda s, d: kendall_tau_brand_ranks(
+        load_table(s, d, "lineitem"), load_table(s, d, "part")
+    ),
     "approx_distinct_users": _approx_distinct,
     "approx_percentiles_value": _approx_percentiles,
     "skew_salted_user_totals": lambda s, d: salted_sum_count(
@@ -604,6 +617,7 @@ ORACLES = {
     "reco_item_knn": item_knn_cosine_sql(),
     "reco_knn_hitrate_eval": item_knn_hitrate_eval_sql(),
     "join_asof_nearest": nearest_conversion_gap_sql(),
+    "eval_kendall_tau_brands": kendall_tau_brand_ranks_sql(),
     "pivot_day_by_type": f"""
         SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
                {_PIVOT_CASES}

@@ -959,3 +959,96 @@ def test_interevent_gap_bands_hand_computed(spark):
     assert out["click"].p99_gap_us == 30_000_000
     assert out["view"].n_gaps == 1
     assert out["view"].mean_gap_us == 20_000_000
+
+
+# ---------------------------------------------------------- wave 34
+def test_windowed_funnel_hand_computed(spark):
+    """Deadline chaining with a 60s window: user 1 completes in order
+    and in time; user 2's click lands AFTER the deadline -> stops at
+    stage 1; user 3 purchases BEFORE clicking (order violated) ->
+    stage 2 only; user 4 never views -> not even stage 1."""
+    from audience_manager_platform_spark.operators.analytics import (
+        windowed_funnel,
+    )
+
+    rows = [
+        # user 1: view -> click(+10s) -> purchase(+20s): complete
+        (0, "2024-01-01 10:00:00", 1, "view", 1.0),
+        (1, "2024-01-01 10:00:10", 1, "click", 1.0),
+        (2, "2024-01-01 10:00:30", 1, "purchase", 5.0),
+        # user 2: click 2 minutes after view: outside the 60s hop
+        (3, "2024-01-01 10:00:00", 2, "view", 1.0),
+        (4, "2024-01-01 10:02:00", 2, "click", 1.0),
+        # user 3: purchase BEFORE the click -> no eligible purchase
+        (5, "2024-01-01 10:00:00", 3, "view", 1.0),
+        (6, "2024-01-01 10:00:05", 3, "purchase", 5.0),
+        (7, "2024-01-01 10:00:10", 3, "click", 1.0),
+        # user 4: no view at all
+        (8, "2024-01-01 10:00:00", 4, "click", 1.0),
+        (9, "2024-01-01 10:00:10", 4, "purchase", 5.0),
+    ]
+    out = windowed_funnel(_events_df(spark, rows), deadline_s=60).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_stage1, r.n_stage2, r.n_stage3) == (3, 2, 1)
+    assert r.conv12_ppm == 666_666
+    assert r.conv23_ppm == 500_000
+    assert r.overall_ppm == 333_333
+
+
+def test_kendall_tau_hand_computed(spark):
+    """3 brands: revenue ranks A>B>C while order-count ranks C>B>A — a
+    complete reversal, so all 3 pairs are discordant and tau is exactly
+    -1 (the truncating-division edge: (0*2-3)*1e6 div 3 = -1000000)."""
+    from audience_manager_platform_spark.operators.relational import (
+        kendall_tau_brand_ranks,
+    )
+
+    part = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C")], "p_partkey long, p_brand string"
+    )
+    # A: 300.00 over 1 order; B: 200.00 over 2 orders; C: 100.00 over
+    # 3 orders -> revenue A,B,C; reach C,B,A
+    lineitem = spark.createDataFrame(
+        [
+            (10, 1, 300.00),
+            (11, 2, 100.00), (12, 2, 100.00),
+            (13, 3, 40.00), (14, 3, 30.00), (15, 3, 30.00),
+        ],
+        "l_orderkey long, l_partkey long, l_extendedprice double",
+    )
+    out = kendall_tau_brand_ranks(lineitem, part).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_pairs, r.n_concordant, r.n_discordant) == (3, 0, 3)
+    assert r.tau_ppm == -1_000_000
+
+
+def test_phash_pin_table_matches_live_kernel_all_500(spark):
+    """EVERY pinned fingerprint must equal the live kernel's output —
+    not just the 64-entry canary prefix. Round-7 lesson: a sinusoid
+    hoist flipped ONE borderline DCT bit on doc 105 (index > 64), the
+    prefix canary stayed green, and the oracle went red two commits
+    later. This test closes that hole: any future kernel or
+    numpy/BLAS drift fails HERE, with the doc id in the message, and
+    the fix is to regenerate registry/phash_pins.py in the same
+    commit."""
+    import pyspark.sql.functions as F
+
+    from audience_manager_platform_spark.operators.multimodal import (
+        phash64,
+        synthesize_textured_bmp,
+    )
+    from audience_manager_platform_spark.registry.phash_pins import (
+        PHASH_SF001,
+    )
+
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    live = {
+        r.doc_id: r.phash
+        for r in phash64(synthesize_textured_bmp(docs)).collect()
+    }
+    drifted = [
+        (d, live[d], pin) for d, pin in PHASH_SF001 if live[d] != pin
+    ]
+    assert drifted == [], f"pins stale for docs: {drifted[:5]}"

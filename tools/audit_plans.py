@@ -128,6 +128,8 @@ NESTED_LOOP_ALLOWED = {
     "privacy_pseudonym_audit",
     # 1-row global-prior broadcast onto the audit slice
     "feature_target_encode_loo",
+    # |brands|^2/2 pair join over the BOUNDED brand dimension (25 rows)
+    "eval_kendall_tau_brands",
     "heavy_hitters_value_bands",
     "ts_resample_locf",
     "ts_interpolate_linear",

@@ -476,3 +476,126 @@ def algebraic_rollup_merge_sql(src: str = "orders") -> str:
         GROUP BY 1, 2
         ORDER BY o_custkey, year
     """
+
+
+# --------------------------------------------- bitemporal restatement
+BITEMP_CORRECTION_RESIDUE = 50
+BITEMP_CORRECTION_LAG_D = 3
+BITEMP_HORIZON_D = 10
+
+
+def bitemporal_restatements(
+    events: DataFrame,
+    correction_residue: int = BITEMP_CORRECTION_RESIDUE,
+    correction_lag_d: int = BITEMP_CORRECTION_LAG_D,
+    horizon_d: int = BITEMP_HORIZON_D,
+) -> DataFrame:
+    """Bitemporal audit — the question mono-temporal SCD2 cannot ask:
+    "for effective time T, does what we believe NOW differ from what we
+    believed THEN?" Late corrections (rows whose effective time
+    precedes their recorded time) silently rewrite history; finance and
+    compliance pipelines must enumerate those restatements, not just
+    serve the latest belief.
+
+    The fixture has no correction stream, so one is PLANTED
+    deterministically: every ``correction_residue``-th event is a late
+    correction whose effective ts lags its recorded ts by
+    ``correction_lag_d`` days (real data replaces the synthesis with
+    its actual valid-time column; everything downstream unchanged).
+    T = max(recorded) - ``horizon_d`` days. belief(asof-effective T,
+    known-at K) is the standard argmax over (effective_ts, event_id)
+    with recorded_ts <= K; the audit emits users where belief(T, now)
+    differs from belief(T, T) — including NULL -> state backfills
+    (null-safe compare).
+
+    Shape at scale: T is a 1-row broadcast; the two beliefs are two
+    row_number windows over the SAME user-keyed sort (one shuffle);
+    the join of two |users|-row belief tables is keyed."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    eff = F.expr(
+        f"CASE WHEN event_id % {int(correction_residue)} = 0"
+        f" THEN ts - INTERVAL {int(correction_lag_d)} DAYS ELSE ts END"
+    )
+    rows = events.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("recorded_ts"),
+        eff.alias("effective_ts"),
+    )
+    t_row = rows.agg(
+        (F.max("recorded_ts") - F.expr(f"INTERVAL {int(horizon_d)} DAYS"))
+        .alias("t_eff")
+    )
+    based = rows.crossJoin(F.broadcast(t_row)).filter(
+        F.col("effective_ts") <= F.col("t_eff")
+    )
+
+    def belief(df: DataFrame, alias: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("effective_ts"), F.desc("event_id")
+        )
+        return (
+            df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("user_id", F.col("state").alias(alias))
+        )
+
+    now_b = belief(based, "state_now")
+    then_b = belief(
+        based.filter(F.col("recorded_ts") <= F.col("t_eff")), "state_then"
+    )
+    return (
+        now_b.join(then_b, "user_id", "full_outer")
+        .filter(~F.col("state_now").eqNullSafe(F.col("state_then")))
+        .select("user_id", "state_then", "state_now")
+        .orderBy("user_id")
+    )
+
+
+def bitemporal_restatements_sql(
+    src: str = "events",
+    correction_residue: int = BITEMP_CORRECTION_RESIDUE,
+    correction_lag_d: int = BITEMP_CORRECTION_LAG_D,
+    horizon_d: int = BITEMP_HORIZON_D,
+) -> str:
+    return f"""
+        WITH rows_ AS (
+          SELECT user_id, event_id, event_type AS state,
+                 ts AS recorded_ts,
+                 CASE WHEN event_id % {int(correction_residue)} = 0
+                      THEN ts - INTERVAL {int(correction_lag_d)} DAY
+                      ELSE ts END AS effective_ts
+          FROM {src}
+        ),
+        t AS (
+          SELECT MAX(recorded_ts) - INTERVAL {int(horizon_d)} DAY AS t_eff
+          FROM rows_
+        ),
+        based AS (
+          SELECT r.* FROM rows_ r, t WHERE r.effective_ts <= t.t_eff
+        ),
+        now_b AS (
+          SELECT user_id, state AS state_now FROM (
+            SELECT user_id, state, ROW_NUMBER() OVER (
+              PARTITION BY user_id
+              ORDER BY effective_ts DESC, event_id DESC) AS _rk
+            FROM based
+          ) WHERE _rk = 1
+        ),
+        then_b AS (
+          SELECT user_id, state AS state_then FROM (
+            SELECT user_id, state, ROW_NUMBER() OVER (
+              PARTITION BY user_id
+              ORDER BY effective_ts DESC, event_id DESC) AS _rk
+            FROM based, t WHERE recorded_ts <= t.t_eff
+          ) WHERE _rk = 1
+        )
+        SELECT COALESCE(n.user_id, o.user_id) AS user_id,
+               o.state_then, n.state_now
+        FROM now_b n FULL OUTER JOIN then_b o ON n.user_id = o.user_id
+        WHERE n.state_now IS DISTINCT FROM o.state_then
+        ORDER BY user_id
+    """

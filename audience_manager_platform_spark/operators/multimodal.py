@@ -1370,3 +1370,120 @@ def bmp_tile_stats_oracle_sql(src: str = "documents") -> str:
         FROM terms
         ORDER BY doc_id, tile_y, tile_x
     """
+
+
+FLIP_MOTION_CUT = 120  # L1 mean-color jump that counts as a shot cut
+
+
+def flipbook_motion_profile(media_df: DataFrame) -> DataFrame:
+    """Frame-to-frame motion profile from a REAL container walk — the
+    shot-boundary primitive of video curation (sampling keyframes at
+    cuts, dropping static clips): walk the flipbook's self-describing
+    BMP frames, compute each frame's exact per-channel pixel means from
+    the decoded bytes, and emit the L1 mean-color jump between
+    consecutive frames with a cut verdict.
+
+    Constant-fill frames make the means exact integers, so the jump is
+    an exact bigint and the verdict can't sit on a float knife edge —
+    while the kernel still exercises the real decode path (header walk,
+    stride padding, BGR order). Arrow-batched ``mapInPandas``,
+    O(pixels)/row, zero shuffle."""
+    out_schema = (
+        "doc_id long, frame_idx int, width int, height int, "
+        "motion_l1 long, verdict string"
+    )
+
+    def profile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "frame_idx", "width", "height",
+                "motion_l1", "verdict",
+            )}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                data = bytes(blob)
+                pos, idx = 0, 0
+                prev_means = None
+                while pos < len(data):
+                    magic, size, _r1, _r2, offset = struct.unpack_from(
+                        "<2sIHHI", data, pos
+                    )
+                    if magic != b"BM":
+                        raise ValueError(
+                            f"bad frame header (doc_id={doc_id})"
+                        )
+                    _hsz, w_px, h_px, _planes, _bpp = struct.unpack_from(
+                        "<IiiHH", data, pos + 14
+                    )
+                    h_abs = abs(h_px)
+                    stride = (3 * w_px + 3) // 4 * 4
+                    s = [0, 0, 0]
+                    for y in range(h_abs):
+                        base = pos + offset + y * stride
+                        for x in range(w_px):
+                            b_v, g_v, r_v = data[
+                                base + 3 * x: base + 3 * x + 3
+                            ]
+                            s[0] += r_v
+                            s[1] += g_v
+                            s[2] += b_v
+                    n = w_px * h_abs
+                    means = (s[0] // n, s[1] // n, s[2] // n)
+                    # constant fill: sums divide exactly (pinned below)
+                    if s[0] % n or s[1] % n or s[2] % n:
+                        raise ValueError(
+                            f"non-constant frame (doc_id={doc_id})"
+                        )
+                    if prev_means is not None:
+                        l1 = sum(
+                            abs(a - b) for a, b in zip(means, prev_means)
+                        )
+                        out["doc_id"].append(doc_id)
+                        out["frame_idx"].append(idx)
+                        out["width"].append(w_px)
+                        out["height"].append(h_abs)
+                        out["motion_l1"].append(l1)
+                        out["verdict"].append(
+                            "cut" if l1 > FLIP_MOTION_CUT else "pan"
+                        )
+                    prev_means = means
+                    pos += size
+                    idx += 1
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(profile, schema=out_schema)
+
+
+def flipbook_motion_oracle_sql(src: str = "documents") -> str:
+    """Closed-form twin: frame k's fill color derives from
+    seed = A*doc_id + B*k, so the motion profile is pure modular
+    arithmetic over generate_series(1, n_frames-1)."""
+    a, b = FLIP_SEED_A, FLIP_SEED_B
+    mk = f"({a} * doc_id + {b} * k)"
+    prev = f"({a} * doc_id + {b} * (k - 1))"
+    l1 = (
+        f"ABS({mk} % 256 - {prev} % 256)"
+        f" + ABS(({mk} * 7) % 256 - ({prev} * 7) % 256)"
+        f" + ABS(({mk} * 13) % 256 - ({prev} * 13) % 256)"
+    )
+    return f"""
+        WITH dims AS (
+          SELECT doc_id,
+                 {FLIP_MIN_FRAMES} + doc_id % {FLIP_FRAME_MOD} AS n_frames
+          FROM {src}
+        ),
+        frames AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, n_frames - 1)) AS k
+          FROM dims
+          WHERE n_frames >= 2
+        )
+        SELECT doc_id,
+               CAST(k AS INTEGER) AS frame_idx,
+               CAST({BMP_W_BASE} + {mk} % {BMP_W_MOD} AS INTEGER) AS width,
+               CAST({BMP_H_BASE} + {mk} % {BMP_H_MOD} AS INTEGER) AS height,
+               CAST({l1} AS BIGINT) AS motion_l1,
+               CASE WHEN {l1} > {FLIP_MOTION_CUT} THEN 'cut' ELSE 'pan' END
+                 AS verdict
+        FROM frames
+        ORDER BY doc_id, frame_idx
+    """

@@ -1141,3 +1141,98 @@ def kendall_tau_brand_ranks_sql(
                     AS BIGINT) AS tau_ppm
         FROM pairs
     """
+
+
+# --------------------------------------- bucketized range join (scale path)
+RB_N_BANDS = 10_000
+RB_BAND_CENTS = 7
+RB_GRID_CENTS = 5
+RB_REPORT_MOD = 97
+
+
+def bucketized_range_join(
+    events: DataFrame,
+    n_bands: int = RB_N_BANDS,
+    band_cents: int = RB_BAND_CENTS,
+    grid_cents: int = RB_GRID_CENTS,
+    report_mod: int = RB_REPORT_MOD,
+) -> DataFrame:
+    """Range join against a LARGE band table — the scale path
+    :func:`range_join_bands` documents but (being broadcast-NLJ) cannot
+    take: bucketize BOTH sides to a common integer grid, equi-join on
+    the bucket key, and re-check the exact range as a residual filter.
+    Each band spans ceil(band/grid)+1 <= 3 grid buckets, so the fan-out
+    is a bounded constant and the join is an ordinary shuffle hash join
+    — no nested loop, no broadcast of a 10k-row range side, works when
+    the band table is 10k or 10B rows.
+
+    Deliberately misaligned widths (7-cent bands on a 5-cent grid)
+    so the residual filter is load-bearing; all arithmetic is exact
+    integer cents. Report: per band_id % ``report_mod`` rollup (counts,
+    distinct bands hit, exact cents)."""
+    spark = events.sparkSession
+    bands = spark.range(int(n_bands)).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * band_cents).alias("lo"),
+        (F.col("id") * band_cents + band_cents).alias("hi"),
+    )
+    cover = bands.select(
+        "band_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.expr(f"sequence(lo div {grid_cents}, (hi - 1) div {grid_cents})")
+        ).alias("bucket"),
+    )
+    facts = events.filter(F.col("value").isNotNull()).select(
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents")
+    ).withColumn("bucket", F.expr(f"cents div {grid_cents}"))
+    joined = facts.join(cover, "bucket").filter(
+        (F.col("cents") >= F.col("lo")) & (F.col("cents") < F.col("hi"))
+    )
+    return (
+        joined.groupBy(
+            F.expr(f"band_id % {int(report_mod)}").alias("band_mod")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct("band_id").cast("long").alias("n_bands"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("band_mod")
+    )
+
+
+def bucketized_range_join_sql(
+    src: str = "events",
+    n_bands: int = RB_N_BANDS,
+    band_cents: int = RB_BAND_CENTS,
+    grid_cents: int = RB_GRID_CENTS,
+    report_mod: int = RB_REPORT_MOD,
+) -> str:
+    return f"""
+        WITH bands AS (
+          SELECT i AS band_id, i * {band_cents} AS lo,
+                 i * {band_cents} + {band_cents} AS hi
+          FROM (SELECT unnest(generate_series(0, {int(n_bands) - 1})) AS i)
+        ),
+        cover AS (
+          SELECT band_id, lo, hi,
+                 unnest(generate_series(lo // {grid_cents},
+                                        (hi - 1) // {grid_cents})) AS bucket
+          FROM bands
+        ),
+        facts AS (
+          SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) // {grid_cents}
+                   AS bucket
+          FROM {src} WHERE value IS NOT NULL
+        )
+        SELECT CAST(band_id % {int(report_mod)} AS BIGINT) AS band_mod,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT band_id) AS BIGINT) AS n_bands,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM facts f JOIN cover c ON f.bucket = c.bucket
+        WHERE f.cents >= c.lo AND f.cents < c.hi
+        GROUP BY 1 ORDER BY 1
+    """

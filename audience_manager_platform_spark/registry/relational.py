@@ -21,6 +21,8 @@ from ..operators.relational import (
     nearest_conversion_gap_sql,
     kendall_tau_brand_ranks,
     kendall_tau_brand_ranks_sql,
+    bucketized_range_join,
+    bucketized_range_join_sql,
     basket_brand_pairs,
     basket_brand_pairs_sql,
     pit_feature_leakage,
@@ -453,6 +455,11 @@ QUERIES = {
     "join_asof_nearest": lambda s, d: nearest_conversion_gap(
         load_table(s, d, "events")
     ),
+    # r7 wave 35 (r8 queue): the bucketize-both-sides range-join scale
+    # path (equi-join + residual filter; no broadcast NLJ)
+    "join_range_bucketized": lambda s, d: bucketized_range_join(
+        load_table(s, d, "events")
+    ),
     # wave 25: the feature-store point-in-time join + leakage audit —
     # PIT (servable-at-next-midnight) vs the naive same-day join,
     # counting the labels the naive join would silently poison
@@ -618,6 +625,7 @@ ORACLES = {
     "reco_knn_hitrate_eval": item_knn_hitrate_eval_sql(),
     "join_asof_nearest": nearest_conversion_gap_sql(),
     "eval_kendall_tau_brands": kendall_tau_brand_ranks_sql(),
+    "join_range_bucketized": bucketized_range_join_sql(),
     "pivot_day_by_type": f"""
         SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
                {_PIVOT_CASES}

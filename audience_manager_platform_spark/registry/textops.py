@@ -210,6 +210,11 @@ QUERIES = {
     "multimodal_wav_decode": lambda s, d: M.decode_wav_meta(
         M.synthesize_wav(_docs(s, d))
     ),
+    # r7 wave 35 (r8 queue): shot-boundary motion profile from the
+    # real container walk (exact integer mean-color jumps)
+    "multimodal_flipbook_motion": lambda s, d: M.flipbook_motion_profile(
+        M.synthesize_flipbook(_docs(s, d))
+    ),
     "multimodal_frame_sample": lambda s, d: M.sample_flipbook_frames(
         M.synthesize_flipbook(_docs(s, d))
     ),
@@ -403,6 +408,7 @@ ORACLES = {
     "multimodal_bmp_resize": M.bmp_resize_meta_oracle_sql(),
     "multimodal_bmp_stats": M.bmp_channel_stats_oracle_sql(),
     "multimodal_bmp_tile_stats": M.bmp_tile_stats_oracle_sql(),
+    "multimodal_flipbook_motion": M.flipbook_motion_oracle_sql(),
     "multimodal_wav_downsample": M.wav_downsample_meta_oracle_sql(),
     "multimodal_phash_neardup": phash_neardup_oracle_sql(),
     "corpus_split_assign": C.split_assign_sql(),

@@ -302,6 +302,12 @@ def _bucketed_join_revenue(s, d):
 
 QUERIES = {
     "scd2_user_state_history": lambda s, d: MG.scd2_history(_events(s, d)),
+    # r7 wave 35 (r8 queue): bitemporal restatement audit — belief(T,
+    # known now) vs belief(T, known at T) over a planted correction
+    # stream; the question mono-temporal SCD2 cannot ask
+    "scd2_bitemporal_restatements": lambda s, d: (
+        MG.bitemporal_restatements(_events(s, d))
+    ),
     "cdc_latest_user_state": lambda s, d: MG.cdc_latest_state(_events(s, d)),
     # r7: MERGE INTO dry-run — the per-key insert/update/nochange audit
     # a transactional MERGE emits, derived over plain parquet
@@ -627,6 +633,7 @@ QUERIES = {
 
 ORACLES = {
     "scd2_user_state_history": MG.scd2_history_sql(),
+    "scd2_bitemporal_restatements": MG.bitemporal_restatements_sql(),
     "cdc_latest_user_state": MG.cdc_latest_state_sql(),
     "cdc_merge_upsert_actions": MG.merge_upsert_actions_sql(),
     "rollup_algebraic_merge": MG.algebraic_rollup_merge_sql(),

@@ -1052,3 +1052,99 @@ def test_phash_pin_table_matches_live_kernel_all_500(spark):
         (d, live[d], pin) for d, pin in PHASH_SF001 if live[d] != pin
     ]
     assert drifted == [], f"pins stale for docs: {drifted[:5]}"
+
+
+# ---------------------------------------------------------- wave 35
+def test_flipbook_motion_hand_computed(spark):
+    """doc 3 has n = 2 + 3%5 = 5 frames with seeds 303+17k: every
+    consecutive jump recomputed by hand from the modular color
+    formulas; the kernel must read the same numbers out of the real
+    container bytes."""
+    from audience_manager_platform_spark.operators.multimodal import (
+        FLIP_MOTION_CUT,
+        flipbook_motion_profile,
+        synthesize_flipbook,
+    )
+
+    docs = spark.createDataFrame(
+        [(3, "t", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.frame_idx: r for r in
+           flipbook_motion_profile(synthesize_flipbook(docs)).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    for k in range(1, 5):
+        s_cur, s_prev = 101 * 3 + 17 * k, 101 * 3 + 17 * (k - 1)
+        l1 = (
+            abs(s_cur % 256 - s_prev % 256)
+            + abs((s_cur * 7) % 256 - (s_prev * 7) % 256)
+            + abs((s_cur * 13) % 256 - (s_prev * 13) % 256)
+        )
+        r = out[k]
+        assert r.motion_l1 == l1, k
+        assert r.verdict == ("cut" if l1 > FLIP_MOTION_CUT else "pan")
+        assert r.width == 4 + s_cur % 5 and r.height == 4 + s_cur % 3
+
+
+def test_bitemporal_restatements_hand_computed(spark):
+    """T = max(recorded) - 10d. user 1: a late correction (event_id 50,
+    recorded after T, effective before T) flips the belief at T from
+    'view' to 'purchase' -> restated. user 2's history is all recorded
+    before T -> identical beliefs, no row. user 3 exists ONLY through
+    a late correction -> NULL-then backfill row."""
+    from audience_manager_platform_spark.operators.merge import (
+        bitemporal_restatements,
+    )
+
+    rows = [
+        # T anchor: latest recorded ts 2024-01-20 -> T = 2024-01-10
+        (1, "2024-01-20 00:00:00", 9, "view", 1.0),
+        # user 1: normal row effective 01-05 (view), then a correction
+        # recorded 01-12 (> T) with effective 01-09 (< T, wins argmax)
+        (2, "2024-01-05 00:00:00", 1, "view", 1.0),
+        (50, "2024-01-12 00:00:00", 1, "purchase", 1.0),  # eff 01-09
+        # user 2: stable history, all recorded before T
+        (3, "2024-01-04 00:00:00", 2, "click", 1.0),
+        # user 3: exists only through a correction (recorded 01-13,
+        # effective 01-10 == T boundary, <= keeps it)
+        (100, "2024-01-13 00:00:00", 3, "signup", 1.0),
+    ]
+    out = {r.user_id: (r.state_then, r.state_now) for r in
+           bitemporal_restatements(_events_df(spark, rows)).collect()}
+    assert out == {
+        1: ("view", "purchase"),
+        3: (None, "signup"),
+    }
+
+
+def test_bucketized_range_join_matches_plain_range_join(spark):
+    """The bucketize-then-residual composition must equal the naive
+    range predicate exactly — checked on a hand fixture whose cents
+    values sit ON band and grid boundaries (69,70,71 around the 70-cent
+    band edge; 0 at the origin)."""
+    from pyspark.sql import functions as F
+
+    from audience_manager_platform_spark.operators.relational import (
+        bucketized_range_join,
+    )
+
+    vals = [0.00, 0.69, 0.70, 0.71, 3.49, 3.50, 6.99, 699.99]
+    rows = [
+        (i, "2024-01-01 10:00:00", 1, "view", v)
+        for i, v in enumerate(vals)
+    ]
+    df = _events_df(spark, rows)
+    got = {r.band_mod: (r.n_rows, r.n_bands, r.sum_cents) for r in
+           bucketized_range_join(df, n_bands=10_000).collect()}
+    # naive reference: every cents value lands in band cents div 7
+    import collections
+    ref = collections.defaultdict(lambda: [0, set(), 0])
+    for v in vals:
+        cents = int(v * 100 + 0.5)
+        band = cents // 7
+        agg = ref[band % 97]
+        agg[0] += 1
+        agg[1].add(band)
+        agg[2] += cents
+    ref = {k: (n, len(b), s) for k, (n, b, s) in ref.items()}
+    assert got == ref

@@ -130,6 +130,8 @@ NESTED_LOOP_ALLOWED = {
     "feature_target_encode_loo",
     # |brands|^2/2 pair join over the BOUNDED brand dimension (25 rows)
     "eval_kendall_tau_brands",
+    # 1-row T-anchor broadcast (bitemporal knowledge cutoff)
+    "scd2_bitemporal_restatements",
     "heavy_hitters_value_bands",
     "ts_resample_locf",
     "ts_interpolate_linear",
@@ -225,6 +227,7 @@ ARROW_ALLOWED = {
     "multimodal_bmp_resize",
     "multimodal_bmp_stats",
     "multimodal_bmp_tile_stats",
+    "multimodal_flipbook_motion",
     "multimodal_wav_downsample",
     "multimodal_wav_vad",
     # BMP synth + DCT pHash kernel (Arrow), banded join is relational

@@ -2410,3 +2410,84 @@ def windowed_funnel_sql(
                  AS overall_ppm
         FROM rolled
     """
+
+
+# ------------------------------------------- A/B sample-ratio mismatch
+SRM_CHI2_MILLI_CUT = 3_841  # chi-square(1df) 95% critical value x1000
+
+
+def ab_srm_check(
+    events: DataFrame, salt: str = "ab-v1", cut_milli: int = SRM_CHI2_MILLI_CUT
+) -> DataFrame:
+    """Sample-ratio-mismatch check — the first A/B-test health gate
+    (before ANY effect readout): users are hash-assigned 50/50, so the
+    observed arm split must be binomially consistent; a skewed split
+    means the assignment or logging is broken and every downstream
+    metric is garbage. The classic test: chi-square(1df) =
+    (nA - nB)^2 / (nA + nB) against the 3.841 critical value.
+
+    Assignment is the deterministic md5-hash arm (replayable from the
+    salt, the split_assign discipline); the statistic is computed in
+    exact milli units ((nA-nB)^2 * 1000 div n — integers end to end)
+    so the verdict cannot sit on a float edge. One distinct-users
+    reduce + a 1-row rollup."""
+    users = events.select("user_id").filter(
+        F.col("user_id").isNotNull()
+    ).distinct()
+    from ..functions import stable_long_hash
+
+    arm = stable_long_hash(F.col("user_id").cast("string"), salt=salt) % 2
+    return (
+        users.select(arm.alias("arm"))
+        .agg(
+            F.sum((F.col("arm") == 0).cast("long")).alias("n_a"),
+            F.sum((F.col("arm") == 1).cast("long")).alias("n_b"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            F.expr(
+                "(n_a - n_b) * (n_a - n_b) * 1000 div (n_a + n_b)"
+            ).alias("chi2_milli"),
+            F.expr(
+                f"CASE WHEN (n_a - n_b) * (n_a - n_b) * 1000"
+                f" div (n_a + n_b) > {int(cut_milli)}"
+                f" THEN 'srm_detected' ELSE 'ok' END"
+            ).alias("verdict"),
+        )
+    )
+
+
+def ab_srm_check_sql(
+    src: str = "events",
+    salt: str = "ab-v1",
+    cut_milli: int = SRM_CHI2_MILLI_CUT,
+) -> str:
+    from ..functions import HASH60_DUCK_SQL
+
+    arm = (
+        HASH60_DUCK_SQL.format(
+            x=f"'{salt}' || CAST(user_id AS VARCHAR)"
+        )
+        + " % 2"
+    )
+    return f"""
+        WITH users AS (
+          SELECT DISTINCT user_id FROM {src} WHERE user_id IS NOT NULL
+        ),
+        arms AS (SELECT {arm} AS arm FROM users),
+        rolled AS (
+          SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b
+          FROM arms
+        )
+        SELECT n_a, n_b,
+               CAST((n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b)
+                    AS BIGINT) AS chi2_milli,
+               CASE WHEN (n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b)
+                         > {int(cut_milli)}
+                    THEN 'srm_detected' ELSE 'ok' END AS verdict
+        FROM rolled
+    """

@@ -1607,3 +1607,86 @@ def cusum_alarm_sql(
         FROM scanned
         ORDER BY event_type, day
     """
+
+
+# ------------------------------------------------------ max drawdown
+def max_drawdown(events: DataFrame) -> DataFrame:
+    """Maximum drawdown of each type's cumulative daily revenue — the
+    peak-to-trough risk metric (finance's worst-case-entry number,
+    equally useful for "how far below its best day-sum has this
+    revenue stream fallen"): per event_type, max over days of
+    (running peak - running cumulative), in exact cents, with the day
+    the maximum drawdown bottoms out.
+
+    Pure prefix arithmetic: cumsum and running max over the |days|
+    day table (one window pass), argmax by (drawdown desc, day asc)
+    for a deterministic trough day. The raw stream contributes ONE
+    aggregate."""
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    daily = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = daily.select(
+        "event_type",
+        "day",
+        (
+            F.max(F.sum("cents").over(wcum)).over(wcum)
+            - F.sum("cents").over(wcum)
+        ).alias("drawdown_cents"),
+    )
+    wpick = Window.partitionBy("event_type").orderBy(
+        F.desc("drawdown_cents"), F.asc("day")
+    )
+    return (
+        dd.withColumn("_rk", F.row_number().over(wpick))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("trough_day"),
+            F.col("drawdown_cents").alias("max_drawdown_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def max_drawdown_sql(src: str = "events") -> str:
+    return f"""
+        WITH daily AS (
+          SELECT event_type,
+                 strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                 SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+          FROM {src} WHERE value IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT event_type, day, SUM(cents) OVER w AS csum
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        dd AS (
+          SELECT event_type, day,
+                 MAX(csum) OVER w - csum AS drawdown_cents
+          FROM cum
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, day AS trough_day,
+               CAST(drawdown_cents AS BIGINT) AS max_drawdown_cents
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY drawdown_cents DESC, day ASC) AS _rk
+          FROM dd
+        ) WHERE _rk = 1
+        ORDER BY event_type
+    """

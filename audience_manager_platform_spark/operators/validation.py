@@ -2128,3 +2128,117 @@ def duplicate_charge_audit_sql(
         WHERE gap_us IS NOT NULL AND gap_us <= {int(window_s) * 1_000_000}
         ORDER BY user_id, cents, event_id
     """
+
+
+# ------------------------------------------- order-balance reconciliation
+BALANCE_TOL_PPM = 5_000  # 0.5% relative tolerance
+
+
+def order_balance_audit(
+    orders: DataFrame, lineitem: DataFrame, tol_ppm: int = BALANCE_TOL_PPM
+) -> DataFrame:
+    """Books-vs-ledger reconciliation: does each order's header total
+    equal the sum of its lines (extendedprice x (1-discount) x
+    (1+tax))? The accounting-identity audit every ingest pipeline runs
+    between a denormalized header and its detail table — mismatches
+    localize partial loads, double-applied discounts, or drifted tax
+    logic.
+
+    Exact grid: all money in cents; the line formula is evaluated in
+    cents x ppm x ppm then floor-scaled back (identical order of
+    operations in both engines), and the relative diff is an exact ppm
+    of the header total. Output: per diff-band (exact_match /
+    within_tol / over / under) order counts and summed absolute drift.
+    Shape: one lineitem aggregate, one keyed join, one 4-row rollup."""
+    line = lineitem.select(
+        "l_orderkey",
+        F.expr(
+            "CAST("
+            " CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+            " * (1000000 - CAST(floor(l_discount * 1e6 + 0.5) AS BIGINT))"
+            " div 1000000"
+            " * (1000000 + CAST(floor(l_tax * 1e6 + 0.5) AS BIGINT))"
+            " div 1000000 AS BIGINT)"
+        ).alias("line_cents"),
+    )
+    derived = line.groupBy("l_orderkey").agg(
+        F.sum("line_cents").alias("derived_cents")
+    )
+    hdr = orders.select(
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "header_cents"
+        ),
+    )
+    graded = (
+        hdr.join(
+            derived, F.col("o_orderkey") == F.col("l_orderkey"), "left"
+        )
+        .select(
+            "header_cents",
+            F.coalesce("derived_cents", F.lit(0)).alias("derived_cents"),
+        )
+        .withColumn(
+            "_ad", F.abs(F.col("derived_cents") - F.col("header_cents"))
+        )
+        .withColumn(
+            "band",
+            F.expr(
+                f"CASE WHEN derived_cents = header_cents THEN 'exact'"
+                f" WHEN _ad * 1000000 <= header_cents * {int(tol_ppm)}"
+                f" THEN 'within_tol'"
+                f" WHEN derived_cents > header_cents THEN 'over'"
+                f" ELSE 'under' END"
+            ),
+        )
+    )
+    return (
+        graded.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("_ad").alias("abs_drift_cents"),
+        )
+        .orderBy("band")
+    )
+
+
+def order_balance_audit_sql(
+    orders: str = "orders",
+    lineitem: str = "lineitem",
+    tol_ppm: int = BALANCE_TOL_PPM,
+) -> str:
+    return f"""
+        WITH line AS (
+          SELECT l_orderkey,
+                 CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * (1000000 - CAST(floor(l_discount * 1e6 + 0.5)
+                                        AS BIGINT)) // 1000000
+                      * (1000000 + CAST(floor(l_tax * 1e6 + 0.5)
+                                        AS BIGINT)) // 1000000
+                      AS BIGINT) AS line_cents
+          FROM {lineitem}
+        ),
+        derived AS (
+          SELECT l_orderkey, SUM(line_cents) AS derived_cents
+          FROM line GROUP BY 1
+        ),
+        graded AS (
+          SELECT CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS header_cents,
+                 COALESCE(d.derived_cents, 0) AS derived_cents,
+                 ABS(COALESCE(d.derived_cents, 0)
+                     - CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS _ad
+          FROM {orders} o
+          LEFT JOIN derived d ON o.o_orderkey = d.l_orderkey
+        )
+        SELECT CASE WHEN derived_cents = header_cents THEN 'exact'
+                    WHEN _ad * 1000000 <= header_cents * {int(tol_ppm)}
+                    THEN 'within_tol'
+                    WHEN derived_cents > header_cents THEN 'over'
+                    ELSE 'under' END AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(_ad) AS BIGINT) AS abs_drift_cents
+        FROM graded
+        GROUP BY 1 ORDER BY 1
+    """

@@ -198,6 +198,11 @@ QUERIES = {
     "analytics_intervent_gap_bands": lambda s, d: A.interevent_gap_bands(
         load_table(s, d, "events")
     ),
+    # r7 wave 36 (r8 queue): sample-ratio-mismatch gate (chi-square
+    # 1df in exact milli units over the hash-assigned arms)
+    "analytics_ab_srm_check": lambda s, d: A.ab_srm_check(
+        load_table(s, d, "events")
+    ),
     # r5 (deferred window): WAU / trailing-4-week MAU stickiness
     "analytics_stickiness": lambda s, d: A.stickiness(
         load_table(s, d, "events")
@@ -378,6 +383,7 @@ ORACLES = {
     "analytics_simpson_diversity": A.simpson_diversity_bands_sql(),
     "analytics_intervent_gap_bands": A.interevent_gap_bands_sql(),
     "analytics_windowed_funnel": A.windowed_funnel_sql(),
+    "analytics_ab_srm_check": A.ab_srm_check_sql(),
     "analytics_stickiness": A.stickiness_sql(),
     "analytics_revenue_gini": A.revenue_gini_sql(),
     "analytics_new_vs_returning": A.new_vs_returning_sql(),

@@ -94,6 +94,8 @@ QUERIES = {
     # r7 wave 33 (r8 queue): sequential drift detection — prefix-sum
     # closed form of the one-sided CUSUM recurrences
     "ts_cusum_alarm": lambda s, d: TS.cusum_alarm(_events(s, d)),
+    # r7 wave 36 (r8 queue): peak-to-trough drawdown per revenue series
+    "ts_max_drawdown": lambda s, d: TS.max_drawdown(_events(s, d)),
 }
 
 ORACLES = {
@@ -113,6 +115,7 @@ ORACLES = {
     "ts_ewma_anomaly": TS.ewma_anomaly_sql(),
     "ts_conformal_interval": TS.conformal_interval_backtest_sql(),
     "ts_cusum_alarm": TS.cusum_alarm_sql(),
+    "ts_max_drawdown": TS.max_drawdown_sql(),
     "sample_fixed_n_events": f"""
         SELECT event_id, user_id, event_type, ROUND(value, 2) AS value,
                MD5(CAST(event_id AS VARCHAR) || '{SAMPLE_SALT}') AS sample_key

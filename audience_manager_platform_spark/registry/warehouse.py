@@ -99,6 +99,8 @@ from ..operators.validation import (
     id_density_audit_sql,
     duplicate_charge_audit,
     duplicate_charge_audit_sql,
+    order_balance_audit,
+    order_balance_audit_sql,
     l_diversity_audit,
     l_diversity_audit_sql,
     t_closeness_audit,
@@ -531,6 +533,10 @@ QUERIES = {
     "validate_duplicate_charges": lambda s, d: duplicate_charge_audit(
         _events(s, d)
     ),
+    # r7 wave 36 (r8 queue): books-vs-ledger header/detail reconciliation
+    "validate_order_balance": lambda s, d: order_balance_audit(
+        load_table(s, d, "orders"), load_table(s, d, "lineitem")
+    ),
     "validate_fk_fanout": lambda s, d: fk_fanout_profile([
         ("orders->customer", load_table(s, d, "orders"), "o_custkey",
          load_table(s, d, "customer"), "c_custkey"),
@@ -754,6 +760,7 @@ ORACLES = {
     "graph_degree_histogram": degree_histogram_sql(),
     "validate_id_density": id_density_audit_sql("events"),
     "validate_duplicate_charges": duplicate_charge_audit_sql("events"),
+    "validate_order_balance": order_balance_audit_sql(),
     "validate_fk_fanout": fk_fanout_profile_sql([
         ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
         ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),

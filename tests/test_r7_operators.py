@@ -1148,3 +1148,84 @@ def test_bucketized_range_join_matches_plain_range_join(spark):
         agg[2] += cents
     ref = {k: (n, len(b), s) for k, (n, b, s) in ref.items()}
     assert got == ref
+
+
+# ---------------------------------------------------------- wave 36
+def test_order_balance_audit_hand_computed(spark):
+    """Order 1 balances exactly; order 2's header is 1 cent high
+    (within the 0.5% band); order 3's lines overshoot by 20% ->
+    'over'; order 4 has NO lines -> derived 0 -> 'under' with full
+    drift. The line formula applies discount then tax in integer
+    cents/ppm, matching the twins' operation order."""
+    from audience_manager_platform_spark.operators.validation import (
+        order_balance_audit,
+    )
+
+    orders = spark.createDataFrame(
+        [(1, 100.00), (2, 100.01), (3, 100.00), (4, 50.00)],
+        "o_orderkey long, o_totalprice double",
+    )
+    # line cents formula: cents * (1e6-d) div 1e6 * (1e6+t) div 1e6
+    lineitem = spark.createDataFrame(
+        [
+            (1, 100.00, 0.0, 0.0),     # exact 10000 cents
+            (2, 100.00, 0.0, 0.0),     # header 10001 -> within_tol
+            (3, 100.00, 0.0, 0.20),    # 12000 cents vs 10000 -> over
+        ],
+        "l_orderkey long, l_extendedprice double, l_discount double,"
+        " l_tax double",
+    )
+    out = {r.band: (r.n_orders, r.abs_drift_cents) for r in
+           order_balance_audit(orders, lineitem).collect()}
+    assert out == {
+        "exact": (1, 0),
+        "within_tol": (1, 1),
+        "over": (1, 2000),
+        "under": (1, 5000),
+    }
+
+
+def test_max_drawdown_hand_computed(spark):
+    """A refund day makes the cumulative series non-monotone (all-
+    positive dailies would pin drawdown at 0 everywhere): dailies
+    100, 300, -350, 80, 400 cents give cums 100, 400, 50, 130, 530
+    and drawdowns 0, 0, 350, 270, 0 — max 350 bottoming on day 3."""
+    from audience_manager_platform_spark.operators.timeseries import (
+        max_drawdown,
+    )
+
+    vals = [1.00, 3.00, -3.50, 0.80, 4.00]
+    rows = [
+        (i, f"2024-01-{i + 1:02d} 10:00:00", 1, "view", v)
+        for i, v in enumerate(vals)
+    ]
+    out = max_drawdown(_events_df(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.trough_day == "2024-01-03"
+    assert r.max_drawdown_cents == 350
+
+
+def test_ab_srm_check_is_deterministic_and_balanced(spark):
+    """The md5 arm assignment is replayable (same salt -> same split)
+    and statistically sane on 2000 users (chi2 below the 3.841 cut);
+    a deliberately skewed fake assignment would trip the verdict —
+    pinned by recomputing chi2 from the returned counts."""
+    from audience_manager_platform_spark.operators.analytics import (
+        ab_srm_check,
+    )
+
+    rows = [
+        (i, "2024-01-01 10:00:00", i % 2000, "view", 1.0)
+        for i in range(4000)
+    ]
+    df = _events_df(spark, rows)
+    r1 = ab_srm_check(df).collect()[0]
+    r2 = ab_srm_check(df).collect()[0]
+    assert (r1.n_a, r1.n_b) == (r2.n_a, r2.n_b)  # replayable
+    assert r1.n_a + r1.n_b == 2000
+    d = r1.n_a - r1.n_b
+    assert r1.chi2_milli == d * d * 1000 // 2000
+    assert r1.verdict == (
+        "srm_detected" if r1.chi2_milli > 3841 else "ok"
+    )

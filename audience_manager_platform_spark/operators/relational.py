@@ -429,7 +429,6 @@ def item_knn_cosine(
     oracle does the same), floor-scaled e6 BEFORE the per-brand rank so
     ties break on neighbor name identically in both engines."""
     from .partitioning import materialize
-    from pyspark.sql import Window
 
     ob = materialize(
         lineitem.select("l_orderkey", "l_partkey")
@@ -440,6 +439,18 @@ def item_knn_cosine(
         .select("l_orderkey", F.col("p_brand").alias("brand"))
         .distinct()
     )
+    return _item_knn_from_ob(ob, n_neighbors, min_orders)
+
+
+def _item_knn_from_ob(
+    ob: DataFrame, n_neighbors: int, min_orders: int
+) -> DataFrame:
+    """Core of :func:`item_knn_cosine` over a prebuilt DISTINCT
+    (l_orderkey, brand) relation — shared with the hit-rate eval so the
+    eval can feed a once-materialized basket table instead of re-joining
+    lineitem per consumer."""
+    from pyspark.sql import Window
+
     marg = ob.groupBy("brand").agg(F.count("*").alias("n_brand"))
     co = (
         ob.alias("x")
@@ -687,55 +698,59 @@ def item_knn_hitrate_eval(
     brand name); MRR is quantized as 1e6 div first_hit_rank — an
     integer by definition, summed exactly.
 
-    Scale shape: the model build is :func:`item_knn_cosine` (basket²
-    self-join); the eval adds one history x kNN equi-join on brand
+    Scale shape: ONE materialized distinct (order, customer, is_test,
+    brand) basket table — lineitem is joined and scanned exactly once;
+    the model build (basket² self-join), history, and holdout all
+    derive from it. The eval adds one history x kNN equi-join on brand
     (|history| x n_neighbors fan-out), one per-customer top-k window,
     and one |customers|-row rollup. Everything is keyed — nothing
     pairwise in the eval path."""
     from pyspark.sql import Window
 
+    from .partitioning import materialize
+
     ranked = orders.select(
         "o_orderkey",
         "o_custkey",
-        F.row_number()
-        .over(
-            Window.partitionBy("o_custkey").orderBy(
-                F.desc("o_orderdate"), F.desc("o_orderkey")
+        (
+            F.row_number().over(
+                Window.partitionBy("o_custkey").orderBy(
+                    F.desc("o_orderdate"), F.desc("o_orderkey")
+                )
             )
-        )
-        .alias("_rk"),
+            == 1
+        ).alias("is_test"),
     )
-    test_orders = ranked.filter(F.col("_rk") == 1).select(
-        "o_orderkey", "o_custkey"
-    )
-    train_orders = ranked.filter(F.col("_rk") > 1).select(
-        "o_orderkey", "o_custkey"
-    )
-    train_li = lineitem.join(
-        train_orders.select("o_orderkey"),
-        F.col("l_orderkey") == F.col("o_orderkey"),
-        "left_semi",
-    )
-    knn = item_knn_cosine(train_li, part, n_neighbors, min_orders)
-    brands = part.select("p_partkey", "p_brand")
-    history = (
+    cob = materialize(
         lineitem.select("l_orderkey", "l_partkey")
+        .join(ranked, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            train_orders,
-            F.col("l_orderkey") == F.col("o_orderkey"),
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
         )
-        .join(F.broadcast(brands), F.col("l_partkey") == F.col("p_partkey"))
-        .select("o_custkey", F.col("p_brand").alias("brand"))
+        .select(
+            "l_orderkey",
+            "o_custkey",
+            "is_test",
+            F.col("p_brand").alias("brand"),
+        )
+        .distinct()
+    )
+    # (l_orderkey, brand) is already unique within cob (the order key
+    # determines custkey and is_test), so no second distinct needed
+    knn = _item_knn_from_ob(
+        cob.filter(~F.col("is_test")).select("l_orderkey", "brand"),
+        n_neighbors,
+        min_orders,
+    )
+    history = (
+        cob.filter(~F.col("is_test"))
+        .select("o_custkey", "brand")
         .distinct()
     )
     holdout = (
-        lineitem.select("l_orderkey", "l_partkey")
-        .join(
-            test_orders,
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .join(F.broadcast(brands), F.col("l_partkey") == F.col("p_partkey"))
-        .select("o_custkey", F.col("p_brand").alias("brand"))
+        cob.filter(F.col("is_test"))
+        .select("o_custkey", "brand")
         .distinct()
     )
     cand = (

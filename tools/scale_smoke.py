@@ -888,7 +888,60 @@ def main() -> None:
             )
         ),
     )
+
+    # ------------------------- round-7 wave 32-36 additions at scale
+    from audience_manager_platform_spark.operators.analytics import (
+        ab_srm_check,
+        interevent_gap_bands,
+        simpson_diversity_bands,
+        windowed_funnel,
+    )
+    from audience_manager_platform_spark.operators.merge import (
+        bitemporal_restatements,
+    )
+    from audience_manager_platform_spark.operators.relational import (
+        bucketized_range_join,
+        nearest_conversion_gap,
+    )
+    from audience_manager_platform_spark.operators.timeseries import (
+        cusum_alarm,
+        max_drawdown,
+    )
+    from audience_manager_platform_spark.operators.validation import (
+        duplicate_charge_audit,
+        order_balance_audit,
+    )
+
+    ROWS = int(os.environ.get("SCALE_ROWS", 10_000_000))
+    timed("Simpson diversity bands", simpson_diversity_bands(typed_events))
+    timed("nearest-asof conversion gaps", nearest_conversion_gap(
+        typed_events
+    ))
+    timed("windowed funnel (2d hops)", windowed_funnel(typed_events))
+    timed("CUSUM drift alarms", cusum_alarm(typed_events))
+    timed("max drawdown per series", max_drawdown(typed_events))
+    timed("duplicate-charge audit", duplicate_charge_audit(typed_events))
+    timed("inter-event gap bands", interevent_gap_bands(typed_events))
+    timed("A/B SRM gate", ab_srm_check(typed_events))
+    timed("bitemporal restatements", bitemporal_restatements(typed_events))
+    timed("bucketized range join (10k bands)", bucketized_range_join(
+        typed_events
+    ))
+    orders_bal = typed_events.select(
+        F.col("event_id").alias("o_orderkey"),
+        F.round(F.col("value") * 1.1, 2).alias("o_totalprice"),
+    )
+    li_bal = typed_events.select(
+        F.col("event_id").alias("l_orderkey"),
+        F.col("value").alias("l_extendedprice"),
+        F.lit(0.05).alias("l_discount"),
+        F.lit(0.08).alias("l_tax"),
+    )
+    timed("order-balance reconciliation", order_balance_audit(
+        orders_bal, li_bal
+    ))
     spark.stop()
+
 
 
 

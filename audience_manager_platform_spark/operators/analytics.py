@@ -2491,3 +2491,59 @@ def ab_srm_check_sql(
                     THEN 'srm_detected' ELSE 'ok' END AS verdict
         FROM rolled
     """
+
+
+# ------------------------------------------- repeat-purchase curve
+def repeat_purchase_curve(events: DataFrame, max_n: int = 10) -> DataFrame:
+    """Repeat-purchase survival curve: how many users reach an nth
+    purchase, and what share of the (n-1)th-purchase cohort comes back
+    — the retention economics table behind LTV models (the famous
+    "second purchase is the hardest" curve).
+
+    Per user, purchase_seq = row_number over the (ts, event_id) total
+    order; users reaching >= n is a cumulative count over the
+    |users| x |seq| table; return ratio is an exact ppm against the
+    previous stage. One user-keyed window, one tiny rollup."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seqs = (
+        events.filter(F.col("event_type") == "purchase")
+        .withColumn("seq", F.row_number().over(w))
+        .filter(F.col("seq") <= max_n)
+        .groupBy("seq")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+    wlag = Window.orderBy("seq")
+    return (
+        seqs.withColumn("prev_users", F.lag("n_users").over(wlag))
+        .select(
+            F.col("seq").alias("nth_purchase"),
+            "n_users",
+            F.expr(
+                "CASE WHEN prev_users IS NULL THEN NULL"
+                " ELSE n_users * 1000000 div prev_users END"
+            ).alias("return_ppm"),
+        )
+        .orderBy("nth_purchase")
+    )
+
+
+def repeat_purchase_curve_sql(src: str = "events", max_n: int = 10) -> str:
+    return f"""
+        WITH seqs AS (
+          SELECT seq, CAST(COUNT(*) AS BIGINT) AS n_users
+          FROM (
+            SELECT ROW_NUMBER() OVER (PARTITION BY user_id
+                     ORDER BY ts ASC, event_id ASC) AS seq
+            FROM {src} WHERE event_type = 'purchase'
+          ) WHERE seq <= {int(max_n)}
+          GROUP BY 1
+        )
+        SELECT seq AS nth_purchase, n_users,
+               CAST(CASE WHEN LAG(n_users) OVER (ORDER BY seq) IS NULL
+                    THEN NULL
+                    ELSE n_users * 1000000
+                         // LAG(n_users) OVER (ORDER BY seq) END
+                    AS BIGINT) AS return_ppm
+        FROM seqs
+        ORDER BY nth_purchase
+    """

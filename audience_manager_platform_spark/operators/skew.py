@@ -913,3 +913,60 @@ def quantile_rollup_sql(
         JOIN exact e ON p.day = e.day AND p.q_label = e.q_label
         ORDER BY p.day, p.q_label
     """
+
+
+# ------------------------------------------------------- salt planning
+SALT_TARGET_ROWS = 1_000
+
+
+def salt_plan(
+    df: DataFrame, key: str, target_rows: int = SALT_TARGET_ROWS
+) -> DataFrame:
+    """Skew-mitigation PLAN — the decision step after
+    :func:`key_skew_profile`'s diagnosis: for every key whose frequency
+    exceeds ``target_rows`` (the per-task row budget), the salt factor
+    ``ceil(freq / target)`` that splits it into at-budget subkeys, plus
+    what share of the table each hot key drags. Feeding this table into
+    :func:`salted_join` (or AQE skew hints) is how a 100 TB shuffle
+    avoids the one-straggler-task plateau.
+
+    ceil is the exact integer form ``(freq + target - 1) div target``;
+    share is exact ppm of a 1-row total broadcast. One combinable
+    key-count aggregate; only above-budget keys survive to the output
+    (bounded by |hot keys|, not |keys|)."""
+    freqs = df.groupBy(F.col(key).alias("key")).agg(
+        F.count("*").alias("freq")
+    )
+    total = freqs.agg(F.sum("freq").alias("_tot"))
+    return (
+        freqs.filter(F.col("freq") > target_rows)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "freq",
+            F.expr(
+                f"(freq + {int(target_rows)} - 1) div {int(target_rows)}"
+            ).alias("salt_factor"),
+            F.expr("freq * 1000000 div _tot").alias("share_ppm"),
+        )
+        .orderBy(F.desc("freq"), F.asc("key"))
+    )
+
+
+def salt_plan_sql(
+    src: str, key: str, target_rows: int = SALT_TARGET_ROWS
+) -> str:
+    return f"""
+        WITH freqs AS (
+          SELECT {key} AS key, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM {src} GROUP BY 1
+        ),
+        total AS (SELECT SUM(freq) AS _tot FROM freqs)
+        SELECT key, freq,
+               CAST((freq + {int(target_rows)} - 1) // {int(target_rows)}
+                    AS BIGINT) AS salt_factor,
+               CAST(freq * 1000000 // _tot AS BIGINT) AS share_ppm
+        FROM freqs, total
+        WHERE freq > {int(target_rows)}
+        ORDER BY freq DESC, key ASC
+    """

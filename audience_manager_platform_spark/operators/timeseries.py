@@ -1476,6 +1476,19 @@ def cusum_alarm(
         )
         .agg(F.sum(cents).alias("cents"))
     )
+    return cusum_from_daily(daily, k_ppm, h_ppm, baseline_days)
+
+
+def cusum_from_daily(
+    daily: DataFrame,
+    k_ppm: int = CUSUM_K_PPM,
+    h_ppm: int = CUSUM_H_PPM,
+    baseline_days: int = 7,
+) -> DataFrame:
+    """CUSUM statistics over a prebuilt (event_type, day, cents) daily
+    table — shared by the batch operator and the streaming monitor's
+    serving read (the stream maintains the ADDITIVE daily state; this
+    sequential derivation always runs at read time)."""
     w = Window.partitionBy("event_type").orderBy("day")
     idxed = daily.withColumn("idx", F.row_number().over(w))
     base = (

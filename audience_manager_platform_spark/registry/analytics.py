@@ -203,6 +203,11 @@ QUERIES = {
     "analytics_ab_srm_check": lambda s, d: A.ab_srm_check(
         load_table(s, d, "events")
     ),
+    # r7 wave 37 (r8 queue): nth-purchase survival curve (exact ppm
+    # stage-to-stage return rates)
+    "analytics_repeat_purchase_curve": lambda s, d: (
+        A.repeat_purchase_curve(load_table(s, d, "events"))
+    ),
     # r5 (deferred window): WAU / trailing-4-week MAU stickiness
     "analytics_stickiness": lambda s, d: A.stickiness(
         load_table(s, d, "events")
@@ -384,6 +389,7 @@ ORACLES = {
     "analytics_intervent_gap_bands": A.interevent_gap_bands_sql(),
     "analytics_windowed_funnel": A.windowed_funnel_sql(),
     "analytics_ab_srm_check": A.ab_srm_check_sql(),
+    "analytics_repeat_purchase_curve": A.repeat_purchase_curve_sql(),
     "analytics_stickiness": A.stickiness_sql(),
     "analytics_revenue_gini": A.revenue_gini_sql(),
     "analytics_new_vs_returning": A.new_vs_returning_sql(),

@@ -36,6 +36,8 @@ from ..operators.skew import (
     hll_mergeable_rollup,
     hll_mergeable_rollup_sql,
     key_skew_profile,
+    salt_plan,
+    salt_plan_sql,
     key_skew_profile_sql,
     quantile_histogram,
     quantile_histogram_sql,
@@ -525,6 +527,11 @@ QUERIES = {
     "skew_key_profile": lambda s, d: key_skew_profile(
         _events(s, d), "user_id"
     ),
+    # r7 wave 37 (r8 queue): the decision table after the skew profile —
+    # ceil(freq/budget) salt factors for above-budget keys
+    "skew_salt_plan": lambda s, d: salt_plan(
+        _events(s, d), "event_type", target_rows=1000
+    ),
     # r5 wave 12: salted replicated join — the hot-key/big-dim corner
     # AQE can't split; result contract = the plain inner join
     "join_skew_salted": lambda s, d: salted_join(
@@ -626,6 +633,8 @@ ORACLES = {
     "join_asof_nearest": nearest_conversion_gap_sql(),
     "eval_kendall_tau_brands": kendall_tau_brand_ranks_sql(),
     "join_range_bucketized": bucketized_range_join_sql(),
+    "skew_salt_plan": salt_plan_sql("events", "event_type",
+                                    target_rows=1000),
     "pivot_day_by_type": f"""
         SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
                {_PIVOT_CASES}

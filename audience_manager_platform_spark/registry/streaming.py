@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..sources import load_table
 from ..streaming.jobs import (
     checksum_maintenance_stream,
+    cusum_maintenance_stream,
     enriched_segment_counts,
     late_arrival_audit,
     late_arrival_audit_sql,
@@ -32,6 +33,7 @@ from ..streaming.jobs import (
 )
 from ..operators.skew import quantile_histogram_sql
 from ..operators.validation import partition_checksums_sql
+from ..operators.timeseries import cusum_alarm_sql
 from ..operators.validation import mix_drift_sql, psi_value_drift_sql
 from ..streaming.stateful import running_spend_monitor
 
@@ -262,6 +264,29 @@ def _checksum_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(work, "state")).orderBy("day")
 
 
+def _cusum_maintenance(spark, sf_dir):
+    """Drive the additive daily-cents fold to completion, then apply
+    the sequential CUSUM derivation as the serving read. Oracle = the
+    one-shot batch cusum_alarm SQL — hard evidence that additive
+    maintenance + read-time recurrence reproduces batch semantics."""
+    import os
+
+    from ..operators.partitioning import tracked_tempdir
+    from ..operators.timeseries import cusum_from_daily
+
+    work = tracked_tempdir("amps_cusum_gate_")
+    stream = stream_events(spark, sf_dir)
+    q = cusum_maintenance_stream(
+        stream,
+        os.path.join(work, "state"),
+        os.path.join(work, "ckpt"),
+    )
+    q.awaitTermination(400)
+    q.stop()
+    daily = spark.read.parquet(os.path.join(work, "state"))
+    return cusum_from_daily(daily)
+
+
 def _late_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_events(spark, sf_dir)
     result = late_arrival_audit(events)
@@ -286,6 +311,9 @@ QUERIES = {
     # r7 wave 30 (r8 queue): per-day late-data accounting — additive
     # counts/maxima, settled sink == batch table for any chunking
     "streaming_late_arrival_audit": _late_arrival,
+    # r7 wave 37 (r8 queue): additive daily-cents fold + read-time
+    # sequential CUSUM (restated days re-enter the recurrence correctly)
+    "streaming_cusum_monitor": _cusum_maintenance,
 }
 
 ORACLES = {
@@ -296,6 +324,7 @@ ORACLES = {
     "streaming_mix_monitor": mix_drift_sql("events"),
     "streaming_checksum_maintenance": partition_checksums_sql("events"),
     "streaming_late_arrival_audit": late_arrival_audit_sql("events"),
+    "streaming_cusum_monitor": cusum_alarm_sql("events"),
     "streaming_window_counts": """
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type,

@@ -780,3 +780,62 @@ def late_arrival_audit_sql(
         FROM {src}
         GROUP BY 1
     """
+
+
+# ----------------------------------------------- streaming CUSUM monitor
+def daily_cents_fold(state: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """One micro-batch of per-(type, day) cents maintenance: exact
+    bigint cent sums are a commutative monoid, so the settled state
+    equals the one-shot daily table for ANY ingest chunking (the
+    checksum-fold contract). This is the ADDITIVE half of the streaming
+    CUSUM monitor; the sequential half lives in the serving read."""
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    daily = (
+        batch.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    if state is None:
+        return daily
+    return (
+        state.unionByName(daily)
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+
+
+def cusum_maintenance_stream(
+    events: DataFrame, state_dir: str, checkpoint_dir: str
+) -> "StreamingQuery":  # noqa: F821
+    """Maintain the per-(type, day) cents table from the stream via
+    foreachBatch read-fold-overwrite; the CUSUM drift statistics are
+    NOT maintained incrementally — they are a sequential recurrence,
+    exactly what the serving read derives from the settled |days|
+    state (the trending-topk architecture: additive state in the
+    stream, order-dependent stats at read time). A restated day
+    (late data) therefore re-enters the CUSUM correctly instead of
+    corrupting a folded sequential state."""
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        state = _read_state_or_none(spark, state_dir)
+        new_state = daily_cents_fold(state, batch_df)
+        new_state.persist()
+        new_state.count()
+        new_state.write.mode("overwrite").parquet(state_dir + "_next")
+        spark.read.parquet(state_dir + "_next").write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+        new_state.unpersist()
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1229,3 +1229,78 @@ def test_ab_srm_check_is_deterministic_and_balanced(spark):
     assert r1.verdict == (
         "srm_detected" if r1.chi2_milli > 3841 else "ok"
     )
+
+
+# ---------------------------------------------------------- wave 37
+def test_cusum_streaming_fold_any_chunking(spark):
+    """The additive half of the streaming CUSUM monitor: folding the
+    daily cents state over 3 uneven chunks equals the one-shot daily
+    table (the checksum-fold contract), so the read-time CUSUM over
+    the settled state equals the batch operator exactly."""
+    from audience_manager_platform_spark.operators.timeseries import (
+        cusum_alarm,
+        cusum_from_daily,
+    )
+    from audience_manager_platform_spark.streaming.jobs import (
+        daily_cents_fold,
+    )
+
+    rows = [
+        (i, f"2024-01-{(i % 9) + 1:02d} 10:00:00", 1,
+         "view" if i % 2 else "click", float(i) + 0.25)
+        for i in range(30)
+    ]
+    state = None
+    for lo, hi in ((0, 7), (7, 19), (19, 30)):
+        state = daily_cents_fold(state, _events_df(spark, rows[lo:hi]))
+    folded = {(r.event_type, r.day, r.cusum_up_micro, r.verdict)
+              for r in cusum_from_daily(state).collect()}
+    batch = {(r.event_type, r.day, r.cusum_up_micro, r.verdict)
+             for r in cusum_alarm(_events_df(spark, rows)).collect()}
+    assert folded == batch
+
+
+def test_salt_plan_hand_computed(spark):
+    """Key 'hot' (2500 rows, budget 1000) gets ceil(2500/1000)=3 salts
+    and 2500/3000 share; 'warm' (1000 rows) sits exactly AT budget ->
+    excluded (only strictly-above keys need salting); 'cold' excluded."""
+    from audience_manager_platform_spark.operators.skew import salt_plan
+
+    rows = (
+        [(i, "2024-01-01 10:00:00", 1, "hot", 1.0) for i in range(2500)]
+        + [(3000 + i, "2024-01-01 10:00:00", 1, "warm", 1.0)
+           for i in range(1000)]
+        + [(5000 + i, "2024-01-01 10:00:00", 1, "cold", 1.0)
+           for i in range(500)]
+    )
+    out = salt_plan(
+        _events_df(spark, rows), "event_type", target_rows=1000
+    ).collect()
+    assert [(r.key, r.freq, r.salt_factor, r.share_ppm) for r in out] == [
+        ("hot", 2500, 3, 2500 * 1_000_000 // 4000),
+    ]
+
+
+def test_repeat_purchase_curve_hand_computed(spark):
+    """5 users with 3/2/2/1/1 purchases: stage counts 5,3,1; return
+    rates 600000 then 333333 ppm; first stage has NULL (no prior)."""
+    from audience_manager_platform_spark.operators.analytics import (
+        repeat_purchase_curve,
+    )
+
+    counts = {1: 3, 2: 2, 3: 2, 4: 1, 5: 1}
+    rows, eid = [], 0
+    for u, k in counts.items():
+        for j in range(k):
+            rows.append(
+                (eid, f"2024-01-0{j + 1} 10:00:00", u, "purchase", 5.0)
+            )
+            eid += 1
+        rows.append((eid, "2024-01-09 10:00:00", u, "view", 1.0))
+        eid += 1
+    out = {r.nth_purchase: r for r in
+           repeat_purchase_curve(_events_df(spark, rows)).collect()}
+    assert {k: v.n_users for k, v in out.items()} == {1: 5, 2: 3, 3: 1}
+    assert out[1].return_ppm is None
+    assert out[2].return_ppm == 600_000
+    assert out[3].return_ppm == 333_333

@@ -132,6 +132,8 @@ NESTED_LOOP_ALLOWED = {
     "eval_kendall_tau_brands",
     # 1-row T-anchor broadcast (bitemporal knowledge cutoff)
     "scd2_bitemporal_restatements",
+    # 1-row table-total broadcast onto the |hot keys| plan rows
+    "skew_salt_plan",
     "heavy_hitters_value_bands",
     "ts_resample_locf",
     "ts_interpolate_linear",

@@ -2547,3 +2547,119 @@ def repeat_purchase_curve_sql(src: str = "events", max_n: int = 10) -> str:
         FROM seqs
         ORDER BY nth_purchase
     """
+
+
+# ------------------------------------------- growth accounting
+def growth_accounting(events: DataFrame) -> DataFrame:
+    """Weekly growth accounting — the new / retained / resurrected /
+    churned decomposition every growth team runs (Social Capital's
+    canonical framework): classify each active user-week against the
+    user's previous active week and first-ever week, then roll up per
+    week. churned(w) = users active in w-1 but not w, reported on w.
+    The quick ratio ((new + resurrected) / churned) is an exact ppm.
+
+    Week buckets are arithmetic days-since-Monday div 7 (the snapshot-
+    retention contract — no engine week-of-year formatting). Shape:
+    one (user, week) distinct, one user-keyed lag window, one per-week
+    rollup joined to the churn counts on the week key."""
+    wk = F.expr(
+        "datediff(to_date(ts), DATE '1970-01-05') div 7"
+    ).cast("long")
+    uw = (
+        events.select("user_id", wk.alias("week"))
+        .filter(F.col("user_id").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("week")
+    classified = uw.select(
+        "user_id",
+        "week",
+        F.lag("week").over(w).alias("prev_week"),
+    ).select(
+        "week",
+        F.expr(
+            "CASE WHEN prev_week IS NULL THEN 'new'"
+            " WHEN prev_week = week - 1 THEN 'retained'"
+            " ELSE 'resurrected' END"
+        ).alias("state"),
+    )
+    per_week = (
+        classified.groupBy("week")
+        .agg(
+            F.sum((F.col("state") == "new").cast("long")).alias("n_new"),
+            F.sum((F.col("state") == "retained").cast("long")).alias(
+                "n_retained"
+            ),
+            F.sum((F.col("state") == "resurrected").cast("long")).alias(
+                "n_resurrected"
+            ),
+        )
+    )
+    churn = (
+        uw.select("user_id", (F.col("week") + 1).alias("week"))
+        .join(uw, ["user_id", "week"], "left_anti")
+        .groupBy("week")
+        .agg(F.count("*").cast("long").alias("n_churned"))
+    )
+    return (
+        per_week.join(churn, "week", "left")
+        .select(
+            "week",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+            F.expr(
+                "CASE WHEN coalesce(n_churned, 0) = 0 THEN NULL"
+                " ELSE (n_new + n_resurrected) * 1000000"
+                " div n_churned END"
+            ).alias("quick_ratio_ppm"),
+        )
+        .orderBy("week")
+    )
+
+
+def growth_accounting_sql(src: str = "events") -> str:
+    return f"""
+        WITH uw AS (
+          SELECT DISTINCT user_id,
+                 (CAST(ts AS DATE) - DATE '1970-01-05') // 7 AS week
+          FROM {src} WHERE user_id IS NOT NULL
+        ),
+        classified AS (
+          SELECT week,
+                 CASE WHEN LAG(week) OVER w IS NULL THEN 'new'
+                      WHEN LAG(week) OVER w = week - 1 THEN 'retained'
+                      ELSE 'resurrected' END AS state
+          FROM uw
+          WINDOW w AS (PARTITION BY user_id ORDER BY week)
+        ),
+        per_week AS (
+          SELECT week,
+                 CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_new,
+                 CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_retained,
+                 CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0
+                   END) AS BIGINT) AS n_resurrected
+          FROM classified GROUP BY 1
+        ),
+        churn AS (
+          SELECT a.week + 1 AS week,
+                 CAST(COUNT(*) AS BIGINT) AS n_churned
+          FROM uw a
+          WHERE NOT EXISTS (
+            SELECT 1 FROM uw b
+            WHERE b.user_id = a.user_id AND b.week = a.week + 1
+          )
+          GROUP BY 1
+        )
+        SELECT CAST(p.week AS BIGINT) AS week, p.n_new, p.n_retained,
+               p.n_resurrected,
+               COALESCE(c.n_churned, 0) AS n_churned,
+               CAST(CASE WHEN COALESCE(c.n_churned, 0) = 0 THEN NULL
+                    ELSE (p.n_new + p.n_resurrected) * 1000000
+                         // c.n_churned END AS BIGINT) AS quick_ratio_ppm
+        FROM per_week p LEFT JOIN churn c ON p.week = c.week
+        ORDER BY week
+    """

@@ -1251,3 +1251,84 @@ def bucketized_range_join_sql(
         WHERE f.cents >= c.lo AND f.cents < c.hi
         GROUP BY 1 ORDER BY 1
     """
+
+
+# --------------------------------------- null-aware anti join semantics
+def null_aware_anti_join(
+    orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """NOT IN vs NOT EXISTS with NULLs in the subquery — SQL's most
+    notorious semantic trap, pinned as an operator: NOT IN against a
+    set containing NULL matches NOTHING (three-valued logic), while
+    NOT EXISTS does the join the author almost always meant. Spark
+    plans the former as a null-aware anti join (BroadcastNestedLoop
+    for correctness); the oracle proves both engines agree on BOTH
+    semantics.
+
+    The probe set: customers' nation keys with nation 0 rewritten to
+    NULL (planted, deterministic). Output: one row per semantics with
+    the surviving order count and total cents — 'not_in' collapsing to
+    zero rows-matched IS the correct answer, and the ~100x count gap
+    against 'not_exists' is the trap's size."""
+    probe = customer.select(
+        F.expr(
+            "CASE WHEN c_nationkey = 0 THEN NULL ELSE c_nationkey END"
+        ).alias("k")
+    )
+    tagged = orders.select(
+        (F.col("o_custkey") % 25).alias("probe_key"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    # Both semantics expressed via SQL on temp views — the honest way
+    # to get a genuine null-aware anti join plan out of Catalyst (the
+    # DataFrame API has no NOT IN (subquery) form)
+    spark = orders.sparkSession
+    pv = f"amps_probe_{abs(hash('null_aware')) % 10_000}"
+    tv = f"amps_tagged_{abs(hash('null_aware')) % 10_000}"
+    probe.createOrReplaceTempView(pv)
+    tagged.createOrReplaceTempView(tv)
+    return spark.sql(f"""
+        SELECT 'not_in' AS semantics,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS total_cents
+        FROM {tv}
+        WHERE probe_key NOT IN (SELECT k FROM {pv})
+        UNION ALL
+        SELECT 'not_exists' AS semantics,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS total_cents
+        FROM {tv} t
+        WHERE NOT EXISTS (SELECT 1 FROM {pv} p WHERE p.k = t.probe_key)
+        ORDER BY semantics
+    """)
+
+
+def null_aware_anti_join_sql(
+    orders: str = "orders", customer: str = "customer"
+) -> str:
+    return f"""
+        WITH probe AS (
+          SELECT CASE WHEN c_nationkey = 0 THEN NULL
+                      ELSE c_nationkey END AS k
+          FROM {customer}
+        ),
+        tagged AS (
+          SELECT o_custkey % 25 AS probe_key,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM {orders}
+        )
+        SELECT 'not_in' AS semantics,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS total_cents
+        FROM tagged
+        WHERE probe_key NOT IN (SELECT k FROM probe)
+        UNION ALL
+        SELECT 'not_exists' AS semantics,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS total_cents
+        FROM tagged t
+        WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = t.probe_key)
+        ORDER BY semantics
+    """

@@ -1703,3 +1703,81 @@ def max_drawdown_sql(src: str = "events") -> str:
         ) WHERE _rk = 1
         ORDER BY event_type
     """
+
+
+# ------------------------------------------------------ Theil-Sen trend
+def theilsen_trend(events: DataFrame) -> DataFrame:
+    """Theil-Sen robust trend per series: the MEDIAN of all pairwise
+    day-to-day slopes of the daily cents series — tolerates 29%
+    outlier days where OLS breaks on one bad deploy spike (the robust
+    sibling of ts_rolling_regression).
+
+    Slopes are exact integers on the 1e-6 grid (cents diff x 1e6 div
+    day diff — truncating division, identical cross-engine) and the
+    median is percentile_disc (an actual slope value). The pairwise
+    stage is |days|²/2 per series — bounded because it runs on the
+    AGGREGATED day table (30 days -> 435 pairs), never the raw stream;
+    the raw stream contributes ONE aggregate. For multi-year series,
+    window the pairs (classic Theil-Sen windowing) — documented swap."""
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    daily = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.to_date("ts").alias("d"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+        .withColumn(
+            "dn", F.expr("datediff(d, DATE '1970-01-01')").cast("long")
+        )
+    )
+    pairs = (
+        daily.alias("a")
+        .join(
+            daily.alias("b"),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.dn") < F.col("b.dn")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.expr(
+                "(b.cents - a.cents) * 1000000 div (b.dn - a.dn)"
+            ).alias("slope_micro"),
+        )
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY slope_micro)"
+            ).cast("long").alias("slope_micro_p50"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def theilsen_trend_sql(src: str = "events") -> str:
+    return f"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents,
+                 CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS dn
+          FROM {src} WHERE value IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT a.event_type,
+                 (b.cents - a.cents) * 1000000 // (b.dn - a.dn)
+                   AS slope_micro
+          FROM daily a
+          JOIN daily b
+            ON a.event_type = b.event_type AND a.dn < b.dn
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(percentile_disc(0.5) WITHIN GROUP
+                    (ORDER BY slope_micro) AS BIGINT) AS slope_micro_p50
+        FROM pairs GROUP BY 1 ORDER BY 1
+    """

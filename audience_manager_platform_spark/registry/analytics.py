@@ -208,6 +208,11 @@ QUERIES = {
     "analytics_repeat_purchase_curve": lambda s, d: (
         A.repeat_purchase_curve(load_table(s, d, "events"))
     ),
+    # r7 wave 38 (r8 queue): weekly new/retained/resurrected/churned
+    # decomposition + exact quick ratio (arithmetic week buckets)
+    "analytics_growth_accounting": lambda s, d: A.growth_accounting(
+        load_table(s, d, "events")
+    ),
     # r5 (deferred window): WAU / trailing-4-week MAU stickiness
     "analytics_stickiness": lambda s, d: A.stickiness(
         load_table(s, d, "events")
@@ -390,6 +395,7 @@ ORACLES = {
     "analytics_windowed_funnel": A.windowed_funnel_sql(),
     "analytics_ab_srm_check": A.ab_srm_check_sql(),
     "analytics_repeat_purchase_curve": A.repeat_purchase_curve_sql(),
+    "analytics_growth_accounting": A.growth_accounting_sql(),
     "analytics_stickiness": A.stickiness_sql(),
     "analytics_revenue_gini": A.revenue_gini_sql(),
     "analytics_new_vs_returning": A.new_vs_returning_sql(),

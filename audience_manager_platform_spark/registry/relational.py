@@ -19,6 +19,8 @@ from ..operators.relational import (
     item_knn_hitrate_eval_sql,
     nearest_conversion_gap,
     nearest_conversion_gap_sql,
+    null_aware_anti_join,
+    null_aware_anti_join_sql,
     kendall_tau_brand_ranks,
     kendall_tau_brand_ranks_sql,
     bucketized_range_join,
@@ -445,6 +447,11 @@ def _running_distinct(spark, sf_dir):
 QUERIES = {
     "pivot_day_by_type": _pivot_day_by_type,
     "join_null_safe": _null_safe_join,
+    # r7 wave 38 (r8 queue): NOT IN vs NOT EXISTS with a planted NULL
+    # in the probe set — the null-aware anti join trap, both engines
+    "join_null_aware_anti": lambda s, d: null_aware_anti_join(
+        load_table(s, d, "orders"), load_table(s, d, "customer")
+    ),
     "setop_except_all": _except_all,
     "setop_intersect_all": _intersect_all,
     "window_running_distinct": _running_distinct,
@@ -635,6 +642,7 @@ ORACLES = {
     "join_range_bucketized": bucketized_range_join_sql(),
     "skew_salt_plan": salt_plan_sql("events", "event_type",
                                     target_rows=1000),
+    "join_null_aware_anti": null_aware_anti_join_sql(),
     "pivot_day_by_type": f"""
         SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
                {_PIVOT_CASES}

@@ -96,6 +96,9 @@ QUERIES = {
     "ts_cusum_alarm": lambda s, d: TS.cusum_alarm(_events(s, d)),
     # r7 wave 36 (r8 queue): peak-to-trough drawdown per revenue series
     "ts_max_drawdown": lambda s, d: TS.max_drawdown(_events(s, d)),
+    # r7 wave 38 (r8 queue): median-of-pairwise-slopes robust trend on
+    # the aggregated day table (exact micro slopes)
+    "ts_theilsen_trend": lambda s, d: TS.theilsen_trend(_events(s, d)),
 }
 
 ORACLES = {
@@ -116,6 +119,7 @@ ORACLES = {
     "ts_conformal_interval": TS.conformal_interval_backtest_sql(),
     "ts_cusum_alarm": TS.cusum_alarm_sql(),
     "ts_max_drawdown": TS.max_drawdown_sql(),
+    "ts_theilsen_trend": TS.theilsen_trend_sql(),
     "sample_fixed_n_events": f"""
         SELECT event_id, user_id, event_type, ROUND(value, 2) AS value,
                MD5(CAST(event_id AS VARCHAR) || '{SAMPLE_SALT}') AS sample_key

@@ -1304,3 +1304,81 @@ def test_repeat_purchase_curve_hand_computed(spark):
     assert out[1].return_ppm is None
     assert out[2].return_ppm == 600_000
     assert out[3].return_ppm == 333_333
+
+
+# ---------------------------------------------------------- wave 38
+def test_growth_accounting_hand_computed(spark):
+    """3 Mondays (weeks W, W+1, W+2): u1 active all three (retained);
+    u2 active W then W+2 (churn reported on W+1, resurrected W+2);
+    u3 joins W+1 (new). Quick ratio on W+1 = new 1 / churned 1 = 1e6;
+    W+2 = resurrected 1 / churned 0 -> NULL."""
+    from audience_manager_platform_spark.operators.analytics import (
+        growth_accounting,
+    )
+
+    # 2024-01-01 / 08 / 15 are consecutive Mondays
+    rows = [
+        (0, "2024-01-01 10:00:00", 1, "view", 1.0),
+        (1, "2024-01-08 10:00:00", 1, "view", 1.0),
+        (2, "2024-01-15 10:00:00", 1, "view", 1.0),
+        (3, "2024-01-01 11:00:00", 2, "view", 1.0),
+        (4, "2024-01-15 11:00:00", 2, "view", 1.0),
+        (5, "2024-01-08 12:00:00", 3, "view", 1.0),
+    ]
+    out = {r.week: r for r in
+           growth_accounting(_events_df(spark, rows)).collect()}
+    weeks = sorted(out)
+    w0, w1, w2 = weeks
+    assert (out[w0].n_new, out[w0].n_retained, out[w0].n_resurrected,
+            out[w0].n_churned) == (2, 0, 0, 0)
+    assert (out[w1].n_new, out[w1].n_retained, out[w1].n_resurrected,
+            out[w1].n_churned) == (1, 1, 0, 1)
+    assert out[w1].quick_ratio_ppm == 1_000_000
+    assert (out[w2].n_new, out[w2].n_retained, out[w2].n_resurrected,
+            out[w2].n_churned) == (0, 1, 1, 1)  # u3 churns on w2
+    assert out[w2].quick_ratio_ppm == 1_000_000
+
+
+def test_null_aware_anti_join_trap(spark):
+    """With a NULL planted in the probe set, NOT IN matches NOTHING
+    (three-valued logic) while NOT EXISTS keeps the genuinely
+    unmatched rows — the operator's two rows pin both semantics."""
+    from audience_manager_platform_spark.operators.relational import (
+        null_aware_anti_join,
+    )
+
+    orders = spark.createDataFrame(
+        [(1, 3, 10.00), (2, 30, 20.00), (3, 55, 40.00)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    # probe keys present: {NULL (from 0), 3}; order probe_keys are
+    # custkey % 25 = {3, 5, 5}
+    customer = spark.createDataFrame(
+        [(1, 0), (2, 3)], "c_custkey long, c_nationkey long"
+    )
+    out = {r.semantics: (r.n_orders, r.total_cents) for r in
+           null_aware_anti_join(orders, customer).collect()}
+    assert out["not_in"] == (0, 0)          # NULL poisons NOT IN
+    assert out["not_exists"] == (2, 6000)   # the two custkey%25==5 rows
+
+
+def test_theilsen_trend_hand_computed(spark):
+    """4 days with one spike day (cents 100, 200, 10000, 400): the 6
+    pairwise micro-slopes are {100, 4950, 100, 9800, 100, -9600}e6;
+    percentile_disc(0.5) picks the 3rd smallest = 100e6 — the robust
+    +1.00/day trend, unmoved by the spike (an OLS fit lands ~+13/day
+    wrongly... the median doesn't)."""
+    from audience_manager_platform_spark.operators.timeseries import (
+        theilsen_trend,
+    )
+
+    vals = [1.00, 2.00, 100.00, 4.00]
+    rows = [
+        (i, f"2024-01-{i + 1:02d} 10:00:00", 1, "view", v)
+        for i, v in enumerate(vals)
+    ]
+    out = theilsen_trend(_events_df(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_pairs == 6
+    assert r.slope_micro_p50 == 100_000_000

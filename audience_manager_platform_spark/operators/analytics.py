@@ -2570,6 +2570,14 @@ def growth_accounting(events: DataFrame) -> DataFrame:
         .filter(F.col("user_id").isNotNull())
         .distinct()
     )
+    return growth_from_userweeks(uw)
+
+
+def growth_from_userweeks(uw: DataFrame) -> DataFrame:
+    """Growth-accounting rollup over a prebuilt DISTINCT (user_id,
+    week) activity table — shared with the streaming monitor, whose
+    fold maintains exactly this set (distinct-union is idempotent, so
+    the settled state is replay-safe by construction)."""
     w = Window.partitionBy("user_id").orderBy("week")
     classified = uw.select(
         "user_id",
@@ -2662,4 +2670,132 @@ def growth_accounting_sql(src: str = "events") -> str:
                          // c.n_churned END AS BIGINT) AS quick_ratio_ppm
         FROM per_week p LEFT JOIN churn c ON p.week = c.week
         ORDER BY week
+    """
+
+
+# ------------------------------------------- delta attribution
+def delta_attribution(events: DataFrame) -> DataFrame:
+    """"Why did revenue jump?" — the incident-review decomposition:
+    find the day with the largest absolute day-over-day change in
+    total cents, then attribute that change to event types (each
+    type's delta and its signed exact-ppm share of the total move).
+    Shares sum to ~1e6 by construction (truncation leaves at most
+    |types|-1 ppm unassigned — the documented largest-remainder swap
+    if exact conservation is needed).
+
+    Shape: one (type, day) aggregate; the target day is a 1-row
+    argmax broadcast over the |days| table; attribution is a keyed
+    join of two |types|-row slices."""
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    td = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    daily = td.groupBy("day").agg(F.sum("cents").alias("tot"))
+    wd = Window.orderBy("day")
+    target = (
+        daily.withColumn("prev_tot", F.lag("tot").over(wd))
+        .withColumn("prev_day", F.lag("day").over(wd))
+        .filter(F.col("prev_tot").isNotNull())
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.orderBy(
+                    F.desc(F.abs(F.col("tot") - F.col("prev_tot"))),
+                    F.asc("day"),
+                )
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select(
+            "day",
+            "prev_day",
+            (F.col("tot") - F.col("prev_tot")).alias("total_delta"),
+        )
+    )
+    cur = td.join(F.broadcast(target.select("day")), "day").select(
+        "event_type", F.col("cents").alias("cents_cur")
+    )
+    prev = td.join(
+        F.broadcast(target.select(F.col("prev_day").alias("day"))), "day"
+    ).select("event_type", F.col("cents").alias("cents_prev"))
+    return (
+        cur.join(prev, "event_type", "full_outer")
+        .crossJoin(
+            F.broadcast(
+                target.select(
+                    F.col("day").alias("spike_day"), "total_delta"
+                )
+            )
+        )
+        .select(
+            "event_type",
+            "spike_day",
+            F.coalesce("cents_prev", F.lit(0)).alias("cents_prev"),
+            F.coalesce("cents_cur", F.lit(0)).alias("cents_cur"),
+            (
+                F.coalesce("cents_cur", F.lit(0))
+                - F.coalesce("cents_prev", F.lit(0))
+            ).alias("delta_cents"),
+            "total_delta",
+        )
+        .select(
+            "event_type",
+            "spike_day",
+            "cents_prev",
+            "cents_cur",
+            "delta_cents",
+            F.expr(
+                "delta_cents * 1000000 div total_delta"
+            ).alias("share_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def delta_attribution_sql(src: str = "events") -> str:
+    return f"""
+        WITH td AS (
+          SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                 event_type,
+                 SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+          FROM {src} WHERE value IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        daily AS (
+          SELECT day, SUM(cents) AS tot FROM td GROUP BY 1
+        ),
+        lagged AS (
+          SELECT day, LAG(day) OVER (ORDER BY day) AS prev_day,
+                 tot - LAG(tot) OVER (ORDER BY day) AS total_delta
+          FROM daily
+        ),
+        target AS (
+          SELECT day, prev_day, total_delta FROM lagged
+          WHERE total_delta IS NOT NULL
+          ORDER BY ABS(total_delta) DESC, day ASC LIMIT 1
+        ),
+        cur AS (
+          SELECT t.event_type, t.cents AS cents_cur
+          FROM td t JOIN target g ON t.day = g.day
+        ),
+        prev AS (
+          SELECT t.event_type, t.cents AS cents_prev
+          FROM td t JOIN target g ON t.day = g.prev_day
+        )
+        SELECT COALESCE(c.event_type, p.event_type) AS event_type,
+               (SELECT day FROM target) AS spike_day,
+               CAST(COALESCE(p.cents_prev, 0) AS BIGINT) AS cents_prev,
+               CAST(COALESCE(c.cents_cur, 0) AS BIGINT) AS cents_cur,
+               CAST(COALESCE(c.cents_cur, 0) - COALESCE(p.cents_prev, 0)
+                    AS BIGINT) AS delta_cents,
+               CAST((COALESCE(c.cents_cur, 0) - COALESCE(p.cents_prev, 0))
+                    * 1000000 // (SELECT total_delta FROM target)
+                    AS BIGINT) AS share_ppm
+        FROM cur c FULL OUTER JOIN prev p ON c.event_type = p.event_type
+        ORDER BY event_type
     """

@@ -1781,3 +1781,82 @@ def theilsen_trend_sql(src: str = "events") -> str:
                     (ORDER BY slope_micro) AS BIGINT) AS slope_micro_p50
         FROM pairs GROUP BY 1 ORDER BY 1
     """
+
+
+# ----------------------------------------------- seasonal strength
+def seasonal_strength(events: DataFrame) -> DataFrame:
+    """Seasonality / trend strength (Hyndman's FPP measures) computed
+    from the classical decomposition: F_seasonal = 1 - Var(resid) /
+    Var(seasonal + resid) and F_trend = 1 - Var(resid) /
+    Var(trend + resid) — the single-number answers to "is this series
+    worth a seasonal model" that gate forecaster selection.
+
+    Variances are population variances over EXACT integer CENT-scaled
+    components (the decomposition's micro values divided back to cents
+    — quantization is part of the spec) via the n*Σx² - (Σx)² bigint
+    form; strengths are exact ppm, floored at 0. Everything rides the
+    |days| decomposition table."""
+    comp = seasonal_decompose(events).filter(
+        F.col("resid_micro").isNotNull()
+    ).select(
+        F.expr("resid_micro div 1000000").alias("r"),
+        F.expr("(seasonal_micro + resid_micro) div 1000000").alias("sr"),
+        F.expr("(trend_micro + resid_micro) div 1000000").alias("tr"),
+    )
+
+    def var_terms(c: str) -> list:
+        return [
+            F.sum(F.col(c) * F.col(c)).alias(f"_s2_{c}"),
+            F.sum(c).alias(f"_s_{c}"),
+        ]
+
+    agg = comp.agg(
+        F.count("*").alias("n"),
+        *var_terms("r"),
+        *var_terms("sr"),
+        *var_terms("tr"),
+    )
+    # population variance scaled by n^2: n*S2 - S^2 (exact bigint)
+    v = lambda c: f"(n * _s2_{c} - _s_{c} * _s_{c})"  # noqa: E731
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(
+            f"CASE WHEN {v('sr')} = 0 THEN 0 ELSE"
+            f" greatest(1000000 - {v('r')} * 1000000 div {v('sr')}, 0)"
+            f" END"
+        ).alias("seasonal_strength_ppm"),
+        F.expr(
+            f"CASE WHEN {v('tr')} = 0 THEN 0 ELSE"
+            f" greatest(1000000 - {v('r')} * 1000000 div {v('tr')}, 0)"
+            f" END"
+        ).alias("trend_strength_ppm"),
+    )
+
+
+def seasonal_strength_sql(src: str = "events") -> str:
+    inner = seasonal_decompose_sql(src)
+    v = lambda c: f"(n * _s2_{c} - _s_{c} * _s_{c})"  # noqa: E731
+    return f"""
+        WITH comp AS (
+          SELECT resid_micro // 1000000 AS r,
+                 (seasonal_micro + resid_micro) // 1000000 AS sr,
+                 (trend_micro + resid_micro) // 1000000 AS tr
+          FROM ({inner}) d
+          WHERE resid_micro IS NOT NULL
+        ),
+        agg AS (
+          SELECT COUNT(*) AS n,
+                 SUM(r * r) AS _s2_r, SUM(r) AS _s_r,
+                 SUM(sr * sr) AS _s2_sr, SUM(sr) AS _s_sr,
+                 SUM(tr * tr) AS _s2_tr, SUM(tr) AS _s_tr
+          FROM comp
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               CAST(CASE WHEN {v('sr')} = 0 THEN 0 ELSE
+                 GREATEST(1000000 - {v('r')} * 1000000 // {v('sr')}, 0)
+                 END AS BIGINT) AS seasonal_strength_ppm,
+               CAST(CASE WHEN {v('tr')} = 0 THEN 0 ELSE
+                 GREATEST(1000000 - {v('r')} * 1000000 // {v('tr')}, 0)
+                 END AS BIGINT) AS trend_strength_ppm
+        FROM agg
+    """

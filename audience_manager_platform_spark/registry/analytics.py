@@ -213,6 +213,10 @@ QUERIES = {
     "analytics_growth_accounting": lambda s, d: A.growth_accounting(
         load_table(s, d, "events")
     ),
+    # r7 wave 39 (r8 queue): day-over-day spike decomposition by type
+    "analytics_delta_attribution": lambda s, d: A.delta_attribution(
+        load_table(s, d, "events")
+    ),
     # r5 (deferred window): WAU / trailing-4-week MAU stickiness
     "analytics_stickiness": lambda s, d: A.stickiness(
         load_table(s, d, "events")
@@ -396,6 +400,7 @@ ORACLES = {
     "analytics_ab_srm_check": A.ab_srm_check_sql(),
     "analytics_repeat_purchase_curve": A.repeat_purchase_curve_sql(),
     "analytics_growth_accounting": A.growth_accounting_sql(),
+    "analytics_delta_attribution": A.delta_attribution_sql(),
     "analytics_stickiness": A.stickiness_sql(),
     "analytics_revenue_gini": A.revenue_gini_sql(),
     "analytics_new_vs_returning": A.new_vs_returning_sql(),

@@ -20,6 +20,7 @@ from ..sources import load_table
 from ..streaming.jobs import (
     checksum_maintenance_stream,
     cusum_maintenance_stream,
+    growth_ledger_stream,
     enriched_segment_counts,
     late_arrival_audit,
     late_arrival_audit_sql,
@@ -33,6 +34,7 @@ from ..streaming.jobs import (
 )
 from ..operators.skew import quantile_histogram_sql
 from ..operators.validation import partition_checksums_sql
+from ..operators.analytics import growth_accounting_sql
 from ..operators.timeseries import cusum_alarm_sql
 from ..operators.validation import mix_drift_sql, psi_value_drift_sql
 from ..streaming.stateful import running_spend_monitor
@@ -287,6 +289,27 @@ def _cusum_maintenance(spark, sf_dir):
     return cusum_from_daily(daily)
 
 
+def _growth_ledger(spark, sf_dir):
+    """Drive the idempotent (user, week) set fold to completion, then
+    apply the order-dependent growth classification as the serving
+    read. Oracle = the one-shot batch growth_accounting SQL."""
+    import os
+
+    from ..operators.analytics import growth_from_userweeks
+    from ..operators.partitioning import tracked_tempdir
+
+    work = tracked_tempdir("amps_growth_gate_")
+    q = growth_ledger_stream(
+        stream_events(spark, sf_dir),
+        os.path.join(work, "state"),
+        os.path.join(work, "ckpt"),
+    )
+    q.awaitTermination(400)
+    q.stop()
+    uw = spark.read.parquet(os.path.join(work, "state"))
+    return growth_from_userweeks(uw)
+
+
 def _late_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_events(spark, sf_dir)
     result = late_arrival_audit(events)
@@ -314,6 +337,9 @@ QUERIES = {
     # r7 wave 37 (r8 queue): additive daily-cents fold + read-time
     # sequential CUSUM (restated days re-enter the recurrence correctly)
     "streaming_cusum_monitor": _cusum_maintenance,
+    # r7 wave 39 (r8 queue): idempotent (user, week) set fold +
+    # read-time growth classification
+    "streaming_growth_ledger": _growth_ledger,
 }
 
 ORACLES = {
@@ -325,6 +351,7 @@ ORACLES = {
     "streaming_checksum_maintenance": partition_checksums_sql("events"),
     "streaming_late_arrival_audit": late_arrival_audit_sql("events"),
     "streaming_cusum_monitor": cusum_alarm_sql("events"),
+    "streaming_growth_ledger": growth_accounting_sql("events"),
     "streaming_window_counts": """
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type,

@@ -99,6 +99,11 @@ QUERIES = {
     # r7 wave 38 (r8 queue): median-of-pairwise-slopes robust trend on
     # the aggregated day table (exact micro slopes)
     "ts_theilsen_trend": lambda s, d: TS.theilsen_trend(_events(s, d)),
+    # r7 wave 39 (r8 queue): Hyndman seasonal/trend strength over the
+    # exact decomposition (forecaster-selection gate)
+    "ts_seasonal_strength": lambda s, d: TS.seasonal_strength(
+        _events(s, d)
+    ),
 }
 
 ORACLES = {
@@ -120,6 +125,7 @@ ORACLES = {
     "ts_cusum_alarm": TS.cusum_alarm_sql(),
     "ts_max_drawdown": TS.max_drawdown_sql(),
     "ts_theilsen_trend": TS.theilsen_trend_sql(),
+    "ts_seasonal_strength": TS.seasonal_strength_sql(),
     "sample_fixed_n_events": f"""
         SELECT event_id, user_id, event_type, ROUND(value, 2) AS value,
                MD5(CAST(event_id AS VARCHAR) || '{SAMPLE_SALT}') AS sample_key

@@ -839,3 +839,56 @@ def cusum_maintenance_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ----------------------------------------------- streaming growth ledger
+def userweek_fold(state: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """One micro-batch of (user, week) activity-set maintenance: the
+    state is a DISTINCT set, and set-union is IDEMPOTENT — so unlike
+    the xor/sum folds this one is replay-safe even without the
+    read-fold-overwrite discipline carrying exactly-once (a replayed
+    epoch unions the same pairs in). Weeks are the arithmetic
+    days-since-Monday buckets (snapshot-retention contract)."""
+    wk = F.expr(
+        "datediff(to_date(ts), DATE '1970-01-05') div 7"
+    ).cast("long")
+    pairs = (
+        batch.filter(F.col("user_id").isNotNull())
+        .select("user_id", wk.alias("week"))
+        .distinct()
+    )
+    if state is None:
+        return pairs
+    return state.unionByName(pairs).distinct()
+
+
+def growth_ledger_stream(
+    events: DataFrame, state_dir: str, checkpoint_dir: str
+) -> "StreamingQuery":  # noqa: F821
+    """Maintain the (user, week) activity set from the stream via
+    foreachBatch; the growth-accounting classification (new/retained/
+    resurrected/churned) is ORDER-dependent, so it derives at read
+    time from the settled set (the CUSUM-monitor architecture:
+    idempotent additive state in the stream, sequential stats at
+    read)."""
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        state = _read_state_or_none(spark, state_dir)
+        new_state = userweek_fold(state, batch_df)
+        new_state.persist()
+        new_state.count()
+        new_state.write.mode("overwrite").parquet(state_dir + "_next")
+        spark.read.parquet(state_dir + "_next").write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+        new_state.unpersist()
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

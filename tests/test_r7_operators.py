@@ -1382,3 +1382,84 @@ def test_theilsen_trend_hand_computed(spark):
     r = out[0]
     assert r.n_pairs == 6
     assert r.slope_micro_p50 == 100_000_000
+
+
+# ---------------------------------------------------------- wave 39
+def test_delta_attribution_hand_computed(spark):
+    """Day 2 is the spike (+500 vs day 1-2 deltas elsewhere smaller):
+    views contribute +600, clicks -100 -> shares 1200000 and -200000
+    ppm of the +500 move; a type present only on the spike day
+    attributes its full value."""
+    from audience_manager_platform_spark.operators.analytics import (
+        delta_attribution,
+    )
+
+    rows = [
+        # day 1: view 100, click 200   -> tot 300
+        (0, "2024-01-01 10:00:00", 1, "view", 1.00),
+        (1, "2024-01-01 11:00:00", 1, "click", 2.00),
+        # day 2: view 700, click 100   -> tot 800 (delta +500, spike)
+        (2, "2024-01-02 10:00:00", 1, "view", 7.00),
+        (3, "2024-01-02 11:00:00", 1, "click", 1.00),
+        # day 3: tot 700 (delta -100)
+        (4, "2024-01-03 10:00:00", 1, "view", 7.00),
+    ]
+    out = {r.event_type: r for r in
+           delta_attribution(_events_df(spark, rows)).collect()}
+    assert all(r.spike_day == "2024-01-02" for r in out.values())
+    assert (out["view"].cents_prev, out["view"].cents_cur) == (100, 700)
+    assert out["view"].delta_cents == 600
+    assert out["view"].share_ppm == 1_200_000
+    assert out["click"].delta_cents == -100
+    assert out["click"].share_ppm == -200_000
+
+
+def test_seasonal_strength_flat_vs_seasonal(spark):
+    """A perfectly week-periodic series with a CONSTANT level
+    decomposes with zero residual wherever the trend exists ->
+    seasonal strength exactly 1e6 ppm, while trend strength is 0 by
+    the Var(trend+resid)=0 convention (a flat level IS no trend)."""
+    from audience_manager_platform_spark.operators.timeseries import (
+        seasonal_strength,
+    )
+
+    rows = []
+    eid = 0
+    for d in range(1, 22):
+        rows.append((eid, f"2024-01-{d:02d} 10:00:00", 1, "view", 10.00))
+        eid += 1
+        if d % 7 == 0:  # Sunday bump, perfectly periodic
+            rows.append((eid, f"2024-01-{d:02d} 11:00:00", 1, "view", 7.00))
+            eid += 1
+    out = seasonal_strength(_events_df(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_days == 15  # 21 days minus 3 NULL-trend edges each side
+    assert r.seasonal_strength_ppm == 1_000_000
+    assert r.trend_strength_ppm == 0
+
+
+def test_growth_userweek_fold_any_chunking(spark):
+    """The streaming growth ledger's set fold is IDEMPOTENT: folding 3
+    uneven chunks — with one chunk REPLAYED — still equals the one-shot
+    classification (the stronger-than-xor replay guarantee)."""
+    from audience_manager_platform_spark.operators.analytics import (
+        growth_accounting,
+        growth_from_userweeks,
+    )
+    from audience_manager_platform_spark.streaming.jobs import (
+        userweek_fold,
+    )
+
+    rows = [
+        (i, f"2024-01-{(i % 21) + 1:02d} 10:00:00", i % 4, "view", 1.0)
+        for i in range(30)
+    ]
+    state = None
+    chunks = [(0, 7), (7, 19), (7, 19), (19, 30)]  # chunk 2 replayed
+    for lo, hi in chunks:
+        state = userweek_fold(state, _events_df(spark, rows[lo:hi]))
+    folded = {tuple(r) for r in growth_from_userweeks(state).collect()}
+    batch = {tuple(r) for r in
+             growth_accounting(_events_df(spark, rows)).collect()}
+    assert folded == batch

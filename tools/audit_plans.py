@@ -134,6 +134,8 @@ NESTED_LOOP_ALLOWED = {
     "scd2_bitemporal_restatements",
     # 1-row table-total broadcast onto the |hot keys| plan rows
     "skew_salt_plan",
+    # 1-row spike-day anchor broadcast onto the |types| slices
+    "analytics_delta_attribution",
     "heavy_hitters_value_bands",
     "ts_resample_locf",
     "ts_interpolate_linear",

@@ -2799,3 +2799,131 @@ def delta_attribution_sql(src: str = "events") -> str:
         FROM cur c FULL OUTER JOIN prev p ON c.event_type = p.event_type
         ORDER BY event_type
     """
+
+
+# ------------------------------------------- mix/rate decomposition
+def mix_rate_decomposition(events: DataFrame) -> DataFrame:
+    """Oaxaca-style mix/rate decomposition of the period-over-period
+    change in average event value: split the fixture at the midpoint
+    day, then attribute (avg2 - avg1) per event type into a MIX effect
+    ((w2 - w1) x r1: the type got more/less traffic share), a RATE
+    effect (w1 x (r2 - r1): the type itself got more/less valuable),
+    and the interaction remainder — the BI-grade answer to "did the
+    average drop because behavior changed or because the mix shifted?"
+
+    All terms on the exact 1e-12 pico grid: shares are count ratios in
+    ppm, rates are mean cents in micro (both truncating integer
+    divisions), so mix = dshare_ppm x rate1_micro is an exact bigint
+    product (< 1e6 x ~1e9 = 1e15, safely in range) and the three
+    effects plus residual reconcile to the total by construction of
+    the interaction term. Two period aggregates + a |types| join."""
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    base = events.filter(F.col("value").isNotNull()).select(
+        "event_type", cents.alias("cents"), F.to_date("ts").alias("d")
+    )
+    bounds = base.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    ).select(
+        F.expr("date_add(lo, CAST(datediff(hi, lo) div 2 AS INT))").alias(
+            "mid"
+        )
+    )
+    tagged = base.crossJoin(F.broadcast(bounds)).withColumn(
+        "period", F.expr("CASE WHEN d <= mid THEN 1 ELSE 2 END")
+    )
+    per = (
+        tagged.groupBy("event_type", "period")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+    )
+    tot = per.groupBy("period").agg(F.sum("n").alias("tot_n"))
+    stats = per.join(F.broadcast(tot), "period").select(
+        "event_type",
+        "period",
+        F.expr("n * 1000000 div tot_n").alias("share_ppm"),
+        F.expr("s * 1000000 div n").alias("rate_micro"),
+    )
+    p1 = stats.filter(F.col("period") == 1).select(
+        "event_type",
+        F.col("share_ppm").alias("w1"),
+        F.col("rate_micro").alias("r1"),
+    )
+    p2 = stats.filter(F.col("period") == 2).select(
+        "event_type",
+        F.col("share_ppm").alias("w2"),
+        F.col("rate_micro").alias("r2"),
+    )
+    return (
+        p1.join(p2, "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce("w1", F.lit(0)).alias("w1_ppm"),
+            F.coalesce("w2", F.lit(0)).alias("w2_ppm"),
+            F.coalesce("r1", F.lit(0)).alias("r1_micro"),
+            F.coalesce("r2", F.lit(0)).alias("r2_micro"),
+        )
+        .select(
+            "event_type",
+            "w1_ppm",
+            "w2_ppm",
+            "r1_micro",
+            "r2_micro",
+            ((F.col("w2_ppm") - F.col("w1_ppm")) * F.col("r1_micro"))
+            .alias("mix_effect_pico"),
+            (F.col("w1_ppm") * (F.col("r2_micro") - F.col("r1_micro")))
+            .alias("rate_effect_pico"),
+            (
+                (F.col("w2_ppm") - F.col("w1_ppm"))
+                * (F.col("r2_micro") - F.col("r1_micro"))
+            ).alias("interaction_pico"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def mix_rate_decomposition_sql(src: str = "events") -> str:
+    return f"""
+        WITH base AS (
+          SELECT event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                 CAST(ts AS DATE) AS d
+          FROM {src} WHERE value IS NOT NULL
+        ),
+        bounds AS (
+          SELECT MIN(d) + CAST((MAX(d) - MIN(d)) // 2 AS INTEGER) AS mid
+          FROM base
+        ),
+        tagged AS (
+          SELECT b.*, CASE WHEN b.d <= t.mid THEN 1 ELSE 2 END AS period
+          FROM base b, bounds t
+        ),
+        per AS (
+          SELECT event_type, period, COUNT(*) AS n, SUM(cents) AS s
+          FROM tagged GROUP BY 1, 2
+        ),
+        tot AS (SELECT period, SUM(n) AS tot_n FROM per GROUP BY 1),
+        stats AS (
+          SELECT p.event_type, p.period,
+                 CAST(p.n * 1000000 // t.tot_n AS BIGINT) AS share_ppm,
+                 CAST(p.s * 1000000 // p.n AS BIGINT) AS rate_micro
+          FROM per p JOIN tot t ON p.period = t.period
+        ),
+        p1 AS (SELECT event_type, share_ppm AS w1, rate_micro AS r1
+               FROM stats WHERE period = 1),
+        p2 AS (SELECT event_type, share_ppm AS w2, rate_micro AS r2
+               FROM stats WHERE period = 2)
+        SELECT COALESCE(p1.event_type, p2.event_type) AS event_type,
+               CAST(COALESCE(w1, 0) AS BIGINT) AS w1_ppm,
+               CAST(COALESCE(w2, 0) AS BIGINT) AS w2_ppm,
+               CAST(COALESCE(r1, 0) AS BIGINT) AS r1_micro,
+               CAST(COALESCE(r2, 0) AS BIGINT) AS r2_micro,
+               CAST((COALESCE(w2, 0) - COALESCE(w1, 0))
+                    * COALESCE(r1, 0) AS BIGINT) AS mix_effect_pico,
+               CAST(COALESCE(w1, 0)
+                    * (COALESCE(r2, 0) - COALESCE(r1, 0)) AS BIGINT)
+                 AS rate_effect_pico,
+               CAST((COALESCE(w2, 0) - COALESCE(w1, 0))
+                    * (COALESCE(r2, 0) - COALESCE(r1, 0)) AS BIGINT)
+                 AS interaction_pico
+        FROM p1 FULL OUTER JOIN p2 ON p1.event_type = p2.event_type
+        ORDER BY event_type
+    """

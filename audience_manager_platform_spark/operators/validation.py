@@ -2242,3 +2242,92 @@ def order_balance_audit_sql(
         FROM graded
         GROUP BY 1 ORDER BY 1
     """
+
+
+# ------------------------------------------- k-anonymity utility sweep
+KANON_SWEEP_KS = (2, 5, 10, 20, 50)
+
+
+def kanon_utility_sweep(
+    df: DataFrame,
+    quasi_identifiers: Sequence[str],
+    ks: Sequence[int] = KANON_SWEEP_KS,
+) -> DataFrame:
+    """The privacy-utility CURVE behind the k choice: for each
+    candidate k, how many rows survive suppress-below-k release
+    (every row in an equivalence class of size >= k) and what share of
+    the table that is — the table a data-protection review actually
+    negotiates over (k=5 keeps 97%? approved; k=50 keeps 40%? redesign
+    the quasi-identifiers).
+
+    ONE class-size aggregate feeds every k (the sweep is a |classes| x
+    |ks| projection, not |ks| scans); shares are exact ppm of a 1-row
+    total broadcast."""
+    qi = [F.col(c) for c in quasi_identifiers]
+    classes = df.groupBy(*qi).agg(
+        F.count("*").cast("long").alias("class_size")
+    )
+    total = classes.agg(F.sum("class_size").alias("_tot"))
+    spark = df.sparkSession
+    kdf = spark.createDataFrame([(int(k),) for k in ks], "k int")
+    return (
+        classes.crossJoin(F.broadcast(kdf))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("class_size") >= F.col("k"), F.col("class_size")
+                ).otherwise(F.lit(0))
+            ).alias("n_released"),
+            F.sum(
+                (F.col("class_size") >= F.col("k")).cast("long")
+            ).alias("n_classes_released"),
+            F.count("*").cast("long").alias("n_classes"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            F.col("n_released").cast("long").alias("n_released"),
+            (F.col("_tot") - F.col("n_released"))
+            .cast("long")
+            .alias("n_suppressed"),
+            "n_classes_released",
+            "n_classes",
+            F.expr("n_released * 1000000 div _tot").alias("released_ppm"),
+        )
+        .orderBy("k")
+    )
+
+
+def kanon_utility_sweep_sql(
+    src: str,
+    quasi_identifiers: Sequence[str],
+    ks: Sequence[int] = KANON_SWEEP_KS,
+) -> str:
+    cols = ", ".join(quasi_identifiers)
+    kvals = ", ".join(f"({int(k)})" for k in ks)
+    return f"""
+        WITH classes AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS class_size
+          FROM {src} GROUP BY {cols}
+        ),
+        total AS (SELECT SUM(class_size) AS _tot FROM classes),
+        swept AS (
+          SELECT k.k,
+                 SUM(CASE WHEN c.class_size >= k.k
+                          THEN c.class_size ELSE 0 END) AS n_released,
+                 CAST(SUM(CASE WHEN c.class_size >= k.k THEN 1 ELSE 0
+                   END) AS BIGINT) AS n_classes_released,
+                 CAST(COUNT(*) AS BIGINT) AS n_classes
+          FROM classes c CROSS JOIN (VALUES {kvals}) k(k)
+          GROUP BY 1
+        )
+        SELECT CAST(k AS INTEGER) AS k,
+               CAST(n_released AS BIGINT) AS n_released,
+               CAST(_tot - n_released AS BIGINT) AS n_suppressed,
+               n_classes_released, n_classes,
+               CAST(n_released * 1000000 // _tot AS BIGINT)
+                 AS released_ppm
+        FROM swept, total
+        ORDER BY k
+    """

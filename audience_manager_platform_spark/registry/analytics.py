@@ -217,6 +217,11 @@ QUERIES = {
     "analytics_delta_attribution": lambda s, d: A.delta_attribution(
         load_table(s, d, "events")
     ),
+    # r7 wave 40 (r8 queue): Oaxaca mix/rate decomposition of the
+    # period-over-period average change (exact pico grid)
+    "analytics_mix_rate_decomposition": lambda s, d: (
+        A.mix_rate_decomposition(load_table(s, d, "events"))
+    ),
     # r5 (deferred window): WAU / trailing-4-week MAU stickiness
     "analytics_stickiness": lambda s, d: A.stickiness(
         load_table(s, d, "events")
@@ -401,6 +406,7 @@ ORACLES = {
     "analytics_repeat_purchase_curve": A.repeat_purchase_curve_sql(),
     "analytics_growth_accounting": A.growth_accounting_sql(),
     "analytics_delta_attribution": A.delta_attribution_sql(),
+    "analytics_mix_rate_decomposition": A.mix_rate_decomposition_sql(),
     "analytics_stickiness": A.stickiness_sql(),
     "analytics_revenue_gini": A.revenue_gini_sql(),
     "analytics_new_vs_returning": A.new_vs_returning_sql(),

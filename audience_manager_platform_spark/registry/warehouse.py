@@ -83,6 +83,8 @@ from ..operators.validation import (
     partition_checksums_sql,
     kanon_generalization_plan,
     kanon_generalization_plan_sql,
+    kanon_utility_sweep,
+    kanon_utility_sweep_sql,
     fk_fanout_profile,
     fk_fanout_profile_sql,
     fk_orphan_audit,
@@ -425,6 +427,18 @@ QUERIES = {
     "privacy_pseudonym_audit": lambda s, d: pseudonym_bucket_audit(
         _events(s, d)
     ),
+    # r7 wave 40 (r8 queue): the privacy-utility curve — rows released
+    # per candidate k under suppress-below-k (one class aggregate)
+    "privacy_kanon_utility_sweep": lambda s, d: kanon_utility_sweep(
+        load_table(s, d, "customer").select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 2000).cast("long").alias(
+                "bal_band"
+            ),
+        ),
+        ["c_nationkey", "c_mktsegment", "bal_band"],
+    ),
     # r7 wave 28 (r8 queue): the decision step after the k-anon audit —
     # minimal band generalization per class, else suppress
     "privacy_kanon_generalization_plan": lambda s, d: (
@@ -695,6 +709,12 @@ ORACLES = {
     ),
     "privacy_kanon_generalization_plan": kanon_generalization_plan_sql(),
     "privacy_pseudonym_audit": pseudonym_bucket_audit_sql(),
+    "privacy_kanon_utility_sweep": kanon_utility_sweep_sql(
+        "(SELECT c_nationkey, c_mktsegment,"
+        " CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band"
+        " FROM customer)",
+        ["c_nationkey", "c_mktsegment", "bal_band"],
+    ),
     "privacy_l_diversity_customer": l_diversity_audit_sql(
         "(SELECT c_nationkey, c_mktsegment,"
         " CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band"

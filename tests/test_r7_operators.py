@@ -1463,3 +1463,68 @@ def test_growth_userweek_fold_any_chunking(spark):
     batch = {tuple(r) for r in
              growth_accounting(_events_df(spark, rows)).collect()}
     assert folded == batch
+
+
+# ---------------------------------------------------------- wave 40
+def test_kanon_utility_sweep_hand_computed(spark):
+    """Classes of sizes 6, 3, 1 over one QI column: k=2 releases 9/10
+    rows (2 classes), k=5 releases 6/10 (1 class), k=10 suppresses
+    everything."""
+    from audience_manager_platform_spark.operators.validation import (
+        kanon_utility_sweep,
+    )
+
+    rows = (
+        [(i, "2024-01-01 10:00:00", 1, "A", 1.0) for i in range(6)]
+        + [(10 + i, "2024-01-01 10:00:00", 1, "B", 1.0) for i in range(3)]
+        + [(20, "2024-01-01 10:00:00", 1, "C", 1.0)]
+    )
+    out = {r.k: r for r in kanon_utility_sweep(
+        _events_df(spark, rows).select("event_type"),
+        ["event_type"], ks=(2, 5, 10),
+    ).collect()}
+    assert (out[2].n_released, out[2].n_suppressed,
+            out[2].n_classes_released) == (9, 1, 2)
+    assert out[2].released_ppm == 900_000
+    assert (out[5].n_released, out[5].released_ppm) == (6, 600_000)
+    assert (out[10].n_released, out[10].n_suppressed) == (0, 10)
+
+
+def test_mix_rate_decomposition_hand_computed(spark):
+    """Two 2-day periods: period 1 has views 3x100c + clicks 1x400c
+    (shares 750000/250000, rates 100e6/400e6); period 2 flips traffic
+    to clicks (1x100c + 3x400c). Every effect term recomputed by hand
+    on the exact pico grid; the terms reconcile: mix + rate +
+    interaction = w2*r2 - w1*r1 per type."""
+    from audience_manager_platform_spark.operators.analytics import (
+        mix_rate_decomposition,
+    )
+
+    rows = [
+        # period 1: days 1-2 (mid = day 2 inclusive)
+        (0, "2024-01-01 10:00:00", 1, "view", 1.00),
+        (1, "2024-01-01 11:00:00", 1, "view", 1.00),
+        (2, "2024-01-02 10:00:00", 1, "view", 1.00),
+        (3, "2024-01-02 11:00:00", 1, "click", 4.00),
+        # period 2: days 3-4
+        (4, "2024-01-03 10:00:00", 1, "view", 1.00),
+        (5, "2024-01-03 11:00:00", 1, "click", 4.00),
+        (6, "2024-01-04 10:00:00", 1, "click", 4.00),
+        (7, "2024-01-04 11:00:00", 1, "click", 4.00),
+    ]
+    out = {r.event_type: r for r in
+           mix_rate_decomposition(_events_df(spark, rows)).collect()}
+    v = out["view"]
+    assert (v.w1_ppm, v.w2_ppm) == (750_000, 250_000)
+    assert (v.r1_micro, v.r2_micro) == (100_000_000, 100_000_000)
+    assert v.mix_effect_pico == -500_000 * 100_000_000
+    assert v.rate_effect_pico == 0 and v.interaction_pico == 0
+    c = out["click"]
+    assert (c.w1_ppm, c.w2_ppm) == (250_000, 750_000)
+    assert c.mix_effect_pico == 500_000 * 400_000_000
+    # reconciliation identity per type
+    for r in out.values():
+        assert (
+            r.mix_effect_pico + r.rate_effect_pico + r.interaction_pico
+            == r.w2_ppm * r.r2_micro - r.w1_ppm * r.r1_micro
+        )

@@ -136,6 +136,10 @@ NESTED_LOOP_ALLOWED = {
     "skew_salt_plan",
     # 1-row spike-day anchor broadcast onto the |types| slices
     "analytics_delta_attribution",
+    # 1-row midpoint anchor + 1-row totals broadcasts
+    "analytics_mix_rate_decomposition",
+    # |classes| x |ks|(5-row literal) sweep + 1-row total broadcast
+    "privacy_kanon_utility_sweep",
     "heavy_hitters_value_bands",
     "ts_resample_locf",
     "ts_interpolate_linear",

@@ -940,7 +940,58 @@ def main() -> None:
     timed("order-balance reconciliation", order_balance_audit(
         orders_bal, li_bal
     ))
+
+    # ------------------------- round-7 wave 37-40 additions at scale
+    from audience_manager_platform_spark.operators.analytics import (
+        delta_attribution,
+        growth_accounting,
+        mix_rate_decomposition,
+        repeat_purchase_curve,
+    )
+    from audience_manager_platform_spark.operators.skew import salt_plan
+    from audience_manager_platform_spark.operators.timeseries import (
+        seasonal_strength,
+        theilsen_trend,
+    )
+    from audience_manager_platform_spark.operators.validation import (
+        kanon_utility_sweep,
+    )
+    from audience_manager_platform_spark.operators.relational import (
+        null_aware_anti_join,
+    )
+
+    ROWS = int(os.environ.get("SCALE_ROWS", 10_000_000))
+    timed("salt plan (hot-key ceil)", salt_plan(
+        typed_events, "event_type", target_rows=1_000_000
+    ))
+    timed("repeat-purchase curve", repeat_purchase_curve(typed_events))
+    timed("growth accounting (weekly)", growth_accounting(typed_events))
+    timed("delta attribution (spike day)", delta_attribution(typed_events))
+    timed("mix/rate decomposition", mix_rate_decomposition(typed_events))
+    timed("Theil-Sen robust trend", theilsen_trend(typed_events))
+    timed("seasonal strength", seasonal_strength(typed_events))
+    timed("k-anon utility sweep", kanon_utility_sweep(
+        typed_events.select(
+            "event_type",
+            (F.col("user_id") % 1000).alias("ub"),
+            (F.col("value") < 1000).alias("vb"),
+        ),
+        ["event_type", "ub", "vb"],
+    ))
+    orders_na = typed_events.select(
+        F.col("event_id").alias("o_orderkey"),
+        F.col("user_id").alias("o_custkey"),
+        F.col("value").alias("o_totalprice"),
+    )
+    cust_na = spark.range(25).select(
+        F.col("id").alias("c_custkey"),
+        F.col("id").alias("c_nationkey"),
+    )
+    timed("null-aware anti join (NOT IN)", null_aware_anti_join(
+        orders_na, cust_na
+    ))
     spark.stop()
+
 
 
 

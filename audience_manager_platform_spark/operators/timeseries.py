@@ -1796,12 +1796,29 @@ def seasonal_strength(events: DataFrame) -> DataFrame:
     — quantization is part of the spec) via the n*Σx² - (Σx)² bigint
     form; strengths are exact ppm, floored at 0. Everything rides the
     |days| decomposition table."""
-    comp = seasonal_decompose(events).filter(
+    raw = seasonal_decompose(events).filter(
         F.col("resid_micro").isNotNull()
     ).select(
         F.expr("resid_micro div 1000000").alias("r"),
         F.expr("(seasonal_micro + resid_micro) div 1000000").alias("sr"),
         F.expr("(trend_micro + resid_micro) div 1000000").alias("tr"),
+    )
+    # center each component on its integer mean BEFORE squaring:
+    # n*sum(dev^2) - (sum dev)^2 == n*sum(x^2) - (sum x)^2 EXACTLY for
+    # any integer shift (variance shift-invariance holds in integer
+    # arithmetic), and centering keeps the squares at daily-fluctuation
+    # scale — the uncentered form overflows BIGINT near 10M rows/day
+    # totals (found by the 10M scale smoke, fixed without changing a
+    # single output value)
+    anchors = raw.agg(
+        F.count("*").alias("_n"),
+        *[F.sum(c).alias(f"_a_{c}") for c in ("r", "sr", "tr")],
+    )
+    comp = raw.crossJoin(F.broadcast(anchors)).select(
+        *[
+            F.expr(f"{c} - (_a_{c} div _n)").alias(c)
+            for c in ("r", "sr", "tr")
+        ]
     )
 
     def var_terms(c: str) -> list:
@@ -1816,33 +1833,48 @@ def seasonal_strength(events: DataFrame) -> DataFrame:
         *var_terms("sr"),
         *var_terms("tr"),
     )
-    # population variance scaled by n^2: n*S2 - S^2 (exact bigint)
-    v = lambda c: f"(n * _s2_{c} - _s_{c} * _s_{c})"  # noqa: E731
+    # n-scaled sum of squared deviations: S2 - S^2 div n (exact bigint
+    # minus a quantized correction — S is tiny after centering). The
+    # final ratio divides two exact bigints in DOUBLE and floor-scales:
+    # identical IEEE op in both engines, and no n*S2 or num*1e6 integer
+    # product to overflow (the 10M smoke caught both forms). Ceiling:
+    # sum(dev_cents^2) must fit bigint — dev_rms*sqrt(days) < 3e9 cents.
+    v = lambda c: f"(_s2_{c} - _s_{c} * _s_{c} div n)"  # noqa: E731
+    strength = lambda d: (  # noqa: E731
+        f"CASE WHEN {v(d)} = 0 THEN 0 ELSE greatest(CAST(floor("
+        f"(1.0 - CAST({v('r')} AS DOUBLE) / CAST({v(d)} AS DOUBLE))"
+        f" * 1e6 + 0.5) AS BIGINT), 0) END"
+    )
     return agg.select(
         F.col("n").cast("long").alias("n_days"),
-        F.expr(
-            f"CASE WHEN {v('sr')} = 0 THEN 0 ELSE"
-            f" greatest(1000000 - {v('r')} * 1000000 div {v('sr')}, 0)"
-            f" END"
-        ).alias("seasonal_strength_ppm"),
-        F.expr(
-            f"CASE WHEN {v('tr')} = 0 THEN 0 ELSE"
-            f" greatest(1000000 - {v('r')} * 1000000 div {v('tr')}, 0)"
-            f" END"
-        ).alias("trend_strength_ppm"),
+        F.expr(strength("sr")).alias("seasonal_strength_ppm"),
+        F.expr(strength("tr")).alias("trend_strength_ppm"),
     )
 
 
 def seasonal_strength_sql(src: str = "events") -> str:
     inner = seasonal_decompose_sql(src)
-    v = lambda c: f"(n * _s2_{c} - _s_{c} * _s_{c})"  # noqa: E731
+    v = lambda c: f"(_s2_{c} - _s_{c} * _s_{c} // n)"  # noqa: E731
     return f"""
-        WITH comp AS (
+        WITH raw AS (
           SELECT resid_micro // 1000000 AS r,
                  (seasonal_micro + resid_micro) // 1000000 AS sr,
                  (trend_micro + resid_micro) // 1000000 AS tr
           FROM ({inner}) d
           WHERE resid_micro IS NOT NULL
+        ),
+        anchors AS (
+          SELECT COUNT(*) AS _n, SUM(r) AS _a_r, SUM(sr) AS _a_sr,
+                 SUM(tr) AS _a_tr
+          FROM raw
+        ),
+        comp AS (
+          -- same integer-mean centering as the Spark side (exact
+          -- shift-invariance; prevents BIGINT overflow at scale)
+          SELECT r - (_a_r // _n) AS r,
+                 sr - (_a_sr // _n) AS sr,
+                 tr - (_a_tr // _n) AS tr
+          FROM raw, anchors
         ),
         agg AS (
           SELECT COUNT(*) AS n,
@@ -1852,11 +1884,15 @@ def seasonal_strength_sql(src: str = "events") -> str:
           FROM comp
         )
         SELECT CAST(n AS BIGINT) AS n_days,
-               CAST(CASE WHEN {v('sr')} = 0 THEN 0 ELSE
-                 GREATEST(1000000 - {v('r')} * 1000000 // {v('sr')}, 0)
-                 END AS BIGINT) AS seasonal_strength_ppm,
-               CAST(CASE WHEN {v('tr')} = 0 THEN 0 ELSE
-                 GREATEST(1000000 - {v('r')} * 1000000 // {v('tr')}, 0)
-                 END AS BIGINT) AS trend_strength_ppm
+               CAST(CASE WHEN {v('sr')} = 0 THEN 0 ELSE GREATEST(
+                 CAST(floor((1.0 - CAST({v('r')} AS DOUBLE)
+                             / CAST({v('sr')} AS DOUBLE)) * 1e6 + 0.5)
+                      AS BIGINT), 0) END AS BIGINT)
+                 AS seasonal_strength_ppm,
+               CAST(CASE WHEN {v('tr')} = 0 THEN 0 ELSE GREATEST(
+                 CAST(floor((1.0 - CAST({v('r')} AS DOUBLE)
+                             / CAST({v('tr')} AS DOUBLE)) * 1e6 + 0.5)
+                      AS BIGINT), 0) END AS BIGINT)
+                 AS trend_strength_ppm
         FROM agg
     """

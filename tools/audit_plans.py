@@ -138,6 +138,8 @@ NESTED_LOOP_ALLOWED = {
     "analytics_delta_attribution",
     # 1-row midpoint anchor + 1-row totals broadcasts
     "analytics_mix_rate_decomposition",
+    # 1-row integer-mean anchor broadcast (overflow-safe centering)
+    "ts_seasonal_strength",
     # |classes| x |ks|(5-row literal) sweep + 1-row total broadcast
     "privacy_kanon_utility_sweep",
     "heavy_hitters_value_bands",

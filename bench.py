@@ -184,7 +184,15 @@ NOTES = (
     "decodes all 5,000 fixture BMPs through the Python DCT kernel "
     "twice per median -- decode-bound, embarrassingly parallel, and "
     "the band join now carries a max_band_size hot-band cap for "
-    "clique-heavy corpora."
+    "clique-heavy corpora. "
+    "r7 second session: registry 313 -> 348 (waves 29-40); headline "
+    "median sum re-measured 108.8s on an idle box "
+    "(BENCH_LOCAL_r7b_idle.json) vs 166.2s at the earlier r7 re-base "
+    "-- same commit family, VM throughput healthy again; "
+    "item_knn_hitrate_eval rebuilt single-scan (50s -> 13-21s sf0.1); "
+    "seasonal_strength's variance form made overflow-safe after the "
+    "10M smoke tripped ANSI long-overflow (integer-mean centering + "
+    "one exact-integer double ratio)."
 )
 
 # Repeats per query: medians make the bench regression-proof (r3 saw a

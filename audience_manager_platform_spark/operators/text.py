@@ -2836,3 +2836,126 @@ def code_detect_sql(src: str = "documents", sym_ppm_cut: int = 20_000,
         GROUP BY 1
         ORDER BY 1
     """
+
+
+def langid_macro_f1(docs: DataFrame) -> DataFrame:
+    """Per-class precision / recall / F1 of :func:`language_id` plus the
+    macro averages — the single-table scorecard a corpus-filter review
+    reads (the confusion matrix says WHERE leakage goes; this says
+    whether each language's filter is shippable, and macro-F1 weighs
+    rare languages equally — exactly the failure multilingual corpus
+    mixes care about).
+
+    All exact integer ppm: precision = tp*1e6 div (tp+fp), recall =
+    tp*1e6 div (tp+fn), and F1 in its cross-multiplied form
+    2*tp*1e6 div (2*tp + fp + fn) — no ratio-of-rounded-ratios. The
+    macro rows (lang='__macro__') average the per-class ppm values with
+    one integer division. Everything after the classify pass rides the
+    |langs|² confusion table."""
+    pred = language_id(docs).select("doc_id", "detected_lang")
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    per = joined.groupBy("lang", "detected_lang").agg(
+        F.count("*").alias("n")
+    )
+    tp = per.filter(F.col("lang") == F.col("detected_lang")).select(
+        "lang", F.col("n").alias("tp")
+    )
+    byt = per.groupBy("lang").agg(F.sum("n").alias("n_true"))
+    byp = per.groupBy("detected_lang").agg(F.sum("n").alias("n_pred"))
+    classes = (
+        byt.join(
+            byp, byt["lang"] == byp["detected_lang"], "full_outer"
+        )
+        .select(
+            F.coalesce("lang", "detected_lang").alias("lang"),
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+        )
+        .join(tp, "lang", "left")
+        .select(
+            "lang",
+            "n_true",
+            "n_pred",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+        .select(
+            "lang",
+            "n_true",
+            "n_pred",
+            "tp",
+            F.expr(
+                "CASE WHEN n_pred = 0 THEN 0"
+                " ELSE tp * 1000000 div n_pred END"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CASE WHEN n_true = 0 THEN 0"
+                " ELSE tp * 1000000 div n_true END"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CASE WHEN n_true + n_pred = 0 THEN 0"
+                " ELSE 2 * tp * 1000000 div (n_true + n_pred) END"
+            ).alias("f1_ppm"),
+        )
+    )
+    macro = classes.agg(
+        F.lit("__macro__").alias("lang"),
+        F.sum("n_true").alias("n_true"),
+        F.sum("n_pred").alias("n_pred"),
+        F.sum("tp").alias("tp"),
+        F.expr("sum(precision_ppm) div count(*)").alias("precision_ppm"),
+        F.expr("sum(recall_ppm) div count(*)").alias("recall_ppm"),
+        F.expr("sum(f1_ppm) div count(*)").alias("f1_ppm"),
+    )
+    return classes.unionByName(macro).orderBy("lang")
+
+
+def langid_macro_f1_sql(src: str = "documents") -> str:
+    pred = language_id_sql(src)
+    return f"""
+        WITH pred AS ({pred}),
+        per AS (
+          SELECT d.lang, p.detected_lang, COUNT(*) AS n
+          FROM {src} d JOIN pred p USING (doc_id)
+          GROUP BY 1, 2
+        ),
+        tp AS (
+          SELECT lang, n AS tp FROM per WHERE lang = detected_lang
+        ),
+        byt AS (SELECT lang, SUM(n) AS n_true FROM per GROUP BY 1),
+        byp AS (
+          SELECT detected_lang, SUM(n) AS n_pred FROM per GROUP BY 1
+        ),
+        classes AS (
+          SELECT COALESCE(byt.lang, byp.detected_lang) AS lang,
+                 CAST(COALESCE(n_true, 0) AS BIGINT) AS n_true,
+                 CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred,
+                 CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp
+          FROM byt
+          FULL OUTER JOIN byp ON byt.lang = byp.detected_lang
+          LEFT JOIN tp ON COALESCE(byt.lang, byp.detected_lang) = tp.lang
+        ),
+        scored AS (
+          SELECT lang, n_true, n_pred, tp,
+                 CAST(CASE WHEN n_pred = 0 THEN 0
+                      ELSE tp * 1000000 // n_pred END AS BIGINT)
+                   AS precision_ppm,
+                 CAST(CASE WHEN n_true = 0 THEN 0
+                      ELSE tp * 1000000 // n_true END AS BIGINT)
+                   AS recall_ppm,
+                 CAST(CASE WHEN n_true + n_pred = 0 THEN 0
+                      ELSE 2 * tp * 1000000 // (n_true + n_pred) END
+                      AS BIGINT) AS f1_ppm
+          FROM classes
+        )
+        SELECT * FROM scored
+        UNION ALL
+        SELECT '__macro__' AS lang,
+               CAST(SUM(n_true) AS BIGINT),
+               CAST(SUM(n_pred) AS BIGINT),
+               CAST(SUM(tp) AS BIGINT),
+               CAST(SUM(precision_ppm) // COUNT(*) AS BIGINT),
+               CAST(SUM(recall_ppm) // COUNT(*) AS BIGINT),
+               CAST(SUM(f1_ppm) // COUNT(*) AS BIGINT)
+        FROM scored
+        ORDER BY lang
+    """

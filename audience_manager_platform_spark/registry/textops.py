@@ -102,6 +102,8 @@ QUERIES = {
     "text_language_id": lambda s, d: T.language_id(_docs(s, d)),
     # r6 queue: classifier-quality audit of the language filter
     "text_langid_confusion": lambda s, d: T.langid_confusion(_docs(s, d)),
+    # r7 wave 41 (r8 queue): per-class P/R/F1 + macro rows, exact ppm
+    "text_langid_macro_f1": lambda s, d: T.langid_macro_f1(_docs(s, d)),
     # wave 18: ranking power of the langid signal (exact tie-corrected
     # Mann-Whitney AUC; the confusion matrix only grades the argmax)
     "text_langid_en_auc": lambda s, d: T.langid_en_auc(_docs(s, d)),
@@ -339,6 +341,7 @@ ORACLES = {
     "text_bpe_token_stats": T.bpe_token_stats_sql(),
     "text_quality_score": T.quality_score_sql(),
     "text_langid_confusion": T.langid_confusion_sql(),
+    "text_langid_macro_f1": T.langid_macro_f1_sql(),
     "text_langid_en_auc": T.langid_en_auc_sql(),
     "text_token_fertility": T.token_fertility_sql(),
     "text_language_id": T.language_id_sql(),

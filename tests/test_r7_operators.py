@@ -1528,3 +1528,58 @@ def test_mix_rate_decomposition_hand_computed(spark):
             r.mix_effect_pico + r.rate_effect_pico + r.interaction_pico
             == r.w2_ppm * r.r2_micro - r.w1_ppm * r.r1_micro
         )
+
+
+# ---------------------------------------------------------- wave 41
+def test_langid_macro_f1_arithmetic_consistency(spark):
+    """Black-box consistency over the real classifier on a small doc
+    set: per-class rows obey the exact cross-multiplied definitions
+    (recomputed from the confusion counts), tp <= min(n_true, n_pred),
+    and the macro row is the integer mean of per-class ppm values."""
+    from audience_manager_platform_spark.operators.text import (
+        langid_confusion,
+        langid_macro_f1,
+    )
+
+    docs_rows = [
+        (i, t, lang, "s", len(t))
+        for i, (t, lang) in enumerate([
+            ("the quick brown fox and the lazy dog", "en"),
+            ("the cat sat on the mat with the hat", "en"),
+            ("der schnelle braune fuchs und der hund", "de"),
+            ("le renard brun rapide et le chien", "fr"),
+            ("el zorro marron rapido y el perro", "es"),
+            ("the dog der hund le chien", "en"),
+        ])
+    ]
+    docs = spark.createDataFrame(
+        docs_rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    conf = langid_confusion(docs).collect()
+    n_true = {}
+    n_pred = {}
+    tp = {}
+    for r in conf:
+        n_true[r.lang] = n_true.get(r.lang, 0) + r.n_docs
+        n_pred[r.detected_lang] = (
+            n_pred.get(r.detected_lang, 0) + r.n_docs
+        )
+        if r.lang == r.detected_lang:
+            tp[r.lang] = r.n_docs
+    out = {r.lang: r for r in langid_macro_f1(docs).collect()}
+    macro = out.pop("__macro__")
+    for lang, r in out.items():
+        t, nt, np_ = tp.get(lang, 0), n_true.get(lang, 0), n_pred.get(lang, 0)
+        assert (r.tp, r.n_true, r.n_pred) == (t, nt, np_), lang
+        assert r.precision_ppm == (t * 1_000_000 // np_ if np_ else 0)
+        assert r.recall_ppm == (t * 1_000_000 // nt if nt else 0)
+        assert r.f1_ppm == (
+            2 * t * 1_000_000 // (nt + np_) if nt + np_ else 0
+        )
+    k = len(out)
+    assert macro.precision_ppm == (
+        sum(r.precision_ppm for r in out.values()) // k
+    )
+    assert macro.f1_ppm == sum(r.f1_ppm for r in out.values()) // k

@@ -2309,19 +2309,27 @@ def windowed_funnel(
     microsecond arithmetic.
 
     Shape at scale: three conditional-min aggregates, each co-
-    partitioned on user_id (one logical funnel shuffle reused), then a
-    1-row rollup with exact ppm conversion rates."""
+    partitioned on user_id, then a 1-row rollup with exact ppm
+    conversion rates. The per-user stage tables are MATERIALIZED
+    (tiny: <= |users| rows) — without the boundary Catalyst re-expands
+    s1/s2 into every consumer and the raw stream is scanned 12x
+    instead of 3x (caught by .explain during the round-7 plan
+    review)."""
+    from .partitioning import materialize
+
     m = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
     ev = events.select(
         "user_id", "event_type", m.alias("_m")
     )
     t = int(deadline_s) * 1_000_000
-    s1 = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("_m"))).alias(
-            "t1"
-        )
-    ).filter(F.col("t1").isNotNull())
-    s2 = (
+    s1 = materialize(
+        ev.groupBy("user_id").agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("_m"))
+            ).alias("t1")
+        ).filter(F.col("t1").isNotNull())
+    )
+    s2 = materialize(
         ev.join(s1, "user_id")
         .filter(
             (F.col("event_type") == "click")

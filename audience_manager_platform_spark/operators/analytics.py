@@ -2573,7 +2573,12 @@ def growth_accounting(events: DataFrame) -> DataFrame:
     wk = F.expr(
         "datediff(to_date(ts), DATE '1970-01-05') div 7"
     ).cast("long")
-    uw = (
+    from .partitioning import materialize
+
+    # materialized: the distinct (user, week) set feeds the lag window
+    # AND both sides of the churn anti-join — exactly the table the
+    # streaming ledger persists as state (6 raw scans -> 1)
+    uw = materialize(
         events.select("user_id", wk.alias("week"))
         .filter(F.col("user_id").isNotNull())
         .distinct()
@@ -2694,8 +2699,13 @@ def delta_attribution(events: DataFrame) -> DataFrame:
     Shape: one (type, day) aggregate; the target day is a 1-row
     argmax broadcast over the |days| table; attribution is a keyed
     join of two |types|-row slices."""
+    from .partitioning import materialize
+
     cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
-    td = (
+    # materialized: |types| x |days| rows feeding THREE consumers —
+    # without the boundary Catalyst re-expands the raw-stream aggregate
+    # into each (10 scans -> 1; round-7 plan review)
+    td = materialize(
         events.filter(F.col("value").isNotNull())
         .groupBy(
             F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
@@ -2839,7 +2849,12 @@ def mix_rate_decomposition(events: DataFrame) -> DataFrame:
     tagged = base.crossJoin(F.broadcast(bounds)).withColumn(
         "period", F.expr("CASE WHEN d <= mid THEN 1 ELSE 2 END")
     )
-    per = (
+    from .partitioning import materialize
+
+    # materialized: the 2x|types| period table feeds totals + both
+    # period slices (16 raw scans -> 2: the min/max bounds pass and
+    # the tagged aggregate are the only raw reads)
+    per = materialize(
         tagged.groupBy("event_type", "period")
         .agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
     )

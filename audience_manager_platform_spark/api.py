@@ -151,6 +151,52 @@ def create_app(
                 )
         return ok({"data": segs})
 
+    def segment_json(seg) -> dict[str, Any]:
+        # reference SegmentCatalog.to_dict (backend/app/models/
+        # rule_engine.py): same keys, with dependencies resolved to the
+        # parent segments' names. Segment ids and rule ids coincide in
+        # this engine (exactly one segment row per rule), matching how
+        # the reference seeds its catalog.
+        try:
+            rule = engine.catalog.get_rule(seg.rule_id)
+        except KeyError:
+            rule = None
+        deps = []
+        for rid in seg.depends_on or []:
+            parent = engine.catalog.get_segment(rid)
+            if parent:
+                deps.append(parent.segment_name)
+        return {
+            "id": seg.rule_id,
+            "segment_name": seg.segment_name,
+            "description": None,
+            "table_name": seg.table_name,
+            "row_count": seg.row_count,
+            "rule_id": seg.rule_id,
+            "sql_query": seg.sql_query,
+            "refresh_frequency": rule.schedule if rule else None,
+            "last_refreshed_at": seg.last_refreshed_at,
+            "created_at": rule.created_at if rule else None,
+            "operation": seg.operation,
+            "dependencies": deps,
+        }
+
+    @app.get("/api/v1/segments/<int:segment_id>")
+    def get_segment(segment_id: int):
+        # reference backend/app/api/segments.py:32-45
+        seg = engine.catalog.get_segment(segment_id)
+        if seg is None:
+            return err(f"segment {segment_id} not found", 404)
+        return ok({"data": segment_json(seg)})
+
+    @app.get("/api/v1/segments/by_rule/<int:rule_id>")
+    def get_segment_by_rule(rule_id: int):
+        # reference backend/app/api/segments.py:47-60
+        seg = engine.catalog.get_segment(rule_id)
+        if seg is None:
+            return err(f"segment for rule {rule_id} not found", 404)
+        return ok({"data": segment_json(seg)})
+
     @app.get("/api/v1/segments/<int:rule_id>/sample_data")
     def sample_data(rule_id: int):
         from pyspark.errors import AnalysisException

@@ -2361,12 +2361,21 @@ def windowed_funnel(
             "n_stage1",
             "n_stage2",
             "n_stage3",
-            F.expr("n_stage2 * 1000000 div n_stage1").alias("conv12_ppm"),
+            # every ratio CASE-guards its denominator: an input with zero
+            # 'view' users must yield NULL on both engines, not a Spark
+            # ANSI-mode divide-by-zero error (r7 advice)
+            F.expr(
+                "CASE WHEN n_stage1 = 0 THEN NULL"
+                " ELSE n_stage2 * 1000000 div n_stage1 END"
+            ).alias("conv12_ppm"),
             F.expr(
                 "CASE WHEN n_stage2 = 0 THEN NULL"
                 " ELSE n_stage3 * 1000000 div n_stage2 END"
             ).alias("conv23_ppm"),
-            F.expr("n_stage3 * 1000000 div n_stage1").alias("overall_ppm"),
+            F.expr(
+                "CASE WHEN n_stage1 = 0 THEN NULL"
+                " ELSE n_stage3 * 1000000 div n_stage1 END"
+            ).alias("overall_ppm"),
         )
     )
 
@@ -2409,12 +2418,14 @@ def windowed_funnel_sql(
           LEFT JOIN s3 ON s1.user_id = s3.user_id
         )
         SELECT n_stage1, n_stage2, n_stage3,
-               CAST(n_stage2 * 1000000 // n_stage1 AS BIGINT)
+               CAST(CASE WHEN n_stage1 = 0 THEN NULL
+                    ELSE n_stage2 * 1000000 // n_stage1 END AS BIGINT)
                  AS conv12_ppm,
                CAST(CASE WHEN n_stage2 = 0 THEN NULL
                     ELSE n_stage3 * 1000000 // n_stage2 END AS BIGINT)
                  AS conv23_ppm,
-               CAST(n_stage3 * 1000000 // n_stage1 AS BIGINT)
+               CAST(CASE WHEN n_stage1 = 0 THEN NULL
+                    ELSE n_stage3 * 1000000 // n_stage1 END AS BIGINT)
                  AS overall_ppm
         FROM rolled
     """
@@ -2767,8 +2778,11 @@ def delta_attribution(events: DataFrame) -> DataFrame:
             "cents_prev",
             "cents_cur",
             "delta_cents",
+            # a perfectly flat series makes total_delta 0: NULL share on
+            # both engines, never a Spark ANSI divide-by-zero (r7 advice)
             F.expr(
-                "delta_cents * 1000000 div total_delta"
+                "CASE WHEN total_delta = 0 THEN NULL"
+                " ELSE delta_cents * 1000000 div total_delta END"
             ).alias("share_ppm"),
         )
         .orderBy("event_type")
@@ -2811,9 +2825,10 @@ def delta_attribution_sql(src: str = "events") -> str:
                CAST(COALESCE(c.cents_cur, 0) AS BIGINT) AS cents_cur,
                CAST(COALESCE(c.cents_cur, 0) - COALESCE(p.cents_prev, 0)
                     AS BIGINT) AS delta_cents,
-               CAST((COALESCE(c.cents_cur, 0) - COALESCE(p.cents_prev, 0))
-                    * 1000000 // (SELECT total_delta FROM target)
-                    AS BIGINT) AS share_ppm
+               CAST(CASE WHEN (SELECT total_delta FROM target) = 0 THEN NULL
+                    ELSE (COALESCE(c.cents_cur, 0) - COALESCE(p.cents_prev, 0))
+                         * 1000000 // (SELECT total_delta FROM target)
+                    END AS BIGINT) AS share_ppm
         FROM cur c FULL OUTER JOIN prev p ON c.event_type = p.event_type
         ORDER BY event_type
     """
@@ -2949,4 +2964,56 @@ def mix_rate_decomposition_sql(src: str = "events") -> str:
                  AS interaction_pico
         FROM p1 FULL OUTER JOIN p2 ON p1.event_type = p2.event_type
         ORDER BY event_type
+    """
+
+
+# ------------------------------------------- multi-granularity ROLLUP
+def grouping_sets_rollup(orders: DataFrame) -> DataFrame:
+    """Multi-granularity aggregate in ONE pass — ``ROLLUP(status,
+    priority)`` gives per-(status, priority) cells, per-status
+    subtotals, and the grand total from a single scan via Catalyst's
+    Expand operator: each input row fans out once per grouping set
+    BEFORE the shuffle and partial aggregation still combines map-side,
+    so the exchange carries at most |sets| x |groups| rows — versus the
+    three scans the UNION ALL formulation a naive consumer writes would
+    pay (at 100 TB, ROLLUP/CUBE is the difference between one pass and
+    one per granularity).
+
+    ``GROUPING()`` flags distinguish subtotal NULLs from data NULLs —
+    the contract every BI layer over a rollup depends on; display keys
+    coalesce to '<all>' so the gate hashes strings, not NULL
+    ambiguity."""
+    cents = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(cents).cast("long").alias("total_cents"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "total_cents",
+        )
+        .orderBy("g_status", "g_priority", "status", "priority")
+    )
+
+
+def grouping_sets_rollup_sql(src: str = "orders") -> str:
+    return f"""
+        SELECT COALESCE(o_orderstatus, '<all>') AS status,
+               COALESCE(o_orderpriority, '<all>') AS priority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM {src}
+        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        ORDER BY g_status, g_priority, status, priority
     """

@@ -288,6 +288,59 @@ def stratified_sample_sql(
     )
 
 
+def reservoir_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n: int,
+    salt: str = "resv-v1",
+) -> DataFrame:
+    """Deterministic per-group fixed-``n`` uniform sample — the
+    distributed replacement for one reservoir PER GROUP (equal
+    representation per source is how balanced eval/holdout sets are
+    drawn from a skewed corpus; the fractional :func:`stratified_sample`
+    can't promise exact counts and the global fixed-n sampler can't
+    promise per-group ones).
+
+    Each row ranks within its group by the stable 60-bit key hash
+    (portable md5 arithmetic — exactly reproducible across runs,
+    engines and repartitionings, and stable under corpus growth for the
+    surviving ranks' ordering); the ``n`` smallest win. ONE group-keyed
+    exchange; with AQE a hot group's sort spills rather than stalls, and
+    because the rank predicate is ``<= n`` Spark runs the window in
+    partial "rank limit" mode (WindowGroupLimit) — each map task
+    pre-prunes to its local top-n before the shuffle, so the exchange
+    carries O(|groups| x n) rows per task, not the corpus."""
+    h = stable_long_hash(F.col(key_col).cast("string"), salt=salt)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.select(group_col, key_col)
+        .withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= n)
+        .orderBy(group_col, "pick_rank")
+    )
+
+
+def reservoir_per_group_sql(
+    src: str,
+    group_col: str,
+    key_col: str,
+    n: int,
+    salt: str = "resv-v1",
+) -> str:
+    h = _HASH60_DUCK.format(x=f"'{salt}' || CAST({key_col} AS VARCHAR)")
+    return f"""
+        SELECT {group_col}, {key_col}, pick_rank FROM (
+          SELECT {group_col}, {key_col},
+                 ROW_NUMBER() OVER (
+                   PARTITION BY {group_col}
+                   ORDER BY {h} ASC, {key_col} ASC) AS pick_rank
+          FROM {src}
+        ) x WHERE pick_rank <= {int(n)}
+        ORDER BY {group_col}, pick_rank
+    """
+
+
 def weighted_priority_sample(
     df: DataFrame,
     weight_col,

@@ -93,6 +93,19 @@ def materialize(df: DataFrame) -> DataFrame:
     """
     import tempfile
 
+    if STAGE_PLAN_RECORDER is not None:
+        # Plan-audit hook (r7 verdict finding 2): an eager materialize
+        # boundary executes its upstream stage during plan CONSTRUCTION,
+        # so the final consumer plan the audit sees never contains the
+        # stage's joins. Recording the stage's own executed plan here
+        # lets tools/audit_plans.py scan EVERY stage, closing the blind
+        # spot that let a cross join hide inside a materialized stage.
+        try:
+            STAGE_PLAN_RECORDER.append(
+                df._jdf.queryExecution().executedPlan().toString()
+            )
+        except Exception:
+            pass
     root = df.sparkSession.conf.get("spark.amp.scratchDir", None)
     if root:
         import os
@@ -105,6 +118,12 @@ def materialize(df: DataFrame) -> DataFrame:
     _MATERIALIZED.append(path)
     df.write.parquet(path)
     return df.sparkSession.read.parquet(path)
+
+
+# When not None, materialize() appends each stage's physical-plan string
+# here before executing it. Set ONLY by the plan audit (tools/
+# audit_plans.py); normal runs keep it None and pay nothing.
+STAGE_PLAN_RECORDER: list[str] | None = None
 
 
 # Temp tables must outlive the returned (lazy) DataFrame, so they cannot

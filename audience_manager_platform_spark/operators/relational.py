@@ -1284,9 +1284,13 @@ def null_aware_anti_join(
     # Both semantics expressed via SQL on temp views — the honest way
     # to get a genuine null-aware anti join plan out of Catalyst (the
     # DataFrame API has no NOT IN (subquery) form)
+    # Fixed view names: Python's hash() is PYTHONHASHSEED-randomized per
+    # process, so a hashed suffix gives neither stability nor uniqueness —
+    # createOrReplaceTempView semantics are what actually keep this safe
+    # for a single session (r7 advice)
     spark = orders.sparkSession
-    pv = f"amps_probe_{abs(hash('null_aware')) % 10_000}"
-    tv = f"amps_tagged_{abs(hash('null_aware')) % 10_000}"
+    pv = "amps_probe_null_aware"
+    tv = "amps_tagged_null_aware"
     probe.createOrReplaceTempView(pv)
     tagged.createOrReplaceTempView(tv)
     return spark.sql(f"""

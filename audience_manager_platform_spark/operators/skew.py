@@ -953,6 +953,89 @@ def salt_plan(
     )
 
 
+def salted_agg_by_plan(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    row_key: str,
+    target_rows: int = SALT_TARGET_ROWS,
+) -> DataFrame:
+    """:func:`salt_plan` wired into a real consumer (r7 verdict item 8):
+    a per-key count/sum aggregate whose HOT keys (the plan's output) are
+    split into ``salt_factor`` subkeys for the first shuffle, then
+    merged — so no reduce task ever receives more than ~``target_rows``
+    rows for one key, the straggler-task plateau a plain ``GROUP BY``
+    hits when one key owns half the table. Cold keys keep salt 0 and pay
+    nothing extra.
+
+    The salt is ``xxhash64(row_key) mod salt_factor`` — deterministic
+    per row, so retries/replays land in the same subkey. Both stages are
+    algebraic (count/sum compose across partials), so the merged result
+    is EXACTLY the plain aggregate — the DuckDB oracle is the unsalted
+    ``GROUP BY``, which is the whole point: same answer, skew-proof
+    plan. ``salt_factor`` is carried into the output so the consumer
+    can see which keys the plan split."""
+    plan = salt_plan(df, key, target_rows).select(
+        F.col("key").alias("_k"), "salt_factor"
+    )
+    cents = F.expr(f"CAST(floor({value_col} * 100 + 0.5) AS BIGINT)")
+    staged = (
+        df.select(
+            F.col(key).alias("_k"),
+            cents.alias("_cents"),
+            F.col(row_key).alias("_rk"),
+        )
+        .join(F.broadcast(plan), "_k", "left")
+        .select(
+            "_k",
+            "_cents",
+            F.coalesce("salt_factor", F.lit(1)).cast("long").alias("sf"),
+            F.pmod(
+                F.xxhash64("_rk"), F.coalesce("salt_factor", F.lit(1))
+            ).alias("_salt"),
+        )
+    )
+    partial = staged.groupBy("_k", "_salt").agg(
+        F.count("*").alias("_n"),
+        F.sum("_cents").alias("_c"),
+        F.max("sf").alias("_sf"),  # constant within the key
+    )
+    return (
+        partial.groupBy("_k")
+        .agg(
+            F.sum("_n").cast("long").alias("n_rows"),
+            F.sum("_c").cast("long").alias("total_cents"),
+            F.max("_sf").cast("long").alias("salt_factor"),
+        )
+        .select(F.col("_k").alias(key), "n_rows", "total_cents", "salt_factor")
+        .orderBy(key)
+    )
+
+
+def salted_agg_by_plan_sql(
+    src: str,
+    key: str,
+    value_col: str,
+    target_rows: int = SALT_TARGET_ROWS,
+) -> str:
+    """Oracle twin of :func:`salted_agg_by_plan` — the PLAIN aggregate
+    (salting must not change the answer), plus the plan's salt_factor
+    derived from each key's frequency."""
+    return f"""
+        SELECT {key},
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(floor({value_col} * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents,
+               CAST(CASE WHEN COUNT(*) > {int(target_rows)}
+                    THEN (COUNT(*) + {int(target_rows)} - 1)
+                         // {int(target_rows)}
+                    ELSE 1 END AS BIGINT) AS salt_factor
+        FROM {src}
+        GROUP BY {key}
+        ORDER BY {key}
+    """
+
+
 def salt_plan_sql(
     src: str, key: str, target_rows: int = SALT_TARGET_ROWS
 ) -> str:

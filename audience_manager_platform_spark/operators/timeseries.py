@@ -1200,8 +1200,9 @@ def seasonal_decompose(events: DataFrame) -> DataFrame:
     the 7-day mean and weekday means on the 1e-6 grid via integer
     division. The weekday mean uses an explicit FLOOR division
     (``(s - ((s%c)+c)%c) div c``) because detrended values go negative
-    and Spark's ``div`` truncates toward zero while DuckDB's ``//``
-    floors — the pymod form is engine-identical. Trend/residual are
+    and the contract wants floor semantics there; Spark ``div`` and
+    DuckDB ``//`` both truncate toward zero (-7//2 = -3), so the pymod
+    form is applied identically on both engines. Trend/residual are
     NULL on the 3 edge days each side (no centered window exists).
 
     Everything after the first aggregate rides the |days|-row table

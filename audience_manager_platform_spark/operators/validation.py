@@ -1840,10 +1840,11 @@ def pseudonym_bucket_audit(
             "n_users",
             "n_tokens",
             "n_collisions",
-            # dev goes NEGATIVE for under-populated buckets: use the
-            # pymod floor-division form because Spark's div truncates
-            # toward zero while DuckDB's // floors (seasonal_decompose
-            # contract)
+            # dev goes NEGATIVE for under-populated buckets: Spark div
+            # and DuckDB // BOTH truncate toward zero (-7//2 = -3); the
+            # pymod form is used because the spec wants FLOOR semantics
+            # for negative deviations, applied identically on both
+            # engines (seasonal_decompose contract)
             F.expr(
                 "(_d - ((_d % _tot) + _tot) % _tot) div _tot"
             ).alias("dev_ppm"),

@@ -84,63 +84,66 @@ _DRIVER_CREDITED = _load_driver_credited()
 # turn driver-credited simply fall out and the window backfills from the
 # derived queue below. Re-pin each round after local verification.
 #
-# r7 pin = ALL 47 names never credited in CORRECTNESS_r01..r06 plus the
-# three r7 additions (funnel / null-profile / co-purchase lift) — the
-# entire remaining backlog fits in one 50-slot round, taking the
-# driver-verified union to the full registry.
+# r8 pin = ALL 45 names never credited in CORRECTNESS_r01..r07 (waves
+# 27-40, the r7 verdict's "driver verification debt") plus the r8
+# additions filling the remaining 5 slots — this round takes the
+# driver-verified union to the full registry again.
 _WINDOW_PIN: tuple[str, ...] = (
-    "dedup_url_canonical",
-    "text_weak_label_votes",
-    "text_langid_calibration",
-    "multimodal_phash_neardup",
-    "window_rolling_median",
-    "streaming_trending_topk",
-    "streaming_quantile_maintenance",
-    "streaming_psi_monitor",
-    "streaming_mix_monitor",
-    "join_null_safe",
-    "setop_except_all",
-    "setop_intersect_all",
-    "window_running_distinct",
-    "join_pit_features",
-    "reco_item_knn",
-    "join_skew_salted",
-    "sketch_quantile_bands",
-    "join_interval_overlap",
-    "sketch_quantile_rollup",
-    "sample_neyman_allocation",
-    "validate_psi_drift",
-    "validate_ks_drift",
-    "validate_mix_drift",
-    "validate_benford_orders",
-    "privacy_l_diversity_customer",
-    "table_bucketed_join",
-    "hll_retention_overlap",
-    "privacy_t_closeness_customer",
-    "er_fuzzy_part_pairs",
-    "er_entity_clusters",
-    "graph_triangle_parts",
-    "graph_bfs_distances",
-    "graph_kcore_parts",
-    "graph_trade_communities",
-    "validate_fk_fanout",
-    "validate_unique_keys",
-    "er_blocking_quality",
-    "er_survivorship",
-    "layout_pruning_audit",
-    "layout_compaction_plan",
-    "validate_partition_completeness",
-    "ts_seasonal_naive_backtest",
-    "ts_autocorrelation",
-    "ts_holt_linear_backtest",
-    "ts_rolling_regression",
-    "ts_crosscorr_lead_lag",
-    "ts_ewma_anomaly",
-    # r7 additions (wave 26): MERGE dry-run audit, algebraic rollup
-    # maintenance, winsorized robust feature stats
-    "cdc_merge_upsert_actions",
-    "rollup_algebraic_merge",
-    "feature_winsorize_events",
+    "analytics_exposure_uplift",
+    "analytics_markov_order2_lift",
+    "analytics_simpson_diversity",
+    "analytics_intervent_gap_bands",
+    "analytics_ab_srm_check",
+    "analytics_repeat_purchase_curve",
+    "analytics_growth_accounting",
+    "analytics_delta_attribution",
+    "analytics_mix_rate_decomposition",
+    "text_langid_macro_f1",
+    "multimodal_flipbook_motion",
+    "multimodal_bmp_tile_stats",
+    "corpus_source_overlap_matrix",
+    "text_code_detect",
+    "streaming_checksum_maintenance",
+    "streaming_late_arrival_audit",
+    "streaming_cusum_monitor",
+    "streaming_growth_ledger",
+    "join_null_aware_anti",
+    "join_asof_nearest",
+    "join_range_bucketized",
+    "analytics_windowed_funnel",
+    "eval_kendall_tau_brands",
+    "reco_knn_hitrate_eval",
+    "skew_salt_plan",
+    "scd2_bitemporal_restatements",
+    "feature_target_encode_loo",
+    "feature_robust_scale_events",
+    "validate_partition_checksums",
+    "corpus_purged_time_split",
+    "geo_neighbor_smoothing",
+    "privacy_pseudonym_audit",
+    "privacy_kanon_utility_sweep",
+    "privacy_kanon_generalization_plan",
+    "graph_link_prediction",
+    "validate_id_density",
+    "validate_duplicate_charges",
+    "validate_order_balance",
+    "layout_snapshot_retention",
+    "ts_seasonal_decompose",
+    "ts_conformal_interval",
+    "ts_cusum_alarm",
+    "ts_max_drawdown",
+    "ts_theilsen_trend",
+    "ts_seasonal_strength",
+    # r8 additions (wave 41): IVF-gated margin mutual-kNN (the r7
+    # verdict's one "weak" plan, now scale-safe) + its recall eval,
+    # the salt-planner wired into a real salted aggregate, per-source
+    # reservoir sampling, and the ROLLUP multi-granularity aggregate
+    # (Catalyst Expand — one scan for all subtotal levels).
+    "emb_margin_mutual_knn_ivf",
+    "ann_recall_margin_ivf_vs_exact",
+    "skew_salted_agg_by_plan",
+    "sample_reservoir_per_source",
+    "rollup_grouping_sets",
 )
 
 # There is NO hand-kept defer list anymore (r6 advice: the 80-name

@@ -40,6 +40,8 @@ from ..operators.skew import (
     key_skew_profile,
     salt_plan,
     salt_plan_sql,
+    salted_agg_by_plan,
+    salted_agg_by_plan_sql,
     key_skew_profile_sql,
     quantile_histogram,
     quantile_histogram_sql,
@@ -539,6 +541,12 @@ QUERIES = {
     "skew_salt_plan": lambda s, d: salt_plan(
         _events(s, d), "event_type", target_rows=1000
     ),
+    # r8 wave 41: the plan WIRED INTO a consumer — hot keys aggregate
+    # through salt_factor subkeys in a two-stage algebraic agg; result
+    # contract = the plain GROUP BY (the oracle)
+    "skew_salted_agg_by_plan": lambda s, d: salted_agg_by_plan(
+        _events(s, d), "event_type", "value", "event_id", target_rows=1000
+    ),
     # r5 wave 12: salted replicated join — the hot-key/big-dim corner
     # AQE can't split; result contract = the plain inner join
     "join_skew_salted": lambda s, d: salted_join(
@@ -642,6 +650,9 @@ ORACLES = {
     "join_range_bucketized": bucketized_range_join_sql(),
     "skew_salt_plan": salt_plan_sql("events", "event_type",
                                     target_rows=1000),
+    "skew_salted_agg_by_plan": salted_agg_by_plan_sql(
+        "events", "event_type", "value", target_rows=1000
+    ),
     "join_null_aware_anti": null_aware_anti_join_sql(),
     "pivot_day_by_type": f"""
         SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,

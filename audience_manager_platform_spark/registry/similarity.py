@@ -243,6 +243,15 @@ QUERIES = {
     # r6 queue: LASER/CCMatrix margin-based mutual-kNN alignment
     # mining between the even/odd embedding halves
     "emb_margin_mutual_knn": lambda s, d: S.margin_mutual_knn(_emb(s, d)),
+    # r8 (wave 41): the SCALE-SAFE margin miner — candidates from the
+    # IVF cell join (shared memoized k-means fit), not the bipartite
+    # cross join; plus its measured pair-recall eval vs the exact miner
+    "emb_margin_mutual_knn_ivf": lambda s, d: S.margin_mutual_knn_ivf(
+        _emb(s, d), iters=1, model=_kmeans_model(s, d)
+    ),
+    "ann_recall_margin_ivf_vs_exact": lambda s, d: S.margin_recall_eval(
+        _emb(s, d), iters=1, model=_kmeans_model(s, d)
+    ),
     # r6 queue: the IVF latency/recall tuning curve (probe sweep over a
     # single materialized cell assignment)
     "ann_probe_recall_curve": lambda s, d: S.probe_recall_curve(
@@ -318,6 +327,8 @@ ORACLES = {
     "emb_snapshot_drift": S.snapshot_drift_sql(),
     "emb_centroid_classifier_eval": S.centroid_classifier_eval_sql(),
     "emb_margin_mutual_knn": S.margin_mutual_knn_sql(),
+    "emb_margin_mutual_knn_ivf": S.margin_mutual_knn_ivf_sql(iters=1),
+    "ann_recall_margin_ivf_vs_exact": S.margin_recall_eval_sql(iters=1),
     "ann_probe_recall_curve": S.probe_recall_curve_sql(_QUERY_IDS, k=5),
     "sq_code_stats": SQ.sq_code_stats_sql(),
     "ann_sq_adc_topk": SQ.sq_adc_topk_sql(_QUERY_IDS, k=5),

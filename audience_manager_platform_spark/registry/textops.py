@@ -266,6 +266,12 @@ QUERIES = {
         _docs(s, d), _docs(s, d).filter(F.col("doc_id") % 50 == 0)
     ),
     "corpus_shuffle_shards": lambda s, d: C.shuffle_shards(_docs(s, d)),
+    # r8 wave 41: per-group fixed-n reservoir (equal representation per
+    # source — the balanced-eval-set builder; exact counts where
+    # stratified_sample is fractional and sample_fixed_n is global)
+    "sample_reservoir_per_source": lambda s, d: C.reservoir_per_group(
+        _docs(s, d), "source", "doc_id", n=5
+    ),
     "corpus_mixture_weights": lambda s, d: C.mixture_weights(_docs(s, d)),
     "corpus_quality_bins": lambda s, d: C.quality_bins(_docs(s, d)),
     # r5: DSIR importance-resampling weights (hashed-unigram target/raw
@@ -421,6 +427,9 @@ ORACLES = {
     "corpus_decontaminate": C.decontaminate_sql(),
     "corpus_bloom_decontaminate": C.decontaminate_sql(),
     "corpus_shuffle_shards": C.shuffle_shards_sql(),
+    "sample_reservoir_per_source": C.reservoir_per_group_sql(
+        "documents", "source", "doc_id", n=5
+    ),
     "corpus_mixture_weights": C.mixture_weights_sql(),
     "corpus_quality_bins": C.quality_bins_sql(),
     "corpus_dsir_weights": C.dsir_weights_sql(),

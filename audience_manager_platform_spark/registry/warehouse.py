@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..operators import analytics as AN
 from ..operators import corpus as C
 from ..operators import merge as MG
 from ..operators.er import (
@@ -321,6 +322,11 @@ QUERIES = {
     # r7: algebraic incremental rollup (prev ⊕ agg(delta), base never
     # re-read) — oracle is the full recompute (lossless-maintenance)
     "rollup_algebraic_merge": lambda s, d: MG.algebraic_rollup_merge(
+        load_table(s, d, "orders")
+    ),
+    # r8 wave 41: ROLLUP(status, priority) — all subtotal granularities
+    # in one Expand pass (vs one scan per level via UNION ALL)
+    "rollup_grouping_sets": lambda s, d: AN.grouping_sets_rollup(
         load_table(s, d, "orders")
     ),
     # r7: winsorized robust feature stats on percentile_disc cutoffs
@@ -657,6 +663,7 @@ ORACLES = {
     "cdc_latest_user_state": MG.cdc_latest_state_sql(),
     "cdc_merge_upsert_actions": MG.merge_upsert_actions_sql(),
     "rollup_algebraic_merge": MG.algebraic_rollup_merge_sql(),
+    "rollup_grouping_sets": AN.grouping_sets_rollup_sql(),
     "feature_winsorize_events": winsorize_stats_sql(),
     "feature_target_encode_loo": target_encode_loo_sql(),
     "feature_robust_scale_events": robust_scale_stats_sql(),

@@ -67,6 +67,14 @@ def transactions_with_id(events: DataFrame) -> DataFrame:
         F.col("user_id"),
         F.col("value").alias("amount"),
         F.col("ts").alias("transaction_date"),
+        # deterministic merchant synth from the event id — the fixture
+        # carries no merchant column, but the reference detail payload
+        # (backend/app/models/transactions.py:17-28 to_dict) includes
+        # merchant_name, so the adapter provides the field the same way
+        # it provides transaction_type
+        F.concat(F.lit("merchant_"), (F.col("event_id") % 97).cast("string")).alias(
+            "merchant_name"
+        ),
         F.col("event_type").alias("category"),
         (F.get_json_object(F.col("props"), "$.k").cast("int") % 4 + 1).alias("city_tier"),
         _events_transaction_type(F.col("event_id")).alias("transaction_type"),

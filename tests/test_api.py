@@ -195,6 +195,40 @@ def test_transaction_detail_roundtrip(client):
     )
 
 
+def test_segment_detail_routes_match_reference_envelope(client):
+    """GET /segments/<id> and /segments/by_rule/<rule_id> (reference
+    backend/app/api/segments.py:32,47) return the SegmentCatalog.to_dict
+    key set; unknown ids 404."""
+    r = client.post(
+        "/api/v1/rules", json={"rule_name": "seg_detail", "conditions": [AMT]}
+    )
+    rid = r.json["data"]["id"]
+    client.post(f"/api/v1/rules/{rid}/trigger")
+    expected_keys = {
+        "id", "segment_name", "description", "table_name", "row_count",
+        "rule_id", "sql_query", "refresh_frequency", "last_refreshed_at",
+        "created_at", "operation", "dependencies",
+    }
+    by_id = client.get(f"/api/v1/segments/{rid}")
+    assert by_id.status_code == 200 and by_id.json["status"] == "success"
+    data = by_id.json["data"]
+    assert set(data) == expected_keys
+    assert data["rule_id"] == rid and data["id"] == rid
+    assert data["row_count"] >= 0 and data["dependencies"] == []
+    by_rule = client.get(f"/api/v1/segments/by_rule/{rid}")
+    assert by_rule.status_code == 200 and by_rule.json["data"] == data
+    assert client.get("/api/v1/segments/99999").status_code == 404
+    assert client.get("/api/v1/segments/by_rule/99999").status_code == 404
+
+
+def test_transaction_payload_carries_merchant_name(client):
+    first = client.get("/api/v1/transactions/upi?per_page=1").json["items"][0]
+    # reference to_dict (backend/app/models/transactions.py:17-28)
+    assert first["merchant_name"].startswith("merchant_")
+    tid = first["transaction_id"]
+    assert first["merchant_name"] == f"merchant_{tid % 97}"
+
+
 def test_transactions_routes_501_without_detail_source(spark, sf_dir, tmp_path):
     txns = unified_transactions_from_events(load_table(spark, sf_dir, "events"))
     engine = AudienceEngine(spark, Catalog(str(tmp_path / "cat2")), lambda: txns)

@@ -14,10 +14,14 @@ flags, writing PLAN_AUDIT.md:
 `tests/test_plan_audit.py` runs the same scan and fails on any
 undeclared flag, so the audit is enforcement, not documentation.
 
-Note: operators built on eager `materialize()` boundaries execute their
-upstream stages during plan CONSTRUCTION; the audited plan is the final
-consumer plan reading the materialized tables (the per-stage plans are
-covered by the operator-specific tests in tests/test_plans.py).
+Operators built on eager `materialize()` boundaries execute their
+upstream stages during plan CONSTRUCTION, so the final consumer plan
+never contains the stage's joins. The audit therefore hooks
+`partitioning.STAGE_PLAN_RECORDER`: every materialize() input plan is
+recorded and scanned with the SAME rules as the consumer plan (r7
+verdict finding 2 — a cross join inside a materialized scoring stage
+escaped the r7 scan). A query's row aggregates the flags of its
+consumer plan plus all of its stage plans.
 """
 
 from __future__ import annotations
@@ -134,6 +138,8 @@ NESTED_LOOP_ALLOWED = {
     "scd2_bitemporal_restatements",
     # 1-row table-total broadcast onto the |hot keys| plan rows
     "skew_salt_plan",
+    # inherits salt_plan's 1-row total broadcast (the consumer wiring)
+    "skew_salted_agg_by_plan",
     # 1-row spike-day anchor broadcast onto the |types| slices
     "analytics_delta_attribution",
     # 1-row midpoint anchor + 1-row totals broadcasts
@@ -204,6 +210,17 @@ NESTED_LOOP_ALLOWED = {
     "ann_mmr_rerank_topk",
     # |LFs|+1 result rows cross the broadcast 1-row doc-count total
     "text_weak_label_votes",
+    # the DOCUMENTED exact fixture baseline: its materialized scoring
+    # stage is the bipartite cross join (|A|·|B| bounded to the fixture;
+    # the registered scale path is emb_margin_mutual_knn_ivf) — visible
+    # since the r8 stage-plan scan closed the materialize() blind spot
+    "emb_margin_mutual_knn",
+    # IVF-gated margin miner: probe stage crosses the K-row centroid
+    # model (the ann_ivf_kmeans_topk shape)
+    "emb_margin_mutual_knn_ivf",
+    # recall eval composes the exact baseline + the gated path (both
+    # declared above); 1-row count tables cross-joined into the report
+    "ann_recall_margin_ivf_vs_exact",
 }
 
 ARROW_ALLOWED = {
@@ -257,6 +274,15 @@ ARROW_ALLOWED = {
     "dedup_semantic",
     "emb_jl_distortion",
     "sample_kcenter_diverse",
+    # IVF-gated margin miner + its recall eval: the shared cell-assign
+    # Arrow kernel (assign_cells_arrow)
+    "emb_margin_mutual_knn_ivf",
+    "ann_recall_margin_ivf_vs_exact",
+    # surfaced by the r8 stage-plan scan (materialized stages run the
+    # cell-assign Arrow kernel): the probe sweep's shared assignment
+    # table and the gated-maxsim recall eval's cell gate
+    "ann_probe_recall_curve",
+    "ann_recall_maxsim_ivf_vs_exact",
 }
 
 
@@ -275,17 +301,30 @@ def scan(plan: str) -> dict:
 
 def audit(spark, sf_dir: str):
     from audience_manager_platform_spark import registry
+    from audience_manager_platform_spark.operators import partitioning
 
     rows = []
     violations = []
     for name, fn in registry.queries().items():
+        partitioning.STAGE_PLAN_RECORDER = []
         try:
             df = fn(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
+            stage_plans = list(partitioning.STAGE_PLAN_RECORDER)
         except Exception as ex:  # audit must SEE failures, not skip them
             violations.append((name, f"plan build failed: {ex}"))
             continue
+        finally:
+            partitioning.STAGE_PLAN_RECORDER = None
         s = scan(plan)
+        s["stages"] = len(stage_plans)
+        # a materialized stage's red flag is the QUERY's red flag: fold
+        # every stage scan into the same row the allowlists key on
+        for sp in stage_plans:
+            ss = scan(sp)
+            for k in ("cartesian", "nested_loop", "batch_python", "arrow_python"):
+                s[k] = s[k] or ss[k]
+            s["exchanges"] += ss["exchanges"]
         rows.append((name, s))
         if s["batch_python"]:
             violations.append((name, "BatchEvalPython (row-at-a-time Python)"))
@@ -310,13 +349,15 @@ def main() -> int:
         "(`python tools/audit_plans.py`; enforced by "
         "`tests/test_plan_audit.py`).",
         "",
-        "| query | exchanges | nested-loop | arrow |",
-        "|---|---|---|---|",
+        "| query | exchanges | stages | nested-loop | arrow |",
+        "|---|---|---|---|---|",
     ]
     for name, s in sorted(rows):
         nl = "allowed" if (s["cartesian"] or s["nested_loop"]) else ""
         ar = "kernel" if s["arrow_python"] else ""
-        lines.append(f"| {name} | {s['exchanges']} | {nl} | {ar} |")
+        lines.append(
+            f"| {name} | {s['exchanges']} | {s.get('stages', 0)} | {nl} | {ar} |"
+        )
     lines.append("")
     if violations:
         lines.append("## VIOLATIONS")

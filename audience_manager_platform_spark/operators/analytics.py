@@ -2967,53 +2967,547 @@ def mix_rate_decomposition_sql(src: str = "events") -> str:
     """
 
 
-# ------------------------------------------- multi-granularity ROLLUP
-def grouping_sets_rollup(orders: DataFrame) -> DataFrame:
-    """Multi-granularity aggregate in ONE pass — ``ROLLUP(status,
-    priority)`` gives per-(status, priority) cells, per-status
-    subtotals, and the grand total from a single scan via Catalyst's
-    Expand operator: each input row fans out once per grouping set
-    BEFORE the shuffle and partial aggregation still combines map-side,
-    so the exchange carries at most |sets| x |groups| rows — versus the
-    three scans the UNION ALL formulation a naive consumer writes would
-    pay (at 100 TB, ROLLUP/CUBE is the difference between one pass and
-    one per granularity).
+# --------------------------------------------- difference-in-differences
+def diff_in_diff(events: DataFrame, salt: str = "ab-v1") -> DataFrame:
+    """Difference-in-differences readout — the causal-inference staple a
+    plain pre/post or treat/control comparison gets wrong when both a
+    time trend and a group difference exist: DiD = (T_post - T_pre) -
+    (C_post - C_pre) cancels the level difference between arms AND the
+    shared trend, leaving the treatment effect under the parallel-trends
+    assumption.
 
-    ``GROUPING()`` flags distinguish subtotal NULLs from data NULLs —
-    the contract every BI layer over a rollup depends on; display keys
-    coalesce to '<all>' so the gate hashes strings, not NULL
-    ambiguity."""
-    cents = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
-    return (
-        orders.rollup("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count("*").cast("long").alias("n_orders"),
-            F.sum(cents).cast("long").alias("total_cents"),
-            F.grouping("o_orderstatus").cast("long").alias("g_status"),
-            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+    Assignment reuses the engine's deterministic md5 arm split
+    (:func:`ab_srm_check`'s discipline — replayable from the salt);
+    period is the midpoint-day split (:func:`mix_rate_decomposition`'s
+    cut). The whole readout is ONE (arm, period)-keyed aggregate — 4
+    groups survive the shuffle at any scale — plus a 1-row pivot; cell
+    means are exact truncating integer micro-cents (cents * 1e4 div n),
+    so the estimate is a bigint difference both engines reproduce
+    bit-for-bit. Empty cells CASE-guard to NULL (never an ANSI
+    divide-by-zero)."""
+    from ..functions import stable_long_hash
+
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    base = events.filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        (
+            stable_long_hash(F.col("user_id").cast("string"), salt=salt) % 2
+        ).alias("arm"),
+        cents.alias("cents"),
+        F.to_date("ts").alias("d"),
+    )
+    bounds = base.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.expr("date_add(lo, CAST(datediff(hi, lo) div 2 AS INT))").alias(
+            "mid"
         )
-        .select(
-            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
-            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
-            "g_status",
-            "g_priority",
-            "n_orders",
-            "total_cents",
+    )
+    per = (
+        base.crossJoin(F.broadcast(bounds))
+        .withColumn("period", F.expr("CASE WHEN d <= mid THEN 1 ELSE 2 END"))
+        .groupBy("arm", "period")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+    )
+    cell = (
+        lambda a, p, col: F.max(
+            F.when((F.col("arm") == a) & (F.col("period") == p), F.col(col))
         )
-        .orderBy("g_status", "g_priority", "status", "priority")
+    )
+    wide = per.agg(
+        F.coalesce(cell(0, 1, "n"), F.lit(0)).cast("long").alias("n_c_pre"),
+        F.coalesce(cell(0, 2, "n"), F.lit(0)).cast("long").alias("n_c_post"),
+        F.coalesce(cell(1, 1, "n"), F.lit(0)).cast("long").alias("n_t_pre"),
+        F.coalesce(cell(1, 2, "n"), F.lit(0)).cast("long").alias("n_t_post"),
+        cell(0, 1, "s").alias("_sc1"),
+        cell(0, 2, "s").alias("_sc2"),
+        cell(1, 1, "s").alias("_st1"),
+        cell(1, 2, "s").alias("_st2"),
+    )
+    mean = (
+        lambda s, n: F.expr(
+            f"CASE WHEN {n} = 0 THEN NULL ELSE {s} * 10000 div {n} END"
+        )
+    )
+    return wide.select(
+        "n_c_pre",
+        "n_c_post",
+        "n_t_pre",
+        "n_t_post",
+        mean("_sc1", "n_c_pre").alias("ctrl_pre_micro"),
+        mean("_sc2", "n_c_post").alias("ctrl_post_micro"),
+        mean("_st1", "n_t_pre").alias("treat_pre_micro"),
+        mean("_st2", "n_t_post").alias("treat_post_micro"),
+        (
+            (mean("_st2", "n_t_post") - mean("_st1", "n_t_pre"))
+            - (mean("_sc2", "n_c_post") - mean("_sc1", "n_c_pre"))
+        ).alias("did_micro"),
     )
 
 
-def grouping_sets_rollup_sql(src: str = "orders") -> str:
+def diff_in_diff_sql(src: str = "events", salt: str = "ab-v1") -> str:
+    from ..functions import HASH60_DUCK_SQL
+
+    h = HASH60_DUCK_SQL.format(x=f"'{salt}' || CAST(user_id AS VARCHAR)")
     return f"""
-        SELECT COALESCE(o_orderstatus, '<all>') AS status,
-               COALESCE(o_orderpriority, '<all>') AS priority,
-               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
-               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
-               CAST(COUNT(*) AS BIGINT) AS n_orders,
-               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
-                    AS BIGINT) AS total_cents
-        FROM {src}
-        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
-        ORDER BY g_status, g_priority, status, priority
+        WITH base AS (
+          SELECT ({h}) % 2 AS arm,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                 CAST(ts AS DATE) AS d
+          FROM {src}
+          WHERE value IS NOT NULL AND user_id IS NOT NULL
+        ),
+        bounds AS (
+          SELECT MIN(d) + CAST((MAX(d) - MIN(d)) // 2 AS INTEGER) AS mid
+          FROM base
+        ),
+        per AS (
+          SELECT arm,
+                 CASE WHEN d <= (SELECT mid FROM bounds) THEN 1 ELSE 2 END
+                   AS period,
+                 CAST(COUNT(*) AS BIGINT) AS n, SUM(cents) AS s
+          FROM base GROUP BY 1, 2
+        ),
+        wide AS (
+          SELECT
+            COALESCE(MAX(CASE WHEN arm = 0 AND period = 1 THEN n END), 0)
+              AS n_c_pre,
+            COALESCE(MAX(CASE WHEN arm = 0 AND period = 2 THEN n END), 0)
+              AS n_c_post,
+            COALESCE(MAX(CASE WHEN arm = 1 AND period = 1 THEN n END), 0)
+              AS n_t_pre,
+            COALESCE(MAX(CASE WHEN arm = 1 AND period = 2 THEN n END), 0)
+              AS n_t_post,
+            MAX(CASE WHEN arm = 0 AND period = 1 THEN s END) AS _sc1,
+            MAX(CASE WHEN arm = 0 AND period = 2 THEN s END) AS _sc2,
+            MAX(CASE WHEN arm = 1 AND period = 1 THEN s END) AS _st1,
+            MAX(CASE WHEN arm = 1 AND period = 2 THEN s END) AS _st2
+          FROM per
+        )
+        SELECT CAST(n_c_pre AS BIGINT) AS n_c_pre,
+               CAST(n_c_post AS BIGINT) AS n_c_post,
+               CAST(n_t_pre AS BIGINT) AS n_t_pre,
+               CAST(n_t_post AS BIGINT) AS n_t_post,
+               CAST(CASE WHEN n_c_pre = 0 THEN NULL
+                    ELSE _sc1 * 10000 // n_c_pre END AS BIGINT)
+                 AS ctrl_pre_micro,
+               CAST(CASE WHEN n_c_post = 0 THEN NULL
+                    ELSE _sc2 * 10000 // n_c_post END AS BIGINT)
+                 AS ctrl_post_micro,
+               CAST(CASE WHEN n_t_pre = 0 THEN NULL
+                    ELSE _st1 * 10000 // n_t_pre END AS BIGINT)
+                 AS treat_pre_micro,
+               CAST(CASE WHEN n_t_post = 0 THEN NULL
+                    ELSE _st2 * 10000 // n_t_post END AS BIGINT)
+                 AS treat_post_micro,
+               CAST(((CASE WHEN n_t_post = 0 THEN NULL
+                      ELSE _st2 * 10000 // n_t_post END)
+                   - (CASE WHEN n_t_pre = 0 THEN NULL
+                      ELSE _st1 * 10000 // n_t_pre END))
+                  - ((CASE WHEN n_c_post = 0 THEN NULL
+                      ELSE _sc2 * 10000 // n_c_post END)
+                   - (CASE WHEN n_c_pre = 0 THEN NULL
+                      ELSE _sc1 * 10000 // n_c_pre END)) AS BIGINT)
+                 AS did_micro
+        FROM wide
+    """
+
+
+# ------------------------------------------------- CUPED variance reduction
+def cuped_adjustment(events: DataFrame, salt: str = "ab-v1") -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
+    al. 2013) — the industry-standard A/B variance reduction: each
+    user's post-period spend is adjusted by theta x (pre-period spend -
+    grand pre mean), where theta = Cov(pre, post)/Var(pre); the
+    adjusted arm means estimate the same effect with (1 - rho^2) of the
+    variance, which is the difference between a two-week and a
+    two-month experiment.
+
+    Exact-integer discipline end to end: per-user period spends in
+    bigint cents (one combinable reduce); Cov/Var through MEAN-CENTERED
+    products (integer grand means first, then centered sums — the
+    ts_seasonal_strength overflow-safe form: raw n*Sxy - Sx*Sy would
+    overflow bigint at 100M rows); theta on the 1e-6 grid by one
+    truncating division; per-user adjustment ``y*1e4 - theta_ppm *
+    xc div 100`` (micro-cents) — every step identical on both engines.
+    Var(pre) = 0 degenerates to theta = 0 (raw means), never a
+    divide-by-zero. Two reduces over the materialized per-user table +
+    1-row broadcasts; output is 2 arm rows."""
+    from ..functions import stable_long_hash
+    from .partitioning import materialize
+
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    base = events.filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        "user_id", cents.alias("cents"), F.to_date("ts").alias("d")
+    )
+    bounds = base.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.expr("date_add(lo, CAST(datediff(hi, lo) div 2 AS INT))").alias(
+            "mid"
+        )
+    )
+    per_user = materialize(
+        base.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("CASE WHEN d <= mid THEN cents ELSE 0 END")).alias(
+                "x"
+            ),
+            F.sum(F.expr("CASE WHEN d > mid THEN cents ELSE 0 END")).alias(
+                "y"
+            ),
+        )
+        .select(
+            (
+                stable_long_hash(F.col("user_id").cast("string"), salt=salt)
+                % 2
+            ).alias("arm"),
+            "x",
+            "y",
+        )
+    )
+    means = per_user.agg(
+        F.count("*").alias("n"),
+        F.expr("sum(x) div count(*)").alias("mx"),
+        F.expr("sum(y) div count(*)").alias("my"),
+    )
+    theta = (
+        per_user.crossJoin(F.broadcast(means))
+        .agg(
+            F.sum(F.expr("(x - mx) * (y - my)")).alias("cov_c"),
+            F.sum(F.expr("(x - mx) * (x - mx)")).alias("var_c"),
+        )
+        .select(
+            F.expr(
+                "CASE WHEN var_c = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE cov_c * 1000000 div var_c END"
+            ).alias("theta_ppm")
+        )
+    )
+    return (
+        per_user.crossJoin(F.broadcast(means))
+        .crossJoin(F.broadcast(theta))
+        .groupBy("arm")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.expr("sum(y * 10000) div count(*)").alias("mean_post_micro"),
+            F.expr(
+                "sum(y * 10000 - (theta_ppm * (x - mx)) div 100)"
+                " div count(*)"
+            ).alias("mean_cuped_micro"),
+            F.max("theta_ppm").cast("long").alias("theta_ppm"),
+        )
+        .orderBy("arm")
+    )
+
+
+def cuped_adjustment_sql(src: str = "events", salt: str = "ab-v1") -> str:
+    from ..functions import HASH60_DUCK_SQL
+
+    h = HASH60_DUCK_SQL.format(x=f"'{salt}' || CAST(user_id AS VARCHAR)")
+    return f"""
+        WITH base AS (
+          SELECT user_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                 CAST(ts AS DATE) AS d
+          FROM {src}
+          WHERE value IS NOT NULL AND user_id IS NOT NULL
+        ),
+        bounds AS (
+          SELECT MIN(d) + CAST((MAX(d) - MIN(d)) // 2 AS INTEGER) AS mid
+          FROM base
+        ),
+        per_user AS MATERIALIZED (
+          SELECT ({h}) % 2 AS arm,
+                 CAST(SUM(CASE WHEN d <= (SELECT mid FROM bounds)
+                          THEN cents ELSE 0 END) AS BIGINT) AS x,
+                 CAST(SUM(CASE WHEN d > (SELECT mid FROM bounds)
+                          THEN cents ELSE 0 END) AS BIGINT) AS y
+          FROM base GROUP BY user_id
+        ),
+        means AS (
+          SELECT COUNT(*) AS n,
+                 CAST(SUM(x) // COUNT(*) AS BIGINT) AS mx,
+                 CAST(SUM(y) // COUNT(*) AS BIGINT) AS my
+          FROM per_user
+        ),
+        theta AS (
+          SELECT CASE WHEN SUM((x - mx) * (x - mx)) = 0
+                 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(SUM((x - mx) * (y - my)) * 1000000
+                      // SUM((x - mx) * (x - mx)) AS BIGINT) END
+                   AS theta_ppm
+          FROM per_user, means
+        )
+        SELECT arm,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(y * 10000) // COUNT(*) AS BIGINT)
+                 AS mean_post_micro,
+               CAST(SUM(y * 10000 - (theta_ppm * (x - mx)) // 100)
+                    // COUNT(*) AS BIGINT) AS mean_cuped_micro,
+               CAST(MAX(theta_ppm) AS BIGINT) AS theta_ppm
+        FROM per_user, means, theta
+        GROUP BY arm
+        ORDER BY arm
+    """
+
+
+# ------------------------------------------------------- SPRT monitor
+# ln-ratio constants on the 1e-9 grid, inlined so no cross-engine libm
+# call sits in the contract (the NDCG_DISCOUNT_E9 discipline):
+# H0 p=0.10 vs H1 p=0.12, alpha = beta = 0.05.
+SPRT_LLR_POS_E9 = 182321557   # ln(0.12/0.10) * 1e9
+SPRT_LLR_NEG_E9 = -22472856   # ln(0.88/0.90) * 1e9
+SPRT_A_E9 = 2944438979        # ln((1-beta)/alpha) = ln(19) * 1e9
+SPRT_B_E9 = -2944438979       # ln(beta/(1-alpha)) = -ln(19) * 1e9
+
+
+def sprt_monitor(events: DataFrame) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test as a daily monitor —
+    the early-stopping discipline a fixed-horizon z-test can't give
+    (peeking at a z-test inflates false positives; SPRT's thresholds
+    are valid at EVERY look): cumulative log-likelihood ratio of
+    "purchase share is p1" vs "p0" over the event stream, with the
+    accept/reject verdict per day.
+
+    llr = k*ln(p1/p0) + (n-k)*ln((1-p1)/(1-p0)) is EXACT bigint
+    arithmetic in 1e-9 units (the ln constants are inlined integers),
+    so the crossing day is engine-identical. One day-keyed combinable
+    aggregate, then a cumulative window over the |days|-row table (the
+    documented single-partition monitor pattern)."""
+    daily = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("k"),
+        )
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_n = F.sum("n").over(w)
+    cum_k = F.sum("k").over(w)
+    llr = (
+        cum_k * F.lit(SPRT_LLR_POS_E9)
+        + (cum_n - cum_k) * F.lit(SPRT_LLR_NEG_E9)
+    )
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        cum_n.cast("long").alias("cum_n"),
+        cum_k.cast("long").alias("cum_k"),
+        llr.cast("long").alias("llr_e9"),
+        F.when(llr >= SPRT_A_E9, F.lit("accept_h1"))
+        .when(llr <= SPRT_B_E9, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("verdict"),
+    ).orderBy("day")
+
+
+def sprt_monitor_sql(src: str = "events") -> str:
+    return f"""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 COUNT(*) AS n,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS k
+          FROM {src} GROUP BY 1
+        ),
+        cum AS (
+          SELECT day,
+                 SUM(n) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_n,
+                 SUM(k) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_k
+          FROM daily
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               CAST(cum_n AS BIGINT) AS cum_n,
+               CAST(cum_k AS BIGINT) AS cum_k,
+               CAST(cum_k * {SPRT_LLR_POS_E9}
+                    + (cum_n - cum_k) * ({SPRT_LLR_NEG_E9}) AS BIGINT)
+                 AS llr_e9,
+               CASE
+                 WHEN cum_k * {SPRT_LLR_POS_E9}
+                      + (cum_n - cum_k) * ({SPRT_LLR_NEG_E9})
+                      >= {SPRT_A_E9} THEN 'accept_h1'
+                 WHEN cum_k * {SPRT_LLR_POS_E9}
+                      + (cum_n - cum_k) * ({SPRT_LLR_NEG_E9})
+                      <= {SPRT_B_E9} THEN 'accept_h0'
+                 ELSE 'continue'
+               END AS verdict
+        FROM cum
+        ORDER BY day
+    """
+
+
+# ------------------------------------------------ Qini uplift deciles
+def qini_uplift_deciles(events: DataFrame, salt: str = "ab-v1") -> DataFrame:
+    """Uplift-targeting evaluation (Qini/uplift-by-decile) — the
+    offline readout that grades a TARGETING score, not a model fit:
+    rank users by the score (here the pre-period spend, the classic
+    "target your big spenders" heuristic), split into deciles, and per
+    decile compare treated vs control post-period conversion. The
+    cumulative treated-minus-control gap per decile is the Qini curve;
+    a useless score gives a flat line.
+
+    Arm = the deterministic hash split; pre/post = midpoint-day split;
+    conversion = any post-period purchase. Exact arithmetic: rates in
+    ppm by truncating division (zero-guarded), deciles by ntile over
+    (score DESC, user_id) — a total order, so decile membership is
+    engine-identical. One per-user reduce + one |users|-row window +
+    a 10-row rollup."""
+    from ..functions import stable_long_hash
+    from .partitioning import materialize
+
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    base = events.filter(F.col("user_id").isNotNull()).select(
+        "user_id",
+        F.coalesce(cents, F.lit(0)).alias("cents"),
+        F.to_date("ts").alias("d"),
+        "event_type",
+    )
+    bounds = base.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.expr("date_add(lo, CAST(datediff(hi, lo) div 2 AS INT))").alias(
+            "mid"
+        )
+    )
+    per_user = materialize(
+        base.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN d <= mid THEN cents ELSE 0 END")
+            ).alias("score"),
+            F.max(
+                F.expr(
+                    "CASE WHEN d > mid AND event_type = 'purchase'"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).alias("converted"),
+        )
+        .select(
+            (
+                stable_long_hash(F.col("user_id").cast("string"), salt=salt)
+                % 2
+            ).alias("arm"),
+            "user_id",
+            "score",
+            "converted",
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("user_id"))
+    deciled = per_user.withColumn("decile", F.ntile(10).over(w))
+    per_dec = deciled.groupBy("decile").agg(
+        F.sum((F.col("arm") == 1).cast("long")).alias("n_t"),
+        F.sum((F.col("arm") == 0).cast("long")).alias("n_c"),
+        F.sum(
+            F.expr("CASE WHEN arm = 1 THEN converted ELSE 0 END")
+        ).alias("k_t"),
+        F.sum(
+            F.expr("CASE WHEN arm = 0 THEN converted ELSE 0 END")
+        ).alias("k_c"),
+    )
+    wc = (
+        Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_dec.select(
+        "decile",
+        F.col("n_t").cast("long").alias("n_t"),
+        F.col("n_c").cast("long").alias("n_c"),
+        F.col("k_t").cast("long").alias("k_t"),
+        F.col("k_c").cast("long").alias("k_c"),
+        F.sum("n_t").over(wc).alias("cnt"),
+        F.sum("n_c").over(wc).alias("cnc"),
+        F.sum("k_t").over(wc).alias("ckt"),
+        F.sum("k_c").over(wc).alias("ckc"),
+    )
+    rate = lambda k, n: F.expr(  # noqa: E731
+        f"CASE WHEN {n} = 0 THEN NULL ELSE {k} * 1000000 div {n} END"
+    )
+    return cum.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "k_t",
+        "k_c",
+        (rate("k_t", "n_t") - rate("k_c", "n_c")).alias("uplift_ppm"),
+        (rate("ckt", "cnt") - rate("ckc", "cnc")).alias("cum_qini_ppm"),
+    ).orderBy("decile")
+
+
+def qini_uplift_deciles_sql(src: str = "events", salt: str = "ab-v1") -> str:
+    from ..functions import HASH60_DUCK_SQL
+
+    h = HASH60_DUCK_SQL.format(x=f"'{salt}' || CAST(user_id AS VARCHAR)")
+    return f"""
+        WITH base AS (
+          SELECT user_id,
+                 COALESCE(CAST(floor(value * 100 + 0.5) AS BIGINT), 0)
+                   AS cents,
+                 CAST(ts AS DATE) AS d,
+                 event_type
+          FROM {src} WHERE user_id IS NOT NULL
+        ),
+        bounds AS (
+          SELECT MIN(d) + CAST((MAX(d) - MIN(d)) // 2 AS INTEGER) AS mid
+          FROM base
+        ),
+        per_user AS MATERIALIZED (
+          SELECT ({h}) % 2 AS arm,
+                 user_id,
+                 CAST(SUM(CASE WHEN d <= (SELECT mid FROM bounds)
+                          THEN cents ELSE 0 END) AS BIGINT) AS score,
+                 MAX(CASE WHEN d > (SELECT mid FROM bounds)
+                     AND event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+          FROM base GROUP BY user_id
+        ),
+        deciled AS (
+          SELECT *, NTILE(10) OVER (ORDER BY score DESC, user_id ASC)
+                   AS decile
+          FROM per_user
+        ),
+        per_dec AS (
+          SELECT decile,
+                 SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_t,
+                 SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_c,
+                 SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS k_t,
+                 SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS k_c
+          FROM deciled GROUP BY decile
+        ),
+        cum AS (
+          SELECT decile, n_t, n_c, k_t, k_c,
+                 SUM(n_t) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt,
+                 SUM(n_c) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnc,
+                 SUM(k_t) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ckt,
+                 SUM(k_c) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ckc
+          FROM per_dec
+        )
+        SELECT decile,
+               CAST(n_t AS BIGINT) AS n_t,
+               CAST(n_c AS BIGINT) AS n_c,
+               CAST(k_t AS BIGINT) AS k_t,
+               CAST(k_c AS BIGINT) AS k_c,
+               CAST((CASE WHEN n_t = 0 THEN NULL
+                     ELSE k_t * 1000000 // n_t END)
+                  - (CASE WHEN n_c = 0 THEN NULL
+                     ELSE k_c * 1000000 // n_c END) AS BIGINT)
+                 AS uplift_ppm,
+               CAST((CASE WHEN cnt = 0 THEN NULL
+                     ELSE ckt * 1000000 // cnt END)
+                  - (CASE WHEN cnc = 0 THEN NULL
+                     ELSE ckc * 1000000 // cnc END) AS BIGINT)
+                 AS cum_qini_ppm
+        FROM cum
+        ORDER BY decile
     """

@@ -337,6 +337,7 @@ def minhash_lsh_pairs(
     est_threshold: float = 0.5,
     n: int = NGRAM_N,
     max_band_size: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding: signatures → band keys (md5 of each band's
     values) → candidate pairs = docs sharing any band key → estimated
@@ -363,7 +364,8 @@ def minhash_lsh_pairs(
     signatures would be a materialized table reused across dedup runs
     anyway; nothing stays in the block manager after the action.
     """
-    sigs = materialize(minhash_signatures(docs, n))
+    if sigs is None:
+        sigs = materialize(minhash_signatures(docs, n))
     bands_long = bands_of(sigs)
     if max_band_size is not None:
         small_bands = (
@@ -1104,6 +1106,7 @@ def dedup_recall_eval(
     docs: DataFrame,
     threshold: float = 0.5,
     n: int = NGRAM_N,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Retrieval-quality audit of the MinHash+LSH dedup path against
     exact n-gram Jaccard ground truth AT THE SAME THRESHOLD — the dedup
@@ -1119,7 +1122,7 @@ def dedup_recall_eval(
     true_pairs = ngram_jaccard_pairs(docs, threshold=threshold, n=n).select(
         "doc_a", "doc_b", F.lit(1).alias("t")
     )
-    est_pairs = minhash_lsh_pairs(docs, est_threshold=threshold, n=n).select(
+    est_pairs = minhash_lsh_pairs(docs, est_threshold=threshold, n=n, sigs=sigs).select(
         "doc_a", "doc_b", F.lit(1).alias("e")
     )
     both = true_pairs.join(est_pairs, ["doc_a", "doc_b"], "full")
@@ -1177,6 +1180,7 @@ def minhash_accuracy(
     est_threshold: float = 0.5,
     n: int = NGRAM_N,
     max_band_size: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Estimate-vs-truth audit of the MinHash signatures: for every LSH
     candidate pair, the signature-agreement ESTIMATE next to the exact
@@ -1192,7 +1196,7 @@ def minhash_accuracy(
     shared-gram self-join runs over the candidate docs only, the same
     containment trick :func:`ngram_containment_pairs` uses), and sizes
     ride the pair row from the |docs|-row gram-size table."""
-    pairs = minhash_lsh_pairs(docs, est_threshold, n, max_band_size)
+    pairs = minhash_lsh_pairs(docs, est_threshold, n, max_band_size, sigs=sigs)
     grams = _doc_grams(docs, n)
     sizes = grams.select("doc_id", "n_grams")
     withsz = pairs.join(
@@ -1438,6 +1442,7 @@ def lsh_threshold_sweep(
     thresholds: tuple[float, ...] = SWEEP_THRESHOLDS,
     n: int = NGRAM_N,
     max_band_size: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup ROI curve: for each candidate MinHash threshold, how many
     near-dup pairs would be flagged and how many documents touched —
@@ -1452,7 +1457,8 @@ def lsh_threshold_sweep(
     each threshold is a conditional aggregate over the scored pair
     table) — the sweep costs the same data movement as a single dedup
     run plus a |pairs|-row multi-count."""
-    sigs = materialize(minhash_signatures(docs, n))
+    if sigs is None:
+        sigs = materialize(minhash_signatures(docs, n))
     bands_long = bands_of(sigs)
     if max_band_size is not None:
         small = (

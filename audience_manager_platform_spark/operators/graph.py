@@ -617,6 +617,7 @@ def triangle_participation(
     ctx_col: str,
     item_col: str,
     min_cooc: int = 2,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Per-node triangle participation over the co-occurrence graph:
     items are adjacent when they share at least ``min_cooc`` distinct
@@ -636,7 +637,8 @@ def triangle_participation(
     raw id so every wedge pivot has bounded out-degree. Output is exact
     integer counts: one row per participating node.
     """
-    edges = cooccurrence_edges(pairs, ctx_col, item_col, min_cooc)
+    if edges is None:
+        edges = cooccurrence_edges(pairs, ctx_col, item_col, min_cooc)
     wedges = (
         edges.select(F.col("a").alias("ta"), F.col("b").alias("tb"))
         .join(
@@ -690,6 +692,7 @@ def bfs_distances(
     item_col: str,
     min_cooc: int = 2,
     max_depth: int = 3,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Single-source BFS over the co-occurrence graph: hop distances
     from a deterministic source (the minimum node id) out to
@@ -706,7 +709,8 @@ def bfs_distances(
     """
     from .partitioning import materialize
 
-    edges = cooccurrence_edges(pairs, ctx_col, item_col, min_cooc)
+    if edges is None:
+        edges = cooccurrence_edges(pairs, ctx_col, item_col, min_cooc)
     sym = materialize(
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(
@@ -779,6 +783,7 @@ def kcore_nodes(
     core_k: int = 2,
     min_cooc: int = 2,
     rounds: int = 6,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """k-core decomposition (fixed peeling rounds): repeatedly drop
     nodes whose degree in the surviving subgraph is below ``core_k`` —
@@ -796,7 +801,8 @@ def kcore_nodes(
     """
     from .partitioning import materialize
 
-    edges = cooccurrence_edges(pairs, ctx_col, item_col, min_cooc)
+    if edges is None:
+        edges = cooccurrence_edges(pairs, ctx_col, item_col, min_cooc)
     sym = materialize(
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(
@@ -864,6 +870,7 @@ def link_prediction_scores(
     item_col: str,
     min_cooc: int = 2,
     top_n: int = 50,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Missing-link candidates over the co-occurrence graph: score every
     NON-adjacent pair (u, v) that shares at least one neighbor by
@@ -886,7 +893,8 @@ def link_prediction_scores(
     cap works. Candidates are anti-joined against the edge list, and
     the global top-n is TakeOrderedAndProject (per-partition heads,
     no full sort)."""
-    edges = cooccurrence_edges(pairs, ctx_col, item_col, min_cooc)
+    if edges is None:
+        edges = cooccurrence_edges(pairs, ctx_col, item_col, min_cooc)
     adj = edges.select(
         F.col("a").alias("node"), F.col("b").alias("nbr")
     ).unionAll(edges.select(F.col("b").alias("node"), F.col("a").alias("nbr")))

@@ -757,6 +757,7 @@ def kmeans_clusters(
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
     model: list[tuple[int, list[float]]] | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Gate-facing k-means summary: final cluster sizes, within-cluster
     mean cosine (spherical inertia analogue) and centroid norms — scalar
@@ -769,8 +770,10 @@ def kmeans_clusters(
     base = emb.select("vec_id", _vec_double().alias("v"))
     model = kmeans_fit_model(emb, k, iters) if model is None else model
     cents = _model_df(emb.sparkSession, model)
+    if assigned is None:
+        assigned = assign_cells_arrow(base, model)
     return (
-        assign_cells_arrow(base, model)
+        assigned
         .groupBy("cent_id")
         .agg(
             F.count("*").alias("size"),
@@ -793,6 +796,7 @@ def ivf_kmeans_topk(
     n_clusters: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
     model: list[tuple[int, list[float]]] | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k with a LEARNED coarse quantizer: train k-means on the
     corpus, then run the shared probe pipeline against the fitted
@@ -802,7 +806,10 @@ def ivf_kmeans_topk(
     base = emb.select("vec_id", _vec_double().alias("v"))
     if model is None:
         model = kmeans_fit_model(emb, n_clusters, iters)
-    return _ivf_probe(base, _model_df(emb.sparkSession, model), query_ids, k, model=model)
+    return _ivf_probe(
+        base, _model_df(emb.sparkSession, model), query_ids, k,
+        model=model, assigned=assigned,
+    )
 
 
 def _kmeans_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
@@ -2000,6 +2007,7 @@ def kmeans_quality(
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
     model: list[tuple[int, list[float]]] | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster-quality audit (Davies-Bouldin, spherical form): the
     go/no-go number for the fitted coarse quantizer the IVF / SemDeDup
@@ -2018,7 +2026,8 @@ def kmeans_quality(
     base = emb.select("vec_id", _vec_double().alias("v"))
     if model is None:
         model = kmeans_fit_model(emb, k, iters)
-    assigned = assign_cells_arrow(base, model)
+    if assigned is None:
+        assigned = assign_cells_arrow(base, model)
     per = (
         assigned.groupBy("cent_id")
         .agg(
@@ -2408,6 +2417,7 @@ def margin_mutual_knn_ivf(
     n_clusters: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
     model: list[tuple[int, list[float]]] | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-gated margin mutual-kNN mining — the scale-safe registered
     plan for :func:`margin_mutual_knn` (r7 verdict: the exact variant's
@@ -2429,10 +2439,11 @@ def margin_mutual_knn_ivf(
     if model is None:
         model = kmeans_fit_model(emb, n_clusters, iters)
     cents = _model_df(emb.sparkSession, model)
-    assigned = assign_cells_arrow(base, model, keep_vec=True).select(
-        "vec_id", "v", "cent_id"
-    )
-    b = assigned.filter(F.col("vec_id") % 2 == 1).select(
+    if assigned is None:
+        assigned = assign_cells_arrow(base, model, keep_vec=True)
+    b = assigned.select("vec_id", "v", "cent_id").filter(
+        F.col("vec_id") % 2 == 1
+    ).select(
         F.col("vec_id").alias("b_id"),
         F.col("v").alias("bv"),
         _norm_expr("v").alias("nb"),
@@ -2535,6 +2546,7 @@ def margin_recall_eval(
     n_clusters: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
     model: list[tuple[int, list[float]]] | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Pair recall of the IVF-gated margin miner against the exact miner
     — the measured-recall eval every approximate stage ships (the
@@ -2545,7 +2557,8 @@ def margin_recall_eval(
     |pairs|-row tables."""
     exact = margin_mutual_knn(emb, k, threshold).select("a_id", "b_id")
     gated = margin_mutual_knn_ivf(
-        emb, k, threshold, n_probes, n_clusters, iters, model=model
+        emb, k, threshold, n_probes, n_clusters, iters, model=model,
+        assigned=assigned,
     ).select("a_id", "b_id", F.lit(1).alias("hit"))
     common = exact.join(gated.drop("hit"), ["a_id", "b_id"]).agg(
         F.count("*").cast("long").alias("n_common")

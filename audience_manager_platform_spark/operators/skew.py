@@ -972,9 +972,17 @@ def salted_agg_by_plan(
     per row, so retries/replays land in the same subkey. Both stages are
     algebraic (count/sum compose across partials), so the merged result
     is EXACTLY the plain aggregate — the DuckDB oracle is the unsalted
-    ``GROUP BY``, which is the whole point: same answer, skew-proof
-    plan. ``salt_factor`` is carried into the output so the consumer
-    can see which keys the plan split."""
+    ``GROUP BY``. ``salt_factor`` is carried into the output so the
+    consumer can see which keys the plan split.
+
+    MEASURED caveat (100M-row smoke, 50%-hot key): for BUILT-IN
+    algebraic aggregates Spark's map-side partial aggregation already
+    collapses each partition to <= |keys| rows before the shuffle, so
+    the plain plan has no straggler and beats this one (1.0 s vs
+    20.3 s — the salt pays two extra scans plus a join). This operator
+    is the plan-wiring demonstration; the salt discipline's genuine
+    scale consumers are the shapes WITHOUT map-side combine: skewed
+    joins (:func:`salted_join`) and sort/buffer-based per-key state."""
     plan = salt_plan(df, key, target_rows).select(
         F.col("key").alias("_k"), "salt_factor"
     )
@@ -1052,4 +1060,168 @@ def salt_plan_sql(
         FROM freqs, total
         WHERE freq > {int(target_rows)}
         ORDER BY freq DESC, key ASC
+    """
+
+
+# ------------------------------------------------ CMS heavy-change probe
+def cms_heavy_change(
+    df: DataFrame,
+    key: str,
+    date_col: str,
+    query_keys: list[int],
+) -> DataFrame:
+    """Heavy-CHANGE detection between two period sketches — the
+    snapshot-diff question ("which keys' traffic moved most since last
+    period?") answered from MERGEABLE state: one d x w count-min
+    counter table per midpoint-split period (built in ONE combinable
+    aggregate each — at most 2·d·w groups survive the shuffle at any
+    input size), probe keys answered by min-over-rows per period, and
+    the estimated delta certified against the exact per-period truth.
+
+    At 100 TB the two counter tables are the ONLY state the diff needs
+    (a few KB each, stored per day and merged by addition into
+    arbitrary windows); the exact-truth join here is the fixture-scale
+    certification, not the production path. Probe buckets are computed
+    driver-side from the shared universal-hash constants and enter as
+    literal rows (the :func:`cms_estimate` discipline)."""
+    spark = df.sparkSession
+    base = df.select(
+        F.col(key).alias("_k"), F.to_date(date_col).alias("d")
+    )
+    bounds = base.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.expr("date_add(lo, CAST(datediff(hi, lo) div 2 AS INT))").alias(
+            "mid"
+        )
+    )
+    tagged = base.crossJoin(F.broadcast(bounds)).select(
+        "_k", F.expr("CASE WHEN d <= mid THEN 1 ELSE 2 END").alias("period")
+    )
+    counters = (
+        tagged.select(
+            "period",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            F.expr(_cms_bucket_sql("_k", r)).alias("bucket"),
+                        )
+                        for r in range(CMS_D)
+                    ]
+                )
+            ).alias("rb"),
+        )
+        .select("period", "rb.r", "rb.bucket")
+        .groupBy("period", "r", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    probes = spark.createDataFrame(
+        [
+            (int(k), r, _cms_bucket_py(int(k), r))
+            for k in query_keys
+            for r in range(CMS_D)
+        ],
+        f"{key} long, r int, bucket long",
+    )
+    ests = (
+        probes.join(F.broadcast(counters), ["r", "bucket"], "left")
+        .groupBy(key, "period")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+        .groupBy(key)
+        .agg(
+            F.max(F.expr("CASE WHEN period = 1 THEN est END")).alias("_e1"),
+            F.max(F.expr("CASE WHEN period = 2 THEN est END")).alias("_e2"),
+        )
+    )
+    truth = (
+        tagged.filter(F.col("_k").isin([int(k) for k in query_keys]))
+        .groupBy(F.col("_k").alias(key))
+        .agg(
+            F.sum((F.col("period") == 1).cast("long")).alias("_t1"),
+            F.sum((F.col("period") == 2).cast("long")).alias("_t2"),
+        )
+    )
+    return (
+        ests.join(truth, key, "left")
+        .select(
+            key,
+            F.coalesce("_e1", F.lit(0)).cast("long").alias("est_pre"),
+            F.coalesce("_e2", F.lit(0)).cast("long").alias("est_post"),
+            (F.coalesce("_e2", F.lit(0)) - F.coalesce("_e1", F.lit(0)))
+            .cast("long")
+            .alias("est_delta"),
+            (F.coalesce("_t2", F.lit(0)) - F.coalesce("_t1", F.lit(0)))
+            .cast("long")
+            .alias("true_delta"),
+        )
+        .orderBy(key)
+    )
+
+
+def cms_heavy_change_sql(
+    src: str, key: str, date_col: str, query_keys: list[int]
+) -> str:
+    rows = ",\n                 ".join(
+        f"({int(k)}, {r}, {_cms_bucket_py(int(k), r)})"
+        for k in query_keys
+        for r in range(CMS_D)
+    )
+    union_rows = "\n          UNION ALL ".join(
+        f"SELECT period, {r} AS r, {_cms_bucket_sql('_k', r)} AS bucket"
+        " FROM tagged"
+        for r in range(CMS_D)
+    )
+    keys_in = ", ".join(str(int(k)) for k in query_keys)
+    return f"""
+        WITH base AS (
+          SELECT {key} AS _k, CAST({date_col} AS DATE) AS d FROM {src}
+        ),
+        bounds AS (
+          SELECT MIN(d) + CAST((MAX(d) - MIN(d)) // 2 AS INTEGER) AS mid
+          FROM base
+        ),
+        tagged AS (
+          SELECT _k,
+                 CASE WHEN d <= (SELECT mid FROM bounds) THEN 1 ELSE 2 END
+                   AS period
+          FROM base
+        ),
+        exploded AS (
+          {union_rows}
+        ),
+        counters AS (
+          SELECT period, r, bucket, COUNT(*) AS cnt
+          FROM exploded GROUP BY 1, 2, 3
+        ),
+        probes({key}, r, bucket) AS (VALUES {rows}),
+        per_period AS (
+          SELECT p.{key}, c2.period,
+                 MIN(COALESCE(c2.cnt, 0)) AS est
+          FROM probes p
+          JOIN (SELECT 1 AS period UNION ALL SELECT 2) pp ON TRUE
+          LEFT JOIN counters c2
+            ON c2.r = p.r AND c2.bucket = p.bucket AND c2.period = pp.period
+          GROUP BY p.{key}, c2.period
+        ),
+        ests AS (
+          SELECT {key},
+                 MAX(CASE WHEN period = 1 THEN est END) AS _e1,
+                 MAX(CASE WHEN period = 2 THEN est END) AS _e2
+          FROM per_period GROUP BY {key}
+        ),
+        truth AS (
+          SELECT _k AS {key},
+                 SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS _t1,
+                 SUM(CASE WHEN period = 2 THEN 1 ELSE 0 END) AS _t2
+          FROM tagged WHERE _k IN ({keys_in}) GROUP BY 1
+        )
+        SELECT e.{key},
+               CAST(COALESCE(e._e1, 0) AS BIGINT) AS est_pre,
+               CAST(COALESCE(e._e2, 0) AS BIGINT) AS est_post,
+               CAST(COALESCE(e._e2, 0) - COALESCE(e._e1, 0) AS BIGINT)
+                 AS est_delta,
+               CAST(COALESCE(t._t2, 0) - COALESCE(t._t1, 0) AS BIGINT)
+                 AS true_delta
+        FROM ests e LEFT JOIN truth t USING ({key})
+        ORDER BY {key}
     """

@@ -1313,7 +1313,11 @@ def zipf_fit_sql(src: str = "documents", top_n: int = 200) -> str:
 BPE_MERGES = 6
 
 
-def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    state: tuple | None = None,
+) -> DataFrame:
     """Byte-pair-encoding merge training (Sennrich et al. 2016,
     arXiv:1508.07909 — the algorithm behind GPT/Llama tokenizers),
     re-expressed as DataFrame supersteps: per round, count every
@@ -1347,10 +1351,21 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     driver state; nothing is all-pairs. The DuckDB twin
     (:func:`bpe_train_sql`) replays the identical rounds as CTE levels.
     """
-    merges, _ = _bpe_supersteps(docs, n_merges)
+    merges, _ = state if state is not None else _bpe_supersteps(
+        docs, n_merges
+    )
     return docs.sparkSession.createDataFrame(
         merges, "merge_rank int, left_sym string, right_sym string, pair_count bigint"
     )
+
+
+def bpe_train_state(docs: DataFrame, n_merges: int = BPE_MERGES) -> tuple:
+    """(merges, final symbol table) — the shared training state both
+    :func:`bpe_train` (the model report) and :func:`bpe_vocab_stats`
+    (the corpus report) read; a tokenizer pipeline trains ONCE and
+    derives both artifacts, so the registry memoizes this per corpus
+    instead of re-running the superstep loop per query."""
+    return _bpe_supersteps(docs, n_merges)
 
 
 def _bpe_symbol_table(docs: DataFrame) -> DataFrame:
@@ -1520,7 +1535,11 @@ def bpe_train_sql(src: str = "documents", n_merges: int = BPE_MERGES) -> str:
     """
 
 
-def bpe_vocab_stats(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+def bpe_vocab_stats(
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    state: tuple | None = None,
+) -> DataFrame:
     """The corpus-level effect of the learned merges — the number a
     tokenizer change is judged by: total corpus tokens before (= chars)
     and after the merge rounds, the compression they buy, and the symbol
@@ -1530,7 +1549,9 @@ def bpe_vocab_stats(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     come from freq-weighted sums over it (each (word, pos) row counts
     freq corpus occurrences), so the aggregate never touches the corpus
     again after the initial word count inside the shared supersteps."""
-    _, syms = _bpe_supersteps(docs, n_merges)
+    _, syms = state if state is not None else _bpe_supersteps(
+        docs, n_merges
+    )
     return syms.agg(
         F.sum(F.col("freq") * F.length("sym")).alias("total_chars"),
         F.sum("freq").alias("total_tokens"),

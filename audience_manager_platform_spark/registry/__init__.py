@@ -137,13 +137,12 @@ _WINDOW_PIN: tuple[str, ...] = (
     # r8 additions (wave 41): IVF-gated margin mutual-kNN (the r7
     # verdict's one "weak" plan, now scale-safe) + its recall eval,
     # the salt-planner wired into a real salted aggregate, per-source
-    # reservoir sampling, and the ROLLUP multi-granularity aggregate
-    # (Catalyst Expand — one scan for all subtotal levels).
+    # reservoir sampling, and the difference-in-differences readout.
     "emb_margin_mutual_knn_ivf",
     "ann_recall_margin_ivf_vs_exact",
     "skew_salted_agg_by_plan",
     "sample_reservoir_per_source",
-    "rollup_grouping_sets",
+    "analytics_diff_in_diff",
 )
 
 # There is NO hand-kept defer list anymore (r6 advice: the 80-name

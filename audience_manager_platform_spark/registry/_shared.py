@@ -1,0 +1,29 @@
+"""Session-keyed cache of shared materialized intermediate TABLES.
+
+A production warehouse keeps tables like the MinHash signature table or
+the support-cut co-occurrence edge list as materialized assets reused by
+every consumer run; the registry's per-query lambdas were instead
+rebuilding them per query (the r7 FULLBENCH profile: the co-purchase
+edge build ran four times, the signature build five). This cache gives
+the registry the production shape: first consumer builds, the rest read.
+
+Unlike the driver-side MODEL caches (k-means fits, PQ codebooks — plain
+Python data, safely keyed on sf_dir alone), a DataFrame handle is bound
+to its SparkSession, so every entry here is keyed on the owning
+session's applicationId: a new session rebuilds, never reuses a dead
+handle. Fixture immutability makes sf_dir a sufficient data key; a
+mutable-source deployment would add a snapshot id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+_CACHE: dict[tuple, object] = {}
+
+
+def shared(spark, key: tuple, build: Callable[[], object]):
+    k = (spark.sparkContext.applicationId, *key)
+    if k not in _CACHE:
+        _CACHE[k] = build()
+    return _CACHE[k]

@@ -222,6 +222,27 @@ QUERIES = {
     "analytics_mix_rate_decomposition": lambda s, d: (
         A.mix_rate_decomposition(load_table(s, d, "events"))
     ),
+    # r8 wave 41: difference-in-differences readout — hash-arm x
+    # midpoint-period 2x2 cell means in exact micro-cents, the causal
+    # estimate that cancels level differences and shared trends
+    "analytics_diff_in_diff": lambda s, d: A.diff_in_diff(
+        load_table(s, d, "events")
+    ),
+    # r8 wave 42 (r9 queue): CUPED variance reduction — theta from
+    # mean-centered exact-integer Cov/Var, per-arm raw vs adjusted means
+    "analytics_cuped_adjustment": lambda s, d: A.cuped_adjustment(
+        load_table(s, d, "events")
+    ),
+    # r8 wave 42 (r9 queue): Wald SPRT daily monitor — exact bigint LLR
+    # on the 1e-9 grid (inlined ln constants), valid-at-every-look
+    "analytics_sprt_monitor": lambda s, d: A.sprt_monitor(
+        load_table(s, d, "events")
+    ),
+    # r8 wave 42 (r9 queue): uplift-by-decile / Qini curve grading the
+    # pre-period-spend targeting score against the hash arms
+    "analytics_qini_uplift": lambda s, d: A.qini_uplift_deciles(
+        load_table(s, d, "events")
+    ),
     # r5 (deferred window): WAU / trailing-4-week MAU stickiness
     "analytics_stickiness": lambda s, d: A.stickiness(
         load_table(s, d, "events")
@@ -407,6 +428,10 @@ ORACLES = {
     "analytics_growth_accounting": A.growth_accounting_sql(),
     "analytics_delta_attribution": A.delta_attribution_sql(),
     "analytics_mix_rate_decomposition": A.mix_rate_decomposition_sql(),
+    "analytics_diff_in_diff": A.diff_in_diff_sql(),
+    "analytics_cuped_adjustment": A.cuped_adjustment_sql(),
+    "analytics_sprt_monitor": A.sprt_monitor_sql(),
+    "analytics_qini_uplift": A.qini_uplift_deciles_sql(),
     "analytics_stickiness": A.stickiness_sql(),
     "analytics_revenue_gini": A.revenue_gini_sql(),
     "analytics_new_vs_returning": A.new_vs_returning_sql(),

@@ -35,6 +35,8 @@ from ..operators.relational import (
 from ..operators.skew import (
     cms_estimate,
     cms_estimate_sql,
+    cms_heavy_change,
+    cms_heavy_change_sql,
     hll_mergeable_rollup,
     hll_mergeable_rollup_sql,
     key_skew_profile,
@@ -515,6 +517,11 @@ QUERIES = {
     "sketch_cms_user_counts": lambda s, d: cms_estimate(
         _events(s, d), "user_id", CMS_QUERY_IDS
     ),
+    # r8 wave 42 (r9 queue): heavy-change between period sketches —
+    # est deltas from two mergeable CMS tables, truth-certified
+    "sketch_cms_heavy_change": lambda s, d: cms_heavy_change(
+        _events(s, d), "user_id", "ts", CMS_QUERY_IDS
+    ),
     # r5 (deferred window): association lift over order baskets
     "basket_brand_lift": lambda s, d: basket_brand_lift(
         load_table(s, d, "lineitem"), load_table(s, d, "part"), k=25
@@ -810,6 +817,10 @@ ORACLES = {
     """,
     "sketch_cms_user_counts": cms_estimate_sql(
         "events", "user_id", [0, 7, 13, 29, 42, 55, 68, 91, 120, 149]
+    ),
+    "sketch_cms_heavy_change": cms_heavy_change_sql(
+        "events", "user_id", "ts",
+        [0, 7, 13, 29, 42, 55, 68, 91, 120, 149],
     ),
     "skew_key_profile": key_skew_profile_sql("events", "user_id"),
     "join_skew_salted": """

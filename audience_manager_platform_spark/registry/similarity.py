@@ -50,6 +50,29 @@ def _pq_model(s, d, iters=PQ.PQ_ITERS):
     )
 
 
+def _kmeans_assigned(s, d, k=S.KMEANS_K, iters=1):
+    """Shared materialized cell-assignment table (vec_id, v, cent_id,
+    csim) under the memoized k-means fit — the inverted-lists side of a
+    served IVF index, built once per session and read by every consumer
+    (cluster summary / quality audit / IVF probe / margin gating)."""
+    from ..operators.partitioning import materialize
+    from ._shared import shared
+
+    return shared(
+        s,
+        ("kmeans_assigned", d, k, iters),
+        lambda: materialize(
+            S.assign_cells_arrow(
+                _emb(s, d).select(
+                    "vec_id", S._vec_double().alias("v")
+                ),
+                _kmeans_model(s, d, k, iters),
+                keep_vec=True,
+            )
+        ),
+    )
+
+
 def _ivf_ingest_streaming(spark, sf_dir):
     """Drive the incremental IVF ingest over a 3-chunk replay of the
     embeddings fixture and summarize the settled inverted-lists log —
@@ -189,14 +212,17 @@ QUERIES = {
     # tests/test_textops.py::test_kmeans_*) — each extra iteration is a
     # full assignment+mean job whose cost the per-round sweep pays 2x
     "kmeans_embedding_clusters": lambda s, d: S.kmeans_clusters(
-        _emb(s, d), iters=1, model=_kmeans_model(s, d)
+        _emb(s, d), iters=1, model=_kmeans_model(s, d),
+        assigned=_kmeans_assigned(s, d),
     ),
     # r6 queue: Davies-Bouldin audit of the shared coarse quantizer
     "kmeans_cluster_quality": lambda s, d: S.kmeans_quality(
-        _emb(s, d), iters=1, model=_kmeans_model(s, d)
+        _emb(s, d), iters=1, model=_kmeans_model(s, d),
+        assigned=_kmeans_assigned(s, d),
     ),
     "ann_ivf_kmeans_topk": lambda s, d: S.ivf_kmeans_topk(
-        _emb(s, d), _QUERY_IDS, k=5, iters=1, model=_kmeans_model(s, d)
+        _emb(s, d), _QUERY_IDS, k=5, iters=1, model=_kmeans_model(s, d),
+        assigned=_kmeans_assigned(s, d),
     ),
     # SemDeDup over the planted-twin corpus: the k-means cells bound the
     # pairwise stage, the greedy keep-min-id rule drops each twin
@@ -247,10 +273,12 @@ QUERIES = {
     # IVF cell join (shared memoized k-means fit), not the bipartite
     # cross join; plus its measured pair-recall eval vs the exact miner
     "emb_margin_mutual_knn_ivf": lambda s, d: S.margin_mutual_knn_ivf(
-        _emb(s, d), iters=1, model=_kmeans_model(s, d)
+        _emb(s, d), iters=1, model=_kmeans_model(s, d),
+        assigned=_kmeans_assigned(s, d),
     ),
     "ann_recall_margin_ivf_vs_exact": lambda s, d: S.margin_recall_eval(
-        _emb(s, d), iters=1, model=_kmeans_model(s, d)
+        _emb(s, d), iters=1, model=_kmeans_model(s, d),
+        assigned=_kmeans_assigned(s, d),
     ),
     # r6 queue: the IVF latency/recall tuning curve (probe sweep over a
     # single materialized cell assignment)

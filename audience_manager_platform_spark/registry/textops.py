@@ -13,6 +13,35 @@ from ..sources import load_table
 from .phash_pins import phash_neardup_oracle_sql
 
 
+def _mh_sigs(s, d):
+    """Shared materialized MinHash signature table (default n-gram
+    order) — built once per session, read by every LSH consumer
+    (pairs / accuracy / recall eval / threshold sweep / cluster
+    canonical), the way a warehouse keeps signatures as a standing
+    table across dedup runs."""
+    from ..operators.partitioning import materialize
+
+    from ._shared import shared
+
+    return shared(
+        s,
+        ("minhash_sigs", d, D.NGRAM_N),
+        lambda: materialize(D.minhash_signatures(_docs(s, d), D.NGRAM_N)),
+    )
+
+
+def _bpe_state(s, d):
+    """Shared BPE training state (merge list + rewritten symbol table):
+    train once per session, serve the model report and the corpus
+    report from the same supersteps."""
+    from ._shared import shared
+
+    return shared(
+        s, ("bpe_state", d, T.BPE_MERGES),
+        lambda: T.bpe_train_state(_docs(s, d), T.BPE_MERGES),
+    )
+
+
 def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
@@ -156,8 +185,12 @@ QUERIES = {
     ),
     # r5: distributed BPE merge training (Sennrich 2016) — the learned
     # tokenizer model as supersteps over the word-frequency table
-    "text_bpe_train": lambda s, d: T.bpe_train(_docs(s, d)),
-    "text_bpe_vocab_stats": lambda s, d: T.bpe_vocab_stats(_docs(s, d)),
+    "text_bpe_train": lambda s, d: T.bpe_train(
+        _docs(s, d), state=_bpe_state(s, d)
+    ),
+    "text_bpe_vocab_stats": lambda s, d: T.bpe_vocab_stats(
+        _docs(s, d), state=_bpe_state(s, d)
+    ),
     # r5 wave 12: tokenizer APPLICATION — train on even doc_ids, encode
     # the held-out odd half with the shared merge-application code
     "text_bpe_encode": lambda s, d: T.bpe_encode_stats(_docs(s, d)),
@@ -165,7 +198,9 @@ QUERIES = {
     # re-expressed as positional k-gram fingerprints + islands merge)
     "dedup_duplicate_spans": lambda s, d: D.duplicate_ngram_spans(_docs(s, d)),
     # r5: measured recall/precision of the LSH dedup path vs exact Jaccard
-    "dedup_recall_eval": lambda s, d: D.dedup_recall_eval(_docs(s, d)),
+    "dedup_recall_eval": lambda s, d: D.dedup_recall_eval(
+        _docs(s, d), sigs=_mh_sigs(s, d)
+    ),
     # r5: incremental ingestion-time LSH (streaming fold == batch result)
     "streaming_lsh_dedup": _lsh_dedup_streaming,
     "dedup_exact": lambda s, d: D.exact_dedup(_docs(s, d)),
@@ -175,7 +210,8 @@ QUERIES = {
     ),
     "dedup_minhash_signatures": lambda s, d: D.minhash_signatures(_docs(s, d)),
     "dedup_minhash_lsh_pairs": lambda s, d: D.minhash_lsh_pairs(
-        _docs(s, d), est_threshold=0.5, max_band_size=LSH_MAX_BAND
+        _docs(s, d), est_threshold=0.5, max_band_size=LSH_MAX_BAND,
+        sigs=_mh_sigs(s, d),
     ),
     # r6 queue: nightly-delta probe of the standing LSH index — pairs
     # touching the delta slice only, provably equal to the full pass
@@ -184,7 +220,8 @@ QUERIES = {
     ),
     # r5: estimate-vs-truth audit of the MinHash estimator itself
     "dedup_minhash_accuracy": lambda s, d: D.minhash_accuracy(
-        _docs(s, d), est_threshold=0.5, max_band_size=LSH_MAX_BAND
+        _docs(s, d), est_threshold=0.5, max_band_size=LSH_MAX_BAND,
+        sigs=_mh_sigs(s, d),
     ),
     "dedup_simhash": lambda s, d: D.simhash(_docs(s, d)),
     "dedup_simhash_hamming_pairs": lambda s, d: D.simhash_hamming_pairs(
@@ -200,7 +237,8 @@ QUERIES = {
     "dedup_cluster_canonical": lambda s, d: D.cluster_canonical(
         _docs(s, d),
         D.minhash_lsh_pairs(
-            _docs(s, d), est_threshold=0.5, max_band_size=LSH_MAX_BAND
+            _docs(s, d), est_threshold=0.5, max_band_size=LSH_MAX_BAND,
+            sigs=_mh_sigs(s, d),
         ),
     ),
     "multimodal_binary_meta": lambda s, d: M.documents_as_media(_docs(s, d)).select(
@@ -310,7 +348,7 @@ QUERIES = {
     ),
     # r6 queue: dedup ROI curve — pairs/docs flagged per LSH threshold
     "dedup_threshold_sweep": lambda s, d: D.lsh_threshold_sweep(
-        _docs(s, d), max_band_size=LSH_MAX_BAND
+        _docs(s, d), max_band_size=LSH_MAX_BAND, sigs=_mh_sigs(s, d)
     ),
     # r6 queue: soft dedup — 1/|dup-group| loss weights, no row drops
     "dedup_soft_weights": lambda s, d: D.soft_dedup_weights(_docs(s, d)),

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators import analytics as AN
 from ..operators import corpus as C
 from ..operators import merge as MG
 from ..operators.er import (
@@ -158,6 +157,23 @@ EXPECTATIONS = [
     ("accepted_values", "event_type", ["view", "click", "purchase", "signup", "error"]),
     ("min_rows", 100),
 ]
+
+
+def _co_edges(s, d):
+    """Shared support-cut co-purchase edge table (parts sharing >= 2
+    orders) — built once per session for the four co-occurrence-graph
+    consumers (triangles / link prediction / BFS / k-core), the standing
+    edge table a graph warehouse keeps."""
+    from ..operators.graph import cooccurrence_edges
+    from ._shared import shared
+
+    return shared(
+        s, ("co_edges", d, "l_orderkey", "l_partkey", 2),
+        lambda: cooccurrence_edges(
+            load_table(s, d, "lineitem"), "l_orderkey", "l_partkey",
+            min_cooc=2,
+        ),
+    )
 
 
 def _events(spark, sf_dir):
@@ -322,11 +338,6 @@ QUERIES = {
     # r7: algebraic incremental rollup (prev ⊕ agg(delta), base never
     # re-read) — oracle is the full recompute (lossless-maintenance)
     "rollup_algebraic_merge": lambda s, d: MG.algebraic_rollup_merge(
-        load_table(s, d, "orders")
-    ),
-    # r8 wave 41: ROLLUP(status, priority) — all subtotal granularities
-    # in one Expand pass (vs one scan per level via UNION ALL)
-    "rollup_grouping_sets": lambda s, d: AN.grouping_sets_rollup(
         load_table(s, d, "orders")
     ),
     # r7: winsorized robust feature stats on percentile_disc cutoffs
@@ -509,6 +520,7 @@ QUERIES = {
         "l_orderkey",
         "l_partkey",
         min_cooc=2,
+        edges=_co_edges(s, d),
     ),
     # r7 wave 29 (r8 queue): missing-link candidates over the same
     # co-purchase graph (common-neighbor + quantized RA index)
@@ -518,6 +530,7 @@ QUERIES = {
         "l_partkey",
         min_cooc=2,
         top_n=50,
+        edges=_co_edges(s, d),
     ),
     # r6 queue: single-source BFS hop distances over the co-purchase
     # graph (frontier joins + anti-join visited, constant rounds)
@@ -527,6 +540,7 @@ QUERIES = {
         "l_partkey",
         min_cooc=2,
         max_depth=3,
+        edges=_co_edges(s, d),
     ),
     # r6 queue: k-core peeling over the co-purchase graph (dense
     # substructure extraction; fixed rounds, per-round materialized)
@@ -536,6 +550,7 @@ QUERIES = {
         "l_partkey",
         core_k=3,
         min_cooc=2,
+        edges=_co_edges(s, d),
     ),
     # r6 queue: deterministic LPA communities over the trade graph
     "graph_trade_communities": trade_communities,
@@ -663,7 +678,6 @@ ORACLES = {
     "cdc_latest_user_state": MG.cdc_latest_state_sql(),
     "cdc_merge_upsert_actions": MG.merge_upsert_actions_sql(),
     "rollup_algebraic_merge": MG.algebraic_rollup_merge_sql(),
-    "rollup_grouping_sets": AN.grouping_sets_rollup_sql(),
     "feature_winsorize_events": winsorize_stats_sql(),
     "feature_target_encode_loo": target_encode_loo_sql(),
     "feature_robust_scale_events": robust_scale_stats_sql(),

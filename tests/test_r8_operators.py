@@ -11,9 +11,6 @@ import pytest
 from audience_manager_platform_spark.operators import corpus as C
 from audience_manager_platform_spark.operators import similarity as S
 from audience_manager_platform_spark.operators import skew as SK
-from audience_manager_platform_spark.operators.analytics import (
-    grouping_sets_rollup,
-)
 from audience_manager_platform_spark.operators import partitioning
 from audience_manager_platform_spark.sources import load_table
 
@@ -128,25 +125,44 @@ def test_reservoir_per_group_exact_n_deterministic_and_growth_stable(
     )
 
 
-# ------------------------------------------------ ROLLUP grouping sets
-def test_grouping_sets_rollup_subtotals_are_consistent(spark, sf_dir):
-    orders = load_table(spark, sf_dir, "orders")
-    rows = grouping_sets_rollup(orders).collect()
-    cells = [r for r in rows if r["g_status"] == 0 and r["g_priority"] == 0]
-    subtotals = {
-        r["status"]: r
-        for r in rows
-        if r["g_status"] == 0 and r["g_priority"] == 1
-    }
-    grand = [r for r in rows if r["g_status"] == 1 and r["g_priority"] == 1]
-    assert len(grand) == 1
-    assert grand[0]["n_orders"] == orders.count()
-    # every status subtotal equals the sum of its cells
-    for status, sub in subtotals.items():
-        mine = [r for r in cells if r["status"] == status]
-        assert sub["n_orders"] == sum(r["n_orders"] for r in mine)
-        assert sub["total_cents"] == sum(r["total_cents"] for r in mine)
-    assert grand[0]["total_cents"] == sum(r["total_cents"] for r in cells)
+# --------------------------------------------- difference-in-differences
+def test_diff_in_diff_cancels_level_and_trend(spark):
+    """A synthetic 2x2 with a group level gap (+10), a shared trend
+    (+5), and a planted treatment effect (+3): DiD must recover exactly
+    the +3 (in micro units), which neither the raw post-period gap nor
+    the treated pre/post delta equals."""
+    import datetime as dt
+
+    from audience_manager_platform_spark.functions import stable_long_hash
+
+    # find user ids landing in each hash arm (the operator's own split)
+    probe = spark.range(200).select(
+        F.col("id").alias("user_id"),
+        (
+            stable_long_hash(F.col("id").cast("string"), salt="ab-v1") % 2
+        ).alias("arm"),
+    )
+    arms = {r["user_id"]: r["arm"] for r in probe.collect()}
+    ctrl = [u for u, a in arms.items() if a == 0][:5]
+    treat = [u for u, a in arms.items() if a == 1][:5]
+    pre, post = dt.datetime(2025, 1, 1), dt.datetime(2025, 1, 31)
+    rows = []
+    for u in ctrl:
+        rows += [(u, 10.0, pre), (u, 15.0, post)]          # base + trend
+    for u in treat:
+        rows += [(u, 20.0, pre), (u, 28.0, post)]          # +10 level, +3 effect
+    df = spark.createDataFrame(
+        rows, "user_id long, value double, ts timestamp"
+    )
+    out = __import__(
+        "audience_manager_platform_spark.operators.analytics",
+        fromlist=["diff_in_diff"],
+    ).diff_in_diff(df).collect()[0]
+    assert out["n_c_pre"] == 5 and out["n_t_post"] == 5
+    assert out["did_micro"] == 3 * 1_000_000
+    # sanity: naive comparisons are confounded
+    assert out["treat_post_micro"] - out["ctrl_post_micro"] != 3 * 1_000_000
+    assert out["treat_post_micro"] - out["treat_pre_micro"] != 3 * 1_000_000
 
 
 # --------------------------------------------- stage-plan pins (r8 audit)
@@ -203,3 +219,113 @@ def test_margin_exact_cross_join_is_stage_visible(spark, sf_dir):
     assert (
         "CartesianProduct" in joined or "BroadcastNestedLoopJoin" in joined
     ), "scoring stage's cross join must be visible to the audit"
+
+
+# ------------------------------------------------------ wave 42: CUPED
+def test_cuped_theta_recovers_exact_linear_relation(spark):
+    """y = 2x exactly (no treatment effect): theta must be exactly
+    2.0 on the ppm grid, and the adjusted arm means must close most of
+    the raw gap that x-imbalance between the arms fakes."""
+    import datetime as dt
+
+    pre, post = dt.datetime(2025, 1, 1), dt.datetime(2025, 1, 31)
+    rows = []
+    for u in range(200):
+        x = float(u % 37 + 1)
+        rows.append((u, x, pre))
+        rows.append((u, 2.0 * x, post))
+    df = spark.createDataFrame(
+        rows, "user_id long, value double, ts timestamp"
+    )
+    from audience_manager_platform_spark.operators.analytics import (
+        cuped_adjustment,
+    )
+
+    out = {r["arm"]: r for r in cuped_adjustment(df).collect()}
+    # integer grand means truncate, so theta sits within one ppm of 2.0
+    assert abs(out[0]["theta_ppm"] - 2_000_000) <= 1
+    raw_gap = abs(out[1]["mean_post_micro"] - out[0]["mean_post_micro"])
+    adj_gap = abs(out[1]["mean_cuped_micro"] - out[0]["mean_cuped_micro"])
+    # no true effect exists, so whatever raw gap the hash split shows is
+    # pure x-imbalance — CUPED with the exact theta must remove it
+    # (up to integer-truncation crumbs)
+    assert adj_gap <= max(raw_gap // 100, 2)
+
+
+def test_sprt_crosses_h1_on_high_conversion_stream(spark):
+    """20% purchase share (well above H1's 12%): the cumulative LLR must
+    cross the accept-H1 threshold and stay there; the LLR itself must
+    equal the closed form in exact 1e-9 units."""
+    import datetime as dt
+
+    from audience_manager_platform_spark.operators.analytics import (
+        SPRT_LLR_NEG_E9,
+        SPRT_LLR_POS_E9,
+        sprt_monitor,
+    )
+
+    rows = []
+    for day in range(10):
+        ts = dt.datetime(2025, 2, 1 + day)
+        for i in range(50):
+            et = "purchase" if i % 5 == 0 else "view"
+            rows.append((day * 50 + i, et, ts))
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = sprt_monitor(df).collect()
+    last = out[-1]
+    assert last["cum_n"] == 500 and last["cum_k"] == 100
+    assert last["llr_e9"] == (
+        100 * SPRT_LLR_POS_E9 + 400 * SPRT_LLR_NEG_E9
+    )
+    verdicts = [r["verdict"] for r in out]
+    assert verdicts[-1] == "accept_h1"
+    # monotone under a constant above-H1 rate: once accepted, stays
+    first_accept = verdicts.index("accept_h1")
+    assert all(v == "accept_h1" for v in verdicts[first_accept:])
+
+
+def test_qini_deciles_partition_users_and_reconcile(spark, sf_dir):
+    from audience_manager_platform_spark.operators.analytics import (
+        qini_uplift_deciles,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    rows = qini_uplift_deciles(events).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    n_users = (
+        events.filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_t"] + r["n_c"] for r in rows) == n_users
+    # the last cumulative point is the overall treated-minus-control gap
+    tot_nt = sum(r["n_t"] for r in rows)
+    tot_nc = sum(r["n_c"] for r in rows)
+    tot_kt = sum(r["k_t"] for r in rows)
+    tot_kc = sum(r["k_c"] for r in rows)
+    expect = tot_kt * 1_000_000 // tot_nt - tot_kc * 1_000_000 // tot_nc
+    assert rows[-1]["cum_qini_ppm"] == expect
+
+
+def test_cms_heavy_change_exact_in_collision_free_regime(spark):
+    """Fewer distinct keys than sketch buckets => no collisions => the
+    estimated deltas must equal the exact per-key deltas."""
+    import datetime as dt
+
+    from audience_manager_platform_spark.operators.skew import (
+        cms_heavy_change,
+    )
+
+    pre, post = dt.datetime(2025, 3, 1), dt.datetime(2025, 3, 30)
+    rows = []
+    for k, (a, b) in {1: (5, 20), 2: (10, 10), 3: (7, 1)}.items():
+        rows += [(k, pre)] * a + [(k, post)] * b
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r["user_id"]: r for r in cms_heavy_change(
+        df, "user_id", "ts", [1, 2, 3]
+    ).collect()}
+    assert out[1]["est_delta"] == out[1]["true_delta"] == 15
+    assert out[2]["est_delta"] == out[2]["true_delta"] == 0
+    assert out[3]["est_delta"] == out[3]["true_delta"] == -6
+    assert out[1]["est_pre"] == 5 and out[1]["est_post"] == 20

@@ -990,6 +990,42 @@ def main() -> None:
     timed("null-aware anti join (NOT IN)", null_aware_anti_join(
         orders_na, cust_na
     ))
+
+    # ------------------------- round-8: salt plan wired into a consumer
+    # A 50%-hot Zipf head: half of all rows share ONE key. The salted
+    # two-stage aggregate and the plain GROUP BY are both timed so the
+    # comparison is measured, not assumed — note that for built-in
+    # ALGEBRAIC aggregates Spark's map-side partial aggregation already
+    # collapses each partition to <=|keys| rows before the shuffle, so
+    # the plain plan has no straggler to save; the salted plan must
+    # therefore land within noise of it (the wiring is the point: same
+    # answer, and the salt discipline is what transfers to the
+    # non-combinable shapes — sort-based windows and joins — where
+    # join_skew_salted already applies it).
+    from audience_manager_platform_spark.operators.skew import (
+        salted_agg_by_plan,
+    )
+
+    zipf = spark.range(ROWS).select(
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 997).cast("string")))
+        .alias("k"),
+        ((F.abs(F.xxhash64("id")) % 100_000) / 100.0).alias("value"),
+        F.col("id").alias("rid"),
+    )
+    timed(
+        "plain groupBy, 50pct-hot key",
+        zipf.groupBy("k").agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(
+                F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+            ).cast("long").alias("total_cents"),
+        ),
+    )
+    timed(
+        "salted agg by plan, same key",
+        salted_agg_by_plan(zipf, "k", "value", "rid", target_rows=1_000_000),
+    )
     spark.stop()
 
 

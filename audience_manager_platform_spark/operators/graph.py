@@ -969,3 +969,183 @@ def link_prediction_scores_sql(
                  c.u ASC, c.v ASC
         LIMIT {int(top_n)}
     """
+
+
+# ------------------------------------------------ personalized PageRank
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list[int],
+    iters: int = PR_ITERS,
+    damping: float = DAMPING,
+    state: DataFrame | None = None,
+    materialize_edges: bool = True,
+    top_k: int = 100,
+) -> DataFrame:
+    """Personalized PageRank — the graph-proximity primitive behind
+    "people/products related to THESE" (recommendation candidates,
+    lookalike seeds, fraud-ring expansion): identical fixed-point to
+    :func:`pagerank` except the teleport mass returns to the SEED set
+    instead of spreading uniformly, so rank concentrates around the
+    seeds' neighborhood.
+
+    Same discipline as :func:`pagerank` end to end: quantized 8dp model
+    state per iteration, materialized invariant (node, deg) state
+    carrying the update join, broadcast-gated rank side, inlined
+    ``(1-d)/|S|`` base term so both engines evaluate the identical
+    IEEE expression. r0 = 1/|S| on seeds, 0 elsewhere. Output is the
+    top-``top_k`` nodes by rank (total order: rank DESC, node ASC) —
+    the candidate list a recommender consumes."""
+    from .partitioning import materialize
+
+    if materialize_edges:
+        edges = materialize(edges)
+    if state is None:
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        state = nodes.join(deg, nodes["node"] == deg["src"], "left").select(
+            "node", F.coalesce("deg", F.lit(0)).alias("deg")
+        )
+    state = materialize(state)
+    n_dangling = state.filter(F.col("deg") == 0).count()
+    if n_dangling:
+        raise ValueError(
+            f"{n_dangling} dangling node(s): supply a symmetric edge list"
+        )
+    n_nodes = state.count()
+    bcast = (
+        F.broadcast
+        if n_nodes <= BROADCAST_STATE_MAX_NODES
+        else (lambda df: df)
+    )
+    n_seeds = len(seeds)
+    seed_ids = [int(s) for s in seeds]
+    is_seed = F.col("node").isin(seed_ids)
+    ranks = state.select(
+        "node",
+        "deg",
+        F.when(
+            is_seed, F.round(F.lit(1.0) / F.lit(n_seeds), 8)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rank"),
+    )
+    base = F.when(
+        is_seed, F.lit((1.0 - damping) / n_seeds)
+    ).otherwise(F.lit(0.0))
+    for t in range(iters):
+        contribs = (
+            edges.join(
+                bcast(
+                    ranks.select(
+                        F.col("node").alias("src"),
+                        (F.col("rank") / F.col("deg")).alias("share"),
+                    )
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("incoming"))
+        )
+        ranks = state.join(bcast(contribs), "node", "left").select(
+            "node",
+            "deg",
+            F.round(
+                base
+                + F.lit(damping) * F.coalesce("incoming", F.lit(0.0)),
+                8,
+            ).alias("rank"),
+        )
+        if (t + 1) % CHECKPOINT_EVERY == 0 and t + 1 < iters:
+            ranks = materialize(ranks)
+    # NO ordering here: rank ties must break on the PUBLIC string node
+    # form (the oracle's order) — callers decode first, then order+limit
+    return ranks.select(
+        "node",
+        F.round("rank", 6).alias("rank"),
+        F.col("deg").alias("out_deg"),
+    )
+
+
+def personalized_pagerank_customer_seeds(
+    spark: SparkSession, sf_dir: str, seed_custkeys: list[int], top_k: int = 100
+) -> DataFrame:
+    from ..sources import load_table
+
+    pairs = _pairs_encoded(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+    # customers encode as 2*custkey (see _pairs_encoded)
+    ranks = personalized_pagerank(
+        _sym_edges(pairs),
+        [2 * int(k) for k in seed_custkeys],
+        materialize_edges=False,
+        state=_pairs_state(pairs),
+    )
+    return (
+        ranks.select(decode_node("node").alias("node"), "rank", "out_deg")
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(top_k)
+    )
+
+
+def personalized_pagerank_sql(
+    seed_custkeys: list[int],
+    iters: int = PR_ITERS,
+    damping: float = DAMPING,
+    top_k: int = 100,
+    orders: str = "orders",
+    lineitem: str = "lineitem",
+) -> str:
+    seeds_in = ", ".join(f"'c{int(k)}'" for k in seed_custkeys)
+    n_seeds = len(seed_custkeys)
+    parts = [
+        f"""pairs AS (
+          SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
+          FROM {lineitem} JOIN {orders} ON l_orderkey = o_orderkey
+        ),
+        edges AS (
+          SELECT cust AS src, supp AS dst FROM pairs
+          UNION ALL
+          SELECT supp AS src, cust AS dst FROM pairs
+        ),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+        ),
+        state AS (
+          SELECT node, COALESCE(deg, 0) AS deg
+          FROM nodes LEFT JOIN deg ON node = src
+        ),
+        r0 AS (SELECT node, deg,
+               CASE WHEN node IN ({seeds_in})
+                    THEN ROUND(CAST(1.0 AS DOUBLE) / {n_seeds}, 8)
+                    ELSE 0.0 END AS rank FROM state)"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""c{t + 1} AS (
+          SELECT e.dst AS node, SUM(r.rank / r.deg) AS incoming
+          FROM edges e JOIN r{t} r ON e.src = r.node
+          GROUP BY e.dst
+        ),
+        r{t + 1} AS (
+          SELECT s.node, s.deg,
+                 ROUND(CASE WHEN s.node IN ({seeds_in})
+                       THEN CAST({(1.0 - damping) / n_seeds!r} AS DOUBLE)
+                       ELSE 0.0 END
+                       + CAST({damping!r} AS DOUBLE)
+                         * COALESCE(c.incoming, 0.0), 8) AS rank
+          FROM r{t} s LEFT JOIN c{t + 1} c ON s.node = c.node
+        )"""
+        )
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT node, ROUND(rank, 6) AS rank, deg AS out_deg FROM r{iters}
+        ORDER BY rank DESC, node ASC LIMIT {int(top_k)}
+    """

@@ -2980,3 +2980,61 @@ def langid_macro_f1_sql(src: str = "documents") -> str:
         FROM scored
         ORDER BY lang
     """
+
+
+# ------------------------------------------------------- phrase search
+def phrase_search(docs: DataFrame, phrase: list[str]) -> DataFrame:
+    """Positional phrase search — the exact-phrase retrieval the
+    bag-of-words index (BM25 / tf-idf) cannot answer: a document matches
+    when the phrase's tokens occur CONSECUTIVELY. Expressed as the
+    positional self-join a positional inverted index performs: one
+    token-position explode, one |phrase|-way equi-join on (doc_id,
+    pos + offset) — each join leg is pre-filtered to ONE vocabulary
+    term, so the joined sides are posting-list-sized, never corpus-
+    sized. Output: matching docs with their match counts (total order
+    on doc_id)."""
+    if len(phrase) < 2:
+        raise ValueError("phrase needs at least 2 tokens")
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens_col("text")).alias("pos", "tok")
+    )
+    first = pos.filter(F.col("tok") == phrase[0]).select("doc_id", "pos")
+    matched = first
+    for i, w in enumerate(phrase[1:], start=1):
+        leg = pos.filter(F.col("tok") == w).select(
+            "doc_id", (F.col("pos") - i).alias("pos")
+        )
+        matched = matched.join(leg, ["doc_id", "pos"])
+    return (
+        matched.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_matches"))
+        .orderBy("doc_id")
+    )
+
+
+def phrase_search_sql(phrase: list[str], src: str = "documents") -> str:
+    t = tokens_sql("text")
+    legs = []
+    for i, w in enumerate(phrase):
+        legs.append(
+            f"""l{i} AS (
+          SELECT doc_id, i - {i} AS pos FROM pos WHERE tok = '{w}'
+        )"""
+        )
+    joins = " ".join(
+        f"JOIN l{i} USING (doc_id, pos)" for i in range(1, len(phrase))
+    )
+    ctes = ",\n        ".join(legs)
+    return f"""
+        WITH toks AS (SELECT doc_id, {t} AS tk FROM {src}),
+        pos AS (
+          SELECT doc_id, UNNEST(generate_series(1, len(tk))) AS i,
+                 UNNEST(tk) AS tok
+          FROM toks
+        ),
+        {ctes}
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+        FROM l0 {joins}
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """

@@ -2332,3 +2332,197 @@ def kanon_utility_sweep_sql(
         FROM swept, total
         ORDER BY k
     """
+
+
+# ------------------------------------------- functional-dependency audit
+def fd_audit(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Functional-dependency audit — the schema-contract check behind
+    "is A really a key for B?" (dimension conformance, denormalization
+    safety, CDC key validation): for each claimed ``A -> B``, count the
+    A values that map to MORE than one distinct B. Zero violators =
+    the dependency holds and a join on A cannot fan out B; violators
+    name exactly where a "one-to-one" assumption would corrupt a
+    downstream merge.
+
+    One combinable group per pair (groupBy A, exact COUNT(DISTINCT B))
+    rolled to a single row per claim; at 100 TB swap the exact NDV for
+    approx_count_distinct > 1 screening with exact confirm on the
+    screened keys (the two-pass heavy-hitters discipline). NULL A
+    values group like any other value (both engines agree); NULL B is
+    ignored by the distinct count on both engines."""
+    out = None
+    for det, dep in pairs:
+        per = df.groupBy(F.col(det).alias("_d")).agg(
+            F.countDistinct(dep).alias("ndv")
+        )
+        row = (
+            per.agg(
+                F.count("*").alias("_n"),
+                F.sum((F.col("ndv") > 1).cast("long")).alias("_v"),
+                F.max("ndv").alias("_m"),
+            )
+            .select(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                F.col("_n").cast("long").alias("n_det_values"),
+                F.coalesce("_v", F.lit(0)).cast("long").alias("n_violating"),
+                F.col("_m").cast("long").alias("max_dep_ndv"),
+                F.expr(
+                    "CASE WHEN coalesce(_v, 0) = 0 THEN 'holds'"
+                    " ELSE 'violated' END"
+                ).alias("verdict"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("determinant", "dependent")
+
+
+def fd_audit_sql(src: str, pairs: list[tuple[str, str]]) -> str:
+    parts = []
+    for det, dep in pairs:
+        parts.append(f"""
+        SELECT '{det}' AS determinant, '{dep}' AS dependent,
+               CAST(COUNT(*) AS BIGINT) AS n_det_values,
+               CAST(COALESCE(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_violating,
+               CAST(MAX(ndv) AS BIGINT) AS max_dep_ndv,
+               CASE WHEN COALESCE(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END),
+                         0) = 0
+                    THEN 'holds' ELSE 'violated' END AS verdict
+        FROM (
+          SELECT {det} AS _d, COUNT(DISTINCT {dep}) AS ndv
+          FROM {src} GROUP BY {det}
+        ) g""")
+    u = " UNION ALL ".join(parts)
+    return f"SELECT * FROM ({u}) s ORDER BY determinant, dependent"
+
+
+# ------------------------------------------------ schema-contract audit
+def schema_contract_audit(
+    df: DataFrame, contract: list[tuple[str, str]]
+) -> DataFrame:
+    """Data-contract enforcement — the publish gate that catches a
+    producer's silent schema drift BEFORE a consumer job crashes or,
+    worse, mis-reads: every contracted column is checked against the
+    actual scan schema (present? same type?), and actual columns outside
+    the contract are flagged as unexpected (the classic
+    "someone added a PII column to the feed" alarm).
+
+    Pure metadata — the parquet footer, no data scan at all (the whole
+    point: the gate costs nothing at 100 TB). The oracle side encodes
+    the CONTRACT as literals, so the comparison is Spark's actual
+    schema vs the independently stated expectation."""
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    rows = []
+    for name, typ in contract:
+        if name not in actual:
+            rows.append((name, typ, None, "missing"))
+        elif actual[name] != typ:
+            rows.append((name, typ, actual[name], "type_mismatch"))
+        else:
+            rows.append((name, typ, actual[name], "ok"))
+    for name in actual:
+        if name not in {c for c, _ in contract}:
+            rows.append((name, None, actual[name], "unexpected"))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "column string, expected_type string, actual_type string,"
+        " status string",
+    ).orderBy("column")
+
+
+def schema_contract_audit_sql(
+    contract: list[tuple[str, str]],
+    actual: list[tuple[str, str]],
+) -> str:
+    """Oracle: the contract AND the independently-known fixture schema
+    as literals — green means Spark's live footer read agrees with the
+    stated contract."""
+    actual_map = dict(actual)
+    rows = []
+    for name, typ in contract:
+        if name not in actual_map:
+            rows.append((name, typ, None, "missing"))
+        elif actual_map[name] != typ:
+            rows.append((name, typ, actual_map[name], "type_mismatch"))
+        else:
+            rows.append((name, typ, actual_map[name], "ok"))
+    for name, typ in actual:
+        if name not in {c for c, _ in contract}:
+            rows.append((name, None, typ, "unexpected"))
+    vals = ", ".join(
+        "("
+        + ", ".join("NULL" if v is None else f"'{v}'" for v in r)
+        + ")"
+        for r in rows
+    )
+    return f"""
+        SELECT * FROM (VALUES {vals})
+          t("column", expected_type, actual_type, status)
+        ORDER BY "column"
+    """
+
+
+# --------------------------------------------- subject-access report
+def subject_access_report(
+    tables: list[tuple[str, DataFrame, str]], user_ids: list[int]
+) -> DataFrame:
+    """GDPR Article-15 subject-access report — the read side of the
+    right-to-erasure pair (:func:`~.reconcile.forget_users` is the
+    delete side): for each data subject, how many rows each table holds
+    about them. The per-table scan is one combinable filtered aggregate
+    (the IN-list pushes into the parquet scan); requested ids with no
+    rows still appear with 0 so the report is complete evidence, not
+    just a join hit list.
+
+    ``tables``: (table_name, df, id_column) triples."""
+    ids = [int(u) for u in user_ids]
+    spark = tables[0][1].sparkSession
+    spine = spark.createDataFrame(
+        [(u, name) for u in ids for name, _, _ in tables],
+        "user_id long, table_name string",
+    )
+    out = None
+    for name, df, id_col in tables:
+        agg = (
+            df.filter(F.col(id_col).isin(ids))
+            .groupBy(F.col(id_col).cast("long").alias("user_id"))
+            .agg(F.count("*").alias("n_rows"))
+            .withColumn("table_name", F.lit(name))
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return (
+        spine.join(out, ["user_id", "table_name"], "left")
+        .select(
+            "user_id",
+            "table_name",
+            F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows"),
+        )
+        .orderBy("user_id", "table_name")
+    )
+
+
+def subject_access_report_sql(
+    tables: list[tuple[str, str]], user_ids: list[int]
+) -> str:
+    """``tables``: (table_name, id_column) over the fixture views."""
+    ids_vals = ", ".join(f"({int(u)})" for u in user_ids)
+    names_vals = ", ".join(f"('{n}')" for n, _ in tables)
+    aggs = " UNION ALL ".join(
+        f"""SELECT CAST({idc} AS BIGINT) AS user_id, '{n}' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM {n} WHERE {idc} IN ({", ".join(str(int(u)) for u in user_ids)})
+            GROUP BY 1"""
+        for n, idc in tables
+    )
+    return f"""
+        WITH ids(user_id) AS (VALUES {ids_vals}),
+        names(table_name) AS (VALUES {names_vals}),
+        spine AS (SELECT user_id, table_name FROM ids CROSS JOIN names),
+        counts AS ({aggs})
+        SELECT s.user_id, s.table_name,
+               CAST(COALESCE(c.n_rows, 0) AS BIGINT) AS n_rows
+        FROM spine s LEFT JOIN counts c USING (user_id, table_name)
+        ORDER BY user_id, table_name
+    """

@@ -9,6 +9,7 @@ from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as T
+from ..sources import jsonl as J
 from ..sources import load_table
 from .phash_pins import phash_neardup_oracle_sql
 
@@ -310,6 +311,16 @@ QUERIES = {
     "sample_reservoir_per_source": lambda s, d: C.reservoir_per_group(
         _docs(s, d), "source", "doc_id", n=5
     ),
+    # r8 wave 43 (r9 queue): JSONL ingestion with corrupt-record
+    # quarantine (explicit schema, PERMISSIVE, dead-letter column)
+    "source_jsonl_corrupt_audit": lambda s, d: J.jsonl_corrupt_audit(
+        s, _docs(s, d)
+    ),
+    # r8 wave 44 (r9 queue): exact-phrase retrieval via the positional
+    # self-join a positional inverted index performs
+    "text_phrase_search": lambda s, d: T.phrase_search(
+        _docs(s, d), ["table", "table"]
+    ),
     "corpus_mixture_weights": lambda s, d: C.mixture_weights(_docs(s, d)),
     "corpus_quality_bins": lambda s, d: C.quality_bins(_docs(s, d)),
     # r5: DSIR importance-resampling weights (hashed-unigram target/raw
@@ -468,6 +479,8 @@ ORACLES = {
     "sample_reservoir_per_source": C.reservoir_per_group_sql(
         "documents", "source", "doc_id", n=5
     ),
+    "source_jsonl_corrupt_audit": J.jsonl_corrupt_audit_sql(),
+    "text_phrase_search": T.phrase_search_sql(["table", "table"]),
     "corpus_mixture_weights": C.mixture_weights_sql(),
     "corpus_quality_bins": C.quality_bins_sql(),
     "corpus_dsir_weights": C.dsir_weights_sql(),

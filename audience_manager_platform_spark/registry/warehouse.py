@@ -26,6 +26,8 @@ from ..operators.er import (
     survivorship_sql,
 )
 from ..operators.graph import (
+    personalized_pagerank_customer_seeds,
+    personalized_pagerank_sql,
     bfs_distances,
     bfs_distances_sql,
     kcore_nodes,
@@ -75,6 +77,12 @@ from ..operators.geo import (
     geo_neighbor_smoothing_sql,
 )
 from ..operators.validation import (
+    fd_audit,
+    fd_audit_sql,
+    schema_contract_audit,
+    schema_contract_audit_sql,
+    subject_access_report,
+    subject_access_report_sql,
     winsorize_stats,
     winsorize_stats_sql,
     robust_scale_stats,
@@ -204,6 +212,28 @@ def _scd2_incremental(spark, sf_dir):
 
 
 FORGET_IDS = [1, 7, 42]
+
+# subject-access report: same subjects as the erasure pair
+SAR_IDS = [1, 7, 42]
+
+# documents data contract: int_noise claimed but absent (=> missing),
+# lang claimed the wrong type (=> type_mismatch), n_chars left out of
+# the contract (=> unexpected) — all four verdicts exercised
+DOC_CONTRACT = [
+    ("doc_id", "bigint"),
+    ("text", "string"),
+    ("lang", "int"),
+    ("source", "string"),
+    ("int_noise", "bigint"),
+]
+# the fixture's actual schema, stated independently for the oracle
+DOC_ACTUAL = [
+    ("doc_id", "bigint"),
+    ("text", "string"),
+    ("lang", "string"),
+    ("source", "string"),
+    ("n_chars", "bigint"),
+]
 
 
 def _zorder_keys(spark, sf_dir):
@@ -556,6 +586,32 @@ QUERIES = {
     "graph_trade_communities": trade_communities,
     # r3: vertex-centric compute over warehouse-derived edges
     "pagerank_customer_supplier": pagerank_customer_supplier,
+    # r8 wave 43 (r9 queue): personalized PageRank from customer seeds —
+    # the graph-proximity candidate generator ("related to THESE")
+    "graph_personalized_ppr": lambda s, d:
+        personalized_pagerank_customer_seeds(s, d, [1, 2, 3], top_k=100),
+    # r8 wave 43 (r9 queue): functional-dependency audit — is A really
+    # a key for B (fan-out safety before any denormalizing join)
+    "validate_functional_dependency": lambda s, d: fd_audit(
+        load_table(s, d, "orders"),
+        [("o_orderkey", "o_custkey"), ("o_custkey", "o_orderpriority")],
+    ),
+    # r8 wave 44 (r9 queue): schema-contract gate (footer-only, no
+    # scan) — the contract deliberately omits n_chars (=> unexpected)
+    # and claims a wrong type for lang's sibling to exercise verdicts
+    "validate_schema_contract": lambda s, d: schema_contract_audit(
+        _docs(s, d), DOC_CONTRACT
+    ),
+    # r8 wave 44 (r9 queue): GDPR subject-access report (read side of
+    # the forget_users erasure pair) — rows held per subject per table
+    "privacy_subject_access": lambda s, d: subject_access_report(
+        [
+            ("events", _events(s, d), "user_id"),
+            ("orders", load_table(s, d, "orders"), "o_custkey"),
+            ("customer", load_table(s, d, "customer"), "c_custkey"),
+        ],
+        SAR_IDS,
+    ),
     # r4: degree distribution — the hub/skew diagnostic on the same graph
     "graph_degree_histogram": degree_histogram_customer_supplier,
     # r5 wave 4: referential-integrity audit across the star schema
@@ -678,6 +734,19 @@ ORACLES = {
     "cdc_latest_user_state": MG.cdc_latest_state_sql(),
     "cdc_merge_upsert_actions": MG.merge_upsert_actions_sql(),
     "rollup_algebraic_merge": MG.algebraic_rollup_merge_sql(),
+    "graph_personalized_ppr": personalized_pagerank_sql([1, 2, 3], top_k=100),
+    "validate_functional_dependency": fd_audit_sql(
+        "orders",
+        [("o_orderkey", "o_custkey"), ("o_custkey", "o_orderpriority")],
+    ),
+    "validate_schema_contract": schema_contract_audit_sql(
+        DOC_CONTRACT, DOC_ACTUAL
+    ),
+    "privacy_subject_access": subject_access_report_sql(
+        [("events", "user_id"), ("orders", "o_custkey"),
+         ("customer", "c_custkey")],
+        SAR_IDS,
+    ),
     "feature_winsorize_events": winsorize_stats_sql(),
     "feature_target_encode_loo": target_encode_loo_sql(),
     "feature_robust_scale_events": robust_scale_stats_sql(),

@@ -329,3 +329,119 @@ def test_cms_heavy_change_exact_in_collision_free_regime(spark):
     assert out[2]["est_delta"] == out[2]["true_delta"] == 0
     assert out[3]["est_delta"] == out[3]["true_delta"] == -6
     assert out[1]["est_pre"] == 5 and out[1]["est_post"] == 20
+
+
+# ------------------------------------------------------ wave 43
+def test_personalized_pagerank_mass_stays_in_seed_component(spark):
+    """Path 1-2-3-4-5 plus a DISCONNECTED edge 10-11, seed {1}: the
+    defining PPR property — teleport returns to the seed, so the
+    disconnected component gets EXACTLY zero rank (uniform PageRank
+    would pay it teleport mass every iteration), the seed holds the
+    max, every reachable node holds some, and total mass stays ~1."""
+    from audience_manager_platform_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+        "src long, dst long",
+    )
+    ranks = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(edges, [1], iters=4).collect()
+    }
+    assert ranks[10] == 0.0 and ranks[11] == 0.0
+    assert ranks[1] == max(ranks.values())
+    assert all(ranks[n] > 0.0 for n in (2, 3, 4, 5))
+    assert abs(sum(ranks.values()) - 1.0) < 1e-3
+
+
+def test_fd_audit_separates_keys_from_fanout(spark):
+    from audience_manager_platform_spark.operators.validation import fd_audit
+
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (2, 20, "x"), (3, 30, "y"), (4, 30, "z")],
+        "pk long, fk long, attr string",
+    )
+    out = {
+        (r["determinant"], r["dependent"]): r
+        for r in fd_audit(df, [("pk", "fk"), ("fk", "attr")]).collect()
+    }
+    holds = out[("pk", "fk")]
+    assert holds["verdict"] == "holds" and holds["n_violating"] == 0
+    viol = out[("fk", "attr")]
+    # fk=30 maps to {'y','z'} — exactly one violating determinant value
+    assert viol["verdict"] == "violated"
+    assert viol["n_violating"] == 1 and viol["max_dep_ndv"] == 2
+
+
+def test_jsonl_corrupt_audit_quarantines_planted_lines(spark, sf_dir):
+    from audience_manager_platform_spark.sources.jsonl import (
+        jsonl_corrupt_audit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = {r["lang"]: r for r in jsonl_corrupt_audit(spark, docs).collect()}
+    n_bad = docs.filter(F.col("doc_id") % 97 == 0).count()
+    assert out["_corrupt"]["n_rows"] == n_bad
+    assert out["_corrupt"]["total_chars"] is None
+    good = docs.filter(F.col("doc_id") % 97 != 0)
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in good.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n in by_lang.items():
+        assert out[lang]["n_rows"] == n
+    assert sum(r["n_rows"] for r in out.values()) == docs.count()
+
+
+# ------------------------------------------------------ wave 44
+def test_phrase_search_requires_adjacency(spark):
+    from audience_manager_platform_spark.operators.text import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big data small data big data"),   # 2 matches of "big data"
+            (2, "big red data"),                    # not adjacent
+            (3, "data big"),                        # wrong order
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_matches"] for r in phrase_search(
+        docs, ["big", "data"]
+    ).collect()}
+    assert out == {1: 2}
+
+
+def test_schema_contract_audit_all_four_verdicts(spark):
+    from audience_manager_platform_spark.operators.validation import (
+        schema_contract_audit,
+    )
+
+    df = spark.createDataFrame([(1, "a", 2.0)], "id long, name string, x double")
+    out = {r["column"]: r["status"] for r in schema_contract_audit(
+        df, [("id", "bigint"), ("name", "int"), ("ghost", "string")]
+    ).collect()}
+    assert out == {
+        "id": "ok",
+        "name": "type_mismatch",
+        "ghost": "missing",
+        "x": "unexpected",
+    }
+
+
+def test_subject_access_report_zero_rows_still_reported(spark):
+    from audience_manager_platform_spark.operators.validation import (
+        subject_access_report,
+    )
+
+    a = spark.createDataFrame([(1, "x"), (1, "y"), (7, "z")], "uid long, v string")
+    b = spark.createDataFrame([(42, "q")], "cust long, v string")
+    rows = subject_access_report(
+        [("a", a, "uid"), ("b", b, "cust")], [1, 7, 42, 99]
+    ).collect()
+    got = {(r["user_id"], r["table_name"]): r["n_rows"] for r in rows}
+    assert got[(1, "a")] == 2 and got[(7, "a")] == 1 and got[(42, "b")] == 1
+    assert got[(99, "a")] == 0 and got[(99, "b")] == 0
+    assert len(rows) == 8  # full spine: every (subject, table) pair

@@ -3284,6 +3284,15 @@ def sprt_monitor(events: DataFrame) -> DataFrame:
             ).alias("k"),
         )
     )
+    return sprt_from_daily(daily)
+
+
+def sprt_from_daily(daily: DataFrame) -> DataFrame:
+    """The sequential half of the SPRT monitor, derived from the settled
+    per-day (day, n, k) table — shared by the batch operator and the
+    streaming gate (the cusum_from_daily architecture: additive state
+    in the stream, order-dependent stats at read time; a restated day
+    re-enters the cumulative LLR correctly)."""
     w = (
         Window.orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -2547,6 +2547,8 @@ def margin_recall_eval(
     iters: int = KMEANS_ITERS,
     model: list[tuple[int, list[float]]] | None = None,
     assigned: DataFrame | None = None,
+    exact_df: DataFrame | None = None,
+    gated_df: DataFrame | None = None,
 ) -> DataFrame:
     """Pair recall of the IVF-gated margin miner against the exact miner
     — the measured-recall eval every approximate stage ships (the
@@ -2555,11 +2557,18 @@ def margin_recall_eval(
     intersection, and recall as an exact small-integer ratio. The cost
     is the two mining plans themselves; the compare join runs on
     |pairs|-row tables."""
-    exact = margin_mutual_knn(emb, k, threshold).select("a_id", "b_id")
-    gated = margin_mutual_knn_ivf(
-        emb, k, threshold, n_probes, n_clusters, iters, model=model,
-        assigned=assigned,
-    ).select("a_id", "b_id", F.lit(1).alias("hit"))
+    # both miners' outputs are standing tables a mining deployment keeps
+    # (the registry shares them with the miner queries themselves via
+    # the _shared cache) — the eval is then a |pairs|-row compare
+    if exact_df is None:
+        exact_df = margin_mutual_knn(emb, k, threshold)
+    if gated_df is None:
+        gated_df = margin_mutual_knn_ivf(
+            emb, k, threshold, n_probes, n_clusters, iters, model=model,
+            assigned=assigned,
+        )
+    exact = exact_df.select("a_id", "b_id")
+    gated = gated_df.select("a_id", "b_id", F.lit(1).alias("hit"))
     common = exact.join(gated.drop("hit"), ["a_id", "b_id"]).agg(
         F.count("*").cast("long").alias("n_common")
     )

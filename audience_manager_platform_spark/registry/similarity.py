@@ -73,6 +73,36 @@ def _kmeans_assigned(s, d, k=S.KMEANS_K, iters=1):
     )
 
 
+def _margin_exact(s, d):
+    """Shared materialized output of the exact margin miner — a mined-
+    pair table a deployment stores; the miner query and the recall eval
+    read the same table instead of re-mining."""
+    from ..operators.partitioning import materialize
+    from ._shared import shared
+
+    return shared(
+        s, ("margin_exact", d),
+        lambda: materialize(S.margin_mutual_knn(_emb(s, d))),
+    )
+
+
+def _margin_gated(s, d):
+    """IVF-gated twin of :func:`_margin_exact` (independent cache keys:
+    a single-query run only builds the side it needs)."""
+    from ..operators.partitioning import materialize
+    from ._shared import shared
+
+    return shared(
+        s, ("margin_gated", d),
+        lambda: materialize(
+            S.margin_mutual_knn_ivf(
+                _emb(s, d), iters=1, model=_kmeans_model(s, d),
+                assigned=_kmeans_assigned(s, d),
+            )
+        ),
+    )
+
+
 def _ivf_ingest_streaming(spark, sf_dir):
     """Drive the incremental IVF ingest over a 3-chunk replay of the
     embeddings fixture and summarize the settled inverted-lists log —
@@ -268,17 +298,15 @@ QUERIES = {
         S.centroid_classifier_eval(_emb(s, d)),
     # r6 queue: LASER/CCMatrix margin-based mutual-kNN alignment
     # mining between the even/odd embedding halves
-    "emb_margin_mutual_knn": lambda s, d: S.margin_mutual_knn(_emb(s, d)),
+    "emb_margin_mutual_knn": lambda s, d: _margin_exact(s, d),
     # r8 (wave 41): the SCALE-SAFE margin miner — candidates from the
     # IVF cell join (shared memoized k-means fit), not the bipartite
     # cross join; plus its measured pair-recall eval vs the exact miner
-    "emb_margin_mutual_knn_ivf": lambda s, d: S.margin_mutual_knn_ivf(
-        _emb(s, d), iters=1, model=_kmeans_model(s, d),
-        assigned=_kmeans_assigned(s, d),
-    ),
+    "emb_margin_mutual_knn_ivf": lambda s, d: _margin_gated(s, d),
     "ann_recall_margin_ivf_vs_exact": lambda s, d: S.margin_recall_eval(
-        _emb(s, d), iters=1, model=_kmeans_model(s, d),
-        assigned=_kmeans_assigned(s, d),
+        _emb(s, d),
+        exact_df=_margin_exact(s, d),
+        gated_df=_margin_gated(s, d),
     ),
     # r6 queue: the IVF latency/recall tuning curve (probe sweep over a
     # single materialized cell assignment)

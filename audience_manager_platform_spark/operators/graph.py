@@ -979,7 +979,6 @@ def personalized_pagerank(
     damping: float = DAMPING,
     state: DataFrame | None = None,
     materialize_edges: bool = True,
-    top_k: int = 100,
 ) -> DataFrame:
     """Personalized PageRank — the graph-proximity primitive behind
     "people/products related to THESE" (recommendation candidates,
@@ -992,9 +991,12 @@ def personalized_pagerank(
     state per iteration, materialized invariant (node, deg) state
     carrying the update join, broadcast-gated rank side, inlined
     ``(1-d)/|S|`` base term so both engines evaluate the identical
-    IEEE expression. r0 = 1/|S| on seeds, 0 elsewhere. Output is the
-    top-``top_k`` nodes by rank (total order: rank DESC, node ASC) —
-    the candidate list a recommender consumes."""
+    IEEE expression. r0 = 1/|S| on seeds, 0 elsewhere. Returns the FULL
+    per-node rank table, deliberately unordered: rank ties must break on
+    the public string node form, so the wrapper
+    (:func:`personalized_pagerank_customer_seeds`) owns decode + order +
+    limit. (An unused ``top_k`` parameter here used to suggest otherwise
+    — r8 advice.)"""
     from .partitioning import materialize
 
     if materialize_edges:

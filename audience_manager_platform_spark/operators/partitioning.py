@@ -164,6 +164,8 @@ def global_row_positions(
     tiebreak_cols: list[str],
     n_parts: int | None = None,
     out_col: str = "_gpos",
+    running_sum_col: str | None = None,
+    descending: bool = False,
 ) -> DataFrame:
     """Exact 1-based global row position under ``ORDER BY value_col ASC,
     *tiebreak_cols ASC`` — WITHOUT a single-partition WindowExec.
@@ -185,14 +187,21 @@ def global_row_positions(
     Value clustering can concentrate a shard (everyone spends $9.99);
     memory stays bounded by the shard, and a skewed deployment splits the
     hot shard by the tiebreak key with one more level of the same trick.
+
+    ``running_sum_col``: also emit ``_gsum`` — the exact INCLUSIVE
+    running sum of that column in the global order (per-shard running
+    sum + broadcast prior-shard sum offsets; same decomposition as the
+    position). ``descending=True`` ranks under ``value_col DESC``
+    (tiebreaks stay ASC): shards are bucketed on the negated value so
+    shard id stays monotone in the output order.
     """
     spark = df.sparkSession
     if n_parts is None:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    bounds = df.agg(
-        F.min(F.col(value_col).cast("double")).alias("_lo"),
-        F.max(F.col(value_col).cast("double")).alias("_hi"),
-    )
+    v = F.col(value_col).cast("double")
+    if descending:
+        v = -v
+    bounds = df.agg(F.min(v).alias("_lo"), F.max(v).alias("_hi"))
     sharded = df.crossJoin(F.broadcast(bounds)).withColumn(
         "_shard",
         F.when(
@@ -200,7 +209,7 @@ def global_row_positions(
             F.least(
                 F.lit(n_parts - 1),
                 F.floor(
-                    (F.col(value_col).cast("double") - F.col("_lo"))
+                    (v - F.col("_lo"))
                     / ((F.col("_hi") - F.col("_lo")) / F.lit(float(n_parts)))
                 ),
             ),
@@ -208,29 +217,55 @@ def global_row_positions(
         .otherwise(F.lit(0))
         .cast("int"),
     )
-    offs = (
-        sharded.groupBy("_shard")
-        .agg(F.count("*").alias("_c"))
-        .withColumn(
-            "_off",
-            F.coalesce(
-                F.sum("_c").over(
-                    Window.orderBy("_shard").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
+    aggs = [F.count("*").alias("_c")]
+    if running_sum_col is not None:
+        aggs.append(F.sum(running_sum_col).alias("_s"))
+    off_w = Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sharded.groupBy("_shard").agg(*aggs).withColumn(
+        "_off", F.coalesce(F.sum("_c").over(off_w), F.lit(0))
+    )
+    off_cols = ["_shard", "_off"]
+    if running_sum_col is not None:
+        offs = offs.withColumn(
+            "_soff", F.coalesce(F.sum("_s").over(off_w), F.lit(0))
+        )
+        off_cols.append("_soff")
+    offs = offs.select(*off_cols)
+    first = F.desc(value_col) if descending else F.asc(value_col)
+    order = [first] + [F.asc(c) for c in tiebreak_cols]
+    shard_w = Window.partitionBy("_shard").orderBy(*order)
+    out = sharded.withColumn("_lrn", F.row_number().over(shard_w))
+    drop = ["_shard", "_lo", "_hi", "_lrn", "_off"]
+    if running_sum_col is not None:
+        out = out.withColumn(
+            "_lsum",
+            F.sum(running_sum_col).over(
+                shard_w.rowsBetween(Window.unboundedPreceding, 0)
             ),
         )
-        .select("_shard", "_off")
+        drop += ["_lsum", "_soff"]
+    out = out.join(F.broadcast(offs), "_shard").withColumn(
+        out_col, (F.col("_off") + F.col("_lrn")).cast("long")
     )
-    order = [F.asc(value_col)] + [F.asc(c) for c in tiebreak_cols]
-    local_rn = F.row_number().over(Window.partitionBy("_shard").orderBy(*order))
-    return (
-        sharded.withColumn("_lrn", local_rn)
-        .join(F.broadcast(offs), "_shard")
-        .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("long"))
-        .drop("_shard", "_lo", "_hi", "_lrn", "_off")
+    if running_sum_col is not None:
+        out = out.withColumn("_gsum", F.col("_soff") + F.col("_lsum"))
+    return out.drop(*drop)
+
+
+def exact_ntile_expr(pos_col: str, n_col: str, k: int):
+    """ANSI ``NTILE(k)`` reproduced from a 1-based global position column
+    and a total-count column — the distributed replacement for an
+    unpartitioned ``ntile`` window (pair with
+    :func:`global_row_positions`): with ``q = n div k`` and
+    ``r = n mod k``, the first ``r`` tiles take ``q+1`` rows. CASE
+    short-circuits, so ``q = 0`` (n < k) never reaches the ELSE
+    division."""
+    q, r = f"({n_col} div {int(k)})", f"({n_col} % {int(k)})"
+    return F.expr(
+        f"CAST(CASE WHEN {pos_col} - 1 < {r} * ({q} + 1)"
+        f" THEN ({pos_col} - 1) div ({q} + 1) + 1"
+        f" ELSE {r} + ({pos_col} - 1 - {r} * ({q} + 1)) div {q} + 1"
+        f" END AS INT)"
     )
 
 

@@ -3166,3 +3166,307 @@ def ivf_ingest_summary_sql(
                ROUND(AVG(csim), 6) AS mean_sim
         FROM final GROUP BY cent_id
     """
+
+
+# --------------------------------------------------- graph-based ANN (NSW)
+# Navigable-small-world beam search (Malkov & Yashunin, "Efficient and
+# robust approximate nearest neighbor search using HNSW", layer-0
+# discipline) re-expressed as BOUNDED Spark supersteps: the one ANN index
+# family (graph-based) the IVF/PQ/LSH/Hamming registry families don't
+# cover. Reference parity note: the reference platform has no ANN at all
+# (extension surface, SURVEY §2 scope note); the semantics follow the
+# public NSW papers, the determinism contract follows this module's IVF
+# family (6dp cosines, (sim DESC, id ASC) total orders).
+GRAPH_M = 6  # out-degree of the kNN graph before symmetrization
+GRAPH_BEAM = 8  # beam width per superstep
+GRAPH_STEPS = 2  # bounded expansion supersteps
+GRAPH_ENTRIES = 2  # entry seeds = top-E probed cells' min-id nodes
+
+
+def graph_knn_edges(
+    emb: DataFrame,
+    m: int = GRAPH_M,
+    n_clusters: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    model: list[tuple[int, list[float]]] | None = None,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """Build side of :func:`graph_beam_topk`: a symmetrized within-cell
+    top-``m`` neighbor graph, materialized — the standing index table a
+    graph-ANN deployment persists per corpus snapshot.
+
+    Candidates come from the IVF cell equi-join (cost Σ|cell|², the
+    SemDeDup bound — never |n|²); per-node top-``m`` is a PARTITIONED
+    window; symmetrization unions the reversed edges (NSW keeps
+    back-links so greedy search can escape a poor entry)."""
+    base = emb.select("vec_id", _vec_double().alias("v"))
+    if model is None:
+        model = kmeans_fit_model(emb, n_clusters, iters)
+    if assigned is None:
+        assigned = assign_cells_arrow(base, model, keep_vec=True)
+    left = assigned.select(
+        "cent_id",
+        F.col("vec_id").alias("src"),
+        F.col("v").alias("sv"),
+        _norm_expr("v").alias("ns"),
+    )
+    right = assigned.select(
+        "cent_id",
+        F.col("vec_id").alias("dst"),
+        F.col("v").alias("dv"),
+        _norm_expr("v").alias("nd"),
+    )
+    scored = (
+        left.join(right, "cent_id")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(
+                _dot_expr("sv", "dv") / (F.col("ns") * F.col("nd")), 6
+            ).alias("csim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("csim"), F.asc("dst"))
+    top = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= m)
+        .select("src", "dst")
+    )
+    return materialize(
+        top.union(
+            top.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    )
+
+
+def graph_beam_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = GRAPH_M,
+    beam: int = GRAPH_BEAM,
+    steps: int = GRAPH_STEPS,
+    entries: int = GRAPH_ENTRIES,
+    n_clusters: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    model: list[tuple[int, list[float]]] | None = None,
+    assigned: DataFrame | None = None,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """NSW-style beam search over the prebuilt kNN graph: each query
+    enters at the min-id seed node of its ``entries`` nearest coarse
+    cells, then ``steps`` bounded supersteps expand the beam along graph
+    edges, exactly re-scoring every frontier node (codegen dot, 6dp) and
+    re-cutting to the ``beam`` best per query; output is the final
+    top-``k`` (self excluded, ranking key (csim DESC, node ASC) — the
+    :func:`cosine_topk` total order).
+
+    Scale shape: per superstep the frontier is ≤ beam·(m·2+1) rows PER
+    QUERY (model-scale), each expansion an equi-join against the
+    standing edge table; nothing data-sized crosses a window, and the
+    corpus is touched only through the (node → vector) equi-join. The
+    probe-side cents cross join is the declared K-row-model shape."""
+    base = emb.select("vec_id", _vec_double().alias("v"))
+    if model is None:
+        model = kmeans_fit_model(emb, n_clusters, iters)
+    if assigned is None:
+        assigned = assign_cells_arrow(base, model, keep_vec=True)
+    if edges is None:
+        edges = graph_knn_edges(
+            emb, m, n_clusters, iters, model=model, assigned=assigned
+        )
+    cents = _model_df(emb.sparkSession, model)
+    q = base.filter(
+        F.col("vec_id").isin([int(i) for i in query_ids])
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        _norm_expr("v").alias("nq"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("qsim"), F.asc("cent_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents.withColumn("nc", _norm_expr("cv"))))
+        .select(
+            "query_id",
+            "cent_id",
+            F.round(
+                _dot_expr("qv", "cv") / (F.col("nq") * F.col("nc")), 6
+            ).alias("qsim"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= entries)
+        .select("query_id", "cent_id")
+    )
+    seeds = assigned.groupBy("cent_id").agg(F.min("vec_id").alias("node"))
+    cur = (
+        probes.join(F.broadcast(seeds), "cent_id")
+        .select("query_id", "node")
+        .distinct()
+    )
+    nodes = assigned.select(
+        F.col("vec_id").alias("node"),
+        F.col("v").alias("nv"),
+        _norm_expr("v").alias("nn"),
+    )
+    qb = F.broadcast(q)
+    beam_w = Window.partitionBy("query_id").orderBy(
+        F.desc("csim"), F.asc("node")
+    )
+    scored = None
+    for _ in range(steps):
+        neigh = cur.join(edges, cur.node == edges.src).select(
+            "query_id", F.col("dst").alias("node")
+        )
+        frontier = cur.unionByName(neigh).distinct()
+        scored = (
+            frontier.join(nodes, "node")
+            .join(qb, "query_id")
+            .filter(F.col("node") != F.col("query_id"))
+            .select(
+                "query_id",
+                "node",
+                F.round(
+                    _dot_expr("qv", "nv") / (F.col("nq") * F.col("nn")), 6
+                ).alias("csim"),
+            )
+            .withColumn("rn", F.row_number().over(beam_w))
+        )
+        cur = scored.filter(F.col("rn") <= beam).select("query_id", "node")
+    return scored.filter(F.col("rn") <= k).select(
+        "query_id",
+        F.col("node").alias("neighbor_id"),
+        "csim",
+        F.col("rn").alias("rank"),
+    )
+
+
+def graph_beam_topk_sql(
+    query_ids: list[int],
+    k: int = 5,
+    m: int = GRAPH_M,
+    beam: int = GRAPH_BEAM,
+    steps: int = GRAPH_STEPS,
+    entries: int = GRAPH_ENTRIES,
+    n_clusters: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    src: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`graph_beam_topk`: the shared k-means CTE
+    fit, the final-model assignment, the within-cell top-m symmetrized
+    edge CTE, then the supersteps UNROLLED (steps is a small fixed
+    constant, so no recursion is needed and every engine sees the same
+    bounded plan)."""
+    ids = ", ".join(str(int(i)) for i in query_ids)
+    parts = [f"""af AS (
+          SELECT vec_id, v, cent_id FROM (
+            SELECT e.vec_id, e.v, c.cent_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                              c.cent_id ASC) AS rn
+            FROM e CROSS JOIN cents c
+          ) x WHERE rn = 1
+        )""", f"""eg0 AS (
+          SELECT src, dst FROM (
+            SELECT l.vec_id AS src, r.vec_id AS dst,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY l.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(l.v, r.v), 6) DESC,
+                              r.vec_id ASC) AS rn
+            FROM af l JOIN af r
+              ON l.cent_id = r.cent_id AND l.vec_id <> r.vec_id
+          ) x WHERE rn <= {int(m)}
+        )""", """edges AS (
+          SELECT src, dst FROM eg0 UNION SELECT dst, src FROM eg0
+        )""", f"""q AS (
+          SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({ids})
+        )""", f"""probes AS (
+          SELECT query_id, cent_id FROM (
+            SELECT q.query_id, c.cent_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+                              c.cent_id ASC) AS rn
+            FROM q CROSS JOIN cents c
+          ) x WHERE rn <= {int(entries)}
+        )""", """seeds AS (
+          SELECT cent_id, MIN(vec_id) AS node FROM af GROUP BY cent_id
+        )""", """b0 AS (
+          SELECT DISTINCT query_id, node FROM probes JOIN seeds USING (cent_id)
+        )"""]
+    for s in range(1, steps + 1):
+        parts.append(f"""f{s} AS (
+          SELECT query_id, node FROM b{s - 1}
+          UNION
+          SELECT b.query_id, ed.dst FROM b{s - 1} b
+          JOIN edges ed ON b.node = ed.src
+        )""")
+        parts.append(f"""s{s} AS (
+          SELECT query_id, node, csim,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY csim DESC, node ASC) AS rn
+          FROM (
+            SELECT f.query_id, f.node,
+                   ROUND(list_cosine_similarity(q.qv, af.v), 6) AS csim
+            FROM f{s} f
+            JOIN af ON f.node = af.vec_id
+            JOIN q ON f.query_id = q.query_id
+            WHERE f.node <> f.query_id
+          ) y
+        )""")
+        parts.append(
+            f"b{s} AS (SELECT query_id, node FROM s{s} WHERE rn <= {int(beam)})"
+        )
+    chain = ",\n        ".join(parts)
+    return f"""
+        WITH {_kmeans_ctes(n_clusters, iters, src)},
+        {chain}
+        SELECT query_id, node AS neighbor_id, csim,
+               CAST(rn AS INTEGER) AS rank
+        FROM s{int(steps)} WHERE rn <= {int(k)}
+    """
+
+
+def graph_beam_recall_eval(
+    emb: DataFrame, query_ids: list[int], k: int = 5, **kw
+) -> DataFrame:
+    """Recall@k of the NSW beam search against the exact scan — the
+    measured-recall eval every approximate retrieval path in this module
+    ships (:func:`recall_eval` discipline). The cost is the two
+    retrieval plans; the compare join is |queries|·k rows."""
+    exact = cosine_topk(emb, query_ids, k).select("query_id", "neighbor_id")
+    approx = graph_beam_topk(emb, query_ids, k, **kw).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("hits"),
+            F.round(F.count("hit") / F.lit(float(k)), 4).alias("recall_at_k"),
+        )
+    )
+
+
+def graph_beam_recall_eval_sql(
+    query_ids: list[int],
+    k: int = 5,
+    iters: int = KMEANS_ITERS,
+    src: str = "embeddings",
+) -> str:
+    exact = cosine_topk_sql(query_ids, k, src)
+    approx = graph_beam_topk_sql(query_ids, k, iters=iters, src=src)
+    return f"""
+        SELECT e.query_id,
+               COUNT(a.neighbor_id) AS hits,
+               ROUND(COUNT(a.neighbor_id) / CAST({k} AS DOUBLE), 4)
+                 AS recall_at_k
+        FROM ({exact}) e
+        LEFT JOIN ({approx}) a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id
+    """

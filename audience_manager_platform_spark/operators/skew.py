@@ -134,25 +134,28 @@ def key_skew_profile(df: DataFrame, key: str, bands: int = 10) -> DataFrame:
     hottest key's row count. A healthy key shows band 1 carrying ~1/bands
     of the rows; a salting candidate shows band 1 carrying most of them.
 
-    Scale shape: one map-side-combinable count per key, then the ntile
-    window runs over the PER-KEY table (|keys| rows, not |rows|) and the
-    final aggregate collapses it to ``bands`` rows; the share divides by
-    a window total over those ``bands`` rows. Nothing corpus-sized ever
-    crosses a single partition except the |keys|-row global sort, which
-    is the documented cost of an exact decile cut (swap in
-    ``approx_percentile`` bounds when |keys| itself is huge).
+    Scale shape: one map-side-combinable count per key; the exact band
+    cut reproduces ANSI ntile from the SHARDED distributed rank
+    (``global_row_positions`` + ``exact_ntile_expr``) so even a
+    billion-key profile never sorts |keys| rows on one task; the final
+    aggregate collapses to ``bands`` rows and the share divides by a
+    window total over those ``bands`` rows only.
 
     NULL keys are profiled as their own row-carrying group? No — they are
     excluded: a NULL join key never co-locates anyway, so it is noise in
     a skew report (and NULL ordering differs across engines)."""
+    from .partitioning import exact_ntile_expr, global_row_positions
+
     per_key = (
         df.filter(F.col(key).isNotNull())
         .groupBy(key)
         .agg(F.count("*").alias("cnt"))
     )
-    w = Window.orderBy(F.desc("cnt"), F.asc(key))
-    banded = per_key.select(
-        "cnt", F.ntile(bands).over(w).alias("band")
+    n1 = per_key.agg(F.count("*").alias("_n"))
+    banded = (
+        global_row_positions(per_key, "cnt", [key], descending=True)
+        .crossJoin(F.broadcast(n1))
+        .select("cnt", exact_ntile_expr("_gpos", "_n", bands).alias("band"))
     )
     out = banded.groupBy("band").agg(
         F.count("*").alias("n_keys"),
@@ -1123,8 +1126,16 @@ def cms_heavy_change(
         ],
         f"{key} long, r int, bucket long",
     )
+    # probe x {1,2}: generate BOTH periods per probe row before the
+    # counter join, so a bucket with zero count in one period still
+    # contributes COALESCE(cnt,0)=0 to that period's MIN — matching
+    # cms_estimate's zero-bucket semantics. Grouping by the counter-side
+    # period instead (r8 advice) silently dropped those zeros and could
+    # report a large est for a key inactive in a period.
+    periods = spark.createDataFrame([(1,), (2,)], "period int")
     ests = (
-        probes.join(F.broadcast(counters), ["r", "bucket"], "left")
+        probes.crossJoin(F.broadcast(periods))
+        .join(F.broadcast(counters), ["r", "bucket", "period"], "left")
         .groupBy(key, "period")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
         .groupBy(key)
@@ -1195,13 +1206,17 @@ def cms_heavy_change_sql(
         ),
         probes({key}, r, bucket) AS (VALUES {rows}),
         per_period AS (
-          SELECT p.{key}, c2.period,
+          -- group by the GENERATED pp.period (not the nullable
+          -- counter-side c2.period): an unmatched probe bucket must
+          -- contribute COALESCE(cnt,0)=0 to its period's MIN, exactly
+          -- like cms_estimate's zero-bucket semantics (r8 advice)
+          SELECT p.{key}, pp.period,
                  MIN(COALESCE(c2.cnt, 0)) AS est
           FROM probes p
           JOIN (SELECT 1 AS period UNION ALL SELECT 2) pp ON TRUE
           LEFT JOIN counters c2
             ON c2.r = p.r AND c2.bucket = p.bucket AND c2.period = pp.period
-          GROUP BY p.{key}, c2.period
+          GROUP BY p.{key}, pp.period
         ),
         ests AS (
           SELECT {key},

@@ -23,7 +23,15 @@ _CACHE: dict[tuple, object] = {}
 
 
 def shared(spark, key: tuple, build: Callable[[], object]):
-    k = (spark.sparkContext.applicationId, *key)
+    app = spark.sparkContext.applicationId
+    # One live session at a time is the repo's pattern: evict entries
+    # owned by any OTHER applicationId before inserting, so a long-lived
+    # process that cycles sessions doesn't retain dead DataFrame/py4j
+    # handles forever (r8 advice).
+    stale = [k for k in _CACHE if k[0] != app]
+    for k in stale:
+        del _CACHE[k]
+    k = (app, *key)
     if k not in _CACHE:
         _CACHE[k] = build()
     return _CACHE[k]

@@ -73,6 +73,23 @@ def _kmeans_assigned(s, d, k=S.KMEANS_K, iters=1):
     )
 
 
+def _graph_edges(s, d):
+    """Shared materialized NSW edge table (within-cell top-M neighbor
+    graph, symmetrized) under the memoized k-means fit — the standing
+    graph-ANN index both the beam query and its recall eval read."""
+    from ._shared import shared
+
+    return shared(
+        s,
+        ("graph_knn_edges", d),
+        lambda: S.graph_knn_edges(
+            _emb(s, d),
+            model=_kmeans_model(s, d),
+            assigned=_kmeans_assigned(s, d),
+        ),
+    )
+
+
 def _margin_exact(s, d):
     """Shared materialized output of the exact margin miner — a mined-
     pair table a deployment stores; the miner query and the recall eval
@@ -233,6 +250,24 @@ QUERIES = {
     ),
     "ann_lsh_near_pairs": lambda s, d: S.lsh_near_pairs(_emb(s, d), threshold=0.35),
     "ann_ivf_topk": lambda s, d: S.ivf_topk(_emb(s, d), _QUERY_IDS, k=5),
+    # r9 wave 46: NSW graph-ANN — beam search over the shared
+    # materialized within-cell kNN edge table, + its measured recall
+    "ann_graph_beam_topk": lambda s, d: S.graph_beam_topk(
+        _emb(s, d),
+        _QUERY_IDS,
+        k=5,
+        model=_kmeans_model(s, d),
+        assigned=_kmeans_assigned(s, d),
+        edges=_graph_edges(s, d),
+    ),
+    "ann_recall_beam_vs_exact": lambda s, d: S.graph_beam_recall_eval(
+        _emb(s, d),
+        _QUERY_IDS,
+        k=5,
+        model=_kmeans_model(s, d),
+        assigned=_kmeans_assigned(s, d),
+        edges=_graph_edges(s, d),
+    ),
     "ann_similar_pairs": lambda s, d: S.lsh_near_pairs(_emb(s, d), threshold=0.45),
     "dedup_embedding_near_dup": lambda s, d: S.embedding_near_dup(
         S.plant_near_dups(_emb(s, d)), threshold=0.9
@@ -357,6 +392,10 @@ ORACLES = {
     "emb_label_separation": S.label_centroid_separation_sql(),
     "ann_lsh_near_pairs": S.lsh_near_pairs_sql(threshold=0.35),
     "ann_ivf_topk": S.ivf_topk_sql(_QUERY_IDS, k=5),
+    "ann_graph_beam_topk": S.graph_beam_topk_sql(_QUERY_IDS, k=5, iters=1),
+    "ann_recall_beam_vs_exact": S.graph_beam_recall_eval_sql(
+        _QUERY_IDS, k=5, iters=1
+    ),
     "ann_similar_pairs": S.lsh_near_pairs_sql(threshold=0.45),
     "dedup_embedding_near_dup": S.lsh_near_pairs_sql(
         threshold=0.9, src=S.near_dup_src_sql()

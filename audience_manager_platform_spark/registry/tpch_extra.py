@@ -222,20 +222,26 @@ def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15 shape: suppliers whose revenue equals the MAX of all per-
     supplier revenues (aggregate over an aggregate).
 
-    Single fact scan: the global max rides a window over the per-supplier
-    aggregate instead of a second agg branch — a separate `rev.agg(max)`
-    join leaves Catalyst with two full lineitem scans (the join's
-    isnotnull pushdown makes the branches non-identical, so the shuffle
-    isn't reused; measured 2x the runtime of this form). The window's
-    single-partition step only ever sees |suppliers| rows — tiny relative
-    to the fact table at any scale."""
+    Single fact scan: the per-supplier rollup is MATERIALIZED once, so
+    the global max is a 1-row aggregate over the stage table broadcast
+    back onto it — one lineitem scan total, no branch recompute. (Earlier
+    forms paid either two fact scans — a second `rev.agg(max)` branch
+    breaks shuffle reuse — or a single-partition max window streaming
+    |suppliers| rows, a supplier-dimension straggler at scale; the stage
+    table pays one tiny write instead.)"""
+    from ..operators.partitioning import materialize
+
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
-    rev = li.groupBy("l_suppkey").agg(
-        F.round(F.sum(_revenue_col()).cast("double"), 2).alias("total_revenue")
+    rev = materialize(
+        li.groupBy("l_suppkey").agg(
+            F.round(F.sum(_revenue_col()).cast("double"), 2).alias(
+                "total_revenue"
+            )
+        )
     )
-    w = Window.partitionBy(F.lit(1))
-    top = rev.withColumn("mx", F.max("total_revenue").over(w)).filter(
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(
         F.col("total_revenue") == F.col("mx")
     )
     return (

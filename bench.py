@@ -205,7 +205,16 @@ NOTES = (
     "cross-environment absolute totals vary (same-code common-query "
     "median ratio 1.04 between the r7 artifact box state and the r8 "
     "idle re-run), so per-family deltas, not the grand total, are the "
-    "regression signal."
+    "regression signal. "
+    "r9: agg_exact_percentiles rebuilt as two-pass bucket rank-select "
+    "(8.9 -> ~1.8s warm at sf0.1, no ObjectHashAggregate value buffer); "
+    "the |users|/|keys|-sized unpartitioned rank windows "
+    "(spend_percentile_rank, revenue_gini, pareto_coverage, qini "
+    "deciles, skew_key_profile, interleave_schedule, q15 max) now run "
+    "on the sharded global_row_positions helper — identical outputs, "
+    "no single-task sort; stdout artifact switched to the compact "
+    "tail-safe line + bench_full.json (BENCH_r07/r08 parsed:null was "
+    "the full dict overflowing the driver's 2000-char tail capture)."
 )
 
 # Repeats per query: medians make the bench regression-proof (r3 saw a
@@ -227,7 +236,11 @@ HEAVY = {
     "ann_ivf_probe_sweep",
     "emb_margin_mutual_knn",
     "ann_adc_rerank_topk",
-    "ann_chunk_maxsim_ivf_topk",
+    # NOT ann_chunk_maxsim_ivf_topk: its first sample carries the
+    # one-time per-corpus index build (~20-25s at sf0.1, idle-confirmed
+    # r9) — at 2 repeats the median averaged build+serve (13.9s local
+    # r8); at 3 the median is the warm serving cost (~3-4s), and the
+    # build stays visible in the recorded runs[] samples.
 }
 
 

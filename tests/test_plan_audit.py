@@ -23,8 +23,14 @@ def test_allowlists_contain_no_stale_names():
     """Every allowlisted name must still exist in the registry — a
     renamed query would otherwise silently lose its enforcement."""
     from audience_manager_platform_spark import registry
-    from audit_plans import ARROW_ALLOWED, NESTED_LOOP_ALLOWED
+    from audit_plans import (
+        ARROW_ALLOWED,
+        GLOBAL_WINDOW_ALLOWED,
+        NESTED_LOOP_ALLOWED,
+    )
 
     names = set(registry.queries())
-    stale = (NESTED_LOOP_ALLOWED | ARROW_ALLOWED) - names
+    stale = (
+        NESTED_LOOP_ALLOWED | ARROW_ALLOWED | GLOBAL_WINDOW_ALLOWED
+    ) - names
     assert not stale, stale

@@ -1,0 +1,130 @@
+"""Round-9 scale fixes: the sharded global-rank helper and the
+closed-form exact ntile must be BIT-IDENTICAL to the unpartitioned
+Spark windows they replace (reference semantics: plain ANSI
+ROW_NUMBER/NTILE/cumulative-SUM; cited at
+reference backend/app/core/aggregates.py for the rank-consuming ops)."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from audience_manager_platform_spark.operators.partitioning import (
+    exact_ntile_expr,
+    global_row_positions,
+)
+
+
+def _sym_diff_empty(a, b):
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_global_row_positions_matches_global_window(spark):
+    df = spark.range(999).select(
+        (F.col("id") * 37 % 101).alias("v"), F.col("id").alias("k")
+    )
+    got = global_row_positions(df, "v", ["k"]).select("v", "k", "_gpos")
+    w = Window.orderBy(F.asc("v"), F.asc("k"))
+    exp = df.select(
+        "v", "k", F.row_number().over(w).cast("long").alias("_gpos")
+    )
+    assert _sym_diff_empty(got, exp)
+
+
+def test_global_row_positions_desc_with_running_sum(spark):
+    df = spark.range(500).select(
+        (F.col("id") * 13 % 47).alias("v"),
+        F.col("id").alias("k"),
+        (F.col("id") % 7 + 1).alias("x"),
+    )
+    got = global_row_positions(
+        df, "v", ["k"], descending=True, running_sum_col="x"
+    ).select("v", "k", "_gpos", "_gsum")
+    w = Window.orderBy(F.desc("v"), F.asc("k"))
+    exp = df.select(
+        "v",
+        "k",
+        F.row_number().over(w).cast("long").alias("_gpos"),
+        F.sum("x")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_gsum"),
+    )
+    assert _sym_diff_empty(got, exp)
+
+
+def test_global_row_positions_constant_value_column(spark):
+    # all values equal -> every row lands in shard 0; positions must
+    # still be the exact 1..n under the tiebreak order
+    df = spark.range(64).select(F.lit(5).alias("v"), F.col("id").alias("k"))
+    got = (
+        global_row_positions(df, "v", ["k"])
+        .orderBy("_gpos")
+        .select("k")
+        .collect()
+    )
+    assert [r["k"] for r in got] == list(range(64))
+
+
+def test_exact_ntile_matches_spark_ntile(spark):
+    # n spanning < k, == k, off-by-one and non-divisible cases
+    for n in (1, 3, 9, 10, 11, 25, 101):
+        for k in (3, 10):
+            df = spark.range(n).select(F.col("id").alias("pos1"))
+            w = Window.orderBy("pos1")
+            both = (
+                df.withColumn("pos", F.row_number().over(w))
+                .withColumn("n", F.lit(n))
+                .select(
+                    F.ntile(k).over(w).alias("want"),
+                    exact_ntile_expr("pos", "n", k).alias("got"),
+                )
+            )
+            bad = both.filter(F.col("want") != F.col("got")).count()
+            assert bad == 0, f"ntile mismatch at n={n}, k={k}"
+
+
+def _emb001(spark):
+    from audience_manager_platform_spark.sources import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+
+def test_graph_knn_edges_symmetric_and_bounded(spark):
+    from audience_manager_platform_spark.operators import similarity as S
+
+    emb = _emb001(spark)
+    model = S.kmeans_fit_model(emb, S.KMEANS_K, 1)
+    edges = S.graph_knn_edges(emb, model=model)
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    assert edges.exceptAll(rev).count() == 0  # symmetrized by build
+    # a node FORWARD-links to at most m neighbors; back-links can exceed
+    # that on hub nodes (in-degree is the choosing side's decision), so
+    # the sound bound is the largest cell: degree < |home cell|
+    from audience_manager_platform_spark.sources import load_table  # noqa: F401
+
+    assigned = S.assign_cells_arrow(
+        emb.select("vec_id", S._vec_double().alias("v")), model
+    )
+    max_cell = (
+        assigned.groupBy("cent_id").count().agg(F.max("count")).collect()[0][0]
+    )
+    deg = edges.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+    assert deg < max_cell
+    assert deg >= S.GRAPH_M  # forward links survived the union
+
+
+def test_graph_beam_recall_floor(spark):
+    """The 2-step NSW beam must recover most exact top-5 neighbors on
+    the fixture (measured 0.8-1.0 per query at build time; the floor
+    leaves headroom for fixture regeneration, not for regressions)."""
+    from audience_manager_platform_spark.operators import similarity as S
+
+    emb = _emb001(spark)
+    model = S.kmeans_fit_model(emb, S.KMEANS_K, 1)
+    rows = S.graph_beam_recall_eval(
+        emb, [0, 1, 2, 3, 4], k=5, model=model
+    ).collect()
+    recalls = [r["recall_at_k"] for r in rows]
+    assert len(recalls) == 5
+    assert min(recalls) >= 0.6
+    assert sum(recalls) / len(recalls) >= 0.7

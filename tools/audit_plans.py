@@ -227,6 +227,66 @@ NESTED_LOOP_ALLOWED = {
     # recall eval composes the exact baseline + the gated path (both
     # declared above); 1-row count tables cross-joined into the report
     "ann_recall_margin_ivf_vs_exact",
+    # r9: consumers of the sharded global rank (global_row_positions) —
+    # its 1-row value-bounds broadcast is the cross join; the n-row
+    # count broadcasts in qini/pareto/skew are the same 1-row shape
+    "corpus_interleave_schedule",
+    "analytics_pareto_coverage",
+    "skew_key_profile",
+    # r9: q15's materialized per-supplier rollup takes its global max
+    # back as a 1-row broadcast (replaces the single-partition window)
+    "tpch_q15_top_suppliers",
+    # r9 wave 46: NSW beam search probes the K-row centroid model (the
+    # ann_ivf_kmeans_topk shape); the recall eval adds the exact scan's
+    # broadcast |queries| tower (the documented baseline side)
+    "ann_graph_beam_topk",
+    "ann_recall_beam_vs_exact",
+}
+
+# Queries whose plan contains an UNPARTITIONED WindowExec (global
+# Window.orderBy — all rows through one task) that is DECLARED bounded:
+# the window's input is a reduced table whose size is independent of the
+# fact-table row count (|days|, |weeks|, |categories|, |buckets|,
+# |brands|, model state, ...). Data-sized global windows are violations;
+# the sharded `global_row_positions` helper is the sanctioned
+# alternative (its |shards|-row offsets window is exempted structurally
+# in _count_global_windows).
+GLOBAL_WINDOW_ALLOWED = {
+    # |days|-grid sequential state (daily totals / LLR ledgers / fold
+    # layout / seasonal fits): the raw stream is reduced by a combinable
+    # day aggregate first, so the window input is calendar-sized
+    "analytics_daily_anomalies",
+    "analytics_sprt_monitor",
+    "streaming_sprt_monitor",
+    "corpus_purged_time_split",
+    "layout_snapshot_retention",
+    "ts_seasonal_decompose",
+    "ts_seasonal_strength",
+    # closed-set dimensions: |event types| slices, |brands| = 25 pairs,
+    # |strata| design rows, |bands| share rows (after the sharded cut),
+    # |partitions| spine, purchase-ordinal curve grid
+    "analytics_delta_attribution",
+    "eval_kendall_tau_brands",
+    "sample_neyman_allocation",
+    "skew_key_profile",
+    "validate_partition_completeness",
+    "analytics_repeat_purchase_curve",
+    # model/sketch-sized state: histogram buckets, settled quantile
+    # sketch, the KS value grid (all O(buckets), documented per-op)
+    "sketch_quantile_bands",
+    "streaming_quantile_maintenance",
+    "validate_ks_drift",
+    # |distinct integer scores| grid of the exact Mann-Whitney AUC
+    "text_langid_en_auc",
+    # the Qini CURVE cumsum runs over the 10-row per-decile rollup (the
+    # |users|-sized decile CUT is the sharded rank + exact_ntile_expr)
+    "analytics_qini_uplift",
+    # post-LIMIT shortlists: the window input is k/pool/top_n rows
+    "hybrid_search_rrf",
+    "text_inverted_postings",
+    "text_zipf_fit",
+    # file-METADATA table (O(files), the table a compactor reads anyway)
+    "layout_compaction_plan",
 }
 
 ARROW_ALLOWED = {
@@ -289,6 +349,10 @@ ARROW_ALLOWED = {
     # table and the gated-maxsim recall eval's cell gate
     "ann_probe_recall_curve",
     "ann_recall_maxsim_ivf_vs_exact",
+    # r9 wave 46: the NSW edge build's shared cell-assignment stage
+    # runs the same Arrow kernel (assign_cells_arrow)
+    "ann_graph_beam_topk",
+    "ann_recall_beam_vs_exact",
 }
 
 
@@ -302,16 +366,61 @@ def scan(plan: str) -> dict:
         or "FlatMapGroupsInPandas" in plan
         or "FlatMapCoGroupsInPandas" in plan,
         "exchanges": len(re.findall(r"\bExchange\b", plan)),
+        "global_window": _count_global_windows(plan),
     }
+
+
+def _count_global_windows(plan: str) -> int:
+    """Count UNPARTITIONED WindowExec operators — every row through one
+    task (r8 verdict weak #2/#3). A partitioned `Window` line carries
+    three top-level bracket groups `[funcs], [partSpec], [orderSpec]`;
+    a global one only two, i.e. exactly ONE `], [` separator.
+
+    Exempt by construction: the per-shard offsets window inside
+    `partitioning.global_row_positions` (and the same scheme inlined in
+    `maintenance.pruning_audit`) — a global running sum over the
+    |shards|-row count table, recognizable by its `_shard`/`pid` order
+    key. That window is the REPLACEMENT for a data-sized global sort,
+    never one itself."""
+    n = 0
+    for line in plan.splitlines():
+        if not re.search(r"\bWindow \[", line):
+            continue
+        seps = line.count("], [")
+        if seps >= 2:
+            continue  # [funcs], [partSpec], [orderSpec] — partitioned
+            # (constant partition exprs like partitionBy(lit(1)) FOLD
+            # AWAY entirely, so a surviving partSpec is real columns)
+        if seps == 0:
+            n += 1  # [funcs] only: partitionBy()/lit-folded, no order
+            continue
+        last = line.rsplit("], [", 1)[-1]
+        if " ASC" not in last and " DESC" not in last:
+            continue  # [funcs], [partSpec]: partitioned, orderless
+        if re.search(r"\b(_shard|pid)#", last):
+            continue  # the sharded-rank offsets window (|shards| rows)
+        n += 1
+    return n
 
 
 def audit(spark, sf_dir: str):
     from audience_manager_platform_spark import registry
     from audience_manager_platform_spark.operators import partitioning
 
+    from audience_manager_platform_spark.registry import _shared
+
     rows = []
     violations = []
     for name, fn in registry.queries().items():
+        # Each audited query rebuilds (and therefore OWNS) its shared
+        # intermediates: with the session-keyed cache warm, a shared
+        # table's materialize() stages would be recorded only under
+        # whichever consumer ran first, making per-query stage rows (and
+        # red-flag folding) depend on registry iteration order (r8
+        # advice). Clearing per query trades audit runtime for
+        # determinism — each consumer's row carries the full cost and
+        # every flag of everything it reads.
+        _shared._CACHE.clear()
         partitioning.STAGE_PLAN_RECORDER = []
         try:
             df = fn(spark, sf_dir)
@@ -338,6 +447,20 @@ def audit(spark, sf_dir: str):
             violations.append((name, "undeclared cartesian/nested-loop join"))
         if s["arrow_python"] and name not in ARROW_ALLOWED:
             violations.append((name, "undeclared ArrowEvalPython/MapInPandas"))
+        if s["global_window"] and name not in GLOBAL_WINDOW_ALLOWED:
+            violations.append(
+                (name, "undeclared single-partition WindowExec over an "
+                       "undeclared input (global Window.orderBy)")
+            )
+    # Canary for the stage recorder itself: materialize() is used by
+    # dozens of registry operators, so an audit sweep that records ZERO
+    # stages anywhere means the recorder hook is broken and the scan is
+    # silently blind to materialized stages (r8 verdict) — fail loudly.
+    if rows and not any(s.get("stages", 0) for _, s in rows):
+        violations.append(
+            ("_recorder", "stage recorder captured 0 stages across the "
+                          "whole registry — materialize() hook broken")
+        )
     return rows, violations
 
 
@@ -355,14 +478,16 @@ def main() -> int:
         "(`python tools/audit_plans.py`; enforced by "
         "`tests/test_plan_audit.py`).",
         "",
-        "| query | exchanges | stages | nested-loop | arrow |",
-        "|---|---|---|---|---|",
+        "| query | exchanges | stages | nested-loop | arrow | global-window |",
+        "|---|---|---|---|---|---|",
     ]
     for name, s in sorted(rows):
         nl = "allowed" if (s["cartesian"] or s["nested_loop"]) else ""
         ar = "kernel" if s["arrow_python"] else ""
+        gw = "declared-bounded" if s.get("global_window") else ""
         lines.append(
-            f"| {name} | {s['exchanges']} | {s.get('stages', 0)} | {nl} | {ar} |"
+            f"| {name} | {s['exchanges']} | {s.get('stages', 0)} | {nl} "
+            f"| {ar} | {gw} |"
         )
     lines.append("")
     if violations:

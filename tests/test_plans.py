@@ -228,10 +228,20 @@ def test_minhash_lsh_driver_path_has_hot_band_guard(spark, sf_dir, queries):
 
 
 def test_q15_single_fact_scan(spark, sf_dir, queries):
-    """Q15's global max must ride a window over the per-supplier
-    aggregate, not a second aggregation branch — one lineitem scan."""
-    plan = _plan(queries["tpch_q15_top_suppliers"](spark, sf_dir), "simple")
-    assert plan.count("lineitem.parquet") == 1
+    """Q15 must touch lineitem exactly ONCE: the per-supplier rollup is
+    a materialized stage (one fact scan inside it), and the consumer
+    plan — max broadcast + join back — reads only the stage table, so a
+    second aggregation branch can never sneak a second fact scan in."""
+    from audience_manager_platform_spark.operators import partitioning
+
+    partitioning.STAGE_PLAN_RECORDER = []
+    try:
+        plan = _plan(queries["tpch_q15_top_suppliers"](spark, sf_dir), "simple")
+        stages = list(partitioning.STAGE_PLAN_RECORDER)
+    finally:
+        partitioning.STAGE_PLAN_RECORDER = None
+    assert plan.count("lineitem.parquet") == 0  # consumer reads the stage
+    assert sum(s.count("lineitem.parquet") for s in stages) == 1
 
 
 def test_cohort_retention_no_second_fact_scan(spark, sf_dir, queries):

@@ -1063,6 +1063,29 @@ def main() -> None:
             [("event_id", "user_id"), ("user_id", "event_type")],
         ),
     )
+
+    # --------------- round-9: the sharded global-rank helper under load
+    # (the r8 weak set: these used to push every per-user/per-key row
+    # through ONE unpartitioned window task; now global_row_positions)
+    from audience_manager_platform_spark.operators.analytics import (
+        pareto_coverage,
+        revenue_gini,
+        spend_percentile_rank,
+    )
+    from audience_manager_platform_spark.operators.skew import (
+        key_skew_profile,
+    )
+
+    timed("pareto 80pct coverage (sharded cumsum)", pareto_coverage(typed_events))
+    timed("revenue gini (sharded rank)", revenue_gini(typed_events))
+    timed(
+        "spend percentile rank (sharded, |users| out)",
+        spend_percentile_rank(typed_events),
+    )
+    timed(
+        "key skew profile (sharded exact ntile)",
+        key_skew_profile(typed_events, "user_id"),
+    )
     spark.stop()
 
 

@@ -3198,7 +3198,14 @@ def graph_knn_edges(
     Candidates come from the IVF cell equi-join (cost Σ|cell|², the
     SemDeDup bound — never |n|²); per-node top-``m`` is a PARTITIONED
     window; symmetrization unions the reversed edges (NSW keeps
-    back-links so greedy search can escape a poor entry)."""
+    back-links so greedy search can escape a poor entry).
+
+    Cell-sizing discipline (measured, tools/scale_smoke.py): Σ|cell|² =
+    n·(cell size), so ``n_clusters`` must scale linearly with the corpus
+    to hold cell size at a constant target (~200): 100k vecs / 512
+    cells builds 19.5M pairs in ~80 s one-time; the same corpus at 64
+    cells (1.5k/cell) is 156M pairs and 8x the wall clock. The fixture
+    default (KMEANS_K=16) is sized for the 2k-vector fixture only."""
     base = emb.select("vec_id", _vec_double().alias("v"))
     if model is None:
         model = kmeans_fit_model(emb, n_clusters, iters)

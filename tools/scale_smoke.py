@@ -69,6 +69,10 @@ def timed(label: str, df) -> None:
     ):
         return
     t0 = time.perf_counter()
+    if callable(df):
+        # thunk form: operators with EAGER stages (materialize() builds)
+        # must construct inside the timer or the build escapes the number
+        df = df()
     row = (
         df.select(F.xxhash64(F.struct(*df.columns)).alias("_h"))
         .agg(F.count("*").alias("n"), F.expr("bit_xor(_h)"))
@@ -1085,6 +1089,56 @@ def main() -> None:
     timed(
         "key skew profile (sharded exact ntile)",
         key_skew_profile(typed_events, "user_id"),
+    )
+
+    # ------------------ round-9: NSW graph-ANN at 100k vectors (wave 46)
+    # The edge build's cost is Σ|cell|² = n x (cell size), so the cell
+    # count must scale LINEARLY with the corpus to hold cell size at a
+    # constant target (~200 here): 100k/512. A 1563-vec cell (the first
+    # attempt: 100k/64) made the build 156M pairs and blew the smoke's
+    # wall clock — measured proof that cell sizing, not corpus size, is
+    # the build's knob. Deterministic synthetic vectors, in-Spark.
+    from audience_manager_platform_spark.operators import similarity as SIM
+
+    only = os.environ.get("SCALE_ONLY")
+    if only and "nsw" not in only.lower():
+        spark.stop()
+        return
+    n_vecs = int(os.environ.get("SCALE_VECS", 100_000))
+    graph_cells = int(os.environ.get("SCALE_GRAPH_CELLS", 512))
+    vec = F.array(
+        *[
+            (
+                (F.abs(F.xxhash64("id", F.lit(i))) % 2_000_000)
+                / 1_000_000.0
+                - 1.0
+            )
+            for i in range(SIM.EMBED_DIM)
+        ]
+    )
+    vecs = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+    gm = SIM.kmeans_fit_model(vecs, graph_cells, 1)
+    edges = None
+
+    def _edges():
+        nonlocal edges
+        if edges is None:
+            edges = SIM.graph_knn_edges(
+                vecs, n_clusters=graph_cells, model=gm
+            )
+        return edges
+
+    timed(
+        f"NSW edge build ({n_vecs:,} vecs, {graph_cells} cells)", _edges
+    )
+    timed(
+        "NSW beam search (5 queries over the standing graph)",
+        lambda: SIM.graph_beam_topk(
+            vecs, [0, 1, 2, 3, 4], k=5, n_clusters=graph_cells,
+            model=gm, edges=_edges(),
+        ),
     )
     spark.stop()
 

@@ -3578,3 +3578,376 @@ def qini_uplift_deciles_sql(src: str = "events", salt: str = "ab-v1") -> str:
         FROM cum
         ORDER BY decile
     """
+
+
+# --------------------------------------- feature scoring audits (wave 47)
+# WOE/IV and chi-square — the two standard "is this feature worth putting
+# in the targeting model" audits a scoring platform runs next to its
+# uplift readouts (reference analogue: the platform's aggregate analytics
+# surface, backend/app/services/analytics_service.py, which stops at
+# totals; these grade a FEATURE against conversion). Both ride the
+# qini/CUPED pre-post midpoint discipline: feature = the user's modal
+# PRE-period event_type (leak-free), label = any POST-period purchase.
+
+
+def _modal_pre_feature(events: DataFrame):
+    """(user_id, feature, converted): modal pre-period event_type (count
+    desc, event_type asc — a total order) + post-period purchase label.
+    Users with no pre-period events are excluded on both engines."""
+    from .partitioning import materialize
+
+    base = events.filter(F.col("user_id").isNotNull()).select(
+        "user_id", F.to_date("ts").alias("d"), "event_type"
+    )
+    bounds = base.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.expr("date_add(lo, CAST(datediff(hi, lo) div 2 AS INT))").alias(
+            "mid"
+        )
+    )
+    tagged = materialize(base.crossJoin(F.broadcast(bounds)))
+    pre = (
+        tagged.filter(F.col("d") <= F.col("mid"))
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("c"), F.asc("event_type")
+    )
+    modal = (
+        pre.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("feature"))
+    )
+    label = tagged.groupBy("user_id").agg(
+        F.max(
+            F.expr(
+                "CASE WHEN d > mid AND event_type = 'purchase'"
+                " THEN 1 ELSE 0 END"
+            )
+        ).alias("converted")
+    )
+    return modal.join(label, "user_id")
+
+
+_MODAL_PRE_SQL = """
+        base AS (
+          SELECT user_id, CAST(ts AS DATE) AS d, event_type
+          FROM {src} WHERE user_id IS NOT NULL
+        ),
+        bounds AS (
+          SELECT MIN(d) + CAST((MAX(d) - MIN(d)) // 2 AS INTEGER) AS mid
+          FROM base
+        ),
+        pre AS (
+          SELECT user_id, event_type, COUNT(*) AS c
+          FROM base WHERE d <= (SELECT mid FROM bounds)
+          GROUP BY user_id, event_type
+        ),
+        modal AS (
+          SELECT user_id, event_type AS feature FROM (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY user_id
+                     ORDER BY c DESC, event_type ASC) AS rn
+            FROM pre
+          ) x WHERE rn = 1
+        ),
+        label AS (
+          SELECT user_id,
+                 MAX(CASE WHEN d > (SELECT mid FROM bounds)
+                     AND event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+          FROM base GROUP BY user_id
+        ),
+        fl AS (
+          SELECT m.user_id, m.feature, l.converted
+          FROM modal m JOIN label l USING (user_id)
+        )"""
+
+
+def woe_iv_feature(events: DataFrame) -> DataFrame:
+    """Weight-of-evidence / information-value per feature value — the
+    credit-scoring-style predictiveness audit (Siddiqi, "Credit Risk
+    Scorecards"): WOE_i = ln(dist_good_i / dist_bad_i) with the standard
+    +0.5 zero-cell adjustment, IV_i = (dist_good_i − dist_bad_i)·WOE_i.
+    |IV| ≈ Σ: <0.02 useless, 0.1–0.3 medium, >0.5 suspicious.
+
+    Exactness: counts are exact bigints; distributions and the single
+    ln() are IEEE doubles built from the identical expression on both
+    engines (the BM25/Zipf ln discipline), rounded 6dp at the edge. One
+    per-user reduce + one |values|-row aggregate + a 1-row totals
+    broadcast — nothing data-sized past the first groupBy."""
+    fl = _modal_pre_feature(events)
+    per = fl.groupBy("feature").agg(
+        F.sum("converted").cast("long").alias("n_good"),
+        F.sum(F.lit(1) - F.col("converted")).cast("long").alias("n_bad"),
+    )
+    tot = per.agg(
+        F.sum("n_good").alias("tot_good"), F.sum("n_bad").alias("tot_bad")
+    )
+    dg = (F.col("n_good") + 0.5) / (F.col("tot_good") + 0.5)
+    db = (F.col("n_bad") + 0.5) / (F.col("tot_bad") + 0.5)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "feature",
+            "n_good",
+            "n_bad",
+            F.round(F.log(dg / db), 6).alias("woe"),
+            F.round((dg - db) * F.log(dg / db), 6).alias("iv_contrib"),
+        )
+        .orderBy("feature")
+    )
+
+
+def woe_iv_feature_sql(src: str = "events") -> str:
+    dg = "(per.n_good + 0.5) / (tot.tot_good + 0.5)"
+    db = "(per.n_bad + 0.5) / (tot.tot_bad + 0.5)"
+    return f"""
+        WITH {_MODAL_PRE_SQL.format(src=src)},
+        per AS (
+          SELECT feature,
+                 CAST(SUM(converted) AS BIGINT) AS n_good,
+                 CAST(SUM(1 - converted) AS BIGINT) AS n_bad
+          FROM fl GROUP BY feature
+        ),
+        tot AS (
+          SELECT SUM(n_good) AS tot_good, SUM(n_bad) AS tot_bad FROM per
+        )
+        SELECT per.feature, per.n_good, per.n_bad,
+               ROUND(LN(({dg}) / ({db})), 6) AS woe,
+               ROUND((({dg}) - ({db})) * LN(({dg}) / ({db})), 6)
+                 AS iv_contrib
+        FROM per CROSS JOIN tot
+        ORDER BY per.feature
+    """
+
+
+def chi2_feature_conversion(events: DataFrame) -> DataFrame:
+    """Per-feature-value chi-square contribution of the feature x
+    conversion contingency table — the independence test behind
+    categorical feature ranking. Expected counts e = row_tot·col_tot/N
+    as exact-integer-derived doubles; cells with e = 0 contribute 0
+    (CASE-guarded identically on both engines). Same bounded shape as
+    :func:`woe_iv_feature`."""
+    fl = _modal_pre_feature(events)
+    per = fl.groupBy("feature").agg(
+        F.sum("converted").cast("long").alias("o_good"),
+        F.sum(F.lit(1) - F.col("converted")).cast("long").alias("o_bad"),
+    )
+    tot = per.agg(
+        F.sum("o_good").alias("tg"),
+        F.sum("o_bad").alias("tb"),
+        (F.sum("o_good") + F.sum("o_bad")).alias("n"),
+    )
+    r = F.col("o_good") + F.col("o_bad")
+    eg = r * F.col("tg") / F.col("n")
+    eb = r * F.col("tb") / F.col("n")
+    contrib = F.when(
+        (F.col("tg") > 0) & (F.col("tb") > 0),
+        (F.col("o_good") - eg) * (F.col("o_good") - eg) / eg
+        + (F.col("o_bad") - eb) * (F.col("o_bad") - eb) / eb,
+    ).otherwise(F.lit(0.0))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "feature",
+            "o_good",
+            "o_bad",
+            F.round(contrib, 6).alias("chi2_contrib"),
+        )
+        .orderBy("feature")
+    )
+
+
+def chi2_feature_conversion_sql(src: str = "events") -> str:
+    eg = "(per.o_good + per.o_bad) * tot.tg / tot.n"
+    eb = "(per.o_good + per.o_bad) * tot.tb / tot.n"
+    return f"""
+        WITH {_MODAL_PRE_SQL.format(src=src)},
+        per AS (
+          SELECT feature,
+                 CAST(SUM(converted) AS BIGINT) AS o_good,
+                 CAST(SUM(1 - converted) AS BIGINT) AS o_bad
+          FROM fl GROUP BY feature
+        ),
+        tot AS (
+          SELECT CAST(SUM(o_good) AS DOUBLE) AS tg,
+                 CAST(SUM(o_bad) AS DOUBLE) AS tb,
+                 CAST(SUM(o_good) + SUM(o_bad) AS DOUBLE) AS n
+          FROM per
+        )
+        SELECT per.feature, per.o_good, per.o_bad,
+               ROUND(CASE WHEN tot.tg > 0 AND tot.tb > 0 THEN
+                 (per.o_good - ({eg})) * (per.o_good - ({eg})) / ({eg})
+                 + (per.o_bad - ({eb})) * (per.o_bad - ({eb})) / ({eb})
+               ELSE 0.0 END, 6) AS chi2_contrib
+        FROM per CROSS JOIN tot
+        ORDER BY per.feature
+    """
+
+
+def ab_smd_balance(events: DataFrame, salt: str = "ab-v1") -> DataFrame:
+    """Standardized-mean-difference covariate balance check between hash
+    arms — the audit run BEFORE trusting any A/B readout (|SMD| < 0.1 is
+    the conventional balanced threshold; a hash split should pass it by
+    construction, so a failure flags a broken assignment). Covariate =
+    pre-period spend cents per user, the same covariate CUPED adjusts on.
+
+    Exactness discipline = :func:`cuped_adjustment`: integer cents;
+    per-arm integer means (``sum div n``); centered square sums in
+    DECIMAL(38,0) (bigint overflows at the 100M smoke scale; DuckDB side
+    rides HUGEINT); the final SMD is a double built from the identical
+    exact-integer operands and rounded 6dp."""
+    from ..functions import stable_long_hash
+    from .partitioning import materialize
+
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    base = events.filter(F.col("user_id").isNotNull()).select(
+        "user_id",
+        F.coalesce(cents, F.lit(0)).alias("cents"),
+        F.to_date("ts").alias("d"),
+    )
+    bounds = base.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.expr("date_add(lo, CAST(datediff(hi, lo) div 2 AS INT))").alias(
+            "mid"
+        )
+    )
+    per_user = materialize(
+        base.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("CASE WHEN d <= mid THEN cents ELSE 0 END")).alias(
+                "x"
+            )
+        )
+        .select(
+            (
+                stable_long_hash(F.col("user_id").cast("string"), salt=salt)
+                % 2
+            ).alias("arm"),
+            "x",
+        )
+    )
+    arm = per_user.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.expr("sum(x) div count(*)").alias("m"),
+    )
+    ssq = (
+        per_user.join(F.broadcast(arm), "arm")
+        .groupBy("arm")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(x - m AS DECIMAL(19,0)) * CAST(x - m AS DECIMAL(19,0))"
+                )
+            ).alias("ssq_c")
+        )
+    )
+    j = (
+        arm.join(ssq, "arm")
+        .select(
+            "arm",
+            "n",
+            "sx",
+            (F.col("ssq_c").cast("double") / F.col("n")).alias("var"),
+        )
+    )
+    t = j.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_t"), F.col("sx").alias("sx_t"),
+        F.col("var").alias("var_t"),
+    )
+    c = j.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_c"), F.col("sx").alias("sx_c"),
+        F.col("var").alias("var_c"),
+    )
+    diff = F.col("sx_t") / F.col("n_t") - F.col("sx_c") / F.col("n_c")
+    # zero pooled variance (ANSI div-by-zero): equal means -> exactly
+    # balanced (0.0); unequal means on constant arms -> undefined (NULL,
+    # balanced=false) — guarded with the SAME CASE on both engines
+    smd = (
+        F.when(
+            (F.col("var_t") + F.col("var_c")) > 0,
+            F.round(
+                diff / F.sqrt((F.col("var_t") + F.col("var_c")) / 2.0), 6
+            ),
+        )
+        .when(diff == 0, F.lit(0.0))
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return t.crossJoin(c).select(
+        F.col("n_t").cast("long").alias("n_t"),
+        F.col("n_c").cast("long").alias("n_c"),
+        F.expr("CAST(sx_t * 1000000 div n_t AS BIGINT)").alias(
+            "mean_pre_t_micro"
+        ),
+        F.expr("CAST(sx_c * 1000000 div n_c AS BIGINT)").alias(
+            "mean_pre_c_micro"
+        ),
+        smd.alias("smd"),
+        F.coalesce(F.abs(smd) < 0.1, F.lit(False)).alias("balanced"),
+    )
+
+
+def ab_smd_balance_sql(src: str = "events", salt: str = "ab-v1") -> str:
+    from ..functions import HASH60_DUCK_SQL
+
+    h = HASH60_DUCK_SQL.format(x=f"'{salt}' || CAST(user_id AS VARCHAR)")
+    diff = "(t.sx_t / CAST(t.n_t AS DOUBLE) - c.sx_c / CAST(c.n_c AS DOUBLE))"
+    smd = (
+        f"CASE WHEN (t.var_t + c.var_c) > 0 THEN"
+        f" ROUND({diff} / SQRT((t.var_t + c.var_c) / 2.0), 6)"
+        f" WHEN {diff} = 0 THEN 0.0"
+        f" ELSE NULL END"
+    )
+    return f"""
+        WITH base AS (
+          SELECT user_id,
+                 COALESCE(CAST(floor(value * 100 + 0.5) AS BIGINT), 0)
+                   AS cents,
+                 CAST(ts AS DATE) AS d
+          FROM {src} WHERE user_id IS NOT NULL
+        ),
+        bounds AS (
+          SELECT MIN(d) + CAST((MAX(d) - MIN(d)) // 2 AS INTEGER) AS mid
+          FROM base
+        ),
+        per_user AS (
+          SELECT ({h}) % 2 AS arm,
+                 CAST(SUM(CASE WHEN d <= (SELECT mid FROM bounds)
+                          THEN cents ELSE 0 END) AS BIGINT) AS x
+          FROM base GROUP BY user_id
+        ),
+        arm AS (
+          SELECT arm, COUNT(*) AS n, SUM(x) AS sx,
+                 SUM(x) // COUNT(*) AS m
+          FROM per_user GROUP BY arm
+        ),
+        ssq AS (
+          SELECT p.arm,
+                 SUM(CAST(p.x - a.m AS HUGEINT)
+                     * CAST(p.x - a.m AS HUGEINT)) AS ssq_c
+          FROM per_user p JOIN arm a USING (arm) GROUP BY p.arm
+        ),
+        j AS (
+          SELECT arm.arm, arm.n, arm.sx,
+                 CAST(ssq.ssq_c AS DOUBLE) / arm.n AS var
+          FROM arm JOIN ssq USING (arm)
+        ),
+        t AS (
+          SELECT n AS n_t, sx AS sx_t, var AS var_t FROM j WHERE arm = 1
+        ),
+        c AS (
+          SELECT n AS n_c, sx AS sx_c, var AS var_c FROM j WHERE arm = 0
+        )
+        SELECT CAST(t.n_t AS BIGINT) AS n_t,
+               CAST(c.n_c AS BIGINT) AS n_c,
+               CAST(t.sx_t * 1000000 // t.n_t AS BIGINT)
+                 AS mean_pre_t_micro,
+               CAST(c.sx_c * 1000000 // c.n_c AS BIGINT)
+                 AS mean_pre_c_micro,
+               {smd} AS smd,
+               COALESCE(ABS({smd}) < 0.1, FALSE) AS balanced
+        FROM t CROSS JOIN c
+    """

@@ -261,6 +261,17 @@ QUERIES = {
     "analytics_spend_percentile_rank": lambda s, d: A.spend_percentile_rank(
         load_table(s, d, "events")
     ),
+    # r9 wave 47: feature-scoring audits (WOE/IV + chi-square over the
+    # modal pre-period feature) and the A/B covariate-balance SMD check
+    "feature_woe_iv_event_mix": lambda s, d: A.woe_iv_feature(
+        load_table(s, d, "events")
+    ),
+    "feature_chi2_conversion": lambda s, d: A.chi2_feature_conversion(
+        load_table(s, d, "events")
+    ),
+    "analytics_ab_smd_balance": lambda s, d: A.ab_smd_balance(
+        load_table(s, d, "events")
+    ),
 }
 
 _DAILY_TOTALS_TMPL = """
@@ -437,6 +448,9 @@ ORACLES = {
     "analytics_new_vs_returning": A.new_vs_returning_sql(),
     "analytics_daily_anomalies_robust": A.daily_anomalies_robust_sql(),
     "analytics_spend_percentile_rank": A.spend_percentile_rank_sql(),
+    "feature_woe_iv_event_mix": A.woe_iv_feature_sql(),
+    "feature_chi2_conversion": A.chi2_feature_conversion_sql(),
+    "analytics_ab_smd_balance": A.ab_smd_balance_sql(),
     "segment_overlap_matrix": """
         WITH per_user AS (
           SELECT user_id,

@@ -128,3 +128,78 @@ def test_graph_beam_recall_floor(spark):
     assert len(recalls) == 5
     assert min(recalls) >= 0.6
     assert sum(recalls) / len(recalls) >= 0.7
+
+
+# ------------------------------ wave 47: feature-scoring audits ----------
+from datetime import datetime
+
+_EVENTS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, ts, uid, et, val, "{}") for i, (ts, uid, et, val) in enumerate(rows)],
+        _EVENTS_SCHEMA,
+    )
+
+
+def _planted_feature_events(spark):
+    # 20-day span (midpoint day 10). Users 1-10: pre-period mostly
+    # "click", and ALL convert post. Users 11-20: pre-period mostly
+    # "view", none convert. So feature=click must get positive WOE,
+    # feature=view negative, and a large chi2.
+    rows = []
+    for u in range(1, 11):
+        rows += [(datetime(2024, 1, d), u, "click", 1.0) for d in (2, 3, 4)]
+        rows += [(datetime(2024, 1, 15), u, "purchase", 10.0)]
+    for u in range(11, 21):
+        rows += [(datetime(2024, 1, d), u, "view", 1.0) for d in (2, 3, 4)]
+        rows += [(datetime(2024, 1, 15), u, "click", 0.0)]
+    return _ev(spark, rows)
+
+
+def test_woe_iv_signs_on_planted_separation(spark):
+    from audience_manager_platform_spark.operators.analytics import (
+        woe_iv_feature,
+    )
+
+    got = {
+        r["feature"]: r
+        for r in woe_iv_feature(_planted_feature_events(spark)).collect()
+    }
+    assert got["click"]["n_good"] == 10 and got["click"]["n_bad"] == 0
+    assert got["view"]["n_good"] == 0 and got["view"]["n_bad"] == 10
+    assert got["click"]["woe"] > 0 > got["view"]["woe"]
+    # IV contributions are non-negative by construction ((dg-db), WOE
+    # always share a sign)
+    assert all(r["iv_contrib"] >= 0 for r in got.values())
+
+
+def test_chi2_nonnegative_and_large_on_planted_separation(spark):
+    from audience_manager_platform_spark.operators.analytics import (
+        chi2_feature_conversion,
+    )
+
+    rows = chi2_feature_conversion(_planted_feature_events(spark)).collect()
+    assert all(r["chi2_contrib"] >= 0 for r in rows)
+    # perfect separation on 20 users: total chi2 == n == 20
+    assert abs(sum(r["chi2_contrib"] for r in rows) - 20.0) < 1e-6
+
+
+def test_ab_smd_hash_split_is_balanced(spark):
+    from audience_manager_platform_spark.operators.analytics import (
+        ab_smd_balance,
+    )
+
+    # identical spend distribution for every user: a hash split MUST be
+    # perfectly balanced (smd == 0 since all per-user sums are equal)
+    rows = []
+    for u in range(1, 41):
+        rows += [(datetime(2024, 1, 2), u, "purchase", 25.0)]
+        rows += [(datetime(2024, 1, 15), u, "view", 0.0)]
+    got = ab_smd_balance(_ev(spark, rows)).collect()[0]
+    assert got["n_t"] + got["n_c"] == 40
+    assert got["smd"] == 0.0 and bool(got["balanced"])

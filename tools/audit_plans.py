@@ -241,6 +241,11 @@ NESTED_LOOP_ALLOWED = {
     # broadcast |queries| tower (the documented baseline side)
     "ann_graph_beam_topk",
     "ann_recall_beam_vs_exact",
+    # r9 wave 47: 1-row midpoint-bounds/totals broadcasts (the CUPED
+    # shape); SMD's final report row is a 1x1 cross of the two arms
+    "feature_woe_iv_event_mix",
+    "feature_chi2_conversion",
+    "analytics_ab_smd_balance",
 }
 
 # Queries whose plan contains an UNPARTITIONED WindowExec (global

@@ -3951,3 +3951,328 @@ def ab_smd_balance_sql(src: str = "events", salt: str = "ab-v1") -> str:
                COALESCE(ABS({smd}) < 0.1, FALSE) AS balanced
         FROM t CROSS JOIN c
     """
+
+
+# ------------------------------------ multi-arm experiment readouts (w48)
+def anova_oneway_arms(
+    events: DataFrame, k_arms: int = 4, salt: str = "ab-v1"
+) -> DataFrame:
+    """One-way ANOVA F across ``k_arms`` hash arms on post-period spend —
+    the multi-variant generalization of the two-arm z-test (reference
+    analogue: none; the platform stops at per-segment counts). Unit =
+    user, y = post-midpoint spend cents.
+
+    Exact algebra until the last division: per-arm S_a = Σy (bigint),
+    Q = Σy² in DECIMAL(38,0) (y² alone can pass 2^63 at the 100M-smoke
+    class), SSB = Σ S_a²/n_a − S²/n and SSW = Q − Σ S_a²/n_a as doubles
+    built from the identical exact operands on both engines (HUGEINT on
+    DuckDB); F = (SSB/(k−1))/(SSW/(n−k)), 6dp, NULL-guarded when SSW=0
+    or dof ≤ 0. Output: one row per arm (n, mean micro) + the shared F."""
+    from ..functions import stable_long_hash
+    from .partitioning import materialize
+
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    base = events.filter(F.col("user_id").isNotNull()).select(
+        "user_id",
+        F.coalesce(cents, F.lit(0)).alias("cents"),
+        F.to_date("ts").alias("d"),
+    )
+    bounds = base.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.expr("date_add(lo, CAST(datediff(hi, lo) div 2 AS INT))").alias(
+            "mid"
+        )
+    )
+    per_user = materialize(
+        base.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("CASE WHEN d > mid THEN cents ELSE 0 END")).alias(
+                "y"
+            )
+        )
+        .select(
+            (
+                stable_long_hash(F.col("user_id").cast("string"), salt=salt)
+                % k_arms
+            ).alias("arm"),
+            "y",
+        )
+    )
+    arm = per_user.groupBy("arm").agg(
+        F.count("*").alias("n_a"),
+        F.sum("y").alias("s_a"),
+        F.sum(
+            F.expr("CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))")
+        ).alias("q_a"),
+    )
+    tot = arm.agg(
+        F.sum("n_a").alias("n"),
+        F.sum("s_a").alias("s"),
+        F.sum("q_a").alias("q"),
+        F.sum(
+            F.col("s_a").cast("decimal(38,0)")
+            * F.col("s_a").cast("decimal(38,0)")
+            / F.col("n_a").cast("double")
+        ).alias("sum_sa2_over_na"),
+        F.count("*").alias("k"),
+    )
+    ssb = (
+        F.col("sum_sa2_over_na")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+        / F.col("n").cast("double")
+    )
+    ssw = F.col("q").cast("double") - F.col("sum_sa2_over_na")
+    f_stat = F.when(
+        (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw > 0),
+        F.round(
+            (ssb / (F.col("k") - 1).cast("double"))
+            / (ssw / (F.col("n") - F.col("k")).cast("double")),
+            6,
+        ),
+    ).otherwise(F.lit(None).cast("double"))
+    return (
+        arm.crossJoin(F.broadcast(tot.select(f_stat.alias("f_stat"))))
+        .select(
+            F.col("arm").cast("long").alias("arm"),
+            F.col("n_a").cast("long").alias("n_users"),
+            F.expr("CAST(s_a * 1000000 div n_a AS BIGINT)").alias(
+                "mean_post_micro"
+            ),
+            "f_stat",
+        )
+        .orderBy("arm")
+    )
+
+
+def anova_oneway_arms_sql(
+    src: str = "events", k_arms: int = 4, salt: str = "ab-v1"
+) -> str:
+    from ..functions import HASH60_DUCK_SQL
+
+    h = HASH60_DUCK_SQL.format(x=f"'{salt}' || CAST(user_id AS VARCHAR)")
+    return f"""
+        WITH base AS (
+          SELECT user_id,
+                 COALESCE(CAST(floor(value * 100 + 0.5) AS BIGINT), 0)
+                   AS cents,
+                 CAST(ts AS DATE) AS d
+          FROM {src} WHERE user_id IS NOT NULL
+        ),
+        bounds AS (
+          SELECT MIN(d) + CAST((MAX(d) - MIN(d)) // 2 AS INTEGER) AS mid
+          FROM base
+        ),
+        per_user AS (
+          SELECT ({h}) % {int(k_arms)} AS arm,
+                 CAST(SUM(CASE WHEN d > (SELECT mid FROM bounds)
+                          THEN cents ELSE 0 END) AS BIGINT) AS y
+          FROM base GROUP BY user_id
+        ),
+        arm AS (
+          SELECT arm, COUNT(*) AS n_a, SUM(y) AS s_a,
+                 SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS q_a
+          FROM per_user GROUP BY arm
+        ),
+        tot AS (
+          SELECT SUM(n_a) AS n, SUM(s_a) AS s, SUM(q_a) AS q,
+                 SUM(CAST(CAST(s_a AS HUGEINT) * CAST(s_a AS HUGEINT)
+                          AS DOUBLE) / n_a) AS sum_sa2_over_na,
+                 COUNT(*) AS k
+          FROM arm
+        ),
+        f AS (
+          SELECT CASE WHEN k > 1 AND n > k
+                       AND (CAST(q AS DOUBLE) - sum_sa2_over_na) > 0 THEN
+                   ROUND(
+                     ((sum_sa2_over_na
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                         / CAST(n AS DOUBLE)) / (k - 1))
+                     / ((CAST(q AS DOUBLE) - sum_sa2_over_na) / (n - k)),
+                     6)
+                 ELSE NULL END AS f_stat
+          FROM tot
+        )
+        SELECT CAST(arm.arm AS BIGINT) AS arm,
+               CAST(arm.n_a AS BIGINT) AS n_users,
+               CAST(arm.s_a * 1000000 // arm.n_a AS BIGINT)
+                 AS mean_post_micro,
+               f.f_stat
+        FROM arm CROSS JOIN f
+        ORDER BY arm.arm
+    """
+
+
+def kruskal_wallis_arms(
+    events: DataFrame, k_arms: int = 4, salt: str = "ab-v1"
+) -> DataFrame:
+    """Kruskal-Wallis H across hash arms — the rank-based (outlier-robust)
+    companion to :func:`anova_oneway_arms`, and the op that shows the
+    sharded rank powering a rank STATISTIC at scale: midranks come from
+    ``global_row_positions`` over the DISTINCT-value table (positions +
+    running count), never a single-partition window over |users|.
+
+    Midrank of a tied value v = (positions before v) + (c_v + 1)/2 —
+    exact halves, so ranks ride doubles losslessly. H = 12/(n(n+1)) ·
+    Σ R_a²/n_a − 3(n+1), tie-corrected by C = 1 − Σ(c³−c)/(n³−n); all
+    sums exact integers/decimals until the final divisions, 6dp."""
+    from ..functions import stable_long_hash
+    from .partitioning import global_row_positions, materialize
+
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    base = events.filter(F.col("user_id").isNotNull()).select(
+        "user_id",
+        F.coalesce(cents, F.lit(0)).alias("cents"),
+        F.to_date("ts").alias("d"),
+    )
+    bounds = base.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.expr("date_add(lo, CAST(datediff(hi, lo) div 2 AS INT))").alias(
+            "mid"
+        )
+    )
+    per_user = materialize(
+        base.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("CASE WHEN d > mid THEN cents ELSE 0 END")).alias(
+                "y"
+            )
+        )
+        .select(
+            (
+                stable_long_hash(F.col("user_id").cast("string"), salt=salt)
+                % k_arms
+            ).alias("arm"),
+            "y",
+        )
+    )
+    vals = per_user.groupBy("y").agg(F.count("*").alias("c"))
+    ranked_vals = global_row_positions(
+        vals, "y", [], running_sum_col="c"
+    ).select(
+        "y",
+        "c",
+        (
+            (F.col("_gsum") - F.col("c")).cast("double")
+            + (F.col("c") + 1).cast("double") / 2.0
+        ).alias("midrank"),
+    )
+    per_arm = (
+        per_user.join(ranked_vals.select("y", "midrank"), "y")
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n_a"), F.sum("midrank").alias("r_a")
+        )
+    )
+    ties = vals.agg(
+        F.sum(
+            F.expr(
+                "CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))"
+                " * CAST(c AS DECIMAL(38,0)) - c"
+            )
+        ).alias("tie3")
+    )
+    tot = per_arm.crossJoin(F.broadcast(ties)).agg(
+        F.sum("n_a").alias("n"),
+        F.sum(F.col("r_a") * F.col("r_a") / F.col("n_a").cast("double")).alias(
+            "sum_ra2_over_na"
+        ),
+        F.max("tie3").alias("tie3"),
+        F.count("*").alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    h_raw = (
+        F.lit(12.0) / (nd * (nd + 1.0)) * F.col("sum_ra2_over_na")
+        - 3.0 * (nd + 1.0)
+    )
+    corr = F.lit(1.0) - F.col("tie3").cast("double") / (
+        nd * nd * nd - nd
+    )
+    h_stat = F.when(
+        (F.col("n") > F.col("k")) & (corr > 0),
+        F.round(h_raw / corr, 6),
+    ).otherwise(F.lit(None).cast("double"))
+    return (
+        per_arm.crossJoin(F.broadcast(tot.select(h_stat.alias("h_stat"))))
+        .select(
+            F.col("arm").cast("long").alias("arm"),
+            F.col("n_a").cast("long").alias("n_users"),
+            F.round(F.col("r_a") / F.col("n_a").cast("double"), 6).alias(
+                "mean_rank"
+            ),
+            "h_stat",
+        )
+        .orderBy("arm")
+    )
+
+
+def kruskal_wallis_arms_sql(
+    src: str = "events", k_arms: int = 4, salt: str = "ab-v1"
+) -> str:
+    from ..functions import HASH60_DUCK_SQL
+
+    h = HASH60_DUCK_SQL.format(x=f"'{salt}' || CAST(user_id AS VARCHAR)")
+    return f"""
+        WITH base AS (
+          SELECT user_id,
+                 COALESCE(CAST(floor(value * 100 + 0.5) AS BIGINT), 0)
+                   AS cents,
+                 CAST(ts AS DATE) AS d
+          FROM {src} WHERE user_id IS NOT NULL
+        ),
+        bounds AS (
+          SELECT MIN(d) + CAST((MAX(d) - MIN(d)) // 2 AS INTEGER) AS mid
+          FROM base
+        ),
+        per_user AS (
+          SELECT ({h}) % {int(k_arms)} AS arm,
+                 CAST(SUM(CASE WHEN d > (SELECT mid FROM bounds)
+                          THEN cents ELSE 0 END) AS BIGINT) AS y
+          FROM base GROUP BY user_id
+        ),
+        vals AS (
+          SELECT y, COUNT(*) AS c FROM per_user GROUP BY y
+        ),
+        rv AS (
+          SELECT y, c,
+                 CAST(SUM(c) OVER (ORDER BY y
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - c AS DOUBLE)
+                 + (c + 1) / 2.0 AS midrank
+          FROM vals
+        ),
+        per_arm AS (
+          SELECT p.arm, COUNT(*) AS n_a, SUM(rv.midrank) AS r_a
+          FROM per_user p JOIN rv USING (y) GROUP BY p.arm
+        ),
+        ties AS (
+          SELECT SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)
+                     * CAST(c AS HUGEINT) - c) AS tie3
+          FROM vals
+        ),
+        tot AS (
+          SELECT SUM(n_a) AS n,
+                 SUM(r_a * r_a / n_a) AS sum_ra2_over_na,
+                 MAX(ties.tie3) AS tie3,
+                 COUNT(*) AS k
+          FROM per_arm CROSS JOIN ties
+        ),
+        hh AS (
+          SELECT CASE WHEN n > k
+                       AND (1.0 - CAST(tie3 AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * n * n - n)) > 0 THEN
+                   ROUND(
+                     (12.0 / (CAST(n AS DOUBLE) * (n + 1.0))
+                      * sum_ra2_over_na - 3.0 * (n + 1.0))
+                     / (1.0 - CAST(tie3 AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * n * n - n)),
+                     6)
+                 ELSE NULL END AS h_stat
+          FROM tot
+        )
+        SELECT CAST(per_arm.arm AS BIGINT) AS arm,
+               CAST(per_arm.n_a AS BIGINT) AS n_users,
+               ROUND(per_arm.r_a / per_arm.n_a, 6) AS mean_rank,
+               hh.h_stat
+        FROM per_arm CROSS JOIN hh
+        ORDER BY per_arm.arm
+    """

@@ -272,6 +272,14 @@ QUERIES = {
     "analytics_ab_smd_balance": lambda s, d: A.ab_smd_balance(
         load_table(s, d, "events")
     ),
+    # r9 wave 48: multi-arm experiment readouts — one-way ANOVA F and
+    # the rank-based Kruskal-Wallis H (midranks via the sharded rank)
+    "analytics_anova_arms": lambda s, d: A.anova_oneway_arms(
+        load_table(s, d, "events")
+    ),
+    "analytics_kruskal_wallis": lambda s, d: A.kruskal_wallis_arms(
+        load_table(s, d, "events")
+    ),
 }
 
 _DAILY_TOTALS_TMPL = """
@@ -451,6 +459,8 @@ ORACLES = {
     "feature_woe_iv_event_mix": A.woe_iv_feature_sql(),
     "feature_chi2_conversion": A.chi2_feature_conversion_sql(),
     "analytics_ab_smd_balance": A.ab_smd_balance_sql(),
+    "analytics_anova_arms": A.anova_oneway_arms_sql(),
+    "analytics_kruskal_wallis": A.kruskal_wallis_arms_sql(),
     "segment_overlap_matrix": """
         WITH per_user AS (
           SELECT user_id,

@@ -203,3 +203,81 @@ def test_ab_smd_hash_split_is_balanced(spark):
     got = ab_smd_balance(_ev(spark, rows)).collect()[0]
     assert got["n_t"] + got["n_c"] == 40
     assert got["smd"] == 0.0 and bool(got["balanced"])
+
+
+# -------------------------- wave 48: multi-arm experiment statistics ------
+import hashlib
+
+
+def _arm_of(uid: int, k: int, salt: str = "ab-v1") -> int:
+    return int(hashlib.md5(f"{salt}{uid}".encode()).hexdigest()[:15], 16) % k
+
+
+def _arm_events(spark, n_users=60):
+    # 20-day span (midpoint day 10): every user gets one pre event and one
+    # post "purchase" whose value depends on the user id, so per-arm
+    # groups have real spread and a hand-computed reference is exact
+    rows = []
+    for u in range(1, n_users + 1):
+        rows += [(datetime(2024, 1, 2), u, "view", 0.0)]
+        rows += [(datetime(2024, 1, 15), u, "purchase", float(u % 7) * 3.0)]
+    return _ev(spark, rows), {
+        u: int(round(float(u % 7) * 3.0 * 100)) for u in range(1, n_users + 1)
+    }
+
+
+def test_anova_matches_pure_python_reference(spark):
+    from audience_manager_platform_spark.operators.analytics import (
+        anova_oneway_arms,
+    )
+
+    ev, y_of = _arm_events(spark)
+    arms = {}
+    for u, y in y_of.items():
+        arms.setdefault(_arm_of(u, 4), []).append(y)
+    n = sum(len(v) for v in arms.values())
+    s = sum(sum(v) for v in arms.values())
+    q = sum(y * y for v in arms.values() for y in v)
+    sum_sa2 = sum(sum(v) ** 2 / len(v) for v in arms.values())
+    k = len(arms)
+    ssb = sum_sa2 - s * s / n
+    ssw = q - sum_sa2
+    want = round((ssb / (k - 1)) / (ssw / (n - k)), 6)
+    got = anova_oneway_arms(ev).collect()
+    assert {r["arm"] for r in got} == set(arms)
+    for r in got:
+        assert r["n_users"] == len(arms[r["arm"]])
+        assert abs(r["f_stat"] - want) < 1e-6
+
+
+def test_kruskal_wallis_matches_pure_python_reference(spark):
+    from audience_manager_platform_spark.operators.analytics import (
+        kruskal_wallis_arms,
+    )
+
+    ev, y_of = _arm_events(spark)
+    ys = sorted(y_of.values())
+    # midranks with ties
+    midrank = {}
+    pos = 0
+    for v in sorted(set(ys)):
+        c = ys.count(v)
+        midrank[v] = pos + (c + 1) / 2.0
+        pos += c
+    arms = {}
+    for u, y in y_of.items():
+        arms.setdefault(_arm_of(u, 4), []).append(midrank[y])
+    n = len(ys)
+    sum_ra2 = sum(sum(v) ** 2 / len(v) for v in arms.values())
+    tie3 = sum(ys.count(v) ** 3 - ys.count(v) for v in set(ys))
+    h = (12.0 / (n * (n + 1)) * sum_ra2 - 3 * (n + 1)) / (
+        1 - tie3 / (n**3 - n)
+    )
+    want = round(h, 6)
+    got = kruskal_wallis_arms(ev).collect()
+    for r in got:
+        assert abs(r["h_stat"] - want) < 1e-6
+        assert abs(
+            r["mean_rank"]
+            - round(sum(arms[r["arm"]]) / len(arms[r["arm"]]), 6)
+        ) < 1e-6

@@ -246,6 +246,9 @@ NESTED_LOOP_ALLOWED = {
     "feature_woe_iv_event_mix",
     "feature_chi2_conversion",
     "analytics_ab_smd_balance",
+    # r9 wave 48: |arms|-row stat tables crossed with 1-row F/H/ties
+    "analytics_anova_arms",
+    "analytics_kruskal_wallis",
 }
 
 # Queries whose plan contains an UNPARTITIONED WindowExec (global

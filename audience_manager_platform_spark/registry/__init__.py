@@ -48,10 +48,21 @@ from . import rules
 ROWS_ONLY: frozenset[str] = frozenset()
 
 
-def _load_driver_credited() -> frozenset[str]:
+def _load_driver_credited() -> dict[str, int]:
+    """Map each driver-credited name to the LAST round that credited it.
+
+    The round number drives the stalest-credit-first rotation below:
+    driver evidence ages as implementations are rewired (the r9 judge
+    counted ~150 names last credited in r1–r3 whose code changed since),
+    so each round's 50-entry window re-verifies the oldest credit first.
+    """
     root = Path(__file__).resolve().parents[2]
-    names: set[str] = set()
+    last_round: dict[str, int] = {}
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rnd = int(path.stem.rsplit("_r", 1)[1])
+        except ValueError:
+            continue
         try:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):  # unreadable artifact: skip, never crash
@@ -70,44 +81,27 @@ def _load_driver_credited() -> frozenset[str]:
                 and row.get("schema_match", True)
                 and (hm is True or (hm is None and name in ROWS_ONLY))
             ):
-                names.add(name)
-    return frozenset(names)
+                last_round[name] = max(last_round.get(name, 0), rnd)
+    return last_round
 
 
 _DRIVER_CREDITED = _load_driver_credited()
 
-# The EXACT driver correctness window for round 7, verified green by the
-# local driver replica (tools/check_oracle.py --window). Pinning makes the
-# window invariant to later registry inserts: without the pin, a new name
-# added mid-dict silently displaces the window's tail (measured in r6:
-# wave-24 textops inserts pushed out 3 verified ann_* queries). Names that
-# turn driver-credited simply fall out and the window backfills from the
-# derived queue below. Re-pin each round after local verification.
+# The window ordering is fully DERIVED (standing policy since r10; the
+# r7-r9 hand-kept _WINDOW_PIN is gone — with the registry 372/372
+# driver-credited there is nothing left to pin):
 #
-# r9 pin = the 11 names never credited in CORRECTNESS_r01..r08 (the
-# wave-42-45 additions). All 11 passed the judge's r8 local oracle gate;
-# with CORRECTNESS_r09 green rows the registry becomes 365/365
-# driver-credited. Pinning keeps this round's wave-46+ additions from
-# displacing them out of the driver's 50-entry window.
-_WINDOW_PIN: tuple[str, ...] = (
-    "analytics_cuped_adjustment",
-    "analytics_sprt_monitor",
-    "analytics_qini_uplift",
-    "source_jsonl_corrupt_audit",
-    "text_phrase_search",
-    "streaming_sprt_monitor",
-    "sketch_cms_heavy_change",
-    "graph_personalized_ppr",
-    "validate_functional_dependency",
-    "validate_schema_contract",
-    "privacy_subject_access",
-)
-
-# There is NO hand-kept defer list anymore (r6 advice: the 80-name
-# _DEFER_RAW tuple was load-bearing for rotation and a typo would have
-# silently mis-rotated). The queue is DERIVED: uncredited names outside
-# _WINDOW_PIN follow the pin in registry order, and anything past slot
-# 50 simply ships next round — deferral is a position, not a list.
+#   1. never-credited names first, in registry order — new waves always
+#      enter the next driver window;
+#   2. then credited names by STALEST CREDIT FIRST: ascending last
+#      CORRECTNESS_r* round that credited them, ties broken by name.
+#
+# Rationale (r9 verdict #1): driver credit is evidence, and evidence ages
+# — ~150 names were last credited in r1-r3 and their implementations have
+# been rewired since (shared-intermediate cache, sharded rank helpers).
+# Rotating stalest-first re-verifies the oldest credit every round with
+# zero hand-kept state: each green CORRECTNESS_r{N} automatically pushes
+# its 50 names to the back of the queue.
 
 
 def deferred_queue() -> list[str]:
@@ -120,19 +114,12 @@ def deferred_queue() -> list[str]:
 
 
 def _rotate(entries: dict) -> dict:
-    pinned = [
-        k
-        for k in _WINDOW_PIN
-        if k in entries and k not in _DRIVER_CREDITED
-    ]
-    in_pin = set(pinned)
-    queued = [
-        k
-        for k in entries
-        if k not in _DRIVER_CREDITED and k not in in_pin
-    ]
-    credited = [k for k in entries if k in _DRIVER_CREDITED]
-    return {k: entries[k] for k in (*pinned, *queued, *credited)}
+    uncredited = [k for k in entries if k not in _DRIVER_CREDITED]
+    credited = sorted(
+        (k for k in entries if k in _DRIVER_CREDITED),
+        key=lambda k: (_DRIVER_CREDITED[k], k),
+    )
+    return {k: entries[k] for k in (*uncredited, *credited)}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

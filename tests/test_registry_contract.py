@@ -54,14 +54,15 @@ def test_rotation_bookkeeping_names_exist():
     raw = {}
     for mod in registry._modules():
         raw.update(mod.QUERIES)
-    missing_credited = registry._DRIVER_CREDITED - set(raw)
+    missing_credited = set(registry._DRIVER_CREDITED) - set(raw)
     assert not missing_credited, missing_credited
 
 
 def test_rotation_is_uncredited_then_credited():
     """There is no hand-kept defer list anymore (r6 advice): rotation is
-    pinned-uncredited, then the remaining uncredited in registry order,
-    then credited. Deferral is a position (past slot 50), not a list."""
+    uncredited names first (registry order), then credited names by
+    stalest credit first. Deferral is a position (past slot 50), not a
+    list."""
     names = list(e.queries())
     seen_credited = False
     for n in names:
@@ -72,16 +73,18 @@ def test_rotation_is_uncredited_then_credited():
 
 
 def test_driver_credited_derives_from_committed_correctness_files():
-    """_DRIVER_CREDITED must equal the union of green rows across the
-    committed CORRECTNESS_r*.json artifacts — the derivation replaced a
-    hand-maintained frozenset, and this pins the semantics so a change to
-    the loader can't silently shrink or inflate the credited set."""
+    """_DRIVER_CREDITED must map each green name to the LAST round that
+    credited it across the committed CORRECTNESS_r*.json artifacts — the
+    derivation replaced a hand-maintained frozenset, and this pins the
+    semantics so a change to the loader can't silently shrink, inflate,
+    or mis-date the credited set."""
     import json
     from pathlib import Path
 
     root = Path(registry.__file__).resolve().parents[2]
-    expect: set[str] = set()
+    expect: dict[str, int] = {}
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        rnd = int(path.stem.rsplit("_r", 1)[1])
         for name, row in json.loads(path.read_text()).items():
             if (
                 isinstance(row, dict)
@@ -90,8 +93,19 @@ def test_driver_credited_derives_from_committed_correctness_files():
                 and row.get("schema_match", True)
                 and row.get("hash_match") in (True, None)
             ):
-                expect.add(name)
-    assert registry._DRIVER_CREDITED == frozenset(expect)
+                expect[name] = max(expect.get(name, 0), rnd)
+    assert registry._DRIVER_CREDITED == expect
+
+
+def test_credited_tail_is_stalest_credit_first():
+    """Standing policy since r10 (r9 verdict #1): the credited portion of
+    the rotation is ordered by ascending last-credited round, ties broken
+    by name — so the driver's 50-entry window always re-verifies the
+    oldest evidence first, with zero hand-kept pin state."""
+    names = list(e.queries())
+    credited = [n for n in names if n in registry._DRIVER_CREDITED]
+    keys = [(registry._DRIVER_CREDITED[n], n) for n in credited]
+    assert keys == sorted(keys)
 
 
 def test_uncredited_queries_fit_in_driver_window():
@@ -108,19 +122,13 @@ def test_uncredited_queries_fit_in_driver_window():
         )
 
 
-def test_window_pin_names_exist_and_lead_the_rotation():
-    """_WINDOW_PIN protects the driver window from registry-growth
-    reshuffling — but only if every pinned name actually resolves (a
-    typo would silently shrink the window) and the rotation really
-    leads with the uncredited pinned names in pin order."""
+def test_new_names_lead_the_rotation():
+    """A never-credited name (new wave) must enter the next driver window
+    ahead of every already-credited name — simulated by injecting a fake
+    entry and re-running the rotation."""
     raw = {}
     for mod in registry._modules():
         raw.update(mod.QUERIES)
-    missing = set(registry._WINDOW_PIN) - set(raw)
-    assert not missing, missing
-    assert len(set(registry._WINDOW_PIN)) == len(registry._WINDOW_PIN)
-    expected_lead = [
-        k for k in registry._WINDOW_PIN if k not in registry._DRIVER_CREDITED
-    ]
-    names = list(e.queries())
-    assert names[: len(expected_lead)] == expected_lead
+    raw["zz_brand_new_query"] = lambda spark, sf: None
+    rotated = list(registry._rotate(raw))
+    assert rotated[0] == "zz_brand_new_query"

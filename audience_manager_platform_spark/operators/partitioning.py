@@ -158,6 +158,62 @@ import atexit
 atexit.register(_sweep_materialized)
 
 
+def _default_n_parts(spark) -> int:
+    """Shard count from ``spark.sql.shuffle.partitions`` — tolerating the
+    non-numeric values ("auto") some managed platforms use for their
+    AQE-coalescing convention (r9 ADVICE)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except ValueError:
+        return 32
+
+
+def _tiebreak_surrogate(df: DataFrame, tb: str):
+    """A weakly order-preserving numeric surrogate for the first tiebreak
+    column, used to sub-shard a value-constant hot shard.
+
+    Numeric/date/timestamp types cast to double directly. Strings pack
+    the codepoints of the 3 characters FOLLOWING the shard's longest
+    common prefix into a long (base 2^21 ≥ max codepoint + 1, so 3 chars
+    fit in 63 bits and codepoint order — which matches Spark's binary
+    UTF-8 string comparison — is preserved). Weak monotonicity is all
+    the bucketing needs: equal surrogates land in the same sub-shard and
+    the within-shard sort still breaks them exactly.
+
+    Returns ``(row_expr_fn, lo_expr, hi_expr)`` where ``row_expr_fn``
+    is evaluated against each data row after the broadcast stats join
+    (columns ``_stlo``/``_sthi`` = per-shard min/max of the tiebreak).
+    """
+    dt = df.schema[tb].dataType.simpleString()
+    if dt in ("tinyint", "smallint", "int", "bigint", "float", "double") or (
+        dt.startswith("decimal")
+    ):
+        row = F.col(tb).cast("double")
+        return row, F.col("_stlo").cast("double"), F.col("_sthi").cast("double")
+    # strings (dates/timestamps cast to ISO strings, which compare the
+    # same way): strip the per-shard longest common prefix first, or ids
+    # like "user_000123" would all pack to one bucket
+    s_lo, s_hi = F.col("_stlo").cast("string"), F.col("_sthi").cast("string")
+    first_diff = F.array_position(
+        F.zip_with(
+            F.split(s_lo, ""), F.split(s_hi, ""), lambda a, b: a.eqNullSafe(b)
+        ),
+        F.lit(False),
+    )
+    lcp = F.when(first_diff > 0, first_diff - 1).otherwise(F.length(s_lo))
+
+    def _pack(scol):
+        out = F.lit(0).cast("long")
+        for i in range(3):
+            cp = F.ascii(scol.substr(lcp + F.lit(i + 1), F.lit(1)))
+            out = out + F.coalesce(cp.cast("long"), F.lit(0)) * F.lit(
+                2 ** (42 - 21 * i)
+            )
+        return out
+
+    return _pack(F.col(tb).cast("string")), _pack(s_lo), _pack(s_hi)
+
+
 def global_row_positions(
     df: DataFrame,
     value_col: str,
@@ -166,6 +222,9 @@ def global_row_positions(
     out_col: str = "_gpos",
     running_sum_col: str | None = None,
     descending: bool = False,
+    hot_shard_rows: int = 2_000_000,
+    n_sub: int = 32,
+    keep_cells: bool = False,
 ) -> DataFrame:
     """Exact 1-based global row position under ``ORDER BY value_col ASC,
     *tiebreak_cols ASC`` — WITHOUT a single-partition WindowExec.
@@ -180,31 +239,48 @@ def global_row_positions(
       monotone in the sort order and stable across recomputations
       (sampled ``repartitionByRange`` bounds are not, and this DataFrame
       may be evaluated by several subtrees of the consumer plan);
-    - rank each shard in parallel (``row_number`` partitioned by shard);
-    - add broadcast per-shard cumulative offsets — the only remaining
-      single-partition window runs over |shards| rows, never the data.
+    - ESCALATE hot shards (more than ``hot_shard_rows`` rows — value
+      clustering: everyone spends $9.99) with one more level of the same
+      trick: a value-spread hot shard re-buckets on the value with
+      shard-local bounds, a value-CONSTANT hot shard re-buckets on an
+      order-preserving surrogate of the first tiebreak column
+      (:func:`_tiebreak_surrogate`), so no single task ever ranks the
+      whole table. Sub-assignment stays a pure function of the row plus
+      broadcast per-shard stats — deterministic across recomputations;
+    - rank each (shard, sub) cell in parallel (``row_number``);
+    - add broadcast per-cell cumulative offsets — the only remaining
+      single-partition window runs over ≤ |shards|·n_sub rows, never
+      the data. (A shard that is hot from millions of IDENTICAL
+      (value, tiebreak) rows cannot be split further by ANY exact
+      scheme; a third level on the second tiebreak is the same trick
+      again.)
 
-    Value clustering can concentrate a shard (everyone spends $9.99);
-    memory stays bounded by the shard, and a skewed deployment splits the
-    hot shard by the tiebreak key with one more level of the same trick.
+    NULL ``value_col`` rows follow SPARK's null-sort contract — first
+    under ASC (shard 0), last under DESC (shard n_parts-1) — and are
+    never dropped (they previously leaked out through the shard join;
+    r9 ADVICE). DuckDB defaults to the OPPOSITE placement (NULLS LAST
+    under ASC), so a caller whose value can be null must either coalesce
+    upstream or spell NULLS FIRST/LAST in its oracle SQL.
 
     ``running_sum_col``: also emit ``_gsum`` — the exact INCLUSIVE
-    running sum of that column in the global order (per-shard running
-    sum + broadcast prior-shard sum offsets; same decomposition as the
+    running sum of that column in the global order (per-cell running
+    sum + broadcast prior-cell sum offsets; same decomposition as the
     position). ``descending=True`` ranks under ``value_col DESC``
     (tiebreaks stay ASC): shards are bucketed on the negated value so
     shard id stays monotone in the output order.
     """
     spark = df.sparkSession
     if n_parts is None:
-        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        n_parts = _default_n_parts(spark)
     v = F.col(value_col).cast("double")
     if descending:
         v = -v
+    null_shard = n_parts - 1 if descending else 0
     bounds = df.agg(F.min(v).alias("_lo"), F.max(v).alias("_hi"))
     sharded = df.crossJoin(F.broadcast(bounds)).withColumn(
         "_shard",
-        F.when(
+        F.when(v.isNull(), F.lit(null_shard))
+        .when(
             F.col("_hi") > F.col("_lo"),
             F.least(
                 F.lit(n_parts - 1),
@@ -217,14 +293,63 @@ def global_row_positions(
         .otherwise(F.lit(0))
         .cast("int"),
     )
+    # ---- hot-shard escalation: per-shard stats, broadcast back --------
+    tb1 = tiebreak_cols[0] if tiebreak_cols else None
+    stat_aggs = [
+        F.count("*").alias("_shc"),
+        F.min(v).alias("_svlo"),
+        F.max(v).alias("_svhi"),
+    ]
+    if tb1 is not None:
+        stat_aggs += [F.min(tb1).alias("_stlo"), F.max(tb1).alias("_sthi")]
+    stats = sharded.groupBy("_shard").agg(*stat_aggs)
+    subbed = sharded.join(F.broadcast(stats), "_shard")
+    null_sub = n_sub - 1 if descending else 0
+    sub_by_v = F.least(
+        F.lit(n_sub - 1),
+        F.floor(
+            (v - F.col("_svlo"))
+            / ((F.col("_svhi") - F.col("_svlo")) / F.lit(float(n_sub)))
+        ),
+    )
+    sub = (
+        F.when(F.col("_shc") <= F.lit(hot_shard_rows), F.lit(0))
+        # a hot MIXED shard pins its null-value rows to the boundary sub
+        # (nulls sort first under ASC / last under DESC)
+        .when(v.isNull() & F.col("_svlo").isNotNull(), F.lit(null_sub))
+        .when(F.col("_svhi") > F.col("_svlo"), sub_by_v)
+    )
+    if tb1 is not None:
+        t_row, t_lo, t_hi = _tiebreak_surrogate(df, tb1)
+        # NULL tiebreaks sort FIRST (tiebreaks are always ASC) -> sub 0;
+        # explicit because least/greatest SKIP nulls rather than
+        # propagating them. greatest clamps the string-pack case where a
+        # null-derived surrogate of 0 undershoots the shard minimum.
+        sub_by_t = F.when(t_row.isNull(), F.lit(0)).otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(n_sub - 1),
+                    F.floor(
+                        (t_row - t_lo)
+                        / ((t_hi - t_lo) / F.lit(float(n_sub)))
+                    ),
+                ),
+            )
+        )
+        sub = sub.when(t_hi > t_lo, sub_by_t)
+    subbed = subbed.withColumn("_sub", sub.otherwise(F.lit(0)).cast("int"))
+    # ---- per-cell offsets (broadcast; window over ≤ shards·subs rows) -
     aggs = [F.count("*").alias("_c")]
     if running_sum_col is not None:
         aggs.append(F.sum(running_sum_col).alias("_s"))
-    off_w = Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
-    offs = sharded.groupBy("_shard").agg(*aggs).withColumn(
+    off_w = Window.orderBy("_shard", "_sub").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = subbed.groupBy("_shard", "_sub").agg(*aggs).withColumn(
         "_off", F.coalesce(F.sum("_c").over(off_w), F.lit(0))
     )
-    off_cols = ["_shard", "_off"]
+    off_cols = ["_shard", "_sub", "_off"]
     if running_sum_col is not None:
         offs = offs.withColumn(
             "_soff", F.coalesce(F.sum("_s").over(off_w), F.lit(0))
@@ -233,9 +358,12 @@ def global_row_positions(
     offs = offs.select(*off_cols)
     first = F.desc(value_col) if descending else F.asc(value_col)
     order = [first] + [F.asc(c) for c in tiebreak_cols]
-    shard_w = Window.partitionBy("_shard").orderBy(*order)
-    out = sharded.withColumn("_lrn", F.row_number().over(shard_w))
-    drop = ["_shard", "_lo", "_hi", "_lrn", "_off"]
+    shard_w = Window.partitionBy("_shard", "_sub").orderBy(*order)
+    out = subbed.withColumn("_lrn", F.row_number().over(shard_w))
+    drop = ["_shard", "_sub", "_lo", "_hi", "_lrn", "_off"]
+    drop += ["_shc", "_svlo", "_svhi"]
+    if tb1 is not None:
+        drop += ["_stlo", "_sthi"]
     if running_sum_col is not None:
         out = out.withColumn(
             "_lsum",
@@ -244,11 +372,13 @@ def global_row_positions(
             ),
         )
         drop += ["_lsum", "_soff"]
-    out = out.join(F.broadcast(offs), "_shard").withColumn(
+    out = out.join(F.broadcast(offs), ["_shard", "_sub"]).withColumn(
         out_col, (F.col("_off") + F.col("_lrn")).cast("long")
     )
     if running_sum_col is not None:
         out = out.withColumn("_gsum", F.col("_soff") + F.col("_lsum"))
+    if keep_cells:  # tests: prove the hot-shard escalation really split
+        drop = [c for c in drop if c not in ("_shard", "_sub")]
     return out.drop(*drop)
 
 

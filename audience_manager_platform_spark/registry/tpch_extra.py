@@ -99,6 +99,24 @@ def q7_volume_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (== ANSI percentile_cont),
     computed by two-pass rank-select instead of Spark's `percentile()`.
+    See :func:`exact_group_percentiles` for the algorithm and the
+    clustered-bucket escalation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("v")
+    )
+    return exact_group_percentiles(spark, vals, "l_returnflag")
+
+
+def exact_group_percentiles(
+    spark: SparkSession,
+    vals: DataFrame,
+    group_col: str,
+    oversize_frac: float = 0.10,
+    oversize_min_rows: int = 1 << 22,
+    debug: dict | None = None,
+) -> DataFrame:
+    """Exact p25/p50/p75 per group over ``vals(group_col, v)``.
 
     `percentile()` buffers EVERY group value inside one
     ObjectHashAggregate buffer — per-group O(n) memory on a single task,
@@ -110,36 +128,41 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       rows) is the only driver exchange, independent of row count.
     - driver: for each needed rank k in {floor,ceil}(p*(n-1)) locate the
       bucket holding it and its offset within that bucket.
-    - pass B: `row_number` windows partitioned by (group, bucket) over
-      ONLY the <=6 needed buckets per group (each ~n/1024 rows, buckets
-      run in parallel); pick the offset rows and interpolate with
+    - ESCALATION (r9 verdict #4): a needed bucket holding more than
+      ``max(oversize_min_rows, oversize_frac * n_group)`` rows (a
+      pathologically clustered distribution — 99% of a group at one
+      price) gets ONE recursive histogram pass over 1024 sub-buckets of
+      that bucket alone. A located sub-bucket whose min == max is a
+      constant run, so its rank's value is the constant itself —
+      resolved driver-side with NO sort at all; a non-constant sub
+      feeds pass B partitioned by (group, bucket, sub). Either way no
+      single task ever sorts the clustered mass.
+    - pass B: `row_number` windows partitioned by (group, bucket[, sub])
+      over ONLY the needed cells per group (each ~n/1024 rows or less,
+      cells run in parallel); pick the offset rows and interpolate with
       Spark's own formula, lo + (hi - lo) * frac.
-
-    Scale note: a pathologically clustered distribution can still
-    concentrate one bucket; the production extension is to recurse the
-    same histogram step inside an oversized bucket — one extra pass,
-    never a full-group buffer.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    vals = li.select(
-        "l_returnflag", F.col("l_extendedprice").cast("double").alias("v")
-    )
-    lo_hi = vals.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
-    lo, hi = float(lo_hi["lo"]), float(lo_hi["hi"])
     n_buckets = 1024
+    gdt = vals.schema[group_col].dataType.simpleString()
+    lo_hi = vals.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+    if lo_hi["lo"] is None:  # empty input: keep the output schema
+        return spark.createDataFrame(
+            [], f"{group_col} {gdt}, p25 double, p50 double, p75 double"
+        )
+    lo, hi = float(lo_hi["lo"]), float(lo_hi["hi"])
     width = (hi - lo) / n_buckets or 1.0
     bkt = F.least(
         F.lit(n_buckets - 1), F.floor((F.col("v") - F.lit(lo)) / F.lit(width))
     ).cast("int")
     hist = (
-        vals.groupBy("l_returnflag", bkt.alias("bkt"))
+        vals.groupBy(group_col, bkt.alias("bkt"))
         .agg(F.count("*").alias("cnt"))
         .collect()  # bounded: |groups| x 1024, never row-proportional
     )
 
     by_group: dict[str, list[tuple[int, int]]] = {}
     for row in hist:
-        by_group.setdefault(row["l_returnflag"], []).append((row["bkt"], row["cnt"]))
+        by_group.setdefault(row[group_col], []).append((row["bkt"], row["cnt"]))
 
     def _locate(buckets: list[tuple[int, int]], k: int) -> tuple[int, int]:
         cum = 0
@@ -149,9 +172,9 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             cum += cnt
         raise AssertionError("rank beyond histogram total")
 
-    # need rows: one per (group, pct, lo/hi endpoint) with the
-    # interpolation fraction resolved driver-side from exact integer ranks.
-    need_rows = []
+    # targets: one per (group, pct, lo/hi endpoint) with the interpolation
+    # fraction resolved driver-side from exact integer ranks.
+    targets = []  # (grp, pct, end, frac, bkt, off)
     for grp, buckets in by_group.items():
         buckets.sort()
         n = sum(c for _, c in buckets)
@@ -159,37 +182,150 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             r = p * (n - 1)
             k0, k1 = int(r // 1), -int(-r // 1)
             frac = r - k0
-            b0, off0 = _locate(buckets, k0)
-            need_rows.append((grp, b0, off0, pct_name, "lo", float(frac)))
-            if k1 != k0:
-                b1, off1 = _locate(buckets, k1)
-                need_rows.append((grp, b1, off1, pct_name, "hi", float(frac)))
-    need = spark.createDataFrame(
-        need_rows, "l_returnflag string, bkt int, rk long, pct string, end string, frac double"
-    )
+            ends = [("lo", k0)] + ([("hi", k1)] if k1 != k0 else [])
+            for end, k in ends:
+                b, off = _locate(buckets, k)
+                targets.append((grp, pct_name, end, float(frac), b, off))
 
+    cnt_of = {(g, b): c for g, bl in by_group.items() for b, c in bl}
+    n_of = {g: sum(c for _, c in bl) for g, bl in by_group.items()}
+    oversized = {
+        (g, b)
+        for (g, _pct, _end, _frac, b, _off) in targets
+        if cnt_of[(g, b)] > max(oversize_min_rows, oversize_frac * n_of[g])
+    }
+
+    resolved_rows = []  # (grp, pct, end, frac, v): driver-known constants
+    sub_targets = []  # (grp, bkt, sub, rk, pct, end, frac)
+    if oversized:
+        sub_w = width / n_buckets or 1.0
+        sub = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor(
+                    (F.col("v") - (F.lit(lo) + F.col("bkt") * F.lit(width)))
+                    / F.lit(sub_w)
+                ),
+            ),
+        ).cast("int")
+        over_df = spark.createDataFrame(
+            sorted(oversized), f"{group_col} {gdt}, bkt int"
+        )
+        subhist = (
+            vals.withColumn("bkt", bkt)
+            .join(F.broadcast(over_df), [group_col, "bkt"])
+            .withColumn("sub", sub)
+            .groupBy(group_col, "bkt", "sub")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.min("v").alias("vlo"),
+                F.max("v").alias("vhi"),
+            )
+            .collect()  # bounded: |oversized| x 1024
+        )
+        sub_of: dict[tuple, list] = {}
+        for row in subhist:
+            sub_of.setdefault((row[group_col], row["bkt"]), []).append(
+                (row["sub"], row["cnt"], row["vlo"], row["vhi"])
+            )
+        remaining = []
+        for grp, pct_name, end, frac, b, off in targets:
+            if (grp, b) not in oversized:
+                remaining.append((grp, pct_name, end, frac, b, off))
+                continue
+            subs = sorted(sub_of[(grp, b)])
+            cum = 0
+            for s, cnt, vlo, vhi in subs:
+                if off < cum + cnt:
+                    if vlo == vhi:  # constant run: rank value is known
+                        resolved_rows.append(
+                            (grp, pct_name, end, frac, float(vlo))
+                        )
+                    else:
+                        sub_targets.append(
+                            (grp, b, s, off - cum, pct_name, end, frac)
+                        )
+                    break
+                cum += cnt
+        targets = remaining
+
+    if debug is not None:
+        debug["oversized"] = sorted(oversized)
+        debug["resolved_driver_side"] = len(resolved_rows)
+        debug["pass_b_rows_bound"] = sum(
+            cnt_of[(g, b)] for (g, _p, _e, _f, b, _o) in targets
+        )
+
+    ep_schema = f"{group_col} {gdt}, pct string, end string, frac double, v double"
+    pieces = [spark.createDataFrame(resolved_rows, ep_schema)]
+
+    need = spark.createDataFrame(
+        [(g, b, off, pct, end, frac) for g, pct, end, frac, b, off in targets],
+        f"{group_col} {gdt}, bkt int, rk long, pct string, end string, frac double",
+    )
     ranked = (
         vals.withColumn("bkt", bkt)
         .join(
-            F.broadcast(need.select("l_returnflag", "bkt").distinct()),
-            ["l_returnflag", "bkt"],
+            F.broadcast(need.select(group_col, "bkt").distinct()),
+            [group_col, "bkt"],
         )
         .withColumn(
             "rk",
             F.row_number().over(
-                Window.partitionBy("l_returnflag", "bkt").orderBy("v")
+                Window.partitionBy(group_col, "bkt").orderBy("v")
             )
             - 1,
         )
-        .join(F.broadcast(need), ["l_returnflag", "bkt", "rk"])
+        .join(F.broadcast(need), [group_col, "bkt", "rk"])
     )
-    per_pct = ranked.groupBy("l_returnflag", "pct").agg(
+    pieces.append(ranked.select(group_col, "pct", "end", "frac", "v"))
+
+    if sub_targets:
+        sub_w = width / n_buckets or 1.0
+        sub = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor(
+                    (F.col("v") - (F.lit(lo) + F.col("bkt") * F.lit(width)))
+                    / F.lit(sub_w)
+                ),
+            ),
+        ).cast("int")
+        sneed = spark.createDataFrame(
+            sub_targets,
+            f"{group_col} {gdt}, bkt int, sub int, rk long, pct string,"
+            " end string, frac double",
+        )
+        sranked = (
+            vals.withColumn("bkt", bkt)
+            .withColumn("sub", sub)
+            .join(
+                F.broadcast(sneed.select(group_col, "bkt", "sub").distinct()),
+                [group_col, "bkt", "sub"],
+            )
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy(group_col, "bkt", "sub").orderBy("v")
+                )
+                - 1,
+            )
+            .join(F.broadcast(sneed), [group_col, "bkt", "sub", "rk"])
+        )
+        pieces.append(sranked.select(group_col, "pct", "end", "frac", "v"))
+
+    endpoints = pieces[0]
+    for p in pieces[1:]:
+        endpoints = endpoints.unionByName(p)
+    per_pct = endpoints.groupBy(group_col, "pct").agg(
         F.max(F.when(F.col("end") == "lo", F.col("v"))).alias("v0"),
         F.max(F.when(F.col("end") == "hi", F.col("v"))).alias("v1"),
         F.max("frac").alias("frac"),
     )
     value = F.col("v0") + (F.coalesce("v1", "v0") - F.col("v0")) * F.col("frac")
-    return per_pct.groupBy("l_returnflag").agg(
+    return per_pct.groupBy(group_col).agg(
         F.round(F.max(F.when(F.col("pct") == "p25", value)), 4).alias("p25"),
         F.round(F.max(F.when(F.col("pct") == "p50", value)), 4).alias("p50"),
         F.round(F.max(F.when(F.col("pct") == "p75", value)), 4).alias("p75"),

@@ -3181,12 +3181,21 @@ GRAPH_M = 6  # out-degree of the kNN graph before symmetrization
 GRAPH_BEAM = 8  # beam width per superstep
 GRAPH_STEPS = 2  # bounded expansion supersteps
 GRAPH_ENTRIES = 2  # entry seeds = top-E probed cells' min-id nodes
+GRAPH_TARGET_CELL = 200  # auto-sized cell target (measured, see below)
+
+
+def graph_auto_n_clusters(n_vectors: int, k_min: int = KMEANS_K) -> int:
+    """Cell count that keeps the edge-build's Σ|cell|² = n·(cell size)
+    LINEAR in the corpus: one cell per ~:data:`GRAPH_TARGET_CELL`
+    vectors, floored at the fixture K so tiny corpora keep their exact
+    historical plans (and hashes)."""
+    return max(k_min, int(n_vectors) // GRAPH_TARGET_CELL)
 
 
 def graph_knn_edges(
     emb: DataFrame,
     m: int = GRAPH_M,
-    n_clusters: int = KMEANS_K,
+    n_clusters: int | None = None,
     iters: int = KMEANS_ITERS,
     model: list[tuple[int, list[float]]] | None = None,
     assigned: DataFrame | None = None,
@@ -3201,13 +3210,19 @@ def graph_knn_edges(
     back-links so greedy search can escape a poor entry).
 
     Cell-sizing discipline (measured, tools/scale_smoke.py): Σ|cell|² =
-    n·(cell size), so ``n_clusters`` must scale linearly with the corpus
+    n·(cell size), so the cell count must scale linearly with the corpus
     to hold cell size at a constant target (~200): 100k vecs / 512
     cells builds 19.5M pairs in ~80 s one-time; the same corpus at 64
-    cells (1.5k/cell) is 156M pairs and 8x the wall clock. The fixture
-    default (KMEANS_K=16) is sized for the 2k-vector fixture only."""
+    cells (1.5k/cell) is 156M pairs and 8x the wall clock. When neither
+    ``model`` nor ``n_clusters`` is given the build therefore AUTO-SIZES
+    from one cheap ``count()`` via :func:`graph_auto_n_clusters`
+    (r9 verdict #2 — the fixture K=16 default was a quadratic-at-scale
+    trap for anyone building at 100x); passing either pins the historical
+    behavior, which is what the registry's shared fixture model does."""
     base = emb.select("vec_id", _vec_double().alias("v"))
     if model is None:
+        if n_clusters is None:
+            n_clusters = graph_auto_n_clusters(base.count())
         model = kmeans_fit_model(emb, n_clusters, iters)
     if assigned is None:
         assigned = assign_cells_arrow(base, model, keep_vec=True)
@@ -3255,11 +3270,12 @@ def graph_beam_topk(
     beam: int = GRAPH_BEAM,
     steps: int = GRAPH_STEPS,
     entries: int = GRAPH_ENTRIES,
-    n_clusters: int = KMEANS_K,
+    n_clusters: int | None = None,
     iters: int = KMEANS_ITERS,
     model: list[tuple[int, list[float]]] | None = None,
     assigned: DataFrame | None = None,
     edges: DataFrame | None = None,
+    superstep_rows: list[int] | None = None,
 ) -> DataFrame:
     """NSW-style beam search over the prebuilt kNN graph: each query
     enters at the min-id seed node of its ``entries`` nearest coarse
@@ -3274,8 +3290,15 @@ def graph_beam_topk(
     standing edge table; nothing data-sized crosses a window, and the
     corpus is touched only through the (node → vector) equi-join. The
     probe-side cents cross join is the declared K-row-model shape."""
+    if steps < 1:
+        raise ValueError(f"steps must be >= 1, got {steps}")
+    if k > beam:  # the final cut comes from the beam-width frontier, so
+        # k > beam would silently return only beam rows per query
+        raise ValueError(f"k ({k}) must be <= beam ({beam})")
     base = emb.select("vec_id", _vec_double().alias("v"))
     if model is None:
+        if n_clusters is None:
+            n_clusters = graph_auto_n_clusters(base.count())
         model = kmeans_fit_model(emb, n_clusters, iters)
     if assigned is None:
         assigned = assign_cells_arrow(base, model, keep_vec=True)
@@ -3328,6 +3351,12 @@ def graph_beam_topk(
             "query_id", F.col("dst").alias("node")
         )
         frontier = cur.unionByName(neigh).distinct()
+        if superstep_rows is not None:
+            # debug/smoke instrumentation: record each superstep's actual
+            # frontier size so the documented <= |q|*beam*(2m+1) bound is
+            # a measured number, not prose (extra count() actions — never
+            # pass this in the serving path)
+            superstep_rows.append(frontier.count())
         scored = (
             frontier.join(nodes, "node")
             .join(qb, "query_id")

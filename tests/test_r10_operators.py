@@ -244,3 +244,53 @@ def test_exact_percentiles_unchanged_on_spread_data(spark):
     got = exact_group_percentiles(spark, df, "g", debug=debug)
     assert debug["oversized"] == []
     assert _sym_diff_empty(got, _pct_ref(df, "g"))
+
+
+# ----------------------- graph-ANN: auto-sized build + param contract -----
+
+
+def test_graph_auto_n_clusters_formula():
+    from audience_manager_platform_spark.operators.similarity import (
+        KMEANS_K,
+        graph_auto_n_clusters,
+    )
+
+    # fixture-sized corpora keep the historical K (and hashes)
+    assert graph_auto_n_clusters(2_000) == KMEANS_K
+    assert graph_auto_n_clusters(0) == KMEANS_K
+    # at scale the cell count grows linearly: cell size stays ~200
+    assert graph_auto_n_clusters(100_000) == 500
+    assert graph_auto_n_clusters(10_000_000) == 50_000
+
+
+def test_graph_beam_topk_validates_steps_and_k(spark):
+    import pytest
+
+    from audience_manager_platform_spark.operators import similarity as S
+    from audience_manager_platform_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="steps"):
+        S.graph_beam_topk(emb, [0], steps=0)
+    with pytest.raises(ValueError, match="beam"):
+        S.graph_beam_topk(emb, [0], k=20, beam=8)
+
+
+def test_graph_beam_superstep_rows_stay_bounded(spark):
+    from audience_manager_platform_spark.operators import similarity as S
+    from audience_manager_platform_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    model = S.kmeans_fit_model(emb, S.KMEANS_K, 1)
+    rows: list[int] = []
+    qids = [0, 1, 2]
+    out = S.graph_beam_topk(
+        emb, qids, k=5, model=model, superstep_rows=rows
+    ).collect()
+    assert len(rows) == S.GRAPH_STEPS
+    assert out  # search still returns results with instrumentation on
+    # sound per-step bound uses the measured max symmetrized degree
+    edges = S.graph_knn_edges(emb, model=model)
+    max_deg = edges.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+    bound = len(qids) * S.GRAPH_BEAM * (max_deg + 1)
+    assert all(r <= bound for r in rows), (rows, bound)

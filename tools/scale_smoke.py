@@ -1140,6 +1140,84 @@ def main() -> None:
             model=gm, edges=_edges(),
         ),
     )
+
+    # ---------------- round-10: auto-sized edge build, ~linear growth
+    # (r9 verdict #2) graph_knn_edges now derives the cell count from
+    # one count() via graph_auto_n_clusters (target cell ~200), so the
+    # pair stage is n x 200 — LINEAR. These three doubling sizes make
+    # the linearity a measured number. SCALE_ONLY=nsw-auto to run.
+    def _mkvecs(n):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"), vec.alias("embedding")
+        )
+
+    for nv in (50_000, 100_000, 200_000):
+        k_auto = SIM.graph_auto_n_clusters(nv)
+        timed(
+            f"NSW auto-sized edge build ({nv:,} vecs -> {k_auto} cells)"
+            " [nsw-auto]",
+            lambda nv=nv: SIM.graph_knn_edges(_mkvecs(nv)),
+        )
+
+    # ---------------- round-10: beam SERVING path at 10M nodes
+    # (r9 verdict #8) the serving plan joins the query frontier against
+    # a standing 10M-node vector table and its ~2m-degree edge table;
+    # the edge table here is deterministic-synthetic (each node forward-
+    # links to m xxhash-derived neighbors, symmetrized — the build cost
+    # is the PREVIOUS entries' subject, serving-shape is this one's).
+    # Per-superstep frontier sizes are recorded and checked against the
+    # documented <= |q| x beam x (2m+1) bound. SCALE_ONLY=nsw-serve.
+    if only and "nsw-serve" in only.lower():
+        from audience_manager_platform_spark.operators.partitioning import (
+            materialize,
+        )
+
+        n_serve = int(os.environ.get("SCALE_SERVE_VECS", 10_000_000))
+        sv = _mkvecs(n_serve)
+        fwd = (
+            spark.range(n_serve)
+            .select(
+                F.col("id").alias("src"),
+                F.explode(
+                    F.array(*[F.lit(i) for i in range(SIM.GRAPH_M)])
+                ).alias("j"),
+            )
+            .select(
+                "src",
+                (
+                    F.abs(F.xxhash64("src", F.col("j"))) % F.lit(n_serve)
+                ).alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+        t0 = time.perf_counter()
+        syn_edges = materialize(
+            fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+        )
+        print(f"synthetic edge table: {time.perf_counter() - t0:7.2f}s")
+        sm = SIM.kmeans_fit_model(sv, 512, 1)
+        steps_rows: list[int] = []
+        qids = [0, 1, 2, 3, 4]
+        timed(
+            f"NSW beam serving ({n_serve:,} nodes) [nsw-serve]",
+            lambda: SIM.graph_beam_topk(
+                sv, qids, k=5, model=sm, edges=syn_edges,
+                superstep_rows=steps_rows,
+            ),
+        )
+        # the 2m+1 degree factor assumes out-degree m symmetrized; hash
+        # collisions give a few nodes higher in-degree, so the sound
+        # bound uses the graph's MEASURED max degree (r9 test finding)
+        max_deg = (
+            syn_edges.groupBy("src").count().agg(F.max("count")).collect()
+        )[0][0]
+        bound = len(qids) * SIM.GRAPH_BEAM * (max_deg + 1)
+        doc_bound = len(qids) * SIM.GRAPH_BEAM * (2 * SIM.GRAPH_M + 1)
+        print(
+            f"superstep frontier rows: {steps_rows} "
+            f"(doc bound {doc_bound}, measured-degree bound {bound})"
+        )
+        assert all(r <= bound for r in steps_rows), (steps_rows, bound)
     spark.stop()
 
 

@@ -352,6 +352,12 @@ def main() -> None:
         q.stop()
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    # os._exit below skips atexit hooks, so sweep the materialize()
+    # scratch dirs (amp-mat-*: shared ANN index tables, q15 rollup)
+    # explicitly or every bench run leaks them into /tmp (r9 ADVICE)
+    from audience_manager_platform_spark.operators import partitioning
+
+    partitioning._sweep_materialized()
     sys.stderr.flush()
     time.sleep(2)
     print(line, flush=True)
@@ -365,6 +371,20 @@ def main() -> None:
 _TAIL_BUDGET = 1850  # headroom for the extended "detail" suffix below
 
 
+def _families(timings: dict[str, float]) -> dict[str, float]:
+    """Per-family wall-clock sums (family = name prefix up to the first
+    underscore). ~25 families always fit the tail budget where 372
+    per-query entries cannot, so round-over-round DRIVER artifacts can
+    be diffed per family without the local bench_full.json (r9 verdict
+    #7 — the regression-guard granularity the driver tail lost when the
+    registry outgrew the line)."""
+    fams: dict[str, float] = {}
+    for name, t in timings.items():
+        fam = name.split("_", 1)[0]
+        fams[fam] = fams.get(fam, 0.0) + t
+    return {k: round(v, 2) for k, v in sorted(fams.items())}
+
+
 def _compact_line(
     label: str,
     total: float,
@@ -376,6 +396,7 @@ def _compact_line(
         "metric": label,
         "value": total,
         "unit": "sec",
+        "families": _families(timings),
         "queries": {},
         "sf": sf,
         "detail": "bench_full.json",

@@ -40,3 +40,23 @@ def test_compact_line_full_sweep_sized_names():
     line = bench._compact_line("total wall-clock", 475.5, timings, 0.1, names)
     assert len(line) <= 2000
     assert json.loads(line)["detail"].startswith("bench_full.json")
+
+
+def test_compact_line_families_with_real_registry_names():
+    # r9 verdict #7: the compact line carries per-family sums so DRIVER
+    # artifacts can be diffed round-over-round without the local full
+    # JSON. Use the REAL registry names — the true family count is what
+    # must fit the tail budget.
+    from audience_manager_platform_spark import registry
+
+    names = sorted(registry.queries())
+    timings = {n: 1.234 for n in names}
+    line = bench._compact_line("total wall-clock", 475.5, timings, 0.1, names)
+    assert len(line) <= 2000
+    d = json.loads(line)
+    fams = d["families"]
+    assert abs(sum(fams.values()) - sum(timings.values())) < 0.5
+    assert fams["tpch"] == round(
+        sum(t for n, t in timings.items() if n.startswith("tpch_")), 2
+    )
+    assert 5 < len(fams) < 60

@@ -220,7 +220,7 @@ def global_row_positions(
     tiebreak_cols: list[str],
     n_parts: int | None = None,
     out_col: str = "_gpos",
-    running_sum_col: str | None = None,
+    running_sum_col: str | list[str] | None = None,
     descending: bool = False,
     hot_shard_rows: int = 2_000_000,
     n_sub: int = 32,
@@ -262,12 +262,14 @@ def global_row_positions(
     under ASC), so a caller whose value can be null must either coalesce
     upstream or spell NULLS FIRST/LAST in its oracle SQL.
 
-    ``running_sum_col``: also emit ``_gsum`` — the exact INCLUSIVE
-    running sum of that column in the global order (per-cell running
-    sum + broadcast prior-cell sum offsets; same decomposition as the
-    position). ``descending=True`` ranks under ``value_col DESC``
-    (tiebreaks stay ASC): shards are bucketed on the negated value so
-    shard id stays monotone in the output order.
+    ``running_sum_col``: also emit the exact INCLUSIVE running sum of
+    that column in the global order (per-cell running sum + broadcast
+    prior-cell sum offsets; same decomposition as the position) — as
+    ``_gsum`` for a single column name, or ``_gsum_<col>`` per column
+    when a list is given (one shared shuffle prices every running sum).
+    ``descending=True`` ranks under ``value_col DESC`` (tiebreaks stay
+    ASC): shards are bucketed on the negated value so shard id stays
+    monotone in the output order.
     """
     spark = df.sparkSession
     if n_parts is None:
@@ -340,9 +342,16 @@ def global_row_positions(
         sub = sub.when(t_hi > t_lo, sub_by_t)
     subbed = subbed.withColumn("_sub", sub.otherwise(F.lit(0)).cast("int"))
     # ---- per-cell offsets (broadcast; window over ≤ shards·subs rows) -
-    aggs = [F.count("*").alias("_c")]
-    if running_sum_col is not None:
-        aggs.append(F.sum(running_sum_col).alias("_s"))
+    if running_sum_col is None:
+        rs_cols, rs_out = [], []
+    elif isinstance(running_sum_col, str):
+        rs_cols, rs_out = [running_sum_col], ["_gsum"]
+    else:
+        rs_cols = list(running_sum_col)
+        rs_out = [f"_gsum_{c}" for c in rs_cols]
+    aggs = [F.count("*").alias("_c")] + [
+        F.sum(c).alias(f"_s{i}") for i, c in enumerate(rs_cols)
+    ]
     off_w = Window.orderBy("_shard", "_sub").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -350,11 +359,11 @@ def global_row_positions(
         "_off", F.coalesce(F.sum("_c").over(off_w), F.lit(0))
     )
     off_cols = ["_shard", "_sub", "_off"]
-    if running_sum_col is not None:
+    for i in range(len(rs_cols)):
         offs = offs.withColumn(
-            "_soff", F.coalesce(F.sum("_s").over(off_w), F.lit(0))
+            f"_soff{i}", F.coalesce(F.sum(f"_s{i}").over(off_w), F.lit(0))
         )
-        off_cols.append("_soff")
+        off_cols.append(f"_soff{i}")
     offs = offs.select(*off_cols)
     first = F.desc(value_col) if descending else F.asc(value_col)
     order = [first] + [F.asc(c) for c in tiebreak_cols]
@@ -364,19 +373,17 @@ def global_row_positions(
     drop += ["_shc", "_svlo", "_svhi"]
     if tb1 is not None:
         drop += ["_stlo", "_sthi"]
-    if running_sum_col is not None:
+    for i, c in enumerate(rs_cols):
         out = out.withColumn(
-            "_lsum",
-            F.sum(running_sum_col).over(
-                shard_w.rowsBetween(Window.unboundedPreceding, 0)
-            ),
+            f"_lsum{i}",
+            F.sum(c).over(shard_w.rowsBetween(Window.unboundedPreceding, 0)),
         )
-        drop += ["_lsum", "_soff"]
+        drop += [f"_lsum{i}", f"_soff{i}"]
     out = out.join(F.broadcast(offs), ["_shard", "_sub"]).withColumn(
         out_col, (F.col("_off") + F.col("_lrn")).cast("long")
     )
-    if running_sum_col is not None:
-        out = out.withColumn("_gsum", F.col("_soff") + F.col("_lsum"))
+    for i, name in enumerate(rs_out):
+        out = out.withColumn(name, F.col(f"_soff{i}") + F.col(f"_lsum{i}"))
     if keep_cells:  # tests: prove the hot-shard escalation really split
         drop = [c for c in drop if c not in ("_shard", "_sub")]
     return out.drop(*drop)

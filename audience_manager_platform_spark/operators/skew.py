@@ -650,10 +650,16 @@ def quantile_from_histogram(
             ),
         )
     )
-    # audit side: exact rank selection (global sort — audit-only cost)
-    exact_w = Window.orderBy("cents")
+    # audit side: exact rank selection via the SHARDED global rank (the
+    # former unpartitioned Window.orderBy pulled the whole cents relation
+    # through one task — the one data-sized global window the r10 bound
+    # sweep caught riding the allowlist). Ties on cents are harmless:
+    # only the cents value at the rank is consumed, and every tie order
+    # yields the same value.
+    from .partitioning import global_row_positions
+
     exact = (
-        audit_base.withColumn("rn", F.row_number().over(exact_w))
+        global_row_positions(audit_base, "cents", [], out_col="rn")
         .join(F.broadcast(ranks.select(F.col("rank").alias("rn"), "q_label")), "rn")
         .select("q_label", F.col("cents").alias("exact_cents"))
     )

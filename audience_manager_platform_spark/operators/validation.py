@@ -1007,11 +1007,20 @@ def ks_value_drift(events: "DataFrame", value_col: str = "value") -> "DataFrame"
         F.sum(F.when(F.col("side") == "old", 1).otherwise(0)).alias("old_c"),
         F.sum(F.when(F.col("side") == "new", 1).otherwise(0)).alias("new_c"),
     )
-    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_val.select(
+    # both ECDF running sums ride ONE sharded global rank (the former
+    # unpartitioned cumsum ran the whole distinct-value grid through a
+    # single task — distinct cents saturate at the currency granularity,
+    # but that's ~200k rows in one window task; the r10 bound sweep
+    # caught it riding the allowlist). cents is the group key, so there
+    # are no ties and the running sums are exact.
+    from .partitioning import global_row_positions
+
+    cum = global_row_positions(
+        per_val, "cents", [], running_sum_col=["old_c", "new_c"]
+    ).select(
         "cents",
-        F.sum("old_c").over(w).alias("cum_o"),
-        F.sum("new_c").over(w).alias("cum_n"),
+        F.col("_gsum_old_c").alias("cum_o"),
+        F.col("_gsum_new_c").alias("cum_n"),
     )
     tot = per_val.agg(
         F.sum("old_c").alias("n_old"),

@@ -34,3 +34,32 @@ def test_allowlists_contain_no_stale_names():
         NESTED_LOOP_ALLOWED | ARROW_ALLOWED | GLOBAL_WINDOW_ALLOWED
     ) - names
     assert not stale, stale
+
+
+def test_global_window_bounds_cover_exactly_the_allowlist():
+    from audit_plans import GLOBAL_WINDOW_ALLOWED, GLOBAL_WINDOW_BOUNDS
+
+    assert frozenset(GLOBAL_WINDOW_BOUNDS) == GLOBAL_WINDOW_ALLOWED
+    # every bound is far below the sf0.01 fact sizes it exists to exclude
+    assert all(0 < b <= 2048 for b in GLOBAL_WINDOW_BOUNDS.values())
+
+
+def test_global_window_input_measurement_sees_data_sized_inputs(spark):
+    """The r10 bound enforcement is only as good as its measurement: a
+    deliberately data-sized global window must be measured at its true
+    input row count (this is the failure a wrong refactor produces —
+    the audit then trips the per-name bound instead of riding the
+    allowlist)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from audit_plans import global_window_input_counts
+
+    def fake(s, d):
+        df = s.range(5000).select(F.col("id").alias("v"))
+        return df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("v"))
+        )
+
+    counts = global_window_input_counts(spark, "unused", fake)
+    assert counts == [5000]

@@ -259,43 +259,59 @@ NESTED_LOOP_ALLOWED = {
 # the sharded `global_row_positions` helper is the sanctioned
 # alternative (its |shards|-row offsets window is exempted structurally
 # in _count_global_windows).
-GLOBAL_WINDOW_ALLOWED = {
+#
+# r10 (r9 verdict #6): each allowlist entry now carries an ENFORCED
+# per-name bound — the max rows any of the query's global-window INPUTS
+# may hold at sf0.01, measured via global_window_input_counts() (the
+# logical-plan Window children are counted directly). The audit and
+# tests/test_plan_audit.py both check it, so a refactor that un-bounds
+# a declared window FAILS instead of riding the allowlist. Bounds are
+# measured-with-headroom, all far below the sf0.01 data sizes (15k
+# users / 60k lineitems) they exist to exclude.
+GLOBAL_WINDOW_BOUNDS: dict[str, int] = {
     # |days|-grid sequential state (daily totals / LLR ledgers / fold
     # layout / seasonal fits): the raw stream is reduced by a combinable
     # day aggregate first, so the window input is calendar-sized
-    "analytics_daily_anomalies",
-    "analytics_sprt_monitor",
-    "streaming_sprt_monitor",
-    "corpus_purged_time_split",
-    "layout_snapshot_retention",
-    "ts_seasonal_decompose",
-    "ts_seasonal_strength",
+    # (measured 30 at sf0.01)
+    "analytics_daily_anomalies": 256,
+    "analytics_sprt_monitor": 256,
+    "streaming_sprt_monitor": 256,
+    "corpus_purged_time_split": 256,
+    "layout_snapshot_retention": 256,
+    "ts_seasonal_decompose": 256,
+    "ts_seasonal_strength": 256,
     # closed-set dimensions: |event types| slices, |brands| = 25 pairs,
     # |strata| design rows, |bands| share rows (after the sharded cut),
-    # |partitions| spine, purchase-ordinal curve grid
-    "analytics_delta_attribution",
-    "eval_kendall_tau_brands",
-    "sample_neyman_allocation",
-    "skew_key_profile",
-    "validate_partition_completeness",
-    "analytics_repeat_purchase_curve",
-    # model/sketch-sized state: histogram buckets, settled quantile
-    # sketch, the KS value grid (all O(buckets), documented per-op)
-    "sketch_quantile_bands",
-    "streaming_quantile_maintenance",
-    "validate_ks_drift",
+    # |partitions| spine, purchase-ordinal curve grid (measured 1-32)
+    "analytics_delta_attribution": 256,
+    "eval_kendall_tau_brands": 256,
+    "sample_neyman_allocation": 64,
+    "skew_key_profile": 256,
+    "validate_partition_completeness": 256,
+    "analytics_repeat_purchase_curve": 256,
+    # sketch/histogram-sized state: the DDSketch bucket table caps at
+    # 63 bit-lengths x 8 sub-buckets = 504 rows by CONSTRUCTION
+    # (measured 56/104); the former data-sized exact-rank audit and KS
+    # value-grid cumsum were rewired onto the sharded rank in r10, so
+    # only |shards|-row offsets windows remain beside the sketch
+    "sketch_quantile_bands": 1024,
+    "streaming_quantile_maintenance": 1024,
+    "validate_ks_drift": 256,
     # |distinct integer scores| grid of the exact Mann-Whitney AUC
-    "text_langid_en_auc",
+    # (score range is construction-bounded; measured 14)
+    "text_langid_en_auc": 512,
     # the Qini CURVE cumsum runs over the 10-row per-decile rollup (the
     # |users|-sized decile CUT is the sharded rank + exact_ntile_expr)
-    "analytics_qini_uplift",
+    "analytics_qini_uplift": 256,
     # post-LIMIT shortlists: the window input is k/pool/top_n rows
-    "hybrid_search_rrf",
-    "text_inverted_postings",
-    "text_zipf_fit",
+    "hybrid_search_rrf": 512,
+    "text_inverted_postings": 512,
+    "text_zipf_fit": 512,
     # file-METADATA table (O(files), the table a compactor reads anyway)
-    "layout_compaction_plan",
+    "layout_compaction_plan": 2048,
 }
+
+GLOBAL_WINDOW_ALLOWED = frozenset(GLOBAL_WINDOW_BOUNDS)
 
 ARROW_ALLOWED = {
     # declared Arrow kernels (bucket matmul / cell assignment / PQ encode
@@ -411,6 +427,38 @@ def _count_global_windows(plan: str) -> int:
     return n
 
 
+def global_window_input_counts(spark, sf_dir: str, fn) -> list[int]:
+    """Row count of every UNPARTITIONED logical Window node's INPUT in
+    ``fn``'s plan — the measured quantity behind each
+    GLOBAL_WINDOW_ALLOWED bound. Walks the optimized logical plan,
+    re-wraps each global Window's child as a DataFrame and counts it;
+    includes the |shards|-row offsets windows of the sharded rank
+    helper (their tiny counts sit inside every consumer's bound)."""
+    from audience_manager_platform_spark.registry import _shared
+
+    _shared._CACHE.clear()
+    df = fn(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan()
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    counts = []
+    for n in walk(opt):
+        if n.getClass().getSimpleName() != "Window":
+            continue
+        if n.partitionSpec().size() != 0:
+            continue
+        child = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, n.child()
+        )
+        counts.append(child.count())
+    return counts
+
+
 def audit(spark, sf_dir: str):
     from audience_manager_platform_spark import registry
     from audience_manager_platform_spark.operators import partitioning
@@ -460,6 +508,22 @@ def audit(spark, sf_dir: str):
                 (name, "undeclared single-partition WindowExec over an "
                        "undeclared input (global Window.orderBy)")
             )
+        if s["global_window"] and name in GLOBAL_WINDOW_BOUNDS:
+            # r10 (r9 verdict #6): the allowlist entry is a MEASURED
+            # bound, not prose — count every global logical Window's
+            # input and fail if a refactor un-bounded one
+            try:
+                counts = global_window_input_counts(spark, sf_dir, fn)
+            except Exception as ex:
+                violations.append((name, f"window-input measure failed: {ex}"))
+                counts = []
+            s["gw_rows"] = max(counts) if counts else 0
+            bound = GLOBAL_WINDOW_BOUNDS[name]
+            if s["gw_rows"] > bound:
+                violations.append(
+                    (name, f"declared-bounded global window reads "
+                           f"{s['gw_rows']} rows > bound {bound}")
+                )
     # Canary for the stage recorder itself: materialize() is used by
     # dozens of registry operators, so an audit sweep that records ZERO
     # stages anywhere means the recorder hook is broken and the scan is
@@ -492,7 +556,12 @@ def main() -> int:
     for name, s in sorted(rows):
         nl = "allowed" if (s["cartesian"] or s["nested_loop"]) else ""
         ar = "kernel" if s["arrow_python"] else ""
-        gw = "declared-bounded" if s.get("global_window") else ""
+        gw = (
+            f"bounded<= {GLOBAL_WINDOW_BOUNDS.get(name)} "
+            f"(measured {s['gw_rows']})"
+            if s.get("gw_rows") is not None and name in GLOBAL_WINDOW_BOUNDS
+            else ("declared-bounded" if s.get("global_window") else "")
+        )
         lines.append(
             f"| {name} | {s['exchanges']} | {s.get('stages', 0)} | {nl} "
             f"| {ar} | {gw} |"

@@ -4276,3 +4276,151 @@ def kruskal_wallis_arms_sql(
         FROM per_arm CROSS JOIN hh
         ORDER BY per_arm.arm
     """
+
+
+def welch_pairwise_arms(
+    events: DataFrame, k_arms: int = 4, salt: str = "ab-v1"
+) -> DataFrame:
+    """Pairwise Welch's t between every pair of hash arms on post-period
+    spend (Welch 1947 unequal-variance t; the per-pair drill-down of
+    :func:`anova_oneway_arms` — an omnibus F says "some arm differs",
+    Welch says WHICH pair; reference analogue: none, extension surface).
+
+    Same exactness contract as ANOVA: per-arm S_a = Σy (bigint) and
+    Q_a = Σy² in DECIMAL(38,0); means/variances become doubles only at
+    the end from identical exact operands on both engines (HUGEINT on
+    DuckDB). t = (m_i − m_j)/sqrt(v_i/n_i + v_j/n_j) with the
+    Welch–Satterthwaite dof, both 6dp, NULL-guarded when a pooled SE is
+    zero or an arm has n <= 1. The pair join is |arms|² — model-sized
+    at any data scale; everything data-sized is one combinable
+    per-user reduce."""
+    from ..functions import stable_long_hash
+    from .partitioning import materialize
+
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    base = events.filter(F.col("user_id").isNotNull()).select(
+        "user_id",
+        F.coalesce(cents, F.lit(0)).alias("cents"),
+        F.to_date("ts").alias("d"),
+    )
+    bounds = base.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.expr("date_add(lo, CAST(datediff(hi, lo) div 2 AS INT))").alias(
+            "mid"
+        )
+    )
+    per_user = base.crossJoin(F.broadcast(bounds)).groupBy("user_id").agg(
+        F.sum(F.expr("CASE WHEN d > mid THEN cents ELSE 0 END")).alias("y")
+    ).select(
+        (
+            stable_long_hash(F.col("user_id").cast("string"), salt=salt)
+            % k_arms
+        ).alias("arm"),
+        "y",
+    )
+    arm = materialize(
+        per_user.groupBy("arm").agg(
+            F.count("*").alias("n_a"),
+            F.sum("y").alias("s_a"),
+            F.sum(
+                F.expr("CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))")
+            ).alias("q_a"),
+        )
+    )
+
+    def _stats(side: str):
+        n = F.col(f"{side}.n_a").cast("double")
+        s = F.col(f"{side}.s_a").cast("double")
+        q = F.col(f"{side}.q_a").cast("double")
+        mean = s / n
+        var = F.when(n > 1, (q - s * s / n) / (n - 1))
+        return n, mean, var
+
+    x, y = arm.alias("x"), arm.alias("y")
+    pairs = x.join(y, F.col("x.arm") < F.col("y.arm"))
+    n1, m1, v1 = _stats("x")
+    n2, m2, v2 = _stats("y")
+    se2 = v1 / n1 + v2 / n2
+    t = F.when(se2 > 0, F.round((m1 - m2) / F.sqrt(se2), 6))
+    dof_den = (v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (
+        n2 - 1
+    )
+    dof = F.when(
+        (se2 > 0) & (dof_den > 0), F.round(se2 * se2 / dof_den, 6)
+    )
+    return pairs.select(
+        F.col("x.arm").cast("long").alias("arm_a"),
+        F.col("y.arm").cast("long").alias("arm_b"),
+        F.col("x.n_a").cast("long").alias("n_a"),
+        F.col("y.n_a").cast("long").alias("n_b"),
+        F.expr("CAST(x.s_a * 1000000 div x.n_a AS BIGINT)").alias(
+            "mean_a_micro"
+        ),
+        F.expr("CAST(y.s_a * 1000000 div y.n_a AS BIGINT)").alias(
+            "mean_b_micro"
+        ),
+        t.alias("t_stat"),
+        dof.alias("welch_dof"),
+    ).orderBy("arm_a", "arm_b")
+
+
+def welch_pairwise_arms_sql(
+    src: str = "events", k_arms: int = 4, salt: str = "ab-v1"
+) -> str:
+    from ..functions import HASH60_DUCK_SQL
+
+    h = HASH60_DUCK_SQL.format(x=f"'{salt}' || CAST(user_id AS VARCHAR)")
+    return f"""
+        WITH base AS (
+          SELECT user_id,
+                 COALESCE(CAST(floor(value * 100 + 0.5) AS BIGINT), 0)
+                   AS cents,
+                 CAST(ts AS DATE) AS d
+          FROM {src} WHERE user_id IS NOT NULL
+        ),
+        bounds AS (
+          SELECT MIN(d) + CAST((MAX(d) - MIN(d)) // 2 AS INTEGER) AS mid
+          FROM base
+        ),
+        per_user AS (
+          SELECT ({h}) % {int(k_arms)} AS arm,
+                 CAST(SUM(CASE WHEN d > (SELECT mid FROM bounds)
+                          THEN cents ELSE 0 END) AS BIGINT) AS y
+          FROM base GROUP BY user_id
+        ),
+        arm AS (
+          SELECT arm, COUNT(*) AS n_a, SUM(y) AS s_a,
+                 SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS q_a
+          FROM per_user GROUP BY arm
+        ),
+        st AS (
+          SELECT arm, n_a, s_a,
+                 CAST(n_a AS DOUBLE) AS nd,
+                 CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS m,
+                 CASE WHEN n_a > 1 THEN
+                   (CAST(q_a AS DOUBLE)
+                    - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+                      / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1)
+                 END AS v
+          FROM arm
+        )
+        SELECT CAST(x.arm AS BIGINT) AS arm_a,
+               CAST(y.arm AS BIGINT) AS arm_b,
+               CAST(x.n_a AS BIGINT) AS n_a,
+               CAST(y.n_a AS BIGINT) AS n_b,
+               CAST(x.s_a * 1000000 // x.n_a AS BIGINT) AS mean_a_micro,
+               CAST(y.s_a * 1000000 // y.n_a AS BIGINT) AS mean_b_micro,
+               CASE WHEN (x.v / x.nd + y.v / y.nd) > 0 THEN
+                 ROUND((x.m - y.m) / sqrt(x.v / x.nd + y.v / y.nd), 6)
+               END AS t_stat,
+               CASE WHEN (x.v / x.nd + y.v / y.nd) > 0
+                     AND ((x.v / x.nd) * (x.v / x.nd) / (x.nd - 1)
+                          + (y.v / y.nd) * (y.v / y.nd) / (y.nd - 1)) > 0
+               THEN
+                 ROUND((x.v / x.nd + y.v / y.nd)
+                       * (x.v / x.nd + y.v / y.nd)
+                       / ((x.v / x.nd) * (x.v / x.nd) / (x.nd - 1)
+                          + (y.v / y.nd) * (y.v / y.nd) / (y.nd - 1)), 6)
+               END AS welch_dof
+        FROM st x JOIN st y ON x.arm < y.arm
+        ORDER BY arm_a, arm_b
+    """

@@ -1771,3 +1771,109 @@ def url_canonical_dedup_sql(src: str = "documents") -> str:
         GROUP BY 1
         ORDER BY 1
     """
+
+
+# ------------------------------------------------ edit-distance dedup
+def plant_text_twins(
+    docs: DataFrame, every: int = 50, id_offset: int = 1_000_000
+) -> DataFrame:
+    """Append a deterministic near-duplicate twin for every ``every``-th
+    document (text + a 2-char suffix, id + ``id_offset``) — the text
+    analogue of the embedding family's ``plant_near_dups``: the fixture
+    corpus is random word salad with no natural small-edit pairs, so the
+    edit-distance dedup needs planted positives its oracle can predict
+    in closed form."""
+    twins = docs.filter((F.col("doc_id") % every == 0)).select(
+        (F.col("doc_id") + id_offset).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" x")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(twins)
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    max_dist: int = 3,
+    prefix_len: int = 16,
+    max_len_diff: int = 4,
+    max_block: int = 50,
+) -> DataFrame:
+    """Near-duplicate pairs by EXACT Levenshtein distance, blocked so
+    the quadratic edit-distance kernel only ever runs inside small
+    candidate blocks — the fuzzy-match dedup for OCR/typo-grade
+    near-dups that shingle Jaccard smears out (a 2-char edit barely
+    moves Jaccard on a long doc but is exactly dist<=2 here).
+
+    Blocking: equi-join on the first ``prefix_len`` chars (an edit
+    inside the prefix escapes the block — the standard recall trade of
+    prefix blocking; MinHash-LSH is the registry's recall-oriented
+    path), plus a length-difference cut (|len diff| > max_dist can
+    never pass, so ``max_len_diff`` >= ``max_dist`` is a free filter).
+    Blocks above ``max_block`` rows are EXCLUDED, the
+    ``dedup_ngram_jaccard_capped`` hot-cap discipline: a degenerate
+    corpus (every doc sharing a boilerplate prefix) caps at
+    max_block^2 comparisons per block instead of n^2. Levenshtein is
+    codegen (``F.levenshtein``) — O(len_a * len_b) per CANDIDATE pair
+    only, never per cross pair."""
+    base = spread(docs).select(
+        "doc_id",
+        "text",
+        F.substring("text", 1, prefix_len).alias("blk"),
+        F.length("text").alias("ln"),
+    )
+    ok = (
+        base.groupBy("blk")
+        .count()
+        .filter(F.col("count") <= max_block)
+        .select("blk")
+    )
+    kept = base.join(ok, "blk")
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.abs(F.col("a.ln") - F.col("b.ln")) <= max_len_diff
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.text"), F.col("b.text")).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
+def edit_distance_pairs_sql(
+    src: str = "documents",
+    max_dist: int = 3,
+    prefix_len: int = 16,
+    max_len_diff: int = 4,
+    max_block: int = 50,
+    twin_every: int = 50,
+    twin_offset: int = 1_000_000,
+) -> str:
+    return f"""
+        WITH d AS (
+          SELECT doc_id, text FROM {src}
+          UNION ALL
+          SELECT doc_id + {twin_offset}, text || ' x'
+          FROM {src} WHERE doc_id % {twin_every} = 0
+        ),
+        k AS (
+          SELECT doc_id, text, substr(text, 1, {prefix_len}) AS blk,
+                 length(text) AS ln
+          FROM d
+        ),
+        ok AS (
+          SELECT blk FROM k GROUP BY blk HAVING COUNT(*) <= {max_block}
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+        FROM k a JOIN ok USING (blk)
+        JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+               AND abs(a.ln - b.ln) <= {max_len_diff}
+        WHERE levenshtein(a.text, b.text) <= {max_dist}
+    """

@@ -2535,3 +2535,82 @@ def subject_access_report_sql(
         FROM spine s LEFT JOIN counts c USING (user_id, table_name)
         ORDER BY user_id, table_name
     """
+
+
+def benford_digit_audit(df: "DataFrame", value_col: str) -> "DataFrame":
+    """Benford's-law first-digit audit of a money column (Nigrini's
+    fraud/data-quality screen; reference analogue: none — extension
+    surface): the leading significant digit of naturally-occurring
+    amounts should follow P(d) = log10(1 + 1/d), and a synthetic or
+    truncated feed shows up as a fat chi-square.
+
+    Determinism: amounts quantize to exact integer cents
+    (``floor(v*100 + 0.5)``), the leading digit is the first character
+    of the integer's decimal string (pure integer/string ops — no float
+    log in the digit), and the expected shares use ln()/ln(10) — the
+    BM25/Zipf cross-engine ln discipline — with one 6dp rounding at the
+    edge. One map-side-combinable GROUP BY digit (9 groups), one 1-row
+    totals broadcast: nothing data-sized crosses a window at any scale."""
+    cents = F.expr(f"CAST(floor({value_col} * 100 + 0.5) AS BIGINT)")
+    digits = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(cents.alias("cents"))
+        .filter(F.col("cents") > 0)
+        .select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    counts = digits.groupBy("digit").agg(F.count("*").alias("n_d"))
+    tot = counts.agg(F.sum("n_d").alias("n"))
+    expected = F.expr("ln(1.0 + 1.0 / digit) / ln(10.0)")
+    share = F.col("n_d").cast("double") / F.col("n").cast("double")
+    chi2 = (
+        F.col("n").cast("double")
+        * (share - expected)
+        * (share - expected)
+        / expected
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("digit"),
+            F.col("n_d").cast("long").alias("n_d"),
+            F.round(share, 6).alias("share"),
+            F.round(expected, 6).alias("expected_share"),
+            F.round(chi2, 6).alias("chi2_contrib"),
+        )
+        .orderBy("digit")
+    )
+
+
+def benford_digit_audit_sql(src: str, value_col: str) -> str:
+    return f"""
+        WITH digits AS (
+          SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+                   AS digit
+          FROM (
+            SELECT CAST(floor({value_col} * 100 + 0.5) AS BIGINT) AS cents
+            FROM {src} WHERE {value_col} IS NOT NULL
+          ) WHERE cents > 0
+        ),
+        counts AS (
+          SELECT digit, COUNT(*) AS n_d FROM digits GROUP BY digit
+        ),
+        tot AS (SELECT SUM(n_d) AS n FROM counts)
+        SELECT digit,
+               CAST(n_d AS BIGINT) AS n_d,
+               ROUND(CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share,
+               ROUND(ln(1.0 + 1.0 / digit) / ln(10.0), 6)
+                 AS expected_share,
+               ROUND(CAST(n AS DOUBLE)
+                     * (CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE)
+                        - ln(1.0 + 1.0 / digit) / ln(10.0))
+                     * (CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE)
+                        - ln(1.0 + 1.0 / digit) / ln(10.0))
+                     / (ln(1.0 + 1.0 / digit) / ln(10.0)), 6)
+                 AS chi2_contrib
+        FROM counts CROSS JOIN tot
+        ORDER BY digit
+    """

@@ -280,6 +280,10 @@ QUERIES = {
     "analytics_kruskal_wallis": lambda s, d: A.kruskal_wallis_arms(
         load_table(s, d, "events")
     ),
+    # r10 wave 49: per-pair Welch t drill-down of the ANOVA omnibus F
+    "analytics_welch_pairwise": lambda s, d: A.welch_pairwise_arms(
+        load_table(s, d, "events")
+    ),
 }
 
 _DAILY_TOTALS_TMPL = """
@@ -461,6 +465,7 @@ ORACLES = {
     "analytics_ab_smd_balance": A.ab_smd_balance_sql(),
     "analytics_anova_arms": A.anova_oneway_arms_sql(),
     "analytics_kruskal_wallis": A.kruskal_wallis_arms_sql(),
+    "analytics_welch_pairwise": A.welch_pairwise_arms_sql(),
     "segment_overlap_matrix": """
         WITH per_user AS (
           SELECT user_id,

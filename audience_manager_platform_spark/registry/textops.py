@@ -205,6 +205,11 @@ QUERIES = {
     # r5: incremental ingestion-time LSH (streaming fold == batch result)
     "streaming_lsh_dedup": _lsh_dedup_streaming,
     "dedup_exact": lambda s, d: D.exact_dedup(_docs(s, d)),
+    # r10 wave 49: blocked exact-Levenshtein near-dup pairs over planted
+    # 2-char-edit twins (the corpus has no natural small-edit pairs)
+    "dedup_edit_distance": lambda s, d: D.edit_distance_pairs(
+        D.plant_text_twins(_docs(s, d))
+    ),
     "dedup_ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_docs(s, d), threshold=0.6),
     "dedup_ngram_jaccard_capped": lambda s, d: D.ngram_jaccard_pairs(
         _docs(s, d), threshold=0.5, max_gram_df=25
@@ -432,6 +437,7 @@ ORACLES = {
     "streaming_lsh_dedup": D.minhash_lsh_pairs_sql(est_threshold=0.5),
     "dedup_exact": D.exact_dedup_sql(),
     "dedup_ngram_jaccard": D.ngram_jaccard_pairs_sql(threshold=0.6),
+    "dedup_edit_distance": D.edit_distance_pairs_sql("documents"),
     "dedup_ngram_jaccard_capped": D.ngram_jaccard_pairs_sql(
         threshold=0.5, max_gram_df=25
     ),

@@ -121,6 +121,8 @@ from ..operators.validation import (
     psi_value_drift_sql,
     ks_value_drift,
     ks_value_drift_sql,
+    benford_digit_audit,
+    benford_digit_audit_sql,
     mix_drift,
     mix_drift_sql,
     benford_digit_audit,
@@ -449,6 +451,10 @@ QUERIES = {
     # wave 17: exact max-ECDF-gap drift (the binning-free rank test
     # beside PSI) and the Benford leading-digit fabrication screen
     "validate_ks_drift": lambda s, d: ks_value_drift(_events(s, d)),
+    # r10 wave 49: Benford first-digit screen on the price feed
+    "validate_benford_prices": lambda s, d: benford_digit_audit(
+        load_table(s, d, "lineitem"), "l_extendedprice"
+    ),
     # wave 21: the categorical companion (chi-square homogeneity on the
     # event-type mix)
     "validate_mix_drift": lambda s, d: mix_drift(_events(s, d)),
@@ -779,6 +785,9 @@ ORACLES = {
     ),
     "validate_psi_drift": psi_value_drift_sql("events"),
     "validate_ks_drift": ks_value_drift_sql("events"),
+    "validate_benford_prices": benford_digit_audit_sql(
+        "lineitem", "l_extendedprice"
+    ),
     "layout_pruning_audit": pruning_audit_sql("events"),
     "layout_compaction_plan": compaction_plan_sql("events"),
     "layout_snapshot_retention": snapshot_retention_plan_sql("events"),

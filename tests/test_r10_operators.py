@@ -294,3 +294,153 @@ def test_graph_beam_superstep_rows_stay_bounded(spark):
     max_deg = edges.groupBy("src").count().agg(F.max("count")).collect()[0][0]
     bound = len(qids) * S.GRAPH_BEAM * (max_deg + 1)
     assert all(r <= bound for r in rows), (rows, bound)
+
+
+# --------------------------------- wave 49: new operators ----------------
+from datetime import datetime
+
+_EVENTS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def test_edit_distance_pairs_finds_planted_twins_only(spark):
+    from audience_manager_platform_spark.operators.dedup import (
+        edit_distance_pairs,
+        plant_text_twins,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (50, "pack my box with five dozen liquor jugs"),
+            (7, "a completely unrelated document about spark plans"),
+            (8, "the quick brown fox jumps over the lazy cat"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in edit_distance_pairs(plant_text_twins(base)).collect()
+    }
+    # both planted twins land at exactly dist 2 (" x" appended)
+    assert pairs[(0, 1_000_000)] == 2
+    assert pairs[(50, 1_000_050)] == 2
+    # the natural near-pair shares the 16-char prefix and dist 3
+    assert pairs[(0, 8)] == 3
+    assert len(pairs) == 3  # nothing else sneaks in
+
+
+def test_edit_distance_hot_block_is_capped(spark):
+    from audience_manager_platform_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+    from pyspark.sql import functions as F2
+
+    # 200 docs sharing one boilerplate prefix: the block cap must
+    # exclude the degenerate block instead of running 200^2 comparisons
+    df = spark.range(200).select(
+        F2.col("id").alias("doc_id"),
+        F2.concat(
+            F2.lit("shared boilerplate prefix "),
+            F2.col("id").cast("string"),
+        ).alias("text"),
+    )
+    assert edit_distance_pairs(df, max_block=50).count() == 0
+
+
+def test_benford_on_exact_benford_sample(spark):
+    from audience_manager_platform_spark.operators.validation import (
+        benford_digit_audit,
+    )
+
+    # counts proportional to log10(1+1/d) out of 1000: chi2 ~ 0
+    import math
+
+    rows = []
+    i = 0
+    for d in range(1, 10):
+        n_d = round(1000 * math.log10(1 + 1 / d))
+        for _ in range(n_d):
+            rows.append((i, float(f"{d}00.00")))
+            i += 1
+    df = spark.createDataFrame(rows, "id long, amount double")
+    got = benford_digit_audit(df, "amount").collect()
+    assert [r["digit"] for r in got] == list(range(1, 10))
+    assert sum(r["n_d"] for r in got) == len(rows)
+    assert all(r["chi2_contrib"] < 0.01 for r in got)
+    assert abs(sum(r["expected_share"] for r in got) - 1.0) < 1e-4
+
+
+def test_benford_flags_uniform_digits(spark):
+    from audience_manager_platform_spark.operators.validation import (
+        benford_digit_audit,
+    )
+
+    # uniform first digits are maximally non-Benford: chi2 total is
+    # large and digit 1 (expected 30.1%, observed 11.1%) dominates
+    df = spark.range(900).select(
+        "id", ((F.col("id") % 9 + 1) * 100.0).alias("amount")
+    )
+    got = {r["digit"]: r for r in benford_digit_audit(df, "amount").collect()}
+    assert all(got[d]["n_d"] == 100 for d in range(1, 10))
+    total_chi2 = sum(r["chi2_contrib"] for r in got.values())
+    assert total_chi2 > 100  # wildly non-Benford
+    assert got[1]["chi2_contrib"] == max(
+        r["chi2_contrib"] for r in got.values()
+    )
+
+
+def _arm_events_w(spark, n_users=60):
+    rows = []
+    for u in range(1, n_users + 1):
+        rows += [(datetime(2024, 1, 2), u, "view", 0.0)]
+        rows += [(datetime(2024, 1, 15), u, "purchase", float(u % 7) * 3.0)]
+    return (
+        spark.createDataFrame(
+            [
+                (i, ts, uid, et, val, "{}")
+                for i, (ts, uid, et, val) in enumerate(rows)
+            ],
+            _EVENTS_SCHEMA,
+        ),
+        {u: int(round(float(u % 7) * 3.0 * 100)) for u in range(1, n_users + 1)},
+    )
+
+
+def test_welch_pairwise_matches_pure_python_reference(spark):
+    import hashlib
+    import math
+
+    from audience_manager_platform_spark.operators.analytics import (
+        welch_pairwise_arms,
+    )
+
+    ev, y_of = _arm_events_w(spark)
+    arms = {}
+    for u, y in y_of.items():
+        a = int(hashlib.md5(f"ab-v1{u}".encode()).hexdigest()[:15], 16) % 4
+        arms.setdefault(a, []).append(y)
+
+    def stats(v):
+        n = len(v)
+        m = sum(v) / n
+        var = sum((x - m) ** 2 for x in v) / (n - 1)
+        return n, m, var
+
+    got = welch_pairwise_arms(ev).collect()
+    assert len(got) == 6  # C(4,2) pairs
+    for r in got:
+        n1, m1, v1 = stats(arms[r["arm_a"]])
+        n2, m2, v2 = stats(arms[r["arm_b"]])
+        se2 = v1 / n1 + v2 / n2
+        want_t = round((m1 - m2) / math.sqrt(se2), 6)
+        want_dof = round(
+            se2 * se2
+            / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1)),
+            6,
+        )
+        assert r["n_a"] == n1 and r["n_b"] == n2
+        assert abs(r["t_stat"] - want_t) < 1e-6, (r, want_t)
+        assert abs(r["welch_dof"] - want_dof) < 1e-6

@@ -249,6 +249,10 @@ NESTED_LOOP_ALLOWED = {
     # r9 wave 48: |arms|-row stat tables crossed with 1-row F/H/ties
     "analytics_anova_arms",
     "analytics_kruskal_wallis",
+    # r10 wave 49: |arms|² pair join over the 4-row arm-stats table +
+    # 1-row midpoint broadcast; Benford's 9-digit table x 1-row total
+    "analytics_welch_pairwise",
+    "validate_benford_prices",
 }
 
 # Queries whose plan contains an UNPARTITIONED WindowExec (global
@@ -377,6 +381,11 @@ ARROW_ALLOWED = {
     # runs the same Arrow kernel (assign_cells_arrow)
     "ann_graph_beam_topk",
     "ann_recall_beam_vs_exact",
+    # r10: the stalest-first rotation reordered the audit sweep, so the
+    # gated-maxsim query (not just its recall eval, declared above) now
+    # records its shared index build's stages itself — the same
+    # declared cell-assign Arrow kernel
+    "ann_chunk_maxsim_ivf_topk",
 }
 
 

@@ -3218,12 +3218,24 @@ def graph_knn_edges(
     from one cheap ``count()`` via :func:`graph_auto_n_clusters`
     (r9 verdict #2 — the fixture K=16 default was a quadratic-at-scale
     trap for anyone building at 100x); passing either pins the historical
-    behavior, which is what the registry's shared fixture model does."""
+    behavior, which is what the registry's shared fixture model does.
+
+    Past :data:`HIER_K_THRESHOLD` auto-sized cells the FLAT assign is
+    itself the quadratic stage (n·K = n²/200 dots), so the auto path
+    switches to the two-level quantizer (:func:`hier_fit_model` +
+    :func:`assign_cells_two_level`, n·2√K dots) — the r10 close of the
+    r9 "sampled/hierarchical coarse quantizer — documented, not
+    implemented" residual."""
     base = emb.select("vec_id", _vec_double().alias("v"))
     if model is None:
         if n_clusters is None:
             n_clusters = graph_auto_n_clusters(base.count())
-        model = kmeans_fit_model(emb, n_clusters, iters)
+        if n_clusters > HIER_K_THRESHOLD and assigned is None:
+            m1, m2 = hier_fit_model(emb, n_clusters, iters)
+            model = hier_flat_model(m2)
+            assigned = assign_cells_two_level(base, m1, m2, keep_vec=True)
+        else:
+            model = kmeans_fit_model(emb, n_clusters, iters)
     if assigned is None:
         assigned = assign_cells_arrow(base, model, keep_vec=True)
     left = assigned.select(
@@ -3299,7 +3311,13 @@ def graph_beam_topk(
     if model is None:
         if n_clusters is None:
             n_clusters = graph_auto_n_clusters(base.count())
-        model = kmeans_fit_model(emb, n_clusters, iters)
+        if n_clusters > HIER_K_THRESHOLD and assigned is None:
+            # large-K auto path: two-level fit/assign (see graph_knn_edges)
+            m1, m2 = hier_fit_model(emb, n_clusters, iters)
+            model = hier_flat_model(m2)
+            assigned = assign_cells_two_level(base, m1, m2, keep_vec=True)
+        else:
+            model = kmeans_fit_model(emb, n_clusters, iters)
     if assigned is None:
         assigned = assign_cells_arrow(base, model, keep_vec=True)
     if edges is None:
@@ -3505,4 +3523,329 @@ def graph_beam_recall_eval_sql(
         LEFT JOIN ({approx}) a
           ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
         GROUP BY e.query_id
+    """
+
+# --------------------------------- hierarchical (two-level) coarse quantizer
+# The auto-sized flat quantizer (graph_auto_n_clusters: K = n / 200) keeps
+# the EDGE-BUILD pair stage linear, but its own assign stage is n·K dot
+# products = n²/200 — the r9/r10 honest residual ("a real deployment
+# switches to a sampled/hierarchical coarse quantizer — documented, not
+# implemented").  This section implements it: the classic IMI / faiss
+# train-on-sample design (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", IEEE TPAMI 2011 §IV; Babenko & Lempitsky, "The Inverted
+# Multi-Index", CVPR 2012), re-expressed Spark-first:
+#
+#   fit:    ONE bounded deterministic sample (vec_id stride) is collected to
+#           the driver (≤ HIER_SAMPLE_ROWS × dim doubles — model-scale, the
+#           same O(sample) state faiss's train() holds in RAM); level-1 =
+#           √K super-centroids fit on the sample; level-2 = per-super-cell
+#           sub-fits whose cell counts are proportional to the cell's sample
+#           share (ΣK2_j ≈ K).  No corpus-sized shuffle anywhere in the fit.
+#   assign: one narrow Arrow map — per batch argmax over the K1 supers, then
+#           argmax over ONLY the winning super's sub-centroids: n·(K1 +
+#           avg K2) ≈ 2·n·√K dots instead of n·K.  With the auto rule
+#           K = n/200 that turns the assign from O(n²) into O(n^1.5): at
+#           10M vectors, ~450 dots/vector instead of 50,000.
+#
+# The trade is the standard IVF-tree one: a vector near a super-cell
+# boundary may land in a slightly different cell than the flat argmax would
+# give.  For the NSW edge build (cells are only candidate buckets) that
+# shifts a few candidate edges, not correctness of the search contract —
+# and the measured-recall evals stay the gate.  The registry exercises the
+# PRODUCTION kernel at fixture scale via two_level_seed_assign (seed
+# centroids, fully SQL-expressible), so the kernel's numerics are
+# oracle-pinned even though the large-K fit path itself is driver state.
+HIER_K_THRESHOLD = 4096  # flat assign up to here (n ≈ 800k at auto sizing)
+HIER_SAMPLE_ROWS = 20_000
+HIER_ID_STRIDE = 1 << 20  # global sub-cell id = super_id·STRIDE + local idx
+
+
+def _np_half_up6(x: "np.ndarray") -> "np.ndarray":
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
+def _np_argmax_cosine(
+    X: "np.ndarray", nv: "np.ndarray", cents: list[tuple[int, "np.ndarray"]]
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """Shared argmax-cosine inner loop for the two-level Arrow kernel:
+    identical operation order to :func:`assign_cells_arrow` (sequential
+    across dims, half-up 6dp, strict ``>`` so ties keep the LOWEST id in
+    the sorted ``cents`` list) — the established oracle-parity math."""
+    best_s = None
+    best_c = None
+    for cid, cv in cents:
+        ncv = 0.0
+        for x in cv:
+            ncv = ncv + x * x
+        ncv = float(np.sqrt(ncv))
+        dot = np.zeros(len(X))
+        for i in range(X.shape[1]):
+            dot = dot + X[:, i] * cv[i]
+        csim = _np_half_up6(dot / (nv * ncv))
+        if best_s is None:
+            best_s = csim
+            best_c = np.full(len(X), cid, dtype=np.int64)
+        else:
+            m = csim > best_s
+            best_s = np.where(m, csim, best_s)
+            best_c = np.where(m, np.int64(cid), best_c)
+    return best_c, best_s
+
+
+def _np_lloyd(
+    X: "np.ndarray", k: int, iters: int
+) -> list[tuple[int, list[float]]]:
+    """Driver-side spherical Lloyd over an in-memory (vec_id-sorted)
+    sample — the faiss train() analogue.  Deterministic: init = the first
+    ``k`` rows, assignment ties keep the lowest centroid id, per-dim means
+    go through the exact-integer mean6 contract (scaled int64 sums +
+    half-away-from-zero — same formula as the distributed fit), empty
+    clusters drop.  Model state is O(k·dim); the sample is already bounded
+    by the caller."""
+    k = min(int(k), len(X))
+    cents = [(j, X[j].astype(np.float64).copy()) for j in range(k)]
+    nv = np.sqrt(np.einsum("ij,ij->i", X, X))
+    for _ in range(int(iters)):
+        C = np.vstack([cv for _, cv in cents])
+        sims = (X @ C.T) / (
+            np.maximum(nv, 1e-300)[:, None]
+            * np.maximum(np.sqrt(np.einsum("ij,ij->i", C, C)), 1e-300)[None, :]
+        )
+        sims = _np_half_up6(sims)
+        # argmax returns the FIRST maximal index = lowest centroid id
+        best = np.argmax(sims, axis=1)
+        nxt = []
+        scaled = np.floor(X * 1e12 + 0.5).astype(np.int64)
+        for j, (cid, _) in enumerate(cents):
+            idx = np.where(best == j)[0]
+            if not len(idx):
+                continue  # empty cluster drops (GROUP BY semantics)
+            s = scaled[idx].sum(axis=0, dtype=np.int64)
+            nxt.append(
+                (cid, np.array([_mean6(int(v), len(idx)) for v in s]))
+            )
+        cents = nxt
+    return [(int(cid), [float(x) for x in cv]) for cid, cv in cents]
+
+
+def hier_fit_model(
+    emb: DataFrame,
+    n_clusters: int,
+    iters: int = KMEANS_ITERS,
+    sample_rows: int = HIER_SAMPLE_ROWS,
+    n_vectors: int | None = None,
+) -> tuple[list[tuple[int, list[float]]], dict[int, list[tuple[int, list[float]]]]]:
+    """Fit the two-level quantizer on a bounded deterministic sample.
+
+    Returns ``(model1, model2)``: ``model1`` = [(super_id, centroid)],
+    ``model2`` = {super_id: [(global cent_id, centroid), ...]} with
+    ``cent_id = super_id·HIER_ID_STRIDE + local index``; ΣK2_j ≈
+    ``n_clusters`` with each super's share proportional to its sample
+    mass (so dense regions get more sub-cells — the IMI imbalance fix).
+    Supers that capture no sample vectors drop from both levels."""
+    base = emb.select("vec_id", _vec_double().alias("v"))
+    n = int(n_vectors) if n_vectors is not None else base.count()
+    stride = max(1, n // max(1, int(sample_rows)))
+    rows = base.filter(F.col("vec_id") % stride == 0).collect()
+    rows.sort(key=lambda r: int(r["vec_id"]))
+    X = np.array([[float(x) for x in r["v"]] for r in rows], dtype=np.float64)
+    if not len(X):
+        raise ValueError("hier_fit_model: empty sample")
+    K = max(1, int(n_clusters))
+    K1 = max(1, math.isqrt(max(0, K - 1)) + 1)  # ceil(sqrt(K))
+    model1 = _np_lloyd(X, K1, iters)
+    nv = np.sqrt(np.einsum("ij,ij->i", X, X))
+    sup, _ = _np_argmax_cosine(
+        X, nv, [(cid, np.asarray(cv)) for cid, cv in model1]
+    )
+    model2: dict[int, list[tuple[int, list[float]]]] = {}
+    for sid, _cv in model1:
+        idx = np.where(sup == sid)[0]
+        if not len(idx):
+            continue
+        k2 = max(1, round(K * len(idx) / len(X)))
+        sub = _np_lloyd(X[idx], k2, iters)
+        model2[sid] = [
+            (sid * HIER_ID_STRIDE + local, cv) for local, cv in sub
+        ]
+    model1 = [(sid, cv) for sid, cv in model1 if sid in model2]
+    return model1, model2
+
+
+def hier_flat_model(
+    model2: dict[int, list[tuple[int, list[float]]]]
+) -> list[tuple[int, list[float]]]:
+    """Flatten level-2 into the flat [(cent_id, cv)] shape the probe-side
+    consumers (query→cell cross joins — query-scale, never corpus-scale)
+    already take."""
+    return sorted(
+        (cid, cv) for subs in model2.values() for cid, cv in subs
+    )
+
+
+def assign_cells_two_level(
+    base: DataFrame,
+    model1: list[tuple[int, list[float]]],
+    model2: dict[int, list[tuple[int, list[float]]]],
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Production two-level assignment: one narrow Arrow map, zero
+    shuffles.  Per batch: argmax over the K1 supers, then argmax over
+    ONLY the winning super's sub-centroids — n·(K1 + avg K2) dots.
+    Same numerics as :func:`assign_cells_arrow` (sequential dims, half-up
+    6dp, strict ``>`` ties→lowest id), so the seed-model registry twin is
+    oracle-exact.  Output: (vec_id[, v], super_id, cent_id, csim) where
+    ``csim`` is the level-2 cosine."""
+    if not model1 or not model2:
+        out = (
+            base.withColumn("super_id", F.lit(None).cast("bigint"))
+            .withColumn("cent_id", F.lit(None).cast("bigint"))
+            .withColumn("csim", F.lit(None).cast("double"))
+            .filter(F.lit(False))
+        )
+        cols = (["vec_id", "v"] if keep_vec else ["vec_id"]) + [
+            "super_id", "cent_id", "csim"
+        ]
+        return out.select(*cols)
+    supers = [
+        (cid, np.asarray(cv, dtype=np.float64))
+        for cid, cv in sorted(model1)
+        if cid in model2
+    ]
+    subs = {
+        sid: [
+            (cid, np.asarray(cv, dtype=np.float64))
+            for cid, cv in sorted(cells)
+        ]
+        for sid, cells in model2.items()
+    }
+
+    def assign(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["v"].to_numpy())
+            nv = np.zeros(len(X))
+            for i in range(X.shape[1]):
+                nv = nv + X[:, i] * X[:, i]
+            nv = np.sqrt(nv)
+            sup, _ = _np_argmax_cosine(X, nv, supers)
+            cent = np.empty(len(X), dtype=np.int64)
+            csim = np.empty(len(X), dtype=np.float64)
+            for sid in np.unique(sup):
+                idx = np.where(sup == sid)[0]
+                bc, bs = _np_argmax_cosine(X[idx], nv[idx], subs[int(sid)])
+                cent[idx] = bc
+                csim[idx] = bs
+            out = {"vec_id": pdf["vec_id"]}
+            if keep_vec:
+                out["v"] = pdf["v"]
+            out["super_id"] = sup
+            out["cent_id"] = cent
+            out["csim"] = csim
+            yield pd.DataFrame(out)
+
+    schema = (
+        "vec_id long, v array<double>, super_id long, cent_id long, "
+        "csim double"
+        if keep_vec
+        else "vec_id long, super_id long, cent_id long, csim double"
+    )
+    return base.select("vec_id", "v").mapInPandas(assign, schema=schema)
+
+
+def two_level_seed_assign(
+    emb: DataFrame, k1: int = 4, k2: int = 4
+) -> DataFrame:
+    """Registry face of the hierarchical quantizer — seed centroids so
+    the whole construction is SQL-expressible and the PRODUCTION kernel
+    (:func:`assign_cells_two_level`) is oracle-pinned end to end.
+
+    Level-1 centroids = the first ``k1`` vectors; level-2 sub-centroids
+    of a super-cell = its first ``k2`` members by vec_id (cent_id = the
+    seed's own vec_id, a natural globally-unique id).  Every vector is
+    then two-level-assigned, and the output is the scalar per-sub-cell
+    summary (super_id, cent_id, size, mean_sim) — the
+    :func:`kmeans_clusters` hashable-face discipline.
+
+    Plan shape: two narrow Arrow maps over the corpus + two bounded
+    collects (k1 rows; ≤ k1·k2 seed rows) + one map-side-combined
+    aggregate.  Zero corpus-sized shuffles, zero windows over the corpus
+    (the seed-election window partitions by super-cell)."""
+    base = emb.select("vec_id", _vec_double().alias("v"))
+    model1 = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]])
+        for r in base.filter(F.col("vec_id") < int(k1)).collect()
+    ]
+    a1 = assign_cells_arrow(base, model1)
+    w = Window.partitionBy("cent_id").orderBy("vec_id")
+    seed_ids = (
+        a1.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k2))
+        .select(F.col("cent_id").alias("super_id"), "vec_id")
+    )
+    seeds = seed_ids.join(base, "vec_id").collect()  # ≤ k1·k2 rows
+    model2: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in sorted(seeds, key=lambda r: (int(r["super_id"]), int(r["vec_id"]))):
+        model2.setdefault(int(r["super_id"]), []).append(
+            (int(r["vec_id"]), [float(x) for x in r["v"]])
+        )
+    assigned = assign_cells_two_level(base, model1, model2)
+    return (
+        assigned.groupBy("super_id", "cent_id")
+        .agg(
+            F.count("*").alias("size"),
+            F.round(F.avg("csim"), 6).alias("mean_sim"),
+        )
+    )
+
+
+def two_level_seed_assign_sql(
+    k1: int = 4, k2: int = 4, src: str = "embeddings"
+) -> str:
+    """DuckDB twin of :func:`two_level_seed_assign`: level-1 argmax over
+    the first-k1 seed vectors, per-super seed election by vec_id, then
+    the level-2 argmax restricted to the winner's seeds."""
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src}
+        ),
+        c1 AS (SELECT vec_id AS super_id, v AS cv FROM e
+               WHERE vec_id < {int(k1)}),
+        a1 AS (
+          SELECT vec_id, super_id FROM (
+            SELECT e.vec_id, c1.super_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(e.v, c1.cv), 6)
+                                DESC,
+                              c1.super_id ASC) AS rn
+            FROM e CROSS JOIN c1
+          ) x WHERE rn = 1
+        ),
+        sc AS (
+          SELECT super_id, cent_id, v AS cv FROM (
+            SELECT a1.super_id, a1.vec_id AS cent_id, e.v,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY a1.super_id ORDER BY a1.vec_id) AS rn
+            FROM a1 JOIN e ON e.vec_id = a1.vec_id
+          ) y WHERE rn <= {int(k2)}
+        ),
+        a2 AS (
+          SELECT vec_id, super_id, cent_id, csim FROM (
+            SELECT a1.vec_id, sc.super_id, sc.cent_id,
+                   ROUND(list_cosine_similarity(e.v, sc.cv), 6) AS csim,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY a1.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(e.v, sc.cv), 6)
+                                DESC,
+                              sc.cent_id ASC) AS rn
+            FROM a1
+            JOIN e ON e.vec_id = a1.vec_id
+            JOIN sc ON sc.super_id = a1.super_id
+          ) z WHERE rn = 1
+        )
+        SELECT super_id, cent_id, COUNT(*) AS size,
+               ROUND(AVG(csim), 6) AS mean_sim
+        FROM a2 GROUP BY super_id, cent_id
     """

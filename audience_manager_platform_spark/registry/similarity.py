@@ -280,6 +280,12 @@ QUERIES = {
         _emb(s, d), iters=1, model=_kmeans_model(s, d),
         assigned=_kmeans_assigned(s, d),
     ),
+    # r10 (wave 50): the hierarchical coarse quantizer's production
+    # two-level Arrow assign kernel, oracle-pinned with seed centroids
+    # (the large-K auto fit path is driver state; see hier_fit_model)
+    "ann_two_level_assign": lambda s, d: S.two_level_seed_assign(
+        _emb(s, d), k1=4, k2=4
+    ),
     # r6 queue: Davies-Bouldin audit of the shared coarse quantizer
     "kmeans_cluster_quality": lambda s, d: S.kmeans_quality(
         _emb(s, d), iters=1, model=_kmeans_model(s, d),
@@ -401,6 +407,7 @@ ORACLES = {
         threshold=0.9, src=S.near_dup_src_sql()
     ),
     "kmeans_embedding_clusters": S.kmeans_clusters_sql(iters=1),
+    "ann_two_level_assign": S.two_level_seed_assign_sql(k1=4, k2=4),
     "kmeans_cluster_quality": S.kmeans_quality_sql(iters=1),
     "ann_hard_negatives": S.hard_negatives_sql(
         _QUERY_IDS, k=5, pos_threshold=0.9, src=S.near_dup_src_sql()

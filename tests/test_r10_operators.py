@@ -444,3 +444,116 @@ def test_welch_pairwise_matches_pure_python_reference(spark):
         assert r["n_a"] == n1 and r["n_b"] == n2
         assert abs(r["t_stat"] - want_t) < 1e-6, (r, want_t)
         assert abs(r["welch_dof"] - want_dof) < 1e-6
+
+
+# ------------------------- hierarchical (two-level) coarse quantizer
+# r10: the r9 "sampled/hierarchical coarse quantizer — documented, not
+# implemented" residual. The fit is driver state over a bounded sample;
+# the assign is the production Arrow kernel. Quality is gated against
+# the flat assign, structure against the id contract.
+
+def _load_emb(spark, sf_dir):
+    from audience_manager_platform_spark.sources import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_hier_fit_model_structure_and_determinism(spark, sf_dir):
+    from audience_manager_platform_spark.operators import similarity as S
+
+    emb = _load_emb(spark, sf_dir)
+    m1a, m2a = S.hier_fit_model(emb, n_clusters=32, iters=1)
+    m1b, m2b = S.hier_fit_model(emb, n_clusters=32, iters=1)
+    assert m1a == m1b and m2a == m2b, "fit must be deterministic"
+    assert set(m2a) == {sid for sid, _ in m1a}
+    flat = S.hier_flat_model(m2a)
+    ids = [cid for cid, _ in flat]
+    assert len(ids) == len(set(ids)), "global cent_ids must be unique"
+    # id contract: cent_id encodes its super
+    for sid, subs in m2a.items():
+        for cid, _ in subs:
+            assert cid // S.HIER_ID_STRIDE == sid
+    # sub-cell budget lands near K (proportional rounding, >= 1 per super)
+    assert len(m1a) <= 32
+    assert 32 * 0.5 <= len(flat) <= 32 * 1.5 + len(m1a)
+
+
+def test_two_level_assign_total_and_consistent(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from audience_manager_platform_spark.operators import similarity as S
+
+    emb = _load_emb(spark, sf_dir)
+    base = emb.select("vec_id", S._vec_double().alias("v"))
+    m1, m2 = S.hier_fit_model(emb, n_clusters=25, iters=1)
+    got = S.assign_cells_two_level(base, m1, m2)
+    n = base.count()
+    assert got.count() == n, "every vector must be assigned"
+    # cent_id always belongs to the chosen super's sub-list
+    bad = got.filter(
+        (F.col("cent_id") / S.HIER_ID_STRIDE).cast("long")
+        != F.col("super_id")
+    ).count()
+    assert bad == 0
+    # deterministic across runs
+    again = S.assign_cells_two_level(base, m1, m2)
+    assert got.exceptAll(again).count() == 0
+    assert again.exceptAll(got).count() == 0
+
+
+def test_two_level_assign_quality_close_to_flat(spark, sf_dir):
+    """The hierarchy trades boundary-exactness for n·2√K cost; on the
+    fixture the mean level-2 cosine must stay within 5% of the flat
+    argmax over the SAME flattened centroids (it equals flat wherever
+    the level-1 winner owns the true best sub-cell)."""
+    from pyspark.sql import functions as F
+
+    from audience_manager_platform_spark.operators import similarity as S
+
+    emb = _load_emb(spark, sf_dir)
+    base = emb.select("vec_id", S._vec_double().alias("v"))
+    m1, m2 = S.hier_fit_model(emb, n_clusters=25, iters=1)
+    flat_model = S.hier_flat_model(m2)
+    two = S.assign_cells_two_level(base, m1, m2)
+    flat = S.assign_cells_arrow(base, flat_model)
+    mean_two = two.agg(F.avg("csim")).collect()[0][0]
+    mean_flat = flat.agg(F.avg("csim")).collect()[0][0]
+    assert mean_flat >= mean_two - 1e-12, "flat argmax is the upper bound"
+    assert mean_two >= 0.95 * mean_flat, (mean_two, mean_flat)
+
+
+def test_two_level_seed_assign_partitions_corpus(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from audience_manager_platform_spark.operators import similarity as S
+
+    emb = _load_emb(spark, sf_dir)
+    out = S.two_level_seed_assign(emb, k1=4, k2=4).collect()
+    assert sum(r["size"] for r in out) == emb.count()
+    assert len({r["cent_id"] for r in out}) == len(out)
+    # seed sub-centroids are real vectors: each super has <= k2 of them
+    per_super = {}
+    for r in out:
+        per_super.setdefault(r["super_id"], 0)
+        per_super[r["super_id"]] += 1
+    assert all(v <= 4 for v in per_super.values())
+    assert set(per_super) <= {0, 1, 2, 3}
+
+
+def test_graph_knn_edges_hier_auto_path(spark, sf_dir, monkeypatch):
+    """Force the auto path over the hierarchy threshold: edges must come
+    back symmetric and nonempty, proving the two-level assigned table
+    feeds the same downstream build."""
+    from pyspark.sql import functions as F
+
+    from audience_manager_platform_spark.operators import similarity as S
+
+    emb = _load_emb(spark, sf_dir).limit(300)
+    monkeypatch.setattr(S, "HIER_K_THRESHOLD", 4)
+    edges = S.graph_knn_edges(emb, m=3, n_clusters=9)
+    rows = edges.count()
+    assert rows > 0
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    assert edges.exceptAll(rev).count() == 0, "graph must be symmetric"

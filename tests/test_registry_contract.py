@@ -131,4 +131,12 @@ def test_new_names_lead_the_rotation():
         raw.update(mod.QUERIES)
     raw["zz_brand_new_query"] = lambda spark, sf: None
     rotated = list(registry._rotate(raw))
-    assert rotated[0] == "zz_brand_new_query"
+    fake_at = rotated.index("zz_brand_new_query")
+    credited_at = [
+        i for i, n in enumerate(rotated) if n in registry._DRIVER_CREDITED
+    ]
+    assert not credited_at or fake_at < min(credited_at)
+    # and everything ahead of it is likewise uncredited (a real new wave)
+    assert all(
+        n not in registry._DRIVER_CREDITED for n in rotated[:fake_at]
+    )

@@ -333,6 +333,8 @@ ARROW_ALLOWED = {
     "dedup_embedding_near_dup",
     "ann_ivf_topk",
     "kmeans_embedding_clusters",
+    # two narrow assignment kernels (level-1 flat + level-2 two-level)
+    "ann_two_level_assign",
     "kmeans_cluster_quality",
     "ann_ivf_kmeans_topk",
     "ann_ivfpq_adc_topk",

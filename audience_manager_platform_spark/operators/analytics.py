@@ -4424,3 +4424,406 @@ def welch_pairwise_arms_sql(
         FROM st x JOIN st y ON x.arm < y.arm
         ORDER BY arm_a, arm_b
     """
+
+
+# ------------------------------------------------ stratified / IPW ATE
+def stratified_ate(
+    events: DataFrame, salt: str = "obs-v1"
+) -> DataFrame:
+    """Stratified (subclassification) average-treatment-effect estimate
+    under a CONFOUNDED treatment assignment (Cochran 1968; equivalently
+    inverse-propensity weighting with the propensity estimated per
+    stratum — within a stratum the two are algebraically identical, so
+    this is the exact-arithmetic face of IPW; reference analogue: none,
+    extension surface).
+
+    The observational treatment is synthesized deterministically: the
+    treated share RISES with the user's pre-period spend band (30% in
+    band 0 up to 60% in band 3 via the shared portable hash), so the
+    naive treated-vs-control difference is confounded by exactly the
+    covariate the bands stratify on — the estimator's per-band
+    differences remove it.  Output per band: n, treated count, the
+    estimated propensity e_hat, and EXACT-integer micro-cent treated /
+    control means and their difference (NULL when a band has no treated
+    or no control users).
+
+    Scale shape: one combinable per-user reduce (pre/post split at the
+    date midpoint — the leak-free qini/CUPED discipline), then a
+    |bands|-row aggregate.  Nothing data-sized is joined, windowed, or
+    summed in doubles (means come from bigint sums via exact ``div``)."""
+    from ..functions import stable_long_hash
+
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    base = events.filter(F.col("user_id").isNotNull()).select(
+        "user_id",
+        F.coalesce(cents, F.lit(0)).alias("cents"),
+        F.to_date("ts").alias("d"),
+    )
+    bounds = base.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.expr("date_add(lo, CAST(datediff(hi, lo) div 2 AS INT))").alias(
+            "mid"
+        )
+    )
+    per_user = (
+        base.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("CASE WHEN d <= mid THEN cents ELSE 0 END")).alias(
+                "pre"
+            ),
+            F.sum(F.expr("CASE WHEN d > mid THEN cents ELSE 0 END")).alias(
+                "y"
+            ),
+        )
+        .select(
+            "y",
+            F.expr(
+                "CASE WHEN pre = 0 THEN 0 WHEN pre < 10000 THEN 1 "
+                "WHEN pre < 30000 THEN 2 ELSE 3 END"
+            ).alias("band"),
+            (
+                stable_long_hash(F.col("user_id").cast("string"), salt=salt)
+                % 100
+            ).alias("h"),
+        )
+        .select(
+            "band",
+            "y",
+            F.expr("CASE WHEN h < 30 + 10 * band THEN 1 ELSE 0 END").alias(
+                "t"
+            ),
+        )
+    )
+    g = per_user.groupBy("band").agg(
+        F.count("*").alias("n"),
+        F.sum("t").alias("n_treat"),
+        F.sum(F.expr("CASE WHEN t = 1 THEN y ELSE 0 END")).alias("s_t"),
+        F.sum(F.expr("CASE WHEN t = 0 THEN y ELSE 0 END")).alias("s_c"),
+    )
+    mean_t = F.expr(
+        "CASE WHEN n_treat > 0 THEN CAST(s_t * 1000000 div n_treat AS BIGINT)"
+        " END"
+    )
+    mean_c = F.expr(
+        "CASE WHEN n - n_treat > 0 THEN "
+        "CAST(s_c * 1000000 div (n - n_treat) AS BIGINT) END"
+    )
+    return g.select(
+        F.col("band").cast("long").alias("band"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_treat").cast("long").alias("n_treat"),
+        F.round(F.col("n_treat") / F.col("n"), 6).alias("e_hat"),
+        mean_t.alias("mean_t_micro"),
+        mean_c.alias("mean_c_micro"),
+        (mean_t - mean_c).alias("ate_micro"),
+    ).orderBy("band")
+
+
+def stratified_ate_sql(src: str = "events", salt: str = "obs-v1") -> str:
+    from ..functions import HASH60_DUCK_SQL
+
+    h = HASH60_DUCK_SQL.format(x=f"'{salt}' || CAST(user_id AS VARCHAR)")
+    return f"""
+        WITH base AS (
+          SELECT user_id,
+                 COALESCE(CAST(floor(value * 100 + 0.5) AS BIGINT), 0)
+                   AS cents,
+                 CAST(ts AS DATE) AS d
+          FROM {src} WHERE user_id IS NOT NULL
+        ),
+        bounds AS (
+          SELECT MIN(d) + CAST((MAX(d) - MIN(d)) // 2 AS INTEGER) AS mid
+          FROM base
+        ),
+        pu AS (
+          SELECT user_id,
+                 SUM(CASE WHEN d <= (SELECT mid FROM bounds)
+                     THEN cents ELSE 0 END) AS pre,
+                 SUM(CASE WHEN d > (SELECT mid FROM bounds)
+                     THEN cents ELSE 0 END) AS y
+          FROM base GROUP BY user_id
+        ),
+        tagged AS (
+          SELECT y,
+                 CASE WHEN pre = 0 THEN 0 WHEN pre < 10000 THEN 1
+                      WHEN pre < 30000 THEN 2 ELSE 3 END AS band,
+                 CASE WHEN ({h}) % 100 <
+                      30 + 10 * (CASE WHEN pre = 0 THEN 0
+                                      WHEN pre < 10000 THEN 1
+                                      WHEN pre < 30000 THEN 2
+                                      ELSE 3 END)
+                      THEN 1 ELSE 0 END AS t
+          FROM pu
+        ),
+        g AS (
+          SELECT band, COUNT(*) AS n, SUM(t) AS n_treat,
+                 SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS s_t,
+                 SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS s_c
+          FROM tagged GROUP BY band
+        )
+        SELECT CAST(band AS BIGINT) AS band,
+               CAST(n AS BIGINT) AS n,
+               CAST(n_treat AS BIGINT) AS n_treat,
+               ROUND(CAST(n_treat AS DOUBLE) / n, 6) AS e_hat,
+               CASE WHEN n_treat > 0
+                 THEN CAST(s_t * 1000000 // n_treat AS BIGINT) END
+                 AS mean_t_micro,
+               CASE WHEN n - n_treat > 0
+                 THEN CAST(s_c * 1000000 // (n - n_treat) AS BIGINT) END
+                 AS mean_c_micro,
+               (CASE WHEN n_treat > 0
+                 THEN CAST(s_t * 1000000 // n_treat AS BIGINT) END)
+               - (CASE WHEN n - n_treat > 0
+                 THEN CAST(s_c * 1000000 // (n - n_treat) AS BIGINT) END)
+                 AS ate_micro
+        FROM g ORDER BY band
+    """
+
+
+# --------------------------------------------- MDE / power analysis
+MDE_Z_ALPHA = 1.959964  # two-sided alpha = 0.05
+MDE_Z_POWER = 0.841621  # power = 0.80
+
+
+def mde_power_arms(
+    events: DataFrame, k_arms: int = 4, salt: str = "ab-v1"
+) -> DataFrame:
+    """Minimum detectable effect per arm pair at alpha=0.05 / power=0.80
+    — the experiment-DESIGN readout every A/B platform serves next to
+    its results (fixed-sample normal approximation, mde = (z_a + z_b) ·
+    sqrt(v_i/n_i + v_j/n_j); the z constants are literals so both
+    engines compute the identical expression; reference analogue: none,
+    extension surface).
+
+    Reuses the Welch arm reduce (exact bigint Σy / DECIMAL Σy²);
+    everything after the per-user reduce is |arms|²-row model-scale.
+    ``mde_rel_pct`` scales by the LOWER arm's mean (NULL-guarded)."""
+    from ..functions import stable_long_hash
+    from .partitioning import materialize
+
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    base = events.filter(F.col("user_id").isNotNull()).select(
+        "user_id",
+        F.coalesce(cents, F.lit(0)).alias("cents"),
+        F.to_date("ts").alias("d"),
+    )
+    bounds = base.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.expr("date_add(lo, CAST(datediff(hi, lo) div 2 AS INT))").alias(
+            "mid"
+        )
+    )
+    per_user = base.crossJoin(F.broadcast(bounds)).groupBy("user_id").agg(
+        F.sum(F.expr("CASE WHEN d > mid THEN cents ELSE 0 END")).alias("y")
+    ).select(
+        (
+            stable_long_hash(F.col("user_id").cast("string"), salt=salt)
+            % k_arms
+        ).alias("arm"),
+        "y",
+    )
+    arm = materialize(
+        per_user.groupBy("arm").agg(
+            F.count("*").alias("n_a"),
+            F.sum("y").alias("s_a"),
+            F.sum(
+                F.expr("CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))")
+            ).alias("q_a"),
+        )
+    )
+
+    def _stats(side: str):
+        n = F.col(f"{side}.n_a").cast("double")
+        s = F.col(f"{side}.s_a").cast("double")
+        q = F.col(f"{side}.q_a").cast("double")
+        return n, s / n, F.when(n > 1, (q - s * s / n) / (n - 1))
+
+    x, y = arm.alias("x"), arm.alias("y")
+    pairs = x.join(y, F.col("x.arm") < F.col("y.arm"))
+    n1, m1, v1 = _stats("x")
+    n2, m2, v2 = _stats("y")
+    se2 = v1 / n1 + v2 / n2
+    se = F.when(se2 > 0, F.sqrt(se2))
+    mde = se * F.lit(MDE_Z_ALPHA + MDE_Z_POWER)
+    base_mean = F.least(m1, m2)
+    return pairs.select(
+        F.col("x.arm").cast("long").alias("arm_a"),
+        F.col("y.arm").cast("long").alias("arm_b"),
+        F.col("x.n_a").cast("long").alias("n_a"),
+        F.col("y.n_a").cast("long").alias("n_b"),
+        F.round(se, 6).alias("se_cents"),
+        F.round(mde, 6).alias("mde_cents"),
+        F.when(
+            base_mean > 0, F.round(mde * 100.0 / base_mean, 6)
+        ).alias("mde_rel_pct"),
+    ).orderBy("arm_a", "arm_b")
+
+
+def mde_power_arms_sql(
+    src: str = "events", k_arms: int = 4, salt: str = "ab-v1"
+) -> str:
+    from ..functions import HASH60_DUCK_SQL
+
+    h = HASH60_DUCK_SQL.format(x=f"'{salt}' || CAST(user_id AS VARCHAR)")
+    zsum = MDE_Z_ALPHA + MDE_Z_POWER
+    return f"""
+        WITH base AS (
+          SELECT user_id,
+                 COALESCE(CAST(floor(value * 100 + 0.5) AS BIGINT), 0)
+                   AS cents,
+                 CAST(ts AS DATE) AS d
+          FROM {src} WHERE user_id IS NOT NULL
+        ),
+        bounds AS (
+          SELECT MIN(d) + CAST((MAX(d) - MIN(d)) // 2 AS INTEGER) AS mid
+          FROM base
+        ),
+        per_user AS (
+          SELECT ({h}) % {int(k_arms)} AS arm,
+                 CAST(SUM(CASE WHEN d > (SELECT mid FROM bounds)
+                          THEN cents ELSE 0 END) AS BIGINT) AS y
+          FROM base GROUP BY user_id
+        ),
+        arm AS (
+          SELECT arm, COUNT(*) AS n_a, SUM(y) AS s_a,
+                 SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS q_a
+          FROM per_user GROUP BY arm
+        ),
+        st AS (
+          SELECT arm, n_a,
+                 CAST(n_a AS DOUBLE) AS nd,
+                 CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS m,
+                 CASE WHEN n_a > 1 THEN
+                   (CAST(q_a AS DOUBLE)
+                    - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+                      / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1)
+                 END AS v
+          FROM arm
+        )
+        SELECT CAST(x.arm AS BIGINT) AS arm_a,
+               CAST(y.arm AS BIGINT) AS arm_b,
+               CAST(x.n_a AS BIGINT) AS n_a,
+               CAST(y.n_a AS BIGINT) AS n_b,
+               CASE WHEN (x.v / x.nd + y.v / y.nd) > 0 THEN
+                 ROUND(sqrt(x.v / x.nd + y.v / y.nd), 6) END AS se_cents,
+               CASE WHEN (x.v / x.nd + y.v / y.nd) > 0 THEN
+                 ROUND(sqrt(x.v / x.nd + y.v / y.nd) * {zsum!r}, 6) END
+                 AS mde_cents,
+               CASE WHEN (x.v / x.nd + y.v / y.nd) > 0
+                     AND LEAST(x.m, y.m) > 0 THEN
+                 ROUND(sqrt(x.v / x.nd + y.v / y.nd) * {zsum!r} * 100.0
+                       / LEAST(x.m, y.m), 6) END AS mde_rel_pct
+        FROM st x JOIN st y ON x.arm < y.arm
+        ORDER BY arm_a, arm_b
+    """
+
+
+# ------------------------------------- multiple testing: BH step-up FDR
+# Two-sided normal p from |t| via Abramowitz & Stegun 26.2.17 (|error|
+# < 7.5e-8, far inside the 6dp rounding); ONE shared expression string
+# evaluated verbatim by both engines (the BM25/Zipf cross-engine
+# exp/ln discipline), over columns z = |t| and tt = 1/(1+0.2316419 z).
+_NORM_P_EXPR = (
+    "2 * exp(-(z * z) / 2) * 0.3989422804014327 * "
+    "(tt * (0.31938153 + tt * (-0.356563782 + tt * (1.781477937 + "
+    "tt * (-1.821255978 + tt * 1.330274429)))))"
+)
+
+
+def welch_bh_fdr(
+    events: DataFrame,
+    k_arms: int = 4,
+    salt: str = "ab-v1",
+    q_fdr: float = 0.10,
+) -> DataFrame:
+    """Benjamini–Hochberg step-up over the pairwise Welch tests
+    (Benjamini & Hochberg 1995): rank the |arms|²/2 two-sided p-values
+    ascending, find the LARGEST rank i with p_i <= i·q/m, reject every
+    pair at or below it — the multiple-testing control an A/B platform
+    must apply before reading :func:`welch_pairwise_arms` pair-by-pair
+    (reference analogue: none, extension surface).
+
+    p-values use the normal approximation (per-arm n is thousands, so
+    Welch dof >> 30; the A&S 26.2.17 polynomial keeps both engines on
+    one literal expression).  Degenerate pairs (NULL t — an arm with
+    n <= 1 or zero pooled SE) are excluded from ranking and absent from
+    the output, documented.  Everything past the per-user reduce is
+    model-scale: the ranking window runs over at most |arms|² rows
+    (declared bounded in the plan audit), the step-up cutoff is a 1-row
+    aggregate joined back."""
+    pairs = welch_pairwise_arms(events, k_arms, salt).select(
+        "arm_a", "arm_b", "t_stat"
+    )
+    scored = (
+        pairs.filter(F.col("t_stat").isNotNull())
+        .withColumn("z", F.abs(F.col("t_stat")))
+        .withColumn("tt", F.expr("1 / (1 + 0.2316419 * z)"))
+        .withColumn("p_value", F.round(F.expr(_NORM_P_EXPR), 6))
+    )
+    m_df = scored.agg(F.count("*").alias("m"))
+    w = Window.orderBy("p_value", "arm_a", "arm_b")
+    ranked = (
+        scored.withColumn("p_rank", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(m_df))
+        .withColumn(
+            "flag",
+            F.col("p_value")
+            <= F.col("p_rank") * F.lit(float(q_fdr)) / F.col("m"),
+        )
+    )
+    cut = ranked.filter(F.col("flag")).agg(
+        F.max("p_rank").alias("cut")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cut))
+        .select(
+            "arm_a",
+            "arm_b",
+            "t_stat",
+            "p_value",
+            "p_rank",
+            F.round(
+                F.col("p_rank") * F.lit(float(q_fdr)) / F.col("m"), 6
+            ).alias("bh_threshold"),
+            (F.col("p_rank") <= F.coalesce(F.col("cut"), F.lit(0))).alias(
+                "rejected"
+            ),
+        )
+        .orderBy("p_rank")
+    )
+
+
+def welch_bh_fdr_sql(
+    src: str = "events",
+    k_arms: int = 4,
+    salt: str = "ab-v1",
+    q_fdr: float = 0.10,
+) -> str:
+    welch = welch_pairwise_arms_sql(src, k_arms, salt)
+    return f"""
+        WITH pairs AS ({welch}),
+        zed AS (
+          SELECT arm_a, arm_b, t_stat, abs(t_stat) AS z,
+                 1 / (1 + 0.2316419 * abs(t_stat)) AS tt
+          FROM pairs WHERE t_stat IS NOT NULL
+        ),
+        scored AS (
+          SELECT arm_a, arm_b, t_stat,
+                 ROUND({_NORM_P_EXPR}, 6) AS p_value
+          FROM zed
+        ),
+        ranked AS (
+          SELECT arm_a, arm_b, t_stat, p_value,
+                 CAST(ROW_NUMBER() OVER (
+                   ORDER BY p_value, arm_a, arm_b) AS BIGINT) AS p_rank,
+                 (SELECT COUNT(*) FROM scored) AS m
+          FROM scored
+        ),
+        cut AS (
+          SELECT MAX(p_rank) AS c FROM ranked
+          WHERE p_value <= p_rank * {float(q_fdr)!r} / m
+        )
+        SELECT arm_a, arm_b, t_stat, p_value, p_rank,
+               ROUND(p_rank * {float(q_fdr)!r} / m, 6) AS bh_threshold,
+               p_rank <= COALESCE((SELECT c FROM cut), 0) AS rejected
+        FROM ranked ORDER BY p_rank
+    """

@@ -284,6 +284,19 @@ QUERIES = {
     "analytics_welch_pairwise": lambda s, d: A.welch_pairwise_arms(
         load_table(s, d, "events")
     ),
+    # r10 wave 50: the experiment-ops completion arc — multiple-testing
+    # control over the Welch pairs, design-side MDE/power, and the
+    # stratified (per-stratum-propensity IPW) ATE under a synthetically
+    # confounded treatment
+    "analytics_welch_bh_fdr": lambda s, d: A.welch_bh_fdr(
+        load_table(s, d, "events")
+    ),
+    "analytics_mde_power": lambda s, d: A.mde_power_arms(
+        load_table(s, d, "events")
+    ),
+    "analytics_stratified_ate": lambda s, d: A.stratified_ate(
+        load_table(s, d, "events")
+    ),
 }
 
 _DAILY_TOTALS_TMPL = """
@@ -466,6 +479,9 @@ ORACLES = {
     "analytics_anova_arms": A.anova_oneway_arms_sql(),
     "analytics_kruskal_wallis": A.kruskal_wallis_arms_sql(),
     "analytics_welch_pairwise": A.welch_pairwise_arms_sql(),
+    "analytics_welch_bh_fdr": A.welch_bh_fdr_sql(),
+    "analytics_mde_power": A.mde_power_arms_sql(),
+    "analytics_stratified_ate": A.stratified_ate_sql(),
     "segment_overlap_matrix": """
         WITH per_user AS (
           SELECT user_id,

@@ -557,3 +557,105 @@ def test_graph_knn_edges_hier_auto_path(spark, sf_dir, monkeypatch):
         F.col("dst").alias("src"), F.col("src").alias("dst")
     )
     assert edges.exceptAll(rev).count() == 0, "graph must be symmetric"
+
+
+# ----------------------- wave 50: experiment-ops completion arc
+def test_stratified_ate_zero_effect_when_outcomes_identical(spark):
+    """Constant per-user outcome: every band's treated and control means
+    are identical, so ate_micro must be exactly 0 in every band, while
+    e_hat still tracks the band-confounded assignment rates."""
+    from audience_manager_platform_spark.operators.analytics import (
+        stratified_ate,
+    )
+
+    n = 4000
+    ev = spark.range(n).selectExpr(
+        "id AS event_id",
+        "id AS user_id",
+        # pre-period event: spend that spreads users across all 4 bands
+        "timestamp'2024-01-05 00:00:00' AS ts",
+        "CAST(id % 4 AS DOUBLE) * 150.0 AS value",
+        "'purchase' AS event_type",
+    ).unionByName(
+        spark.range(n).selectExpr(
+            "id + 1000000 AS event_id",
+            "id AS user_id",
+            # post-period: IDENTICAL outcome for every user
+            "timestamp'2024-01-25 00:00:00' AS ts",
+            "CAST(1.0 AS DOUBLE) AS value",
+            "'purchase' AS event_type",
+        )
+    )
+    out = stratified_ate(ev).collect()
+    assert len(out) >= 2
+    assert sum(r["n"] for r in out) == n
+    for r in out:
+        assert r["mean_t_micro"] == r["mean_c_micro"] == 100 * 1_000_000
+        assert r["ate_micro"] == 0
+        assert abs(r["e_hat"] - (0.30 + 0.10 * r["band"])) < 0.08
+
+
+def test_mde_power_arms_shape_and_formula(spark, sf_dir):
+    from audience_manager_platform_spark.operators.analytics import (
+        MDE_Z_ALPHA,
+        MDE_Z_POWER,
+        mde_power_arms,
+    )
+    from audience_manager_platform_spark.sources import load_table
+
+    out = mde_power_arms(load_table(spark, sf_dir, "events")).collect()
+    assert len(out) == 6  # 4 choose 2
+    for r in out:
+        assert r["arm_a"] < r["arm_b"]
+        assert r["se_cents"] is not None and r["se_cents"] > 0
+        z = MDE_Z_ALPHA + MDE_Z_POWER
+        assert abs(r["mde_cents"] - z * r["se_cents"]) < 1e-4 * z
+        if r["mde_rel_pct"] is not None:
+            assert r["mde_rel_pct"] > 0
+
+
+def test_welch_bh_fdr_stepup_properties(spark, sf_dir):
+    from audience_manager_platform_spark.operators.analytics import (
+        welch_bh_fdr,
+    )
+    from audience_manager_platform_spark.sources import load_table
+
+    out = welch_bh_fdr(load_table(spark, sf_dir, "events")).collect()
+    assert len(out) == 6
+    ranks = [r["p_rank"] for r in out]
+    assert ranks == sorted(ranks) == list(range(1, 7))
+    ps = [r["p_value"] for r in out]
+    assert ps == sorted(ps)
+    assert all(0 <= p <= 1 for p in ps)
+    thr = [r["bh_threshold"] for r in out]
+    assert thr == sorted(thr)
+    # step-up: the rejected set is downward-closed in rank
+    rejected = [r["rejected"] for r in out]
+    seen_keep = False
+    for flag in rejected:
+        if not flag:
+            seen_keep = True
+        assert not (seen_keep and flag)
+
+
+def test_norm_p_expr_matches_erfc(spark):
+    """The shared A&S 26.2.17 expression must agree with the exact
+    normal two-sided p (math.erfc) to its documented 7.5e-8 bound."""
+    import math
+
+    from audience_manager_platform_spark.operators.analytics import (
+        _NORM_P_EXPR,
+    )
+    from pyspark.sql import functions as F
+
+    zs = [0.0, 0.5, 1.0, 1.644854, 1.959964, 2.575829, 3.5, 5.0]
+    df = spark.createDataFrame([(z,) for z in zs], "z double").withColumn(
+        "tt", F.expr("1 / (1 + 0.2316419 * z)")
+    )
+    got = {
+        r["z"]: r["p"]
+        for r in df.withColumn("p", F.expr(_NORM_P_EXPR)).collect()
+    }
+    for z in zs:
+        exact = math.erfc(z / math.sqrt(2.0))
+        assert abs(got[z] - exact) < 2e-7, (z, got[z], exact)

@@ -304,6 +304,8 @@ GLOBAL_WINDOW_BOUNDS: dict[str, int] = {
     # |distinct integer scores| grid of the exact Mann-Whitney AUC
     # (score range is construction-bounded; measured 14)
     "text_langid_en_auc": 512,
+    # BH step-up p-value ranking: |arms|²/2 pairs by construction
+    "analytics_welch_bh_fdr": 64,
     # the Qini CURVE cumsum runs over the 10-row per-decile rollup (the
     # |users|-sized decile CUT is the sharded rank + exact_ntile_expr)
     "analytics_qini_uplift": 256,

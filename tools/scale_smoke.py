@@ -1101,7 +1101,7 @@ def main() -> None:
     from audience_manager_platform_spark.operators import similarity as SIM
 
     only = os.environ.get("SCALE_ONLY")
-    if only and "nsw" not in only.lower():
+    if only and "nsw" not in only.lower() and "hier" not in only.lower():
         spark.stop()
         return
     n_vecs = int(os.environ.get("SCALE_VECS", 100_000))
@@ -1119,27 +1119,28 @@ def main() -> None:
     vecs = spark.range(n_vecs).select(
         F.col("id").alias("vec_id"), vec.alias("embedding")
     )
-    gm = SIM.kmeans_fit_model(vecs, graph_cells, 1)
-    edges = None
+    if not only or "nsw" in only.lower():
+        gm = SIM.kmeans_fit_model(vecs, graph_cells, 1)
+        edges = None
 
-    def _edges():
-        nonlocal edges
-        if edges is None:
-            edges = SIM.graph_knn_edges(
-                vecs, n_clusters=graph_cells, model=gm
-            )
-        return edges
+        def _edges():
+            nonlocal edges
+            if edges is None:
+                edges = SIM.graph_knn_edges(
+                    vecs, n_clusters=graph_cells, model=gm
+                )
+            return edges
 
-    timed(
-        f"NSW edge build ({n_vecs:,} vecs, {graph_cells} cells)", _edges
-    )
-    timed(
-        "NSW beam search (5 queries over the standing graph)",
-        lambda: SIM.graph_beam_topk(
-            vecs, [0, 1, 2, 3, 4], k=5, n_clusters=graph_cells,
-            model=gm, edges=_edges(),
-        ),
-    )
+        timed(
+            f"NSW edge build ({n_vecs:,} vecs, {graph_cells} cells)", _edges
+        )
+        timed(
+            "NSW beam search (5 queries over the standing graph)",
+            lambda: SIM.graph_beam_topk(
+                vecs, [0, 1, 2, 3, 4], k=5, n_clusters=graph_cells,
+                model=gm, edges=_edges(),
+            ),
+        )
 
     # ---------------- round-10: auto-sized edge build, ~linear growth
     # (r9 verdict #2) graph_knn_edges now derives the cell count from
@@ -1218,6 +1219,35 @@ def main() -> None:
             f"(doc bound {doc_bound}, measured-degree bound {bound})"
         )
         assert all(r <= bound for r in steps_rows), (steps_rows, bound)
+
+    # ---------------- round-10: two-level quantizer assign at large K
+    # The flat assign is n x K dots; with the auto rule K = n/200 that is
+    # n²/200 — the honest residual the hierarchical quantizer closes.
+    # Same corpus, same auto K, both paths measured: the two-level fit
+    # (driver-side sample Lloyd) + assign (n x 2·sqrt(K) dots) against
+    # the flat assign over the SAME flattened sub-centroids. The flat
+    # leg IS the old default at this K — its wall clock is the cost the
+    # switch removes. SCALE_ONLY=hier to run.
+    if only and "hier" in only.lower():
+        n_h = int(os.environ.get("SCALE_HIER_VECS", 400_000))
+        hv = _mkvecs(n_h)
+        k_auto = SIM.graph_auto_n_clusters(n_h)
+        hbase = hv.select("vec_id", SIM._vec_double().alias("v"))
+        t0 = time.perf_counter()
+        m1, m2 = SIM.hier_fit_model(hv, k_auto, iters=1, n_vectors=n_h)
+        flat_model = SIM.hier_flat_model(m2)
+        print(
+            f"hier fit ({n_h:,} vecs -> K={k_auto}: {len(m1)} supers, "
+            f"{len(flat_model)} cells): {time.perf_counter() - t0:7.2f}s"
+        )
+        timed(
+            f"two-level assign ({n_h:,} x ~2sqrtK) [hier]",
+            SIM.assign_cells_two_level(hbase, m1, m2),
+        )
+        timed(
+            f"flat assign over same {len(flat_model)} cells [hier]",
+            SIM.assign_cells_arrow(hbase, flat_model),
+        )
     spark.stop()
 
 

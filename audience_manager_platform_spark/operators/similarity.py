@@ -3555,6 +3555,21 @@ def graph_beam_recall_eval_sql(
 # PRODUCTION kernel at fixture scale via two_level_seed_assign (seed
 # centroids, fully SQL-expressible), so the kernel's numerics are
 # oracle-pinned even though the large-K fit path itself is driver state.
+#
+# Honest ceilings (measured and arithmetic, not aspiration):
+#   - sub-cell count is capped by the SAMPLE (each sub-fit can mint at most
+#     its cell's sample-member count of centroids), so K beyond
+#     ~sample_rows needs sample_rows raised in step — fine to K ≈ 100k
+#     (sample 100k x 64 doubles ≈ 50 MB driver RAM, the faiss norm);
+#   - the assign kernel ships the full flattened model in its closure, so
+#     K ≈ 100k x dim 64 ≈ 50 MB per executor is the practical model-state
+#     ceiling.  With the auto rule K = n/200 both ceilings land at the
+#     same corpus size, ~20M vectors per index SHARD — past that a real
+#     deployment shards the corpus (each shard its own quantizer, results
+#     merged by score — exactly the IVF sharding faiss/Milvus use) or
+#     keeps the model table-resident and assigns by equi-join on the
+#     super cell.  Neither is needed at this repo's measured scales; the
+#     sharded-merge path already exists as cosine_topk over unions.
 HIER_K_THRESHOLD = 4096  # flat assign up to here (n ≈ 800k at auto sizing)
 HIER_SAMPLE_ROWS = 20_000
 HIER_ID_STRIDE = 1 << 20  # global sub-cell id = super_id·STRIDE + local idx

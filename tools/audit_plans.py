@@ -253,6 +253,11 @@ NESTED_LOOP_ALLOWED = {
     # 1-row midpoint broadcast; Benford's 9-digit table x 1-row total
     "analytics_welch_pairwise",
     "validate_benford_prices",
+    # r10 wave 50: the same |arms|² pair join (MDE, BH-FDR — the latter
+    # adds 1-row m/cutoff broadcasts); stratified ATE's 1-row midpoint
+    "analytics_mde_power",
+    "analytics_welch_bh_fdr",
+    "analytics_stratified_ate",
 }
 
 # Queries whose plan contains an UNPARTITIONED WindowExec (global
@@ -472,7 +477,9 @@ def global_window_input_counts(spark, sf_dir: str, fn) -> list[int]:
     return counts
 
 
-def audit(spark, sf_dir: str):
+def audit(spark, sf_dir: str, only=None):
+    """``only``: optional collection of names — audit just those (fast
+    iteration on a new wave); None = the whole registry."""
     from audience_manager_platform_spark import registry
     from audience_manager_platform_spark.operators import partitioning
 
@@ -481,6 +488,8 @@ def audit(spark, sf_dir: str):
     rows = []
     violations = []
     for name, fn in registry.queries().items():
+        if only is not None and name not in only:
+            continue
         # Each audited query rebuilds (and therefore OWNS) its shared
         # intermediates: with the session-keyed cache warm, a shared
         # table's materialize() stages would be recorded only under
@@ -554,8 +563,20 @@ def main() -> int:
 
     sf_dir = sys.argv[sys.argv.index("--sf-dir") + 1] if "--sf-dir" in sys.argv \
         else "/root/testdata/sf0.01"
+    only = (
+        set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        if "--only" in sys.argv
+        else None
+    )
     spark = get_spark("plan-audit")
-    rows, violations = audit(spark, sf_dir)
+    rows, violations = audit(spark, sf_dir, only=only)
+    if only is not None:
+        # subset run: report to stdout only, never overwrite the
+        # registry-wide PLAN_AUDIT.md with a partial table
+        print(f"{len(rows)} plans scanned; {len(violations)} violations")
+        for name, why in violations:
+            print(f"  VIOLATION {name}: {why}")
+        return 1 if violations else 0
     lines = [
         "# PLAN_AUDIT — registry-wide physical-plan scan",
         "",

@@ -472,3 +472,164 @@ def blocking_quality_sql(
         FROM sample_stats
         CROSS JOIN cand CROSS JOIN total CROSS JOIN sample_count
     """
+
+
+# ------------------------- Fellegi–Sunter probabilistic match weights
+FS_M_PROB = 0.9  # declared m-prior per field (the Splink-style default)
+
+
+def fellegi_sunter_patterns(parts: DataFrame) -> DataFrame:
+    """Fellegi–Sunter match-weight PATTERN table over brand-blocked part
+    pairs (Fellegi & Sunter 1969; the agreement-pattern readout Splink
+    presents): for each of the 2⁴ agreement patterns on (type, size,
+    first name token, price band), the candidate-pair count and the
+    log2 match weight w = Σ_f agree ? log2(m/u_f) : log2((1-m)/(1-u_f)).
+
+    u-probabilities (chance agreement between two RANDOM records) are
+    estimated from the data as Σ_v c_v² / N² per field — an EXACT-bigint
+    numerator over the squared value frequencies, so both engines derive
+    identical doubles; the m-prior is the declared 0.9 literal (the
+    unsupervised-EM refinement is out of scope and documented). The
+    weight is a fixed-order four-term expression over those u doubles,
+    rounded once at 6dp.
+
+    Scale shape: four |values|-row frequency aggregates folded to one
+    broadcast row, one brand-keyed equi-join (Σ|block|² candidate cost,
+    the family's blocking discipline — never all-pairs), one map-side
+    combinable pattern aggregate; output ≤ 16 rows at any data size.
+
+    Reference scope note: like the rest of this family, no reference
+    analogue (exact-predicate engine only) — extension surface."""
+    base = parts.select(
+        F.col("p_partkey").alias("k"),
+        F.col("p_brand").alias("blk"),
+        F.col("p_type").alias("f_type"),
+        F.col("p_size").cast("long").alias("f_size"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("f_tok"),
+        F.expr(
+            "CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) div 5000"
+        ).alias("f_band"),
+    )
+
+    def _u(col: str):
+        return (
+            base.groupBy(col)
+            .count()
+            .agg(
+                F.sum(F.col("count") * F.col("count")).alias(f"un_{col}")
+            )
+        )
+
+    totals = (
+        base.agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(_u("f_type")))
+        .crossJoin(F.broadcast(_u("f_size")))
+        .crossJoin(F.broadcast(_u("f_tok")))
+        .crossJoin(F.broadcast(_u("f_band")))
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.k") < F.col("b.k"))
+    ).select(
+        *[
+            (F.col(f"a.{f}") == F.col(f"b.{f}"))
+            .cast("int")
+            .alias(f.replace("f_", "agree_"))
+            for f in ("f_type", "f_size", "f_tok", "f_band")
+        ]
+    )
+    patt = pairs.groupBy(
+        "agree_type", "agree_size", "agree_tok", "agree_band"
+    ).agg(F.count("*").alias("n_pairs"))
+    ud = " CAST(un_f_{f} AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) "
+    term = (
+        "CASE WHEN agree_{g} = 1 THEN log2({m} / ({u})) "
+        "ELSE log2({one_m} / (1 - ({u}))) END"
+    )
+    w = " + ".join(
+        term.format(
+            g=g, u=ud.format(f=f), m=FS_M_PROB, one_m=round(1 - FS_M_PROB, 6)
+        )
+        for g, f in (
+            ("type", "type"),
+            ("size", "size"),
+            ("tok", "tok"),
+            ("band", "band"),
+        )
+    )
+    return (
+        patt.crossJoin(F.broadcast(totals))
+        .withColumn("match_weight", F.round(F.expr(w), 6))
+        .select(
+            "agree_type",
+            "agree_size",
+            "agree_tok",
+            "agree_band",
+            "n_pairs",
+            "match_weight",
+            F.expr(
+                "CASE WHEN match_weight >= 8 THEN 'match' "
+                "WHEN match_weight >= 0 THEN 'possible' "
+                "ELSE 'non_match' END"
+            ).alias("class"),
+        )
+        .orderBy("agree_type", "agree_size", "agree_tok", "agree_band")
+    )
+
+
+def fellegi_sunter_patterns_sql(src: str = "part") -> str:
+    m = FS_M_PROB
+    one_m = round(1 - FS_M_PROB, 6)
+    ud = (
+        "CAST(un_f_{f} AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+    )
+    term = (
+        "CASE WHEN agree_{g} = 1 THEN log2({m} / ({u})) "
+        "ELSE log2({one_m} / (1 - ({u}))) END"
+    )
+    w = " + ".join(
+        term.format(g=g, u=ud.format(f=f), m=m, one_m=one_m)
+        for g, f in (
+            ("type", "type"),
+            ("size", "size"),
+            ("tok", "tok"),
+            ("band", "band"),
+        )
+    )
+    return f"""
+        WITH base AS (
+          SELECT p_partkey AS k, p_brand AS blk, p_type AS f_type,
+                 CAST(p_size AS BIGINT) AS f_size,
+                 split_part(p_name, ' ', 1) AS f_tok,
+                 CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) // 5000
+                   AS f_band
+          FROM {src}
+        ),
+        ut AS (SELECT SUM(c * c) AS un_f_type FROM
+               (SELECT COUNT(*) AS c FROM base GROUP BY f_type) x),
+        us AS (SELECT SUM(c * c) AS un_f_size FROM
+               (SELECT COUNT(*) AS c FROM base GROUP BY f_size) x),
+        uk AS (SELECT SUM(c * c) AS un_f_tok FROM
+               (SELECT COUNT(*) AS c FROM base GROUP BY f_tok) x),
+        ub AS (SELECT SUM(c * c) AS un_f_band FROM
+               (SELECT COUNT(*) AS c FROM base GROUP BY f_band) x),
+        tot AS (SELECT (SELECT COUNT(*) FROM base) AS n,
+                       un_f_type, un_f_size, un_f_tok, un_f_band
+                FROM ut, us, uk, ub),
+        patt AS (
+          SELECT CAST(a.f_type = b.f_type AS INTEGER) AS agree_type,
+                 CAST(a.f_size = b.f_size AS INTEGER) AS agree_size,
+                 CAST(a.f_tok = b.f_tok AS INTEGER) AS agree_tok,
+                 CAST(a.f_band = b.f_band AS INTEGER) AS agree_band,
+                 COUNT(*) AS n_pairs
+          FROM base a JOIN base b ON a.blk = b.blk AND a.k < b.k
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT agree_type, agree_size, agree_tok, agree_band, n_pairs,
+               ROUND({w}, 6) AS match_weight,
+               CASE WHEN ROUND({w}, 6) >= 8 THEN 'match'
+                    WHEN ROUND({w}, 6) >= 0 THEN 'possible'
+                    ELSE 'non_match' END AS class
+        FROM patt CROSS JOIN tot
+        ORDER BY agree_type, agree_size, agree_tok, agree_band
+    """

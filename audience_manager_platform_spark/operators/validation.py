@@ -2537,12 +2537,22 @@ def subject_access_report_sql(
     """
 
 
-def benford_digit_audit(df: "DataFrame", value_col: str) -> "DataFrame":
+def benford_price_audit(df: "DataFrame", value_col: str) -> "DataFrame":
     """Benford's-law first-digit audit of a money column (Nigrini's
     fraud/data-quality screen; reference analogue: none — extension
     surface): the leading significant digit of naturally-occurring
     amounts should follow P(d) = log10(1 + 1/d), and a synthetic or
     truncated feed shows up as a fat chi-square.
+
+    Distinct from the r5 :func:`benford_digit_audit` (kept above, the
+    ``validate_benford_orders`` face): that one audits the floored
+    INTEGER amount against the inlined e9 expected-share constants and
+    reports all nine digits through a spine (zero-count digits
+    included); this one takes the leading significant digit of the
+    exact CENTS quantization (so sub-dollar amounts participate), pairs
+    observed shares with ln()-derived expectations, and reports only
+    observed digits.  Wave 49 originally shadowed the r5 name — the
+    rename keeps both behaviors addressable.
 
     Determinism: amounts quantize to exact integer cents
     (``floor(v*100 + 0.5)``), the leading digit is the first character
@@ -2585,7 +2595,7 @@ def benford_digit_audit(df: "DataFrame", value_col: str) -> "DataFrame":
     )
 
 
-def benford_digit_audit_sql(src: str, value_col: str) -> str:
+def benford_price_audit_sql(src: str, value_col: str) -> str:
     return f"""
         WITH digits AS (
           SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)

@@ -20,6 +20,8 @@ from ..operators.er import (
     blocking_quality_sql,
     entity_clusters,
     entity_clusters_sql,
+    fellegi_sunter_patterns,
+    fellegi_sunter_patterns_sql,
     fuzzy_blocked_pairs,
     fuzzy_blocked_pairs_sql,
     survivorship,
@@ -123,10 +125,10 @@ from ..operators.validation import (
     ks_value_drift_sql,
     benford_digit_audit,
     benford_digit_audit_sql,
+    benford_price_audit,
+    benford_price_audit_sql,
     mix_drift,
     mix_drift_sql,
-    benford_digit_audit,
-    benford_digit_audit_sql,
     table_profile,
     table_profile_sql,
     validate_table,
@@ -451,8 +453,9 @@ QUERIES = {
     # wave 17: exact max-ECDF-gap drift (the binning-free rank test
     # beside PSI) and the Benford leading-digit fabrication screen
     "validate_ks_drift": lambda s, d: ks_value_drift(_events(s, d)),
-    # r10 wave 49: Benford first-digit screen on the price feed
-    "validate_benford_prices": lambda s, d: benford_digit_audit(
+    # r10 wave 49: Benford first-digit screen on the price feed (the
+    # cents-based variant; the orders query below keeps the r5 spine)
+    "validate_benford_prices": lambda s, d: benford_price_audit(
         load_table(s, d, "lineitem"), "l_extendedprice"
     ),
     # wave 21: the categorical companion (chi-square homogeneity on the
@@ -684,6 +687,11 @@ QUERIES = {
         agree_col="p_brand",
         max_distance=3,
     ),
+    # r10 wave 50: Fellegi-Sunter agreement-pattern match weights over
+    # brand-blocked part pairs (u from exact squared value frequencies)
+    "er_fs_match_weights": lambda s, d: fellegi_sunter_patterns(
+        load_table(s, d, "part")
+    ),
     # r5 wave 4: link-prediction primitive — suppliers similar by the
     # parts they ship (shared-neighbor equi-join, hub-capped)
     "graph_supplier_similarity": lambda s, d: neighbor_jaccard(
@@ -785,7 +793,7 @@ ORACLES = {
     ),
     "validate_psi_drift": psi_value_drift_sql("events"),
     "validate_ks_drift": ks_value_drift_sql("events"),
-    "validate_benford_prices": benford_digit_audit_sql(
+    "validate_benford_prices": benford_price_audit_sql(
         "lineitem", "l_extendedprice"
     ),
     "layout_pruning_audit": pruning_audit_sql("events"),
@@ -907,6 +915,7 @@ ORACLES = {
         agree_col="p_brand",
         max_distance=3,
     ),
+    "er_fs_match_weights": fellegi_sunter_patterns_sql("part"),
     "er_survivorship": survivorship_sql(
         "part",
         "p_partkey",

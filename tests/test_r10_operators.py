@@ -352,7 +352,7 @@ def test_edit_distance_hot_block_is_capped(spark):
 
 def test_benford_on_exact_benford_sample(spark):
     from audience_manager_platform_spark.operators.validation import (
-        benford_digit_audit,
+        benford_price_audit,
     )
 
     # counts proportional to log10(1+1/d) out of 1000: chi2 ~ 0
@@ -366,7 +366,7 @@ def test_benford_on_exact_benford_sample(spark):
             rows.append((i, float(f"{d}00.00")))
             i += 1
     df = spark.createDataFrame(rows, "id long, amount double")
-    got = benford_digit_audit(df, "amount").collect()
+    got = benford_price_audit(df, "amount").collect()
     assert [r["digit"] for r in got] == list(range(1, 10))
     assert sum(r["n_d"] for r in got) == len(rows)
     assert all(r["chi2_contrib"] < 0.01 for r in got)
@@ -375,7 +375,7 @@ def test_benford_on_exact_benford_sample(spark):
 
 def test_benford_flags_uniform_digits(spark):
     from audience_manager_platform_spark.operators.validation import (
-        benford_digit_audit,
+        benford_price_audit,
     )
 
     # uniform first digits are maximally non-Benford: chi2 total is
@@ -383,7 +383,7 @@ def test_benford_flags_uniform_digits(spark):
     df = spark.range(900).select(
         "id", ((F.col("id") % 9 + 1) * 100.0).alias("amount")
     )
-    got = {r["digit"]: r for r in benford_digit_audit(df, "amount").collect()}
+    got = {r["digit"]: r for r in benford_price_audit(df, "amount").collect()}
     assert all(got[d]["n_d"] == 100 for d in range(1, 10))
     total_chi2 = sum(r["chi2_contrib"] for r in got.values())
     assert total_chi2 > 100  # wildly non-Benford
@@ -659,3 +659,39 @@ def test_norm_p_expr_matches_erfc(spark):
     for z in zs:
         exact = math.erfc(z / math.sqrt(2.0))
         assert abs(got[z] - exact) < 2e-7, (z, got[z], exact)
+
+
+def test_fellegi_sunter_pattern_weights_monotone(spark, sf_dir):
+    """Flipping any field from disagree to agree must RAISE the match
+    weight (m/u > 1 > (1-m)/(1-u) whenever u < m), the all-agree
+    pattern carries the maximum, and pair counts account for every
+    brand-blocked pair."""
+    from audience_manager_platform_spark.operators.er import (
+        fellegi_sunter_patterns,
+    )
+    from audience_manager_platform_spark.sources import load_table
+
+    parts = load_table(spark, sf_dir, "part")
+    out = fellegi_sunter_patterns(parts).collect()
+    w = {
+        (r["agree_type"], r["agree_size"], r["agree_tok"], r["agree_band"]):
+        r["match_weight"]
+        for r in out
+    }
+    for patt, wt in w.items():
+        for i in range(4):
+            if patt[i] == 0:
+                up = tuple(1 if j == i else patt[j] for j in range(4))
+                if up in w:
+                    assert w[up] > wt, (patt, up)
+    if (1, 1, 1, 1) in w:
+        assert w[(1, 1, 1, 1)] == max(w.values())
+    # every blocked pair is in exactly one pattern row
+    from pyspark.sql import functions as F
+
+    blocks = (
+        parts.groupBy("p_brand").count()
+        .agg(F.sum(F.expr("count * (count - 1) div 2")))
+        .collect()[0][0]
+    )
+    assert sum(r["n_pairs"] for r in out) == blocks

@@ -258,6 +258,9 @@ NESTED_LOOP_ALLOWED = {
     "analytics_mde_power",
     "analytics_welch_bh_fdr",
     "analytics_stratified_ate",
+    # Fellegi-Sunter: four 1-row u-probability aggregates crossed into
+    # one broadcast row against the <= 16-row pattern table
+    "er_fs_match_weights",
 }
 
 # Queries whose plan contains an UNPARTITIONED WindowExec (global
@@ -550,7 +553,11 @@ def audit(spark, sf_dir: str, only=None):
     # dozens of registry operators, so an audit sweep that records ZERO
     # stages anywhere means the recorder hook is broken and the scan is
     # silently blind to materialized stages (r8 verdict) — fail loudly.
-    if rows and not any(s.get("stages", 0) for _, s in rows):
+    # (full sweeps only: an --only subset may legitimately contain no
+    # materializing query, which would false-alarm the canary)
+    if only is None and rows and not any(
+        s.get("stages", 0) for _, s in rows
+    ):
         violations.append(
             ("_recorder", "stage recorder captured 0 stages across the "
                           "whole registry — materialize() hook broken")

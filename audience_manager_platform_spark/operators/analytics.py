@@ -4827,3 +4827,302 @@ def welch_bh_fdr_sql(
                p_rank <= COALESCE((SELECT c FROM cut), 0) AS rejected
         FROM ranked ORDER BY p_rank
     """
+
+
+# ------------------------------------ Poisson bootstrap confidence band
+PB_B = 64  # replicate count (the window over replicate means is |B| rows)
+# Poisson(1) inverse-CDF thresholds (7dp literals, shared verbatim by
+# both engines); mass beyond w=6 is 8.3e-5 and truncates to 6
+_PB_W_EXPR = (
+    "CASE WHEN u < 0.3678794 THEN 0 WHEN u < 0.7357589 THEN 1 "
+    "WHEN u < 0.9196986 THEN 2 WHEN u < 0.9810118 THEN 3 "
+    "WHEN u < 0.9963402 THEN 4 WHEN u < 0.9994058 THEN 5 ELSE 6 END"
+)
+
+
+def poisson_bootstrap_ci(
+    events: DataFrame, b: int = PB_B, salt: str = "pb-v1"
+) -> DataFrame:
+    """Deterministic Poisson bootstrap CI for mean post-period user
+    spend (Hanley & MacGibbon 2006; the resampling scheme production
+    metric platforms run at cluster scale because each replicate is one
+    weighted map-side-combinable sum — no resampled COPIES of the data):
+    every (user, replicate) pair draws w ~ Poisson(1) from the portable
+    hash (inverse CDF over 7dp literal thresholds), replicate means are
+    EXACT integer micro-cents (Σw·y · 1e6 div Σw), and the 95% band is
+    the 2.5/97.5 percentile ORDINALS of the ``b`` replicate means.
+
+    Scale shape: the ``b``-fold row amplification collapses map-side
+    (groupBy replicate partial aggregation), so the shuffle carries
+    |B| rows per partition; the ranking window runs over |B| rows
+    (declared bounded).  Degenerate replicates (Σw = 0 — vanishing
+    probability past a handful of users) are excluded and the ordinals
+    index the surviving count, documented.
+
+    Output: one row — n users, the point mean, the CI ordinals'
+    micro-cent means, and the replicate count used."""
+    from ..functions import stable_long_hash
+
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    base = events.filter(F.col("user_id").isNotNull()).select(
+        "user_id",
+        F.coalesce(cents, F.lit(0)).alias("cents"),
+        F.to_date("ts").alias("d"),
+    )
+    bounds = base.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.expr("date_add(lo, CAST(datediff(hi, lo) div 2 AS INT))").alias(
+            "mid"
+        )
+    )
+    per_user = base.crossJoin(F.broadcast(bounds)).groupBy("user_id").agg(
+        F.sum(F.expr("CASE WHEN d > mid THEN cents ELSE 0 END")).alias("y")
+    )
+    rep = (
+        per_user.select(
+            "user_id",
+            "y",
+            F.explode(F.expr(f"sequence(0, {int(b) - 1})")).alias("rb"),
+        )
+        .withColumn(
+            "u",
+            (
+                stable_long_hash(
+                    F.concat_ws(
+                        ":", F.col("rb"), F.col("user_id").cast("string")
+                    ),
+                    salt=salt,
+                )
+                % 1_000_000
+            )
+            / 1_000_000.0,
+        )
+        .withColumn("w", F.expr(_PB_W_EXPR))
+        .groupBy("rb")
+        .agg(
+            F.sum(F.expr("CAST(w AS BIGINT) * y")).alias("swy"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            F.expr("CAST(swy * 1000000 div sw AS BIGINT)").alias("rep_mean")
+        )
+    )
+    w_rank = Window.orderBy("rep_mean")
+    ranked = (
+        rep.withColumn("rk", F.row_number().over(w_rank))
+        .crossJoin(F.broadcast(rep.agg(F.count("*").alias("nb"))))
+    )
+    ci = ranked.agg(
+        F.max(
+            F.expr(
+                "CASE WHEN rk = CAST(ceil(0.025 * nb) AS INT) "
+                "THEN rep_mean END"
+            )
+        ).alias("ci_lo_micro"),
+        F.max(
+            F.expr(
+                "CASE WHEN rk = CAST(ceil(0.975 * nb) AS INT) "
+                "THEN rep_mean END"
+            )
+        ).alias("ci_hi_micro"),
+        F.max("nb").alias("replicates"),
+    )
+    point = per_user.agg(
+        F.count("*").alias("n_users"),
+        F.expr("CAST(SUM(y) * 1000000 div COUNT(*) AS BIGINT)").alias(
+            "mean_micro"
+        ),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n_users",
+        "mean_micro",
+        "ci_lo_micro",
+        "ci_hi_micro",
+        F.col("replicates").cast("long").alias("replicates"),
+    )
+
+
+def poisson_bootstrap_ci_sql(
+    src: str = "events", b: int = PB_B, salt: str = "pb-v1"
+) -> str:
+    from ..functions import HASH60_DUCK_SQL
+
+    h = HASH60_DUCK_SQL.format(
+        x=f"'{salt}' || concat_ws(':', rb, CAST(user_id AS VARCHAR))"
+    )
+    return f"""
+        WITH base AS (
+          SELECT user_id,
+                 COALESCE(CAST(floor(value * 100 + 0.5) AS BIGINT), 0)
+                   AS cents,
+                 CAST(ts AS DATE) AS d
+          FROM {src} WHERE user_id IS NOT NULL
+        ),
+        bounds AS (
+          SELECT MIN(d) + CAST((MAX(d) - MIN(d)) // 2 AS INTEGER) AS mid
+          FROM base
+        ),
+        per_user AS (
+          SELECT user_id,
+                 CAST(SUM(CASE WHEN d > (SELECT mid FROM bounds)
+                          THEN cents ELSE 0 END) AS BIGINT) AS y
+          FROM base GROUP BY user_id
+        ),
+        rep AS (
+          SELECT CAST(swy * 1000000 // sw AS BIGINT) AS rep_mean
+          FROM (
+            SELECT rb, SUM(CAST(w AS BIGINT) * y) AS swy, SUM(w) AS sw
+            FROM (
+              SELECT user_id, y, rb,
+                     {_PB_W_EXPR} AS w
+              FROM (
+                SELECT user_id, y, rb,
+                       (({h}) % 1000000) / 1000000.0 AS u
+                FROM per_user
+                CROSS JOIN (SELECT UNNEST(range({int(b)})) AS rb) reps
+              ) z
+            ) zz GROUP BY rb
+          ) g WHERE sw > 0
+        ),
+        ranked AS (
+          SELECT rep_mean,
+                 ROW_NUMBER() OVER (ORDER BY rep_mean) AS rk,
+                 (SELECT COUNT(*) FROM rep) AS nb
+          FROM rep
+        ),
+        ci AS (
+          SELECT MAX(CASE WHEN rk = CAST(ceil(0.025 * nb) AS INTEGER)
+                     THEN rep_mean END) AS ci_lo_micro,
+                 MAX(CASE WHEN rk = CAST(ceil(0.975 * nb) AS INTEGER)
+                     THEN rep_mean END) AS ci_hi_micro,
+                 MAX(nb) AS replicates
+          FROM ranked
+        )
+        SELECT (SELECT COUNT(*) FROM per_user) AS n_users,
+               (SELECT CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT)
+                FROM per_user) AS mean_micro,
+               ci_lo_micro, ci_hi_micro,
+               CAST(replicates AS BIGINT) AS replicates
+        FROM ci
+    """
+
+
+# ------------------------------------------ winsorized / trimmed mean
+def winsorized_mean(
+    events: DataFrame, lo: float = 0.05, hi: float = 0.95
+) -> DataFrame:
+    """Exact winsorized and trimmed means of per-user spend (Tukey's
+    robust-location pair — THE standard defenses against whale users
+    distorting an experiment metric; reference analogue: none, extension
+    surface): values below the exact ``lo`` percentile rank clamp up to
+    it, above ``hi`` clamp down, and the trimmed variant drops both
+    tails instead.
+
+    Exactness: the percentile boundaries are the VALUES AT EXACT GLOBAL
+    RANKS ceil(lo·n)/ceil(hi·n) under (y, user_id) order — computed by
+    the sharded :func:`~..operators.partitioning.global_row_positions`
+    (no single-partition window at any scale) — and both means are
+    exact-bigint sums of clamped/filtered cents divided once via
+    integer ``div``.  Everything after the per-user reduce is two
+    passes over the ranked table plus 1-row broadcasts."""
+    from .partitioning import global_row_positions
+
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    per_user = (
+        events.filter(F.col("user_id").isNotNull())
+        .select("user_id", F.coalesce(cents, F.lit(0)).alias("c"))
+        .groupBy("user_id")
+        .agg(F.sum("c").alias("y"))
+    )
+    pos = global_row_positions(per_user, "y", ["user_id"])
+    n_row = pos.agg(
+        F.count("*").alias("n"), F.sum("y").alias("raw_sum")
+    )
+    ranked = pos.crossJoin(F.broadcast(n_row)).select(
+        "y",
+        "_gpos",
+        "n",
+        "raw_sum",
+        F.greatest(
+            F.lit(1), F.expr(f"CAST(ceil({float(lo)!r} * n) AS BIGINT)")
+        ).alias("lo_rank"),
+        F.expr(f"CAST(ceil({float(hi)!r} * n) AS BIGINT)").alias("hi_rank"),
+    )
+    bounds = ranked.agg(
+        F.max(F.expr("CASE WHEN _gpos = lo_rank THEN y END")).alias("y_lo"),
+        F.max(F.expr("CASE WHEN _gpos = hi_rank THEN y END")).alias("y_hi"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(bounds))
+        .agg(
+            F.max("n").alias("n_users"),
+            F.expr(
+                "CAST(MAX(raw_sum) * 1000000 div MAX(n) AS BIGINT)"
+            ).alias("raw_mean_micro"),
+            F.max("y_lo").alias("y_lo"),
+            F.max("y_hi").alias("y_hi"),
+            F.expr(
+                "CAST(SUM(least(greatest(y, y_lo), y_hi)) * 1000000 "
+                "div MAX(n) AS BIGINT)"
+            ).alias("wins_mean_micro"),
+            F.expr(
+                "CASE WHEN MAX(hi_rank) > MAX(lo_rank) THEN "
+                "CAST(SUM(CASE WHEN _gpos > lo_rank AND _gpos <= hi_rank "
+                "THEN y ELSE 0 END) * 1000000 "
+                "div (MAX(hi_rank) - MAX(lo_rank)) AS BIGINT) END"
+            ).alias("trim_mean_micro"),
+        )
+        .select(
+            F.col("n_users").cast("long").alias("n_users"),
+            "raw_mean_micro",
+            F.col("y_lo").cast("long").alias("y_lo"),
+            F.col("y_hi").cast("long").alias("y_hi"),
+            "wins_mean_micro",
+            "trim_mean_micro",
+        )
+    )
+
+
+def winsorized_mean_sql(
+    src: str = "events", lo: float = 0.05, hi: float = 0.95
+) -> str:
+    return f"""
+        WITH per_user AS (
+          SELECT user_id,
+                 SUM(COALESCE(CAST(floor(value * 100 + 0.5) AS BIGINT), 0))
+                   AS y
+          FROM {src} WHERE user_id IS NOT NULL GROUP BY user_id
+        ),
+        pos AS (
+          SELECT y,
+                 ROW_NUMBER() OVER (ORDER BY y, user_id) AS gpos,
+                 COUNT(*) OVER () AS n,
+                 SUM(y) OVER () AS raw_sum
+          FROM per_user
+        ),
+        ranked AS (
+          SELECT y, gpos, n, raw_sum,
+                 GREATEST(1, CAST(ceil({float(lo)!r} * n) AS BIGINT))
+                   AS lo_rank,
+                 CAST(ceil({float(hi)!r} * n) AS BIGINT) AS hi_rank
+          FROM pos
+        ),
+        bounds AS (
+          SELECT MAX(CASE WHEN gpos = lo_rank THEN y END) AS y_lo,
+                 MAX(CASE WHEN gpos = hi_rank THEN y END) AS y_hi
+          FROM ranked
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+               CAST(MAX(raw_sum) * 1000000 // MAX(n) AS BIGINT)
+                 AS raw_mean_micro,
+               CAST(MAX(y_lo) AS BIGINT) AS y_lo,
+               CAST(MAX(y_hi) AS BIGINT) AS y_hi,
+               CAST(SUM(LEAST(GREATEST(y, y_lo), y_hi)) * 1000000
+                    // MAX(n) AS BIGINT) AS wins_mean_micro,
+               CASE WHEN MAX(hi_rank) > MAX(lo_rank) THEN
+                 CAST(SUM(CASE WHEN gpos > lo_rank AND gpos <= hi_rank
+                          THEN y ELSE 0 END) * 1000000
+                      // (MAX(hi_rank) - MAX(lo_rank)) AS BIGINT) END
+                 AS trim_mean_micro
+        FROM ranked CROSS JOIN bounds
+    """

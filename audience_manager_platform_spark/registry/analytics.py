@@ -297,6 +297,15 @@ QUERIES = {
     "analytics_stratified_ate": lambda s, d: A.stratified_ate(
         load_table(s, d, "events")
     ),
+    # r10 wave 51: deterministic Poisson-bootstrap CI for the mean —
+    # cluster-scale resampling as weighted map-side sums, never copies
+    "analytics_poisson_bootstrap_ci": lambda s, d: A.poisson_bootstrap_ci(
+        load_table(s, d, "events")
+    ),
+    # r10 wave 51: exact winsorized/trimmed means via the sharded rank
+    "analytics_winsorized_mean": lambda s, d: A.winsorized_mean(
+        load_table(s, d, "events")
+    ),
 }
 
 _DAILY_TOTALS_TMPL = """
@@ -482,6 +491,8 @@ ORACLES = {
     "analytics_welch_bh_fdr": A.welch_bh_fdr_sql(),
     "analytics_mde_power": A.mde_power_arms_sql(),
     "analytics_stratified_ate": A.stratified_ate_sql(),
+    "analytics_poisson_bootstrap_ci": A.poisson_bootstrap_ci_sql(),
+    "analytics_winsorized_mean": A.winsorized_mean_sql(),
     "segment_overlap_matrix": """
         WITH per_user AS (
           SELECT user_id,

@@ -695,3 +695,54 @@ def test_fellegi_sunter_pattern_weights_monotone(spark, sf_dir):
         .collect()[0][0]
     )
     assert sum(r["n_pairs"] for r in out) == blocks
+
+
+def test_poisson_bootstrap_ci_brackets_the_mean(spark, sf_dir):
+    from audience_manager_platform_spark.operators.analytics import (
+        poisson_bootstrap_ci,
+    )
+    from audience_manager_platform_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = poisson_bootstrap_ci(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_users"] > 0
+    assert 60 <= r["replicates"] <= 64  # sw=0 replicates are vanishing
+    assert r["ci_lo_micro"] <= r["ci_hi_micro"]
+    assert r["ci_lo_micro"] <= r["mean_micro"] <= r["ci_hi_micro"]
+    # deterministic: the hash-derived weights make the CI reproducible
+    again = poisson_bootstrap_ci(ev).collect()[0]
+    assert again == r
+
+
+def test_winsorized_mean_exactness_and_robustness(spark):
+    """Synthetic with one monster whale: the winsorized mean must equal
+    the hand-computed clamp, sit far below the raw mean, and the trimmed
+    mean must equal the interior average exactly."""
+    import math
+
+    from audience_manager_platform_spark.operators.analytics import (
+        winsorized_mean,
+    )
+
+    n = 100
+    rows = [(i, i, "2024-01-10 00:00:00", 10.0) for i in range(n - 1)]
+    rows.append((n - 1, n - 1, "2024-01-10 00:00:00", 1_000_000.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).selectExpr(
+        "event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts", "value",
+        "'purchase' AS event_type"
+    )
+    r = winsorized_mean(ev).collect()[0]
+    assert r["n_users"] == n
+    lo_rank, hi_rank = max(1, math.ceil(0.05 * n)), math.ceil(0.95 * n)
+    ys = sorted([1000] * (n - 1) + [100_000_000])
+    assert r["y_lo"] == ys[lo_rank - 1] and r["y_hi"] == ys[hi_rank - 1]
+    wins = sum(min(max(y, r["y_lo"]), r["y_hi"]) for y in ys)
+    assert r["wins_mean_micro"] == wins * 1_000_000 // n
+    trim = sum(ys[lo_rank:hi_rank])
+    assert r["trim_mean_micro"] == trim * 1_000_000 // (hi_rank - lo_rank)
+    # robustness: the whale drags the raw mean ~1000x above the robust pair
+    assert r["raw_mean_micro"] > 100 * r["wins_mean_micro"]

@@ -261,6 +261,11 @@ NESTED_LOOP_ALLOWED = {
     # Fellegi-Sunter: four 1-row u-probability aggregates crossed into
     # one broadcast row against the <= 16-row pattern table
     "er_fs_match_weights",
+    # Poisson bootstrap: 1-row midpoint/point/CI broadcasts crossed into
+    # the single output row; the replicate table itself is |B| rows
+    "analytics_poisson_bootstrap_ci",
+    # winsorized mean: 1-row n/boundary broadcasts onto the ranked table
+    "analytics_winsorized_mean",
 }
 
 # Queries whose plan contains an UNPARTITIONED WindowExec (global
@@ -314,6 +319,8 @@ GLOBAL_WINDOW_BOUNDS: dict[str, int] = {
     "text_langid_en_auc": 512,
     # BH step-up p-value ranking: |arms|²/2 pairs by construction
     "analytics_welch_bh_fdr": 64,
+    # Poisson-bootstrap replicate-mean ranking: |B| = 64 rows
+    "analytics_poisson_bootstrap_ci": 128,
     # the Qini CURVE cumsum runs over the 10-row per-decile rollup (the
     # |users|-sized decile CUT is the sharded rank + exact_ntile_expr)
     "analytics_qini_uplift": 256,

@@ -1897,3 +1897,127 @@ def seasonal_strength_sql(src: str = "events") -> str:
                  AS trend_strength_ppm
         FROM agg
     """
+
+
+def mann_kendall_trend(events: DataFrame) -> DataFrame:
+    """Mann–Kendall trend test per event-type daily series (Mann 1945,
+    Kendall 1975; the nonparametric companion of :func:`theilsen_trend`
+    — Theil–Sen estimates the slope, MK tests whether a monotone trend
+    exists at all): S = Σ sign(y_j − y_i) over day pairs i<j,
+    tie-corrected Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18, and the
+    continuity-corrected z (S∓1)/√Var.
+
+    Exactness: S and both variance terms are exact integers (the
+    tie-corrected sum runs over the per-value day counts); the single
+    division and sqrt happen once at the end, 6dp on both engines. The
+    pairwise stage is |days|²/2 per series on the AGGREGATED day table
+    (the theilsen bound — never the raw stream); classification uses
+    the two-sided 5% z literal."""
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    daily = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.sum(cents).alias("cents"))
+        .withColumn(
+            "dn", F.expr("datediff(d, DATE '1970-01-01')").cast("long")
+        )
+    )
+    s_tab = (
+        daily.alias("a")
+        .join(
+            daily.alias("b"),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.dn") < F.col("b.dn")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN b.cents > a.cents THEN 1 "
+                    "WHEN b.cents < a.cents THEN -1 ELSE 0 END"
+                )
+            ).alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "cents")
+        .agg(F.count("*").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("t").alias("n_days"),
+            F.sum(F.expr("t * (t - 1) * (2 * t + 5)")).alias("tie_term"),
+        )
+    )
+    var_expr = (
+        "(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term) / 18.0"
+    )
+    z_expr = (
+        f"CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt({var_expr}) "
+        f"WHEN s_stat < 0 THEN (s_stat + 1) / sqrt({var_expr}) "
+        "ELSE 0.0 END"
+    )
+    return (
+        s_tab.join(ties, "event_type")
+        .filter(F.col("n_days") > 1)
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("s_stat").cast("long").alias("s_stat"),
+            F.round(F.expr(var_expr), 6).alias("var_s"),
+            F.round(F.expr(z_expr), 6).alias("z"),
+            F.expr(
+                f"CASE WHEN ({z_expr}) > 1.959964 THEN 'increasing' "
+                f"WHEN ({z_expr}) < -1.959964 THEN 'decreasing' "
+                "ELSE 'no_trend' END"
+            ).alias("trend"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def mann_kendall_trend_sql(src: str = "events") -> str:
+    var_expr = (
+        "(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term) / 18.0"
+    )
+    z_expr = (
+        f"CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt({var_expr}) "
+        f"WHEN s_stat < 0 THEN (s_stat + 1) / sqrt({var_expr}) "
+        "ELSE 0.0 END"
+    )
+    return f"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents,
+                 CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn
+          FROM {src} WHERE value IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        s_tab AS (
+          SELECT a.event_type,
+                 SUM(CASE WHEN b.cents > a.cents THEN 1
+                          WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+                   AS s_stat
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.dn < b.dn
+          GROUP BY a.event_type
+        ),
+        ties AS (
+          SELECT event_type, SUM(t) AS n_days,
+                 SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+          FROM (
+            SELECT event_type, cents, COUNT(*) AS t
+            FROM daily GROUP BY event_type, cents
+          ) g GROUP BY event_type
+        )
+        SELECT s_tab.event_type,
+               CAST(n_days AS BIGINT) AS n_days,
+               CAST(s_stat AS BIGINT) AS s_stat,
+               ROUND({var_expr}, 6) AS var_s,
+               ROUND({z_expr}, 6) AS z,
+               CASE WHEN ({z_expr}) > 1.959964 THEN 'increasing'
+                    WHEN ({z_expr}) < -1.959964 THEN 'decreasing'
+                    ELSE 'no_trend' END AS trend
+        FROM s_tab JOIN ties ON s_tab.event_type = ties.event_type
+        WHERE n_days > 1
+        ORDER BY s_tab.event_type
+    """

@@ -99,6 +99,9 @@ QUERIES = {
     # r7 wave 38 (r8 queue): median-of-pairwise-slopes robust trend on
     # the aggregated day table (exact micro slopes)
     "ts_theilsen_trend": lambda s, d: TS.theilsen_trend(_events(s, d)),
+    # r10 wave 52: Mann-Kendall monotone-trend TEST (tie-corrected S/z)
+    # beside the Theil-Sen slope ESTIMATE, same aggregated-day bound
+    "ts_mann_kendall": lambda s, d: TS.mann_kendall_trend(_events(s, d)),
     # r7 wave 39 (r8 queue): Hyndman seasonal/trend strength over the
     # exact decomposition (forecaster-selection gate)
     "ts_seasonal_strength": lambda s, d: TS.seasonal_strength(
@@ -125,6 +128,7 @@ ORACLES = {
     "ts_cusum_alarm": TS.cusum_alarm_sql(),
     "ts_max_drawdown": TS.max_drawdown_sql(),
     "ts_theilsen_trend": TS.theilsen_trend_sql(),
+    "ts_mann_kendall": TS.mann_kendall_trend_sql(),
     "ts_seasonal_strength": TS.seasonal_strength_sql(),
     "sample_fixed_n_events": f"""
         SELECT event_id, user_id, event_type, ROUND(value, 2) AS value,

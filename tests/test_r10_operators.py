@@ -746,3 +746,29 @@ def test_winsorized_mean_exactness_and_robustness(spark):
     assert r["trim_mean_micro"] == trim * 1_000_000 // (hi_rank - lo_rank)
     # robustness: the whale drags the raw mean ~1000x above the robust pair
     assert r["raw_mean_micro"] > 100 * r["wins_mean_micro"]
+
+
+def test_mann_kendall_planted_trends(spark):
+    from audience_manager_platform_spark.operators.timeseries import (
+        mann_kendall_trend,
+    )
+
+    n = 25
+    rows = []
+    for i in range(n):
+        # 'up': strictly rising daily revenue; 'flat': constant (all tied)
+        rows.append((i, i, f"2024-01-{i+1:02d} 12:00:00", 10.0 + i, "up"))
+        rows.append((1000 + i, i, f"2024-01-{i+1:02d} 12:00:00", 5.0, "flat"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double,"
+        " event_type string"
+    ).selectExpr(
+        "event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts", "value",
+        "event_type"
+    )
+    got = {r["event_type"]: r for r in mann_kendall_trend(ev).collect()}
+    up, flat = got["up"], got["flat"]
+    assert up["s_stat"] == n * (n - 1) // 2  # every pair rises
+    assert up["trend"] == "increasing" and up["z"] > 4
+    assert flat["s_stat"] == 0 and flat["z"] == 0.0
+    assert flat["trend"] == "no_trend" and flat["var_s"] == 0.0

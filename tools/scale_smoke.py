@@ -1091,6 +1091,32 @@ def main() -> None:
         key_skew_profile(typed_events, "user_id"),
     )
 
+    # ------------------ round-10 wave 50/51: experiment-ops at scale
+    # same per-user-reduce shape as the smoked welch/anova family; the
+    # bootstrap's 64x amplification collapses map-side (the shuffle
+    # carries |B| rows per partition), the winsorized mean rides the
+    # sharded rank. SCALE_ONLY=expstats to isolate.
+    timed(
+        "stratified ATE (confounded bands) [expstats]",
+        A.stratified_ate(typed_events),
+    )
+    timed(
+        "MDE/power per arm pair [expstats]",
+        A.mde_power_arms(typed_events),
+    )
+    timed(
+        "BH-FDR over Welch pairs [expstats]",
+        A.welch_bh_fdr(typed_events),
+    )
+    timed(
+        "Poisson bootstrap CI (64 reps) [expstats]",
+        A.poisson_bootstrap_ci(typed_events),
+    )
+    timed(
+        "winsorized/trimmed mean (sharded ranks) [expstats]",
+        A.winsorized_mean(typed_events),
+    )
+
     # ------------------ round-9: NSW graph-ANN at 100k vectors (wave 46)
     # The edge build's cost is Σ|cell|² = n x (cell size), so the cell
     # count must scale LINEARLY with the corpus to hold cell size at a

@@ -4035,7 +4035,7 @@ def anova_oneway_arms(
         .select(
             F.col("arm").cast("long").alias("arm"),
             F.col("n_a").cast("long").alias("n_users"),
-            F.expr("CAST(s_a * 1000000 div n_a AS BIGINT)").alias(
+            F.expr("CAST(CAST(s_a AS DECIMAL(38,0)) * 1000000 div n_a AS BIGINT)").alias(
                 "mean_post_micro"
             ),
             "f_stat",
@@ -4352,10 +4352,10 @@ def welch_pairwise_arms(
         F.col("y.arm").cast("long").alias("arm_b"),
         F.col("x.n_a").cast("long").alias("n_a"),
         F.col("y.n_a").cast("long").alias("n_b"),
-        F.expr("CAST(x.s_a * 1000000 div x.n_a AS BIGINT)").alias(
+        F.expr("CAST(CAST(x.s_a AS DECIMAL(38,0)) * 1000000 div x.n_a AS BIGINT)").alias(
             "mean_a_micro"
         ),
-        F.expr("CAST(y.s_a * 1000000 div y.n_a AS BIGINT)").alias(
+        F.expr("CAST(CAST(y.s_a AS DECIMAL(38,0)) * 1000000 div y.n_a AS BIGINT)").alias(
             "mean_b_micro"
         ),
         t.alias("t_stat"),
@@ -4501,12 +4501,14 @@ def stratified_ate(
         F.sum(F.expr("CASE WHEN t = 0 THEN y ELSE 0 END")).alias("s_c"),
     )
     mean_t = F.expr(
-        "CASE WHEN n_treat > 0 THEN CAST(s_t * 1000000 div n_treat AS BIGINT)"
+        "CASE WHEN n_treat > 0 THEN "
+        "CAST(CAST(s_t AS DECIMAL(38,0)) * 1000000 div n_treat AS BIGINT)"
         " END"
     )
     mean_c = F.expr(
         "CASE WHEN n - n_treat > 0 THEN "
-        "CAST(s_c * 1000000 div (n - n_treat) AS BIGINT) END"
+        "CAST(CAST(s_c AS DECIMAL(38,0)) * 1000000 div (n - n_treat) AS BIGINT)"
+        " END"
     )
     return g.select(
         F.col("band").cast("long").alias("band"),
@@ -4904,7 +4906,9 @@ def poisson_bootstrap_ci(
         )
         .filter(F.col("sw") > 0)
         .select(
-            F.expr("CAST(swy * 1000000 div sw AS BIGINT)").alias("rep_mean")
+            F.expr(
+                "CAST(CAST(swy AS DECIMAL(38,0)) * 1000000 div sw AS BIGINT)"
+            ).alias("rep_mean")
         )
     )
     w_rank = Window.orderBy("rep_mean")
@@ -4929,7 +4933,10 @@ def poisson_bootstrap_ci(
     )
     point = per_user.agg(
         F.count("*").alias("n_users"),
-        F.expr("CAST(SUM(y) * 1000000 div COUNT(*) AS BIGINT)").alias(
+        F.expr(
+            "CAST(CAST(SUM(y) AS DECIMAL(38,0)) * 1000000 div COUNT(*) "
+            "AS BIGINT)"
+        ).alias(
             "mean_micro"
         ),
     )
@@ -5024,8 +5031,13 @@ def winsorized_mean(
     (no single-partition window at any scale) — and both means are
     exact-bigint sums of clamped/filtered cents divided once via
     integer ``div``.  Everything after the per-user reduce is two
-    passes over the ranked table plus 1-row broadcasts."""
-    from .partitioning import global_row_positions
+    passes over the ranked table plus 1-row broadcasts.  The ranked
+    table is MATERIALIZED (the repo's intermediate-table discipline):
+    it is read three times (n/raw-sum, boundary election, clamped sum),
+    and without the boundary each reference re-executes the whole
+    rank subtree — measured as a many-minute plan blow-up at 100M rows
+    vs seconds materialized."""
+    from .partitioning import global_row_positions, materialize
 
     cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
     per_user = (
@@ -5034,7 +5046,9 @@ def winsorized_mean(
         .groupBy("user_id")
         .agg(F.sum("c").alias("y"))
     )
-    pos = global_row_positions(per_user, "y", ["user_id"])
+    pos = materialize(
+        global_row_positions(per_user, "y", ["user_id"]).select("y", "_gpos")
+    )
     n_row = pos.agg(
         F.count("*").alias("n"), F.sum("y").alias("raw_sum")
     )
@@ -5057,18 +5071,20 @@ def winsorized_mean(
         .agg(
             F.max("n").alias("n_users"),
             F.expr(
-                "CAST(MAX(raw_sum) * 1000000 div MAX(n) AS BIGINT)"
+                "CAST(CAST(MAX(raw_sum) AS DECIMAL(38,0)) * 1000000 "
+                "div MAX(n) AS BIGINT)"
             ).alias("raw_mean_micro"),
             F.max("y_lo").alias("y_lo"),
             F.max("y_hi").alias("y_hi"),
             F.expr(
-                "CAST(SUM(least(greatest(y, y_lo), y_hi)) * 1000000 "
-                "div MAX(n) AS BIGINT)"
+                "CAST(CAST(SUM(least(greatest(y, y_lo), y_hi)) AS DECIMAL(38,0)) "
+                "* 1000000 div MAX(n) AS BIGINT)"
             ).alias("wins_mean_micro"),
             F.expr(
                 "CASE WHEN MAX(hi_rank) > MAX(lo_rank) THEN "
-                "CAST(SUM(CASE WHEN _gpos > lo_rank AND _gpos <= hi_rank "
-                "THEN y ELSE 0 END) * 1000000 "
+                "CAST(CAST(SUM(CASE WHEN _gpos > lo_rank AND "
+                "_gpos <= hi_rank THEN y ELSE 0 END) AS DECIMAL(38,0)) "
+                "* 1000000 "
                 "div (MAX(hi_rank) - MAX(lo_rank)) AS BIGINT) END"
             ).alias("trim_mean_micro"),
         )

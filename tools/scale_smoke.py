@@ -1096,25 +1096,27 @@ def main() -> None:
     # bootstrap's 64x amplification collapses map-side (the shuffle
     # carries |B| rows per partition), the winsorized mean rides the
     # sharded rank. SCALE_ONLY=expstats to isolate.
+    # thunk form: these ops build eager materialize() stages, which must
+    # run inside the timer (and not at all when the label is filtered)
     timed(
         "stratified ATE (confounded bands) [expstats]",
-        A.stratified_ate(typed_events),
+        lambda: A.stratified_ate(typed_events),
     )
     timed(
         "MDE/power per arm pair [expstats]",
-        A.mde_power_arms(typed_events),
+        lambda: A.mde_power_arms(typed_events),
     )
     timed(
         "BH-FDR over Welch pairs [expstats]",
-        A.welch_bh_fdr(typed_events),
+        lambda: A.welch_bh_fdr(typed_events),
     )
     timed(
         "Poisson bootstrap CI (64 reps) [expstats]",
-        A.poisson_bootstrap_ci(typed_events),
+        lambda: A.poisson_bootstrap_ci(typed_events),
     )
     timed(
         "winsorized/trimmed mean (sharded ranks) [expstats]",
-        A.winsorized_mean(typed_events),
+        lambda: A.winsorized_mean(typed_events),
     )
 
     # ------------------ round-9: NSW graph-ANN at 100k vectors (wave 46)

@@ -1500,3 +1500,157 @@ def flipbook_motion_oracle_sql(src: str = "documents") -> str:
         FROM frames
         ORDER BY doc_id, frame_idx
     """
+
+
+# ----------------------------------------- audio envelope fingerprinting
+AUDIO_TWIN_OFFSET = 2_000_000  # ≡ 0 mod 32 and mod 5: twin keeps the
+# base doc's frame count and gap layout (envelope), while rate (mod 3)
+# and amplitude (halved) differ — a true "same content, different
+# loudness/encoding" audio near-duplicate
+AUDIO_TWIN_N = 40
+
+
+def synthesize_wav_twinned(docs: DataFrame, n_twins: int = AUDIO_TWIN_N) -> DataFrame:
+    """:func:`synthesize_wav_gapped` plus LOUDNESS TWINS: each of the
+    first ``n_twins`` docs gets a second payload at ``doc_id +
+    AUDIO_TWIN_OFFSET`` whose signal derives every parameter from the
+    BASE id but halves the amplitude — byte-different audio with the
+    identical silence envelope (the honest-threshold discipline of
+    ``plant_near_dups``: the raw corpus alone has no planted audio
+    dups)."""
+    out_schema = "doc_id long, media binary, media_type string"
+    rb, rs, fb, fs, ab, as_ = (
+        WAV_RATE_BASE, WAV_RATE_STEP, WAV_FRAMES_BASE,
+        WAV_FRAMES_STEP, WAV_AMP_BASE, WAV_AMP_STEP,
+    )
+    g0, gs, off = VAD_GAP_START, VAD_GAP_STEP, AUDIO_TWIN_OFFSET
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base = d - off if d >= off else d
+                rate = rb + rs * (d % 3)
+                n = fb + fs * (base % 32)
+                amp = ab + as_ * (base % 1000)
+                if d >= off:
+                    amp //= 2  # >= 250: still nonzero in every sample
+                gap = gs * (base % 5)
+                samples = [amp if i % 2 == 0 else -amp for i in range(n)]
+                for i in range(g0, g0 + gap):
+                    samples[i] = 0
+                buf = io.BytesIO()
+                w = wave.open(buf, "wb")
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(struct.pack(f"<{n}h", *samples))
+                w.close()
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": payloads,
+                    "media_type": ["audio/wav"] * len(pdf),
+                }
+            )
+
+    twins = docs.filter(F.col("doc_id") < n_twins).select(
+        (F.col("doc_id") + off).alias("doc_id")
+    )
+    ids = docs.select("doc_id").unionByName(twins)
+    return _spread_ids(ids).mapInPandas(synth, schema=out_schema)
+
+
+def audio_fingerprint_clusters(media_df: DataFrame) -> DataFrame:
+    """Envelope fingerprint dedup over REAL decoded audio — the
+    echoprint/chromaprint SLOT of an audio curation pipeline on the
+    format this container can really parse: per VAD frame one bit
+    (active = any nonzero PCM sample), the per-doc bitstring is the
+    fingerprint, and docs clustering on the same fingerprint are
+    duplicate CANDIDATES (the same candidates-then-verify discipline
+    as MinHash banding — a fingerprint collision is a candidate, the
+    planted loudness twins are the true pairs the tests pin).
+
+    Output per cluster: the fingerprint, member/twin counts, and the
+    canonical keeper (min doc_id). One Arrow decode map + one
+    combinable groupBy — zero windows, zero shuffles beyond the 160-ish
+    cluster aggregate at any corpus size."""
+    out_schema = "doc_id long, fingerprint string"
+    fr = VAD_FRAME
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                w = wave.open(io.BytesIO(bytes(blob)), "rb")
+                n = w.getnframes()
+                raw = w.readframes(n)
+                w.close()
+                samples = struct.unpack(f"<{n}h", raw)
+                n_frames = (n + fr - 1) // fr
+                bits = "".join(
+                    "1"
+                    if any(
+                        samples[i] != 0
+                        for i in range(f * fr, min((f + 1) * fr, n))
+                    )
+                    else "0"
+                    for f in range(n_frames)
+                )
+                ids.append(doc_id)
+                fps.append(bits)
+            yield pd.DataFrame({"doc_id": ids, "fingerprint": fps})
+
+    per_doc = media_df.mapInPandas(fp, schema=out_schema)
+    return (
+        per_doc.groupBy("fingerprint")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                (F.col("doc_id") >= AUDIO_TWIN_OFFSET).cast("long")
+            ).alias("n_twins"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .orderBy("fingerprint")
+    )
+
+
+def audio_fingerprint_oracle_sql(
+    src: str = "documents", n_twins: int = AUDIO_TWIN_N
+) -> str:
+    """Predict every fingerprint from the synthesis formulas (the
+    :func:`wav_meta_oracle_sql` discipline — no byte parsing; a decoder
+    misread fails the hash gate): frames 0-1 are active, the next
+    ``base % 5`` frames are the planted silence, everything through the
+    (always partially-active) last frame is active again."""
+    off = AUDIO_TWIN_OFFSET
+
+    def fp(base: str) -> str:
+        nf = f"(({WAV_FRAMES_BASE} + {WAV_FRAMES_STEP} * (({base}) % 32)"\
+             f" + {VAD_FRAME - 1}) // {VAD_FRAME})"
+        gapf = f"(({base}) % 5)"
+        return (
+            f"repeat('1', 2) || repeat('0', {gapf}) || "
+            f"repeat('1', {nf} - 2 - {gapf})"
+        )
+
+    return f"""
+        WITH ids AS (
+          SELECT doc_id, doc_id AS base FROM {src}
+          UNION ALL
+          SELECT doc_id + {off}, doc_id FROM {src}
+          WHERE doc_id < {int(n_twins)}
+        ),
+        per_doc AS (
+          SELECT doc_id, {fp('base')} AS fingerprint FROM ids
+        )
+        SELECT fingerprint,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN doc_id >= {off} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_twins,
+               CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+        FROM per_doc GROUP BY fingerprint
+        ORDER BY fingerprint
+    """

@@ -289,6 +289,11 @@ QUERIES = {
     "multimodal_wav_vad": lambda s, d: M.wav_vad_segments(
         M.synthesize_wav_gapped(_docs(s, d))
     ),
+    # r10 wave 52: audio envelope-fingerprint dedup over REAL decoded
+    # PCM with planted loudness twins (same envelope, half amplitude)
+    "multimodal_audio_fingerprint": lambda s, d: M.audio_fingerprint_clusters(
+        M.synthesize_wav_twinned(_docs(s, d))
+    ),
     # corpus-curation pipeline ops
     "corpus_split_assign": lambda s, d: C.split_assign(_docs(s, d)),
     # r6 queue: split-leakage audit — doc-id-hash vs cluster-safe splits
@@ -467,6 +472,7 @@ ORACLES = {
     """,
     "multimodal_wav_decode": M.wav_meta_oracle_sql(),
     "multimodal_wav_vad": M.wav_vad_oracle_sql(),
+    "multimodal_audio_fingerprint": M.audio_fingerprint_oracle_sql(),
     "multimodal_frame_sample": M.flipbook_frames_oracle_sql(),
     "multimodal_bmp_decode": M.bmp_meta_oracle_sql(),
     "multimodal_bmp_resize": M.bmp_resize_meta_oracle_sql(),

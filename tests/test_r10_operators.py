@@ -772,3 +772,25 @@ def test_mann_kendall_planted_trends(spark):
     assert up["trend"] == "increasing" and up["z"] > 4
     assert flat["s_stat"] == 0 and flat["z"] == 0.0
     assert flat["trend"] == "no_trend" and flat["var_s"] == 0.0
+
+
+def test_audio_fingerprint_twins_share_envelope(spark, sf_dir):
+    """Every planted loudness twin must land in its base doc's cluster
+    (same silence envelope despite half amplitude and different rate),
+    and no cluster may consist of twins alone."""
+    from audience_manager_platform_spark.operators import multimodal as M
+    from audience_manager_platform_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = M.audio_fingerprint_clusters(
+        M.synthesize_wav_twinned(docs)
+    ).collect()
+    n_docs_total = docs.count()
+    assert sum(r["n_docs"] for r in out) == n_docs_total + M.AUDIO_TWIN_N
+    assert sum(r["n_twins"] for r in out) == M.AUDIO_TWIN_N
+    for r in out:
+        # a twin can never be alone: its base shares the fingerprint
+        assert r["n_twins"] < r["n_docs"]
+        assert r["keeper_doc_id"] < M.AUDIO_TWIN_OFFSET
+        assert set(r["fingerprint"]) <= {"0", "1"}
+        assert r["fingerprint"].startswith("11")

@@ -370,6 +370,8 @@ ARROW_ALLOWED = {
     "multimodal_flipbook_motion",
     "multimodal_wav_downsample",
     "multimodal_wav_vad",
+    # audio synth + decode-fingerprint kernels (envelope dedup)
+    "multimodal_audio_fingerprint",
     # BMP synth + DCT pHash kernel (Arrow), banded join is relational
     "multimodal_phash_neardup",
     "multimodal_frame_sample",

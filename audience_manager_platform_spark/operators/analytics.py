@@ -5142,3 +5142,162 @@ def winsorized_mean_sql(
                  AS trim_mean_micro
         FROM ranked CROSS JOIN bounds
     """
+
+
+# ----------------------------------- always-valid inference (mSPRT)
+MSPRT_TAU2 = 1.0e8  # mixing variance prior (cents², declared literal)
+
+
+def msprt_always_valid(
+    events: DataFrame,
+    k_arms: int = 4,
+    salt: str = "ab-v1",
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Mixture-SPRT always-valid p-values per arm pair (Pekelis, Walsh &
+    Johari 2015 — the "peeking-proof" inference modern experiment
+    platforms publish instead of fixed-horizon t-tests; reference
+    analogue: none, extension surface): with the mean-difference
+    estimate θ̂ ~ N(θ, V) and a N(0, τ²) mixing prior,
+
+        Λ = sqrt(V/(V+τ²)) · exp(θ̂²·τ²/(2·V·(V+τ²))),
+        p_always_valid = min(1, 1/Λ),
+
+    valid at EVERY interim look simultaneously.  V comes from the exact
+    Welch arm reduce; τ² is the declared literal prior.  The exp()
+    exponent is clamped at 700 (IEEE inf guard) IDENTICALLY on both
+    engines, and Λ is reported in log form too so huge evidence stays
+    finite.  Everything past the per-user reduce is |arms|²-row
+    model-scale."""
+    from ..functions import stable_long_hash
+    from .partitioning import materialize
+
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    base = events.filter(F.col("user_id").isNotNull()).select(
+        "user_id",
+        F.coalesce(cents, F.lit(0)).alias("cents"),
+        F.to_date("ts").alias("d"),
+    )
+    bounds = base.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.expr("date_add(lo, CAST(datediff(hi, lo) div 2 AS INT))").alias(
+            "mid"
+        )
+    )
+    per_user = base.crossJoin(F.broadcast(bounds)).groupBy("user_id").agg(
+        F.sum(F.expr("CASE WHEN d > mid THEN cents ELSE 0 END")).alias("y")
+    ).select(
+        (
+            stable_long_hash(F.col("user_id").cast("string"), salt=salt)
+            % k_arms
+        ).alias("arm"),
+        "y",
+    )
+    arm = materialize(
+        per_user.groupBy("arm").agg(
+            F.count("*").alias("n_a"),
+            F.sum("y").alias("s_a"),
+            F.sum(
+                F.expr("CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))")
+            ).alias("q_a"),
+        )
+    )
+    tau2 = float(MSPRT_TAU2)
+    x, y = arm.alias("x"), arm.alias("y")
+    pairs = x.join(y, F.col("x.arm") < F.col("y.arm")).select(
+        F.col("x.arm").cast("long").alias("arm_a"),
+        F.col("y.arm").cast("long").alias("arm_b"),
+        F.col("x.n_a").cast("long").alias("n_a"),
+        F.col("y.n_a").cast("long").alias("n_b"),
+        F.expr(
+            "CAST(x.s_a AS DOUBLE) / x.n_a - CAST(y.s_a AS DOUBLE) / y.n_a"
+        ).alias("theta"),
+        F.expr(
+            "CASE WHEN x.n_a > 1 AND y.n_a > 1 THEN "
+            "((CAST(x.q_a AS DOUBLE) - CAST(x.s_a AS DOUBLE) "
+            "* CAST(x.s_a AS DOUBLE) / x.n_a) / (x.n_a - 1)) / x.n_a + "
+            "((CAST(y.q_a AS DOUBLE) - CAST(y.s_a AS DOUBLE) "
+            "* CAST(y.s_a AS DOUBLE) / y.n_a) / (y.n_a - 1)) / y.n_a END"
+        ).alias("v"),
+    )
+    log_lam = (
+        f"0.5 * ln(v / (v + {tau2!r})) + "
+        f"least(700.0, theta * theta * {tau2!r} / (2 * v * (v + {tau2!r})))"
+    )
+    return pairs.filter(F.col("v").isNotNull() & (F.col("v") > 0)).select(
+        "arm_a",
+        "arm_b",
+        "n_a",
+        "n_b",
+        F.round("theta", 6).alias("theta_cents"),
+        F.round(F.expr(log_lam), 6).alias("log_lambda"),
+        F.round(
+            F.expr(f"least(1.0, exp(-({log_lam})))"), 6
+        ).alias("p_always_valid"),
+        F.expr(
+            f"least(1.0, exp(-({log_lam}))) <= {float(alpha)!r}"
+        ).alias("significant"),
+    ).orderBy("arm_a", "arm_b")
+
+
+def msprt_always_valid_sql(
+    src: str = "events",
+    k_arms: int = 4,
+    salt: str = "ab-v1",
+    alpha: float = 0.05,
+) -> str:
+    from ..functions import HASH60_DUCK_SQL
+
+    h = HASH60_DUCK_SQL.format(x=f"'{salt}' || CAST(user_id AS VARCHAR)")
+    tau2 = float(MSPRT_TAU2)
+    log_lam = (
+        f"0.5 * ln(v / (v + {tau2!r})) + "
+        f"least(700.0, theta * theta * {tau2!r} / (2 * v * (v + {tau2!r})))"
+    )
+    return f"""
+        WITH base AS (
+          SELECT user_id,
+                 COALESCE(CAST(floor(value * 100 + 0.5) AS BIGINT), 0)
+                   AS cents,
+                 CAST(ts AS DATE) AS d
+          FROM {src} WHERE user_id IS NOT NULL
+        ),
+        bounds AS (
+          SELECT MIN(d) + CAST((MAX(d) - MIN(d)) // 2 AS INTEGER) AS mid
+          FROM base
+        ),
+        per_user AS (
+          SELECT ({h}) % {int(k_arms)} AS arm,
+                 CAST(SUM(CASE WHEN d > (SELECT mid FROM bounds)
+                          THEN cents ELSE 0 END) AS BIGINT) AS y
+          FROM base GROUP BY user_id
+        ),
+        arm AS (
+          SELECT arm, COUNT(*) AS n_a, SUM(y) AS s_a,
+                 SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS q_a
+          FROM per_user GROUP BY arm
+        ),
+        pairs AS (
+          SELECT CAST(x.arm AS BIGINT) AS arm_a,
+                 CAST(y.arm AS BIGINT) AS arm_b,
+                 CAST(x.n_a AS BIGINT) AS n_a,
+                 CAST(y.n_a AS BIGINT) AS n_b,
+                 CAST(x.s_a AS DOUBLE) / x.n_a
+                   - CAST(y.s_a AS DOUBLE) / y.n_a AS theta,
+                 CASE WHEN x.n_a > 1 AND y.n_a > 1 THEN
+                   ((CAST(x.q_a AS DOUBLE) - CAST(x.s_a AS DOUBLE)
+                     * CAST(x.s_a AS DOUBLE) / x.n_a) / (x.n_a - 1))
+                     / x.n_a +
+                   ((CAST(y.q_a AS DOUBLE) - CAST(y.s_a AS DOUBLE)
+                     * CAST(y.s_a AS DOUBLE) / y.n_a) / (y.n_a - 1))
+                     / y.n_a END AS v
+          FROM arm x JOIN arm y ON x.arm < y.arm
+        )
+        SELECT arm_a, arm_b, n_a, n_b,
+               ROUND(theta, 6) AS theta_cents,
+               ROUND({log_lam}, 6) AS log_lambda,
+               ROUND(LEAST(1.0, exp(-({log_lam}))), 6) AS p_always_valid,
+               LEAST(1.0, exp(-({log_lam}))) <= {float(alpha)!r}
+                 AS significant
+        FROM pairs WHERE v IS NOT NULL AND v > 0
+        ORDER BY arm_a, arm_b
+    """

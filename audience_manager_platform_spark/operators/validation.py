@@ -2624,3 +2624,161 @@ def benford_price_audit_sql(src: str, value_col: str) -> str:
         FROM counts CROSS JOIN tot
         ORDER BY digit
     """
+
+
+# ----------------------------- local DP: randomized response release
+RR_KEEP_P = 0.75  # probability a report keeps the true value
+RR_SALT = "rr-v1"
+
+
+def randomized_response_estimate(
+    df: "DataFrame",
+    group_col: str = "event_type",
+    keep_p: float = RR_KEEP_P,
+    salt: str = RR_SALT,
+) -> "DataFrame":
+    """Generalized randomized response with debiased share estimates
+    (Warner 1965; the LOCAL-DP mechanism of RAPPOR-class telemetry —
+    each row's category is perturbed BEFORE aggregation, so the
+    collector never holds true rows; reference analogue: none,
+    extension surface): with probability ``keep_p`` a row reports its
+    true category, otherwise a uniform category from the k-value
+    domain; the collector debiases observed shares via
+
+        est_share = (obs_share − (1−p)/k) / p,
+
+    unbiased for the true share (estimates can dip below 0 at small n —
+    reported as-is, documented).  This is the row-level companion of
+    :func:`dp_noisy_counts` (aggregate Laplace release): same seeded-
+    randomness discipline and the same documented trade — a KNOWN salt
+    is replayable, production rotates a secret one.
+
+    Scale shape: one narrow per-row perturbation (two portable hashes),
+    a broadcast k-row domain join for the uniform draw, and two
+    map-side-combinable category aggregates; the domain index is
+    derived by a |k|²-row self-join (no window at any scale).  Output
+    per category: true/reported counts and true/estimated shares."""
+    base = df.filter(F.col(group_col).isNotNull()).select(
+        F.col("event_id").alias("_id"), F.col(group_col).alias("v")
+    )
+    from ..functions import stable_long_hash
+
+    vals = base.select("v").distinct()
+    t1, t2 = vals.alias("t1"), vals.alias("t2")
+    types = (
+        t1.join(t2, F.col("t2.v") < F.col("t1.v"), "left")
+        .groupBy(F.col("t1.v").alias("v"))
+        .agg(F.count(F.col("t2.v")).alias("idx"))
+    )
+    k_row = types.agg(F.count("*").alias("k"))
+    u1 = (
+        stable_long_hash(F.col("_id").cast("string"), salt=salt + ":keep")
+        % 1_000_000
+    ) / 1_000_000.0
+    ridx = (
+        stable_long_hash(F.col("_id").cast("string"), salt=salt + ":draw")
+        % F.col("k")
+    )
+    perturbed = (
+        base.crossJoin(F.broadcast(k_row))
+        .select(
+            "v",
+            F.when(u1 < F.lit(float(keep_p)), F.lit(None).cast("long"))
+            .otherwise(ridx)
+            .alias("ridx"),
+        )
+        .join(
+            F.broadcast(types.select(F.col("idx"), F.col("v").alias("rv"))),
+            F.col("ridx") == F.col("idx"),
+            "left",
+        )
+        .select("v", F.coalesce("rv", "v").alias("reported"))
+    )
+    truth = perturbed.groupBy("v").agg(F.count("*").alias("n_true"))
+    obs = perturbed.groupBy(F.col("reported").alias("v")).agg(
+        F.count("*").alias("n_reported")
+    )
+    tot = perturbed.agg(F.count("*").alias("n"))
+    p = float(keep_p)
+    est = (
+        f"(CAST(n_reported AS DOUBLE) / n - (1 - {p!r}) / k) / {p!r}"
+    )
+    return (
+        truth.join(obs, "v", "full")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(k_row))
+        .select(
+            F.col("v").alias(group_col),
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_reported", F.lit(0)).cast("long").alias(
+                "n_reported"
+            ),
+            F.round(
+                F.expr("CAST(COALESCE(n_true, 0) AS DOUBLE) / n"), 6
+            ).alias("true_share"),
+            F.round(
+                F.expr(est.replace(
+                    "n_reported", "COALESCE(n_reported, 0)"
+                )), 6
+            ).alias("est_share"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def randomized_response_estimate_sql(
+    src: str = "events",
+    group_col: str = "event_type",
+    keep_p: float = RR_KEEP_P,
+    salt: str = RR_SALT,
+) -> str:
+    from ..functions import HASH60_DUCK_SQL
+
+    h_keep = HASH60_DUCK_SQL.format(
+        x=f"'{salt}:keep' || CAST(_id AS VARCHAR)"
+    )
+    h_draw = HASH60_DUCK_SQL.format(
+        x=f"'{salt}:draw' || CAST(_id AS VARCHAR)"
+    )
+    p = float(keep_p)
+    return f"""
+        WITH base AS (
+          SELECT event_id AS _id, {group_col} AS v FROM {src}
+          WHERE {group_col} IS NOT NULL
+        ),
+        vals AS (SELECT DISTINCT v FROM base),
+        types AS (
+          SELECT t1.v, COUNT(t2.v) AS idx
+          FROM vals t1 LEFT JOIN vals t2 ON t2.v < t1.v
+          GROUP BY t1.v
+        ),
+        kk AS (SELECT COUNT(*) AS k FROM types),
+        perturbed AS (
+          SELECT b.v,
+                 COALESCE(t.rv, b.v) AS reported
+          FROM (
+            SELECT v,
+                   CASE WHEN (({h_keep}) % 1000000) / 1000000.0 < {p!r}
+                        THEN NULL
+                        ELSE ({h_draw}) % (SELECT k FROM kk) END AS ridx
+            FROM base
+          ) b
+          LEFT JOIN (SELECT idx, v AS rv FROM types) t ON b.ridx = t.idx
+        ),
+        truth AS (SELECT v, COUNT(*) AS n_true FROM perturbed GROUP BY v),
+        obs AS (
+          SELECT reported AS v, COUNT(*) AS n_reported
+          FROM perturbed GROUP BY reported
+        ),
+        tot AS (SELECT COUNT(*) AS n FROM perturbed)
+        SELECT COALESCE(truth.v, obs.v) AS {group_col},
+               CAST(COALESCE(n_true, 0) AS BIGINT) AS n_true,
+               CAST(COALESCE(n_reported, 0) AS BIGINT) AS n_reported,
+               ROUND(CAST(COALESCE(n_true, 0) AS DOUBLE) / n, 6)
+                 AS true_share,
+               ROUND((CAST(COALESCE(n_reported, 0) AS DOUBLE) / n
+                      - (1 - {p!r}) / k) / {p!r}, 6) AS est_share
+        FROM truth FULL JOIN obs ON truth.v = obs.v
+        CROSS JOIN tot CROSS JOIN kk
+        ORDER BY {group_col}
+    """

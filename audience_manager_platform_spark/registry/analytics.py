@@ -306,6 +306,10 @@ QUERIES = {
     "analytics_winsorized_mean": lambda s, d: A.winsorized_mean(
         load_table(s, d, "events")
     ),
+    # r10 wave 53: mixture-SPRT always-valid p per pair (peeking-proof)
+    "analytics_msprt_always_valid": lambda s, d: A.msprt_always_valid(
+        load_table(s, d, "events")
+    ),
 }
 
 _DAILY_TOTALS_TMPL = """
@@ -493,6 +497,7 @@ ORACLES = {
     "analytics_stratified_ate": A.stratified_ate_sql(),
     "analytics_poisson_bootstrap_ci": A.poisson_bootstrap_ci_sql(),
     "analytics_winsorized_mean": A.winsorized_mean_sql(),
+    "analytics_msprt_always_valid": A.msprt_always_valid_sql(),
     "segment_overlap_matrix": """
         WITH per_user AS (
           SELECT user_id,

@@ -134,6 +134,8 @@ from ..operators.validation import (
     validate_table,
     validate_table_sql,
     dp_noisy_counts,
+    randomized_response_estimate,
+    randomized_response_estimate_sql,
     dp_noisy_counts_sql,
     partition_completeness,
     partition_completeness_sql,
@@ -468,6 +470,10 @@ QUERIES = {
     # row-release gate (seeded noise — see dp_noisy_counts docstring)
     "privacy_dp_event_counts": lambda s, d: dp_noisy_counts(
         _events(s, d), "event_type", epsilon=1.0
+    ),
+    # r10 wave 53: local-DP randomized response with debiased shares
+    "privacy_randomized_response": lambda s, d: randomized_response_estimate(
+        _events(s, d)
     ),
     "privacy_k_anonymity_customer": lambda s, d: k_anonymity_audit(
         load_table(s, d, "customer").select(
@@ -807,6 +813,7 @@ ORACLES = {
     "privacy_dp_event_counts": dp_noisy_counts_sql(
         "events", "event_type", epsilon=1.0
     ),
+    "privacy_randomized_response": randomized_response_estimate_sql(),
     "privacy_k_anonymity_customer": k_anonymity_audit_sql(
         "(SELECT c_nationkey, c_mktsegment,"
         " CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band"

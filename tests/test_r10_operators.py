@@ -794,3 +794,51 @@ def test_audio_fingerprint_twins_share_envelope(spark, sf_dir):
         assert r["keeper_doc_id"] < M.AUDIO_TWIN_OFFSET
         assert set(r["fingerprint"]) <= {"0", "1"}
         assert r["fingerprint"].startswith("11")
+
+
+def test_msprt_always_valid_shape(spark, sf_dir):
+    from audience_manager_platform_spark.operators.analytics import (
+        msprt_always_valid,
+    )
+    from audience_manager_platform_spark.sources import load_table
+
+    out = msprt_always_valid(load_table(spark, sf_dir, "events")).collect()
+    assert len(out) == 6
+    for r in out:
+        assert 0 <= r["p_always_valid"] <= 1
+        assert r["significant"] == (r["p_always_valid"] <= 0.05)
+        # mixture LR identity: p = min(1, exp(-log_lambda)) at 6dp slack
+        import math
+
+        assert abs(
+            r["p_always_valid"] - min(1.0, math.exp(-r["log_lambda"]))
+        ) < 1e-5
+
+
+def test_randomized_response_debias_converges(spark):
+    """Synthetic 3-category corpus with known shares: the debiased
+    estimates must land within the binomial noise band while the RAW
+    reported shares are measurably biased toward uniform."""
+    from pyspark.sql import functions as F
+
+    from audience_manager_platform_spark.operators.validation import (
+        randomized_response_estimate,
+    )
+
+    n = 30_000
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.expr(
+            "CASE WHEN id % 10 < 7 THEN 'a' WHEN id % 10 < 9 THEN 'b' "
+            "ELSE 'c' END"
+        ).alias("event_type"),
+    )
+    got = {r["event_type"]: r for r in
+           randomized_response_estimate(ev).collect()}
+    for v, true_share in (("a", 0.7), ("b", 0.2), ("c", 0.1)):
+        r = got[v]
+        assert abs(r["true_share"] - true_share) < 0.01
+        assert abs(r["est_share"] - r["true_share"]) < 0.02, (v, r)
+        # the raw report IS biased toward uniform (1/3) — debias matters
+        raw = r["n_reported"] / n
+        assert abs(raw - true_share) > abs(r["est_share"] - true_share)

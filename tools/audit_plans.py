@@ -266,6 +266,11 @@ NESTED_LOOP_ALLOWED = {
     "analytics_poisson_bootstrap_ci",
     # winsorized mean: 1-row n/boundary broadcasts onto the ranked table
     "analytics_winsorized_mean",
+    # mSPRT: the same |arms|² pair join + 1-row midpoint broadcast
+    "analytics_msprt_always_valid",
+    # randomized response: |k|² domain-index self-join (closed value
+    # set) + 1-row k/total broadcasts
+    "privacy_randomized_response",
 }
 
 # Queries whose plan contains an UNPARTITIONED WindowExec (global

@@ -934,3 +934,59 @@ def test_partition_completeness_grid_and_verdicts(spark, counts):
                 assert r.verdict == "low"
             else:
                 assert r.verdict == "ok"
+
+
+# --------------------------- sharded global rank: randomized bit-parity
+# The r10 escalation levels (width buckets, hot-shard value re-bucket,
+# constant-value tiebreak surrogate, explicit NULL shards) must be
+# BIT-IDENTICAL to the unpartitioned ANSI window on ARBITRARY value
+# distributions — not just the hand-picked pins in test_r10_operators.
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    values=st.lists(
+        st.one_of(
+            st.none(),
+            st.integers(min_value=-5, max_value=5),  # heavy ties
+            st.integers(min_value=-10_000, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    descending=st.booleans(),
+    hot=st.booleans(),
+)
+def test_global_row_positions_random_distributions(
+    spark, values, descending, hot
+):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from audience_manager_platform_spark.operators.partitioning import (
+        global_row_positions,
+    )
+
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(values)], "v long, k long"
+    )
+    kwargs = {"hot_shard_rows": 8, "n_sub": 4} if hot else {}
+    got = global_row_positions(
+        df, "v", ["k"], descending=descending, **kwargs
+    ).select("v", "k", "_gpos")
+    order = (
+        [F.desc_nulls_last("v"), F.asc("k")]
+        if descending
+        else [F.asc_nulls_first("v"), F.asc("k")]
+    )
+    exp = df.select(
+        "v",
+        "k",
+        F.row_number().over(Window.orderBy(*order)).cast("long").alias(
+            "_gpos"
+        ),
+    )
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0

@@ -703,10 +703,18 @@ def connected_components(
     # The labels table is |V(edges)|, not |corpus|; isolated docs are
     # stitched back with cluster_id = own id after convergence. (edges
     # carries both directions, so src alone covers every endpoint.)
+    # Seed = the identity labelling ALREADY PROPAGATED ONCE: label(v) =
+    # min(v, min incoming neighbour). This is exactly what round 0 of
+    # the loop produced from the identity seed (msgs over identity
+    # labels = min incoming src), computed as ONE join-free aggregate —
+    # the identity-seed materialize plus a full join round are gone
+    # (r10 optimization; symmetric edges, so dst covers every endpoint).
     labels = materialize(
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("cluster_id"))
+        edges.groupBy(F.col("dst").alias("id"))
+        .agg(F.min("src").alias("_m"))
+        .select(
+            "id", F.least(F.col("id"), F.col("_m")).alias("cluster_id")
+        )
     )
     try:
         for _ in range(max_iter):
@@ -725,8 +733,21 @@ def connected_components(
                     & (F.col("incoming") < F.col("cluster_id"))
                 ).alias("changed"),
             )
-            updated = materialize(updated)
-            n_changed = updated.filter("changed").count()
+            # convergence metric rides the materialize WRITE job itself
+            # (Dataset.observe): the former separate `filter(changed)
+            # .count()` re-read doubled the job count of every round —
+            # at fixture scale each round is fixed-overhead-dominated,
+            # so this halves the loop's wall-clock (r10 optimization)
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            updated = materialize(
+                updated.observe(
+                    obs,
+                    F.sum(F.col("changed").cast("long")).alias("n_changed"),
+                )
+            )
+            n_changed = obs.get["n_changed"] or 0
             labels = updated.drop("changed")
             if n_changed == 0:
                 break
@@ -1812,37 +1833,61 @@ def edit_distance_pairs(
     ``dedup_ngram_jaccard_capped`` hot-cap discipline: a degenerate
     corpus (every doc sharing a boilerplate prefix) caps at
     max_block^2 comparisons per block instead of n^2. Levenshtein is
-    codegen (``F.levenshtein``) — O(len_a * len_b) per CANDIDATE pair
-    only, never per cross pair."""
+    codegen (``F.levenshtein``) — per CANDIDATE pair only, never per
+    cross pair — and BOUNDED (the 3-arg threshold form): the banded DP
+    costs O(max_dist * min_len) instead of O(len_a * len_b) and bails
+    out early, exact for every distance <= max_dist and -1 beyond, so
+    the kept rows (and their ``dist`` values) are identical to the
+    unbounded form while the dominant non-matching pairs cost ~len
+    instead of ~len² (r10 optimization; measured 6.6 s -> see
+    OPTIMIZATION_r10.md)."""
+    from pyspark.sql import Window
+
+    from .partitioning import materialize, spread
+
     base = spread(docs).select(
         "doc_id",
         "text",
         F.substring("text", 1, prefix_len).alias("blk"),
         F.length("text").alias("ln"),
     )
-    ok = (
-        base.groupBy("blk")
-        .count()
-        .filter(F.col("count") <= max_block)
-        .select("blk")
+    # block-size cap as ONE windowed count over the blk exchange (the
+    # former groupBy + semi-join recomputed the whole upstream twice),
+    # and the surviving table is MATERIALIZED once: both sides of the
+    # self-join below read the same temp columnar table instead of each
+    # replaying scan→union→spread→count (r10 optimization: the before
+    # plan carried 4 parquet scans and 2 block-count aggregates; the
+    # after plan carries 1 of each)
+    kept = materialize(
+        base.withColumn(
+            "_bn", F.count("*").over(Window.partitionBy("blk"))
+        )
+        .filter(F.col("_bn") <= max_block)
+        .drop("_bn")
     )
-    kept = base.join(ok, "blk")
     a, b = kept.alias("a"), kept.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                F.abs(F.col("a.ln") - F.col("b.ln")) <= max_len_diff
-            ),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.levenshtein(F.col("a.text"), F.col("b.text")).alias("dist"),
-        )
-        .filter(F.col("dist") <= max_dist)
+    # The distance cut lives INSIDE the join condition, as the LAST
+    # conjunct: a post-join `.filter(dist <= k)` gets pushed into the
+    # join condition anyway — but PREPENDED, so the DP ran for every
+    # blk-matched candidate BEFORE the cheap id/length cuts (measured
+    # ~2 s of the before cost at sf0.1). Conjunct order short-circuits:
+    # the DP now runs only on candidates surviving the cheap cuts, and
+    # it returns -1 past max_dist, so `>= 0` IS the `<= max_dist` cut.
+    return a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.abs(F.col("a.ln") - F.col("b.ln")) <= max_len_diff)
+        & (
+            F.levenshtein(F.col("a.text"), F.col("b.text"), int(max_dist))
+            >= 0
+        ),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.levenshtein(
+            F.col("a.text"), F.col("b.text"), int(max_dist)
+        ).alias("dist"),
     )
 
 

@@ -70,7 +70,13 @@ def fuzzy_blocked_pairs(
     pairs = left.join(right, on="_blk").filter(
         cond[0] if len(cond) == 1 else cond[0] & cond[1]
     )
-    dist = F.levenshtein(F.col("a_name"), F.col("b_name"))
+    # bounded (3-arg) levenshtein: exact for distances <= max_distance,
+    # -1 beyond — the banded DP costs O(max_distance * len) instead of
+    # O(len²) on the dominant non-matching candidates, and the -1 rows
+    # are exactly the rows the BETWEEN filter already dropped
+    dist = F.levenshtein(
+        F.col("a_name"), F.col("b_name"), int(max_distance)
+    )
     out = pairs.select(
         "a_key",
         "b_key",
@@ -126,6 +132,7 @@ def entity_clusters(
     name_col: str,
     agree_col: str | None = None,
     max_distance: int = 3,
+    cc: DataFrame | None = None,
 ) -> DataFrame:
     """The second half of entity resolution: pairwise matches from
     :func:`fuzzy_blocked_pairs` are only EVIDENCE — the deliverable is
@@ -140,14 +147,20 @@ def entity_clusters(
 
     Output is the master-data table an MDM/curation pipeline persists:
     one row per resolved entity that actually merged records.
+
+    ``cc`` lets the caller pass a precomputed component table (doc_id,
+    cluster_id) — the registry shares ONE fuzzy-pair + CC build between
+    this and :func:`survivorship`, which run the identical match graph
+    (r10 optimization; the CC loop is the dominant cost of both).
     """
     from .dedup import connected_components
 
-    pairs = fuzzy_blocked_pairs(
-        df, key_col, name_col, agree_col=agree_col, max_distance=max_distance
-    ).select(F.col("a_key").alias("doc_a"), F.col("b_key").alias("doc_b"))
-    nodes = df.select(F.col(key_col).alias("doc_id"))
-    cc = connected_components(pairs, nodes)
+    if cc is None:
+        pairs = fuzzy_blocked_pairs(
+            df, key_col, name_col, agree_col=agree_col, max_distance=max_distance
+        ).select(F.col("a_key").alias("doc_a"), F.col("b_key").alias("doc_b"))
+        nodes = df.select(F.col(key_col).alias("doc_id"))
+        cc = connected_components(pairs, nodes)
     members = cc.join(
         df.select(
             F.col(key_col).alias("doc_id"), F.col(name_col).alias("_name")
@@ -213,6 +226,7 @@ def survivorship(
     attrs: tuple[str, ...],
     agree_col: str | None = None,
     max_distance: int = 3,
+    cc: DataFrame | None = None,
 ) -> DataFrame:
     """Golden-record construction — the step after
     :func:`entity_clusters` that MDM pipelines actually ship: for every
@@ -232,11 +246,12 @@ def survivorship(
 
     from .dedup import connected_components
 
-    pairs = fuzzy_blocked_pairs(
-        df, key_col, name_col, agree_col=agree_col, max_distance=max_distance
-    ).select(F.col("a_key").alias("doc_a"), F.col("b_key").alias("doc_b"))
-    nodes = df.select(F.col(key_col).alias("doc_id"))
-    cc = connected_components(pairs, nodes)
+    if cc is None:
+        pairs = fuzzy_blocked_pairs(
+            df, key_col, name_col, agree_col=agree_col, max_distance=max_distance
+        ).select(F.col("a_key").alias("doc_a"), F.col("b_key").alias("doc_b"))
+        nodes = df.select(F.col(key_col).alias("doc_id"))
+        cc = connected_components(pairs, nodes)
     members = cc.join(
         df.select(F.col(key_col).alias("doc_id"), name_col, *attrs), "doc_id"
     )
@@ -373,7 +388,12 @@ def blocking_quality(
         .select(
             F.col("a._k").alias("ka"),
             F.col("b._k").alias("kb"),
-            F.levenshtein(F.col("a._name"), F.col("b._name")).alias("dist"),
+            # bounded: truth only keeps dist in 1..max_distance, and the
+            # -1 overflow sentinel fails that filter like any larger
+            # distance would
+            F.levenshtein(
+                F.col("a._name"), F.col("b._name"), int(max_distance)
+            ).alias("dist"),
             (F.col("a._blk") == F.col("b._blk")).alias("same_block"),
         )
     )
@@ -493,10 +513,24 @@ def fellegi_sunter_patterns(parts: DataFrame) -> DataFrame:
     weight is a fixed-order four-term expression over those u doubles,
     rounded once at 6dp.
 
-    Scale shape: four |values|-row frequency aggregates folded to one
-    broadcast row, one brand-keyed equi-join (Σ|block|² candidate cost,
-    the family's blocking discipline — never all-pairs), one map-side
-    combinable pattern aggregate; output ≤ 16 rows at any data size.
+    Scale shape (r10 optimization): the agreement-pattern COUNTS are
+    computed WITHOUT materializing the candidate pairs at all. For any
+    field subset S, the number of same-block pairs agreeing on at least
+    S is Σ_groups C(|group|, 2) grouped by (block, S) — one CUBE over
+    the per-combination frequency table yields all 16 subset counts in
+    a single pass, and inclusion–exclusion (n_exact(T) = Σ_{S⊇T}
+    (-1)^{|S\\T|} n_atleast(S)) recovers the exact per-pattern counts.
+    That replaces the former Σ|block|² equi-join (8M candidate rows at
+    sf0.1, quadratic in block size at scale) with three linear, map-side
+    combinable aggregates; every count stays an exact bigint, so the
+    output is bit-identical to the pair-join form (oracle-verified).
+    Four |values|-row frequency aggregates still fold to one broadcast
+    row for the u-probabilities; output ≤ 16 rows at any data size.
+
+    Correctness note for the identity: group-by equality treats two
+    NULLs as agreeing while the former `a.f = b.f` join predicate did
+    not — all four fields come from non-null TPC-H part columns, so the
+    two semantics coincide here (enforced by the oracle hash).
 
     Reference scope note: like the rest of this family, no reference
     analogue (exact-predicate engine only) — extension surface."""
@@ -527,20 +561,59 @@ def fellegi_sunter_patterns(parts: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(_u("f_tok")))
         .crossJoin(F.broadcast(_u("f_band")))
     )
-    a, b = base.alias("a"), base.alias("b")
-    pairs = a.join(
-        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.k") < F.col("b.k"))
-    ).select(
-        *[
-            (F.col(f"a.{f}") == F.col(f"b.{f}"))
-            .cast("int")
-            .alias(f.replace("f_", "agree_"))
-            for f in ("f_type", "f_size", "f_tok", "f_band")
-        ]
+    fields = ("f_type", "f_size", "f_tok", "f_band")
+    # per-combination frequencies: C(c,2) pairs inside each finest cell
+    finest = base.groupBy("blk", *fields).agg(F.count("*").alias("c"))
+    # ONE cube pass = all 16 "agree on at least S" groupings. cube() also
+    # emits the 16 groupings that aggregate away blk — dropped via
+    # grouping_id (bit 4, the first cube column); pair counting is only
+    # valid within a block.
+    cubed = finest.cube("blk", *fields).agg(
+        F.sum("c").alias("cs"), F.grouping_id().alias("gid")
     )
-    patt = pairs.groupBy(
-        "agree_type", "agree_size", "agree_tok", "agree_band"
-    ).agg(F.count("*").alias("n_pairs"))
+    # gid bit (3-i) == 0  ⇔  fields[i] is grouped (in S); mask bit i = 1
+    # ⇔ fields[i] in S, matching the agree_* bit order below
+    mask_expr = F.expr(
+        "CAST((1 - ((gid >> 3) & 1))"
+        " + 2 * (1 - ((gid >> 2) & 1))"
+        " + 4 * (1 - ((gid >> 1) & 1))"
+        " + 8 * (1 - (gid & 1)) AS INT)"
+    )
+    atleast = (
+        cubed.filter(F.col("gid") < 16)
+        .select(mask_expr.alias("mask"), "cs")
+        .groupBy("mask")
+        .agg(F.sum(F.expr("cs * (cs - 1) div 2")).alias("at_least"))
+    )
+    # inclusion–exclusion over the 16-row subset table: exact-pattern
+    # count = alternating-sign sum of the superset at-least counts
+    pats = (
+        base.sparkSession.range(16)
+        .select(F.col("id").cast("int").alias("pmask"))
+    )
+    patt = (
+        pats.join(
+            F.broadcast(atleast),
+            F.expr("(mask & pmask) = pmask"),
+        )
+        .groupBy("pmask")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN bit_count(mask ^ pmask) % 2 = 0"
+                    " THEN at_least ELSE -at_least END"
+                )
+            ).alias("n_pairs")
+        )
+        .filter(F.col("n_pairs") >= 1)
+        .select(
+            F.expr("CAST(pmask & 1 AS INT)").alias("agree_type"),
+            F.expr("CAST((pmask >> 1) & 1 AS INT)").alias("agree_size"),
+            F.expr("CAST((pmask >> 2) & 1 AS INT)").alias("agree_tok"),
+            F.expr("CAST((pmask >> 3) & 1 AS INT)").alias("agree_band"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+        )
+    )
     ud = " CAST(un_f_{f} AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) "
     term = (
         "CASE WHEN agree_{g} = 1 THEN log2({m} / ({u})) "

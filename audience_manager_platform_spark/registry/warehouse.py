@@ -190,6 +190,33 @@ def _co_edges(s, d):
     )
 
 
+def _er_part_cc(s, d):
+    """Shared ER component table (doc_id=p_partkey, cluster_id) over the
+    part match graph — the fuzzy-pair build and the iterative CC loop are
+    the dominant cost of BOTH er_entity_clusters and er_survivorship,
+    which resolve the identical graph (same block key, same agreement,
+    same distance cut). A curation warehouse keeps the resolved-entity
+    table as a standing asset; building it once per session is that
+    shape (r10 optimization — same discipline as the MinHash signature /
+    co-purchase edge sharing from r8)."""
+    from ..operators.dedup import connected_components
+    from ..operators.er import fuzzy_blocked_pairs
+    from ._shared import shared
+
+    def build():
+        part = load_table(s, d, "part")
+        pairs = fuzzy_blocked_pairs(
+            part, "p_partkey", "p_name", agree_col="p_brand", max_distance=3
+        ).select(
+            F.col("a_key").alias("doc_a"), F.col("b_key").alias("doc_b")
+        )
+        return connected_components(
+            pairs, part.select(F.col("p_partkey").alias("doc_id"))
+        )
+
+    return shared(s, ("er_part_cc", d), build)
+
+
 def _events(spark, sf_dir):
     return load_table(spark, sf_dir, "events")
 
@@ -551,12 +578,14 @@ QUERIES = {
         max_distance=3,
     ),
     # r6 queue: transitive closure of the ER match graph -> entity table
+    # (component table shared with er_survivorship — identical graph)
     "er_entity_clusters": lambda s, d: entity_clusters(
         load_table(s, d, "part"),
         "p_partkey",
         "p_name",
         agree_col="p_brand",
         max_distance=3,
+        cc=_er_part_cc(s, d),
     ),
     # r6 queue: per-node triangle participation over the co-purchase
     # graph (parts sharing >= 2 orders; wedge-closure joins)
@@ -692,6 +721,7 @@ QUERIES = {
         ("p_brand", "p_type", "p_size"),
         agree_col="p_brand",
         max_distance=3,
+        cc=_er_part_cc(s, d),
     ),
     # r10 wave 50: Fellegi-Sunter agreement-pattern match weights over
     # brand-blocked part pairs (u from exact squared value frequencies)

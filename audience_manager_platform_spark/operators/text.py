@@ -1393,45 +1393,70 @@ def _bpe_symbol_table(docs: DataFrame) -> DataFrame:
     )
 
 
-def _bpe_apply_merge(syms: DataFrame, left: str, right: str) -> DataFrame:
+def _bpe_apply_merge(
+    syms: DataFrame, left: str, right: str, materialized: bool = True
+) -> DataFrame:
     """One greedy left-to-right non-overlapping merge application —
     shared verbatim by the training loop and the encoder so the two can
-    never drift (islands-parity windows; see :func:`bpe_train`)."""
+    never drift.
+
+    r10 optimization: reformulated as ONE ordered window pass. The
+    former islands-parity form filtered the matches out, ranked them,
+    re-partitioned by (word, island) for the parity offset, and joined
+    the taken/absorbed position sets back twice — 2+ exchanges and two
+    self-joins per merge. The same greedy semantics falls out of
+    running-window expressions over the intact sequence: a pair-start
+    is TAKEN iff its distance to the start of its maximal run of
+    consecutive pair-starts is even (greedy takes every other overlap),
+    and a row is ABSORBED iff its predecessor was taken — all
+    computable with lead/lag/running-max over the ONE (word, pos)
+    window, so each merge costs a single exchange and zero joins.
+    Output rows/values are identical (oracle + pinned-fixture tests).
+
+    ``materialized`` lets the encoder chain merges lazily (its
+    intermediate tables have exactly one consumer each — the next
+    merge); the training loop keeps the default, since each superstep's
+    table feeds BOTH the next best-pair collect and the next merge."""
     from pyspark.sql import Window
 
     from .partitioning import materialize
 
     w = Window.partitionBy("word").orderBy("pos")
-    with_next = syms.withColumn("nxt", F.lead("sym").over(w))
-    matched = (
-        with_next.filter((F.col("sym") == left) & (F.col("nxt") == right))
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("isl", F.col("pos") - F.col("rn"))
+    run = F.max(F.when(F.col("_rs"), F.col("pos"))).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
     )
-    taken = (
-        matched.withColumn(
-            "off",
-            F.col("rn") - F.min("rn").over(Window.partitionBy("word", "isl")),
+    staged = (
+        syms.withColumn(
+            "_p",
+            F.coalesce(
+                (F.col("sym") == left)
+                & (F.lead("sym").over(w) == F.lit(right)),
+                F.lit(False),
+            ),
         )
-        .filter(F.col("off") % 2 == 0)
-        .select("word", "pos", F.lit(True).alias("is_taken"))
-    )
-    absorbed = taken.select(
-        "word", (F.col("pos") + 1).alias("pos"), F.lit(True).alias("was_absorbed")
-    )
-    return materialize(
-        syms.join(taken, ["word", "pos"], "left")
-        .join(absorbed, ["word", "pos"], "left")
-        .filter(F.col("was_absorbed").isNull())
-        .select(
-            "word",
-            "freq",
-            F.row_number().over(w).alias("pos"),
-            F.when(F.col("is_taken"), F.lit(left + right))
-            .otherwise(F.col("sym"))
-            .alias("sym"),
+        .withColumn(
+            "_rs",
+            F.col("_p")
+            & ~F.coalesce(F.lag("_p").over(w), F.lit(False)),
+        )
+        .withColumn(
+            "is_taken",
+            F.col("_p") & (((F.col("pos") - run) % 2) == 0),
+        )
+        .withColumn(
+            "was_absorbed",
+            F.coalesce(F.lag("is_taken").over(w), F.lit(False)),
         )
     )
+    out = staged.filter(~F.col("was_absorbed")).select(
+        "word",
+        "freq",
+        F.row_number().over(w).alias("pos"),
+        F.when(F.col("is_taken"), F.lit(left + right))
+        .otherwise(F.col("sym"))
+        .alias("sym"),
+    )
+    return materialize(out) if materialized else out
 
 
 def _bpe_supersteps(docs: DataFrame, n_merges: int):
@@ -2077,12 +2102,21 @@ def bpe_encode_stats(
     collapses to its word-frequency table once; each merge application
     is vocabulary-sized; the merge list is O(n_merges) driver state.
     """
+    from .partitioning import materialize
+
     train = docs.filter(F.col("doc_id") % 2 == 0)
     heldout = docs.filter(F.col("doc_id") % 2 == 1)
     merges, final_train_syms = _bpe_supersteps(train, n_merges)
     h = _bpe_symbol_table(heldout)
+    # every intermediate held-out table has exactly ONE consumer (the
+    # next merge), and all merges share the (word, pos) partitioning —
+    # chain them lazily into one plan (single exchange, 2 WindowExec
+    # per merge) instead of a temp-parquet round trip per merge, and
+    # materialize only the FINAL table, which is consumed twice below
+    # (r10 optimization)
     for _, left, right, _ in merges:
-        h = _bpe_apply_merge(h, left, right)
+        h = _bpe_apply_merge(h, left, right, materialized=False)
+    h = materialize(h)
     train_vocab = final_train_syms.select("sym").distinct()
     new_syms = (
         h.select("sym")

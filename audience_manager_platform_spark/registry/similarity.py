@@ -126,27 +126,17 @@ def _ivf_ingest_streaming(spark, sf_dir):
     checked against the ONE-SHOT batch assignment oracle (shared
     k-means CTE fit), the hard evidence that ingestion-time index
     maintenance converges to batch semantics exactly."""
-    import glob
     import os
-    import shutil
 
     from pyspark.sql import functions as F
 
-    from ..operators.partitioning import tracked_tempdir
+    from ..operators.partitioning import chunked_landing, tracked_tempdir
     from ..streaming.jobs import ivf_ingest_stream
 
     emb = _emb(spark, sf_dir)
     model = _kmeans_model(spark, sf_dir, iters=1)
     work = tracked_tempdir("amps_ivf_ingest_")
-    land = os.path.join(work, "land")
-    os.makedirs(land, exist_ok=True)
-    for i in range(3):
-        chunk = os.path.join(work, f"chunk{i}")
-        emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(chunk)
-        part = glob.glob(os.path.join(chunk, "*.parquet"))[0]
-        shutil.copy(part, os.path.join(land, f"{i:02d}.parquet"))
+    land = chunked_landing(emb, "vec_id", work)
     stream = (
         spark.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", 1)

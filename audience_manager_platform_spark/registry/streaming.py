@@ -236,23 +236,13 @@ def _checksum_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE-SHOT batch checksum table exactly (counts add, checksums xor —
     both monoids), which is also the oracle. This is the ingestion-time
     migration-verify: any replica chunking yields the same table."""
-    import glob
     import os
-    import shutil
 
-    from ..operators.partitioning import tracked_tempdir
+    from ..operators.partitioning import chunked_landing, tracked_tempdir
 
     events = load_table(spark, sf_dir, "events")
     work = tracked_tempdir("amps_cksum_gate_")
-    land = os.path.join(work, "land")
-    os.makedirs(land, exist_ok=True)
-    for i in range(3):
-        chunk = os.path.join(work, f"chunk{i}")
-        events.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(chunk)
-        part = glob.glob(os.path.join(chunk, "*.parquet"))[0]
-        shutil.copy(part, os.path.join(land, f"{i:02d}.parquet"))
+    land = chunked_landing(events, "event_id", work)
     stream = (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1)

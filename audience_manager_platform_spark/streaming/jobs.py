@@ -622,19 +622,22 @@ def ivf_ingest_stream(
     a batch concern, same split FAISS deployments use) and appended to
     the inverted-lists log that the ``ann_ivf*`` serving queries read.
 
-    Per micro-batch: one shuffle-free inline assignment (the same
-    codegen literal-argmax the batch path uses, so the settled log is
-    bit-identical to the one-shot batch assignment), an anti-join on
-    vec_id against the log for exactly-once under replay, one append.
-    State = the lists log itself: (vec_id, cent_id, csim) — O(corpus)
-    like every index, never re-derived."""
-    from ..operators.similarity import _assign_inline, _vec_double
+    Per micro-batch: one shuffle-free Arrow argmax assignment
+    (:func:`~..operators.similarity.assign_cells_arrow`, the batch
+    path's production kernel — value-identical to the inline codegen
+    form, whose generated method exceeded janino's 64 KB limit inside
+    the streaming plan and silently dropped every micro-batch to
+    interpreted eval; r10 measured the fallback at ~3x), an anti-join
+    on vec_id against the log for exactly-once under replay, one
+    append. State = the lists log itself: (vec_id, cent_id, csim) —
+    O(corpus) like every index, never re-derived."""
+    from ..operators.similarity import _vec_double, assign_cells_arrow
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        assigned = _assign_inline(
+        assigned = assign_cells_arrow(
             batch_df.select("vec_id", _vec_double().alias("v")), model
         ).select("vec_id", "cent_id", "csim")
         state = _read_state_or_none(spark, lists_dir)

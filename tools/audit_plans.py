@@ -357,6 +357,10 @@ ARROW_ALLOWED = {
     "kmeans_embedding_clusters",
     # two narrow assignment kernels (level-1 flat + level-2 two-level)
     "ann_two_level_assign",
+    # streaming IVF ingest folds each micro-batch through the same
+    # Arrow assignment kernel (the inline codegen form blew janino's
+    # 64 KB method limit inside the streaming plan — r10)
+    "streaming_ivf_ingest",
     "kmeans_cluster_quality",
     "ann_ivf_kmeans_topk",
     "ann_ivfpq_adc_topk",

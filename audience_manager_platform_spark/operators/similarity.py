@@ -732,7 +732,11 @@ def kmeans_fit_model(
     runs with ZERO corpus-sized shuffles: per iteration one narrow
     assignment map plus one map-side-combined mean aggregate whose
     exchange carries at most K x EMBED_DIM doubles."""
-    base = emb.select("vec_id", _vec_double().alias("v"))
+    from .partitioning import spread
+
+    # single-file fixture scans otherwise run each iteration's Arrow
+    # assignment pass in ONE task (spread is a no-op on real tables)
+    base = spread(emb).select("vec_id", _vec_double().alias("v"))
     model = [
         (int(r["vec_id"]), [float(x) for x in r["v"]])
         for r in base.filter(F.col("vec_id") < k).collect()
@@ -968,10 +972,14 @@ def semantic_dedup(
     (SURVEY.md §2.4); embedding-level corpus dedup is part of the
     LLM-pipeline extension mandated by BASELINE.json.
     """
-    base = emb.select("vec_id", _vec_double().alias("v"))
+    from .partitioning import materialize, spread
+
+    # spread BEFORE the Arrow kernel: the single-file fixture scan (and
+    # the AQE-coalesced tail of derived inputs) otherwise runs the whole
+    # assignment pass in ONE Python task; no-op on multi-split tables
+    base = spread(emb).select("vec_id", _vec_double().alias("v"))
     if model is None:
         model = kmeans_fit_model(emb, k, iters)
-    from .partitioning import materialize
 
     assigned = materialize(
         assign_cells_arrow(base, model, keep_vec=True).select(

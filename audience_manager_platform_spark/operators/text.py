@@ -1210,11 +1210,17 @@ def hash_embed_sql(src: str = "documents", dim: int = HASH_EMBED_DIM) -> str:
     """
 
 
-def hash_embed_stats(docs: DataFrame, dim: int = HASH_EMBED_DIM) -> DataFrame:
+def hash_embed_stats(
+    docs: DataFrame, dim: int = HASH_EMBED_DIM, emb: DataFrame | None = None
+) -> DataFrame:
     """Gate-facing audit of :func:`hash_embed`: per-doc nonzero bucket
     count and L2 norm (left-assoc IEEE sum, 6dp) — scalar facts both
-    engines hash identically, standing in for the raw vector."""
-    emb = hash_embed(docs, dim)
+    engines hash identically, standing in for the raw vector.
+
+    ``emb``: a pre-built hashed-vector table (the registry's shared
+    materialized one) — the audit then skips re-vectorizing the corpus."""
+    if emb is None:
+        emb = hash_embed(docs, dim)
     sq = " + ".join(f"embedding[{i}] * embedding[{i}]" for i in range(dim))
     return emb.select(
         "vec_id",

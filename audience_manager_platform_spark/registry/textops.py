@@ -59,6 +59,26 @@ def D_PHASH(spark, sf_dir):
 _TEXT_KMEANS_CACHE: dict = {}
 
 
+def _hash_embedded(s, d):
+    """Shared materialized hashing-trick vector table (the no-model
+    text->vector bridge): vectorize the corpus ONCE per session and let
+    every consumer (the k-means fit's per-iteration passes, SemDeDup,
+    the vectorizer audit) read the standing table — the r10 profile
+    showed the tokenize+hash+assemble pipeline recomputed per collect.
+    ``spread`` on the re-read: the tiny fixture table lands as 1-3
+    AQE-coalesced files, which would run every downstream Arrow kernel
+    in ONE task; on a real multi-split table the guard is a no-op."""
+    from ..operators.partitioning import materialize, spread
+
+    from ._shared import shared
+
+    return shared(
+        s,
+        ("hash_embed", d, T.HASH_EMBED_DIM),
+        lambda: spread(materialize(T.hash_embed(_docs(s, d)))),
+    )
+
+
 def _text_kmeans_model(s, d, k=64, iters=1):
     """Memoized k-means fit over the hashed text vectors (train once,
     serve many — the same contract as registry/similarity.py's
@@ -67,7 +87,7 @@ def _text_kmeans_model(s, d, k=64, iters=1):
     key = (d, k, iters)
     if key not in _TEXT_KMEANS_CACHE:
         _TEXT_KMEANS_CACHE[key] = S.kmeans_fit_model(
-            T.hash_embed(_docs(s, d)), k, iters
+            _hash_embedded(s, d), k, iters
         )
     return _TEXT_KMEANS_CACHE[key]
 
@@ -78,24 +98,14 @@ def _lsh_dedup_streaming(spark, sf_dir):
     the ONE-SHOT batch MinHash-LSH oracle, the hard evidence that the
     ingestion-time fold converges to batch semantics exactly (each pair
     surfaces in the batch its second member arrives)."""
-    import glob
     import os
-    import shutil
 
-    from ..operators.partitioning import tracked_tempdir
+    from ..operators.partitioning import chunked_landing, tracked_tempdir
     from ..streaming.jobs import lsh_dedup_stream
 
     docs = _docs(spark, sf_dir)
     work = tracked_tempdir("amps_lsh_gate_")
-    land = os.path.join(work, "land")
-    os.makedirs(land, exist_ok=True)
-    for i in range(3):
-        chunk = os.path.join(work, f"chunk{i}")
-        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(chunk)
-        part = glob.glob(os.path.join(chunk, "*.parquet"))[0]
-        shutil.copy(part, os.path.join(land, f"{i:02d}.parquet"))
+    land = chunked_landing(docs, "doc_id", work)
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
@@ -177,11 +187,13 @@ QUERIES = {
     "text_zipf_fit": lambda s, d: T.zipf_fit(_docs(s, d)),
     # r5 (deferred window): hashing-trick vectorizer audit (the no-model
     # text->vector bridge into the ANN/SemDeDup stack)
-    "text_hash_embed_stats": lambda s, d: T.hash_embed_stats(_docs(s, d)),
+    "text_hash_embed_stats": lambda s, d: T.hash_embed_stats(
+        _docs(s, d), emb=_hash_embedded(s, d)
+    ),
     # r5 (deferred window): SemDeDup over the hashed text vectors — the
     # full embedding-side dedup stack running on TEXT with no model
     "dedup_semantic_text": lambda s, d: S.semantic_dedup(
-        T.hash_embed(_docs(s, d)), threshold=0.9, k=64, iters=1,
+        _hash_embedded(s, d), threshold=0.9, k=64, iters=1,
         model=_text_kmeans_model(s, d),
     ),
     # r5: distributed BPE merge training (Sennrich 2016) — the learned

@@ -55,19 +55,25 @@ def _kmeans_assigned(s, d, k=S.KMEANS_K, iters=1):
     csim) under the memoized k-means fit — the inverted-lists side of a
     served IVF index, built once per session and read by every consumer
     (cluster summary / quality audit / IVF probe / margin gating)."""
-    from ..operators.partitioning import materialize
+    from ..operators.partitioning import materialize, spread
     from ._shared import shared
 
+    # spread on BOTH sides of the materialize: the single-file fixture
+    # scan would run the Arrow kernel in one task, and the materialized
+    # table would land as one file and serialize every consumer's cell
+    # join the same way (no-op on real multi-split tables — r10)
     return shared(
         s,
         ("kmeans_assigned", d, k, iters),
-        lambda: materialize(
-            S.assign_cells_arrow(
-                _emb(s, d).select(
-                    "vec_id", S._vec_double().alias("v")
-                ),
-                _kmeans_model(s, d, k, iters),
-                keep_vec=True,
+        lambda: spread(
+            materialize(
+                S.assign_cells_arrow(
+                    spread(_emb(s, d)).select(
+                        "vec_id", S._vec_double().alias("v")
+                    ),
+                    _kmeans_model(s, d, k, iters),
+                    keep_vec=True,
+                )
             )
         ),
     )

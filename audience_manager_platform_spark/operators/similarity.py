@@ -2242,60 +2242,126 @@ def margin_mutual_knn(
     tables with keyed joins against the |side|-row denominator
     aggregates.
     """
+    import numpy as np
+
     base = emb.select("vec_id", _vec_double().alias("v"))
-    # codegen'd fixed-dim dot/norm (the _dot_expr discipline): the HOF
-    # cosine costs ~45µs per interpreted fold — at |A|·|B| pairs that IS
-    # the operator's runtime; the unrolled chain is sub-µs with the
-    # identical left-assoc IEEE order, and norms are computed once per
-    # side row, not once per pair
-    # the fixture parquet is ONE row group -> one scan task; the cross
-    # scoring is the heavy stage, so spread the driving side across the
-    # cluster first (a |A|-row shuffle buys |cores|-way scoring)
-    a = spread(
-        base.filter(F.col("vec_id") % 2 == 0).select(
-            F.col("vec_id").alias("a_id"),
-            F.col("v").alias("av"),
-            _norm_expr("v").alias("na"),
+    # The B side was ALWAYS shipped whole to every executor (the former
+    # form was a.crossJoin(broadcast(b))) — the r10 rewrite keeps that
+    # exact memory posture but moves the scoring + per-side top-k INTO
+    # one Arrow kernel pass over the spread A side: the |A|·|B| scored
+    # table (1M rows at sf0.1) is never materialized and the two full
+    # windows over it are gone; the kernel emits the complete per-A
+    # top-k plus per-partition per-B candidates (≤ |parts|·|B|·k rows),
+    # and one partitioned window finishes the per-B top-k. Arithmetic
+    # is the assign_cells_arrow contract — numpy vectorized across rows,
+    # SEQUENTIAL across dims, sign-aware HALF_UP 6dp — so every csim is
+    # bit-identical to the codegen'd round(dot/(na*nb), 6) it replaces
+    # (oracle + pinned hashes verify). The registered scale path remains
+    # the IVF-gated miner; this is the documented fixture baseline.
+    b_rows = (
+        base.filter(F.col("vec_id") % 2 == 1).orderBy("vec_id").collect()
+    )
+    b_ids = np.array([int(r["vec_id"]) for r in b_rows], dtype=np.int64)
+    B = np.array(
+        [[float(x) for x in r["v"]] for r in b_rows], dtype=np.float64
+    )
+    nb = np.zeros(len(B))
+    for i in range(B.shape[1]):
+        nb = nb + B[:, i] * B[:, i]
+    nb = np.sqrt(nb)
+
+    def half_up(x: "np.ndarray") -> "np.ndarray":
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["v"].to_numpy())
+            aid = pdf["vec_id"].to_numpy().astype(np.int64)
+            na = np.zeros(len(X))
+            for i in range(X.shape[1]):
+                na = na + X[:, i] * X[:, i]
+            na = np.sqrt(na)
+            acc = np.zeros((len(X), len(B)))
+            for i in range(X.shape[1]):
+                acc = acc + X[:, i : i + 1] * B[:, i][None, :]
+            csim = half_up(acc / (na[:, None] * nb[None, :]))
+            kk = min(k, len(b_ids))
+            sides, aa, bb, cc = [], [], [], []
+            # complete per-A top-k: every B candidate is visible here
+            for r in range(len(X)):
+                top = np.lexsort((b_ids, -csim[r]))[:kk]
+                sides.extend([0] * len(top))
+                aa.extend([aid[r]] * len(top))
+                bb.extend(b_ids[top])
+                cc.extend(csim[r][top])
+            # per-B LOCAL top-k (this partition's A rows only): the
+            # global per-B cut is one partitioned window downstream
+            kb = min(k, len(X))
+            for j in range(len(b_ids)):
+                top = np.lexsort((aid, -csim[:, j]))[:kb]
+                sides.extend([1] * len(top))
+                aa.extend(aid[top])
+                bb.extend([b_ids[j]] * len(top))
+                cc.extend(csim[:, j][top])
+            yield pd.DataFrame(
+                {
+                    "side": np.array(sides, dtype=np.int32),
+                    "a_id": np.array(aa, dtype=np.int64),
+                    "b_id": np.array(bb, dtype=np.int64),
+                    "csim": np.array(cc, dtype=np.float64),
+                }
+            )
+
+    a = spread(base.filter(F.col("vec_id") % 2 == 0))
+    out = materialize(
+        a.mapInPandas(
+            score, "side int, a_id long, b_id long, csim double"
         )
     )
-    b = base.filter(F.col("vec_id") % 2 == 1).select(
-        F.col("vec_id").alias("b_id"),
-        F.col("v").alias("bv"),
-        _norm_expr("v").alias("nb"),
+    top_a = out.filter(F.col("side") == 0).select("a_id", "b_id", "csim")
+    wb = Window.partitionBy("b_id").orderBy(F.desc("csim"), F.asc("a_id"))
+    top_b = (
+        out.filter(F.col("side") == 1)
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= k)
+        .select("a_id", "b_id", "csim")
     )
-    scored = materialize(
-        a.crossJoin(F.broadcast(b)).select(
-            "a_id",
-            "b_id",
-            F.round(
-                _dot_expr("av", "bv") / (F.col("na") * F.col("nb")), 6
-            ).alias("csim"),
-        )
-    )
-    return _margin_pipeline(scored, k, threshold)
+    return _margin_tail(top_a, top_b, k, threshold)
 
 
 def _margin_pipeline(
     scored: DataFrame, k: int, threshold: float
 ) -> DataFrame:
-    """Shared downstream of the margin miners (exact and IVF-gated):
-    per-side top-k candidate windows over the materialized ``scored``
-    (a_id, b_id, csim) table, exact-bigint kNN denominators, ratio
-    margins, mutual argmax, threshold. Everything here runs on
-    |side|·k-row candidate tables — swapping the candidate generator
-    (cross join vs IVF cell join) leaves this untouched."""
+    """Shared downstream of the IVF-gated margin miner: per-side top-k
+    candidate windows over the materialized ``scored`` (a_id, b_id,
+    csim) table, then the :func:`_margin_tail` margins/mutual-argmax.
+    (The exact miner emits its per-side tops straight from the scoring
+    kernel and enters at :func:`_margin_tail` — r10.)"""
     wa = Window.partitionBy("a_id").orderBy(F.desc("csim"), F.asc("b_id"))
     wb = Window.partitionBy("b_id").orderBy(F.desc("csim"), F.asc("a_id"))
     top_a = materialize(
         scored.withColumn("rn", F.row_number().over(wa)).filter(
             F.col("rn") <= k
         )
-    )
+    ).drop("rn")
     top_b = materialize(
         scored.withColumn("rn", F.row_number().over(wb)).filter(
             F.col("rn") <= k
         )
-    )
+    ).drop("rn")
+    return _margin_tail(top_a, top_b, k, threshold)
+
+
+def _margin_tail(
+    top_a: DataFrame, top_b: DataFrame, k: int, threshold: float
+) -> DataFrame:
+    """Margins + mutual argmax over the per-side top-k candidate tables
+    (a_id, b_id, csim): exact-bigint kNN denominators, ratio margins,
+    per-side best-margin windows, mutual join, threshold. Everything
+    here runs on |side|·k-row candidate tables — swapping the candidate
+    generator (kernel top-k vs IVF cell join) leaves this untouched."""
     micro = F.expr("cast(floor(csim * 1e6 + 0.5d) as bigint)")
     sm_a = top_a.groupBy("a_id").agg(F.sum(micro).alias("sm_a"))
     sm_b = top_b.groupBy("b_id").agg(F.sum(micro).alias("sm_b"))
@@ -2318,13 +2384,13 @@ def _margin_pipeline(
     wma = Window.partitionBy("a_id").orderBy(F.desc("margin"), F.asc("b_id"))
     wmb = Window.partitionBy("b_id").orderBy(F.desc("margin"), F.asc("a_id"))
     best_a = (
-        margins(top_a.drop("rn"))
+        margins(top_a)
         .withColumn("mrn", F.row_number().over(wma))
         .filter(F.col("mrn") == 1)
         .drop("mrn")
     )
     best_b = (
-        margins(top_b.drop("rn"))
+        margins(top_b)
         .withColumn("mrn", F.row_number().over(wmb))
         .filter(F.col("mrn") == 1)
         .select("a_id", "b_id")

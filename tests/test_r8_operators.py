@@ -206,19 +206,22 @@ def test_phash_neardup_decodes_each_image_exactly_once(spark, sf_dir):
     )
 
 
-def test_margin_exact_cross_join_is_stage_visible(spark, sf_dir):
+def test_margin_exact_scoring_kernel_is_stage_visible(spark, sf_dir):
     """The r7 audit blind spot stays closed: the exact margin miner's
-    cross join lives in a materialized stage and the recorder surfaces
-    it (this is what lets tools/audit_plans.py enforce the declared
-    list)."""
+    scoring pass lives in a materialized stage and the recorder
+    surfaces it (this is what lets tools/audit_plans.py enforce the
+    declared list). Since the r10 rewrite the scoring stage is the
+    Arrow top-k kernel (B shipped whole — the same broadcast posture as
+    the former cross join), so the audit must see the Python eval node
+    where it used to see the CartesianProduct."""
     emb = _emb(spark, sf_dir)
     consumer, stages = _collect_stage_plans(
         lambda: S.margin_mutual_knn(emb)
     )
     joined = "\n".join(stages)
     assert (
-        "CartesianProduct" in joined or "BroadcastNestedLoopJoin" in joined
-    ), "scoring stage's cross join must be visible to the audit"
+        "MapInPandas" in joined or "ArrowEvalPython" in joined
+    ), "scoring kernel stage must be visible to the audit"
 
 
 # ------------------------------------------------------ wave 42: CUPED

@@ -216,11 +216,6 @@ NESTED_LOOP_ALLOWED = {
     "ann_mmr_rerank_topk",
     # |LFs|+1 result rows cross the broadcast 1-row doc-count total
     "text_weak_label_votes",
-    # the DOCUMENTED exact fixture baseline: its materialized scoring
-    # stage is the bipartite cross join (|A|·|B| bounded to the fixture;
-    # the registered scale path is emb_margin_mutual_knn_ivf) — visible
-    # since the r8 stage-plan scan closed the materialize() blind spot
-    "emb_margin_mutual_knn",
     # IVF-gated margin miner: probe stage crosses the K-row centroid
     # model (the ann_ivf_kmeans_topk shape)
     "emb_margin_mutual_knn_ivf",
@@ -402,6 +397,10 @@ ARROW_ALLOWED = {
     # Arrow kernel (assign_cells_arrow)
     "emb_margin_mutual_knn_ivf",
     "ann_recall_margin_ivf_vs_exact",
+    # exact margin miner (r10): scoring + per-side top-k moved into one
+    # Arrow kernel over the spread A side (B shipped whole, exactly the
+    # broadcast posture of the former cross join it replaces)
+    "emb_margin_mutual_knn",
     # surfaced by the r8 stage-plan scan (materialized stages run the
     # cell-assign Arrow kernel): the probe sweep's shared assignment
     # table and the gated-maxsim recall eval's cell gate

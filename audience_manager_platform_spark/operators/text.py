@@ -2373,6 +2373,16 @@ def prf_expanded_topk(
     toks = materialize(
         spread(docs).select("doc_id", tokens_col("text").alias("toks"))
     )
+    # ... and those four stages all need the EXPLODED view — materialize
+    # the (doc_id, term, tf) postings table once (the standing inverted-
+    # index shape text_inverted_postings serves) instead of re-running
+    # the |corpus|·|tokens| explode in every job that feeds a broadcast
+    # (r10 profile: the explode executed 6x per query)
+    postings = materialize(
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
     lens = toks.select("doc_id", F.size("toks").alias("dl"))
     stats = lens.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -2415,29 +2425,25 @@ def prf_expanded_topk(
             )
         )
 
-    exploded = toks.select("doc_id", F.explode("toks").alias("term"))
-    seed_posting = (
-        exploded.filter(F.col("term").isin(terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
+    seed_posting = postings.filter(F.col("term").isin(terms))
     seed_top = (
         bm25_over(seed_posting)
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(fb_docs)
         .select("doc_id")
     )
-    # feedback term counts from the shortlist only
+    # feedback term counts from the shortlist only (Σtf == the former
+    # per-occurrence count over the raw explode)
     fb_tf = (
-        exploded.join(F.broadcast(seed_top), "doc_id", "left_semi")
+        postings.join(F.broadcast(seed_top), "doc_id", "left_semi")
         .filter(~F.col("term").isin(terms))
         .groupBy("term")
-        .agg(F.sum(F.lit(1)).alias("tf_fb"))
+        .agg(F.sum("tf").alias("tf_fb"))
     )
-    # corpus df restricted to the candidate terms (per-doc distinct)
+    # corpus df restricted to the candidate terms (postings rows are
+    # already distinct (doc_id, term) pairs)
     cand_df = (
-        exploded.join(F.broadcast(fb_tf.select("term")), "term", "left_semi")
-        .distinct()
+        postings.join(F.broadcast(fb_tf.select("term")), "term", "left_semi")
         .groupBy("term")
         .agg(F.count("*").alias("df"))
     )
@@ -2456,24 +2462,19 @@ def prf_expanded_topk(
         .limit(fb_terms)
         .select("term")
     )
-    all_terms = expansion.unionByName(
-        expansion.sparkSession.createDataFrame(
-            [(t,) for t in terms], "term string"
-        )
-    ).distinct()
-    final_posting = (
-        exploded.join(F.broadcast(all_terms), "term")
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    exp_label = expansion.agg(
-        F.array_join(F.sort_array(F.collect_list("term")), ",").alias(
-            "expansion"
-        )
-    )
+    # the chosen expansion is fb_terms rows — MODEL-scale driver state
+    # (the k-means-fit discipline). Collecting it here instead of
+    # broadcasting the whole seed->feedback->df subtree into the final
+    # pass collapses the plan: the former lazy form nested the entire
+    # first-pass pipeline (with its own broadcasts) inside TWO broadcast
+    # branches of the final plan — a 117 KB formatted plan whose
+    # planning/codegen dominated the query (r10 profile: 30 jobs).
+    exp_terms = sorted(r["term"] for r in expansion.collect())
+    all_terms = sorted(set(terms) | set(exp_terms))
+    final_posting = postings.filter(F.col("term").isin(all_terms))
     return (
         bm25_over(final_posting)
-        .crossJoin(F.broadcast(exp_label))
+        .withColumn("expansion", F.lit(",".join(exp_terms)))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(k)
     )

@@ -3438,7 +3438,20 @@ def graph_beam_topk(
         F.desc("csim"), F.asc("node")
     )
     scored = None
-    for _ in range(steps):
+    for step in range(steps):
+        if step > 0:
+            # localize the beam state between supersteps: `cur` is
+            # bounded by |query_ids|·beam rows (model-scale by the
+            # same contract as the k-means fit), but left lazy it
+            # appears TWICE in the next superstep's plan (neigh join +
+            # frontier union), so the subtree doubles per step — a
+            # 93 KB formatted plan at steps=2 whose planning and
+            # re-evaluation dominated the query. Collecting the beam
+            # and re-seeding a literal keeps every superstep's plan one
+            # level deep; the data-sized edge/corpus tables never move.
+            cur = cur.sparkSession.createDataFrame(
+                cur.collect(), schema=cur.schema
+            )
         neigh = cur.join(edges, cur.node == edges.src).select(
             "query_id", F.col("dst").alias("node")
         )

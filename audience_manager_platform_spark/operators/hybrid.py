@@ -34,6 +34,7 @@ def hybrid_search_rrf(
     k: int = 10,
     pool: int = 50,
     c: int = RRF_C,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Fuse BM25 top-``pool`` (over ``docs``) with exact-cosine
     top-``pool`` neighbors of ``query_vec_id`` (over ``emb``; the
@@ -41,8 +42,11 @@ def hybrid_search_rrf(
 
     Ranks are integers derived from already-quantized sub-scores, and
     ``1/(c + rank)`` is one IEEE division — the fused score is
-    bit-identical across engines, so the oracle needs no tolerance."""
-    lex = bm25_topk(docs, query_terms, k=pool).select(
+    bit-identical across engines, so the oracle needs no tolerance.
+
+    ``postings``: the standing term-postings table threaded through to
+    the BM25 tower (r11 shared-intermediate discipline)."""
+    lex = bm25_topk(docs, query_terms, k=pool, postings=postings).select(
         F.col("doc_id").alias("id"),
         F.row_number()
         .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))

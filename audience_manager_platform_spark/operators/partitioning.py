@@ -24,8 +24,10 @@ def _parse_bytes(v: str) -> int:
     return int(s)
 
 
-def spread(df: DataFrame) -> DataFrame:
-    """Repartition ONLY when the scan cannot parallelize on its own.
+def spread(df: DataFrame, floor_bytes: int | None = None) -> DataFrame:
+    """Repartition ONLY when the scan cannot parallelize on its own —
+    and then only to a DATA-SIZED target, never blindly to the core
+    count.
 
     The probe is plan-side metadata — ``inputFiles()`` plus local file
     sizes against ``maxPartitionBytes`` — never ``df.rdd`` (the RDD
@@ -34,16 +36,30 @@ def spread(df: DataFrame) -> DataFrame:
     enough files or enough estimated byte-splits (FileSourceScan splits
     large files at maxPartitionBytes, so few-but-huge files still fan
     out); non-file sources (in-memory fixtures, streams) and remote
-    filesystems are trusted as-is."""
+    filesystems are trusted as-is.
+
+    Target sizing (r10 verdict #2: ``kmeans_embedding_clusters``
+    regressed 0.80x because a ~780 KB fixture was sharded 32 ways, and
+    ten headline queries ran >=1.3x FASTER on 8 cores than 32): the
+    repartition target is ``min(defaultParallelism, ceil(input_bytes /
+    minBytesPerTask))`` — a small input gets a few tasks, a large input
+    still fans out to every core, and a real multi-split table never
+    reaches this branch at all. ``spark.amp.spread.minBytesPerTask``
+    (default 128k, chosen by the r11 floor sweep at sf0.1) is the
+    deployment knob; production tables hit the no-op guard above it, so
+    the knob only shapes the small-input regime. ``floor_bytes``
+    overrides the conf at call sites whose input bytes are a poor proxy
+    for kernel work (the multimodal decoders synthesize their payloads
+    from ``doc_id`` alone, so scan bytes understate per-row compute)."""
     spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
+    para = spark.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
     except Exception:
         return df
     if not files:
         return df
-    if len(files) >= target:
+    if len(files) >= para:
         return df
     import os
     from urllib.parse import urlparse
@@ -63,7 +79,17 @@ def spread(df: DataFrame) -> DataFrame:
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
     )
     est_splits = max(1, total // max(1, max_bytes))
-    if est_splits >= target:
+    if est_splits >= para:
+        return df
+    if floor_bytes is None:
+        try:
+            floor_bytes = _parse_bytes(
+                spark.conf.get("spark.amp.spread.minBytesPerTask", "128k")
+            )
+        except ValueError:
+            floor_bytes = 128 << 10
+    target = min(para, max(1, -(-total // max(1, floor_bytes))))
+    if max(len(files), est_splits) >= target:
         return df
     return df.repartition(target)
 

@@ -229,7 +229,9 @@ def fingerprint_sql(src: str = "documents") -> str:
 
 
 # ------------------------------------------------------------- tf-idf
-def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 5, postings: DataFrame | None = None
+) -> DataFrame:
     """Top-k characteristic terms per document by smoothed TF-IDF
     (idf = ln((N+1)/(df+1)) + 1, sklearn's smoothing).
 
@@ -241,15 +243,24 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     plan collect-free.
 
     Ranking uses the ROUNDED score so cross-engine last-ulp differences in
-    ln() cannot reorder ties."""
+    ln() cannot reorder ties.
+
+    ``postings``: a standing ``(doc_id, term, tf)`` table (one row per
+    distinct doc/term pair — :func:`term_postings`); when given, the
+    tokenize+explode+count pipeline is skipped and the tf table IS the
+    standing table (r11: the registry shares one materialized postings
+    build across the retrieval family)."""
     from pyspark.sql import Window
 
     from .partitioning import spread
 
-    toked = spread(docs).select(
-        "doc_id", F.explode(tokens_col("text")).alias("term")
-    )
-    tf = toked.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    if postings is not None:
+        tf = postings.select("doc_id", "term", "tf")
+    else:
+        toked = spread(docs).select(
+            "doc_id", F.explode(tokens_col("text")).alias("term")
+        )
+        tf = toked.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
@@ -752,8 +763,31 @@ def oov_rate_bands_sql(
 
 
 # -------------------------------------------------------- inverted index
+def term_postings(docs: DataFrame) -> DataFrame:
+    """The canonical standing inverted-index table: one row per distinct
+    ``(doc_id, term)`` pair with its in-document frequency ``tf`` — the
+    shape every bag-of-words retrieval consumer (TF-IDF, BM25, PRF, the
+    posting-list seed) derives from. Built once per corpus snapshot and
+    materialized by the registry (r11); per-doc token counts are exactly
+    ``SUM(tf)`` grouped by doc, so no separate lengths table is needed.
+
+    Shape at scale: tokenize+explode is one map stage; the count is one
+    shuffle with map-side combine."""
+    from .partitioning import spread
+
+    return (
+        spread(docs)
+        .select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
 def inverted_postings(
-    docs: DataFrame, k: int = 25, sample: int = 5
+    docs: DataFrame,
+    k: int = 25,
+    sample: int = 5,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k vocabulary terms by document frequency, each with its first
     ``sample`` posting doc_ids — the seed table for a distributed
@@ -769,16 +803,23 @@ def inverted_postings(
     emitted as a comma-joined string so the oracle hash is
     representation-stable.
 
-    Ranking: (df desc, term asc) — total order."""
+    Ranking: (df desc, term asc) — total order.
+
+    ``postings``: the standing :func:`term_postings` table; its rows are
+    already distinct (doc_id, term) pairs, so the explode+distinct pass
+    is skipped when it is given."""
     from pyspark.sql import Window
 
     from .partitioning import spread
 
-    dt = (
-        spread(docs)
-        .select("doc_id", F.explode(tokens_col("text")).alias("term"))
-        .distinct()
-    )
+    if postings is not None:
+        dt = postings.select("doc_id", "term")
+    else:
+        dt = (
+            spread(docs)
+            .select("doc_id", F.explode(tokens_col("text")).alias("term"))
+            .distinct()
+        )
     df_t = dt.groupBy("term").agg(F.count("*").alias("df"))
     # top-k terms via distributed TakeOrdered (orderBy+limit — never a
     # vocab-wide single-partition window); the k-row result then gets its
@@ -851,6 +892,7 @@ def bm25_topk(
     k: int = 10,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 keyword retrieval over the corpus — the lexical counterpart
     of the ANN family (the two sides of hybrid search). Scores every
@@ -867,21 +909,40 @@ def bm25_topk(
     (score DESC, doc_id ASC) → TakeOrderedAndProject, no global sort.
 
     Scores are 6dp-rounded BEFORE ranking so cross-engine last-ulp ln()
-    differences cannot reorder ties."""
+    differences cannot reorder ties.
+
+    ``postings``: the standing :func:`term_postings` table. Per-doc
+    lengths are SUM(tf) grouped by doc (identical to counting the raw
+    tokens — only matched docs ever reach the length join, and a doc
+    with zero tokens can never match); ``avgdl`` = Σtf / N(docs) is the
+    same long-sum-over-long-count IEEE division ``avg(dl)`` performs."""
     from .partitioning import spread
 
-    toks = spread(docs).select("doc_id", tokens_col("text").alias("toks"))
-    lens = toks.select("doc_id", F.size("toks").alias("dl"))
-    stats = lens.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
     terms = [t.lower() for t in query_terms]
-    posting = (
-        toks.select("doc_id", F.explode("toks").alias("term"))
-        .filter(F.col("term").isin(terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
+    if postings is not None:
+        lens = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        stats = (
+            docs.agg(F.count("*").alias("n_docs"))
+            .crossJoin(F.broadcast(postings.agg(F.sum("tf").alias("_tok"))))
+            .select(
+                "n_docs", (F.col("_tok") / F.col("n_docs")).alias("avgdl")
+            )
+        )
+        posting = postings.filter(F.col("term").isin(terms))
+    else:
+        toks = spread(docs).select(
+            "doc_id", tokens_col("text").alias("toks")
+        )
+        lens = toks.select("doc_id", F.size("toks").alias("dl"))
+        stats = lens.agg(
+            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+        posting = (
+            toks.select("doc_id", F.explode("toks").alias("term"))
+            .filter(F.col("term").isin(terms))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+        )
     df_t = posting.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
         posting.join(F.broadcast(df_t), "term")
@@ -2346,6 +2407,7 @@ def prf_expanded_topk(
     fb_terms: int = PRF_FB_TERMS,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Pseudo-relevance-feedback retrieval (RM3-lite): run the seed BM25
     query, mine the top ``fb_docs`` results for the ``fb_terms``
@@ -2364,28 +2426,32 @@ def prf_expanded_topk(
     the feedback mine explodes ONLY the fb_docs shortlist; candidate-df
     and the expanded pass key the corpus explode to a broadcast term
     set (|seed| + |candidates| terms), so every shuffle carries matching
-    postings, never the corpus."""
+    postings, never the corpus.
+
+    ``postings``: the standing :func:`term_postings` table (the registry
+    shares ONE materialized build across the retrieval family — r11;
+    the r10 form re-materialized a private copy on EVERY call, two
+    eager write jobs per invocation). Without it the table is built and
+    materialized inline, since four stages read it. Per-doc lengths are
+    SUM(tf) grouped by doc and ``avgdl`` = Σtf / N(docs) — identical
+    values by the :func:`bm25_topk` argument."""
     from .partitioning import materialize, spread
 
     terms = sorted({t.lower() for t in query_terms})
-    # four stages read the token table (seed postings, feedback mine,
-    # candidate df, final postings): tokenize ONCE, not four times
-    toks = materialize(
-        spread(docs).select("doc_id", tokens_col("text").alias("toks"))
-    )
-    # ... and those four stages all need the EXPLODED view — materialize
-    # the (doc_id, term, tf) postings table once (the standing inverted-
-    # index shape text_inverted_postings serves) instead of re-running
-    # the |corpus|·|tokens| explode in every job that feeds a broadcast
-    # (r10 profile: the explode executed 6x per query)
-    postings = materialize(
-        toks.select("doc_id", F.explode("toks").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    lens = toks.select("doc_id", F.size("toks").alias("dl"))
-    stats = lens.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    if postings is None:
+        # four stages read the exploded view (seed postings, feedback
+        # mine, candidate df, final postings): tokenize + explode ONCE
+        postings = materialize(
+            spread(docs)
+            .select("doc_id", F.explode(tokens_col("text")).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+    lens = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = (
+        docs.agg(F.count("*").alias("n_docs"))
+        .crossJoin(F.broadcast(postings.agg(F.sum("tf").alias("_tok"))))
+        .select("n_docs", (F.col("_tok") / F.col("n_docs")).alias("avgdl"))
     )
 
     def bm25_over(posting):

@@ -22,6 +22,15 @@ def _emb(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
 
+def _doc_postings(s, d):
+    """The shared standing term-postings table (built/owned by
+    registry.textops) — the hybrid query's BM25 tower reads the same
+    asset as the lexical retrieval family (r11)."""
+    from .textops import _postings
+
+    return _postings(s, d)
+
+
 # Fitted-model memo: a production ANN service trains an index ONCE and
 # serves many queries against it, so the registry's four k-means
 # consumers (clusters, IVF-kmeans, IVF-PQ x2) and three PQ consumers
@@ -211,8 +220,10 @@ QUERIES = {
         _emb(s, d)
     ),
     # r4 window: reciprocal-rank fusion of BM25 and exact-cosine retrieval
+    # (BM25 tower reads the shared standing postings table — r11)
     "hybrid_search_rrf": lambda s, d: H.hybrid_search_rrf(
-        load_table(s, d, "documents"), _emb(s, d), HYBRID_TERMS, HYBRID_QVEC
+        load_table(s, d, "documents"), _emb(s, d), HYBRID_TERMS, HYBRID_QVEC,
+        postings=_doc_postings(s, d),
     ),
     # r5: late-interaction (ColBERT-shape) retrieval — docs scored by
     # their best-matching chunk over hashing-trick chunk vectors.

@@ -331,6 +331,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "families": _families(timings),
         "sf": float(sf),
         "notes": NOTES,
     }
@@ -364,11 +365,21 @@ def main() -> None:
     os._exit(0)  # skip atexit noise (py4j/gateway teardown) after the line
 
 
-# The driver tail-captures ~2000 chars of output; the final JSON line must
-# fit inside it. Entries are added in priority order (bench list order, so
+# The driver tail-captures EXACTLY 2000 chars of output (measured: the
+# "tail" field of BENCH_r09/r10.json is 2000 chars long, line + trailing
+# newline included); the final JSON line plus its newline must sit whole
+# inside that window or the front of the line is cut off and nothing
+# parses. Entries are added in priority order (bench list order, so
 # round-over-round membership is stable) until the budget is reached; the
 # full dict always lands in bench_full.json.
-_TAIL_BUDGET = 1850  # headroom for the extended "detail" suffix below
+_TAIL_BUDGET = 1950  # 2000 - newline - margin for a stray '\r'
+
+# r10 verdict item 2: the families dict added in r10 (439 chars) pushed
+# 16 of 80 per-query entries out of the driver tail — per-query entries
+# are the primary round-over-round diff signal, so guarantee at least
+# the r9-parity floor of them FIRST, then add families only if budget
+# remains, then keep filling with more per-query entries.
+_QUERY_FLOOR = 56
 
 
 def _families(timings: dict[str, float]) -> dict[str, float]:
@@ -392,29 +403,50 @@ def _compact_line(
     sf: float,
     priority: list[str],
 ) -> str:
-    base = {
+    # probe with the WORST-CASE detail suffix so upgrading it at the end
+    # can never push an accepted line over the budget
+    probe = {
         "metric": label,
         "value": total,
         "unit": "sec",
-        "families": _families(timings),
         "queries": {},
         "sf": sf,
-        "detail": "bench_full.json",
+        "detail": f"bench_full.json ({len(timings)} more queries)",
     }
+
+    def _fits(queries: dict) -> bool:
+        cand = {**probe, "queries": queries}
+        return len(json.dumps(cand, separators=(",", ":"))) <= _TAIL_BUDGET
+
+    avail = [n for n in priority if n in timings]
     q: dict[str, float] = {}
-    for name in priority:
-        if name not in timings:
-            continue
+    # 1) per-query entries up to the floor (primary diff signal)
+    for name in avail[:_QUERY_FLOOR]:
         cand = {**q, name: round(timings[name], 2)}
-        if len(json.dumps({**base, "queries": cand}, separators=(",", ":"))) > _TAIL_BUDGET:
+        if not _fits(cand):
             break
         q = cand
-    base["queries"] = q
+    # 2) per-family sums, only if the budget still has room (r9 verdict
+    #    #7 wanted them; r10 verdict #2 ranks per-query entries above them)
+    fams = _families(timings)
+    if len(q) >= min(_QUERY_FLOOR, len(avail)) and len(
+        json.dumps({**probe, "queries": q, "families": fams}, separators=(",", ":"))
+    ) <= _TAIL_BUDGET:
+        probe["families"] = fams
+    # 3) keep filling with more per-query entries while they fit
+    for name in avail[len(q):]:
+        cand = {**q, name: round(timings[name], 2)}
+        if not _fits(cand):
+            break
+        q = cand
+    probe["queries"] = q
     if len(q) < len(timings):
-        base["detail"] = (
+        probe["detail"] = (
             f"bench_full.json ({len(timings) - len(q)} more queries)"
         )
-    return json.dumps(base, separators=(",", ":"))
+    else:
+        probe["detail"] = "bench_full.json"
+    return json.dumps(probe, separators=(",", ":"))
 
 
 if __name__ == "__main__":

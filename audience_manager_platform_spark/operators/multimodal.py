@@ -569,6 +569,21 @@ def flipbook_frames_oracle_sql(
 # counterpart of SimHash over text.
 PHASH_SIZE = 32   # resample edge
 PHASH_DCT = 8     # low-frequency block edge
+# Median-threshold tie guard: a DCT coefficient can land within float
+# noise of the block median (12 of the 500 sf0.01 fixture docs hold a
+# coefficient within 5e-13 of it), and the dgemm summation order that
+# decides which side such a coefficient falls on changes with the BLAS
+# kernel dispatch — doc 105's pin flipped twice across environments
+# with ZERO code change (r10 f7984db, then back after a host reboot).
+# A bit is set only when the coefficient clears the median by more than
+# this epsilon, which makes the hash a deterministic function of the
+# image bytes: measured over the fixture, every non-tie coefficient
+# clears the median by >=1.2e-4 (5 orders above the epsilon) and every
+# tie sits below 5e-13 (4 orders below), and the resulting 500
+# fingerprints are bit-identical under four different matmul summation
+# orders (left/right dgemm association, einsum, longdouble). See
+# registry/phash_pins.py for the regeneration history.
+PHASH_TIE_EPS = 1e-9
 TEX_W = TEX_H = 32
 TEX_TWIN_EVERY = 10
 
@@ -695,7 +710,9 @@ def phash64(media_df: DataFrame) -> DataFrame:
         med = float(np.median(block))
         bits = 0
         for j, v in enumerate(block):
-            if v > med:
+            # strict clearance of the median (PHASH_TIE_EPS): ties ride
+            # BLAS summation order otherwise — see the constant's note
+            if v > med + PHASH_TIE_EPS:
                 bits |= 1 << j
         return bits
 

@@ -3348,6 +3348,28 @@ def graph_knn_edges(
     )
 
 
+def _values_relation(spark: SparkSession, rows: list[str], cols: str) -> DataFrame:
+    """Model-scale literal table as a SQL ``VALUES`` LocalRelation.
+
+    ``createDataFrame(rows)`` ships the rows as a PICKLED RDD sliced
+    across defaultParallelism — every downstream action re-runs a
+    32-task deserialize job (plus the repartition(1) shuffle the
+    _model_df note documents), which dominated the driver-orchestrated
+    beam search (profiled: 0.3–0.6 s PER ACTION for a 40-row table). A
+    ``VALUES`` list parses JVM-side in milliseconds into a
+    LocalRelation: zero jobs, zero shuffles, broadcast-ready. Literals
+    are rendered by the CALLER with exact round-trips (``repr`` for
+    doubles — shortest-roundtrip in Python, correctly-rounded re-parse
+    in Java — ``str`` + ``L`` suffix for bigints), so values are
+    bit-identical to the collected originals."""
+    return spark.sql(f"SELECT * FROM VALUES {','.join(rows)} AS t({cols})")
+
+
+def _d(x: float | None) -> str:
+    """Exact double literal for :func:`_values_relation` rows."""
+    return "CAST(NULL AS DOUBLE)" if x is None else f"{x!r}D"
+
+
 def graph_beam_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -3398,19 +3420,58 @@ def graph_beam_topk(
         edges = graph_knn_edges(
             emb, m, n_clusters, iters, model=model, assigned=assigned
         )
-    cents = _model_df(emb.sparkSession, model)
-    q = base.filter(
-        F.col("vec_id").isin([int(i) for i in query_ids])
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        _norm_expr("v").alias("nq"),
+    # --- driver-orchestrated search over the standing tables (r11) ---
+    # r10 already collected the inter-superstep beam (bounded by
+    # |query_ids|·beam rows — model-scale by the same contract as the
+    # k-means fit) to stop the lazy subtree doubling per step; the
+    # remaining cost was pure plan-construct: 17 jobs of probe windows,
+    # seed aggregates, frontier unions and per-step rank windows over
+    # row sets that never exceed a few hundred rows (profiled: 3.2 s of
+    # a 4.6 s warm wall was Catalyst planning/codegen, guide §1/§7.2).
+    # The search state is model-scale THROUGHOUT — probes ≤ |q|·entries,
+    # frontier ≤ |q|·beam·(2m+1) pairs, candidate vectors ≤ that many
+    # 64-dim rows — so the orchestration (set algebra, beam cuts on
+    # already-rounded doubles) moves to the driver, and Spark executes
+    # only the data-sized touches: one pushed-isin filter scan of the
+    # standing EDGE table and one of the corpus table per superstep,
+    # plus one tiny probe job. Every similarity stays the identical
+    # codegen arithmetic (_dot_expr/_norm_expr + HALF_UP round 6) the
+    # window version ran — the driver never does float math, it only
+    # orders by values Spark already rounded (ties impossible: the cut
+    # key (csim, node) is unique per pair), so results are value-equal
+    # (oracle-gated at sf0.01/sf0.001).
+    spark = emb.sparkSession
+    ids = [int(i) for i in query_ids]
+    q_rows = (
+        base.filter(F.col("vec_id").isin(ids))
+        .select("vec_id", "v", _norm_expr("v").alias("nq"))
+        .collect()
+    )  # ≤ |query_ids| rows of dim doubles — model-scale
+    out_schema = (
+        "query_id bigint, neighbor_id bigint, csim double, rank int"
     )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.desc("qsim"), F.asc("cent_id")
+    if not q_rows:
+        return spark.createDataFrame([], out_schema)
+    qdf = _values_relation(
+        spark,
+        [
+            f"({int(r['vec_id'])}L, "
+            f"array({','.join(_d(float(x)) for x in r['v'])}), "
+            f"{_d(float(r['nq']))})"
+            for r in q_rows
+        ],
+        "query_id, qv, nq",
     )
-    probes = (
-        q.crossJoin(F.broadcast(cents.withColumn("nc", _norm_expr("cv"))))
+    cents = _values_relation(
+        spark,
+        [
+            f"({int(cid)}L, array({','.join(_d(float(x)) for x in cv)}))"
+            for cid, cv in sorted(model)
+        ],
+        "cent_id, cv",
+    )
+    probe_rows = (
+        qdf.crossJoin(F.broadcast(cents.withColumn("nc", _norm_expr("cv"))))
         .select(
             "query_id",
             "cent_id",
@@ -3418,53 +3479,61 @@ def graph_beam_topk(
                 _dot_expr("qv", "cv") / (F.col("nq") * F.col("nc")), 6
             ).alias("qsim"),
         )
-        .withColumn("rn", F.row_number().over(probe_w))
-        .filter(F.col("rn") <= entries)
-        .select("query_id", "cent_id")
-    )
-    seeds = assigned.groupBy("cent_id").agg(F.min("vec_id").alias("node"))
-    cur = (
-        probes.join(F.broadcast(seeds), "cent_id")
-        .select("query_id", "node")
-        .distinct()
-    )
-    nodes = assigned.select(
-        F.col("vec_id").alias("node"),
-        F.col("v").alias("nv"),
-        _norm_expr("v").alias("nn"),
-    )
-    qb = F.broadcast(q)
-    beam_w = Window.partitionBy("query_id").orderBy(
-        F.desc("csim"), F.asc("node")
-    )
-    scored = None
-    for step in range(steps):
-        if step > 0:
-            # localize the beam state between supersteps: `cur` is
-            # bounded by |query_ids|·beam rows (model-scale by the
-            # same contract as the k-means fit), but left lazy it
-            # appears TWICE in the next superstep's plan (neigh join +
-            # frontier union), so the subtree doubles per step — a
-            # 93 KB formatted plan at steps=2 whose planning and
-            # re-evaluation dominated the query. Collecting the beam
-            # and re-seeding a literal keeps every superstep's plan one
-            # level deep; the data-sized edge/corpus tables never move.
-            cur = cur.sparkSession.createDataFrame(
-                cur.collect(), schema=cur.schema
-            )
-        neigh = cur.join(edges, cur.node == edges.src).select(
-            "query_id", F.col("dst").alias("node")
-        )
-        frontier = cur.unionByName(neigh).distinct()
+        .collect()
+    )  # |q| x K rows — the same K-row-model cross the window version did
+    by_query: dict[int, list] = {}
+    for r in probe_rows:
+        by_query.setdefault(r["query_id"], []).append(r)
+    probed: set[tuple[int, int]] = set()
+    for qid, rows in by_query.items():
+        rows.sort(key=lambda r: (-r["qsim"], r["cent_id"]))
+        probed.update((qid, r["cent_id"]) for r in rows[:entries])
+    cells = sorted({c for _, c in probed})
+    seed_rows = (
+        assigned.filter(F.col("cent_id").isin(cells))
+        .groupBy("cent_id")
+        .agg(F.min("vec_id").alias("node"))
+        .collect()
+    )  # ≤ |q|·entries rows
+    seed_of = {r["cent_id"]: r["node"] for r in seed_rows}
+    cur: set[tuple[int, int]] = {
+        (qid, seed_of[c]) for qid, c in probed if c in seed_of
+    }
+    last_scored: dict[int, list[tuple[float, int]]] = {}
+    for _ in range(steps):
+        frontier_nodes = sorted({n for _, n in cur})
+        edge_rows = (
+            edges.filter(F.col("src").isin(frontier_nodes))
+            .select("src", "dst")
+            .collect()
+        )  # ≤ |frontier|·2m rows — the node out-degree bound
+        adj: dict[int, list[int]] = {}
+        for r in edge_rows:
+            adj.setdefault(r["src"], []).append(r["dst"])
+        pairs = set(cur)
+        for qid, n in cur:
+            for d in adj.get(n, ()):
+                pairs.add((qid, d))
         if superstep_rows is not None:
-            # debug/smoke instrumentation: record each superstep's actual
-            # frontier size so the documented <= |q|*beam*(2m+1) bound is
-            # a measured number, not prose (extra count() actions — never
-            # pass this in the serving path)
-            superstep_rows.append(frontier.count())
-        scored = (
-            frontier.join(nodes, "node")
-            .join(qb, "query_id")
+            # debug/smoke instrumentation: record each superstep's
+            # actual frontier size so the documented <= |q|*beam*(2m+1)
+            # bound is a measured number, not prose
+            superstep_rows.append(len(pairs))
+        cand_nodes = sorted({n for _, n in pairs})
+        pair_df = _values_relation(
+            spark,
+            [f"({qid}L, {n}L)" for qid, n in sorted(pairs)],
+            "query_id, node",
+        )
+        scored_rows = (
+            assigned.filter(F.col("vec_id").isin(cand_nodes))
+            .select(
+                F.col("vec_id").alias("node"),
+                F.col("v").alias("nv"),
+                _norm_expr("v").alias("nn"),
+            )
+            .join(F.broadcast(pair_df), "node")
+            .join(F.broadcast(qdf), "query_id")
             .filter(F.col("node") != F.col("query_id"))
             .select(
                 "query_id",
@@ -3473,14 +3542,28 @@ def graph_beam_topk(
                     _dot_expr("qv", "nv") / (F.col("nq") * F.col("nn")), 6
                 ).alias("csim"),
             )
-            .withColumn("rn", F.row_number().over(beam_w))
-        )
-        cur = scored.filter(F.col("rn") <= beam).select("query_id", "node")
-    return scored.filter(F.col("rn") <= k).select(
-        "query_id",
-        F.col("node").alias("neighbor_id"),
-        "csim",
-        F.col("rn").alias("rank"),
+            .collect()
+        )  # ≤ |pairs| rows
+        by_q: dict[int, list[tuple[float, int]]] = {}
+        for r in scored_rows:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["csim"], r["node"])
+            )
+        cur = set()
+        for qid, lst in by_q.items():
+            # the window version's (csim DESC NULLS LAST, node ASC)
+            lst.sort(key=lambda t: (t[0] is None, -(t[0] or 0.0), t[1]))
+            cur.update((qid, n) for _, n in lst[:beam])
+        last_scored = by_q
+    out = [
+        f"({qid}L, {n}L, {_d(c)}, {rank})"
+        for qid, lst in last_scored.items()
+        for rank, (c, n) in enumerate(lst[:k], start=1)
+    ]
+    if not out:
+        return spark.createDataFrame([], out_schema)
+    return _values_relation(
+        spark, out, "query_id, neighbor_id, csim, rank"
     )
 
 

@@ -446,7 +446,7 @@ def chunk_maxsim_ivf_topk(
     corpus — production trains the index once and serves many query
     sets; without it this function builds the index inline first)."""
     from .partitioning import spread
-    from .similarity import _model_df
+    from .similarity import _d, _values_relation
     from .text import hash_embed
 
     if index is None:
@@ -454,6 +454,7 @@ def chunk_maxsim_ivf_topk(
     cell_model, assigned = index
     from ..functions import cosine_similarity
 
+    spark = docs.sparkSession
     qvec_n = (
         hash_embed(docs.filter(F.col("doc_id").isin(query_ids)), dim)
         .select(
@@ -463,11 +464,26 @@ def chunk_maxsim_ivf_topk(
         .select("query_id", "qv", _norm_dim("qv", dim).alias("qn"))
         .filter(F.col("qn") > 0)
     )
-    cents = _model_df(docs.sparkSession, cell_model)
+    # the centroid table is driver state; inline it as a VALUES
+    # LocalRelation (zero jobs per action — see similarity._values_relation)
+    cents = _values_relation(
+        spark,
+        [
+            f"({int(cid)}L, array({','.join(_d(float(x)) for x in cv)}))"
+            for cid, cv in sorted(cell_model)
+        ],
+        "cent_id, cv",
+    )
     w_probe = Window.partitionBy("query_id").orderBy(
         F.desc("qsim"), F.asc("cent_id")
     )
-    probes = (
+    # probe selection is |queries| x n_cells rows cut to |queries| x
+    # n_probes — model-scale (the same bound the broadcast carried);
+    # collect it ONCE and inline the survivors, so the serving query is
+    # a single join whose cent_id filter pushes into the inverted-lists
+    # scan instead of a lazy probe subplan re-run per action (r11,
+    # guide §1/§7.2)
+    probe_rows = (
         qvec_n.join(F.broadcast(cents), how="cross")
         .select(
             "query_id",
@@ -481,13 +497,32 @@ def chunk_maxsim_ivf_topk(
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= n_probes)
         .select("query_id", "qv", "qn", "cent_id")
+        .collect()
     )
+    if not probe_rows:
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, doc_id bigint, maxsim double, "
+            "best_chunk_idx bigint, rank int",
+        )
+    probes = _values_relation(
+        spark,
+        [
+            f"({int(r['query_id'])}L, "
+            f"array({','.join(_d(float(x)) for x in r['qv'])}), "
+            f"{_d(float(r['qn']))}, {int(r['cent_id'])}L)"
+            for r in probe_rows
+        ],
+        "query_id, qv, qn, cent_id",
+    )
+    cells = sorted({int(r["cent_id"]) for r in probe_rows})
     # spread: the materialized index reads back in O(file-count)
     # partitions — re-spread so scoring parallelism tracks the cluster,
-    # not the snapshot's file layout
+    # not the snapshot's file layout; the isin filter is the probed-cell
+    # pushdown an IVF read does (probe set decides which lists load)
     scored = (
         F.broadcast(probes)
-        .join(spread(assigned), "cent_id")
+        .join(spread(assigned.filter(F.col("cent_id").isin(cells))), "cent_id")
         .filter(F.col("doc_id") != F.col("query_id"))
         .select(
             "query_id",

@@ -710,18 +710,28 @@ def kmeans_fit(
 def _model_df(
     spark: SparkSession, model: list[tuple[int, list[float]]]
 ) -> DataFrame:
-    # ONE partition: a K-row model table sliced across the session's
-    # default parallelism turns every self-cross-join into parallelism²
-    # near-empty tasks (measured: the K x K Davies-Bouldin join spawned a
-    # 1024-task stage whose scheduling overhead dwarfed the work).
-    # repartition(1), NOT coalesce(1): Python-created frames are pickled
-    # RDD partitions, and coalesce runs all |defaultParallelism| Python
-    # deserializer partitions SERIALLY in one task (~4 s per execution,
-    # re-paid inside every broadcast build); the one-row shuffle
-    # deserializes them in parallel first (~0.03 s warm, measured 130x)
-    return spark.createDataFrame(
-        model, "cent_id bigint, cv array<double>"
-    ).repartition(1)
+    # A SQL VALUES LocalRelation, not createDataFrame (r11): the model
+    # is driver state, and a pickled-RDD frame re-ran a
+    # defaultParallelism-task deserialize job plus the repartition(1)
+    # shuffle inside EVERY consumer action (measured 0.3-0.6 s per
+    # action under contention; the r6 repartition(1) note chronicles
+    # the previous round of this same cost). A VALUES list parses
+    # JVM-side in milliseconds into a single-partition local relation:
+    # zero jobs, zero shuffles, broadcast-ready, and the K x K
+    # self-cross-join stays a handful of tasks. Literals round-trip
+    # exactly (repr doubles / L-suffixed bigints — see
+    # _values_relation), so values are bit-identical to the
+    # createDataFrame path.
+    if not model:
+        return spark.createDataFrame([], "cent_id bigint, cv array<double>")
+    return _values_relation(
+        spark,
+        [
+            f"({int(cid)}L, array({','.join(_d(float(x)) for x in cv)}))"
+            for cid, cv in model
+        ],
+        "cent_id, cv",
+    )
 
 
 def kmeans_fit_model(
@@ -737,9 +747,15 @@ def kmeans_fit_model(
     # single-file fixture scans otherwise run each iteration's Arrow
     # assignment pass in ONE task (spread is a no-op on real tables)
     base = spread(emb).select("vec_id", _vec_double().alias("v"))
+    # seed collect reads the UNSPREAD scan: the K seed rows come from a
+    # pushed-down vec_id < k filter, and routing them through spread's
+    # repartition paid a full scan+shuffle for a 16-row collect (r11;
+    # same rows either way)
     model = [
         (int(r["vec_id"]), [float(x) for x in r["v"]])
-        for r in base.filter(F.col("vec_id") < k).collect()
+        for r in emb.select("vec_id", _vec_double().alias("v"))
+        .filter(F.col("vec_id") < k)
+        .collect()
     ]
     # exact scaled-integer sums (order-free; see the contract block above
     # KMEANS_K) collected with the count; the single 6dp rounding happens

@@ -779,6 +779,49 @@ def residuals_arrow(
     )
 
 
+def ivfpq_residual_index(
+    emb: DataFrame,
+    n_cells: int | None = None,
+    iters: int = PQ_ITERS,
+    cell_model: list[tuple[int, list[float]]] | None = None,
+):
+    """The FULL residual-IVFPQ index build a deployment runs once per
+    corpus snapshot: coarse cells, the materialized residual table, the
+    residual-trained PQ codebooks, and the materialized code table.
+    Returns ``(cell_model, pq_model, assigned, codes)`` for
+    :func:`ivfpq_residual_topk` — which re-built ALL of it inline on
+    every call before r11 (every bench repeat refit the codebooks and
+    re-encoded the corpus; the registry memoizes this build now, the
+    same train-once-serve-many contract every other quantizer family
+    already carries)."""
+    from .similarity import KMEANS_K, assign_cells_arrow, kmeans_fit_model
+
+    from .partitioning import materialize
+
+    n_cells = KMEANS_K if n_cells is None else n_cells
+    base = emb.select("vec_id", _vec_double().alias("v"))
+    if cell_model is None:
+        cell_model = kmeans_fit_model(emb, n_cells, iters)
+    # residuals are consumed by the PQ fit (seed collect + stacked
+    # aggregate) and the encode pass — materialize once so the
+    # assignment+subtraction kernels run a single time (the PageRank
+    # edge-list pattern)
+    res = materialize(
+        residuals_arrow(
+            assign_cells_arrow(base, cell_model, keep_vec=True), cell_model
+        )
+    )
+    pq_model = pq_fit_model(res, iters)
+    _check_dense(pq_model)
+    assigned = res.select("vec_id", "cent_id")
+    codes = materialize(
+        pq_encode_arrow(res, pq_model).select(
+            "vec_id", *[f"c{j}" for j in range(PQ_M)]
+        )
+    )
+    return cell_model, pq_model, assigned, codes
+
+
 def ivfpq_residual_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -787,6 +830,7 @@ def ivfpq_residual_topk(
     n_cells: int | None = None,
     iters: int = PQ_ITERS,
     cell_model: list[tuple[int, list[float]]] | None = None,
+    index=None,
 ) -> DataFrame:
     """FAISS-exact IVFPQ: PQ codebooks trained on the RESIDUALS
     ``v - centroid(cell(v))`` (Jégou et al. §IV.B), closing the
@@ -806,37 +850,17 @@ def ivfpq_residual_topk(
     (narrow), then broadcast(probes) ⋈ assigned ⋈ codes and a top-k
     window — the only wide ops are the cent_id candidate join and the
     final window, identical to the raw-vector layout."""
-    from .similarity import (
-        IVF_PROBES,
-        KMEANS_K,
-        _model_df,
-        assign_cells_arrow,
-        kmeans_fit_model,
-    )
+    from .similarity import IVF_PROBES, KMEANS_K, _model_df, _values_relation
     from ..functions import cosine_similarity
-
-    from .partitioning import materialize
 
     n_probes = IVF_PROBES if n_probes is None else n_probes
     n_cells = KMEANS_K if n_cells is None else n_cells
     base = emb.select("vec_id", _vec_double().alias("v"))
-    if cell_model is None:
-        cell_model = kmeans_fit_model(emb, n_cells, iters)
-    # residuals are consumed by the PQ fit (seed collect + stacked
-    # aggregate), the encode pass, AND carry the cent_id the candidate
-    # join needs — materialize once so the assignment+subtraction
-    # kernels run a single time (the PageRank edge-list pattern)
-    res = materialize(
-        residuals_arrow(
-            assign_cells_arrow(base, cell_model, keep_vec=True), cell_model
+    if index is None:
+        index = ivfpq_residual_index(
+            emb, n_cells=n_cells, iters=iters, cell_model=cell_model
         )
-    )
-    assigned = res.select("vec_id", "cent_id")
-    pq_model = pq_fit_model(res, iters)
-    _check_dense(pq_model)
-    codes = pq_encode_arrow(res, pq_model).select(
-        "vec_id", *[f"c{j}" for j in range(PQ_M)]
-    )
+    cell_model, pq_model, assigned, codes = index
     cents = _model_df(emb.sparkSession, cell_model)
     queries = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("q")
@@ -870,8 +894,12 @@ def ivfpq_residual_topk(
             f"THEN {' + '.join(luts)}"
         )
     adc = F.expr(f"CASE {' '.join(branches)} END")
-    probes_df = emb.sparkSession.createDataFrame(
-        probe_rows, "query_id bigint, cent_id bigint"
+    # VALUES LocalRelation, not a pickled-RDD frame (see
+    # similarity._values_relation): the probe set is |q| x n_probes rows
+    probes_df = _values_relation(
+        emb.sparkSession,
+        [f"({qid}L, {cid}L)" for qid, cid in sorted(probe_rows)],
+        "query_id, cent_id",
     )
     cand = (
         F.broadcast(probes_df)

@@ -105,6 +105,21 @@ def _graph_edges(s, d):
     )
 
 
+def _residual_index(s, d):
+    """Shared residual-IVFPQ index (cell model + materialized residual
+    and code tables) under the memoized coarse quantizer — the served
+    FAISS index artifact; contains DataFrames, so it lives in the
+    session-keyed cache, not the plain fit memo."""
+    from ._shared import shared
+
+    return shared(
+        s, ("ivfpq_residual_index", d),
+        lambda: PQ.ivfpq_residual_index(
+            _emb(s, d), cell_model=_kmeans_model(s, d)
+        ),
+    )
+
+
 def _margin_exact(s, d):
     """Shared materialized output of the exact margin miner — a mined-
     pair table a deployment stores; the miner query and the recall eval
@@ -335,11 +350,15 @@ QUERIES = {
         _emb(s, d), _QUERY_IDS, k=5,
         cell_model=_kmeans_model(s, d), pq_model=_pq_model(s, d),
     ),
-    # r4: FAISS-exact variant — codebooks train on per-cell RESIDUALS
-    # (the residual PQ fit is cell-model-dependent, so only the coarse
-    # quantizer is shared)
+    # r4: FAISS-exact variant — codebooks train on per-cell RESIDUALS.
+    # The FULL index (residual table + codebooks + code table) is built
+    # once per corpus and served from the session cache (r11): the
+    # un-memoized form refit the codebooks and re-encoded the corpus on
+    # EVERY call — the same train-once-serve-many miss dedup_semantic
+    # had in r10
     "ann_ivfpq_residual_topk": lambda s, d: PQ.ivfpq_residual_topk(
-        _emb(s, d), _QUERY_IDS, k=5, cell_model=_kmeans_model(s, d)
+        _emb(s, d), _QUERY_IDS, k=5,
+        index=_residual_index(s, d),
     ),
     # r4: radius-bounded retrieval (the dual of top-k) + the norm-drift
     # profile an embedding pipeline checks after every encoder change
